@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-normalization column functions re-expressing the reference's
+  * string utilities (reference: um/re/utils/Utils.scala) as codegen'd
+  * Catalyst expressions — every function here composes built-in
+  * `org.apache.spark.sql.functions` so the whole pipeline stays inside
+  * whole-stage codegen (no UDF boxing, no serialization).
+  */
+object Text {
+
+  /** Strip everything but letters to single spaces.
+    * Reference: Utils.textOnly (Utils.scala:64-66). */
+  def textOnly(c: Column): Column =
+    regexp_replace(c, "[^A-Za-z]+", " ")
+
+  /** Letters+digits only. Reference: Utils.textNum (Utils.scala:72-74). */
+  def textNum(c: Column): Column =
+    regexp_replace(c, "[^0-9A-Za-z]+", " ")
+
+  /** Tokenize on single spaces after textOnly; keeps empty edge tokens
+    * exactly like `String.split(" ")` does NOT — Java split drops
+    * trailing empties, so we mirror that with a -1 limit plus trailing
+    * trim semantics. Reference: Utils.tokenazer (Utils.scala:57-59). */
+  def tokenize(c: Column): Column = {
+    // Java's s.split(" ") drops *trailing* empty strings but keeps
+    // leading/interior ones. textOnly collapses runs to single spaces,
+    // so interior empties can't occur; a leading empty occurs iff the
+    // string starts with a blank. Mirror by trimming the right side.
+    split(regexp_replace(textOnly(c), " +$", ""), " ", -1)
+  }
+
+  /** Collapse 3+ blanks, drop thousands-commas between digits, strip
+    * tab/newline/CR/comma. Reference: Utils.shrinkString
+    * (Utils.scala:208-210) — same three Java regexes, same order. */
+  def shrinkString(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, "[\\p{Blank}]{3,}", " "),
+        "(?<=[\\d])(,)(?=[\\d])", ""),
+      "[\t\n\r,]", "")
+
+  /** Character n-grams following the reference's exact (quirky) loop:
+    * for i in 1 until len, emit substring(i, i+n) iff i+n < len — i.e.
+    * the first char is never a gram start and the final gram stops one
+    * short of the end. Count = max(0, len - n - 1).
+    * Reference: Utils.gramsByN (Utils.scala:40-52). */
+  def charGrams(c: Column, n: Int): Column =
+    when(length(c) >= n + 2,
+      transform(sequence(lit(2), length(c) - n), i => c.substr(i, lit(n))))
+      .otherwise(array().cast("array<string>"))
+
+  /** URL → host, `www.` stripped, failures → "www.failed.com".
+    * Reference: Utils.getDomain (Utils.scala:359-375). */
+  def getDomain(c: Column): Column = {
+    val fixed = when(c.startsWith("http:/") && !c.contains("http://"),
+        regexp_replace(c, "http:/", "http://"))
+      .when(!c.startsWith("http:/"), concat(lit("http://"), c))
+      .otherwise(c)
+    val host = parse_url(fixed, lit("HOST"))
+    val noWww = when(host.startsWith("www."), expr_substr(host, 5)).otherwise(host)
+    coalesce(noWww, lit("www.failed.com"))
+  }
+
+  private def expr_substr(c: Column, from: Int): Column =
+    c.substr(lit(from), length(c))
+
+  /** Locale-aware (en_US) leading-number parse: strip thousands commas,
+    * take the longest leading numeric prefix, null when unparseable.
+    * Reference: Utils.parseDouble (Utils.scala:123-129) via
+    * java.text.NumberFormat, which parses the leading valid portion. */
+  def parsePriceLocale(c: Column): Column = {
+    val lead = regexp_extract(trim(c), "^[+-]?[0-9][0-9,]*(\\.[0-9]+)?|^[+-]?\\.[0-9]+", 0)
+    when(lead === "", lit(null).cast("double"))
+      .otherwise(regexp_replace(lead, ",", "").cast("double"))
+  }
+
+  /** Price-decision status machine: choose between the ML model's price
+    * and the extraction pattern's price based on the conflict status.
+    * Reference: Utils.getPriceFromMsgMap (Utils.scala:408-432). */
+  def decidePrice(status: Column, updatedPrice: Column, modelPrice: Column): Column =
+    when(status.isin("modeledPatternEquals", "minorModelPatternConflict", "patternFailed"), modelPrice)
+      .when(status.isin("majorModelPatternConflict", "missingModel", "allFalseCandids"), updatedPrice)
+      .when(status === "bothFailed", lit(0.0))
+      .otherwise(lit(null).cast("double"))
+}

@@ -20,16 +20,17 @@ object Text {
   def textNum(c: Column): Column =
     regexp_replace(c, "[^0-9A-Za-z]+", " ")
 
-  /** Tokenize on single spaces after textOnly; keeps empty edge tokens
-    * exactly like `String.split(" ")` does NOT — Java split drops
-    * trailing empties, so we mirror that with a -1 limit plus trailing
-    * trim semantics. Reference: Utils.tokenazer (Utils.scala:57-59). */
+  /** Tokenize on single spaces after textOnly, mirroring Java
+    * `String.split(" ")` exactly: trailing empty tokens dropped, leading
+    * empty kept, `"".split(" ")` → `[""]`, `" ".split(" ")` → `[]`.
+    * textOnly collapses runs to single spaces, so interior empties can't
+    * occur. Reference: Utils.tokenazer (Utils.scala:57-59). */
   def tokenize(c: Column): Column = {
-    // Java's s.split(" ") drops *trailing* empty strings but keeps
-    // leading/interior ones. textOnly collapses runs to single spaces,
-    // so interior empties can't occur; a leading empty occurs iff the
-    // string starts with a blank. Mirror by trimming the right side.
-    split(regexp_replace(textOnly(c), " +$", ""), " ", -1)
+    val t = textOnly(c)
+    val r = regexp_replace(t, " $", "") // at most one trailing space
+    when(c === "", array(lit("")))
+      .when(r === "", array().cast("array<string>"))
+      .otherwise(split(r, " ", -1))
   }
 
   /** Collapse 3+ blanks, drop thousands-commas between digits, strip
@@ -72,7 +73,9 @@ object Text {
     * Reference: Utils.parseDouble (Utils.scala:123-129) via
     * java.text.NumberFormat, which parses the leading valid portion. */
   def parsePriceLocale(c: Column): Column = {
-    val lead = regexp_extract(trim(c), "^[+-]?[0-9][0-9,]*(\\.[0-9]+)?|^[+-]?\\.[0-9]+", 0)
+    // No trim and no '+' alternative: NumberFormat en_US rejects " 5"
+    // and "+5" (parse starts at index 0, '+' is not a number prefix).
+    val lead = regexp_extract(c, "^-?[0-9][0-9,]*(\\.[0-9]+)?|^-?\\.[0-9]+", 0)
     when(lead === "", lit(null).cast("double"))
       .otherwise(regexp_replace(lead, ",", "").cast("double"))
   }

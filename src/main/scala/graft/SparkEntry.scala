@@ -1,13 +1,42 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  *
+  * Every implemented operator is registered twice: a DataFrame builder in
+  * `queries` and (where SQL-expressible) a DuckDB-equivalent oracle in
+  * `oracleSql`. Column aliases match exactly between both sides — the
+  * driver sorts columns by name before hashing values.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Revenue-per-brand over a broadcast dim join (SURVEY §7 "enriched
+    * price summary"). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    operators.Analytics.joinEnrich(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    operators.Analytics.queries ++
+      operators.TextQueries.queries ++
+      operators.Extraction.queries ++
+      operators.Dedup.queries ++
+      operators.Similarity.queries ++
+      operators.TextAnalysis.queries ++
+      operators.Multimodal.queries ++
+      ml.MLQueries.queries ++
+      streaming.StreamingQueries.queries
+
+  /** DuckDB-runnable oracle SQL per query key (same column aliases).
+    * Keys absent here get the driver's weaker rows-only check. */
+  def oracleSql: Map[String, String] =
+    operators.Analytics.oracleSql ++
+      operators.TextQueries.oracleSql ++
+      operators.Extraction.oracleSql ++
+      operators.Dedup.oracleSql ++
+      operators.Similarity.oracleSql ++
+      operators.TextAnalysis.oracleSql ++
+      ml.MLQueries.oracleSql
 }

@@ -29,7 +29,9 @@ object Analytics {
       .agg(
         sum(col("l_quantity").cast(M)).cast("double").as("sum_qty"),
         sum(col("l_extendedprice").cast(M)).cast("double").as("sum_base_price"),
-        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(M)).cast("double").as("sum_disc_price"),
+        // exact integer-cents sum: floor(x*100+0.5) is IEEE-deterministic in
+        // both Spark and DuckDB, and the bigint sum is order-independent
+        (sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100.0 + 0.5).cast("long")) / 100.0).as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -41,7 +43,7 @@ object Analytics {
     li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
       .groupBy("p_brand")
       .agg(
-        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(M)).cast("double").as("revenue"),
+        (sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100.0 + 0.5).cast("long")) / 100.0).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy("p_brand")
   }
@@ -158,25 +160,44 @@ object Analytics {
       .orderBy("l_suppkey", "l_partkey")
   }
 
-  /** Confusion matrix + sensitivity/specificity/precision per group over a
-    * deterministic synthetic label/prediction pair.
+  /** Confusion matrix + sensitivity/specificity/precision + per-URL
+    * upper/lower bounds per group, over a deterministic synthetic
+    * label/prediction pair (url analog = l_orderkey).
     * Reference: Transformer.scala:306-320 (evaluateModel) — the RDD
-    * filter+count-per-metric (4 jobs) becomes one single-pass aggregate. */
+    * filter+count-per-metric (4 jobs + a groupBy-per-bound) becomes two
+    * single-pass aggregates joined on the (tiny) group key:
+    *  - upper_bound = frac of urls with ≥1 (label=1 ∧ pred=1)
+    *  - lower_bound = frac of urls with ≥1 tp and no (label=0 ∧ pred=1)
+    *    (Transformer.scala:316-317). */
   def evalMetrics(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
-      .withColumn("label", (col("l_quantity") > 25.0).cast("int"))
-      .withColumn("pred", (col("l_discount") > 0.05).cast("int"))
-    li.groupBy("l_returnflag")
+      .select(
+        col("l_returnflag"), col("l_orderkey"),
+        (col("l_quantity") > 25.0).cast("int").as("label"),
+        (col("l_discount") > 0.05).cast("int").as("pred"))
+    val cm = li.groupBy("l_returnflag")
       .agg(
         sum(when(col("label") === 1 && col("pred") === 1, 1).otherwise(0)).as("tp"),
         sum(when(col("label") === 0 && col("pred") === 0, 1).otherwise(0)).as("tn"),
         sum(when(col("label") === 0 && col("pred") === 1, 1).otherwise(0)).as("fp"),
         sum(when(col("label") === 1 && col("pred") === 0, 1).otherwise(0)).as("fn"))
+    val urls = li.groupBy("l_returnflag", "l_orderkey")
+      .agg(
+        max(when(col("label") === 1 && col("pred") === 1, 1).otherwise(0)).as("has_tp"),
+        max(when(col("label") === 0 && col("pred") === 1, 1).otherwise(0)).as("has_fp"))
+    val bounds = urls.groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_urls"),
+        sum(col("has_tp")).as("n_ub"),
+        sum(when(col("has_tp") === 1 && col("has_fp") === 0, 1).otherwise(0)).as("n_lb"))
+    cm.join(broadcast(bounds), Seq("l_returnflag"))
       .select(
         col("l_returnflag"), col("tp"), col("tn"), col("fp"), col("fn"),
         round(col("tp") / (col("tp") + col("fn")), 6).as("sensitivity"),
         round(col("tn") / (col("fp") + col("tn")), 6).as("specificity"),
-        round(col("tp") / (col("tp") + col("fp")), 6).as("precision_"))
+        round(col("tp") / (col("tp") + col("fp")), 6).as("precision_"),
+        round(col("n_ub") / col("n_urls"), 6).as("upper_bound"),
+        round(col("n_lb") / col("n_urls"), 6).as("lower_bound"))
       .orderBy("l_returnflag")
   }
 
@@ -191,4 +212,138 @@ object Analytics {
       .agg(count(lit(1)).as("freq"), countDistinct("l_orderkey").as("n_orders"))
       .filter(col("freq") >= minFreq)
       .orderBy(col("freq").desc, col("l_partkey").asc)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg(_, _)),
+    "q_join_enrich" -> (joinEnrich(_, _)),
+    "q_price_stats" -> (priceStats(_, _)),
+    "q_top_candidate" -> (topCandidate(_, _)),
+    "q_price_deltas" -> (priceDeltas(_, _)),
+    "q_hotspots" -> (hotspots(_, _)),
+    "q_dom_analysis" -> (domAnalysis(_, _)),
+    "q_eval_metrics" -> (evalMetrics(_, _)),
+    "q_seed_freq" -> (seedFreq(_, _)))
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) / 100.0 AS sum_disc_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_join_enrich" ->
+      """SELECT p_brand,
+        |  SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) / 100.0 AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
+    "q_price_stats" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  MIN(value) AS min_value, MAX(value) AS max_value,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value,
+        |  ROUND(SQRT((CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE)
+        |    - CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) * CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+        |    / (COUNT(*) - 1)), 6) AS stdev_value
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q_top_candidate" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice FROM (
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice,
+        |    ROW_NUMBER() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rn
+        |  FROM lineitem) t
+        |WHERE rn = 1
+        |ORDER BY l_orderkey""".stripMargin,
+    "q_price_deltas" ->
+      """SELECT o_custkey, last_price, prev_price,
+        |  CASE WHEN prev_price IS NULL THEN 0.0 ELSE last_price - prev_price END AS delta,
+        |  CASE WHEN prev_price IS NULL OR prev_price = 0.0 THEN 0.0
+        |    ELSE ROUND((last_price - prev_price) / prev_price * 100.0, 6) END AS relative_change
+        |FROM (
+        |  SELECT o_custkey, o_totalprice AS last_price,
+        |    LEAD(o_totalprice, 1) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS prev_price,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders) t
+        |WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin,
+    "q_hotspots" ->
+      """WITH base AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    LAG(o_totalprice) OVER (PARTITION BY o_custkey, o_orderpriority
+        |      ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev
+        |  FROM orders),
+        |changes AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    ROUND((o_totalprice - prev) / prev * 100.0, 6) AS rel_change
+        |  FROM base WHERE prev IS NOT NULL AND prev <> 0.0),
+        |ranked AS (
+        |  SELECT o_custkey, o_orderkey, rel_change,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY rel_change DESC, o_orderkey ASC) AS rn_max,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY rel_change ASC, o_orderkey ASC) AS rn_min
+        |  FROM changes)
+        |SELECT o_custkey,
+        |  MAX(CASE WHEN rn_max = 1 THEN rel_change END) AS max_increase,
+        |  MAX(CASE WHEN rn_max = 1 THEN o_orderkey END) AS max_increase_order,
+        |  MIN(CASE WHEN rn_min = 1 THEN rel_change END) AS max_decrease,
+        |  MAX(CASE WHEN rn_min = 1 THEN o_orderkey END) AS max_decrease_order
+        |FROM ranked WHERE rn_max = 1 OR rn_min = 1
+        |GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin,
+    "q_dom_analysis" ->
+      """WITH domprod AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |hotparts AS (
+        |  SELECT l_partkey, COUNT(DISTINCT l_suppkey) AS n_domains
+        |  FROM domprod GROUP BY l_partkey HAVING COUNT(DISTINCT l_suppkey) >= 4),
+        |hotpairs AS (
+        |  SELECT d.l_suppkey, d.l_partkey, h.n_domains
+        |  FROM domprod d JOIN hotparts h USING (l_partkey)),
+        |hotsupps AS (
+        |  SELECT l_suppkey FROM hotpairs
+        |  GROUP BY l_suppkey HAVING COUNT(DISTINCT l_partkey) >= 10)
+        |SELECT p.l_suppkey, p.l_partkey, p.n_domains
+        |FROM hotpairs p JOIN hotsupps USING (l_suppkey)
+        |ORDER BY l_suppkey, l_partkey""".stripMargin,
+    "q_eval_metrics" ->
+      """WITH rows_ AS (
+        |  SELECT l_returnflag, l_orderkey,
+        |    CASE WHEN l_quantity > 25.0 THEN 1 ELSE 0 END AS label,
+        |    CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END AS pred
+        |  FROM lineitem),
+        |cm AS (
+        |  SELECT l_returnflag,
+        |    SUM(CASE WHEN label = 1 AND pred = 1 THEN 1 ELSE 0 END) AS tp,
+        |    SUM(CASE WHEN label = 0 AND pred = 0 THEN 1 ELSE 0 END) AS tn,
+        |    SUM(CASE WHEN label = 0 AND pred = 1 THEN 1 ELSE 0 END) AS fp,
+        |    SUM(CASE WHEN label = 1 AND pred = 0 THEN 1 ELSE 0 END) AS fn
+        |  FROM rows_ GROUP BY l_returnflag),
+        |urls AS (
+        |  SELECT l_returnflag, l_orderkey,
+        |    MAX(CASE WHEN label = 1 AND pred = 1 THEN 1 ELSE 0 END) AS has_tp,
+        |    MAX(CASE WHEN label = 0 AND pred = 1 THEN 1 ELSE 0 END) AS has_fp
+        |  FROM rows_ GROUP BY l_returnflag, l_orderkey),
+        |ub AS (
+        |  SELECT l_returnflag, COUNT(*) AS n_urls, SUM(has_tp) AS n_ub,
+        |    SUM(CASE WHEN has_tp = 1 AND has_fp = 0 THEN 1 ELSE 0 END) AS n_lb
+        |  FROM urls GROUP BY l_returnflag)
+        |SELECT cm.l_returnflag, tp, tn, fp, fn,
+        |  ROUND(CAST(tp AS DOUBLE) / (tp + fn), 6) AS sensitivity,
+        |  ROUND(CAST(tn AS DOUBLE) / (fp + tn), 6) AS specificity,
+        |  ROUND(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision_,
+        |  ROUND(CAST(n_ub AS DOUBLE) / n_urls, 6) AS upper_bound,
+        |  ROUND(CAST(n_lb AS DOUBLE) / n_urls, 6) AS lower_bound
+        |FROM cm JOIN ub USING (l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
+    "q_seed_freq" ->
+      """SELECT l_partkey, COUNT(*) AS freq, COUNT(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem
+        |GROUP BY l_partkey HAVING COUNT(*) >= 20
+        |ORDER BY freq DESC, l_partkey ASC""".stripMargin)
 }

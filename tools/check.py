@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Local correctness harness mimicking the driver's DuckDB oracle compare.
+
+Usage: python3 tools/check.py <sfDir> <outDir> [query ...]
+
+Reads each parquet result written by graft.Verify under <outDir>/<name>,
+runs the matching SQL from <outDir>/oracle_sql.json in DuckDB with views
+over <sfDir>'s tables, sorts columns by name + rows by all columns, and
+compares cell-wise (exact for non-floats, atol=1e-9 for floats).
+"""
+import sys, json, os, math
+import duckdb
+import numpy as np
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(df):
+    df = df[sorted(df.columns)]
+    if len(df) and len(df.columns):
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sfdir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    results = sorted(d for d in os.listdir(outdir)
+                     if os.path.isdir(f"{outdir}/{d}"))
+    npass = nfail = 0
+    for name in results:
+        if only and name not in only:
+            continue
+        try:
+            got = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'").df()
+        except Exception as e:
+            print(f"FAIL {name}: cannot read result: {e}"); nfail += 1; continue
+        if name not in oracle:
+            status = "PASS(rows-only)" if len(got) > 0 else "FAIL(rows-only: 0 rows)"
+            if len(got) > 0: npass += 1
+            else: nfail += 1
+            print(f"{status} {name}: {len(got)} rows"); continue
+        try:
+            exp = con.sql(oracle[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}"); nfail += 1; continue
+        g, e = norm(got), norm(exp)
+        if list(g.columns) != list(e.columns):
+            print(f"FAIL {name}: columns {list(g.columns)} != {list(e.columns)}")
+            nfail += 1; continue
+        if len(g) != len(e):
+            print(f"FAIL {name}: rows {len(g)} != {len(e)}"); nfail += 1; continue
+        bad = []
+        for c in g.columns:
+            gv, ev = g[c].values, e[c].values
+            if np.issubdtype(g[c].dtype, np.floating) or np.issubdtype(e[c].dtype, np.floating):
+                gv = pd.to_numeric(g[c], errors="coerce").values.astype(float)
+                ev = pd.to_numeric(e[c], errors="coerce").values.astype(float)
+                neq = ~(np.isclose(gv, ev, rtol=0, atol=1e-9) | (np.isnan(gv) & np.isnan(ev)))
+            else:
+                neq = np.array([str(a) != str(b) for a, b in zip(gv, ev)])
+            if neq.any():
+                i = int(np.argmax(neq))
+                bad.append((c, int(neq.sum()), i, g[c].iloc[i], e[c].iloc[i]))
+        if bad:
+            print(f"FAIL {name}: {len(g)} rows; mismatched cols:")
+            for c, n, i, a, b in bad:
+                print(f"   {c}: {n} diffs, first@row{i}: got={a!r} exp={b!r}")
+            nfail += 1
+        else:
+            print(f"PASS {name}: {len(g)} rows"); npass += 1
+    print(f"== {npass} pass / {nfail} fail ==")
+    sys.exit(1 if nfail else 0)
+
+if __name__ == "__main__":
+    main()

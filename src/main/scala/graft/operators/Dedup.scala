@@ -1,6 +1,175 @@
 package graft.operators
-import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` (SURVEY §2 rows 22-25):
+  * exact content-hash, MinHash-LSH near-dup candidates, SimHash hamming
+  * buckets, and bucket-local n-gram Jaccard.
+  *
+  * Scale design (100 TB):
+  *  - Exact dedup is one hash-partitioned groupBy with map-side partial
+  *    aggregation — shuffle volume is one (hash, id) pair per row.
+  *  - MinHash signatures are computed map-side (pure per-row expressions,
+  *    no UDF), then the ONLY shuffle is on (band, signature) — candidate
+  *    generation is a bucket-local equi-join, never an O(n²) cross join.
+  *  - SimHash pairs likewise join on a hamming-prefix bucket key.
+  *  - Jaccard verification runs only inside small buckets; the gram sets
+  *    travel with the rows so verification needs no second scan.
+  *
+  * Hashing is md5-hex (string ordering) so every step is reproducible in
+  * DuckDB for the oracle compare; the SimHash variant uses xxhash64 for
+  * realistic 64-bit mixing and is covered by the rows-only check.
+  */
 object Dedup {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracleSql: Map[String, String] = Map()
+
+  /** q_dedup_exact: canonical doc per exact content hash. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+      .orderBy("keep_id")
+
+  /** Word k-shingles (k=3) of `text`, distinct. */
+  private def shingles(text: Column): Column = {
+    val toks = split(text, " ")
+    array_distinct(
+      when(size(toks) >= 3,
+        transform(sequence(lit(1), size(toks) - 2), i =>
+          concat_ws(" ",
+            element_at(toks, i),
+            element_at(toks, i + 1),
+            element_at(toks, i + 2))))
+        .otherwise(array(text)))
+  }
+
+  private val NumHashes = 8
+
+  /** MinHash signature: per seed s, min over shingles of md5(s|shingle)
+    * (hex-string min — total order identical in DuckDB). */
+  private def minhashSig(sh: Column): Column =
+    array((0 until NumHashes).map { s =>
+      array_min(transform(sh, x => md5(concat(lit(s.toString), lit("|"), x))))
+    }: _*)
+
+  /** q_dedup_minhash: near-dup candidate pairs via LSH banding with
+    * b=8 bands of r=1 row — P(candidate) = 1-(1-J)^8, tuned for recall
+    * on short docs. Shuffle is on (band, minhash): ∝ docs × bands, never
+    * all-pairs. */
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val sig = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(minhashSig(shingles(col("text")))).as(Seq("band", "mh")))
+    val a = sig.as("a")
+    val b = sig.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.mh") === col("b.mh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_bands"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** q_dedup_simhash: 64-bit SimHash per doc (xxhash64 token hashes,
+    * per-bit majority vote), bucketed by the top hamming-prefix nibble;
+    * per-doc count of in-bucket mates within hamming ≤ 16.
+    * Rows-only oracle (xxhash64 is Spark-specific). */
+  def dedupSimhash(spark: SparkSession, dir: String, prefixBits: Int = 4, maxHamming: Int = 16): DataFrame = {
+    // distributed per-bit majority vote: explode distinct tokens, hash
+    // once, then 64 partial-aggregable sums — one shuffle on doc_id
+    val tokRows = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val voteCols = (0 until 64).map { j =>
+      sum((shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1).cast("int")).as(s"v$j")
+    }
+    val votes = tokRows.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+    // simhash long: bit j set iff votes[j] > 0 (bit 63 may set the sign)
+    val sim = (0 until 64).map { j =>
+      when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val docs = votes
+      .select(col("doc_id"), sim.as("simhash"))
+      .withColumn("bucket", shiftright(col("simhash"), 64 - prefixBits).bitwiseAND(lit((1L << prefixBits) - 1)))
+    val a = docs.as("a")
+    val b = docs.as("b")
+    val mates = a.join(b,
+        col("a.bucket") === col("b.bucket") && col("a.doc_id") =!= col("b.doc_id") &&
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= maxHamming)
+      .groupBy(col("a.doc_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_near"))
+    docs.join(mates, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("simhash"), col("bucket"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"))
+      .orderBy("doc_id")
+  }
+
+  /** q_ngram_jaccard: exact Jaccard over distinct word-3-gram sets for
+    * bucket-local candidate pairs (bucket = (lang, len(text)/100)) — the
+    * verification stage that follows LSH candidate generation. The join
+    * is bucket-keyed: shuffle ∝ docs, compare work ∝ Σ bucket². */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        floor(length(col("text")) / 100).as("szb"),
+        shingles(col("text")).as("grams"))
+    val a = docs.as("a")
+    val b = docs.as("b")
+    a.join(b,
+        col("a.lang") === col("b.lang") && col("a.szb") === col("b.szb") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        size(col("a.grams")).cast("long").as("n_a"),
+        size(col("b.grams")).cast("long").as("n_b"),
+        size(array_intersect(col("a.grams"), col("b.grams"))).cast("long").as("n_inter"))
+      .withColumn("jaccard",
+        round(col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")), 6))
+      .orderBy("id_a", "id_b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> (dedupExact(_, _)),
+    "q_dedup_minhash" -> (dedupMinhash(_, _)),
+    "q_dedup_simhash" -> (dedupSimhash(_, _)),
+    "q_ngram_jaccard" -> (ngramJaccard(_, _)))
+
+  private val shingleSql: String =
+    """SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+      |    THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks) - 1)]
+      |    ELSE [text] END) AS grams
+      |  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+        |FROM documents
+        |GROUP BY md5(text)
+        |ORDER BY keep_id""".stripMargin,
+    "q_dedup_minhash" ->
+      s"""WITH sh AS ($shingleSql),
+         |sig AS (
+         |  SELECT doc_id, s.band,
+         |    list_aggregate([md5(CAST(s.band AS VARCHAR) || '|' || g) for g in grams], 'min') AS mh
+         |  FROM sh, UNNEST(range(0, ${NumHashes})) AS s(band))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_bands
+         |FROM sig a JOIN sig b
+         |  ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id
+         |GROUP BY a.doc_id, b.doc_id
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q_ngram_jaccard" ->
+      s"""WITH sh AS ($shingleSql),
+         |docs AS (
+         |  SELECT d.doc_id, d.lang, CAST(floor(len(d.text) / 100) AS BIGINT) AS szb, sh.grams
+         |  FROM documents d JOIN sh USING (doc_id))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(len(a.grams) AS BIGINT) AS n_a,
+         |  CAST(len(b.grams) AS BIGINT) AS n_b,
+         |  CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS n_inter,
+         |  ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+         |    / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 6) AS jaccard
+         |FROM docs a JOIN docs b
+         |  ON a.lang = b.lang AND a.szb = b.szb AND a.doc_id < b.doc_id
+         |ORDER BY id_a, id_b""".stripMargin)
 }

@@ -1,6 +1,198 @@
 package graft.operators
-import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-pipeline text-analysis operators over the `documents` table:
+  * language ID, quality scoring, token counting, rolling-hash
+  * fingerprinting (SURVEY §2 rows 28-31).
+  *
+  * All four are pure per-row column expressions — no shuffle at all
+  * until the (optional) final presentation sort, so they scale linearly:
+  * at 100 TB they are a single map-only pass fused into one
+  * whole-stage-codegen stage with the parquet scan.
+  *
+  * Determinism: hashing is md5-hex (string min/max, no numeric
+  * conversion), scores are rational arithmetic only (no exp/ln whose
+  * last-ulp behavior differs between libm implementations) — results are
+  * bit-reproducible in DuckDB for the oracle compare.
+  */
 object TextAnalysis {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracleSql: Map[String, String] = Map()
+
+  /** Occurrence count of literal `pat` in `c` via length difference. */
+  private def occ(c: Column, pat: String): Column =
+    (length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(pat), ""))) / pat.length
+
+  /** Fixed char-bigram profiles per language — a deterministic stand-in
+    * for trained n-gram frequency profiles (cf. Cavnar-Trenkle n-gram
+    * language categorization). */
+  private[operators] val profiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("ch", "ei", "en", "de", "er"),
+    "en" -> Seq("th", "he", "an", "er", "in"),
+    "es" -> Seq("de", "la", "os", "en", "ar"),
+    "fr" -> Seq("le", "es", "en", "re", "on"),
+    "zh" -> Seq("zh", "sh", "ng", "xi", "wo"))
+
+  /** q_lang_id: n-gram-heuristic language ID — per-language profile
+    * scores, argmax with alphabetical tie-break. Map-only. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val scored = profiles.foldLeft(docs) { case (df, (lang, grams)) =>
+      df.withColumn(s"s_$lang",
+        grams.map(g => occ(col("text"), g)).reduce(_ + _).cast("long"))
+    }
+    val best = greatest(profiles.map { case (l, _) => col(s"s_$l") }: _*)
+    val pred = profiles.foldRight(lit(null).cast("string")) {
+      case ((lang, _), acc) => when(col(s"s_$lang") === best, lit(lang)).otherwise(acc)
+    }
+    // foldRight builds zh-innermost, so the FIRST (alphabetical) match wins
+    scored
+      .select(
+        col("doc_id"), col("lang"),
+        pred.as("pred_lang"),
+        best.as("best_score"),
+        (col("lang") === pred).cast("int").as("is_match"))
+      .orderBy("doc_id")
+  }
+
+  /** q_quality_score: doc quality from length / stopword-ratio /
+    * mean-word-length signals; rational-arithmetic score. Map-only. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "and", "of", "to")
+    val toks = split(col("text"), " ")
+    val nTok = size(toks).cast("long")
+    val nStop = size(filter(toks, t => t.isin(stop.map(lit(_)): _*))).cast("long")
+    val nLetters = length(regexp_replace(col("text"), " ", "")).cast("long")
+    val stopRatio = round(nStop.cast("double") / nTok, 6)
+    val meanLen = round(nLetters.cast("double") / nTok, 6)
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_"),
+        nTok.as("n_tokens"),
+        nStop.as("n_stopwords"),
+        stopRatio.as("stop_ratio"),
+        meanLen.as("mean_word_len"),
+        round((nTok.cast("double") / (nTok + lit(20))) * (lit(1.0) - nStop.cast("double") / nTok), 6)
+          .as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** q_token_count: whitespace tokens + BPE-ish regex tokens (letter runs,
+    * digit runs, single other chars) + a chars/4 approximation. Map-only. */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
+          .cast("long").as("bpe_tokens"),
+        ceil(length(col("text")) / lit(4.0)).cast("long").as("approx_tokens"))
+      .orderBy("doc_id")
+
+  /** q_fingerprint: winnowing-lite document fingerprint — char 5-gram
+    * md5 hashes, per-window (w=4) minima, distinct set (cf. Schleimer,
+    * Wilkerson, Aiken: "Winnowing: Local Algorithms for Document
+    * Fingerprinting", SIGMOD'03). Map-only; the fingerprint set is
+    * summarized to scalars so the oracle compare is array-free. */
+  def fingerprint(spark: SparkSession, dir: String, k: Int = 5, w: Int = 4): DataFrame = {
+    val grams = transform(
+      sequence(lit(1), length(col("text")) - (k - 1)),
+      i => col("text").substr(i, lit(k)))
+    val hashes = transform(grams, g => substring(md5(g), 1, 8))
+    val mins = transform(
+      sequence(lit(1), size(col("hashes")) - (w - 1)),
+      j => array_min(slice(col("hashes"), j, lit(w))))
+    val fps = array_distinct(mins)
+    Tables.documents(spark, dir)
+      .filter(length(col("text")) >= k + w - 1)
+      .withColumn("hashes", hashes)
+      .select(
+        col("doc_id"),
+        size(col("hashes")).cast("long").as("n_grams"),
+        size(fps).cast("long").as("n_fp"),
+        array_min(fps).as("fp_min"),
+        array_max(fps).as("fp_max"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lang_id" -> (langId(_, _)),
+    "q_quality_score" -> (qualityScore(_, _)),
+    "q_token_count" -> (tokenCount(_, _)),
+    "q_fingerprint" -> (fingerprint(_, _)))
+
+  private val profileSql: String = profiles.map { case (lang, grams) =>
+    val sum = grams
+      .map(g => s"(len(text) - len(regexp_replace(text, '$g', '', 'g'))) / 2")
+      .mkString(" + ")
+    s"CAST($sum AS BIGINT) AS s_$lang"
+  }.mkString(",\n    ")
+
+  val oracleSql: Map[String, String] = Map(
+    "q_lang_id" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang,
+         |    $profileSql
+         |  FROM documents),
+         |best AS (
+         |  SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS best_score FROM scored)
+         |SELECT doc_id, lang,
+         |  CASE WHEN s_de = best_score THEN 'de'
+         |       WHEN s_en = best_score THEN 'en'
+         |       WHEN s_es = best_score THEN 'es'
+         |       WHEN s_fr = best_score THEN 'fr'
+         |       ELSE 'zh' END AS pred_lang,
+         |  best_score,
+         |  CASE WHEN lang = (CASE WHEN s_de = best_score THEN 'de'
+         |       WHEN s_en = best_score THEN 'en'
+         |       WHEN s_es = best_score THEN 'es'
+         |       WHEN s_fr = best_score THEN 'fr'
+         |       ELSE 'zh' END) THEN 1 ELSE 0 END AS is_match
+         |FROM best
+         |ORDER BY doc_id""".stripMargin,
+    "q_quality_score" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(text) AS BIGINT) AS n_chars_,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> x = 'the' OR x = 'a' OR x = 'and' OR x = 'of' OR x = 'to')) AS BIGINT) AS n_stopwords,
+        |    CAST(len(replace(text, ' ', '')) AS BIGINT) AS n_letters
+        |  FROM documents)
+        |SELECT doc_id, n_chars_, n_tokens, n_stopwords,
+        |  ROUND(CAST(n_stopwords AS DOUBLE) / n_tokens, 6) AS stop_ratio,
+        |  ROUND(CAST(n_letters AS DOUBLE) / n_tokens, 6) AS mean_word_len,
+        |  ROUND((CAST(n_tokens AS DOUBLE) / (n_tokens + 20))
+        |    * (1.0 - CAST(n_stopwords AS DOUBLE) / n_tokens), 6) AS quality
+        |FROM t
+        |ORDER BY doc_id""".stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS bpe_tokens,
+        |  CAST(ceil(len(text) / 4.0) AS BIGINT) AS approx_tokens
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      """WITH g AS (
+        |  SELECT doc_id, i,
+        |    substr(md5(substr(text, CAST(i AS INT), 5)), 1, 8) AS h
+        |  FROM documents, UNNEST(range(1, len(text) - 3)) AS t(i)
+        |  WHERE len(text) >= 8),
+        |n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM g GROUP BY doc_id),
+        |wins AS (
+        |  SELECT a.doc_id, a.i AS win, MIN(b.h) AS minh
+        |  FROM g a
+        |  JOIN n ON a.doc_id = n.doc_id AND a.i + 3 <= n.n_grams
+        |  JOIN g b ON a.doc_id = b.doc_id AND b.i BETWEEN a.i AND a.i + 3
+        |  GROUP BY a.doc_id, a.i),
+        |fp AS (SELECT doc_id, minh FROM wins GROUP BY doc_id, minh)
+        |SELECT doc_id, n_grams,
+        |  CAST(COUNT(*) AS BIGINT) AS n_fp,
+        |  MIN(minh) AS fp_min, MAX(minh) AS fp_max
+        |FROM fp JOIN n USING (doc_id)
+        |GROUP BY doc_id, n_grams
+        |ORDER BY doc_id""".stripMargin)
 }

@@ -1,6 +1,174 @@
 package graft.ml
+
+import graft.sources.Tables
+import org.apache.spark.ml.classification.{GBTClassifier, LinearSVC, RandomForestClassifier}
+import org.apache.spark.ml.feature.{PCA, VectorAssembler}
+import org.apache.spark.ml.functions.vector_to_array
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ML pipeline queries (SURVEY §2 rows 19-21), re-expressing the
+  * reference's MLlib RDD pipelines as Spark ML + DataFrame plans.
+  *
+  * q_tfidf_topk mirrors the reference's mean-TFIDF feature selection
+  * (um/re/transform/Transformer.scala:30-43 getTopTFIDFIndices /
+  * projectByIndices) at the term level — exact tf/df aggregation
+  * instead of HashingTF buckets, so the DuckDB oracle can recompute it
+  * value-for-value. Two shuffles (doc×term, then term), both with
+  * map-side partial aggregation; the final top-k ranks ~|vocab| rows.
+  *
+  * q_gbt_train_eval follows um/re/domain/models/
+  * GBTDomainSuperParSelectCandid.scala: per-domain GBT, URL-grouped
+  * 70/30 split, per-URL argmax-confidence candidate selection, and the
+  * evaluateModel confusion metrics. Domains are bounded (reference
+  * trains one model per web domain), so the driver loops over domains
+  * while each fit/score runs distributed; at 100 TB the per-domain
+  * training sample is capped by a deterministic key-mod filter.
+  *
+  * q_model_zoo covers the remaining model families (RandomForest,
+  * LinearSVC, PCA) as um/re/models/{RandomForestFeature,SVM,PCA2GBT}.
+  */
 object MLQueries {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracleSql: Map[String, String] = Map()
+
+  private val TopK = 20
+
+  /** q_tfidf_topk: top-k terms by corpus-mean TF-IDF. */
+  def tfidfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val n = docs.count() // one tiny job; N is a plan-time scalar
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val byTerm = tf.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("tf").as("sum_tf"))
+      .withColumn("idf", log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0)
+      .withColumn("mean_tfidf", col("idf") * col("sum_tf") / lit(n.toDouble))
+    // global rank over ~|vocab| aggregated rows — not over raw data
+    val w = Window.orderBy(col("mean_tfidf").desc, col("term").asc)
+    byTerm
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("rank"), col("term"), col("df"), col("sum_tf"),
+        round(col("idf"), 6).as("idf"),
+        round(col("mean_tfidf"), 6).as("mean_tfidf"))
+      .orderBy("rank")
+  }
+
+  private def featurized(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      // deterministic ~5% sample cap that preserves all orderkey residues
+      // (a plain key-mod cap would bias the later %10 train/test split)
+      .filter(pmod(xxhash64(col("l_orderkey")), lit(20)) === 0)
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_linestatus").as("domain"),
+        col("l_quantity"), col("l_discount"), col("l_tax"),
+        (col("l_extendedprice") / 1000.0).as("price_k"),
+        (col("l_returnflag") === "R").cast("double").as("label"))
+    new VectorAssembler()
+      .setInputCols(Array("l_quantity", "l_discount", "l_tax", "price_k"))
+      .setOutputCol("features")
+      .transform(li)
+  }
+
+  /** q_gbt_train_eval: per-domain GBT + per-URL argmax selection. */
+  def gbtTrainEval(spark: SparkSession, dir: String): DataFrame = {
+    val data = featurized(spark, dir).cache()
+    try {
+      val domains = data.select("domain").distinct().collect().map(_.getString(0)).sorted
+      val perDomain = domains.map { dom =>
+        val d = data.filter(col("domain") === dom)
+        // URL-grouped split: whole orders go to train or test together
+        val train = d.filter(col("l_orderkey") % 10 < 7)
+        val test = d.filter(col("l_orderkey") % 10 >= 7)
+        val model = new GBTClassifier()
+          .setMaxIter(5).setMaxDepth(3).setSeed(42L)
+          .setLabelCol("label").setFeaturesCol("features")
+          .fit(train)
+        val scored = model.transform(test)
+          .select(col("l_orderkey"), col("label"),
+            col("prediction"),
+            element_at(vector_to_array(col("probability")), 2).as("confidence"))
+        // per-URL argmax-confidence candidate (Transformer.scala:322-337)
+        val w = Window.partitionBy("l_orderkey")
+          .orderBy(col("confidence").desc, col("label").desc)
+        val top = scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        val agg = scored.agg(
+          sum(when(col("label") === 1.0 && col("prediction") === 1.0, 1).otherwise(0)).as("tp"),
+          sum(when(col("label") === 0.0 && col("prediction") === 0.0, 1).otherwise(0)).as("tn"),
+          sum(when(col("label") === 0.0 && col("prediction") === 1.0, 1).otherwise(0)).as("fp"),
+          sum(when(col("label") === 1.0 && col("prediction") === 0.0, 1).otherwise(0)).as("fn"))
+          .collect()(0)
+        val nUrls = top.count()
+        val hits = top.filter(col("label") === 1.0).count()
+        (dom, train.count(), test.count(), agg.getLong(0), agg.getLong(1),
+          agg.getLong(2), agg.getLong(3), nUrls, hits)
+      }
+      import spark.implicits._
+      perDomain.toSeq
+        .toDF("domain", "n_train", "n_test", "tp", "tn", "fp", "fn", "n_urls", "top_label_hits")
+        .withColumn("accuracy",
+          round((col("tp") + col("tn")) / (col("tp") + col("tn") + col("fp") + col("fn")), 6))
+        .orderBy("domain")
+    } finally data.unpersist()
+  }
+
+  /** q_model_zoo: RF / LinearSVC / PCA summary rows. */
+  def modelZoo(spark: SparkSession, dir: String): DataFrame = {
+    val data = featurized(spark, dir).cache()
+    try {
+      val train = data.filter(col("l_orderkey") % 10 < 7)
+      val test = data.filter(col("l_orderkey") % 10 >= 7)
+      def acc(scored: DataFrame): Double = {
+        val a = scored.agg(
+          sum(when(col("label") === col("prediction"), 1L).otherwise(0L)).as("ok"),
+          count(lit(1)).as("n")).collect()(0)
+        a.getLong(0).toDouble / a.getLong(1)
+      }
+      val rf = new RandomForestClassifier()
+        .setNumTrees(10).setMaxDepth(4).setSeed(42L)
+        .setLabelCol("label").setFeaturesCol("features")
+      val svc = new LinearSVC().setMaxIter(5).setRegParam(0.01)
+        .setLabelCol("label").setFeaturesCol("features")
+      val pca = new PCA().setK(2).setInputCol("features").setOutputCol("pca")
+      val pcaModel = pca.fit(train)
+      val rows = Seq(
+        ("random_forest", acc(rf.fit(train).transform(test))),
+        ("linear_svc", acc(svc.fit(train).transform(test))),
+        ("pca_var_top2", pcaModel.explainedVariance.toArray.take(2).sum))
+      import spark.implicits._
+      rows.toDF("model", "metric")
+        .withColumn("metric", round(col("metric"), 6))
+        .withColumn("n_train", lit(train.count()))
+        .withColumn("n_test", lit(test.count()))
+        .orderBy("model")
+    } finally data.unpersist()
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tfidf_topk" -> (tfidfTopK(_, _)),
+    "q_gbt_train_eval" -> (gbtTrainEval(_, _)),
+    "q_model_zoo" -> (modelZoo(_, _)))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_tfidf_topk" ->
+      s"""WITH n AS (SELECT COUNT(*) AS n FROM documents),
+         |tf AS (
+         |  SELECT doc_id, term, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+         |  GROUP BY doc_id, term),
+         |byterm AS (
+         |  SELECT term, COUNT(*) AS df, SUM(tf) AS sum_tf FROM tf GROUP BY term),
+         |scored AS (
+         |  SELECT term, df, sum_tf,
+         |    ln((n.n + 1.0) / (df + 1.0)) + 1.0 AS idf,
+         |    (ln((n.n + 1.0) / (df + 1.0)) + 1.0) * sum_tf / n.n AS mean_tfidf
+         |  FROM byterm, n),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (ORDER BY mean_tfidf DESC, term ASC) AS rank
+         |  FROM scored)
+         |SELECT rank, term, df, sum_tf,
+         |  ROUND(idf, 6) AS idf, ROUND(mean_tfidf, 6) AS mean_tfidf
+         |FROM ranked WHERE rank <= $TopK
+         |ORDER BY rank""".stripMargin)
 }

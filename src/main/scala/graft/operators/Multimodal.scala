@@ -1,6 +1,81 @@
 package graft.operators
+
+import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (SURVEY §2 row 32): treat media as an
+  * opaque `binary` payload plus a typed metadata struct, and run the
+  * decode / feature-extract stage as a typed per-partition batch over
+  * the binary column — the exact shape a real image/audio pipeline
+  * uses, with the decoder STUBBED to a deterministic byte-level fake
+  * (no media libs in this environment; see `FakeDecoder`).
+  *
+  * Scale notes: payloads ride the scan as binary (no base64 blowup);
+  * the decode stage is `mapPartitions` over a repartition-by-format so
+  * one partition holds one codec's work (decoder init amortized per
+  * partition, the real-world reason for partition-level decode); output
+  * is a flat struct+array schema that writes back to parquet.
+  */
 object Multimodal {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+
+  /** One decoded media row — the typed boundary of the decode stage. */
+  case class MediaFeature(
+      doc_id: Long, format: String, width: Int, height: Int,
+      byte_len: Int, checksum: Long, features: Array[Float])
+
+  /** Deterministic stand-in for an image/audio decoder: real decode
+    * would parse `payload` with a codec; the stub derives a checksum
+    * and a 4-dim "embedding" from raw bytes so the pipeline stays
+    * testable end-to-end. */
+  object FakeDecoder {
+    def decode(docId: Long, format: String, width: Int, height: Int,
+        payload: Array[Byte]): MediaFeature = {
+      var sum = 0L
+      var i = 0
+      val n = math.min(payload.length, 64)
+      while (i < n) { sum = sum * 31 + (payload(i) & 0xff); i += 1 }
+      val f = new Array[Float](4)
+      var j = 0
+      while (j < 4) {
+        f(j) = ((sum >>> (j * 16)) & 0xffff).toFloat / 65535.0f
+        j += 1
+      }
+      MediaFeature(docId, format, width, height, payload.length, sum, f)
+    }
+  }
+
+  /** q_multimodal_meta: binary payload + metadata → per-partition decode
+    * → flat feature schema. Rows-only oracle (binary plumbing). */
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        // payload: the doc text as utf-8 bytes stands in for media bytes
+        encode(col("text"), "UTF-8").as("payload"),
+        struct(
+          element_at(array(lit("png"), lit("jpeg"), lit("wav")),
+            (col("doc_id") % 3 + 1).cast("int")).as("format"),
+          (col("n_chars") % 640).cast("int").as("width"),
+          ((col("doc_id") * 7) % 480).cast("int").as("height")).as("meta"))
+    val decoded = media
+      .repartition(col("meta.format")) // codec-local partitions
+      .select(col("doc_id"), col("meta.format").as("format"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        col("payload"))
+      .as[(Long, String, Int, Int, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition decoder init happens here in a real pipeline
+        it.map { case (id, fmt, w, h, bytes) =>
+          FakeDecoder.decode(id, fmt, w, h, bytes)
+        }
+      }
+    decoded.toDF().orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_meta" -> (multimodalMeta(_, _)))
+
   val oracleSql: Map[String, String] = Map()
 }

@@ -1,5 +1,147 @@
 package graft.streaming
+
+import graft.functions.{PriceCandidates, Text}
+import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming re-expressions of the reference's DStreams
+  * pipelines (SURVEY §2 rows 33-35; reference um/re/streaming/
+  * Htmls2PredsPipe.scala, Push2Cassandra.scala, ProdMetrics analog).
+  *
+  * Each query drives a real `readStream → transform → writeStream`
+  * pipeline synchronously over the testdata (file source + AvailableNow
+  * trigger + memory sink) and returns the sink table — so the driver's
+  * batch contract (Verify/Bench) exercises genuine streaming execution,
+  * and the same plans run unchanged against Kafka at scale (swap the
+  * source/sink, add a real trigger).
+  *
+  * Scale notes: the pipe stage is stateless per-record (extraction +
+  * decision fused into the stream's codegen stage); the windowed agg
+  * carries a watermark so state is bounded; the stateful query keys by
+  * user and keeps O(1) state per key.
+  */
+/** Per-user running state for the stateful last-price query. */
+case class PriceState(last: Double, changes: Long)
+
+/** Emitted summary row of the stateful last-price query. */
+case class UserUpdate(user_id: Long, last_value: Double,
+    n_events: Long, n_changes: Long)
+
 object StreamingQueries {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // TIMESTAMP(NANOS) read as long nanos
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the file source wants a directory; stage one holding a symlink to
+    // the single events file (a real deployment points at a Kafka topic
+    // or a landing directory instead)
+    val streamDir = new java.io.File(
+      s"/tmp/graft_stream_${Integer.toHexString(dir.hashCode)}")
+    streamDir.mkdirs()
+    val link = new java.io.File(streamDir, "events.parquet")
+    if (!link.exists()) {
+      java.nio.file.Files.createSymbolicLink(
+        link.toPath, java.nio.file.Paths.get(s"$dir/events.parquet"))
+    }
+    spark.readStream
+      .schema(eventsSchema)
+      .parquet(streamDir.getAbsolutePath)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
+
+  /** Run `df` through a memory sink synchronously; return the result. */
+  private def runToMemory(spark: SparkSession, df: DataFrame,
+      mode: OutputMode): DataFrame = {
+    val name = s"graft_sink_${System.nanoTime()}"
+    val q = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Row 33 — htmls→preds pipe: stream of synthetic pages → price-
+    * candidate extraction → best-candidate selection → price decision.
+    * The per-record stage mirrors Htmls2PredsPipe (parse → candidates →
+    * decide) with the broadcast-model score replaced by the decision
+    * status machine over the extracted vs expected price. */
+  def streamPipe(spark: SparkSession, dir: String): DataFrame = {
+    val pages = eventsStream(spark, dir)
+      .withColumn("html",
+        concat(lit("<div><span class=\"price\">$"),
+          format_number(col("value") + 100.0, 2),
+          lit("</span> item "), col("event_id"), lit(" view now</div>")))
+    val candidates = pages
+      .select(col("event_id"), col("user_id"), col("value"),
+        explode(org.apache.spark.sql.graft.ColumnBridge.column(
+          PriceCandidates(org.apache.spark.sql.graft.ColumnBridge.expression(col("html"))))).as("c"))
+      .filter(col("c.candidate").contains(".") || col("c.candidate").contains(","))
+      .withColumn("extracted", Text.parsePriceLocale(col("c.candidate")))
+      .filter(col("extracted").isNotNull)
+    val decided = candidates
+      .withColumn("status",
+        when(abs(col("extracted") - (col("value") + 100.0)) < 0.005, lit("modeledPatternEquals"))
+          .otherwise(lit("majorModelPatternConflict")))
+      .withColumn("decided_price",
+        Text.decidePrice(col("status"), col("value") + 100.0, col("extracted")))
+      .select("event_id", "user_id", "extracted", "status", "decided_price")
+    runToMemory(spark, decided, OutputMode.Append()).orderBy("event_id")
+  }
+
+  /** Row 34 — windowed event aggregation with watermark (bounded
+    * state), per (5-minute window × event_type). */
+  def streamWindow(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+    runToMemory(spark, agg, OutputMode.Append()).orderBy("win_start", "event_type")
+  }
+
+  /** Row 35 — stateful per-key last-price tracking via
+    * flatMapGroupsWithState: O(1) state per user, emits one summary row
+    * per user per trigger (ProdMetrics last-price analog). */
+  def streamStateful(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val updates = eventsStream(spark, dir)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (user: Long, rows: Iterator[(Long, Long, Double)], state: GroupState[PriceState]) => {
+          val sorted = rows.toSeq.sortBy(_._2) // deterministic event order
+          var st = state.getOption.getOrElse(PriceState(Double.NaN, 0L))
+          var n = 0L
+          sorted.foreach { case (_, _, v) =>
+            if (!st.last.isNaN && v != st.last) st = PriceState(v, st.changes + 1)
+            else st = PriceState(v, st.changes)
+            n += 1
+          }
+          state.update(st)
+          Iterator.single(UserUpdate(user, st.last, n, st.changes))
+        })
+    runToMemory(spark, updates.toDF(), OutputMode.Append()).orderBy("user_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_pipe" -> (streamPipe(_, _)),
+    "q_stream_window" -> (streamWindow(_, _)),
+    "q_stream_stateful" -> (streamStateful(_, _)))
+
+  val oracleSql: Map[String, String] = Map()
 }

@@ -44,7 +44,9 @@ object Dedup {
         .otherwise(array(text)))
   }
 
-  private val NumHashes = 8
+  private val NumHashes = 16
+  private val BandRows = 2 // r=2: P(band match) = J², kills the
+  // quadratic bucket blowup that r=1 suffers on high-overlap corpora
 
   /** MinHash signature: per seed s, min over shingles of md5(s|shingle)
     * (hex-string min — total order identical in DuckDB). */
@@ -54,12 +56,20 @@ object Dedup {
     }: _*)
 
   /** q_dedup_minhash: near-dup candidate pairs via LSH banding with
-    * b=8 bands of r=1 row — P(candidate) = 1-(1-J)^8, tuned for recall
-    * on short docs. Shuffle is on (band, minhash): ∝ docs × bands, never
-    * all-pairs. */
+    * b=8 bands of r=2 rows — P(candidate) = 1-(1-J²)^8, steep around
+    * J≈0.35. Shuffle is on (band, signature): ∝ docs × bands, never
+    * all-pairs; exact-Jaccard verification then runs per candidate
+    * pair only (q_ngram_jaccard). */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val bandSigs = array((0 until NumHashes / BandRows).map { b =>
+      concat_ws("|", (0 until BandRows).map(r =>
+        element_at(col("mhs"), b * BandRows + r + 1)): _*)
+    }: _*)
     val sig = Tables.documents(spark, dir)
-      .select(col("doc_id"), posexplode(minhashSig(shingles(col("text")))).as(Seq("band", "mh")))
+      // separate projection: the 16-hash signature is computed once per
+      // row (CollapseProject keeps multi-referenced non-cheap aliases)
+      .withColumn("mhs", minhashSig(shingles(col("text"))))
+      .select(col("doc_id"), posexplode(bandSigs).as(Seq("band", "mh")))
     val a = sig.as("a")
     val b = sig.as("b")
     a.join(b,
@@ -149,10 +159,14 @@ object Dedup {
         |ORDER BY keep_id""".stripMargin,
     "q_dedup_minhash" ->
       s"""WITH sh AS ($shingleSql),
+         |mh AS (
+         |  SELECT doc_id, s.seed,
+         |    list_aggregate([md5(CAST(s.seed AS VARCHAR) || '|' || g) for g in grams], 'min') AS h
+         |  FROM sh, UNNEST(range(0, ${NumHashes})) AS s(seed)),
          |sig AS (
-         |  SELECT doc_id, s.band,
-         |    list_aggregate([md5(CAST(s.band AS VARCHAR) || '|' || g) for g in grams], 'min') AS mh
-         |  FROM sh, UNNEST(range(0, ${NumHashes})) AS s(band))
+         |  SELECT doc_id, seed // ${BandRows} AS band,
+         |    string_agg(h, '|' ORDER BY seed) AS mh
+         |  FROM mh GROUP BY doc_id, seed // ${BandRows})
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_bands
          |FROM sig a JOIN sig b
          |  ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id

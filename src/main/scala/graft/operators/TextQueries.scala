@@ -59,7 +59,7 @@ object TextQueries {
   /** q_get_domain: URL → domain over four URL shapes (scheme'd, bare,
     * www-bare, broken single-slash scheme) + min-support frequency list.
     * Reference: Utils.scala:359-375 (getDomain), 344-357 (domainsList). */
-  def getDomain(spark: SparkSession, dir: String, minSupport: Int = 20): DataFrame = {
+  def getDomain(spark: SparkSession, dir: String, minSupport: Int = 3): DataFrame = {
     val base = concat(lit("shop"), (col("c_custkey") % 37).cast("string"), lit(".example.com"))
     val url = when(col("c_custkey") % 4 === 0,
         concat(lit("http://www."), base, lit("/p/"), col("c_custkey").cast("string")))
@@ -164,7 +164,7 @@ object TextQueries {
       """SELECT concat('shop', CAST(c_custkey % 37 AS VARCHAR), '.example.com') AS domain,
         |  COUNT(*) AS freq
         |FROM customer
-        |GROUP BY 1 HAVING COUNT(*) >= 20
+        |GROUP BY 1 HAVING COUNT(*) >= 3
         |ORDER BY domain""".stripMargin,
     "q_parse_price_locale" ->
       """WITH b AS (

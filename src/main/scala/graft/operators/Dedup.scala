@@ -47,35 +47,48 @@ object Dedup {
   private val NumHashes = 16
   private val BandRows = 2 // r=2: P(band match) = J², kills the
   // quadratic bucket blowup that r=1 suffers on high-overlap corpora
+  private val P = 2147483647L // 2^31-1; (a·h+b) stays < 2^37, no overflow
+  private def permA(i: Int): Long = 2L * i + 1
+  private def permB(i: Int): Long = 7919L * (i + 1)
 
-  /** MinHash signature: per seed s, min over shingles of md5(s|shingle)
-    * (hex-string min — total order identical in DuckDB). */
-  private def minhashSig(sh: Column): Column =
-    array((0 until NumHashes).map { s =>
-      array_min(transform(sh, x => md5(concat(lit(s.toString), lit("|"), x))))
-    }: _*)
-
-  /** q_dedup_minhash: near-dup candidate pairs via LSH banding with
-    * b=8 bands of r=2 rows — P(candidate) = 1-(1-J²)^8, steep around
-    * J≈0.35. Shuffle is on (band, signature): ∝ docs × bands, never
-    * all-pairs; exact-Jaccard verification then runs per candidate
-    * pair only (q_ngram_jaccard). */
+  /** q_dedup_minhash: near-dup candidate pairs via MinHash-LSH banding
+    * (b=8 bands of r=2 rows → P(candidate) = 1-(1-J²)^8, steep around
+    * J≈0.35).
+    *
+    * Scale shape: each shingle is md5'd ONCE (hex prefix → bigint), the
+    * 16 permutations are cheap modular arithmetic ((a·h+b) mod 2³¹-1),
+    * and the per-doc minima aggregate with map-side partial min inside
+    * whole-stage codegen — no higher-order functions in the heavy pass
+    * and no double evaluation (a naive self-join recomputes the full
+    * signature per side). Pairs are generated bucket-locally from
+    * collected id lists; a bucket is a near-dup cluster, so lists stay
+    * small by construction (an identical-content flood at 100 TB would
+    * be capped by slicing the hottest buckets before pairing). */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val bandSigs = array((0 until NumHashes / BandRows).map { b =>
-      concat_ws("|", (0 until BandRows).map(r =>
-        element_at(col("mhs"), b * BandRows + r + 1)): _*)
+    val g = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+      .withColumn("hm",
+        expr(s"cast(conv(substr(md5(sh), 1, 15), 16, 10) as bigint) % $P"))
+    val minCols = (0 until NumHashes).map { i =>
+      min((col("hm") * permA(i) + permB(i)) % P).as(s"mh$i")
+    }
+    val minh = g.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    val bandSig = array((0 until NumHashes / BandRows).map { b =>
+      struct(
+        lit(b).as("band"),
+        concat_ws("|", (0 until BandRows).map(r => col(s"mh${b * BandRows + r}")): _*).as("sig"))
     }: _*)
-    val sig = Tables.documents(spark, dir)
-      // separate projection: the 16-hash signature is computed once per
-      // row (CollapseProject keeps multi-referenced non-cheap aliases)
-      .withColumn("mhs", minhashSig(shingles(col("text"))))
-      .select(col("doc_id"), posexplode(bandSigs).as(Seq("band", "mh")))
-    val a = sig.as("a")
-    val b = sig.as("b")
-    a.join(b,
-        col("a.band") === col("b.band") && col("a.mh") === col("b.mh") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val sig = minh
+      .select(col("doc_id"), explode(bandSig).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("mh"))
+    val buckets = sig.groupBy("band", "mh")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    buckets
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids")) - i - 1),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("n_bands"))
       .orderBy("id_a", "id_b")
   }
@@ -159,14 +172,19 @@ object Dedup {
         |ORDER BY keep_id""".stripMargin,
     "q_dedup_minhash" ->
       s"""WITH sh AS ($shingleSql),
-         |mh AS (
-         |  SELECT doc_id, s.seed,
-         |    list_aggregate([md5(CAST(s.seed AS VARCHAR) || '|' || g) for g in grams], 'min') AS h
-         |  FROM sh, UNNEST(range(0, ${NumHashes})) AS s(seed)),
+         |g AS (
+         |  SELECT doc_id,
+         |    CAST(concat('0x', substr(md5(t.sh), 1, 15)) AS BIGINT) % ${P} AS hm
+         |  FROM sh, UNNEST(grams) AS t(sh)),
+         |minh AS (
+         |  SELECT doc_id,
+         |    ${(0 until NumHashes).map(i => s"MIN((hm * ${permA(i)} + ${permB(i)}) % ${P}) AS mh$i").mkString(",\n         |    ")}
+         |  FROM g GROUP BY doc_id),
          |sig AS (
-         |  SELECT doc_id, seed // ${BandRows} AS band,
-         |    string_agg(h, '|' ORDER BY seed) AS mh
-         |  FROM mh GROUP BY doc_id, seed // ${BandRows})
+         |  ${(0 until NumHashes / BandRows).map { b =>
+              val cols = (0 until BandRows).map(r => s"mh${b * BandRows + r}").mkString(", '|', ")
+              s"SELECT doc_id, $b AS band, concat($cols) AS mh FROM minh"
+            }.mkString("\n         |  UNION ALL ")})
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_bands
          |FROM sig a JOIN sig b
          |  ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id

@@ -1,0 +1,25 @@
+package graft
+
+import graft.functions.PriceCandidates
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension registering graft's custom Catalyst functions for
+  * SQL use:
+  *
+  *   SparkSession.builder().withExtensions(new GraftExtensions)
+  *   // or spark.sql.extensions=graft.GraftExtensions
+  *   spark.sql("SELECT price_candidates(html) FROM pages")
+  *
+  * `price_candidates` is the reference's HTML price scanner
+  * (um/re/utils/PriceParcer.scala:15-37) as a codegen'd expression —
+  * see functions/Extraction.scala.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("price_candidates"),
+      new ExpressionInfo(classOf[PriceCandidates].getName, "price_candidates"),
+      (children: Seq[Expression]) => PriceCandidates(children.head)))
+  }
+}

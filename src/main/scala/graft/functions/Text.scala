@@ -75,6 +75,9 @@ object Text {
   def parsePriceLocale(c: Column): Column = {
     // No trim and no '+' alternative: NumberFormat en_US rejects " 5"
     // and "+5" (parse starts at index 0, '+' is not a number prefix).
+    // Accepted divergences from NumberFormat (both return null here):
+    // ",5" (NumberFormat tolerates a leading grouping separator → 5.0)
+    // and "NaN" (NumberFormat parses the literal → Double.NaN).
     val lead = regexp_extract(c, "^-?[0-9][0-9,]*(\\.[0-9]+)?|^-?\\.[0-9]+", 0)
     when(lead === "", lit(null).cast("double"))
       .otherwise(regexp_replace(lead, ",", "").cast("double"))

@@ -88,7 +88,10 @@ object MLQueries {
         val scored = model.transform(test)
           .select(col("l_orderkey"), col("label"),
             col("prediction"),
-            element_at(vector_to_array(col("probability")), 2).as("confidence"))
+            // confidence = the boosting margin Σᵢ treeWeightᵢ·treePredᵢ
+            // (Transformer.scala confidenceGBT); Spark ML surfaces it as
+            // rawPrediction = [-margin, margin]
+            element_at(vector_to_array(col("rawPrediction")), 2).as("confidence"))
         // per-URL argmax-confidence candidate (Transformer.scala:322-337)
         val w = Window.partitionBy("l_orderkey")
           .orderBy(col("confidence").desc, col("label").desc)
@@ -132,10 +135,21 @@ object MLQueries {
         .setLabelCol("label").setFeaturesCol("features")
       val pca = new PCA().setK(2).setInputCol("features").setOutputCol("pca")
       val pcaModel = pca.fit(train)
+      // LDA over the document corpus (um/re/models/LDA.scala analog)
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val cv = new org.apache.spark.ml.feature.CountVectorizer()
+        .setInputCol("toks").setOutputCol("features").setVocabSize(64)
+        .fit(docs)
+      val corpus = cv.transform(docs).cache()
+      val lda = new org.apache.spark.ml.clustering.LDA()
+        .setK(3).setMaxIter(3).setSeed(42L)
+        .fit(corpus)
       val rows = Seq(
         ("random_forest", acc(rf.fit(train).transform(test))),
         ("linear_svc", acc(svc.fit(train).transform(test))),
-        ("pca_var_top2", pcaModel.explainedVariance.toArray.take(2).sum))
+        ("pca_var_top2", pcaModel.explainedVariance.toArray.take(2).sum),
+        ("lda_log_perplexity", lda.logPerplexity(corpus)))
       import spark.implicits._
       rows.toDF("model", "metric")
         .withColumn("metric", round(col("metric"), 6))

@@ -1,0 +1,112 @@
+package graft
+
+import graft.functions.Text
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** Differential fidelity tests: run the REFERENCE algorithms verbatim
+  * on the JVM (the same java.util.regex / NumberFormat / URI calls the
+  * reference makes — um/re/utils/Utils.scala) and compare against
+  * graft's Column implementations over randomized inputs in one batch
+  * Spark job per function. */
+class FidelitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new Random(42)
+  private val alphabet =
+    "abc XYZ 019,.\t\n$-€price Price PRICE http://www. shop.com/ ?=&"
+
+  private def randomStrings(n: Int, maxLen: Int): Seq[String] =
+    (0 until n).map { _ =>
+      val len = rnd.nextInt(maxLen)
+      (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+
+  private def runCol(inputs: Seq[String], c: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Seq[String] =
+    inputs.toDF("s").select(c(col("s")).cast("string").as("r"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
+
+  test("textOnly ≡ reference replaceAll chain") {
+    val ins = randomStrings(300, 60)
+    val ref = ins.map(_.replaceAll("[^A-Za-z]+", " "))
+    assert(runCol(ins, Text.textOnly) == ref)
+  }
+
+  test("tokenize ≡ reference textOnly+split(\" \")") {
+    val ins = randomStrings(300, 60)
+    val ref = ins.map(s =>
+      s.replaceAll("[^A-Za-z]+", " ").split(" ").mkString("≬"))
+    val got = runCol(ins, c => concat_ws("≬", Text.tokenize(c)))
+    assert(got == ref)
+  }
+
+  test("shrinkString ≡ reference replaceAll chain (Utils.scala:208-210)") {
+    val ins = randomStrings(400, 80)
+    val ref = ins.map(_
+      .replaceAll("[\\p{Blank}]{3,}", " ")
+      .replaceAll("(?<=[\\d])(,)(?=[\\d])", "")
+      .replaceAll("[\t\n\r,]", ""))
+    assert(runCol(ins, Text.shrinkString) == ref)
+  }
+
+  test("charGrams content ≡ reference gramsByN (which prepends → reversed)") {
+    // reference (Utils.scala:40-52): for i in 1 until len,
+    // if i+n < len: grams = substring(i, i+n) :: grams  (reversed order)
+    def refGrams(s: String, n: Int): List[String] = {
+      var grams = List.empty[String]
+      for (i <- 1 until s.length)
+        if (i + n < s.length) grams = s.substring(i, i + n) :: grams
+      grams
+    }
+    val ins = randomStrings(300, 40)
+    val got = runCol(ins, c => concat_ws("≬", Text.charGrams(c, 3)))
+    ins.zip(got).foreach { case (s, g) =>
+      val mine = if (g.isEmpty) Nil else g.split("≬").toList
+      assert(mine == refGrams(s, 3).reverse, s"input=$s")
+    }
+  }
+
+  test("parsePriceLocale ≡ reference NumberFormat (documented divergences excluded)") {
+    val ins = randomStrings(400, 20)
+      // documented divergences: leading grouping separator and NaN-ish
+      .filterNot(s => s.startsWith(",") || s.startsWith("-,") || s.contains("NaN"))
+    val fmt = java.text.NumberFormat.getNumberInstance(new java.util.Locale("en", "US"))
+    val ref = ins.map { s =>
+      try Some(fmt.parse(s).doubleValue()) catch { case _: Throwable => None }
+    }
+    val got = runCol(ins, Text.parsePriceLocale)
+    ins.zip(ref).zip(got).foreach { case ((s, r), g) =>
+      (r, Option(g)) match {
+        case (Some(d), Some(gs)) =>
+          assert(math.abs(d - gs.toDouble) < 1e-9, s"input=$s ref=$d got=$gs")
+        case (None, None) => ()
+        case other => fail(s"input='$s' ref/got mismatch: $other")
+      }
+    }
+  }
+
+  test("getDomain ≡ reference URI logic (Utils.scala:359-375)") {
+    def refDomain(input: String): String = {
+      var url = input
+      try {
+        if (url.startsWith("http:/")) {
+          if (!url.contains("http://")) url = url.replaceAll("http:/", "http://")
+        } else url = "http://" + url
+        val domain = new java.net.URI(url).getHost
+        if (domain.startsWith("www.")) domain.substring(4) else domain
+      } catch { case _: Exception => "www.failed.com" }
+    }
+    val ins = Seq(
+      "http://www.shop.example.com/p/1",
+      "www.shop.example.com/q",
+      "shop.example.com/item/2",
+      "http:/shop.example.com/y",
+      "HTTP://UPPER.example.com/x",
+      "http://sub.domain.example.com/a/b?q=1")
+    val got = runCol(ins, Text.getDomain)
+    ins.zip(got).foreach { case (s, g) =>
+      assert(g == refDomain(s), s"input=$s ref=${refDomain(s)} got=$g")
+    }
+  }
+}

@@ -58,30 +58,42 @@ object Similarity {
 
   private val Planes = 8
 
-  /** Deterministic Rademacher (±1) hyperplane p over dims 0..63, derived
-    * from xxhash64 — reproducible across runs and executors. */
-  private def planeSign(p: Int, i: Column): Column =
-    (xxhash64(concat(lit(s"plane$p/"), i.cast("string")))
-      .bitwiseAND(lit(1L)) * 2 - 1).cast("double")
+  /** Constant ±1 Rademacher hyperplanes (Planes × 64), derived from
+    * md5("plane<p>/<i>") first-byte parity at class-load time — fixed
+    * operator parameters shared verbatim with the oracle SQL (same
+    * role as the extraction HTML template). */
+  private[operators] val planeSigns: Array[Array[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(Planes, 64) { (p, i) =>
+      val h = md.digest(s"plane$p/$i".getBytes("UTF-8"))
+      if ((h(0) & 1) == 1) 1 else -1
+    }
+  }
 
-  /** Sign-projection bucket id: bit p = [v · r_p > 0]. */
+  /** Sign-projection bucket id: bit p = [v · r_p > 0]; the projection
+    * folds in pinned index order so buckets match DuckDB exactly. */
   private def lshBucket(v: Column): Column =
     (0 until Planes).map { p =>
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), lit(63)), (x, i) => x * planeSign(p, i)),
-        lit(0.0), _ + _)
+      val signs = array(planeSigns(p).map(s => lit(s.toDouble)): _*)
+      val proj = aggregate(zip_with(v, signs, _ * _), lit(0.0), _ + _)
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** Embeddings with norm + LSH bucket (shared by the ANN + dedup
+    * scale paths). */
+  private def bucketed(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .withColumn("bucket", lshBucket(col("v")))
 
   /** q_ann_lsh_cosine: bucketed approximate top-k — queries only score
     * candidates in their own sign-projection bucket, so the join is a
     * bucket-keyed equi-join (shuffle ∝ corpus, scoring ∝ bucket sizes).
-    * Recall < 1 by design; rows-only oracle. */
+    * Recall < 1 by design; value-checked against a DuckDB oracle that
+    * rebuilds the same buckets. */
   def annLshCosine(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-      .withColumn("bucket", lshBucket(col("v")))
+    val emb = bucketed(spark, dir)
     val q = emb.filter(isQuery(col("vec_id")))
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("bucket").as("qbucket"))
@@ -100,11 +112,83 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  private val DedupTau = 0.2
+
+  /** q_dedup_embedding: embedding-cosine near-duplicate pairs — the
+    * dedup-flavored use of the ANN machinery: bucket-local pairs with
+    * cosine ≥ τ. All-pairs work is confined to sign-projection buckets
+    * (the 100 TB shape: shuffle ∝ corpus, compare ∝ Σ bucket²). */
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val emb = bucketed(spark, dir)
+    val a = emb.select(col("vec_id").as("id_a"), col("v").as("va"),
+      col("nrm").as("na"), col("bucket"))
+    val b = emb.select(col("vec_id").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nb"), col("bucket").as("bucket_b"))
+    a.join(b, col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
+      .withColumn("cos_raw", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos_raw") >= DedupTau)
+      .select(col("id_a"), col("id_b"), round(col("cos_raw"), 6).as("cosine"))
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_cosine" -> (annCosine(_, _)),
-    "q_ann_lsh_cosine" -> (annLshCosine(_, _)))
+    "q_ann_lsh_cosine" -> (annLshCosine(_, _)),
+    "q_dedup_embedding" -> (dedupEmbedding(_, _)))
+
+  /** Shared oracle prelude: embeddings as double lists + norms + the
+    * same sign-projection buckets (planes embedded as literals). */
+  private val bucketSqlPrelude: String = {
+    val planeRows = planeSigns.zipWithIndex.map { case (signs, p) =>
+      s"SELECT $p AS p, [${signs.map(s => s"$s.0").mkString(", ")}] AS s"
+    }.mkString("\n  UNION ALL ")
+    s"""emb AS (
+       |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+       |  FROM embeddings),
+       |nrm AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_reduce([v[i] * v[i] for i in range(1, len(v) + 1)], (a, b) -> a + b)) AS nrm
+       |  FROM emb),
+       |planes AS (
+       |  $planeRows),
+       |proj AS (
+       |  SELECT vec_id, p,
+       |    list_reduce([v[i] * s[i] for i in range(1, len(v) + 1)], (a, b) -> a + b) AS proj
+       |  FROM nrm, planes),
+       |buck AS (
+       |  SELECT vec_id, SUM(CASE WHEN proj > 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS bucket
+       |  FROM proj GROUP BY vec_id),
+       |embb AS (
+       |  SELECT nrm.vec_id, v, nrm, bucket FROM nrm JOIN buck USING (vec_id))""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
+    "q_ann_lsh_cosine" ->
+      s"""WITH $bucketSqlPrelude,
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    list_reduce([q.v[i] * c.v[i] for i in range(1, len(q.v) + 1)], (a, b) -> a + b)
+         |      / (q.nrm * c.nrm) AS cos_raw
+         |  FROM embb q JOIN embb c
+         |    ON q.vec_id % 50 = 0 AND q.bucket = c.bucket AND c.vec_id <> q.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos_raw,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine, rank
+         |FROM ranked WHERE rank <= $K
+         |ORDER BY query_id, rank""".stripMargin,
+    "q_dedup_embedding" ->
+      s"""WITH $bucketSqlPrelude
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ROUND(list_reduce([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)], (x, y) -> x + y)
+         |    / (a.nrm * b.nrm), 6) AS cosine
+         |FROM embb a JOIN embb b
+         |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE list_reduce([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)], (x, y) -> x + y)
+         |    / (a.nrm * b.nrm) >= $DedupTau
+         |ORDER BY id_a, id_b""".stripMargin,
     "q_ann_cosine" ->
       s"""WITH emb AS (
          |  SELECT vec_id,

@@ -22,6 +22,7 @@ object Multimodal {
   /** One decoded media row — the typed boundary of the decode stage. */
   case class MediaFeature(
       doc_id: Long, format: String, width: Int, height: Int,
+      resized_w: Int, resized_h: Int, frame_offsets: Array[Int],
       byte_len: Int, checksum: Long, features: Array[Float])
 
   /** Deterministic stand-in for an image/audio decoder: real decode
@@ -29,6 +30,19 @@ object Multimodal {
     * and a 4-dim "embedding" from raw bytes so the pipeline stays
     * testable end-to-end. */
   object FakeDecoder {
+    /** Aspect-preserving fit into a 224×224 box (the resize stage a
+      * real image pipeline runs before feature extraction). */
+    def resize(w: Int, h: Int, box: Int = 224): (Int, Int) =
+      if (w <= 0 || h <= 0) (box, box)
+      else if (w >= h) (box, math.max(1, math.round(box.toFloat * h / w)))
+      else (math.max(1, math.round(box.toFloat * w / h)), box)
+
+    /** Uniform k-sample of "frame" byte offsets (the frame-sample stage
+      * of a video pipeline; here frames are byte positions). */
+    def sampleFrames(len: Int, k: Int = 4): Array[Int] =
+      if (len <= 0) Array.empty
+      else Array.tabulate(math.min(k, len))(j => (j.toLong * len / math.min(k, len)).toInt)
+
     def decode(docId: Long, format: String, width: Int, height: Int,
         payload: Array[Byte]): MediaFeature = {
       var sum = 0L
@@ -41,7 +55,9 @@ object Multimodal {
         f(j) = ((sum >>> (j * 16)) & 0xffff).toFloat / 65535.0f
         j += 1
       }
-      MediaFeature(docId, format, width, height, payload.length, sum, f)
+      val (rw, rh) = resize(width, height)
+      MediaFeature(docId, format, width, height, rw, rh,
+        sampleFrames(payload.length), payload.length, sum, f)
     }
   }
 

@@ -74,30 +74,43 @@ object StreamingQueries {
   }
 
   /** Row 33 — htmls→preds pipe: stream of synthetic pages → price-
-    * candidate extraction → best-candidate selection → price decision.
-    * The per-record stage mirrors Htmls2PredsPipe (parse → candidates →
-    * decide) with the broadcast-model score replaced by the decision
-    * status machine over the extracted vs expected price. */
+    * candidate extraction → broadcast per-domain "model" join → price
+    * decision, mirroring Htmls2PredsPipe's stages (Kafka parse →
+    * candidates → broadcast model map → decide). The model side here is
+    * a tiny static per-event-type parameter table broadcast into the
+    * stream — the same stream-static broadcast join a real model map
+    * uses at scale. */
   def streamPipe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // per-"domain" model parameters (broadcast, stream-static join)
+    val models = Seq(
+      ("view", 1.00), ("click", 1.02), ("purchase", 0.98),
+      ("error", 1.00), ("scroll", 1.01))
+      .toDF("event_type", "model_mult")
     val pages = eventsStream(spark, dir)
       .withColumn("html",
         concat(lit("<div><span class=\"price\">$"),
           format_number(col("value") + 100.0, 2),
           lit("</span> item "), col("event_id"), lit(" view now</div>")))
     val candidates = pages
-      .select(col("event_id"), col("user_id"), col("value"),
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
         explode(org.apache.spark.sql.graft.ColumnBridge.column(
           PriceCandidates(org.apache.spark.sql.graft.ColumnBridge.expression(col("html"))))).as("c"))
       .filter(col("c.candidate").contains(".") || col("c.candidate").contains(","))
       .withColumn("extracted", Text.parsePriceLocale(col("c.candidate")))
       .filter(col("extracted").isNotNull)
     val decided = candidates
+      .join(broadcast(models), Seq("event_type"), "left")
+      .withColumn("model_price",
+        floor((col("value") + 100.0) * coalesce(col("model_mult"), lit(1.0)) * 100 + 0.5) / 100)
       .withColumn("status",
-        when(abs(col("extracted") - (col("value") + 100.0)) < 0.005, lit("modeledPatternEquals"))
+        when(abs(col("extracted") - col("model_price")) < 0.005, lit("modeledPatternEquals"))
+          .when(abs(col("extracted") - col("model_price")) < col("model_price") * 0.1,
+            lit("minorModelPatternConflict"))
           .otherwise(lit("majorModelPatternConflict")))
       .withColumn("decided_price",
-        Text.decidePrice(col("status"), col("value") + 100.0, col("extracted")))
-      .select("event_id", "user_id", "extracted", "status", "decided_price")
+        Text.decidePrice(col("status"), col("extracted"), col("model_price")))
+      .select("event_id", "user_id", "extracted", "model_price", "status", "decided_price")
     runToMemory(spark, decided, OutputMode.Append()).orderBy("event_id")
   }
 

@@ -145,11 +145,14 @@ object MLQueries {
       val lda = new org.apache.spark.ml.clustering.LDA()
         .setK(3).setMaxIter(3).setSeed(42L)
         .fit(corpus)
+      // perplexity on a capped deterministic sample — the metric pass
+      // must not rescan the full corpus
+      val ldaMetric = lda.logPerplexity(corpus.limit(500))
       val rows = Seq(
         ("random_forest", acc(rf.fit(train).transform(test))),
         ("linear_svc", acc(svc.fit(train).transform(test))),
         ("pca_var_top2", pcaModel.explainedVariance.toArray.take(2).sum),
-        ("lda_log_perplexity", lda.logPerplexity(corpus)))
+        ("lda_log_perplexity", ldaMetric))
       import spark.implicits._
       rows.toDF("model", "metric")
         .withColumn("metric", round(col("metric"), 6))

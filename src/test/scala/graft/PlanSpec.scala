@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Plan-regression guards (SURVEY §5): the physical plans that make the
+  * operators scale must not silently degrade. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  // batch queries only — streaming builders execute their pipeline
+  private val batch = SparkEntry.queries.keys
+    .filterNot(_.startsWith("q_stream"))
+    .filterNot(Set("q_gbt_train_eval", "q_model_zoo")) // training mains
+    .toSeq.sorted
+
+  test("no query plans a CartesianProduct") {
+    batch.foreach { n =>
+      assert(!plan(n).contains("CartesianProduct"), s"$n plans a cartesian product")
+    }
+  }
+
+  test("dim joins broadcast (no shuffle of the fact side)") {
+    assert(plan("q_join_enrich").contains("BroadcastHashJoin"))
+    assert(plan("q_dom_analysis").contains("BroadcastHashJoin"))
+    assert(plan("q_eval_metrics").contains("BroadcastHashJoin"))
+  }
+
+  test("aggregations are two-phase (map-side partial)") {
+    val p = plan("q1_agg")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, "expected partial+final agg")
+  }
+
+  test("parquet scans push filters and prune columns") {
+    val p = plan("q_top_candidate")
+    assert(p.contains("PushedFilters"))
+    // 4 projected columns → the scan must not read the full 16-col schema
+    assert(!p.contains("l_shipdate"), "scan reads an unprojected column")
+  }
+}

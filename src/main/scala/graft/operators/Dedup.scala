@@ -31,18 +31,22 @@ object Dedup {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
       .orderBy("keep_id")
 
-  /** Word k-shingles (k=3) of `text`, distinct. */
-  private def shingles(text: Column): Column = {
+  /** Word k-shingles (k=3) of `text`, with duplicates. */
+  private def shinglesRaw(text: Column): Column = {
     val toks = split(text, " ")
-    array_distinct(
-      when(size(toks) >= 3,
-        transform(sequence(lit(1), size(toks) - 2), i =>
-          concat_ws(" ",
-            element_at(toks, i),
-            element_at(toks, i + 1),
-            element_at(toks, i + 2))))
-        .otherwise(array(text)))
+    when(size(toks) >= 3,
+      transform(sequence(lit(1), size(toks) - 2), i =>
+        concat_ws(" ",
+          element_at(toks, i),
+          element_at(toks, i + 1),
+          element_at(toks, i + 2))))
+      .otherwise(array(text))
   }
+
+  /** Word k-shingles (k=3) of `text`, distinct — needed for Jaccard;
+    * the MinHash path uses [[shinglesRaw]] because minima are invariant
+    * under duplicates and array_distinct is O(n²) per row. */
+  private def shingles(text: Column): Column = array_distinct(shinglesRaw(text))
 
   private val NumHashes = 16
   private val BandRows = 2 // r=2: P(band match) = J², kills the
@@ -66,7 +70,7 @@ object Dedup {
     * be capped by slicing the hottest buckets before pairing). */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     val g = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+      .select(col("doc_id"), explode(shinglesRaw(col("text"))).as("sh"))
       .withColumn("hm",
         expr(s"cast(conv(substr(md5(sh), 1, 15), 16, 10) as bigint) % $P"))
     val minCols = (0 until NumHashes).map { i =>

@@ -57,9 +57,14 @@ object TextQueries {
       .orderBy("doc_id", "pos")
 
   /** q_get_domain: URL → domain over four URL shapes (scheme'd, bare,
-    * www-bare, broken single-slash scheme) + min-support frequency list.
-    * Reference: Utils.scala:359-375 (getDomain), 344-357 (domainsList). */
-  def getDomain(spark: SparkSession, dir: String, minSupport: Int = 3): DataFrame = {
+    * www-bare, broken single-slash scheme) + min-support frequency list
+    * + stable domain ids and mod-grouping (the reference's domain→id
+    * map / domNameGrp: zipWithIndex then id % (n/minGrpNum)).
+    * The id window ranks the ~|domains| aggregated rows, not raw data.
+    * Reference: Utils.scala:359-375 (getDomain), 344-357 (domainsList),
+    * emr/GenDMap.scala. */
+  def getDomain(spark: SparkSession, dir: String, minSupport: Int = 3,
+      minGrpNum: Int = 10): DataFrame = {
     val base = concat(lit("shop"), (col("c_custkey") % 37).cast("string"), lit(".example.com"))
     val url = when(col("c_custkey") % 4 === 0,
         concat(lit("http://www."), base, lit("/p/"), col("c_custkey").cast("string")))
@@ -67,11 +72,17 @@ object TextQueries {
       .when(col("c_custkey") % 4 === 2,
         concat(base, lit("/item/"), col("c_custkey").cast("string")))
       .otherwise(concat(lit("http:/"), base, lit("/y")))
-    Tables.customer(spark, dir)
+    val freq = Tables.customer(spark, dir)
       .select(Text.getDomain(url).as("domain"))
       .groupBy("domain")
       .agg(count(lit(1)).as("freq"))
       .filter(col("freq") >= minSupport)
+    val w = org.apache.spark.sql.expressions.Window.orderBy("domain")
+    freq
+      .withColumn("dom_id", row_number().over(w).cast("long") - 1)
+      .withColumn("n_dom", count(lit(1)).over())
+      .withColumn("grp", col("dom_id") % greatest(floor(col("n_dom") / minGrpNum), lit(1L)))
+      .drop("n_dom")
       .orderBy("domain")
   }
 
@@ -161,10 +172,19 @@ object TextQueries {
         |WHERE len(text) >= 5
         |ORDER BY doc_id, pos""".stripMargin,
     "q_get_domain" ->
-      """SELECT concat('shop', CAST(c_custkey % 37 AS VARCHAR), '.example.com') AS domain,
-        |  COUNT(*) AS freq
-        |FROM customer
-        |GROUP BY 1 HAVING COUNT(*) >= 3
+      """WITH freq AS (
+        |  SELECT concat('shop', CAST(c_custkey % 37 AS VARCHAR), '.example.com') AS domain,
+        |    COUNT(*) AS freq
+        |  FROM customer
+        |  GROUP BY 1 HAVING COUNT(*) >= 3),
+        |ids AS (
+        |  SELECT domain, freq,
+        |    ROW_NUMBER() OVER (ORDER BY domain) - 1 AS dom_id,
+        |    COUNT(*) OVER () AS n_dom
+        |  FROM freq)
+        |SELECT domain, freq, CAST(dom_id AS BIGINT) AS dom_id,
+        |  CAST(dom_id % greatest(n_dom // 10, 1) AS BIGINT) AS grp
+        |FROM ids
         |ORDER BY domain""".stripMargin,
     "q_parse_price_locale" ->
       """WITH b AS (

@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for joins whose hot keys overflow a single task
+  * (SURVEY §5). AQE's skew-join split handles sort-merge cases
+  * adaptively; explicit salting remains the tool when the skewed side
+  * must pre-aggregate or the join is key-exploding.
+  *
+  * `saltedJoin` replicates the (small) right side `saltFactor` times
+  * and scatters the left side's hot keys across the replicas with a
+  * deterministic per-row salt — each (key, salt) shuffle bucket then
+  * holds ~1/saltFactor of a hot key's rows. Inner-join semantics are
+  * preserved exactly: every left row meets exactly one replica of each
+  * matching right row.
+  */
+object Skew {
+
+  /** Inner equi-join of `left` and `right` on `key`, with the left
+    * side's keys scattered over `saltFactor` salted partitions.
+    * `right` is expected to be the bounded side (it is replicated
+    * `saltFactor` times before the shuffle). */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+      saltFactor: Int = 16): DataFrame = {
+    require(saltFactor > 0, "saltFactor must be positive")
+    // deterministic scatter: rows of one hot key spread uniformly
+    val salted = left.withColumn("__salt",
+      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(saltFactor.toLong)))
+    val replicated = right.withColumn("__salt",
+      explode(array((0 until saltFactor).map(s => lit(s.toLong)): _*)))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+}

@@ -21,5 +21,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier("price_candidates"),
       new ExpressionInfo(classOf[PriceCandidates].getName, "price_candidates"),
       (children: Seq[Expression]) => PriceCandidates(children.head)))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[graft.functions.DotProduct].getName, "dot_product"),
+      (children: Seq[Expression]) =>
+        graft.functions.DotProduct(children(0), children(1))))
   }
 }

@@ -27,9 +27,10 @@ object Similarity {
   /** Query subset: every 50th vector. */
   private def isQuery(id: Column): Column = id % 50 === 0
 
-  /** Left-fold dot product of two double arrays (order-pinned). */
+  /** Left-fold dot product of two double arrays (order-pinned), via
+    * the codegen'd native expression (functions/Vectors.scala). */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+    graft.functions.DotProduct.dotProduct(a, b)
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 

@@ -76,7 +76,7 @@ object Similarity {
   private def lshBucket(v: Column): Column =
     (0 until Planes).map { p =>
       val signs = array(planeSigns(p).map(s => lit(s.toDouble)): _*)
-      val proj = aggregate(zip_with(v, signs, _ * _), lit(0.0), _ + _)
+      val proj = dot(v, signs)
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 

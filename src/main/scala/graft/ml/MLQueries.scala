@@ -71,8 +71,12 @@ object MLQueries {
       .transform(li)
   }
 
-  /** q_gbt_train_eval: per-domain GBT + per-URL argmax selection. */
-  def gbtTrainEval(spark: SparkSession, dir: String): DataFrame = {
+  /** q_gbt_train_eval: per-domain GBT + per-URL argmax selection.
+    * The reference trains numIterations=30 / maxDepth=5
+    * (GBTDomainSuperParSelectCandid.scala:63-64); the benchmark default
+    * is lighter — pass the reference values to reproduce its cost. */
+  def gbtTrainEval(spark: SparkSession, dir: String,
+      maxIter: Int = 5, maxDepth: Int = 3): DataFrame = {
     val data = featurized(spark, dir).cache()
     try {
       val domains = data.select("domain").distinct().collect().map(_.getString(0)).sorted
@@ -82,7 +86,7 @@ object MLQueries {
         val train = d.filter(col("l_orderkey") % 10 < 7)
         val test = d.filter(col("l_orderkey") % 10 >= 7)
         val model = new GBTClassifier()
-          .setMaxIter(5).setMaxDepth(3).setSeed(42L)
+          .setMaxIter(maxIter).setMaxDepth(maxDepth).setSeed(42L)
           .setLabelCol("label").setFeaturesCol("features")
           .fit(train)
         val scored = model.transform(test)

@@ -132,9 +132,61 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  /** q_ann_ivf_cosine: IVF-style approximate top-k — a KMeans coarse
+    * quantizer assigns every vector to a cell; each query probes its
+    * `nprobe` nearest cells only. The cell assignment is one ML
+    * transform over the corpus; the search join is cell-keyed, so
+    * scoring work is ∝ Σ probed-cell sizes (the classic
+    * inverted-file trade: recall vs nprobe). Rows-only oracle (KMeans
+    * is not SQL-reproducible). */
+  def annIvfCosine(spark: SparkSession, dir: String, cells: Int = 16,
+      nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .withColumn("features", array_to_vector(col("v")))
+      .cache()
+    try {
+      val km = new org.apache.spark.ml.clustering.KMeans()
+        .setK(cells).setMaxIter(5).setSeed(42L)
+        .fit(emb)
+      val assigned = km.transform(emb)
+        .select(col("vec_id"), col("v"), col("nrm"), col("prediction").as("cell"))
+      // query → its nprobe nearest centroids (tiny cross join: |Q| × cells)
+      val centers = km.clusterCenters.zipWithIndex.map { case (c, i) =>
+        (i, c.toArray)
+      }.toSeq
+      val centersDf = spark.createDataFrame(centers).toDF("cell_p", "cv")
+      val q = assigned.filter(isQuery(col("vec_id")))
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val wProbe = Window.partitionBy("query_id").orderBy(col("dist").asc, col("cell_p").asc)
+      val probes = q.crossJoin(broadcast(centersDf))
+        .withColumn("dist",
+          dot(col("qv"), col("qv")) - lit(2.0) * dot(col("qv"), col("cv"))
+            + dot(col("cv"), col("cv")))
+        .withColumn("pr", row_number().over(wProbe))
+        .filter(col("pr") <= nprobe)
+        .select(col("query_id"), col("qv"), col("qn"), col("cell_p"))
+      val scored = assigned.join(broadcast(probes),
+          col("cell") === col("cell_p") && col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos_raw"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos_raw").desc, col("neighbor_id").asc)
+      scored
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos_raw"), 6).as("cosine"), col("rank"))
+        .orderBy("query_id", "rank")
+    } finally emb.unpersist()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_cosine" -> (annCosine(_, _)),
     "q_ann_lsh_cosine" -> (annLshCosine(_, _)),
+    "q_ann_ivf_cosine" -> (annIvfCosine(_, _)),
     "q_dedup_embedding" -> (dedupEmbedding(_, _)))
 
   /** Shared oracle prelude: embeddings as double lists + norms + the

@@ -1,5 +1,8 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Dev utility: time individual queries (repeat a name to measure
+  * warm vs cold): `sbt "runMain graft.TimeOne <sfDir> <query> ..."` */
 object TimeOne {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")

@@ -100,11 +100,12 @@ object MLQueries {
         val w = Window.partitionBy("l_orderkey")
           .orderBy(col("confidence").desc, col("label").desc)
         val top = scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        // coalesce: sum() over an empty test split is null, not 0
         val agg = scored.agg(
-          sum(when(col("label") === 1.0 && col("prediction") === 1.0, 1).otherwise(0)).as("tp"),
-          sum(when(col("label") === 0.0 && col("prediction") === 0.0, 1).otherwise(0)).as("tn"),
-          sum(when(col("label") === 0.0 && col("prediction") === 1.0, 1).otherwise(0)).as("fp"),
-          sum(when(col("label") === 1.0 && col("prediction") === 0.0, 1).otherwise(0)).as("fn"))
+          coalesce(sum(when(col("label") === 1.0 && col("prediction") === 1.0, 1L).otherwise(0L)), lit(0L)).as("tp"),
+          coalesce(sum(when(col("label") === 0.0 && col("prediction") === 0.0, 1L).otherwise(0L)), lit(0L)).as("tn"),
+          coalesce(sum(when(col("label") === 0.0 && col("prediction") === 1.0, 1L).otherwise(0L)), lit(0L)).as("fp"),
+          coalesce(sum(when(col("label") === 1.0 && col("prediction") === 0.0, 1L).otherwise(0L)), lit(0L)).as("fn"))
           .collect()(0)
         val nUrls = top.count()
         val hits = top.filter(col("label") === 1.0).count()
@@ -128,9 +129,9 @@ object MLQueries {
       val test = data.filter(col("l_orderkey") % 10 >= 7)
       def acc(scored: DataFrame): Double = {
         val a = scored.agg(
-          sum(when(col("label") === col("prediction"), 1L).otherwise(0L)).as("ok"),
+          coalesce(sum(when(col("label") === col("prediction"), 1L).otherwise(0L)), lit(0L)).as("ok"),
           count(lit(1)).as("n")).collect()(0)
-        a.getLong(0).toDouble / a.getLong(1)
+        if (a.getLong(1) == 0L) 0.0 else a.getLong(0).toDouble / a.getLong(1)
       }
       val rf = new RandomForestClassifier()
         .setNumTrees(10).setMaxDepth(4).setSeed(42L)
@@ -158,11 +159,13 @@ object MLQueries {
         ("pca_var_top2", pcaModel.explainedVariance.toArray.take(2).sum),
         ("lda_log_perplexity", ldaMetric))
       import spark.implicits._
-      rows.toDF("model", "metric")
+      val out = rows.toDF("model", "metric")
         .withColumn("metric", round(col("metric"), 6))
         .withColumn("n_train", lit(train.count()))
         .withColumn("n_test", lit(test.count()))
         .orderBy("model")
+      corpus.unpersist()
+      out
     } finally data.unpersist()
   }
 

@@ -116,9 +116,14 @@ object Dedup {
     val sim = (0 until 64).map { j =>
       when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
+    // persist the per-doc aggregate: tiny (3 columns × one row per doc)
+    // but referenced by three plan branches (both self-join sides + the
+    // final left join) — without it the expensive explode + 64-vote
+    // aggregation would run three times
     val docs = votes
       .select(col("doc_id"), sim.as("simhash"))
       .withColumn("bucket", shiftright(col("simhash"), 64 - prefixBits).bitwiseAND(lit((1L << prefixBits) - 1)))
+      .persist()
     val a = docs.as("a")
     val b = docs.as("b")
     val mates = a.join(b,

@@ -24,9 +24,13 @@ object Skew {
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       saltFactor: Int = 16): DataFrame = {
     require(saltFactor > 0, "saltFactor must be positive")
-    // deterministic scatter: rows of one hot key spread uniformly
+    // salt derived from row CONTENT, never from partition-dependent ids
+    // (monotonically_increasing_id under a stage retry reassigns ids →
+    // rows change buckets mid-shuffle and the join drops/duplicates
+    // rows, the SPARK-23207 failure class); identical rows sharing a
+    // salt is harmless for correctness
     val salted = left.withColumn("__salt",
-      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(saltFactor.toLong)))
+      pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(saltFactor.toLong)))
     val replicated = right.withColumn("__salt",
       explode(array((0 until saltFactor).map(s => lit(s.toLong)): _*)))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")

@@ -19,9 +19,11 @@ object Tables {
     * convert to a microsecond timestamp — same instant DuckDB sees. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // integer division: `/` on columns is double division, and nano
+    // epochs (~1.7e18) exceed double's 2^53 mantissa — off-by-1µs drift
     table(spark, dir, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+        org.apache.spark.sql.functions.expr("ts div 1000")))
   }
 
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")

@@ -56,12 +56,18 @@ object StreamingQueries {
     spark.readStream
       .schema(eventsSchema)
       .parquet(streamDir.getAbsolutePath)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // integer div: ns > 2^53
   }
 
-  /** Run `df` through a memory sink synchronously; return the result. */
+  /** Run `df` through a memory sink synchronously; return the result.
+    * Sinks from previous invocations are dropped first so repeated runs
+    * (warmup + timed, TimeOne repeats) don't accumulate result sets in
+    * driver memory. */
   private def runToMemory(spark: SparkSession, df: DataFrame,
       mode: OutputMode): DataFrame = {
+    spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("graft_sink_"))
+      .foreach(spark.catalog.dropTempView(_))
     val name = s"graft_sink_${System.nanoTime()}"
     val q = df.writeStream
       .outputMode(mode)
@@ -94,8 +100,7 @@ object StreamingQueries {
           lit("</span> item "), col("event_id"), lit(" view now</div>")))
     val candidates = pages
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
-        explode(org.apache.spark.sql.graft.ColumnBridge.column(
-          PriceCandidates(org.apache.spark.sql.graft.ColumnBridge.expression(col("html"))))).as("c"))
+        explode(PriceCandidates.priceCandidates(col("html"))).as("c"))
       .filter(col("c.candidate").contains(".") || col("c.candidate").contains(","))
       .withColumn("extracted", Text.parsePriceLocale(col("c.candidate")))
       .filter(col("extracted").isNotNull)
@@ -115,7 +120,10 @@ object StreamingQueries {
   }
 
   /** Row 34 — windowed event aggregation with watermark (bounded
-    * state), per (5-minute window × event_type). */
+    * state), per (5-minute window × event_type). Append mode emits only
+    * FINALIZED windows: the last ~watermark-horizon of event time is
+    * intentionally withheld (still open at end-of-input) — the correct
+    * unbounded-stream contract, demonstrated on bounded input. */
   def streamWindow(spark: SparkSession, dir: String): DataFrame = {
     val agg = eventsStream(spark, dir)
       .withWatermark("ts", "10 minutes")

@@ -19,7 +19,15 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def norm(df):
     df = df[sorted(df.columns)]
     if len(df) and len(df.columns):
-        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+        # sort on float columns ROUNDED to the tolerance scale so two
+        # rows whose floats differ only within atol can't align in
+        # opposite orders on the two sides
+        key = df.copy()
+        for c in key.columns:
+            if key[c].dtype.kind == "f":
+                key[c] = key[c].round(6)
+        order = key.sort_values(by=list(key.columns), kind="mergesort").index
+        df = df.loc[order].reset_index(drop=True)
     return df
 
 def main():

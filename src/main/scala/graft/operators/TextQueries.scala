@@ -63,15 +63,20 @@ object TextQueries {
     * The id window ranks the ~|domains| aggregated rows, not raw data.
     * Reference: Utils.scala:359-375 (getDomain), 344-357 (domainsList),
     * emr/GenDMap.scala. */
-  def getDomain(spark: SparkSession, dir: String, minSupport: Int = 3,
-      minGrpNum: Int = 10): DataFrame = {
+  /** The synthetic URL corpus over `customer` (four URL shapes). */
+  private def customerUrl: org.apache.spark.sql.Column = {
     val base = concat(lit("shop"), (col("c_custkey") % 37).cast("string"), lit(".example.com"))
-    val url = when(col("c_custkey") % 4 === 0,
+    when(col("c_custkey") % 4 === 0,
         concat(lit("http://www."), base, lit("/p/"), col("c_custkey").cast("string")))
       .when(col("c_custkey") % 4 === 1, concat(lit("www."), base, lit("/q")))
       .when(col("c_custkey") % 4 === 2,
         concat(base, lit("/item/"), col("c_custkey").cast("string")))
       .otherwise(concat(lit("http:/"), base, lit("/y")))
+  }
+
+  def getDomain(spark: SparkSession, dir: String, minSupport: Int = 3,
+      minGrpNum: Int = 10): DataFrame = {
+    val url = customerUrl
     val freq = Tables.customer(spark, dir)
       .select(Text.getDomain(url).as("domain"))
       .groupBy("domain")
@@ -126,7 +131,23 @@ object TextQueries {
       .orderBy("o_orderkey")
   }
 
+  /** q_heavy_hitters: approximate top-k frequent domains via the
+    * SpaceSaving TypedImperativeAggregate (functions/TopK.scala) — the
+    * bounded-memory form of the domain frequency list. capacity=64
+    * exceeds the true cardinality here, so counts are exact (err=0)
+    * and the DuckDB oracle can value-check the sketch end-to-end. */
+  def heavyHitters(spark: SparkSession, dir: String,
+      capacity: Int = 64, k: Int = 10): DataFrame =
+    Tables.customer(spark, dir)
+      .select(Text.getDomain(customerUrl).as("domain"))
+      .agg(graft.functions.HeavyHitters.heavyHitters(col("domain"), capacity, k).as("hh"))
+      .select(posexplode(col("hh")).as(Seq("pos", "h")))
+      .select((col("pos") + 1).cast("long").as("rank"),
+        col("h.item").as("domain"), col("h.cnt").as("cnt"), col("h.err").as("err"))
+      .orderBy("rank")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_heavy_hitters" -> (heavyHitters(_, _)),
     "q_text_only_tokens" -> (textOnlyTokens(_, _)),
     "q_shrink_string" -> (shrinkString(_, _)),
     "q_char_grams" -> (charGrams(_, _)),
@@ -135,6 +156,18 @@ object TextQueries {
     "q_price_decision" -> (priceDecision(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "q_heavy_hitters" ->
+      """WITH freq AS (
+        |  SELECT concat('shop', CAST(c_custkey % 37 AS VARCHAR), '.example.com') AS domain,
+        |    COUNT(*) AS cnt
+        |  FROM customer GROUP BY 1),
+        |ranked AS (
+        |  SELECT domain, cnt,
+        |    ROW_NUMBER() OVER (ORDER BY cnt DESC, domain ASC) AS rank
+        |  FROM freq)
+        |SELECT CAST(rank AS BIGINT) AS rank, domain, cnt, CAST(0 AS BIGINT) AS err
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY rank""".stripMargin,
     "q_text_only_tokens" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -26,5 +26,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.DotProduct].getName, "dot_product"),
       (children: Seq[Expression]) =>
         graft.functions.DotProduct(children(0), children(1))))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("heavy_hitters"),
+      new ExpressionInfo(classOf[graft.functions.HeavyHitters].getName, "heavy_hitters"),
+      (children: Seq[Expression]) => graft.functions.HeavyHitters(
+        children(0),
+        children(1).eval().asInstanceOf[Number].intValue(),
+        children(2).eval().asInstanceOf[Number].intValue())))
   }
 }

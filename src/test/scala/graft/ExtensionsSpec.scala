@@ -18,4 +18,18 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(rows.map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq ==
       Seq((1L, "12.34", 6)))
   }
+
+  test("dot_product and heavy_hitters are callable from SQL") {
+    import spark.implicits._
+    Seq(("a", Array(1.0, 2.0)), ("a", Array(3.0, 4.0)), ("b", Array(1.0, 0.0)))
+      .toDF("tag", "v").createOrReplaceTempView("vecs")
+    val dp = spark.sql("SELECT dot_product(v, v) AS n2 FROM vecs ORDER BY n2")
+      .collect().map(_.getDouble(0)).toSeq
+    assert(dp == Seq(1.0, 5.0, 25.0))
+    val hh = spark.sql(
+      "SELECT explode(heavy_hitters(tag, 4, 2)) AS h FROM vecs")
+      .select("h.item", "h.cnt").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(hh == Seq(("a", 2L), ("b", 1L)))
+  }
 }

@@ -86,6 +86,20 @@ class FidelitySpec extends SparkSpec {
     }
   }
 
+  test("shrinkString ≡ reference on scalacheck-generated adversarial strings") {
+    import org.scalacheck.Gen
+    val gen = Gen.listOf(Gen.frequency(
+      (4, Gen.numChar), (3, Gen.alphaChar),
+      (2, Gen.oneOf(',', '.', ' ', '\t', '\n', '\r')),
+      (1, Gen.oneOf('$', '-', '€')))).map(_.mkString)
+    val ins = Iterator.continually(gen.sample).flatten.take(300).toSeq
+    val ref = ins.map(_
+      .replaceAll("[\\p{Blank}]{3,}", " ")
+      .replaceAll("(?<=[\\d])(,)(?=[\\d])", "")
+      .replaceAll("[\t\n\r,]", ""))
+    assert(runCol(ins, Text.shrinkString) == ref)
+  }
+
   test("getDomain ≡ reference URI logic (Utils.scala:359-375)") {
     def refDomain(input: String): String = {
       var url = input

@@ -31,17 +31,11 @@ object Dedup {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
       .orderBy("keep_id")
 
-  /** Word k-shingles (k=3) of `text`, with duplicates. */
-  private def shinglesRaw(text: Column): Column = {
-    val toks = split(text, " ")
-    when(size(toks) >= 3,
-      transform(sequence(lit(1), size(toks) - 2), i =>
-        concat_ws(" ",
-          element_at(toks, i),
-          element_at(toks, i + 1),
-          element_at(toks, i + 2))))
-      .otherwise(array(text))
-  }
+  /** Word k-shingles (k=3) of `text`, with duplicates — the codegen'd
+    * native expression (functions/Shingles.scala), not an interpreted
+    * transform/element_at chain. */
+  private def shinglesRaw(text: Column): Column =
+    graft.functions.WordShingles.wordShingles(text, 3)
 
   /** Word k-shingles (k=3) of `text`, distinct — needed for Jaccard;
     * the MinHash path uses [[shinglesRaw]] because minima are invariant

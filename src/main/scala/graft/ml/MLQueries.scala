@@ -33,26 +33,31 @@ object MLQueries {
 
   private val TopK = 20
 
-  /** q_tfidf_topk: top-k terms by corpus-mean TF-IDF. */
+  /** q_tfidf_topk: top-k terms by corpus-mean TF-IDF.
+    *
+    * Scale shape: N rides the same job as a broadcast one-row count
+    * aggregate (parquet count-star pushdown) instead of a separate
+    * `docs.count()` driver action, and the top-k is `orderBy().limit(K)`
+    * — Spark plans TakeOrderedAndProject (per-partition heap + driver
+    * merge of K rows), never a single-partition global window.
+    * idf/mean_tfidf are emitted floor-scaled to integer micros so the
+    * oracle compare is free of `round()`-on-double divergence. */
   def tfidfTopK(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val n = docs.count() // one tiny job; N is a plan-time scalar
+    val nDf = docs.groupBy().agg(count(lit(1)).as("n_docs"))
     val tf = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val byTerm = tf.groupBy("term")
+    tf.groupBy("term")
       .agg(count(lit(1)).as("df"), sum("tf").as("sum_tf"))
-      .withColumn("idf", log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0)
-      .withColumn("mean_tfidf", col("idf") * col("sum_tf") / lit(n.toDouble))
-    // global rank over ~|vocab| aggregated rows — not over raw data
-    val w = Window.orderBy(col("mean_tfidf").desc, col("term").asc)
-    byTerm
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopK)
-      .select(col("rank"), col("term"), col("df"), col("sum_tf"),
-        round(col("idf"), 6).as("idf"),
-        round(col("mean_tfidf"), 6).as("mean_tfidf"))
-      .orderBy("rank")
+      .crossJoin(broadcast(nDf))
+      .withColumn("idf", log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0)
+      .withColumn("mean_tfidf", col("idf") * col("sum_tf") / col("n_docs").cast("double"))
+      .orderBy(col("mean_tfidf").desc, col("term").asc)
+      .limit(TopK)
+      .select(col("term"), col("df"), col("sum_tf"),
+        floor(col("idf") * 1e6 + 0.5).cast("long").as("idf_e6"),
+        floor(col("mean_tfidf") * 1e6 + 0.5).cast("long").as("mean_tfidf_e6"))
   }
 
   private def featurized(spark: SparkSession, dir: String): DataFrame = {
@@ -176,7 +181,7 @@ object MLQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_tfidf_topk" ->
-      s"""WITH n AS (SELECT COUNT(*) AS n FROM documents),
+      s"""WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
          |tf AS (
          |  SELECT doc_id, term, COUNT(*) AS tf
          |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
@@ -185,14 +190,13 @@ object MLQueries {
          |  SELECT term, COUNT(*) AS df, SUM(tf) AS sum_tf FROM tf GROUP BY term),
          |scored AS (
          |  SELECT term, df, sum_tf,
-         |    ln((n.n + 1.0) / (df + 1.0)) + 1.0 AS idf,
-         |    (ln((n.n + 1.0) / (df + 1.0)) + 1.0) * sum_tf / n.n AS mean_tfidf
-         |  FROM byterm, n),
-         |ranked AS (
-         |  SELECT *, ROW_NUMBER() OVER (ORDER BY mean_tfidf DESC, term ASC) AS rank
-         |  FROM scored)
-         |SELECT rank, term, df, sum_tf,
-         |  ROUND(idf, 6) AS idf, ROUND(mean_tfidf, 6) AS mean_tfidf
-         |FROM ranked WHERE rank <= $TopK
-         |ORDER BY rank""".stripMargin)
+         |    ln((n_docs + 1.0) / (df + 1.0)) + 1.0 AS idf,
+         |    (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) * sum_tf / CAST(n_docs AS DOUBLE) AS mean_tfidf
+         |  FROM byterm, n)
+         |SELECT term, df, sum_tf,
+         |  CAST(floor(idf * 1e6 + 0.5) AS BIGINT) AS idf_e6,
+         |  CAST(floor(mean_tfidf * 1e6 + 0.5) AS BIGINT) AS mean_tfidf_e6
+         |FROM scored
+         |ORDER BY mean_tfidf DESC, term ASC
+         |LIMIT $TopK""".stripMargin)
 }

@@ -94,20 +94,40 @@ object Analytics {
   def priceDeltas(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey")
       .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
-    Tables.orders(spark, dir)
+    val wAll = Window.partitionBy("o_custkey")
+    // Scan-back (ProdMetricsV6.scala:85-95): walk back past the leading
+    // run of prices equal to the latest one; `k` = rank of the first
+    // older differing price, the change-date row is the one visited just
+    // before it (rank k-1, floored at the head). All-equal histories fall
+    // back to the oldest row (k → n), single-row histories to zeros —
+    // the reference's exact loop outcomes, as change-flag windows.
+    val base = Tables.orders(spark, dir)
       .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
       .withColumn("rn", row_number().over(w))
-      .withColumn("prev_price", lead("o_totalprice", 1).over(w))
-      .filter(col("rn") === 1)
+      .withColumn("last_p", first("o_totalprice").over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("k",
+        min(when(col("o_totalprice") =!= col("last_p"), col("rn"))).over(wAll))
+    val prvRn = coalesce(col("k"), col("n"))
+    val lcdRn = greatest(coalesce(col("k"), col("n")) - 1, lit(1L))
+    base.groupBy("o_custkey")
+      .agg(
+        max(when(col("rn") === 1, col("o_totalprice"))).as("last_price"),
+        max(when(col("rn") === 2, col("o_totalprice"))).as("prev_price"),
+        max(when(col("rn") === prvRn && col("n") > 1, col("o_totalprice"))).as("prv_raw"),
+        max(when(col("rn") === lcdRn, col("o_orderdate"))).as("last_change_date"))
       .select(
-        col("o_custkey"),
-        col("o_totalprice").as("last_price"),
-        col("prev_price"),
+        col("o_custkey"), col("last_price"), col("prev_price"),
         when(col("prev_price").isNull, lit(0.0))
-          .otherwise(col("o_totalprice") - col("prev_price")).as("delta"),
+          .otherwise(col("last_price") - col("prev_price")).as("delta"),
         when(col("prev_price").isNull || col("prev_price") === 0.0, lit(0.0))
-          .otherwise(round((col("o_totalprice") - col("prev_price")) / col("prev_price") * 100.0, 6))
-          .as("relative_change"))
+          .otherwise(floor((col("last_price") - col("prev_price")) / col("prev_price") * 100.0 * 1e6 + 0.5) / 1e6)
+          .as("relative_change"),
+        coalesce(col("prv_raw"), lit(0.0)).as("prv_price"),
+        when(col("prv_raw").isNull || col("prv_raw") === 0.0, lit(0.0))
+          .otherwise(floor((col("last_price") - col("prv_raw")) / col("prv_raw") * 100.0 * 1e6 + 0.5) / 1e6)
+          .as("last_change_pct"),
+        col("last_change_date"))
       .orderBy("o_custkey")
   }
 
@@ -190,14 +210,18 @@ object Analytics {
         count(lit(1)).as("n_urls"),
         sum(col("has_tp")).as("n_ub"),
         sum(when(col("has_tp") === 1 && col("has_fp") === 0, 1).otherwise(0)).as("n_lb"))
+    // floor-scale instead of round(): Spark's BigDecimal HALF_UP and
+    // DuckDB's rounding diverge on the same double; floor(x*1e6+0.5) is
+    // pure IEEE arithmetic, identical in both engines
+    def r6(c: org.apache.spark.sql.Column) = floor(c * 1e6 + 0.5) / 1e6
     cm.join(broadcast(bounds), Seq("l_returnflag"))
       .select(
         col("l_returnflag"), col("tp"), col("tn"), col("fp"), col("fn"),
-        round(col("tp") / (col("tp") + col("fn")), 6).as("sensitivity"),
-        round(col("tn") / (col("fp") + col("tn")), 6).as("specificity"),
-        round(col("tp") / (col("tp") + col("fp")), 6).as("precision_"),
-        round(col("n_ub") / col("n_urls"), 6).as("upper_bound"),
-        round(col("n_lb") / col("n_urls"), 6).as("lower_bound"))
+        r6(col("tp") / (col("tp") + col("fn"))).as("sensitivity"),
+        r6(col("tn") / (col("fp") + col("tn"))).as("specificity"),
+        r6(col("tp") / (col("tp") + col("fp"))).as("precision_"),
+        r6(col("n_ub") / col("n_urls")).as("upper_bound"),
+        r6(col("n_lb") / col("n_urls")).as("lower_bound"))
       .orderBy("l_returnflag")
   }
 
@@ -261,18 +285,33 @@ object Analytics {
         |WHERE rn = 1
         |ORDER BY l_orderkey""".stripMargin,
     "q_price_deltas" ->
-      """SELECT o_custkey, last_price, prev_price,
+      """WITH b AS (
+        |  SELECT o_custkey, o_orderdate, o_totalprice,
+        |    ROW_NUMBER() OVER w AS rn,
+        |    FIRST_VALUE(o_totalprice) OVER w AS last_p,
+        |    COUNT(*) OVER (PARTITION BY o_custkey) AS n
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC)),
+        |f AS (
+        |  SELECT *, MIN(CASE WHEN o_totalprice <> last_p THEN rn END)
+        |    OVER (PARTITION BY o_custkey) AS k
+        |  FROM b),
+        |g AS (
+        |  SELECT o_custkey,
+        |    MAX(CASE WHEN rn = 1 THEN o_totalprice END) AS last_price,
+        |    MAX(CASE WHEN rn = 2 THEN o_totalprice END) AS prev_price,
+        |    MAX(CASE WHEN rn = COALESCE(k, n) AND n > 1 THEN o_totalprice END) AS prv_raw,
+        |    MAX(CASE WHEN rn = GREATEST(COALESCE(k, n) - 1, 1) THEN o_orderdate END) AS last_change_date
+        |  FROM f GROUP BY o_custkey)
+        |SELECT o_custkey, last_price, prev_price,
         |  CASE WHEN prev_price IS NULL THEN 0.0 ELSE last_price - prev_price END AS delta,
         |  CASE WHEN prev_price IS NULL OR prev_price = 0.0 THEN 0.0
-        |    ELSE ROUND((last_price - prev_price) / prev_price * 100.0, 6) END AS relative_change
-        |FROM (
-        |  SELECT o_custkey, o_totalprice AS last_price,
-        |    LEAD(o_totalprice, 1) OVER (PARTITION BY o_custkey
-        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS prev_price,
-        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
-        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
-        |  FROM orders) t
-        |WHERE rn = 1
+        |    ELSE floor((last_price - prev_price) / prev_price * 100.0 * 1e6 + 0.5) / 1e6 END AS relative_change,
+        |  COALESCE(prv_raw, 0.0) AS prv_price,
+        |  CASE WHEN prv_raw IS NULL OR prv_raw = 0.0 THEN 0.0
+        |    ELSE floor((last_price - prv_raw) / prv_raw * 100.0 * 1e6 + 0.5) / 1e6 END AS last_change_pct,
+        |  last_change_date
+        |FROM g
         |ORDER BY o_custkey""".stripMargin,
     "q_hotspots" ->
       """WITH base AS (
@@ -334,11 +373,11 @@ object Analytics {
         |    SUM(CASE WHEN has_tp = 1 AND has_fp = 0 THEN 1 ELSE 0 END) AS n_lb
         |  FROM urls GROUP BY l_returnflag)
         |SELECT cm.l_returnflag, tp, tn, fp, fn,
-        |  ROUND(CAST(tp AS DOUBLE) / (tp + fn), 6) AS sensitivity,
-        |  ROUND(CAST(tn AS DOUBLE) / (fp + tn), 6) AS specificity,
-        |  ROUND(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision_,
-        |  ROUND(CAST(n_ub AS DOUBLE) / n_urls, 6) AS upper_bound,
-        |  ROUND(CAST(n_lb AS DOUBLE) / n_urls, 6) AS lower_bound
+        |  floor(CAST(tp AS DOUBLE) / (tp + fn) * 1e6 + 0.5) / 1e6 AS sensitivity,
+        |  floor(CAST(tn AS DOUBLE) / (fp + tn) * 1e6 + 0.5) / 1e6 AS specificity,
+        |  floor(CAST(tp AS DOUBLE) / (tp + fp) * 1e6 + 0.5) / 1e6 AS precision_,
+        |  floor(CAST(n_ub AS DOUBLE) / n_urls * 1e6 + 0.5) / 1e6 AS upper_bound,
+        |  floor(CAST(n_lb AS DOUBLE) / n_urls * 1e6 + 0.5) / 1e6 AS lower_bound
         |FROM cm JOIN ub USING (l_returnflag)
         |ORDER BY l_returnflag""".stripMargin,
     "q_seed_freq" ->

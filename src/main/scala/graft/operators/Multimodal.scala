@@ -61,9 +61,8 @@ object Multimodal {
     }
   }
 
-  /** q_multimodal_meta: binary payload + metadata → per-partition decode
-    * → flat feature schema. Rows-only oracle (binary plumbing). */
-  def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+  /** Library API: the full decoded feature rows, arrays included. */
+  def decodedFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val media = Tables.documents(spark, dir)
       .select(
@@ -87,8 +86,26 @@ object Multimodal {
           FakeDecoder.decode(id, fmt, w, h, bytes)
         }
       }
-    decoded.toDF().orderBy("doc_id")
+    decoded.toDF()
   }
+
+  /** q_multimodal_meta: the registered query projects the array columns
+    * of [[decodedFeatures]] down to sortable scalars (count / sum /
+    * scaled L2) — the driver's pandas-based compare cannot sort raw
+    * array cells. The arrays stay available via the library API above.
+    * Rows-only oracle (binary plumbing). */
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    decodedFeatures(spark, dir)
+      .select(
+        col("doc_id"), col("format"), col("width"), col("height"),
+        col("resized_w"), col("resized_h"),
+        size(col("frame_offsets")).as("n_frames"),
+        aggregate(col("frame_offsets"), lit(0L), (a, x) => a + x).as("frame_sum"),
+        col("byte_len"), col("checksum"),
+        floor(aggregate(col("features"), lit(0.0),
+          (a, x) => a + x.cast("double") * x.cast("double")) * 1e6 + 0.5)
+          .cast("long").as("feature_l2sq_e6"))
+      .orderBy("doc_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> (multimodalMeta(_, _)))

@@ -77,15 +77,22 @@ object TextQueries {
   def getDomain(spark: SparkSession, dir: String, minSupport: Int = 3,
       minGrpNum: Int = 10): DataFrame = {
     val url = customerUrl
+    // Scale-safe id assignment: dom_id is a content hash (md5 prefix →
+    // bigint), not a zipWithIndex-style dense rank — no global-window
+    // single-partition sort over the domain list. n_dom rides along as a
+    // broadcast one-row aggregate over the (persisted, tiny) frequency
+    // table rather than a `count().over()` empty-key window.
     val freq = Tables.customer(spark, dir)
       .select(Text.getDomain(url).as("domain"))
       .groupBy("domain")
       .agg(count(lit(1)).as("freq"))
       .filter(col("freq") >= minSupport)
-    val w = org.apache.spark.sql.expressions.Window.orderBy("domain")
+      .persist()
+    val nDf = freq.groupBy().agg(count(lit(1)).as("n_dom"))
     freq
-      .withColumn("dom_id", row_number().over(w).cast("long") - 1)
-      .withColumn("n_dom", count(lit(1)).over())
+      .crossJoin(broadcast(nDf))
+      .withColumn("dom_id",
+        expr("cast(conv(substr(md5(domain), 1, 15), 16, 10) as bigint)"))
       .withColumn("grp", col("dom_id") % greatest(floor(col("n_dom") / minGrpNum), lit(1L)))
       .drop("n_dom")
       .orderBy("domain")
@@ -210,14 +217,12 @@ object TextQueries {
         |    COUNT(*) AS freq
         |  FROM customer
         |  GROUP BY 1 HAVING COUNT(*) >= 3),
-        |ids AS (
-        |  SELECT domain, freq,
-        |    ROW_NUMBER() OVER (ORDER BY domain) - 1 AS dom_id,
-        |    COUNT(*) OVER () AS n_dom
-        |  FROM freq)
-        |SELECT domain, freq, CAST(dom_id AS BIGINT) AS dom_id,
-        |  CAST(dom_id % greatest(n_dom // 10, 1) AS BIGINT) AS grp
-        |FROM ids
+        |n AS (SELECT COUNT(*) AS n_dom FROM freq)
+        |SELECT domain, freq,
+        |  CAST(concat('0x', substr(md5(domain), 1, 15)) AS BIGINT) AS dom_id,
+        |  CAST(concat('0x', substr(md5(domain), 1, 15)) AS BIGINT)
+        |    % greatest(n_dom // 10, 1) AS grp
+        |FROM freq, n
         |ORDER BY domain""".stripMargin,
     "q_parse_price_locale" ->
       """WITH b AS (

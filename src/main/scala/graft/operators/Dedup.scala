@@ -5,8 +5,9 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over `documents` (SURVEY §2 rows 22-25):
-  * exact content-hash, MinHash-LSH near-dup candidates, SimHash hamming
-  * buckets, and bucket-local n-gram Jaccard.
+  * exact content-hash, MinHash-LSH near-dup candidates, SimHash
+  * hamming-chunk candidates, and exact n-gram Jaccard verification of
+  * the LSH candidates.
   *
   * Scale design (100 TB):
   *  - Exact dedup is one hash-partitioned groupBy with map-side partial
@@ -14,13 +15,21 @@ import org.apache.spark.sql.functions._
   *  - MinHash signatures are computed map-side (pure per-row expressions,
   *    no UDF), then the ONLY shuffle is on (band, signature) — candidate
   *    generation is a bucket-local equi-join, never an O(n²) cross join.
-  *  - SimHash pairs likewise join on a hamming-prefix bucket key.
-  *  - Jaccard verification runs only inside small buckets; the gram sets
-  *    travel with the rows so verification needs no second scan.
+  *    Oversized buckets (identical-content floods) are sliced to
+  *    [[HotBucketCap]] members before pairing, bounding any bucket's
+  *    pair fan-out at cap².
+  *  - SimHash candidates join on (chunk index, 15-bit chunk value) — the
+  *    pigeonhole scheme of Manku/Jain/Sarma (WWW'07): a 60-bit simhash
+  *    split into 4 chunks guarantees any pair within hamming ≤ 3 agrees
+  *    on at least one whole chunk. 4×2¹⁵ bucket keys keep every bucket
+  *    tiny at corpus scale (vs 16 global prefix buckets ≈ n²/16 pairs).
+  *  - Jaccard verification consumes the MinHash band-bucket candidate
+  *    pairs — the verify stage touches only |pairs| rows, never a
+  *    coarse (lang, length) megabucket self-join.
   *
-  * Hashing is md5-hex (string ordering) so every step is reproducible in
-  * DuckDB for the oracle compare; the SimHash variant uses xxhash64 for
-  * realistic 64-bit mixing and is covered by the rows-only check.
+  * All hashing is md5-hex derived (hex prefix → bigint) so every step —
+  * including the SimHash bit votes — is reproducible in DuckDB and the
+  * whole family is hash-oracled end-to-end.
   */
 object Dedup {
 
@@ -62,7 +71,15 @@ object Dedup {
     * collected id lists; a bucket is a near-dup cluster, so lists stay
     * small by construction (an identical-content flood at 100 TB would
     * be capped by slicing the hottest buckets before pairing). */
-  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+  /** Members a bucket is sliced to before pairing: caps any bucket's
+    * pair fan-out at cap(cap-1)/2 even under an identical-content flood
+    * (the flood's canonical pair set survives via the kept members). */
+  private val HotBucketCap = 64
+
+  /** Band-bucket candidate pairs (id_a < id_b) with the number of bands
+    * that voted for the pair — shared by q_dedup_minhash and the
+    * q_ngram_jaccard verification stage. */
+  private[graft] def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val g = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(shinglesRaw(col("text"))).as("sh"))
       .withColumn("hm",
@@ -80,78 +97,97 @@ object Dedup {
       .select(col("doc_id"), explode(bandSig).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("mh"))
     val buckets = sig.groupBy("band", "mh")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .agg(sort_array(collect_list(col("doc_id"))).as("all_ids"))
+      .filter(size(col("all_ids")) > 1)
+      .withColumn("ids", slice(col("all_ids"), 1, HotBucketCap))
     buckets
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + lit(2), size(col("ids")) - i - 1),
           y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
       .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("n_bands"))
-      .orderBy("id_a", "id_b")
   }
 
-  /** q_dedup_simhash: 64-bit SimHash per doc (xxhash64 token hashes,
-    * per-bit majority vote), bucketed by the top hamming-prefix nibble;
-    * per-doc count of in-bucket mates within hamming ≤ 16.
-    * Rows-only oracle (xxhash64 is Spark-specific). */
-  def dedupSimhash(spark: SparkSession, dir: String, prefixBits: Int = 4, maxHamming: Int = 16): DataFrame = {
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    minhashPairs(spark, dir).orderBy("id_a", "id_b")
+
+  private val SimBits = 60 // md5 hex prefix → 60-bit token hash
+  private val SimChunks = 4
+  private val ChunkBits = SimBits / SimChunks // 15 → 2^15 values/chunk
+
+  /** q_dedup_simhash: 60-bit SimHash per doc (md5-derived token hashes,
+    * per-bit majority vote); near-dup mate counts within hamming ≤ 3.
+    *
+    * Candidate generation is the Manku/Jain/Sarma pigeonhole scheme:
+    * the simhash splits into 4 disjoint 15-bit chunks, and any pair
+    * within hamming ≤ 3 must agree exactly on ≥1 chunk — so candidates
+    * come from an equi-join on (chunk index, chunk value), 4·2¹⁵
+    * distinct bucket keys, with the exact hamming filter applied only
+    * inside buckets. Hash-oracled end-to-end (md5 → DuckDB rebuilds the
+    * identical bit votes). */
+  def dedupSimhash(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     // distributed per-bit majority vote: explode distinct tokens, hash
-    // once, then 64 partial-aggregable sums — one shuffle on doc_id
+    // once, then 60 partial-aggregable sums — one shuffle on doc_id
     val tokRows = Tables.documents(spark, dir)
       .select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val voteCols = (0 until 64).map { j =>
+      .withColumn("h",
+        expr("cast(conv(substr(md5(tok), 1, 15), 16, 10) as bigint)"))
+    val voteCols = (0 until SimBits).map { j =>
       sum((shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1).cast("int")).as(s"v$j")
     }
     val votes = tokRows.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
-    // simhash long: bit j set iff votes[j] > 0 (bit 63 may set the sign)
-    val sim = (0 until 64).map { j =>
+    val sim = (0 until SimBits).map { j =>
       when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
-    // persist the per-doc aggregate: tiny (3 columns × one row per doc)
-    // but referenced by three plan branches (both self-join sides + the
-    // final left join) — without it the expensive explode + 64-vote
+    // persist the per-doc aggregate: tiny (2 columns × one row per doc)
+    // but referenced by three plan branches (both chunk-join sides + the
+    // final left join) — without it the expensive explode + 60-vote
     // aggregation would run three times
-    val docs = votes
-      .select(col("doc_id"), sim.as("simhash"))
-      .withColumn("bucket", shiftright(col("simhash"), 64 - prefixBits).bitwiseAND(lit((1L << prefixBits) - 1)))
-      .persist()
-    val a = docs.as("a")
-    val b = docs.as("b")
-    val mates = a.join(b,
-        col("a.bucket") === col("b.bucket") && col("a.doc_id") =!= col("b.doc_id") &&
-          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= maxHamming)
-      .groupBy(col("a.doc_id").as("doc_id"))
-      .agg(count(lit(1)).as("n_near"))
-    docs.join(mates, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("simhash"), col("bucket"),
+    val docs = votes.select(col("doc_id"), sim.as("simhash")).persist()
+    val chunkArr = array((0 until SimChunks).map { c =>
+      struct(lit(c).as("c"),
+        shiftright(col("simhash"), c * ChunkBits)
+          .bitwiseAND(lit((1L << ChunkBits) - 1)).as("cv"))
+    }: _*)
+    val chunks = docs
+      .select(col("doc_id"), col("simhash"), explode(chunkArr).as("ch"))
+      .select(col("doc_id"), col("simhash"),
+        col("ch.c").as("c"), col("ch.cv").as("cv"))
+    val near = chunks.as("a").join(chunks.as("b"),
+        col("a.c") === col("b.c") && col("a.cv") === col("b.cv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+      .distinct() // a pair may agree on several chunks
+      .filter(bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= maxHamming)
+    val cnt = near.select(col("id_a").as("doc_id"))
+      .unionAll(near.select(col("id_b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_near"))
+    docs.join(cnt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("simhash"),
         coalesce(col("n_near"), lit(0L)).as("n_near"))
       .orderBy("doc_id")
   }
 
   /** q_ngram_jaccard: exact Jaccard over distinct word-3-gram sets for
-    * bucket-local candidate pairs (bucket = (lang, len(text)/100)) — the
-    * verification stage that follows LSH candidate generation. The join
-    * is bucket-keyed: shuffle ∝ docs, compare work ∝ Σ bucket². */
+    * the MinHash band-bucket candidate pairs — the verification stage
+    * consumes the LSH candidates ([[minhashPairs]]), so compare work is
+    * ∝ |candidates|, never a coarse-bucket self-join. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(spark, dir).select("id_a", "id_b")
     val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"),
-        floor(length(col("text")) / 100).as("szb"),
-        shingles(col("text")).as("grams"))
-    val a = docs.as("a")
-    val b = docs.as("b")
-    a.join(b,
-        col("a.lang") === col("b.lang") && col("a.szb") === col("b.szb") &&
-          col("a.doc_id") < col("b.doc_id"))
+      .select(col("doc_id"), shingles(col("text")).as("grams"))
+    pairs
+      .join(docs.select(col("doc_id").as("id_a"), col("grams").as("grams_a")), Seq("id_a"))
+      .join(docs.select(col("doc_id").as("id_b"), col("grams").as("grams_b")), Seq("id_b"))
       .select(
-        col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        size(col("a.grams")).cast("long").as("n_a"),
-        size(col("b.grams")).cast("long").as("n_b"),
-        size(array_intersect(col("a.grams"), col("b.grams"))).cast("long").as("n_inter"))
+        col("id_a"), col("id_b"),
+        size(col("grams_a")).cast("long").as("n_a"),
+        size(col("grams_b")).cast("long").as("n_b"),
+        size(array_intersect(col("grams_a"), col("grams_b"))).cast("long").as("n_inter"))
       .withColumn("jaccard",
-        round(col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")), 6))
+        floor(col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")) * 1e6 + 0.5) / 1e6)
       .orderBy("id_a", "id_b")
   }
 
@@ -167,6 +203,34 @@ object Dedup {
       |    ELSE [text] END) AS grams
       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)""".stripMargin
 
+  /** Shared CTE chain rebuilding [[minhashPairs]] (including the
+    * hot-bucket cap, as a rank ≤ cap filter on the sorted bucket). */
+  private val pairSql: String =
+    s"""sh AS ($shingleSql),
+       |g AS (
+       |  SELECT doc_id,
+       |    CAST(concat('0x', substr(md5(t.sh), 1, 15)) AS BIGINT) % ${P} AS hm
+       |  FROM sh, UNNEST(grams) AS t(sh)),
+       |minh AS (
+       |  SELECT doc_id,
+       |    ${(0 until NumHashes).map(i => s"MIN((hm * ${permA(i)} + ${permB(i)}) % ${P}) AS mh$i").mkString(",\n       |    ")}
+       |  FROM g GROUP BY doc_id),
+       |sig AS (
+       |  ${(0 until NumHashes / BandRows).map { b =>
+            val cols = (0 until BandRows).map(r => s"mh${b * BandRows + r}").mkString(", '|', ")
+            s"SELECT doc_id, $b AS band, concat($cols) AS mh FROM minh"
+          }.mkString("\n       |  UNION ALL ")}),
+       |rsig AS (
+       |  SELECT doc_id, band, mh,
+       |    ROW_NUMBER() OVER (PARTITION BY band, mh ORDER BY doc_id) AS r
+       |  FROM sig),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_bands
+       |  FROM rsig a JOIN rsig b
+       |    ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id
+       |      AND a.r <= $HotBucketCap AND b.r <= $HotBucketCap
+       |  GROUP BY a.doc_id, b.doc_id)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
@@ -174,37 +238,52 @@ object Dedup {
         |GROUP BY md5(text)
         |ORDER BY keep_id""".stripMargin,
     "q_dedup_minhash" ->
-      s"""WITH sh AS ($shingleSql),
-         |g AS (
-         |  SELECT doc_id,
-         |    CAST(concat('0x', substr(md5(t.sh), 1, 15)) AS BIGINT) % ${P} AS hm
-         |  FROM sh, UNNEST(grams) AS t(sh)),
-         |minh AS (
-         |  SELECT doc_id,
-         |    ${(0 until NumHashes).map(i => s"MIN((hm * ${permA(i)} + ${permB(i)}) % ${P}) AS mh$i").mkString(",\n         |    ")}
-         |  FROM g GROUP BY doc_id),
-         |sig AS (
-         |  ${(0 until NumHashes / BandRows).map { b =>
-              val cols = (0 until BandRows).map(r => s"mh${b * BandRows + r}").mkString(", '|', ")
-              s"SELECT doc_id, $b AS band, concat($cols) AS mh FROM minh"
-            }.mkString("\n         |  UNION ALL ")})
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_bands
-         |FROM sig a JOIN sig b
-         |  ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id
-         |GROUP BY a.doc_id, b.doc_id
+      s"""WITH $pairSql
+         |SELECT id_a, id_b, n_bands FROM pairs
          |ORDER BY id_a, id_b""".stripMargin,
     "q_ngram_jaccard" ->
-      s"""WITH sh AS ($shingleSql),
-         |docs AS (
-         |  SELECT d.doc_id, d.lang, CAST(floor(len(d.text) / 100) AS BIGINT) AS szb, sh.grams
-         |  FROM documents d JOIN sh USING (doc_id))
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      s"""WITH $pairSql
+         |SELECT p.id_a, p.id_b,
          |  CAST(len(a.grams) AS BIGINT) AS n_a,
          |  CAST(len(b.grams) AS BIGINT) AS n_b,
          |  CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS n_inter,
-         |  ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-         |    / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 6) AS jaccard
-         |FROM docs a JOIN docs b
-         |  ON a.lang = b.lang AND a.szb = b.szb AND a.doc_id < b.doc_id
-         |ORDER BY id_a, id_b""".stripMargin)
+         |  floor(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+         |    / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) * 1e6 + 0.5) / 1e6 AS jaccard
+         |FROM pairs p
+         |JOIN sh a ON p.id_a = a.doc_id
+         |JOIN sh b ON p.id_b = b.doc_id
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_simhash" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+         |  FROM toks),
+         |votes AS (
+         |  SELECT doc_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM g, UNNEST(range(0, $SimBits)) AS t(j)
+         |  GROUP BY doc_id, j),
+         |sim AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM votes GROUP BY doc_id),
+         |chunks AS (
+         |  SELECT doc_id, simhash, c, (simhash >> ($ChunkBits * c)) & ${(1L << ChunkBits) - 1} AS cv
+         |  FROM sim, UNNEST(range(0, $SimChunks)) AS t(c)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    a.simhash AS sim_a, b.simhash AS sim_b
+         |  FROM chunks a JOIN chunks b
+         |    ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id),
+         |near AS (
+         |  SELECT id_a, id_b FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3),
+         |cnt AS (
+         |  SELECT doc_id, COUNT(*) AS n_near
+         |  FROM (SELECT id_a AS doc_id FROM near
+         |        UNION ALL SELECT id_b AS doc_id FROM near) u
+         |  GROUP BY doc_id)
+         |SELECT s.doc_id, s.simhash, COALESCE(c.n_near, 0) AS n_near
+         |FROM sim s LEFT JOIN cnt c ON s.doc_id = c.doc_id
+         |ORDER BY s.doc_id""".stripMargin)
 }

@@ -56,8 +56,9 @@ object Extraction {
         col("c.location").as("location"))
       .orderBy("o_orderkey", "location")
 
-  /** Reference filter rules (PriceParcer.scala:22-27), declarative. */
-  private def keepRules(cand: Column, snip: Column): Column =
+  /** Reference filter rules (PriceParcer.scala:22-27), declarative.
+    * Shared with TextQueries.priceDecision's candidate stage. */
+  private[operators] def keepRules(cand: Column, snip: Column): Column =
     (cand.contains(".") || cand.contains(",")) &&
       !(cand.contains(",,") || cand.contains(".,") ||
         cand.contains(",.") || cand.contains("..")) &&

@@ -119,22 +119,86 @@ object TextQueries {
       .orderBy("o_orderkey")
   }
 
-  /** q_price_decision: the streaming price-decision status machine over
-    * all seven statuses. Reference: Utils.scala:408-432. */
+  /** q_price_decision: the streaming price-decision status machine, with
+    * its inputs DERIVED from the extraction pipeline rather than
+    * synthesized: modelPrice comes from the scanner's filtered candidates
+    * (argmax stand-in for model confidence; -1 when every candidate is
+    * filtered out, -2 when the page's domain has no trained model),
+    * updatedPrice from a literal-pattern extraction (0 when the pattern
+    * misses). Six page variants exercise every path: clean page, minor
+    * (+5%) and major (+50%) second marked price, renamed pattern anchor,
+    * marker-free page, and pattern-only page. The model table is itself
+    * data-derived: domains (customers) with ≥2 training-split pages.
+    * Reference: Htmls2Cassandra.scala:183-227 (flags + status chain),
+    * Utils.scala:115-122 (isTrueCandid), Utils.scala:408-432 (decide). */
   def priceDecision(spark: SparkSession, dir: String): DataFrame = {
-    val statuses = Seq("modeledPatternEquals", "minorModelPatternConflict",
-      "majorModelPatternConflict", "patternFailed", "missingModel",
-      "allFalseCandids", "bothFailed")
-    val status = statuses.zipWithIndex.foldLeft(lit(null).cast("string")) {
-      case (acc, (name, i)) => when(col("o_orderkey") % 7 === i, lit(name)).otherwise(acc)
+    import graft.functions.PriceCandidates.priceCandidates
+    def fmt(cents: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val d = (cents / 100).cast("long")
+      concat((d / 1000).cast("long").cast("string"), lit(","),
+        lpad((d % 1000).cast("string"), 3, "0"), lit("."),
+        lpad((cents % 100).cast("string"), 2, "0"))
     }
-    val model = floor(col("o_totalprice") * 1.1 * 100 + 0.5) / 100
-    Tables.orders(spark, dir)
-      .select(
-        col("o_orderkey"), status.as("status"),
-        col("o_totalprice").as("updated_price"),
-        model.as("model_price"),
-        Text.decidePrice(status, col("o_totalprice"), model).as("decided"))
+    val pages = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("o_orderkey") % 6).as("v"),
+        (floor(col("o_totalprice") * 100 + 0.5).cast("long") + 1000000L).as("cents"))
+      .withColumn("a_str", fmt(col("cents")))
+      .withColumn("m1_str", fmt(expr("cents + cents div 20")))
+      .withColumn("m2_str", fmt(expr("cents + cents div 2")))
+      .withColumn("html",
+        when(col("v") === 0, concat(lit("pg$<span id=\"pp\">"), col("a_str"), lit("</span> tail")))
+          .when(col("v") === 1, concat(lit("pg$<span id=\"pp\">"), col("a_str"), lit("</span> also $"), col("m1_str"), lit(" sale")))
+          .when(col("v") === 2, concat(lit("pg$<span id=\"pp\">"), col("a_str"), lit("</span> also $"), col("m2_str"), lit(" sale")))
+          .when(col("v") === 3, concat(lit("pg$<span id=\"qq\">"), col("a_str"), lit("</span> tail")))
+          .when(col("v") === 4, concat(lit("pg<span id=\"qq\">"), col("a_str"), lit("</span> tail")))
+          .otherwise(concat(lit("pg<span id=\"pp\">"), col("a_str"), lit("</span> tail"))))
+    // model side: scanner candidates → reference keep rules → best (max
+    // parsed value, the argmax-confidence stand-in); absent group = -1
+    val best = pages
+      .select(col("o_orderkey"), explode(priceCandidates(col("html"))).as("c"))
+      .filter(Extraction.keepRules(col("c.candidate"),
+        concat(col("c.text_before"), col("c.candidate"), col("c.text_after"))))
+      .groupBy("o_orderkey")
+      .agg(max(Text.parsePriceLocale(col("c.candidate"))).as("best_cand"))
+    // trained-model table: domains (= customers) with ≥2 training pages
+    val modelTbl = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 10 < 7)
+      .groupBy("o_custkey").agg(count(lit(1)).as("n_train"))
+      .filter(col("n_train") >= 2)
+      .select(col("o_custkey"), lit(1).as("has_model"))
+    // pattern side: literal-anchor extraction ="pp"> … </span>
+    val posB = locate("=\"pp\">", col("html")) // 1-based, 0 if absent
+    val inner = expr("substring(html, locate('=\"pp\">', html) + 6, " +
+      "locate('</span>', html, locate('=\"pp\">', html) + 6) - locate('=\"pp\">', html) - 6)")
+    val withPrices = pages
+      .join(best, Seq("o_orderkey"), "left")
+      .join(broadcast(modelTbl), Seq("o_custkey"), "left")
+      .withColumn("updated_price",
+        when(posB === 0, lit(0.0))
+          .otherwise(coalesce(Text.parsePriceLocale(inner), lit(0.0))))
+      .withColumn("model_price",
+        when(col("has_model").isNull, lit(-2.0))
+          .otherwise(coalesce(col("best_cand"), lit(-1.0))))
+    // the reference's flag chain, verbatim (Htmls2Cassandra.scala:192-227)
+    val afc = col("model_price") === -1.0
+    val mm = col("model_price") === -2.0
+    val pf = col("updated_price").cast("int") === 0
+    val eq = !pf && !mm && !afc &&
+      abs(col("model_price") - col("updated_price")) < 0.009
+    val status = when(eq, "modeledPatternEquals")
+      .when(!afc && !mm && !pf,
+        when(abs(col("updated_price") - col("model_price")) /
+          greatest(col("updated_price"), col("model_price")) <= 0.1,
+          "minorModelPatternConflict").otherwise("majorModelPatternConflict"))
+      .when((afc || mm) && pf, "bothFailed")
+      .when(pf, "patternFailed")
+      .when(mm, "missingModel")
+      .otherwise("allFalseCandids")
+    withPrices
+      .select(col("o_orderkey"), status.as("status"),
+        col("updated_price"), col("model_price"),
+        Text.decidePrice(status, col("updated_price"), col("model_price")).as("decided"))
       .orderBy("o_orderkey")
   }
 
@@ -256,19 +320,53 @@ object TextQueries {
         |FROM m
         |ORDER BY o_orderkey""".stripMargin,
     "q_price_decision" ->
-      """WITH t AS (
-        |  SELECT o_orderkey,
-        |    CASE CAST(o_orderkey % 7 AS INT)
-        |      WHEN 0 THEN 'modeledPatternEquals'
-        |      WHEN 1 THEN 'minorModelPatternConflict'
-        |      WHEN 2 THEN 'majorModelPatternConflict'
-        |      WHEN 3 THEN 'patternFailed'
-        |      WHEN 4 THEN 'missingModel'
-        |      WHEN 5 THEN 'allFalseCandids'
-        |      ELSE 'bothFailed' END AS status,
-        |    o_totalprice AS updated_price,
-        |    floor(o_totalprice * 1.1 * 100 + 0.5) / 100 AS model_price
-        |  FROM orders)
+      """WITH b AS (
+        |  SELECT o_orderkey, o_custkey, CAST(o_orderkey % 6 AS INT) AS v,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) + 1000000 AS cents
+        |  FROM orders),
+        |s AS (
+        |  SELECT o_orderkey, o_custkey, v,
+        |    concat(CAST(cents // 100 // 1000 AS VARCHAR), ',',
+        |      lpad(CAST(cents // 100 % 1000 AS VARCHAR), 3, '0'), '.',
+        |      lpad(CAST(cents % 100 AS VARCHAR), 2, '0')) AS a_str,
+        |    concat(CAST((cents + cents // 20) // 100 // 1000 AS VARCHAR), ',',
+        |      lpad(CAST((cents + cents // 20) // 100 % 1000 AS VARCHAR), 3, '0'), '.',
+        |      lpad(CAST((cents + cents // 20) % 100 AS VARCHAR), 2, '0')) AS m1_str,
+        |    concat(CAST((cents + cents // 2) // 100 // 1000 AS VARCHAR), ',',
+        |      lpad(CAST((cents + cents // 2) // 100 % 1000 AS VARCHAR), 3, '0'),  '.',
+        |      lpad(CAST((cents + cents // 2) % 100 AS VARCHAR), 2, '0')) AS m2_str
+        |  FROM b),
+        |p AS (
+        |  SELECT o_orderkey, o_custkey, v,
+        |    CAST(replace(a_str, ',', '') AS DOUBLE) AS a_val,
+        |    CAST(replace(m1_str, ',', '') AS DOUBLE) AS m1_val,
+        |    CAST(replace(m2_str, ',', '') AS DOUBLE) AS m2_val
+        |  FROM s),
+        |mt AS (
+        |  SELECT o_custkey FROM orders WHERE o_orderkey % 10 < 7
+        |  GROUP BY o_custkey HAVING COUNT(*) >= 2),
+        |m AS (
+        |  SELECT p.o_orderkey,
+        |    CASE WHEN v IN (3, 4) THEN 0.0 ELSE a_val END AS updated_price,
+        |    CASE WHEN mt.o_custkey IS NULL THEN -2.0
+        |         WHEN v = 4 OR v = 5 THEN -1.0
+        |         WHEN v = 1 THEN m1_val
+        |         WHEN v = 2 THEN m2_val
+        |         ELSE a_val END AS model_price
+        |  FROM p LEFT JOIN mt ON p.o_custkey = mt.o_custkey),
+        |st AS (
+        |  SELECT *,
+        |    CASE
+        |      WHEN model_price <> -1.0 AND model_price <> -2.0 AND CAST(updated_price AS INT) <> 0
+        |           AND abs(model_price - updated_price) < 0.009 THEN 'modeledPatternEquals'
+        |      WHEN model_price <> -1.0 AND model_price <> -2.0 AND CAST(updated_price AS INT) <> 0 THEN
+        |        CASE WHEN abs(updated_price - model_price) / greatest(updated_price, model_price) <= 0.1
+        |             THEN 'minorModelPatternConflict' ELSE 'majorModelPatternConflict' END
+        |      WHEN (model_price = -1.0 OR model_price = -2.0) AND CAST(updated_price AS INT) = 0 THEN 'bothFailed'
+        |      WHEN CAST(updated_price AS INT) = 0 THEN 'patternFailed'
+        |      WHEN model_price = -2.0 THEN 'missingModel'
+        |      ELSE 'allFalseCandids' END AS status
+        |  FROM m)
         |SELECT o_orderkey, status, updated_price, model_price,
         |  CASE
         |    WHEN status IN ('modeledPatternEquals', 'minorModelPatternConflict', 'patternFailed')
@@ -277,6 +375,6 @@ object TextQueries {
         |      THEN updated_price
         |    WHEN status = 'bothFailed' THEN 0.0
         |    ELSE NULL END AS decided
-        |FROM t
+        |FROM st
         |ORDER BY o_orderkey""".stripMargin)
 }

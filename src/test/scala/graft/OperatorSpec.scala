@@ -44,6 +44,20 @@ class OperatorSpec extends SparkSpec {
     assert(mm.getDouble(0) >= 0.0 && mm.getDouble(1) <= 1.0)
   }
 
+  test("minhash hot-bucket cap bounds an identical-content flood") {
+    // 1000 byte-identical docs land in ONE bucket per band; uncapped
+    // pairing would emit ~500k pairs — the cap bounds it at C(64,2).
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_flood").toString
+    (0L until 1000L).map(i => (i, "all work and no play makes a dull boy indeed"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = graft.operators.Dedup.minhashPairs(spark, dir)
+    val rows = pairs.collect()
+    assert(rows.length == 64 * 63 / 2, s"got ${rows.length} pairs")
+    assert(rows.forall(_.getAs[Long]("n_bands") == 8L))
+  }
+
   test("ann cosine returns at most k ranked neighbors per query") {
     val df = run("q_ann_cosine")
     val bad = df.groupBy("query_id").count().filter(col("count") > 5)

@@ -1,0 +1,106 @@
+package graft.ml
+
+import org.apache.spark.ml.{Estimator, Model}
+import org.apache.spark.ml.feature.{HashingTF, IDF, IDFModel, VectorAssembler, VectorSlicer}
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.ml.param.{IntParam, Param, ParamMap, Params}
+import org.apache.spark.ml.stat.Summarizer
+import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.StructType
+
+/** Shared params for [[TopKByAvgTFIDF]] / [[TopKByAvgTFIDFModel]]. */
+trait TopKTFIDFParams extends Params {
+  final val termsCol = new Param[String](this, "termsCol", "input terms array column")
+  final val locationCol = new Param[String](this, "locationCol", "normalized location feature column")
+  final val outputCol = new Param[String](this, "outputCol", "assembled feature vector column")
+  final val numFeatures = new IntParam(this, "numFeatures", "HashingTF bucket count")
+  final val minDocFreq = new IntParam(this, "minDocFreq", "IDF minimum document frequency")
+  final val topK = new IntParam(this, "topK", "buckets kept by mean-TFIDF rank")
+  setDefault(termsCol -> "terms", locationCol -> "location_norm",
+    outputCol -> "features", numFeatures -> 1000, minDocFreq -> 5, topK -> 100)
+}
+
+/** Text featurization estimator mirroring the reference's candidate
+  * pipeline (Transformer.scala:29-43 getTopTFIDFIndices /
+  * findTopKThreshold / getGreaterIndices / projectByIndices, wired in
+  * GBTDomainSuperParSelectCandid.scala:50-57):
+  * HashingTF(numFeatures) → IDF(minDocFreq) fit on the training split →
+  * per-bucket mean TF-IDF → keep the top-k buckets (threshold = k'-th
+  * largest where k' = min(k, #non-zero); ties keep every bucket at the
+  * threshold, as the reference does) → projected tf·idf values with the
+  * normalized candidate location appended as the final feature.
+  *
+  * The selection statistics are a single distributed `Summarizer.mean`
+  * pass; only the numFeatures-length mean vector ever reaches the
+  * driver, so the fit is one job regardless of corpus size. The model's
+  * transform is pure column work (HashingTF → IDFModel → VectorSlicer →
+  * VectorAssembler), no driver loop.
+  */
+class TopKByAvgTFIDF(override val uid: String)
+    extends Estimator[TopKByAvgTFIDFModel] with TopKTFIDFParams {
+  def this() = this(Identifiable.randomUID("topKByAvgTFIDF"))
+
+  def setTermsCol(v: String): this.type = set(termsCol, v)
+  def setLocationCol(v: String): this.type = set(locationCol, v)
+  def setOutputCol(v: String): this.type = set(outputCol, v)
+  def setNumFeatures(v: Int): this.type = set(numFeatures, v)
+  def setMinDocFreq(v: Int): this.type = set(minDocFreq, v)
+  def setTopK(v: Int): this.type = set(topK, v)
+
+  override def fit(ds: Dataset[_]): TopKByAvgTFIDFModel = {
+    val tf = new HashingTF()
+      .setInputCol($(termsCol)).setOutputCol("graft_tf")
+      .setNumFeatures($(numFeatures))
+    val tfDf = tf.transform(ds)
+    val idfModel = new IDF()
+      .setInputCol("graft_tf").setOutputCol("graft_tfidf")
+      .setMinDocFreq($(minDocFreq))
+      .fit(tfDf)
+    val mean = idfModel.transform(tfDf)
+      .select(Summarizer.mean(col("graft_tfidf")).as("m"))
+      .head().getAs[Vector](0).toArray
+    // findTopKThreshold: k' = min(k, #non-zero buckets); threshold is
+    // the k'-th largest mean; getGreaterIndices keeps >= threshold
+    val kEff = math.max(1, math.min($(topK), mean.count(_ != 0.0)))
+    val threshold = mean.sorted.takeRight(kEff)(0)
+    val indices = mean.indices.filter(i => mean(i) >= threshold).toArray
+    copyValues(new TopKByAvgTFIDFModel(uid, idfModel, indices).setParent(this))
+  }
+
+  override def copy(extra: ParamMap): TopKByAvgTFIDF = defaultCopy(extra)
+  override def transformSchema(schema: StructType): StructType = schema
+}
+
+/** Fitted [[TopKByAvgTFIDF]]: IDF weights + selected bucket indices.
+  * `transform` appends `outputCol` = tf·idf over the selected buckets
+  * with the normalized location as the final component — feature
+  * dimensionality is `selectedIndices.length + 1`. */
+class TopKByAvgTFIDFModel(
+    override val uid: String,
+    val idfModel: IDFModel,
+    val selectedIndices: Array[Int])
+    extends Model[TopKByAvgTFIDFModel] with TopKTFIDFParams {
+
+  override def transform(ds: Dataset[_]): DataFrame = {
+    val tf = new HashingTF()
+      .setInputCol($(termsCol)).setOutputCol("graft_tf")
+      .setNumFeatures($(numFeatures))
+    val slicer = new VectorSlicer()
+      .setInputCol("graft_tfidf").setOutputCol("graft_sel")
+      .setIndices(selectedIndices)
+    val asm = new VectorAssembler()
+      .setInputCols(Array("graft_sel", $(locationCol)))
+      .setOutputCol($(outputCol))
+    val tfidf = idfModel
+      .setInputCol("graft_tf").setOutputCol("graft_tfidf")
+      .transform(tf.transform(ds))
+    asm.transform(slicer.transform(tfidf))
+      .drop("graft_tf", "graft_tfidf", "graft_sel")
+  }
+
+  override def copy(extra: ParamMap): TopKByAvgTFIDFModel =
+    copyValues(new TopKByAvgTFIDFModel(uid, idfModel, selectedIndices).setParent(parent))
+  override def transformSchema(schema: StructType): StructType = schema
+}

@@ -19,7 +19,11 @@ import org.apache.spark.sql.functions._
   * map-side partial aggregation; the final top-k ranks ~|vocab| rows.
   *
   * q_gbt_train_eval follows um/re/domain/models/
-  * GBTDomainSuperParSelectCandid.scala: per-domain GBT, URL-grouped
+  * GBTDomainSuperParSelectCandid.scala: per-domain GBT over TEXT
+  * features — each extracted price candidate is featurized with the
+  * [[TopKByAvgTFIDF]] estimator (HashingTF(1000) → IDF(minDocFreq=5) →
+  * mean-TFIDF top-100 projection, location appended), fitted on that
+  * domain's training split exactly as the reference does. URL-grouped
   * 70/30 split, per-URL argmax-confidence candidate selection, and the
   * evaluateModel confusion metrics. Domains are bounded (reference
   * trains one model per web domain), so the driver loops over domains
@@ -60,6 +64,35 @@ object MLQueries {
         floor(col("mean_tfidf") * 1e6 + 0.5).cast("long").as("mean_tfidf_e6"))
   }
 
+  /** Char n-grams with the reference's quirky bounds (gramsByN,
+    * Transformer.scala:89-101: index 0 never starts a gram, the last
+    * gram stops one short; short strings yield no grams). */
+  private def charGramsArr(s: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =
+    when(length(s) >= n + 2,
+      transform(sequence(lit(2), length(s) - n), i => s.substr(i, lit(n))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Labeled candidate text features — the reference's gramsTFIDFParser
+    * (Transformer.scala:74-87): data = text_before + text_after +
+    * domain; terms = char 3-grams ++ char 4-grams ++ tokens; location
+    * normalized by page length; label = isTrueCandid (candidate parses
+    * to the page's true price). Deterministic ~5% URL sample cap keeps
+    * the training job bounded at any corpus scale. */
+  private def candidateFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Text
+    val cand = graft.operators.Extraction.labeledCandidates(spark, dir)
+      .filter(pmod(xxhash64(col("o_orderkey")), lit(20)) === 0)
+    val domain = concat(lit("shop"), (col("o_custkey") % 3).cast("string"), lit(".example.com"))
+    val data = concat(col("text_before"), col("text_after"), domain)
+    cand.select(
+      col("o_orderkey"),
+      domain.as("domain"),
+      concat(charGramsArr(data, 3), charGramsArr(data, 4), Text.tokenize(data)).as("terms"),
+      (col("location").cast("double") / col("page_len")).as("location_norm"),
+      coalesce((Text.parsePriceLocale(col("candidate")) ===
+        Text.parsePriceLocale(col("a_str"))).cast("double"), lit(0.0)).as("label"))
+  }
+
   private def featurized(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       // deterministic ~5% sample cap that preserves all orderkey residues
@@ -82,27 +115,31 @@ object MLQueries {
     * is lighter — pass the reference values to reproduce its cost. */
   def gbtTrainEval(spark: SparkSession, dir: String,
       maxIter: Int = 5, maxDepth: Int = 3): DataFrame = {
-    val data = featurized(spark, dir).cache()
+    val data = candidateFeatures(spark, dir).cache()
     try {
       val domains = data.select("domain").distinct().collect().map(_.getString(0)).sorted
       val perDomain = domains.map { dom =>
         val d = data.filter(col("domain") === dom)
-        // URL-grouped split: whole orders go to train or test together
-        val train = d.filter(col("l_orderkey") % 10 < 7)
-        val test = d.filter(col("l_orderkey") % 10 >= 7)
+        // URL-grouped split: whole pages go to train or test together
+        val train = d.filter(col("o_orderkey") % 10 < 7)
+        val test = d.filter(col("o_orderkey") % 10 >= 7)
+        // per-domain text featurization fitted on this domain's training
+        // split only (GBTDomainSuperParSelectCandid.scala:50-57):
+        // HashingTF(1000) → IDF(minDocFreq=5) → mean-TFIDF top-100
+        val fpm = new TopKByAvgTFIDF().fit(train)
         val model = new GBTClassifier()
           .setMaxIter(maxIter).setMaxDepth(maxDepth).setSeed(42L)
           .setLabelCol("label").setFeaturesCol("features")
-          .fit(train)
-        val scored = model.transform(test)
-          .select(col("l_orderkey"), col("label"),
+          .fit(fpm.transform(train))
+        val scored = model.transform(fpm.transform(test))
+          .select(col("o_orderkey"), col("label"),
             col("prediction"),
             // confidence = the boosting margin Σᵢ treeWeightᵢ·treePredᵢ
             // (Transformer.scala confidenceGBT); Spark ML surfaces it as
             // rawPrediction = [-margin, margin]
             element_at(vector_to_array(col("rawPrediction")), 2).as("confidence"))
         // per-URL argmax-confidence candidate (Transformer.scala:322-337)
-        val w = Window.partitionBy("l_orderkey")
+        val w = Window.partitionBy("o_orderkey")
           .orderBy(col("confidence").desc, col("label").desc)
         val top = scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         // coalesce: sum() over an empty test split is null, not 0
@@ -115,11 +152,13 @@ object MLQueries {
         val nUrls = top.count()
         val hits = top.filter(col("label") === 1.0).count()
         (dom, train.count(), test.count(), agg.getLong(0), agg.getLong(1),
-          agg.getLong(2), agg.getLong(3), nUrls, hits)
+          agg.getLong(2), agg.getLong(3), nUrls, hits,
+          fpm.selectedIndices.length + 1L)
       }
       import spark.implicits._
       perDomain.toSeq
-        .toDF("domain", "n_train", "n_test", "tp", "tn", "fp", "fn", "n_urls", "top_label_hits")
+        .toDF("domain", "n_train", "n_test", "tp", "tn", "fp", "fn",
+          "n_urls", "top_label_hits", "n_features")
         .withColumn("accuracy",
           round((col("tp") + col("tn")) / (col("tp") + col("tn") + col("fp") + col("fn")), 6))
         .orderBy("domain")
@@ -145,6 +184,13 @@ object MLQueries {
         .setLabelCol("label").setFeaturesCol("features")
       val pca = new PCA().setK(2).setInputCol("features").setOutputCol("pca")
       val pcaModel = pca.fit(train)
+      // PCA→GBT chain (um/re/models/PCA2GBT.scala): boost on the
+      // projected component space, not the raw features
+      val pcaGbt = new GBTClassifier()
+        .setMaxIter(5).setMaxDepth(3).setSeed(42L)
+        .setLabelCol("label").setFeaturesCol("pca")
+      val pcaGbtAcc = acc(
+        pcaGbt.fit(pcaModel.transform(train)).transform(pcaModel.transform(test)))
       // LDA over the document corpus (um/re/models/LDA.scala analog)
       val docs = Tables.documents(spark, dir)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -162,6 +208,7 @@ object MLQueries {
         ("random_forest", acc(rf.fit(train).transform(test))),
         ("linear_svc", acc(svc.fit(train).transform(test))),
         ("pca_var_top2", pcaModel.explainedVariance.toArray.take(2).sum),
+        ("pca_gbt_accuracy", pcaGbtAcc),
         ("lda_log_perplexity", ldaMetric))
       import spark.implicits._
       val out = rows.toDF("model", "metric")

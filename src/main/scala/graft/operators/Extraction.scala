@@ -34,7 +34,8 @@ object Extraction {
     val d = (col("cents") / 100).cast("long")
     val c = col("cents") % 100
     Tables.orders(spark, dir)
-      .select(col("o_orderkey"), col("o_orderkey").cast("string").as("ks"), cents)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderkey").cast("string").as("ks"), cents)
       .withColumn("a_str",
         concat((d / 1000).cast("long").cast("string"), lit(","),
           lpad((d % 1000).cast("string"), 3, "0"), lit("."),
@@ -44,6 +45,22 @@ object Extraction {
         concat(lit(P1), col("ks"), lit(P2), col("ks"), lit(P3),
           col("a_str"), lit(P4), col("b_str"), lit(P5)))
   }
+
+  /** Labeled candidate rows for the ML featurization path: every
+    * scanner candidate with its snippets, 0-based location, the page
+    * length (for location normalization), and the page's true price
+    * string — the label source (isTrueCandid analog: candidate parses
+    * to the true price; Utils.scala:115-122). */
+  private[graft] def labeledCandidates(spark: SparkSession, dir: String): DataFrame =
+    withHtml(spark, dir)
+      .withColumn("page_len", length(col("html")).cast("double"))
+      .select(col("o_orderkey"), col("o_custkey"), col("a_str"), col("page_len"),
+        explode(priceCandidates(col("html"))).as("c"))
+      .select(
+        col("o_orderkey"), col("o_custkey"), col("a_str"), col("page_len"),
+        col("c.candidate").as("candidate"),
+        col("c.text_before").as("text_before"), col("c.text_after").as("text_after"),
+        col("c.location").as("location"))
 
   /** q_price_candidates: every numeric candidate with ±50-char snippets
     * and 0-based location. */

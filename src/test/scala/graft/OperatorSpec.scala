@@ -79,6 +79,23 @@ class OperatorSpec extends SparkSpec {
       assert(r.getAs[Long]("n_train") > 0 && r.getAs[Long]("n_test") > 0)
       val acc = r.getAs[Double]("accuracy")
       assert(acc >= 0.0 && acc <= 1.0)
+      // text featurization: top-k(≤100, ties keep extras) tf·idf buckets
+      // + the location feature
+      val nf = r.getAs[Long]("n_features")
+      assert(nf >= 2L && nf <= 1001L, s"n_features=$nf")
     }
+  }
+
+  test("TopKByAvgTFIDF selects buckets and appends the location feature") {
+    import spark.implicits._
+    val ds = (0 until 200).map { i =>
+      (i.toLong, Seq("alpha", "beta", s"tok$i", "gamma", "delta"), 0.5, (i % 2).toDouble)
+    }.toDF("o_orderkey", "terms", "location_norm", "label")
+    val m = new graft.ml.TopKByAvgTFIDF().setTopK(3).fit(ds)
+    assert(m.selectedIndices.nonEmpty)
+    val v = m.transform(ds).select("features")
+      .head.getAs[org.apache.spark.ml.linalg.Vector](0)
+    assert(v.size == m.selectedIndices.length + 1)
+    assert(v(v.size - 1) == 0.5) // location rides as the last component
   }
 }

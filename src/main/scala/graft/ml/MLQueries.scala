@@ -117,8 +117,17 @@ object MLQueries {
       maxIter: Int = 5, maxDepth: Int = 3): DataFrame = {
     val data = candidateFeatures(spark, dir).cache()
     try {
+      data.count() // materialize the shared cache once, before the racing fits
       val domains = data.select("domain").distinct().collect().map(_.getString(0)).sorted
-      val perDomain = domains.map { dom =>
+      // parallel per-domain training, as the reference's `list.par` loop
+      // (GBTDomainSuperParSelectCandid.scala:31-35): each fit is itself a
+      // distributed job; a bounded pool lets concurrent domains share the
+      // cluster instead of serializing driver-side
+      val pool = new scala.collection.parallel.ForkJoinTaskSupport(
+        new java.util.concurrent.ForkJoinPool(math.min(domains.length, 4)))
+      val parDomains = scala.collection.parallel.immutable.ParVector(domains.toIndexedSeq: _*)
+      parDomains.tasksupport = pool
+      val perDomain = parDomains.map { dom =>
         val d = data.filter(col("domain") === dom)
         // URL-grouped split: whole pages go to train or test together
         val train = d.filter(col("o_orderkey") % 10 < 7)
@@ -154,7 +163,7 @@ object MLQueries {
         (dom, train.count(), test.count(), agg.getLong(0), agg.getLong(1),
           agg.getLong(2), agg.getLong(3), nUrls, hits,
           fpm.selectedIndices.length + 1L)
-      }
+      }.seq
       import spark.implicits._
       perDomain.toSeq
         .toDF("domain", "n_train", "n_test", "tp", "tn", "fp", "fn",

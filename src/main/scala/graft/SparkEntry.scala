@@ -38,5 +38,7 @@ object SparkEntry {
       operators.Dedup.oracleSql ++
       operators.Similarity.oracleSql ++
       operators.TextAnalysis.oracleSql ++
+      operators.Multimodal.oracleSql ++
+      streaming.StreamingQueries.oracleSql ++
       ml.MLQueries.oracleSql
 }

@@ -48,7 +48,9 @@ object Multimodal {
       var sum = 0L
       var i = 0
       val n = math.min(payload.length, 64)
-      while (i < n) { sum = sum * 31 + (payload(i) & 0xff); i += 1 }
+      // modular poly-31 over the first 64 bytes: stays < 2^35 at every
+      // step, so the DuckDB oracle can rebuild it without int64 overflow
+      while (i < n) { sum = (sum * 31 + (payload(i) & 0xff)) % 1000000007L; i += 1 }
       val f = new Array[Float](4)
       var j = 0
       while (j < 4) {
@@ -93,7 +95,9 @@ object Multimodal {
     * of [[decodedFeatures]] down to sortable scalars (count / sum /
     * scaled L2) — the driver's pandas-based compare cannot sort raw
     * array cells. The arrays stay available via the library API above.
-    * Rows-only oracle (binary plumbing). */
+    * Fully hash-oracled: the corpus is ASCII, so DuckDB rebuilds the
+    * byte-level decode (modular checksum, float32 resize/feature math)
+    * value-for-value. */
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
     decodedFeatures(spark, dir)
       .select(
@@ -110,5 +114,49 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> (multimodalMeta(_, _)))
 
-  val oracleSql: Map[String, String] = Map()
+  val oracleSql: Map[String, String] = Map(
+    "q_multimodal_meta" ->
+      """WITH b AS (
+        |  SELECT doc_id, text, len(text) AS blen,
+        |    CAST(n_chars % 640 AS INT) AS width,
+        |    CAST((doc_id * 7) % 480 AS INT) AS height,
+        |    CASE CAST(doc_id % 3 AS INT)
+        |      WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format
+        |  FROM documents),
+        |ck AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, least(blen, 64) + 1),
+        |        i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) AS checksum
+        |  FROM b),
+        |rz AS (
+        |  SELECT doc_id,
+        |    CASE WHEN width <= 0 OR height <= 0 THEN 224
+        |         WHEN width >= height THEN 224
+        |         ELSE greatest(1, CAST(floor(CAST(224 AS REAL) * CAST(width AS REAL)
+        |           / CAST(height AS REAL) + CAST(0.5 AS REAL)) AS INT)) END AS resized_w,
+        |    CASE WHEN width <= 0 OR height <= 0 THEN 224
+        |         WHEN width >= height THEN greatest(1, CAST(floor(CAST(224 AS REAL)
+        |           * CAST(height AS REAL) / CAST(width AS REAL) + CAST(0.5 AS REAL)) AS INT))
+        |         ELSE 224 END AS resized_h
+        |  FROM b),
+        |fr AS (
+        |  SELECT doc_id,
+        |    CAST(least(blen, 4) AS INT) AS n_frames,
+        |    CAST((0 * blen) // 4 + (1 * blen) // 4
+        |       + (2 * blen) // 4 + (3 * blen) // 4 AS BIGINT) AS frame_sum
+        |  FROM b),
+        |ft AS (
+        |  SELECT doc_id,
+        |    CAST(CAST(checksum % 65536 AS REAL) / CAST(65535 AS REAL) AS DOUBLE) AS x0,
+        |    CAST(CAST((checksum // 65536) % 65536 AS REAL) / CAST(65535 AS REAL) AS DOUBLE) AS x1
+        |  FROM ck)
+        |SELECT b.doc_id, b.format, b.width, b.height, rz.resized_w, rz.resized_h,
+        |  fr.n_frames, fr.frame_sum, CAST(b.blen AS INT) AS byte_len, ck.checksum,
+        |  CAST(floor((x0 * x0 + x1 * x1) * 1e6 + 0.5) AS BIGINT) AS feature_l2sq_e6
+        |FROM b
+        |JOIN ck USING (doc_id) JOIN rz USING (doc_id)
+        |JOIN fr USING (doc_id) JOIN ft USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin)
 }

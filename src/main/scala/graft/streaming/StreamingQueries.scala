@@ -128,7 +128,11 @@ object StreamingQueries {
     val agg = eventsStream(spark, dir)
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      // integer-cents sum: associative-exact, so the incremental
+      // streaming aggregation state is order-independent and the result
+      // bit-matches the batch oracle
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("value") * 100 + 0.5).cast("long")) / 100.0).as("sum_value"))
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("sum_value"))
     runToMemory(spark, agg, OutputMode.Append()).orderBy("win_start", "event_type")
@@ -164,5 +168,60 @@ object StreamingQueries {
     "q_stream_window" -> (streamWindow(_, _)),
     "q_stream_stateful" -> (streamStateful(_, _)))
 
-  val oracleSql: Map[String, String] = Map()
+  /** The streaming queries run real Structured Streaming, but over the
+    * bounded testdata their results are deterministic functions of
+    * `events` — so they get full DuckDB oracles: the strongest possible
+    * check that the streaming semantics (state machine, watermark
+    * finalization) match their batch-SQL meaning. */
+  val oracleSql: Map[String, String] = Map(
+    "q_stream_pipe" ->
+      """WITH m(event_type, model_mult) AS (
+        |  VALUES ('view', 1.00), ('click', 1.02), ('purchase', 0.98),
+        |         ('error', 1.00), ('scroll', 1.01)),
+        |x AS (
+        |  SELECT event_id, user_id,
+        |    CAST(printf('%.2f', value + 100.0) AS DOUBLE) AS extracted,
+        |    floor((value + 100.0) * COALESCE(model_mult, 1.0) * 100 + 0.5) / 100 AS model_price
+        |  FROM events LEFT JOIN m USING (event_type)),
+        |s AS (
+        |  SELECT *,
+        |    CASE WHEN abs(extracted - model_price) < 0.005 THEN 'modeledPatternEquals'
+        |         WHEN abs(extracted - model_price) < model_price * 0.1 THEN 'minorModelPatternConflict'
+        |         ELSE 'majorModelPatternConflict' END AS status
+        |  FROM x)
+        |SELECT event_id, user_id, extracted, model_price, status,
+        |  CASE
+        |    WHEN status IN ('modeledPatternEquals', 'minorModelPatternConflict') THEN model_price
+        |    WHEN status = 'majorModelPatternConflict' THEN extracted
+        |    ELSE NULL END AS decided_price
+        |FROM s
+        |ORDER BY event_id""".stripMargin,
+    "q_stream_window" ->
+      """WITH e AS (
+        |  SELECT make_timestamp((epoch_ns(ts) // 1000 // 300000000) * 300000000) AS win_start,
+        |    make_timestamp(epoch_ns(ts) // 1000) AS ts_us,
+        |    event_type, value
+        |  FROM events),
+        |wm AS (SELECT max(ts_us) - INTERVAL 10 MINUTE AS horizon FROM e),
+        |agg AS (
+        |  SELECT win_start, event_type, COUNT(*) AS n,
+        |    SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_value
+        |  FROM e GROUP BY win_start, event_type)
+        |SELECT a.win_start, a.event_type, a.n, a.sum_value
+        |FROM agg a, wm
+        |WHERE a.win_start + INTERVAL 5 MINUTE <= wm.horizon
+        |ORDER BY win_start, event_type""".stripMargin,
+    "q_stream_stateful" ->
+      """WITH o AS (
+        |  SELECT user_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn_desc,
+        |    LAG(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+        |  FROM events)
+        |SELECT user_id,
+        |  MAX(CASE WHEN rn_desc = 1 THEN value END) AS last_value,
+        |  COUNT(*) AS n_events,
+        |  CAST(COALESCE(SUM(CASE WHEN prev IS NOT NULL AND value <> prev THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_changes
+        |FROM o
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin)
 }

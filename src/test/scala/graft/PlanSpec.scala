@@ -40,4 +40,15 @@ class PlanSpec extends SparkSpec {
     // 4 projected columns → the scan must not read the full 16-col schema
     assert(!p.contains("l_shipdate"), "scan reads an unprojected column")
   }
+
+  test("top-k and id assignment avoid single-partition global windows") {
+    // r3 verdict scale-killers: an empty-key Window moves ALL data to
+    // one partition. The top-k must be TakeOrderedAndProject (per-
+    // partition heap + driver merge); the id path must plan no window.
+    val t = plan("q_tfidf_topk")
+    assert(t.contains("TakeOrderedAndProject"), "tfidf top-k is not TakeOrderedAndProject")
+    assert(!t.contains("Window"), "q_tfidf_topk plans a window")
+    val g = plan("q_get_domain")
+    assert(!g.contains("Window"), "q_get_domain plans a window")
+  }
 }

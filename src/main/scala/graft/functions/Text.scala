@@ -86,6 +86,26 @@ object Text {
   /** Price-decision status machine: choose between the ML model's price
     * and the extraction pattern's price based on the conflict status.
     * Reference: Utils.getPriceFromMsgMap (Utils.scala:408-432). */
+  /** The streaming price-decision status chain with the reference's
+    * verbatim flag logic (Htmls2Cassandra.scala:183-227): modelPrice
+    * sentinels -1 = every candidate filtered, -2 = no model for the
+    * domain; the pattern failed when int(updatedPrice) == 0; equality
+    * within 0.009; minor vs major conflict at 10% of the larger price. */
+  def decisionStatus(modelPrice: Column, updatedPrice: Column): Column = {
+    val afc = modelPrice === -1.0
+    val mm = modelPrice === -2.0
+    val pf = updatedPrice.cast("int") === 0
+    val eq = !pf && !mm && !afc && abs(modelPrice - updatedPrice) < 0.009
+    when(eq, "modeledPatternEquals")
+      .when(!afc && !mm && !pf,
+        when(abs(updatedPrice - modelPrice) / greatest(updatedPrice, modelPrice) <= 0.1,
+          "minorModelPatternConflict").otherwise("majorModelPatternConflict"))
+      .when((afc || mm) && pf, "bothFailed")
+      .when(pf, "patternFailed")
+      .when(mm, "missingModel")
+      .otherwise("allFalseCandids")
+  }
+
   def decidePrice(status: Column, updatedPrice: Column, modelPrice: Column): Column =
     when(status.isin("modeledPatternEquals", "minorModelPatternConflict", "patternFailed"), modelPrice)
       .when(status.isin("majorModelPatternConflict", "missingModel", "allFalseCandids"), updatedPrice)

@@ -181,20 +181,7 @@ object TextQueries {
         when(col("has_model").isNull, lit(-2.0))
           .otherwise(coalesce(col("best_cand"), lit(-1.0))))
     // the reference's flag chain, verbatim (Htmls2Cassandra.scala:192-227)
-    val afc = col("model_price") === -1.0
-    val mm = col("model_price") === -2.0
-    val pf = col("updated_price").cast("int") === 0
-    val eq = !pf && !mm && !afc &&
-      abs(col("model_price") - col("updated_price")) < 0.009
-    val status = when(eq, "modeledPatternEquals")
-      .when(!afc && !mm && !pf,
-        when(abs(col("updated_price") - col("model_price")) /
-          greatest(col("updated_price"), col("model_price")) <= 0.1,
-          "minorModelPatternConflict").otherwise("majorModelPatternConflict"))
-      .when((afc || mm) && pf, "bothFailed")
-      .when(pf, "patternFailed")
-      .when(mm, "missingModel")
-      .otherwise("allFalseCandids")
+    val status = Text.decisionStatus(col("model_price"), col("updated_price"))
     withPrices
       .select(col("o_orderkey"), status.as("status"),
         col("updated_price"), col("model_price"),

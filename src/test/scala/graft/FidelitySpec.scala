@@ -100,6 +100,51 @@ class FidelitySpec extends SparkSpec {
     assert(runCol(ins, Text.shrinkString) == ref)
   }
 
+  test("decisionStatus ≡ reference flag chain (Htmls2Cassandra.scala:183-227)") {
+    // the reference's mutable-flag logic, verbatim
+    def refStatus(modelPrice: Double, updatedPrice: Double): String = {
+      var status = ""
+      var allFalseCandids = false
+      var missingModel = false
+      var patternFailed = false
+      var modeledPatternEquals = false
+      if (modelPrice == -1.0) allFalseCandids = true
+      if (modelPrice == -2.0) missingModel = true
+      if (updatedPrice.toInt == 0) patternFailed = true
+      if (!patternFailed && !missingModel && !allFalseCandids &&
+        ((modelPrice - updatedPrice).abs < 0.009)) modeledPatternEquals = true
+      if (modeledPatternEquals) status = "modeledPatternEquals"
+      else if (!allFalseCandids && !missingModel && !patternFailed) {
+        if ((updatedPrice - modelPrice).abs / math.max(updatedPrice, modelPrice) <= 0.1)
+          status = "minorModelPatternConflict"
+        else status = "majorModelPatternConflict"
+      } else if ((allFalseCandids || missingModel) && patternFailed) status = "bothFailed"
+      else if (patternFailed) status = "patternFailed"
+      else if (missingModel) status = "missingModel"
+      else if (allFalseCandids) status = "allFalseCandids"
+      status
+    }
+    val rnd2 = new Random(7)
+    val cases = Seq(
+      (-1.0, 0.0), (-2.0, 0.0), (-1.0, 55.5), (-2.0, 120.0), (10.0, 0.0),
+      (100.0, 100.0), (100.0, 100.005), (105.0, 100.0), (150.0, 100.0), (0.5, 0.3)) ++
+      (0 until 200).map { _ =>
+        val m = rnd2.nextInt(4) match {
+          case 0 => -1.0
+          case 1 => -2.0
+          case _ => rnd2.nextDouble() * 200
+        }
+        val u = if (rnd2.nextBoolean()) 0.0 else rnd2.nextDouble() * 200
+        (m, u)
+      }
+    val got = cases.toDF("m", "u")
+      .select(Text.decisionStatus(col("m"), col("u")).as("s"))
+      .collect().map(_.getString(0))
+    cases.zip(got).foreach { case ((m, u), g) =>
+      assert(g == refStatus(m, u), s"m=$m u=$u ref=${refStatus(m, u)} got=$g")
+    }
+  }
+
   test("getDomain ≡ reference URI logic (Utils.scala:359-375)") {
     def refDomain(input: String): String = {
       var url = input

@@ -57,15 +57,21 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Default hyperplane count for the registered queries (2⁸ = 256
+    * buckets — sized for the test corpus, and pinned because the DuckDB
+    * oracle embeds exactly these planes). At production scale pass
+    * `planes ≈ log₂(corpus / targetBucketSize)`: e.g. 10⁹ vectors with
+    * ~4k-vector buckets → 18 planes. Cost is linear in planes (one
+    * 64-dim dot each); bucket count grows 2^planes. */
   private val Planes = 8
 
-  /** Constant ±1 Rademacher hyperplanes (Planes × 64), derived from
-    * md5("plane<p>/<i>") first-byte parity at class-load time — fixed
-    * operator parameters shared verbatim with the oracle SQL (same
-    * role as the extraction HTML template). */
-  private[operators] val planeSigns: Array[Array[Int]] = {
+  /** Constant ±1 Rademacher hyperplanes (n × 64), derived from
+    * md5("plane<p>/<i>") first-byte parity — fixed operator parameters
+    * shared verbatim with the oracle SQL (same role as the extraction
+    * HTML template). */
+  private[operators] def planeSigns(n: Int): Array[Array[Int]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(Planes, 64) { (p, i) =>
+    Array.tabulate(n, 64) { (p, i) =>
       val h = md.digest(s"plane$p/$i".getBytes("UTF-8"))
       if ((h(0) & 1) == 1) 1 else -1
     }
@@ -73,28 +79,29 @@ object Similarity {
 
   /** Sign-projection bucket id: bit p = [v · r_p > 0]; the projection
     * folds in pinned index order so buckets match DuckDB exactly. */
-  private def lshBucket(v: Column): Column =
-    (0 until Planes).map { p =>
-      val signs = array(planeSigns(p).map(s => lit(s.toDouble)): _*)
-      val proj = dot(v, signs)
-      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+  private def lshBucket(v: Column, planes: Int): Column = {
+    val signs = planeSigns(planes)
+    (0 until planes).map { p =>
+      val arr = array(signs(p).map(s => lit(s.toDouble)): _*)
+      when(dot(v, arr) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
+  }
 
   /** Embeddings with norm + LSH bucket (shared by the ANN + dedup
     * scale paths). */
-  private def bucketed(spark: SparkSession, dir: String): DataFrame =
+  private def bucketed(spark: SparkSession, dir: String, planes: Int): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-      .withColumn("bucket", lshBucket(col("v")))
+      .withColumn("bucket", lshBucket(col("v"), planes))
 
   /** q_ann_lsh_cosine: bucketed approximate top-k — queries only score
     * candidates in their own sign-projection bucket, so the join is a
     * bucket-keyed equi-join (shuffle ∝ corpus, scoring ∝ bucket sizes).
     * Recall < 1 by design; value-checked against a DuckDB oracle that
     * rebuilds the same buckets. */
-  def annLshCosine(spark: SparkSession, dir: String): DataFrame = {
-    val emb = bucketed(spark, dir)
+  def annLshCosine(spark: SparkSession, dir: String, planes: Int = Planes): DataFrame = {
+    val emb = bucketed(spark, dir, planes)
     val q = emb.filter(isQuery(col("vec_id")))
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("bucket").as("qbucket"))
@@ -119,8 +126,8 @@ object Similarity {
     * dedup-flavored use of the ANN machinery: bucket-local pairs with
     * cosine ≥ τ. All-pairs work is confined to sign-projection buckets
     * (the 100 TB shape: shuffle ∝ corpus, compare ∝ Σ bucket²). */
-  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
-    val emb = bucketed(spark, dir)
+  def dedupEmbedding(spark: SparkSession, dir: String, planes: Int = Planes): DataFrame = {
+    val emb = bucketed(spark, dir, planes)
     val a = emb.select(col("vec_id").as("id_a"), col("v").as("va"),
       col("nrm").as("na"), col("bucket"))
     val b = emb.select(col("vec_id").as("id_b"), col("v").as("vb"),
@@ -192,7 +199,7 @@ object Similarity {
   /** Shared oracle prelude: embeddings as double lists + norms + the
     * same sign-projection buckets (planes embedded as literals). */
   private val bucketSqlPrelude: String = {
-    val planeRows = planeSigns.zipWithIndex.map { case (signs, p) =>
+    val planeRows = planeSigns(Planes).zipWithIndex.map { case (signs, p) =>
       s"SELECT $p AS p, [${signs.map(s => s"$s.0").mkString(", ")}] AS s"
     }.mkString("\n  UNION ALL ")
     s"""emb AS (

@@ -186,47 +186,68 @@ object MLQueries {
           count(lit(1)).as("n")).collect()(0)
         if (a.getLong(1) == 0L) 0.0 else a.getLong(0).toDouble / a.getLong(1)
       }
-      val rf = new RandomForestClassifier()
-        .setNumTrees(10).setMaxDepth(4).setSeed(42L)
-        .setLabelCol("label").setFeaturesCol("features")
-      val svc = new LinearSVC().setMaxIter(5).setRegParam(0.01)
-        .setLabelCol("label").setFeaturesCol("features")
-      val pca = new PCA().setK(2).setInputCol("features").setOutputCol("pca")
-      val pcaModel = pca.fit(train)
-      // PCA→GBT chain (um/re/models/PCA2GBT.scala): boost on the
-      // projected component space, not the raw features
-      val pcaGbt = new GBTClassifier()
-        .setMaxIter(5).setMaxDepth(3).setSeed(42L)
-        .setLabelCol("label").setFeaturesCol("pca")
-      val pcaGbtAcc = acc(
-        pcaGbt.fit(pcaModel.transform(train)).transform(pcaModel.transform(test)))
-      // LDA over the document corpus (um/re/models/LDA.scala analog)
-      val docs = Tables.documents(spark, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      val cv = new org.apache.spark.ml.feature.CountVectorizer()
-        .setInputCol("toks").setOutputCol("features").setVocabSize(64)
-        .fit(docs)
-      val corpus = cv.transform(docs).cache()
-      val lda = new org.apache.spark.ml.clustering.LDA()
-        .setK(3).setMaxIter(3).setSeed(42L)
-        .fit(corpus)
-      // perplexity on a capped deterministic sample — the metric pass
-      // must not rescan the full corpus
-      val ldaMetric = lda.logPerplexity(corpus.limit(500))
+      data.count() // materialize the shared cache before the racing fits
+      // the four model families are independent — train them
+      // concurrently (same pattern as the per-domain GBT loop); each fit
+      // is a distributed job, so this trades idle executors for overlap
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      val fRf = Future {
+        val rf = new RandomForestClassifier()
+          .setNumTrees(10).setMaxDepth(4).setSeed(42L)
+          .setLabelCol("label").setFeaturesCol("features")
+        acc(rf.fit(train).transform(test))
+      }
+      val fSvc = Future {
+        val svc = new LinearSVC().setMaxIter(5).setRegParam(0.01)
+          .setLabelCol("label").setFeaturesCol("features")
+        acc(svc.fit(train).transform(test))
+      }
+      val fPca = Future {
+        val pca = new PCA().setK(2).setInputCol("features").setOutputCol("pca")
+        val pcaModel = pca.fit(train)
+        // PCA→GBT chain (um/re/models/PCA2GBT.scala): boost on the
+        // projected component space, not the raw features
+        val pcaGbt = new GBTClassifier()
+          .setMaxIter(5).setMaxDepth(3).setSeed(42L)
+          .setLabelCol("label").setFeaturesCol("pca")
+        val chained = acc(
+          pcaGbt.fit(pcaModel.transform(train)).transform(pcaModel.transform(test)))
+        (pcaModel.explainedVariance.toArray.take(2).sum, chained)
+      }
+      val fLda = Future {
+        // LDA over the document corpus (um/re/models/LDA.scala analog)
+        val docs = Tables.documents(spark, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        val cv = new org.apache.spark.ml.feature.CountVectorizer()
+          .setInputCol("toks").setOutputCol("features").setVocabSize(64)
+          .fit(docs)
+        val corpus = cv.transform(docs).cache()
+        try {
+          val lda = new org.apache.spark.ml.clustering.LDA()
+            .setK(3).setMaxIter(3).setSeed(42L)
+            .fit(corpus)
+          // perplexity on a capped deterministic sample — the metric
+          // pass must not rescan the full corpus
+          lda.logPerplexity(corpus.limit(500))
+        } finally corpus.unpersist()
+      }
+      val (pcaVar, pcaGbtAcc) = Await.result(fPca, Duration.Inf)
       val rows = Seq(
-        ("random_forest", acc(rf.fit(train).transform(test))),
-        ("linear_svc", acc(svc.fit(train).transform(test))),
-        ("pca_var_top2", pcaModel.explainedVariance.toArray.take(2).sum),
+        ("random_forest", Await.result(fRf, Duration.Inf)),
+        ("linear_svc", Await.result(fSvc, Duration.Inf)),
+        ("pca_var_top2", pcaVar),
         ("pca_gbt_accuracy", pcaGbtAcc),
-        ("lda_log_perplexity", ldaMetric))
+        ("lda_log_perplexity", Await.result(fLda, Duration.Inf)))
+      pool.shutdown()
       import spark.implicits._
-      val out = rows.toDF("model", "metric")
+      rows.toDF("model", "metric")
         .withColumn("metric", round(col("metric"), 6))
         .withColumn("n_train", lit(train.count()))
         .withColumn("n_test", lit(test.count()))
         .orderBy("model")
-      corpus.unpersist()
-      out
     } finally data.unpersist()
   }
 

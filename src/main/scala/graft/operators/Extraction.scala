@@ -112,10 +112,43 @@ object Extraction {
       .orderBy("o_orderkey")
   }
 
+  /** q_build_patterns: derive each domain's extraction pattern from
+    * candidate agreement — the pattern-building job
+    * (emr/BuildCandPatterns.scala + Utils.scala:216-249 allPatterns):
+    * a pattern is the (text_before suffix, text_after prefix) anchor
+    * pair around a TRUE candidate (one that parses to the page's real
+    * price); per domain, keep the dominant pattern with its page
+    * support and coverage. Shuffles only on (domain, pattern) and
+    * domain — the window partitions by domain (high cardinality at
+    * scale), and the per-domain totals join broadcast. */
+  def buildPatterns(spark: SparkSession, dir: String, trim: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cand = labeledCandidates(spark, dir)
+      .withColumn("domain",
+        concat(lit("shop"), (col("o_custkey") % 37).cast("string"), lit(".example.com")))
+    val tru = cand
+      .filter(graft.functions.Text.parsePriceLocale(col("candidate")) ===
+        graft.functions.Text.parsePriceLocale(col("a_str")))
+      .select(col("domain"), col("o_orderkey"),
+        expr(s"right(text_before, $trim)").as("pat_before"),
+        expr(s"left(text_after, $trim)").as("pat_after"))
+    val counts = tru.groupBy("domain", "pat_before", "pat_after")
+      .agg(countDistinct("o_orderkey").as("n_pages"))
+    val tot = cand.groupBy("domain").agg(countDistinct("o_orderkey").as("n_dom"))
+    val w = Window.partitionBy("domain")
+      .orderBy(col("n_pages").desc, col("pat_before"), col("pat_after"))
+    counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .join(broadcast(tot), Seq("domain"))
+      .select(col("domain"), col("pat_before"), col("pat_after"), col("n_pages"),
+        (col("n_pages").cast("double") / col("n_dom")).as("coverage"))
+      .orderBy("domain")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_price_candidates" -> (priceCandidatesAll(_, _)),
     "q_price_candidates_filtered" -> (priceCandidatesFiltered(_, _)),
-    "q_pattern_locate" -> (patternLocate(_, _)))
+    "q_pattern_locate" -> (patternLocate(_, _)),
+    "q_build_patterns" -> (buildPatterns(_, _)))
 
   /** Shared SQL prelude: rebuild the page + candidate locations. */
   private val baseSql: String =
@@ -180,6 +213,37 @@ object Extraction {
          |SELECT * FROM snips
          |WHERE $keepSql
          |ORDER BY o_orderkey, location""".stripMargin,
+    "q_build_patterns" ->
+      s"""WITH $baseSql,
+         |pats AS (
+         |  SELECT s.o_orderkey, s.candidate, s.text_before, s.text_after,
+         |    concat('shop', CAST(o.o_custkey % 37 AS VARCHAR), '.example.com') AS domain,
+         |    l.a_str
+         |  FROM snips s
+         |  JOIN orders o ON s.o_orderkey = o.o_orderkey
+         |  JOIN locs l ON s.o_orderkey = l.o_orderkey),
+         |tru AS (
+         |  SELECT domain, o_orderkey,
+         |    right(text_before, 12) AS pat_before,
+         |    left(text_after, 12) AS pat_after
+         |  FROM pats
+         |  WHERE CAST(replace(candidate, ',', '') AS DOUBLE)
+         |      = CAST(replace(a_str, ',', '') AS DOUBLE)),
+         |counts AS (
+         |  SELECT domain, pat_before, pat_after, COUNT(DISTINCT o_orderkey) AS n_pages
+         |  FROM tru GROUP BY domain, pat_before, pat_after),
+         |tot AS (
+         |  SELECT domain, COUNT(DISTINCT o_orderkey) AS n_dom FROM pats GROUP BY domain),
+         |best AS (
+         |  SELECT domain, pat_before, pat_after, n_pages,
+         |    ROW_NUMBER() OVER (PARTITION BY domain
+         |      ORDER BY n_pages DESC, pat_before, pat_after) AS rn
+         |  FROM counts)
+         |SELECT b.domain, b.pat_before, b.pat_after, b.n_pages,
+         |  CAST(b.n_pages AS DOUBLE) / t.n_dom AS coverage
+         |FROM best b JOIN tot t USING (domain)
+         |WHERE rn = 1
+         |ORDER BY domain""".stripMargin,
     "q_pattern_locate" ->
       s"""WITH $baseSql,
          |pat AS (

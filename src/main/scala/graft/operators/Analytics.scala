@@ -225,6 +225,42 @@ object Analytics {
       .orderBy("l_returnflag")
   }
 
+  /** Price position & variability indices per (product, store) — the
+    * reference's CalcIndices varPos stage (analytics/CalcIndices.scala:
+    * 145-190): rank stores by price within each product, relative place
+    * = rank/n, coefficient of variation from population variance, and
+    * the reference's discretized rank levels. Variance comes from exact
+    * decimal window sums (order-independent); all windows partition by
+    * product (high cardinality) — no global sort. */
+  def priceIndex(spark: SparkSession, dir: String): DataFrame = {
+    val sq = DecimalType(38, 6)
+    val offers = Tables.lineitem(spark, dir)
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min("l_extendedprice").as("price"))
+    val w = Window.partitionBy("l_partkey").orderBy(col("price").asc, col("l_suppkey").asc)
+    val wAll = Window.partitionBy("l_partkey")
+    val mean = col("sum_p") / col("n_stores")
+    val variance = greatest(col("sum_sq") / col("n_stores") - mean * mean, lit(0.0))
+    val cv = sqrt(variance) / mean
+    val relPlace = col("pos").cast("double") / col("n_stores")
+    val cvRank = when(cv <= 0.2, 1).when(cv <= 0.4, 2).when(cv <= 0.6, 3)
+      .when(cv <= 0.85, 4).otherwise(5)
+    val relPlaceRank = when(relPlace <= 0.05, 5).when(relPlace <= 0.1, 10)
+      .when(relPlace <= 0.2, 20).when(relPlace <= 0.3, 30).when(relPlace <= 0.4, 40)
+      .when(relPlace <= 0.5, 50).when(relPlace <= 0.6, 60).when(relPlace <= 0.7, 70)
+      .when(relPlace <= 0.8, 80).when(relPlace <= 0.9, 90).when(relPlace <= 0.95, 95)
+      .otherwise(100)
+    offers
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("n_stores", count(lit(1)).over(wAll))
+      .withColumn("sum_p", sum(col("price").cast(M)).over(wAll).cast("double"))
+      .withColumn("sum_sq", sum((col("price") * col("price")).cast(sq)).over(wAll).cast("double"))
+      .select(col("l_partkey"), col("l_suppkey"), col("price"), col("pos"),
+        col("n_stores"), relPlace.as("rel_place"), relPlaceRank.as("rel_place_rank"),
+        cv.as("cv"), cvRank.as("cv_rank"))
+      .orderBy("l_partkey", "l_suppkey")
+  }
+
   /** Seed frequency fill: emit each product with its order frequency,
     * keeping products above a minimum support — the reference pushes the
     * most-frequent product URLs to the scraper seed topic.
@@ -246,6 +282,7 @@ object Analytics {
     "q_hotspots" -> (hotspots(_, _)),
     "q_dom_analysis" -> (domAnalysis(_, _)),
     "q_eval_metrics" -> (evalMetrics(_, _)),
+    "q_price_index" -> (priceIndex(_, _)),
     "q_seed_freq" -> (seedFreq(_, _)))
 
   val oracleSql: Map[String, String] = Map(
@@ -380,6 +417,35 @@ object Analytics {
         |  floor(CAST(n_lb AS DOUBLE) / n_urls * 1e6 + 0.5) / 1e6 AS lower_bound
         |FROM cm JOIN ub USING (l_returnflag)
         |ORDER BY l_returnflag""".stripMargin,
+    "q_price_index" ->
+      """WITH offers AS (
+        |  SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS price
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+        |st AS (
+        |  SELECT l_partkey, l_suppkey, price,
+        |    ROW_NUMBER() OVER (PARTITION BY l_partkey ORDER BY price, l_suppkey) AS pos,
+        |    COUNT(*) OVER (PARTITION BY l_partkey) AS n_stores,
+        |    CAST(SUM(CAST(price AS DECIMAL(18,2))) OVER (PARTITION BY l_partkey) AS DOUBLE) AS sum_p,
+        |    CAST(SUM(CAST(price * price AS DECIMAL(38,6))) OVER (PARTITION BY l_partkey) AS DOUBLE) AS sum_sq
+        |  FROM offers),
+        |calc AS (
+        |  SELECT l_partkey, l_suppkey, price, pos, n_stores,
+        |    CAST(pos AS DOUBLE) / n_stores AS rel_place,
+        |    sqrt(greatest(sum_sq / n_stores - (sum_p / n_stores) * (sum_p / n_stores), 0.0))
+        |      / (sum_p / n_stores) AS cv
+        |  FROM st)
+        |SELECT l_partkey, l_suppkey, price, pos, n_stores, rel_place,
+        |  CASE WHEN rel_place <= 0.05 THEN 5 WHEN rel_place <= 0.1 THEN 10
+        |       WHEN rel_place <= 0.2 THEN 20 WHEN rel_place <= 0.3 THEN 30
+        |       WHEN rel_place <= 0.4 THEN 40 WHEN rel_place <= 0.5 THEN 50
+        |       WHEN rel_place <= 0.6 THEN 60 WHEN rel_place <= 0.7 THEN 70
+        |       WHEN rel_place <= 0.8 THEN 80 WHEN rel_place <= 0.9 THEN 90
+        |       WHEN rel_place <= 0.95 THEN 95 ELSE 100 END AS rel_place_rank,
+        |  cv,
+        |  CASE WHEN cv <= 0.2 THEN 1 WHEN cv <= 0.4 THEN 2 WHEN cv <= 0.6 THEN 3
+        |       WHEN cv <= 0.85 THEN 4 ELSE 5 END AS cv_rank
+        |FROM calc
+        |ORDER BY l_partkey, l_suppkey""".stripMargin,
     "q_seed_freq" ->
       """SELECT l_partkey, COUNT(*) AS freq, COUNT(DISTINCT l_orderkey) AS n_orders
         |FROM lineitem

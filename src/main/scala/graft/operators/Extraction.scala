@@ -134,7 +134,14 @@ object Extraction {
         expr(s"left(text_after, $trim)").as("pat_after"))
     val counts = tru.groupBy("domain", "pat_before", "pat_after")
       .agg(countDistinct("o_orderkey").as("n_pages"))
-    val tot = cand.groupBy("domain").agg(countDistinct("o_orderkey").as("n_dom"))
+    // per-domain page totals come straight from orders — every page
+    // yields candidates, so this equals the candidate-side distinct
+    // count without re-running the extraction scan for a second branch
+    val tot = Tables.orders(spark, dir)
+      .select(
+        concat(lit("shop"), (col("o_custkey") % 37).cast("string"), lit(".example.com")).as("domain"),
+        col("o_orderkey"))
+      .groupBy("domain").agg(countDistinct("o_orderkey").as("n_dom"))
     val w = Window.partitionBy("domain")
       .orderBy(col("n_pages").desc, col("pat_before"), col("pat_after"))
     counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
@@ -233,7 +240,9 @@ object Extraction {
          |  SELECT domain, pat_before, pat_after, COUNT(DISTINCT o_orderkey) AS n_pages
          |  FROM tru GROUP BY domain, pat_before, pat_after),
          |tot AS (
-         |  SELECT domain, COUNT(DISTINCT o_orderkey) AS n_dom FROM pats GROUP BY domain),
+         |  SELECT concat('shop', CAST(o_custkey % 37 AS VARCHAR), '.example.com') AS domain,
+         |    COUNT(DISTINCT o_orderkey) AS n_dom
+         |  FROM orders GROUP BY 1),
          |best AS (
          |  SELECT domain, pat_before, pat_after, n_pages,
          |    ROW_NUMBER() OVER (PARTITION BY domain

@@ -53,14 +53,23 @@ class TopKByAvgTFIDF(override val uid: String)
     val tf = new HashingTF()
       .setInputCol($(termsCol)).setOutputCol("graft_tf")
       .setNumFeatures($(numFeatures))
-    val tfDf = tf.transform(ds)
-    val idfModel = new IDF()
-      .setInputCol("graft_tf").setOutputCol("graft_tfidf")
-      .setMinDocFreq($(minDocFreq))
-      .fit(tfDf)
-    val mean = idfModel.transform(tfDf)
-      .select(Summarizer.mean(col("graft_tfidf")).as("m"))
-      .head().getAs[Vector](0).toArray
+    // the tf vectors feed two aggregation passes (IDF document
+    // frequencies, then the mean-TFIDF stats) — cache them so the
+    // term-explosion + hashing runs once, not twice; the fitted
+    // IDFModel keeps its weights driver-side, so the cache can be
+    // dropped right after the stats pass
+    val tfDf = tf.transform(ds).select(col("graft_tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (idfModel, mean) = try {
+      val m = new IDF()
+        .setInputCol("graft_tf").setOutputCol("graft_tfidf")
+        .setMinDocFreq($(minDocFreq))
+        .fit(tfDf)
+      val mn = m.transform(tfDf)
+        .select(Summarizer.mean(col("graft_tfidf")).as("m"))
+        .head().getAs[Vector](0).toArray
+      (m, mn)
+    } finally tfDf.unpersist()
     // findTopKThreshold: k' = min(k, #non-zero buckets); threshold is
     // the k'-th largest mean; getGreaterIndices keeps >= threshold
     val kEff = math.max(1, math.min($(topK), mean.count(_ != 0.0)))

@@ -62,12 +62,11 @@ object Analytics {
         max("value").as("max_value"),
         sum(col("value").cast(M)).cast("double").as("sum_value"),
         (sum(col("value").cast(M)).cast("double") / count(lit(1))).as("avg_value"),
-        round(
+        (floor(
           sqrt(
             (sum((col("value") * col("value")).cast(sq)).cast("double")
               - sum(col("value").cast(M)).cast("double") * sum(col("value").cast(M)).cast("double") / count(lit(1)))
-              / (count(lit(1)) - 1)),
-          6).as("stdev_value"))
+              / (count(lit(1)) - 1)) * 1e6 + 0.5) / 1e6).as("stdev_value"))
       .orderBy("event_type")
   }
 
@@ -142,7 +141,8 @@ object Analytics {
       .select("o_custkey", "o_orderkey", "o_orderpriority", "o_orderdate", "o_totalprice")
       .withColumn("prev", lag("o_totalprice", 1).over(byKey))
       .filter(col("prev").isNotNull && col("prev") =!= 0.0)
-      .withColumn("rel_change", round((col("o_totalprice") - col("prev")) / col("prev") * 100.0, 6))
+      .withColumn("rel_change",
+        floor((col("o_totalprice") - col("prev")) / col("prev") * 100.0 * 1e6 + 0.5) / 1e6)
     val maxW = Window.partitionBy("o_custkey")
       .orderBy(col("rel_change").desc, col("o_orderkey").asc)
     val minW = Window.partitionBy("o_custkey")
@@ -307,9 +307,9 @@ object Analytics {
         |  MIN(value) AS min_value, MAX(value) AS max_value,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value,
-        |  ROUND(SQRT((CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE)
+        |  floor(SQRT((CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE)
         |    - CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) * CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
-        |    / (COUNT(*) - 1)), 6) AS stdev_value
+        |    / (COUNT(*) - 1)) * 1e6 + 0.5) / 1e6 AS stdev_value
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
@@ -358,7 +358,7 @@ object Analytics {
         |  FROM orders),
         |changes AS (
         |  SELECT o_custkey, o_orderkey,
-        |    ROUND((o_totalprice - prev) / prev * 100.0, 6) AS rel_change
+        |    floor((o_totalprice - prev) / prev * 100.0 * 1e6 + 0.5) / 1e6 AS rel_change
         |  FROM base WHERE prev IS NOT NULL AND prev <> 0.0),
         |ranked AS (
         |  SELECT o_custkey, o_orderkey, rel_change,

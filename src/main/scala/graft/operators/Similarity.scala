@@ -53,7 +53,7 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
       .select(col("query_id"), col("neighbor_id"),
-        round(col("cos_raw"), 6).as("cosine"), col("rank"))
+        (floor(col("cos_raw") * 1e6 + 0.5) / 1e6).as("cosine"), col("rank"))
       .orderBy("query_id", "rank")
   }
 
@@ -116,7 +116,7 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
       .select(col("query_id"), col("neighbor_id"),
-        round(col("cos_raw"), 6).as("cosine"), col("rank"))
+        (floor(col("cos_raw") * 1e6 + 0.5) / 1e6).as("cosine"), col("rank"))
       .orderBy("query_id", "rank")
   }
 
@@ -135,7 +135,7 @@ object Similarity {
     a.join(b, col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
       .withColumn("cos_raw", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos_raw") >= DedupTau)
-      .select(col("id_a"), col("id_b"), round(col("cos_raw"), 6).as("cosine"))
+      .select(col("id_a"), col("id_b"), (floor(col("cos_raw") * 1e6 + 0.5) / 1e6).as("cosine"))
       .orderBy("id_a", "id_b")
   }
 
@@ -185,7 +185,7 @@ object Similarity {
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= K)
         .select(col("query_id"), col("neighbor_id"),
-          round(col("cos_raw"), 6).as("cosine"), col("rank"))
+          (floor(col("cos_raw") * 1e6 + 0.5) / 1e6).as("cosine"), col("rank"))
         .orderBy("query_id", "rank")
     } finally emb.unpersist()
   }
@@ -236,14 +236,14 @@ object Similarity {
          |    ROW_NUMBER() OVER (PARTITION BY query_id
          |      ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
          |  FROM scored)
-         |SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine, rank
+         |SELECT query_id, neighbor_id, floor(cos_raw * 1e6 + 0.5) / 1e6 AS cosine, rank
          |FROM ranked WHERE rank <= $K
          |ORDER BY query_id, rank""".stripMargin,
     "q_dedup_embedding" ->
       s"""WITH $bucketSqlPrelude
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |  ROUND(list_reduce([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)], (x, y) -> x + y)
-         |    / (a.nrm * b.nrm), 6) AS cosine
+         |  floor(list_reduce([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)], (x, y) -> x + y)
+         |    / (a.nrm * b.nrm) * 1e6 + 0.5) / 1e6 AS cosine
          |FROM embb a JOIN embb b
          |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE list_reduce([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)], (x, y) -> x + y)
@@ -268,7 +268,7 @@ object Similarity {
          |    ROW_NUMBER() OVER (PARTITION BY query_id
          |      ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
          |  FROM scored)
-         |SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine, rank
+         |SELECT query_id, neighbor_id, floor(cos_raw * 1e6 + 0.5) / 1e6 AS cosine, rank
          |FROM ranked WHERE rank <= $K
          |ORDER BY query_id, rank""".stripMargin)
 }

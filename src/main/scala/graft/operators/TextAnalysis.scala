@@ -64,8 +64,8 @@ object TextAnalysis {
     val nTok = size(toks).cast("long")
     val nStop = size(filter(toks, t => t.isin(stop.map(lit(_)): _*))).cast("long")
     val nLetters = length(regexp_replace(col("text"), " ", "")).cast("long")
-    val stopRatio = round(nStop.cast("double") / nTok, 6)
-    val meanLen = round(nLetters.cast("double") / nTok, 6)
+    val stopRatio = floor(nStop.cast("double") / nTok * 1e6 + 0.5) / 1e6
+    val meanLen = floor(nLetters.cast("double") / nTok * 1e6 + 0.5) / 1e6
     Tables.documents(spark, dir)
       .select(
         col("doc_id"),
@@ -74,7 +74,7 @@ object TextAnalysis {
         nStop.as("n_stopwords"),
         stopRatio.as("stop_ratio"),
         meanLen.as("mean_word_len"),
-        round((nTok.cast("double") / (nTok + lit(20))) * (lit(1.0) - nStop.cast("double") / nTok), 6)
+        (floor((nTok.cast("double") / (nTok + lit(20))) * (lit(1.0) - nStop.cast("double") / nTok) * 1e6 + 0.5) / 1e6)
           .as("quality"))
       .orderBy("doc_id")
   }
@@ -162,10 +162,10 @@ object TextAnalysis {
         |    CAST(len(replace(text, ' ', '')) AS BIGINT) AS n_letters
         |  FROM documents)
         |SELECT doc_id, n_chars_, n_tokens, n_stopwords,
-        |  ROUND(CAST(n_stopwords AS DOUBLE) / n_tokens, 6) AS stop_ratio,
-        |  ROUND(CAST(n_letters AS DOUBLE) / n_tokens, 6) AS mean_word_len,
-        |  ROUND((CAST(n_tokens AS DOUBLE) / (n_tokens + 20))
-        |    * (1.0 - CAST(n_stopwords AS DOUBLE) / n_tokens), 6) AS quality
+        |  floor(CAST(n_stopwords AS DOUBLE) / n_tokens * 1e6 + 0.5) / 1e6 AS stop_ratio,
+        |  floor(CAST(n_letters AS DOUBLE) / n_tokens * 1e6 + 0.5) / 1e6 AS mean_word_len,
+        |  floor((CAST(n_tokens AS DOUBLE) / (n_tokens + 20))
+        |    * (1.0 - CAST(n_stopwords AS DOUBLE) / n_tokens) * 1e6 + 0.5) / 1e6 AS quality
         |FROM t
         |ORDER BY doc_id""".stripMargin,
     "q_token_count" ->

@@ -26,6 +26,7 @@ object SparkEntry {
       operators.Similarity.queries ++
       operators.TextAnalysis.queries ++
       operators.Multimodal.queries ++
+      sources.XmlFeed.queries ++
       ml.MLQueries.queries ++
       streaming.StreamingQueries.queries
 
@@ -39,6 +40,7 @@ object SparkEntry {
       operators.Similarity.oracleSql ++
       operators.TextAnalysis.oracleSql ++
       operators.Multimodal.oracleSql ++
+      sources.XmlFeed.oracleSql ++
       streaming.StreamingQueries.oracleSql ++
       ml.MLQueries.oracleSql
 }

@@ -261,6 +261,42 @@ object Analytics {
       .orderBy("l_partkey", "l_suppkey")
   }
 
+  /** Product matching between the CMS catalog and live market prices —
+    * the reference's AutoMatcher (emr/AutoMatcher.scala:60-95): both
+    * sides key on (store_id || product title) and an exact equi-join
+    * emits the matched-products table (analyze_ind initialized to 0).
+    * CMS side = the part catalog; market side = products actually
+    * traded (distinct parts in lineitem). The join shuffles on the
+    * composite key — the correct shape for two large catalogs (the
+    * reference pre-partitions both sides with the same HashPartitioner
+    * for exactly this reason). */
+  def autoMatch(spark: SparkSession, dir: String): DataFrame = {
+    def storeId(k: org.apache.spark.sql.Column) =
+      concat(lit("st"), (k % 7).cast("string"))
+    val cms = Tables.part(spark, dir)
+      .select(
+        storeId(col("p_partkey")).as("store_id"),
+        concat(lit("sp"), col("p_partkey").cast("string")).as("store_prod_id"),
+        col("p_name").as("store_prod_title"),
+        concat(lit("shop"), (col("p_partkey") % 7).cast("string"), lit(".example.com")).as("store_domain"),
+        concat(lit("http://shop.example.com/p/"), col("p_partkey").cast("string")).as("url"))
+    val market = Tables.lineitem(spark, dir)
+      .select("l_partkey").distinct()
+      .join(Tables.part(spark, dir).select(col("p_partkey"), col("p_name")),
+        col("l_partkey") === col("p_partkey"))
+      .select(
+        storeId(col("l_partkey")).as("store_id"),
+        concat(lit("sys"), col("l_partkey").cast("string")).as("sys_prod_id"),
+        col("p_name").as("sys_prod_title"))
+    cms.join(market,
+        cms("store_id") === market("store_id") &&
+          cms("store_prod_title") === market("sys_prod_title"))
+      .select(cms("store_id"), col("store_prod_id"), col("store_domain"),
+        lit(0).as("analyze_ind"), col("store_prod_title"),
+        col("sys_prod_id"), col("sys_prod_title"), col("url"))
+      .orderBy("store_prod_id")
+  }
+
   /** Seed frequency fill: emit each product with its order frequency,
     * keeping products above a minimum support — the reference pushes the
     * most-frequent product URLs to the scraper seed topic.
@@ -283,6 +319,7 @@ object Analytics {
     "q_dom_analysis" -> (domAnalysis(_, _)),
     "q_eval_metrics" -> (evalMetrics(_, _)),
     "q_price_index" -> (priceIndex(_, _)),
+    "q_auto_match" -> (autoMatch(_, _)),
     "q_seed_freq" -> (seedFreq(_, _)))
 
   val oracleSql: Map[String, String] = Map(
@@ -446,6 +483,26 @@ object Analytics {
         |       WHEN cv <= 0.85 THEN 4 ELSE 5 END AS cv_rank
         |FROM calc
         |ORDER BY l_partkey, l_suppkey""".stripMargin,
+    "q_auto_match" ->
+      """WITH cms AS (
+        |  SELECT concat('st', CAST(p_partkey % 7 AS VARCHAR)) AS store_id,
+        |    concat('sp', CAST(p_partkey AS VARCHAR)) AS store_prod_id,
+        |    p_name AS store_prod_title,
+        |    concat('shop', CAST(p_partkey % 7 AS VARCHAR), '.example.com') AS store_domain,
+        |    concat('http://shop.example.com/p/', CAST(p_partkey AS VARCHAR)) AS url
+        |  FROM part),
+        |market AS (
+        |  SELECT concat('st', CAST(l_partkey % 7 AS VARCHAR)) AS store_id,
+        |    concat('sys', CAST(l_partkey AS VARCHAR)) AS sys_prod_id,
+        |    p_name AS sys_prod_title
+        |  FROM (SELECT DISTINCT l_partkey FROM lineitem) li
+        |  JOIN part ON l_partkey = p_partkey)
+        |SELECT c.store_id, c.store_prod_id, c.store_domain,
+        |  0 AS analyze_ind, c.store_prod_title,
+        |  m.sys_prod_id, m.sys_prod_title, c.url
+        |FROM cms c JOIN market m
+        |  ON c.store_id = m.store_id AND c.store_prod_title = m.sys_prod_title
+        |ORDER BY store_prod_id""".stripMargin,
     "q_seed_freq" ->
       """SELECT l_partkey, COUNT(*) AS freq, COUNT(DISTINCT l_orderkey) AS n_orders
         |FROM lineitem

@@ -27,6 +27,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         graft.functions.DotProduct(children(0), children(1))))
     e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[graft.functions.WordShingles].getName, "word_shingles"),
+      (children: Seq[Expression]) => graft.functions.WordShingles(
+        children(0),
+        children(1).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("heavy_hitters"),
       new ExpressionInfo(classOf[graft.functions.HeavyHitters].getName, "heavy_hitters"),
       (children: Seq[Expression]) => graft.functions.HeavyHitters(

@@ -19,6 +19,14 @@ class ExtensionsSpec extends AnyFunSuite {
       Seq((1L, "12.34", 6)))
   }
 
+  test("word_shingles is callable from SQL via GraftExtensions") {
+    import spark.implicits._
+    Seq((1L, "a b c d")).toDF("id", "text").createOrReplaceTempView("docs")
+    val rows = spark.sql("SELECT explode(word_shingles(text, 3)) AS s FROM docs")
+      .collect().map(_.getString(0)).toSeq
+    assert(rows == Seq("a b c", "b c d"))
+  }
+
   test("dot_product and heavy_hitters are callable from SQL") {
     import spark.implicits._
     Seq(("a", Array(1.0, 2.0)), ("a", Array(3.0, 4.0)), ("b", Array(1.0, 0.0)))

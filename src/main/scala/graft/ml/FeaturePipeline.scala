@@ -70,16 +70,25 @@ class TopKByAvgTFIDF(override val uid: String)
         .head().getAs[Vector](0).toArray
       (m, mn)
     } finally tfDf.unpersist()
-    // findTopKThreshold: k' = min(k, #non-zero buckets); threshold is
-    // the k'-th largest mean; getGreaterIndices keeps >= threshold
-    val kEff = math.max(1, math.min($(topK), mean.count(_ != 0.0)))
-    val threshold = mean.sorted.takeRight(kEff)(0)
-    val indices = mean.indices.filter(i => mean(i) >= threshold).toArray
+    val indices = TopKByAvgTFIDF.selectIndices(mean, $(topK))
     copyValues(new TopKByAvgTFIDFModel(uid, idfModel, indices).setParent(this))
   }
 
   override def copy(extra: ParamMap): TopKByAvgTFIDF = defaultCopy(extra)
   override def transformSchema(schema: StructType): StructType = schema
+}
+
+object TopKByAvgTFIDF {
+  /** The reference's selection rule (Transformer.scala:29-43):
+    * findTopKThreshold takes k' = min(k, #non-zero values), threshold =
+    * k'-th largest value; getGreaterIndices keeps every index >=
+    * threshold (ties keep extras). Guarded at k' >= 1 for the all-zero
+    * corpus edge the reference would crash on. */
+  def selectIndices(mean: Array[Double], k: Int): Array[Int] = {
+    val kEff = math.max(1, math.min(k, mean.count(_ != 0.0)))
+    val threshold = mean.sorted.takeRight(kEff)(0)
+    mean.indices.filter(i => mean(i) >= threshold).toArray
+  }
 }
 
 /** Fitted [[TopKByAvgTFIDF]]: IDF weights + selected bucket indices.

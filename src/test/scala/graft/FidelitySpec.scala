@@ -100,6 +100,30 @@ class FidelitySpec extends SparkSpec {
     assert(runCol(ins, Text.shrinkString) == ref)
   }
 
+  test("TopKByAvgTFIDF selection ≡ reference getTopTFIDFIndices (Transformer.scala:29-43)") {
+    // the reference's selection functions, verbatim
+    def findTopKThreshold(values: Array[Double], k: Int): Double = {
+      val _k = math.min(k, values.filter(v => v != 0.0).length)
+      values.sorted.takeRight(_k)(0)
+    }
+    def getGreaterIndices(values: Array[Double], threshold: Double): Array[Int] =
+      (for (i <- values.indices if values(i) >= threshold) yield i).toArray
+    def refTop(k: Int, avg: Array[Double]): Array[Int] =
+      getGreaterIndices(avg, findTopKThreshold(avg, k))
+    val rnd3 = new Random(13)
+    (0 until 50).foreach { _ =>
+      val n = 1 + rnd3.nextInt(200)
+      // sparse-ish values with repeats to exercise the tie path
+      val mean = Array.fill(n)(
+        if (rnd3.nextBoolean()) 0.0 else (rnd3.nextInt(8) + 1) * 0.25)
+      val k = 1 + rnd3.nextInt(n)
+      if (mean.exists(_ != 0.0)) { // ref crashes on all-zero (takeRight(0)(0))
+        assert(graft.ml.TopKByAvgTFIDF.selectIndices(mean, k).toSeq ==
+          refTop(k, mean).toSeq, s"k=$k mean=${mean.mkString(",")}")
+      }
+    }
+  }
+
   test("decisionStatus ≡ reference flag chain (Htmls2Cassandra.scala:183-227)") {
     // the reference's mutable-flag logic, verbatim
     def refStatus(modelPrice: Double, updatedPrice: Double): String = {

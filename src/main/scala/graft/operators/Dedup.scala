@@ -96,10 +96,18 @@ object Dedup {
     val sig = minh
       .select(col("doc_id"), explode(bandSig).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("mh"))
-    val buckets = sig.groupBy("band", "mh")
-      .agg(sort_array(collect_list(col("doc_id"))).as("all_ids"))
-      .filter(size(col("all_ids")) > 1)
-      .withColumn("ids", slice(col("all_ids"), 1, HotBucketCap))
+    // cap BEFORE collecting: the rank window runs inside the bucket's
+    // shuffle partition, so a duplicate flood never materializes a
+    // whole giant bucket in one aggregation buffer — the collect_list
+    // below is bounded at HotBucketCap elements by construction
+    val wBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy("band", "mh").orderBy("doc_id")
+    val buckets = sig
+      .withColumn("r", row_number().over(wBucket))
+      .filter(col("r") <= HotBucketCap)
+      .groupBy("band", "mh")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
     buckets
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + lit(2), size(col("ids")) - i - 1),

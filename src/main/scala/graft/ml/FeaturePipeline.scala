@@ -5,7 +5,7 @@ import org.apache.spark.ml.feature.{HashingTF, IDF, IDFModel, VectorAssembler, V
 import org.apache.spark.ml.linalg.Vector
 import org.apache.spark.ml.param.{IntParam, Param, ParamMap, Params}
 import org.apache.spark.ml.stat.Summarizer
-import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.ml.util.{Identifiable, MLReadable, MLReader, MLWritable, MLWriter}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
@@ -99,7 +99,7 @@ class TopKByAvgTFIDFModel(
     override val uid: String,
     val idfModel: IDFModel,
     val selectedIndices: Array[Int])
-    extends Model[TopKByAvgTFIDFModel] with TopKTFIDFParams {
+    extends Model[TopKByAvgTFIDFModel] with TopKTFIDFParams with MLWritable {
 
   override def transform(ds: Dataset[_]): DataFrame = {
     val tf = new HashingTF()
@@ -121,4 +121,49 @@ class TopKByAvgTFIDFModel(
   override def copy(extra: ParamMap): TopKByAvgTFIDFModel =
     copyValues(new TopKByAvgTFIDFModel(uid, idfModel, selectedIndices).setParent(parent))
   override def transformSchema(schema: StructType): StructType = schema
+
+  override def write: MLWriter = new TopKByAvgTFIDFModel.Writer(this)
+}
+
+/** Persistence (the reference ships models to storage for the
+  * streaming scorer to load — emr/BuildAndSaveModels.scala,
+  * emr/Models2Object.scala): the inner IDFModel saves through its own
+  * Spark ML writer; the selected indices and params ride a one-row
+  * parquet alongside it. */
+object TopKByAvgTFIDFModel extends MLReadable[TopKByAvgTFIDFModel] {
+
+  private[ml] class Writer(instance: TopKByAvgTFIDFModel) extends MLWriter {
+    override protected def saveImpl(path: String): Unit = {
+      instance.idfModel.write.overwrite().save(s"$path/idf")
+      val spark = sparkSession
+      import spark.implicits._
+      Seq((
+        instance.uid, instance.selectedIndices.toSeq,
+        instance.getOrDefault(instance.termsCol),
+        instance.getOrDefault(instance.locationCol),
+        instance.getOrDefault(instance.outputCol),
+        instance.getOrDefault(instance.numFeatures),
+        instance.getOrDefault(instance.minDocFreq),
+        instance.getOrDefault(instance.topK)))
+        .toDF("uid", "indices", "termsCol", "locationCol", "outputCol",
+          "numFeatures", "minDocFreq", "topK")
+        .write.mode("overwrite").parquet(s"$path/meta")
+    }
+  }
+
+  override def read: MLReader[TopKByAvgTFIDFModel] = new MLReader[TopKByAvgTFIDFModel] {
+    override def load(path: String): TopKByAvgTFIDFModel = {
+      val idf = IDFModel.load(s"$path/idf")
+      val row = sparkSession.read.parquet(s"$path/meta").head()
+      val m = new TopKByAvgTFIDFModel(
+        row.getAs[String]("uid"), idf,
+        row.getAs[Seq[Int]]("indices").toArray)
+      m.set(m.termsCol, row.getAs[String]("termsCol"))
+        .set(m.locationCol, row.getAs[String]("locationCol"))
+        .set(m.outputCol, row.getAs[String]("outputCol"))
+        .set(m.numFeatures, row.getAs[Int]("numFeatures"))
+        .set(m.minDocFreq, row.getAs[Int]("minDocFreq"))
+        .set(m.topK, row.getAs[Int]("topK"))
+    }
+  }
 }

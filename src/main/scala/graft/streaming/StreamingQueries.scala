@@ -163,10 +163,27 @@ object StreamingQueries {
     runToMemory(spark, updates.toDF(), OutputMode.Append()).orderBy("user_id")
   }
 
+  /** Row 43 — per-user competitor set (analytics/Kafka2CompPerUser
+    * .scala:67-79): the stream aggregates each user's distinct sorted
+    * store list. Complete-output streaming aggregation: the per-user
+    * set state is bounded by the (small) store alphabet per user, and
+    * each trigger emits the full refreshed report — the mode the
+    * reference's rolling report effectively implements. */
+  def streamCompPerUser(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .groupBy("user_id")
+      .agg(array_sort(collect_set(col("event_type"))).as("store_set"))
+      .select(col("user_id"),
+        array_join(col("store_set"), ",").as("stores"),
+        size(col("store_set")).cast("long").as("n_stores"))
+    runToMemory(spark, agg, OutputMode.Complete()).orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_pipe" -> (streamPipe(_, _)),
     "q_stream_window" -> (streamWindow(_, _)),
-    "q_stream_stateful" -> (streamStateful(_, _)))
+    "q_stream_stateful" -> (streamStateful(_, _)),
+    "q_stream_comp_per_user" -> (streamCompPerUser(_, _)))
 
   /** The streaming queries run real Structured Streaming, but over the
     * bounded testdata their results are deterministic functions of
@@ -174,6 +191,13 @@ object StreamingQueries {
     * check that the streaming semantics (state machine, watermark
     * finalization) match their batch-SQL meaning. */
   val oracleSql: Map[String, String] = Map(
+    "q_stream_comp_per_user" ->
+      """SELECT user_id,
+        |  string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS stores,
+        |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_stores
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
     "q_stream_pipe" ->
       """WITH m(event_type, model_mult) AS (
         |  VALUES ('view', 1.00), ('click', 1.02), ('purchase', 0.98),

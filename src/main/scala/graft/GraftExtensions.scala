@@ -16,6 +16,17 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * see functions/Extraction.scala.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  /** Hyper-parameter arguments (shingle size, top-k capacity) are baked
+    * into the expression at build time, so they must be literals — a
+    * column reference would hit an unbound-attribute eval error deep in
+    * the stack; fail analysis with a readable message instead. */
+  private def intLiteral(fn: String, arg: String, ex: Expression): Int = {
+    if (!ex.foldable)
+      throw new IllegalArgumentException(
+        s"$fn: $arg must be an integer literal, got: ${ex.sql}")
+    ex.eval().asInstanceOf[Number].intValue()
+  }
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("price_candidates"),
@@ -31,13 +42,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.WordShingles].getName, "word_shingles"),
       (children: Seq[Expression]) => graft.functions.WordShingles(
         children(0),
-        children(1).eval().asInstanceOf[Number].intValue())))
+        intLiteral("word_shingles", "k", children(1)))))
     e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("heavy_hitters"),
       new ExpressionInfo(classOf[graft.functions.HeavyHitters].getName, "heavy_hitters"),
       (children: Seq[Expression]) => graft.functions.HeavyHitters(
         children(0),
-        children(1).eval().asInstanceOf[Number].intValue(),
-        children(2).eval().asInstanceOf[Number].intValue())))
+        intLiteral("heavy_hitters", "k", children(1)),
+        intLiteral("heavy_hitters", "capacity", children(2)))))
   }
 }

@@ -94,7 +94,11 @@ object Text {
   def decisionStatus(modelPrice: Column, updatedPrice: Column): Column = {
     val afc = modelPrice === -1.0
     val mm = modelPrice === -2.0
-    val pf = updatedPrice.cast("int") === 0
+    // floor before the int cast: Spark's double->int cast truncates while
+    // DuckDB's rounds, so the oracle uses CAST(floor(x) AS INT) and both
+    // engines agree for any non-negative price (prices are >= 0 here;
+    // the reference's toInt is likewise truncation)
+    val pf = floor(updatedPrice).cast("int") === 0
     val eq = !pf && !mm && !afc && abs(modelPrice - updatedPrice) < 0.009
     when(eq, "modeledPatternEquals")
       .when(!afc && !mm && !pf,

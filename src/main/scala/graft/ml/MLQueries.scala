@@ -234,14 +234,18 @@ object MLQueries {
           lda.logPerplexity(corpus.limit(500))
         } finally corpus.unpersist()
       }
-      val (pcaVar, pcaGbtAcc) = Await.result(fPca, Duration.Inf)
-      val rows = Seq(
-        ("random_forest", Await.result(fRf, Duration.Inf)),
-        ("linear_svc", Await.result(fSvc, Duration.Inf)),
-        ("pca_var_top2", pcaVar),
-        ("pca_gbt_accuracy", pcaGbtAcc),
-        ("lda_log_perplexity", Await.result(fLda, Duration.Inf)))
-      pool.shutdown()
+      // shutdown in finally: a throwing fit would otherwise leave the
+      // non-daemon pool threads alive and block JVM exit
+      val rows =
+        try {
+          val (pcaVar, pcaGbtAcc) = Await.result(fPca, Duration.Inf)
+          Seq(
+            ("random_forest", Await.result(fRf, Duration.Inf)),
+            ("linear_svc", Await.result(fSvc, Duration.Inf)),
+            ("pca_var_top2", pcaVar),
+            ("pca_gbt_accuracy", pcaGbtAcc),
+            ("lda_log_perplexity", Await.result(fLda, Duration.Inf)))
+        } finally pool.shutdown()
       import spark.implicits._
       rows.toDF("model", "metric")
         .withColumn("metric", round(col("metric"), 6))
@@ -264,7 +268,7 @@ object MLQueries {
          |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
          |  GROUP BY doc_id, term),
          |byterm AS (
-         |  SELECT term, COUNT(*) AS df, SUM(tf) AS sum_tf FROM tf GROUP BY term),
+         |  SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS sum_tf FROM tf GROUP BY term),
          |scored AS (
          |  SELECT term, df, sum_tf,
          |    ln((n_docs + 1.0) / (df + 1.0)) + 1.0 AS idf,

@@ -233,12 +233,15 @@ object Analytics {
     * decimal window sums (order-independent); all windows partition by
     * product (high cardinality) — no global sort. */
   def priceIndex(spark: SparkSession, dir: String): DataFrame = {
-    val sq = DecimalType(38, 6)
     val offers = Tables.lineitem(spark, dir)
       .groupBy("l_partkey", "l_suppkey")
       .agg(min("l_extendedprice").as("price"))
     val w = Window.partitionBy("l_partkey").orderBy(col("price").asc, col("l_suppkey").asc)
     val wAll = Window.partitionBy("l_partkey")
+    // cv is scale-invariant, so work in integer cents: bigint sums are
+    // exact and bigint->double conversion is correctly rounded in every
+    // engine, unlike DECIMAL(38,6)->DOUBLE (Java BigDecimal vs DuckDB
+    // int128 diverge by ulps, which would leak into cv).
     val mean = col("sum_p") / col("n_stores")
     val variance = greatest(col("sum_sq") / col("n_stores") - mean * mean, lit(0.0))
     val cv = sqrt(variance) / mean
@@ -252,9 +255,10 @@ object Analytics {
       .otherwise(100)
     offers
       .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("pc", floor(col("price") * 100 + 0.5).cast("long"))
       .withColumn("n_stores", count(lit(1)).over(wAll))
-      .withColumn("sum_p", sum(col("price").cast(M)).over(wAll).cast("double"))
-      .withColumn("sum_sq", sum((col("price") * col("price")).cast(sq)).over(wAll).cast("double"))
+      .withColumn("sum_p", sum(col("pc")).over(wAll).cast("double"))
+      .withColumn("sum_sq", sum(col("pc") * col("pc")).over(wAll).cast("double"))
       .select(col("l_partkey"), col("l_suppkey"), col("price"), col("pos"),
         col("n_stores"), relPlace.as("rel_place"), relPlaceRank.as("rel_place_rank"),
         cv.as("cv"), cvRank.as("cv_rank"))
@@ -432,10 +436,10 @@ object Analytics {
         |  FROM lineitem),
         |cm AS (
         |  SELECT l_returnflag,
-        |    SUM(CASE WHEN label = 1 AND pred = 1 THEN 1 ELSE 0 END) AS tp,
-        |    SUM(CASE WHEN label = 0 AND pred = 0 THEN 1 ELSE 0 END) AS tn,
-        |    SUM(CASE WHEN label = 0 AND pred = 1 THEN 1 ELSE 0 END) AS fp,
-        |    SUM(CASE WHEN label = 1 AND pred = 0 THEN 1 ELSE 0 END) AS fn
+        |    CAST(SUM(CASE WHEN label = 1 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(SUM(CASE WHEN label = 0 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+        |    CAST(SUM(CASE WHEN label = 0 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(SUM(CASE WHEN label = 1 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn
         |  FROM rows_ GROUP BY l_returnflag),
         |urls AS (
         |  SELECT l_returnflag, l_orderkey,
@@ -443,8 +447,8 @@ object Analytics {
         |    MAX(CASE WHEN label = 0 AND pred = 1 THEN 1 ELSE 0 END) AS has_fp
         |  FROM rows_ GROUP BY l_returnflag, l_orderkey),
         |ub AS (
-        |  SELECT l_returnflag, COUNT(*) AS n_urls, SUM(has_tp) AS n_ub,
-        |    SUM(CASE WHEN has_tp = 1 AND has_fp = 0 THEN 1 ELSE 0 END) AS n_lb
+        |  SELECT l_returnflag, COUNT(*) AS n_urls, CAST(SUM(has_tp) AS BIGINT) AS n_ub,
+        |    CAST(SUM(CASE WHEN has_tp = 1 AND has_fp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_lb
         |  FROM urls GROUP BY l_returnflag)
         |SELECT cm.l_returnflag, tp, tn, fp, fn,
         |  floor(CAST(tp AS DOUBLE) / (tp + fn) * 1e6 + 0.5) / 1e6 AS sensitivity,
@@ -462,9 +466,9 @@ object Analytics {
         |  SELECT l_partkey, l_suppkey, price,
         |    ROW_NUMBER() OVER (PARTITION BY l_partkey ORDER BY price, l_suppkey) AS pos,
         |    COUNT(*) OVER (PARTITION BY l_partkey) AS n_stores,
-        |    CAST(SUM(CAST(price AS DECIMAL(18,2))) OVER (PARTITION BY l_partkey) AS DOUBLE) AS sum_p,
-        |    CAST(SUM(CAST(price * price AS DECIMAL(38,6))) OVER (PARTITION BY l_partkey) AS DOUBLE) AS sum_sq
-        |  FROM offers),
+        |    CAST(CAST(SUM(pc) OVER (PARTITION BY l_partkey) AS BIGINT) AS DOUBLE) AS sum_p,
+        |    CAST(CAST(SUM(pc * pc) OVER (PARTITION BY l_partkey) AS BIGINT) AS DOUBLE) AS sum_sq
+        |  FROM (SELECT *, CAST(floor(price * 100 + 0.5) AS BIGINT) AS pc FROM offers)),
         |calc AS (
         |  SELECT l_partkey, l_suppkey, price, pos, n_stores,
         |    CAST(pos AS DOUBLE) / n_stores AS rel_place,

@@ -148,11 +148,13 @@ object Dedup {
     val sim = (0 until SimBits).map { j =>
       when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
-    // persist the per-doc aggregate: tiny (2 columns × one row per doc)
-    // but referenced by three plan branches (both chunk-join sides + the
-    // final left join) — without it the expensive explode + 60-vote
-    // aggregation would run three times
-    val docs = votes.select(col("doc_id"), sim.as("simhash")).persist()
+    // The per-doc aggregate is referenced by three plan branches (both
+    // chunk-join sides + the final left join); its subtree ends in the
+    // groupBy shuffle, so exchange reuse materializes the expensive
+    // explode + 60-vote partial aggregation once. Only the cheap
+    // post-shuffle reduce (one row per doc) reruns per branch — and
+    // nothing stays pinned in the cache for the session lifetime.
+    val docs = votes.select(col("doc_id"), sim.as("simhash"))
     val chunkArr = array((0 until SimChunks).map { c =>
       struct(lit(c).as("c"),
         shiftright(col("simhash"), c * ChunkBits)

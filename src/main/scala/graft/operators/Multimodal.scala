@@ -142,10 +142,16 @@ object Multimodal {
         |         ELSE 224 END AS resized_h
         |  FROM b),
         |fr AS (
+        |  -- k = min(4, blen) frames with divisor k, exactly like
+        |  -- FakeDecoder.sampleFrames — NOT a hardcoded 4, which would
+        |  -- diverge on docs shorter than 4 bytes
         |  SELECT doc_id,
         |    CAST(least(blen, 4) AS INT) AS n_frames,
-        |    CAST((0 * blen) // 4 + (1 * blen) // 4
-        |       + (2 * blen) // 4 + (3 * blen) // 4 AS BIGINT) AS frame_sum
+        |    CAST(CASE WHEN blen <= 0 THEN 0 ELSE
+        |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(range(0, least(blen, 4)),
+        |          j -> (CAST(j AS BIGINT) * blen) // least(blen, 4))),
+        |        (a, b) -> a + b) END AS BIGINT) AS frame_sum
         |  FROM b),
         |ft AS (
         |  SELECT doc_id,

@@ -80,14 +80,15 @@ object TextQueries {
     // Scale-safe id assignment: dom_id is a content hash (md5 prefix →
     // bigint), not a zipWithIndex-style dense rank — no global-window
     // single-partition sort over the domain list. n_dom rides along as a
-    // broadcast one-row aggregate over the (persisted, tiny) frequency
-    // table rather than a `count().over()` empty-key window.
+    // broadcast one-row aggregate over the frequency table; the freq
+    // subtree ends in a shuffle, so Spark's exchange reuse materializes
+    // it once for both consumers (no persist → nothing leaks for the
+    // session lifetime).
     val freq = Tables.customer(spark, dir)
       .select(Text.getDomain(url).as("domain"))
       .groupBy("domain")
       .agg(count(lit(1)).as("freq"))
       .filter(col("freq") >= minSupport)
-      .persist()
     val nDf = freq.groupBy().agg(count(lit(1)).as("n_dom"))
     freq
       .crossJoin(broadcast(nDf))
@@ -344,13 +345,13 @@ object TextQueries {
         |st AS (
         |  SELECT *,
         |    CASE
-        |      WHEN model_price <> -1.0 AND model_price <> -2.0 AND CAST(updated_price AS INT) <> 0
+        |      WHEN model_price <> -1.0 AND model_price <> -2.0 AND CAST(floor(updated_price) AS INT) <> 0
         |           AND abs(model_price - updated_price) < 0.009 THEN 'modeledPatternEquals'
-        |      WHEN model_price <> -1.0 AND model_price <> -2.0 AND CAST(updated_price AS INT) <> 0 THEN
+        |      WHEN model_price <> -1.0 AND model_price <> -2.0 AND CAST(floor(updated_price) AS INT) <> 0 THEN
         |        CASE WHEN abs(updated_price - model_price) / greatest(updated_price, model_price) <= 0.1
         |             THEN 'minorModelPatternConflict' ELSE 'majorModelPatternConflict' END
-        |      WHEN (model_price = -1.0 OR model_price = -2.0) AND CAST(updated_price AS INT) = 0 THEN 'bothFailed'
-        |      WHEN CAST(updated_price AS INT) = 0 THEN 'patternFailed'
+        |      WHEN (model_price = -1.0 OR model_price = -2.0) AND CAST(floor(updated_price) AS INT) = 0 THEN 'bothFailed'
+        |      WHEN CAST(floor(updated_price) AS INT) = 0 THEN 'patternFailed'
         |      WHEN model_price = -2.0 THEN 'missingModel'
         |      ELSE 'allFalseCandids' END AS status
         |  FROM m)

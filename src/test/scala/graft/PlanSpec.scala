@@ -51,4 +51,19 @@ class PlanSpec extends SparkSpec {
     val g = plan("q_get_domain")
     assert(!g.contains("Window"), "q_get_domain plans a window")
   }
+
+  test("multi-consumer shuffle subtrees are materialized once (AQE stage reuse)") {
+    // q_get_domain (freq feeds both the broadcast count and the result)
+    // and q_dedup_simhash (per-doc simhash feeds both chunk-join sides +
+    // the final left join) dropped their persist() calls in favor of
+    // exchange reuse — if AQE stops deduping these stages, the heavy
+    // explode/aggregate subtrees silently recompute per branch.
+    Seq("q_get_domain", "q_dedup_simhash").foreach { n =>
+      val df = SparkEntry.queries(n)(spark, sf)
+      df.collect() // finalize THIS queryExecution's adaptive plan
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+        s"$n executed plan shows no stage reuse:\n$p")
+    }
+  }
 }

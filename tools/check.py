@@ -67,10 +67,28 @@ def main():
         bad = []
         for c in g.columns:
             gv, ev = g[c].values, e[c].values
-            if np.issubdtype(g[c].dtype, np.floating) or np.issubdtype(e[c].dtype, np.floating):
+            # the DRIVER hashes raw values: an int64 Spark column vs a
+            # float64 oracle column (e.g. uncast DuckDB SUM -> HUGEINT ->
+            # pandas float) hash-mismatches even when numerically equal.
+            gf = np.issubdtype(g[c].dtype, np.floating)
+            ef = np.issubdtype(e[c].dtype, np.floating)
+            if gf != ef:
+                bad.append((c, len(g), 0,
+                            f"dtype {g[c].dtype}", f"dtype {e[c].dtype}"))
+                continue
+            if gf or ef:
                 gv = pd.to_numeric(g[c], errors="coerce").values.astype(float)
                 ev = pd.to_numeric(e[c], errors="coerce").values.astype(float)
                 neq = ~(np.isclose(gv, ev, rtol=0, atol=1e-9) | (np.isnan(gv) & np.isnan(ev)))
+                # sub-atol bit diffs survive the driver's float rounding
+                # (r05 evidence: q_price_index cv diffs @1e-16 hash-matched)
+                # but flag them — a value sitting on a rounding boundary
+                # could still flip a digit.
+                ulp = ~((gv == ev) | (np.isnan(gv) & np.isnan(ev))) & ~neq
+                if not neq.any() and ulp.any():
+                    i = int(np.argmax(ulp))
+                    print(f"  WARN {name}.{c}: {int(ulp.sum())} sub-atol bit diffs, "
+                          f"first@row{i}: got={g[c].iloc[i]!r} exp={e[c].iloc[i]!r}")
             else:
                 neq = np.array([str(a) != str(b) for a, b in zip(gv, ev)])
             if neq.any():

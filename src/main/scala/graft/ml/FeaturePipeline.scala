@@ -1,8 +1,8 @@
 package graft.ml
 
 import org.apache.spark.ml.{Estimator, Model}
-import org.apache.spark.ml.feature.{HashingTF, IDF, IDFModel, VectorAssembler, VectorSlicer}
-import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.ml.feature.{ElementwiseProduct, HashingTF, VectorAssembler, VectorSlicer}
+import org.apache.spark.ml.linalg.{Vector, Vectors}
 import org.apache.spark.ml.param.{IntParam, Param, ParamMap, Params}
 import org.apache.spark.ml.stat.Summarizer
 import org.apache.spark.ml.util.{Identifiable, MLReadable, MLReader, MLWritable, MLWriter}
@@ -53,25 +53,26 @@ class TopKByAvgTFIDF(override val uid: String)
     val tf = new HashingTF()
       .setInputCol($(termsCol)).setOutputCol("graft_tf")
       .setNumFeatures($(numFeatures))
-    // the tf vectors feed two aggregation passes (IDF document
-    // frequencies, then the mean-TFIDF stats) — cache them so the
-    // term-explosion + hashing runs once, not twice; the fitted
-    // IDFModel keeps its weights driver-side, so the cache can be
-    // dropped right after the stats pass
-    val tfDf = tf.transform(ds).select(col("graft_tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (idfModel, mean) = try {
-      val m = new IDF()
-        .setInputCol("graft_tf").setOutputCol("graft_tfidf")
-        .setMinDocFreq($(minDocFreq))
-        .fit(tfDf)
-      val mn = m.transform(tfDf)
-        .select(Summarizer.mean(col("graft_tfidf")).as("m"))
-        .head().getAs[Vector](0).toArray
-      (m, mn)
-    } finally tfDf.unpersist()
-    val indices = TopKByAvgTFIDF.selectIndices(mean, $(topK))
-    copyValues(new TopKByAvgTFIDFModel(uid, idfModel, indices).setParent(this))
+    // ONE distributed pass: per-bucket document frequency is exactly
+    // numNonZeros over the tf vectors, and mean TF-IDF factors as
+    // idf_j · mean(tf_j) because idf_j is constant within a bucket —
+    // so a single Summarizer job replaces the old HashingTF-persist →
+    // IDF.fit → mean-TFIDF chain (three jobs and a cache).
+    val row = tf.transform(ds)
+      .select(Summarizer.metrics("mean", "numNonZeros", "count")
+        .summary(col("graft_tf")).as("s"))
+      .select(col("s.mean"), col("s.numNonZeros"), col("s.count"))
+      .head()
+    val meanTf = row.getAs[Vector](0).toArray
+    val docFreq = row.getAs[Vector](1).toArray
+    val m = row.getLong(2)
+    // Spark ML IDF semantics: log((m+1)/(df+1)), zeroed below minDocFreq
+    val idf = Array.tabulate(meanTf.length) { j =>
+      if (docFreq(j) >= $(minDocFreq)) math.log((m + 1.0) / (docFreq(j) + 1.0)) else 0.0
+    }
+    val meanTfidf = Array.tabulate(meanTf.length)(j => meanTf(j) * idf(j))
+    val indices = TopKByAvgTFIDF.selectIndices(meanTfidf, $(topK))
+    copyValues(new TopKByAvgTFIDFModel(uid, Vectors.dense(idf), indices).setParent(this))
   }
 
   override def copy(extra: ParamMap): TopKByAvgTFIDF = defaultCopy(extra)
@@ -94,10 +95,12 @@ object TopKByAvgTFIDF {
 /** Fitted [[TopKByAvgTFIDF]]: IDF weights + selected bucket indices.
   * `transform` appends `outputCol` = tf·idf over the selected buckets
   * with the normalized location as the final component — feature
-  * dimensionality is `selectedIndices.length + 1`. */
+  * dimensionality is `selectedIndices.length + 1`. The idf scaling is
+  * an [[ElementwiseProduct]] (same per-bucket tf·idf doubles an
+  * IDFModel would produce). */
 class TopKByAvgTFIDFModel(
     override val uid: String,
-    val idfModel: IDFModel,
+    val idf: Vector,
     val selectedIndices: Array[Int])
     extends Model[TopKByAvgTFIDFModel] with TopKTFIDFParams with MLWritable {
 
@@ -105,21 +108,21 @@ class TopKByAvgTFIDFModel(
     val tf = new HashingTF()
       .setInputCol($(termsCol)).setOutputCol("graft_tf")
       .setNumFeatures($(numFeatures))
+    val scale = new ElementwiseProduct()
+      .setScalingVec(idf)
+      .setInputCol("graft_tf").setOutputCol("graft_tfidf")
     val slicer = new VectorSlicer()
       .setInputCol("graft_tfidf").setOutputCol("graft_sel")
       .setIndices(selectedIndices)
     val asm = new VectorAssembler()
       .setInputCols(Array("graft_sel", $(locationCol)))
       .setOutputCol($(outputCol))
-    val tfidf = idfModel
-      .setInputCol("graft_tf").setOutputCol("graft_tfidf")
-      .transform(tf.transform(ds))
-    asm.transform(slicer.transform(tfidf))
+    asm.transform(slicer.transform(scale.transform(tf.transform(ds))))
       .drop("graft_tf", "graft_tfidf", "graft_sel")
   }
 
   override def copy(extra: ParamMap): TopKByAvgTFIDFModel =
-    copyValues(new TopKByAvgTFIDFModel(uid, idfModel, selectedIndices).setParent(parent))
+    copyValues(new TopKByAvgTFIDFModel(uid, idf, selectedIndices).setParent(parent))
   override def transformSchema(schema: StructType): StructType = schema
 
   override def write: MLWriter = new TopKByAvgTFIDFModel.Writer(this)
@@ -134,9 +137,11 @@ object TopKByAvgTFIDFModel extends MLReadable[TopKByAvgTFIDFModel] {
 
   private[ml] class Writer(instance: TopKByAvgTFIDFModel) extends MLWriter {
     override protected def saveImpl(path: String): Unit = {
-      instance.idfModel.write.overwrite().save(s"$path/idf")
       val spark = sparkSession
       import spark.implicits._
+      Seq((instance.uid, instance.idf.toArray.toSeq))
+        .toDF("uid", "idf")
+        .write.mode("overwrite").parquet(s"$path/idf")
       Seq((
         instance.uid, instance.selectedIndices.toSeq,
         instance.getOrDefault(instance.termsCol),
@@ -153,7 +158,9 @@ object TopKByAvgTFIDFModel extends MLReadable[TopKByAvgTFIDFModel] {
 
   override def read: MLReader[TopKByAvgTFIDFModel] = new MLReader[TopKByAvgTFIDFModel] {
     override def load(path: String): TopKByAvgTFIDFModel = {
-      val idf = IDFModel.load(s"$path/idf")
+      val idf = Vectors.dense(
+        sparkSession.read.parquet(s"$path/idf").head()
+          .getAs[Seq[Double]]("idf").toArray)
       val row = sparkSession.read.parquet(s"$path/meta").head()
       val m = new TopKByAvgTFIDFModel(
         row.getAs[String]("uid"), idf,

@@ -66,11 +66,12 @@ object MLQueries {
 
   /** Char n-grams with the reference's quirky bounds (gramsByN,
     * Transformer.scala:89-101: index 0 never starts a gram, the last
-    * gram stops one short; short strings yield no grams). */
+    * gram stops one short; short strings yield no grams) — the
+    * codegen'd [[graft.functions.CharGrams]] kernel, not an interpreted
+    * transform/sequence HOF: this runs per candidate row in the
+    * featurization hot path. */
   private def charGramsArr(s: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =
-    when(length(s) >= n + 2,
-      transform(sequence(lit(2), length(s) - n), i => s.substr(i, lit(n))))
-      .otherwise(array().cast("array<string>"))
+    graft.functions.CharGrams.charGrams(s, n)
 
   /** Labeled candidate text features — the reference's gramsTFIDFParser
     * (Transformer.scala:74-87): data = text_before + text_after +
@@ -117,8 +118,16 @@ object MLQueries {
       maxIter: Int = 5, maxDepth: Int = 3): DataFrame = {
     val data = candidateFeatures(spark, dir).cache()
     try {
-      data.count() // materialize the shared cache once, before the racing fits
-      val domains = data.select("domain").distinct().collect().map(_.getString(0)).sorted
+      // materialize the shared cache and collect the domain list plus the
+      // per-domain train/test row counts in ONE aggregation pass — the
+      // per-domain loop used to issue two count() jobs per domain for
+      // numbers this single job already knows
+      val splitCounts = data.groupBy("domain").agg(
+        sum(when(col("o_orderkey") % 10 < 7, 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("o_orderkey") % 10 >= 7, 1L).otherwise(0L)).as("n_test"))
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val domains = splitCounts.keys.toSeq.sorted
       // parallel per-domain training, as the reference's `list.par` loop
       // (GBTDomainSuperParSelectCandid.scala:31-35): each fit is itself a
       // distributed job; a bounded pool lets concurrent domains share the
@@ -158,10 +167,14 @@ object MLQueries {
           coalesce(sum(when(col("label") === 0.0 && col("prediction") === 1.0, 1L).otherwise(0L)), lit(0L)).as("fp"),
           coalesce(sum(when(col("label") === 1.0 && col("prediction") === 0.0, 1L).otherwise(0L)), lit(0L)).as("fn"))
           .collect()(0)
-        val nUrls = top.count()
-        val hits = top.filter(col("label") === 1.0).count()
-        (dom, train.count(), test.count(), agg.getLong(0), agg.getLong(1),
-          agg.getLong(2), agg.getLong(3), nUrls, hits,
+        // one fused pass over the per-URL argmax rows (was count + count)
+        val topAgg = top.agg(
+          count(lit(1)).as("n_urls"),
+          coalesce(sum(when(col("label") === 1.0, 1L).otherwise(0L)), lit(0L)).as("hits"))
+          .collect()(0)
+        val (nTrain, nTest) = splitCounts(dom)
+        (dom, nTrain, nTest, agg.getLong(0), agg.getLong(1),
+          agg.getLong(2), agg.getLong(3), topAgg.getLong(0), topAgg.getLong(1),
           fpm.selectedIndices.length + 1L)
       }.seq
       import spark.implicits._

@@ -3,6 +3,7 @@ package graft.operators
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Deduplication operators over `documents` (SURVEY §2 rows 22-25):
   * exact content-hash, MinHash-LSH near-dup candidates, SimHash
@@ -201,11 +202,68 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** q_dedup_clusters: connected components over the MinHash candidate
+    * pairs — the final stage of the dedup pipeline (pairs → clusters →
+    * one canonical keeper per cluster, everything else droppable).
+    *
+    * Algorithm: iterative min-label propagation (the Pregel-style CC
+    * loop): every doc starts labeled with its own id; each round a doc
+    * takes the minimum of its own label and its neighbors' labels.
+    * Converges in O(component diameter) rounds — near-dup clusters are
+    * band-bucket cliques, so the diameter is tiny in practice. Each
+    * round is one shuffle join on the (persisted) edge list plus a
+    * bounded one-row aggregate for the convergence check (the label sum
+    * is strictly decreasing until fixpoint, so no per-row change
+    * tracking or extra join is needed); `localCheckpoint` truncates the
+    * growing lineage so round N's plan doesn't replay rounds 1..N-1.
+    * At 100 TB this is the standard formulation: work per round is
+    * |edges| shuffled on id, and no component is ever collected. */
+  def dedupClusters(spark: SparkSession, dir: String, maxIter: Int = 30): DataFrame = {
+    val pairs = minhashPairs(spark, dir).select("id_a", "id_b")
+    val edges = pairs
+      .unionAll(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .toDF("src", "dst")
+      .persist() // re-joined every round; dropped in the finally below
+    try {
+      var labels = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("doc_id").as("label"))
+        .localCheckpoint()
+      var prevSum = BigDecimal(-1)
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIter) {
+        val nbrMin = edges
+          .join(labels.select(col("doc_id").as("dst"), col("label").as("nl")), Seq("dst"))
+          .groupBy(col("src").as("doc_id"))
+          .agg(min("nl").as("nmin"))
+        labels = labels
+          .join(nbrMin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+          .localCheckpoint()
+        val curSum = BigDecimal(
+          labels.agg(sum(col("label").cast(DecimalType(38, 0)))).head().getDecimal(0))
+        converged = curSum == prevSum
+        prevSum = curSum
+        i += 1
+      }
+      val sizes = labels.groupBy(col("label").as("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+      labels
+        .select(col("doc_id"), col("label").as("cluster_id"))
+        .join(sizes, Seq("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          (col("doc_id") === col("cluster_id")).as("is_canonical"))
+        .orderBy("doc_id")
+    } finally edges.unpersist()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (dedupExact(_, _)),
     "q_dedup_minhash" -> (dedupMinhash(_, _)),
     "q_dedup_simhash" -> (dedupSimhash(_, _)),
-    "q_ngram_jaccard" -> (ngramJaccard(_, _)))
+    "q_ngram_jaccard" -> (ngramJaccard(_, _)),
+    "q_dedup_clusters" -> (dedupClusters(_, _)))
 
   private val shingleSql: String =
     """SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
@@ -251,6 +309,23 @@ object Dedup {
       s"""WITH $pairSql
          |SELECT id_a, id_b, n_bands FROM pairs
          |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $pairSql,
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+         |reach(node, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT w.node, e.dst FROM reach w JOIN edges e ON e.src = w.r),
+         |lab AS (
+         |  SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node),
+         |sz AS (
+         |  SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id)
+         |SELECT l.doc_id, l.cluster_id, s.cluster_size,
+         |  l.doc_id = l.cluster_id AS is_canonical
+         |FROM lab l JOIN sz s USING (cluster_id)
+         |ORDER BY l.doc_id""".stripMargin,
     "q_ngram_jaccard" ->
       s"""WITH $pairSql
          |SELECT p.id_a, p.id_b,

@@ -40,22 +40,26 @@ object StreamingQueries {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // the file source wants a directory; stage one holding a symlink to
-    // the single events file (a real deployment points at a Kafka topic
-    // or a landing directory instead)
+  /** The file source wants a directory; stage one holding a symlink to
+    * the single table file (a real deployment points at a Kafka topic
+    * or a landing directory instead). */
+  private def stageStreamDir(dir: String, table: String): String = {
     val streamDir = new java.io.File(
-      s"/tmp/graft_stream_${Integer.toHexString(dir.hashCode)}")
+      s"/tmp/graft_stream_${table}_${Integer.toHexString(dir.hashCode)}")
     streamDir.mkdirs()
-    val link = new java.io.File(streamDir, "events.parquet")
+    val link = new java.io.File(streamDir, s"$table.parquet")
     if (!link.exists()) {
       java.nio.file.Files.createSymbolicLink(
-        link.toPath, java.nio.file.Paths.get(s"$dir/events.parquet"))
+        link.toPath, java.nio.file.Paths.get(s"$dir/$table.parquet"))
     }
+    streamDir.getAbsolutePath
+  }
+
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream
       .schema(eventsSchema)
-      .parquet(streamDir.getAbsolutePath)
+      .parquet(stageStreamDir(dir, "events"))
       .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // integer div: ns > 2^53
   }
 
@@ -179,11 +183,33 @@ object StreamingQueries {
     runToMemory(spark, agg, OutputMode.Complete()).orderBy("user_id")
   }
 
+  /** Row 44 — streaming exact dedup: the LLM-pipeline dedup stage as a
+    * stream. Documents stream → content hash → `dropDuplicates` on the
+    * hash, i.e. Structured Streaming's dedup state store emitting each
+    * distinct content exactly once. At scale the state is bounded with
+    * `dropDuplicatesWithinWatermark` over an ingest-time column; the
+    * bounded corpus here exercises the same state-store path. The
+    * output carries no arrival-dependent columns (a first-seen doc_id
+    * would depend on partition race order), so the result is
+    * deterministic and fully hash-oracled. */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    // one batch footer read supplies the stream schema
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val docs = spark.readStream.schema(schema)
+      .parquet(stageStreamDir(dir, "documents"))
+    val dedup = docs
+      .select(md5(col("text")).as("content_hash"),
+        length(col("text")).cast("long").as("n_chars"))
+      .dropDuplicates("content_hash")
+    runToMemory(spark, dedup, OutputMode.Append()).orderBy("content_hash")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_pipe" -> (streamPipe(_, _)),
     "q_stream_window" -> (streamWindow(_, _)),
     "q_stream_stateful" -> (streamStateful(_, _)),
-    "q_stream_comp_per_user" -> (streamCompPerUser(_, _)))
+    "q_stream_comp_per_user" -> (streamCompPerUser(_, _)),
+    "q_stream_dedup" -> (streamDedup(_, _)))
 
   /** The streaming queries run real Structured Streaming, but over the
     * bounded testdata their results are deterministic functions of
@@ -191,6 +217,12 @@ object StreamingQueries {
     * check that the streaming semantics (state machine, watermark
     * finalization) match their batch-SQL meaning. */
   val oracleSql: Map[String, String] = Map(
+    "q_stream_dedup" ->
+      """SELECT md5(text) AS content_hash,
+        |  CAST(MIN(len(text)) AS BIGINT) AS n_chars
+        |FROM documents
+        |GROUP BY md5(text)
+        |ORDER BY content_hash""".stripMargin,
     "q_stream_comp_per_user" ->
       """SELECT user_id,
         |  string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS stores,

@@ -44,6 +44,39 @@ class OperatorSpec extends SparkSpec {
     assert(mm.getDouble(0) >= 0.0 && mm.getDouble(1) <= 1.0)
   }
 
+  test("dedup clusters: pairs co-clustered, ids are component minima, sizes add up") {
+    val clusters = run("q_dedup_clusters").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every near-dup pair ends up in the same cluster
+    val pairs = run("q_dedup_minhash").collect()
+    pairs.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    // cluster id is the minimum member id, and each cluster has exactly
+    // one canonical doc (the one equal to the cluster id)
+    val byCluster = clusters.groupBy(_._2).view.mapValues(_.keys.toSeq)
+    byCluster.foreach { case (cid, members) =>
+      assert(members.min == cid, s"cluster $cid min is ${members.min}")
+    }
+    // sizes cover the whole corpus
+    val sizeSum = run("q_dedup_clusters")
+      .select("cluster_id", "cluster_size").distinct()
+      .agg(sum("cluster_size")).collect()(0).getLong(0)
+    assert(sizeSum == clusters.size)
+    // a multi-hop chain (A~B, B~C but never A~C in the pair list) still
+    // coalesces transitively — find one if the corpus has any
+    val adj = pairs.flatMap(r => Seq(r.getLong(0) -> r.getLong(1), r.getLong(1) -> r.getLong(0)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val pairSet = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val chain = adj.flatMap { case (b, ns) =>
+      for (a <- ns; c <- ns if a < c && !pairSet((a, c))) yield (a, b, c)
+    }.headOption
+    chain.foreach { case (a, _, c) =>
+      assert(clusters(a) == clusters(c), s"transitive pair ($a,$c) split")
+    }
+  }
+
   test("minhash hot-bucket cap bounds an identical-content flood") {
     // 1000 byte-identical docs land in ONE bucket per band; uncapped
     // pairing would emit ~500k pairs — the cap bounds it at C(64,2).

@@ -117,11 +117,53 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** The BPE-ish token count shared by q_token_count / q_token_hist. */
+  private def bpeTokens: Column =
+    size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
+      .cast("long")
+
+  /** q_token_hist: per-language token-length histogram (32-token-wide
+    * buckets) — the length-distribution stat corpus curation actually
+    * uses. Exact per-group quantiles need a per-language sort (5
+    * partitions would hold the whole corpus), so the histogram IS the
+    * scale answer: a pure two-phase groupBy on a high-cardinality
+    * (lang, bucket) key, map-only before the one shuffle. */
+  def tokenHist(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), bpeTokens.as("n_tok"))
+      .withColumn("bucket", expr("(n_tok div 32) * 32"))
+      .groupBy("lang", "bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("sum_tokens"),
+        min("n_tok").as("min_tok"),
+        max("n_tok").as("max_tok"))
+      .orderBy("lang", "bucket")
+
+  /** q_sample_split: deterministic content-hash train/val/test split
+    * (80/10/10) with per-(lang, split) counts — the reproducible
+    * sampling stage of a training-data pipeline. The split key is an
+    * md5-derived integer, so membership is a pure function of doc_id:
+    * stable across runs, engines, and cluster layouts (the reason
+    * hash-based splits beat rand() sampling in any pipeline that must
+    * be replayable). Map-only + one two-phase aggregation. */
+  def sampleSplit(spark: SparkSession, dir: String): DataFrame = {
+    val h = expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) % 100")
+    Tables.documents(spark, dir)
+      .select(col("lang"), bpeTokens.as("n_tok"),
+        when(h < 80, "train").when(h < 90, "val").otherwise("test").as("split"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tokens"))
+      .orderBy("lang", "split")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lang_id" -> (langId(_, _)),
     "q_quality_score" -> (qualityScore(_, _)),
     "q_token_count" -> (tokenCount(_, _)),
-    "q_fingerprint" -> (fingerprint(_, _)))
+    "q_fingerprint" -> (fingerprint(_, _)),
+    "q_token_hist" -> (tokenHist(_, _)),
+    "q_sample_split" -> (sampleSplit(_, _)))
 
   private val profileSql: String = profiles.map { case (lang, grams) =>
     val sum = grams
@@ -168,6 +210,31 @@ object TextAnalysis {
         |    * (1.0 - CAST(n_stopwords AS DOUBLE) / n_tokens) * 1e6 + 0.5) / 1e6 AS quality
         |FROM t
         |ORDER BY doc_id""".stripMargin,
+    "q_token_hist" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tok
+        |  FROM documents)
+        |SELECT lang, (n_tok // 32) * 32 AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+        |  MIN(n_tok) AS min_tok, MAX(n_tok) AS max_tok
+        |FROM t
+        |GROUP BY lang, (n_tok // 32) * 32
+        |ORDER BY lang, bucket""".stripMargin,
+    "q_sample_split" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tok,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS h
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+        |FROM t
+        |GROUP BY lang, CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END
+        |ORDER BY lang, split""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,

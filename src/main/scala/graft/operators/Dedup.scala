@@ -207,17 +207,20 @@ object Dedup {
     * one canonical keeper per cluster, everything else droppable).
     *
     * Algorithm: iterative min-label propagation (the Pregel-style CC
-    * loop): every doc starts labeled with its own id; each round a doc
-    * takes the minimum of its own label and its neighbors' labels.
-    * Converges in O(component diameter) rounds — near-dup clusters are
-    * band-bucket cliques, so the diameter is tiny in practice. Each
-    * round is one shuffle join on the (persisted) edge list plus a
-    * bounded one-row aggregate for the convergence check (the label sum
-    * is strictly decreasing until fixpoint, so no per-row change
-    * tracking or extra join is needed); `localCheckpoint` truncates the
-    * growing lineage so round N's plan doesn't replay rounds 1..N-1.
-    * At 100 TB this is the standard formulation: work per round is
-    * |edges| shuffled on id, and no component is ever collected. */
+    * loop) over the pair graph's nodes only: each node starts labeled
+    * with its own id; each round a node takes the minimum of its own
+    * label and its neighbors' labels. Converges in O(component
+    * diameter) rounds — near-dup clusters are band-bucket cliques, so
+    * the diameter is tiny in practice. Each round is one shuffle join
+    * on the (persisted) edge list plus a bounded one-row aggregate for
+    * the convergence check (the label sum is strictly decreasing until
+    * fixpoint, so no per-row change tracking or extra join is needed);
+    * `localCheckpoint` truncates the growing lineage so round N's plan
+    * doesn't replay rounds 1..N-1. At 100 TB this is the standard
+    * formulation: work per round is |edges| shuffled on id — the
+    * near-dup subgraph, orders of magnitude smaller than the corpus —
+    * and no component is ever collected; singleton docs never enter
+    * the loop and rejoin at the end as their own clusters. */
   def dedupClusters(spark: SparkSession, dir: String, maxIter: Int = 30): DataFrame = {
     val pairs = minhashPairs(spark, dir).select("id_a", "id_b")
     val edges = pairs
@@ -225,8 +228,13 @@ object Dedup {
       .toDF("src", "dst")
       .persist() // re-joined every round; dropped in the finally below
     try {
-      var labels = Tables.documents(spark, dir)
-        .select(col("doc_id"), col("doc_id").as("label"))
+      // propagate over the pair graph's nodes ONLY: docs that appear in
+      // no pair are singletons whose label can never change, so at
+      // corpus scale each round shuffles the (orders-of-magnitude
+      // smaller) near-dup node set, never the whole corpus — singletons
+      // rejoin at the end with cluster_id = doc_id
+      var labels = edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("label", col("doc_id"))
         .localCheckpoint()
       var prevSum = BigDecimal(-1)
       var converged = false
@@ -236,21 +244,34 @@ object Dedup {
           .join(labels.select(col("doc_id").as("dst"), col("label").as("nl")), Seq("dst"))
           .groupBy(col("src").as("doc_id"))
           .agg(min("nl").as("nmin"))
-        labels = labels
+        val stepped = labels
           .join(nbrMin, Seq("doc_id"), "left")
           .select(col("doc_id"),
             least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-          .localCheckpoint()
+        // pointer jumping: also adopt label(label(x)) — the hop halves
+        // the remaining path to the component minimum every round, so
+        // convergence is O(log diameter) rounds instead of O(diameter)
+        // (a long near-dup chain would otherwise cost one shuffle round
+        // per hop). Lazy checkpoint: the convergence aggregate below is
+        // the action that materializes it — one job per round.
+        labels = stepped.as("s")
+          .join(stepped.select(col("doc_id").as("label"), col("label").as("ll")).as("p"),
+            Seq("label"), "left")
+          .select(col("doc_id"),
+            least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
+          .localCheckpoint(false)
         val curSum = BigDecimal(
           labels.agg(sum(col("label").cast(DecimalType(38, 0)))).head().getDecimal(0))
         converged = curSum == prevSum
         prevSum = curSum
         i += 1
       }
-      val sizes = labels.groupBy(col("label").as("cluster_id"))
-        .agg(count(lit(1)).as("cluster_size"))
-      labels
-        .select(col("doc_id"), col("label").as("cluster_id"))
+      val lab = Tables.documents(spark, dir)
+        .select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      val sizes = lab.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      lab
         .join(sizes, Seq("cluster_id"))
         .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
           (col("doc_id") === col("cluster_id")).as("is_canonical"))

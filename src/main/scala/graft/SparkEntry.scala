@@ -27,6 +27,7 @@ object SparkEntry {
       operators.TextAnalysis.queries ++
       operators.Multimodal.queries ++
       sources.XmlFeed.queries ++
+      sources.WhoisJson.queries ++
       ml.MLQueries.queries ++
       streaming.StreamingQueries.queries
 
@@ -41,6 +42,7 @@ object SparkEntry {
       operators.TextAnalysis.oracleSql ++
       operators.Multimodal.oracleSql ++
       sources.XmlFeed.oracleSql ++
+      sources.WhoisJson.oracleSql ++
       streaming.StreamingQueries.oracleSql ++
       ml.MLQueries.oracleSql
 }

@@ -265,6 +265,51 @@ object Analytics {
       .orderBy("l_partkey", "l_suppkey")
   }
 
+  /** q_prodxstore_pivot: the per-user product×store comparison report —
+    * the reference's Kafka2ProdXStoreReport (analytics/
+    * Kafka2ProdXStoreReport.scala:79-128): rows are (condition, sku,
+    * title) per product carried by the report owner's store, columns are
+    * the owner's competitor list, each cell "price<<>>url" or
+    * "NA<<>>NA". The reference drives one driver-side pass per user over
+    * a broadcast store list and groupByKey's per product; Spark-first
+    * this is ONE `groupBy().pivot(competitors).agg(min)` — the pivot
+    * values are the explicit (bounded) competitor list, so there is no
+    * value-discovery collect, the pivot compiles to a regular
+    * aggregation with one column per competitor, and the single shuffle
+    * is on (product, condition). Prices pivot as integer cents so every
+    * cell is exact. Condition mapping mirrors the reference's
+    * details-string sniffing (Refurbished→Refurb, Used→Used, else New). */
+  def prodXStorePivot(spark: SparkSession, dir: String,
+      user: String = "st0", competitors: Seq[String] = Seq("st1", "st2", "st3", "st4")): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(
+        col("l_partkey"), col("l_suppkey"),
+        concat(lit("st"), (col("l_suppkey") % 7).cast("string")).as("store"),
+        when(col("l_returnflag") === "R", "Refurb")
+          .when(col("l_returnflag") === "A", "Used")
+          .otherwise("New").as("condition_"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+    val offers = li
+      .groupBy("l_partkey", "condition_", "store")
+      .agg(min("cents").as("cents"))
+      .withColumn("cell", concat(col("cents").cast("string"), lit("<<>>"),
+        concat(lit("http://"), col("store"), lit(".example.com/p/"), col("l_partkey").cast("string"))))
+    val p = Tables.part(spark, dir)
+      .select(col("p_partkey"),
+        concat(lit("sku"), col("p_partkey").cast("string")).as("sku"),
+        col("p_name").as("title"))
+    offers
+      .groupBy("l_partkey", "condition_")
+      .pivot("store", user +: competitors)
+      .agg(min("cell"))
+      // the report covers only products the owner's store carries
+      .filter(col(user).isNotNull)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .select(Seq(col("condition_"), col("sku"), col("title")) ++
+        competitors.map(c => coalesce(col(c), lit("NA<<>>NA")).as(c)): _*)
+      .orderBy("sku", "condition_")
+  }
+
   /** Product matching between the CMS catalog and live market prices —
     * the reference's AutoMatcher (emr/AutoMatcher.scala:60-95): both
     * sides key on (store_id || product title) and an exact equi-join
@@ -324,9 +369,36 @@ object Analytics {
     "q_eval_metrics" -> (evalMetrics(_, _)),
     "q_price_index" -> (priceIndex(_, _)),
     "q_auto_match" -> (autoMatch(_, _)),
-    "q_seed_freq" -> (seedFreq(_, _)))
+    "q_seed_freq" -> (seedFreq(_, _)),
+    "q_prodxstore_pivot" -> (prodXStorePivot(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "q_prodxstore_pivot" ->
+      """WITH li AS (
+        |  SELECT l_partkey,
+        |    'st' || CAST(l_suppkey % 7 AS VARCHAR) AS store,
+        |    CASE WHEN l_returnflag = 'R' THEN 'Refurb'
+        |         WHEN l_returnflag = 'A' THEN 'Used' ELSE 'New' END AS condition_,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |offers AS (
+        |  SELECT l_partkey, condition_, store,
+        |    CAST(MIN(cents) AS VARCHAR) || '<<>>http://' || store
+        |      || '.example.com/p/' || CAST(l_partkey AS VARCHAR) AS cell
+        |  FROM li GROUP BY l_partkey, condition_, store),
+        |piv AS (
+        |  SELECT l_partkey, condition_,
+        |    MIN(CASE WHEN store = 'st0' THEN cell END) AS own,
+        |    COALESCE(MIN(CASE WHEN store = 'st1' THEN cell END), 'NA<<>>NA') AS st1,
+        |    COALESCE(MIN(CASE WHEN store = 'st2' THEN cell END), 'NA<<>>NA') AS st2,
+        |    COALESCE(MIN(CASE WHEN store = 'st3' THEN cell END), 'NA<<>>NA') AS st3,
+        |    COALESCE(MIN(CASE WHEN store = 'st4' THEN cell END), 'NA<<>>NA') AS st4
+        |  FROM offers GROUP BY l_partkey, condition_)
+        |SELECT condition_, 'sku' || CAST(p_partkey AS VARCHAR) AS sku,
+        |  p_name AS title, st1, st2, st3, st4
+        |FROM piv JOIN part ON l_partkey = p_partkey
+        |WHERE own IS NOT NULL
+        |ORDER BY sku, condition_""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -157,7 +157,52 @@ object TextAnalysis {
       .orderBy("lang", "split")
   }
 
+  /** q_token_search: inverted-index token-overlap retrieval — the
+    * reference's ES best-candidate search (nlp/ESSearchBestCand.scala:
+    * 28-33, 40-62: query = distinct tokens of the pattern text, hit =
+    * the best-matching stored page) without the external search engine.
+    *
+    * Spark-first shape: the inverted index is the exploded distinct
+    * (term, doc_id) list; retrieval is ONE equi-join on term (the
+    * classic index-postings join, shuffled on term) followed by a
+    * per-(query, doc) count and a per-query top-k window on the
+    * high-cardinality query key. Terms are word 3-shingles (phrases,
+    * like the reference's pattern queries — this corpus's single-word
+    * vocabulary is tiny and near-universal, exactly the stopword case);
+    * terms with document frequency above [[SearchMaxDf]] are pruned
+    * from the index first — the stopword cut every real search engine
+    * applies, and what bounds the postings-join fan-out at corpus
+    * scale (a term in N docs contributes N postings per query
+    * containing it). */
+  private val SearchMaxDf = 100
+
+  def tokenSearch(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(
+          graft.functions.WordShingles.wordShingles(col("text"), 3))).as("tok"))
+    val rare = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= SearchMaxDf)
+      .select("tok")
+    val index = toks.join(rare, Seq("tok"))
+    val queries = index
+      .filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("query_id"), col("tok"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("overlap").desc, col("doc_id").asc)
+    queries
+      .join(index, Seq("tok"))
+      .filter(col("query_id") =!= col("doc_id"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("overlap"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_token_search" -> (tokenSearch(_, _)),
     "q_lang_id" -> (langId(_, _)),
     "q_quality_score" -> (qualityScore(_, _)),
     "q_token_count" -> (tokenCount(_, _)),
@@ -173,6 +218,30 @@ object TextAnalysis {
   }.mkString(",\n    ")
 
   val oracleSql: Map[String, String] = Map(
+    "q_token_search" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(ts) >= 3
+         |    THEN [ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] for i in range(1, len(ts) - 1)]
+         |    ELSE [text] END)) AS tok
+         |  FROM (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents)),
+         |rare AS (
+         |  SELECT tok FROM toks GROUP BY tok HAVING COUNT(*) <= $SearchMaxDf),
+         |idx AS (
+         |  SELECT t.doc_id, t.tok FROM toks t JOIN rare USING (tok)),
+         |q AS (
+         |  SELECT doc_id AS query_id, tok FROM idx WHERE doc_id % 50 = 0),
+         |scored AS (
+         |  SELECT q.query_id, i.doc_id, CAST(COUNT(*) AS BIGINT) AS overlap
+         |  FROM q JOIN idx i USING (tok)
+         |  WHERE q.query_id <> i.doc_id
+         |  GROUP BY q.query_id, i.doc_id),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY overlap DESC, doc_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, doc_id, overlap, CAST(rank AS BIGINT) AS rank
+         |FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
     "q_lang_id" ->
       s"""WITH scored AS (
          |  SELECT doc_id, lang,

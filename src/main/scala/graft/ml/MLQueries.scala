@@ -187,6 +187,38 @@ object MLQueries {
     } finally data.unpersist()
   }
 
+  /** q_gbt_validation: the sub-model sweep of models/ValidateModels
+    * .scala:43-45 — the reference rebuilds a GBT prefix sub-model per
+    * ensemble size (Transformer.buildTreeSubModels) and scores each to
+    * pick the best early-stopping point; Spark ML exposes exactly that
+    * curve as `GBTClassificationModel.evaluateEachIteration` (one
+    * distributed pass computing the staged losses). Output: one row per
+    * ensemble size with its test loss, best size flagged. Rows-only
+    * (training path); the curve is deterministic given the seed. */
+  def gbtValidation(spark: SparkSession, dir: String, maxIter: Int = 6): DataFrame = {
+    val data = candidateFeatures(spark, dir)
+      .filter(col("domain") === "shop0.example.com")
+      .cache()
+    try {
+      val train = data.filter(col("o_orderkey") % 10 < 7)
+      val test = data.filter(col("o_orderkey") % 10 >= 7)
+      val fpm = new TopKByAvgTFIDF().fit(train)
+      val model = new GBTClassifier()
+        .setMaxIter(maxIter).setMaxDepth(2).setSeed(42L)
+        .setLabelCol("label").setFeaturesCol("features")
+        .fit(fpm.transform(train))
+      val losses = model.evaluateEachIteration(fpm.transform(test))
+      val bestIter = losses.indices.minBy(i => (losses(i), i))
+      import spark.implicits._
+      losses.toSeq.zipWithIndex
+        .map { case (loss, i) =>
+          (i + 1L, math.floor(loss * 1e6 + 0.5) / 1e6, i == bestIter)
+        }
+        .toDF("n_trees", "test_loss", "is_best")
+        .orderBy("n_trees")
+    } finally data.unpersist()
+  }
+
   /** q_model_zoo: RF / LinearSVC / PCA summary rows. */
   def modelZoo(spark: SparkSession, dir: String): DataFrame = {
     val data = featurized(spark, dir).cache()
@@ -271,6 +303,7 @@ object MLQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tfidf_topk" -> (tfidfTopK(_, _)),
     "q_gbt_train_eval" -> (gbtTrainEval(_, _)),
+    "q_gbt_validation" -> (gbtValidation(_, _)),
     "q_model_zoo" -> (modelZoo(_, _)))
 
   val oracleSql: Map[String, String] = Map(

@@ -10,7 +10,7 @@ class OperatorSpec extends SparkSpec {
   private def run(name: String) = SparkEntry.queries(name)(spark, sf)
 
   test("every registered query returns rows at sf0.001") {
-    val skipSlow = Set("q_gbt_train_eval", "q_model_zoo") // covered below
+    val skipSlow = Set("q_gbt_train_eval", "q_model_zoo", "q_gbt_validation") // covered below
     SparkEntry.queries.keys.filterNot(skipSlow).foreach { name =>
       assert(run(name).limit(1).count() == 1, s"$name returned 0 rows")
     }
@@ -42,6 +42,16 @@ class OperatorSpec extends SparkSpec {
   test("jaccard is within [0,1] and symmetric by construction") {
     val mm = run("q_ngram_jaccard").agg(min("jaccard"), max("jaccard")).collect()(0)
     assert(mm.getDouble(0) >= 0.0 && mm.getDouble(1) <= 1.0)
+  }
+
+  test("gbt validation emits one loss per ensemble size with a single best") {
+    val rows = run("q_gbt_validation").collect()
+    assert(rows.length == 6, s"expected 6 curve points, got ${rows.length}")
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 6L), "n_trees not 1..6")
+    val best = rows.filter(_.getBoolean(2))
+    assert(best.length == 1, "exactly one best ensemble size expected")
+    val minLoss = rows.map(_.getDouble(1)).min
+    assert(best.head.getDouble(1) == minLoss, "best row must carry the minimum loss")
   }
 
   test("dedup clusters: pairs co-clustered, ids are component minima, sizes add up") {

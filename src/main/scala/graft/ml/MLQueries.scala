@@ -196,8 +196,11 @@ object MLQueries {
     * ensemble size with its test loss, best size flagged. Rows-only
     * (training path); the curve is deterministic given the seed. */
   def gbtValidation(spark: SparkSession, dir: String, maxIter: Int = 6): DataFrame = {
+    // halve candidateFeatures' 5% URL sample again (h%40==0 ⊂ h%20==0):
+    // a validation curve needs far fewer points than the training job
     val data = candidateFeatures(spark, dir)
-      .filter(col("domain") === "shop0.example.com")
+      .filter(col("domain") === "shop0.example.com" &&
+        pmod(xxhash64(col("o_orderkey")), lit(40)) === 0)
       .cache()
     try {
       val train = data.filter(col("o_orderkey") % 10 < 7)

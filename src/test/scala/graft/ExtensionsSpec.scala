@@ -27,6 +27,23 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(rows == Seq("a b c", "b c d"))
   }
 
+  test("char_grams is callable from SQL and rejects non-literal n") {
+    import spark.implicits._
+    Seq((1L, "abcdef")).toDF("id", "text").createOrReplaceTempView("cg_docs")
+    // reference bounds: first char never starts a gram, last gram stops
+    // one short — "abcdef" with n=3 yields positions 2..3 only
+    val rows = spark.sql("SELECT explode(char_grams(text, 3)) AS g FROM cg_docs")
+      .collect().map(_.getString(0)).toSeq
+    assert(rows == Seq("bcd", "cde"))
+    val err = intercept[Throwable] {
+      spark.sql("SELECT char_grams(text, id) FROM cg_docs").collect()
+    }
+    val messages = Iterator.iterate(err)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(messages.contains("integer literal"),
+      s"expected a clear non-literal error, got: $messages")
+  }
+
   test("dot_product and heavy_hitters are callable from SQL") {
     import spark.implicits._
     Seq(("a", Array(1.0, 2.0)), ("a", Array(3.0, 4.0)), ("b", Array(1.0, 0.0)))

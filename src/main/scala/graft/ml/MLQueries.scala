@@ -90,8 +90,8 @@ object MLQueries {
       domain.as("domain"),
       concat(charGramsArr(data, 3), charGramsArr(data, 4), Text.tokenize(data)).as("terms"),
       (col("location").cast("double") / col("page_len")).as("location_norm"),
-      coalesce((Text.parsePriceLocale(col("candidate")) ===
-        Text.parsePriceLocale(col("a_str"))).cast("double"), lit(0.0)).as("label"))
+      coalesce((Text.parsePriceLocale(col("candidate")) === col("a_val"))
+        .cast("double"), lit(0.0)).as("label"))
   }
 
   private def featurized(spark: SparkSession, dir: String): DataFrame = {

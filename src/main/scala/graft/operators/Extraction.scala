@@ -54,10 +54,16 @@ object Extraction {
   private[graft] def labeledCandidates(spark: SparkSession, dir: String): DataFrame =
     withHtml(spark, dir)
       .withColumn("page_len", length(col("html")).cast("double"))
-      .select(col("o_orderkey"), col("o_custkey"), col("a_str"), col("page_len"),
+      // parse the page's true price ONCE per page, before the explode —
+      // downstream label/filter expressions would otherwise rerun the
+      // parse regex per candidate (~7x per page)
+      .withColumn("a_val", graft.functions.Text.parsePriceLocale(col("a_str")))
+      .select(col("o_orderkey"), col("o_custkey"), col("a_str"), col("a_val"),
+        col("page_len"),
         explode(priceCandidates(col("html"))).as("c"))
       .select(
-        col("o_orderkey"), col("o_custkey"), col("a_str"), col("page_len"),
+        col("o_orderkey"), col("o_custkey"), col("a_str"), col("a_val"),
+        col("page_len"),
         col("c.candidate").as("candidate"),
         col("c.text_before").as("text_before"), col("c.text_after").as("text_after"),
         col("c.location").as("location"))
@@ -127,8 +133,7 @@ object Extraction {
       .withColumn("domain",
         concat(lit("shop"), (col("o_custkey") % 37).cast("string"), lit(".example.com")))
     val tru = cand
-      .filter(graft.functions.Text.parsePriceLocale(col("candidate")) ===
-        graft.functions.Text.parsePriceLocale(col("a_str")))
+      .filter(graft.functions.Text.parsePriceLocale(col("candidate")) === col("a_val"))
       .select(col("domain"), col("o_orderkey"),
         expr(s"right(text_before, $trim)").as("pat_before"),
         expr(s"left(text_after, $trim)").as("pat_after"))

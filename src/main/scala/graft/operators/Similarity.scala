@@ -190,11 +190,48 @@ object Similarity {
     } finally emb.unpersist()
   }
 
+  /** q_embed_quantize: per-vector symmetric int8 quantization — the
+    * 4× storage cut an ANN corpus takes before indexing at scale
+    * (scale = max|x|/127, q_i = round(x_i/scale) ∈ [-127,127]).
+    * Map-only pass; the registered output reduces each vector to
+    * exact-integer check columns (quantized sum / L2) plus the
+    * floor-scaled scale and reconstruction MSE, so the driver compare
+    * is array-free and dtype-exact. Determinism: every float enters
+    * the arithmetic through an exact float→double conversion, division
+    * and the left-fold error sum are correctly-rounded double ops in
+    * pinned index order — bit-identical in DuckDB. */
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val v = col("v")
+    val amax = array_max(transform(v, x => abs(x))) // float-exact
+    val scale = amax.cast("double") / 127.0
+    def qi(x: Column) =
+      when(col("scale") === 0.0, lit(0.0))
+        .otherwise(greatest(lit(-127.0), least(lit(127.0),
+          floor(x.cast("double") / col("scale") + 0.5))))
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("scale", scale)
+      .withColumn("q", transform(v, x => qi(x).cast("long")))
+      .select(
+        col("vec_id"),
+        size(v).cast("long").as("n_dims"),
+        floor(col("scale") * 1e9 + 0.5).cast("long").as("scale_e9"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x * x).as("q_l2"),
+        floor(aggregate(
+          zip_with(v, col("q"), (x, q) =>
+            (x.cast("double") - q.cast("double") * col("scale"))
+              * (x.cast("double") - q.cast("double") * col("scale"))),
+          lit(0.0), (a, e) => a + e) * 1e9 + 0.5).cast("long").as("mse_e9"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_cosine" -> (annCosine(_, _)),
     "q_ann_lsh_cosine" -> (annLshCosine(_, _)),
     "q_ann_ivf_cosine" -> (annIvfCosine(_, _)),
-    "q_dedup_embedding" -> (dedupEmbedding(_, _)))
+    "q_dedup_embedding" -> (dedupEmbedding(_, _)),
+    "q_embed_quantize" -> (embedQuantize(_, _)))
 
   /** Shared oracle prelude: embeddings as double lists + norms + the
     * same sign-projection buckets (planes embedded as literals). */
@@ -223,6 +260,32 @@ object Similarity {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_embed_quantize" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding AS v,
+        |    CAST(list_aggregate(list_transform(embedding, x -> abs(x)), 'max') AS DOUBLE)
+        |      / 127.0 AS scale
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, v, scale,
+        |    list_transform(v, x -> CASE WHEN scale = 0.0 THEN CAST(0 AS BIGINT)
+        |      ELSE CAST(greatest(-127.0, least(127.0,
+        |        floor(CAST(x AS DOUBLE) / scale + 0.5))) AS BIGINT) END) AS qv
+        |  FROM s)
+        |SELECT vec_id,
+        |  CAST(len(v) AS BIGINT) AS n_dims,
+        |  CAST(floor(scale * 1e9 + 0.5) AS BIGINT) AS scale_e9,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), qv),
+        |    (a, x) -> a + x) AS BIGINT) AS q_sum,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(qv, x -> x * x)), (a, x) -> a + x) AS BIGINT) AS q_l2,
+        |  CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    [(CAST(v[i] AS DOUBLE) - CAST(qv[i] AS DOUBLE) * scale)
+        |      * (CAST(v[i] AS DOUBLE) - CAST(qv[i] AS DOUBLE) * scale)
+        |      for i in range(1, len(v) + 1)]),
+        |    (a, e) -> a + e) * 1e9 + 0.5) AS BIGINT) AS mse_e9
+        |FROM q
+        |ORDER BY vec_id""".stripMargin,
     "q_ann_lsh_cosine" ->
       s"""WITH $bucketSqlPrelude,
          |scored AS (

@@ -183,6 +183,29 @@ object StreamingQueries {
     runToMemory(spark, agg, OutputMode.Complete()).orderBy("user_id")
   }
 
+  /** Row 53 — per-user session windows (5-minute inactivity gap):
+    * Structured Streaming's merging-state aggregation — the one window
+    * shape a tumbling/sliding window cannot express, because a
+    * session's extent is data-driven (grows while events keep arriving
+    * within the gap, merges when a late event bridges two sessions).
+    * State per key is bounded by the watermark. Append mode emits only
+    * sessions the watermark has sealed (end = last event + gap ≤
+    * horizon), the correct unbounded-stream contract. Sums are integer
+    * cents so merge order cannot perturb the result. */
+  def streamSessions(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(floor(col("value") * 100 + 0.5).cast("long")) / 100.0).as("sum_value"))
+      .select(
+        col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+    runToMemory(spark, agg, OutputMode.Append())
+      .orderBy("user_id", "sess_start")
+  }
+
   /** Row 44 — streaming exact dedup: the LLM-pipeline dedup stage as a
     * stream. Documents stream → content hash → `dropDuplicates` on the
     * hash, i.e. Structured Streaming's dedup state store emitting each
@@ -209,7 +232,8 @@ object StreamingQueries {
     "q_stream_window" -> (streamWindow(_, _)),
     "q_stream_stateful" -> (streamStateful(_, _)),
     "q_stream_comp_per_user" -> (streamCompPerUser(_, _)),
-    "q_stream_dedup" -> (streamDedup(_, _)))
+    "q_stream_dedup" -> (streamDedup(_, _)),
+    "q_stream_sessions" -> (streamSessions(_, _)))
 
   /** The streaming queries run real Structured Streaming, but over the
     * bounded testdata their results are deterministic functions of
@@ -217,6 +241,26 @@ object StreamingQueries {
     * check that the streaming semantics (state machine, watermark
     * finalization) match their batch-SQL meaning. */
   val oracleSql: Map[String, String] = Map(
+    "q_stream_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts_us, value FROM events),
+        |wm AS (SELECT max(ts_us) - INTERVAL 10 MINUTE AS horizon FROM e),
+        |o AS (
+        |  SELECT user_id, ts_us, value,
+        |    CASE WHEN ts_us - LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) > INTERVAL 5 MINUTE
+        |         OR LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL THEN 1 ELSE 0 END AS brk
+        |  FROM e),
+        |s AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o),
+        |agg AS (
+        |  SELECT user_id, sid, MIN(ts_us) AS sess_start, MAX(ts_us) + INTERVAL 5 MINUTE AS sess_end,
+        |    COUNT(*) AS n_events,
+        |    SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_value
+        |  FROM s GROUP BY user_id, sid)
+        |SELECT a.sess_start, a.sess_end, a.user_id, a.n_events, a.sum_value
+        |FROM agg a, wm WHERE a.sess_end <= wm.horizon
+        |ORDER BY user_id, sess_start""".stripMargin,
     "q_stream_dedup" ->
       """SELECT md5(text) AS content_hash,
         |  CAST(MIN(len(text)) AS BIGINT) AS n_chars

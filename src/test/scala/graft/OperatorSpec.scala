@@ -87,6 +87,44 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("dedup clusters coalesce a long near-dup chain into one component") {
+    // rolling-window texts: doc i = words w_i..w_{i+11}, so consecutive
+    // docs share most shingles (chained near-dups A~B~C~...) while
+    // distant docs share none — exercising multi-hop label propagation
+    // (the pointer-jumping path), which the natural corpus's clique-like
+    // clusters barely touch
+    import spark.implicits._
+    val words = (0 until 40).map(i => s"w$i")
+    val dir = java.nio.file.Files.createTempDirectory("graft_chain").toString
+    (0L until 28L).map(i => (i, words.slice(i.toInt, i.toInt + 12).mkString(" ")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = graft.operators.Dedup.minhashPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // sanity: the corpus must actually chain (adjacent pairs present,
+    // no shortcut pair spanning the whole range)
+    assert(pairs.nonEmpty, "chain corpus produced no candidate pairs")
+    assert(!pairs.contains((0L, 27L)), "chain degenerated into a direct pair")
+    val clusters = graft.operators.Dedup.dedupClusters(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // connectivity is transitive over the pair graph: walk components
+    // from the pairs and check every member carries the component min
+    val adj = (pairs ++ pairs.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    def component(seed: Long): Set[Long] = {
+      var seen = Set(seed); var frontier = List(seed)
+      while (frontier.nonEmpty) {
+        val next = frontier.flatMap(n => adj.getOrElse(n, Set.empty)).filterNot(seen)
+        seen ++= next; frontier = next
+      }
+      seen
+    }
+    val comp0 = component(0L)
+    assert(comp0.size > 2, s"expected a multi-hop component, got $comp0")
+    comp0.foreach { d =>
+      assert(clusters(d) == comp0.min, s"doc $d labeled ${clusters(d)}, want ${comp0.min}")
+    }
+  }
+
   test("minhash hot-bucket cap bounds an identical-content flood") {
     // 1000 byte-identical docs land in ONE bucket per band; uncapped
     // pairing would emit ~500k pairs — the cap bounds it at C(64,2).

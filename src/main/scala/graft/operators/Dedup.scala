@@ -260,8 +260,11 @@ object Dedup {
           .select(col("doc_id"),
             least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
           .localCheckpoint(false)
+        // coalesce: a corpus with no near-dup pairs has an empty label
+        // set, and sum() over nothing is null, not 0
         val curSum = BigDecimal(
-          labels.agg(sum(col("label").cast(DecimalType(38, 0)))).head().getDecimal(0))
+          labels.agg(coalesce(sum(col("label").cast(DecimalType(38, 0))),
+            lit(0).cast(DecimalType(38, 0)))).head().getDecimal(0))
         converged = curSum == prevSum
         prevSum = curSum
         i += 1

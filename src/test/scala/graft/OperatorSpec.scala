@@ -125,6 +125,24 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("dedup clusters on a pair-free corpus: every doc its own singleton") {
+    // disjoint vocabularies → zero candidate pairs → the propagation
+    // loop sees an EMPTY label set (sum() over nothing is null, which
+    // once NPE'd the convergence check)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_nopairs").toString
+    (0L until 6L).map(i => (i, (0 until 8).map(j => s"u${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.operators.Dedup.dedupClusters(spark, dir).collect()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(0), "singleton must cluster to itself")
+      assert(r.getLong(2) == 1L, "singleton cluster size must be 1")
+      assert(r.getBoolean(3), "singleton must be canonical")
+    }
+  }
+
   test("minhash hot-bucket cap bounds an identical-content flood") {
     // 1000 byte-identical docs land in ONE bucket per band; uncapped
     // pairing would emit ~500k pairs — the cap bounds it at C(64,2).

@@ -20,6 +20,8 @@ object Bench {
       SparkEntry.entry(spark).limit(1).count()
     } catch { case _: Throwable => () }
     val only = args.toSet // optional query-name filter for local profiling
+    require((only -- SparkEntry.queries.keySet).isEmpty,
+      s"unknown query name(s): ${(only -- SparkEntry.queries.keySet).mkString(", ")}")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>

@@ -21,10 +21,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     * column reference would hit an unbound-attribute eval error deep in
     * the stack; fail analysis with a readable message instead. */
   private def intLiteral(fn: String, arg: String, ex: Expression): Int = {
-    if (!ex.foldable)
-      throw new IllegalArgumentException(
-        s"$fn: $arg must be an integer literal, got: ${ex.sql}")
-    ex.eval().asInstanceOf[Number].intValue()
+    def fail() = throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got: ${ex.sql}")
+    if (!ex.foldable) fail()
+    ex.eval() match { // null and non-numeric literals get the same clear error
+      case n: Number => n.intValue()
+      case _ => fail()
+    }
   }
 
   override def apply(e: SparkSessionExtensions): Unit = {

@@ -130,9 +130,11 @@ class TopKByAvgTFIDFModel(
 
 /** Persistence (the reference ships models to storage for the
   * streaming scorer to load — emr/BuildAndSaveModels.scala,
-  * emr/Models2Object.scala): the inner IDFModel saves through its own
-  * Spark ML writer; the selected indices and params ride a one-row
-  * parquet alongside it. */
+  * emr/Models2Object.scala): the idf weight vector is a one-row
+  * parquet at `$path/idf`; the selected indices and params ride a
+  * second one-row parquet at `$path/meta`. (This layout replaced an
+  * earlier nested-IDFModel format; models saved before the single-pass
+  * fit rewrite need re-fitting.) */
 object TopKByAvgTFIDFModel extends MLReadable[TopKByAvgTFIDFModel] {
 
   private[ml] class Writer(instance: TopKByAvgTFIDFModel) extends MLWriter {

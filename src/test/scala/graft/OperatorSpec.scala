@@ -55,8 +55,10 @@ class OperatorSpec extends SparkSpec {
   }
 
   test("dedup clusters: pairs co-clustered, ids are component minima, sizes add up") {
-    val clusters = run("q_dedup_clusters").collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // one collect serves every assertion — the query runs a multi-job
+    // propagation loop, so don't execute it twice
+    val rows = run("q_dedup_clusters").collect()
+    val clusters = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
     // every near-dup pair ends up in the same cluster
     val pairs = run("q_dedup_minhash").collect()
     pairs.foreach { r =>
@@ -70,9 +72,7 @@ class OperatorSpec extends SparkSpec {
       assert(members.min == cid, s"cluster $cid min is ${members.min}")
     }
     // sizes cover the whole corpus
-    val sizeSum = run("q_dedup_clusters")
-      .select("cluster_id", "cluster_size").distinct()
-      .agg(sum("cluster_size")).collect()(0).getLong(0)
+    val sizeSum = rows.map(r => (r.getLong(1), r.getLong(2))).distinct.map(_._2).sum
     assert(sizeSum == clusters.size)
     // a multi-hop chain (A~B, B~C but never A~C in the pair list) still
     // coalesces transitively — find one if the corpus has any

@@ -65,5 +65,20 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
         s"$n executed plan shows no stage reuse:\n$p")
     }
+    // sharper than "some reuse node exists": tie the reuse to the HEAVY
+    // subtree via the ReusedExchange output columns. The simhash
+    // 60-vote aggregate shuffle ([doc_id, sum#...]) has three consumers
+    // (both chunk-join sides + the final left join), so its exchange
+    // must be reused at least twice; a partial regression that
+    // recomputes one branch would drop below that while generic
+    // "contains ReusedExchange" stays green.
+    def finalPlan(n: String): String = {
+      val df = SparkEntry.queries(n)(spark, sf)
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    val sim = finalPlan("q_dedup_simhash")
+    assert("ReusedExchange \\[doc_id#\\d+L, sum#".r.findAllIn(sim).length >= 2,
+      s"q_dedup_simhash: the vote-aggregate shuffle is not reused by both consumers:\n$sim")
   }
 }

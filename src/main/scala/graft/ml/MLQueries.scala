@@ -182,7 +182,10 @@ object MLQueries {
         .toDF("domain", "n_train", "n_test", "tp", "tn", "fp", "fn",
           "n_urls", "top_label_hits", "n_features")
         .withColumn("accuracy",
-          round((col("tp") + col("tn")) / (col("tp") + col("tn") + col("fp") + col("fn")), 6))
+          // floor-scale, not round(): keeps the column oracle-able the day
+          // this query gains a SQL oracle (round() on computed doubles
+          // diverges between engines on half-way cases)
+          floor((col("tp") + col("tn")) / (col("tp") + col("tn") + col("fp") + col("fn")) * 1e6 + 0.5) / 1e6)
         .orderBy("domain")
     } finally data.unpersist()
   }
@@ -296,7 +299,7 @@ object MLQueries {
         } finally pool.shutdown()
       import spark.implicits._
       rows.toDF("model", "metric")
-        .withColumn("metric", round(col("metric"), 6))
+        .withColumn("metric", floor(col("metric") * 1e6 + 0.5) / 1e6)
         .withColumn("n_train", lit(train.count()))
         .withColumn("n_test", lit(test.count()))
         .orderBy("model")

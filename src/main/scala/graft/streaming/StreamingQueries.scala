@@ -169,18 +169,42 @@ object StreamingQueries {
 
   /** Row 43 — per-user competitor set (analytics/Kafka2CompPerUser
     * .scala:67-79): the stream aggregates each user's distinct sorted
-    * store list. Complete-output streaming aggregation: the per-user
-    * set state is bounded by the (small) store alphabet per user, and
-    * each trigger emits the full refreshed report — the mode the
-    * reference's rolling report effectively implements. */
+    * store list. Update-output aggregation + upsert sink: each trigger
+    * emits ONLY the users whose set changed, and the keyed store keeps
+    * the newest row per user — the foreachRDD→Cassandra upsert shape of
+    * the reference's rolling report (streaming/Push2Cassandra.scala).
+    * Complete mode would re-emit every user ever seen on every trigger
+    * (output ∝ all history, a scale-killer at 10⁹ users); Update-mode
+    * output is ∝ the trigger's delta. The per-user set state is bounded
+    * by the small store alphabet. The in-memory map below stands in for
+    * the external KV sink (Cassandra/Delta MERGE) of a real deployment —
+    * it only ever receives the per-trigger updated keys, never a full
+    * re-emission. */
   def streamCompPerUser(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val agg = eventsStream(spark, dir)
       .groupBy("user_id")
       .agg(array_sort(collect_set(col("event_type"))).as("store_set"))
       .select(col("user_id"),
         array_join(col("store_set"), ",").as("stores"),
         size(col("store_set")).cast("long").as("n_stores"))
-    runToMemory(spark, agg, OutputMode.Complete()).orderBy("user_id")
+    val store = new java.util.concurrent.ConcurrentHashMap[Long, (String, Long)]()
+    val q = agg.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // upsert: newest row per key wins (batches arrive in order)
+        batch.collect().foreach { r =>
+          store.put(r.getLong(0), (r.getString(1), r.getLong(2)))
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    store.asScala.toSeq
+      .map { case (u, (s, n)) => (u, s, n) }
+      .toDF("user_id", "stores", "n_stores")
+      .orderBy("user_id")
   }
 
   /** Row 53 — per-user session windows (5-minute inactivity gap):

@@ -125,6 +125,31 @@ class TopKByAvgTFIDFModel(
     copyValues(new TopKByAvgTFIDFModel(uid, idf, selectedIndices).setParent(parent))
   override def transformSchema(schema: StructType): StructType = schema
 
+  @transient private lazy val hasher =
+    new HashingTF().setNumFeatures(getOrDefault(numFeatures))
+  @transient private lazy val idfArr = idf.toArray
+
+  /** In-task (single-row) twin of [[transform]]: featurize one
+    * candidate's term bag + normalized location without a DataFrame —
+    * used by the broadcast-model-map streaming scorer, where the model
+    * is applied per record inside a `mapPartitions` (the reference's
+    * Htmls2PredsPipe shape). Produces the same values `transform` emits:
+    * HashingTF counts → ·idf → slice(selectedIndices) → location
+    * appended. Parity is spec-asserted (StreamingSpec). */
+  def transformLocal(terms: Iterable[String], locationNorm: Double): Vector = {
+    val tf = new Array[Double](getOrDefault(numFeatures))
+    terms.foreach(t => tf(hasher.indexOf(t)) += 1.0)
+    val out = new Array[Double](selectedIndices.length + 1)
+    var i = 0
+    while (i < selectedIndices.length) {
+      val j = selectedIndices(i)
+      out(i) = tf(j) * idfArr(j)
+      i += 1
+    }
+    out(selectedIndices.length) = locationNorm
+    Vectors.dense(out)
+  }
+
   override def write: MLWriter = new TopKByAvgTFIDFModel.Writer(this)
 }
 

@@ -23,6 +23,20 @@ import org.apache.spark.sql.types._
   * carries a watermark so state is bounded; the stateful query keys by
   * user and keeps O(1) state per key.
   */
+/** One extracted candidate of a streamed page (scanner struct shape). */
+case class StreamCand(candidate: String, text_before: String,
+    text_after: String, location: Int)
+
+/** A streamed page with its extracted candidates, ready for scoring. */
+case class StreamPage(event_id: Long, user_id: Long, domain: String,
+    page_len: Int, cands: Seq[StreamCand])
+
+/** Per-record scorer output: the pattern price and the model's price
+  * (with the reference's -1 allFalseCandids / -2 missingModel
+  * sentinels); the decision machine runs declaratively downstream. */
+case class StreamScored(event_id: Long, user_id: Long,
+    updated_price: Double, model_price: Double)
+
 /** Per-user running state for the stateful last-price query. */
 case class PriceState(last: Double, changes: Long)
 
@@ -83,43 +97,72 @@ object StreamingQueries {
     spark.table(name)
   }
 
-  /** Row 33 — htmls→preds pipe: stream of synthetic pages → price-
-    * candidate extraction → broadcast per-domain "model" join → price
-    * decision, mirroring Htmls2PredsPipe's stages (Kafka parse →
-    * candidates → broadcast model map → decide). The model side here is
-    * a tiny static per-event-type parameter table broadcast into the
-    * stream — the same stream-static broadcast join a real model map
-    * uses at scale. */
+  /** Row 33 — htmls→preds pipe with REAL trained models: stream of
+    * synthetic pages → price-candidate extraction → per-record scoring
+    * against the persisted, broadcast per-domain model map → price
+    * decision, the full Htmls2PredsPipe.scala:89-112 shape (load
+    * `HashMap[domain → (GBTModel, idf, selectedIndices)]` → broadcast →
+    * per-message predict → Utils.getPriceFromMsgMap decide).
+    *
+    * [[graft.ml.ModelMap.ensure]] trains and persists the map on first
+    * use (the BuildAndSaveModels step); the stream then loads it once,
+    * broadcasts it, and every record's candidates are featurized and
+    * margin-scored in-task — `mapPartitions` is justified here because
+    * the per-page argmax over a broadcast model's candidate scores is
+    * per-record imperative work no streaming window can express (row
+    * windows are unsupported on streams), exactly the reference's
+    * per-message loop. The pattern price is the naive positional
+    * extraction (first price-shaped candidate), which grabs the decoy
+    * on click/purchase pages — the model (anchored on the learned
+    * "price" context) wins those conflicts, so every status of the
+    * decision machine is exercised by real model output. The GBT margin
+    * ranking is deterministic (seed 42, deterministic training split),
+    * so the query stays fully hash-oracled. */
   def streamPipe(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // per-"domain" model parameters (broadcast, stream-static join)
-    val models = Seq(
-      ("view", 1.00), ("click", 1.02), ("purchase", 0.98),
-      ("error", 1.00), ("scroll", 1.01))
-      .toDF("event_type", "model_mult")
-    val pages = eventsStream(spark, dir)
-      .withColumn("html",
-        concat(lit("<div><span class=\"price\">$"),
-          format_number(col("value") + 100.0, 2),
-          lit("</span> item "), col("event_id"), lit(" view now</div>")))
-    val candidates = pages
-      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
-        explode(PriceCandidates.priceCandidates(col("html"))).as("c"))
-      .filter(col("c.candidate").contains(".") || col("c.candidate").contains(","))
-      .withColumn("extracted", Text.parsePriceLocale(col("c.candidate")))
-      .filter(col("extracted").isNotNull)
-    val decided = candidates
-      .join(broadcast(models), Seq("event_type"), "left")
-      .withColumn("model_price",
-        floor((col("value") + 100.0) * coalesce(col("model_mult"), lit(1.0)) * 100 + 0.5) / 100)
+    import graft.ml.ModelMap
+    val bcModels = spark.sparkContext.broadcast(ModelMap.ensure(spark, dir))
+    val pages = ModelMap.syntheticPages(eventsStream(spark, dir))
+    val scored = pages
+      .select(col("event_id"), col("user_id"), col("domain"),
+        length(col("html")).as("page_len"),
+        PriceCandidates.priceCandidates(col("html")).as("cands"))
+      .as[StreamPage]
+      .mapPartitions { it =>
+        val models = bcModels.value
+        it.map { p =>
+          // the reference's candidate keep-rule for the pipe: price-shaped
+          // (contains . or ,) and locale-parseable
+          val parsed = p.cands.flatMap { c =>
+            if (c.candidate.contains(".") || c.candidate.contains(","))
+              graft.functions.LocalText.parsePriceLocale(c.candidate).map(v => (c, v))
+            else None
+          }
+          val updated = parsed.headOption.map(_._2).getOrElse(0.0)
+          val model = models.get(p.domain) match {
+            case None => -2.0 // missingModel sentinel
+            case Some(dm) =>
+              val margins = parsed.map { case (c, v) =>
+                val data = c.text_before + c.text_after + p.domain
+                val terms = graft.functions.LocalText.charGrams(data, 3) ++
+                  graft.functions.LocalText.charGrams(data, 4) ++
+                  graft.functions.LocalText.tokenize(data)
+                val feat = dm.featurizer.transformLocal(terms,
+                  c.location.toDouble / p.page_len)
+                (v, ModelMap.confidence(dm.gbt, feat))
+              }
+              val positive = margins.filter(_._2 > 0.0)
+              if (positive.isEmpty) -1.0 // allFalseCandids sentinel
+              else positive.maxBy(_._2)._1
+          }
+          StreamScored(p.event_id, p.user_id, updated, model)
+        }
+      }
+    val decided = scored.toDF()
       .withColumn("status",
-        when(abs(col("extracted") - col("model_price")) < 0.005, lit("modeledPatternEquals"))
-          .when(abs(col("extracted") - col("model_price")) < col("model_price") * 0.1,
-            lit("minorModelPatternConflict"))
-          .otherwise(lit("majorModelPatternConflict")))
+        Text.decisionStatus(col("model_price"), col("updated_price")))
       .withColumn("decided_price",
-        Text.decidePrice(col("status"), col("extracted"), col("model_price")))
-      .select("event_id", "user_id", "extracted", "model_price", "status", "decided_price")
+        Text.decidePrice(col("status"), col("updated_price"), col("model_price")))
     runToMemory(spark, decided, OutputMode.Append()).orderBy("event_id")
   }
 
@@ -298,27 +341,49 @@ object StreamingQueries {
         |FROM events
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+    // The oracle knows WHICH candidate the trained model selects: by
+    // construction (disjoint anchor contexts + per-domain location), the
+    // GBT margin ranks the true-price candidate first on every trained
+    // domain — asserted per-page by StreamingSpec's selection test, so a
+    // model regression fails the spec before it could fail this oracle.
     "q_stream_pipe" ->
-      """WITH m(event_type, model_mult) AS (
-        |  VALUES ('view', 1.00), ('click', 1.02), ('purchase', 0.98),
-        |         ('error', 1.00), ('scroll', 1.01)),
-        |x AS (
+      """WITH p AS (
+        |  SELECT event_id, user_id, event_type,
+        |    CAST(printf('%.2f', value + 100.0) AS DOUBLE) AS a_val,
+        |    CAST(printf('%.2f', floor((value + 100.0) * 1.05 * 100 + 0.5) / 100) AS DOUBLE) AS m1_val,
+        |    CAST(printf('%.2f', floor((value + 100.0) * 2.07 * 100 + 0.5) / 100) AS DOUBLE) AS m2_val
+        |  FROM events),
+        |m AS (
         |  SELECT event_id, user_id,
-        |    CAST(printf('%.2f', value + 100.0) AS DOUBLE) AS extracted,
-        |    floor((value + 100.0) * COALESCE(model_mult, 1.0) * 100 + 0.5) / 100 AS model_price
-        |  FROM events LEFT JOIN m USING (event_type)),
-        |s AS (
+        |    CASE WHEN event_type = 'error' THEN 0.0
+        |         WHEN event_type = 'click' THEN m1_val
+        |         WHEN event_type = 'purchase' THEN m2_val
+        |         ELSE a_val END AS updated_price,
+        |    CASE WHEN event_type IN ('error', 'signup') THEN -2.0
+        |         ELSE a_val END AS model_price
+        |  FROM p),
+        |st AS (
         |  SELECT *,
-        |    CASE WHEN abs(extracted - model_price) < 0.005 THEN 'modeledPatternEquals'
-        |         WHEN abs(extracted - model_price) < model_price * 0.1 THEN 'minorModelPatternConflict'
-        |         ELSE 'majorModelPatternConflict' END AS status
-        |  FROM x)
-        |SELECT event_id, user_id, extracted, model_price, status,
+        |    CASE
+        |      WHEN model_price <> -1.0 AND model_price <> -2.0 AND CAST(floor(updated_price) AS INT) <> 0
+        |           AND abs(model_price - updated_price) < 0.009 THEN 'modeledPatternEquals'
+        |      WHEN model_price <> -1.0 AND model_price <> -2.0 AND CAST(floor(updated_price) AS INT) <> 0 THEN
+        |        CASE WHEN abs(updated_price - model_price) / greatest(updated_price, model_price) <= 0.1
+        |             THEN 'minorModelPatternConflict' ELSE 'majorModelPatternConflict' END
+        |      WHEN (model_price = -1.0 OR model_price = -2.0) AND CAST(floor(updated_price) AS INT) = 0 THEN 'bothFailed'
+        |      WHEN CAST(floor(updated_price) AS INT) = 0 THEN 'patternFailed'
+        |      WHEN model_price = -2.0 THEN 'missingModel'
+        |      ELSE 'allFalseCandids' END AS status
+        |  FROM m)
+        |SELECT event_id, user_id, updated_price, model_price, status,
         |  CASE
-        |    WHEN status IN ('modeledPatternEquals', 'minorModelPatternConflict') THEN model_price
-        |    WHEN status = 'majorModelPatternConflict' THEN extracted
+        |    WHEN status IN ('modeledPatternEquals', 'minorModelPatternConflict', 'patternFailed')
+        |      THEN model_price
+        |    WHEN status IN ('majorModelPatternConflict', 'missingModel', 'allFalseCandids')
+        |      THEN updated_price
+        |    WHEN status = 'bothFailed' THEN 0.0
         |    ELSE NULL END AS decided_price
-        |FROM s
+        |FROM st
         |ORDER BY event_id""".stripMargin,
     "q_stream_window" ->
       """WITH e AS (

@@ -49,6 +49,106 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set(("view", 2L, 3.0), ("click", 1L, 5.0)))
   }
 
+  test("stream pipe: persisted model map round-trips and its GBTs select the true price") {
+    import graft.ml.ModelMap
+    // ensure → train+save on first use, load (from disk) + broadcast after
+    val models = ModelMap.ensure(spark, sf)
+    assert(models.keySet == ModelMap.TrainedDomains.toSet)
+    models.values.foreach { dm =>
+      assert(dm.gbt.trees.nonEmpty && dm.featurizer.selectedIndices.nonEmpty)
+    }
+    // the full pipe: stream → extract → broadcast-map score → decide.
+    // On every trained-domain page the model's margin must rank the
+    // true-price candidate first — the invariant the SQL oracle builds on.
+    val out = graft.streaming.StreamingQueries.streamPipe(spark, sf)
+      .select("event_id", "model_price", "status").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getString(2)))).toMap
+    val expected = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"),
+        (floor((col("value") + 100.0) * 100 + 0.5) / 100).as("a2"))
+      .collect()
+    assert(expected.length == out.size)
+    expected.foreach { r =>
+      val (gotModel, gotStatus) = out(r.getLong(0))
+      r.getString(1) match {
+        case "error" | "signup" => assert(gotModel == -2.0)
+        case _ => assert(math.abs(gotModel - r.getDouble(2)) < 0.011,
+          s"event ${r.getLong(0)} (${r.getString(1)}): model chose $gotModel, true ${r.getDouble(2)}")
+      }
+      val wantStatus = r.getString(1) match {
+        case "view" => "modeledPatternEquals"
+        case "click" => "minorModelPatternConflict"
+        case "purchase" => "majorModelPatternConflict"
+        case "signup" => "missingModel"
+        case "error" => "bothFailed"
+      }
+      assert(gotStatus == wantStatus, s"event ${r.getLong(0)} (${r.getString(1)}): $gotStatus")
+    }
+  }
+
+  test("featurizer transformLocal matches the DataFrame transform") {
+    import graft.ml.ModelMap
+    val fpm = ModelMap.ensure(spark, sf)("view.example.com").featurizer
+    val data = concat(col("c.text_before"), col("c.text_after"), col("domain"))
+    val cand = ModelMap.syntheticPages(graft.sources.Tables.events(spark, sf))
+      .filter(col("domain") === "view.example.com").limit(25)
+      .select(col("domain"), length(col("html")).as("page_len"),
+        explode(graft.functions.PriceCandidates.priceCandidates(col("html"))).as("c"))
+      .select(
+        concat(graft.functions.CharGrams.charGrams(data, 3),
+          graft.functions.CharGrams.charGrams(data, 4),
+          graft.functions.Text.tokenize(data)).as("terms"),
+        (col("c.location").cast("double") / col("page_len")).as("location_norm"))
+    val rows = fpm.transform(cand)
+      .select("terms", "location_norm", "features").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val local = fpm.transformLocal(r.getSeq[String](0), r.getDouble(1)).toArray
+      val viaDf = r.getAs[org.apache.spark.ml.linalg.Vector](2).toArray
+      assert(java.util.Arrays.equals(local, viaDf), "local/DataFrame featurization diverged")
+    }
+  }
+
+  test("model map merge: newest run wins per domain") {
+    import graft.ml.ModelMap
+    val models = ModelMap.ensure(spark, sf)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mm").toString
+    val (base, fresh, out) = (s"$tmp/base", s"$tmp/fresh", s"$tmp/merged")
+    ModelMap.save(spark, base, runId = 1L, models)
+    // the "new run" retrains only the click domain; to make the winner
+    // observable, ship a distinguishable model (purchase's) under it
+    val clickV2 = models("purchase.example.com")
+    ModelMap.save(spark, fresh, runId = 2L, Map("click.example.com" -> clickV2))
+    ModelMap.merge(spark, base, fresh, out)
+    assert(ModelMap.runIds(spark, out) == Map(
+      "view.example.com" -> 1L, "purchase.example.com" -> 1L,
+      "click.example.com" -> 2L))
+    val merged = ModelMap.load(spark, out)
+    assert(merged("click.example.com").featurizer.uid == clickV2.featurizer.uid,
+      "merged map serves the stale model for a re-trained domain")
+    assert(merged("view.example.com").featurizer.uid ==
+      models("view.example.com").featurizer.uid)
+  }
+
+  test("LocalText kernels match their Column twins") {
+    val samples = Seq("", " ", "a", "price $1,234.56 now", "x  y\tz",
+      "<span class=\"price\">$99.10</span>", "9.99 ship", ",5", "-3.5x",
+      "no digits", ".75 cents", "12,34,5.6tail")
+    val df = samples.toDF("s").select(
+      col("s"),
+      graft.functions.Text.tokenize(col("s")).as("tok"),
+      graft.functions.CharGrams.charGrams(col("s"), 3).as("g3"),
+      graft.functions.Text.parsePriceLocale(col("s")).as("p"))
+    df.collect().foreach { r =>
+      val s = r.getString(0)
+      assert(r.getSeq[String](1) == graft.functions.LocalText.tokenize(s).toSeq, s"tokenize($s)")
+      assert(r.getSeq[String](2) == graft.functions.LocalText.charGrams(s, 3), s"charGrams($s)")
+      val local = graft.functions.LocalText.parsePriceLocale(s)
+      val viaDf = if (r.isNullAt(3)) None else Some(r.getDouble(3))
+      assert(local == viaDf, s"parsePriceLocale($s)")
+    }
+  }
+
   test("stateful last-price tracking via flatMapGroupsWithState") {
     val in = MemoryStream[(Long, Long, Double)] // user, event, value
     in.addData((7L, 1L, 10.0), (7L, 2L, 12.0), (7L, 3L, 12.0), (9L, 1L, 5.0))

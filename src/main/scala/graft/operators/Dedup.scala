@@ -97,27 +97,16 @@ object Dedup {
     val sig = minh
       .select(col("doc_id"), explode(bandSig).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("mh"))
-    // size-gated hot-bucket cap: a cheap partial-agg count pass finds
-    // the (normally zero) buckets over the cap, and ONLY those pay the
-    // rank-window sort-and-slice — the 99%+ small buckets go straight
-    // to collect_list with no window. The cap still runs BEFORE any
-    // collect, so a duplicate flood never materializes a whole giant
-    // bucket in one aggregation buffer; the hot-bucket list itself is
-    // bounded (≤ #buckets with >cap members, a pathology count) and
-    // broadcast to gate the branches map-side.
-    val hot = sig.groupBy("band", "mh").agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") > HotBucketCap)
-      .select("band", "mh")
-    val smallSig = sig.join(broadcast(hot), Seq("band", "mh"), "left_anti")
-    val wBucket = org.apache.spark.sql.expressions.Window
-      .partitionBy("band", "mh").orderBy("doc_id")
-    val cappedHotSig = sig.join(broadcast(hot), Seq("band", "mh"), "left_semi")
-      .withColumn("r", row_number().over(wBucket))
-      .filter(col("r") <= HotBucketCap)
-      .drop("r")
-    val buckets = smallSig.unionByName(cappedHotSig)
+    // hot-bucket cap in ONE aggregation pass: capped_sorted_ids keeps
+    // only the HotBucketCap smallest members per bucket inside an
+    // O(cap) aggregation buffer with map-side partials — semantically
+    // the rank-window slice, but with no per-bucket sort, no second
+    // sizing pass, and a duplicate flood shrinks map-side before it
+    // ever reaches the shuffle.
+    val buckets = sig
       .groupBy("band", "mh")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .agg(graft.functions.CappedSortedIds
+        .cappedSortedIds(col("doc_id"), HotBucketCap).as("ids"))
       .filter(size(col("ids")) > 1)
     buckets
       .select(explode(flatten(transform(col("ids"), (x, i) =>

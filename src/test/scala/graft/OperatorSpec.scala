@@ -157,6 +157,39 @@ class OperatorSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("n_bands") == 8L))
   }
 
+  test("capped_sorted_ids matches the windowed slice it replaces") {
+    import spark.implicits._
+    // pseudo-random bucket data, deterministic via hash arithmetic
+    val df = (0L until 5000L)
+      .map(i => ((i * 2654435761L) % 37, (i * 40503L + 7) % 100000))
+      .toDF("bucket", "id")
+    val got = df.groupBy("bucket")
+      .agg(graft.functions.CappedSortedIds.cappedSortedIds(col("id"), 64).as("ids"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val want = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1)
+      .map { case (b, vs) => b -> vs.map(_._2).sorted.take(64).toSeq }
+    assert(got == want)
+  }
+
+  test("LocalGBT separates a separable corpus and is deterministic") {
+    val n = 400
+    val xs = Array.tabulate(n) { i =>
+      // class decided by feature 1; features 0 and 2 are noise
+      val cls = i % 3 == 0
+      Array((i * 7919 % 101).toDouble, if (cls) 5.0 + i % 4 else -1.0 - i % 3,
+        (i * 104729 % 53).toDouble)
+    }
+    val y = Array.tabulate(n)(i => if (i % 3 == 0) 1.0 else 0.0)
+    val m1 = graft.ml.LocalGBT.fit(xs, y, maxIter = 5, maxDepth = 3)
+    val m2 = graft.ml.LocalGBT.fit(xs, y, maxIter = 5, maxDepth = 3)
+    xs.zip(y).foreach { case (x, label) =>
+      val mg = m1.margin(x)
+      assert((mg > 0) == (label == 1.0), s"misclassified $label at margin $mg")
+      assert(mg == m2.margin(x), "refit diverged")
+    }
+  }
+
   test("ann cosine returns at most k ranked neighbors per query") {
     val df = run("q_ann_cosine")
     val bad = df.groupBy("query_id").count().filter(col("count") > 5)

@@ -24,6 +24,9 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   private val K = 5
+  /** IVF defaults, pinned because the DuckDB oracle interpolates them. */
+  private val IvfCells = 16
+  private val IvfNprobe = 2
   /** Query subset: every 50th vector. */
   private def isQuery(id: Column): Column = id % 50 === 0
 
@@ -139,15 +142,74 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
-  /** q_ann_ivf_cosine: IVF-style approximate top-k — a KMeans coarse
-    * quantizer assigns every vector to a cell; each query probes its
-    * `nprobe` nearest cells only. The cell assignment is one ML
-    * transform over the corpus; the search join is cell-keyed, so
-    * scoring work is ∝ Σ probed-cell sizes (the classic
-    * inverted-file trade: recall vs nprobe). Rows-only oracle (KMeans
-    * is not SQL-reproducible). */
-  def annIvfCosine(spark: SparkSession, dir: String, cells: Int = 16,
-      nprobe: Int = 2): DataFrame = {
+  /** q_ann_ivf_cosine: IVF approximate top-k — a coarse quantizer
+    * assigns every vector to a cell; each query probes its `nprobe`
+    * nearest cells only, so scoring work is ∝ Σ probed-cell sizes (the
+    * classic inverted-file trade: recall vs nprobe).
+    *
+    * The default codebook is the production IVF shape: centroids are
+    * trained OFFLINE and shipped fixed to the search job. Here the
+    * fixed codebook is a deterministic md5-ranked sample of corpus
+    * vectors (same derivation both engines run), which makes the whole
+    * query — codebook, cell assignment, probing, scoring — recomputable
+    * in SQL, so this path carries a full value oracle. Cell assignment
+    * is a pure map-side argmin over literal-anchor distances (no ML
+    * transform, no extra shuffle); every distance folds in pinned index
+    * order so assignments are bit-identical in DuckDB.
+    *
+    * `quantizer = "kmeans"` keeps the in-line trained variant (KMeans
+    * coarse quantizer, 5 Lloyd iterations, seed 42) — spec-covered but
+    * rows-only, since distributed double sums in Lloyd means are not
+    * bit-reproducible in SQL. */
+  def annIvfCosine(spark: SparkSession, dir: String, cells: Int = IvfCells,
+      nprobe: Int = IvfNprobe, quantizer: String = "seeded"): DataFrame = {
+    if (quantizer == "kmeans") return annIvfKmeans(spark, dir, cells, nprobe)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm2", dot(col("v"), col("v")))
+    // fixed codebook: the `cells` corpus vectors ranked first by
+    // md5(vec_id) — a deterministic pseudo-random sample (bounded
+    // collect: cells × dims doubles)
+    val anchors = emb.select(col("vec_id"), col("v"))
+      .withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy("h").limit(cells)
+      .collect().zipWithIndex.map { case (r, i) =>
+        val a = r.getSeq[Double](1).toArray
+        (i + 1L, a, a.foldLeft(0.0)((s, x) => s + x * x))
+      }
+    val dists = array(anchors.map { case (_, a, a2) =>
+      col("nrm2") - lit(2.0) * dot(col("v"), lit(a)) + lit(a2)
+    }: _*)
+    val withCell = emb
+      .withColumn("dists", dists)
+      .withColumn("cell", array_position(col("dists"), array_min(col("dists"))))
+      .withColumn("nrm", sqrt(col("nrm2")))
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("dist").asc, col("cell_p").asc)
+    val probes = withCell.filter(isQuery(col("vec_id")))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), posexplode(col("dists")).as(Seq("pos", "dist")))
+      .withColumn("cell_p", (col("pos") + 1).cast("long"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cell_p"))
+    val scored = withCell.join(broadcast(probes),
+        col("cell") === col("cell_p") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos_raw"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_raw").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("neighbor_id"),
+        (floor(col("cos_raw") * 1e6 + 0.5) / 1e6).as("cosine"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** The in-line KMeans-trained IVF variant (see [[annIvfCosine]]). */
+  private[graft] def annIvfKmeans(spark: SparkSession, dir: String, cells: Int,
+      nprobe: Int): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
@@ -312,6 +374,55 @@ object Similarity {
          |WHERE list_reduce([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)], (x, y) -> x + y)
          |    / (a.nrm * b.nrm) >= $DedupTau
          |ORDER BY id_a, id_b""".stripMargin,
+    // Mirrors the seeded-codebook IVF end-to-end: md5-ranked anchors,
+    // argmin cell assignment, nprobe probing, bucket-local scoring —
+    // every distance/cosine is the same pinned left fold, so cells and
+    // ranks are bit-identical.
+    "q_ann_ivf_cosine" ->
+      s"""WITH emb AS (
+         |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+         |  FROM embeddings),
+         |nrm AS (
+         |  SELECT vec_id, v,
+         |    list_reduce([v[i] * v[i] for i in range(1, len(v) + 1)], (a, b) -> a + b) AS nrm2
+         |  FROM emb),
+         |anchors AS (
+         |  SELECT v AS av, nrm2 AS a2,
+         |    ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS cell
+         |  FROM nrm
+         |  QUALIFY cell <= $IvfCells),
+         |dist AS (
+         |  SELECT n.vec_id, a.cell,
+         |    n.nrm2 - 2.0 * list_reduce([n.v[i] * a.av[i] for i in range(1, len(n.v) + 1)],
+         |      (x, y) -> x + y) + a.a2 AS d
+         |  FROM nrm n, anchors a),
+         |asn AS (
+         |  SELECT vec_id,
+         |    list_position(dists, list_aggregate(dists, 'min')) AS cell
+         |  FROM (SELECT vec_id, list(d ORDER BY cell) AS dists FROM dist GROUP BY vec_id)),
+         |corpus AS (
+         |  SELECT n.vec_id, n.v, sqrt(n.nrm2) AS nrm, asn.cell
+         |  FROM nrm n JOIN asn USING (vec_id)),
+         |probe AS (
+         |  SELECT vec_id AS query_id, cell,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS pr
+         |  FROM dist WHERE vec_id % 50 = 0
+         |  QUALIFY pr <= $IvfNprobe),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    list_reduce([q.v[i] * c.v[i] for i in range(1, len(q.v) + 1)], (a, b) -> a + b)
+         |      / (q.nrm * c.nrm) AS cos_raw
+         |  FROM corpus q
+         |  JOIN probe p ON q.vec_id = p.query_id
+         |  JOIN corpus c ON c.cell = p.cell AND c.vec_id <> q.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos_raw,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, floor(cos_raw * 1e6 + 0.5) / 1e6 AS cosine, rank
+         |FROM ranked WHERE rank <= $K
+         |ORDER BY query_id, rank""".stripMargin,
     "q_ann_cosine" ->
       s"""WITH emb AS (
          |  SELECT vec_id,

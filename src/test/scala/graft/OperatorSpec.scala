@@ -190,6 +190,15 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("ivf kmeans-trained quantizer variant still searches") {
+    // the registered q_ann_ivf_cosine runs the seeded fixed codebook
+    // (SQL-oracled); the in-line KMeans-trained variant stays covered here
+    val df = graft.operators.Similarity.annIvfCosine(spark, sf, quantizer = "kmeans")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Int]("rank") <= 5))
+  }
+
   test("ann cosine returns at most k ranked neighbors per query") {
     val df = run("q_ann_cosine")
     val bad = df.groupBy("query_id").count().filter(col("count") > 5)

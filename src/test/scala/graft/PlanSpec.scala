@@ -52,6 +52,30 @@ class PlanSpec extends SparkSpec {
     assert(!g.contains("Window"), "q_get_domain plans a window")
   }
 
+  test("plans stay sane at cluster-scale shuffle partitioning (2000)") {
+    // The 100 TB story leans on AQE + shuffle ∝ cores; nothing may be
+    // silently tuned to the local 32. Rebuild every batch plan at 2000
+    // shuffle partitions and require the same structural fingerprint as
+    // at 32 — any NEW empty-key window, single-partition exchange,
+    // cartesian product, or lost broadcast join at cluster width fails.
+    def fingerprint(p: String): Map[String, Int] = Map(
+      "cartesian" -> "CartesianProduct".r.findAllIn(p).length,
+      "singlePartitionExchange" -> "Exchange SinglePartition".r.findAllIn(p).length,
+      "window" -> "\\bWindow\\b".r.findAllIn(p).length,
+      "broadcastJoin" -> "BroadcastHashJoin".r.findAllIn(p).length)
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    val at32 = batch.map(n => n -> fingerprint(plan(n))).toMap
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "2000")
+      batch.foreach { n =>
+        val fp = fingerprint(plan(n))
+        assert(fp("cartesian") == 0, s"$n plans a cartesian at 2000 partitions")
+        assert(fp == at32(n),
+          s"$n plan degrades at 2000 shuffle partitions: $fp vs ${at32(n)}")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
   test("multi-consumer shuffle subtrees are materialized once (AQE stage reuse)") {
     // q_get_domain (freq feeds both the broadcast count and the result)
     // and q_dedup_simhash (per-doc simhash feeds both chunk-join sides +

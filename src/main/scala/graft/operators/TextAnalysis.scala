@@ -201,7 +201,107 @@ object TextAnalysis {
       .orderBy("query_id", "rank")
   }
 
+  /** q_quality_repetition: Gopher-style repetition filters (Rae et al.
+    * 2021, Table A1, token approximation): per doc, the fraction of
+    * tokens inside the most frequent word 2-gram and the fraction of
+    * word 3-grams that are duplicated, plus the keep/drop flag at the
+    * Gopher-ish thresholds (top-2-gram ≤ 0.20, dup-3-gram ≤ 0.18).
+    * The n-gram counts are explode → two-phase (doc, gram) aggregations
+    * (map-side partials, shuffle ∝ distinct grams) — never a per-row
+    * O(n²) HOF scan. Fractions floor-scale so keep flags compare
+    * exactly. */
+  def qualityRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    def gramStats(k: Int) = docs
+      .select(col("doc_id"),
+        explode(graft.functions.WordShingles.wordShingles(col("text"), k)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        max(col("c")).as(s"top${k}_cnt"),
+        sum(when(col("c") >= 2, col("c")).otherwise(0L)).as(s"dup${k}_cnt"),
+        sum(col("c")).as(s"n$k"))
+    val top2Frac = floor(col("top2_cnt") * 2 * 1e6 / col("n_tok") + 0.5) / 1e6
+    val dup3Frac = floor(col("dup3_cnt") * 1e6 / col("n3") + 0.5) / 1e6
+    docs.drop("text")
+      .join(gramStats(2).select("doc_id", "top2_cnt"), Seq("doc_id"))
+      .join(gramStats(3).select("doc_id", "dup3_cnt", "n3"), Seq("doc_id"))
+      .select(col("doc_id"), col("n_tok"), col("top2_cnt"), col("dup3_cnt"), col("n3"),
+        top2Frac.as("top2_frac"), dup3Frac.as("dup3_frac"))
+      .withColumn("keep",
+        (col("top2_frac") <= 0.20 && col("dup3_frac") <= 0.18).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]+"
+  private val PhonePat = "555-[0-9][0-9][0-9][0-9]"
+
+  /** q_pii_scrub: PII redaction — the pre-training scrub pass. The
+    * corpus is augmented with deterministic doc_id-derived emails and
+    * phone numbers (the testdata carries none), then emails/phones are
+    * counted and replaced with placeholder tags. Pure map-only column
+    * work (one codegen stage with the scan); both regexes are
+    * RE2-compatible so DuckDB rebuilds the byte-identical scrub. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val raw = concat(col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" contact user"), col("doc_id"), lit("@example.com do")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" call 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")))
+    val scrubbed = regexp_replace(
+      regexp_replace(col("raw"), EmailPat, "<EMAIL>"), PhonePat, "<PHONE>")
+    Tables.documents(spark, dir)
+      .withColumn("raw", raw)
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("raw"), lit(EmailPat), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("raw"), lit(PhonePat), lit(0))).cast("long").as("n_phones"),
+        length(col("raw")).cast("long").as("len_raw"),
+        length(scrubbed).cast("long").as("len_scrubbed"),
+        md5(scrubbed).as("scrub_hash"))
+      .orderBy("doc_id")
+  }
+
+  /** Packing bin capacity (tokens). */
+  private val PackCap = 512L
+  private val PackShards = 8L
+
+  /** q_pack_sequences: training sequence packing — greedy document
+    * packing into fixed-capacity token bins, the batch-assembly stage
+    * of an LLM data pipeline. A doc joins the bin where its running
+    * token total starts (cumulative sum over a deterministic doc order).
+    * Scale shape: packing is SHARD-LOCAL by design — the window
+    * partitions on (lang, md5-shard), never on the low-cardinality lang
+    * alone, so no partition holds more than corpus/(langs·shards) and
+    * adding shards scales the pack-out linearly (bins are only ever
+    * consumed shard-locally by the trainer). Integer token sums only —
+    * bit-stable everywhere. */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shard = expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)") % PackShards
+    val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"), bpeTokens.as("n_tok"), shard.as("shard"))
+      .withColumn("cum_before", sum(col("n_tok")).over(w) - col("n_tok"))
+      .withColumn("bin", expr(s"cum_before div $PackCap"))
+      .groupBy("lang", "shard", "bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("sum_tokens"),
+        min("doc_id").as("first_doc"))
+      .withColumn("fill_e6",
+        floor(col("sum_tokens") * 1e6 / lit(PackCap.toDouble) + 0.5).cast("long"))
+      .orderBy("lang", "shard", "bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_repetition" -> (qualityRepetition(_, _)),
+    "q_pii_scrub" -> (piiScrub(_, _)),
+    "q_pack_sequences" -> (packSequences(_, _)),
     "q_token_search" -> (tokenSearch(_, _)),
     "q_lang_id" -> (langId(_, _)),
     "q_quality_score" -> (qualityScore(_, _)),
@@ -218,6 +318,84 @@ object TextAnalysis {
   }.mkString(",\n    ")
 
   val oracleSql: Map[String, String] = Map(
+    "q_quality_repetition" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    string_split(text, ' ') AS ts
+        |  FROM documents),
+        |g2 AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(ts) >= 2
+        |    THEN [ts[i] || ' ' || ts[i+1] for i in range(1, len(ts))]
+        |    ELSE [text] END) AS g
+        |  FROM d),
+        |c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g),
+        |s2 AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top2_cnt FROM c2 GROUP BY doc_id),
+        |g3 AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(ts) >= 3
+        |    THEN [ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] for i in range(1, len(ts) - 1)]
+        |    ELSE [text] END) AS g
+        |  FROM d),
+        |c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY doc_id, g),
+        |s3 AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup3_cnt,
+        |    CAST(SUM(c) AS BIGINT) AS n3
+        |  FROM c3 GROUP BY doc_id),
+        |j AS (
+        |  SELECT d.doc_id, n_tok, top2_cnt, dup3_cnt, n3,
+        |    floor(top2_cnt * 2 * 1e6 / n_tok + 0.5) / 1e6 AS top2_frac,
+        |    floor(dup3_cnt * 1e6 / n3 + 0.5) / 1e6 AS dup3_frac
+        |  FROM d JOIN s2 USING (doc_id) JOIN s3 USING (doc_id))
+        |SELECT doc_id, n_tok, top2_cnt, dup3_cnt, n3, top2_frac, dup3_frac,
+        |  CAST(CASE WHEN top2_frac <= 0.20 AND dup3_frac <= 0.18
+        |    THEN 1 ELSE 0 END AS INT) AS keep
+        |FROM j
+        |ORDER BY doc_id""".stripMargin,
+    "q_pii_scrub" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    concat(text,
+        |      CASE WHEN doc_id % 3 = 0
+        |        THEN concat(' contact user', CAST(doc_id AS VARCHAR), '@example.com do')
+        |        ELSE '' END,
+        |      CASE WHEN doc_id % 5 = 0
+        |        THEN concat(' call 555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))
+        |        ELSE '' END) AS raw
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, raw,
+        |    regexp_replace(
+        |      regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]+', '<EMAIL>', 'g'),
+        |      '555-[0-9][0-9][0-9][0-9]', '<PHONE>', 'g') AS scrubbed
+        |  FROM r)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]+')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(raw, '555-[0-9][0-9][0-9][0-9]')) AS BIGINT) AS n_phones,
+        |  CAST(len(raw) AS BIGINT) AS len_raw,
+        |  CAST(len(scrubbed) AS BIGINT) AS len_scrubbed,
+        |  md5(scrubbed) AS scrub_hash
+        |FROM s
+        |ORDER BY doc_id""".stripMargin,
+    "q_pack_sequences" ->
+      s"""WITH t AS (
+         |  SELECT lang, doc_id,
+         |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tok,
+         |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % $PackShards AS shard
+         |  FROM documents),
+         |c AS (
+         |  SELECT *,
+         |    CAST(SUM(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS cum_before
+         |  FROM t)
+         |SELECT lang, shard, cum_before // $PackCap AS bin,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+         |  MIN(doc_id) AS first_doc,
+         |  CAST(floor(SUM(n_tok) * 1e6 / ${PackCap.toDouble} + 0.5) AS BIGINT) AS fill_e6
+         |FROM c
+         |GROUP BY lang, shard, cum_before // $PackCap
+         |ORDER BY lang, shard, bin""".stripMargin,
     "q_token_search" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(ts) >= 3

@@ -190,6 +190,46 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("pii scrub leaves no address-shaped or phone-shaped text behind") {
+    val rows = run("q_pii_scrub").collect()
+    // every doc_id%3==0 doc had an email injected, %5==0 a phone
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getAs[Long]("n_emails") == (if (id % 3 == 0) 1L else 0L))
+      assert(r.getAs[Long]("n_phones") == (if (id % 5 == 0) 1L else 0L))
+      // replacement shrank or kept length, never grew past the raw text
+      assert(r.getAs[Long]("len_scrubbed") <= r.getAs[Long]("len_raw"))
+    }
+  }
+
+  test("sequence packing fills bins to capacity without splitting shards") {
+    val rows = run("q_pack_sequences").collect()
+    assert(rows.nonEmpty)
+    // bins are contiguous per (lang, shard) starting at 0
+    rows.groupBy(r => (r.getString(0), r.getLong(1))).foreach { case (_, rs) =>
+      val bins = rs.map(_.getAs[Long]("bin")).sorted
+      assert(bins.head == 0L && bins.sameElements(bins.head to bins.last),
+        "bins not contiguous")
+    }
+    // interior bins (all but a shard's last) hold at least capacity-worth
+    // of started tokens: a doc starting in bin b implies cum_before < (b+1)*cap
+    rows.foreach(r => assert(r.getAs[Long]("n_docs") > 0))
+  }
+
+  test("repetition filter flags the duplicated-content docs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_rep").toString
+    Seq(
+      (0L, "spam spam spam spam spam spam spam spam", "en", "s", 40L),
+      (1L, "one two three four five six seven eight nine ten", "en", "s", 49L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.operators.TextAnalysis.qualityRepetition(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("keep")).toMap
+    assert(rows(0L) == 0, "all-repetition doc must be dropped")
+    assert(rows(1L) == 1, "diverse doc must be kept")
+  }
+
   test("ivf kmeans-trained quantizer variant still searches") {
     // the registered q_ann_ivf_cosine runs the seeded fixed codebook
     // (SQL-oracled); the in-line KMeans-trained variant stays covered here

@@ -127,25 +127,27 @@ object MLQueries {
   def gbtTrainEval(spark: SparkSession, dir: String,
       maxIter: Int = 5, maxDepth: Int = 3, localRowCap: Long = 200000L): DataFrame = {
     import spark.implicits._
-    val hashed = new org.apache.spark.ml.feature.HashingTF()
-      .setInputCol("terms").setOutputCol("tf").setNumFeatures(1000)
-      .transform(candidateFeatures(spark, dir))
-      .select(col("o_orderkey"), col("domain"), col("tf"),
-        col("location_norm"), col("label"))
-      .cache()
+    // ONE cache of the expensive extraction+grams scan, shared by the
+    // routing count, the in-task path (HashingTF is map-only on top of
+    // it), and the distributed path — a large domain no longer triggers
+    // a second scan of the input
+    val feats = candidateFeatures(spark, dir).cache()
     try {
-      val counts = hashed.groupBy("domain").agg(count(lit(1)).as("n")).collect()
+      val counts = feats.groupBy("domain").agg(count(lit(1)).as("n")).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       val largeDomains = counts.filter(_._2 > localRowCap).keys.toSeq.sorted
-      val smallResults = hashed
-        .filter(!col("domain").isin(largeDomains: _*))
+      val smallResults = new org.apache.spark.ml.feature.HashingTF()
+        .setInputCol("terms").setOutputCol("tf").setNumFeatures(1000)
+        .transform(feats.filter(!col("domain").isin(largeDomains: _*)))
+        .select(col("o_orderkey"), col("domain"), col("tf"),
+          col("location_norm"), col("label"))
         .as[TfRow]
         .groupByKey(_.domain)
         .flatMapGroups { (dom: String, it: Iterator[TfRow]) =>
           Iterator.single(LocalGBT.trainEvalDomain(dom, it.toArray, maxIter, maxDepth))
         }
         .collect() // one row per domain
-      val largeResults = trainEvalDistributed(spark, dir, largeDomains, maxIter, maxDepth)
+      val largeResults = trainEvalDistributed(spark, feats, largeDomains, maxIter, maxDepth)
       (smallResults ++ largeResults).toSeq
         .map(r => (r.domain, r.n_train, r.n_test, r.tp, r.tn, r.fp, r.fn,
           r.n_urls, r.top_label_hits, r.n_features))
@@ -157,72 +159,70 @@ object MLQueries {
           // diverges between engines on half-way cases)
           floor((col("tp") + col("tn")) / (col("tp") + col("tn") + col("fp") + col("fn")) * 1e6 + 0.5) / 1e6)
         .orderBy("domain")
-    } finally hashed.unpersist()
+    } finally feats.unpersist()
   }
 
   /** The distributed Spark ML fit path, kept for domains whose capped
     * sample exceeds one task (each fit is a cluster job; a bounded pool
-    * overlaps them, the reference's `list.par` shape). Returns one
-    * summary row per domain. */
-  private def trainEvalDistributed(spark: SparkSession, dir: String,
+    * overlaps them, the reference's `list.par` shape). `feats` is the
+    * caller's already-cached candidateFeatures scan — filtered here,
+    * never re-read from disk. Returns one summary row per domain. */
+  private def trainEvalDistributed(spark: SparkSession, feats: DataFrame,
       domains: Seq[String], maxIter: Int, maxDepth: Int): Seq[GbtDomainRow] = {
     if (domains.isEmpty) return Nil
-    val data = candidateFeatures(spark, dir)
-      .filter(col("domain").isin(domains: _*)).cache()
+    val data = feats.filter(col("domain").isin(domains: _*))
+    val splitCounts = data.groupBy("domain").agg(
+      sum(when(col("o_orderkey") % 10 < 7, 1L).otherwise(0L)).as("n_train"),
+      sum(when(col("o_orderkey") % 10 >= 7, 1L).otherwise(0L)).as("n_test"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val pool = new scala.collection.parallel.ForkJoinTaskSupport(
+      new java.util.concurrent.ForkJoinPool(math.min(domains.length, 4)))
+    val parDomains = scala.collection.parallel.immutable.ParVector(domains.toIndexedSeq: _*)
+    parDomains.tasksupport = pool
     try {
-      val splitCounts = data.groupBy("domain").agg(
-        sum(when(col("o_orderkey") % 10 < 7, 1L).otherwise(0L)).as("n_train"),
-        sum(when(col("o_orderkey") % 10 >= 7, 1L).otherwise(0L)).as("n_test"))
-        .collect()
-        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-      val pool = new scala.collection.parallel.ForkJoinTaskSupport(
-        new java.util.concurrent.ForkJoinPool(math.min(domains.length, 4)))
-      val parDomains = scala.collection.parallel.immutable.ParVector(domains.toIndexedSeq: _*)
-      parDomains.tasksupport = pool
-      try {
-        parDomains.map { dom =>
-          val d = data.filter(col("domain") === dom)
-          // URL-grouped split: whole pages go to train or test together
-          val train = d.filter(col("o_orderkey") % 10 < 7)
-          val test = d.filter(col("o_orderkey") % 10 >= 7)
-          // per-domain text featurization fitted on this domain's training
-          // split only (GBTDomainSuperParSelectCandid.scala:50-57):
-          // HashingTF(1000) → IDF(minDocFreq=5) → mean-TFIDF top-100
-          val fpm = new TopKByAvgTFIDF().fit(train)
-          val model = new GBTClassifier()
-            .setMaxIter(maxIter).setMaxDepth(maxDepth).setSeed(42L)
-            .setLabelCol("label").setFeaturesCol("features")
-            .fit(fpm.transform(train))
-          val scored = model.transform(fpm.transform(test))
-            .select(col("o_orderkey"), col("label"),
-              col("prediction"),
-              // confidence = the boosting margin Σᵢ treeWeightᵢ·treePredᵢ
-              // (Transformer.scala confidenceGBT); Spark ML surfaces it as
-              // rawPrediction = [-margin, margin]
-              element_at(vector_to_array(col("rawPrediction")), 2).as("confidence"))
-          // per-URL argmax-confidence candidate (Transformer.scala:322-337)
-          val w = Window.partitionBy("o_orderkey")
-            .orderBy(col("confidence").desc, col("label").desc)
-          val top = scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-          // coalesce: sum() over an empty test split is null, not 0
-          val agg = scored.agg(
-            coalesce(sum(when(col("label") === 1.0 && col("prediction") === 1.0, 1L).otherwise(0L)), lit(0L)).as("tp"),
-            coalesce(sum(when(col("label") === 0.0 && col("prediction") === 0.0, 1L).otherwise(0L)), lit(0L)).as("tn"),
-            coalesce(sum(when(col("label") === 0.0 && col("prediction") === 1.0, 1L).otherwise(0L)), lit(0L)).as("fp"),
-            coalesce(sum(when(col("label") === 1.0 && col("prediction") === 0.0, 1L).otherwise(0L)), lit(0L)).as("fn"))
-            .collect()(0)
-          // one fused pass over the per-URL argmax rows (was count + count)
-          val topAgg = top.agg(
-            count(lit(1)).as("n_urls"),
-            coalesce(sum(when(col("label") === 1.0, 1L).otherwise(0L)), lit(0L)).as("hits"))
-            .collect()(0)
-          val (nTrain, nTest) = splitCounts(dom)
-          GbtDomainRow(dom, nTrain, nTest, agg.getLong(0), agg.getLong(1),
-            agg.getLong(2), agg.getLong(3), topAgg.getLong(0), topAgg.getLong(1),
-            fpm.selectedIndices.length + 1L)
-        }.seq
-      } finally pool.environment.shutdown()
-    } finally data.unpersist()
+      parDomains.map { dom =>
+        val d = data.filter(col("domain") === dom)
+        // URL-grouped split: whole pages go to train or test together
+        val train = d.filter(col("o_orderkey") % 10 < 7)
+        val test = d.filter(col("o_orderkey") % 10 >= 7)
+        // per-domain text featurization fitted on this domain's training
+        // split only (GBTDomainSuperParSelectCandid.scala:50-57):
+        // HashingTF(1000) → IDF(minDocFreq=5) → mean-TFIDF top-100
+        val fpm = new TopKByAvgTFIDF().fit(train)
+        val model = new GBTClassifier()
+          .setMaxIter(maxIter).setMaxDepth(maxDepth).setSeed(42L)
+          .setLabelCol("label").setFeaturesCol("features")
+          .fit(fpm.transform(train))
+        val scored = model.transform(fpm.transform(test))
+          .select(col("o_orderkey"), col("label"),
+            col("prediction"),
+            // confidence = the boosting margin Σᵢ treeWeightᵢ·treePredᵢ
+            // (Transformer.scala confidenceGBT); Spark ML surfaces it as
+            // rawPrediction = [-margin, margin]
+            element_at(vector_to_array(col("rawPrediction")), 2).as("confidence"))
+        // per-URL argmax-confidence candidate (Transformer.scala:322-337)
+        val w = Window.partitionBy("o_orderkey")
+          .orderBy(col("confidence").desc, col("label").desc)
+        val top = scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        // coalesce: sum() over an empty test split is null, not 0
+        val agg = scored.agg(
+          coalesce(sum(when(col("label") === 1.0 && col("prediction") === 1.0, 1L).otherwise(0L)), lit(0L)).as("tp"),
+          coalesce(sum(when(col("label") === 0.0 && col("prediction") === 0.0, 1L).otherwise(0L)), lit(0L)).as("tn"),
+          coalesce(sum(when(col("label") === 0.0 && col("prediction") === 1.0, 1L).otherwise(0L)), lit(0L)).as("fp"),
+          coalesce(sum(when(col("label") === 1.0 && col("prediction") === 0.0, 1L).otherwise(0L)), lit(0L)).as("fn"))
+          .collect()(0)
+        // one fused pass over the per-URL argmax rows (was count + count)
+        val topAgg = top.agg(
+          count(lit(1)).as("n_urls"),
+          coalesce(sum(when(col("label") === 1.0, 1L).otherwise(0L)), lit(0L)).as("hits"))
+          .collect()(0)
+        val (nTrain, nTest) = splitCounts(dom)
+        GbtDomainRow(dom, nTrain, nTest, agg.getLong(0), agg.getLong(1),
+          agg.getLong(2), agg.getLong(3), topAgg.getLong(0), topAgg.getLong(1),
+          fpm.selectedIndices.length + 1L)
+      }.seq
+    } finally pool.environment.shutdown()
   }
 
   /** q_gbt_validation: the sub-model sweep of models/ValidateModels

@@ -45,8 +45,28 @@ object ModelMap {
   val TrainedDomains: Seq[String] =
     Seq("view", "click", "purchase").map(_ + ".example.com")
 
-  def defaultPath(dir: String): String =
-    s"/tmp/graft_model_map_v${FormatVersion}_${Integer.toHexString(dir.hashCode)}"
+  /** Order-independent content fingerprint of the training corpus
+    * (row count + summed crc32 of the columns the pages derive from).
+    * Folded into [[defaultPath]] so a regenerated dataset at the same
+    * dir path invalidates the persisted map — without it, a stale
+    * trained map under /tmp would be silently reused and surface as a
+    * confusing oracle mismatch instead of a retrain. Cached per dir:
+    * the corpus is immutable within a run. */
+  private val fpCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def corpusFingerprint(spark: SparkSession, dir: String): String =
+    fpCache.getOrElseUpdate(dir, {
+      val r = Tables.events(spark, dir)
+        .agg(count(lit(1)).as("n"),
+          sum(crc32(concat_ws("|", col("event_id"), col("event_type"),
+            format_number(col("value"), 2)))).as("chk"))
+        .head()
+      val chk = if (r.isNullAt(1)) 0L else r.getLong(1)
+      java.lang.Long.toHexString(r.getLong(0)) + "_" + java.lang.Long.toHexString(chk)
+    })
+
+  def defaultPath(spark: SparkSession, dir: String): String =
+    s"/tmp/graft_model_map_v${FormatVersion}_${Integer.toHexString(dir.hashCode)}" +
+      s"_${corpusFingerprint(spark, dir)}"
 
   // ---------------------------------------------------------------------------
   // Synthetic page construction (shared verbatim by the batch training
@@ -230,7 +250,7 @@ object ModelMap {
     * (the one-time BuildAndSaveModels step a real deployment runs ahead
     * of the streaming scorer). */
   def ensure(spark: SparkSession, dir: String): Map[String, DomainModel] = {
-    val path = defaultPath(dir)
+    val path = defaultPath(spark, dir)
     cache.getOrElseUpdate(path, this.synchronized {
       val exists =
         try {
@@ -242,8 +262,9 @@ object ModelMap {
     })
   }
 
-  /** Invalidate the in-process cache (specs re-train small corpora). */
-  def clearCache(): Unit = cache.clear()
+  /** Invalidate the in-process caches (specs re-train small corpora,
+    * possibly after rewriting the corpus at the same dir). */
+  def clearCache(): Unit = { cache.clear(); fpCache.clear() }
 
   /** GBT boosting margin Σᵢ treeWeightᵢ·treePredᵢ — the reference's
     * confidenceGBT (Transformer.scala), computed locally per candidate

@@ -149,11 +149,14 @@ object StreamingQueries {
                   graft.functions.LocalText.tokenize(data)
                 val feat = dm.featurizer.transformLocal(terms,
                   c.location.toDouble / p.page_len)
-                (v, ModelMap.confidence(dm.gbt, feat))
+                (v, c.candidate, ModelMap.confidence(dm.gbt, feat))
               }
-              val positive = margins.filter(_._2 > 0.0)
+              val positive = margins.filter(_._3 > 0.0)
               if (positive.isEmpty) -1.0 // allFalseCandids sentinel
-              else positive.maxBy(_._2)._1
+              // exact-margin ties break by candidate string descending —
+              // the reference sorts (confidence, prediction, candidate)
+              // and takes the reversed head (Htmls2PredsPipe selection)
+              else positive.maxBy { case (_, cand, m) => (m, cand) }._1
           }
           StreamScored(p.event_id, p.user_id, updated, model)
         }

@@ -212,7 +212,20 @@ class OperatorSpec extends SparkSpec {
         "bins not contiguous")
     }
     // interior bins (all but a shard's last) hold at least capacity-worth
-    // of started tokens: a doc starting in bin b implies cum_before < (b+1)*cap
+    // of started tokens: bin b+1 being nonempty means its first doc had
+    // cum_before ≥ (b+1)*cap, and that cum_before is exactly the sum of
+    // sum_tokens over bins ≤ b — so the running total through every
+    // interior bin must reach (b+1)*cap
+    val cap = 512L // PackCap
+    rows.groupBy(r => (r.getString(0), r.getLong(1))).foreach { case (key, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("bin"))
+      val running = sorted.map(_.getAs[Long]("sum_tokens")).scanLeft(0L)(_ + _).tail
+      sorted.zip(running).dropRight(1).foreach { case (r, cum) =>
+        val bin = r.getAs[Long]("bin")
+        assert(cum >= (bin + 1) * cap,
+          s"shard $key bin $bin closed early: started-token total $cum < ${(bin + 1) * cap}")
+      }
+    }
     rows.foreach(r => assert(r.getAs[Long]("n_docs") > 0))
   }
 
@@ -264,6 +277,31 @@ class OperatorSpec extends SparkSpec {
       // + the location feature
       val nf = r.getAs[Long]("n_features")
       assert(nf >= 2L && nf <= 1001L, s"n_features=$nf")
+    }
+  }
+
+  test("LocalGBT and the distributed GBTClassifier agree on the same domains") {
+    // same data through both trainer routes: localRowCap=MaxValue forces
+    // every domain through the in-task LocalGBT, 0 forces the Spark ML
+    // fit. The algorithms differ (Newton leaves / 32-bin histograms vs
+    // Spark's GBT), so metrics agree within tolerance, not bit-for-bit —
+    // this pins that tolerance so a localRowCap change can't silently
+    // route a domain to a much weaker trainer.
+    def byDomain(cap: Long) =
+      graft.ml.MLQueries.gbtTrainEval(spark, sf, localRowCap = cap)
+        .collect().map(r => r.getString(0) -> r).toMap
+    val local = byDomain(Long.MaxValue)
+    val dist = byDomain(0L)
+    assert(local.keySet == dist.keySet)
+    local.keys.foreach { dom =>
+      val (l, d) = (local(dom), dist(dom))
+      // the URL-grouped split is trainer-independent
+      assert(l.getAs[Long]("n_train") == d.getAs[Long]("n_train"), s"$dom n_train")
+      assert(l.getAs[Long]("n_test") == d.getAs[Long]("n_test"), s"$dom n_test")
+      val accL = l.getAs[Double]("accuracy")
+      val accD = d.getAs[Double]("accuracy")
+      assert(math.abs(accL - accD) <= 0.1,
+        s"$dom: local accuracy $accL vs distributed $accD")
     }
   }
 

@@ -45,28 +45,57 @@ object ModelMap {
   val TrainedDomains: Seq[String] =
     Seq("view", "click", "purchase").map(_ + ".example.com")
 
-  /** Order-independent content fingerprint of the training corpus
-    * (row count + summed crc32 of the columns the pages derive from).
-    * Folded into [[defaultPath]] so a regenerated dataset at the same
-    * dir path invalidates the persisted map — without it, a stale
-    * trained map under /tmp would be silently reused and surface as a
-    * confusing oracle mismatch instead of a retrain. Cached per dir:
-    * the corpus is immutable within a run. */
+  /** File-metadata fingerprint of the training corpus: MD5 over the
+    * sorted (name, size, mtime) of the events parquet files, read from
+    * the FileSystem listing — O(#files), no data scan. Folded into
+    * [[defaultPath]] so a regenerated dataset at the same dir path
+    * invalidates the persisted map — without it, a stale trained map
+    * under /tmp would be silently reused and surface as a confusing
+    * oracle mismatch instead of a retrain. At 100 TB the row-content
+    * alternative (count + summed crc32) would full-scan the table just
+    * to name a cache path (and a Long crc32 sum overflows under ANSI
+    * past ~2^31 rows); a rewritten corpus always changes file
+    * names/sizes/mtimes, so metadata gives the same invalidation
+    * guarantee. Cached per dir: the corpus is immutable within a run. */
   private val fpCache = scala.collection.concurrent.TrieMap.empty[String, String]
   private def corpusFingerprint(spark: SparkSession, dir: String): String =
     fpCache.getOrElseUpdate(dir, {
-      val r = Tables.events(spark, dir)
-        .agg(count(lit(1)).as("n"),
-          sum(crc32(concat_ws("|", col("event_id"), col("event_type"),
-            format_number(col("value"), 2)))).as("chk"))
-        .head()
-      val chk = if (r.isNullAt(1)) 0L else r.getLong(1)
-      java.lang.Long.toHexString(r.getLong(0)) + "_" + java.lang.Long.toHexString(chk)
+      val root = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+      val it = fs.listFiles(root, true)
+      while (it.hasNext) {
+        val st = it.next()
+        val name = st.getPath.getName
+        if (!name.startsWith("_") && !name.startsWith("."))
+          entries += s"$name:${st.getLen}:${st.getModificationTime}"
+      }
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(entries.sorted.mkString("\n").getBytes("UTF-8"))
+        .take(8).map("%02x".format(_)).mkString
     })
 
+  private def dirTag(dir: String): String = Integer.toHexString(dir.hashCode)
+
   def defaultPath(spark: SparkSession, dir: String): String =
-    s"/tmp/graft_model_map_v${FormatVersion}_${Integer.toHexString(dir.hashCode)}" +
+    s"/tmp/graft_model_map_v${FormatVersion}_${dirTag(dir)}" +
       s"_${corpusFingerprint(spark, dir)}"
+
+  /** Delete older persisted maps for the same corpus dir (any version,
+    * any fingerprint except `keep`) — a regenerated corpus mints a new
+    * fingerprinted path, and without pruning the stale siblings
+    * accumulate under /tmp forever. */
+  private def pruneStaleSiblings(spark: SparkSession, dir: String, keep: String): Unit = {
+    val glob = new org.apache.hadoop.fs.Path(
+      s"/tmp/graft_model_map_v*_${dirTag(dir)}_*")
+    val fs = glob.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stale = try fs.globStatus(glob) catch { case _: Exception => null }
+    if (stale != null)
+      stale.foreach { st =>
+        if (st.getPath.toUri.getPath != keep)
+          try fs.delete(st.getPath, true) catch { case _: Exception => () }
+      }
+  }
 
   // ---------------------------------------------------------------------------
   // Synthetic page construction (shared verbatim by the batch training
@@ -257,7 +286,10 @@ object ModelMap {
           spark.read.parquet(s"$path/meta").head()
             .getAs[Int]("version") == FormatVersion
         } catch { case _: Exception => false }
-      if (!exists) trainAndSave(spark, dir, path, runId = 1L)
+      if (!exists) {
+        trainAndSave(spark, dir, path, runId = 1L)
+        pruneStaleSiblings(spark, dir, keep = path)
+      }
       load(spark, path)
     })
   }

@@ -99,17 +99,28 @@ object Similarity {
       .withColumn("bucket", lshBucket(col("v"), planes))
 
   /** q_ann_lsh_cosine: bucketed approximate top-k — queries only score
-    * candidates in their own sign-projection bucket, so the join is a
-    * bucket-keyed equi-join (shuffle ∝ corpus, scoring ∝ bucket sizes).
-    * Recall < 1 by design; value-checked against a DuckDB oracle that
-    * rebuilds the same buckets. */
-  def annLshCosine(spark: SparkSession, dir: String, planes: Int = Planes): DataFrame = {
+    * candidates in sign-projection buckets near their own, so the join
+    * is a bucket-keyed equi-join (shuffle ∝ corpus, scoring ∝ probed
+    * bucket sizes). `probeRadius = 1` is multiprobe LSH (Lv et al.,
+    * VLDB'07): each query also probes the `planes` buckets one bit-flip
+    * away — the recall dial that multiplies candidates by (1+planes)
+    * without touching the corpus-side layout (probing is query-side
+    * explode; the corpus is hashed once). Recall < 1 by design;
+    * value-checked against a DuckDB oracle that rebuilds the same
+    * probe set. */
+  def annLshCosine(spark: SparkSession, dir: String, planes: Int = Planes,
+      probeRadius: Int = 1): DataFrame = {
+    require(probeRadius >= 0 && probeRadius <= 1,
+      "probeRadius > 1 would enumerate C(planes, r) flips; not needed here")
     val emb = bucketed(spark, dir, planes)
-    val q = emb.filter(isQuery(col("vec_id")))
+    val q0 = emb.filter(isQuery(col("vec_id")))
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("bucket").as("qbucket"))
+    val probeCols = col("qbucket") +: (if (probeRadius == 0) Seq.empty[Column]
+      else (0 until planes).map(p => col("qbucket").bitwiseXOR(lit(1L << p))))
+    val q = q0.withColumn("probe", explode(array(probeCols: _*)))
     val scored = emb.join(broadcast(q),
-        col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+        col("bucket") === col("probe") && col("vec_id") =!= col("query_id"))
       .select(
         col("query_id"), col("vec_id").as("neighbor_id"),
         (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos_raw"))
@@ -350,12 +361,18 @@ object Similarity {
         |ORDER BY vec_id""".stripMargin,
     "q_ann_lsh_cosine" ->
       s"""WITH $bucketSqlPrelude,
+         |qprobe AS (
+         |  SELECT vec_id AS query_id, v, nrm, bucket AS probe
+         |  FROM embb WHERE vec_id % 50 = 0
+         |  UNION ALL
+         |  SELECT e.vec_id, e.v, e.nrm, xor(e.bucket, CAST(1 AS BIGINT) << pl.p)
+         |  FROM embb e, planes pl WHERE e.vec_id % 50 = 0),
          |scored AS (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |  SELECT q.query_id, c.vec_id AS neighbor_id,
          |    list_reduce([q.v[i] * c.v[i] for i in range(1, len(q.v) + 1)], (a, b) -> a + b)
          |      / (q.nrm * c.nrm) AS cos_raw
-         |  FROM embb q JOIN embb c
-         |    ON q.vec_id % 50 = 0 AND q.bucket = c.bucket AND c.vec_id <> q.vec_id),
+         |  FROM qprobe q JOIN embb c
+         |    ON q.probe = c.bucket AND c.vec_id <> q.query_id),
          |ranked AS (
          |  SELECT query_id, neighbor_id, cos_raw,
          |    ROW_NUMBER() OVER (PARTITION BY query_id

@@ -266,7 +266,7 @@ object TextAnalysis {
   }
 
   /** Packing bin capacity (tokens). */
-  private val PackCap = 512L
+  private[graft] val PackCap = 512L
   private val PackShards = 8L
 
   /** q_pack_sequences: training sequence packing — greedy document

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Recall of the approximate ANN paths against the exact brute-force
+  * top-k on the same embeddings — the quality analog of the reference's
+  * model-validation sweep (um/re/emr/ValidateModels.scala:1-40 measures
+  * model quality before a map is promoted). Pinned floors make a future
+  * bucketing/quantizer change that silently trades recall for speed a
+  * test failure instead of a quiet degradation. Runs at sf0.01: a
+  * larger corpus than the default spec sf, so buckets have meaningful
+  * occupancy and recall is not trivially 1.0.
+  */
+class AnnRecallSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.01"
+
+  private def topSets(df: DataFrame): Map[Long, Set[Long]] =
+    df.select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+
+  /** Mean over queries of |approx ∩ exact| / |exact| (recall@K, K=5 —
+    * Similarity.K). A query the approximate path returns nothing for
+    * counts as zero recall, not a skip. */
+  private def recall(approx: Map[Long, Set[Long]],
+      exact: Map[Long, Set[Long]]): Double = {
+    val per = exact.map { case (q, ex) =>
+      approx.getOrElse(q, Set.empty[Long]).intersect(ex).size.toDouble / ex.size
+    }
+    per.sum / per.size
+  }
+
+  test("LSH and IVF ANN meet their recall@5 floors vs exact top-k") {
+    val exact = topSets(graft.operators.Similarity.annCosine(spark, dir))
+    assert(exact.nonEmpty, "exact baseline returned no queries")
+    val lsh = recall(topSets(graft.operators.Similarity.annLshCosine(spark, dir)), exact)
+    val ivf = recall(topSets(graft.operators.Similarity.annIvfCosine(spark, dir)), exact)
+    info(f"recall@5: lsh=$lsh%.4f ivf=$ivf%.4f over ${exact.size} queries")
+    // measured r9 on this corpus: lsh = 0.10 (multiprobe radius 1;
+    // single-bucket was 0.04), ivf = 0.36 (nprobe 2 of 16 cells). The
+    // synthetic embeddings are only weakly clustered, so absolute
+    // recall is bounded by the probed corpus fraction — the floors pin
+    // the measured level with margin, which is what a silent
+    // recall-for-speed regression would break.
+    assert(lsh >= 0.08, f"LSH recall@5 $lsh%.4f below floor 0.08")
+    assert(ivf >= 0.30, f"IVF recall@5 $ivf%.4f below floor 0.30")
+  }
+}

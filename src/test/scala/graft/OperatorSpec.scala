@@ -216,7 +216,7 @@ class OperatorSpec extends SparkSpec {
     // cum_before ≥ (b+1)*cap, and that cum_before is exactly the sum of
     // sum_tokens over bins ≤ b — so the running total through every
     // interior bin must reach (b+1)*cap
-    val cap = 512L // PackCap
+    val cap = graft.operators.TextAnalysis.PackCap
     rows.groupBy(r => (r.getString(0), r.getLong(1))).foreach { case (key, rs) =>
       val sorted = rs.sortBy(_.getAs[Long]("bin"))
       val running = sorted.map(_.getAs[Long]("sum_tokens")).scanLeft(0L)(_ + _).tail
@@ -300,7 +300,10 @@ class OperatorSpec extends SparkSpec {
       assert(l.getAs[Long]("n_test") == d.getAs[Long]("n_test"), s"$dom n_test")
       val accL = l.getAs[Double]("accuracy")
       val accD = d.getAs[Double]("accuracy")
-      assert(math.abs(accL - accD) <= 0.1,
+      // measured r9: both routes reach accuracy 1.0 on every domain at
+      // this sf (|Δ| = 0.0 exactly); 0.02 leaves room for a noisier
+      // corpus while still catching a materially weaker trainer
+      assert(math.abs(accL - accD) <= 0.02,
         s"$dom: local accuracy $accL vs distributed $accD")
     }
   }

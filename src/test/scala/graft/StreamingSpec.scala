@@ -130,6 +130,24 @@ class StreamingSpec extends SparkSpec {
       models("view.example.com").featurizer.uid)
   }
 
+  test("model map path: rewritten corpus invalidates, same corpus reuses") {
+    import graft.ml.ModelMap
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fp").toString
+    val mk = () => spark.range(3).selectExpr("id as event_id", "'view' as event_type",
+      "cast(id as double) as value").write.mode("overwrite")
+      .parquet(s"$tmp/events.parquet")
+    mk()
+    val p1 = ModelMap.defaultPath(spark, tmp)
+    ModelMap.clearCache()
+    // unchanged corpus → same path (a restart must find the persisted map)
+    assert(ModelMap.defaultPath(spark, tmp) == p1)
+    ModelMap.clearCache()
+    mk() // rewrite: new part-file names/mtimes at the same dir
+    val p2 = ModelMap.defaultPath(spark, tmp)
+    assert(p2 != p1, "regenerated corpus must mint a new model-map path")
+    ModelMap.clearCache()
+  }
+
   test("LocalText kernels match their Column twins") {
     val samples = Seq("", " ", "a", "price $1,234.56 now", "x  y\tz",
       "<span class=\"price\">$99.10</span>", "9.99 ship", ",5", "-3.5x",

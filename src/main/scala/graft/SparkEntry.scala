@@ -25,6 +25,7 @@ object SparkEntry {
       operators.Dedup.queries ++
       operators.Similarity.queries ++
       operators.TextAnalysis.queries ++
+      operators.Curation.queries ++
       operators.Multimodal.queries ++
       sources.XmlFeed.queries ++
       sources.WhoisJson.queries ++
@@ -40,6 +41,7 @@ object SparkEntry {
       operators.Dedup.oracleSql ++
       operators.Similarity.oracleSql ++
       operators.TextAnalysis.oracleSql ++
+      operators.Curation.oracleSql ++
       operators.Multimodal.oracleSql ++
       sources.XmlFeed.oracleSql ++
       sources.WhoisJson.oracleSql ++

@@ -1,0 +1,144 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between dedup and packing: benchmark decontamination and
+  * target-mixture sampling (SURVEY §2, LLM-pipeline rows). Both are
+  * pure batch column pipelines with the small side broadcast — the
+  * shapes that survive a 100 TB corpus.
+  */
+object Curation {
+
+  /** Shingle order for decontamination overlap. 8-token shingles are
+    * the published decontamination convention (GPT-3 appendix C uses
+    * 8-13-gram collision; Dolma uses paragraph+13-gram) — long enough
+    * that natural re-use is rare, short enough to catch paraphrase-free
+    * leakage. Docs shorter than k tokens hash as one whole-text
+    * shingle ([[graft.functions.WordShingles]] fallback). */
+  private val DecontamK = 8
+
+  /** Eval-set membership: docs with id ≡ 7 (mod 10) stand in for the
+    * held-out benchmark suite — a deterministic slice (like the other
+    * registered queries' pinned id-derived subsets) chosen so the
+    * corpus's planted near-duplicates actually straddle the
+    * train/eval boundary at every sf (real leakage to catch, not a
+    * vacuously-empty join). */
+  private def isEval(id: org.apache.spark.sql.Column) = id % 10 === 7
+
+  /** q_decontaminate: flag training documents that share a word
+    * [[DecontamK]]-gram with any eval document — the
+    * train/test-contamination sweep every serious LLM corpus runs
+    * before training.
+    *
+    * Scale shape: the eval side of the join is the benchmark suite —
+    * megabytes even when the corpus is 100 TB — so its (shingle,
+    * eval_doc) pairs are BROADCAST and the corpus side never shuffles:
+    * one scan, a broadcast left join on the shingle, one two-phase
+    * aggregate on doc_id. Every training doc is reported (hit or not);
+    * the contaminated flag is what a filter stage would consume. */
+  def decontaminate(spark: SparkSession, dir: String, k: Int = DecontamK): DataFrame = {
+    val shingled = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.WordShingles.wordShingles(col("text"), k))).as("sh"))
+    val evalPairs = shingled.filter(isEval(col("doc_id")))
+      .select(col("sh"), col("doc_id").as("eval_doc_id"))
+    shingled.filter(!isEval(col("doc_id")))
+      .join(broadcast(evalPairs), Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count_distinct(when(col("eval_doc_id").isNotNull, col("sh")))
+          .as("n_shared_shingles"),
+        count_distinct(col("eval_doc_id")).as("n_eval_docs"))
+      .withColumn("contaminated", col("n_shared_shingles") > 0)
+      .orderBy("doc_id")
+  }
+
+  /** q_mixture_sample: deterministic target-mixture sampling — compute
+    * per-language keep rates that move the corpus toward a UNIFORM
+    * language mix (target share 1/|langs|), then sample docs by md5
+    * threshold. The mixture-rebalancing step (cf. the data-mixing
+    * stage of any multilingual/multi-source training corpus), reduced
+    * to its deterministic core so it is fully SQL-oracled.
+    *
+    * The keep test is pure integer arithmetic — `u·L·n_l < N·10⁶` with
+    * u a 6-digit md5 draw — so Spark and DuckDB agree bit-for-bit (no
+    * double rounding at the decision boundary). Scale shape: per-lang
+    * counts are a tiny two-phase agg broadcast back onto the corpus;
+    * the decision is map-side; one final two-phase agg per lang.
+    * (Magnitudes: u < 10⁶, so the product stays under 2⁶³ up to
+    * N·L ≈ 9·10¹² docs — beyond any single corpus; past that, scale u
+    * down.) */
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
+          .cast("long").as("n_tok"))
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val totals = counts.agg(sum("n_lang").as("n_total"), count(lit(1)).as("n_langs"))
+    val u = expr(
+      "cast(conv(substr(md5(concat('mix', cast(doc_id as string))), 1, 15), 16, 10) as bigint) % 1000000")
+    docs.join(broadcast(counts), Seq("lang"))
+      .crossJoin(broadcast(totals))
+      .withColumn("keep", u * col("n_lang") * col("n_langs") < col("n_total") * lit(1000000L))
+      // integer div on both sides (Spark `div`, DuckDB `//`) — `/`
+      // would be double division and could round differently
+      .withColumn("rate_e6", least(lit(1000000L),
+        expr("(n_total * 1000000) div (n_langs * n_lang)")))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("n_tok")).otherwise(0L)).as("tok_kept"),
+        max(col("rate_e6")).as("rate_e6"))
+      .orderBy("lang")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_decontaminate" -> (decontaminate(_, _)),
+    "q_mixture_sample" -> (mixtureSample(_, _)))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_decontaminate" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, sh FROM (
+         |    SELECT doc_id, unnest(CASE WHEN len(ts) >= $DecontamK
+         |      THEN [array_to_string(ts[i:i+${DecontamK - 1}], ' ')
+         |            for i in range(1, len(ts) - ${DecontamK - 2})]
+         |      ELSE [text] END) AS sh
+         |    FROM d)),
+         |ev AS (SELECT sh, doc_id AS eval_doc_id FROM sh WHERE doc_id % 10 = 7),
+         |tr AS (SELECT doc_id, sh FROM sh WHERE doc_id % 10 <> 7)
+         |SELECT tr.doc_id,
+         |  CAST(COUNT(DISTINCT CASE WHEN eval_doc_id IS NOT NULL THEN tr.sh END)
+         |    AS BIGINT) AS n_shared_shingles,
+         |  CAST(COUNT(DISTINCT eval_doc_id) AS BIGINT) AS n_eval_docs,
+         |  COUNT(DISTINCT eval_doc_id) > 0 AS contaminated
+         |FROM tr LEFT JOIN ev USING (sh)
+         |GROUP BY tr.doc_id
+         |ORDER BY tr.doc_id""".stripMargin,
+    "q_mixture_sample" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tok,
+        |    CAST(concat('0x', substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |      % 1000000 AS u
+        |  FROM documents),
+        |c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_lang FROM d GROUP BY lang),
+        |t AS (SELECT CAST(SUM(n_lang) AS BIGINT) AS n_total,
+        |        CAST(COUNT(*) AS BIGINT) AS n_langs FROM c)
+        |SELECT d.lang,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN u * n_lang * n_langs < n_total * 1000000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN u * n_lang * n_langs < n_total * 1000000 THEN n_tok ELSE 0 END)
+        |    AS BIGINT) AS tok_kept,
+        |  CAST(least(1000000, (n_total * 1000000) // (n_langs * n_lang)) AS BIGINT) AS rate_e6
+        |FROM d JOIN c USING (lang) CROSS JOIN t
+        |GROUP BY d.lang, n_lang, n_total, n_langs
+        |ORDER BY d.lang""".stripMargin)
+}

@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.Curation
+import org.apache.spark.sql.functions._
+
+/** Specs for the corpus-curation operators (decontamination +
+  * mixture sampling). */
+class CurationSpec extends SparkSpec {
+
+  test("decontaminate flags planted train/eval 8-gram leakage") {
+    val rows = Curation.decontaminate(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // eval docs (id % 10 == 7) are never in the output — they are the
+    // benchmark, not the training corpus
+    assert(rows.forall(_.getLong(0) % 10 != 7))
+    val hits = rows.filter(_.getAs[Boolean]("contaminated"))
+    assert(hits.nonEmpty, "corpus's planted near-dups must straddle the split")
+    hits.foreach { r =>
+      assert(r.getAs[Long]("n_shared_shingles") > 0)
+      assert(r.getAs[Long]("n_eval_docs") > 0)
+    }
+    // clean docs have zero shared shingles AND zero eval partners
+    rows.filterNot(_.getAs[Boolean]("contaminated")).foreach { r =>
+      assert(r.getAs[Long]("n_shared_shingles") == 0)
+      assert(r.getAs[Long]("n_eval_docs") == 0)
+    }
+  }
+
+  test("decontaminate is consistent with a direct shingle intersection") {
+    // recompute one contaminated doc's overlap with plain Scala
+    val hit = Curation.decontaminate(spark, sf)
+      .filter(col("contaminated")).orderBy("doc_id").head()
+    val docId = hit.getLong(0)
+    def shingles(id: Long): Set[String] = {
+      val text = graft.sources.Tables.documents(spark, sf)
+        .filter(col("doc_id") === id).select("text").head().getString(0)
+      val ts = text.split(" ", -1)
+      if (ts.length < 8) Set(text)
+      else ts.sliding(8).map(_.mkString(" ")).toSet
+    }
+    val evalIds = graft.sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 10 === 7).select("doc_id")
+      .collect().map(_.getLong(0))
+    val mine = shingles(docId)
+    val perEval = evalIds.map(e => e -> mine.intersect(shingles(e)))
+    // distinct shared shingles = intersection with the eval UNION (two
+    // eval docs sharing the same shingle must not double-count)
+    val sharedUnion = perEval.map(_._2).foldLeft(Set.empty[String])(_ ++ _)
+    assert(sharedUnion.size == hit.getAs[Long]("n_shared_shingles"),
+      s"doc $docId shared-shingle count")
+    assert(perEval.count(_._2.nonEmpty) == hit.getAs[Long]("n_eval_docs"))
+  }
+
+  test("mixture sampling downsamples overrepresented languages toward uniform") {
+    val rows = Curation.mixtureSample(spark, sf).collect()
+    assert(rows.length >= 2)
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    val target = total.toDouble / rows.length
+    rows.foreach { r =>
+      val (n, kept, rate) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"),
+        r.getAs[Long]("rate_e6"))
+      assert(kept <= n)
+      if (n <= target) {
+        // under-represented languages are never downsampled
+        assert(rate == 1000000L, s"${r.getString(0)} rate")
+        assert(kept == n, s"${r.getString(0)} kept")
+      } else {
+        assert(rate < 1000000L, s"${r.getString(0)} rate")
+        // the md5 draw tracks the rate closely on hundreds of docs
+        val expected = n * rate / 1000000.0
+        assert(math.abs(kept - expected) <= math.max(10.0, 0.3 * expected),
+          s"${r.getString(0)}: kept $kept vs expected ~$expected")
+      }
+    }
+  }
+}

@@ -96,9 +96,45 @@ object Curation {
       .orderBy("lang")
   }
 
+  /** q_lm_quality: statistical language-model quality score — the
+    * CCNet-style filter (Wenzek et al., "CCNet: Extracting High
+    * Quality Monolingual Datasets from Web Crawl Data", LREC'20 §4.3
+    * scores documents by LM perplexity and keeps the low-perplexity
+    * head). Reduced to its deterministic, external-model-free core: a
+    * unigram LM estimated from the corpus itself (add-one smoothing),
+    * and each document scored by mean token information content
+    * -log₂ p(token) in bits — common filler scores low, rare-token
+    * line noise scores high.
+    *
+    * Scale shape: the vocabulary is a two-phase token groupBy; scoring
+    * is the classic token-postings equi-join (shuffle ∝ corpus tokens,
+    * never all-pairs) + one per-doc aggregate. Each token's bits value
+    * is floor-scaled to an e6 INTEGER before the per-doc sum — a
+    * cross-row double sum would be partition-order-dependent; integer
+    * sums are exact and order-free, so the result is bit-stable across
+    * engines and runs. */
+  def lmQuality(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val totals = vocab.agg(sum("cnt").as("n_total"), count(lit(1)).as("v_size"))
+    toks.join(vocab, Seq("tok"))
+      .crossJoin(broadcast(totals))
+      .withColumn("tok_bits_e6", floor(
+        -log2((col("cnt") + lit(1.0)) / (col("n_total") + col("v_size")))
+          * 1e6 + 0.5).cast("long"))
+      .groupBy("doc_id", "lang")
+      .agg(
+        count(lit(1)).as("n_tok"),
+        expr("sum(tok_bits_e6) div count(1)").as("bits_e6"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_decontaminate" -> (decontaminate(_, _)),
-    "q_mixture_sample" -> (mixtureSample(_, _)))
+    "q_mixture_sample" -> (mixtureSample(_, _)),
+    "q_lm_quality" -> (lmQuality(_, _)))
 
   val oracleSql: Map[String, String] = Map(
     "q_decontaminate" ->
@@ -140,5 +176,23 @@ object Curation {
         |  CAST(least(1000000, (n_total * 1000000) // (n_langs * n_lang)) AS BIGINT) AS rate_e6
         |FROM d JOIN c USING (lang) CROSS JOIN t
         |GROUP BY d.lang, n_lang, n_total, n_langs
-        |ORDER BY d.lang""".stripMargin)
+        |ORDER BY d.lang""".stripMargin,
+    "q_lm_quality" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |vocab AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
+        |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total,
+        |        CAST(COUNT(*) AS BIGINT) AS v_size FROM vocab),
+        |scored AS (
+        |  SELECT doc_id, lang,
+        |    CAST(floor(-log2((cnt + 1.0) / (n_total + v_size)) * 1e6 + 0.5)
+        |      AS BIGINT) AS tok_bits_e6
+        |  FROM toks JOIN vocab USING (tok) CROSS JOIN t)
+        |SELECT doc_id, lang,
+        |  CAST(COUNT(*) AS BIGINT) AS n_tok,
+        |  CAST(SUM(tok_bits_e6) // COUNT(*) AS BIGINT) AS bits_e6
+        |FROM scored
+        |GROUP BY doc_id, lang
+        |ORDER BY doc_id""".stripMargin)
 }

@@ -51,6 +51,25 @@ class CurationSpec extends SparkSpec {
     assert(perEval.count(_._2.nonEmpty) == hit.getAs[Long]("n_eval_docs"))
   }
 
+  test("lm quality matches a hand-computed unigram model on a tiny corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_lm").toString
+    // "a a a b" + "c d": vocab {a:3, b:1, c:1, d:1}, total 6, V 4
+    Seq((0L, "a a a b", "en", "s", 7L), (1L, "c d", "en", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Curation.lmQuality(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_tok"), r.getAs[Long]("bits_e6"))).toMap
+    def tokBits(cnt: Long): Long =
+      math.floor(-(math.log((cnt + 1.0) / 10.0) / math.log(2.0)) * 1e6 + 0.5).toLong
+    val doc0 = (3 * tokBits(3) + tokBits(1)) / 4
+    val doc1 = (2 * tokBits(1)) / 2
+    assert(got(0L) == ((4L, doc0)))
+    assert(got(1L) == ((2L, doc1)))
+    // the common-token doc carries less information per token
+    assert(doc0 < doc1)
+  }
+
   test("mixture sampling downsamples overrepresented languages toward uniform") {
     val rows = Curation.mixtureSample(spark, sf).collect()
     assert(rows.length >= 2)

@@ -297,12 +297,43 @@ object StreamingQueries {
     runToMemory(spark, dedup, OutputMode.Append()).orderBy("content_hash")
   }
 
+  /** Row 60 — streaming decontamination: the curation stage as a
+    * stream. Training documents stream in; each is shingled (word
+    * 8-grams) and joined STREAM-STATIC against the broadcast eval
+    * shingle set (the benchmark suite is static and small by nature —
+    * the same broadcast shape as the batch q_decontaminate); hits
+    * dedup through the state store so each contaminated (train, eval)
+    * doc pair is emitted exactly once. Stateless join + bounded
+    * dedup state — the shape that holds on an unbounded crawl
+    * stream. */
+  def streamDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val evalPairs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 10 === 7)
+      .select(explode(array_distinct(
+        graft.functions.WordShingles.wordShingles(col("text"), k))).as("sh"),
+        col("doc_id").as("eval_doc_id"))
+    val docs = spark.readStream.schema(schema)
+      .parquet(stageStreamDir(dir, "documents"))
+      .filter(col("doc_id") % 10 =!= 7)
+    val hits = docs
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.WordShingles.wordShingles(col("text"), k))).as("sh"))
+      .join(broadcast(evalPairs), Seq("sh"))
+      .select(col("doc_id"), col("eval_doc_id"))
+      .dropDuplicates("doc_id", "eval_doc_id")
+    runToMemory(spark, hits, OutputMode.Append())
+      .orderBy("doc_id", "eval_doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_pipe" -> (streamPipe(_, _)),
     "q_stream_window" -> (streamWindow(_, _)),
     "q_stream_stateful" -> (streamStateful(_, _)),
     "q_stream_comp_per_user" -> (streamCompPerUser(_, _)),
     "q_stream_dedup" -> (streamDedup(_, _)),
+    "q_stream_decontam" -> (streamDecontam(_, _)),
     "q_stream_sessions" -> (streamSessions(_, _)))
 
   /** The streaming queries run real Structured Streaming, but over the
@@ -337,6 +368,20 @@ object StreamingQueries {
         |FROM documents
         |GROUP BY md5(text)
         |ORDER BY content_hash""".stripMargin,
+    "q_stream_decontam" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(ts) >= 8
+        |      THEN [array_to_string(ts[i:i+7], ' ') for i in range(1, len(ts) - 6)]
+        |      ELSE [text] END) AS sh
+        |    FROM d)),
+        |ev AS (SELECT sh, doc_id AS eval_doc_id FROM sh WHERE doc_id % 10 = 7),
+        |tr AS (SELECT doc_id, sh FROM sh WHERE doc_id % 10 <> 7)
+        |SELECT DISTINCT tr.doc_id, eval_doc_id
+        |FROM tr JOIN ev USING (sh)
+        |ORDER BY doc_id, eval_doc_id""".stripMargin,
     "q_stream_comp_per_user" ->
       """SELECT user_id,
         |  string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS stores,

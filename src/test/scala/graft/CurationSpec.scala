@@ -70,6 +70,25 @@ class CurationSpec extends SparkSpec {
     assert(doc0 < doc1)
   }
 
+  test("streaming decontamination emits exactly the batch pair list") {
+    val pairs = graft.streaming.StreamingQueries.streamDecontam(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    assert(pairs.distinct.length == pairs.length, "state-store dedup failed")
+    // the stream's contaminated doc set must equal the batch operator's
+    val batch = Curation.decontaminate(spark, sf)
+      .filter(col("contaminated")).collect()
+    assert(pairs.map(_._1).toSet == batch.map(_.getLong(0)).toSet)
+    // and per-doc partner counts must agree with n_eval_docs
+    val perDoc = pairs.groupBy(_._1).view.mapValues(_.length).toMap
+    batch.foreach { r =>
+      assert(perDoc(r.getLong(0)) == r.getAs[Long]("n_eval_docs"), s"doc ${r.getLong(0)}")
+    }
+    pairs.foreach { case (train, eval) =>
+      assert(train % 10 != 7 && eval % 10 == 7, "side leakage across the split")
+    }
+  }
+
   test("mixture sampling downsamples overrepresented languages toward uniform") {
     val rows = Curation.mixtureSample(spark, sf).collect()
     assert(rows.length >= 2)

@@ -6,10 +6,13 @@ import org.apache.spark.sql.SparkSession
   * excluded from the timing total so a broken query can't masquerade as a
   * fast one.
   *
-  * Each query runs twice: `queries` (and the headline `value`) record the
-  * first run, `queries_warm`/`total_warm` the second — the stable figure
-  * that filters one-shot contention noise out of the record (a query
-  * whose two runs disagree by multiples was preempted, not regressed). */
+  * Each query runs SPARK_GRAFT_BENCH_RUNS times (default 2): `queries`
+  * (and the headline `value`) record the first, cold run;
+  * `queries_warm`/`total_warm` the BEST successful rerun — the stable
+  * figure that filters one-shot contention noise out of the record (a
+  * query whose runs disagree by multiples was preempted, not
+  * regressed). A rerun that fails falls back to the cold figure rather
+  * than reporting its time-to-failure as a timing. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -22,19 +25,22 @@ object Bench {
     // per-domain model store is built ahead of the streaming scorer, so a
     // cold or invalidated model cache must pre-pay its one-time training
     // here, never inside q_stream_pipe's timing.
+    val only = args.toSet // optional query-name filter for local profiling
+    require((only -- SparkEntry.queries.keySet).isEmpty,
+      s"unknown query name(s): ${(only -- SparkEntry.queries.keySet).mkString(", ")}")
     try {
       Seq("lineitem", "orders", "part", "customer", "events", "documents", "embeddings")
         .foreach(t => try sources.Tables.table(spark, sfDir, t).limit(1).count()
           catch { case _: Throwable => () })
       SparkEntry.entry(spark).limit(1).count()
     } catch { case _: Throwable => () }
-    try ml.ModelMap.ensure(spark, sfDir)
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] model-map warmup failed: ${e.getMessage}")
-    }
-    val only = args.toSet // optional query-name filter for local profiling
-    require((only -- SparkEntry.queries.keySet).isEmpty,
-      s"unknown query name(s): ${(only -- SparkEntry.queries.keySet).mkString(", ")}")
+    // only the streaming scorer consumes the model store — skip its
+    // (possibly multi-second) build when a filter excludes it
+    if (only.isEmpty || only("q_stream_pipe"))
+      try ml.ModelMap.ensure(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] model-map warmup failed: ${e.getMessage}")
+      }
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
@@ -50,7 +56,14 @@ object Bench {
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val results = named.map { case (name, fn) =>
       val (cold, ok) = timeOne(name, fn)
-      val warm = if (ok && runs > 1) timeOne(name, fn)._1 else cold
+      // warm figure = best of the reruns; a rerun that fails must not
+      // pass its time-to-failure off as a stable timing — fall back to
+      // the cold figure (the conservative choice) and say so
+      val reruns = if (ok) (2 to runs).map(_ => timeOne(name, fn)) else Seq.empty
+      val okReruns = reruns.collect { case (t, true) => t }
+      if (reruns.nonEmpty && okReruns.isEmpty)
+        System.err.println(s"[bench] $name: all warm reruns failed; queries_warm reuses cold")
+      val warm = if (okReruns.nonEmpty) okReruns.min else cold
       (name, cold, warm, ok)
     }
     // queries stay name->seconds (the driver's shape); failures are listed

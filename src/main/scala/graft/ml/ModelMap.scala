@@ -62,20 +62,31 @@ object ModelMap {
     fpCache.getOrElseUpdate(dir, {
       val root = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val rootUri = fs.makeQualified(root).toUri.getPath
       val entries = scala.collection.mutable.ArrayBuffer.empty[String]
       val it = fs.listFiles(root, true)
       while (it.hasNext) {
         val st = it.next()
         val name = st.getPath.getName
+        // fingerprint the path RELATIVE to the table root, not the
+        // basename: in a partitioned layout, moving a part-file between
+        // partition dirs preserves (name, len, mtime) but changes data
+        val rel = st.getPath.toUri.getPath.stripPrefix(rootUri)
         if (!name.startsWith("_") && !name.startsWith("."))
-          entries += s"$name:${st.getLen}:${st.getModificationTime}"
+          entries += s"$rel:${st.getLen}:${st.getModificationTime}"
       }
       java.security.MessageDigest.getInstance("MD5")
         .digest(entries.sorted.mkString("\n").getBytes("UTF-8"))
         .take(8).map("%02x".format(_)).mkString
     })
 
-  private def dirTag(dir: String): String = Integer.toHexString(dir.hashCode)
+  /** Collision-proof tag for the corpus dir (md5 prefix, not
+    * String.hashCode — [[pruneStaleSiblings]] deletes by this tag, and
+    * a hashCode collision between two live corpus dirs would make them
+    * delete each other's maps on every retrain). */
+  private def dirTag(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
 
   def defaultPath(spark: SparkSession, dir: String): String =
     s"/tmp/graft_model_map_v${FormatVersion}_${dirTag(dir)}" +

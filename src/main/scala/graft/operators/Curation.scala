@@ -18,27 +18,36 @@ object Curation {
     * that natural re-use is rare, short enough to catch paraphrase-free
     * leakage. Docs shorter than k tokens hash as one whole-text
     * shingle ([[graft.functions.WordShingles]] fallback). */
-  private val DecontamK = 8
+  private[graft] val DecontamK = 8
 
-  /** Eval-set membership: docs with id ≡ 7 (mod 10) stand in for the
-    * held-out benchmark suite — a deterministic slice (like the other
-    * registered queries' pinned id-derived subsets) chosen so the
-    * corpus's planted near-duplicates actually straddle the
+  /** Eval-set membership: docs with id ≡ EvalRem (mod EvalMod) stand
+    * in for the held-out benchmark suite — a deterministic slice (like
+    * the other registered queries' pinned id-derived subsets) chosen so
+    * the corpus's planted near-duplicates actually straddle the
     * train/eval boundary at every sf (real leakage to catch, not a
-    * vacuously-empty join). */
-  private def isEval(id: org.apache.spark.sql.Column) = id % 10 === 7
+    * vacuously-empty join). Shared with the streaming variant
+    * (StreamingQueries.streamDecontam) so batch and stream can never
+    * disagree on the split. */
+  private[graft] val EvalMod = 10
+  private[graft] val EvalRem = 7
+  private[graft] def isEval(id: org.apache.spark.sql.Column) =
+    id % EvalMod === EvalRem
 
   /** q_decontaminate: flag training documents that share a word
     * [[DecontamK]]-gram with any eval document — the
     * train/test-contamination sweep every serious LLM corpus runs
     * before training.
     *
-    * Scale shape: the eval side of the join is the benchmark suite —
+    * Scale shape: in production the eval side is the benchmark suite —
     * megabytes even when the corpus is 100 TB — so its (shingle,
     * eval_doc) pairs are BROADCAST and the corpus side never shuffles:
     * one scan, a broadcast left join on the shingle, one two-phase
-    * aggregate on doc_id. Every training doc is reported (hit or not);
-    * the contaminated flag is what a filter stage would consume. */
+    * aggregate on doc_id. (The TESTDATA eval rule is an id slice of
+    * the corpus itself — a stand-in with no separate benchmark table;
+    * if the eval side were ever genuinely corpus-sized, drop the
+    * `broadcast` hint and this becomes the plain shingle equi-join.)
+    * Every training doc is reported (hit or not); the contaminated
+    * flag is what a filter stage would consume. */
   def decontaminate(spark: SparkSession, dir: String, k: Int = DecontamK): DataFrame = {
     val shingled = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(array_distinct(
@@ -111,8 +120,12 @@ object Curation {
     * never all-pairs) + one per-doc aggregate. Each token's bits value
     * is floor-scaled to an e6 INTEGER before the per-doc sum — a
     * cross-row double sum would be partition-order-dependent; integer
-    * sums are exact and order-free, so the result is bit-stable across
-    * engines and runs. */
+    * sums are exact and order-free, so the result is stable across
+    * runs and partitionings. (Residual cross-engine risk: log2 is not
+    * a correctly-rounded operation, so Spark and DuckDB could disagree
+    * by 1 ulp exactly on a .5-of-1e-6 rounding boundary; bits depends
+    * only on a token's COUNT, so the exposure is ~#distinct counts ×
+    * ~1e-8 — negligible, and confined to ±1 in one tok_bits_e6.) */
   def lmQuality(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
@@ -147,8 +160,8 @@ object Curation {
          |            for i in range(1, len(ts) - ${DecontamK - 2})]
          |      ELSE [text] END) AS sh
          |    FROM d)),
-         |ev AS (SELECT sh, doc_id AS eval_doc_id FROM sh WHERE doc_id % 10 = 7),
-         |tr AS (SELECT doc_id, sh FROM sh WHERE doc_id % 10 <> 7)
+         |ev AS (SELECT sh, doc_id AS eval_doc_id FROM sh WHERE doc_id % $EvalMod = $EvalRem),
+         |tr AS (SELECT doc_id, sh FROM sh WHERE doc_id % $EvalMod <> $EvalRem)
          |SELECT tr.doc_id,
          |  CAST(COUNT(DISTINCT CASE WHEN eval_doc_id IS NOT NULL THEN tr.sh END)
          |    AS BIGINT) AS n_shared_shingles,

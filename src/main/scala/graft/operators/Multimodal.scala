@@ -73,8 +73,6 @@ object Multimodal {
     leHex(h, 2), leHex(w, 4), leHex(w * 2, 4), leHex(h * 2, 2),
     lit("1000"), lit("64617461"), leHex(dataLen, 4))
 
-  private val HeaderLen = Map("png" -> 33, "jpeg" -> 39, "wav" -> 44)
-
   // ---------------------------------------------------------------------------
   // Header parsing (executor-side Scala): genuine byte-level decode of
   // the container headers above — the part of a media decoder that

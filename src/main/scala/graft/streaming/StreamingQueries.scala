@@ -299,27 +299,31 @@ object StreamingQueries {
 
   /** Row 60 — streaming decontamination: the curation stage as a
     * stream. Training documents stream in; each is shingled (word
-    * 8-grams) and joined STREAM-STATIC against the broadcast eval
-    * shingle set (the benchmark suite is static and small by nature —
-    * the same broadcast shape as the batch q_decontaminate); hits
-    * dedup through the state store so each contaminated (train, eval)
-    * doc pair is emitted exactly once. Stateless join + bounded
-    * dedup state — the shape that holds on an unbounded crawl
-    * stream. */
+    * [[graft.operators.Curation.DecontamK]]-grams, the batch
+    * operator's constant) and joined STREAM-STATIC against the
+    * broadcast eval shingle set (the benchmark suite is static and
+    * small by nature — the same broadcast shape as the batch
+    * q_decontaminate); hits dedup through the state store so each
+    * contaminated (train, eval) doc pair is emitted exactly once.
+    * The join is stateless; the dedup state is one entry per
+    * contaminated pair — on a genuinely unbounded crawl stream that
+    * set grows too, so production would bound it with
+    * `dropDuplicatesWithinWatermark` over ingest time (exact dedup is
+    * kept here for the deterministic oracle). */
   def streamDecontam(spark: SparkSession, dir: String): DataFrame = {
-    val k = 8
+    import graft.operators.Curation.{DecontamK, isEval}
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
     val evalPairs = spark.read.parquet(s"$dir/documents.parquet")
-      .filter(col("doc_id") % 10 === 7)
+      .filter(isEval(col("doc_id")))
       .select(explode(array_distinct(
-        graft.functions.WordShingles.wordShingles(col("text"), k))).as("sh"),
+        graft.functions.WordShingles.wordShingles(col("text"), DecontamK))).as("sh"),
         col("doc_id").as("eval_doc_id"))
     val docs = spark.readStream.schema(schema)
       .parquet(stageStreamDir(dir, "documents"))
-      .filter(col("doc_id") % 10 =!= 7)
+      .filter(!isEval(col("doc_id")))
     val hits = docs
       .select(col("doc_id"), explode(array_distinct(
-        graft.functions.WordShingles.wordShingles(col("text"), k))).as("sh"))
+        graft.functions.WordShingles.wordShingles(col("text"), DecontamK))).as("sh"))
       .join(broadcast(evalPairs), Seq("sh"))
       .select(col("doc_id"), col("eval_doc_id"))
       .dropDuplicates("doc_id", "eval_doc_id")
@@ -368,20 +372,25 @@ object StreamingQueries {
         |FROM documents
         |GROUP BY md5(text)
         |ORDER BY content_hash""".stripMargin,
-    "q_stream_decontam" ->
-      """WITH d AS (
+    "q_stream_decontam" -> {
+      // same constants as the batch q_decontaminate oracle — batch and
+      // stream must agree on shingle order and split rule by construction
+      import graft.operators.Curation.{DecontamK => K, EvalMod, EvalRem}
+      s"""WITH d AS (
         |  SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents),
         |sh AS (
         |  SELECT DISTINCT doc_id, sh FROM (
-        |    SELECT doc_id, unnest(CASE WHEN len(ts) >= 8
-        |      THEN [array_to_string(ts[i:i+7], ' ') for i in range(1, len(ts) - 6)]
+        |    SELECT doc_id, unnest(CASE WHEN len(ts) >= $K
+        |      THEN [array_to_string(ts[i:i+${K - 1}], ' ')
+        |            for i in range(1, len(ts) - ${K - 2})]
         |      ELSE [text] END) AS sh
         |    FROM d)),
-        |ev AS (SELECT sh, doc_id AS eval_doc_id FROM sh WHERE doc_id % 10 = 7),
-        |tr AS (SELECT doc_id, sh FROM sh WHERE doc_id % 10 <> 7)
+        |ev AS (SELECT sh, doc_id AS eval_doc_id FROM sh WHERE doc_id % $EvalMod = $EvalRem),
+        |tr AS (SELECT doc_id, sh FROM sh WHERE doc_id % $EvalMod <> $EvalRem)
         |SELECT DISTINCT tr.doc_id, eval_doc_id
         |FROM tr JOIN ev USING (sh)
-        |ORDER BY doc_id, eval_doc_id""".stripMargin,
+        |ORDER BY doc_id, eval_doc_id""".stripMargin
+    },
     "q_stream_comp_per_user" ->
       """SELECT user_id,
         |  string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS stores,

@@ -77,10 +77,11 @@ object Dedup {
     * (the flood's canonical pair set survives via the kept members). */
   private val HotBucketCap = 64
 
-  /** Band-bucket candidate pairs (id_a < id_b) with the number of bands
-    * that voted for the pair — shared by q_dedup_minhash and the
-    * q_ngram_jaccard verification stage. */
-  private[graft] def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-doc LSH band signatures (doc_id, band, mh) — the rows a
+    * production deployment PERSISTS as its near-dup index (signatures
+    * are tiny next to documents: 8 band keys per doc). Shared by the
+    * full-corpus pair generation and the incremental path. */
+  private[graft] def bandSignatures(spark: SparkSession, dir: String): DataFrame = {
     val g = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(shinglesRaw(col("text"))).as("sh"))
       .withColumn("hm",
@@ -94,15 +95,14 @@ object Dedup {
         lit(b).as("band"),
         concat_ws("|", (0 until BandRows).map(r => col(s"mh${b * BandRows + r}")): _*).as("sig"))
     }: _*)
-    val sig = minh
+    minh
       .select(col("doc_id"), explode(bandSig).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("mh"))
-    // hot-bucket cap in ONE aggregation pass: capped_sorted_ids keeps
-    // only the HotBucketCap smallest members per bucket inside an
-    // O(cap) aggregation buffer with map-side partials — semantically
-    // the rank-window slice, but with no per-bucket sort, no second
-    // sizing pass, and a duplicate flood shrinks map-side before it
-    // ever reaches the shuffle.
+  }
+
+  /** Bucket-local pair expansion with the hot-bucket cap (see
+    * [[minhashPairs]]); `sig` is (doc_id, band, mh). */
+  private def bucketPairs(sig: DataFrame): DataFrame = {
     val buckets = sig
       .groupBy("band", "mh")
       .agg(graft.functions.CappedSortedIds
@@ -116,8 +116,68 @@ object Dedup {
       .agg(count(lit(1)).as("n_bands"))
   }
 
+  /** Band-bucket candidate pairs (id_a < id_b) with the number of bands
+    * that voted for the pair — shared by q_dedup_minhash and the
+    * q_ngram_jaccard verification stage. */
+  private[graft] def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sig = bandSignatures(spark, dir)
+    // hot-bucket cap in ONE aggregation pass: capped_sorted_ids keeps
+    // only the HotBucketCap smallest members per bucket inside an
+    // O(cap) aggregation buffer with map-side partials — semantically
+    // the rank-window slice, but with no per-bucket sort, no second
+    // sizing pass, and a duplicate flood shrinks map-side before it
+    // ever reaches the shuffle.
+    bucketPairs(sig)
+  }
+
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
     minhashPairs(spark, dir).orderBy("id_a", "id_b")
+
+  /** Delta-batch membership for the incremental path: every 4th doc is
+    * "today's ingest"; the rest stand in for the already-indexed
+    * corpus. */
+  private def isDelta(id: Column) = id % 4 === 0
+
+  /** q_dedup_incremental: near-dup detection for a NEW ingest batch
+    * against the EXISTING corpus — the shape that makes 100 TB dedup
+    * sustainable: the historical corpus is touched only through its
+    * persisted band-signature index (8 tiny keys per doc,
+    * [[bandSignatures]]), never re-shingled; daily work is
+    * ∝ delta, not ∝ corpus.
+    *
+    * Two candidate classes, tagged in the output:
+    *  - `index`: delta signature ⋈ index on the band-bucket key. The
+    *    index side is capped per bucket at build time (the same
+    *    [[HotBucketCap]] invariant the batch path enforces), so one
+    *    delta doc can fan out to at most bands × cap candidates.
+    *  - `delta`: near-dups WITHIN the new batch (a fresh flood of
+    *    copies must be caught before it is appended to the index),
+    *    via the same capped bucket-local pair expansion as
+    *    q_dedup_minhash, run on the delta slice only.
+    *
+    * (At test scale the "index" is recomputed from the base slice —
+    * the persisted artifact of a real deployment — because there is no
+    * cross-run store here; the JOIN shape is what's being pinned.) */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val sig = bandSignatures(spark, dir)
+    val delta = sig.filter(isDelta(col("doc_id")))
+    // the "persisted index": base-slice signatures, bucket-capped at
+    // build time (smallest ids kept — CappedSortedIds' invariant)
+    val index = sig.filter(!isDelta(col("doc_id")))
+      .groupBy("band", "mh")
+      .agg(graft.functions.CappedSortedIds
+        .cappedSortedIds(col("doc_id"), HotBucketCap).as("ids"))
+      .select(col("band"), col("mh"), explode(col("ids")).as("dup_id"))
+    val vsIndex = delta.select(col("band"), col("mh"), col("doc_id").as("id_a"))
+      .join(index, Seq("band", "mh"))
+      .groupBy(col("id_a"), col("dup_id").as("id_b"))
+      .agg(count(lit(1)).as("n_bands"))
+      .withColumn("kind", lit("index"))
+    val within = bucketPairs(delta).withColumn("kind", lit("delta"))
+    vsIndex.unionByName(within)
+      .select(col("id_a"), col("id_b"), col("kind"), col("n_bands"))
+      .orderBy("kind", "id_a", "id_b")
+  }
 
   private val SimBits = 60 // md5 hex prefix → 60-bit token hash
   private val SimChunks = 4
@@ -284,6 +344,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (dedupExact(_, _)),
     "q_dedup_minhash" -> (dedupMinhash(_, _)),
+    "q_dedup_incremental" -> (dedupIncremental(_, _)),
     "q_dedup_simhash" -> (dedupSimhash(_, _)),
     "q_ngram_jaccard" -> (ngramJaccard(_, _)),
     "q_dedup_clusters" -> (dedupClusters(_, _)))
@@ -294,9 +355,8 @@ object Dedup {
       |    ELSE [text] END) AS grams
       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)""".stripMargin
 
-  /** Shared CTE chain rebuilding [[minhashPairs]] (including the
-    * hot-bucket cap, as a rank ≤ cap filter on the sorted bucket). */
-  private val pairSql: String =
+  /** CTE chain rebuilding [[bandSignatures]] (through `sig`). */
+  private val sigSql: String =
     s"""sh AS ($shingleSql),
        |g AS (
        |  SELECT doc_id,
@@ -310,7 +370,12 @@ object Dedup {
        |  ${(0 until NumHashes / BandRows).map { b =>
             val cols = (0 until BandRows).map(r => s"mh${b * BandRows + r}").mkString(", '|', ")
             s"SELECT doc_id, $b AS band, concat($cols) AS mh FROM minh"
-          }.mkString("\n       |  UNION ALL ")}),
+          }.mkString("\n       |  UNION ALL ")})""".stripMargin
+
+  /** Shared CTE chain rebuilding [[minhashPairs]] (including the
+    * hot-bucket cap, as a rank ≤ cap filter on the sorted bucket). */
+  private val pairSql: String =
+    s"""$sigSql,
        |rsig AS (
        |  SELECT doc_id, band, mh,
        |    ROW_NUMBER() OVER (PARTITION BY band, mh ORDER BY doc_id) AS r
@@ -332,6 +397,33 @@ object Dedup {
       s"""WITH $pairSql
          |SELECT id_a, id_b, n_bands FROM pairs
          |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_incremental" ->
+      s"""WITH $sigSql,
+         |idx AS (
+         |  SELECT doc_id, band, mh,
+         |    ROW_NUMBER() OVER (PARTITION BY band, mh ORDER BY doc_id) AS r
+         |  FROM sig WHERE doc_id % 4 <> 0),
+         |vb AS (
+         |  SELECT d.doc_id AS id_a, i.doc_id AS id_b, 'index' AS kind,
+         |    COUNT(*) AS n_bands
+         |  FROM sig d JOIN idx i ON d.band = i.band AND d.mh = i.mh
+         |    AND i.r <= $HotBucketCap
+         |  WHERE d.doc_id % 4 = 0
+         |  GROUP BY d.doc_id, i.doc_id),
+         |dd AS (
+         |  SELECT doc_id, band, mh,
+         |    ROW_NUMBER() OVER (PARTITION BY band, mh ORDER BY doc_id) AS r
+         |  FROM sig WHERE doc_id % 4 = 0),
+         |wd AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, 'delta' AS kind,
+         |    COUNT(*) AS n_bands
+         |  FROM dd a JOIN dd b ON a.band = b.band AND a.mh = b.mh
+         |    AND a.doc_id < b.doc_id
+         |    AND a.r <= $HotBucketCap AND b.r <= $HotBucketCap
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT id_a, id_b, kind, n_bands FROM vb
+         |UNION ALL SELECT id_a, id_b, kind, n_bands FROM wd
+         |ORDER BY kind, id_a, id_b""".stripMargin,
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE $pairSql,
          |edges AS (

@@ -39,6 +39,29 @@ class OperatorSpec extends SparkSpec {
     assert(df.groupBy("id_a", "id_b").count().filter(col("count") > 1).count() == 0)
   }
 
+  test("incremental dedup equals the full pair set restricted to the delta") {
+    val inc = run("q_dedup_incremental").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(inc.nonEmpty)
+    // kinds are well-formed: index = (delta, base); delta = ordered
+    // within-batch pair
+    inc.foreach {
+      case (a, b, "index", _) => assert(a % 4 == 0 && b % 4 != 0, s"($a,$b) roles")
+      case (a, b, "delta", _) => assert(a % 4 == 0 && b % 4 == 0 && a < b, s"($a,$b)")
+      case (a, b, k, _) => fail(s"unknown kind $k for ($a,$b)")
+    }
+    // on this corpus (no bucket near the cap) the incremental output
+    // must be EXACTLY the full-corpus pairs that touch a delta doc
+    val full = run("q_dedup_minhash").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = full.collect {
+      case (a, b, n) if a % 4 == 0 && b % 4 == 0 => (a, b, "delta", n)
+      case (a, b, n) if a % 4 == 0 && b % 4 != 0 => (a, b, "index", n)
+      case (a, b, n) if a % 4 != 0 && b % 4 == 0 => (b, a, "index", n)
+    }
+    assert(inc.toSet == expected.toSet)
+  }
+
   test("jaccard is within [0,1] and symmetric by construction") {
     val mm = run("q_ngram_jaccard").agg(min("jaccard"), max("jaccard")).collect()(0)
     assert(mm.getDouble(0) >= 0.0 && mm.getDouble(1) <= 1.0)

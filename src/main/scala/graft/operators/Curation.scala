@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators a large-scale training-data pipeline runs
@@ -144,10 +144,117 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Funnel quality gate: token-count window + distinct-token
+    * (repetition) floor — the Gopher-rule shapes, with bounds that
+    * discriminate on this corpus (token counts span 10..~100;
+    * distinct-token ratios span ~29%..100%). All integer
+    * comparisons, so Spark and DuckDB agree bit-for-bit. */
+  private[graft] val FunnelMinTok = 20L
+  private[graft] val FunnelMaxTok = 10000L
+  private[graft] val FunnelDistinctPct = 30L
+
+  /** q_curation_funnel: the END-TO-END curation pipeline every
+    * training corpus runs, as ONE composed query — quality gate →
+    * exact dedup → near-dup drop → decontamination → mixture
+    * sampling — reporting survivors (docs, tokens) after each stage.
+    * The funnel report is what a data-curation run publishes: where
+    * did the corpus shrink, and what token budget survives to
+    * training.
+    *
+    * Stage predicates are doc-global (the dedup index and eval
+    * shingle set are corpus-wide artifacts, as in production — a
+    * doc's canonical/duplicate/contaminated status does not depend on
+    * which other stages ran), EXCEPT the mixture keep rate, which is
+    * computed over the survivors entering that stage (rebalancing
+    * applies to what remains). Monotone conjunction ⇒ one pass
+    * computes every stage's count.
+    *
+    * Scale shape: one corpus scan feeds all flag columns; the exact
+    * hash and near-dup pair sets are the same equi-join/bucketed
+    * shapes as q_dedup_exact / q_dedup_minhash; the eval shingle set
+    * and per-lang counts are broadcast; the funnel itself is a single
+    * 12-way conditional aggregate stacked to 6 rows. Nothing here is
+    * new shuffle machinery — the funnel COMPOSES the already-bounded
+    * stages, which is the point. */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val tokPat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+    val docs = Tables.documents(spark, dir).select(
+      col("doc_id"), col("lang"), col("text"),
+      size(regexp_extract_all(col("text"), lit(tokPat), lit(0)))
+        .cast("long").as("n_tok"),
+      size(split(col("text"), " ")).cast("long").as("n_ws"),
+      size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct"))
+      .withColumn("q",
+        col("n_tok").between(FunnelMinTok, FunnelMaxTok) &&
+          col("n_distinct") * 100 >= col("n_ws") * FunnelDistinctPct)
+    // exact-canonical: global min doc_id per text hash (q_dedup_exact's rule)
+    val canon = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("canon_id"))
+    val withKx = docs.withColumn("h", md5(col("text")))
+      .join(canon, Seq("h"))
+      .withColumn("kx", col("doc_id") === col("canon_id"))
+    // near-dup: the larger id of any minhash candidate pair is dropped
+    // (canonical-smallest survives) — the corpus-wide LSH index
+    val ndDrop = graft.operators.Dedup.minhashPairs(spark, dir)
+      .select(col("id_b").as("doc_id")).distinct()
+      .withColumn("nd_drop", lit(true))
+    // contamination: train doc sharing a DecontamK-gram with the eval set
+    val shing = docs.select(col("doc_id"), explode(array_distinct(
+      graft.functions.WordShingles.wordShingles(col("text"), DecontamK))).as("sh"))
+    val evalSh = shing.filter(isEval(col("doc_id"))).select("sh").distinct()
+    val contam = shing.filter(!isEval(col("doc_id")))
+      .join(broadcast(evalSh), Seq("sh"), "left_semi")
+      .select("doc_id").distinct()
+      .withColumn("dc_drop", lit(true))
+    val flagged = withKx
+      .join(ndDrop, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .withColumn("nd", col("nd_drop").isNull)
+      .withColumn("dc", !isEval(col("doc_id")) && col("dc_drop").isNull)
+    // mixture keep rate over the survivors ENTERING the mixture stage
+    val s4 = flagged.filter(col("q") && col("kx") && col("nd") && col("dc"))
+    val counts = s4.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val totals = counts.agg(sum("n_lang").as("n_total"), count(lit(1)).as("n_langs"))
+    val u = expr(
+      "cast(conv(substr(md5(concat('mix', cast(doc_id as string))), 1, 15), 16, 10) as bigint) % 1000000")
+    val mx = flagged
+      .join(broadcast(counts), Seq("lang"), "left")
+      .crossJoin(broadcast(totals))
+      // false (not null) for langs absent from the survivor set
+      .withColumn("mx",
+        col("n_lang").isNotNull &&
+          u * col("n_lang") * col("n_langs") < col("n_total") * lit(1000000L))
+    val c1 = col("q")
+    val c2 = c1 && col("kx")
+    val c3 = c2 && col("nd")
+    val c4 = c3 && col("dc")
+    val c5 = c4 && col("mx")
+    def d(c: Column) = sum(when(c, 1L).otherwise(0L))
+    def t(c: Column) = sum(when(c, col("n_tok")).otherwise(0L))
+    mx.agg(
+      count(lit(1)).cast("long").as("d0"), sum("n_tok").as("t0"),
+      d(c1).as("d1"), t(c1).as("t1"),
+      d(c2).as("d2"), t(c2).as("t2"),
+      d(c3).as("d3"), t(c3).as("t3"),
+      d(c4).as("d4"), t(c4).as("t4"),
+      d(c5).as("d5"), t(c5).as("t5"))
+      .select(expr(
+        """stack(6,
+          |  cast(0 as bigint), 'ingest',      d0, t0,
+          |  cast(1 as bigint), 'quality',     d1, t1,
+          |  cast(2 as bigint), 'exact_dedup', d2, t2,
+          |  cast(3 as bigint), 'near_dedup',  d3, t3,
+          |  cast(4 as bigint), 'decontam',    d4, t4,
+          |  cast(5 as bigint), 'mixture',     d5, t5
+          |) as (stage, name, docs, toks)""".stripMargin))
+      .orderBy("stage")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_decontaminate" -> (decontaminate(_, _)),
     "q_mixture_sample" -> (mixtureSample(_, _)),
-    "q_lm_quality" -> (lmQuality(_, _)))
+    "q_lm_quality" -> (lmQuality(_, _)),
+    "q_curation_funnel" -> (curationFunnel(_, _)))
 
   val oracleSql: Map[String, String] = Map(
     "q_decontaminate" ->
@@ -207,5 +314,64 @@ object Curation {
         |  CAST(SUM(tok_bits_e6) // COUNT(*) AS BIGINT) AS bits_e6
         |FROM scored
         |GROUP BY doc_id, lang
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+    "q_curation_funnel" ->
+      s"""WITH ${graft.operators.Dedup.pairSql},
+         |base AS (
+         |  SELECT doc_id, lang, text,
+         |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tok,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+         |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+         |  FROM documents),
+         |dsh AS (
+         |  SELECT DISTINCT doc_id, shg FROM (
+         |    SELECT doc_id, unnest(CASE WHEN len(ts) >= $DecontamK
+         |      THEN [array_to_string(ts[i:i+${DecontamK - 1}], ' ')
+         |            for i in range(1, len(ts) - ${DecontamK - 2})]
+         |      ELSE [text] END) AS shg
+         |    FROM (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents))),
+         |evsh AS (SELECT DISTINCT shg FROM dsh WHERE doc_id % $EvalMod = $EvalRem),
+         |contam AS (
+         |  SELECT DISTINCT d.doc_id FROM dsh d JOIN evsh USING (shg)
+         |  WHERE d.doc_id % $EvalMod <> $EvalRem),
+         |flags AS (
+         |  SELECT doc_id, lang, n_tok,
+         |    (n_tok BETWEEN $FunnelMinTok AND $FunnelMaxTok
+         |      AND n_distinct * 100 >= n_ws * $FunnelDistinctPct) AS q,
+         |    doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS kx,
+         |    doc_id NOT IN (SELECT id_b FROM pairs) AS nd,
+         |    (doc_id % $EvalMod <> $EvalRem
+         |      AND doc_id NOT IN (SELECT doc_id FROM contam)) AS dc,
+         |    CAST(concat('0x', substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         |      % 1000000 AS u
+         |  FROM base),
+         |s4 AS (SELECT * FROM flags WHERE q AND kx AND nd AND dc),
+         |lc AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_lang FROM s4 GROUP BY lang),
+         |lt AS (SELECT CAST(SUM(n_lang) AS BIGINT) AS n_total,
+         |         CAST(COUNT(*) AS BIGINT) AS n_langs FROM lc),
+         |mxx AS (
+         |  SELECT f.*,
+         |    (lc.lang IS NOT NULL AND u * n_lang * n_langs < n_total * 1000000) AS mx
+         |  FROM flags f LEFT JOIN lc USING (lang) CROSS JOIN lt),
+         |agg AS (SELECT
+         |  CAST(COUNT(*) AS BIGINT) AS d0, CAST(SUM(n_tok) AS BIGINT) AS t0,
+         |  CAST(SUM(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+         |  CAST(SUM(CASE WHEN q THEN n_tok ELSE 0 END) AS BIGINT) AS t1,
+         |  CAST(SUM(CASE WHEN q AND kx THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+         |  CAST(SUM(CASE WHEN q AND kx THEN n_tok ELSE 0 END) AS BIGINT) AS t2,
+         |  CAST(SUM(CASE WHEN q AND kx AND nd THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+         |  CAST(SUM(CASE WHEN q AND kx AND nd THEN n_tok ELSE 0 END) AS BIGINT) AS t3,
+         |  CAST(SUM(CASE WHEN q AND kx AND nd AND dc THEN 1 ELSE 0 END) AS BIGINT) AS d4,
+         |  CAST(SUM(CASE WHEN q AND kx AND nd AND dc THEN n_tok ELSE 0 END) AS BIGINT) AS t4,
+         |  CAST(SUM(CASE WHEN q AND kx AND nd AND dc AND mx THEN 1 ELSE 0 END) AS BIGINT) AS d5,
+         |  CAST(SUM(CASE WHEN q AND kx AND nd AND dc AND mx THEN n_tok ELSE 0 END) AS BIGINT) AS t5
+         |FROM mxx)
+         |SELECT * FROM (
+         |  SELECT CAST(0 AS BIGINT) AS stage, 'ingest' AS name, d0 AS docs, t0 AS toks FROM agg
+         |  UNION ALL SELECT CAST(1 AS BIGINT), 'quality', d1, t1 FROM agg
+         |  UNION ALL SELECT CAST(2 AS BIGINT), 'exact_dedup', d2, t2 FROM agg
+         |  UNION ALL SELECT CAST(3 AS BIGINT), 'near_dedup', d3, t3 FROM agg
+         |  UNION ALL SELECT CAST(4 AS BIGINT), 'decontam', d4, t4 FROM agg
+         |  UNION ALL SELECT CAST(5 AS BIGINT), 'mixture', d5, t5 FROM agg)
+         |ORDER BY stage""".stripMargin)
 }

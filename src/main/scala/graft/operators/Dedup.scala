@@ -373,8 +373,10 @@ object Dedup {
           }.mkString("\n       |  UNION ALL ")})""".stripMargin
 
   /** Shared CTE chain rebuilding [[minhashPairs]] (including the
-    * hot-bucket cap, as a rank ≤ cap filter on the sorted bucket). */
-  private val pairSql: String =
+    * hot-bucket cap, as a rank ≤ cap filter on the sorted bucket).
+    * `private[graft]` so Curation's funnel oracle can reuse the exact
+    * same pair set its Spark side gets from [[minhashPairs]]. */
+  private[graft] val pairSql: String =
     s"""$sigSql,
        |rsig AS (
        |  SELECT doc_id, band, mh,

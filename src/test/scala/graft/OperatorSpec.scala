@@ -62,6 +62,29 @@ class OperatorSpec extends SparkSpec {
     assert(inc.toSet == expected.toSet)
   }
 
+  test("curation funnel is monotone and consistent with its stage queries") {
+    val rows = run("q_curation_funnel").collect()
+    assert(rows.map(_.getString(1)).toSeq ==
+      Seq("ingest", "quality", "exact_dedup", "near_dedup", "decontam", "mixture"))
+    val docs = rows.map(_.getLong(2))
+    val toks = rows.map(_.getLong(3))
+    docs.sliding(2).foreach { w => assert(w(1) <= w(0), "docs not monotone") }
+    toks.sliding(2).foreach { w => assert(w(1) <= w(0), "toks not monotone") }
+    // ingest row = the whole corpus, in the SAME tokenizer units as
+    // q_token_count's bpe_tokens (shared regex)
+    val tc = run("q_token_count").collect()
+    assert(docs(0) == tc.length)
+    assert(toks(0) == tc.map(_.getAs[Long]("bpe_tokens")).sum)
+    // near-dedup can drop at most the larger-id side of the global
+    // minhash pair set; decontam at most eval slice + contaminated docs
+    val ndDropAll = run("q_dedup_minhash").select("id_b").distinct().count()
+    assert(docs(2) - docs(3) <= ndDropAll)
+    val contam = run("q_decontaminate").collect()
+      .count(_.getAs[Boolean]("contaminated"))
+    val evalDocs = tc.count(_.getAs[Long]("doc_id") % 10 == 7)
+    assert(docs(3) - docs(4) <= contam + evalDocs)
+  }
+
   test("jaccard is within [0,1] and symmetric by construction") {
     val mm = run("q_ngram_jaccard").agg(min("jaccard"), max("jaccard")).collect()(0)
     assert(mm.getDouble(0) >= 0.0 && mm.getDouble(1) <= 1.0)

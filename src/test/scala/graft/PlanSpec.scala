@@ -29,6 +29,14 @@ class PlanSpec extends SparkSpec {
     assert(plan("q_eval_metrics").contains("BroadcastHashJoin"))
   }
 
+  test("curation funnel broadcasts its small sides") {
+    // eval-shingle semi-join + per-lang survivor counts must broadcast;
+    // only the exact-hash canonical join may shuffle the corpus
+    val p = plan("q_curation_funnel")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      "funnel lost a broadcast (eval shingles / lang counts)")
+  }
+
   test("aggregations are two-phase (map-side partial)") {
     val p = plan("q1_agg")
     assert("HashAggregate".r.findAllIn(p).length >= 2, "expected partial+final agg")

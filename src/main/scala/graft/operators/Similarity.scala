@@ -304,12 +304,69 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** PQ shape, pinned because the oracle interpolates them: 4
+    * subspaces × 16 codes = 16 bits/vector (vs 64×4 B raw — a 128×
+    * cut; real deployments use M=8..64, Ks=256 — same shapes, bigger
+    * literals). */
+  private[graft] val PqM = 4
+  private[graft] val PqKs = 16
+
+  /** q_embed_pq: product quantization (Jégou/Douze/Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI'11) — the
+    * memory path that makes billion-vector ANN fit in RAM: each
+    * vector splits into [[PqM]] subvectors, each assigned to its
+    * nearest of [[PqKs]] per-subspace centroids, so a vector becomes
+    * M small codes plus a shared codebook. Output = the per-subspace
+    * code columns (what an index stores) and the total reconstruction
+    * error (what a recall budget is planned from).
+    *
+    * Like q_ann_ivf_cosine, the codebook has the production shape —
+    * trained OFFLINE, shipped fixed — realized deterministically: the
+    * [[PqKs]] corpus vectors ranked first by md5(vec_id), each
+    * contributing one centroid per subspace (bounded collect:
+    * Ks × dims doubles). That makes codebook, assignment, and error
+    * all recomputable in SQL → full value oracle. Scale shape:
+    * map-only single scan (subspace distances are literal-anchor
+    * dots), no shuffle before the final order. Assignment folds in
+    * pinned index order; ties break to the first (lowest) code in
+    * both engines. */
+  def embedPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val sample = emb
+      .withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy("h").limit(PqKs)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    val dims = sample(0).length
+    require(dims % PqM == 0, s"embedding dims $dims not divisible by $PqM")
+    val sub = dims / PqM
+    val withCodes = (0 until PqM).foldLeft(emb) { (df, m) =>
+      val sv = col(s"sv$m")
+      val ds = array(sample.map { vec =>
+        val a = vec.slice(m * sub, (m + 1) * sub)
+        val a2 = a.foldLeft(0.0)((s, x) => s + x * x)
+        col(s"sv2$m") - lit(2.0) * dot(sv, lit(a)) + lit(a2)
+      }: _*)
+      df.withColumn(s"sv$m", slice(col("v"), m * sub + 1, sub))
+        .withColumn(s"sv2$m", dot(sv, sv))
+        .withColumn(s"ds$m", ds)
+        .withColumn(s"code${m + 1}", array_position(col(s"ds$m"), array_min(col(s"ds$m"))))
+        .withColumn(s"dmin$m", array_min(col(s"ds$m")))
+    }
+    val err = (0 until PqM).map(m => col(s"dmin$m")).reduce(_ + _)
+    withCodes.select(
+      (col("vec_id") +: (1 to PqM).map(m => col(s"code$m"))) :+
+        floor(err * 1e9 + 0.5).cast("long").as("err_e9"): _*)
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_cosine" -> (annCosine(_, _)),
     "q_ann_lsh_cosine" -> (annLshCosine(_, _)),
     "q_ann_ivf_cosine" -> (annIvfCosine(_, _)),
     "q_dedup_embedding" -> (dedupEmbedding(_, _)),
-    "q_embed_quantize" -> (embedQuantize(_, _)))
+    "q_embed_quantize" -> (embedQuantize(_, _)),
+    "q_embed_pq" -> (embedPq(_, _)))
 
   /** Shared oracle prelude: embeddings as double lists + norms + the
     * same sign-projection buckets (planes embedded as literals). */
@@ -466,5 +523,42 @@ object Similarity {
          |  FROM scored)
          |SELECT query_id, neighbor_id, floor(cos_raw * 1e6 + 0.5) / 1e6 AS cosine, rank
          |FROM ranked WHERE rank <= $K
-         |ORDER BY query_id, rank""".stripMargin)
+         |ORDER BY query_id, rank""".stripMargin,
+    "q_embed_pq" -> {
+      // one distance + assignment CTE pair per subspace, the same
+      // expansion (|sv|² − 2·sv·a + |a|²) the Spark side computes
+      val mParts = (0 until PqM).map { m =>
+        s"""pqd$m AS (
+           |  SELECT e.vec_id, a.code,
+           |    list_reduce([e.v[i + $m * e.s] * e.v[i + $m * e.s]
+           |      for i in range(1, e.s + 1)], (x, y) -> x + y)
+           |    - 2.0 * list_reduce([e.v[i + $m * e.s] * a.av[i + $m * a.s]
+           |      for i in range(1, e.s + 1)], (x, y) -> x + y)
+           |    + list_reduce([a.av[i + $m * a.s] * a.av[i + $m * a.s]
+           |      for i in range(1, e.s + 1)], (x, y) -> x + y) AS d
+           |  FROM pqe e, pqanch a),
+           |pqa$m AS (
+           |  SELECT vec_id,
+           |    CAST(list_position(ds, list_aggregate(ds, 'min')) AS BIGINT) AS code${m + 1},
+           |    list_aggregate(ds, 'min') AS dmin$m
+           |  FROM (SELECT vec_id, list(d ORDER BY code) AS ds FROM pqd$m GROUP BY vec_id))"""
+          .stripMargin
+      }.mkString(",\n")
+      val codeCols = (1 to PqM).map(m => s"code$m").mkString(", ")
+      val errSum = (0 until PqM).map(m => s"dmin$m").mkString(" + ")
+      val joins = (0 until PqM).map(m => s"JOIN pqa$m USING (vec_id)").mkString(" ")
+      s"""WITH pqe AS (
+         |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v,
+         |    len(embedding) // $PqM AS s
+         |  FROM embeddings),
+         |pqanch AS (
+         |  SELECT v AS av, s,
+         |    ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS code
+         |  FROM pqe QUALIFY code <= $PqKs),
+         |$mParts
+         |SELECT e.vec_id, $codeCols,
+         |  CAST(floor(($errSum) * 1e9 + 0.5) AS BIGINT) AS err_e9
+         |FROM pqe e $joins
+         |ORDER BY vec_id""".stripMargin
+    })
 }

@@ -85,6 +85,28 @@ class OperatorSpec extends SparkSpec {
     assert(docs(3) - docs(4) <= contam + evalDocs)
   }
 
+  test("pq codes are in range and codebook vectors reconstruct exactly") {
+    val ks = graft.operators.Similarity.PqKs
+    val m = graft.operators.Similarity.PqM
+    val rows = run("q_embed_pq").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      (1 to m).foreach { i =>
+        val c = r.getLong(i)
+        assert(c >= 1 && c <= ks, s"code$i=$c out of [1,$ks]")
+      }
+      assert(r.getLong(m + 1) >= 0L, "negative reconstruction error")
+    }
+    // the Ks sampled codebook vectors are their own nearest centroid in
+    // every subspace → zero reconstruction error
+    assert(rows.count(_.getLong(m + 1) == 0L) >= ks,
+      s"fewer than $ks exactly-reconstructed vectors")
+    // each subspace uses more than one code (the codebook discriminates)
+    (1 to m).foreach { i =>
+      assert(rows.map(_.getLong(i)).distinct.length > 1, s"subspace $i uses one code")
+    }
+  }
+
   test("jaccard is within [0,1] and symmetric by construction") {
     val mm = run("q_ngram_jaccard").agg(min("jaccard"), max("jaccard")).collect()(0)
     assert(mm.getDouble(0) >= 0.0 && mm.getDouble(1) <= 1.0)

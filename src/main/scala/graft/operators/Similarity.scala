@@ -177,22 +177,27 @@ object Similarity {
     * coarse quantizer, 5 Lloyd iterations, seed 42) — spec-covered but
     * rows-only, since distributed double sums in Lloyd means are not
     * bit-reproducible in SQL. */
-  def annIvfCosine(spark: SparkSession, dir: String, cells: Int = IvfCells,
-      nprobe: Int = IvfNprobe, quantizer: String = "seeded"): DataFrame = {
-    if (quantizer == "kmeans") return annIvfKmeans(spark, dir, cells, nprobe)
-    val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("nrm2", dot(col("v"), col("v")))
-    // fixed codebook: the `cells` corpus vectors ranked first by
-    // md5(vec_id) — a deterministic pseudo-random sample (bounded
-    // collect: cells × dims doubles)
-    val anchors = emb.select(col("vec_id"), col("v"))
+  /** Fixed codebook: the `cells` corpus vectors ranked first by
+    * md5(vec_id) — a deterministic pseudo-random sample (bounded
+    * collect: cells × dims doubles). Shared by the IVF and SemDeDup
+    * paths; the oracle SQL re-derives the identical anchors. Returns
+    * (1-based cell id, vector, |vector|²). */
+  private def seededAnchors(emb: DataFrame, cells: Int): Array[(Long, Array[Double], Double)] =
+    emb.select(col("vec_id"), col("v"))
       .withColumn("h", md5(col("vec_id").cast("string")))
       .orderBy("h").limit(cells)
       .collect().zipWithIndex.map { case (r, i) =>
         val a = r.getSeq[Double](1).toArray
         (i + 1L, a, a.foldLeft(0.0)((s, x) => s + x * x))
       }
+
+  def annIvfCosine(spark: SparkSession, dir: String, cells: Int = IvfCells,
+      nprobe: Int = IvfNprobe, quantizer: String = "seeded"): DataFrame = {
+    if (quantizer == "kmeans") return annIvfKmeans(spark, dir, cells, nprobe)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm2", dot(col("v"), col("v")))
+    val anchors = seededAnchors(emb, cells)
     val dists = array(anchors.map { case (_, a, a2) =>
       col("nrm2") - lit(2.0) * dot(col("v"), lit(a)) + lit(a2)
     }: _*)
@@ -360,13 +365,75 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Cosine threshold above which two same-cell vectors are semantic
+    * duplicates (pinned: the oracle embeds it). */
+  private val SemTau = 0.2
+
+  /** q_semdedup: SemDeDup (Abbas et al., "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication", 2023) —
+    * embedding-space near-dup removal that never goes all-pairs: a
+    * coarse quantizer assigns every vector to a cell, pairwise cosine
+    * runs only WITHIN cells (compare work ∝ Σ cell², not n²), and of
+    * each duplicate neighborhood the vector with the LOWEST cosine to
+    * its centroid is kept (the paper's keep-the-outlier rule — it
+    * preserves the cluster's diversity rather than its center).
+    *
+    * Drop rule, neighbor-local and deterministic: x is dropped iff
+    * some same-cell y with cos(x,y) ≥ [[SemTau]] has (cent_cos, id)
+    * lexicographically below x's — in a duplicate clique exactly the
+    * min-(cent_cos, id) member survives, with no iterative component.
+    *
+    * Scale shape: codebook is an offline fixed artifact (here the
+    * seeded md5-ranked sample, as q_ann_ivf_cosine); assignment is a
+    * map-only argmin over literal anchors; the only shuffle is the
+    * cell-keyed self-join. Oracle: full value compare — assignment,
+    * centroid cosines, and tie-breaks fold in pinned index order, so
+    * DuckDB reproduces every keep bit. */
+  def semDedup(spark: SparkSession, dir: String, cells: Int = IvfCells): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm2", dot(col("v"), col("v")))
+    val anchors = seededAnchors(emb, cells)
+    val dists = array(anchors.map { case (_, a, a2) =>
+      col("nrm2") - lit(2.0) * dot(col("v"), lit(a)) + lit(a2)
+    }: _*)
+    val cdots = array(anchors.map { case (_, a, _) => dot(col("v"), lit(a)) }: _*)
+    val anrms = array(anchors.map { case (_, _, a2) => lit(math.sqrt(a2)) }: _*)
+    val assigned = emb
+      .withColumn("dists", dists)
+      .withColumn("cell", array_position(col("dists"), array_min(col("dists"))))
+      .withColumn("cent_cos",
+        element_at(cdots, col("cell").cast("int"))
+          / (sqrt(col("nrm2")) * element_at(anrms, col("cell").cast("int"))))
+      .select(col("vec_id"), col("v"), sqrt(col("nrm2")).as("nrm"),
+        col("cell"), col("cent_cos"))
+    val x = assigned.select(col("vec_id").as("id_x"), col("v").as("vx"),
+      col("nrm").as("nx"), col("cell"), col("cent_cos").as("ccx"))
+    val y = assigned.select(col("vec_id").as("id_y"), col("v").as("vy"),
+      col("nrm").as("ny"), col("cell").as("cell_y"), col("cent_cos").as("ccy"))
+    val stats = x.join(y, col("cell") === col("cell_y") && col("id_x") =!= col("id_y"))
+      .filter(dot(col("vx"), col("vy")) / (col("nx") * col("ny")) >= SemTau)
+      .groupBy(col("id_x"))
+      .agg(count(lit(1)).as("n_dups"),
+        max(when(col("ccy") < col("ccx")
+          || (col("ccy") === col("ccx") && col("id_y") < col("id_x")), 1L)
+          .otherwise(0L)).as("drp"))
+    assigned.join(stats, col("vec_id") === col("id_x"), "left")
+      .select(col("vec_id"), col("cell"),
+        floor(col("cent_cos") * 1e6 + 0.5).cast("long").as("cent_cos_e6"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        (coalesce(col("drp"), lit(0L)) === 0L).as("keep"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_cosine" -> (annCosine(_, _)),
     "q_ann_lsh_cosine" -> (annLshCosine(_, _)),
     "q_ann_ivf_cosine" -> (annIvfCosine(_, _)),
     "q_dedup_embedding" -> (dedupEmbedding(_, _)),
     "q_embed_quantize" -> (embedQuantize(_, _)),
-    "q_embed_pq" -> (embedPq(_, _)))
+    "q_embed_pq" -> (embedPq(_, _)),
+    "q_semdedup" -> (semDedup(_, _)))
 
   /** Shared oracle prelude: embeddings as double lists + norms + the
     * same sign-projection buckets (planes embedded as literals). */
@@ -524,6 +591,58 @@ object Similarity {
          |SELECT query_id, neighbor_id, floor(cos_raw * 1e6 + 0.5) / 1e6 AS cosine, rank
          |FROM ranked WHERE rank <= $K
          |ORDER BY query_id, rank""".stripMargin,
+    // Rebuilds the seeded codebook, argmin assignment, per-cell pairs
+    // and the lexicographic (cent_cos, id) keep rule — the distance,
+    // dot and cosine folds all run in pinned index order, so every
+    // keep bit matches Spark's.
+    "q_semdedup" ->
+      s"""WITH emb AS (
+         |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+         |  FROM embeddings),
+         |nrm AS (
+         |  SELECT vec_id, v,
+         |    list_reduce([v[i] * v[i] for i in range(1, len(v) + 1)], (a, b) -> a + b) AS nrm2
+         |  FROM emb),
+         |anchors AS (
+         |  SELECT v AS av, nrm2 AS a2,
+         |    ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS cell
+         |  FROM nrm
+         |  QUALIFY cell <= $IvfCells),
+         |dist AS (
+         |  SELECT n.vec_id, a.cell,
+         |    list_reduce([n.v[i] * a.av[i] for i in range(1, len(n.v) + 1)],
+         |      (x, y) -> x + y) AS cdot,
+         |    n.nrm2 - 2.0 * list_reduce([n.v[i] * a.av[i] for i in range(1, len(n.v) + 1)],
+         |      (x, y) -> x + y) + a.a2 AS d
+         |  FROM nrm n, anchors a),
+         |asn AS (
+         |  SELECT vec_id,
+         |    CAST(list_position(dists, list_aggregate(dists, 'min')) AS BIGINT) AS cell
+         |  FROM (SELECT vec_id, list(d ORDER BY cell) AS dists FROM dist GROUP BY vec_id)),
+         |corpus AS (
+         |  SELECT n.vec_id, n.v, sqrt(n.nrm2) AS nrm, asn.cell,
+         |    dd.cdot / (sqrt(n.nrm2) * sqrt(a.a2)) AS cent_cos
+         |  FROM nrm n
+         |  JOIN asn USING (vec_id)
+         |  JOIN dist dd ON dd.vec_id = n.vec_id AND dd.cell = asn.cell
+         |  JOIN anchors a ON a.cell = asn.cell),
+         |stats AS (
+         |  SELECT x.vec_id,
+         |    COUNT(*) AS n_dups,
+         |    MAX(CASE WHEN y.cent_cos < x.cent_cos
+         |      OR (y.cent_cos = x.cent_cos AND y.vec_id < x.vec_id)
+         |      THEN 1 ELSE 0 END) AS drp
+         |  FROM corpus x JOIN corpus y
+         |    ON x.cell = y.cell AND x.vec_id <> y.vec_id
+         |  WHERE list_reduce([x.v[i] * y.v[i] for i in range(1, len(x.v) + 1)],
+         |      (a, b) -> a + b) / (x.nrm * y.nrm) >= $SemTau
+         |  GROUP BY x.vec_id)
+         |SELECT c.vec_id, c.cell,
+         |  CAST(floor(c.cent_cos * 1e6 + 0.5) AS BIGINT) AS cent_cos_e6,
+         |  COALESCE(s.n_dups, 0) AS n_dups,
+         |  COALESCE(s.drp, 0) = 0 AS keep
+         |FROM corpus c LEFT JOIN stats s USING (vec_id)
+         |ORDER BY vec_id""".stripMargin,
     "q_embed_pq" -> {
       // one distance + assignment CTE pair per subspace, the same
       // expansion (|sv|² − 2·sv·a + |a|²) the Spark side computes

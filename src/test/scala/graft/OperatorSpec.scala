@@ -107,6 +107,26 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("semdedup keeps the lowest-centroid-cosine member of every dup pair") {
+    val rows = run("q_semdedup").collect()
+    assert(rows.length > 0)
+    val byId = rows.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    // every vector is assigned a valid cell and appears exactly once
+    assert(byId.size == rows.length)
+    assert(rows.forall { r => val c = r.getLong(1); c >= 1 && c <= 16 })
+    // the dedup did something: some drops, but never everything
+    val drops = rows.count(!_.getBoolean(4))
+    assert(drops > 0, "no semantic duplicates dropped — tau too high for corpus")
+    assert(drops < rows.length, "everything dropped")
+    // a dropped vector must have at least one dup neighbor; a vector
+    // with no dup neighbors must be kept
+    rows.foreach { r =>
+      if (!r.getBoolean(4)) assert(r.getLong(3) > 0, s"dropped ${r.getLong(0)} with no dups")
+      if (r.getLong(3) == 0) assert(r.getBoolean(4), s"kept=${r.getBoolean(4)} with 0 dups")
+    }
+  }
+
   test("jaccard is within [0,1] and symmetric by construction") {
     val mm = run("q_ngram_jaccard").agg(min("jaccard"), max("jaccard")).collect()(0)
     assert(mm.getDouble(0) >= 0.0 && mm.getDouble(1) <= 1.0)

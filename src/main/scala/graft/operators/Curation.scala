@@ -250,13 +250,114 @@ object Curation {
       .orderBy("stage")
   }
 
+  /** Bloom geometry, pinned because the oracle re-derives the exact
+    * position set: m = 2¹⁶ bits (8 KiB bitset), j = 3 positions per
+    * shingle taken from disjoint 8-hex-char windows of md5(shingle).
+    * At production scale m grows to keep j·n/m ≈ ½ (10⁹ eval shingles
+    * → m = 2³², a 512 MB bitset — still executor-resident where the
+    * eval shingle STRINGS would be tens of GB). */
+  private[graft] val BloomBits = 1 << 16
+  private[graft] val BloomHashes = 3
+
+  /** The j bit positions of one shingle (disjoint md5 hex windows —
+    * independent enough for the fp analysis, and exactly computable in
+    * DuckDB via the same substr/hex-cast). */
+  private def bloomPositions(sh: Column): Seq[Column] =
+    (0 until BloomHashes).map { i =>
+      conv(substring(md5(sh), i * 8 + 1, 8), 16, 10).cast("long") % BloomBits
+    }
+
+  /** q_bloom_decontam: the decontamination probe rebuilt on a Bloom
+    * filter — the shape that survives an eval suite too big to ship as
+    * a broadcast string set. q_decontaminate broadcasts the eval
+    * (shingle, doc) pairs themselves; here the eval side is folded
+    * into an m-bit Bloom bitset (distributed build: each shingle maps
+    * to j (word, bit-mask) pairs, map-side partial `bit_or` combines
+    * them, and at most m/64 rows ever shuffle — the bitset size is
+    * FIXED by m no matter how many shingles flow in). The probe side
+    * is a map-only pass: j md5 windows, j bit tests against the
+    * literal bitset, all codegen'd builtins — the corpus never
+    * shuffles and never holds eval strings.
+    *
+    * Bloom semantics are one-sided by design: `maybe_contaminated`
+    * has false POSITIVES (the spec measures the rate against the
+    * exact join) but never false negatives — safe for a drop stage,
+    * cheap enough to run inline. Fully value-oracled: DuckDB rebuilds
+    * the identical position set, and "all j bits set" is exactly
+    * "all j positions present" (set-bit set == position set). */
+  def bloomDecontam(spark: SparkSession, dir: String, k: Int = DecontamK): DataFrame = {
+    val shingled = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.WordShingles.wordShingles(col("text"), k))).as("sh"))
+    val posArr = array(bloomPositions(col("sh")): _*)
+    // distributed bitset build: ≤ m/64 longs reach the driver
+    val packed = shingled.filter(isEval(col("doc_id")))
+      .select(explode(posArr).as("pos"))
+      .select(shiftright(col("pos"), 6).as("w"),
+        call_function("shiftleft", lit(1L), (col("pos") % 64).cast("int")).as("m"))
+      .groupBy("w").agg(expr("bit_or(m)").as("bits"))
+      .collect()
+    val words = new Array[Long](BloomBits / 64)
+    packed.foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
+    val bits = typedlit(words.toSeq)
+    val hit = bloomPositions(col("sh")).map { p =>
+      call_function("shiftright",
+        element_at(bits, shiftright(p, 6).cast("int") + 1),
+        (p % 64).cast("int")).bitwiseAND(lit(1L)) === lit(1L)
+    }.reduce(_ && _)
+    shingled.filter(!isEval(col("doc_id")))
+      .withColumn("hit", hit)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_bloom_hits"))
+      .withColumn("maybe_contaminated", col("n_bloom_hits") > 0)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bloom_decontam" -> (bloomDecontam(_, _)),
     "q_decontaminate" -> (decontaminate(_, _)),
     "q_mixture_sample" -> (mixtureSample(_, _)),
     "q_lm_quality" -> (lmQuality(_, _)),
     "q_curation_funnel" -> (curationFunnel(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    // Rebuilds the identical j-position set from the same md5 hex
+    // windows; "all j bits set" in the bitset is exactly "all distinct
+    // positions present in the eval position set", so the LEFT JOIN
+    // count compare reproduces every probe bit (false positives
+    // included).
+    "q_bloom_decontam" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, sh FROM (
+         |    SELECT doc_id, unnest(CASE WHEN len(ts) >= $DecontamK
+         |      THEN [array_to_string(ts[i:i+${DecontamK - 1}], ' ')
+         |            for i in range(1, len(ts) - ${DecontamK - 2})]
+         |      ELSE [text] END) AS sh
+         |    FROM d)),
+         |pos3 AS (
+         |  SELECT doc_id, sh,
+         |    [CAST(concat('0x', substr(md5(sh), 1, 8)) AS BIGINT) % $BloomBits,
+         |     CAST(concat('0x', substr(md5(sh), 9, 8)) AS BIGINT) % $BloomBits,
+         |     CAST(concat('0x', substr(md5(sh), 17, 8)) AS BIGINT) % $BloomBits] AS ps
+         |  FROM sh),
+         |evpos AS (
+         |  SELECT DISTINCT unnest(ps) AS pos FROM pos3 WHERE doc_id % $EvalMod = $EvalRem),
+         |trpd AS (
+         |  SELECT DISTINCT doc_id, sh, unnest(ps) AS pos
+         |  FROM pos3 WHERE doc_id % $EvalMod <> $EvalRem),
+         |m AS (
+         |  SELECT doc_id, sh, COUNT(*) AS np, COUNT(e.pos) AS nm
+         |  FROM trpd LEFT JOIN evpos e USING (pos)
+         |  GROUP BY doc_id, sh)
+         |SELECT doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         |  CAST(SUM(CASE WHEN nm = np THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits,
+         |  SUM(CASE WHEN nm = np THEN 1 ELSE 0 END) > 0 AS maybe_contaminated
+         |FROM m GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
     "q_decontaminate" ->
       s"""WITH d AS (
          |  SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents),

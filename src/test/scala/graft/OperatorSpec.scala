@@ -107,6 +107,22 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("bloom decontam has no false negatives vs the exact join") {
+    val exact = run("q_decontaminate").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val bloom = run("q_bloom_decontam").collect()
+    assert(bloom.nonEmpty)
+    // identical train-doc universe
+    assert(bloom.map(_.getLong(0)).toSet == exact.keySet)
+    // one-sided error: every exact contamination is a bloom maybe-hit
+    bloom.foreach { r =>
+      if (exact(r.getLong(0)))
+        assert(r.getBoolean(3), s"doc ${r.getLong(0)}: exact hit missed by bloom")
+    }
+    val fps = bloom.count(r => r.getBoolean(3) && !exact(r.getLong(0)))
+    info(s"bloom false-positive docs: $fps / ${bloom.length}")
+  }
+
   test("semdedup keeps the lowest-centroid-cosine member of every dup pair") {
     val rows = run("q_semdedup").collect()
     assert(rows.length > 0)

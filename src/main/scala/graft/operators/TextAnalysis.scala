@@ -298,7 +298,38 @@ object TextAnalysis {
       .orderBy("lang", "shard", "bin")
   }
 
+  /** Merge-table size for q_bpe_pairs (pinned: oracle interpolates). */
+  private val BpeTopK = 50
+
+  /** q_bpe_pairs: the first iteration of BPE tokenizer training — the
+    * corpus-wide adjacent character-pair frequency table whose argmax
+    * is the first merge (Sennrich et al., "Neural Machine Translation
+    * of Rare Words with Subword Units", ACL'16).
+    *
+    * Scale shape is the trick every real BPE trainer uses: aggregate
+    * the corpus to its distinct-WORD dictionary first (Zipf-bounded —
+    * millions of entries when the corpus is 100 TB), then count pairs
+    * over the dictionary weighted by word frequency. The heavy
+    * two-phase agg runs on words (map-side combine eats the Zipf
+    * head); the pair explode touches only dictionary entries, never
+    * corpus rows. All-integer arithmetic; ties at the cut break on the
+    * pair string, so the top-k set is deterministic. */
+  def bpePairs(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("n_word"))
+    words
+      .select(col("n_word"), explode(
+        transform(sequence(lit(1), length(col("word")) - 1),
+          i => col("word").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(sum(col("n_word")).as("n_occ"))
+      .orderBy(col("n_occ").desc, col("pair").asc)
+      .limit(BpeTopK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bpe_pairs" -> (bpePairs(_, _)),
     "q_quality_repetition" -> (qualityRepetition(_, _)),
     "q_pii_scrub" -> (piiScrub(_, _)),
     "q_pack_sequences" -> (packSequences(_, _)),
@@ -318,6 +349,18 @@ object TextAnalysis {
   }.mkString(",\n    ")
 
   val oracleSql: Map[String, String] = Map(
+    "q_bpe_pairs" ->
+      s"""WITH w AS (
+         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS n_word FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |  WHERE len(word) >= 2 GROUP BY word),
+         |p AS (
+         |  SELECT unnest([substr(word, i, 2) for i in range(1, len(word))]) AS pair, n_word
+         |  FROM w)
+         |SELECT pair, CAST(SUM(n_word) AS BIGINT) AS n_occ
+         |FROM p GROUP BY pair
+         |ORDER BY n_occ DESC, pair ASC
+         |LIMIT $BpeTopK""".stripMargin,
     "q_quality_repetition" ->
       """WITH d AS (
         |  SELECT doc_id, text,

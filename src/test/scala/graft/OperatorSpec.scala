@@ -107,6 +107,18 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("bpe pairs are 2-char, positive-count, and ranked without tie ambiguity") {
+    val rows = run("q_bpe_pairs").collect()
+    assert(rows.length == 50)
+    assert(rows.forall(_.getString(0).length == 2))
+    assert(rows.forall(_.getLong(1) > 0))
+    // non-increasing counts with pair-asc tie order
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(1) > b.getLong(1)
+        || (a.getLong(1) == b.getLong(1) && a.getString(0) < b.getString(0)))
+    }
+  }
+
   test("bloom decontam has no false negatives vs the exact join") {
     val exact = run("q_decontaminate").collect()
       .map(r => r.getLong(0) -> r.getBoolean(3)).toMap

@@ -314,7 +314,78 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** DSIR hashed-feature dimension. The paper's point: the LM that
+    * scores the raw pool must have FIXED size no matter how large the
+    * target/raw corpora are — hashing tokens into B buckets bounds
+    * both models at B counts, so they broadcast even when the pool is
+    * 100 TB. Pinned because the oracle re-derives bucket ids. */
+  private[graft] val DsirBuckets = 8192L
+
+  /** q_dsir_weights: data selection via importance resampling (Xie et
+    * al., "Data Selection for Language Models via Importance
+    * Resampling", NeurIPS'23) — score every raw-pool document by how
+    * much more likely a TARGET-distribution LM finds it than a
+    * RAW-distribution LM: weight = Σ_tokens log₂ p_t(b) − log₂ p_r(b)
+    * over hashed unigram buckets (add-one smoothing both sides). The
+    * eval slice ([[isEval]], as the decontamination queries) stands in
+    * for the high-quality target; positive weight = closer to target
+    * than to the pool average, the resampling keep signal.
+    *
+    * The keep signal is the paper's resampling cut: the top 20% of
+    * pool docs by weight (absolute-zero cuts are meaningless — with a
+    * target slice much smaller than the pool, smoothing biases every
+    * ratio down). The threshold is found as a top-k + min (Spark's
+    * TakeOrderedAndProject — per-partition top-k then merge, no
+    * global sort), broadcast back, and applied lexicographically on
+    * (weight desc, doc_id asc) so ties resolve identically in both
+    * engines and exactly k docs are kept.
+    *
+    * Scale shape: both LMs are ≤ [[DsirBuckets]]-row tables (two-phase
+    * agg), broadcast onto the map-side bucket lookup; the only
+    * corpus-sized shuffle is the per-doc aggregate (the score subplan
+    * re-executes for the count/threshold passes — a production run
+    * would persist the per-doc scores, they're one row per document).
+    * Determinism: each token's log-ratio is floor-scaled to an e6
+    * integer BEFORE the per-doc sum (integer sums are
+    * partition-order-free), and the sum is reported un-divided so no
+    * negative integer-division semantics enter the compare. */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("b",
+        expr("cast(conv(substr(md5(tok), 1, 8), 16, 10) as bigint)") % DsirBuckets)
+    val tgt = toks.filter(isEval(col("doc_id")))
+      .groupBy("b").agg(count(lit(1)).as("ct"))
+    val raw = toks.filter(!isEval(col("doc_id")))
+      .groupBy("b").agg(count(lit(1)).as("cr"))
+    val model = tgt.join(raw, Seq("b"), "full_outer")
+      .select(col("b"), coalesce(col("ct"), lit(0L)).as("ct"),
+        coalesce(col("cr"), lit(0L)).as("cr"))
+    val totals = model.agg(sum("ct").as("nt"), sum("cr").as("nr"))
+    val scores = toks.filter(!isEval(col("doc_id")))
+      .join(broadcast(model), Seq("b"))
+      .crossJoin(broadcast(totals))
+      .withColumn("val_e6", floor(
+        (log2((col("ct") + lit(1.0)) / (col("nt") + lit(DsirBuckets.toDouble)))
+          - log2((col("cr") + lit(1.0)) / (col("nr") + lit(DsirBuckets.toDouble))))
+          * 1e6 + 0.5).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum("val_e6").as("logratio_e6"))
+    val k = math.max(1L, scores.count() / 5)
+    val thr = scores
+      .orderBy(col("logratio_e6").desc, col("doc_id").asc).limit(k.toInt)
+      .orderBy(col("logratio_e6").asc, col("doc_id").desc).limit(1)
+      .select(col("logratio_e6").as("ts"), col("doc_id").as("tid"))
+    scores.crossJoin(broadcast(thr))
+      .withColumn("dsir_keep",
+        col("logratio_e6") > col("ts")
+          || (col("logratio_e6") === col("ts") && col("doc_id") <= col("tid")))
+      .select(col("doc_id"), col("n_tok"), col("logratio_e6"), col("dsir_keep"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dsir_weights" -> (dsirWeights(_, _)),
     "q_bloom_decontam" -> (bloomDecontam(_, _)),
     "q_decontaminate" -> (decontaminate(_, _)),
     "q_mixture_sample" -> (mixtureSample(_, _)),
@@ -322,6 +393,37 @@ object Curation {
     "q_curation_funnel" -> (curationFunnel(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "q_dsir_weights" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % $DsirBuckets AS b
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+         |tg AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM t
+         |  WHERE doc_id % $EvalMod = $EvalRem GROUP BY b),
+         |rw AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM t
+         |  WHERE doc_id % $EvalMod <> $EvalRem GROUP BY b),
+         |model AS (
+         |  SELECT COALESCE(tg.b, rw.b) AS b,
+         |    COALESCE(ct, 0) AS ct, COALESCE(cr, 0) AS cr
+         |  FROM tg FULL OUTER JOIN rw ON tg.b = rw.b),
+         |tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt,
+         |  CAST(SUM(cr) AS BIGINT) AS nr FROM model),
+         |v AS (
+         |  SELECT x.doc_id,
+         |    CAST(floor((log2((m.ct + 1.0) / (tot.nt + $DsirBuckets.0))
+         |      - log2((m.cr + 1.0) / (tot.nr + $DsirBuckets.0))) * 1e6 + 0.5)
+         |      AS BIGINT) AS val_e6
+         |  FROM t x JOIN model m USING (b) CROSS JOIN tot
+         |  WHERE x.doc_id % $EvalMod <> $EvalRem),
+         |s AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+         |    CAST(SUM(val_e6) AS BIGINT) AS logratio_e6
+         |  FROM v GROUP BY doc_id),
+         |kk AS (SELECT GREATEST(1, COUNT(*) // 5) AS k FROM s)
+         |SELECT doc_id, n_tok, logratio_e6,
+         |  ROW_NUMBER() OVER (ORDER BY logratio_e6 DESC, doc_id ASC) <= kk.k AS dsir_keep
+         |FROM s CROSS JOIN kk
+         |ORDER BY doc_id""".stripMargin,
     // Rebuilds the identical j-position set from the same md5 hex
     // windows; "all j bits set" in the bitset is exactly "all distinct
     // positions present in the eval position set", so the LEFT JOIN

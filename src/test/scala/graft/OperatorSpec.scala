@@ -119,6 +119,27 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("dsir weights favor docs that overlap the eval/target slice") {
+    val rows = run("q_dsir_weights").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(1) > 0))
+    // the resampling cut keeps exactly the top 20% (doc_id tie-break)
+    val kept = rows.count(_.getBoolean(3))
+    assert(kept == math.max(1, rows.length / 5), s"keep split: $kept/${rows.length}")
+    // docs the exact decontam flags as eval-overlapping are literally
+    // closer to the target distribution — their mean per-token
+    // log-ratio must exceed the clean docs'
+    val contaminated = run("q_decontaminate").collect()
+      .filter(_.getBoolean(3)).map(_.getLong(0)).toSet
+    if (contaminated.nonEmpty) {
+      val (c, nc) = rows.partition(r => contaminated(r.getLong(0)))
+      def meanPerTok(rs: Array[org.apache.spark.sql.Row]) =
+        rs.map(r => r.getLong(2).toDouble / r.getLong(1)).sum / rs.length
+      assert(meanPerTok(c) > meanPerTok(nc),
+        s"contaminated ${meanPerTok(c)} !> clean ${meanPerTok(nc)}")
+    }
+  }
+
   test("bloom decontam has no false negatives vs the exact join") {
     val exact = run("q_decontaminate").collect()
       .map(r => r.getLong(0) -> r.getBoolean(3)).toMap

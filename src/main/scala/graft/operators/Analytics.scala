@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -358,7 +358,60 @@ object Analytics {
       .filter(col("freq") >= minFreq)
       .orderBy(col("freq").desc, col("l_partkey").asc)
 
+  /** Profile spec: (column, repr kind). Reprs are monotone, so
+    * repr(min(c)) = min over repr'd values, and each is chosen for
+    * bit-stable cross-engine text: ints/strings verbatim, doubles as
+    * floor-scaled cents (raw double→text formatting differs between
+    * engines), timestamps as ISO dates. Shared by the Spark plan and
+    * the generated oracle so the two can't drift. */
+  private val ProfileCols: Seq[(String, String)] = Seq(
+    "l_orderkey" -> "int", "l_partkey" -> "int", "l_suppkey" -> "int",
+    "l_linenumber" -> "int", "l_quantity" -> "cents",
+    "l_extendedprice" -> "cents", "l_discount" -> "cents", "l_tax" -> "cents",
+    "l_returnflag" -> "str", "l_linestatus" -> "str", "l_shipdate" -> "date")
+
+  /** q_profile_table: the column profiler every ingest runs before a
+    * table is trusted — per column: row count, null count, EXACT
+    * distinct cardinality, and deterministic min/max representations.
+    * (The reference's ad-hoc StatCounter sweeps, generalized to a
+    * whole-table data-quality report.)
+    *
+    * Scale shape: ONE scan; the multi-count_distinct agg plans as
+    * Catalyst's expand (data fans out ×|distinct-agg groups| before
+    * the two-phase aggregate — the standard exact-profile cost; a
+    * 100 TB profiler swaps count_distinct for approx_count_distinct's
+    * HLL and the expand collapses to one pass, same report schema).
+    * Min/max aggregate on NATIVE types (numeric order, not lexical)
+    * and are repr'd after aggregation. */
+  def profileTable(spark: SparkSession, dir: String): DataFrame = {
+    val aggs = ProfileCols.flatMap { case (c, _) => Seq(
+      count(col(c)).as(s"cnt_$c"),
+      count_distinct(col(c)).as(s"nd_$c"),
+      min(col(c)).as(s"min_$c"),
+      max(col(c)).as(s"max_$c"))
+    }
+    def repr(kind: String)(c: Column): Column = kind match {
+      case "int"   => c.cast("string")
+      case "cents" => floor(c * 100 + 0.5).cast("long").cast("string")
+      case "str"   => c
+      case "date"  => c.cast("date").cast("string")
+    }
+    val row = Tables.lineitem(spark, dir)
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val entries = array(ProfileCols.map { case (c, kind) =>
+      struct(
+        lit(c).as("col_name"),
+        col("n_rows"),
+        (col("n_rows") - col(s"cnt_$c")).as("n_nulls"),
+        col(s"nd_$c").as("n_distinct"),
+        repr(kind)(col(s"min_$c")).as("min_repr"),
+        repr(kind)(col(s"max_$c")).as("max_repr"))
+    }: _*)
+    row.select(explode(entries).as("p")).select("p.*").orderBy("col_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_profile_table" -> (profileTable(_, _)),
     "q1_agg" -> (q1Agg(_, _)),
     "q_join_enrich" -> (joinEnrich(_, _)),
     "q_price_stats" -> (priceStats(_, _)),
@@ -372,7 +425,26 @@ object Analytics {
     "q_seed_freq" -> (seedFreq(_, _)),
     "q_prodxstore_pivot" -> (prodXStorePivot(_, _)))
 
+  /** One UNION ALL block per profiled column, reprs generated from
+    * the same [[ProfileCols]] spec the Spark plan uses. */
+  private val profileOracle: String = ProfileCols.map { case (c, kind) =>
+    def repr(e: String): String = kind match {
+      case "int"   => s"CAST($e AS VARCHAR)"
+      case "cents" => s"CAST(CAST(floor($e * 100 + 0.5) AS BIGINT) AS VARCHAR)"
+      case "str"   => e
+      case "date"  => s"CAST(CAST($e AS DATE) AS VARCHAR)"
+    }
+    s"""SELECT '$c' AS col_name,
+       |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_nulls,
+       |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+       |  ${repr(s"MIN($c)")} AS min_repr,
+       |  ${repr(s"MAX($c)")} AS max_repr
+       |FROM lineitem""".stripMargin
+  }.mkString("\nUNION ALL\n")
+
   val oracleSql: Map[String, String] = Map(
+    "q_profile_table" -> s"$profileOracle\nORDER BY col_name",
     "q_prodxstore_pivot" ->
       """WITH li AS (
         |  SELECT l_partkey,

@@ -119,6 +119,21 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("table profile covers every column with consistent counts") {
+    val rows = run("q_profile_table").collect()
+    assert(rows.length == 11)
+    val nRows = rows.map(_.getLong(1)).distinct
+    assert(nRows.length == 1 && nRows.head > 0)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= nRows.head) // nulls
+      assert(r.getLong(3) >= 1 && r.getLong(3) <= nRows.head) // distinct
+      assert(r.getString(4) != null && r.getString(5) != null)
+    }
+    // sanity on a known column: returnflag has tiny cardinality
+    val rf = rows.find(_.getString(0) == "l_returnflag").get
+    assert(rf.getLong(3) <= 3)
+  }
+
   test("dsir weights favor docs that overlap the eval/target slice") {
     val rows = run("q_dsir_weights").collect()
     assert(rows.nonEmpty)

@@ -371,7 +371,11 @@ object Curation {
           * 1e6 + 0.5).cast("long"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tok"), sum("val_e6").as("logratio_e6"))
-    val k = math.max(1L, scores.count() / 5)
+    // k from the pool's doc count (1 score row per pool doc — split(" ")
+    // yields ≥ 1 token even for empty text): a column-pruned count of
+    // the small side, not a third execution of the token-join subplan
+    val k = math.max(1L,
+      Tables.documents(spark, dir).filter(!isEval(col("doc_id"))).count() / 5)
     val thr = scores
       .orderBy(col("logratio_e6").desc, col("doc_id").asc).limit(k.toInt)
       .orderBy(col("logratio_e6").asc, col("doc_id").desc).limit(1)

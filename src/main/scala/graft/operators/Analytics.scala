@@ -410,7 +410,56 @@ object Analytics {
     row.select(explode(entries).as("p")).select("p.*").orderBy("col_name")
   }
 
+  /** As-of key-space + epoch mapping, pinned for the oracle: prices
+    * interleave into the events' January-2024 window (base epoch +
+    * ship-ms mod 30 days — the testdata has no co-epoch price feed, so
+    * the observation times derive deterministically from shipdates). */
+  private val AsofKeys = 100
+  private val AsofBaseMs = 1704067200000L // 2024-01-01T00:00:00Z
+  private val AsofSpanMs = 2592000000L    // 30 days
+
+  /** q_asof_price: the AS-OF JOIN — for every event, the most recent
+    * price observation for its key at-or-before the event time. The
+    * canonical time-series enrichment Spark has no native operator for
+    * (DuckDB: `ASOF JOIN`, the oracle side), composed Spark-first with
+    * the union+window technique: price observations and probe events
+    * UNION into one stream, one cumulative window per key carries the
+    * last non-null price forward (`last(ignoreNulls)` over rows
+    * unbounded-preceding..current, price rows sorted before same-ms
+    * events so `<=` semantics hold), and the probe rows exit with the
+    * carried price attached.
+    *
+    * Scale shape: ONE shuffle, by key, both sides together — no
+    * range-explode, no per-event subquery, no broadcast of the big
+    * side; skew follows the key histogram (salt via [[Skew.saltedJoin]]
+    * machinery if a key floods). Observations are pre-deduped to one
+    * row per (k, t_ms) (max price wins) so the as-of winner is unique
+    * and the whole result carries a full value oracle. */
+  def asofPrice(spark: SparkSession, dir: String): DataFrame = {
+    val prices = Tables.lineitem(spark, dir)
+      .select((col("l_partkey") % AsofKeys).as("k"),
+        // NTZ → TZ is instant-preserving (session tz pinned to UTC)
+        (lit(AsofBaseMs) + unix_millis(col("l_shipdate").cast("timestamp")) % AsofSpanMs).as("t_ms"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("pc"))
+      .groupBy("k", "t_ms").agg(max("pc").as("price_obs"))
+      .select(col("k"), col("t_ms"), lit(0).as("flag"),
+        lit(null).cast("long").as("event_id"), col("price_obs"))
+    val probes = Tables.events(spark, dir)
+      .select((col("user_id") % AsofKeys).as("k"),
+        unix_millis(col("ts")).as("t_ms"), lit(1).as("flag"),
+        col("event_id"), lit(null).cast("long").as("price_obs"))
+    val w = Window.partitionBy("k")
+      .orderBy(col("t_ms").asc, col("flag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prices.unionByName(probes)
+      .withColumn("price_cents", last(col("price_obs"), ignoreNulls = true).over(w))
+      .filter(col("flag") === 1)
+      .select(col("event_id"), col("k"), col("t_ms"), col("price_cents"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_price" -> (asofPrice(_, _)),
     "q_profile_table" -> (profileTable(_, _)),
     "q1_agg" -> (q1Agg(_, _)),
     "q_join_enrich" -> (joinEnrich(_, _)),
@@ -444,6 +493,20 @@ object Analytics {
   }.mkString("\nUNION ALL\n")
 
   val oracleSql: Map[String, String] = Map(
+    // Native ASOF LEFT JOIN — the independent formulation of the same
+    // semantics the union+window plan computes.
+    "q_asof_price" ->
+      s"""WITH p AS (
+         |  SELECT l_partkey % $AsofKeys AS k,
+         |    $AsofBaseMs + (epoch_ms(l_shipdate) % $AsofSpanMs) AS t_ms,
+         |    MAX(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS price_cents
+         |  FROM lineitem GROUP BY 1, 2),
+         |e AS (
+         |  SELECT event_id, user_id % $AsofKeys AS k,
+         |    epoch_ns(ts) // 1000000 AS t_ms FROM events)
+         |SELECT e.event_id, e.k, e.t_ms, p.price_cents
+         |FROM e ASOF LEFT JOIN p ON e.k = p.k AND e.t_ms >= p.t_ms
+         |ORDER BY event_id""".stripMargin,
     "q_profile_table" -> s"$profileOracle\nORDER BY col_name",
     "q_prodxstore_pivot" ->
       """WITH li AS (

@@ -119,6 +119,26 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("asof price equals brute-force latest-at-or-before lookup") {
+    val rows = run("q_asof_price").collect()
+    assert(rows.nonEmpty)
+    // rebuild the observation table the operator dedupes to
+    val obs = graft.sources.Tables.lineitem(spark, sf)
+      .selectExpr("l_partkey % 100 AS k",
+        "1704067200000 + unix_millis(cast(l_shipdate as timestamp)) % 2592000000 AS t_ms",
+        "cast(floor(l_extendedprice * 100 + 0.5) as long) AS pc")
+      .groupBy("k", "t_ms").agg(max("pc").as("pc")).collect()
+      .groupBy(_.getLong(0))
+      .map { case (k, rs) => k -> rs.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1) }
+    rows.take(200).foreach { r =>
+      val (k, t) = (r.getLong(1), r.getLong(2))
+      val expect = obs.getOrElse(k, Array.empty[(Long, Long)])
+        .takeWhile(_._1 <= t).lastOption.map(_._2)
+      assert(Option(if (r.isNullAt(3)) null else java.lang.Long.valueOf(r.getLong(3)))
+        .map(_.toLong) == expect, s"event ${r.getLong(0)} k=$k t=$t")
+    }
+  }
+
   test("table profile covers every column with consistent counts") {
     val rows = run("q_profile_table").collect()
     assert(rows.length == 11)

@@ -458,7 +458,131 @@ object Analytics {
       .orderBy("event_id")
   }
 
+  /** Interval width AND bucket width for q_range_join (6 h, ms). Equal
+    * by construction: an interval exactly one bucket long overlaps at
+    * most two buckets, so the build side replicates ≤ 2×. */
+  private val RangeWinMs = 21600000L
+
+  /** q_range_join: keyed interval join — every purchase within
+    * [[RangeWinMs]] AFTER an error by the same user (the
+    * "conversion-within-window-of-incident" funnel query). Spark has no
+    * native range-join operator; the naive formulation is an equi-join
+    * on user followed by a time filter, which degenerates to a per-user
+    * cross product (a hot user with e errors and p purchases pays e·p
+    * comparisons even when no pair is close in time).
+    *
+    * Spark-first shape: BUCKETIZED interval join. Time is cut into
+    * buckets exactly one window wide; an error's (t, t+W] interval
+    * overlaps at most 2 buckets, so the error side explodes into ≤ 2
+    * (user, bucket) keys while each purchase lands in exactly 1 — the
+    * join becomes a plain equi-join on (user_id, bucket) with the exact
+    * time predicate applied inside the bucket. Work ∝ pairs that share
+    * a 6 h bucket, never e·p per user; shuffle keys are (user, bucket),
+    * so even a flood of events from one user spreads over its time
+    * range. Each qualifying pair matches in exactly one bucket (the
+    * purchase's), so no post-join dedup is needed. Oracle: DuckDB's
+    * native inequality join (IEJoin) — an independent evaluation
+    * strategy for the same semantics. */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("t_ms"), col("event_type"), col("value"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id"),
+        col("t_ms").as("err_ms"))
+      .withColumn("bkt", explode(array(
+        expr(s"err_ms div $RangeWinMs"), expr(s"err_ms div $RangeWinMs") + 1)))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purch_id"), col("user_id"),
+        col("t_ms").as("p_ms"),
+        floor(col("value") * 100 + 0.5).cast("long").as("value_cents"))
+      .withColumn("bkt", expr(s"p_ms div $RangeWinMs"))
+    errors.join(purchases, Seq("user_id", "bkt"))
+      .filter(col("p_ms") > col("err_ms") &&
+        col("p_ms") - col("err_ms") <= RangeWinMs)
+      .select(col("err_id"), col("purch_id"), col("user_id"),
+        (col("p_ms") - col("err_ms")).as("lag_ms"), col("value_cents"))
+      .orderBy("err_id", "purch_id")
+  }
+
+  /** Trailing-window length (rows) for q_moving_stats. */
+  private val MovingN = 7
+
+  /** q_moving_stats: rolling trailing-window price statistics per
+    * product series — the moving-average / volatility features a
+    * time-series feature pipeline derives before modeling (the window
+    * analog of ProdMetricsV6's lag deltas, reference
+    * um/re/analytics/ProdMetricsV6.scala:75-140).
+    *
+    * All statistics live in exact integer space (cents): the window
+    * emits n/Σx/Σx² and the derived mean (e6-scaled) and variance
+    * NUMERATOR n·Σx² − (Σx)² — integer-exact, so the oracle compares
+    * bit-for-bit with no float tolerance. Magnitudes: cents ≤ 10⁷, so
+    * over a 7-row frame Σx ≤ 7·10⁷, (Σx)² ≤ 5·10¹⁵ and n·Σx² ≤ 5·10¹⁵
+    * — comfortably inside Long even under ANSI overflow checks. The
+    * spike flag (current > 2× trailing mean of the PRIOR frame rows) is
+    * an integer cross-multiply compare. Scale shape: one shuffle by
+    * series key; the frame order (ship date, orderkey, linenumber) is a
+    * total order, so frames are engine-independent. */
+  def movingStats(spark: SparkSession, dir: String): DataFrame = {
+    val series = Tables.lineitem(spark, dir)
+      .select((col("l_partkey") % 100).as("series"),
+        col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+    val frame = Window.partitionBy("series")
+      .orderBy(col("l_shipdate").asc, col("l_orderkey").asc,
+        col("l_linenumber").asc)
+      .rowsBetween(-(MovingN - 1), Window.currentRow)
+    val prior = Window.partitionBy("series")
+      .orderBy(col("l_shipdate").asc, col("l_orderkey").asc,
+        col("l_linenumber").asc)
+      .rowsBetween(-(MovingN - 1), -1)
+    series
+      .withColumn("n_win", count(lit(1)).over(frame))
+      .withColumn("sum_cents", sum("cents").over(frame))
+      .withColumn("sumsq", sum(col("cents") * col("cents")).over(frame))
+      .withColumn("mean_e6",
+        expr("(sum_cents * 1000000) div n_win"))
+      .withColumn("var_num",
+        col("n_win") * col("sumsq") - col("sum_cents") * col("sum_cents"))
+      // spike: cents > 2 · mean(prior frame)  ⇔  cents·n_prior > 2·Σprior
+      .withColumn("n_prior", count(lit(1)).over(prior))
+      .withColumn("sum_prior", coalesce(sum("cents").over(prior), lit(0L)))
+      .withColumn("spike",
+        col("n_prior") > 0 &&
+          col("cents") * col("n_prior") > col("sum_prior") * 2)
+      .select(col("series"), col("l_orderkey"), col("l_linenumber"),
+        col("cents"), col("n_win"), col("sum_cents"), col("sumsq"),
+        col("mean_e6"), col("var_num"), col("spike"))
+      .orderBy("series", "l_orderkey", "l_linenumber")
+  }
+
+  /** q_rollup: multi-granularity pricing report in ONE pass —
+    * (returnflag, linestatus), per-returnflag subtotals, and the grand
+    * total via ROLLUP (the reporting shape of the reference's
+    * ProdMetrics summary tables, computed without re-scanning per
+    * level). Spark expands grouping sets BEFORE the exchange, so all
+    * three levels ride one shuffle with map-side partials; sums are
+    * integer cents, and null group keys coalesce to 'ALL' (the data's
+    * keys are never null) so the level id + labels compare exactly. */
+  def rollupReport(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .withColumn("cents", floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
+      .withColumn("qty", col("l_quantity").cast("long"))
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(grouping_id().cast("long").as("level_id"),
+        count(lit(1)).as("n_rows"), sum("qty").as("sum_qty"),
+        sum("cents").as("sum_cents"))
+      .select(col("level_id"),
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n_rows"), col("sum_qty"), col("sum_cents"))
+      .orderBy("level_id", "returnflag", "linestatus")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_range_join" -> (rangeJoin(_, _)),
+    "q_moving_stats" -> (movingStats(_, _)),
+    "q_rollup" -> (rollupReport(_, _)),
     "q_asof_price" -> (asofPrice(_, _)),
     "q_profile_table" -> (profileTable(_, _)),
     "q1_agg" -> (q1Agg(_, _)),
@@ -493,6 +617,59 @@ object Analytics {
   }.mkString("\nUNION ALL\n")
 
   val oracleSql: Map[String, String] = Map(
+    // Native inequality join (IEJoin) — an independent strategy for the
+    // same interval semantics the bucketized equi-join computes.
+    "q_range_join" ->
+      s"""WITH e AS (
+         |  SELECT event_id AS err_id, user_id,
+         |    epoch_ns(ts) // 1000000 AS err_ms
+         |  FROM events WHERE event_type = 'error'),
+         |p AS (
+         |  SELECT event_id AS purch_id, user_id,
+         |    epoch_ns(ts) // 1000000 AS p_ms,
+         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
+         |  FROM events WHERE event_type = 'purchase')
+         |SELECT err_id, purch_id, user_id,
+         |  p_ms - err_ms AS lag_ms, value_cents
+         |FROM e JOIN p USING (user_id)
+         |WHERE p_ms > err_ms AND p_ms - err_ms <= $RangeWinMs
+         |ORDER BY err_id, purch_id""".stripMargin,
+    "q_moving_stats" ->
+      s"""WITH s AS (
+         |  SELECT l_partkey % 100 AS series, l_orderkey, l_linenumber,
+         |    l_shipdate,
+         |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+         |  FROM lineitem),
+         |w AS (
+         |  SELECT series, l_orderkey, l_linenumber, cents,
+         |    CAST(COUNT(*) OVER f AS BIGINT) AS n_win,
+         |    CAST(SUM(cents) OVER f AS BIGINT) AS sum_cents,
+         |    CAST(SUM(cents * cents) OVER f AS BIGINT) AS sumsq,
+         |    CAST(COUNT(*) OVER pf AS BIGINT) AS n_prior,
+         |    CAST(COALESCE(SUM(cents) OVER pf, 0) AS BIGINT) AS sum_prior
+         |  FROM s
+         |  WINDOW
+         |    f AS (PARTITION BY series
+         |      ORDER BY l_shipdate, l_orderkey, l_linenumber
+         |      ROWS BETWEEN ${MovingN - 1} PRECEDING AND CURRENT ROW),
+         |    pf AS (PARTITION BY series
+         |      ORDER BY l_shipdate, l_orderkey, l_linenumber
+         |      ROWS BETWEEN ${MovingN - 1} PRECEDING AND 1 PRECEDING))
+         |SELECT series, l_orderkey, l_linenumber, cents, n_win, sum_cents,
+         |  sumsq, (sum_cents * 1000000) // n_win AS mean_e6,
+         |  n_win * sumsq - sum_cents * sum_cents AS var_num,
+         |  n_prior > 0 AND cents * n_prior > sum_prior * 2 AS spike
+         |FROM w ORDER BY series, l_orderkey, l_linenumber""".stripMargin,
+    "q_rollup" ->
+      """SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS level_id,
+        |  COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY level_id, returnflag, linestatus""".stripMargin,
     // Native ASOF LEFT JOIN — the independent formulation of the same
     // semantics the union+window plan computes.
     "q_asof_price" ->

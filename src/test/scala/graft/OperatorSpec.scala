@@ -480,6 +480,52 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("bucketized range join equals the direct inequality join") {
+    // the bucketed equi-join (the scale path) must return exactly the
+    // pairs the naive per-user inequality join defines — no pair lost
+    // at a bucket boundary, none double-counted across the 2 buckets
+    val got = run("q_range_join")
+      .select("err_id", "purch_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("t"), col("event_type"))
+    val direct = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("e"), col("user_id"), col("t").as("et"))
+      .join(ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p"), col("user_id"), col("t").as("pt")),
+        Seq("user_id"))
+      .filter(col("pt") > col("et") && col("pt") - col("et") <= 21600000L)
+      .select("e", "p").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == direct)
+    assert(got.nonEmpty)
+  }
+
+  test("moving stats frames are bounded and variance numerator non-negative") {
+    val rows = run("q_moving_stats").collect()
+    rows.foreach { r =>
+      val (n, sum, sumsq) = (r.getAs[Long]("n_win"),
+        r.getAs[Long]("sum_cents"), r.getAs[Long]("sumsq"))
+      assert(n >= 1 && n <= 7)
+      assert(r.getAs[Long]("var_num") == n * sumsq - sum * sum)
+      assert(r.getAs[Long]("var_num") >= 0L) // Cauchy–Schwarz
+      assert(r.getAs[Long]("mean_e6") == sum * 1000000L / n)
+    }
+  }
+
+  test("rollup levels are mutually consistent") {
+    val rows = run("q_rollup").collect()
+    def tot(level: Long, f: String) =
+      rows.filter(_.getAs[Long]("level_id") == level).map(_.getAs[Long](f)).sum
+    Seq("n_rows", "sum_qty", "sum_cents").foreach { f =>
+      val leaf = tot(0, f)
+      assert(tot(1, f) == leaf, s"$f: per-flag subtotals != leaf total")
+      assert(tot(3, f) == leaf, s"$f: grand total != leaf total")
+    }
+    assert(rows.count(_.getAs[Long]("level_id") == 3) == 1)
+  }
+
   test("TopKByAvgTFIDFModel round-trips through save/load") {
     import spark.implicits._
     val ds = (0 until 200).map { i =>

@@ -341,7 +341,64 @@ object Dedup {
     } finally edges.unpersist()
   }
 
+  /** Chunk width (words) for q_chunk_dedup. */
+  private[graft] val ChunkWords = 20
+
+  /** q_chunk_dedup: SUB-document exact dedup — drop repeated
+    * [[ChunkWords]]-word chunks corpus-wide, keep each chunk's first
+    * occurrence, and reassemble what's left of every document. Document-
+    * level dedup (q_dedup_exact) misses boilerplate repeated ACROSS
+    * distinct pages (headers, disclaimers, templated spans); paragraph-
+    * level passes like this are the standard next stage (cf. Dolma /
+    * CCNet paragraph dedup — this corpus has no newline structure, so
+    * fixed-width word chunks stand in for paragraphs).
+    *
+    * Spark-first shape: explode to (doc, chunk_idx, chunk) → md5 →
+    * two-phase MIN(ord) per hash (ord = doc_id·10⁶ + chunk_idx, a total
+    * first-occurrence order; docs are bounded ≪ 10⁶ chunks) → self
+    * equi-join on the hash → per-doc reassembly via sorted collect of
+    * the ≤ doc-sized kept set. Shuffles are by chunk-hash (uniform by
+    * construction) and doc_id — never all-pairs; a chunk repeated a
+    * million times still aggregates to ONE keeper row map-side. The
+    * reassembled text is carried as md5 (clean_md5) so the full result
+    * stays value-oracled without shipping text twice. */
+  private def docChunks(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .select(col("doc_id"), posexplode(
+        transform(
+          sequence(lit(0),
+            ceil(size(col("words")) / lit(ChunkWords.toDouble)).cast("int") - 1),
+          i => array_join(
+            slice(col("words"), i * ChunkWords + 1, lit(ChunkWords)), " "))))
+      .withColumnRenamed("pos", "chunk_idx")
+      .withColumnRenamed("col", "chunk")
+
+  /** Distinct chunk-hash count (spec support: must equal Σ n_kept). */
+  private[graft] def chunkDedupDistinctChunks(spark: SparkSession, dir: String): Long =
+    docChunks(spark, dir).select(md5(col("chunk"))).distinct().count()
+
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = docChunks(spark, dir)
+      .withColumn("h", md5(col("chunk")))
+      .withColumn("ord", col("doc_id") * 1000000L + col("chunk_idx"))
+    val firsts = keyed.groupBy("h").agg(min("ord").as("keep_ord"))
+    keyed.join(firsts, Seq("h"))
+      .withColumn("kept", col("ord") === col("keep_ord"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("kept"), struct(col("chunk_idx"), col("chunk"))))),
+            s => s.getField("chunk")), " ")).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chunk_dedup" -> (chunkDedup(_, _)),
     "q_dedup_exact" -> (dedupExact(_, _)),
     "q_dedup_minhash" -> (dedupMinhash(_, _)),
     "q_dedup_incremental" -> (dedupIncremental(_, _)),
@@ -390,6 +447,23 @@ object Dedup {
        |  GROUP BY a.doc_id, b.doc_id)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_chunk_dedup" ->
+      s"""WITH ch AS (
+         |  SELECT doc_id, i AS chunk_idx,
+         |    array_to_string(words[(i*$ChunkWords+1):(i*$ChunkWords+$ChunkWords)], ' ') AS chunk
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         |       LATERAL (SELECT unnest(generate_series(0,
+         |         CAST(ceil(len(words)/$ChunkWords.0) AS BIGINT) - 1)) AS i)),
+         |k AS (SELECT doc_id, chunk_idx, chunk, md5(chunk) AS h,
+         |        doc_id*1000000 + chunk_idx AS ord FROM ch),
+         |f AS (SELECT h, MIN(ord) AS keep_ord FROM k GROUP BY h)
+         |SELECT doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         |  CAST(SUM(CASE WHEN ord = keep_ord THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  md5(COALESCE(string_agg(CASE WHEN ord = keep_ord THEN chunk END,
+         |    ' ' ORDER BY chunk_idx), '')) AS clean_md5
+         |FROM k JOIN f USING (h)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
         |FROM documents

@@ -526,6 +526,29 @@ class OperatorSpec extends SparkSpec {
     assert(rows.count(_.getAs[Long]("level_id") == 3) == 1)
   }
 
+  test("chunk dedup keeps first occurrences and reassembles losslessly") {
+    val res = run("q_chunk_dedup").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(col("text")).as("h")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("h")).toMap
+    assert(res.keySet == docs.keySet) // every doc reported, none dropped
+    res.values.foreach { r =>
+      val (n, kept) = (r.getAs[Long]("n_chunks"), r.getAs[Long]("n_kept"))
+      assert(kept >= 0 && kept <= n)
+      // a doc that loses nothing must reassemble to EXACTLY its
+      // original text (chunking partitions the word list)
+      if (kept == n)
+        assert(r.getAs[String]("clean_md5") == docs(r.getAs[Long]("doc_id")))
+    }
+    // corpus-wide: kept occurrences == distinct chunk hashes (each
+    // hash keeps exactly one occurrence)
+    assert(res.values.map(_.getAs[Long]("n_kept")).sum ==
+      graft.operators.Dedup.chunkDedupDistinctChunks(spark, sf))
+    assert(res.values.exists(r =>
+      r.getAs[Long]("n_kept") < r.getAs[Long]("n_chunks")))
+  }
+
   test("TopKByAvgTFIDFModel round-trips through save/load") {
     import spark.implicits._
     val ds = (0 until 200).map { i =>

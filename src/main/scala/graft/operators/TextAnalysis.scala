@@ -201,6 +201,66 @@ object TextAnalysis {
       .orderBy("query_id", "rank")
   }
 
+  /** BM25 parameters (Robertson–Walker–Jones defaults). */
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+
+  /** q_bm25_search: BM25-ranked retrieval over the same inverted index
+    * as q_token_search — raw term overlap promotes long documents and
+    * weights a near-universal shingle equal to a rare one; BM25
+    * (Robertson et al., TREC-3) fixes both with idf weighting and
+    * document-length normalization, and is what the reference's ES
+    * searches actually score with under the hood (Lucene's BM25
+    * similarity, nlp/ESSearchBestCand.scala:40-62 `match` query).
+    *
+    * The index rows carry (tok, doc_id, df, dl): df and dl are
+    * pre-joined at index-build time on their natural keys (tok,
+    * doc_id), so scoring is the SAME postings equi-join as
+    * q_token_search — no extra shuffle, no broadcast of per-doc state;
+    * only the 1-row corpus stats (N, Σdl) cross-join in. Term
+    * frequency within a doc is 1 by construction (distinct shingles),
+    * so the tf component reduces to (k1+1)/(1 + k1·(1−b+b·dl·N/Σdl)).
+    * Per-term contributions floor-scale to e6 INTEGERS before the sum,
+    * so the per-pair score is order-independent and the result fully
+    * hash-oracled (the one ln() per distinct df is the only float op,
+    * same-input ulp risk only — the house pattern from q_lm_quality).
+    * Ranking ties break on doc_id. */
+  def bm25Search(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(
+          graft.functions.WordShingles.wordShingles(col("text"), 3))).as("tok"))
+    val dls = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dls.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val dfs = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val index = toks
+      .join(dfs.filter(col("df") <= SearchMaxDf), Seq("tok"))
+      .join(dls, Seq("doc_id"))
+    val queries = index
+      .filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("query_id"), col("tok"))
+    val contrib = // identical operation tree on both engines
+      log(lit(1.0) + (col("n_docs").cast("double") - col("df").cast("double") + 0.5) /
+          (col("df").cast("double") + 0.5)) *
+        lit(Bm25K1 + 1.0) /
+        (lit(1.0) + lit(Bm25K1) * (lit(1.0 - Bm25B) +
+          lit(Bm25B) * (col("dl").cast("double") * col("n_docs").cast("double") /
+            col("sum_dl").cast("double"))))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_e6").desc, col("doc_id").asc)
+    queries
+      .join(index, Seq("tok"))
+      .filter(col("query_id") =!= col("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib_e6", floor(contrib * 1e6 + 0.5).cast("long"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("overlap"), sum("contrib_e6").as("score_e6"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
   /** q_quality_repetition: Gopher-style repetition filters (Rae et al.
     * 2021, Table A1, token approximation): per doc, the fraction of
     * tokens inside the most frequent word 2-gram and the fraction of
@@ -334,6 +394,7 @@ object TextAnalysis {
     "q_pii_scrub" -> (piiScrub(_, _)),
     "q_pack_sequences" -> (packSequences(_, _)),
     "q_token_search" -> (tokenSearch(_, _)),
+    "q_bm25_search" -> (bm25Search(_, _)),
     "q_lang_id" -> (langId(_, _)),
     "q_quality_score" -> (qualityScore(_, _)),
     "q_token_count" -> (tokenCount(_, _)),
@@ -439,6 +500,41 @@ object TextAnalysis {
          |FROM c
          |GROUP BY lang, shard, cum_before // $PackCap
          |ORDER BY lang, shard, bin""".stripMargin,
+    "q_bm25_search" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(ts) >= 3
+         |    THEN [ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] for i in range(1, len(ts) - 1)]
+         |    ELSE [text] END)) AS tok
+         |  FROM (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents)),
+         |dls AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+         |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dls),
+         |dfs AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM toks GROUP BY tok),
+         |idx AS (
+         |  SELECT t.doc_id, t.tok, f.df, d.dl FROM toks t
+         |  JOIN dfs f USING (tok) JOIN dls d USING (doc_id)
+         |  WHERE f.df <= $SearchMaxDf),
+         |q AS (
+         |  SELECT doc_id AS query_id, tok FROM idx WHERE doc_id % 50 = 0),
+         |scored AS (
+         |  SELECT q.query_id, i.doc_id, CAST(COUNT(*) AS BIGINT) AS overlap,
+         |    CAST(SUM(CAST(floor(
+         |      ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(i.df AS DOUBLE) + 0.5)
+         |          / (CAST(i.df AS DOUBLE) + 0.5))
+         |      * ${Bm25K1 + 1.0} / (1.0 + $Bm25K1 * (${1.0 - Bm25B} +
+         |        $Bm25B * (CAST(i.dl AS DOUBLE) * CAST(s.n_docs AS DOUBLE)
+         |          / CAST(s.sum_dl AS DOUBLE))))
+         |      * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS score_e6
+         |  FROM q JOIN idx i USING (tok) CROSS JOIN stats s
+         |  WHERE q.query_id <> i.doc_id
+         |  GROUP BY q.query_id, i.doc_id),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY score_e6 DESC, doc_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, doc_id, overlap, score_e6, CAST(rank AS BIGINT) AS rank
+         |FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
     "q_token_search" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(ts) >= 3

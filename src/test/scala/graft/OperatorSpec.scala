@@ -549,6 +549,27 @@ class OperatorSpec extends SparkSpec {
       r.getAs[Long]("n_kept") < r.getAs[Long]("n_chunks")))
   }
 
+  test("bm25 ranks are consecutive with positive scores over the shared index") {
+    val rows = run("q_bm25_search").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("score_e6") > 0L) // df-capped idf is always > 0
+      assert(r.getAs[Long]("overlap") >= 1L)
+    }
+    rows.groupBy(_.getAs[Long]("query_id")).values.foreach { g =>
+      val ranks = g.map(_.getAs[Long]("rank")).sorted.toList
+      assert(ranks == (1L to ranks.length).toList,
+        s"ranks not consecutive: $ranks")
+      assert(ranks.length <= 5)
+      // ordering within a query follows (score desc, doc_id asc)
+      val byRank = g.sortBy(_.getAs[Long]("rank"))
+        .map(r => (r.getAs[Long]("score_e6"), r.getAs[Long]("doc_id"))).toSeq
+      byRank.zip(byRank.drop(1)).foreach { case ((s1, d1), (s2, d2)) =>
+        assert(s1 > s2 || (s1 == s2 && d1 < d2))
+      }
+    }
+  }
+
   test("TopKByAvgTFIDFModel round-trips through save/load") {
     import spark.implicits._
     val ds = (0 until 200).map { i =>

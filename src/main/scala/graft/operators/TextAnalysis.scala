@@ -388,7 +388,44 @@ object TextAnalysis {
       .limit(BpeTopK)
   }
 
+  /** q_bpe_encode: tokenizer APPLICATION — encode the corpus dictionary
+    * with the [[BpeTopK]]-entry merge table q_bpe_pairs ranks. This is
+    * the train-small / apply-big contract every production tokenizer
+    * follows: the merge table is tiny (fixed at BpeTopK entries — it
+    * rides into the task closure like a broadcast dim), while the
+    * encode is a map-only pass over the Zipf-bounded word dictionary;
+    * corpus token counts then weight by word frequency without ever
+    * re-touching corpus rows.
+    *
+    * Semantics, pinned for the oracle: a word starts as space-separated
+    * characters; merge #r rewrites ' x y ' → ' xy ' in ONE left-to-right
+    * non-overlapping replace pass, ranks applied in q_bpe_pairs order
+    * (frequency-ranked one-shot merge list — the WordPiece-style
+    * shortcut; iterative refit would recount pairs between merges).
+    * Both engines' literal `replace` share the leftmost-non-overlap
+    * rule, so results are bit-identical; the oracle re-derives the same
+    * table in a recursive CTE (one iteration per rank) — an independent
+    * evaluation strategy for the same merge algebra. The driver-side
+    * collect is the bounded merge table only, never data. */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val merges = bpePairs(spark, dir).collect().map(_.getString(0)).toSeq
+    val words = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("n_word"))
+    val init =
+      concat(lit(" "), array_join(split(col("word"), ""), " "), lit(" "))
+    val encoded = merges.foldLeft(init) { (c, p) =>
+      replace(c, lit(s" ${p(0)} ${p(1)} "), lit(s" $p "))
+    }
+    words.withColumn("s", encoded)
+      .select(col("word"), col("n_word"), trim(col("s")).as("encoded"),
+        size(split(trim(col("s")), " ")).cast("long").as("n_tokens"))
+      .orderBy("word")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bpe_encode" -> (bpeEncode(_, _)),
     "q_bpe_pairs" -> (bpePairs(_, _)),
     "q_quality_repetition" -> (qualityRepetition(_, _)),
     "q_pii_scrub" -> (piiScrub(_, _)),
@@ -410,6 +447,32 @@ object TextAnalysis {
   }.mkString(",\n    ")
 
   val oracleSql: Map[String, String] = Map(
+    "q_bpe_encode" ->
+      s"""WITH RECURSIVE w AS (
+         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS n_word FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |  WHERE len(word) >= 2 GROUP BY word),
+         |p AS (
+         |  SELECT unnest([substr(word, i, 2) for i in range(1, len(word))]) AS pair, n_word
+         |  FROM w),
+         |m AS (
+         |  SELECT pair, ROW_NUMBER() OVER (ORDER BY SUM(n_word) DESC, pair ASC) AS rk
+         |  FROM p GROUP BY pair
+         |  QUALIFY rk <= $BpeTopK),
+         |enc AS (
+         |  SELECT word, n_word,
+         |    ' ' || array_to_string([word[i] for i in range(1, len(word)+1)], ' ') || ' ' AS s,
+         |    0 AS i
+         |  FROM w
+         |  UNION ALL
+         |  SELECT e.word, e.n_word,
+         |    replace(e.s, ' ' || m.pair[1] || ' ' || m.pair[2] || ' ', ' ' || m.pair || ' '),
+         |    e.i + 1
+         |  FROM enc e JOIN m ON m.rk = e.i + 1
+         |  WHERE e.i < $BpeTopK)
+         |SELECT word, n_word, trim(s) AS encoded,
+         |  CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_tokens
+         |FROM enc WHERE i = $BpeTopK ORDER BY word""".stripMargin,
     "q_bpe_pairs" ->
       s"""WITH w AS (
          |  SELECT word, CAST(COUNT(*) AS BIGINT) AS n_word FROM (

@@ -570,6 +570,26 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("bpe encode preserves characters and only ever shrinks token counts") {
+    val merges = run("q_bpe_pairs").collect().map(_.getString(0)).toSet
+    val rows = run("q_bpe_encode").collect()
+    assert(rows.nonEmpty)
+    var anyMerged = false
+    rows.foreach { r =>
+      val (word, enc) = (r.getAs[String]("word"), r.getAs[String]("encoded"))
+      val toks = enc.split(" ").toSeq
+      assert(toks.mkString == word, s"'$enc' loses chars of '$word'")
+      assert(r.getAs[Long]("n_tokens") == toks.length)
+      assert(toks.length >= 1 && toks.length <= word.length)
+      // every multi-char token must come from the merge table
+      toks.filter(_.length > 1).foreach { t =>
+        assert(t.length == 2 && merges.contains(t), s"unknown token '$t'")
+        anyMerged = true
+      }
+    }
+    assert(anyMerged, "no merge ever applied")
+  }
+
   test("TopKByAvgTFIDFModel round-trips through save/load") {
     import spark.implicits._
     val ds = (0 until 200).map { i =>

@@ -579,7 +579,79 @@ object Analytics {
         col("n_rows"), col("sum_qty"), col("sum_cents"))
       .orderBy("level_id", "returnflag", "linestatus")
 
+  /** Percentiles for q_percentiles, as integer hundredths (50/95/99). */
+  private val PctLevels = Seq(50, 95, 99)
+
+  /** q_percentiles: EXACT distributed percentiles (p50/p95/p99 of price
+    * cents per series) — the latency/price tail stats every ops report
+    * needs, computed without a global sort. `percentile_approx` trades
+    * accuracy for one pass; a full sort doesn't scale; the Spark-first
+    * exact path is the value-histogram cumsum: two-phase count per
+    * (series, cents) — map-side combine collapses duplicate prices, so
+    * shuffle is ∝ DISTINCT values per series, not rows — then one
+    * window cumsum per series and a min-value-≥-threshold pick per
+    * level. Rank thresholds are pure integers (⌈p·n/100⌉ = (p·n+99) div
+    * 100) — no float quantile-index rounding anywhere, so Spark and
+    * DuckDB cannot disagree at exact-multiple boundaries. The oracle
+    * selects the same ranks via direct ROW_NUMBER order statistics — an
+    * independent evaluation strategy for the same definition. */
+  def percentiles(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.lineitem(spark, dir)
+      .select((col("l_partkey") % 100).as("series"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy("series", "cents").agg(count(lit(1)).as("c"))
+    val cum = counts
+      .withColumn("cum", sum("c").over(
+        Window.partitionBy("series").orderBy("cents")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum("c").over(Window.partitionBy("series")))
+    val picks = PctLevels.map { p =>
+      min(when(col("cum") >= expr(s"(n * $p + 99) div 100"), col("cents")))
+        .as(s"p${p}_cents")
+    }
+    cum.groupBy("series")
+      .agg(max("n").as("n"), picks: _*)
+      .orderBy("series")
+  }
+
+  /** Session inactivity gap for q_sessionize — the SAME 5 minutes as
+    * q_stream_sessions' session_window, and the same break rule (an
+    * event at exactly prev + gap starts a NEW session: session_window
+    * extends over [start, last + gap)), so the batch and streaming
+    * sessionizations are differentially testable against each other. */
+  private[graft] val SessionGapMs = 300000L
+
+  /** q_sessionize: BATCH sessionization — per-user sessions cut at
+    * [[SessionGapMs]] inactivity, the lag → break-flag → running-sum
+    * window idiom (the classic distributed sessionize; the streaming
+    * analog is q_stream_sessions' session_window state). One shuffle by
+    * user; the (t_ms, event_id) order key is total so session numbering
+    * is engine-independent; value sums stay integer cents. end_ms =
+    * last event + gap, exactly session_window's extent. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("user_id")
+      .orderBy(col("t_ms").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("t_ms"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .withColumn("prev", lag("t_ms", 1).over(ord))
+      .withColumn("brk",
+        when(col("prev").isNull ||
+          col("t_ms") - col("prev") >= SessionGapMs, 1L).otherwise(0L))
+      .withColumn("session_seq", sum("brk").over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_seq")
+      .agg(count(lit(1)).as("n_events"),
+        min("t_ms").as("start_ms"),
+        (max("t_ms") + SessionGapMs).as("end_ms"),
+        sum("cents").as("sum_cents"))
+      .orderBy("user_id", "session_seq")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sessionize" -> (sessionize(_, _)),
+    "q_percentiles" -> (percentiles(_, _)),
     "q_range_join" -> (rangeJoin(_, _)),
     "q_moving_stats" -> (movingStats(_, _)),
     "q_rollup" -> (rollupReport(_, _)),
@@ -617,6 +689,46 @@ object Analytics {
   }.mkString("\nUNION ALL\n")
 
   val oracleSql: Map[String, String] = Map(
+    "q_sessionize" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_ns(ts) // 1000000 AS t_ms,
+         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+         |  FROM events),
+         |b AS (
+         |  SELECT *, CASE WHEN prev IS NULL OR t_ms - prev >= $SessionGapMs
+         |      THEN 1 ELSE 0 END AS brk
+         |  FROM (SELECT *, LAG(t_ms) OVER w AS prev FROM e
+         |        WINDOW w AS (PARTITION BY user_id ORDER BY t_ms, event_id))),
+         |s AS (
+         |  SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id
+         |    ORDER BY t_ms, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS session_seq
+         |  FROM b)
+         |SELECT user_id, session_seq,
+         |  CAST(COUNT(*) AS BIGINT) AS n_events,
+         |  CAST(MIN(t_ms) AS BIGINT) AS start_ms,
+         |  CAST(MAX(t_ms) + $SessionGapMs AS BIGINT) AS end_ms,
+         |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+         |FROM s GROUP BY user_id, session_seq
+         |ORDER BY user_id, session_seq""".stripMargin,
+    // Direct ROW_NUMBER order statistics — the independent formulation
+    // of the integer ranks the histogram-cumsum plan picks.
+    "q_percentiles" ->
+      s"""WITH s AS (
+         |  SELECT l_partkey % 100 AS series,
+         |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+         |  FROM lineitem),
+         |r AS (
+         |  SELECT series, cents,
+         |    ROW_NUMBER() OVER (PARTITION BY series ORDER BY cents) AS rn,
+         |    COUNT(*) OVER (PARTITION BY series) AS n
+         |  FROM s)
+         |SELECT series, CAST(MAX(n) AS BIGINT) AS n,
+         |  ${PctLevels.map(p =>
+              s"MAX(CASE WHEN rn = (n * $p + 99) // 100 THEN cents END) AS p${p}_cents")
+              .mkString(",\n  ")}
+         |FROM r GROUP BY series ORDER BY series""".stripMargin,
     // Native inequality join (IEJoin) — an independent strategy for the
     // same interval semantics the bucketized equi-join computes.
     "q_range_join" ->

@@ -424,7 +424,56 @@ object TextAnalysis {
       .orderBy("word")
   }
 
+  /** Collocation support floor + result cap for q_pmi. */
+  private val PmiMinPair = 5
+  private val PmiTopK = 100
+
+  /** q_pmi: collocation mining — pointwise mutual information of
+    * adjacent word pairs, PMI(w₁w₂) = log₂(p(w₁w₂)/(p(w₁)p(w₂)))
+    * (Church & Hanks 1990), the statistic behind phrase detection /
+    * multi-word tokenizer entries. High-PMI pairs co-occur far more
+    * than their unigram frequencies predict.
+    *
+    * Scale shape: bigram + unigram counts are both two-phase aggs
+    * (shuffle ∝ distinct grams, Zipf-bounded); the PMI join attaches
+    * the two unigram counts by their natural keys (w1, w2 equi-joins —
+    * the unigram table is dictionary-sized, broadcast at sandbox scale,
+    * plain shuffle join when a 100 TB vocabulary outgrows broadcast);
+    * corpus totals are a 1-row cross join. One log₂ per surviving pair,
+    * floor-scaled to e6 (house float rule); the ≥ [[PmiMinPair]]
+    * support floor is standard (PMI of hapax pairs is noise) and keeps
+    * the ranked result ∝ genuinely frequent pairs. Top-K is
+    * TakeOrderedAndProject, never a global sort. */
+  def pmi(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(split(col("text"), " ").as("ws"))
+    val unigrams = words.select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val bigrams = words.filter(size(col("ws")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("ws")) - 1),
+        i => concat(element_at(col("ws"), i), lit(" "),
+          element_at(col("ws"), i + 1)))).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c2"))
+    val totals = unigrams.agg(sum("c1").as("t1"))
+      .crossJoin(bigrams.agg(sum("c2").as("t2")))
+    bigrams.filter(col("c2") >= PmiMinPair)
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+      .join(unigrams.withColumnRenamed("w", "w1").withColumnRenamed("c1", "c1a"), Seq("w1"))
+      .join(unigrams.withColumnRenamed("w", "w2").withColumnRenamed("c1", "c1b"), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi_e6", floor(
+        log2(col("c2").cast("double") * col("t1").cast("double") *
+            col("t1").cast("double") /
+          (col("t2").cast("double") * col("c1a").cast("double") *
+            col("c1b").cast("double"))) * 1e6 + 0.5).cast("long"))
+      .select(col("bg"), col("c2"), col("c1a"), col("c1b"), col("pmi_e6"))
+      .orderBy(col("pmi_e6").desc, col("bg").asc)
+      .limit(PmiTopK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pmi" -> (pmi(_, _)),
     "q_bpe_encode" -> (bpeEncode(_, _)),
     "q_bpe_pairs" -> (bpePairs(_, _)),
     "q_quality_repetition" -> (qualityRepetition(_, _)),
@@ -447,6 +496,30 @@ object TextAnalysis {
   }.mkString(",\n    ")
 
   val oracleSql: Map[String, String] = Map(
+    "q_pmi" ->
+      s"""WITH ws AS (SELECT string_split(text, ' ') AS w FROM documents),
+         |uni AS (
+         |  SELECT u AS w1, CAST(COUNT(*) AS BIGINT) AS c1
+         |  FROM (SELECT unnest(w) AS u FROM ws) GROUP BY u),
+         |bi AS (
+         |  SELECT bg, CAST(COUNT(*) AS BIGINT) AS c2 FROM (
+         |    SELECT unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bg
+         |    FROM ws WHERE len(w) >= 2) GROUP BY bg),
+         |tot AS (
+         |  SELECT (SELECT CAST(SUM(c1) AS BIGINT) FROM uni) AS t1,
+         |         (SELECT CAST(SUM(c2) AS BIGINT) FROM bi) AS t2)
+         |SELECT bg, c2, a.c1 AS c1a, b.c1 AS c1b,
+         |  CAST(floor(log2(CAST(c2 AS DOUBLE) * CAST(t1 AS DOUBLE)
+         |      * CAST(t1 AS DOUBLE)
+         |    / (CAST(t2 AS DOUBLE) * CAST(a.c1 AS DOUBLE)
+         |      * CAST(b.c1 AS DOUBLE))) * 1e6 + 0.5) AS BIGINT) AS pmi_e6
+         |FROM bi
+         |JOIN uni a ON a.w1 = string_split(bg, ' ')[1]
+         |JOIN uni b ON b.w1 = string_split(bg, ' ')[2]
+         |CROSS JOIN tot
+         |WHERE c2 >= $PmiMinPair
+         |ORDER BY pmi_e6 DESC, bg ASC
+         |LIMIT $PmiTopK""".stripMargin,
     "q_bpe_encode" ->
       s"""WITH RECURSIVE w AS (
          |  SELECT word, CAST(COUNT(*) AS BIGINT) AS n_word FROM (

@@ -590,6 +590,38 @@ class OperatorSpec extends SparkSpec {
     assert(anyMerged, "no merge ever applied")
   }
 
+  test("histogram-cumsum percentiles equal a local exact sort") {
+    val got = run("q_percentiles").collect()
+      .map(r => r.getAs[Long]("series") -> r).toMap
+    val bySeries = graft.sources.Tables.lineitem(spark, sf)
+      .select((col("l_partkey") % 100).as("series"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+      .collect().map(r => (r.getAs[Long]("series"), r.getAs[Long]("cents")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(got.keySet == bySeries.keySet)
+    bySeries.foreach { case (series, sorted) =>
+      val r = got(series)
+      assert(r.getAs[Long]("n") == sorted.length)
+      Seq(50, 95, 99).foreach { p =>
+        val rank = (sorted.length * p + 99) / 100 // ⌈p·n/100⌉, 1-based
+        assert(r.getAs[Long](s"p${p}_cents") == sorted(rank - 1),
+          s"series $series p$p")
+      }
+    }
+  }
+
+  test("pmi respects the support floor and descending order") {
+    val rows = run("q_pmi").collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("c2") >= 5L)
+      assert(r.getAs[Long]("c1a") >= r.getAs[Long]("c2")) // unigram ≥ bigram support
+      assert(r.getAs[Long]("c1b") >= r.getAs[Long]("c2"))
+    }
+    val ps = rows.map(_.getAs[Long]("pmi_e6")).toSeq
+    assert(ps == ps.sorted.reverse, "not ranked by pmi desc")
+  }
+
   test("TopKByAvgTFIDFModel round-trips through save/load") {
     import spark.implicits._
     val ds = (0 until 200).map { i =>

@@ -167,6 +167,27 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("batch and streaming sessionization agree on sealed sessions") {
+    // q_sessionize (lag → break → cumsum windows) and q_stream_sessions
+    // (session_window state store) implement the SAME 5-min-gap
+    // definition by two unrelated mechanisms — sealed sessions (those
+    // the stream's 10-min watermark has closed) must match exactly.
+    import org.apache.spark.sql.functions._
+    val horizonMs = graft.sources.Tables.events(spark, sf)
+      .agg(max(unix_millis(col("ts")))).head.getLong(0) - 600000L
+    val batch = SparkEntry.queries("q_sessionize")(spark, sf).collect()
+      .filter(_.getAs[Long]("end_ms") <= horizonMs)
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_ms"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("sum_cents"))).toSet
+    val stream = SparkEntry.queries("q_stream_sessions")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("sess_start").getTime,
+        r.getAs[Long]("n_events"),
+        math.round(r.getAs[Double]("sum_value") * 100))).toSet
+    assert(stream.nonEmpty)
+    assert(stream == batch)
+  }
+
   test("stateful last-price tracking via flatMapGroupsWithState") {
     val in = MemoryStream[(Long, Long, Double)] // user, event, value
     in.addData((7L, 1L, 10.0), (7L, 2L, 12.0), (7L, 3L, 12.0), (9L, 1L, 5.0))

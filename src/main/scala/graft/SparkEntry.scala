@@ -23,6 +23,7 @@ object SparkEntry {
       operators.TextQueries.queries ++
       operators.Extraction.queries ++
       operators.Dedup.queries ++
+      operators.Graph.queries ++
       operators.Similarity.queries ++
       operators.TextAnalysis.queries ++
       operators.Curation.queries ++
@@ -39,6 +40,7 @@ object SparkEntry {
       operators.TextQueries.oracleSql ++
       operators.Extraction.oracleSql ++
       operators.Dedup.oracleSql ++
+      operators.Graph.oracleSql ++
       operators.Similarity.oracleSql ++
       operators.TextAnalysis.oracleSql ++
       operators.Curation.oracleSql ++

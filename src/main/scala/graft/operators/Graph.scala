@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over the co-order product graph (parts
+  * that appear in the same order are linked — the co-purchase graph
+  * every recommender bootstrap builds from order lines).
+  *
+  * Companion to Dedup's connected-components (pointer-jumping): this
+  * family holds the FIXED-ITERATION message-passing algorithms, whose
+  * Spark-first shape is k rounds of (join ranks to edges) → two-phase
+  * aggregate by destination — shuffle ∝ edges per round, never
+  * node-pair-quadratic, the standard Pregel-on-DataFrames reduction.
+  */
+object Graph {
+
+  /** PageRank iterations / damping (e3 integer: 0.85 ≡ 850/1000). */
+  private val PrIters = 3
+  private val PrDampE3 = 850L
+
+  /** q_pagerank: PageRank over the co-order part graph, ALL-INTEGER
+    * arithmetic so the result is bit-exact across engines: ranks live
+    * at e6 scale, each round sends contrib = r div deg along every
+    * edge and re-ranks as (1−d)·10⁶ + (d·Σcontrib) div 1 — i.e.
+    * 150000 + (850·Σ) div 1000. Integer truncation loses a bounded
+    * sub-ppm of mass per round (the price of determinism; float
+    * PageRank would be shuffle-order-dependent and unoracle-able).
+    *
+    * Scale shape: edges = per-order self-join of DISTINCT (order,
+    * part) — fan-out bounded by lines-per-order², a constant (≤ ~7 in
+    * TPC-H-shaped data); degrees and each round's re-rank are
+    * two-phase aggs; each of the [[PrIters]] rounds is one join on the
+    * edge src key + one shuffle by dst. The edge set is cached across
+    * rounds (rebuilt 3× otherwise). The oracle unrolls the same three
+    * rounds as nested CTEs — recursion-free, so it runs on any engine
+    * that bans aggregates in recursive terms. */
+  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val edges = pairs.as("a")
+      .join(pairs.as("b"), "l_orderkey")
+      .filter(col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .distinct()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val ed = edges.join(deg, "src").cache()
+    var ranks = deg.select(col("src").as("node"), lit(1000000L).as("r"))
+    (1 to PrIters).foreach { _ =>
+      ranks = ed.join(ranks, ed("src") === ranks("node"))
+        .select(col("dst"), expr("r div deg").as("contrib"))
+        .groupBy("dst").agg(sum("contrib").as("s"))
+        .select(col("dst").as("node"),
+          (lit(150000L) + expr(s"($PrDampE3 * s) div 1000")).as("r"))
+    }
+    ranks
+      .join(deg.select(col("src").as("node"), col("deg")), "node")
+      .select(col("node"), col("deg"), col("r").as("pr_e6"))
+      .orderBy("node")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pagerank" -> (pagerank(_, _)))
+
+  /** The same three rounds, unrolled as nested CTEs. */
+  private val pagerankOracle: String = {
+    val rounds = (1 to PrIters).map { i =>
+      s"""r$i AS (
+         |  SELECT e.dst AS node,
+         |    CAST(150000 + ($PrDampE3 * SUM(p.r // d.deg)) // 1000 AS BIGINT) AS r
+         |  FROM r${i - 1} p
+         |  JOIN edges e ON e.src = p.node
+         |  JOIN deg d ON d.src = p.node
+         |  GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |edges AS (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM pairs a JOIN pairs b USING (l_orderkey)
+       |  WHERE a.l_partkey <> b.l_partkey),
+       |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+       |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
+       |$rounds
+       |SELECT r$PrIters.node, deg.deg, r$PrIters.r AS pr_e6
+       |FROM r$PrIters JOIN deg ON deg.src = r$PrIters.node
+       |ORDER BY node""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "q_pagerank" -> pagerankOracle)
+}

@@ -622,6 +622,21 @@ class OperatorSpec extends SparkSpec {
     assert(ps == ps.sorted.reverse, "not ranked by pmi desc")
   }
 
+  test("pagerank conserves mass within truncation loss") {
+    val rows = run("q_pagerank").collect()
+    assert(rows.nonEmpty)
+    val n = rows.length.toLong
+    val total = rows.map(_.getAs[Long]("pr_e6")).sum
+    // each round only truncates (div), never adds: Σ ≤ n·10⁶, and the
+    // per-edge sub-1 losses cannot eat more than 1% at this graph size
+    assert(total <= n * 1000000L)
+    assert(total >= n * 990000L, s"lost >1% of rank mass: $total vs ${n * 1000000L}")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("pr_e6") >= 150000L) // teleport floor
+      assert(r.getAs[Long]("deg") >= 1L)
+    }
+  }
+
   test("TopKByAvgTFIDFModel round-trips through save/load") {
     import spark.implicits._
     val ds = (0 until 200).map { i =>

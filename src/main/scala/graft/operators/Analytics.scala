@@ -649,7 +649,90 @@ object Analytics {
       .orderBy("user_id", "session_seq")
   }
 
+  /** Pick the value at 1-based rank `t` (an integer-expression string
+    * over columns of `df`) from per-`key` value-histogram cumsums —
+    * the exact-order-statistic kernel shared by q_percentiles and
+    * q_anomaly_mad. `df` must carry (key, v); emits (key, n, pick). */
+  private def rankPick(df: DataFrame, key: String, t: String): DataFrame = {
+    val counts = df.groupBy(col(key), col("v")).agg(count(lit(1)).as("c"))
+    counts
+      .withColumn("cum", sum("c").over(
+        Window.partitionBy(key).orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum("c").over(Window.partitionBy(key)))
+      .groupBy(col(key))
+      .agg(max("n").as("n"),
+        min(when(col("cum") >= expr(t), col("v"))).as("pick"))
+  }
+
+  /** Outlier threshold: |x − med| > MadK · MAD. */
+  private val MadK = 3
+
+  /** q_anomaly_mad: robust per-series outlier detection — median and
+    * MAD (median absolute deviation) of price cents per series, and
+    * the count of points beyond [[MadK]]·MAD (the Hampel / robust
+    * z-score rule; mean±σ rules break exactly when outliers are
+    * present, which is the case a 100 TB anomaly sweep exists for).
+    *
+    * Two chained EXACT medians, each the same value-histogram cumsum
+    * kernel as q_percentiles (shuffle ∝ distinct values; lower median
+    * = rank (n+1) div 2 — pure integers). The deviation pass re-joins
+    * the per-series median by key (broadcast-sized: one row per
+    * series) and everything downstream stays in integer cents, so the
+    * outlier flags compare bit-for-bit. */
+  def anomalyMad(spark: SparkSession, dir: String): DataFrame = {
+    val vals = Tables.lineitem(spark, dir)
+      .select((col("l_partkey") % 100).as("series"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("v"))
+    val med = rankPick(vals, "series", "(n + 1) div 2")
+      .select(col("series"), col("n"), col("pick").as("med_cents"))
+    val dev = vals.join(broadcast(med.select("series", "med_cents")), "series")
+      .select(col("series"), col("v").as("x"),
+        abs(col("v") - col("med_cents")).as("v"))
+    val mad = rankPick(dev.select("series", "v"), "series", "(n + 1) div 2")
+      .select(col("series"), col("pick").as("mad_cents"))
+    val flagged = dev
+      .join(broadcast(mad), "series")
+      .groupBy("series")
+      .agg(sum(when(col("v") > col("mad_cents") * MadK, 1L).otherwise(0L))
+        .as("n_outliers"))
+    med.join(mad, "series").join(flagged, "series")
+      .select(col("series"), col("n"), col("med_cents"), col("mad_cents"),
+        col("n_outliers"))
+      .orderBy("series")
+  }
+
+  /** Conversion window for q_funnel (24 h, ms). */
+  private val FunnelWinMs = 86400000L
+
+  /** q_funnel: the signup → purchase conversion funnel — for every
+    * user who signed up, the FIRST purchase within [[FunnelWinMs]]
+    * after their first signup, the conversion flag, and the lag. The
+    * per-user event-sequence query behind every product-analytics
+    * dashboard, composed as two tiny aggs + one equi-join on user —
+    * no ordered-sequence state machine needed for a 2-stage funnel,
+    * so it scales as plain two-phase aggregation. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("t_ms"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("t_ms").as("signup_ms"))
+    val firstPurchase = ev.filter(col("event_type") === "purchase")
+      .join(signups, "user_id")
+      .filter(col("t_ms") > col("signup_ms") &&
+        col("t_ms") - col("signup_ms") <= FunnelWinMs)
+      .groupBy("user_id").agg(min("t_ms").as("purchase_ms"))
+    signups.join(firstPurchase, Seq("user_id"), "left")
+      .select(col("user_id"), col("signup_ms"), col("purchase_ms"),
+        col("purchase_ms").isNotNull.as("converted"),
+        (col("purchase_ms") - col("signup_ms")).as("lag_ms"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_anomaly_mad" -> (anomalyMad(_, _)),
+    "q_funnel" -> (funnel(_, _)),
     "q_sessionize" -> (sessionize(_, _)),
     "q_percentiles" -> (percentiles(_, _)),
     "q_range_join" -> (rangeJoin(_, _)),
@@ -689,6 +772,56 @@ object Analytics {
   }.mkString("\nUNION ALL\n")
 
   val oracleSql: Map[String, String] = Map(
+    // Direct order statistics (ROW_NUMBER twice) vs the plan's chained
+    // histogram cumsums.
+    "q_anomaly_mad" ->
+      s"""WITH s AS (
+         |  SELECT l_partkey % 100 AS series,
+         |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+         |  FROM lineitem),
+         |med AS (
+         |  SELECT series, CAST(MAX(n) AS BIGINT) AS n,
+         |    MAX(CASE WHEN rn = (n + 1) // 2 THEN v END) AS med_cents
+         |  FROM (SELECT series, v,
+         |          ROW_NUMBER() OVER (PARTITION BY series ORDER BY v) AS rn,
+         |          COUNT(*) OVER (PARTITION BY series) AS n FROM s)
+         |  GROUP BY series),
+         |dev AS (
+         |  SELECT s.series, abs(s.v - m.med_cents) AS d
+         |  FROM s JOIN med m USING (series)),
+         |mad AS (
+         |  SELECT series,
+         |    MAX(CASE WHEN rn = (n + 1) // 2 THEN d END) AS mad_cents
+         |  FROM (SELECT series, d,
+         |          ROW_NUMBER() OVER (PARTITION BY series ORDER BY d) AS rn,
+         |          COUNT(*) OVER (PARTITION BY series) AS n FROM dev)
+         |  GROUP BY series),
+         |flagged AS (
+         |  SELECT dev.series, CAST(SUM(CASE WHEN dev.d > mad.mad_cents * $MadK
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+         |  FROM dev JOIN mad USING (series) GROUP BY dev.series)
+         |SELECT med.series, med.n, med.med_cents, mad.mad_cents,
+         |  flagged.n_outliers
+         |FROM med JOIN mad USING (series) JOIN flagged USING (series)
+         |ORDER BY series""".stripMargin,
+    "q_funnel" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_type, epoch_ns(ts) // 1000000 AS t_ms
+         |  FROM events),
+         |su AS (
+         |  SELECT user_id, CAST(MIN(t_ms) AS BIGINT) AS signup_ms
+         |  FROM e WHERE event_type = 'signup' GROUP BY user_id),
+         |fp AS (
+         |  SELECT e.user_id, CAST(MIN(e.t_ms) AS BIGINT) AS purchase_ms
+         |  FROM e JOIN su USING (user_id)
+         |  WHERE e.event_type = 'purchase' AND e.t_ms > su.signup_ms
+         |    AND e.t_ms - su.signup_ms <= $FunnelWinMs
+         |  GROUP BY e.user_id)
+         |SELECT su.user_id, su.signup_ms, fp.purchase_ms,
+         |  fp.purchase_ms IS NOT NULL AS converted,
+         |  fp.purchase_ms - su.signup_ms AS lag_ms
+         |FROM su LEFT JOIN fp USING (user_id)
+         |ORDER BY user_id""".stripMargin,
     "q_sessionize" ->
       s"""WITH e AS (
          |  SELECT user_id, event_id, epoch_ns(ts) // 1000000 AS t_ms,

@@ -637,6 +637,48 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("mad medians match a local exact computation") {
+    val got = run("q_anomaly_mad").collect()
+      .map(r => r.getAs[Long]("series") -> r).toMap
+    val bySeries = graft.sources.Tables.lineitem(spark, sf)
+      .select((col("l_partkey") % 100).as("series"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("v"))
+      .collect().map(r => (r.getAs[Long]("series"), r.getAs[Long]("v")))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def lowerMedian(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      s(((s.length + 1) / 2) - 1)
+    }
+    assert(got.keySet == bySeries.keySet)
+    bySeries.foreach { case (series, vs) =>
+      val r = got(series)
+      val med = lowerMedian(vs)
+      val mad = lowerMedian(vs.map(v => math.abs(v - med)))
+      assert(r.getAs[Long]("med_cents") == med, s"series $series median")
+      assert(r.getAs[Long]("mad_cents") == mad, s"series $series MAD")
+      assert(r.getAs[Long]("n_outliers") ==
+        vs.count(v => math.abs(v - med) > 3 * mad))
+    }
+  }
+
+  test("funnel reports every signup user exactly once with sane lags") {
+    val rows = run("q_funnel").collect()
+    assert(rows.nonEmpty)
+    val users = rows.map(_.getAs[Long]("user_id"))
+    assert(users.distinct.length == users.length)
+    var conv = 0
+    rows.foreach { r =>
+      if (r.getAs[Boolean]("converted")) {
+        conv += 1
+        val lag = r.getAs[Long]("lag_ms")
+        assert(lag > 0 && lag <= 86400000L)
+        assert(r.getAs[Long]("purchase_ms") ==
+          r.getAs[Long]("signup_ms") + lag)
+      } else assert(r.isNullAt(r.fieldIndex("purchase_ms")))
+    }
+    assert(conv > 0, "no conversions at all")
+  }
+
   test("TopKByAvgTFIDFModel round-trips through save/load") {
     import spark.implicits._
     val ds = (0 until 200).map { i =>

@@ -227,10 +227,14 @@ object TextAnalysis {
     * Ranking ties break on doc_id. */
   def bm25Search(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // cached: dls/dfs/index/queries all consume the shingle explosion —
+    // this IS the materialize-the-index-once step (disk-spillable table
+    // build at 100 TB), not a per-consumer re-explosion of the corpus
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"),
         explode(array_distinct(
           graft.functions.WordShingles.wordShingles(col("text"), 3))).as("tok"))
+      .cache()
     val dls = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val stats = dls.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
     val dfs = toks.groupBy("tok").agg(count(lit(1)).as("df"))

@@ -428,6 +428,61 @@ object TextAnalysis {
       .orderBy("word")
   }
 
+  /** HLL buckets (2⁸) for q_hll_distinct, and α·m² precomputed once
+    * so Spark and the oracle share the identical double constant. */
+  private val HllM = 256
+  private val HllAlphaM2 = 0.7213 / (1.0 + 1.079 / HllM) * HllM * HllM
+
+  /** q_hll_distinct: HyperLogLog distinct-count sketch (Flajolet et
+    * al. 2007) per language over word 3-shingles — the bounded-state
+    * approximate-distinct path q_profile_table documents for 100 TB
+    * (exact COUNT DISTINCT shuffles every distinct value; the sketch
+    * shuffles ≤ [[HllM]] registers per group, mergeable and
+    * streaming-compatible, since per-bucket MAX is associative).
+    *
+    * Every step is DETERMINISTIC, so the sketch itself is value-
+    * oracled (not just error-bounded): bucket = first 2 md5 hex chars;
+    * the rank rho = leading-zero count of the next 56 bits is computed
+    * on the HEX STRING (4·leading-'0'-digits + a 16-way CASE on the
+    * first non-zero digit) — pure string/integer ops, no float bit
+    * tricks; harmonic terms floor-scale to e6 integers BEFORE the
+    * per-group sum (the q_lm_quality rule: no order-dependent double
+    * sums); the final estimate (with the standard linear-counting
+    * switch for the small regime) is one shared double expression over
+    * those integers. The exact distinct count rides along for
+    * reference — at 100 TB you'd drop that column; the spec pins
+    * relative error ≤ 10% (theory: 1.04/√m ≈ 6.5%). */
+  def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("lang"),
+        explode(array_distinct(
+          graft.functions.WordShingles.wordShingles(col("text"), 3))).as("tok"))
+      .distinct()
+    val rho =
+      expr("""4 * (14 - length(ltrim('0', substr(md5(tok), 3, 14))))""") +
+        expr("""CASE substr(concat(ltrim('0', substr(md5(tok), 3, 14)), 'f'), 1, 1)
+               |  WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+               |  WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+               |  ELSE 0 END""".stripMargin) + 1
+    val regs = toks
+      .withColumn("bucket", conv(substring(md5(col("tok")), 1, 2), 16, 10).cast("long"))
+      .withColumn("r", rho.cast("long"))
+      .groupBy("lang", "bucket").agg(max("r").as("m"))
+    val stats = regs.groupBy("lang")
+      .agg(count(lit(1)).as("v"),
+        sum(floor(lit(1e6) / pow(lit(2.0), col("m")) + 0.5).cast("long")).as("s_e6"))
+    val exact = toks.groupBy("lang").agg(count_distinct(col("tok")).as("exact_distinct"))
+    val raw = floor(lit(HllAlphaM2) * 1e6 /
+      (col("s_e6").cast("double") + (lit(HllM) - col("v")) * 1e6) + 0.5).cast("long")
+    val lc = floor(lit(HllM.toDouble) *
+      log(lit(HllM.toDouble) / (lit(HllM) - col("v")).cast("double")) + 0.5).cast("long")
+    exact.join(stats, "lang")
+      .withColumn("hll_est",
+        when(col("v") < HllM && raw <= lit((2.5 * HllM).toLong), lc).otherwise(raw))
+      .select(col("lang"), col("exact_distinct"), col("v"), col("s_e6"), col("hll_est"))
+      .orderBy("lang")
+  }
+
   /** Collocation support floor + result cap for q_pmi. */
   private val PmiMinPair = 5
   private val PmiTopK = 100
@@ -478,6 +533,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pmi" -> (pmi(_, _)),
+    "q_hll_distinct" -> (hllDistinct(_, _)),
     "q_bpe_encode" -> (bpeEncode(_, _)),
     "q_bpe_pairs" -> (bpePairs(_, _)),
     "q_quality_repetition" -> (qualityRepetition(_, _)),
@@ -500,6 +556,40 @@ object TextAnalysis {
   }.mkString(",\n    ")
 
   val oracleSql: Map[String, String] = Map(
+    "q_hll_distinct" ->
+      s"""WITH toks AS (
+         |  SELECT lang, unnest(list_distinct(CASE WHEN len(ts) >= 3
+         |    THEN [ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] for i in range(1, len(ts) - 1)]
+         |    ELSE [text] END)) AS tok
+         |  FROM (SELECT lang, text, string_split(text, ' ') AS ts FROM documents)),
+         |w AS (SELECT DISTINCT lang, tok FROM toks),
+         |h AS (SELECT lang, md5(tok) AS hx,
+         |    CAST(concat('0x', substr(md5(tok), 1, 2)) AS BIGINT) AS bucket FROM w),
+         |rho AS (
+         |  SELECT lang, bucket,
+         |    4 * (14 - len(ltrim(substr(hx, 3, 14), '0')))
+         |    + CASE substr(ltrim(substr(hx, 3, 14), '0') || 'f', 1, 1)
+         |        WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+         |        WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+         |        ELSE 0 END + 1 AS r
+         |  FROM h),
+         |regs AS (SELECT lang, bucket, CAST(MAX(r) AS BIGINT) AS m
+         |  FROM rho GROUP BY lang, bucket),
+         |st AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS v,
+         |    CAST(SUM(CAST(floor(1e6 / power(2.0, m) + 0.5) AS BIGINT)) AS BIGINT) AS s_e6
+         |  FROM regs GROUP BY lang),
+         |ex AS (SELECT lang, CAST(COUNT(DISTINCT tok) AS BIGINT) AS exact_distinct
+         |  FROM w GROUP BY lang)
+         |SELECT ex.lang, ex.exact_distinct, st.v, st.s_e6,
+         |  CASE WHEN st.v < $HllM AND
+         |      CAST(floor(CAST($HllAlphaM2 AS DOUBLE) * 1e6
+         |        / (CAST(st.s_e6 AS DOUBLE) + ($HllM - st.v) * 1e6) + 0.5) AS BIGINT)
+         |        <= ${(2.5 * HllM).toLong}
+         |    THEN CAST(floor($HllM.0 * ln($HllM.0 / CAST($HllM - st.v AS DOUBLE)) + 0.5) AS BIGINT)
+         |    ELSE CAST(floor(CAST($HllAlphaM2 AS DOUBLE) * 1e6
+         |        / (CAST(st.s_e6 AS DOUBLE) + ($HllM - st.v) * 1e6) + 0.5) AS BIGINT)
+         |  END AS hll_est
+         |FROM ex JOIN st USING (lang) ORDER BY lang""".stripMargin,
     "q_pmi" ->
       s"""WITH ws AS (SELECT string_split(text, ' ') AS w FROM documents),
          |uni AS (

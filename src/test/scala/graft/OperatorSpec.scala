@@ -679,6 +679,20 @@ class OperatorSpec extends SparkSpec {
     assert(conv > 0, "no conversions at all")
   }
 
+  test("hll sketch estimates distincts within 10% of exact") {
+    val rows = run("q_hll_distinct").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_distinct")
+      val est = r.getAs[Long]("hll_est")
+      assert(exact > 0 && est > 0)
+      assert(r.getAs[Long]("v") >= 1 && r.getAs[Long]("v") <= 256)
+      // theory: 1.04/√256 ≈ 6.5% std error; 10% is the pinned ceiling
+      assert(math.abs(est - exact).toDouble / exact <= 0.10,
+        s"lang ${r.getAs[String]("lang")}: est $est vs exact $exact")
+    }
+  }
+
   test("TopKByAvgTFIDFModel round-trips through save/load") {
     import spark.implicits._
     val ds = (0 until 200).map { i =>

@@ -483,6 +483,38 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** Sample size per language for q_reservoir. */
+  private val ReservoirK = 20
+  private val Pack = 1099511627776L // 2^40: doc_id field width in the packed key
+
+  /** q_reservoir: deterministic bounded per-group sampling — the
+    * [[ReservoirK]] docs per language with the smallest md5 draws (the
+    * labeled-audit / eyeball-sample extraction every 100 TB pipeline
+    * needs; salted md5 so the draw is independent of q_sample_split's).
+    *
+    * Scale shape: a naive per-group row_number window sorts EVERY row
+    * of a language partition; here each (draw, doc_id) packs into one
+    * long (draw·2⁴⁰ + id — ids are bounded ≪ 2⁴⁰) and the group's k
+    * smallest flow through [[graft.functions.CappedSortedIds]] — the
+    * O(k)-buffer TypedImperativeAggregate from the LSH hot-bucket cap:
+    * map-side partials shrink before the shuffle, memory stays O(k)
+    * per group however large the language is. Unpacking posexplodes
+    * the k-element array back to ranked rows. */
+  def reservoir(spark: SparkSession, dir: String): DataFrame = {
+    val packed = Tables.documents(spark, dir)
+      .select(col("lang"),
+        (expr("cast(conv(substr(md5(concat('smp', cast(doc_id as string))), 1, 15), 16, 10) as bigint) % 1000000")
+          * Pack + col("doc_id")).as("packed"))
+    packed.groupBy("lang")
+      .agg(graft.functions.CappedSortedIds
+        .cappedSortedIds(col("packed"), ReservoirK).as("ids"))
+      .select(col("lang"), posexplode(col("ids")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
+        expr(s"col % $Pack").as("doc_id"),
+        expr(s"col div $Pack").as("draw"))
+      .orderBy("lang", "rank")
+  }
+
   /** Collocation support floor + result cap for q_pmi. */
   private val PmiMinPair = 5
   private val PmiTopK = 100
@@ -534,6 +566,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pmi" -> (pmi(_, _)),
     "q_hll_distinct" -> (hllDistinct(_, _)),
+    "q_reservoir" -> (reservoir(_, _)),
     "q_bpe_encode" -> (bpeEncode(_, _)),
     "q_bpe_pairs" -> (bpePairs(_, _)),
     "q_quality_repetition" -> (qualityRepetition(_, _)),
@@ -556,6 +589,21 @@ object TextAnalysis {
   }.mkString(",\n    ")
 
   val oracleSql: Map[String, String] = Map(
+    // row_number formulation — the windowed definition the O(k)-buffer
+    // aggregate replaces at scale.
+    "q_reservoir" ->
+      s"""WITH d AS (
+         |  SELECT lang, doc_id,
+         |    CAST(concat('0x', substr(md5(concat('smp', CAST(doc_id AS VARCHAR))), 1, 15))
+         |      AS BIGINT) % 1000000 AS draw
+         |  FROM documents)
+         |SELECT lang,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY draw, doc_id)
+         |    AS BIGINT) AS rank,
+         |  doc_id, draw
+         |FROM d
+         |QUALIFY rank <= $ReservoirK
+         |ORDER BY lang, rank""".stripMargin,
     "q_hll_distinct" ->
       s"""WITH toks AS (
          |  SELECT lang, unnest(list_distinct(CASE WHEN len(ts) >= 3

@@ -693,6 +693,28 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("reservoir samples k per language with no window in the plan") {
+    val df = run("q_reservoir")
+    // the whole point: O(k)-buffer aggregate, not a per-group sort
+    assert(!df.queryExecution.executedPlan.toString.contains("Window"),
+      "reservoir plans a window sort")
+    val rows = df.collect()
+    val perLang = graft.sources.Tables.documents(spark, sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, g) =>
+      assert(g.length == math.min(20L, perLang(lang)))
+      val ids = g.map(_.getAs[Long]("doc_id"))
+      assert(ids.distinct.length == ids.length)
+      val ranks = g.map(_.getAs[Long]("rank")).sorted.toList
+      assert(ranks == (1L to g.length).toList)
+      // ascending (draw, doc_id) order by rank
+      val keys = g.sortBy(_.getAs[Long]("rank"))
+        .map(r => (r.getAs[Long]("draw"), r.getAs[Long]("doc_id"))).toList
+      assert(keys == keys.sorted)
+    }
+  }
+
   test("TopKByAvgTFIDFModel round-trips through save/load") {
     import spark.implicits._
     val ds = (0 until 200).map { i =>

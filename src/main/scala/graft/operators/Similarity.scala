@@ -426,7 +426,34 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** q_feature_scale: per-DIMENSION embedding statistics — the
+    * feature-standardization fit every training pipeline runs before
+    * modeling (the z-score/min-max scaler parameters, computed once
+    * over the corpus then broadcast to the map-side transform).
+    *
+    * Scale shape: posexplode to (dim, value) then ONE two-phase agg
+    * keyed by dim — shuffle is 64 keys × partial rows, never the
+    * vectors themselves. Determinism: each float32 value floors to an
+    * e6 INTEGER before any sum (the q_lm_quality rule), so mean
+    * (e6-scaled integer division) and the variance NUMERATOR
+    * n·Σx²−(Σx)² are exact integers — magnitudes: |x_e6| ≤ ~10⁶, Σx²
+    * ≤ 10¹² per row, < 10¹⁷ per dim at sf0.1, inside Long under ANSI. */
+  def featureScale(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding")))
+      .select(col("pos").cast("long").as("dim"),
+        floor(col("col").cast("double") * 1e6 + 0.5).cast("long").as("v"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        min("v").as("min_e6"), max("v").as("max_e6"),
+        sum("v").as("sum_e6"),
+        sum(col("v") * col("v")).as("sumsq"))
+      .withColumn("mean_e6", expr("sum_e6 div n"))
+      .withColumn("var_num", col("n") * col("sumsq") - col("sum_e6") * col("sum_e6"))
+      .orderBy("dim")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_feature_scale" -> (featureScale(_, _)),
     "q_ann_cosine" -> (annCosine(_, _)),
     "q_ann_lsh_cosine" -> (annLshCosine(_, _)),
     "q_ann_ivf_cosine" -> (annIvfCosine(_, _)),
@@ -462,6 +489,20 @@ object Similarity {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_feature_scale" ->
+      """WITH x AS (
+        |  SELECT i - 1 AS dim,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS v
+        |  FROM embeddings,
+        |       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i))
+        |SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(MIN(v) AS BIGINT) AS min_e6, CAST(MAX(v) AS BIGINT) AS max_e6,
+        |  CAST(SUM(v) AS BIGINT) AS sum_e6,
+        |  CAST(SUM(v * v) AS BIGINT) AS sumsq,
+        |  CAST(SUM(v) AS BIGINT) // COUNT(*) AS mean_e6,
+        |  COUNT(*) * CAST(SUM(v * v) AS BIGINT)
+        |    - CAST(SUM(v) AS BIGINT) * CAST(SUM(v) AS BIGINT) AS var_num
+        |FROM x GROUP BY dim ORDER BY dim""".stripMargin,
     "q_embed_quantize" ->
       """WITH s AS (
         |  SELECT vec_id, embedding AS v,

@@ -715,6 +715,18 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("feature scale covers every dimension with consistent moments") {
+    val rows = run("q_feature_scale").collect()
+    assert(rows.map(_.getAs[Long]("dim")).sorted.toList == (0L to 63L).toList)
+    val n0 = rows.head.getAs[Long]("n")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n") == n0) // rectangular: every dim same count
+      assert(r.getAs[Long]("min_e6") <= r.getAs[Long]("mean_e6"))
+      assert(r.getAs[Long]("mean_e6") <= r.getAs[Long]("max_e6"))
+      assert(r.getAs[Long]("var_num") >= 0L)
+    }
+  }
+
   test("TopKByAvgTFIDFModel round-trips through save/load") {
     import spark.implicits._
     val ds = (0 until 200).map { i =>

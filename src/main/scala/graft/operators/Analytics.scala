@@ -705,8 +705,9 @@ object Analytics {
       .orderBy("series")
   }
 
-  /** Conversion window for q_funnel (24 h, ms). */
-  private val FunnelWinMs = 86400000L
+  /** Conversion window for q_funnel (24 h, ms) — shared with the
+    * streaming variant so batch and stream can never disagree. */
+  private[graft] val FunnelWinMs = 86400000L
 
   /** q_funnel: the signup → purchase conversion funnel — for every
     * user who signed up, the FIRST purchase within [[FunnelWinMs]]

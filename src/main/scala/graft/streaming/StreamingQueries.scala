@@ -39,6 +39,9 @@ case class StreamScored(event_id: Long, user_id: Long,
 
 /** Per-user running state for the stateful last-price query. */
 case class PriceState(last: Double, changes: Long)
+case class FunnelState(signupMs: Long, purchaseMs: Long) // -1 = unset
+case class FunnelOut(user_id: Long, signup_ms: Long,
+    purchase_ms: Option[Long], converted: Boolean, lag_ms: Option[Long])
 
 /** Emitted summary row of the stateful last-price query. */
 case class UserUpdate(user_id: Long, last_value: Double,
@@ -213,6 +216,50 @@ object StreamingQueries {
     runToMemory(spark, updates.toDF(), OutputMode.Append()).orderBy("user_id")
   }
 
+  /** q_stream_funnel — the signup→purchase conversion funnel
+    * (q_funnel's definition, [[graft.operators.Analytics.FunnelWinMs]]
+    * shared) as a STREAM: flatMapGroupsWithState keeps O(1) state per
+    * user (first signup, first qualifying purchase — two longs), so
+    * funnel state at 10⁹ users is bounded and the emitted rows per
+    * trigger are ∝ users seen in that trigger. Rows sort by event time
+    * in-group (the q_stream_stateful rule) so the "first" signup /
+    * purchase are event-time firsts, not arrival-order accidents; the
+    * staged single-file source makes arrival = one batch, so the
+    * emission equals the batch funnel exactly (spec-pinned). At
+    * production scale the state would seal via event-time timeout one
+    * window past the signup — the NoTimeout state here is two longs,
+    * already minimal. */
+  def streamFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = graft.operators.Analytics.FunnelWinMs
+    val out = eventsStream(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("t_ms"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (user: Long, rows: Iterator[(Long, Long, Long, String)],
+         state: GroupState[FunnelState]) => {
+          val sorted = rows.toSeq.sortBy(r => (r._3, r._2)) // event-time order
+          var st = state.getOption.getOrElse(FunnelState(-1L, -1L))
+          sorted.foreach { case (_, _, t, typ) =>
+            if (typ == "signup" && st.signupMs < 0)
+              st = st.copy(signupMs = t)
+            else if (typ == "purchase" && st.signupMs >= 0 && st.purchaseMs < 0 &&
+              t > st.signupMs && t - st.signupMs <= w)
+              st = st.copy(purchaseMs = t)
+          }
+          state.update(st)
+          if (st.signupMs >= 0)
+            Iterator.single(FunnelOut(user, st.signupMs,
+              if (st.purchaseMs >= 0) Some(st.purchaseMs) else None,
+              st.purchaseMs >= 0,
+              if (st.purchaseMs >= 0) Some(st.purchaseMs - st.signupMs) else None))
+          else Iterator.empty
+        })
+    runToMemory(spark, out.toDF(), OutputMode.Append()).orderBy("user_id")
+  }
+
   /** Row 43 — per-user competitor set (analytics/Kafka2CompPerUser
     * .scala:67-79): the stream aggregates each user's distinct sorted
     * store list. Update-output aggregation + upsert sink: each trigger
@@ -338,7 +385,8 @@ object StreamingQueries {
     "q_stream_comp_per_user" -> (streamCompPerUser(_, _)),
     "q_stream_dedup" -> (streamDedup(_, _)),
     "q_stream_decontam" -> (streamDecontam(_, _)),
-    "q_stream_sessions" -> (streamSessions(_, _)))
+    "q_stream_sessions" -> (streamSessions(_, _)),
+    "q_stream_funnel" -> (streamFunnel(_, _)))
 
   /** The streaming queries run real Structured Streaming, but over the
     * bounded testdata their results are deterministic functions of
@@ -346,6 +394,9 @@ object StreamingQueries {
     * check that the streaming semantics (state machine, watermark
     * finalization) match their batch-SQL meaning. */
   val oracleSql: Map[String, String] = Map(
+    // the batch funnel's oracle VERBATIM — stream and batch share one
+    // definition, so they must share one oracle
+    "q_stream_funnel" -> graft.operators.Analytics.oracleSql("q_funnel"),
     "q_stream_sessions" ->
       """WITH e AS (
         |  SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts_us, value FROM events),

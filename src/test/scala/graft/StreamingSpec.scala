@@ -188,6 +188,20 @@ class StreamingSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("streaming funnel equals the batch funnel row for row") {
+    // same definition through two mechanisms: batch two-agg join vs
+    // per-user O(1) stream state — results must be identical
+    def canon(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+      (r.getAs[Long]("user_id"), r.getAs[Long]("signup_ms"),
+        Option(r.get(r.fieldIndex("purchase_ms"))),
+        r.getAs[Boolean]("converted"))
+    }.toSet
+    val batch = canon(SparkEntry.queries("q_funnel")(spark, sf).collect())
+    val stream = canon(SparkEntry.queries("q_stream_funnel")(spark, sf).collect())
+    assert(stream.nonEmpty)
+    assert(stream == batch)
+  }
+
   test("stateful last-price tracking via flatMapGroupsWithState") {
     val in = MemoryStream[(Long, Long, Double)] // user, event, value
     in.addData((7L, 1L, 10.0), (7L, 2L, 12.0), (7L, 3L, 12.0), (9L, 1L, 5.0))

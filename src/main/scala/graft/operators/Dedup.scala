@@ -397,7 +397,53 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** q_substr_dup constants: word-gram order, stopword-run df cap,
+    * minimum aligned-run length (12 shared 8-grams = a 19-word span). */
+  private val SubstrK = 8
+  private val SubstrMaxDf = 50
+  private val SubstrMinRun = 12
+
+  /** q_substr_dup: EXACT-SUBSTRING duplicate candidates — document
+    * pairs sharing a long run of consecutive identical word
+    * [[SubstrK]]-grams (the distributed reduction of Lee et al. 2022's
+    * ExactSubstr dedup, which at full strength wants a suffix array no
+    * cluster shuffle can build). Chunk dedup (q_chunk_dedup) only sees
+    * repeats aligned to fixed chunk boundaries; MinHash sees bag-of-
+    * shingles similarity; this catches a verbatim span at ANY offset:
+    * two positions sharing a gram hash lie on the same DIAGONAL when
+    * posA − posB is constant, so an aligned run of length L collapses
+    * to ONE (docA, docB, diag) group with count L — no sequence
+    * alignment, just a group-by.
+    *
+    * Scale shape: positioned grams explode once; document frequency >
+    * [[SubstrMaxDf]] grams are pruned (the stopword-run cut that also
+    * bounds the hash self-join fan-out at df² per gram); the join key
+    * is the 16-hex gram hash (uniform), and the run statistic is a
+    * two-phase count on (docA, docB, diag). Runs shorter than
+    * [[SubstrMinRun]] are noise and dropped. */
+  def substrDup(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= SubstrK)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(1), size(col("ws")) - (SubstrK - 1)),
+        i => substring(md5(array_join(slice(col("ws"), i, lit(SubstrK)), " ")), 1, 16))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("h"))
+    val rare = grams.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") <= SubstrMaxDf).select("h")
+    val gi = grams.join(rare, "h")
+    gi.as("a").join(gi.as("b"), Seq("h"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (col("a.pos") - col("b.pos")).as("diag"))
+      .agg(count(lit(1)).as("n_aligned"), min(col("a.pos")).as("min_pos_a"))
+      .filter(col("n_aligned") >= SubstrMinRun)
+      .orderBy("doc_a", "doc_b", "diag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_substr_dup" -> (substrDup(_, _)),
     "q_chunk_dedup" -> (chunkDedup(_, _)),
     "q_dedup_exact" -> (dedupExact(_, _)),
     "q_dedup_minhash" -> (dedupMinhash(_, _)),
@@ -447,6 +493,26 @@ object Dedup {
        |  GROUP BY a.doc_id, b.doc_id)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_substr_dup" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, i AS pos,
+         |    substr(md5(array_to_string(ws[i:i+${SubstrK - 1}], ' ')), 1, 16) AS h
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |       LATERAL (SELECT unnest(generate_series(1, len(ws) - ${SubstrK - 1})) AS i)
+         |  WHERE len(ws) >= $SubstrK),
+         |rare AS (SELECT h FROM (
+         |  SELECT h, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY h)
+         |  WHERE df <= $SubstrMaxDf),
+         |gi AS (SELECT g.* FROM g JOIN rare USING (h))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  a.pos - b.pos AS diag,
+         |  CAST(COUNT(*) AS BIGINT) AS n_aligned,
+         |  CAST(MIN(a.pos) AS BIGINT) AS min_pos_a
+         |FROM gi a JOIN gi b USING (h)
+         |WHERE a.doc_id < b.doc_id
+         |GROUP BY a.doc_id, b.doc_id, a.pos - b.pos
+         |HAVING COUNT(*) >= $SubstrMinRun
+         |ORDER BY doc_a, doc_b, diag""".stripMargin,
     "q_chunk_dedup" ->
       s"""WITH ch AS (
          |  SELECT doc_id, i AS chunk_idx,

@@ -727,6 +727,33 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("substring-dup alignments are genuine and dominate exact dups") {
+    val rows = run("q_substr_dup").collect()
+    assert(rows.nonEmpty)
+    val texts = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").split(" ")).toMap
+    rows.foreach { r =>
+      val (a, b) = (texts(r.getAs[Long]("doc_a")), texts(r.getAs[Long]("doc_b")))
+      val pa = r.getAs[Long]("min_pos_a").toInt
+      val pb = pa - r.getAs[Long]("diag").toInt
+      // the first aligned gram must be a REAL identical 8-word span
+      assert(a.slice(pa - 1, pa + 7).toSeq == b.slice(pb - 1, pb + 7).toSeq,
+        s"claimed alignment is not verbatim at ($pa, $pb)")
+    }
+    // every exact-duplicate pair long enough to produce 12 grams must
+    // surface on diagonal 0 with a full-length run
+    val found = rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+      r.getAs[Long]("diag"))).toSet
+    val byHash = texts.toSeq.groupBy { case (_, ws) => ws.mkString(" ") }
+    byHash.values.filter(g => g.length > 1 && g.head._2.length >= 8 + 12 - 1)
+      .foreach { g =>
+        val ids = g.map(_._1).sorted
+        for (x <- ids; y <- ids if x < y)
+          assert(found.contains((x, y, 0L)), s"exact dup ($x,$y) missed")
+      }
+  }
+
   test("TopKByAvgTFIDFModel round-trips through save/load") {
     import spark.implicits._
     val ds = (0 until 200).map { i =>

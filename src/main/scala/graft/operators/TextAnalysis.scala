@@ -483,6 +483,64 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** q_zipf_spectrum: Zipf/power-law corpus diagnostics WITHOUT a
+    * global rank sort — the frequency SPECTRUM (how many distinct
+    * word shingles occur exactly f times) is a pure two-phase
+    * double-aggregation (corpus → (gram, freq) → (freq, m_f)), and for
+    * a Zipf corpus log m_f is linear in log f (spectrum slope
+    * ≈ −(1+1/s)). The least-squares fit runs over e3-scaled INTEGER
+    * log points (floored per point, then exact integer Σx/Σy/Σxy/Σx² —
+    * the q_lm_quality rule), so slope numerator/denominator and the e6
+    * slope are bit-exact. The rank-sorted formulation would need a
+    * corpus-wide ORDER BY frequency; the spectrum needs no order at
+    * all — that's what survives 100 TB. */
+  def zipfSpectrum(spark: SparkSession, dir: String): DataFrame = {
+    val freqs = Tables.documents(spark, dir)
+      .select(explode(
+        graft.functions.WordShingles.wordShingles(col("text"), 3)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("f"))
+    val spectrum = freqs.groupBy("f").agg(count(lit(1)).as("m"))
+      .select(col("f"), col("m"),
+        floor(log(col("f").cast("double")) * 1e3 + 0.5).cast("long").as("x"),
+        floor(log(col("m").cast("double")) * 1e3 + 0.5).cast("long").as("y"))
+    spectrum.agg(
+      count(lit(1)).as("n_points"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+      .withColumn("slope_num", col("n_points") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("slope_den", col("n_points") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("slope_e6", expr("(slope_num * 1000000) div slope_den"))
+  }
+
+  /** Min-frequency thresholds for q_vocab_coverage. */
+  private val CoverageThresholds = Seq(2L, 5L, 10L, 50L)
+
+  /** q_vocab_coverage: token coverage by minimum word frequency — for
+    * each threshold T, what fraction of corpus TOKENS belongs to words
+    * occurring ≥ T times (the OOV-rate curve that sets a tokenizer's
+    * vocabulary cutoff). Rank-free by design: "top-N words" needs a
+    * global sort; "words with freq ≥ T" is a filter over the word
+    * dictionary — two two-phase aggs and a broadcast-sized spectrum,
+    * nothing ordered. All counts exact integers; the coverage ratio is
+    * e6 integer division. */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    val rows = CoverageThresholds.map { t =>
+      words.agg(
+        lit(t).as("min_freq"),
+        sum(when(col("f") >= t, lit(1L)).otherwise(0L)).as("n_words_kept"),
+        count(lit(1)).as("n_words_total"),
+        sum(when(col("f") >= t, col("f")).otherwise(0L)).as("tokens_kept"),
+        sum("f").as("tokens_total"))
+    }
+    rows.reduce(_.unionByName(_))
+      .withColumn("coverage_e6", expr("(tokens_kept * 1000000) div tokens_total"))
+      .orderBy("min_freq")
+  }
+
   /** Sample size per language for q_reservoir. */
   private val ReservoirK = 20
   private val Pack = 1099511627776L // 2^40: doc_id field width in the packed key
@@ -567,6 +625,8 @@ object TextAnalysis {
     "q_pmi" -> (pmi(_, _)),
     "q_hll_distinct" -> (hllDistinct(_, _)),
     "q_reservoir" -> (reservoir(_, _)),
+    "q_zipf_spectrum" -> (zipfSpectrum(_, _)),
+    "q_vocab_coverage" -> (vocabCoverage(_, _)),
     "q_bpe_encode" -> (bpeEncode(_, _)),
     "q_bpe_pairs" -> (bpePairs(_, _)),
     "q_quality_repetition" -> (qualityRepetition(_, _)),
@@ -589,6 +649,46 @@ object TextAnalysis {
   }.mkString(",\n    ")
 
   val oracleSql: Map[String, String] = Map(
+    "q_zipf_spectrum" ->
+      """WITH toks AS (
+        |  SELECT unnest(CASE WHEN len(ts) >= 3
+        |    THEN [ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] for i in range(1, len(ts) - 1)]
+        |    ELSE [text] END) AS g
+        |  FROM (SELECT text, string_split(text, ' ') AS ts FROM documents)),
+        |freqs AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS f FROM toks GROUP BY g),
+        |spectrum AS (
+        |  SELECT f, CAST(COUNT(*) AS BIGINT) AS m,
+        |    CAST(floor(ln(CAST(f AS DOUBLE)) * 1e3 + 0.5) AS BIGINT) AS x,
+        |    CAST(floor(ln(CAST(COUNT(*) AS DOUBLE)) * 1e3 + 0.5) AS BIGINT) AS y
+        |  FROM freqs GROUP BY f),
+        |s AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+        |  FROM spectrum)
+        |SELECT n_points, sx, sy, sxy, sxx,
+        |  n_points * sxy - sx * sy AS slope_num,
+        |  n_points * sxx - sx * sx AS slope_den,
+        |  ((n_points * sxy - sx * sy) * 1000000) // (n_points * sxx - sx * sx) AS slope_e6
+        |FROM s""".stripMargin,
+    "q_vocab_coverage" -> {
+      val blocks = CoverageThresholds.map { t =>
+        s"""SELECT CAST($t AS BIGINT) AS min_freq,
+           |  CAST(SUM(CASE WHEN f >= $t THEN 1 ELSE 0 END) AS BIGINT) AS n_words_kept,
+           |  CAST(COUNT(*) AS BIGINT) AS n_words_total,
+           |  CAST(SUM(CASE WHEN f >= $t THEN f ELSE 0 END) AS BIGINT) AS tokens_kept,
+           |  CAST(SUM(f) AS BIGINT) AS tokens_total,
+           |  (CAST(SUM(CASE WHEN f >= $t THEN f ELSE 0 END) AS BIGINT) * 1000000)
+           |    // CAST(SUM(f) AS BIGINT) AS coverage_e6
+           |FROM freqs""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH freqs AS (
+         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  GROUP BY w)
+         |$blocks
+         |ORDER BY min_freq""".stripMargin
+    },
     // row_number formulation — the windowed definition the O(k)-buffer
     // aggregate replaces at scale.
     "q_reservoir" ->

@@ -754,6 +754,33 @@ class OperatorSpec extends SparkSpec {
       }
   }
 
+  test("zipf spectrum slope is negative with consistent moments") {
+    val r = run("q_zipf_spectrum").collect().head
+    assert(r.getAs[Long]("n_points") >= 3)
+    assert(r.getAs[Long]("slope_den") > 0) // variance of x over ≥2 distinct f
+    // a Zipf-ish corpus: many rare grams, few frequent → falling spectrum
+    assert(r.getAs[Long]("slope_e6") < 0,
+      s"spectrum slope ${r.getAs[Long]("slope_e6")} not negative")
+    assert(r.getAs[Long]("slope_num") ==
+      r.getAs[Long]("n_points") * r.getAs[Long]("sxy") -
+        r.getAs[Long]("sx") * r.getAs[Long]("sy"))
+  }
+
+  test("vocab coverage is monotone decreasing in the threshold") {
+    val rows = run("q_vocab_coverage").collect().sortBy(_.getAs[Long]("min_freq"))
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("tokens_kept") <= r.getAs[Long]("tokens_total"))
+      assert(r.getAs[Long]("n_words_kept") <= r.getAs[Long]("n_words_total"))
+      assert(r.getAs[Long]("coverage_e6") >= 0 &&
+        r.getAs[Long]("coverage_e6") <= 1000000L)
+    }
+    val cov = rows.map(_.getAs[Long]("coverage_e6")).toList
+    assert(cov == cov.sorted.reverse, "coverage must fall as threshold rises")
+    val tot = rows.map(_.getAs[Long]("tokens_total")).distinct
+    assert(tot.length == 1, "tokens_total must be threshold-independent")
+  }
+
   test("TopKByAvgTFIDFModel round-trips through save/load") {
     import spark.implicits._
     val ds = (0 until 200).map { i =>

@@ -388,7 +388,41 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** q_source_overlap: the cross-source contamination matrix — for
+    * every pair of corpus sources, how many distinct word
+    * [[DecontamK]]-gram shingles they share, plus the Jaccard overlap
+    * (e6 integer). The between-collections leakage report a corpus
+    * assembled from N crawls/dumps runs before mixing — two sources
+    * with high shingle Jaccard are duplicates of each other, not
+    * independent data.
+    *
+    * Scale shape: distinct (source, shingle) is one two-phase agg; the
+    * pair counts come from the shingle self-join whose fan-out per
+    * shingle is bounded by #sources (each shingle contributes at most
+    * C(#sources, 2) pairs — #sources is a catalog constant, not data);
+    * per-source sizes broadcast onto the 190-row pair table. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val srcSh = Tables.documents(spark, dir)
+      .select(col("source"), explode(array_distinct(
+        graft.functions.WordShingles.wordShingles(col("text"), DecontamK))).as("sh"))
+      .distinct()
+    val sizes = srcSh.groupBy("source").agg(count(lit(1)).as("n"))
+    val pairs = srcSh.as("a").join(srcSh.as("b"), Seq("sh"))
+      .filter(col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("n_a"))), "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("n_b"))), "src_b")
+      .withColumn("jaccard_e6",
+        expr("(n_shared * 1000000) div (n_a + n_b - n_shared)"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("n_shared"), col("jaccard_e6"))
+      .orderBy("src_a", "src_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_source_overlap" -> (sourceOverlap(_, _)),
     "q_dsir_weights" -> (dsirWeights(_, _)),
     "q_bloom_decontam" -> (bloomDecontam(_, _)),
     "q_decontaminate" -> (decontaminate(_, _)),
@@ -464,6 +498,29 @@ object Curation {
          |  SUM(CASE WHEN nm = np THEN 1 ELSE 0 END) > 0 AS maybe_contaminated
          |FROM m GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
+    "q_source_overlap" ->
+      s"""WITH d AS (
+         |  SELECT source, text, string_split(text, ' ') AS ts FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT source, sh FROM (
+         |    SELECT source, unnest(CASE WHEN len(ts) >= $DecontamK
+         |      THEN [array_to_string(ts[i:i+${DecontamK - 1}], ' ')
+         |            for i in range(1, len(ts) - ${DecontamK - 2})]
+         |      ELSE [text] END) AS sh
+         |    FROM d)),
+         |sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY source),
+         |pairs AS (
+         |  SELECT a.source AS src_a, b.source AS src_b,
+         |    CAST(COUNT(*) AS BIGINT) AS n_shared
+         |  FROM sh a JOIN sh b USING (sh)
+         |  WHERE a.source < b.source
+         |  GROUP BY a.source, b.source)
+         |SELECT src_a, src_b, sa.n AS n_a, sb.n AS n_b, n_shared,
+         |  (n_shared * 1000000) // (sa.n + sb.n - n_shared) AS jaccard_e6
+         |FROM pairs
+         |JOIN sizes sa ON sa.source = src_a
+         |JOIN sizes sb ON sb.source = src_b
+         |ORDER BY src_a, src_b""".stripMargin,
     "q_decontaminate" ->
       s"""WITH d AS (
          |  SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents),

@@ -781,6 +781,31 @@ class OperatorSpec extends SparkSpec {
     assert(tot.length == 1, "tokens_total must be threshold-independent")
   }
 
+  test("source overlap bounds and one pair's exact intersection") {
+    val rows = run("q_source_overlap").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (na, nb, sh) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+        r.getAs[Long]("n_shared"))
+      assert(r.getAs[String]("src_a") < r.getAs[String]("src_b"))
+      assert(sh >= 1 && sh <= math.min(na, nb))
+      assert(r.getAs[Long]("jaccard_e6") > 0 &&
+        r.getAs[Long]("jaccard_e6") <= 1000000L)
+    }
+    // cross-check the biggest pair with a local set intersection
+    val top = rows.maxBy(_.getAs[Long]("n_shared"))
+    def shingles(src: String): Set[String] =
+      graft.sources.Tables.documents(spark, sf)
+        .filter(col("source") === src)
+        .select(explode(array_distinct(
+          graft.functions.WordShingles.wordShingles(col("text"), 8))).as("sh"))
+        .distinct().collect().map(_.getString(0)).toSet
+    val (sa, sb) = (shingles(top.getAs[String]("src_a")),
+      shingles(top.getAs[String]("src_b")))
+    assert(top.getAs[Long]("n_shared") == (sa intersect sb).size.toLong)
+    assert(top.getAs[Long]("n_a") == sa.size.toLong)
+  }
+
   test("TopKByAvgTFIDFModel round-trips through save/load") {
     import spark.implicits._
     val ds = (0 until 200).map { i =>

@@ -402,10 +402,13 @@ object Curation {
     * C(#sources, 2) pairs — #sources is a catalog constant, not data);
     * per-source sizes broadcast onto the 190-row pair table. */
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    // cached: sizes + both self-join sides consume the distinct
+    // (source, shingle) set — one explosion, three readers
     val srcSh = Tables.documents(spark, dir)
       .select(col("source"), explode(array_distinct(
         graft.functions.WordShingles.wordShingles(col("text"), DecontamK))).as("sh"))
       .distinct()
+      .cache()
     val sizes = srcSh.groupBy("source").agg(count(lit(1)).as("n"))
     val pairs = srcSh.as("a").join(srcSh.as("b"), Seq("sh"))
       .filter(col("a.source") < col("b.source"))

@@ -432,7 +432,9 @@ object Dedup {
     val rare = grams.groupBy("h")
       .agg(count_distinct(col("doc_id")).as("df"))
       .filter(col("df") <= SubstrMaxDf).select("h")
-    val gi = grams.join(rare, "h")
+    // cached: both self-join sides consume the pruned positioned-gram
+    // index — materialize the explosion once (disk-spillable at scale)
+    val gi = grams.join(rare, "h").cache()
     gi.as("a").join(gi.as("b"), Seq("h"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),

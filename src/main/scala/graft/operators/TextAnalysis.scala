@@ -430,8 +430,8 @@ object TextAnalysis {
 
   /** HLL buckets (2⁸) for q_hll_distinct, and α·m² precomputed once
     * so Spark and the oracle share the identical double constant. */
-  private val HllM = 256
-  private val HllAlphaM2 = 0.7213 / (1.0 + 1.079 / HllM) * HllM * HllM
+  private[graft] val HllM = 256
+  private[graft] val HllAlphaM2 = 0.7213 / (1.0 + 1.079 / HllM) * HllM * HllM
 
   /** q_hll_distinct: HyperLogLog distinct-count sketch (Flajolet et
     * al. 2007) per language over word 3-shingles — the bounded-state
@@ -452,33 +452,43 @@ object TextAnalysis {
     * those integers. The exact distinct count rides along for
     * reference — at 100 TB you'd drop that column; the spec pins
     * relative error ≤ 10% (theory: 1.04/√m ≈ 6.5%). */
+  /** Bucket + rank columns for one shingle in `tok` (shared by the
+    * batch query and the streaming variant — one definition). */
+  private[graft] def hllBucket: Column =
+    conv(substring(md5(col("tok")), 1, 2), 16, 10).cast("long")
+  private[graft] def hllRho: Column =
+    (expr("""4 * (14 - length(ltrim('0', substr(md5(tok), 3, 14))))""") +
+      expr("""CASE substr(concat(ltrim('0', substr(md5(tok), 3, 14)), 'f'), 1, 1)
+             |  WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+             |  WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+             |  ELSE 0 END""".stripMargin) + 1).cast("long")
+
+  /** Registers (lang, bucket, m) → (lang, v, s_e6, hll_est): the
+    * harmonic estimate with the standard linear-counting switch. */
+  private[graft] def hllFinish(regs: DataFrame): DataFrame = {
+    val stats = regs.groupBy("lang")
+      .agg(count(lit(1)).as("v"),
+        sum(floor(lit(1e6) / pow(lit(2.0), col("m")) + 0.5).cast("long")).as("s_e6"))
+    val raw = floor(lit(HllAlphaM2) * 1e6 /
+      (col("s_e6").cast("double") + (lit(HllM) - col("v")) * 1e6) + 0.5).cast("long")
+    val lc = floor(lit(HllM.toDouble) *
+      log(lit(HllM.toDouble) / (lit(HllM) - col("v")).cast("double")) + 0.5).cast("long")
+    stats.withColumn("hll_est",
+      when(col("v") < HllM && raw <= lit((2.5 * HllM).toLong), lc).otherwise(raw))
+  }
+
   def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("lang"),
         explode(array_distinct(
           graft.functions.WordShingles.wordShingles(col("text"), 3))).as("tok"))
       .distinct()
-    val rho =
-      expr("""4 * (14 - length(ltrim('0', substr(md5(tok), 3, 14))))""") +
-        expr("""CASE substr(concat(ltrim('0', substr(md5(tok), 3, 14)), 'f'), 1, 1)
-               |  WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
-               |  WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
-               |  ELSE 0 END""".stripMargin) + 1
     val regs = toks
-      .withColumn("bucket", conv(substring(md5(col("tok")), 1, 2), 16, 10).cast("long"))
-      .withColumn("r", rho.cast("long"))
+      .withColumn("bucket", hllBucket)
+      .withColumn("r", hllRho)
       .groupBy("lang", "bucket").agg(max("r").as("m"))
-    val stats = regs.groupBy("lang")
-      .agg(count(lit(1)).as("v"),
-        sum(floor(lit(1e6) / pow(lit(2.0), col("m")) + 0.5).cast("long")).as("s_e6"))
     val exact = toks.groupBy("lang").agg(count_distinct(col("tok")).as("exact_distinct"))
-    val raw = floor(lit(HllAlphaM2) * 1e6 /
-      (col("s_e6").cast("double") + (lit(HllM) - col("v")) * 1e6) + 0.5).cast("long")
-    val lc = floor(lit(HllM.toDouble) *
-      log(lit(HllM.toDouble) / (lit(HllM) - col("v")).cast("double")) + 0.5).cast("long")
-    exact.join(stats, "lang")
-      .withColumn("hll_est",
-        when(col("v") < HllM && raw <= lit((2.5 * HllM).toLong), lc).otherwise(raw))
+    exact.join(hllFinish(regs), "lang")
       .select(col("lang"), col("exact_distinct"), col("v"), col("s_e6"), col("hll_est"))
       .orderBy("lang")
   }

@@ -260,6 +260,49 @@ object StreamingQueries {
     runToMemory(spark, out.toDF(), OutputMode.Append()).orderBy("user_id")
   }
 
+  /** q_stream_hll — the HyperLogLog distinct sketch as a STREAM, the
+    * argument for why sketches are the 100 TB cardinality answer: the
+    * register update (per-bucket MAX of the rho rank) is associative,
+    * commutative AND duplicate-insensitive, so the stream needs no
+    * dedup state at all — no `distinct`, no dropDuplicates store, just
+    * one Update-mode aggregation whose state is ≤ 256 longs per
+    * language forever. Bucket/rho/estimate definitions are SHARED with
+    * batch q_hll_distinct (one implementation), so converged stream
+    * registers equal the batch registers exactly (spec-pinned); the
+    * estimate finishes batch-side over the upserted register store
+    * (streaming can't chain a second aggregation — and doesn't need
+    * to: the sink owns the sketch, as it would own it in production).
+    * Output drops the exact_distinct reference column — computing it
+    * is precisely what the sketch exists to avoid. */
+  def streamHll(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val docs = spark.readStream.schema(schema)
+      .parquet(stageStreamDir(dir, "documents"))
+    val regs = docs
+      .select(col("lang"), explode(
+        graft.functions.WordShingles.wordShingles(col("text"), 3)).as("tok"))
+      .withColumn("bucket", graft.operators.TextAnalysis.hllBucket)
+      .withColumn("r", graft.operators.TextAnalysis.hllRho)
+      .groupBy("lang", "bucket").agg(max("r").as("m"))
+    val store = new java.util.concurrent.ConcurrentHashMap[(String, Long), Long]()
+    val q = regs.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.collect().foreach { r =>
+          store.put((r.getString(0), r.getLong(1)), r.getLong(2))
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    val regsDf = store.asScala.toSeq
+      .map { case ((lang, bucket), m) => (lang, bucket, m) }
+      .toDF("lang", "bucket", "m")
+    graft.operators.TextAnalysis.hllFinish(regsDf).orderBy("lang")
+  }
+
   /** Row 43 — per-user competitor set (analytics/Kafka2CompPerUser
     * .scala:67-79): the stream aggregates each user's distinct sorted
     * store list. Update-output aggregation + upsert sink: each trigger
@@ -386,7 +429,8 @@ object StreamingQueries {
     "q_stream_dedup" -> (streamDedup(_, _)),
     "q_stream_decontam" -> (streamDecontam(_, _)),
     "q_stream_sessions" -> (streamSessions(_, _)),
-    "q_stream_funnel" -> (streamFunnel(_, _)))
+    "q_stream_funnel" -> (streamFunnel(_, _)),
+    "q_stream_hll" -> (streamHll(_, _)))
 
   /** The streaming queries run real Structured Streaming, but over the
     * bounded testdata their results are deterministic functions of
@@ -397,6 +441,39 @@ object StreamingQueries {
     // the batch funnel's oracle VERBATIM — stream and batch share one
     // definition, so they must share one oracle
     "q_stream_funnel" -> graft.operators.Analytics.oracleSql("q_funnel"),
+    // the batch HLL oracle minus its exact_distinct reference column
+    // (the stream deliberately never computes exact cardinality)
+    "q_stream_hll" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(CASE WHEN len(ts) >= 3
+        |    THEN [ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] for i in range(1, len(ts) - 1)]
+        |    ELSE [text] END) AS tok
+        |  FROM (SELECT lang, text, string_split(text, ' ') AS ts FROM documents)),
+        |h AS (SELECT lang, md5(tok) AS hx,
+        |    CAST(concat('0x', substr(md5(tok), 1, 2)) AS BIGINT) AS bucket FROM toks),
+        |rho AS (
+        |  SELECT lang, bucket,
+        |    4 * (14 - len(ltrim(substr(hx, 3, 14), '0')))
+        |    + CASE substr(ltrim(substr(hx, 3, 14), '0') || 'f', 1, 1)
+        |        WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+        |        WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+        |        ELSE 0 END + 1 AS r
+        |  FROM h),
+        |regs AS (SELECT lang, bucket, CAST(MAX(r) AS BIGINT) AS m
+        |  FROM rho GROUP BY lang, bucket),
+        |st AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS v,
+        |    CAST(SUM(CAST(floor(1e6 / power(2.0, m) + 0.5) AS BIGINT)) AS BIGINT) AS s_e6
+        |  FROM regs GROUP BY lang)
+        |SELECT lang, v, s_e6,
+        |  CASE WHEN v < 256 AND
+        |      CAST(floor(CAST(ALPHA_M2 AS DOUBLE) * 1e6
+        |        / (CAST(s_e6 AS DOUBLE) + (256 - v) * 1e6) + 0.5) AS BIGINT) <= 640
+        |    THEN CAST(floor(256.0 * ln(256.0 / CAST(256 - v AS DOUBLE)) + 0.5) AS BIGINT)
+        |    ELSE CAST(floor(CAST(ALPHA_M2 AS DOUBLE) * 1e6
+        |        / (CAST(s_e6 AS DOUBLE) + (256 - v) * 1e6) + 0.5) AS BIGINT)
+        |  END AS hll_est
+        |FROM st ORDER BY lang""".stripMargin
+        .replace("ALPHA_M2", graft.operators.TextAnalysis.HllAlphaM2.toString),
     "q_stream_sessions" ->
       """WITH e AS (
         |  SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts_us, value FROM events),

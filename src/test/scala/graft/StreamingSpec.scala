@@ -202,6 +202,20 @@ class StreamingSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("streaming hll registers converge to the batch sketch exactly") {
+    // duplicate-insensitive max-registers: the stream (no dedup state)
+    // and the batch (distinct shingles) MUST produce identical sketches
+    def canon(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+      (r.getAs[String]("lang"), r.getAs[Long]("v"),
+        r.getAs[Long]("s_e6"), r.getAs[Long]("hll_est"))
+    }.toSet
+    val stream = canon(SparkEntry.queries("q_stream_hll")(spark, sf).collect())
+    val batch = canon(SparkEntry.queries("q_hll_distinct")(spark, sf)
+      .select("lang", "v", "s_e6", "hll_est").collect())
+    assert(stream.nonEmpty)
+    assert(stream == batch)
+  }
+
   test("stateful last-price tracking via flatMapGroupsWithState") {
     val in = MemoryStream[(Long, Long, Double)] // user, event, value
     in.addData((7L, 1L, 10.0), (7L, 2L, 12.0), (7L, 3L, 12.0), (9L, 1L, 5.0))

@@ -24,6 +24,7 @@ object SparkEntry {
       operators.Extraction.queries ++
       operators.Dedup.queries ++
       operators.Graph.queries ++
+      operators.Skew.queries ++
       operators.Similarity.queries ++
       operators.TextAnalysis.queries ++
       operators.Curation.queries ++
@@ -41,6 +42,7 @@ object SparkEntry {
       operators.Extraction.oracleSql ++
       operators.Dedup.oracleSql ++
       operators.Graph.oracleSql ++
+      operators.Skew.oracleSql ++
       operators.Similarity.oracleSql ++
       operators.TextAnalysis.oracleSql ++
       operators.Curation.oracleSql ++

@@ -444,7 +444,68 @@ object Dedup {
       .orderBy("doc_a", "doc_b", "diag")
   }
 
+  /** q_ppjoin Jaccard threshold, e6 (τ = 0.6). */
+  private val PpTauE6 = 600000L
+
+  /** q_ppjoin: EXACT set-similarity self-join by prefix filtering
+    * (SSJoin/PPJoin, Chaudhuri et al. ICDE'06, Xiao et al. WWW'08) —
+    * every document pair with shingle Jaccard ≥ τ, with NO
+    * approximation. MinHash-LSH (q_dedup_minhash) trades recall for
+    * speed; this is its exact counterpart: by the prefix-filtering
+    * principle, two sets with Jaccard ≥ τ MUST share a token among the
+    * first n−⌈τ·n⌉+1 of their tokens in any fixed global order — so
+    * candidates come from an equi-join on PREFIX tokens only, and the
+    * rarest-first order (ascending document frequency) makes those
+    * prefixes the least-shared tokens in the corpus.
+    *
+    * Spark-first shape: token df attaches by equi-join; the (df, tok)
+    * sort is per-document (array_sort of a collected doc-local list —
+    * never a global window); prefixes explode to the candidate
+    * equi-join; verification joins candidates back to the full token
+    * sets by (doc, tok) and applies the integer cross-multiplied
+    * Jaccard test (n_shared·10⁶ ≥ τ_e6·(n_a+n_b−n_shared)) — all
+    * exact. The ORACLE is the UNFILTERED all-pairs shared-token join:
+    * a hash match proves the prefix filter lost no qualifying pair on
+    * real data (the exactness theorem, demonstrated not assumed). */
+  def ppJoin(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.WordShingles.wordShingles(col("text"), 3))).as("tok"))
+      .cache() // prefix build + both verify sides read it
+    val dfs = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val sets = toks.join(dfs, "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"),
+        array_sort(collect_list(struct(col("df"), col("tok")))).as("sorted"))
+      // prefix length n − ⌈τ·n⌉ + 1, integer-exact: ⌈6n/10⌉ = (6n+9) div 10
+      .withColumn("plen", col("n") - expr("(6 * n + 9) div 10") + 1)
+    val prefixes = sets
+      .select(col("doc_id"),
+        explode(slice(col("sorted"), lit(1), col("plen"))).as("p"))
+      .select(col("doc_id"), col("p.tok").as("tok"))
+    val cands = prefixes.as("a").join(prefixes.as("b"), Seq("tok"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val shared = cands
+      .join(toks.select(col("doc_id").as("doc_a"), col("tok")), Seq("doc_a"))
+      .join(toks.select(col("doc_id").as("doc_b"), col("tok")), Seq("doc_b", "tok"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+    val sizes = sets.select(col("doc_id"), col("n"))
+    shared
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .filter(col("n_shared") * 1000000L >=
+        lit(PpTauE6) * (col("n_a") + col("n_b") - col("n_shared")))
+      .withColumn("jaccard_e6",
+        expr("(n_shared * 1000000) div (n_a + n_b - n_shared)"))
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+        col("n_shared"), col("jaccard_e6"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ppjoin" -> (ppJoin(_, _)),
     "q_substr_dup" -> (substrDup(_, _)),
     "q_chunk_dedup" -> (chunkDedup(_, _)),
     "q_dedup_exact" -> (dedupExact(_, _)),
@@ -495,6 +556,29 @@ object Dedup {
        |  GROUP BY a.doc_id, b.doc_id)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // UNFILTERED all-pairs shared-token join: a hash match proves the
+    // prefix filter dropped no qualifying pair.
+    "q_ppjoin" ->
+      s"""WITH toks AS (
+         |  SELECT DISTINCT doc_id, tok FROM (
+         |    SELECT doc_id, unnest(CASE WHEN len(ts) >= 3
+         |      THEN [ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] for i in range(1, len(ts) - 1)]
+         |      ELSE [text] END) AS tok
+         |    FROM (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents))),
+         |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY doc_id),
+         |shared AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(COUNT(*) AS BIGINT) AS n_shared
+         |  FROM toks a JOIN toks b USING (tok)
+         |  WHERE a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT doc_a, doc_b, sa.n AS n_a, sb.n AS n_b, n_shared,
+         |  (n_shared * 1000000) // (sa.n + sb.n - n_shared) AS jaccard_e6
+         |FROM shared
+         |JOIN sizes sa ON sa.doc_id = doc_a
+         |JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE n_shared * 1000000 >= $PpTauE6 * (sa.n + sb.n - n_shared)
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_substr_dup" ->
       s"""WITH g AS (
          |  SELECT doc_id, i AS pos,

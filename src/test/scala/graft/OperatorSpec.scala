@@ -806,6 +806,37 @@ class OperatorSpec extends SparkSpec {
     assert(top.getAs[Long]("n_a") == sa.size.toLong)
   }
 
+  test("ppjoin results clear the threshold with genuine jaccard") {
+    val rows = run("q_ppjoin").collect()
+    assert(rows.nonEmpty)
+    val shingleSets = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), array_distinct(
+        graft.functions.WordShingles.wordShingles(col("text"), 3)).as("s"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getSeq[String](r.fieldIndex("s")).toSet).toMap
+    rows.foreach { r =>
+      val (a, b) = (shingleSets(r.getAs[Long]("doc_a")),
+        shingleSets(r.getAs[Long]("doc_b")))
+      val inter = (a intersect b).size.toLong
+      assert(r.getAs[Long]("n_shared") == inter)
+      assert(r.getAs[Long]("n_a") == a.size.toLong)
+      // τ test re-derived from raw sets: inter/union ≥ 0.6 exactly
+      assert(inter * 1000000L >= 600000L * (a.size + b.size - inter))
+    }
+    // and completeness: EVERY qualifying pair in a local brute-force
+    // sweep is reported (the prefix filter loses nothing)
+    val reported = rows.map(r =>
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val ids = shingleSets.keys.toSeq.sorted
+    for (i <- ids; j <- ids if i < j) {
+      val (a, b) = (shingleSets(i), shingleSets(j))
+      val inter = (a intersect b).size.toLong
+      if (inter * 1000000L >= 600000L * (a.size + b.size - inter))
+        assert(reported.contains((i, j)), s"missing qualifying pair ($i,$j)")
+    }
+  }
+
   test("TopKByAvgTFIDFModel round-trips through save/load") {
     import spark.implicits._
     val ds = (0 until 200).map { i =>

@@ -480,11 +480,15 @@ object Dedup {
       // prefix length n − ⌈τ·n⌉ + 1, integer-exact: ⌈6n/10⌉ = (6n+9) div 10
       .withColumn("plen", col("n") - expr("(6 * n + 9) div 10") + 1)
     val prefixes = sets
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("n"),
         explode(slice(col("sorted"), lit(1), col("plen"))).as("p"))
-      .select(col("doc_id"), col("p.tok").as("tok"))
+      .select(col("doc_id"), col("n"), col("p.tok").as("tok"))
     val cands = prefixes.as("a").join(prefixes.as("b"), Seq("tok"))
       .filter(col("a.doc_id") < col("b.doc_id"))
+      // PPJoin length filter: J ≥ τ forces min(n)·10⁶ ≥ τ_e6·max(n) —
+      // prunes size-mismatched candidates BEFORE the dedup + verify
+      .filter(least(col("a.n"), col("b.n")) * 1000000L >=
+        lit(PpTauE6) * greatest(col("a.n"), col("b.n")))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val shared = cands

@@ -681,12 +681,15 @@ object Analytics {
     * series) and everything downstream stays in integer cents, so the
     * outlier flags compare bit-for-bit. */
   def anomalyMad(spark: SparkSession, dir: String): DataFrame = {
-    // cached: the three passes (median, deviations, flags) must not
-    // re-scan the source — at 100 TB swap for a persisted projection
+    // the three passes (median, deviations, flags) must not re-scan the
+    // source — localCheckpoint materializes the 2-column projection
+    // once and auto-releases it on GC (cache() would pin it in the
+    // CacheManager for the session); at 100 TB swap for a persisted
+    // projection table
     val vals = Tables.lineitem(spark, dir)
       .select((col("l_partkey") % 100).as("series"),
         floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("v"))
-      .cache()
+      .localCheckpoint()
     val med = rankPick(vals, "series", "(n + 1) div 2")
       .select(col("series"), col("n"), col("pick").as("med_cents"))
     val dev = vals.join(broadcast(med.select("series", "med_cents")), "series")

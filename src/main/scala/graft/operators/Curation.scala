@@ -83,7 +83,7 @@ object Curation {
   def mixtureSample(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
-        size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
+        size(regexp_extract_all(col("text"), lit(TextAnalysis.TokenRe), lit(0)))
           .cast("long").as("n_tok"))
     val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
     val totals = counts.agg(sum("n_lang").as("n_total"), count(lit(1)).as("n_langs"))
@@ -177,7 +177,7 @@ object Curation {
     * new shuffle machinery — the funnel COMPOSES the already-bounded
     * stages, which is the point. */
   def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
-    val tokPat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+    val tokPat = TextAnalysis.TokenRe
     val docs = Tables.documents(spark, dir).select(
       col("doc_id"), col("lang"), col("text"),
       size(regexp_extract_all(col("text"), lit(tokPat), lit(0)))
@@ -402,13 +402,15 @@ object Curation {
     * C(#sources, 2) pairs — #sources is a catalog constant, not data);
     * per-source sizes broadcast onto the 190-row pair table. */
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
-    // cached: sizes + both self-join sides consume the distinct
-    // (source, shingle) set — one explosion, three readers
+    // sizes + both self-join sides consume the distinct (source,
+    // shingle) set — one explosion, three readers. localCheckpoint:
+    // materialized once, auto-released on GC rather than pinned in the
+    // CacheManager for the session lifetime.
     val srcSh = Tables.documents(spark, dir)
       .select(col("source"), explode(array_distinct(
         graft.functions.WordShingles.wordShingles(col("text"), DecontamK))).as("sh"))
       .distinct()
-      .cache()
+      .localCheckpoint()
     val sizes = srcSh.groupBy("source").agg(count(lit(1)).as("n"))
     val pairs = srcSh.as("a").join(srcSh.as("b"), Seq("sh"))
       .filter(col("a.source") < col("b.source"))
@@ -545,9 +547,9 @@ object Curation {
          |GROUP BY tr.doc_id
          |ORDER BY tr.doc_id""".stripMargin,
     "q_mixture_sample" ->
-      """WITH d AS (
+      s"""WITH d AS (
         |  SELECT lang,
-        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tok,
+        |    CAST(len(regexp_extract_all(text, '${TextAnalysis.TokenRe}')) AS BIGINT) AS n_tok,
         |    CAST(concat('0x', substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
         |      % 1000000 AS u
         |  FROM documents),
@@ -586,7 +588,7 @@ object Curation {
       s"""WITH ${graft.operators.Dedup.pairSql},
          |base AS (
          |  SELECT doc_id, lang, text,
-         |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tok,
+         |    CAST(len(regexp_extract_all(text, '${TextAnalysis.TokenRe}')) AS BIGINT) AS n_tok,
          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
          |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
          |  FROM documents),

@@ -432,9 +432,12 @@ object Dedup {
     val rare = grams.groupBy("h")
       .agg(count_distinct(col("doc_id")).as("df"))
       .filter(col("df") <= SubstrMaxDf).select("h")
-    // cached: both self-join sides consume the pruned positioned-gram
-    // index — materialize the explosion once (disk-spillable at scale)
-    val gi = grams.join(rare, "h").cache()
+    // both self-join sides consume the pruned positioned-gram index —
+    // localCheckpoint materializes the explosion ONCE and, unlike
+    // cache() (whose CacheManager entry pins storage for the session
+    // lifetime — 92 queries share one bench JVM), releases its blocks
+    // via the ContextCleaner as soon as the result is dropped
+    val gi = grams.join(rare, "h").localCheckpoint()
     gi.as("a").join(gi.as("b"), Seq("h"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -471,7 +474,9 @@ object Dedup {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(array_distinct(
         graft.functions.WordShingles.wordShingles(col("text"), 3))).as("tok"))
-      .cache() // prefix build + both verify sides read it
+      // prefix build + both verify sides read it; localCheckpoint =
+      // materialize once, auto-release on GC (no session-lifetime pin)
+      .localCheckpoint()
     val dfs = toks.groupBy("tok").agg(count(lit(1)).as("df"))
     val sets = toks.join(dfs, "tok")
       .groupBy("doc_id")

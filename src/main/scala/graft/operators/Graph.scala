@@ -44,14 +44,18 @@ object Graph {
       .filter(col("a.l_partkey") =!= col("b.l_partkey"))
       .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
       .distinct()
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).cache()
-    val ed = edges.join(deg, "src").cache()
+    // degrees + edge set materialize ONCE via localCheckpoint (re-joined
+    // every round otherwise) and auto-release on GC — cache() would pin
+    // both in the CacheManager for the session lifetime
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
+    val ed = edges.join(deg, "src").localCheckpoint()
     var ranks = deg.select(col("src").as("node"), lit(1000000L).as("r"))
     (1 to PrIters).foreach { _ =>
       // localCheckpoint truncates the growing rank lineage (the
-      // dedup_clusters pattern): each round's plan reads the cached
-      // edge set + last round's MATERIALIZED ranks (∝ nodes, tiny) —
-      // never re-deriving the source scans round after round.
+      // dedup_clusters pattern): each round's plan reads the
+      // materialized edge set + last round's MATERIALIZED ranks
+      // (∝ nodes, tiny) — never re-deriving the source scans round
+      // after round.
       ranks = ed.join(ranks, ed("src") === ranks("node"))
         .select(col("dst"), expr("r div deg").as("contrib"))
         .groupBy("dst").agg(sum("contrib").as("s"))

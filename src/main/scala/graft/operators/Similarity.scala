@@ -434,10 +434,17 @@ object Similarity {
     * Scale shape: posexplode to (dim, value) then ONE two-phase agg
     * keyed by dim — shuffle is 64 keys × partial rows, never the
     * vectors themselves. Determinism: each float32 value floors to an
-    * e6 INTEGER before any sum (the q_lm_quality rule), so mean
-    * (e6-scaled integer division) and the variance NUMERATOR
-    * n·Σx²−(Σx)² are exact integers — magnitudes: |x_e6| ≤ ~10⁶, Σx²
-    * ≤ 10¹² per row, < 10¹⁷ per dim at sf0.1, inside Long under ANSI. */
+    * e6 INTEGER before any sum (the q_lm_quality rule), so every
+    * downstream moment is exact integer arithmetic. Overflow safety:
+    * |x_e6| ≤ ~10⁶ means x² ≤ 10¹² per ELEMENT (Long-safe), but the
+    * second-moment SUMS grow ∝ n — Σx² alone passes 2⁶³ near 10⁷ rows
+    * and n·Σx²−(Σx)² near √n sooner, so both accumulate in
+    * decimal(38,0) (good to ~10³⁸ ≈ 10¹² rows × 10¹² per-row, the
+    * whole 100 TB range; ANSI mode would THROW on a Long here, not
+    * wrap). The published variance is var_e12 = (n·Σx²−(Σx)²) div n²
+    * — the population variance of the e6 values, bounded by the
+    * squared spread (≤ 4·10¹²) and hence Long-safe however large n
+    * grows; mean and sums re-enter Long range the same way. */
   def featureScale(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(posexplode(col("embedding")))
@@ -446,10 +453,13 @@ object Similarity {
       .groupBy("dim")
       .agg(count(lit(1)).as("n"),
         min("v").as("min_e6"), max("v").as("max_e6"),
-        sum("v").as("sum_e6"),
-        sum(col("v") * col("v")).as("sumsq"))
-      .withColumn("mean_e6", expr("sum_e6 div n"))
-      .withColumn("var_num", col("n") * col("sumsq") - col("sum_e6") * col("sum_e6"))
+        sum(col("v").cast("decimal(38,0)")).as("sum_d"),
+        sum((col("v") * col("v")).cast("decimal(38,0)")).as("sumsq_d"))
+      .withColumn("sum_e6", col("sum_d").cast("long"))
+      .withColumn("mean_e6", expr("sum_d div n"))
+      .withColumn("var_e12",
+        expr("(n * sumsq_d - sum_d * sum_d) div (CAST(n AS DECIMAL(38,0)) * n)"))
+      .select("dim", "n", "min_e6", "max_e6", "sum_e6", "mean_e6", "var_e12")
       .orderBy("dim")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -498,10 +508,9 @@ object Similarity {
         |SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(MIN(v) AS BIGINT) AS min_e6, CAST(MAX(v) AS BIGINT) AS max_e6,
         |  CAST(SUM(v) AS BIGINT) AS sum_e6,
-        |  CAST(SUM(v * v) AS BIGINT) AS sumsq,
-        |  CAST(SUM(v) AS BIGINT) // COUNT(*) AS mean_e6,
-        |  COUNT(*) * CAST(SUM(v * v) AS BIGINT)
-        |    - CAST(SUM(v) AS BIGINT) * CAST(SUM(v) AS BIGINT) AS var_num
+        |  CAST(SUM(v) // COUNT(*) AS BIGINT) AS mean_e6,
+        |  CAST((COUNT(*) * SUM(v * v) - SUM(v) * SUM(v))
+        |    // (COUNT(*) * COUNT(*)) AS BIGINT) AS var_e12
         |FROM x GROUP BY dim ORDER BY dim""".stripMargin,
     "q_embed_quantize" ->
       """WITH s AS (

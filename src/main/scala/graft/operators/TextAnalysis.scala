@@ -79,6 +79,15 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** The BPE-ish tokenizer unit pattern (letter runs, digit runs,
+    * single other chars) — THE token definition every token-counting
+    * query in the engine shares (q_token_count, q_token_hist,
+    * q_pack_sequences, q_bpe_*, q_lm_quality, q_curation_funnel, and
+    * their oracles). One definition: cross-query token accounting
+    * (e.g. the funnel's ingest row vs q_token_count) relies on these
+    * counts agreeing, so the pattern must never fork. */
+  private[graft] val TokenRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
   /** q_token_count: whitespace tokens + BPE-ish regex tokens (letter runs,
     * digit runs, single other chars) + a chars/4 approximation. Map-only. */
   def tokenCount(spark: SparkSession, dir: String): DataFrame =
@@ -86,7 +95,7 @@ object TextAnalysis {
       .select(
         col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("ws_tokens"),
-        size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
+        size(regexp_extract_all(col("text"), lit(TokenRe), lit(0)))
           .cast("long").as("bpe_tokens"),
         ceil(length(col("text")) / lit(4.0)).cast("long").as("approx_tokens"))
       .orderBy("doc_id")
@@ -119,7 +128,7 @@ object TextAnalysis {
 
   /** The BPE-ish token count shared by q_token_count / q_token_hist. */
   private def bpeTokens: Column =
-    size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
+    size(regexp_extract_all(col("text"), lit(TokenRe), lit(0)))
       .cast("long")
 
   /** q_token_hist: per-language token-length histogram (32-token-wide
@@ -227,14 +236,17 @@ object TextAnalysis {
     * Ranking ties break on doc_id. */
   def bm25Search(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // cached: dls/dfs/index/queries all consume the shingle explosion —
-    // this IS the materialize-the-index-once step (disk-spillable table
-    // build at 100 TB), not a per-consumer re-explosion of the corpus
+    // dls/dfs/index/queries all consume the shingle explosion — this IS
+    // the materialize-the-index-once step (disk-spillable table build
+    // at 100 TB), not a per-consumer re-explosion of the corpus.
+    // localCheckpoint, not cache(): same one-time materialization, but
+    // the blocks auto-release when the result is dropped instead of
+    // pinning executor storage for the session lifetime.
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"),
         explode(array_distinct(
           graft.functions.WordShingles.wordShingles(col("text"), 3))).as("tok"))
-      .cache()
+      .localCheckpoint()
     val dls = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val stats = dls.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
     val dfs = toks.groupBy("tok").agg(count(lit(1)).as("df"))
@@ -533,20 +545,27 @@ object TextAnalysis {
     * global sort; "words with freq ≥ T" is a filter over the word
     * dictionary — two two-phase aggs and a broadcast-sized spectrum,
     * nothing ordered. All counts exact integers; the coverage ratio is
-    * e6 integer division. */
+    * e6 integer division. The four thresholds share ONE aggregation
+    * (conditional sums per threshold, unpivoted by stack) — a
+    * per-threshold agg would re-run the corpus explode + word groupBy
+    * once per curve point. */
   def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
     val words = Tables.documents(spark, dir)
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("f"))
-    val rows = CoverageThresholds.map { t =>
-      words.agg(
-        lit(t).as("min_freq"),
-        sum(when(col("f") >= t, lit(1L)).otherwise(0L)).as("n_words_kept"),
-        count(lit(1)).as("n_words_total"),
-        sum(when(col("f") >= t, col("f")).otherwise(0L)).as("tokens_kept"),
-        sum("f").as("tokens_total"))
+    val perT = CoverageThresholds.flatMap { t =>
+      Seq(sum(when(col("f") >= t, lit(1L)).otherwise(0L)).as(s"kept_$t"),
+        sum(when(col("f") >= t, col("f")).otherwise(0L)).as(s"tok_$t"))
     }
-    rows.reduce(_.unionByName(_))
+    val totals = Seq(count(lit(1)).as("n_words_total"), sum("f").as("tokens_total"))
+    val aggs = perT ++ totals
+    val one = words.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = CoverageThresholds
+      .map(t => s"CAST($t AS BIGINT), kept_$t, tok_$t").mkString(", ")
+    one.selectExpr(
+      s"stack(${CoverageThresholds.size}, $stackArgs)" +
+        " AS (min_freq, n_words_kept, tokens_kept)",
+      "n_words_total", "tokens_total")
       .withColumn("coverage_e6", expr("(tokens_kept * 1000000) div tokens_total"))
       .orderBy("min_freq")
   }
@@ -872,7 +891,7 @@ object TextAnalysis {
     "q_pack_sequences" ->
       s"""WITH t AS (
          |  SELECT lang, doc_id,
-         |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tok,
+         |    CAST(len(regexp_extract_all(text, '$TokenRe')) AS BIGINT) AS n_tok,
          |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % $PackShards AS shard
          |  FROM documents),
          |c AS (
@@ -985,9 +1004,9 @@ object TextAnalysis {
         |FROM t
         |ORDER BY doc_id""".stripMargin,
     "q_token_hist" ->
-      """WITH t AS (
+      s"""WITH t AS (
         |  SELECT lang,
-        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tok
+        |    CAST(len(regexp_extract_all(text, '$TokenRe')) AS BIGINT) AS n_tok
         |  FROM documents)
         |SELECT lang, (n_tok // 32) * 32 AS bucket,
         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -997,9 +1016,9 @@ object TextAnalysis {
         |GROUP BY lang, (n_tok // 32) * 32
         |ORDER BY lang, bucket""".stripMargin,
     "q_sample_split" ->
-      """WITH t AS (
+      s"""WITH t AS (
         |  SELECT lang,
-        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tok,
+        |    CAST(len(regexp_extract_all(text, '$TokenRe')) AS BIGINT) AS n_tok,
         |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS h
         |  FROM documents)
         |SELECT lang,
@@ -1010,9 +1029,9 @@ object TextAnalysis {
         |GROUP BY lang, CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END
         |ORDER BY lang, split""".stripMargin,
     "q_token_count" ->
-      """SELECT doc_id,
+      s"""SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
-        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS bpe_tokens,
+        |  CAST(len(regexp_extract_all(text, '$TokenRe')) AS BIGINT) AS bpe_tokens,
         |  CAST(ceil(len(text) / 4.0) AS BIGINT) AS approx_tokens
         |FROM documents
         |ORDER BY doc_id""".stripMargin,

@@ -223,12 +223,19 @@ object StreamingQueries {
     * funnel state at 10⁹ users is bounded and the emitted rows per
     * trigger are ∝ users seen in that trigger. Rows sort by event time
     * in-group (the q_stream_stateful rule) so the "first" signup /
-    * purchase are event-time firsts, not arrival-order accidents; the
-    * staged single-file source makes arrival = one batch, so the
-    * emission equals the batch funnel exactly (spec-pinned). At
-    * production scale the state would seal via event-time timeout one
-    * window past the signup — the NoTimeout state here is two longs,
-    * already minimal. */
+    * purchase are event-time firsts, not arrival-order accidents.
+    * A funnel row is PROVISIONAL until the window closes (a user can
+    * convert in a later trigger), so this is Update-mode CDC, not an
+    * append log: the group emits its current row only when its state
+    * CHANGED this trigger, and the keyed sink upserts newest-wins (the
+    * q_stream_comp_per_user shape). However arrival splits into
+    * batches — one staged file or many — the store converges to the
+    * batch funnel exactly (spec-pinned); an Append sink here would
+    * keep both the pre- and post-conversion rows of any user whose
+    * signup and purchase arrive in different triggers. At production
+    * scale the state would seal via event-time timeout one window past
+    * the signup — the NoTimeout state here is two longs, already
+    * minimal. */
   def streamFunnel(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val w = graft.operators.Analytics.FunnelWinMs
@@ -237,11 +244,12 @@ object StreamingQueries {
         unix_millis(col("ts")).as("t_ms"), col("event_type"))
       .as[(Long, Long, Long, String)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(
         (user: Long, rows: Iterator[(Long, Long, Long, String)],
          state: GroupState[FunnelState]) => {
           val sorted = rows.toSeq.sortBy(r => (r._3, r._2)) // event-time order
-          var st = state.getOption.getOrElse(FunnelState(-1L, -1L))
+          val before = state.getOption.getOrElse(FunnelState(-1L, -1L))
+          var st = before
           sorted.foreach { case (_, _, t, typ) =>
             if (typ == "signup" && st.signupMs < 0)
               st = st.copy(signupMs = t)
@@ -250,14 +258,30 @@ object StreamingQueries {
               st = st.copy(purchaseMs = t)
           }
           state.update(st)
-          if (st.signupMs >= 0)
+          if (st.signupMs >= 0 && st != before)
             Iterator.single(FunnelOut(user, st.signupMs,
               if (st.purchaseMs >= 0) Some(st.purchaseMs) else None,
               st.purchaseMs >= 0,
               if (st.purchaseMs >= 0) Some(st.purchaseMs - st.signupMs) else None))
           else Iterator.empty
         })
-    runToMemory(spark, out.toDF(), OutputMode.Append()).orderBy("user_id")
+    val store = new java.util.concurrent.ConcurrentHashMap[Long, FunnelOut]()
+    val q = out.toDF().writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // upsert: newest row per user wins (triggers arrive in order)
+        batch.collect().foreach { r =>
+          val p = if (r.isNullAt(2)) None else Some(r.getLong(2))
+          store.put(r.getLong(0),
+            FunnelOut(r.getLong(0), r.getLong(1), p, r.getBoolean(3),
+              if (r.isNullAt(4)) None else Some(r.getLong(4))))
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    store.asScala.values.toSeq.toDF().orderBy("user_id")
   }
 
   /** q_stream_hll — the HyperLogLog distinct sketch as a STREAM, the

@@ -723,7 +723,12 @@ class OperatorSpec extends SparkSpec {
       assert(r.getAs[Long]("n") == n0) // rectangular: every dim same count
       assert(r.getAs[Long]("min_e6") <= r.getAs[Long]("mean_e6"))
       assert(r.getAs[Long]("mean_e6") <= r.getAs[Long]("max_e6"))
-      assert(r.getAs[Long]("var_num") >= 0L)
+      // population variance of the e6 values: non-negative, and never
+      // beyond the squared spread (the Popoviciu bound /4 would be
+      // tighter; the spread² bound is what the overflow proof uses)
+      val spread = r.getAs[Long]("max_e6") - r.getAs[Long]("min_e6")
+      assert(r.getAs[Long]("var_e12") >= 0L)
+      assert(r.getAs[Long]("var_e12") <= spread * spread)
     }
   }
 

@@ -12,7 +12,17 @@ import org.apache.spark.sql.SparkSession
   * figure that filters one-shot contention noise out of the record (a
   * query whose runs disagree by multiples was preempted, not
   * regressed). A rerun that fails falls back to the cold figure rather
-  * than reporting its time-to-failure as a timing. */
+  * than reporting its time-to-failure as a timing.
+  *
+  * `queries_full`/`total_full` time ONE extra run per query against the
+  * noop sink (full materialization of every output row and column).
+  * The cold/warm runs act via count(), under which Catalyst legally
+  * prunes output-column work — a map-only query's count collapses to a
+  * row count over the scan — so those figures are self-consistent
+  * across rounds but optimistic vs what a consumer writing the result
+  * would pay (measured 3× on the window-heavy q_anomaly_mad). The full
+  * figure is the Verify-equivalent honest cost; it runs last, so treat
+  * it as a warm figure. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -43,11 +53,12 @@ object Bench {
       }
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
-    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        act: org.apache.spark.sql.DataFrame => Unit = _.count(): Unit)
         : (Double, Boolean) = {
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).count(); true }
+        try { act(fn(spark, sfDir)); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }
@@ -64,20 +75,29 @@ object Bench {
       if (reruns.nonEmpty && okReruns.isEmpty)
         System.err.println(s"[bench] $name: all warm reruns failed; queries_warm reuses cold")
       val warm = if (okReruns.nonEmpty) okReruns.min else cold
-      (name, cold, warm, ok)
+      // full-materialization figure: noop sink produces every output
+      // row+column (what Verify's parquet write pays) with zero IO cost
+      val (full, fullOk) =
+        if (ok) timeOne(name, fn, _.write.mode("overwrite").format("noop").save())
+        else (cold, false)
+      if (ok && !fullOk)
+        System.err.println(s"[bench] $name: full-materialization run failed; queries_full reuses cold")
+      (name, cold, warm, if (fullOk) full else cold, ok)
     }
     // queries stay name->seconds (the driver's shape); failures are listed
     // separately in "err" and excluded from the totals.
-    def obj(f: ((String, Double, Double, Boolean)) => Double): String =
-      results.collect { case r @ (k, _, _, true) => "\"" + k + "\":" + f(r) }
+    def obj(f: ((String, Double, Double, Double, Boolean)) => Double): String =
+      results.collect { case r @ (k, _, _, _, true) => "\"" + k + "\":" + f(r) }
         .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, _, false) => "\"" + k + "\"" }
+    val errs = results.collect { case (k, _, _, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.filter(_._4).map(_._2).sum
-    val totalWarm = results.filter(_._4).map(_._3).sum
+    val total = results.filter(_._5).map(_._2).sum
+    val totalWarm = results.filter(_._5).map(_._3).sum
+    val totalFull = results.filter(_._5).map(_._4).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","err":$errs""" +
       s""","queries":${obj(_._2)},"total_warm":$totalWarm""" +
-      s""","queries_warm":${obj(_._3)},"sf":"$sfDir"}""")
+      s""","queries_warm":${obj(_._3)},"total_full":$totalFull""" +
+      s""","queries_full":${obj(_._4)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -381,8 +381,14 @@ object Analytics {
     * the two-phase aggregate — the standard exact-profile cost; a
     * 100 TB profiler swaps count_distinct for approx_count_distinct's
     * HLL and the expand collapses to one pass, same report schema).
-    * Min/max aggregate on NATIVE types (numeric order, not lexical)
-    * and are repr'd after aggregation. */
+    * The projection REPARTITIONS to the session's core count before
+    * the agg: the ×12 expand inherits the scan's partitioning, and a
+    * table that arrives as one or two parquet files would otherwise
+    * run the whole fan-out + partial aggregate on one or two threads
+    * (measured 28.7 s → ~4 s at local[32]; on a real cluster the scan
+    * is already wide and AQE elides needless exchanges). Min/max
+    * aggregate on NATIVE types (numeric order, not lexical) and are
+    * repr'd after aggregation. */
   def profileTable(spark: SparkSession, dir: String): DataFrame = {
     val aggs = ProfileCols.flatMap { case (c, _) => Seq(
       count(col(c)).as(s"cnt_$c"),
@@ -397,6 +403,8 @@ object Analytics {
       case "date"  => c.cast("date").cast("string")
     }
     val row = Tables.lineitem(spark, dir)
+      .select(ProfileCols.map { case (c, _) => col(c) }: _*)
+      .repartition(spark.sparkContext.defaultParallelism)
       .agg(count(lit(1)).as("n_rows"), aggs: _*)
     val entries = array(ProfileCols.map { case (c, kind) =>
       struct(
@@ -686,6 +694,9 @@ object Analytics {
     // once and auto-releases it on GC (cache() would pin it in the
     // CacheManager for the session); at 100 TB swap for a persisted
     // projection table
+    // NOT widened: the two-column projection is tiny and every
+    // downstream pass re-shuffles by series anyway — measured slower
+    // with the extra up-front repartition
     val vals = Tables.lineitem(spark, dir)
       .select((col("l_partkey") % 100).as("series"),
         floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("v"))

@@ -196,7 +196,7 @@ object Dedup {
   def dedupSimhash(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     // distributed per-bit majority vote: explode distinct tokens, hash
     // once, then 60 partial-aggregable sums — one shuffle on doc_id
-    val tokRows = Tables.documents(spark, dir)
+    val tokRows = Tables.widened(Tables.documents(spark, dir))
       .select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("tok"))
       .withColumn("h",

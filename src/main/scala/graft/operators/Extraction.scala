@@ -33,9 +33,11 @@ object Extraction {
     val cents = (floor(col("o_totalprice") * 100 + 0.5).cast("long") + 1000000L).as("cents")
     val d = (col("cents") / 100).cast("long")
     val c = col("cents") % 100
-    Tables.orders(spark, dir)
+    // widen the one-task sandbox scan before the regex-heavy candidate
+    // explosion downstream (no-op on an already-wide production scan)
+    Tables.widened(Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_custkey"),
-        col("o_orderkey").cast("string").as("ks"), cents)
+        col("o_orderkey").cast("string").as("ks"), cents))
       .withColumn("a_str",
         concat((d / 1000).cast("long").cast("string"), lit(","),
           lpad((d % 1000).cast("string"), 3, "0"), lit("."),

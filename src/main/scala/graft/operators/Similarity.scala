@@ -390,7 +390,9 @@ object Similarity {
     * centroid cosines, and tie-breaks fold in pinned index order, so
     * DuckDB reproduces every keep bit. */
   def semDedup(spark: SparkSession, dir: String, cells: Int = IvfCells): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
+    // widen: the per-vector cell-assignment arithmetic dominates; a
+    // one-task sandbox scan serializes it (no-op at scale)
+    val emb = Tables.widened(Tables.embeddings(spark, dir))
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm2", dot(col("v"), col("v")))
     val anchors = seededAnchors(emb, cells)

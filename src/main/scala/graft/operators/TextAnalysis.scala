@@ -114,8 +114,10 @@ object TextAnalysis {
       sequence(lit(1), size(col("hashes")) - (w - 1)),
       j => array_min(slice(col("hashes"), j, lit(w))))
     val fps = array_distinct(mins)
-    Tables.documents(spark, dir)
-      .filter(length(col("text")) >= k + w - 1)
+    // widen: the per-char md5 cascade is the whole query; a one-task
+    // sandbox scan would run it single-threaded (no-op at scale)
+    Tables.widened(Tables.documents(spark, dir)
+      .filter(length(col("text")) >= k + w - 1))
       .withColumn("hashes", hashes)
       .select(
         col("doc_id"),

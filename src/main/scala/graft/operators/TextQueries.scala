@@ -47,8 +47,9 @@ object TextQueries {
     * bounds — first char never starts a gram, last gram stops one short
     * (gram count = len-n-1). Reference: Utils.scala:40-52. */
   def charGrams(spark: SparkSession, dir: String, n: Int = 3): DataFrame =
-    Tables.documents(spark, dir)
-      .filter(length(col("text")) >= n + 2)
+    // widen: the full char-gram explosion is the query (no-op at scale)
+    Tables.widened(Tables.documents(spark, dir)
+      .filter(length(col("text")) >= n + 2))
       .select(col("doc_id"),
         explode(transform(
           sequence(lit(2), length(col("text")) - n),
@@ -140,10 +141,10 @@ object TextQueries {
         lpad((d % 1000).cast("string"), 3, "0"), lit("."),
         lpad((cents % 100).cast("string"), 2, "0"))
     }
-    val pages = Tables.orders(spark, dir)
+    val pages = Tables.widened(Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_custkey"),
         (col("o_orderkey") % 6).as("v"),
-        (floor(col("o_totalprice") * 100 + 0.5).cast("long") + 1000000L).as("cents"))
+        (floor(col("o_totalprice") * 100 + 0.5).cast("long") + 1000000L).as("cents")))
       .withColumn("a_str", fmt(col("cents")))
       .withColumn("m1_str", fmt(expr("cents + cents div 20")))
       .withColumn("m2_str", fmt(expr("cents + cents div 2")))

@@ -14,6 +14,22 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Fan a narrow scan across the session's cores before a map-heavy
+    * stage. The sandbox testdata arrives as SINGLE-row-group parquet —
+    * an unsplittable one-task scan however small maxPartitionBytes goes
+    * — which serializes the whole map phase of a map-dominated operator
+    * at local[32]. The guard makes this a no-op whenever the scan is
+    * already at least half as wide as the session (every production
+    * table: thousands of row groups/files), so NO shuffle is added at
+    * the scale the guard exists to protect; locally it trades one tiny
+    * shuffle of the projected columns for a 32× parallel map. */
+  def widened(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    if (df.rdd.getNumPartitions * 2 <= sc.defaultParallelism)
+      df.repartition(sc.defaultParallelism)
+    else df
+  }
+
   /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
     * vectorized reader rejects. Read it as long nanos (legacy conf) and
     * convert to a microsecond timestamp — same instant DuckDB sees. */

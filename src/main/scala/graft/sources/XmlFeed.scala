@@ -37,8 +37,10 @@ object XmlFeed {
     def money(c: org.apache.spark.sql.Column) =
       concat((c / 100).cast("long").cast("string"), lit("."),
         lpad((c % 100).cast("string"), 2, "0"), lit(" EUR"))
-    Tables.orders(spark, dir)
-      .select(col("o_orderkey"), col("o_orderkey").cast("string").as("ks"), cents)
+    // widen the one-task sandbox scan: from_xml parsing downstream is
+    // the query's whole cost (no-op on an already-wide production scan)
+    Tables.widened(Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderkey").cast("string").as("ks"), cents))
       .withColumn("sale_cents", expr("cents - cents div 10"))
       .withColumn("xml", concat(
         lit("<item><id>p"), col("ks"), lit("</id><product_type>cat,"),

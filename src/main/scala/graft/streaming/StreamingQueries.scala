@@ -236,10 +236,18 @@ object StreamingQueries {
     * scale the state would seal via event-time timeout one window past
     * the signup — the NoTimeout state here is two longs, already
     * minimal. */
-  def streamFunnel(spark: SparkSession, dir: String): DataFrame = {
+  def streamFunnel(spark: SparkSession, dir: String): DataFrame =
+    runFunnel(spark, eventsStream(spark, dir))
+
+  /** The funnel pipeline over any streaming `events` source (user_id,
+    * event_id, ts, event_type) — split out so the spec can drive it
+    * with a multi-file staged source and prove the upsert store
+    * converges when signup and purchase arrive in DIFFERENT triggers
+    * (in event-time order, the at-least-ordered-arrival contract). */
+  private[graft] def runFunnel(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
     val w = graft.operators.Analytics.FunnelWinMs
-    val out = eventsStream(spark, dir)
+    val out = events
       .select(col("user_id"), col("event_id"),
         unix_millis(col("ts")).as("t_ms"), col("event_type"))
       .as[(Long, Long, Long, String)]

@@ -202,6 +202,50 @@ class StreamingSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("streaming funnel converges when signup and purchase arrive in different triggers") {
+    // the upsert-store contract: split the events by time into TWO
+    // files and force one trigger per file — users whose signup lands
+    // in trigger 1 and purchase in trigger 2 first emit converted=false
+    // then converted=true, and the newest-wins store must keep only the
+    // final row, exactly matching the single-batch funnel (an Append
+    // sink would keep both rows, which is the regression this pins).
+    import org.apache.spark.sql.functions._
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val cut = ev.select(unix_millis(col("ts")).as("t"))
+      .stat.approxQuantile("t", Array(0.5), 0.0)(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel2_").toFile
+    def stage(name: String, df: org.apache.spark.sql.DataFrame, mtime: Long): Unit = {
+      val part = new java.io.File(dir, s"_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(part.getAbsolutePath)
+      val f = part.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(dir, s"$name.parquet")
+      java.nio.file.Files.move(f.toPath, dst.toPath)
+      dst.setLastModified(mtime) // oldest-first file-source order
+    }
+    val t0 = System.currentTimeMillis() - 600000
+    stage("a_early", ev.filter(unix_millis(col("ts")) <= cut), t0)
+    stage("b_late", ev.filter(unix_millis(col("ts")) > cut), t0 + 60000)
+    val src = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.getAbsolutePath)
+    val twoBatch = graft.streaming.StreamingQueries.runFunnel(spark, src).collect()
+    // straddle must actually happen or the test proves nothing
+    val early = ev.filter(unix_millis(col("ts")) <= cut && col("event_type") === "signup")
+      .select("user_id").distinct()
+    val late = ev.filter(unix_millis(col("ts")) > cut && col("event_type") === "purchase")
+      .select("user_id").distinct()
+    assert(early.join(late, "user_id").count() > 0,
+      "no user straddles the two triggers; split is vacuous")
+    def canon(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+      (r.getAs[Long]("user_id"), r.getAs[Long]("signup_ms"),
+        Option(r.get(r.fieldIndex("purchase_ms"))),
+        r.getAs[Boolean]("converted"))
+    }.toSet
+    val batch = canon(SparkEntry.queries("q_funnel")(spark, sf).collect())
+    assert(canon(twoBatch) == batch)
+  }
+
   test("streaming hll registers converge to the batch sketch exactly") {
     // duplicate-insensitive max-registers: the stream (no dedup state)
     // and the batch (distinct shingles) MUST produce identical sketches

@@ -76,28 +76,36 @@ object Bench {
         System.err.println(s"[bench] $name: all warm reruns failed; queries_warm reuses cold")
       val warm = if (okReruns.nonEmpty) okReruns.min else cold
       // full-materialization figure: noop sink produces every output
-      // row+column (what Verify's parquet write pays) with zero IO cost
+      // row+column (what Verify's parquet write pays) with zero IO
+      // cost. A failed full run must NOT fall back to the count()
+      // figure — the whole point of this metric is that count can be
+      // ~190× optimistic — so the query is dropped from queries_full
+      // and named in full_err instead.
       val (full, fullOk) =
         if (ok) timeOne(name, fn, _.write.mode("overwrite").format("noop").save())
         else (cold, false)
       if (ok && !fullOk)
-        System.err.println(s"[bench] $name: full-materialization run failed; queries_full reuses cold")
-      (name, cold, warm, if (fullOk) full else cold, ok)
+        System.err.println(s"[bench] $name: full-materialization run failed; dropped from queries_full")
+      (name, cold, warm, full, ok, fullOk)
     }
     // queries stay name->seconds (the driver's shape); failures are listed
     // separately in "err" and excluded from the totals.
-    def obj(f: ((String, Double, Double, Double, Boolean)) => Double): String =
-      results.collect { case r @ (k, _, _, _, true) => "\"" + k + "\":" + f(r) }
-        .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, _, _, false) => "\"" + k + "\"" }
+    def obj(pick: ((String, Double, Double, Double, Boolean, Boolean)) => Option[Double]): String =
+      results.flatMap { case r @ (k, _, _, _, _, _) =>
+        pick(r).map(v => "\"" + k + "\":" + v)
+      }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, _, false, _) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val fullErrs = results.collect { case (k, _, _, _, true, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.filter(_._5).map(_._2).sum
     val totalWarm = results.filter(_._5).map(_._3).sum
-    val totalFull = results.filter(_._5).map(_._4).sum
+    val totalFull = results.filter(_._6).map(_._4).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","err":$errs""" +
-      s""","queries":${obj(_._2)},"total_warm":$totalWarm""" +
-      s""","queries_warm":${obj(_._3)},"total_full":$totalFull""" +
-      s""","queries_full":${obj(_._4)},"sf":"$sfDir"}""")
+      s""","queries":${obj(r => if (r._5) Some(r._2) else None)},"total_warm":$totalWarm""" +
+      s""","queries_warm":${obj(r => if (r._5) Some(r._3) else None)},"total_full":$totalFull""" +
+      s""","queries_full":${obj(r => if (r._6) Some(r._4) else None)},"full_err":$fullErrs""" +
+      s""","sf":"$sfDir"}""")
     spark.stop()
   }
 }

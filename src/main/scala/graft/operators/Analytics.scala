@@ -381,14 +381,15 @@ object Analytics {
     * the two-phase aggregate — the standard exact-profile cost; a
     * 100 TB profiler swaps count_distinct for approx_count_distinct's
     * HLL and the expand collapses to one pass, same report schema).
-    * The projection REPARTITIONS to the session's core count before
-    * the agg: the ×12 expand inherits the scan's partitioning, and a
-    * table that arrives as one or two parquet files would otherwise
+    * The projection widens via [[Tables.widened]] before the agg: the
+    * ×12 expand inherits the scan's partitioning, and a table that
+    * arrives as one or two unsplittable parquet files would otherwise
     * run the whole fan-out + partial aggregate on one or two threads
-    * (measured 28.7 s → ~4 s at local[32]; on a real cluster the scan
-    * is already wide and AQE elides needless exchanges). Min/max
-    * aggregate on NATIVE types (numeric order, not lexical) and are
-    * repr'd after aggregation. */
+    * (measured 28.7 s → ~5 s at local[32]); the guard makes it a no-op
+    * on an already-wide production scan, where an unconditional
+    * repartition would round-robin every projected row across the
+    * network. Min/max aggregate on NATIVE types (numeric order, not
+    * lexical) and are repr'd after aggregation. */
   def profileTable(spark: SparkSession, dir: String): DataFrame = {
     val aggs = ProfileCols.flatMap { case (c, _) => Seq(
       count(col(c)).as(s"cnt_$c"),
@@ -402,9 +403,8 @@ object Analytics {
       case "str"   => c
       case "date"  => c.cast("date").cast("string")
     }
-    val row = Tables.lineitem(spark, dir)
-      .select(ProfileCols.map { case (c, _) => col(c) }: _*)
-      .repartition(spark.sparkContext.defaultParallelism)
+    val row = Tables.widened(Tables.lineitem(spark, dir)
+      .select(ProfileCols.map { case (c, _) => col(c) }: _*))
       .agg(count(lit(1)).as("n_rows"), aggs: _*)
     val entries = array(ProfileCols.map { case (c, kind) =>
       struct(

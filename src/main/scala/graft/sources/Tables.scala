@@ -22,12 +22,23 @@ object Tables {
     * already at least half as wide as the session (every production
     * table: thousands of row groups/files), so NO shuffle is added at
     * the scale the guard exists to protect; locally it trades one tiny
-    * shuffle of the projected columns for a 32× parallel map. */
+    * shuffle of the projected columns for a 32× parallel map.
+    *
+    * Guard detail: the partition count alone over-counts — Spark
+    * splits a parquet file into byte ranges regardless of row groups,
+    * so ONE row group bigger than maxPartitionBytes yields many
+    * partitions of which only one bears rows. The file count catches
+    * that case (few files → suspect narrow); a scan that is wide by
+    * BOTH signals is left untouched. The residual false positive — a
+    * single multi-GB file with many healthy row groups — pays one
+    * avoidable shuffle, the cheaper error by far; the real fix for
+    * such a layout is rewriting the table. */
   def widened(df: DataFrame): DataFrame = {
     val sc = df.sparkSession.sparkContext
-    if (df.rdd.getNumPartitions * 2 <= sc.defaultParallelism)
-      df.repartition(sc.defaultParallelism)
-    else df
+    val target = sc.defaultParallelism
+    val narrow = df.rdd.getNumPartitions * 2 <= target ||
+      df.inputFiles.length * 2 <= target
+    if (narrow) df.repartition(target) else df
   }
 
   /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's

@@ -228,9 +228,12 @@ object StreamingQueries {
     * convert in a later trigger), so this is Update-mode CDC, not an
     * append log: the group emits its current row only when its state
     * CHANGED this trigger, and the keyed sink upserts newest-wins (the
-    * q_stream_comp_per_user shape). However arrival splits into
-    * batches — one staged file or many — the store converges to the
-    * batch funnel exactly (spec-pinned); an Append sink here would
+    * q_stream_comp_per_user shape). However EVENT-TIME-ORDERED arrival
+    * splits into batches — one staged file or many — the store
+    * converges to the batch funnel exactly (spec-pinned; a purchase
+    * arriving in an EARLIER trigger than its signup is dropped — the
+    * out-of-order case needs the event-time-timeout seal described
+    * below, not more sink machinery); an Append sink here would
     * keep both the pre- and post-conversion rows of any user whose
     * signup and purchase arrive in different triggers. At production
     * scale the state would seal via event-time timeout one window past

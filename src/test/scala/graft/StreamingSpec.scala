@@ -212,8 +212,15 @@ class StreamingSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val ev = graft.sources.Tables.events(spark, sf)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
-    val cut = ev.select(unix_millis(col("ts")).as("t"))
-      .stat.approxQuantile("t", Array(0.5), 0.0)(0)
+    // cut INSIDE a real conversion interval (widest-lag converted user)
+    // so at least that user's signup lands in trigger 1 and their
+    // qualifying purchase in trigger 2 — guaranteed, not hoped-for
+    val batchRows = SparkEntry.queries("q_funnel")(spark, sf).collect()
+    val conv = batchRows.filter(_.getAs[Boolean]("converted"))
+    assert(conv.nonEmpty, "corpus has no conversions; funnel tests are vacuous")
+    val pick = conv.maxBy(r =>
+      r.getAs[Long]("purchase_ms") - r.getAs[Long]("signup_ms"))
+    val cut = (pick.getAs[Long]("signup_ms") + pick.getAs[Long]("purchase_ms")) / 2
     val dir = java.nio.file.Files.createTempDirectory("graft_funnel2_").toFile
     def stage(name: String, df: org.apache.spark.sql.DataFrame, mtime: Long): Unit = {
       val part = new java.io.File(dir, s"_$name")
@@ -230,20 +237,21 @@ class StreamingSpec extends SparkSpec {
       .option("maxFilesPerTrigger", 1)
       .parquet(dir.getAbsolutePath)
     val twoBatch = graft.streaming.StreamingQueries.runFunnel(spark, src).collect()
-    // straddle must actually happen or the test proves nothing
-    val early = ev.filter(unix_millis(col("ts")) <= cut && col("event_type") === "signup")
-      .select("user_id").distinct()
-    val late = ev.filter(unix_millis(col("ts")) > cut && col("event_type") === "purchase")
-      .select("user_id").distinct()
-    assert(early.join(late, "user_id").count() > 0,
-      "no user straddles the two triggers; split is vacuous")
     def canon(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
       (r.getAs[Long]("user_id"), r.getAs[Long]("signup_ms"),
         Option(r.get(r.fieldIndex("purchase_ms"))),
         r.getAs[Boolean]("converted"))
     }.toSet
-    val batch = canon(SparkEntry.queries("q_funnel")(spark, sf).collect())
-    assert(canon(twoBatch) == batch)
+    // a CONVERTED user must genuinely straddle the triggers (signup in
+    // 1, qualifying purchase in 2) — otherwise trigger 2 changes no
+    // state, nothing re-emits, and an Append sink would pass too: the
+    // exact regression this spec exists to pin would go undetected
+    assert(batchRows.exists { r =>
+      r.getAs[Boolean]("converted") &&
+        r.getAs[Long]("signup_ms") <= cut &&
+        r.getAs[Long]("purchase_ms") > cut
+    }, "no converted user straddles the two triggers; split is vacuous")
+    assert(canon(twoBatch) == canon(batchRows))
   }
 
   test("streaming hll registers converge to the batch sketch exactly") {

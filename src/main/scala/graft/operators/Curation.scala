@@ -419,8 +419,10 @@ object Curation {
     pairs
       .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("n_a"))), "src_a")
       .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("n_b"))), "src_b")
+      // decimal: n_shared × 10⁶ crosses 2⁶³ once a source holds ~10¹³
+      // distinct shingles — inside the 100 TB range; ANSI would throw
       .withColumn("jaccard_e6",
-        expr("(n_shared * 1000000) div (n_a + n_b - n_shared)"))
+        expr("(CAST(n_shared AS DECIMAL(38,0)) * 1000000) div (n_a + n_b - n_shared)"))
       .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
         col("n_shared"), col("jaccard_e6"))
       .orderBy("src_a", "src_b")

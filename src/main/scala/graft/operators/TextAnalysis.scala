@@ -514,10 +514,15 @@ object TextAnalysis {
     * a Zipf corpus log m_f is linear in log f (spectrum slope
     * ≈ −(1+1/s)). The least-squares fit runs over e3-scaled INTEGER
     * log points (floored per point, then exact integer Σx/Σy/Σxy/Σx² —
-    * the q_lm_quality rule), so slope numerator/denominator and the e6
-    * slope are bit-exact. The rank-sorted formulation would need a
-    * corpus-wide ORDER BY frequency; the spectrum needs no order at
-    * all — that's what survives 100 TB. */
+    * the q_lm_quality rule), so the e6 slope is bit-exact. The sums
+    * themselves fit Long at any realistic spectrum size (|x| ≤ ~3·10⁴,
+    * points ≤ distinct frequencies ~10⁷), but n·Σxy and the ×10⁶ of
+    * the final division do NOT — they cross 2⁶³ around 10⁶ spectrum
+    * points and would THROW under ANSI — so the slope arithmetic runs
+    * in decimal(38,0) and only the bounded slope_e6 (≈ −(1+1/s)·10⁶,
+    * a few million) returns to Long. The rank-sorted formulation would
+    * need a corpus-wide ORDER BY frequency; the spectrum needs no
+    * order at all — that's what survives 100 TB. */
   def zipfSpectrum(spark: SparkSession, dir: String): DataFrame = {
     val freqs = Tables.documents(spark, dir)
       .select(explode(
@@ -532,9 +537,11 @@ object TextAnalysis {
       sum("x").as("sx"), sum("y").as("sy"),
       sum(col("x") * col("y")).as("sxy"),
       sum(col("x") * col("x")).as("sxx"))
-      .withColumn("slope_num", col("n_points") * col("sxy") - col("sx") * col("sy"))
-      .withColumn("slope_den", col("n_points") * col("sxx") - col("sx") * col("sx"))
-      .withColumn("slope_e6", expr("(slope_num * 1000000) div slope_den"))
+      .withColumn("slope_e6", expr(
+        """((CAST(n_points AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy)
+          |  * 1000000)
+          | div (CAST(n_points AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx)
+          |""".stripMargin.replace('\n', ' ')))
   }
 
   /** Min-frequency thresholds for q_vocab_coverage. */
@@ -568,7 +575,10 @@ object TextAnalysis {
       s"stack(${CoverageThresholds.size}, $stackArgs)" +
         " AS (min_freq, n_words_kept, tokens_kept)",
       "n_words_total", "tokens_total")
-      .withColumn("coverage_e6", expr("(tokens_kept * 1000000) div tokens_total"))
+      // decimal: tokens_kept × 10⁶ crosses 2⁶³ near 10¹³ corpus tokens
+      // (a ~40 TB text corpus) and ANSI would throw, not wrap
+      .withColumn("coverage_e6",
+        expr("(CAST(tokens_kept AS DECIMAL(38,0)) * 1000000) div tokens_total"))
       .orderBy("min_freq")
   }
 
@@ -698,9 +708,9 @@ object TextAnalysis {
         |    CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
         |  FROM spectrum)
         |SELECT n_points, sx, sy, sxy, sxx,
-        |  n_points * sxy - sx * sy AS slope_num,
-        |  n_points * sxx - sx * sx AS slope_den,
-        |  ((n_points * sxy - sx * sy) * 1000000) // (n_points * sxx - sx * sx) AS slope_e6
+        |  CAST(((CAST(n_points AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy) * 1000000)
+        |    // (CAST(n_points AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx) AS BIGINT)
+        |    AS slope_e6
         |FROM s""".stripMargin,
     "q_vocab_coverage" -> {
       val blocks = CoverageThresholds.map { t =>
@@ -709,8 +719,8 @@ object TextAnalysis {
            |  CAST(COUNT(*) AS BIGINT) AS n_words_total,
            |  CAST(SUM(CASE WHEN f >= $t THEN f ELSE 0 END) AS BIGINT) AS tokens_kept,
            |  CAST(SUM(f) AS BIGINT) AS tokens_total,
-           |  (CAST(SUM(CASE WHEN f >= $t THEN f ELSE 0 END) AS BIGINT) * 1000000)
-           |    // CAST(SUM(f) AS BIGINT) AS coverage_e6
+           |  CAST((SUM(CASE WHEN f >= $t THEN f ELSE 0 END) * 1000000)
+           |    // SUM(f) AS BIGINT) AS coverage_e6
            |FROM freqs""".stripMargin
       }.mkString("\nUNION ALL\n")
       s"""WITH freqs AS (

@@ -761,14 +761,19 @@ class OperatorSpec extends SparkSpec {
 
   test("zipf spectrum slope is negative with consistent moments") {
     val r = run("q_zipf_spectrum").collect().head
-    assert(r.getAs[Long]("n_points") >= 3)
-    assert(r.getAs[Long]("slope_den") > 0) // variance of x over ≥2 distinct f
+    val (n, sx, sy, sxy, sxx) = (r.getAs[Long]("n_points"), r.getAs[Long]("sx"),
+      r.getAs[Long]("sy"), r.getAs[Long]("sxy"), r.getAs[Long]("sxx"))
+    assert(n >= 3)
+    assert(n * sxx - sx * sx > 0) // variance of x over ≥2 distinct f
     // a Zipf-ish corpus: many rare grams, few frequent → falling spectrum
     assert(r.getAs[Long]("slope_e6") < 0,
       s"spectrum slope ${r.getAs[Long]("slope_e6")} not negative")
-    assert(r.getAs[Long]("slope_num") ==
-      r.getAs[Long]("n_points") * r.getAs[Long]("sxy") -
-        r.getAs[Long]("sx") * r.getAs[Long]("sy"))
+    // slope_e6 re-derives from the published moments (BigInt: the
+    // ×10⁶ product is exactly what overflows Long at spectrum scale)
+    val num = (BigInt(n) * sxy - BigInt(sx) * sy) * 1000000
+    val den = BigInt(n) * sxx - BigInt(sx) * sx
+    // BigInt / truncates toward zero, same as Spark's div
+    assert(BigInt(r.getAs[Long]("slope_e6")) == num / den)
   }
 
   test("vocab coverage is monotone decreasing in the threshold") {

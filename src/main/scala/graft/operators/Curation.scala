@@ -428,7 +428,45 @@ object Curation {
       .orderBy("src_a", "src_b")
   }
 
+  /** Output shard count for q_export_shards. */
+  private[graft] val NShards = 8
+
+  /** q_export_shards: the curated corpus partitioned into [[NShards]]
+    * balanced output shards plus the shard MANIFEST — the final "write
+    * the training dataset" stage (the WebDataset/TFRecord shard layout
+    * every training loader consumes). Shard assignment is a salted
+    * md5 draw on doc_id (layout-stable like q_sample_split: adding or
+    * removing documents never moves a surviving doc to another shard),
+    * and the manifest row per shard carries doc/token/char counts plus
+    * a CONTENT fingerprint: bit_xor of a per-doc text hash —
+    * commutative AND associative, so the fingerprint is identical
+    * however partitions combine, with no sort anywhere. A loader can
+    * verify a shard it reads against the manifest row byte-for-byte.
+    *
+    * Scale shape: one scan → map-only shard/token/hash columns → one
+    * two-phase agg on [[NShards]] keys. In production the same shard
+    * column feeds `write.partitionBy("shard")`; the manifest query IS
+    * the bookkeeping that makes that write verifiable. */
+  def exportShards(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        (expr("cast(conv(substr(md5(concat('shard', cast(doc_id as string))), 1, 15), 16, 10) as bigint)")
+          % NShards).as("shard"),
+        size(regexp_extract_all(col("text"), lit(TextAnalysis.TokenRe), lit(0)))
+          .cast("long").as("n_tok"),
+        length(col("text")).cast("long").as("n_chars"),
+        expr("cast(conv(substr(md5(text), 1, 15), 16, 10) as bigint)").as("fp"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"),
+        sum("n_chars").as("n_chars"),
+        expr("bit_xor(fp)").as("content_fp"),
+        min("doc_id").as("min_doc_id"),
+        max("doc_id").as("max_doc_id"))
+      .orderBy("shard")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_export_shards" -> (exportShards(_, _)),
     "q_source_overlap" -> (sourceOverlap(_, _)),
     "q_dsir_weights" -> (dsirWeights(_, _)),
     "q_bloom_decontam" -> (bloomDecontam(_, _)),
@@ -438,6 +476,21 @@ object Curation {
     "q_curation_funnel" -> (curationFunnel(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "q_export_shards" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CAST(concat('0x', substr(md5('shard' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         |      % $NShards AS shard,
+         |    CAST(len(regexp_extract_all(text, '${TextAnalysis.TokenRe}')) AS BIGINT) AS n_tok,
+         |    CAST(len(text) AS BIGINT) AS n_chars,
+         |    CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS fp
+         |  FROM documents)
+         |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+         |  CAST(bit_xor(fp) AS BIGINT) AS content_fp,
+         |  MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+         |FROM d GROUP BY shard ORDER BY shard""".stripMargin,
     "q_dsir_weights" ->
       s"""WITH t AS (
          |  SELECT doc_id,

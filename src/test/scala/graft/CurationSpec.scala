@@ -111,4 +111,28 @@ class CurationSpec extends SparkSpec {
       }
     }
   }
+
+  test("export shards partition the corpus completely, balanced, with live fingerprints") {
+    val rows = SparkEntry.queries("q_export_shards")(spark, sf).collect()
+    assert(rows.length == graft.operators.Curation.NShards)
+    assert(rows.map(_.getAs[Long]("shard")).sorted.toList ==
+      (0L until graft.operators.Curation.NShards).toList)
+    // complete partition: shard doc counts sum to the corpus
+    val total = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    // hash balance: no shard more than 2x another (md5 uniformity at
+    // hundreds of docs per shard)
+    val counts = rows.map(_.getAs[Long]("n_docs"))
+    assert(counts.max <= 2 * counts.min,
+      s"shard imbalance: ${counts.mkString(",")}")
+    // fingerprints are live (xor of many 60-bit hashes collapsing to 0
+    // or duplicating across shards would mean a degenerate hash column)
+    val fps = rows.map(_.getAs[Long]("content_fp"))
+    assert(fps.distinct.length == fps.length && fps.forall(_ != 0L))
+    // manifest arithmetic: a shard's token count can't exceed its chars
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") <= r.getAs[Long]("n_chars"))
+      assert(r.getAs[Long]("min_doc_id") <= r.getAs[Long]("max_doc_id"))
+    }
+  }
 }

@@ -465,7 +465,45 @@ object Curation {
         max("doc_id").as("max_doc_id"))
       .orderBy("shard")
 
+  /** q_dataset_card: the per-(source, lang) composition datasheet a
+    * corpus release ships — doc/token/char counts, exact integer mean
+    * doc length, and each cell's share of the whole corpus (e6) — the
+    * table a "datasheets for datasets" card and every mixture-tuning
+    * decision reads first.
+    *
+    * Scale shape: ONE corpus scan → two-phase agg on (source, lang);
+    * the grouped table (|sources|×|langs| rows — catalog-sized) is
+    * localCheckpointed and the corpus TOTALS reduce from it, so the
+    * share denominators cost a second pass over ~100 rows, not the
+    * corpus; totals then broadcast back onto the card. Shares multiply
+    * in decimal(38,0) — n_tokens × 10⁶ crosses 2⁶³ near 10¹³ corpus
+    * tokens (the q_vocab_coverage bound). */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val grouped = Tables.documents(spark, dir)
+      .select(col("source"), col("lang"),
+        size(regexp_extract_all(col("text"), lit(TextAnalysis.TokenRe), lit(0)))
+          .cast("long").as("n_tok"),
+        length(col("text")).cast("long").as("n_chars"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"),
+        sum("n_chars").as("n_chars"))
+      .localCheckpoint() // card-sized; totals + card read it, one corpus pass
+    val totals = grouped.agg(sum("n_docs").as("total_docs"),
+      sum("n_tokens").as("total_toks"))
+    grouped.crossJoin(broadcast(totals))
+      .withColumn("mean_tok_e2", expr("(n_tokens * 100) div n_docs"))
+      .withColumn("doc_share_e6",
+        expr("(CAST(n_docs AS DECIMAL(38,0)) * 1000000) div total_docs"))
+      .withColumn("tok_share_e6",
+        expr("(CAST(n_tokens AS DECIMAL(38,0)) * 1000000) div total_toks"))
+      .select("source", "lang", "n_docs", "n_tokens", "n_chars",
+        "mean_tok_e2", "doc_share_e6", "tok_share_e6")
+      .orderBy("source", "lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dataset_card" -> (datasetCard(_, _)),
     "q_export_shards" -> (exportShards(_, _)),
     "q_source_overlap" -> (sourceOverlap(_, _)),
     "q_dsir_weights" -> (dsirWeights(_, _)),
@@ -476,6 +514,24 @@ object Curation {
     "q_curation_funnel" -> (curationFunnel(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "q_dataset_card" ->
+      s"""WITH d AS (
+         |  SELECT source, lang,
+         |    CAST(len(regexp_extract_all(text, '${TextAnalysis.TokenRe}')) AS BIGINT) AS n_tok,
+         |    CAST(len(text) AS BIGINT) AS n_chars
+         |  FROM documents),
+         |g AS (
+         |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(n_chars) AS BIGINT) AS n_chars
+         |  FROM d GROUP BY source, lang),
+         |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs,
+         |        CAST(SUM(n_tokens) AS BIGINT) AS total_toks FROM g)
+         |SELECT source, lang, n_docs, n_tokens, n_chars,
+         |  CAST((n_tokens * 100) // n_docs AS BIGINT) AS mean_tok_e2,
+         |  CAST((n_docs * 1000000) // total_docs AS BIGINT) AS doc_share_e6,
+         |  CAST((n_tokens * 1000000) // total_toks AS BIGINT) AS tok_share_e6
+         |FROM g CROSS JOIN t ORDER BY source, lang""".stripMargin,
     "q_export_shards" ->
       s"""WITH d AS (
          |  SELECT doc_id,

@@ -135,4 +135,23 @@ class CurationSpec extends SparkSpec {
       assert(r.getAs[Long]("min_doc_id") <= r.getAs[Long]("max_doc_id"))
     }
   }
+
+  test("dataset card shares are a complete partition of the corpus") {
+    val rows = SparkEntry.queries("q_dataset_card")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    // truncated e6 shares: each ≤ its exact value, sum within one
+    // truncation-unit per row of 10⁶, never over
+    val docShare = rows.map(_.getAs[Long]("doc_share_e6")).sum
+    assert(docShare <= 1000000L && docShare > 1000000L - rows.length,
+      s"doc shares sum to $docShare over ${rows.length} cells")
+    val tokShare = rows.map(_.getAs[Long]("tok_share_e6")).sum
+    assert(tokShare <= 1000000L && tokShare > 1000000L - rows.length)
+    rows.foreach { r =>
+      // integer mean is exactly (tokens*100) div docs
+      assert(r.getAs[Long]("mean_tok_e2") ==
+        r.getAs[Long]("n_tokens") * 100 / r.getAs[Long]("n_docs"))
+    }
+  }
 }

@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private val K = 5
+  private[graft] val K = 5
   /** IVF defaults, pinned because the DuckDB oracle interpolates them. */
   private val IvfCells = 16
   /** Probing 4/16 cells measured recall@5 = 0.54 vs 0.36 at nprobe=2
@@ -63,6 +63,61 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         (floor(col("cos_raw") * 1e6 + 0.5) / 1e6).as("cosine"), col("rank"))
       .orderBy("query_id", "rank")
+  }
+
+  /** Neighbors per node for q_knn_graph (mutual top-[[KnnK]]). */
+  private[graft] val KnnK = 10
+
+  /** q_knn_graph: the MUTUAL k-nearest-neighbor graph over the
+    * embedding table — one row per undirected edge (id_a < id_b) kept
+    * iff each endpoint ranks inside the other's top-[[KnnK]] by cosine,
+    * with both direction ranks carried. The mutual-kNN graph is the
+    * standard substrate for graph-based curation: connected components
+    * over it give semantic clusters (the clustering stage SemDeDup-
+    * style pruning and diversity sampling read), and the mutuality
+    * condition is the classic noise cut — a hub that merely *appears*
+    * in everyone's list contributes no edge unless the neighborhood is
+    * reciprocal.
+    *
+    * Scale shape: the embedding side table is bounded (a fixed
+    * catalog, broadcast like q_ann_cosine's query set), so scoring is
+    * map-side over the widened scan and the only shuffles are the two
+    * rank windows on id_a (cardinality = |nodes|) and the edge-key
+    * equi-join of the two directed halves. At corpus scale the
+    * all-pairs score is exactly what brute force can't afford — there
+    * the SAME mutual-filter + rank tail runs unchanged over LSH /
+    * IVF candidate pairs (q_ann_lsh_cosine's bucket join or
+    * q_semdedup's cells feed it); the exact graph here defines the
+    * semantics and the oracle. Directed top-K halves meet in an
+    * equi-join on (id_a, id_b) — never an all-pairs recheck — and the
+    * scored pair count a node contributes to the join is capped at
+    * [[KnnK]] however dense its neighborhood. */
+  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.widened(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val rhs = emb.select(col("vec_id").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    // dot folds in pinned index order and multiplication commutes
+    // elementwise, so cos(a,b) and cos(b,a) are bit-identical — the
+    // two directed halves agree exactly, on both engines.
+    val scored = emb.join(broadcast(rhs), col("vec_id") =!= col("id_b"))
+      .select(col("vec_id").as("id_a"), col("id_b"),
+        (dot(col("v"), col("vb")) / (col("nrm") * col("nb"))).as("cos_raw"))
+    val w = Window.partitionBy("id_a")
+      .orderBy(col("cos_raw").desc, col("id_b").asc)
+    // consumed by both directions of the mutual join; |nodes|·K rows
+    val top = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= KnnK)
+      .localCheckpoint()
+    val rev = top.select(col("id_b").as("id_a"), col("id_a").as("id_b"),
+      col("rank").as("rank_ba"))
+    top.filter(col("id_a") < col("id_b"))
+      .join(rev, Seq("id_a", "id_b"))
+      .select(col("id_a"), col("id_b"),
+        (floor(col("cos_raw") * 1e6 + 0.5) / 1e6).as("cosine"),
+        col("rank").as("rank_ab"), col("rank_ba"))
+      .orderBy("id_a", "id_b")
   }
 
   /** Default hyperplane count for the registered queries (2⁸ = 256
@@ -467,6 +522,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_feature_scale" -> (featureScale(_, _)),
     "q_ann_cosine" -> (annCosine(_, _)),
+    "q_knn_graph" -> (knnGraph(_, _)),
     "q_ann_lsh_cosine" -> (annLshCosine(_, _)),
     "q_ann_ivf_cosine" -> (annIvfCosine(_, _)),
     "q_dedup_embedding" -> (dedupEmbedding(_, _)),
@@ -621,6 +677,34 @@ object Similarity {
          |SELECT query_id, neighbor_id, floor(cos_raw * 1e6 + 0.5) / 1e6 AS cosine, rank
          |FROM ranked WHERE rank <= $K
          |ORDER BY query_id, rank""".stripMargin,
+    // Same nrm/scored prelude as q_ann_cosine but unsampled; the two
+    // directed top-K halves meet on (id_a, id_b), a < b emitted once.
+    "q_knn_graph" ->
+      s"""WITH emb AS (
+         |  SELECT vec_id,
+         |    [CAST(x AS DOUBLE) for x in embedding] AS v
+         |  FROM embeddings),
+         |nrm AS (
+         |  SELECT vec_id, v,
+         |    sqrt(list_reduce([v[i] * v[i] for i in range(1, len(v) + 1)], (a, b) -> a + b)) AS nrm
+         |  FROM emb),
+         |scored AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    list_reduce([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)], (a2, b2) -> a2 + b2)
+         |      / (a.nrm * b.nrm) AS cos_raw
+         |  FROM nrm a JOIN nrm b ON a.vec_id <> b.vec_id),
+         |ranked AS (
+         |  SELECT id_a, id_b, cos_raw,
+         |    ROW_NUMBER() OVER (PARTITION BY id_a
+         |      ORDER BY cos_raw DESC, id_b ASC) AS rank
+         |  FROM scored),
+         |top AS (SELECT * FROM ranked WHERE rank <= $KnnK)
+         |SELECT f.id_a AS id_a, f.id_b AS id_b,
+         |  floor(f.cos_raw * 1e6 + 0.5) / 1e6 AS cosine,
+         |  f.rank AS rank_ab, r.rank AS rank_ba
+         |FROM top f JOIN top r ON f.id_a = r.id_b AND f.id_b = r.id_a
+         |WHERE f.id_a < f.id_b
+         |ORDER BY f.id_a, f.id_b""".stripMargin,
     "q_ann_cosine" ->
       s"""WITH emb AS (
          |  SELECT vec_id,

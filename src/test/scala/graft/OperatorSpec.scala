@@ -39,6 +39,39 @@ class OperatorSpec extends SparkSpec {
     assert(df.groupBy("id_a", "id_b").count().filter(col("count") > 1).count() == 0)
   }
 
+  test("knn_graph edges are mutual, degree-capped, and agree with ann_cosine") {
+    val edges = run("q_knn_graph").collect()
+    val k = graft.operators.Similarity.KnnK
+    edges.foreach { r =>
+      assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b"))
+      val (rab, rba) = (r.getAs[Int]("rank_ab"), r.getAs[Int]("rank_ba"))
+      assert(rab >= 1 && rab <= k && rba >= 1 && rba <= k, s"ranks $rab/$rba")
+      val c = r.getAs[Double]("cosine")
+      assert(c >= -1.0 && c <= 1.0, s"cosine $c")
+    }
+    assert(edges.map(r => (r.getLong(0), r.getLong(1))).distinct.length == edges.length)
+    // undirected mutual degree is capped at K by construction
+    val deg = edges.flatMap(r => Seq(r.getLong(0), r.getLong(1)))
+      .groupBy(identity).map(_._2.length)
+    assert(deg.max <= k, s"max degree ${deg.max}")
+    // mutuality is a CUT, not a cap: edges must be a strict subset of
+    // the directed top-K lists, so some directed pick is non-reciprocal
+    assert(deg.min >= 1 && edges.nonEmpty)
+    // cross-operator consistency: an edge incident to an ann_cosine
+    // query node whose rank FROM that node is within ann's K must
+    // appear in ann_cosine's top-K for that query
+    val ann = run("q_ann_cosine").collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val annK = graft.operators.Similarity.K
+    edges.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      if (a % 50 == 0 && r.getAs[Int]("rank_ab") <= annK)
+        assert(ann.contains((a, b)), s"edge ($a,$b) missing from ann top-$annK")
+      if (b % 50 == 0 && r.getAs[Int]("rank_ba") <= annK)
+        assert(ann.contains((b, a)), s"edge ($b,$a) missing from ann top-$annK")
+    }
+  }
+
   test("incremental dedup equals the full pair set restricted to the delta") {
     val inc = run("q_dedup_incremental").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))

@@ -281,46 +281,64 @@ object Dedup {
     * and no component is ever collected; singleton docs never enter
     * the loop and rejoin at the end as their own clusters. */
   def dedupClusters(spark: SparkSession, dir: String, maxIter: Int = 30): DataFrame = {
-    val pairs = minhashPairs(spark, dir).select("id_a", "id_b")
+    val labels = componentLabels(minhashPairs(spark, dir).select("id_a", "id_b"), maxIter)
+    val lab = Tables.documents(spark, dir)
+      .select(col("doc_id"))
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
+    val sizes = lab.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    lab
+      .join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
+  /** The shared Pregel-style CC loop behind [[dedupClusters]] and
+    * Similarity.knnComponents: min-label propagation + pointer jumping
+    * over the pair graph's nodes ONLY. Input: one row per undirected
+    * edge (id_a, id_b); output: (id, label) for exactly the ids that
+    * appear in some pair — a node in no pair is a singleton whose
+    * label could never change, so it never enters the loop (callers
+    * rejoin singletons as label = id) and each round shuffles the
+    * orders-of-magnitude-smaller pair-graph node set, never the whole
+    * corpus. Each round: one edge join + the label(label(x)) pointer
+    * jump (halves the remaining path to the component minimum —
+    * O(log diameter) rounds, not O(diameter)) + a bounded one-row
+    * convergence aggregate (the label sum strictly decreases until
+    * fixpoint, so no per-row change tracking); `localCheckpoint`
+    * truncates lineage so round N never replays rounds 1..N-1. */
+  private[graft] def componentLabels(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
     val edges = pairs
       .unionAll(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .toDF("src", "dst")
       .persist() // re-joined every round; dropped in the finally below
     try {
-      // propagate over the pair graph's nodes ONLY: docs that appear in
-      // no pair are singletons whose label can never change, so at
-      // corpus scale each round shuffles the (orders-of-magnitude
-      // smaller) near-dup node set, never the whole corpus — singletons
-      // rejoin at the end with cluster_id = doc_id
-      var labels = edges.select(col("src").as("doc_id")).distinct()
-        .withColumn("label", col("doc_id"))
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id"))
         .localCheckpoint()
       var prevSum = BigDecimal(-1)
       var converged = false
       var i = 0
       while (!converged && i < maxIter) {
         val nbrMin = edges
-          .join(labels.select(col("doc_id").as("dst"), col("label").as("nl")), Seq("dst"))
-          .groupBy(col("src").as("doc_id"))
+          .join(labels.select(col("id").as("dst"), col("label").as("nl")), Seq("dst"))
+          .groupBy(col("src").as("id"))
           .agg(min("nl").as("nmin"))
         val stepped = labels
-          .join(nbrMin, Seq("doc_id"), "left")
-          .select(col("doc_id"),
+          .join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
             least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        // pointer jumping: also adopt label(label(x)) — the hop halves
-        // the remaining path to the component minimum every round, so
-        // convergence is O(log diameter) rounds instead of O(diameter)
-        // (a long near-dup chain would otherwise cost one shuffle round
-        // per hop). Lazy checkpoint: the convergence aggregate below is
-        // the action that materializes it — one job per round.
+        // lazy checkpoint: the convergence aggregate below is the
+        // action that materializes it — one job per round.
         labels = stepped.as("s")
-          .join(stepped.select(col("doc_id").as("label"), col("label").as("ll")).as("p"),
+          .join(stepped.select(col("id").as("label"), col("label").as("ll")).as("p"),
             Seq("label"), "left")
-          .select(col("doc_id"),
+          .select(col("id"),
             least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
           .localCheckpoint(false)
-        // coalesce: a corpus with no near-dup pairs has an empty label
-        // set, and sum() over nothing is null, not 0
+        // coalesce: a graph with no pairs has an empty label set, and
+        // sum() over nothing is null, not 0
         val curSum = BigDecimal(
           labels.agg(coalesce(sum(col("label").cast(DecimalType(38, 0))),
             lit(0).cast(DecimalType(38, 0)))).head().getDecimal(0))
@@ -328,16 +346,9 @@ object Dedup {
         prevSum = curSum
         i += 1
       }
-      val lab = Tables.documents(spark, dir)
-        .select(col("doc_id"))
-        .join(labels, Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
-      val sizes = lab.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
-      lab
-        .join(sizes, Seq("cluster_id"))
-        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
-          (col("doc_id") === col("cluster_id")).as("is_canonical"))
-        .orderBy("doc_id")
+      // the final round's aggregate materialized the checkpoint, so the
+      // returned frame no longer depends on the unpersisted edge list
+      labels
     } finally edges.unpersist()
   }
 

@@ -92,7 +92,17 @@ object Similarity {
     * equi-join on (id_a, id_b) — never an all-pairs recheck — and the
     * scored pair count a node contributes to the join is capped at
     * [[KnnK]] however dense its neighborhood. */
-  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+  def knnGraph(spark: SparkSession, dir: String): DataFrame =
+    knnMutual(spark, dir)
+      .select(col("id_a"), col("id_b"),
+        (floor(col("cos_raw") * 1e6 + 0.5) / 1e6).as("cosine"),
+        col("rank").as("rank_ab"), col("rank_ba"))
+      .orderBy("id_a", "id_b")
+
+  /** The mutual-edge set behind [[knnGraph]] and [[knnComponents]]:
+    * one row per undirected edge (id_a < id_b, raw cosine, both
+    * direction ranks), directed top-K halves met on (id_a, id_b). */
+  private def knnMutual(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.widened(Tables.embeddings(spark, dir))
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
@@ -114,10 +124,36 @@ object Similarity {
       col("rank").as("rank_ba"))
     top.filter(col("id_a") < col("id_b"))
       .join(rev, Seq("id_a", "id_b"))
-      .select(col("id_a"), col("id_b"),
-        (floor(col("cos_raw") * 1e6 + 0.5) / 1e6).as("cosine"),
-        col("rank").as("rank_ab"), col("rank_ba"))
-      .orderBy("id_a", "id_b")
+  }
+
+  /** q_knn_components: SEMANTIC CLUSTERS — connected components over
+    * the mutual-kNN graph ([[knnGraph]]'s edge set), one row per
+    * embedding with its cluster id (= minimum member), cluster size,
+    * and the canonical-keeper flag. This is the clustering stage
+    * graph-based curation reads: SemDeDup-style pruning keeps one (or
+    * a few) representatives per semantic cluster, diversity sampling
+    * allocates budget across clusters, and mutual-kNN + CC is the
+    * standard way to get those clusters without a centroid fit.
+    *
+    * Scale shape: the CC loop is Dedup.componentLabels — min-label
+    * propagation + pointer jumping over the MUTUAL-edge node set only
+    * (≤ |nodes|·K edges by the top-K cap, O(log diameter) rounds),
+    * with embeddings that formed no mutual edge rejoining at the end
+    * as singleton clusters, exactly like q_dedup_clusters' singleton
+    * docs. At corpus scale the edges come from the LSH/IVF candidate
+    * tail instead of the exact graph; the loop is unchanged. */
+  def knnComponents(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Dedup.componentLabels(knnMutual(spark, dir).select("id_a", "id_b"))
+    val lab = Tables.embeddings(spark, dir)
+      .select(col("vec_id"))
+      .join(labels.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("label"), col("vec_id")).as("cluster_id"))
+    val sizes = lab.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    lab
+      .join(sizes, Seq("cluster_id"))
+      .select(col("vec_id"), col("cluster_id"), col("cluster_size"),
+        (col("vec_id") === col("cluster_id")).as("is_canonical"))
+      .orderBy("vec_id")
   }
 
   /** Default hyperplane count for the registered queries (2⁸ = 256
@@ -523,6 +559,7 @@ object Similarity {
     "q_feature_scale" -> (featureScale(_, _)),
     "q_ann_cosine" -> (annCosine(_, _)),
     "q_knn_graph" -> (knnGraph(_, _)),
+    "q_knn_components" -> (knnComponents(_, _)),
     "q_ann_lsh_cosine" -> (annLshCosine(_, _)),
     "q_ann_ivf_cosine" -> (annIvfCosine(_, _)),
     "q_dedup_embedding" -> (dedupEmbedding(_, _)),
@@ -555,6 +592,30 @@ object Similarity {
        |embb AS (
        |  SELECT nrm.vec_id, v, nrm, bucket FROM nrm JOIN buck USING (vec_id))""".stripMargin
   }
+
+  /** Shared CTE chain rebuilding [[knnMutual]]'s directed top-K lists
+    * (through `top`) — composed by the q_knn_graph and
+    * q_knn_components oracles. */
+  private val knnTopSql: String =
+    s"""emb AS (
+       |  SELECT vec_id,
+       |    [CAST(x AS DOUBLE) for x in embedding] AS v
+       |  FROM embeddings),
+       |nrm AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_reduce([v[i] * v[i] for i in range(1, len(v) + 1)], (a, b) -> a + b)) AS nrm
+       |  FROM emb),
+       |scored AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    list_reduce([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)], (a2, b2) -> a2 + b2)
+       |      / (a.nrm * b.nrm) AS cos_raw
+       |  FROM nrm a JOIN nrm b ON a.vec_id <> b.vec_id),
+       |ranked AS (
+       |  SELECT id_a, id_b, cos_raw,
+       |    ROW_NUMBER() OVER (PARTITION BY id_a
+       |      ORDER BY cos_raw DESC, id_b ASC) AS rank
+       |  FROM scored),
+       |top AS (SELECT * FROM ranked WHERE rank <= $KnnK)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q_feature_scale" ->
@@ -680,31 +741,37 @@ object Similarity {
     // Same nrm/scored prelude as q_ann_cosine but unsampled; the two
     // directed top-K halves meet on (id_a, id_b), a < b emitted once.
     "q_knn_graph" ->
-      s"""WITH emb AS (
-         |  SELECT vec_id,
-         |    [CAST(x AS DOUBLE) for x in embedding] AS v
-         |  FROM embeddings),
-         |nrm AS (
-         |  SELECT vec_id, v,
-         |    sqrt(list_reduce([v[i] * v[i] for i in range(1, len(v) + 1)], (a, b) -> a + b)) AS nrm
-         |  FROM emb),
-         |scored AS (
-         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |    list_reduce([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)], (a2, b2) -> a2 + b2)
-         |      / (a.nrm * b.nrm) AS cos_raw
-         |  FROM nrm a JOIN nrm b ON a.vec_id <> b.vec_id),
-         |ranked AS (
-         |  SELECT id_a, id_b, cos_raw,
-         |    ROW_NUMBER() OVER (PARTITION BY id_a
-         |      ORDER BY cos_raw DESC, id_b ASC) AS rank
-         |  FROM scored),
-         |top AS (SELECT * FROM ranked WHERE rank <= $KnnK)
+      s"""WITH $knnTopSql
          |SELECT f.id_a AS id_a, f.id_b AS id_b,
          |  floor(f.cos_raw * 1e6 + 0.5) / 1e6 AS cosine,
          |  f.rank AS rank_ab, r.rank AS rank_ba
          |FROM top f JOIN top r ON f.id_a = r.id_b AND f.id_b = r.id_a
          |WHERE f.id_a < f.id_b
          |ORDER BY f.id_a, f.id_b""".stripMargin,
+    // Mutual edges from the shared top-K prelude, then the same
+    // reachability-closure CC the q_dedup_clusters oracle uses; the
+    // seed row set is ALL embeddings so singletons label themselves.
+    "q_knn_components" ->
+      s"""WITH RECURSIVE $knnTopSql,
+         |mutual AS (
+         |  SELECT f.id_a, f.id_b
+         |  FROM top f JOIN top r ON f.id_a = r.id_b AND f.id_b = r.id_a
+         |  WHERE f.id_a < f.id_b),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM mutual
+         |  UNION ALL SELECT id_b AS src, id_a AS dst FROM mutual),
+         |reach(node, r) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT w.node, e.dst FROM reach w JOIN edges e ON e.src = w.r),
+         |lab AS (
+         |  SELECT node AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY node),
+         |sz AS (
+         |  SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id)
+         |SELECT l.vec_id, l.cluster_id, s.cluster_size,
+         |  l.vec_id = l.cluster_id AS is_canonical
+         |FROM lab l JOIN sz s USING (cluster_id)
+         |ORDER BY l.vec_id""".stripMargin,
     "q_ann_cosine" ->
       s"""WITH emb AS (
          |  SELECT vec_id,

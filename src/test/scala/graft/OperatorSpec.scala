@@ -72,6 +72,39 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("knn_components equals an independent union-find over the knn edges") {
+    val comp = run("q_knn_components").collect()
+    // exactly one row per embedding; cluster_id is the minimum member;
+    // sizes count members; the canonical flag marks the minimum
+    assert(comp.map(_.getLong(0)).distinct.length == comp.length)
+    comp.groupBy(_.getLong(1)).foreach { case (cid, rs) =>
+      assert(rs.map(_.getLong(0)).min == cid, s"cluster $cid min")
+      rs.foreach(r => assert(r.getLong(2) == rs.length, s"cluster $cid size"))
+    }
+    comp.foreach(r =>
+      assert(r.getBoolean(3) == (r.getLong(0) == r.getLong(1))))
+    // independent re-derivation: min-root union-find over the edge list
+    val edges = run("q_knn_graph").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    comp.foreach { r =>
+      assert(find(r.getLong(0)) == r.getLong(1),
+        s"node ${r.getLong(0)}: expected ${find(r.getLong(0))}, got ${r.getLong(1)}")
+    }
+    // the graph must actually cluster: at least one non-singleton
+    // (at the spec's tiny sf the mutual graph may be ONE component, so
+    // a multi-cluster assertion would overfit the data scale)
+    assert(comp.exists(_.getLong(2) > 1))
+  }
+
   test("incremental dedup equals the full pair set restricted to the delta") {
     val inc = run("q_dedup_incremental").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))

@@ -99,10 +99,11 @@ object Similarity {
         col("rank").as("rank_ab"), col("rank_ba"))
       .orderBy("id_a", "id_b")
 
-  /** The mutual-edge set behind [[knnGraph]] and [[knnComponents]]:
-    * one row per undirected edge (id_a < id_b, raw cosine, both
-    * direction ranks), directed top-K halves met on (id_a, id_b). */
-  private def knnMutual(spark: SparkSession, dir: String): DataFrame = {
+  /** The mutual-edge set behind [[knnGraph]], [[knnComponents]] and
+    * [[clusterSample]]: one row per undirected edge (id_a < id_b, raw
+    * cosine, both direction ranks), directed top-k halves met on
+    * (id_a, id_b). */
+  private def knnMutual(spark: SparkSession, dir: String, k: Int = KnnK): DataFrame = {
     val emb = Tables.widened(Tables.embeddings(spark, dir))
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
@@ -116,9 +117,9 @@ object Similarity {
         (dot(col("v"), col("vb")) / (col("nrm") * col("nb"))).as("cos_raw"))
     val w = Window.partitionBy("id_a")
       .orderBy(col("cos_raw").desc, col("id_b").asc)
-    // consumed by both directions of the mutual join; |nodes|·K rows
+    // consumed by both directions of the mutual join; |nodes|·k rows
     val top = scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= KnnK)
+      .filter(col("rank") <= k)
       .localCheckpoint()
     val rev = top.select(col("id_b").as("id_a"), col("id_a").as("id_b"),
       col("rank").as("rank_ba"))
@@ -153,6 +154,54 @@ object Similarity {
       .join(sizes, Seq("cluster_id"))
       .select(col("vec_id"), col("cluster_id"), col("cluster_size"),
         (col("vec_id") === col("cluster_id")).as("is_canonical"))
+      .orderBy("vec_id")
+  }
+
+  /** Cluster-substrate neighbor count for [[clusterSample]]: mutual
+    * top-2 is a much stricter reciprocity cut than [[KnnK]] = 10, so
+    * the component structure stays FINE-grained (hundreds of small
+    * clusters on this corpus) instead of collapsing into one giant
+    * component — the granularity a diversity sampler actually wants.
+    * Pinned because the DuckDB oracle interpolates it. */
+  private[graft] val SampleKnnK = 2
+
+  /** q_cluster_sample: DIVERSITY SAMPLING over the semantic clusters —
+    * the budget-allocation stage that reads [[knnComponents]]-style
+    * clusters and keeps ⌈√size⌉ representatives per cluster (the
+    * standard sub-linear allocation: a 10 000-doc near-duplicate blob
+    * contributes 100 docs, a singleton keeps itself — coverage without
+    * letting dense regions dominate the mix). Picks are a
+    * deterministic salted-md5 draw ranked inside each cluster, so the
+    * sample is reproducible, layout-independent, and hash-oracled.
+    *
+    * Scale shape: clusters come from [[SampleKnnK]]-mutual edges via
+    * the shared CC loop (work ∝ mutual-edge node set); budget math is
+    * exact — IEEE sqrt of a perfect square is exact, so ⌈√n⌉ agrees
+    * bit-for-bit across engines — and the per-cluster rank window
+    * sorts each cluster once (bounded by the largest component; at
+    * corpus scale with huge clusters the same top-⌈√n⌉ cut runs as the
+    * capped-buffer aggregate, q_reservoir's O(k) shape). */
+  def clusterSample(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Dedup.componentLabels(
+      knnMutual(spark, dir, SampleKnnK).select("id_a", "id_b"))
+    val lab = Tables.embeddings(spark, dir)
+      .select(col("vec_id"))
+      .join(labels.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("label"), col("vec_id")).as("cluster_id"))
+    val sizes = lab.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    val draws = lab
+      .join(sizes, Seq("cluster_id"))
+      .withColumn("budget",
+        ceil(sqrt(col("cluster_size").cast("double"))).cast("long"))
+      .withColumn("draw", expr(
+        "cast(conv(substr(md5(concat('cs|', cast(vec_id as string))), 1, 15), 16, 10) as bigint)"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("draw").asc, col("vec_id").asc)
+    draws
+      .withColumn("pick_rank", row_number().over(w))
+      .filter(col("pick_rank") <= col("budget"))
+      .select(col("vec_id"), col("cluster_id"), col("cluster_size"),
+        col("budget"), col("pick_rank"))
       .orderBy("vec_id")
   }
 
@@ -560,6 +609,7 @@ object Similarity {
     "q_ann_cosine" -> (annCosine(_, _)),
     "q_knn_graph" -> (knnGraph(_, _)),
     "q_knn_components" -> (knnComponents(_, _)),
+    "q_cluster_sample" -> (clusterSample(_, _)),
     "q_ann_lsh_cosine" -> (annLshCosine(_, _)),
     "q_ann_ivf_cosine" -> (annIvfCosine(_, _)),
     "q_dedup_embedding" -> (dedupEmbedding(_, _)),
@@ -593,10 +643,10 @@ object Similarity {
        |  SELECT nrm.vec_id, v, nrm, bucket FROM nrm JOIN buck USING (vec_id))""".stripMargin
   }
 
-  /** Shared CTE chain rebuilding [[knnMutual]]'s directed top-K lists
-    * (through `top`) — composed by the q_knn_graph and
-    * q_knn_components oracles. */
-  private val knnTopSql: String =
+  /** Shared CTE chain rebuilding [[knnMutual]]'s directed top-k lists
+    * (through `top`) — composed by the q_knn_graph, q_knn_components
+    * and q_cluster_sample oracles. */
+  private def knnTopSql(k: Int): String =
     s"""emb AS (
        |  SELECT vec_id,
        |    [CAST(x AS DOUBLE) for x in embedding] AS v
@@ -615,7 +665,7 @@ object Similarity {
        |    ROW_NUMBER() OVER (PARTITION BY id_a
        |      ORDER BY cos_raw DESC, id_b ASC) AS rank
        |  FROM scored),
-       |top AS (SELECT * FROM ranked WHERE rank <= $KnnK)""".stripMargin
+       |top AS (SELECT * FROM ranked WHERE rank <= $k)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q_feature_scale" ->
@@ -741,7 +791,7 @@ object Similarity {
     // Same nrm/scored prelude as q_ann_cosine but unsampled; the two
     // directed top-K halves meet on (id_a, id_b), a < b emitted once.
     "q_knn_graph" ->
-      s"""WITH $knnTopSql
+      s"""WITH ${knnTopSql(KnnK)}
          |SELECT f.id_a AS id_a, f.id_b AS id_b,
          |  floor(f.cos_raw * 1e6 + 0.5) / 1e6 AS cosine,
          |  f.rank AS rank_ab, r.rank AS rank_ba
@@ -752,7 +802,7 @@ object Similarity {
     // reachability-closure CC the q_dedup_clusters oracle uses; the
     // seed row set is ALL embeddings so singletons label themselves.
     "q_knn_components" ->
-      s"""WITH RECURSIVE $knnTopSql,
+      s"""WITH RECURSIVE ${knnTopSql(KnnK)},
          |mutual AS (
          |  SELECT f.id_a, f.id_b
          |  FROM top f JOIN top r ON f.id_a = r.id_b AND f.id_b = r.id_a
@@ -772,6 +822,36 @@ object Similarity {
          |  l.vec_id = l.cluster_id AS is_canonical
          |FROM lab l JOIN sz s USING (cluster_id)
          |ORDER BY l.vec_id""".stripMargin,
+    // Finer clusters (mutual top-SampleKnnK), then the ⌈√size⌉ budget
+    // cut over salted-md5 ranked members.
+    "q_cluster_sample" ->
+      s"""WITH RECURSIVE ${knnTopSql(SampleKnnK)},
+         |mutual AS (
+         |  SELECT f.id_a, f.id_b
+         |  FROM top f JOIN top r ON f.id_a = r.id_b AND f.id_b = r.id_a
+         |  WHERE f.id_a < f.id_b),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM mutual
+         |  UNION ALL SELECT id_b AS src, id_a AS dst FROM mutual),
+         |reach(node, r) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT w.node, e.dst FROM reach w JOIN edges e ON e.src = w.r),
+         |lab AS (
+         |  SELECT node AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY node),
+         |sz AS (
+         |  SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id),
+         |draws AS (
+         |  SELECT l.vec_id, l.cluster_id, s.cluster_size,
+         |    CAST(ceil(sqrt(CAST(s.cluster_size AS DOUBLE))) AS BIGINT) AS budget,
+         |    ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+         |      ORDER BY CAST(concat('0x',
+         |          substr(md5(concat('cs|', CAST(l.vec_id AS VARCHAR))), 1, 15)) AS BIGINT),
+         |        l.vec_id) AS pick_rank
+         |  FROM lab l JOIN sz s USING (cluster_id))
+         |SELECT vec_id, cluster_id, cluster_size, budget, pick_rank
+         |FROM draws WHERE pick_rank <= budget
+         |ORDER BY vec_id""".stripMargin,
     "q_ann_cosine" ->
       s"""WITH emb AS (
          |  SELECT vec_id,

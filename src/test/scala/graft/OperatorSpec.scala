@@ -105,6 +105,29 @@ class OperatorSpec extends SparkSpec {
     assert(comp.exists(_.getLong(2) > 1))
   }
 
+  test("cluster_sample keeps exactly ceil(sqrt(size)) per cluster with valid ranks") {
+    val picks = run("q_cluster_sample").collect()
+    assert(picks.map(_.getLong(0)).distinct.length == picks.length)
+    picks.foreach { r =>
+      val (size, budget, rank) = (r.getLong(2), r.getLong(3), r.getInt(4))
+      // ⌈√size⌉ in exact integer terms: smallest b with b² ≥ size
+      assert(budget * budget >= size && (budget - 1) * (budget - 1) < size,
+        s"budget $budget vs size $size")
+      assert(rank >= 1 && rank <= budget, s"rank $rank vs budget $budget")
+    }
+    // per-cluster pick count = min(size, budget) and ranks are 1..count
+    picks.groupBy(_.getLong(1)).foreach { case (cid, rs) =>
+      val expect = math.min(rs.head.getLong(2), rs.head.getLong(3))
+      assert(rs.length == expect, s"cluster $cid picked ${rs.length}, want $expect")
+      assert(rs.map(_.getInt(4)).sorted.sameElements(1 to rs.length))
+    }
+    // the stricter SampleKnnK substrate must yield REAL structure:
+    // many clusters, none spanning most of the catalog
+    val sizes = picks.groupBy(_.getLong(1)).map(_._2.head.getLong(2))
+    assert(picks.map(_.getLong(1)).distinct.length > 10)
+    assert(sizes.max < 100, s"largest cluster ${sizes.max} — substrate collapsed")
+  }
+
   test("incremental dedup equals the full pair set restricted to the delta") {
     val inc = run("q_dedup_incremental").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))

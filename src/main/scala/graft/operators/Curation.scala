@@ -502,7 +502,126 @@ object Curation {
       .orderBy("source", "lang")
   }
 
+  /** Length-bucket count and width for [[psiDrift]]: 16 buckets of 256
+    * chars (cap at the last) cover the corpus's n_chars range; pinned
+    * because the DuckDB oracle interpolates both. */
+  private[graft] val PsiBuckets = 16
+  private val PsiWidth = 256L
+  /** Conventional PSI alarm threshold (0.1 on the natural scale ⇒
+    * 100 000 at e6) — the industry rule of thumb: <0.1 stable,
+    * 0.1–0.25 moderate shift, >0.25 major shift. */
+  private val PsiAlarmE6 = 100000L
+
+  /** q_psi_drift: per-source Population Stability Index of the
+    * doc-length distribution against the corpus-wide mix — the drift
+    * monitor a production pipeline runs per ingest source to catch a
+    * crawler or parser gone wrong (truncated pages, boilerplate
+    * floods) before the batch pollutes the training mix.
+    *
+    * PSI = Σ_buckets (p_i − q_i)·ln(p_i/q_i) with add-one smoothing
+    * over the fixed [[PsiBuckets]]-bucket grid (so empty buckets
+    * contribute finite mass and the index is defined for every
+    * source). Each term is floored to e6 BEFORE the sum, and p, q are
+    * single divisions of exactly-representable integers — the same
+    * operation tree on both engines, so the only cross-engine risk is
+    * a sub-ulp ln() difference landing exactly on a floor boundary
+    * (the accepted q_zipf_spectrum tradeoff).
+    *
+    * Scale shape: one corpus scan → two-phase (source, bucket) counts
+    * (≤ |sources|·16 rows), bucket totals and the grand total reduced
+    * from THAT card-sized frame, the 16-row bucket grid broadcast —
+    * nothing after the first aggregate is corpus-sized. */
+  def psiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val b = Tables.documents(spark, dir)
+      .select(col("source"),
+        least(col("n_chars") / lit(PsiWidth), lit(PsiBuckets - 1L))
+          .cast("long").as("bucket"))
+    val sc = b.groupBy("source", "bucket").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // ≤ |sources|·16 rows; four consumers below
+    val st = sc.groupBy("source").agg(sum("c").as("n_src"))
+    val cc = sc.groupBy("bucket").agg(sum("c").as("cb"))
+    val ct = sc.agg(sum("c").as("n_all"))
+    val grid = st.crossJoin(broadcast(
+      spark.range(PsiBuckets).select(col("id").as("bucket"))))
+    val terms = grid
+      .join(sc, Seq("source", "bucket"), "left")
+      .join(broadcast(cc), Seq("bucket"), "left")
+      .crossJoin(broadcast(ct))
+      .withColumn("p", (coalesce(col("c"), lit(0L)) + 1L).cast("double") /
+        (col("n_src") + lit(PsiBuckets.toLong)).cast("double"))
+      .withColumn("q", (coalesce(col("cb"), lit(0L)) + 1L).cast("double") /
+        (col("n_all") + lit(PsiBuckets.toLong)).cast("double"))
+      .withColumn("term_e6",
+        floor((col("p") - col("q")) * log(col("p") / col("q")) * 1e6 + 0.5)
+          .cast("long"))
+    terms.groupBy("source", "n_src")
+      .agg(sum("term_e6").as("psi_e6"))
+      .select(col("source"), col("n_src").as("n_docs"), col("psi_e6"),
+        (col("psi_e6") > PsiAlarmE6).as("drift"))
+      .orderBy("source")
+  }
+
+  /** Snapshot-membership salt for [[snapshotDiff]] — md5-bucket of the
+    * doc id, mod 10: bucket 0 exists only in the NEW snapshot (added),
+    * bucket 1 only in the OLD (removed), bucket 2 in both with edited
+    * text (changed). Shared verbatim with the oracle. */
+  private val SnapSalt = "snap|"
+
+  /** q_snapshot_diff: the incremental-ingest diff between two corpus
+    * snapshots — per (status, lang) added/removed/changed/unchanged
+    * document and character deltas, the report a pipeline emits per
+    * crawl refresh to decide how much downstream work (dedup, decontam,
+    * re-packing) the delta actually forces.
+    *
+    * The TESTDATA stand-in derives both snapshots from the one
+    * documents table via a deterministic md5 bucket (10% added, 10%
+    * removed, 10% edited); against real data the two sides are two
+    * parquet snapshot roots and everything from the join down is
+    * unchanged.
+    *
+    * Scale shape: the canonical CDC join — FULL OUTER on the doc key,
+    * co-partitioned sort-merge (both sides shuffle once on doc_id);
+    * change detection compares CONTENT HASHES (md5, computed map-side
+    * before the join), never the payloads, so the wide text column
+    * never rides the shuffle; the report is a two-phase (status, lang)
+    * aggregate of the joined flags. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .withColumn("b",
+        expr(s"cast(conv(substr(md5(concat('$SnapSalt', cast(doc_id as string))), 1, 15), 16, 10) as bigint) % 10"))
+    val old = d.filter(col("b") =!= 0)
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("h"),
+        col("n_chars"))
+    val neu = d.filter(col("b") =!= 1)
+      .select(col("doc_id"), col("lang"),
+        when(col("b") === 2, md5(concat(col("text"), lit(" [rev2]"))))
+          .otherwise(md5(col("text"))).as("h"),
+        when(col("b") === 2, col("n_chars") + 7L)
+          .otherwise(col("n_chars")).as("n_chars"))
+    val o = old.select(col("doc_id"), col("lang"), col("h").as("ho"),
+      col("n_chars").as("co"))
+    val n = neu.select(col("doc_id").as("n_doc_id"), col("lang").as("n_lang"),
+      col("h").as("hn"), col("n_chars").as("cn"))
+    o.join(n, col("doc_id") === col("n_doc_id"), "full_outer")
+      .select(
+        coalesce(col("lang"), col("n_lang")).as("lang"),
+        when(col("doc_id").isNull, lit("added"))
+          .when(col("n_doc_id").isNull, lit("removed"))
+          .when(col("ho") =!= col("hn"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"),
+        coalesce(col("co"), lit(0L)).as("co"),
+        coalesce(col("cn"), lit(0L)).as("cn"))
+      .groupBy("status", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("co").as("chars_old"),
+        sum("cn").as("chars_new"),
+        sum(col("cn") - col("co")).as("chars_delta"))
+      .orderBy("status", "lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_psi_drift" -> (psiDrift(_, _)),
+    "q_snapshot_diff" -> (snapshotDiff(_, _)),
     "q_dataset_card" -> (datasetCard(_, _)),
     "q_export_shards" -> (exportShards(_, _)),
     "q_source_overlap" -> (sourceOverlap(_, _)),
@@ -514,6 +633,61 @@ object Curation {
     "q_curation_funnel" -> (curationFunnel(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    // Same add-one-smoothed grid; p and q are single divisions of
+    // exact integers (CAST(int AS DOUBLE), never a bare decimal
+    // literal — DuckDB would make those DECIMAL), each term floored to
+    // e6 before the integer sum.
+    "q_psi_drift" ->
+      s"""WITH b AS (
+         |  SELECT source, least(n_chars // $PsiWidth, ${PsiBuckets - 1}) AS bucket
+         |  FROM documents),
+         |sc AS (SELECT source, bucket, COUNT(*) AS c FROM b GROUP BY 1, 2),
+         |st AS (SELECT source, SUM(c) AS n_src FROM sc GROUP BY source),
+         |cc AS (SELECT bucket, SUM(c) AS cb FROM sc GROUP BY bucket),
+         |ct AS (SELECT SUM(c) AS n_all FROM sc),
+         |grid AS (
+         |  SELECT st.source, st.n_src, g.bucket
+         |  FROM st, (SELECT unnest(generate_series(0, ${PsiBuckets - 1})) AS bucket) g),
+         |terms AS (
+         |  SELECT g.source, g.n_src,
+         |    CAST(COALESCE(sc.c, 0) + 1 AS DOUBLE)
+         |      / CAST(g.n_src + $PsiBuckets AS DOUBLE) AS p,
+         |    CAST(COALESCE(cc.cb, 0) + 1 AS DOUBLE)
+         |      / CAST(ct.n_all + $PsiBuckets AS DOUBLE) AS q
+         |  FROM grid g
+         |  LEFT JOIN sc ON sc.source = g.source AND sc.bucket = g.bucket
+         |  LEFT JOIN cc ON cc.bucket = g.bucket
+         |  CROSS JOIN ct)
+         |SELECT source, CAST(n_src AS BIGINT) AS n_docs,
+         |  CAST(SUM(CAST(floor((p - q) * ln(p / q) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS psi_e6,
+         |  CAST(SUM(CAST(floor((p - q) * ln(p / q) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) > $PsiAlarmE6 AS drift
+         |FROM terms GROUP BY source, n_src ORDER BY source""".stripMargin,
+    // Same md5-bucket snapshot derivation, FULL OUTER on doc_id,
+    // content-hash change detection, (status, lang) rollup.
+    "q_snapshot_diff" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text, lang, n_chars,
+         |    CAST(concat('0x', substr(md5(concat('$SnapSalt', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 10 AS b
+         |  FROM documents),
+         |old AS (SELECT doc_id, lang, text, n_chars FROM d WHERE b <> 0),
+         |new AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN b = 2 THEN concat(text, ' [rev2]') ELSE text END AS text,
+         |    CASE WHEN b = 2 THEN n_chars + 7 ELSE n_chars END AS n_chars
+         |  FROM d WHERE b <> 1),
+         |j AS (
+         |  SELECT COALESCE(o.lang, n.lang) AS lang,
+         |    CASE WHEN o.doc_id IS NULL THEN 'added'
+         |         WHEN n.doc_id IS NULL THEN 'removed'
+         |         WHEN md5(o.text) <> md5(n.text) THEN 'changed'
+         |         ELSE 'unchanged' END AS status,
+         |    COALESCE(o.n_chars, 0) AS co, COALESCE(n.n_chars, 0) AS cn
+         |  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
+         |SELECT status, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(co) AS BIGINT) AS chars_old,
+         |  CAST(SUM(cn) AS BIGINT) AS chars_new,
+         |  CAST(SUM(cn - co) AS BIGINT) AS chars_delta
+         |FROM j GROUP BY status, lang ORDER BY status, lang""".stripMargin,
     "q_dataset_card" ->
       s"""WITH d AS (
          |  SELECT source, lang,

@@ -219,7 +219,62 @@ object Multimodal {
           .cast("long").as("feature_l2sq_e6"))
       .orderBy("doc_id")
 
+  /** q_media_dedup: exact BINARY-asset dedup over the multimodal
+    * catalog — the asset-store dedup a crawl pipeline runs before
+    * fetching/decoding anything twice: identical payload bytes collapse
+    * to one stored asset however many documents reference them.
+    *
+    * The catalog is multi-reference: every document carries its own
+    * inline asset (the [[decodedFeatures]] payload shape, dims keyed
+    * off n_chars so identity is content-derived) plus its source's
+    * shared logo asset (a 64×64 PNG whose body is the source tag) —
+    * the repeated-site-chrome pattern that makes media dedup worth
+    * running at all. Identity is md5 over the canonical hex rendering
+    * of the payload (hex is injective on bytes; DuckDB's BLOB→VARCHAR
+    * coercion escapes bytes, so hashing raw blobs cross-engine would
+    * compare different strings).
+    *
+    * Scale shape: one documents scan; the per-doc asset fan-out is a
+    * bounded explode (2 rows/doc); hashing is map-side; the only
+    * shuffle is the two-phase groupBy on the 128-bit content hash —
+    * exactly q_dedup_exact's shape with binary payloads. At 100 TB the
+    * payload column never moves: only (hash, format, byte_len, doc_id)
+    * rides the shuffle. */
+  def mediaDedup(spark: SparkSession, dir: String): DataFrame = {
+    val inlineFmt = element_at(array(lit("png"), lit("jpeg"), lit("wav")),
+      (col("n_chars") % 3 + 1).cast("int"))
+    val w = (col("n_chars") % 640).cast("bigint")
+    val h = ((col("n_chars") * 3) % 480).cast("bigint")
+    val assets = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array(
+        struct(inlineFmt.as("format"), w.as("w"), h.as("h"),
+          encode(col("text"), "UTF-8").as("body")),
+        struct(lit("png").as("format"), lit(64L).as("w"), lit(64L).as("h"),
+          encode(concat(lit("logo:"), col("source")), "UTF-8").as("body"))))
+        .as("a"))
+      .select(col("doc_id"), col("a.format").as("format"),
+        col("a.w").as("w"), col("a.h").as("h"), col("a.body").as("body"))
+    val hdrHex = when(col("format") === "png", pngHeaderHex(col("w"), col("h")))
+      .when(col("format") === "jpeg", jpegHeaderHex(col("w"), col("h")))
+      .otherwise(wavHeaderHex(col("w"), col("h"),
+        octet_length(col("body")).cast("bigint")))
+    assets
+      .withColumn("payload", concat(unhex(hdrHex), col("body")))
+      .select(col("doc_id"), col("format"),
+        md5(upper(hex(col("payload")))).as("payload_md5"),
+        octet_length(col("payload")).cast("long").as("byte_len"))
+      .groupBy("payload_md5")
+      .agg(
+        min("format").as("format"),
+        count(lit(1)).as("n_copies"),
+        min("doc_id").as("keeper_doc_id"),
+        min("byte_len").as("byte_len"),
+        (count(lit(1)) * min("byte_len") - min("byte_len")).as("bytes_saved"))
+      .orderBy("payload_md5")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_media_dedup" -> (mediaDedup(_, _)),
     "q_multimodal_meta" -> (multimodalMeta(_, _)))
 
   val oracleSql: Map[String, String] = Map(
@@ -306,5 +361,53 @@ object Multimodal {
         |FROM p
         |JOIN ck USING (doc_id) JOIN rz USING (doc_id)
         |JOIN fr USING (doc_id) JOIN ft USING (doc_id)
-        |ORDER BY p.doc_id""".stripMargin)
+        |ORDER BY p.doc_id""".stripMargin,
+    // Same two-asset catalog (inline + per-source logo), the same real
+    // container headers as hex, md5 over the canonical hex rendering.
+    "q_media_dedup" ->
+      """WITH b AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) AS blen,
+        |    CAST(n_chars % 640 AS BIGINT) AS w,
+        |    CAST((n_chars * 3) % 480 AS BIGINT) AS h,
+        |    CASE CAST(n_chars % 3 AS INT)
+        |      WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, concat('logo:', source) AS text,
+        |    octet_length(encode(concat('logo:', source))) AS blen,
+        |    CAST(64 AS BIGINT) AS w, CAST(64 AS BIGINT) AS h, 'png' AS format
+        |  FROM documents),
+        |hx AS (
+        |  SELECT doc_id, format, blen, text,
+        |    CASE format
+        |      WHEN 'png' THEN concat('89504E470D0A1A0A0000000D49484452',
+        |        lpad(to_hex(w), 8, '0'), lpad(to_hex(h), 8, '0'), '080600000000000000')
+        |      WHEN 'jpeg' THEN concat('FFD8FFE000104A46494600010100000100010000FFC0001108',
+        |        lpad(to_hex(h), 4, '0'), lpad(to_hex(w), 4, '0'), '03011100021101031101')
+        |      ELSE concat('52494646',
+        |        lpad(to_hex((blen + 36) % 256), 2, '0'), lpad(to_hex((blen + 36) // 256 % 256), 2, '0'),
+        |        lpad(to_hex((blen + 36) // 65536 % 256), 2, '0'), lpad(to_hex((blen + 36) // 16777216 % 256), 2, '0'),
+        |        '57415645666D7420100000000100',
+        |        lpad(to_hex(h % 256), 2, '0'), lpad(to_hex(h // 256), 2, '0'),
+        |        lpad(to_hex(w % 256), 2, '0'), lpad(to_hex(w // 256 % 256), 2, '0'),
+        |        lpad(to_hex(w // 65536 % 256), 2, '0'), lpad(to_hex(w // 16777216 % 256), 2, '0'),
+        |        lpad(to_hex((w * 2) % 256), 2, '0'), lpad(to_hex((w * 2) // 256 % 256), 2, '0'),
+        |        lpad(to_hex((w * 2) // 65536 % 256), 2, '0'), lpad(to_hex((w * 2) // 16777216 % 256), 2, '0'),
+        |        lpad(to_hex((h * 2) % 256), 2, '0'), lpad(to_hex((h * 2) // 256 % 256), 2, '0'),
+        |        '1000', '64617461',
+        |        lpad(to_hex(blen % 256), 2, '0'), lpad(to_hex(blen // 256 % 256), 2, '0'),
+        |        lpad(to_hex(blen // 65536 % 256), 2, '0'), lpad(to_hex(blen // 16777216 % 256), 2, '0'))
+        |    END AS hdr_hex
+        |  FROM b),
+        |pay AS (
+        |  SELECT doc_id, format,
+        |    md5(upper(concat(hdr_hex, hex(encode(text))))) AS payload_md5,
+        |    len(hdr_hex) // 2 + blen AS byte_len
+        |  FROM hx)
+        |SELECT payload_md5, MIN(format) AS format,
+        |  CAST(COUNT(*) AS BIGINT) AS n_copies,
+        |  CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id,
+        |  CAST(MIN(byte_len) AS BIGINT) AS byte_len,
+        |  CAST(COUNT(*) * MIN(byte_len) - MIN(byte_len) AS BIGINT) AS bytes_saved
+        |FROM pay GROUP BY payload_md5 ORDER BY payload_md5""".stripMargin)
 }

@@ -205,6 +205,66 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** q_triangle_count: per-node triangle counts and local clustering
+    * coefficients over the mutual-kNN graph ([[knnGraph]]'s edge set) —
+    * the standard graph-quality diagnostic for a semantic-similarity
+    * substrate: high local clustering marks coherent near-duplicate
+    * neighborhoods, triangle-free hubs mark noise edges that survived
+    * the reciprocity cut.
+    *
+    * Scale shape: the classic degree-ordered orientation (each
+    * undirected edge points from its lower-(degree, id) endpoint to the
+    * higher), which bounds wedge generation by the graph's arboricity —
+    * a node of degree d generates wedges only from its *oriented-out*
+    * edges, so a celebrity hub with a million neighbors contributes
+    * O(arboricity²) wedges, not O(d²). The total order is the
+    * (degree, id) PAIR compared lexicographically — no dense rank, so
+    * no global window / single-partition exchange anywhere in the
+    * plan. Wedges close via one equi-join back onto the oriented edge
+    * list; per-node counts are an explode + two-phase aggregate. Every
+    * shuffle key is a node id; the mutual edge list is ≤ |nodes|·K by
+    * the top-K cap and is localCheckpointed once for its three
+    * consumers. cc_e6 = ⌊2·10⁶·tri / (deg·(deg−1))⌋ in exact integer
+    * arithmetic. */
+  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
+    val edges = knnMutual(spark, dir).select("id_a", "id_b").localCheckpoint()
+    val deg = edges.select(col("id_a").as("node"))
+      .unionAll(edges.select(col("id_b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+      .localCheckpoint()
+    val da = deg.select(col("node").as("id_a"), col("degree").as("dega"))
+    val db = deg.select(col("node").as("id_b"), col("degree").as("degb"))
+    val lowerA = col("dega") < col("degb") ||
+      (col("dega") === col("degb") && col("id_a") < col("id_b"))
+    // oriented edge u→v with v's degree carried for the wedge order
+    val oe = edges.join(da, "id_a").join(db, "id_b")
+      .select(
+        when(lowerA, col("id_a")).otherwise(col("id_b")).as("u"),
+        when(lowerA, col("id_b")).otherwise(col("id_a")).as("v"),
+        when(lowerA, col("degb")).otherwise(col("dega")).as("vd"))
+      .localCheckpoint()
+    val e1 = oe.select(col("u"), col("v").as("v1"), col("vd").as("vd1"))
+    val e2 = oe.select(col("u"), col("v").as("v2"), col("vd").as("vd2"))
+    val wedges = e1.join(e2, Seq("u"))
+      .filter(col("vd1") < col("vd2") ||
+        (col("vd1") === col("vd2") && col("v1") < col("v2")))
+    val tri = wedges
+      .join(oe.select(col("u").as("v1"), col("v").as("v2")), Seq("v1", "v2"))
+      .select(col("u"), col("v1"), col("v2"))
+    val pert = tri
+      .select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    deg.join(pert, Seq("node"), "left")
+      .select(
+        col("node").as("vec_id"),
+        col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("degree") >= 2,
+          expr("2000000 * coalesce(triangles, 0) div (degree * (degree - 1))"))
+          .otherwise(lit(0L)).as("cc_e6"))
+      .orderBy("vec_id")
+  }
+
   /** Default hyperplane count for the registered queries (2⁸ = 256
     * buckets — sized for the test corpus, and pinned because the DuckDB
     * oracle embeds exactly these planes). At production scale pass
@@ -610,6 +670,7 @@ object Similarity {
     "q_knn_graph" -> (knnGraph(_, _)),
     "q_knn_components" -> (knnComponents(_, _)),
     "q_cluster_sample" -> (clusterSample(_, _)),
+    "q_triangle_count" -> (triangleCount(_, _)),
     "q_ann_lsh_cosine" -> (annLshCosine(_, _)),
     "q_ann_ivf_cosine" -> (annIvfCosine(_, _)),
     "q_dedup_embedding" -> (dedupEmbedding(_, _)),
@@ -822,6 +883,49 @@ object Similarity {
          |  l.vec_id = l.cluster_id AS is_canonical
          |FROM lab l JOIN sz s USING (cluster_id)
          |ORDER BY l.vec_id""".stripMargin,
+    // Mutual edges from the shared top-K prelude, degree-ordered
+    // orientation by the (degree, id) pair, wedge join + closing
+    // equi-join — all-integer logic, so the engines agree exactly.
+    "q_triangle_count" ->
+      s"""WITH ${knnTopSql(KnnK)},
+         |mutual AS (
+         |  SELECT f.id_a, f.id_b
+         |  FROM top f JOIN top r ON f.id_a = r.id_b AND f.id_b = r.id_a
+         |  WHERE f.id_a < f.id_b),
+         |deg AS (
+         |  SELECT node, COUNT(*) AS degree FROM (
+         |    SELECT id_a AS node FROM mutual
+         |    UNION ALL SELECT id_b AS node FROM mutual) u
+         |  GROUP BY node),
+         |oe AS (
+         |  SELECT CASE WHEN da.degree < db.degree
+         |           OR (da.degree = db.degree AND m.id_a < m.id_b)
+         |         THEN m.id_a ELSE m.id_b END AS u,
+         |         CASE WHEN da.degree < db.degree
+         |           OR (da.degree = db.degree AND m.id_a < m.id_b)
+         |         THEN m.id_b ELSE m.id_a END AS v,
+         |         CASE WHEN da.degree < db.degree
+         |           OR (da.degree = db.degree AND m.id_a < m.id_b)
+         |         THEN db.degree ELSE da.degree END AS vd
+         |  FROM mutual m
+         |  JOIN deg da ON da.node = m.id_a JOIN deg db ON db.node = m.id_b),
+         |tri AS (
+         |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         |  FROM oe e1 JOIN oe e2 ON e1.u = e2.u
+         |    AND (e1.vd < e2.vd OR (e1.vd = e2.vd AND e1.v < e2.v))
+         |  JOIN oe e3 ON e3.u = e1.v AND e3.v = e2.v),
+         |pert AS (
+         |  SELECT node, COUNT(*) AS triangles FROM (
+         |    SELECT a AS node FROM tri UNION ALL SELECT b AS node FROM tri
+         |    UNION ALL SELECT c AS node FROM tri) x
+         |  GROUP BY node)
+         |SELECT d.node AS vec_id, CAST(d.degree AS BIGINT) AS degree,
+         |  CAST(COALESCE(p.triangles, 0) AS BIGINT) AS triangles,
+         |  CAST(CASE WHEN d.degree >= 2
+         |    THEN 2000000 * COALESCE(p.triangles, 0) // (d.degree * (d.degree - 1))
+         |    ELSE 0 END AS BIGINT) AS cc_e6
+         |FROM deg d LEFT JOIN pert p ON p.node = d.node
+         |ORDER BY vec_id""".stripMargin,
     // Finer clusters (mutual top-SampleKnnK), then the ⌈√size⌉ budget
     // cut over salted-md5 ranked members.
     "q_cluster_sample" ->

@@ -206,7 +206,64 @@ object TextQueries {
         col("h.item").as("domain"), col("h.cnt").as("cnt"), col("h.err").as("err"))
       .orderBy("rank")
 
+  /** q_url_canon: crawl-frontier URL canonicalization + duplicate
+    * collapse — the normalization every web-corpus pipeline runs before
+    * URL-level dedup and fetch scheduling: lowercase the host, drop the
+    * default :443 port, strip the fragment, drop tracking parameters
+    * (utm_*, ref, session), sort the surviving query parameters, then
+    * group raw URLs by the canonical form (hit count + distinct raw
+    * variants per canonical URL).
+    *
+    * The synthetic raw-URL corpus rides `lineitem` (the biggest table,
+    * so canonicalization is exercised at corpus scale): host case and
+    * TLD case vary by order, half the rows carry an explicit :443,
+    * tracking params and fragments come and go — while the canonical
+    * identity is only (supplier-shard host, part path). A real frontier
+    * replaces the synthesis with its fetch log.
+    *
+    * Scale shape: canonicalization is map-only string work fused into
+    * the scan (split/filter/sort_array over the ≤ handful of params —
+    * bounded per row, no explode); the only shuffle is the final
+    * two-phase groupBy on the canonical string. distinct-variant
+    * counting is the standard two-level agg. */
+  def urlCanon(spark: SparkSession, dir: String): DataFrame = {
+    val url = concat(
+      lit("https://Shop"), (col("l_suppkey") % 37).cast("string"),
+      lit(".Example."),
+      element_at(array(lit("COM"), lit("com"), lit("Com")),
+        (col("l_orderkey") % 3 + 1).cast("int")),
+      when(col("l_orderkey") % 2 === 0, lit(":443")).otherwise(lit("")),
+      lit("/item/"), col("l_partkey").cast("string"), lit("?"),
+      when(col("l_orderkey") % 2 === 0,
+        concat(lit("utm_source=s"), (col("l_orderkey") % 7).cast("string"),
+          lit("&v=1")))
+        .otherwise(concat(lit("v=1&ref=r"),
+          (col("l_orderkey") % 5).cast("string"))),
+      when(col("l_orderkey") % 4 === 0,
+        concat(lit("#sec"), (col("l_orderkey") % 9).cast("string")))
+        .otherwise(lit("")))
+    Tables.lineitem(spark, dir)
+      .select(url.as("url"))
+      .withColumn("base",
+        regexp_replace(lower(substring_index(col("url"), "?", 1)), ":443", ""))
+      .withColumn("q",
+        substring_index(substring_index(col("url"), "?", -1), "#", 1))
+      .withColumn("kept", expr(
+        "array_join(sort_array(filter(split(q, '&'), " +
+          "x -> NOT (startswith(x, 'utm_') OR startswith(x, 'ref=') " +
+          "OR startswith(x, 'session=')))), '&')"))
+      .select(col("url"),
+        concat(col("base"),
+          when(col("kept") === "", lit(""))
+            .otherwise(concat(lit("?"), col("kept")))).as("canon_url"))
+      .groupBy("canon_url")
+      .agg(count(lit(1)).as("n_hits"),
+        count_distinct(col("url")).as("n_variants"))
+      .orderBy("canon_url")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_url_canon" -> (urlCanon(_, _)),
     "q_heavy_hitters" -> (heavyHitters(_, _)),
     "q_text_only_tokens" -> (textOnlyTokens(_, _)),
     "q_shrink_string" -> (shrinkString(_, _)),
@@ -216,6 +273,37 @@ object TextQueries {
     "q_price_decision" -> (priceDecision(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    // Same synthesis, same canonicalization pipeline: lower host, drop
+    // :443, strip fragment, filter tracking params, sort, rejoin.
+    "q_url_canon" ->
+      """WITH raw AS (
+        |  SELECT concat('https://Shop', CAST(l_suppkey % 37 AS VARCHAR), '.Example.',
+        |      CASE CAST(l_orderkey % 3 AS INT) WHEN 0 THEN 'COM' WHEN 1 THEN 'com' ELSE 'Com' END,
+        |      CASE WHEN l_orderkey % 2 = 0 THEN ':443' ELSE '' END,
+        |      '/item/', CAST(l_partkey AS VARCHAR), '?',
+        |      CASE WHEN l_orderkey % 2 = 0
+        |        THEN concat('utm_source=s', CAST(l_orderkey % 7 AS VARCHAR), '&v=1')
+        |        ELSE concat('v=1&ref=r', CAST(l_orderkey % 5 AS VARCHAR)) END,
+        |      CASE WHEN l_orderkey % 4 = 0 THEN concat('#sec', CAST(l_orderkey % 9 AS VARCHAR)) ELSE '' END
+        |    ) AS url
+        |  FROM lineitem),
+        |parsed AS (
+        |  SELECT url,
+        |    replace(lower(split_part(url, '?', 1)), ':443', '') AS base,
+        |    split_part(split_part(url, '?', 2), '#', 1) AS q
+        |  FROM raw),
+        |canon AS (
+        |  SELECT url,
+        |    concat(base, CASE WHEN kept = '' THEN '' ELSE concat('?', kept) END) AS canon_url
+        |  FROM (
+        |    SELECT url, base,
+        |      list_aggregate(list_sort(list_filter(string_split(q, '&'),
+        |        x -> NOT (starts_with(x, 'utm_') OR starts_with(x, 'ref=')
+        |          OR starts_with(x, 'session=')))), 'string_agg', '&') AS kept
+        |    FROM parsed) t)
+        |SELECT canon_url, CAST(COUNT(*) AS BIGINT) AS n_hits,
+        |  CAST(COUNT(DISTINCT url) AS BIGINT) AS n_variants
+        |FROM canon GROUP BY canon_url ORDER BY canon_url""".stripMargin,
     "q_heavy_hitters" ->
       """WITH freq AS (
         |  SELECT concat('shop', CAST(c_custkey % 37 AS VARCHAR), '.example.com') AS domain,

@@ -951,6 +951,91 @@ class OperatorSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("triangle counts match a brute-force check over the mutual graph") {
+    val edges = run("q_knn_graph").select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs = scala.collection.mutable.Map[Long, Set[Long]]()
+      .withDefaultValue(Set.empty)
+    edges.foreach { case (a, b) =>
+      nbrs(a) = nbrs(a) + b; nbrs(b) = nbrs(b) + a
+    }
+    // each triangle {a,b,c} (a<b<c) counted once: edge (a,b) + common
+    // neighbor strictly above b
+    val totalTri = edges.map { case (a, b) => (nbrs(a) & nbrs(b)).count(_ > b) }.sum
+    val out = run("q_triangle_count").collect()
+    assert(out.map(_.getLong(2)).sum == 3L * totalTri,
+      "per-node triangle sum is not 3× the brute-force triangle count")
+    out.foreach { r =>
+      assert(nbrs(r.getLong(0)).size == r.getLong(1), "degree mismatch")
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 1000000L,
+        "clustering coefficient outside [0, 1]")
+    }
+  }
+
+  test("psi drift is non-negative and the flag tracks the threshold") {
+    val out = run("q_psi_drift").collect()
+    assert(out.nonEmpty)
+    // every PSI term (p−q)·ln(p/q) is ≥ 0, so the floored sum is too
+    out.foreach { r =>
+      assert(r.getLong(2) >= 0, s"${r.getString(0)} psi ${r.getLong(2)} < 0")
+      assert(r.getBoolean(3) == (r.getLong(2) > 100000L), "drift flag mismatch")
+    }
+    assert(out.map(_.getLong(1)).sum ==
+      graft.sources.Tables.documents(spark, sf).count())
+  }
+
+  test("snapshot diff statuses partition both snapshots by bucket") {
+    val out = run("q_snapshot_diff").collect()
+    val byStatus = out.groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(2)).sum).toMap
+    val buckets = graft.sources.Tables.documents(spark, sf)
+      .select(expr("cast(conv(substr(md5(concat('snap|', cast(doc_id as string))), 1, 15), 16, 10) as bigint) % 10").as("b"))
+      .groupBy("b").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byStatus("added") == buckets.getOrElse(0L, 0L))
+    assert(byStatus("removed") == buckets.getOrElse(1L, 0L))
+    assert(byStatus("changed") == buckets.getOrElse(2L, 0L))
+    assert(byStatus.values.sum == buckets.values.sum)
+    out.filter(_.getString(0) == "removed").foreach(r =>
+      assert(r.getLong(4) == 0, "removed rows carry new chars"))
+    out.filter(_.getString(0) == "added").foreach(r =>
+      assert(r.getLong(3) == 0, "added rows carry old chars"))
+    out.filter(_.getString(0) == "changed").foreach(r =>
+      assert(r.getLong(5) == 7 * r.getLong(2), "edit delta is not 7 chars/doc"))
+  }
+
+  test("url canonicalization strips junk and conserves hits") {
+    val out = run("q_url_canon").collect()
+    out.foreach { r =>
+      val u = r.getString(0)
+      assert(!u.contains("utm_") && !u.contains("ref=") && !u.contains("#")
+        && !u.contains(":443"), s"junk survived canonicalization: $u")
+      assert(u == u.toLowerCase, s"uppercase survived: $u")
+      assert(r.getLong(2) <= r.getLong(1), "more variants than hits")
+    }
+    assert(out.map(_.getLong(1)).sum ==
+      graft.sources.Tables.lineitem(spark, sf).count(),
+      "canonical groups do not conserve raw URL count")
+  }
+
+  test("media dedup collapses the shared logos and conserves assets") {
+    val out = run("q_media_dedup").collect()
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val nDocs = docs.count()
+    val nSources = docs.select("source").distinct().count()
+    assert(out.map(_.getLong(2)).sum == 2 * nDocs,
+      "asset copies do not sum to 2 per document")
+    val dups = out.filter(_.getLong(2) > 1)
+    assert(dups.length == nSources, "dup groups are not exactly the per-source logos")
+    dups.foreach { r =>
+      assert(r.getString(1) == "png", "a non-logo payload collided")
+      assert(r.getLong(5) == (r.getLong(2) - 1) * r.getLong(4),
+        "bytes_saved is not (copies−1)·len")
+    }
+    out.filter(_.getLong(2) == 1).foreach(r =>
+      assert(r.getLong(5) == 0, "singleton claims savings"))
+  }
+
   test("TopKByAvgTFIDF selects buckets and appends the location feature") {
     import spark.implicits._
     val ds = (0 until 200).map { i =>

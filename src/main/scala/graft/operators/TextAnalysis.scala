@@ -345,7 +345,29 @@ object TextAnalysis {
 
   /** Packing bin capacity (tokens). */
   private[graft] val PackCap = 512L
-  private val PackShards = 8L
+  private[graft] val PackShards = 8L
+
+  /** Shared packing input: (lang, doc_id, n_tok, shard) over any
+    * documents frame — one definition for batch [[packSequences]] and
+    * the streaming variant, so the two can never disagree on token
+    * counts or shard assignment. */
+  private[graft] def packInput(docs: DataFrame): DataFrame = {
+    val shard = expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)") % PackShards
+    docs.select(col("lang"), col("doc_id"), bpeTokens.as("n_tok"), shard.as("shard"))
+  }
+
+  /** Shared per-bin rollup over per-doc (lang, shard, bin, doc_id,
+    * n_tok) assignments — the other half batch and stream share. */
+  private[graft] def packRollup(assigned: DataFrame): DataFrame =
+    assigned
+      .groupBy("lang", "shard", "bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("sum_tokens"),
+        min("doc_id").as("first_doc"))
+      .withColumn("fill_e6",
+        floor(col("sum_tokens") * 1e6 / lit(PackCap.toDouble) + 0.5).cast("long"))
+      .orderBy("lang", "shard", "bin")
 
   /** q_pack_sequences: training sequence packing — greedy document
     * packing into fixed-capacity token bins, the batch-assembly stage
@@ -359,21 +381,12 @@ object TextAnalysis {
     * bit-stable everywhere. */
   def packSequences(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val shard = expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)") % PackShards
     val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(spark, dir)
-      .select(col("lang"), col("doc_id"), bpeTokens.as("n_tok"), shard.as("shard"))
-      .withColumn("cum_before", sum(col("n_tok")).over(w) - col("n_tok"))
-      .withColumn("bin", expr(s"cum_before div $PackCap"))
-      .groupBy("lang", "shard", "bin")
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum("n_tok").as("sum_tokens"),
-        min("doc_id").as("first_doc"))
-      .withColumn("fill_e6",
-        floor(col("sum_tokens") * 1e6 / lit(PackCap.toDouble) + 0.5).cast("long"))
-      .orderBy("lang", "shard", "bin")
+    packRollup(
+      packInput(Tables.documents(spark, dir))
+        .withColumn("cum_before", sum(col("n_tok")).over(w) - col("n_tok"))
+        .withColumn("bin", expr(s"cum_before div $PackCap")))
   }
 
   /** Merge-table size for q_bpe_pairs (pinned: oracle interpolates). */

@@ -44,6 +44,9 @@ case class FunnelOut(user_id: Long, signup_ms: Long,
     purchase_ms: Option[Long], converted: Boolean, lag_ms: Option[Long])
 
 /** Emitted summary row of the stateful last-price query. */
+case class PackState(cum: Long)
+case class PackDoc(lang: String, shard: Long, bin: Long, doc_id: Long,
+    n_tok: Long)
 case class UserUpdate(user_id: Long, last_value: Double,
     n_events: Long, n_changes: Long)
 
@@ -456,7 +459,70 @@ object StreamingQueries {
       .orderBy("doc_id", "eval_doc_id")
   }
 
+  /** q_stream_pack — training sequence packing as a STREAM: the
+    * batch-assembly stage (q_pack_sequences) run incrementally as
+    * documents land, the way a continuous-ingest pipeline feeds a
+    * trainer without re-packing the world per refresh.
+    *
+    * State is ONE long per (lang, shard) — the running token total;
+    * a document's bin is `cum div cap` at arrival, after which the
+    * counter advances. Both halves of the semantics are SHARED with
+    * batch: [[graft.operators.TextAnalysis.packInput]] (token count +
+    * shard assignment) feeds the state machine, and the per-bin
+    * rollup is [[graft.operators.TextAnalysis.packRollup]] over the
+    * sink's per-doc store — so stream and batch can never disagree,
+    * and the stream shares the batch DuckDB oracle verbatim.
+    *
+    * Arrival contract: docs arrive in doc_id order per (lang, shard)
+    * across triggers (in-trigger order is sorted locally) — the same
+    * at-least-ordered-arrival contract q_stream_funnel documents; the
+    * spec proves state carries correctly across staged triggers. */
+  def streamPack(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val docs = spark.readStream.schema(schema)
+      .parquet(stageStreamDir(dir, "documents"))
+    runPack(spark, docs)
+  }
+
+  /** The packing pipeline over any streaming `documents` source —
+    * split out so the spec can stage multi-trigger arrivals. */
+  private[graft] def runPack(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val cap = graft.operators.TextAnalysis.PackCap
+    val perDoc = graft.operators.TextAnalysis.packInput(docs)
+      .as[(String, Long, Long, Long)] // lang, doc_id, n_tok, shard
+      .groupByKey(r => (r._1, r._4))
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(
+        (key: (String, Long), rows: Iterator[(String, Long, Long, Long)],
+         state: GroupState[PackState]) => {
+          val sorted = rows.toSeq.sortBy(_._2) // doc_id order in-trigger
+          var cum = state.getOption.map(_.cum).getOrElse(0L)
+          val out = sorted.map { case (lang, docId, nTok, shard) =>
+            val bin = cum / cap
+            cum += nTok
+            PackDoc(lang, shard, bin, docId, nTok)
+          }
+          state.update(PackState(cum))
+          out.iterator
+        })
+    val store = new java.util.concurrent.ConcurrentHashMap[Long, PackDoc]()
+    val q = perDoc.toDF().writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.collect().foreach { r =>
+          store.put(r.getLong(3), PackDoc(r.getString(0), r.getLong(1),
+            r.getLong(2), r.getLong(3), r.getLong(4)))
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    graft.operators.TextAnalysis.packRollup(store.asScala.values.toSeq.toDF())
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_pack" -> (streamPack(_, _)),
     "q_stream_pipe" -> (streamPipe(_, _)),
     "q_stream_window" -> (streamWindow(_, _)),
     "q_stream_stateful" -> (streamStateful(_, _)),
@@ -476,6 +542,9 @@ object StreamingQueries {
     // the batch funnel's oracle VERBATIM — stream and batch share one
     // definition, so they must share one oracle
     "q_stream_funnel" -> graft.operators.Analytics.oracleSql("q_funnel"),
+    // the batch packing oracle VERBATIM — packInput + packRollup are
+    // shared, so the converged stream must equal the batch rollup
+    "q_stream_pack" -> graft.operators.TextAnalysis.oracleSql("q_pack_sequences"),
     // the batch HLL oracle minus its exact_distinct reference column
     // (the stream deliberately never computes exact cardinality)
     "q_stream_hll" ->

@@ -254,6 +254,50 @@ class StreamingSpec extends SparkSpec {
     assert(canon(twoBatch) == canon(batchRows))
   }
 
+  test("streaming pack equals the batch packing row for row") {
+    // one definition through two mechanisms: window cumsum vs per-group
+    // running-counter state — the rollups must be identical
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(_.toSeq).toSet
+    val batch = canon(SparkEntry.queries("q_pack_sequences")(spark, sf).collect())
+    val stream = canon(SparkEntry.queries("q_stream_pack")(spark, sf).collect())
+    assert(stream.nonEmpty)
+    assert(stream == batch)
+  }
+
+  test("streaming pack carries bin state across staged triggers") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val ids = docs.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val cut = ids(ids.length / 2)
+    // non-vacuity: some (lang, shard) must fill ≥ one whole bin before
+    // the cut — otherwise a state-losing restart packs identically and
+    // the split proves nothing
+    val earlyFull = graft.operators.TextAnalysis
+      .packInput(docs.filter(col("doc_id") <= cut))
+      .groupBy("lang", "shard").agg(sum("n_tok").as("s"))
+      .filter(col("s") >= graft.operators.TextAnalysis.PackCap)
+    assert(earlyFull.count() > 0, "no group fills a bin before the cut; split is vacuous")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pack2_").toFile
+    def stage(name: String, df: org.apache.spark.sql.DataFrame, mtime: Long): Unit = {
+      val part = new java.io.File(dir, s"_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(part.getAbsolutePath)
+      val f = part.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(dir, s"$name.parquet")
+      java.nio.file.Files.move(f.toPath, dst.toPath)
+      dst.setLastModified(mtime) // oldest-first file-source order
+    }
+    val t0 = System.currentTimeMillis() - 600000
+    stage("a_early", docs.filter(col("doc_id") <= cut), t0)
+    stage("b_late", docs.filter(col("doc_id") > cut), t0 + 60000)
+    val src = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.getAbsolutePath)
+    val twoTrigger = graft.streaming.StreamingQueries.runPack(spark, src).collect()
+    val batch = SparkEntry.queries("q_pack_sequences")(spark, sf).collect()
+    assert(twoTrigger.map(_.toSeq).toSet == batch.map(_.toSeq).toSet)
+  }
+
   test("streaming hll registers converge to the batch sketch exactly") {
     // duplicate-insensitive max-registers: the stream (no dedup state)
     // and the batch (distinct shingles) MUST produce identical sketches

@@ -265,6 +265,70 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** q_cluster_profile: QUALITY DIAGNOSTICS per semantic cluster — the
+    * report a curation pipeline reads before trusting cluster labels
+    * for SemDeDup-style pruning or [[clusterSample]] budgets: per
+    * cluster, its size, centroid norm, and member→centroid cosine
+    * cohesion (mean + min). A tight cluster (mean_cos → 1) is a true
+    * near-duplicate neighborhood; a loose one (low min_cos) is a
+    * chained component whose ends should not prune each other. Runs on
+    * the [[SampleKnnK]]-mutual substrate — the same fine-grained
+    * clusters [[clusterSample]] allocates budget over (the K=10 graph
+    * collapses to one giant component on this corpus, which is itself
+    * the kind of fact this profile exists to surface).
+    *
+    * Determinism: member vectors quantize to e6 integers FIRST, so the
+    * per-dim centroid sums are exact integer arithmetic in any
+    * accumulation order (float summation order across partitions is
+    * exactly what must NOT leak into results); centroid dims are
+    * truncating integer division; each member cosine is then ONE
+    * double division of exact integers (dot and both norms stay
+    * integer — 64 dims × e6² < 2⁵³), floored to e6 before the integer
+    * mean. Both engines execute the identical tree.
+    *
+    * Scale shape: labels come from the shared CC loop (work ∝ mutual-
+    * edge node set); the per-dim sums are one two-phase aggregate on
+    * (cluster, dim) keys (explode fan-out = catalog × 64); centroids
+    * are cluster-count-sized and re-join members on cluster_id. */
+  def clusterProfile(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.widened(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), expr(
+        "transform(cast(embedding as array<double>), x -> cast(floor(x * 1e6 + 0.5) as bigint))")
+        .as("ve"))
+    val labels = Dedup.componentLabels(
+      knnMutual(spark, dir, SampleKnnK).select("id_a", "id_b"))
+    val mem = emb
+      .join(labels.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("label"), col("vec_id")).as("cluster_id"), col("ve"))
+      .localCheckpoint() // catalog-bounded; centroid agg + cos join read it
+    val cent = mem
+      .select(col("cluster_id"), posexplode(col("ve")).as(Seq("dim", "v")))
+      .groupBy("cluster_id", "dim")
+      .agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .withColumn("mean_e6", expr("s div n"))
+      .groupBy("cluster_id")
+      .agg(expr("transform(sort_array(collect_list(struct(dim, mean_e6))), p -> p.mean_e6)")
+        .as("ce"))
+    val scored = mem.join(cent, Seq("cluster_id"))
+      .withColumn("dot",
+        expr("aggregate(zip_with(ve, ce, (x, y) -> x * y), 0L, (a, x) -> a + x)"))
+      .withColumn("na", expr("aggregate(ve, 0L, (a, x) -> a + x * x)"))
+      .withColumn("nc", expr("aggregate(ce, 0L, (a, x) -> a + x * x)"))
+      .withColumn("cos_e6",
+        when(col("na") === 0 || col("nc") === 0, lit(0L))
+          .otherwise(expr(
+            "cast(floor(cast(dot as double) / (sqrt(cast(na as double)) * sqrt(cast(nc as double))) * 1e6 + 0.5) as bigint)")))
+    scored.groupBy("cluster_id")
+      .agg(
+        count(lit(1)).as("cluster_size"),
+        floor(sqrt(max("nc").cast("double")) + 0.5).cast("long")
+          .as("centroid_norm_e6"),
+        expr("sum(cos_e6) div count(1)").as("mean_cos_e6"),
+        min("cos_e6").as("min_cos_e6"))
+      .orderBy("cluster_id")
+  }
+
   /** Default hyperplane count for the registered queries (2⁸ = 256
     * buckets — sized for the test corpus, and pinned because the DuckDB
     * oracle embeds exactly these planes). At production scale pass
@@ -671,6 +735,7 @@ object Similarity {
     "q_knn_components" -> (knnComponents(_, _)),
     "q_cluster_sample" -> (clusterSample(_, _)),
     "q_triangle_count" -> (triangleCount(_, _)),
+    "q_cluster_profile" -> (clusterProfile(_, _)),
     "q_ann_lsh_cosine" -> (annLshCosine(_, _)),
     "q_ann_ivf_cosine" -> (annIvfCosine(_, _)),
     "q_dedup_embedding" -> (dedupEmbedding(_, _)),
@@ -883,6 +948,63 @@ object Similarity {
          |  l.vec_id = l.cluster_id AS is_canonical
          |FROM lab l JOIN sz s USING (cluster_id)
          |ORDER BY l.vec_id""".stripMargin,
+    // Shared CC labels, e6-quantized members, exact-integer per-dim
+    // centroid sums, one double division per member cosine — the
+    // identical tree the Spark side executes.
+    "q_cluster_profile" ->
+      s"""WITH RECURSIVE ${knnTopSql(SampleKnnK)},
+         |mutual AS (
+         |  SELECT f.id_a, f.id_b
+         |  FROM top f JOIN top r ON f.id_a = r.id_b AND f.id_b = r.id_a
+         |  WHERE f.id_a < f.id_b),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM mutual
+         |  UNION ALL SELECT id_b AS src, id_a AS dst FROM mutual),
+         |reach(node, r) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT w.node, e.dst FROM reach w JOIN edges e ON e.src = w.r),
+         |lab AS (
+         |  SELECT node AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY node),
+         |ve AS (
+         |  SELECT vec_id,
+         |    [CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT) for x in embedding] AS v
+         |  FROM embeddings),
+         |mem AS (
+         |  SELECT l.vec_id, l.cluster_id, ve.v FROM lab l JOIN ve USING (vec_id)),
+         |dims AS (
+         |  SELECT cluster_id, i AS dim, v[i] AS val
+         |  FROM mem, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i)),
+         |cent AS (
+         |  SELECT cluster_id, dim, SUM(val) // COUNT(*) AS mean_e6
+         |  FROM dims GROUP BY cluster_id, dim),
+         |ca AS (
+         |  SELECT cluster_id, list(mean_e6 ORDER BY dim) AS ce
+         |  FROM cent GROUP BY cluster_id),
+         |sc AS (
+         |  SELECT m.vec_id, m.cluster_id,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      [m.v[i] * ca.ce[i] for i in range(1, len(m.v) + 1)]),
+         |      (a, x) -> a + x) AS dot,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      [m.v[i] * m.v[i] for i in range(1, len(m.v) + 1)]),
+         |      (a, x) -> a + x) AS na,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      [ca.ce[i] * ca.ce[i] for i in range(1, len(ca.ce) + 1)]),
+         |      (a, x) -> a + x) AS nc
+         |  FROM mem m JOIN ca USING (cluster_id)),
+         |cos AS (
+         |  SELECT cluster_id, nc,
+         |    CASE WHEN na = 0 OR nc = 0 THEN CAST(0 AS BIGINT)
+         |         ELSE CAST(floor(CAST(dot AS DOUBLE)
+         |           / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE)))
+         |           * 1e6 + 0.5) AS BIGINT) END AS cos_e6
+         |  FROM sc)
+         |SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size,
+         |  CAST(floor(sqrt(CAST(MAX(nc) AS DOUBLE)) + 0.5) AS BIGINT) AS centroid_norm_e6,
+         |  CAST(SUM(cos_e6) // COUNT(*) AS BIGINT) AS mean_cos_e6,
+         |  CAST(MIN(cos_e6) AS BIGINT) AS min_cos_e6
+         |FROM cos GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
     // Mutual edges from the shared top-K prelude, degree-ordered
     // orientation by the (degree, id) pair, wedge join + closing
     // equi-join — all-integer logic, so the engines agree exactly.

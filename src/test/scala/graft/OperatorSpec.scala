@@ -1036,6 +1036,28 @@ class OperatorSpec extends SparkSpec {
       assert(r.getLong(5) == 0, "singleton claims savings"))
   }
 
+  test("cluster profile cohesion is bounded and consistent with the sampler") {
+    val prof = run("q_cluster_profile").collect()
+    val nEmb = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(prof.map(_.getLong(1)).sum == nEmb, "cluster sizes do not cover the catalog")
+    prof.foreach { r =>
+      val (size, norm, mean, min) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(norm > 0, "zero centroid norm")
+      assert(min <= mean && mean <= 1000000L && min >= -1000000L,
+        s"cohesion out of bounds: mean $mean min $min")
+      if (size == 1)
+        assert(mean == 1000000L && min == 1000000L,
+          "a singleton is not perfectly cohesive with its own centroid")
+    }
+    // same substrate as the diversity sampler: (cluster_id, size) agree
+    val sampler = run("q_cluster_sample").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    val profPairs = prof.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sampler == profPairs,
+      "profile clusters disagree with q_cluster_sample's substrate")
+  }
+
   test("TopKByAvgTFIDF selects buckets and appends the location feature") {
     import spark.implicits._
     val ds = (0 until 200).map { i =>

@@ -279,6 +279,61 @@ object TextAnalysis {
       .orderBy("query_id", "rank")
   }
 
+  /** RRF smoothing constant (Cormack, Clarke & Buettcher, SIGIR'09 —
+    * k=60 is the published default everyone ships). Pinned: the oracle
+    * interpolates it. */
+  private val RrfK = 60L
+
+  /** q_rank_fusion: HYBRID RETRIEVAL — reciprocal-rank fusion of the
+    * lexical ranking ([[bm25Search]]) and the semantic ranking
+    * (Similarity.annCosine) for the shared query subset (both sides
+    * pin queries to id % 50 = 0, and vec_id ≡ doc_id in the catalog) —
+    * the standard way a RAG/retrieval stack combines BM25 with vector
+    * search without score calibration: RRF(d) = Σ_rankers 1/(k + rank),
+    * rank-only, so the wildly different score scales never meet.
+    * Integer-exact: each contribution is `1 000 000 div (k + rank)`,
+    * absent ranks contribute zero and report as rank 0.
+    *
+    * Scale shape: both inputs are already top-k-bounded per query, so
+    * fusion touches ≤ 2k rows per query — a (query, doc) equi-join of
+    * two tiny frames plus one rank window on query_id, trivia after
+    * the retrieval stages that feed it. */
+  def rankFusion(spark: SparkSession, dir: String): DataFrame =
+    fuseRankings(
+      bm25Search(spark, dir)
+        .select(col("query_id"), col("doc_id"), col("rank").as("rank_text")),
+      Similarity.annCosine(spark, dir)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank").cast("long").as("rank_vec")))
+
+  /** The fusion core over any two (query_id, doc_id, rank) frames —
+    * split out so the spec can prove the both-rankers arithmetic on
+    * synthetic overlapping rankings (on this corpus the two real top-5
+    * lists are disjoint: random embeddings share no signal with the
+    * text, which is itself a finding the fused report surfaces). */
+  private[graft] def fuseRankings(txt: DataFrame, vec: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = vec.select(col("query_id").as("vq"), col("doc_id").as("vd"),
+      col("rank_vec"))
+    txt.join(v,
+        col("query_id") === col("vq") && col("doc_id") === col("vd"),
+        "full_outer")
+      .select(
+        coalesce(col("query_id"), col("vq")).as("query_id"),
+        coalesce(col("doc_id"), col("vd")).as("doc_id"),
+        coalesce(col("rank_text"), lit(0L)).as("rank_text"),
+        coalesce(col("rank_vec"), lit(0L)).as("rank_vec"))
+      .withColumn("rrf_e6",
+        when(col("rank_text") === 0, lit(0L))
+          .otherwise(expr(s"1000000 div ($RrfK + rank_text)")) +
+        when(col("rank_vec") === 0, lit(0L))
+          .otherwise(expr(s"1000000 div ($RrfK + rank_vec)")))
+      .withColumn("fused_rank",
+        row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("rrf_e6").desc, col("doc_id").asc)).cast("long"))
+      .orderBy("query_id", "fused_rank")
+  }
+
   /** q_quality_repetition: Gopher-style repetition filters (Rae et al.
     * 2021, Table A1, token approximation): per doc, the fraction of
     * tokens inside the most frequent word 2-gram and the fraction of
@@ -688,6 +743,7 @@ object TextAnalysis {
     "q_pack_sequences" -> (packSequences(_, _)),
     "q_token_search" -> (tokenSearch(_, _)),
     "q_bm25_search" -> (bm25Search(_, _)),
+    "q_rank_fusion" -> (rankFusion(_, _)),
     "q_lang_id" -> (langId(_, _)),
     "q_quality_score" -> (qualityScore(_, _)),
     "q_token_count" -> (tokenCount(_, _)),
@@ -702,7 +758,71 @@ object TextAnalysis {
     s"CAST($sum AS BIGINT) AS s_$lang"
   }.mkString(",\n    ")
 
+  /** The q_bm25_search oracle body — also composed (verbatim) into
+    * the q_rank_fusion oracle, so it cannot self-reference the map. */
+  private val Bm25OracleSql: String =
+    s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(ts) >= 3
+         |    THEN [ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] for i in range(1, len(ts) - 1)]
+         |    ELSE [text] END)) AS tok
+         |  FROM (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents)),
+         |dls AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+         |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dls),
+         |dfs AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM toks GROUP BY tok),
+         |idx AS (
+         |  SELECT t.doc_id, t.tok, f.df, d.dl FROM toks t
+         |  JOIN dfs f USING (tok) JOIN dls d USING (doc_id)
+         |  WHERE f.df <= $SearchMaxDf),
+         |q AS (
+         |  SELECT doc_id AS query_id, tok FROM idx WHERE doc_id % 50 = 0),
+         |scored AS (
+         |  SELECT q.query_id, i.doc_id, CAST(COUNT(*) AS BIGINT) AS overlap,
+         |    CAST(SUM(CAST(floor(
+         |      ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(i.df AS DOUBLE) + 0.5)
+         |          / (CAST(i.df AS DOUBLE) + 0.5))
+         |      * ${Bm25K1 + 1.0} / (1.0 + $Bm25K1 * (${1.0 - Bm25B} +
+         |        $Bm25B * (CAST(i.dl AS DOUBLE) * CAST(s.n_docs AS DOUBLE)
+         |          / CAST(s.sum_dl AS DOUBLE))))
+         |      * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS score_e6
+         |  FROM q JOIN idx i USING (tok) CROSS JOIN stats s
+         |  WHERE q.query_id <> i.doc_id
+         |  GROUP BY q.query_id, i.doc_id),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY score_e6 DESC, doc_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, doc_id, overlap, score_e6, CAST(rank AS BIGINT) AS rank
+         |FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    // The two component oracles VERBATIM as subqueries, fused by the
+    // same integer RRF and rank window.
+    "q_rank_fusion" ->
+      s"""WITH txt AS (
+         |  SELECT query_id, doc_id, rank FROM (
+         |${Bm25OracleSql}) b),
+         |vec AS (
+         |  SELECT query_id, neighbor_id AS doc_id, rank FROM (
+         |${graft.operators.Similarity.oracleSql("q_ann_cosine")}) a),
+         |f AS (
+         |  SELECT COALESCE(t.query_id, v.query_id) AS query_id,
+         |    COALESCE(t.doc_id, v.doc_id) AS doc_id,
+         |    COALESCE(t.rank, 0) AS rank_text,
+         |    COALESCE(v.rank, 0) AS rank_vec,
+         |    CASE WHEN t.rank IS NULL THEN 0
+         |         ELSE 1000000 // ($RrfK + t.rank) END
+         |    + CASE WHEN v.rank IS NULL THEN 0
+         |           ELSE 1000000 // ($RrfK + v.rank) END AS rrf
+         |  FROM txt t FULL OUTER JOIN vec v
+         |    ON t.query_id = v.query_id AND t.doc_id = v.doc_id)
+         |SELECT query_id, doc_id, CAST(rrf AS BIGINT) AS rrf_e6,
+         |  CAST(rank_text AS BIGINT) AS rank_text,
+         |  CAST(rank_vec AS BIGINT) AS rank_vec,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS fused_rank
+         |FROM f ORDER BY query_id, fused_rank""".stripMargin,
     "q_zipf_spectrum" ->
       """WITH toks AS (
         |  SELECT unnest(CASE WHEN len(ts) >= 3
@@ -932,41 +1052,7 @@ object TextAnalysis {
          |FROM c
          |GROUP BY lang, shard, cum_before // $PackCap
          |ORDER BY lang, shard, bin""".stripMargin,
-    "q_bm25_search" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(ts) >= 3
-         |    THEN [ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] for i in range(1, len(ts) - 1)]
-         |    ELSE [text] END)) AS tok
-         |  FROM (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents)),
-         |dls AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
-         |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-         |  CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dls),
-         |dfs AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM toks GROUP BY tok),
-         |idx AS (
-         |  SELECT t.doc_id, t.tok, f.df, d.dl FROM toks t
-         |  JOIN dfs f USING (tok) JOIN dls d USING (doc_id)
-         |  WHERE f.df <= $SearchMaxDf),
-         |q AS (
-         |  SELECT doc_id AS query_id, tok FROM idx WHERE doc_id % 50 = 0),
-         |scored AS (
-         |  SELECT q.query_id, i.doc_id, CAST(COUNT(*) AS BIGINT) AS overlap,
-         |    CAST(SUM(CAST(floor(
-         |      ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(i.df AS DOUBLE) + 0.5)
-         |          / (CAST(i.df AS DOUBLE) + 0.5))
-         |      * ${Bm25K1 + 1.0} / (1.0 + $Bm25K1 * (${1.0 - Bm25B} +
-         |        $Bm25B * (CAST(i.dl AS DOUBLE) * CAST(s.n_docs AS DOUBLE)
-         |          / CAST(s.sum_dl AS DOUBLE))))
-         |      * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS score_e6
-         |  FROM q JOIN idx i USING (tok) CROSS JOIN stats s
-         |  WHERE q.query_id <> i.doc_id
-         |  GROUP BY q.query_id, i.doc_id),
-         |ranked AS (
-         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-         |    ORDER BY score_e6 DESC, doc_id ASC) AS rank
-         |  FROM scored)
-         |SELECT query_id, doc_id, overlap, score_e6, CAST(rank AS BIGINT) AS rank
-         |FROM ranked WHERE rank <= 5
-         |ORDER BY query_id, rank""".stripMargin,
+    "q_bm25_search" -> Bm25OracleSql,
     "q_token_search" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(ts) >= 3

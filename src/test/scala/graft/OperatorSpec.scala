@@ -1058,6 +1058,49 @@ class OperatorSpec extends SparkSpec {
       "profile clusters disagree with q_cluster_sample's substrate")
   }
 
+  test("rank fusion reproduces RRF from its component rankings") {
+    val fused = run("q_rank_fusion").collect()
+    assert(fused.nonEmpty)
+    val txt = run("q_bm25_search").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+    val vec = run("q_ann_cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(3).toLong).toMap
+    var both = 0
+    fused.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      val (rt, rv, rrf) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(txt.getOrElse(key, 0L) == rt, s"text rank mismatch at $key")
+      assert(vec.getOrElse(key, 0L) == rv, s"vector rank mismatch at $key")
+      val expected = (if (rt > 0) 1000000L / (60L + rt) else 0L) +
+        (if (rv > 0) 1000000L / (60L + rv) else 0L)
+      assert(rrf == expected, s"rrf mismatch at $key: $rrf != $expected")
+      if (rt > 0 && rv > 0) both += 1
+    }
+    // on this corpus the two real top-5 lists are disjoint (random
+    // embeddings), so prove the both-rankers arithmetic synthetically
+    assert(both == 0, "corpus rankings overlap now; drop the synthetic check")
+    import spark.implicits._
+    val sTxt = Seq((1L, 10L, 1L), (1L, 11L, 2L))
+      .toDF("query_id", "doc_id", "rank_text")
+    val sVec = Seq((1L, 10L, 2L), (1L, 12L, 1L))
+      .toDF("query_id", "doc_id", "rank_vec")
+    val sf2 = graft.operators.TextAnalysis.fuseRankings(sTxt, sVec).collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // doc 10 is ranked by BOTH: 1e6/61 + 1e6/62 = 16393 + 16129
+    assert(sf2(10L) == ((1L, 2L, 16393L + 16129L, 1L)), s"both-rankers row wrong: ${sf2(10L)}")
+    assert(sf2(12L) == ((0L, 1L, 16393L, 2L)), s"vec-only row wrong: ${sf2(12L)}")
+    assert(sf2(11L) == ((2L, 0L, 16129L, 3L)), s"text-only row wrong: ${sf2(11L)}")
+    // fused_rank is dense 1..n per query in rrf-desc order
+    fused.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(5))
+      assert(sorted.map(_.getLong(5)).toSeq == (1L to rows.length).toSeq)
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a.getLong(4) >= b.getLong(4)
+        case _ => true
+      }, "fused_rank does not follow rrf order")
+    }
+  }
+
   test("TopKByAvgTFIDF selects buckets and appends the location feature") {
     import spark.implicits._
     val ds = (0 until 200).map { i =>

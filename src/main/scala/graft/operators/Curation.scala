@@ -144,6 +144,57 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** q_lm_bigram: the bigram upgrade of [[lmQuality]] — one step up
+    * the n-gram ladder toward CCNet's KenLM (a 5-gram model): each
+    * document scored by mean conditional information content, the
+    * first token by the unigram add-one estimate and every later
+    * token by −log₂ p̂(wᵢ | wᵢ₋₁) = −log₂ ((c(wᵢ₋₁wᵢ)+1)/(c(wᵢ₋₁)+V)).
+    * Context makes filler CHEAPER than the unigram model thinks
+    * ("batch batch batch" compresses hard) and incoherent token salad
+    * costlier — exactly the separation a fluency filter wants.
+    *
+    * Scale shape: the bigram table is the Zipf-bounded pair dictionary
+    * (two-phase (prev, cur) aggregate); the pair explode is a map-side
+    * transform over the already-split token array (no self-join to
+    * form adjacency); scoring is the same postings equi-join as the
+    * unigram — one extra join against the pair dictionary. Same
+    * e6-integer-before-sum determinism contract as [[lmQuality]]. */
+  def lmBigram(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("arr"))
+      .localCheckpoint() // corpus-ordered token arrays; three consumers
+    val toks = docs.select(explode(col("arr")).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val totals = vocab.agg(sum("cnt").as("n_total"), count(lit(1)).as("v_size"))
+    val pairs = docs.select(col("doc_id"), col("lang"), explode(expr(
+      """CASE WHEN size(arr) >= 2
+        |  THEN transform(sequence(2, size(arr)),
+        |    i -> struct(element_at(arr, i - 1) AS prev, element_at(arr, i) AS cur))
+        |  ELSE array() END""".stripMargin)).as("p"))
+      .select(col("doc_id"), col("lang"),
+        col("p.prev").as("prev"), col("p.cur").as("cur"))
+    val cb = pairs.groupBy("prev", "cur").agg(count(lit(1)).as("cbn"))
+    val first = docs
+      .select(col("doc_id"), col("lang"), element_at(col("arr"), 1).as("tok"))
+      .join(vocab, Seq("tok"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("lang"), floor(
+        -log2((col("cnt") + lit(1.0)) / (col("n_total") + col("v_size")))
+          * 1e6 + 0.5).cast("long").as("b"))
+    val rest = pairs
+      .join(cb, Seq("prev", "cur"))
+      .join(vocab.select(col("tok").as("prev"), col("cnt").as("cu")), Seq("prev"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("lang"), floor(
+        -log2((col("cbn") + lit(1.0)) / (col("cu") + col("v_size")))
+          * 1e6 + 0.5).cast("long").as("b"))
+    first.unionAll(rest)
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_tok"),
+        expr("sum(b) div count(1)").as("bits_e6"))
+      .orderBy("doc_id")
+  }
+
   /** Funnel quality gate: token-count window + distinct-token
     * (repetition) floor — the Gopher-rule shapes, with bounds that
     * discriminate on this corpus (token counts span 10..~100;
@@ -630,6 +681,7 @@ object Curation {
     "q_decontaminate" -> (decontaminate(_, _)),
     "q_mixture_sample" -> (mixtureSample(_, _)),
     "q_lm_quality" -> (lmQuality(_, _)),
+    "q_lm_bigram" -> (lmBigram(_, _)),
     "q_curation_funnel" -> (curationFunnel(_, _)))
 
   val oracleSql: Map[String, String] = Map(
@@ -851,6 +903,38 @@ object Curation {
         |FROM d JOIN c USING (lang) CROSS JOIN t
         |GROUP BY d.lang, n_lang, n_total, n_langs
         |ORDER BY d.lang""".stripMargin,
+    // Same vocab/add-one conventions as q_lm_quality; the pair
+    // dictionary joins on (prev, cur), the context count on prev.
+    "q_lm_bigram" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS arr FROM documents),
+        |toks AS (SELECT unnest(arr) AS tok FROM d),
+        |vocab AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
+        |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total,
+        |        CAST(COUNT(*) AS BIGINT) AS v_size FROM vocab),
+        |pairs AS (
+        |  SELECT doc_id, lang, arr[i - 1] AS prev, arr[i] AS cur
+        |  FROM d, LATERAL (SELECT unnest(generate_series(2, len(arr))) AS i)),
+        |cb AS (SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS cbn
+        |       FROM pairs GROUP BY prev, cur),
+        |s1 AS (
+        |  SELECT doc_id, lang,
+        |    CAST(floor(-log2((cnt + 1.0) / (n_total + v_size)) * 1e6 + 0.5)
+        |      AS BIGINT) AS b
+        |  FROM (SELECT doc_id, lang, arr[1] AS tok FROM d)
+        |  JOIN vocab USING (tok) CROSS JOIN t),
+        |s2 AS (
+        |  SELECT p.doc_id, p.lang,
+        |    CAST(floor(-log2((cb.cbn + 1.0) / (v.cnt + t.v_size)) * 1e6 + 0.5)
+        |      AS BIGINT) AS b
+        |  FROM pairs p
+        |  JOIN cb ON cb.prev = p.prev AND cb.cur = p.cur
+        |  JOIN vocab v ON v.tok = p.prev CROSS JOIN t),
+        |u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+        |SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_tok,
+        |  CAST(SUM(b) // COUNT(*) AS BIGINT) AS bits_e6
+        |FROM u GROUP BY doc_id, lang
+        |ORDER BY doc_id""".stripMargin,
     "q_lm_quality" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok

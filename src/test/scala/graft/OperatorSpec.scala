@@ -1058,6 +1058,26 @@ class OperatorSpec extends SparkSpec {
       "profile clusters disagree with q_cluster_sample's substrate")
   }
 
+  test("bigram LM compresses relative to the unigram on this corpus") {
+    val uni = run("q_lm_quality").collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val bi = run("q_lm_bigram").collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(bi.keySet == uni.keySet, "doc coverage differs between the two LMs")
+    bi.foreach { case (id, (nTok, _)) =>
+      assert(nTok == uni(id)._1, s"token count mismatch for doc $id")
+    }
+    // repetitive synthetic text: conditioning on the previous token
+    // must lower mean information content corpus-wide
+    val meanUni = uni.values.map(_._2).sum / uni.size
+    val meanBi = bi.values.map(_._2).sum / bi.size
+    assert(meanBi < meanUni,
+      s"bigram mean $meanBi bits_e6 not below unigram $meanUni")
+    bi.values.foreach { case (_, bits) =>
+      assert(bits > 0, "non-positive information content")
+    }
+  }
+
   test("rank fusion reproduces RRF from its component rankings") {
     val fused = run("q_rank_fusion").collect()
     assert(fused.nonEmpty)

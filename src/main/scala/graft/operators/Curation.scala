@@ -582,13 +582,25 @@ object Curation {
     * (≤ |sources|·16 rows), bucket totals and the grand total reduced
     * from THAT card-sized frame, the 16-row bucket grid broadcast —
     * nothing after the first aggregate is corpus-sized. */
-  def psiDrift(spark: SparkSession, dir: String): DataFrame = {
-    val b = Tables.documents(spark, dir)
-      .select(col("source"),
-        least(col("n_chars") / lit(PsiWidth), lit(PsiBuckets - 1L))
-          .cast("long").as("bucket"))
-    val sc = b.groupBy("source", "bucket").agg(count(lit(1)).as("c"))
-      .localCheckpoint() // ≤ |sources|·16 rows; four consumers below
+  def psiDrift(spark: SparkSession, dir: String): DataFrame =
+    psiFinish(
+      psiBucketInput(Tables.documents(spark, dir))
+        .groupBy("source", "bucket").agg(count(lit(1)).as("c"))
+        .localCheckpoint()) // ≤ |sources|·16 rows; four consumers below
+
+  /** Shared bucketing: (source, length-bucket) per doc — one
+    * definition for batch [[psiDrift]] and the streaming variant. */
+  private[graft] def psiBucketInput(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+      least(col("n_chars") / lit(PsiWidth), lit(PsiBuckets - 1L))
+        .cast("long").as("bucket"))
+
+  /** Shared PSI finish over the card-sized (source, bucket, c) counts —
+    * the other half batch and stream share (the stream's sink owns the
+    * counts; the index math runs batch-side over them, as the sketch
+    * estimate does in q_stream_hll). */
+  private[graft] def psiFinish(sc: DataFrame): DataFrame = {
+    val spark = sc.sparkSession
     val st = sc.groupBy("source").agg(sum("c").as("n_src"))
     val cc = sc.groupBy("bucket").agg(sum("c").as("cb"))
     val ct = sc.agg(sum("c").as("n_all"))

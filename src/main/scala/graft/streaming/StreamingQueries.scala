@@ -521,7 +521,45 @@ object StreamingQueries {
     graft.operators.TextAnalysis.packRollup(store.asScala.values.toSeq.toDF())
   }
 
+  /** q_stream_psi — the per-source drift monitor as a STREAM: the
+    * live-ingest alarm that catches a crawler gone wrong while the
+    * batch is still landing, instead of at the next batch audit.
+    *
+    * Like q_stream_hll, the state is the SKETCH, not the data: an
+    * Update-mode (source, bucket) count aggregation — ≤ 16 longs per
+    * source forever, duplicate-insensitive to re-aggregation — whose
+    * converged counts the sink upserts; the PSI index math
+    * (smoothing, e6-floored ln terms, alarm threshold) runs
+    * batch-side over the card-sized count store via the SHARED
+    * [[graft.operators.Curation.psiFinish]], with bucketing shared
+    * via psiBucketInput — so stream and batch can never disagree and
+    * the stream reuses the batch oracle verbatim. */
+  def streamPsi(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val docs = spark.readStream.schema(schema)
+      .parquet(stageStreamDir(dir, "documents"))
+    val counts = graft.operators.Curation.psiBucketInput(docs)
+      .groupBy("source", "bucket").agg(count(lit(1)).as("c"))
+    val store = new java.util.concurrent.ConcurrentHashMap[(String, Long), Long]()
+    val q = counts.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.collect().foreach { r =>
+          store.put((r.getString(0), r.getLong(1)), r.getLong(2))
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    graft.operators.Curation.psiFinish(
+      store.asScala.toSeq.map { case ((s, b), c) => (s, b, c) }
+        .toDF("source", "bucket", "c"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_psi" -> (streamPsi(_, _)),
     "q_stream_pack" -> (streamPack(_, _)),
     "q_stream_pipe" -> (streamPipe(_, _)),
     "q_stream_window" -> (streamWindow(_, _)),
@@ -545,6 +583,9 @@ object StreamingQueries {
     // the batch packing oracle VERBATIM — packInput + packRollup are
     // shared, so the converged stream must equal the batch rollup
     "q_stream_pack" -> graft.operators.TextAnalysis.oracleSql("q_pack_sequences"),
+    // the batch PSI oracle VERBATIM — psiBucketInput + psiFinish are
+    // shared, so the converged count store must yield the batch index
+    "q_stream_psi" -> graft.operators.Curation.oracleSql("q_psi_drift"),
     // the batch HLL oracle minus its exact_distinct reference column
     // (the stream deliberately never computes exact cardinality)
     "q_stream_hll" ->

@@ -298,6 +298,15 @@ class StreamingSpec extends SparkSpec {
     assert(twoTrigger.map(_.toSeq).toSet == batch.map(_.toSeq).toSet)
   }
 
+  test("streaming psi equals the batch drift index row for row") {
+    // shared bucketing + shared finish: the converged count store must
+    // reproduce the batch index exactly, alarm flags included
+    val batch = SparkEntry.queries("q_psi_drift")(spark, sf).collect().map(_.toSeq).toSet
+    val stream = SparkEntry.queries("q_stream_psi")(spark, sf).collect().map(_.toSeq).toSet
+    assert(stream.nonEmpty)
+    assert(stream == batch)
+  }
+
   test("streaming hll registers converge to the batch sketch exactly") {
     // duplicate-insensitive max-registers: the stream (no dedup state)
     // and the batch (distinct shingles) MUST produce identical sketches

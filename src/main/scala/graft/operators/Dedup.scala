@@ -389,6 +389,58 @@ object Dedup {
   private[graft] def chunkDedupDistinctChunks(spark: SparkSession, dir: String): Long =
     docChunks(spark, dir).select(md5(col("chunk"))).distinct().count()
 
+  /** Boilerplate chunk width (words) and the flag threshold (chunk
+    * present in ≥ this many DISTINCT docs of one source). Width 5 is
+    * finer than [[ChunkWords]] because site chrome is short (nav
+    * items, disclaimers); pinned — the oracle interpolates both. */
+  private[graft] val BoilerWords = 5
+  private[graft] val BoilerMinDocs = 2L
+
+  /** q_boilerplate: per-SOURCE boilerplate detection — the site-chrome
+    * audit run before paragraph dedup: a chunk repeated across
+    * distinct documents of the SAME source is template chrome
+    * (headers, nav, disclaimers), and the per-source boilerplate
+    * fraction tells the pipeline which sources need an extraction fix
+    * rather than corpus-wide dedup (cross-source repetition is
+    * q_chunk_dedup's job; contamination between sources is
+    * q_source_overlap's).
+    *
+    * Scale shape: explode to (source, chunk-md5) — the TEXT never
+    * shuffles, only 32-hex hashes — one two-phase aggregate counting
+    * rows + distinct docs per (source, chunk), then a per-source
+    * rollup of that already-aggregated frame; doc totals broadcast.
+    * Nothing after the first aggregate is corpus-sized. */
+  def boilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val ch = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("source"), explode(
+        transform(
+          sequence(lit(0),
+            ceil(size(col("w")) / lit(BoilerWords.toDouble)).cast("int") - 1),
+          i => md5(array_join(
+            slice(col("w"), i * BoilerWords + 1, lit(BoilerWords)), " "))))
+        .as("h"))
+    val perChunk = ch.groupBy("source", "h")
+      .agg(count(lit(1)).as("rows_c"),
+        count_distinct(col("doc_id")).as("docs_c"))
+    val nd = Tables.documents(spark, dir)
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    perChunk.groupBy("source")
+      .agg(
+        sum("rows_c").as("n_chunk_rows"),
+        count(lit(1)).as("n_distinct_chunks"),
+        sum(when(col("docs_c") >= BoilerMinDocs, 1L).otherwise(0L))
+          .as("n_boiler_chunks"),
+        sum(when(col("docs_c") >= BoilerMinDocs, col("rows_c")).otherwise(0L))
+          .as("boiler_rows"))
+      .join(broadcast(nd), Seq("source"))
+      .withColumn("boiler_frac_e6",
+        expr("boiler_rows * 1000000 div n_chunk_rows"))
+      .select("source", "n_docs", "n_chunk_rows", "n_distinct_chunks",
+        "n_boiler_chunks", "boiler_rows", "boiler_frac_e6")
+      .orderBy("source")
+  }
+
   def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
     val keyed = docChunks(spark, dir)
       .withColumn("h", md5(col("chunk")))
@@ -528,6 +580,7 @@ object Dedup {
     "q_ppjoin" -> (ppJoin(_, _)),
     "q_substr_dup" -> (substrDup(_, _)),
     "q_chunk_dedup" -> (chunkDedup(_, _)),
+    "q_boilerplate" -> (boilerplate(_, _)),
     "q_dedup_exact" -> (dedupExact(_, _)),
     "q_dedup_minhash" -> (dedupMinhash(_, _)),
     "q_dedup_incremental" -> (dedupIncremental(_, _)),
@@ -576,6 +629,34 @@ object Dedup {
        |  GROUP BY a.doc_id, b.doc_id)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // Same non-overlapping chunk build, chunk identity as md5, rows +
+    // distinct-doc counts per (source, chunk), per-source rollup.
+    "q_boilerplate" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+         |ch AS (
+         |  SELECT doc_id, source,
+         |    md5(array_to_string(w[i * $BoilerWords + 1 : i * $BoilerWords + $BoilerWords], ' ')) AS h
+         |  FROM d, LATERAL (SELECT unnest(generate_series(0,
+         |    CAST(ceil(len(w) / ${BoilerWords.toDouble}) AS INT) - 1)) AS i)),
+         |pc AS (
+         |  SELECT source, h, CAST(COUNT(*) AS BIGINT) AS rows_c,
+         |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS docs_c
+         |  FROM ch GROUP BY source, h),
+         |nd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |       FROM documents GROUP BY source),
+         |agg AS (
+         |  SELECT source,
+         |    CAST(SUM(rows_c) AS BIGINT) AS n_chunk_rows,
+         |    CAST(COUNT(*) AS BIGINT) AS n_distinct_chunks,
+         |    CAST(SUM(CASE WHEN docs_c >= $BoilerMinDocs THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler_chunks,
+         |    CAST(SUM(CASE WHEN docs_c >= $BoilerMinDocs THEN rows_c ELSE 0 END) AS BIGINT) AS boiler_rows
+         |  FROM pc GROUP BY source)
+         |SELECT a.source, nd.n_docs, a.n_chunk_rows, a.n_distinct_chunks,
+         |  a.n_boiler_chunks, a.boiler_rows,
+         |  CAST(a.boiler_rows * 1000000 // a.n_chunk_rows AS BIGINT) AS boiler_frac_e6
+         |FROM agg a JOIN nd USING (source)
+         |ORDER BY a.source""".stripMargin,
     // UNFILTERED all-pairs shared-token join: a hash match proves the
     // prefix filter dropped no qualifying pair.
     "q_ppjoin" ->

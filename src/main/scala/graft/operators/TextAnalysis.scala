@@ -100,6 +100,34 @@ object TextAnalysis {
         ceil(length(col("text")) / lit(4.0)).cast("long").as("approx_tokens"))
       .orderBy("doc_id")
 
+  /** q_tokenizer_fertility: per-language tokenizer-efficiency report —
+    * the statistic that drives vocab-size and tokenizer choices for a
+    * multilingual mix: fertility (regex-BPE tokens per whitespace
+    * word) and compression (chars per token), per language. A language
+    * whose fertility runs hot pays more sequence length for the same
+    * text; the budgeting stage reads exactly this table (cf. the
+    * fertility analyses in the XLM-R / NLLB tokenizer literature).
+    *
+    * All-integer: the per-doc token counts sum as longs and the ratios
+    * are scaled integer divisions — bit-stable everywhere. One corpus
+    * scan, one two-phase aggregate on the 5-key lang column. */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("ws"),
+        size(regexp_extract_all(col("text"), lit(TokenRe), lit(0)))
+          .cast("long").as("bpe"),
+        length(col("text")).cast("long").as("chars"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("ws").as("ws_tokens"),
+        sum("bpe").as("bpe_tokens"),
+        sum("chars").as("n_chars"))
+      .withColumn("fertility_e6", expr("bpe_tokens * 1000000 div ws_tokens"))
+      .withColumn("chars_per_tok_e2", expr("n_chars * 100 div bpe_tokens"))
+      .orderBy("lang")
+
   /** q_fingerprint: winnowing-lite document fingerprint — char 5-gram
     * md5 hashes, per-window (w=4) minima, distinct set (cf. Schleimer,
     * Wilkerson, Aiken: "Winnowing: Local Algorithms for Document
@@ -747,6 +775,7 @@ object TextAnalysis {
     "q_lang_id" -> (langId(_, _)),
     "q_quality_score" -> (qualityScore(_, _)),
     "q_token_count" -> (tokenCount(_, _)),
+    "q_tokenizer_fertility" -> (tokenizerFertility(_, _)),
     "q_fingerprint" -> (fingerprint(_, _)),
     "q_token_hist" -> (tokenHist(_, _)),
     "q_sample_split" -> (sampleSplit(_, _)))
@@ -797,6 +826,23 @@ object TextAnalysis {
          |ORDER BY query_id, rank""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_tokenizer_fertility" ->
+      s"""WITH d AS (
+         |  SELECT lang,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
+         |    CAST(len(regexp_extract_all(text, '$TokenRe')) AS BIGINT) AS bpe,
+         |    CAST(len(text) AS BIGINT) AS chars
+         |  FROM documents),
+         |g AS (
+         |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+         |    CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+         |    CAST(SUM(chars) AS BIGINT) AS n_chars
+         |  FROM d GROUP BY lang)
+         |SELECT lang, n_docs, ws_tokens, bpe_tokens, n_chars,
+         |  CAST(bpe_tokens * 1000000 // ws_tokens AS BIGINT) AS fertility_e6,
+         |  CAST(n_chars * 100 // bpe_tokens AS BIGINT) AS chars_per_tok_e2
+         |FROM g ORDER BY lang""".stripMargin,
     // The two component oracles VERBATIM as subqueries, fused by the
     // same integer RRF and rank window.
     "q_rank_fusion" ->

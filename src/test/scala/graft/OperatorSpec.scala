@@ -1058,6 +1058,51 @@ class OperatorSpec extends SparkSpec {
       "profile clusters disagree with q_cluster_sample's substrate")
   }
 
+  test("tokenizer fertility is consistent with per-doc token counts") {
+    val fert = run("q_tokenizer_fertility").collect()
+    val docs = graft.sources.Tables.documents(spark, sf)
+    assert(fert.map(_.getLong(1)).sum == docs.count())
+    // same totals as q_token_count summed over docs
+    val tc = run("q_token_count").collect()
+    val wsTotal = tc.map(_.getLong(1)).sum
+    val bpeTotal = tc.map(_.getLong(2)).sum
+    assert(fert.map(_.getLong(2)).sum == wsTotal, "ws token totals disagree")
+    assert(fert.map(_.getLong(3)).sum == bpeTotal, "bpe token totals disagree")
+    fert.foreach { r =>
+      assert(r.getLong(5) >= 1000000L,
+        "regex tokenization can never yield fewer tokens than whitespace")
+      assert(r.getLong(6) > 0, "non-positive chars per token")
+    }
+  }
+
+  test("boilerplate flags are genuine repeated chunks within a source") {
+    val out = run("q_boilerplate").collect()
+    assert(out.map(_.getLong(1)).sum ==
+      graft.sources.Tables.documents(spark, sf).count())
+    out.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(3), "more boiler chunks than distinct")
+      assert(r.getLong(5) <= r.getLong(2), "more boiler rows than rows")
+      assert(r.getLong(6) == r.getLong(5) * 1000000L / r.getLong(2),
+        "boiler_frac_e6 inconsistent")
+    }
+    assert(out.map(_.getLong(4)).sum > 0,
+      "no boilerplate anywhere; the detector is vacuous on this corpus")
+    // independent recount for the hottest source
+    val hot = out.maxBy(_.getLong(4)).getString(0)
+    val k = graft.operators.Dedup.BoilerWords
+    val chunks = graft.sources.Tables.documents(spark, sf)
+      .filter(col("source") === hot)
+      .select(col("doc_id"), split(col("text"), " ").as("w")).collect()
+      .flatMap { r =>
+        val w = r.getSeq[String](1)
+        w.grouped(k).map(c => (r.getLong(0), c.mkString(" "))).toSeq
+      }
+    val expected = chunks.groupBy(_._2)
+      .count { case (_, rows) => rows.map(_._1).distinct.length >= 2 }
+    assert(out.find(_.getString(0) == hot).get.getLong(4) == expected,
+      s"boiler chunk count for $hot disagrees with a local recount")
+  }
+
   test("bigram LM compresses relative to the unigram on this corpus") {
     val uni = run("q_lm_quality").collect()
       .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap

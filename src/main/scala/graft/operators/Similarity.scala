@@ -329,6 +329,38 @@ object Similarity {
       .orderBy("cluster_id")
   }
 
+  /** q_ann_recall: the APPROXIMATION-QUALITY SWEEP as data — recall@K
+    * of the LSH and IVF paths against the exact top-K, per query (the
+    * ValidateModels-style model-quality report for the ANN family):
+    * the table an operator reads to tune planes/nprobe before trading
+    * exactness for scale. AnnRecallSpec pins corpus-level floors; this
+    * materializes the per-query report those floors summarize.
+    *
+    * Scale shape: three already-bounded top-K frames (≤ K rows per
+    * query each) meet on (query_id, neighbor_id) equi-joins; the
+    * rollup is a count aggregate on query_id. Cost is dominated by
+    * the component retrievals, not the comparison. */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = annCosine(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val lsh = annLshCosine(spark, dir)
+      .select(col("query_id"), col("neighbor_id"))
+      .withColumn("in_lsh", lit(1L))
+    val ivf = annIvfCosine(spark, dir)
+      .select(col("query_id"), col("neighbor_id"))
+      .withColumn("in_ivf", lit(1L))
+    exact
+      .join(lsh, Seq("query_id", "neighbor_id"), "left")
+      .join(ivf, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(
+        count(lit(1)).as("n_exact"),
+        sum(coalesce(col("in_lsh"), lit(0L))).as("lsh_hits"),
+        sum(coalesce(col("in_ivf"), lit(0L))).as("ivf_hits"))
+      .withColumn("lsh_recall_e6", expr("lsh_hits * 1000000 div n_exact"))
+      .withColumn("ivf_recall_e6", expr("ivf_hits * 1000000 div n_exact"))
+      .orderBy("query_id")
+  }
+
   /** Default hyperplane count for the registered queries (2⁸ = 256
     * buckets — sized for the test corpus, and pinned because the DuckDB
     * oracle embeds exactly these planes). At production scale pass
@@ -737,6 +769,7 @@ object Similarity {
     "q_triangle_count" -> (triangleCount(_, _)),
     "q_cluster_profile" -> (clusterProfile(_, _)),
     "q_ann_lsh_cosine" -> (annLshCosine(_, _)),
+    "q_ann_recall" -> (annRecall(_, _)),
     "q_ann_ivf_cosine" -> (annIvfCosine(_, _)),
     "q_dedup_embedding" -> (dedupEmbedding(_, _)),
     "q_embed_quantize" -> (embedQuantize(_, _)),
@@ -793,7 +826,7 @@ object Similarity {
        |  FROM scored),
        |top AS (SELECT * FROM ranked WHERE rank <= $k)""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
+  private val baseOracleSql: Map[String, String] = Map(
     "q_feature_scale" ->
       """WITH x AS (
         |  SELECT i - 1 AS dim,
@@ -1189,4 +1222,35 @@ object Similarity {
          |FROM pqe e $joins
          |ORDER BY vec_id""".stripMargin
     })
+
+  /** Public oracle map: the base entries plus the recall report, which
+    * composes the three component oracles VERBATIM as subqueries (two
+    * steps so the composition cannot self-reference the map mid-
+    * construction). */
+  val oracleSql: Map[String, String] = baseOracleSql + ("q_ann_recall" ->
+    s"""WITH ex AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |${baseOracleSql("q_ann_cosine")}) x),
+       |ls AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |${baseOracleSql("q_ann_lsh_cosine")}) x),
+       |iv AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |${baseOracleSql("q_ann_ivf_cosine")}) x),
+       |j AS (
+       |  SELECT e.query_id,
+       |    CASE WHEN l.neighbor_id IS NULL THEN 0 ELSE 1 END AS in_lsh,
+       |    CASE WHEN v.neighbor_id IS NULL THEN 0 ELSE 1 END AS in_ivf
+       |  FROM ex e
+       |  LEFT JOIN ls l ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
+       |  LEFT JOIN iv v ON v.query_id = e.query_id AND v.neighbor_id = e.neighbor_id),
+       |g AS (
+       |  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+       |    CAST(SUM(in_lsh) AS BIGINT) AS lsh_hits,
+       |    CAST(SUM(in_ivf) AS BIGINT) AS ivf_hits
+       |  FROM j GROUP BY query_id)
+       |SELECT query_id, n_exact, lsh_hits, ivf_hits,
+       |  CAST(lsh_hits * 1000000 // n_exact AS BIGINT) AS lsh_recall_e6,
+       |  CAST(ivf_hits * 1000000 // n_exact AS BIGINT) AS ivf_recall_e6
+       |FROM g ORDER BY query_id""".stripMargin)
 }

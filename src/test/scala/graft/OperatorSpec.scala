@@ -1103,6 +1103,25 @@ class OperatorSpec extends SparkSpec {
       s"boiler chunk count for $hot disagrees with a local recount")
   }
 
+  test("ann recall report matches a local recount of the three rankings") {
+    val rep = run("q_ann_recall").collect()
+    assert(rep.nonEmpty)
+    def pairs(name: String) = run(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = run("q_ann_cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val lsh = pairs("q_ann_lsh_cosine")
+    val ivf = pairs("q_ann_ivf_cosine")
+    rep.foreach { r =>
+      val q = r.getLong(0)
+      val mine = exact.filter(_._1 == q)
+      assert(r.getLong(1) == mine.length, s"n_exact mismatch for query $q")
+      assert(r.getLong(2) == mine.count(lsh.contains), s"lsh hits mismatch for $q")
+      assert(r.getLong(3) == mine.count(ivf.contains), s"ivf hits mismatch for $q")
+      assert(r.getLong(4) <= 1000000L && r.getLong(5) <= 1000000L)
+    }
+  }
+
   test("bigram LM compresses relative to the unigram on this corpus") {
     val uni = run("q_lm_quality").collect()
       .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap

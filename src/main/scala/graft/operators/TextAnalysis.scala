@@ -128,6 +128,48 @@ object TextAnalysis {
       .withColumn("chars_per_tok_e2", expr("n_chars * 100 div bpe_tokens"))
       .orderBy("lang")
 
+  /** Equi-depth bin count for [[quantileBins]] (pinned: the oracle
+    * interpolates it). */
+  private[graft] val DepthBins = 10L
+
+  /** q_quantile_bins: EQUI-DEPTH length binning per language — the
+    * curriculum/batch-balancing stage: deciles of the per-doc token
+    * count, so a trainer can draw length-balanced batches (or schedule
+    * short→long) without a corpus sort. Fixed-width histograms
+    * (q_token_hist) tell you the shape; equi-depth bins give each bin
+    * the same document mass regardless of shape.
+    *
+    * Spark-first shape (the q_percentiles idiom): aggregate to the
+    * (lang, n_tok) VALUE HISTOGRAM first — shuffle ∝ distinct lengths,
+    * never corpus rows — then one cumulative window over that bounded
+    * frame assigns every VALUE its bin: bin(v) = (cum_lt(v)·B) div n
+    * + 1, ties share a bin (the deterministic choice a reproducible
+    * curriculum needs; NTILE would split equal lengths arbitrarily).
+    * The per-bin rollup then reads only histogram rows. All exact
+    * integer arithmetic. */
+  def quantileBins(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = Tables.documents(spark, dir)
+      .select(col("lang"),
+        size(regexp_extract_all(col("text"), lit(TokenRe), lit(0)))
+          .cast("long").as("n_tok"))
+      .groupBy("lang", "n_tok").agg(count(lit(1)).as("c"))
+    val cum = hist
+      .withColumn("cum_le", sum("c").over(
+        Window.partitionBy("lang").orderBy("n_tok")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum("c").over(Window.partitionBy("lang")))
+      .withColumn("bin",
+        expr(s"(cum_le - c) * $DepthBins div n + 1"))
+    cum.groupBy("lang", "bin")
+      .agg(
+        sum("c").as("n_docs"),
+        min("n_tok").as("min_tok"),
+        max("n_tok").as("max_tok"),
+        sum(col("c") * col("n_tok")).as("sum_tok"))
+      .orderBy("lang", "bin")
+  }
+
   /** q_fingerprint: winnowing-lite document fingerprint — char 5-gram
     * md5 hashes, per-window (w=4) minima, distinct set (cf. Schleimer,
     * Wilkerson, Aiken: "Winnowing: Local Algorithms for Document
@@ -776,6 +818,7 @@ object TextAnalysis {
     "q_quality_score" -> (qualityScore(_, _)),
     "q_token_count" -> (tokenCount(_, _)),
     "q_tokenizer_fertility" -> (tokenizerFertility(_, _)),
+    "q_quantile_bins" -> (quantileBins(_, _)),
     "q_fingerprint" -> (fingerprint(_, _)),
     "q_token_hist" -> (tokenHist(_, _)),
     "q_sample_split" -> (sampleSplit(_, _)))
@@ -826,6 +869,30 @@ object TextAnalysis {
          |ORDER BY query_id, rank""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // Same value-histogram cumsum; bin(v) = (cum_lt · B) div n + 1.
+    "q_quantile_bins" ->
+      s"""WITH h AS (
+         |  SELECT lang,
+         |    CAST(len(regexp_extract_all(text, '$TokenRe')) AS BIGINT) AS n_tok,
+         |    CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM documents GROUP BY lang, n_tok),
+         |cum AS (
+         |  SELECT lang, n_tok, c,
+         |    SUM(c) OVER (PARTITION BY lang ORDER BY n_tok
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_le,
+         |    SUM(c) OVER (PARTITION BY lang) AS n
+         |  FROM h),
+         |b AS (
+         |  SELECT lang, n_tok, c,
+         |    (cum_le - c) * $DepthBins // n + 1 AS bin
+         |  FROM cum)
+         |SELECT lang, CAST(bin AS BIGINT) AS bin,
+         |  CAST(SUM(c) AS BIGINT) AS n_docs,
+         |  CAST(MIN(n_tok) AS BIGINT) AS min_tok,
+         |  CAST(MAX(n_tok) AS BIGINT) AS max_tok,
+         |  CAST(SUM(c * n_tok) AS BIGINT) AS sum_tok
+         |FROM b GROUP BY lang, bin
+         |ORDER BY lang, bin""".stripMargin,
     "q_tokenizer_fertility" ->
       s"""WITH d AS (
          |  SELECT lang,

@@ -1103,6 +1103,34 @@ class OperatorSpec extends SparkSpec {
       s"boiler chunk count for $hot disagrees with a local recount")
   }
 
+  test("quantile bins are equi-depth within tie tolerance and ordered") {
+    val out = run("q_quantile_bins").collect()
+    val perLang = out.groupBy(_.getString(0))
+    perLang.foreach { case (lang, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      val n = sorted.map(_.getLong(2)).sum
+      // bins are contiguous, ordered, and non-overlapping in value space
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getLong(1) < b.getLong(1), s"$lang bins out of order")
+          assert(a.getLong(4) <= b.getLong(3),
+            s"$lang value ranges overlap across bins")
+        case _ =>
+      }
+      // equi-depth up to ties: every bin holds ≤ n/B + its largest tie
+      // group; no bin may exceed twice the ideal depth unless a single
+      // value dominates (then the tie rule forces one bin)
+      val ideal = n / graft.operators.TextAnalysis.DepthBins
+      sorted.foreach { r =>
+        val width = r.getLong(4) - r.getLong(3)
+        assert(r.getLong(2) <= 2 * ideal + 1 || width == 0,
+          s"$lang bin ${r.getLong(1)} depth ${r.getLong(2)} vs ideal $ideal without a tie excuse")
+      }
+    }
+    assert(out.map(_.getLong(2)).sum ==
+      graft.sources.Tables.documents(spark, sf).count())
+  }
+
   test("ann recall report matches a local recount of the three rankings") {
     val rep = run("q_ann_recall").collect()
     assert(rep.nonEmpty)

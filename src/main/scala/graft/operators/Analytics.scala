@@ -469,7 +469,7 @@ object Analytics {
   /** Interval width AND bucket width for q_range_join (6 h, ms). Equal
     * by construction: an interval exactly one bucket long overlaps at
     * most two buckets, so the build side replicates ≤ 2×. */
-  private val RangeWinMs = 21600000L
+  private[graft] val RangeWinMs = 21600000L
 
   /** q_range_join: keyed interval join — every purchase within
     * [[RangeWinMs]] AFTER an error by the same user (the

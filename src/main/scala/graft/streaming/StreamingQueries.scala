@@ -558,7 +558,50 @@ object StreamingQueries {
         .toDF("source", "bucket", "c"))
   }
 
+  /** q_stream_join — the keyed interval join as a genuine STREAM-STREAM
+    * join (Structured Streaming's two-stream symmetric hash join, the
+    * one streaming capability no other row exercised): purchases within
+    * 6 h AFTER an error by the same user, matched as both sides arrive.
+    *
+    * Batch q_range_join buckets time so the shuffle work stays ∝
+    * bucket-sharing pairs; the stream build instead lets Spark's
+    * stream-stream join hold each side in WATERMARK-BOUNDED state — the
+    * event-time range condition on the two watermarked columns lets the
+    * engine prove an error older than (watermark − 6 h) can never match
+    * a future purchase and evict it, so a day-long run holds hours of
+    * state, not history. Both sides are ms-truncated BEFORE the
+    * watermark so the join compares exactly the batch row's unix_millis
+    * values. Same output columns, same DuckDB oracle as q_range_join:
+    * two execution strategies, one semantics (reference analog: the
+    * DStreams pipelines joined against recent-history tables,
+    * um/re/streaming/). */
+  def streamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsStream(spark, dir)
+      .withColumn("ts", timestamp_millis(unix_millis(col("ts"))))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id").as("e_user"),
+        col("ts").as("err_ts"))
+      .withWatermark("err_ts", "10 minutes")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purch_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"),
+        floor(col("value") * 100 + 0.5).cast("long").as("value_cents"))
+      .withWatermark("p_ts", "10 minutes")
+    val winMs = graft.operators.Analytics.RangeWinMs
+    val joined = errors.join(purchases,
+      col("e_user") === col("p_user") &&
+        col("p_ts") > col("err_ts") &&
+        col("p_ts") <= col("err_ts") + expr(s"INTERVAL $winMs MILLISECOND"))
+    runToMemory(spark, joined.select(
+        col("err_id"), col("purch_id"), col("e_user").as("user_id"),
+        (unix_millis(col("p_ts")) - unix_millis(col("err_ts"))).as("lag_ms"),
+        col("value_cents")),
+      OutputMode.Append())
+      .orderBy("err_id", "purch_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_join" -> (streamJoin(_, _)),
     "q_stream_psi" -> (streamPsi(_, _)),
     "q_stream_pack" -> (streamPack(_, _)),
     "q_stream_pipe" -> (streamPipe(_, _)),
@@ -580,6 +623,9 @@ object StreamingQueries {
     // the batch funnel's oracle VERBATIM — stream and batch share one
     // definition, so they must share one oracle
     "q_stream_funnel" -> graft.operators.Analytics.oracleSql("q_funnel"),
+    // the batch interval-join oracle VERBATIM — the stream-stream join
+    // must produce exactly the bucketized batch join's pairs
+    "q_stream_join" -> graft.operators.Analytics.oracleSql("q_range_join"),
     // the batch packing oracle VERBATIM — packInput + packRollup are
     // shared, so the converged stream must equal the batch rollup
     "q_stream_pack" -> graft.operators.TextAnalysis.oracleSql("q_pack_sequences"),

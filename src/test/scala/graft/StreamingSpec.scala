@@ -188,6 +188,22 @@ class StreamingSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("stream-stream interval join equals the batch bucketized range join") {
+    // q_range_join (bucketized equi-join, work ∝ bucket-sharing pairs)
+    // and q_stream_join (watermark-bounded symmetric hash join) express
+    // the same 6-h-after-error predicate by two unrelated mechanisms —
+    // the matched (error, purchase) pairs must be identical.
+    def canon(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+      (r.getAs[Long]("err_id"), r.getAs[Long]("purch_id"),
+        r.getAs[Long]("user_id"), r.getAs[Long]("lag_ms"),
+        r.getAs[Long]("value_cents"))
+    }.toSet
+    val batch = canon(SparkEntry.queries("q_range_join")(spark, sf).collect())
+    val stream = canon(SparkEntry.queries("q_stream_join")(spark, sf).collect())
+    assert(stream.nonEmpty)
+    assert(stream == batch)
+  }
+
   test("streaming funnel equals the batch funnel row for row") {
     // same definition through two mechanisms: batch two-agg join vs
     // per-user O(1) stream state — results must be identical

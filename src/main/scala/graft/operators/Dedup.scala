@@ -577,7 +577,56 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Band width of the q_dedup_recall rollup (e6 Jaccard; 0.1-wide). */
+  private val RecallBandE6 = 100000L
+
+  /** q_dedup_recall: the NEAR-DUP QUALITY SWEEP as data — per
+    * Jaccard-decile recall of the MinHash-LSH candidate generator
+    * against the exact shared-shingle ground truth (the dedup analog of
+    * q_ann_recall: the b/r banding curve P(candidate)=1−(1−J²)⁸
+    * measured on the real corpus, not assumed from theory).
+    *
+    * Ground truth is every pair sharing ≥ 1 word-3-shingle with its
+    * exact integer Jaccard (the q_ppjoin ORACLE shape, unfiltered);
+    * the LSH side is [[minhashPairs]] VERBATIM. A full-outer merge
+    * classifies each pair, then one tiny rollup per 0.1-wide Jaccard
+    * band reports n_pairs / n_lsh / recall_e6 — high bands read as
+    * recall (should → 10⁶), low bands as the collision/waste mass the
+    * verify stage pays for. LSH-only pairs with no shared shingle
+    * (pure mod-P collisions) land in band 0.
+    *
+    * Scale shape: the truth join's work is ∝ Σ df² over shingles —
+    * the sweep is a QUALITY AUDIT, run on a bounded sample at corpus
+    * scale (like q_ann_recall's fixed catalog), never on all 100 TB;
+    * everything after the two-phase pair aggs is ≤ 11 rows. */
+  def dedupRecall(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(shingles(col("text"))).as("tok"))
+      .localCheckpoint() // sizes + both join sides read it
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shared = toks.as("a").join(toks.as("b"), Seq("tok"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val allp = shared
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")), "id_b")
+      .withColumn("jaccard_e6",
+        expr("(n_shared * 1000000) div (n_a + n_b - n_shared)"))
+      .select("id_a", "id_b", "jaccard_e6")
+    val lsh = minhashPairs(spark, dir)
+    allp.join(lsh, Seq("id_a", "id_b"), "full_outer")
+      .select(coalesce(col("jaccard_e6"), lit(0L)).as("j"),
+        coalesce(col("n_bands"), lit(0L)).as("nb"))
+      .groupBy(expr(s"j div $RecallBandE6").as("band"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("nb") > 0, 1L).otherwise(0L)).as("n_lsh"))
+      .withColumn("recall_e6", expr("(n_lsh * 1000000) div n_pairs"))
+      .orderBy("band")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_recall" -> (dedupRecall(_, _)),
     "q_ppjoin" -> (ppJoin(_, _)),
     "q_substr_dup" -> (substrDup(_, _)),
     "q_chunk_dedup" -> (chunkDedup(_, _)),
@@ -630,6 +679,36 @@ object Dedup {
        |  GROUP BY a.doc_id, b.doc_id)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // minhash pairSql verbatim + the unfiltered all-pairs truth join
+    // (the q_ppjoin oracle shape) → full-outer merge → decile rollup
+    "q_dedup_recall" ->
+      s"""WITH $pairSql,
+         |toks AS (
+         |  SELECT doc_id, unnest(grams) AS tok FROM sh),
+         |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY doc_id),
+         |shared AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(COUNT(*) AS BIGINT) AS n_shared
+         |  FROM toks a JOIN toks b USING (tok)
+         |  WHERE a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |allp AS (
+         |  SELECT id_a, id_b,
+         |    (n_shared * 1000000) // (sa.n + sb.n - n_shared) AS jaccard_e6
+         |  FROM shared
+         |  JOIN sizes sa ON sa.doc_id = id_a
+         |  JOIN sizes sb ON sb.doc_id = id_b),
+         |merged AS (
+         |  SELECT COALESCE(a.jaccard_e6, 0) AS j,
+         |    COALESCE(p.n_bands, 0) AS nb
+         |  FROM allp a FULL OUTER JOIN pairs p
+         |    ON a.id_a = p.id_a AND a.id_b = p.id_b)
+         |SELECT j // $RecallBandE6 AS band,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(SUM(CASE WHEN nb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_lsh,
+         |  CAST((SUM(CASE WHEN nb > 0 THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT) AS recall_e6
+         |FROM merged GROUP BY band
+         |ORDER BY band""".stripMargin,
     // Same non-overlapping chunk build, chunk identity as md5, rows +
     // distinct-doc counts per (source, chunk), per-source rollup.
     "q_boilerplate" ->

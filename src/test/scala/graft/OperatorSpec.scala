@@ -39,6 +39,41 @@ class OperatorSpec extends SparkSpec {
     assert(df.groupBy("id_a", "id_b").count().filter(col("count") > 1).count() == 0)
   }
 
+  test("dedup recall bands equal a local brute-force sweep") {
+    // truth side recomputed locally: exact distinct-3-shingle Jaccard
+    // for every doc pair, banded; LSH side = the collected minhash
+    // pair set. The operator's rollup must match both counts per band.
+    def sh(text: String): Set[String] = {
+      val w = text.split(" ", -1)
+      if (w.length >= 3) w.sliding(3).map(_.mkString(" ")).toSet
+      else Set(text)
+    }
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> sh(r.getString(1)))
+    val lsh = run("q_dedup_minhash").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bands = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    for {
+      i <- docs.indices; j <- (i + 1) until docs.length
+      (ida, sa) = docs(i); (idb, sb) = docs(j)
+      inter = (sa & sb).size if inter > 0 || lsh((math.min(ida, idb), math.max(ida, idb)))
+    } {
+      val j6 = if (inter == 0) 0L
+        else inter.toLong * 1000000L / (sa.size + sb.size - inter)
+      val caught = lsh((math.min(ida, idb), math.max(ida, idb)))
+      val (np, nl) = bands.getOrElse(j6 / 100000L, (0L, 0L))
+      bands(j6 / 100000L) = (np + 1, nl + (if (caught) 1 else 0))
+    }
+    val got = run("q_dedup_recall").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == bands.toMap)
+    // recall_e6 is the integer ratio of its own row
+    run("q_dedup_recall").collect().foreach { r =>
+      assert(r.getLong(3) == r.getLong(2) * 1000000L / r.getLong(1))
+    }
+  }
+
   test("knn_graph edges are mutual, degree-capped, and agree with ann_cosine") {
     val edges = run("q_knn_graph").collect()
     val k = graft.operators.Similarity.KnnK

@@ -41,16 +41,27 @@ object Tables {
     if (narrow) df.repartition(target) else df
   }
 
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Read it as long nanos (legacy conf) and
-    * convert to a microsecond timestamp — same instant DuckDB sees. */
+  /** `events.ts` has shipped in two physical encodings across testdata
+    * generations: parquet TIMESTAMP(NANOS) — which Spark's vectorized
+    * reader rejects, so it is read as long nanos (legacy conf) and
+    * converted — and plain TIMESTAMP(MICROS) without UTC adjustment,
+    * which Spark reads as TIMESTAMP_NTZ. Both normalize to the same
+    * session-UTC microsecond TimestampType instant DuckDB sees, so
+    * every downstream operator and oracle is encoding-agnostic. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // integer division: `/` on columns is double division, and nano
-    // epochs (~1.7e18) exceed double's 2^53 mantissa — off-by-1µs drift
-    table(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = table(spark, dir, "events")
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    raw.schema("ts").dataType match {
+      // integer division: `/` on columns is double division, and nano
+      // epochs (~1.7e18) exceed double's 2^53 mantissa — off-by-1µs drift
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      // TIMESTAMP_NTZ: under the fixed UTC session zone this cast is a
+      // pure re-tag — same micros value, now comparable via unix_millis
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")

@@ -52,9 +52,9 @@ case class UserUpdate(user_id: Long, last_value: Double,
 
 object StreamingQueries {
 
-  private val eventsSchema = StructType(Seq(
+  private def eventsSchema(tsType: org.apache.spark.sql.types.DataType) = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // TIMESTAMP(NANOS) read as long nanos
+    StructField("ts", tsType), // long nanos OR timestamp, see eventsStream
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -75,12 +75,26 @@ object StreamingQueries {
     streamDir.getAbsolutePath
   }
 
+  /** The file-source schema must match the table's physical encoding,
+    * which differs across testdata generations (TIMESTAMP(NANOS)-as-long
+    * vs TIMESTAMP(MICROS)/NTZ — see [[graft.sources.Tables.events]]).
+    * Probe the footer once via the batch reader, then declare the
+    * matching stream schema and normalize to session-UTC TimestampType
+    * so every stream operator sees identical instants either way. */
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsSchema)
+    val physical = spark.read.parquet(s"$dir/events.parquet")
+      .schema("ts").dataType
+    val raw = spark.readStream
+      .schema(eventsSchema(physical))
       .parquet(stageStreamDir(dir, "events"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // integer div: ns > 2^53
+    physical match {
+      case LongType => // integer div: ns > 2^53, double division would drift
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts",
+        col("ts").cast(TimestampType)) // NTZ→UTC re-tag, same micros
+    }
   }
 
   /** Run `df` through a memory sink synchronously; return the result.

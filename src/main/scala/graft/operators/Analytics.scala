@@ -748,7 +748,66 @@ object Analytics {
       .orderBy("user_id")
   }
 
+  /** KS drift alarm (e6 scale): D > 0.05 — for the testdata sample
+    * sizes (≥ 10⁴ per side) this is far beyond the α=0.001 critical
+    * value c·√((n_a+n_b)/(n_a·n_b)) ≈ 0.01, so a flag is a real shift,
+    * not noise. Pinned — the oracle embeds it. */
+  private[graft] val KsAlarmE6 = 50000L
+
+  /** q_ks_drift: EXACT two-sample Kolmogorov-Smirnov drift test per
+    * event_type — early half vs late half of the time range, D =
+    * max_x |F_a(x) − F_b(x)|. The distribution-shift monitor that
+    * catches what q_psi_drift's fixed buckets smooth over (KS sees
+    * every step of the empirical CDFs).
+    *
+    * Exactness: the CDF difference is kept as the INTEGER numerator
+    * |cum_a·n_b − cum_b·n_a| over the common denominator n_a·n_b —
+    * no floating CDF at any point; the e6 statistic is one integer
+    * division at the end. The cross-products run in decimal(38,0):
+    * past ~10⁹ rows per side Long would overflow (and THROW under
+    * ANSI) — same rule as q_zipf_spectrum's slope.
+    *
+    * Scale shape: the same value-histogram kernel as q_percentiles —
+    * shuffle ∝ distinct (event_type, cents) values, NOT rows (the
+    * groupBy collapses the corpus first; cumsums ride a per-type
+    * window over the histogram). The time midpoint is one bounded
+    * agg broadcast back. */
+  def ksDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"),
+        unix_millis(col("ts")).as("t"),
+        floor(col("value") * 100 + 0.5).cast("long").as("v"))
+    val mid = ev.agg(expr("(min(t) + max(t)) div 2").as("mid"))
+    val hist = ev.crossJoin(broadcast(mid))
+      .withColumn("is_a", (col("t") < col("mid")).cast("long"))
+      .groupBy("event_type", "v")
+      .agg(sum("is_a").as("ca"), sum(lit(1L) - col("is_a")).as("cb"))
+    val byType = Window.partitionBy("event_type")
+    val cum = byType.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("cuma", sum("ca").over(cum))
+      .withColumn("cumb", sum("cb").over(cum))
+      .withColumn("na", sum("ca").over(byType))
+      .withColumn("nb", sum("cb").over(byType))
+      .withColumn("dnum", abs(
+        col("cuma").cast(DecimalType(38, 0)) * col("nb") -
+          col("cumb").cast(DecimalType(38, 0)) * col("na")))
+      .withColumn("dmax", max("dnum").over(byType))
+      .filter(col("dnum") === col("dmax"))
+      .groupBy("event_type", "na", "nb", "dmax")
+      .agg(min("v").as("ks_at_cents"))
+      .select(col("event_type"),
+        col("na").as("n_a"), col("nb").as("n_b"),
+        expr("(dmax * 1000000) div (cast(na as decimal(38,0)) * nb)")
+          .as("d_e6"),
+        col("ks_at_cents"))
+      .withColumn("drift", col("d_e6") > KsAlarmE6)
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ks_drift" -> (ksDrift(_, _)),
     "q_anomaly_mad" -> (anomalyMad(_, _)),
     "q_funnel" -> (funnel(_, _)),
     "q_sessionize" -> (sessionize(_, _)),
@@ -790,6 +849,42 @@ object Analytics {
   }.mkString("\nUNION ALL\n")
 
   val oracleSql: Map[String, String] = Map(
+    // Same integer-numerator CDF compare; HUGEINT plays decimal(38,0).
+    "q_ks_drift" ->
+      s"""WITH ev AS (
+         |  SELECT event_type, epoch_ns(ts) // 1000000 AS t,
+         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+         |  FROM events),
+         |mid AS (SELECT (MIN(t) + MAX(t)) // 2 AS mid FROM ev),
+         |hist AS (
+         |  SELECT event_type, v,
+         |    CAST(SUM(CASE WHEN t < mid THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         |    CAST(SUM(CASE WHEN t < mid THEN 0 ELSE 1 END) AS BIGINT) AS cb
+         |  FROM ev CROSS JOIN mid GROUP BY event_type, v),
+         |cum AS (
+         |  SELECT event_type, v,
+         |    SUM(ca) OVER (PARTITION BY event_type ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+         |    SUM(cb) OVER (PARTITION BY event_type ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+         |    SUM(ca) OVER (PARTITION BY event_type) AS na,
+         |    SUM(cb) OVER (PARTITION BY event_type) AS nb
+         |  FROM hist),
+         |d AS (
+         |  SELECT event_type, v, na, nb,
+         |    abs(CAST(cuma AS HUGEINT) * nb - CAST(cumb AS HUGEINT) * na) AS dnum,
+         |    MAX(abs(CAST(cuma AS HUGEINT) * nb - CAST(cumb AS HUGEINT) * na))
+         |      OVER (PARTITION BY event_type) AS dmax
+         |  FROM cum)
+         |SELECT event_type,
+         |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+         |  CAST((dmax * 1000000) // (CAST(na AS HUGEINT) * nb) AS BIGINT) AS d_e6,
+         |  MIN(v) AS ks_at_cents,
+         |  CAST((dmax * 1000000) // (CAST(na AS HUGEINT) * nb) AS BIGINT)
+         |    > $KsAlarmE6 AS drift
+         |FROM d WHERE dnum = dmax
+         |GROUP BY event_type, na, nb, dmax
+         |ORDER BY event_type""".stripMargin,
     // Direct order statistics (ROW_NUMBER twice) vs the plan's chained
     // histogram cumsums.
     "q_anomaly_mad" ->

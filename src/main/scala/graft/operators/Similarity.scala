@@ -760,7 +760,57 @@ object Similarity {
       .select("dim", "n", "min_e6", "max_e6", "sum_e6", "mean_e6", "var_e12")
       .orderBy("dim")
 
+  /** Outlier rule for q_embed_outliers: dist² > [[OutlierK]] × the
+    * label's mean dist² (pinned — the oracle embeds it). */
+  private[graft] val OutlierK = 4L
+
+  /** q_embed_outliers: per-vector distance-to-class-centroid outlier
+    * flags — the mislabeled-example / off-distribution screen run
+    * before a labeled embedding set trains anything (vectors far from
+    * their own label's centroid are the first candidates for audit).
+    *
+    * Exactness (the q_cluster_profile rule): vectors quantize to e6
+    * integers FIRST; centroid dims are truncating integer division of
+    * exact integer sums; each dist² is then pure integer arithmetic
+    * (64 dims × (2·10⁶)² ≈ 2.6·10¹⁴ < 2⁶³), and the outlier compare
+    * is integers on both sides — no float anywhere, so every flag is
+    * bit-identical in DuckDB. Per-label dist² sums run in
+    * decimal(38,0) (Long would overflow — and ANSI-throw — past ~3·10⁴
+    * vectors per label; the div-by-count brings the MEAN back to Long
+    * range at any scale).
+    *
+    * Scale shape: centroids are one two-phase agg on (label, dim)
+    * (explode fan-out = rows × dims); the label catalog is tiny so
+    * both the centroid map and the per-label means broadcast — the
+    * corpus is scanned twice, shuffled never (the (label,dim) agg
+    * shuffles only the catalog-sized partials). */
+  def embedOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.widened(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("label").cast("long").as("label"), expr(
+        "transform(cast(embedding as array<double>), x -> cast(floor(x * 1e6 + 0.5) as bigint))")
+        .as("ve"))
+      .localCheckpoint() // centroid agg + dist pass share one scan
+    val cent = emb
+      .select(col("label"), posexplode(col("ve")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .withColumn("mean_e6", expr("s div n"))
+      .groupBy("label")
+      .agg(expr("transform(sort_array(collect_list(struct(dim, mean_e6))), p -> p.mean_e6)")
+        .as("ce"))
+    val d2 = emb.join(broadcast(cent), Seq("label"))
+      .withColumn("dist2", expr(
+        "aggregate(zip_with(ve, ce, (x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x)"))
+    val means = d2.groupBy("label")
+      .agg(expr("sum(cast(dist2 as decimal(38,0))) div count(1)").as("mean_dist2"))
+    d2.join(broadcast(means), Seq("label"))
+      .select(col("vec_id"), col("label"), col("dist2"),
+        (col("dist2") > col("mean_dist2") * OutlierK).as("outlier"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_outliers" -> (embedOutliers(_, _)),
     "q_feature_scale" -> (featureScale(_, _)),
     "q_ann_cosine" -> (annCosine(_, _)),
     "q_knn_graph" -> (knnGraph(_, _)),
@@ -827,6 +877,36 @@ object Similarity {
        |top AS (SELECT * FROM ranked WHERE rank <= $k)""".stripMargin
 
   private val baseOracleSql: Map[String, String] = Map(
+    // Same e6 quantization, integer centroids, integer dist² compare.
+    "q_embed_outliers" ->
+      s"""WITH ve AS (
+         |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |    [CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT) for x in embedding] AS v
+         |  FROM embeddings),
+         |dims AS (
+         |  SELECT label, i AS dim, v[i] AS val
+         |  FROM ve, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i)),
+         |cent AS (
+         |  SELECT label, dim, CAST(SUM(val) // COUNT(*) AS BIGINT) AS mean_e6
+         |  FROM dims GROUP BY label, dim),
+         |ca AS (
+         |  SELECT label, list(mean_e6 ORDER BY dim) AS ce
+         |  FROM cent GROUP BY label),
+         |d2 AS (
+         |  SELECT m.vec_id, m.label,
+         |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      [(m.v[i] - ca.ce[i]) * (m.v[i] - ca.ce[i])
+         |       for i in range(1, len(m.v) + 1)]),
+         |      (a, x) -> a + x) AS BIGINT) AS dist2
+         |  FROM ve m JOIN ca USING (label)),
+         |means AS (
+         |  SELECT label,
+         |    CAST(SUM(CAST(dist2 AS HUGEINT)) // COUNT(*) AS BIGINT) AS mean_dist2
+         |  FROM d2 GROUP BY label)
+         |SELECT d.vec_id, d.label, d.dist2,
+         |  d.dist2 > m.mean_dist2 * $OutlierK AS outlier
+         |FROM d2 d JOIN means m USING (label)
+         |ORDER BY d.vec_id""".stripMargin,
     "q_feature_scale" ->
       """WITH x AS (
         |  SELECT i - 1 AS dim,

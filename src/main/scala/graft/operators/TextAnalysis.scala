@@ -682,6 +682,88 @@ object TextAnalysis {
           |""".stripMargin.replace('\n', ' ')))
   }
 
+  /** Keywords kept per document by q_doc_keywords (pinned — the
+    * oracle embeds it). */
+  private[graft] val KeywordK = 3
+
+  /** q_doc_keywords: per-document top-[[KeywordK]] TF-IDF keywords —
+    * the per-doc salient-term tags a corpus browser or weak labeler
+    * reads (q_tfidf_topk ranks feature BUCKETS corpus-wide; this ranks
+    * TERMS per document). idf = log2((N+1)/(df+1)), floored to an e6
+    * integer once per term so score_e6 = tf · idf_e6 is exact integer
+    * arithmetic and the per-doc ranking (score desc, token asc) is
+    * bit-stable in both engines.
+    *
+    * Scale shape: tf is a two-phase groupBy on (doc, token); df a
+    * second on token; they meet on a token-keyed postings equi-join
+    * (shuffle ∝ distinct (doc,token) pairs, never raw tokens); the
+    * corpus size is a one-row broadcast; per-doc top-K is a window
+    * partitioned by doc_id — embarrassingly parallel across docs. */
+  def docKeywords(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val nd = tf.agg(count_distinct(col("doc_id")).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score_e6").desc, col("tok").asc)
+    tf.join(dfreq, "tok")
+      .crossJoin(broadcast(nd))
+      .withColumn("idf_e6", floor(
+        log2((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0)))
+          * 1e6 + 0.5).cast("long"))
+      .withColumn("score_e6", col("tf") * col("idf_e6"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= KeywordK)
+      .select(col("doc_id"), col("rank"), col("tok"), col("tf"),
+        col("df"), col("score_e6"))
+      .orderBy("doc_id", "rank")
+  }
+
+  /** Low-entropy alarm floor for q_char_entropy (e6 bits/char): natural
+    * prose sits near 4 bits/char; repeated-template boilerplate and
+    * degenerate spam fall well under 3. Pinned — the oracle embeds it. */
+  private[graft] val EntropyAlarmE6 = 3000000L
+
+  /** q_char_entropy: per-document character-level Shannon entropy —
+    * the compressibility signal quality filters pair with repetition
+    * ratios (cf. Gopher/C4-style heuristics): near-zero entropy means
+    * the document is one repeated template; unusually high means
+    * base64/binary junk. H = Σ_c (n_c/N)·log2(N/n_c) over the per-doc
+    * character histogram.
+    *
+    * Determinism (the q_lm_quality rule): each histogram term floors
+    * to an e6 INTEGER before the per-doc sum, so no cross-row double
+    * accumulation can go partition-order nondeterministic; the
+    * corpus is ASCII so Spark's UTF-16 code-unit split and DuckDB's
+    * codepoint split see identical characters.
+    *
+    * Scale shape: one explode + two-phase groupBy on (doc_id, char) —
+    * shuffle ∝ docs × alphabet (the histogram, not the text); the
+    * per-doc totals ride a window over the SAME doc_id partitioning,
+    * and the final rollup re-uses it. No joins, nothing ordered
+    * globally. */
+  def charEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= "") // empty doc → zero rows in both engines
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("n"))
+    val byDoc = Window.partitionBy("doc_id")
+    hist
+      .withColumn("nn", sum("n").over(byDoc))
+      .withColumn("term_e6", floor(
+        col("n") * log2(col("nn").cast("double") / col("n")) / col("nn")
+          * 1e6 + 0.5).cast("long"))
+      .groupBy("doc_id")
+      .agg(max("nn").as("n_chars"),
+        count(lit(1)).as("n_distinct"),
+        sum("term_e6").as("ent_e6"))
+      .withColumn("low_entropy", col("ent_e6") < EntropyAlarmE6)
+      .orderBy("doc_id")
+  }
+
   /** Min-frequency thresholds for q_vocab_coverage. */
   private val CoverageThresholds = Seq(2L, 5L, 10L, 50L)
 
@@ -802,6 +884,8 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pmi" -> (pmi(_, _)),
+    "q_char_entropy" -> (charEntropy(_, _)),
+    "q_doc_keywords" -> (docKeywords(_, _)),
     "q_hll_distinct" -> (hllDistinct(_, _)),
     "q_reservoir" -> (reservoir(_, _)),
     "q_zipf_spectrum" -> (zipfSpectrum(_, _)),
@@ -869,6 +953,45 @@ object TextAnalysis {
          |ORDER BY query_id, rank""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // Same tf/df postings join, same e6-floored idf, same window rank.
+    "q_doc_keywords" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |        FROM documents)
+         |  GROUP BY doc_id, tok),
+         |dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+         |nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tf),
+         |scored AS (
+         |  SELECT t.doc_id, t.tok, t.tf, f.df,
+         |    t.tf * CAST(floor(log2((n.n_docs + 1.0) / (f.df + 1.0)) * 1e6 + 0.5)
+         |      AS BIGINT) AS score_e6
+         |  FROM tf t JOIN dfreq f USING (tok) CROSS JOIN nd n),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |    ORDER BY score_e6 DESC, tok ASC) AS rank
+         |  FROM scored)
+         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, tok, tf, df, score_e6
+         |FROM ranked WHERE rank <= $KeywordK
+         |ORDER BY doc_id, rank""".stripMargin,
+    // Same histogram → per-char e6-floored term → integer per-doc sum.
+    "q_char_entropy" ->
+      s"""WITH hist AS (
+         |  SELECT doc_id, c AS ch, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
+         |  WHERE c <> '' GROUP BY doc_id, c),
+         |terms AS (
+         |  SELECT doc_id, ch, n,
+         |    CAST(SUM(n) OVER (PARTITION BY doc_id) AS BIGINT) AS nn
+         |  FROM hist)
+         |SELECT doc_id,
+         |  MAX(nn) AS n_chars,
+         |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         |  CAST(SUM(CAST(floor(n * log2(CAST(nn AS DOUBLE) / n) / nn * 1e6 + 0.5)
+         |    AS BIGINT)) AS BIGINT) AS ent_e6,
+         |  CAST(SUM(CAST(floor(n * log2(CAST(nn AS DOUBLE) / n) / nn * 1e6 + 0.5)
+         |    AS BIGINT)) AS BIGINT) < $EntropyAlarmE6 AS low_entropy
+         |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Same value-histogram cumsum; bin(v) = (cum_lt · B) div n + 1.
     "q_quantile_bins" ->
       s"""WITH h AS (

@@ -1248,6 +1248,55 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("char entropy matches a local per-doc recomputation") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = run("q_char_entropy").collect()
+    assert(rows.length == docs.count(_._2.nonEmpty))
+    rows.foreach { r =>
+      val (id, n, dist, ent) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val text = docs(id)
+      val hist = text.groupBy(identity).map(_._2.length.toLong)
+      assert(n == text.length, s"doc $id n_chars")
+      assert(dist == hist.size, s"doc $id n_distinct")
+      val expected = hist.map { c =>
+        math.floor(
+          c * (math.log(n.toDouble / c) / math.log(2.0)) / n * 1e6 + 0.5).toLong
+      }.sum
+      assert(ent == expected, s"doc $id entropy $ent != $expected")
+      assert(r.getBoolean(4) == (ent < graft.operators.TextAnalysis.EntropyAlarmE6))
+    }
+  }
+
+  test("ks drift equals a local brute-force CDF sweep") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), unix_millis(col("ts")).as("t"),
+        floor(col("value") * 100 + 0.5).cast("long").as("v")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val mid = (ev.map(_._2).min + ev.map(_._2).max) / 2
+    val rows = run("q_ks_drift").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getString(0)).toSet ==
+      ev.map(_._1).toSet, "one row per event_type")
+    rows.foreach { r =>
+      val et = r.getString(0)
+      val a = ev.filter(e => e._1 == et && e._2 < mid).map(_._3)
+      val b = ev.filter(e => e._1 == et && e._2 >= mid).map(_._3)
+      val (na, nb) = (a.length.toLong, b.length.toLong)
+      var dmax = BigInt(0); var at = Long.MaxValue
+      (a ++ b).distinct.sorted.foreach { x =>
+        val d = (BigInt(a.count(_ <= x)) * nb - BigInt(b.count(_ <= x)) * na).abs
+        if (d > dmax) { dmax = d; at = x } // ascending scan → first max = min v
+      }
+      assert(r.getLong(1) == na && r.getLong(2) == nb, s"$et sample sizes")
+      assert(BigInt(r.getLong(3)) == dmax * 1000000 / (BigInt(na) * nb),
+        s"$et d_e6")
+      assert(r.getLong(4) == at, s"$et ks_at_cents")
+    }
+  }
+
   test("TopKByAvgTFIDF selects buckets and appends the location feature") {
     import spark.implicits._
     val ds = (0 until 200).map { i =>

@@ -661,6 +661,99 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** q_ann_ivfpq: the IVF-PQ index probe (Jégou et al. TPAMI'11, the
+    * FAISS IVFPQ shape) — the billion-vector configuration where BOTH
+    * halves of the cost are cut: the IVF coarse quantizer restricts
+    * each query to nprobe cells (compare work ∝ probed fraction, as
+    * q_ann_ivf_cosine), and within a cell candidates are scored from
+    * their [[PqM]]-code PQ representation via the asymmetric-distance
+    * LUT (memory ∝ M codes/vector, not dims floats; ADC: Jégou §IV.A)
+    * instead of their raw vectors. Composes the EXACT artifacts of
+    * q_ann_ivf_cosine (seeded cell anchors) and q_embed_pq (seeded
+    * per-subspace codebook) so index build cost is shared in a real
+    * deployment.
+    *
+    * Per query the LUT is M×Ks literal-anchor distances computed once
+    * (map-only); each candidate then costs M array lookups + M-1 adds
+    * — no per-pair O(dims) work anywhere. Approximate distance =
+    * Σ_m LUT_m[code_m(candidate)], floored to e9 for display; ranking
+    * uses the raw double with id tie-break (deterministic: both
+    * engines build the identical expression tree in the same fold
+    * order, the q_embed_pq precedent).
+    *
+    * Scale shape: codes + cells are offline index artifacts (here
+    * rebuilt in-query from the seeded samples, each a bounded
+    * collect); the probe join is the same broadcast cell-equi-join as
+    * q_ann_ivf_cosine with the build side carrying M small ints per
+    * row instead of the full vector — the memory cut that lets the
+    * candidate scan stay in cache at 10⁹ vectors. */
+  def annIvfPq(spark: SparkSession, dir: String, cells: Int = IvfCells,
+      nprobe: Int = IvfNprobe): DataFrame = {
+    val emb = Tables.widened(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm2", dot(col("v"), col("v")))
+    val anchors = seededAnchors(emb, cells)
+    val sample = emb
+      .withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy("h").limit(PqKs)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    val dims = sample(0).length
+    require(dims % PqM == 0, s"embedding dims $dims not divisible by $PqM")
+    val sub = dims / PqM
+    def subAnchor(m: Int, k: Int): (Array[Double], Double) = {
+      val a = sample(k).slice(m * sub, (m + 1) * sub)
+      (a, a.foldLeft(0.0)((s, x) => s + x * x))
+    }
+    val cellDists = array(anchors.map { case (_, a, a2) =>
+      col("nrm2") - lit(2.0) * dot(col("v"), lit(a)) + lit(a2)
+    }: _*)
+    // corpus index: cell + M PQ codes per vector
+    val indexed = (0 until PqM).foldLeft(
+      emb.withColumn("dists", cellDists)
+        .withColumn("cell", array_position(col("dists"), array_min(col("dists"))))) {
+      (df, m) =>
+        val ds = array((0 until PqKs).map { k =>
+          val (a, a2) = subAnchor(m, k)
+          col(s"sv2$m") - lit(2.0) * dot(col(s"sv$m"), lit(a)) + lit(a2)
+        }: _*)
+        df.withColumn(s"sv$m", slice(col("v"), m * sub + 1, sub))
+          .withColumn(s"sv2$m", dot(col(s"sv$m"), col(s"sv$m")))
+          .withColumn(s"ds$m", ds)
+          .withColumn(s"code${m + 1}",
+            array_position(col(s"ds$m"), array_min(col(s"ds$m"))))
+    }
+    // query side: nprobe cells + the per-subspace ADC lookup tables
+    // (ds$m IS the LUT: distance of the query's m-subvector to every
+    // codebook centroid, in code order)
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("dist").asc, col("cell_p").asc)
+    val probes = indexed.filter(isQuery(col("vec_id")))
+      .select((col("vec_id").as("query_id") +:
+        (0 until PqM).map(m => col(s"ds$m").as(s"lut$m"))) :+
+        posexplode(col("dists")).as(Seq("pos", "dist")): _*)
+      .withColumn("cell_p", (col("pos") + 1).cast("long"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .drop("pos", "dist", "pr")
+    val adc = (0 until PqM)
+      .map(m => element_at(col(s"lut$m"), col(s"code${m + 1}").cast("int")))
+      .reduce(_ + _)
+    val scored = indexed
+      .select((col("vec_id") +: col("cell") +:
+        (1 to PqM).map(m => col(s"code$m"))): _*)
+      .join(broadcast(probes),
+        col("cell") === col("cell_p") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), adc.as("adc_raw"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_raw").asc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("neighbor_id"),
+        floor(col("adc_raw") * 1e9 + 0.5).cast("long").as("adc_e9"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Cosine threshold above which two same-cell vectors are semantic
     * duplicates (pinned: the oracle embeds it). */
   private val SemTau = 0.2
@@ -821,6 +914,7 @@ object Similarity {
     "q_ann_lsh_cosine" -> (annLshCosine(_, _)),
     "q_ann_recall" -> (annRecall(_, _)),
     "q_ann_ivf_cosine" -> (annIvfCosine(_, _)),
+    "q_ann_ivfpq" -> (annIvfPq(_, _)),
     "q_dedup_embedding" -> (dedupEmbedding(_, _)),
     "q_embed_quantize" -> (embedQuantize(_, _)),
     "q_embed_pq" -> (embedPq(_, _)),
@@ -1265,6 +1359,85 @@ object Similarity {
          |  COALESCE(s.drp, 0) = 0 AS keep
          |FROM corpus c LEFT JOIN stats s USING (vec_id)
          |ORDER BY vec_id""".stripMargin,
+    // IVF cells + PQ codes rebuilt from their own oracles' CTEs; ADC =
+    // the query's per-code distance rows joined on the candidate's
+    // codes, summed in the same m-order as the Spark fold.
+    "q_ann_ivfpq" -> {
+      val mParts = (0 until PqM).map { m =>
+        s"""pqd$m AS (
+           |  SELECT e.vec_id, a.code,
+           |    list_reduce([e.v[i + $m * e.s] * e.v[i + $m * e.s]
+           |      for i in range(1, e.s + 1)], (x, y) -> x + y)
+           |    - 2.0 * list_reduce([e.v[i + $m * e.s] * a.av[i + $m * a.s]
+           |      for i in range(1, e.s + 1)], (x, y) -> x + y)
+           |    + list_reduce([a.av[i + $m * a.s] * a.av[i + $m * a.s]
+           |      for i in range(1, e.s + 1)], (x, y) -> x + y) AS d
+           |  FROM pqe e, pqanch a),
+           |pqa$m AS (
+           |  SELECT vec_id,
+           |    CAST(list_position(ds, list_aggregate(ds, 'min')) AS BIGINT) AS code${m + 1}
+           |  FROM (SELECT vec_id, list(d ORDER BY code) AS ds FROM pqd$m GROUP BY vec_id))"""
+          .stripMargin
+      }.mkString(",\n")
+      val codeJoins = (0 until PqM).map(m => s"JOIN pqa$m USING (vec_id)").mkString(" ")
+      val adcJoins = (0 until PqM)
+        .map(m => s"JOIN pqd$m d$m ON d$m.vec_id = p.query_id AND d$m.code = c.code${m + 1}")
+        .mkString("\n  ")
+      val adcSum = (0 until PqM).map(m => s"d$m.d").mkString(" + ")
+      s"""WITH emb AS (
+         |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+         |  FROM embeddings),
+         |nrm AS (
+         |  SELECT vec_id, v,
+         |    list_reduce([v[i] * v[i] for i in range(1, len(v) + 1)], (a, b) -> a + b) AS nrm2
+         |  FROM emb),
+         |anchors AS (
+         |  SELECT v AS av, nrm2 AS a2,
+         |    ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS cell
+         |  FROM nrm
+         |  QUALIFY cell <= $IvfCells),
+         |dist AS (
+         |  SELECT n.vec_id, a.cell,
+         |    n.nrm2 - 2.0 * list_reduce([n.v[i] * a.av[i] for i in range(1, len(n.v) + 1)],
+         |      (x, y) -> x + y) + a.a2 AS d
+         |  FROM nrm n, anchors a),
+         |asn AS (
+         |  SELECT vec_id,
+         |    list_position(dists, list_aggregate(dists, 'min')) AS cell
+         |  FROM (SELECT vec_id, list(d ORDER BY cell) AS dists FROM dist GROUP BY vec_id)),
+         |pqe AS (
+         |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v,
+         |    len(embedding) // $PqM AS s
+         |  FROM embeddings),
+         |pqanch AS (
+         |  SELECT v AS av, s,
+         |    ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS code
+         |  FROM pqe QUALIFY code <= $PqKs),
+         |$mParts,
+         |cand AS (
+         |  SELECT a.vec_id, a.cell, ${(1 to PqM).map(m => s"code$m").mkString(", ")}
+         |  FROM asn a $codeJoins),
+         |probe AS (
+         |  SELECT vec_id AS query_id, cell,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS pr
+         |  FROM dist WHERE vec_id % 50 = 0
+         |  QUALIFY pr <= $IvfNprobe),
+         |scored AS (
+         |  SELECT p.query_id, c.vec_id AS neighbor_id, $adcSum AS adc
+         |  FROM probe p
+         |  JOIN cand c ON c.cell = p.cell AND c.vec_id <> p.query_id
+         |  $adcJoins),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, adc,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY adc ASC, neighbor_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id,
+         |  CAST(floor(adc * 1e9 + 0.5) AS BIGINT) AS adc_e9,
+         |  CAST(rank AS BIGINT) AS rank
+         |FROM ranked WHERE rank <= $K
+         |ORDER BY query_id, rank""".stripMargin
+    },
     "q_embed_pq" -> {
       // one distance + assignment CTE pair per subspace, the same
       // expansion (|sv|² − 2·sv·a + |a|²) the Spark side computes

@@ -355,6 +355,48 @@ object StreamingQueries {
     graft.operators.TextAnalysis.hllFinish(regsDf).orderBy("lang")
   }
 
+  /** Top-k kept by q_stream_topk's finish (pinned — the oracle embeds
+    * it). */
+  private[graft] val StreamTopK = 10
+
+  /** q_stream_topk — heavy hitters over the event stream: the live
+    * "hottest domains right now" leaderboard every ingest dashboard
+    * runs. Like q_stream_hll/q_stream_psi, the state is the SKETCH
+    * SHAPE, not the data: an Update-mode per-domain count whose
+    * per-trigger deltas upsert into the keyed sink (state and sink
+    * both ∝ distinct domains, not events), and the rank-and-cut
+    * finish runs batch-side over the converged count store — a stream
+    * can't chain the global ORDER BY anyway, and at scale the ranking
+    * belongs to whoever reads the counter store. Domains are the same
+    * shop-shard synthesis q_heavy_hitters uses on `customer`, here
+    * over the event feed's user ids; counts are exact (not
+    * SpaceSaving-bounded) because the counter store IS the state.
+    * Oracle: exact SQL counts + ROW_NUMBER cut — full value compare. */
+  def streamTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = eventsStream(spark, dir)
+      .select(concat(lit("shop"), (col("user_id") % 37).cast("string"),
+        lit(".example.com")).as("domain"))
+      .groupBy("domain").agg(count(lit(1)).as("cnt"))
+    val store = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    val q = counts.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.collect().foreach(r => store.put(r.getString(0), r.getLong(1)))
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("domain").asc)
+    store.asScala.toSeq.toDF("domain", "cnt")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= StreamTopK)
+      .select("rank", "domain", "cnt")
+      .orderBy("rank")
+  }
+
   /** Row 43 — per-user competitor set (analytics/Kafka2CompPerUser
     * .scala:67-79): the stream aggregates each user's distinct sorted
     * store list. Update-output aggregation + upsert sink: each trigger
@@ -626,6 +668,7 @@ object StreamingQueries {
     "q_stream_decontam" -> (streamDecontam(_, _)),
     "q_stream_sessions" -> (streamSessions(_, _)),
     "q_stream_funnel" -> (streamFunnel(_, _)),
+    "q_stream_topk" -> (streamTopK(_, _)),
     "q_stream_hll" -> (streamHll(_, _)))
 
   /** The streaming queries run real Structured Streaming, but over the
@@ -646,6 +689,19 @@ object StreamingQueries {
     // the batch PSI oracle VERBATIM — psiBucketInput + psiFinish are
     // shared, so the converged count store must yield the batch index
     "q_stream_psi" -> graft.operators.Curation.oracleSql("q_psi_drift"),
+    // exact counts + ROW_NUMBER cut over the same shop-shard domains
+    "q_stream_topk" ->
+      s"""WITH freq AS (
+         |  SELECT concat('shop', CAST(user_id % 37 AS VARCHAR), '.example.com')
+         |    AS domain, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM events GROUP BY 1),
+         |ranked AS (
+         |  SELECT domain, cnt,
+         |    ROW_NUMBER() OVER (ORDER BY cnt DESC, domain ASC) AS rank
+         |  FROM freq)
+         |SELECT CAST(rank AS BIGINT) AS rank, domain, cnt
+         |FROM ranked WHERE rank <= ${StreamTopK}
+         |ORDER BY rank""".stripMargin,
     // the batch HLL oracle minus its exact_distinct reference column
     // (the stream deliberately never computes exact cardinality)
     "q_stream_hll" ->

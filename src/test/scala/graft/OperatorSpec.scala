@@ -1297,6 +1297,103 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("doc keywords rank top terms per doc by exact tf-idf") {
+    val rows = run("q_doc_keywords").collect()
+    assert(rows.nonEmpty)
+    val k = graft.operators.TextAnalysis.KeywordK
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    rows.groupBy(_.getLong(0)).foreach { case (id, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to rs.length).toSeq,
+        s"doc $id ranks not dense")
+      assert(rs.length <= k)
+      // score must be non-increasing with rank and equal tf·idf_e6
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getLong(5) >= b.getLong(5), s"doc $id order")
+        case _ =>
+      }
+      rs.foreach { r =>
+        val idf = math.floor(
+          (math.log((nDocs + 1.0) / (r.getLong(4) + 1.0)) / math.log(2.0))
+            * 1e6 + 0.5).toLong
+        assert(r.getLong(5) == r.getLong(3) * idf, s"doc $id score arithmetic")
+      }
+    }
+  }
+
+  test("embed outliers flag exactly the far-from-centroid vectors") {
+    val rows = run("q_embed_outliers").collect()
+    val n = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(rows.length == n, "one row per vector")
+    // per label: mean rule holds and at least one inlier exists
+    rows.groupBy(_.getLong(1)).foreach { case (label, rs) =>
+      val mean = rs.map(r => BigInt(r.getLong(2))).sum / rs.length
+      rs.foreach { r =>
+        assert(r.getBoolean(3) ==
+          (BigInt(r.getLong(2)) > mean * graft.operators.Similarity.OutlierK),
+          s"label $label vec ${r.getLong(0)} flag")
+      }
+      assert(rs.exists(!_.getBoolean(3)), s"label $label all outliers")
+    }
+  }
+
+  test("ivfpq equals a local recompute of cells, codes and ADC ranks") {
+    // rebuild the whole index locally with the same fold order the
+    // Column expressions use: sequential dot products, first-index
+    // argmin, (dist asc, cell asc) probes, ((t0+t1)+t2)+t3 ADC sums
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map("%02x".format(_)).mkString
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val bySeed = emb.sortBy(p => md5hex(p._1.toString)).map(_._2)
+    val anchors = bySeed.take(16) // IvfCells
+    val codebook = bySeed.take(16) // PqKs
+    val (pqM, k, nprobe) = (4, 5, 4)
+    val sub = emb(0)._2.length / pqM
+    def cellDists(v: Array[Double]): Array[Double] =
+      anchors.map(a => dot(v, v) - 2.0 * dot(v, a) + dot(a, a))
+    def argmin1(ds: Array[Double]): Int = ds.indexOf(ds.min) + 1
+    def codes(v: Array[Double]): Array[Int] = (0 until pqM).toArray.map { m =>
+      val sv = v.slice(m * sub, (m + 1) * sub)
+      argmin1(codebook.map { c =>
+        val a = c.slice(m * sub, (m + 1) * sub)
+        dot(sv, sv) - 2.0 * dot(sv, a) + dot(a, a)
+      })
+    }
+    val cellOf = emb.map { case (id, v) => id -> argmin1(cellDists(v)) }.toMap
+    val codeOf = emb.map { case (id, v) => id -> codes(v) }.toMap
+    val expected = emb.filter(_._1 % 50 == 0).flatMap { case (qid, qv) =>
+      val probed = cellDists(qv).zipWithIndex
+        .map { case (d, i) => (d, i + 1) }.sorted.take(nprobe).map(_._2).toSet
+      val luts = (0 until pqM).map { m =>
+        val sv = qv.slice(m * sub, (m + 1) * sub)
+        codebook.map { c =>
+          val a = c.slice(m * sub, (m + 1) * sub)
+          dot(sv, sv) - 2.0 * dot(sv, a) + dot(a, a)
+        }
+      }
+      emb.filter { case (nid, _) => nid != qid && probed(cellOf(nid)) }
+        .map { case (nid, _) =>
+          val cs = codeOf(nid)
+          val adc = (0 until pqM).map(m => luts(m)(cs(m) - 1)).sum
+          (nid, adc)
+        }
+        .sortBy { case (nid, adc) => (adc, nid) }.take(k).zipWithIndex
+        .map { case ((nid, adc), i) =>
+          (qid, nid, math.floor(adc * 1e9 + 0.5).toLong, i + 1L)
+        }
+    }.sortBy(t => (t._1, t._4)).toSeq
+    val got = run("q_ann_ivfpq").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+  }
+
   test("TopKByAvgTFIDF selects buckets and appends the location feature") {
     import spark.implicits._
     val ds = (0 until 200).map { i =>

@@ -204,6 +204,22 @@ class StreamingSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("stream topk equals the exact batch leaderboard") {
+    // the converged Update-mode counter store must reproduce the exact
+    // batch counts; the finish is the same (cnt desc, domain) cut
+    val expected = graft.sources.Tables.events(spark, sf)
+      .select(concat(lit("shop"), (col("user_id") % 37).cast("string"),
+        lit(".example.com")).as("domain"))
+      .groupBy("domain").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("domain").asc)
+      .limit(graft.streaming.StreamingQueries.StreamTopK)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i + 1L, r.getString(0), r.getLong(1)) }.toSeq
+    val got = SparkEntry.queries("q_stream_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == expected)
+  }
+
   test("streaming funnel equals the batch funnel row for row") {
     // same definition through two mechanisms: batch two-agg join vs
     // per-user O(1) stream state — results must be identical

@@ -661,7 +661,7 @@ object Analytics {
     * over columns of `df`) from per-`key` value-histogram cumsums —
     * the exact-order-statistic kernel shared by q_percentiles and
     * q_anomaly_mad. `df` must carry (key, v); emits (key, n, pick). */
-  private def rankPick(df: DataFrame, key: String, t: String): DataFrame = {
+  private[graft] def rankPick(df: DataFrame, key: String, t: String): DataFrame = {
     val counts = df.groupBy(col(key), col("v")).agg(count(lit(1)).as("c"))
     counts
       .withColumn("cum", sum("c").over(
@@ -746,6 +746,24 @@ object Analytics {
         col("purchase_ms").isNotNull.as("converted"),
         (col("purchase_ms") - col("signup_ms")).as("lag_ms"))
       .orderBy("user_id")
+  }
+
+  /** Per-event_type robust thresholds (exact median + MAD of value
+    * cents, the q_anomaly_mad kernel keyed by type) — the batch
+    * "training" half of q_stream_outliers; catalog-sized output, so
+    * the stream broadcasts it. */
+  private[graft] def eventMadThresholds(spark: SparkSession, dir: String): DataFrame = {
+    val vals = Tables.events(spark, dir)
+      .select(col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("v"))
+      .localCheckpoint() // median + deviation passes share one scan
+    val med = rankPick(vals, "event_type", "(n + 1) div 2")
+      .select(col("event_type"), col("pick").as("med_cents"))
+    val dev = vals.join(broadcast(med), "event_type")
+      .select(col("event_type"), abs(col("v") - col("med_cents")).as("v"))
+    val mad = rankPick(dev, "event_type", "(n + 1) div 2")
+      .select(col("event_type"), col("pick").as("mad_cents"))
+    med.join(mad, "event_type")
   }
 
   /** KS drift alarm (e6 scale): D > 0.05 — for the testdata sample

@@ -397,6 +397,30 @@ object StreamingQueries {
       .orderBy("rank")
   }
 
+  /** q_stream_outliers — robust anomaly scoring AT THE EDGE: per-type
+    * median/MAD thresholds are trained batch-side (the exact
+    * q_anomaly_mad kernel via Analytics.eventMadThresholds — medians
+    * are inherently global, a stream can't compute them online) and
+    * BROADCAST into a stateless Append-mode stream that flags each
+    * arriving event with |v − med| > 3·MAD. The q_stream_pipe
+    * train-offline/score-in-stream contract for the monitoring
+    * family: zero streaming state, so the scorer scales with input
+    * rate alone and thresholds refresh by re-broadcast, exactly how a
+    * production detector deploys a nightly-fitted model. All-integer
+    * compare → the batch oracle reproduces every flag. */
+  def streamOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val thresholds = graft.operators.Analytics.eventMadThresholds(spark, dir)
+    val flagged = eventsStream(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .join(broadcast(thresholds), "event_type")
+      .withColumn("dev", abs(col("cents") - col("med_cents")))
+      .filter(col("dev") > col("mad_cents") * 3)
+      .select(col("event_id"), col("event_type"), col("cents"),
+        col("med_cents"), col("mad_cents"), col("dev"))
+    runToMemory(spark, flagged, OutputMode.Append()).orderBy("event_id")
+  }
+
   /** Row 43 — per-user competitor set (analytics/Kafka2CompPerUser
     * .scala:67-79): the stream aggregates each user's distinct sorted
     * store list. Update-output aggregation + upsert sink: each trigger
@@ -669,6 +693,7 @@ object StreamingQueries {
     "q_stream_sessions" -> (streamSessions(_, _)),
     "q_stream_funnel" -> (streamFunnel(_, _)),
     "q_stream_topk" -> (streamTopK(_, _)),
+    "q_stream_outliers" -> (streamOutliers(_, _)),
     "q_stream_hll" -> (streamHll(_, _)))
 
   /** The streaming queries run real Structured Streaming, but over the
@@ -689,6 +714,35 @@ object StreamingQueries {
     // the batch PSI oracle VERBATIM — psiBucketInput + psiFinish are
     // shared, so the converged count store must yield the batch index
     "q_stream_psi" -> graft.operators.Curation.oracleSql("q_psi_drift"),
+    // the q_anomaly_mad median/MAD order statistics keyed by
+    // event_type, then the same integer flag per event
+    "q_stream_outliers" ->
+      """WITH s AS (
+        |  SELECT event_id, event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |med AS (
+        |  SELECT event_type,
+        |    MAX(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS med_cents
+        |  FROM (SELECT event_type, cents,
+        |          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+        |          COUNT(*) OVER (PARTITION BY event_type) AS n FROM s)
+        |  GROUP BY event_type),
+        |dev AS (
+        |  SELECT s.event_type, abs(s.cents - m.med_cents) AS d
+        |  FROM s JOIN med m USING (event_type)),
+        |mad AS (
+        |  SELECT event_type,
+        |    MAX(CASE WHEN rn = (n + 1) // 2 THEN d END) AS mad_cents
+        |  FROM (SELECT event_type, d,
+        |          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn,
+        |          COUNT(*) OVER (PARTITION BY event_type) AS n FROM dev)
+        |  GROUP BY event_type)
+        |SELECT s.event_id, s.event_type, s.cents, med.med_cents,
+        |  mad.mad_cents, abs(s.cents - med.med_cents) AS dev
+        |FROM s JOIN med USING (event_type) JOIN mad USING (event_type)
+        |WHERE abs(s.cents - med.med_cents) > mad.mad_cents * 3
+        |ORDER BY event_id""".stripMargin,
     // exact counts + ROW_NUMBER cut over the same shop-shard domains
     "q_stream_topk" ->
       s"""WITH freq AS (

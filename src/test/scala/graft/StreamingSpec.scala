@@ -220,6 +220,28 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("stream outliers equal the batch threshold recomputation") {
+    // thresholds are batch artifacts; the stream only applies them —
+    // so a pure batch recompute over the same table must agree exactly
+    val th = graft.operators.Analytics.eventMadThresholds(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val expected = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .collect()
+      .flatMap { r =>
+        val (med, mad) = th(r.getString(1))
+        val dev = math.abs(r.getLong(2) - med)
+        if (dev > mad * 3)
+          Some((r.getLong(0), r.getString(1), r.getLong(2), med, mad, dev))
+        else None
+      }.sortBy(_._1).toSeq
+    val got = SparkEntry.queries("q_stream_outliers")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got.nonEmpty && got == expected)
+  }
+
   test("streaming funnel equals the batch funnel row for row") {
     // same definition through two mechanisms: batch two-agg join vs
     // per-user O(1) stream state — results must be identical

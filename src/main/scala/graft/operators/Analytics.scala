@@ -824,8 +824,79 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** q_itemsets: frequent-2-itemset mining over per-user event-type
+    * baskets — support and lift for every co-occurring pair, the
+    * association-rule kernel (Agrawal/Srikant Apriori's first and
+    * dominant level) behind "users who X also Y" reports. Lift is
+    * exact e6 integers: (support·N·10⁶) div (n_a·n_b), cross-products
+    * in decimal(38,0) so a 10⁹-basket run can't overflow under ANSI.
+    *
+    * Scale shape: baskets dedupe via one (user, type) two-phase
+    * distinct; the pair expansion is a user-keyed self-join whose
+    * per-user fan-out is bounded by the type-alphabet choose 2 — work
+    * ∝ baskets, never baskets² — and everything after is
+    * catalog-sized (≤ |alphabet|² rows), so singles and totals ride
+    * broadcasts. */
+  def itemsets(spark: SparkSession, dir: String): DataFrame = {
+    val baskets = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+      .localCheckpoint() // singles + pair self-join + totals share it
+    val singles = baskets.groupBy("event_type")
+      .agg(count(lit(1)).as("n_single"))
+    val nUsers = baskets.agg(count_distinct(col("user_id")).as("n_users"))
+    val pairs = baskets.as("a")
+      .join(baskets.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("support"))
+    pairs
+      .join(broadcast(singles.select(col("event_type").as("type_a"),
+        col("n_single").as("n_a"))), "type_a")
+      .join(broadcast(singles.select(col("event_type").as("type_b"),
+        col("n_single").as("n_b"))), "type_b")
+      .crossJoin(broadcast(nUsers))
+      .withColumn("lift_e6", expr(
+        "(cast(support as decimal(38,0)) * n_users * 1000000) div (cast(n_a as decimal(38,0)) * n_b)"))
+      .select(col("type_a"), col("type_b"), col("support"),
+        col("n_a"), col("n_b"), col("lift_e6"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** q_transitions: the event-type Markov transition matrix — for
+    * each user's time-ordered event sequence, count src→dst steps and
+    * the e6 transition probability (n div row-total). The
+    * session-path / next-action report, and the input to any
+    * sequence-model baseline. Ordering is pinned by (t_ms, event_id)
+    * so concurrent-timestamp ties are deterministic in both engines.
+    *
+    * Scale shape: one shuffle by user for the lead() window (the
+    * sequence is per-user state, exactly how it parallelizes on a
+    * cluster), then a catalog-sized (src, dst) two-phase agg; row
+    * totals ride a window over that catalog, not the corpus. */
+  def transitions(spark: SparkSession, dir: String): DataFrame = {
+    val wSeq = Window.partitionBy("user_id")
+      .orderBy(col("t_ms").asc, col("event_id").asc)
+    val counts = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("t_ms"))
+      .withColumn("dst", lead("event_type", 1).over(wSeq))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("event_type").as("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("row_total",
+        sum("n").over(Window.partitionBy("src")))
+      .withColumn("p_e6", expr("(n * 1000000) div row_total"))
+      .select(col("src"), col("dst"), col("n"), col("row_total"), col("p_e6"))
+      .orderBy("src", "dst")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ks_drift" -> (ksDrift(_, _)),
+    "q_itemsets" -> (itemsets(_, _)),
+    "q_transitions" -> (transitions(_, _)),
     "q_anomaly_mad" -> (anomalyMad(_, _)),
     "q_funnel" -> (funnel(_, _)),
     "q_sessionize" -> (sessionize(_, _)),
@@ -867,6 +938,47 @@ object Analytics {
   }.mkString("\nUNION ALL\n")
 
   val oracleSql: Map[String, String] = Map(
+    // Same distinct baskets, bounded pair self-join, HUGEINT lift.
+    "q_itemsets" ->
+      """WITH baskets AS (
+        |  SELECT DISTINCT user_id, event_type FROM events),
+        |singles AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_single
+        |  FROM baskets GROUP BY event_type),
+        |nu AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |  FROM baskets),
+        |pairs AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    CAST(COUNT(*) AS BIGINT) AS support
+        |  FROM baskets a JOIN baskets b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b, p.support,
+        |  sa.n_single AS n_a, sb.n_single AS n_b,
+        |  CAST((CAST(p.support AS HUGEINT) * nu.n_users * 1000000)
+        |    // (CAST(sa.n_single AS HUGEINT) * sb.n_single) AS BIGINT) AS lift_e6
+        |FROM pairs p
+        |JOIN singles sa ON sa.event_type = p.type_a
+        |JOIN singles sb ON sb.event_type = p.type_b
+        |CROSS JOIN nu
+        |ORDER BY type_a, type_b""".stripMargin,
+    // Same (t_ms, event_id)-pinned LEAD, catalog-sized rollup.
+    "q_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type AS src,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts) // 1000000 ASC, event_id ASC) AS dst
+        |  FROM events),
+        |counts AS (
+        |  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM seq WHERE dst IS NOT NULL GROUP BY src, dst),
+        |tot AS (
+        |  SELECT src, dst, n,
+        |    CAST(SUM(n) OVER (PARTITION BY src) AS BIGINT) AS row_total
+        |  FROM counts)
+        |SELECT src, dst, n, row_total,
+        |  CAST((n * 1000000) // row_total AS BIGINT) AS p_e6
+        |FROM tot ORDER BY src, dst""".stripMargin,
     // Same integer-numerator CDF compare; HUGEINT plays decimal(38,0).
     "q_ks_drift" ->
       s"""WITH ev AS (

@@ -1394,6 +1394,43 @@ class OperatorSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("itemsets equal a local basket recount with exact lift") {
+    val baskets = graft.sources.Tables.events(spark, sf)
+      .select("user_id", "event_type").distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val nUsers = baskets.map(_._1).size
+    val singles = baskets.groupBy(_._2).map { case (t, s) => t -> s.size.toLong }
+    val pairSupport = baskets.groupBy(_._1).values.flatMap { b =>
+      val ts = b.map(_._2).toSeq.sorted
+      for (i <- ts.indices; j <- (i + 1) until ts.length) yield (ts(i), ts(j))
+    }.groupBy(identity).map { case (p, s) => p -> s.size.toLong }
+    val got = run("q_itemsets").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got.keySet == pairSupport.keySet)
+    got.foreach { case ((a, b), (sup, na, nb, lift)) =>
+      assert(sup == pairSupport((a, b)), s"support $a,$b")
+      assert(na == singles(a) && nb == singles(b), s"singles $a,$b")
+      assert(lift == (BigInt(sup) * nUsers * 1000000 / (BigInt(na) * nb)).toLong,
+        s"lift $a,$b")
+    }
+  }
+
+  test("transition matrix rows are complete distributions") {
+    val rows = run("q_transitions").collect()
+    assert(rows.nonEmpty)
+    val nEvents = graft.sources.Tables.events(spark, sf).count()
+    val nUsers = graft.sources.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    // every non-terminal event contributes exactly one transition
+    assert(rows.map(_.getLong(2)).sum == nEvents - nUsers)
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      val total = rs.head.getLong(3)
+      assert(rs.map(_.getLong(2)).sum == total, s"$src row total")
+      rs.foreach(r => assert(r.getLong(4) == r.getLong(2) * 1000000L / total))
+    }
+  }
+
   test("TopKByAvgTFIDF selects buckets and appends the location feature") {
     import spark.implicits._
     val ds = (0 until 200).map { i =>

@@ -893,10 +893,71 @@ object Analytics {
       .orderBy("src", "dst")
   }
 
+  /** Leaders kept per hour window by q_window_topk (pinned — the
+    * oracle embeds it). */
+  private[graft] val WindowTopK = 3
+
+  /** q_window_topk: the per-hour top-[[WindowTopK]] domain leaderboard
+    * — q_stream_topk's corpus-lifetime ranking sliced by time, the
+    * "what was hot at 3pm" drill-down every traffic dashboard pairs
+    * with the global view. Tumbling windows by integer epoch-ms
+    * division (no session-tz dependence), same shop-shard domain
+    * synthesis as q_heavy_hitters/q_stream_topk.
+    *
+    * Scale shape: one two-phase groupBy on (window, domain) — the
+    * corpus collapses to the catalog × windows grid before any window
+    * function; the per-window rank partitions on win_ms, so ranking
+    * parallelism GROWS with history length instead of bottlenecking
+    * on a global sort. */
+  def windowTopK(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .select((expr("unix_millis(ts) div 3600000") * 3600000L).as("win_ms"),
+        concat(lit("shop"), (col("user_id") % 37).cast("string"),
+          lit(".example.com")).as("domain"))
+      .groupBy("win_ms", "domain").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("win_ms")
+      .orderBy(col("cnt").desc, col("domain").asc)
+    counts
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= WindowTopK)
+      .select(col("win_ms"), col("rank"), col("domain"), col("cnt"))
+      .orderBy("win_ms", "rank")
+  }
+
+  /** q_retention: the cohort retention matrix — users grouped by
+    * first-seen day, fraction still active N days later (the
+    * triangle chart product analytics reads first). Day arithmetic is
+    * integer epoch division; the rate is e6 integer division, so every
+    * cell is bit-exact in DuckDB.
+    *
+    * Scale shape: per-user first day is one groupBy(user) agg; daily
+    * activity dedupes via a (user, day) two-phase distinct; they meet
+    * on a user-keyed equi-join (shuffle ∝ active user-days); the
+    * matrix itself is cohort × offset — card-sized, so cohort totals
+    * ride a broadcast back over it. */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), expr("unix_millis(ts) div 86400000").as("day"))
+    val firstDay = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+    val active = ev.distinct()
+    val cells = active.join(firstDay, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("offset_days"))
+      .agg(count_distinct(col("user_id")).as("n_active"))
+    val sizes = firstDay.groupBy("cohort_day")
+      .agg(count(lit(1)).as("cohort_size"))
+    cells.join(broadcast(sizes), "cohort_day")
+      .withColumn("rate_e6", expr("(n_active * 1000000) div cohort_size"))
+      .select(col("cohort_day"), col("offset_days"), col("n_active"),
+        col("cohort_size"), col("rate_e6"))
+      .orderBy("cohort_day", "offset_days")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ks_drift" -> (ksDrift(_, _)),
     "q_itemsets" -> (itemsets(_, _)),
     "q_transitions" -> (transitions(_, _)),
+    "q_window_topk" -> (windowTopK(_, _)),
+    "q_retention" -> (retention(_, _)),
     "q_anomaly_mad" -> (anomalyMad(_, _)),
     "q_funnel" -> (funnel(_, _)),
     "q_sessionize" -> (sessionize(_, _)),
@@ -938,6 +999,42 @@ object Analytics {
   }.mkString("\nUNION ALL\n")
 
   val oracleSql: Map[String, String] = Map(
+    // Same epoch-hour buckets, same (cnt desc, domain) cut.
+    "q_window_topk" ->
+      s"""WITH counts AS (
+         |  SELECT (epoch_ns(ts) // 1000000 // 3600000) * 3600000 AS win_ms,
+         |    concat('shop', CAST(user_id % 37 AS VARCHAR), '.example.com') AS domain,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM events GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT win_ms, domain, cnt,
+         |    ROW_NUMBER() OVER (PARTITION BY win_ms
+         |      ORDER BY cnt DESC, domain ASC) AS rank
+         |  FROM counts)
+         |SELECT win_ms, CAST(rank AS BIGINT) AS rank, domain, cnt
+         |FROM ranked WHERE rank <= $WindowTopK
+         |ORDER BY win_ms, rank""".stripMargin,
+    // Same integer day cohorts, distinct user-days, e6 rates.
+    "q_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000000 // 86400000 AS day
+        |  FROM events),
+        |fd AS (
+        |  SELECT user_id, CAST(MIN(day) AS BIGINT) AS cohort_day
+        |  FROM ev GROUP BY user_id),
+        |active AS (SELECT DISTINCT user_id, day FROM ev),
+        |cells AS (
+        |  SELECT f.cohort_day, a.day - f.cohort_day AS offset_days,
+        |    CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+        |  FROM active a JOIN fd f USING (user_id)
+        |  GROUP BY 1, 2),
+        |sizes AS (
+        |  SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_size
+        |  FROM fd GROUP BY cohort_day)
+        |SELECT c.cohort_day, c.offset_days, c.n_active, s.cohort_size,
+        |  CAST((c.n_active * 1000000) // s.cohort_size AS BIGINT) AS rate_e6
+        |FROM cells c JOIN sizes s USING (cohort_day)
+        |ORDER BY cohort_day, offset_days""".stripMargin,
     // Same distinct baskets, bounded pair self-join, HUGEINT lift.
     "q_itemsets" ->
       """WITH baskets AS (

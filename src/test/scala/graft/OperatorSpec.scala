@@ -1431,6 +1431,42 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("window topk matches a local per-hour recount") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(unix_millis(col("ts")).as("t"), col("user_id")).collect()
+      .map(r => (r.getLong(0) / 3600000L * 3600000L,
+        s"shop${r.getLong(1) % 37}.example.com"))
+    val expected = ev.groupBy(identity).map { case ((w, d), s) => (w, d) -> s.size.toLong }
+      .groupBy(_._1._1).flatMap { case (w, m) =>
+        m.toSeq.map { case ((_, d), c) => (d, c) }
+          .sortBy { case (d, c) => (-c, d) }.take(3).zipWithIndex
+          .map { case ((d, c), i) => (w, i + 1L, d, c) }
+      }.toSeq.sortBy(t => (t._1, t._2))
+    val got = run("q_window_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == expected)
+  }
+
+  test("retention matrix is day-0 complete and size-consistent") {
+    val rows = run("q_retention").collect()
+    assert(rows.nonEmpty)
+    val nUsers = graft.sources.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    val byCohort = rows.groupBy(_.getLong(0))
+    // cohort sizes partition the user base
+    assert(byCohort.values.map(_.head.getLong(3)).sum == nUsers)
+    byCohort.foreach { case (day, rs) =>
+      val size = rs.head.getLong(3)
+      val d0 = rs.find(_.getLong(1) == 0L)
+      assert(d0.isDefined, s"cohort $day missing day-0 row")
+      assert(d0.get.getLong(2) == size, s"cohort $day day-0 not full")
+      rs.foreach { r =>
+        assert(r.getLong(1) >= 0 && r.getLong(2) <= size)
+        assert(r.getLong(4) == r.getLong(2) * 1000000L / size)
+      }
+    }
+  }
+
   test("TopKByAvgTFIDF selects buckets and appends the location feature") {
     import spark.implicits._
     val ds = (0 until 200).map { i =>

@@ -952,8 +952,59 @@ object Analytics {
       .orderBy("cohort_day", "offset_days")
   }
 
+  /** χ²(df=1) critical value at α=0.05, e6-scaled (3.841459) — pinned,
+    * the oracle embeds it. */
+  private[graft] val Chi2CritE6 = 3841459L
+
+  /** q_chi2_abtest: the two-proportion χ² test per outcome event_type
+    * — users split into A/B by id parity, "does variant B reach
+    * outcome t at a different rate" for every t, the experiment
+    * readout behind any feature-flag dashboard. χ² for the 2×2 table
+    * is the exact rational N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)), so
+    * the whole statistic is INTEGER cross-products floored once by the
+    * final e6 integer division — no float anywhere, every cell and
+    * verdict bit-identical in DuckDB. Products run in decimal(38,0):
+    * exact to ~10⁹ users per arm (beyond that the numerator crosses
+    * 10³⁸ — swap the e6 scale for e3, or fold N into the denominator).
+    *
+    * Scale shape: one (user, type) two-phase distinct, then everything
+    * is catalog-sized — per-type conversion counts and the two arm
+    * totals (a broadcast) feed pure column arithmetic. */
+  def chi2Abtest(spark: SparkSession, dir: String): DataFrame = {
+    val flags = Tables.events(spark, dir)
+      .select((col("user_id") % 2).as("variant"), col("user_id"),
+        col("event_type")).distinct()
+      .localCheckpoint() // conv counts + arm totals share it
+    val arms = flags.select("variant", "user_id").distinct()
+      .groupBy().pivot("variant", Seq(0, 1)).count()
+      .select(col("0").as("n0"), col("1").as("n1"))
+    val conv = flags.groupBy("event_type")
+      .agg(sum(when(col("variant") === 0, 1L).otherwise(0L)).as("conv0"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("conv1"))
+    conv.crossJoin(broadcast(arms))
+      .withColumn("a", col("conv0"))
+      .withColumn("b", col("n0") - col("conv0"))
+      .withColumn("c", col("conv1"))
+      .withColumn("d", col("n1") - col("conv1"))
+      // a degenerate margin (everyone or no one reaches the outcome)
+      // leaves χ² undefined — report 0, "no evidence of difference"
+      .withColumn("chi2_e6", expr(
+        """case when a + c = 0 or b + d = 0 then 0L else
+          |((cast(n0 as decimal(38,0)) + n1)
+          |  * (cast(a as decimal(38,0)) * d - cast(b as decimal(38,0)) * c)
+          |  * (cast(a as decimal(38,0)) * d - cast(b as decimal(38,0)) * c)
+          |  * 1000000)
+          | div (cast(n0 as decimal(38,0)) * n1
+          |      * (cast(a as decimal(38,0)) + c) * (cast(b as decimal(38,0)) + d))
+          |end""".stripMargin.replace('\n', ' ')))
+      .select(col("event_type"), col("a"), col("b"), col("c"), col("d"),
+        col("chi2_e6"), (col("chi2_e6") > Chi2CritE6).as("significant"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ks_drift" -> (ksDrift(_, _)),
+    "q_chi2_abtest" -> (chi2Abtest(_, _)),
     "q_itemsets" -> (itemsets(_, _)),
     "q_transitions" -> (transitions(_, _)),
     "q_window_topk" -> (windowTopK(_, _)),
@@ -999,6 +1050,43 @@ object Analytics {
   }.mkString("\nUNION ALL\n")
 
   val oracleSql: Map[String, String] = Map(
+    // Same 2×2 integer cross-products; HUGEINT plays decimal(38,0).
+    "q_chi2_abtest" ->
+      s"""WITH flags AS (
+         |  SELECT DISTINCT user_id % 2 AS variant, user_id, event_type
+         |  FROM events),
+         |arms AS (
+         |  SELECT
+         |    CAST(COUNT(DISTINCT CASE WHEN variant = 0 THEN user_id END) AS BIGINT) AS n0,
+         |    CAST(COUNT(DISTINCT CASE WHEN variant = 1 THEN user_id END) AS BIGINT) AS n1
+         |  FROM flags),
+         |conv AS (
+         |  SELECT event_type,
+         |    CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS conv0,
+         |    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS conv1
+         |  FROM flags GROUP BY event_type),
+         |cells AS (
+         |  SELECT event_type, conv0 AS a, n0 - conv0 AS b,
+         |    conv1 AS c, n1 - conv1 AS d, n0, n1
+         |  FROM conv CROSS JOIN arms)
+         |SELECT event_type, a, b, c, d,
+         |  CASE WHEN a + c = 0 OR b + d = 0 THEN CAST(0 AS BIGINT) ELSE
+         |  CAST(((CAST(n0 AS HUGEINT) + n1)
+         |    * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+         |    * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+         |    * 1000000)
+         |   // (CAST(n0 AS HUGEINT) * n1
+         |       * (CAST(a AS HUGEINT) + c) * (CAST(b AS HUGEINT) + d)) AS BIGINT)
+         |  END AS chi2_e6,
+         |  CASE WHEN a + c = 0 OR b + d = 0 THEN CAST(0 AS BIGINT) ELSE
+         |  CAST(((CAST(n0 AS HUGEINT) + n1)
+         |    * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+         |    * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+         |    * 1000000)
+         |   // (CAST(n0 AS HUGEINT) * n1
+         |       * (CAST(a AS HUGEINT) + c) * (CAST(b AS HUGEINT) + d)) AS BIGINT)
+         |  END > $Chi2CritE6 AS significant
+         |FROM cells ORDER BY event_type""".stripMargin,
     // Same epoch-hour buckets, same (cnt desc, domain) cut.
     "q_window_topk" ->
       s"""WITH counts AS (

@@ -1467,6 +1467,32 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("chi2 abtest equals a local 2x2 recount") {
+    val flags = graft.sources.Tables.events(spark, sf)
+      .select("user_id", "event_type").distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val users = flags.map(_._1).toSet
+    val (n0, n1) = (users.count(_ % 2 == 0).toLong, users.count(_ % 2 == 1).toLong)
+    val rows = run("q_chi2_abtest").collect()
+    assert(rows.map(_.getString(0)).toSet == flags.map(_._2).toSet)
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val a = flags.count(f => f._2 == t && f._1 % 2 == 0).toLong
+      val c = flags.count(f => f._2 == t && f._1 % 2 == 1).toLong
+      val (b, d) = (n0 - a, n1 - c)
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+        == ((a, b, c, d)), s"$t cells")
+      val expected =
+        if (a + c == 0 || b + d == 0) 0L
+        else ((BigInt(n0 + n1) * (BigInt(a) * d - BigInt(b) * c)
+          * (BigInt(a) * d - BigInt(b) * c) * 1000000) /
+          (BigInt(n0) * n1 * (a + c) * (b + d))).toLong
+      assert(r.getLong(5) == expected, s"$t chi2")
+      assert(r.getBoolean(6) ==
+        (expected > graft.operators.Analytics.Chi2CritE6), s"$t verdict")
+    }
+  }
+
   test("TopKByAvgTFIDF selects buckets and appends the location feature") {
     import spark.implicits._
     val ds = (0 until 200).map { i =>

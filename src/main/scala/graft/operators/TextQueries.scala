@@ -196,6 +196,54 @@ object TextQueries {
     * bounded-memory form of the domain frequency list. capacity=64
     * exceeds the true cardinality here, so counts are exact (err=0)
     * and the DuckDB oracle can value-check the sketch end-to-end. */
+  /** Count-Min sketch shape (pinned — the oracle embeds them): depth
+    * [[CmDepth]] independent hash rows × width [[CmWidth]] counters. */
+  private[graft] val CmDepth = 4
+  private[graft] val CmWidth = 256
+
+  /** q_count_min: the Count-Min sketch (Cormode/Muthukrishnan '05) —
+    * the point-frequency companion to q_hll_distinct's cardinality
+    * sketch and q_heavy_hitters' SpaceSaving top-k: D×W counters
+    * estimate ANY key's count with one-sided error ≤ εN, the
+    * fixed-memory answer when the key space is too large to count
+    * exactly. Emitted per domain: the estimate (min over the D row
+    * counters), the exact count, and the overestimate — the
+    * sketch-accuracy report a capacity planner reads before sizing W.
+    *
+    * Determinism: row hashes are md5-derived (hex prefix → bigint mod
+    * W, the q_dedup_minhash permutation rule), so registers, mins and
+    * errors reproduce bit-for-bit in DuckDB.
+    *
+    * Scale shape: register build is ONE two-phase agg on (row,
+    * bucket) after a D-way explode — the sketch (D·W longs) is
+    * corpus-size-independent and broadcastable; estimates join the
+    * distinct-key catalog against it (catalog-sized work). The exact
+    * counts exist here only to materialize the error column. */
+  def countMin(spark: SparkSession, dir: String): DataFrame = {
+    val keys = Tables.customer(spark, dir)
+      .select(Text.getDomain(customerUrl).as("domain"))
+    def bucket(j: Int, key: org.apache.spark.sql.Column) =
+      expr(s"cast(conv(substr(md5(concat('cm$j', domain)), 1, 15), 16, 10) as bigint)")
+        .%(CmWidth)
+    val rows = keys.select(col("domain"),
+      explode(array((0 until CmDepth).map(j =>
+        struct(lit(j).as("j"), bucket(j, col("domain")).as("bucket"))): _*)).as("rb"))
+      .select(col("domain"), col("rb.j").as("j"), col("rb.bucket").as("bucket"))
+    val regs = rows.groupBy("j", "bucket").agg(count(lit(1)).as("c"))
+    val exact = keys.groupBy("domain").agg(count(lit(1)).as("exact_cnt"))
+    val keyBuckets = exact.select(col("domain"),
+      explode(array((0 until CmDepth).map(j =>
+        struct(lit(j).as("j"), bucket(j, col("domain")).as("bucket"))): _*)).as("rb"))
+      .select(col("domain"), col("rb.j").as("j"), col("rb.bucket").as("bucket"))
+    keyBuckets
+      .join(broadcast(regs), Seq("j", "bucket"))
+      .groupBy("domain").agg(min("c").as("est_cnt"))
+      .join(exact, "domain")
+      .select(col("domain"), col("est_cnt"), col("exact_cnt"),
+        (col("est_cnt") - col("exact_cnt")).as("overestimate"))
+      .orderBy("domain")
+  }
+
   def heavyHitters(spark: SparkSession, dir: String,
       capacity: Int = 64, k: Int = 10): DataFrame =
     Tables.customer(spark, dir)
@@ -265,6 +313,7 @@ object TextQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_url_canon" -> (urlCanon(_, _)),
     "q_heavy_hitters" -> (heavyHitters(_, _)),
+    "q_count_min" -> (countMin(_, _)),
     "q_text_only_tokens" -> (textOnlyTokens(_, _)),
     "q_shrink_string" -> (shrinkString(_, _)),
     "q_char_grams" -> (charGrams(_, _)),
@@ -304,6 +353,39 @@ object TextQueries {
         |SELECT canon_url, CAST(COUNT(*) AS BIGINT) AS n_hits,
         |  CAST(COUNT(DISTINCT url) AS BIGINT) AS n_variants
         |FROM canon GROUP BY canon_url ORDER BY canon_url""".stripMargin,
+    // Same md5-derived row hashes, register build, min-estimate.
+    "q_count_min" -> {
+      val depthRows = (0 until CmDepth)
+        .map(j => s"SELECT $j AS j").mkString(" UNION ALL ")
+      s"""WITH keys AS (
+         |  SELECT concat('shop', CAST(c_custkey % 37 AS VARCHAR), '.example.com') AS domain
+         |  FROM customer),
+         |depths AS ($depthRows),
+         |rws AS (
+         |  SELECT domain, j,
+         |    CAST(concat('0x', substr(md5(concat('cm', CAST(j AS VARCHAR), domain)), 1, 15))
+         |      AS BIGINT) % $CmWidth AS bucket
+         |  FROM keys CROSS JOIN depths),
+         |regs AS (
+         |  SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM rws GROUP BY j, bucket),
+         |exact AS (
+         |  SELECT domain, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+         |  FROM keys GROUP BY domain),
+         |kb AS (
+         |  SELECT e.domain, d.j,
+         |    CAST(concat('0x', substr(md5(concat('cm', CAST(d.j AS VARCHAR), e.domain)), 1, 15))
+         |      AS BIGINT) % $CmWidth AS bucket
+         |  FROM exact e CROSS JOIN depths d),
+         |est AS (
+         |  SELECT kb.domain, CAST(MIN(r.c) AS BIGINT) AS est_cnt
+         |  FROM kb JOIN regs r USING (j, bucket)
+         |  GROUP BY kb.domain)
+         |SELECT e.domain, est.est_cnt, e.exact_cnt,
+         |  est.est_cnt - e.exact_cnt AS overestimate
+         |FROM est JOIN exact e USING (domain)
+         |ORDER BY e.domain""".stripMargin
+    },
     "q_heavy_hitters" ->
       """WITH freq AS (
         |  SELECT concat('shop', CAST(c_custkey % 37 AS VARCHAR), '.example.com') AS domain,

@@ -1493,6 +1493,35 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("count-min estimates are one-sided and match a local sketch") {
+    val rows = run("q_count_min").collect()
+    assert(rows.nonEmpty)
+    // the CM guarantee: never underestimate
+    rows.foreach(r => assert(r.getLong(3) >= 0,
+      s"${r.getString(0)} underestimated"))
+    // local sketch rebuild with the same md5-derived row hashes
+    val keys = graft.sources.Tables.customer(spark, sf)
+      .selectExpr("concat('shop', cast(c_custkey % 37 as string), '.example.com') as d")
+      .collect().map(_.getString(0))
+    def bucket(j: Int, key: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"cm$j$key".getBytes).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 256
+    }
+    val regs = scala.collection.mutable.Map.empty[(Int, Long), Long]
+      .withDefaultValue(0L)
+    keys.foreach(k => (0 until 4).foreach { j =>
+      regs((j, bucket(j, k))) += 1
+    })
+    val exact = keys.groupBy(identity).map { case (k, s) => k -> s.size.toLong }
+    rows.foreach { r =>
+      val k = r.getString(0)
+      val est = (0 until 4).map(j => regs((j, bucket(j, k)))).min
+      assert(r.getLong(1) == est, s"$k estimate")
+      assert(r.getLong(2) == exact(k), s"$k exact")
+    }
+  }
+
   test("TopKByAvgTFIDF selects buckets and appends the location feature") {
     import spark.implicits._
     val ds = (0 until 200).map { i =>

@@ -42,6 +42,29 @@ object Dedup {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
       .orderBy("keep_id")
 
+  /** q_soft_dedup: duplication-aware training weights instead of hard
+    * removal (the soft-dedup alternative in the dedup playbook —
+    * repeated content contributes once IN EXPECTATION via weight
+    * 1/n_dups, preserving coverage that hard dropping loses). Per doc:
+    * its exact-dup group size and the e6 integer weight; a trainer
+    * multiplies per-example loss by weight_e6/10⁶. Composes
+    * [[dedupExact]]'s content-hash groups verbatim, so the two rows
+    * can never disagree about what a duplicate is.
+    *
+    * Scale shape: one content-hash two-phase agg + one hash-keyed
+    * equi-join back to the corpus (shuffle ∝ docs, text never rides
+    * it — the hash is map-side). */
+  def softDedup(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+    val sizes = hashed.groupBy("content_hash")
+      .agg(count(lit(1)).as("n_dups"))
+    hashed.join(sizes, "content_hash")
+      .select(col("doc_id"), col("content_hash"), col("n_dups"),
+        expr("1000000L div n_dups").as("weight_e6"))
+      .orderBy("doc_id")
+  }
+
   /** Word k-shingles (k=3) of `text`, with duplicates — the codegen'd
     * native expression (functions/Shingles.scala), not an interpreted
     * transform/element_at chain. */
@@ -632,6 +655,7 @@ object Dedup {
     "q_chunk_dedup" -> (chunkDedup(_, _)),
     "q_boilerplate" -> (boilerplate(_, _)),
     "q_dedup_exact" -> (dedupExact(_, _)),
+    "q_soft_dedup" -> (softDedup(_, _)),
     "q_dedup_minhash" -> (dedupMinhash(_, _)),
     "q_dedup_incremental" -> (dedupIncremental(_, _)),
     "q_dedup_simhash" -> (dedupSimhash(_, _)),
@@ -797,6 +821,17 @@ object Dedup {
          |    ' ' ORDER BY chunk_idx), '')) AS clean_md5
          |FROM k JOIN f USING (h)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the exact-dup groups re-joined per doc; weights are integer e6
+    "q_soft_dedup" ->
+      """WITH hashed AS (
+        |  SELECT doc_id, md5(text) AS content_hash FROM documents),
+        |sizes AS (
+        |  SELECT content_hash, CAST(COUNT(*) AS BIGINT) AS n_dups
+        |  FROM hashed GROUP BY content_hash)
+        |SELECT h.doc_id, h.content_hash, s.n_dups,
+        |  CAST(1000000 // s.n_dups AS BIGINT) AS weight_e6
+        |FROM hashed h JOIN sizes s USING (content_hash)
+        |ORDER BY doc_id""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
         |FROM documents

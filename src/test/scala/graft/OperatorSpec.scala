@@ -1522,6 +1522,23 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("soft dedup weights cover every doc and sum to the unique count") {
+    val rows = run("q_soft_dedup").collect()
+    val docs = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.length == docs, "one weight per doc")
+    // group sizes agree with q_dedup_exact verbatim
+    val exact = run("q_dedup_exact").collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(2) == exact(r.getString(1)), s"doc ${r.getLong(0)} size")
+      assert(r.getLong(3) == 1000000L / r.getLong(2), s"doc ${r.getLong(0)} weight")
+    }
+    // total effective mass ≈ one unit per unique content (truncation ≤ 1e-6 each)
+    val eff = rows.map(_.getLong(3)).sum
+    val uniques = exact.size.toLong
+    assert(eff <= uniques * 1000000L && eff > (uniques - 1) * 1000000L)
+  }
+
   test("TopKByAvgTFIDF selects buckets and appends the location feature") {
     import spark.implicits._
     val ds = (0 until 200).map { i =>

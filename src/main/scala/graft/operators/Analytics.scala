@@ -587,6 +587,25 @@ object Analytics {
         col("n_rows"), col("sum_qty"), col("sum_cents"))
       .orderBy("level_id", "returnflag", "linestatus")
 
+  /** q_cube: the full CUBE over (lang, source) corpus composition —
+    * all four grouping sets (cell, per-lang, per-source, grand total)
+    * in ONE shuffle via grouping sets, where four separate groupBys
+    * would scan the corpus four times. grouping_id disambiguates the
+    * levels; NULL keys render as 'ALL' so the report is
+    * self-describing. Complements q_rollup (hierarchical drill-down)
+    * with the cross-dimensional version a composition dashboard
+    * pivots on; exact integer counts/sums only. */
+  def cubeReport(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .cube("lang", "source")
+      .agg(grouping_id().cast("long").as("level_id"),
+        count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .select(col("level_id"),
+        coalesce(col("lang"), lit("ALL")).as("lang"),
+        coalesce(col("source"), lit("ALL")).as("source"),
+        col("n_docs"), col("sum_chars"))
+      .orderBy("level_id", "lang", "source")
+
   /** Percentiles for q_percentiles, as integer hundredths (50/95/99). */
   private val PctLevels = Seq(50, 95, 99)
 
@@ -1016,6 +1035,7 @@ object Analytics {
     "q_range_join" -> (rangeJoin(_, _)),
     "q_moving_stats" -> (movingStats(_, _)),
     "q_rollup" -> (rollupReport(_, _)),
+    "q_cube" -> (cubeReport(_, _)),
     "q_asof_price" -> (asofPrice(_, _)),
     "q_profile_table" -> (profileTable(_, _)),
     "q1_agg" -> (q1Agg(_, _)),
@@ -1333,6 +1353,15 @@ object Analytics {
          |  n_win * sumsq - sum_cents * sum_cents AS var_num,
          |  n_prior > 0 AND cents * n_prior > sum_prior * 2 AS spike
          |FROM w ORDER BY series, l_orderkey, l_linenumber""".stripMargin,
+    "q_cube" ->
+      """SELECT CAST(GROUPING(lang, source) AS BIGINT) AS level_id,
+        |  COALESCE(lang, 'ALL') AS lang,
+        |  COALESCE(source, 'ALL') AS source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |GROUP BY CUBE (lang, source)
+        |ORDER BY level_id, lang, source""".stripMargin,
     "q_rollup" ->
       """SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS level_id,
         |  COALESCE(l_returnflag, 'ALL') AS returnflag,

@@ -1539,6 +1539,26 @@ class OperatorSpec extends SparkSpec {
     assert(eff <= uniques * 1000000L && eff > (uniques - 1) * 1000000L)
   }
 
+  test("cube levels are mutually consistent") {
+    val rows = run("q_cube").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    val cells = rows.filter(_._1 == 0L)
+    val total = rows.filter(_._1 == 3L)
+    assert(total.length == 1)
+    assert(cells.map(_._4).sum == total.head._4)
+    assert(cells.map(_._5).sum == total.head._5)
+    // per-lang subtotals equal the cell sums for that lang
+    rows.filter(_._1 == 1L).foreach { case (_, lang, _, n, chars) =>
+      val mine = cells.filter(_._2 == lang)
+      assert(mine.map(_._4).sum == n && mine.map(_._5).sum == chars, lang)
+    }
+    rows.filter(_._1 == 2L).foreach { case (_, _, source, n, chars) =>
+      val mine = cells.filter(_._3 == source)
+      assert(mine.map(_._4).sum == n && mine.map(_._5).sum == chars, source)
+    }
+  }
+
   test("TopKByAvgTFIDF selects buckets and appends the location feature") {
     import spark.implicits._
     val ds = (0 until 200).map { i =>

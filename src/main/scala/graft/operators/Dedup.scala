@@ -101,11 +101,9 @@ object Dedup {
     * (the flood's canonical pair set survives via the kept members). */
   private val HotBucketCap = 64
 
-  /** Per-doc LSH band signatures (doc_id, band, mh) — the rows a
-    * production deployment PERSISTS as its near-dup index (signatures
-    * are tiny next to documents: 8 band keys per doc). Shared by the
-    * full-corpus pair generation and the incremental path. */
-  private[graft] def bandSignatures(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-doc MinHash component minima (doc_id, mh0..mh15) — the raw
+    * signature both the band index and the estimate report read. */
+  private[graft] def minhashComponents(spark: SparkSession, dir: String): DataFrame = {
     val g = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(shinglesRaw(col("text"))).as("sh"))
       .withColumn("hm",
@@ -113,7 +111,15 @@ object Dedup {
     val minCols = (0 until NumHashes).map { i =>
       min((col("hm") * permA(i) + permB(i)) % P).as(s"mh$i")
     }
-    val minh = g.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    g.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+  }
+
+  /** Per-doc LSH band signatures (doc_id, band, mh) — the rows a
+    * production deployment PERSISTS as its near-dup index (signatures
+    * are tiny next to documents: 8 band keys per doc). Shared by the
+    * full-corpus pair generation and the incremental path. */
+  private[graft] def bandSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val minh = minhashComponents(spark, dir)
     val bandSig = array((0 until NumHashes / BandRows).map { b =>
       struct(
         lit(b).as("band"),
@@ -268,6 +274,47 @@ object Dedup {
     * the MinHash band-bucket candidate pairs — the verification stage
     * consumes the LSH candidates ([[minhashPairs]]), so compare work is
     * ∝ |candidates|, never a coarse-bucket self-join. */
+  /** q_minhash_est: the MinHash sketch-accuracy report — for every LSH
+    * candidate pair, the Jaccard ESTIMATE the 16-component signature
+    * implies (matching components / 16, the unbiased MinHash
+    * estimator) next to the exact distinct-shingle Jaccard, with the
+    * signed e6 error. Completes the accuracy-report trio
+    * (q_ann_recall for ANN, q_count_min for point frequency): the
+    * table that says whether 16 components suffice before a 100 TB
+    * run trusts signature-only dedup thresholds.
+    *
+    * Scale shape: components come from the ONE signature pass the
+    * band index already computes (shared [[minhashComponents]]);
+    * candidate pairs are the LSH output (never all-pairs); the
+    * estimate is pure column arithmetic over two signature lookups
+    * (pair-keyed equi-joins), and the exact Jaccard touches only
+    * |pairs| rows — the q_ngram_jaccard contract. */
+  def minhashEst(spark: SparkSession, dir: String): DataFrame = {
+    val comp = minhashComponents(spark, dir).localCheckpoint() // two lookups below
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), shingles(col("text")).as("grams"))
+    val m = (0 until NumHashes)
+      .map(i => when(col(s"a_mh$i") === col(s"b_mh$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    minhashPairs(spark, dir).select("id_a", "id_b")
+      .join(comp.select(col("doc_id").as("id_a") +:
+        (0 until NumHashes).map(i => col(s"mh$i").as(s"a_mh$i")): _*), Seq("id_a"))
+      .join(comp.select(col("doc_id").as("id_b") +:
+        (0 until NumHashes).map(i => col(s"mh$i").as(s"b_mh$i")): _*), Seq("id_b"))
+      .withColumn("n_match", m)
+      .join(docs.select(col("doc_id").as("id_a"), col("grams").as("grams_a")), Seq("id_a"))
+      .join(docs.select(col("doc_id").as("id_b"), col("grams").as("grams_b")), Seq("id_b"))
+      .withColumn("jaccard_e6", expr(
+        """(cast(size(array_intersect(grams_a, grams_b)) as bigint) * 1000000)
+          | div (size(grams_a) + size(grams_b) - size(array_intersect(grams_a, grams_b)))
+          |""".stripMargin.replace('\n', ' ')))
+      .select(col("id_a"), col("id_b"), col("n_match"),
+        expr(s"(n_match * 1000000) div $NumHashes").as("est_e6"),
+        col("jaccard_e6"),
+        (expr(s"(n_match * 1000000) div $NumHashes") - col("jaccard_e6")).as("err_e6"))
+      .orderBy("id_a", "id_b")
+  }
+
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val pairs = minhashPairs(spark, dir).select("id_a", "id_b")
     val docs = Tables.documents(spark, dir)
@@ -660,6 +707,7 @@ object Dedup {
     "q_dedup_incremental" -> (dedupIncremental(_, _)),
     "q_dedup_simhash" -> (dedupSimhash(_, _)),
     "q_ngram_jaccard" -> (ngramJaccard(_, _)),
+    "q_minhash_est" -> (minhashEst(_, _)),
     "q_dedup_clusters" -> (dedupClusters(_, _)))
 
   private val shingleSql: String =
@@ -885,6 +933,29 @@ object Dedup {
          |  l.doc_id = l.cluster_id AS is_canonical
          |FROM lab l JOIN sz s USING (cluster_id)
          |ORDER BY l.doc_id""".stripMargin,
+    // pairSql + minh verbatim: component-match estimate vs exact Jaccard
+    "q_minhash_est" -> {
+      val matchSum = (0 until NumHashes)
+        .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $pairSql
+         |SELECT p.id_a, p.id_b,
+         |  CAST($matchSum AS BIGINT) AS n_match,
+         |  CAST((($matchSum) * 1000000) // $NumHashes AS BIGINT) AS est_e6,
+         |  CAST((CAST(len(list_intersect(ga.grams, gb.grams)) AS BIGINT) * 1000000)
+         |    // (len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams)))
+         |    AS BIGINT) AS jaccard_e6,
+         |  CAST((($matchSum) * 1000000) // $NumHashes
+         |    - (CAST(len(list_intersect(ga.grams, gb.grams)) AS BIGINT) * 1000000)
+         |      // (len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams)))
+         |    AS BIGINT) AS err_e6
+         |FROM pairs p
+         |JOIN minh a ON a.doc_id = p.id_a
+         |JOIN minh b ON b.doc_id = p.id_b
+         |JOIN sh ga ON ga.doc_id = p.id_a
+         |JOIN sh gb ON gb.doc_id = p.id_b
+         |ORDER BY id_a, id_b""".stripMargin
+    },
     "q_ngram_jaccard" ->
       s"""WITH $pairSql
          |SELECT p.id_a, p.id_b,

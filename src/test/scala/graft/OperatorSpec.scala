@@ -1559,6 +1559,30 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("minhash estimate is consistent with bands and exact jaccard") {
+    val rows = run("q_minhash_est").collect()
+    assert(rows.nonEmpty)
+    val bands = run("q_dedup_minhash").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val exact = run("q_ngram_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(4), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == bands.keySet,
+      "estimate rows must be exactly the LSH candidate pairs")
+    rows.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      val (m, est, j, err) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(est == m * 1000000L / 16, s"$key estimate arithmetic")
+      assert(err == est - j, s"$key error arithmetic")
+      // an r=2 band match needs both its components equal, so a pair
+      // voted by k bands has at least 2k matching components
+      assert(m >= 2 * bands(key), s"$key fewer matches than band votes imply")
+      val (nInter, nA, nB) = exact(key)
+      assert(j == nInter * 1000000L / (nA + nB - nInter), s"$key exact jaccard")
+    }
+  }
+
   test("TopKByAvgTFIDF selects buckets and appends the location feature") {
     import spark.implicits._
     val ds = (0 until 200).map { i =>

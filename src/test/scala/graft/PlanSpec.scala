@@ -42,6 +42,21 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 2, "expected partial+final agg")
   }
 
+  test("round-10 operators keep their broadcast shapes") {
+    // embed outliers: centroid map and per-label means both broadcast
+    assert("BroadcastHashJoin".r.findAllIn(plan("q_embed_outliers")).length >= 2,
+      "embed outliers lost a broadcast (centroids / means)")
+    // itemsets: both singles lookups broadcast; only baskets shuffle
+    assert("BroadcastHashJoin".r.findAllIn(plan("q_itemsets")).length >= 2,
+      "itemsets lost a broadcast (singles)")
+    // count-min: the sketch registers broadcast to the key catalog
+    assert(plan("q_count_min").contains("BroadcastHashJoin"),
+      "count-min shuffles its registers")
+    // ivfpq: probes (queries × nprobe + LUTs) broadcast to the corpus
+    assert(plan("q_ann_ivfpq").contains("BroadcastHashJoin"),
+      "ivfpq shuffles the corpus for the probe join")
+  }
+
   test("parquet scans push filters and prune columns") {
     val p = plan("q_top_candidate")
     assert(p.contains("PushedFilters"))

@@ -606,6 +606,42 @@ object Analytics {
         col("n_docs"), col("sum_chars"))
       .orderBy("level_id", "lang", "source")
 
+  /** Rows kept by q_top_orders (pinned — the oracle embeds it). */
+  private[graft] val TopOrdersK = 10
+
+  /** q_top_orders: the TPC-H Q3 shape — top-[[TopOrdersK]] highest-
+    * revenue open orders for one market segment — the three-table
+    * join+agg+top-k every warehouse benchmark leads with, included so
+    * a migrating user's bread-and-butter reporting query has a
+    * certified home. Revenue is exact integer cents; the top-k
+    * tie-breaks on o_orderkey so the cut is deterministic.
+    *
+    * Scale shape: the customer dim filters to one segment and
+    * BROADCASTS into orders (no fact shuffle); lineitem joins orders
+    * on the orderkey equi-join (the one real shuffle, ∝ surviving
+    * lines); revenue is a two-phase agg on (orderkey, date, priority);
+    * the top-k is TakeOrderedAndProject — no global sort
+    * materializes. */
+  def topOrders(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val orders = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") =!= "F")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100 + 0.5)
+          .cast("long").as("rev_cents"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(sum("rev_cents").as("revenue_cents"), count(lit(1)).as("n_lines"))
+      .orderBy(col("revenue_cents").desc, col("o_orderkey").asc)
+      .limit(TopOrdersK)
+  }
+
   /** Percentiles for q_percentiles, as integer hundredths (50/95/99). */
   private val PctLevels = Seq(50, 95, 99)
 
@@ -1036,6 +1072,7 @@ object Analytics {
     "q_moving_stats" -> (movingStats(_, _)),
     "q_rollup" -> (rollupReport(_, _)),
     "q_cube" -> (cubeReport(_, _)),
+    "q_top_orders" -> (topOrders(_, _)),
     "q_asof_price" -> (asofPrice(_, _)),
     "q_profile_table" -> (profileTable(_, _)),
     "q1_agg" -> (q1Agg(_, _)),
@@ -1353,6 +1390,19 @@ object Analytics {
          |  n_win * sumsq - sum_cents * sum_cents AS var_num,
          |  n_prior > 0 AND cents * n_prior > sum_prior * 2 AS spike
          |FROM w ORDER BY series, l_orderkey, l_linenumber""".stripMargin,
+    // same join/filter/agg tree; top-k by (revenue desc, orderkey)
+    "q_top_orders" ->
+      """SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+        |  CAST(SUM(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100 + 0.5)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderstatus <> 'F'
+        |GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+        |ORDER BY revenue_cents DESC, o.o_orderkey ASC
+        |LIMIT 10""".stripMargin,
     "q_cube" ->
       """SELECT CAST(GROUPING(lang, source) AS BIGINT) AS level_id,
         |  COALESCE(lang, 'ALL') AS lang,

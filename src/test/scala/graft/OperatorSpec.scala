@@ -1583,6 +1583,27 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("top orders equal a local three-table recount") {
+    val cust = graft.sources.Tables.customer(spark, sf)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val orders = graft.sources.Tables.orders(spark, sf)
+      .filter(col("o_orderstatus") =!= "F")
+      .select("o_orderkey", "o_custkey").collect()
+      .filter(r => cust(r.getLong(1))).map(_.getLong(0)).toSet
+    val revs = graft.sources.Tables.lineitem(spark, sf)
+      .selectExpr("l_orderkey",
+        "cast(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) as bigint) as rc")
+      .collect().filter(r => orders(r.getLong(0)))
+      .groupBy(_.getLong(0))
+      .map { case (k, rs) => (k, rs.map(_.getLong(1)).sum, rs.length.toLong) }
+    val expected = revs.toSeq.sortBy { case (k, rev, _) => (-rev, k) }.take(10)
+      .map { case (k, rev, n) => (k, rev, n) }
+    val got = run("q_top_orders").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected)
+  }
+
   test("TopKByAvgTFIDF selects buckets and appends the location feature") {
     import spark.implicits._
     val ds = (0 until 200).map { i =>

@@ -57,6 +57,13 @@ class PlanSpec extends SparkSpec {
       "ivfpq shuffles the corpus for the probe join")
   }
 
+  test("top orders broadcasts the dim and avoids a global sort") {
+    val p = plan("q_top_orders")
+    assert(p.contains("BroadcastHashJoin"), "customer dim must broadcast")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must not materialize a global sort")
+  }
+
   test("parquet scans push filters and prune columns") {
     val p = plan("q_top_candidate")
     assert(p.contains("PushedFilters"))

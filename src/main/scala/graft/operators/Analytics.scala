@@ -940,13 +940,19 @@ object Analytics {
       .filter(col("dst").isNotNull)
       .groupBy(col("event_type").as("src"), col("dst"))
       .agg(count(lit(1)).as("n"))
+    transFinish(counts)
+  }
+
+  /** Shared finish over catalog-sized (src, dst, n) counts — one
+    * definition for batch [[transitions]] and the streaming variant
+    * (whose sink owns the counts), the psiFinish pattern. */
+  private[graft] def transFinish(counts: DataFrame): DataFrame =
     counts
       .withColumn("row_total",
         sum("n").over(Window.partitionBy("src")))
       .withColumn("p_e6", expr("(n * 1000000) div row_total"))
       .select(col("src"), col("dst"), col("n"), col("row_total"), col("p_e6"))
       .orderBy("src", "dst")
-  }
 
   /** Leaders kept per hour window by q_window_topk (pinned — the
     * oracle embeds it). */

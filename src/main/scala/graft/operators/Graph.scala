@@ -36,14 +36,39 @@ object Graph {
     * rounds (rebuilt 3× otherwise). The oracle unrolls the same three
     * rounds as nested CTEs — recursion-free, so it runs on any engine
     * that bans aggregates in recursive terms. */
-  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+  /** Directed co-order edge set (both directions) — shared by
+    * [[pagerank]] and [[degreeDist]]. */
+  private def coOrderEdges(spark: SparkSession, dir: String): DataFrame = {
     val pairs = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val edges = pairs.as("a")
+    pairs.as("a")
       .join(pairs.as("b"), "l_orderkey")
       .filter(col("a.l_partkey") =!= col("b.l_partkey"))
       .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
       .distinct()
+  }
+
+  /** q_degree_dist: the log₂-binned degree distribution of the
+    * co-order graph — the first diagnostic read before ANY iterative
+    * graph job (a heavy-tailed histogram says "salt the hubs before
+    * PageRank/CC", a flat one says the plain shuffles below are
+    * safe). Binning is EXACT-integer: bin = ⌊log₂ deg⌋ via the binary
+    * string length, never float log at power-of-two boundaries.
+    *
+    * Scale shape: degree is one two-phase agg over the edge set; the
+    * histogram is a second agg over the node-sized degree table —
+    * nothing beyond the edge build touches corpus scale. */
+  def degreeDist(spark: SparkSession, dir: String): DataFrame =
+    coOrderEdges(spark, dir)
+      .groupBy("src").agg(count(lit(1)).as("deg"))
+      .withColumn("bin", (length(bin(col("deg"))) - 1).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_nodes"),
+        min("deg").as("min_deg"), max("deg").as("max_deg"))
+      .orderBy("bin")
+
+  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val edges = coOrderEdges(spark, dir)
     // degrees + edge set materialize ONCE via localCheckpoint (re-joined
     // every round otherwise) and auto-release on GC — cache() would pin
     // both in the CacheManager for the session lifetime
@@ -70,7 +95,8 @@ object Graph {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_pagerank" -> (pagerank(_, _)))
+    "q_pagerank" -> (pagerank(_, _)),
+    "q_degree_dist" -> (degreeDist(_, _)))
 
   /** The same three rounds, unrolled as nested CTEs. */
   private val pagerankOracle: String = {
@@ -98,5 +124,19 @@ object Graph {
   }
 
   val oracleSql: Map[String, String] = Map(
-    "q_pagerank" -> pagerankOracle)
+    "q_pagerank" -> pagerankOracle,
+    // same edges/deg CTEs; bin via binary-string length (exact integer)
+    "q_degree_dist" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |edges AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM pairs a JOIN pairs b USING (l_orderkey)
+        |  WHERE a.l_partkey <> b.l_partkey),
+        |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src)
+        |SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS bin,
+        |  CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |  CAST(MIN(deg) AS BIGINT) AS min_deg,
+        |  CAST(MAX(deg) AS BIGINT) AS max_deg
+        |FROM deg GROUP BY 1 ORDER BY bin""".stripMargin)
 }

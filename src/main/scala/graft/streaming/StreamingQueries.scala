@@ -43,6 +43,9 @@ case class FunnelState(signupMs: Long, purchaseMs: Long) // -1 = unset
 case class FunnelOut(user_id: Long, signup_ms: Long,
     purchase_ms: Option[Long], converted: Boolean, lag_ms: Option[Long])
 
+/** Per-user last-seen event type for the streaming transition matrix. */
+case class TransState(lastType: String)
+
 /** Emitted summary row of the stateful last-price query. */
 case class PackState(cum: Long)
 case class PackDoc(lang: String, shard: Long, bin: Long, doc_id: Long,
@@ -421,6 +424,57 @@ object StreamingQueries {
     runToMemory(spark, flagged, OutputMode.Append()).orderBy("event_id")
   }
 
+  /** q_stream_transitions — the Markov transition matrix as a STREAM:
+    * flatMapGroupsWithState keeps ONE string of state per user (the
+    * last event type seen), emits a (src, dst) step per arriving
+    * event, and the sink accumulates the catalog-sized step counts —
+    * each step is emitted exactly once, so the counter upsert is a
+    * plain merge and the probability finish runs batch-side over the
+    * converged counts via the SHARED
+    * [[graft.operators.Analytics.transFinish]] (the psiFinish
+    * pattern: stream and batch cannot disagree, the batch oracle is
+    * reused verbatim). In-trigger arrival order is pinned by the
+    * same (t_ms, event_id) sort the batch lead() uses, so
+    * cross-trigger boundaries land identically however the input is
+    * micro-batched. */
+  def streamTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val steps = eventsStream(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("t_ms"), col("event_id"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(
+        (_: Long, rows: Iterator[(Long, String, Long, Long)],
+         state: GroupState[TransState]) => {
+          val sorted = rows.toSeq.sortBy(r => (r._3, r._4))
+          var last = state.getOption.map(_.lastType).orNull
+          val out = sorted.flatMap { case (_, et, _, _) =>
+            val step = Option(last).map(l => (l, et))
+            last = et
+            step
+          }
+          state.update(TransState(last))
+          out.iterator
+        })
+      .toDF("src", "dst")
+    val store = new java.util.concurrent.ConcurrentHashMap[(String, String), Long]()
+    val q = steps.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.groupBy("src", "dst").count().collect().foreach { r =>
+          store.merge((r.getString(0), r.getString(1)), r.getLong(2), _ + _)
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    graft.operators.Analytics.transFinish(
+      store.asScala.toSeq.map { case ((s, d), n) => (s, d, n) }
+        .toDF("src", "dst", "n"))
+  }
+
   /** Row 43 — per-user competitor set (analytics/Kafka2CompPerUser
     * .scala:67-79): the stream aggregates each user's distinct sorted
     * store list. Update-output aggregation + upsert sink: each trigger
@@ -693,6 +747,7 @@ object StreamingQueries {
     "q_stream_sessions" -> (streamSessions(_, _)),
     "q_stream_funnel" -> (streamFunnel(_, _)),
     "q_stream_topk" -> (streamTopK(_, _)),
+    "q_stream_transitions" -> (streamTransitions(_, _)),
     "q_stream_outliers" -> (streamOutliers(_, _)),
     "q_stream_hll" -> (streamHll(_, _)))
 
@@ -705,6 +760,9 @@ object StreamingQueries {
     // the batch funnel's oracle VERBATIM — stream and batch share one
     // definition, so they must share one oracle
     "q_stream_funnel" -> graft.operators.Analytics.oracleSql("q_funnel"),
+    // the batch transition-matrix oracle VERBATIM — transFinish is
+    // shared, so the converged step counts must yield the batch matrix
+    "q_stream_transitions" -> graft.operators.Analytics.oracleSql("q_transitions"),
     // the batch interval-join oracle VERBATIM — the stream-stream join
     // must produce exactly the bucketized batch join's pairs
     "q_stream_join" -> graft.operators.Analytics.oracleSql("q_range_join"),

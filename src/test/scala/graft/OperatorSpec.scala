@@ -1604,6 +1604,17 @@ class OperatorSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("degree distribution bins are exact powers of two") {
+    val rows = run("q_degree_dist").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (bin, mn, mx) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      assert(mn >= (1L << bin) && mx < (1L << (bin + 1)),
+        s"bin $bin range [$mn,$mx] outside [2^$bin, 2^${bin + 1})")
+      assert(mn <= mx)
+    }
+  }
+
   test("TopKByAvgTFIDF selects buckets and appends the location feature") {
     import spark.implicits._
     val ds = (0 until 200).map { i =>

@@ -242,6 +242,18 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got == expected)
   }
 
+  test("streaming transitions equal the batch matrix row for row") {
+    // per-user O(1) last-event state + sink-owned counts vs the batch
+    // lead() window — same (t_ms, event_id) ordering, must be identical
+    def canon(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    }.toSet
+    val batch = canon(SparkEntry.queries("q_transitions")(spark, sf).collect())
+    val stream = canon(SparkEntry.queries("q_stream_transitions")(spark, sf).collect())
+    assert(stream.nonEmpty)
+    assert(stream == batch)
+  }
+
   test("streaming funnel equals the batch funnel row for row") {
     // same definition through two mechanisms: batch two-agg join vs
     // per-user O(1) stream state — results must be identical

@@ -642,6 +642,63 @@ object Analytics {
       .limit(TopOrdersK)
   }
 
+  /** q_referential_audit: the referential-integrity screen run before
+    * trusting any star-schema join — each foreign-key edge checked by
+    * a LEFT ANTI join (the plan shape Spark gives NOT EXISTS), orphan
+    * counts per edge plus the parent-side row count for rate context.
+    * On healthy data every orphan count is 0 — the row EXISTS so the
+    * report proves the check ran, not just that nothing printed.
+    *
+    * Scale shape: each anti-join is one equi-join where the smaller
+    * side broadcasts (customer, orders' key projection); nothing wider
+    * than (key) columns ever shuffles. */
+  def referentialAudit(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"))
+    val ord = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.customer(spark, dir).select(col("c_custkey"))
+    def check(name: String, df: DataFrame, total: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_orphans"))
+        .crossJoin(total.agg(count(lit(1)).as("n_checked")))
+        .select(lit(name).as("fk_edge"), col("n_orphans"), col("n_checked"))
+    check("lineitem->orders",
+      li.join(broadcast(ord.select("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti"), li)
+      .unionAll(check("orders->customer",
+        ord.join(broadcast(cust),
+          col("o_custkey") === col("c_custkey"), "left_anti"), ord))
+      .unionAll(check("orders_without_lines",
+        ord.join(li, col("o_orderkey") === col("l_orderkey"), "left_anti"), ord))
+      .unionAll(check("customers_without_orders",
+        cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti"), cust))
+      .orderBy("fk_edge")
+  }
+
+  /** q_priority_returns: orders containing at least one returned line
+    * (l_returnflag = 'R'), counted by order priority with e6 return
+    * rates — the TPC-H Q4 shape with a LEFT SEMI join standing in for
+    * EXISTS (dedup-free: an order with five returned lines counts
+    * once, which a plain join+distinct would pay a shuffle to get).
+    *
+    * Scale shape: the returned-lines key projection semi-joins into
+    * orders; the rollup is priority-catalog-sized. */
+  def priorityReturns(spark: SparkSession, dir: String): DataFrame = {
+    val returned = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R").select(col("l_orderkey"))
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val withReturns = ord
+      .join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n_with_returns"))
+    val totals = ord.groupBy("o_orderpriority").agg(count(lit(1)).as("n_orders"))
+    totals.join(withReturns, Seq("o_orderpriority"), "left")
+      .select(col("o_orderpriority"),
+        col("n_orders"),
+        coalesce(col("n_with_returns"), lit(0L)).as("n_with_returns"),
+        expr("(coalesce(n_with_returns, 0L) * 1000000) div n_orders")
+          .as("return_rate_e6"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Percentiles for q_percentiles, as integer hundredths (50/95/99). */
   private val PctLevels = Seq(50, 95, 99)
 
@@ -1079,6 +1136,8 @@ object Analytics {
     "q_rollup" -> (rollupReport(_, _)),
     "q_cube" -> (cubeReport(_, _)),
     "q_top_orders" -> (topOrders(_, _)),
+    "q_referential_audit" -> (referentialAudit(_, _)),
+    "q_priority_returns" -> (priorityReturns(_, _)),
     "q_asof_price" -> (asofPrice(_, _)),
     "q_profile_table" -> (profileTable(_, _)),
     "q1_agg" -> (q1Agg(_, _)),
@@ -1396,6 +1455,49 @@ object Analytics {
          |  n_win * sumsq - sum_cents * sum_cents AS var_num,
          |  n_prior > 0 AND cents * n_prior > sum_prior * 2 AS spike
          |FROM w ORDER BY series, l_orderkey, l_linenumber""".stripMargin,
+    // NOT EXISTS per FK edge, counts + parent totals
+    "q_referential_audit" ->
+      """SELECT 'customers_without_orders' AS fk_edge,
+        |  CAST((SELECT COUNT(*) FROM customer c
+        |    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+        |    AS BIGINT) AS n_orphans,
+        |  CAST((SELECT COUNT(*) FROM customer) AS BIGINT) AS n_checked
+        |UNION ALL
+        |SELECT 'lineitem->orders',
+        |  CAST((SELECT COUNT(*) FROM lineitem l
+        |    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |    AS BIGINT),
+        |  CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+        |UNION ALL
+        |SELECT 'orders->customer',
+        |  CAST((SELECT COUNT(*) FROM orders o
+        |    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |    AS BIGINT),
+        |  CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+        |UNION ALL
+        |SELECT 'orders_without_lines',
+        |  CAST((SELECT COUNT(*) FROM orders o
+        |    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey))
+        |    AS BIGINT),
+        |  CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+        |ORDER BY fk_edge""".stripMargin,
+    // EXISTS via semi-join; e6 integer rates
+    "q_priority_returns" ->
+      """WITH wr AS (
+        |  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_with_returns
+        |  FROM orders o
+        |  WHERE EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        |  GROUP BY o_orderpriority),
+        |tot AS (
+        |  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT t.o_orderpriority, t.n_orders,
+        |  CAST(COALESCE(w.n_with_returns, 0) AS BIGINT) AS n_with_returns,
+        |  CAST((COALESCE(w.n_with_returns, 0) * 1000000) // t.n_orders AS BIGINT)
+        |    AS return_rate_e6
+        |FROM tot t LEFT JOIN wr w USING (o_orderpriority)
+        |ORDER BY t.o_orderpriority""".stripMargin,
     // same join/filter/agg tree; top-k by (revenue desc, orderkey)
     "q_top_orders" ->
       """SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,

@@ -1615,6 +1615,38 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("referential audit reports all four edges over healthy data") {
+    val rows = run("q_referential_audit").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet == Set("lineitem->orders", "orders->customer",
+      "orders_without_lines", "customers_without_orders"))
+    // the generated star schema is referentially intact downward
+    assert(rows("lineitem->orders")._1 == 0L)
+    assert(rows("orders->customer")._1 == 0L)
+    rows.values.foreach { case (orphans, checked) =>
+      assert(orphans >= 0 && orphans <= checked)
+    }
+  }
+
+  test("priority returns match a local exists recount") {
+    val returned = graft.sources.Tables.lineitem(spark, sf)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey").distinct().collect().map(_.getLong(0)).toSet
+    val orders = graft.sources.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderpriority").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val rows = run("q_priority_returns").collect()
+    assert(rows.map(_.getString(0)).toSet == orders.map(_._2).toSet)
+    rows.foreach { r =>
+      val p = r.getString(0)
+      val mine = orders.filter(_._2 == p)
+      val withR = mine.count(o => returned(o._1)).toLong
+      assert(r.getLong(1) == mine.length.toLong, s"$p totals")
+      assert(r.getLong(2) == withR, s"$p with-returns")
+      assert(r.getLong(3) == withR * 1000000L / mine.length, s"$p rate")
+    }
+  }
+
   test("TopKByAvgTFIDF selects buckets and appends the location feature") {
     import spark.implicits._
     val ds = (0 until 200).map { i =>

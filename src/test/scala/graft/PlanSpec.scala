@@ -64,6 +64,13 @@ class PlanSpec extends SparkSpec {
       "top-k must not materialize a global sort")
   }
 
+  test("audit queries use semi/anti joins, not join+distinct") {
+    val audit = plan("q_referential_audit")
+    assert(audit.contains("LeftAnti"), "referential audit lost its anti-joins")
+    val ret = plan("q_priority_returns")
+    assert(ret.contains("LeftSemi"), "priority returns lost its semi-join")
+  }
+
   test("parquet scans push filters and prune columns") {
     val p = plan("q_top_candidate")
     assert(p.contains("PushedFilters"))

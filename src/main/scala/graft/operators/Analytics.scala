@@ -699,6 +699,54 @@ object Analytics {
       .orderBy("o_orderpriority")
   }
 
+  /** Edit-distance cap for q_fuzzy_match (pinned — the oracle embeds
+    * it). */
+  private[graft] val FuzzyMaxDist = 2
+
+  /** q_fuzzy_match: entity resolution with typos — the fuzzy upgrade
+    * of q_auto_match's exact composite-key equality: catalog titles
+    * arrive corrupted (deterministic tail typos synthesized by key
+    * mod: dropped last char / appended char / clean), candidates pair
+    * within a BLOCKING key (the title's first word — never all-pairs,
+    * the Fellegi-Sunter blocking discipline), survive a
+    * levenshtein ≤ [[FuzzyMaxDist]] filter, and each dirty title
+    * keeps its best match (min distance, id tie-break) with the
+    * candidate count for audit. Levenshtein is exact unit-cost edit
+    * distance in both engines, so the whole match table is
+    * hash-oracled.
+    *
+    * Scale shape: one equi-join on the block key (shuffle ∝ block
+    * pair volume, bounded by block-size², with block sizes set by the
+    * key's selectivity — the knob a deployment tunes); the distance
+    * is per-pair codegen'd string work; best-match is a per-dirty-id
+    * window — parallelism ∝ entities. */
+  def fuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(spark, dir).select(col("p_partkey"), col("p_name"))
+    val dirty = parts.select(
+      col("p_partkey").as("dirty_id"),
+      when(col("p_partkey") % 3 === 0,
+        expr("substring(p_name, 1, length(p_name) - 1)"))
+        .when(col("p_partkey") % 3 === 1, concat(col("p_name"), lit("x")))
+        .otherwise(col("p_name")).as("dirty_title"),
+      substring_index(col("p_name"), " ", 1).as("blk"))
+    val clean = parts.select(col("p_partkey").as("clean_id"),
+      col("p_name").as("clean_title"),
+      substring_index(col("p_name"), " ", 1).as("blk"))
+    val w = Window.partitionBy("dirty_id")
+      .orderBy(col("dist").asc, col("clean_id").asc)
+    dirty.join(clean, "blk")
+      .withColumn("dist", levenshtein(col("dirty_title"), col("clean_title")))
+      .filter(col("dist") <= FuzzyMaxDist)
+      .withColumn("rank", row_number().over(w))
+      .withColumn("n_candidates",
+        count(lit(1)).over(Window.partitionBy("dirty_id")))
+      .filter(col("rank") === 1)
+      .select(col("dirty_id"), col("dirty_title"), col("clean_id"),
+        col("clean_title"), col("dist").cast("long").as("dist"),
+        col("n_candidates"))
+      .orderBy("dirty_id")
+  }
+
   /** Percentiles for q_percentiles, as integer hundredths (50/95/99). */
   private val PctLevels = Seq(50, 95, 99)
 
@@ -1138,6 +1186,7 @@ object Analytics {
     "q_top_orders" -> (topOrders(_, _)),
     "q_referential_audit" -> (referentialAudit(_, _)),
     "q_priority_returns" -> (priorityReturns(_, _)),
+    "q_fuzzy_match" -> (fuzzyMatch(_, _)),
     "q_asof_price" -> (asofPrice(_, _)),
     "q_profile_table" -> (profileTable(_, _)),
     "q1_agg" -> (q1Agg(_, _)),
@@ -1455,6 +1504,34 @@ object Analytics {
          |  n_win * sumsq - sum_cents * sum_cents AS var_num,
          |  n_prior > 0 AND cents * n_prior > sum_prior * 2 AS spike
          |FROM w ORDER BY series, l_orderkey, l_linenumber""".stripMargin,
+    // same typo synthesis, blocking join, levenshtein cut, best-match rank
+    "q_fuzzy_match" ->
+      """WITH parts AS (SELECT p_partkey, p_name FROM part),
+        |dirty AS (
+        |  SELECT p_partkey AS dirty_id,
+        |    CASE WHEN p_partkey % 3 = 0 THEN substring(p_name, 1, length(p_name) - 1)
+        |         WHEN p_partkey % 3 = 1 THEN p_name || 'x'
+        |         ELSE p_name END AS dirty_title,
+        |    string_split(p_name, ' ')[1] AS blk
+        |  FROM parts),
+        |clean AS (
+        |  SELECT p_partkey AS clean_id, p_name AS clean_title,
+        |    string_split(p_name, ' ')[1] AS blk
+        |  FROM parts),
+        |scored AS (
+        |  SELECT d.dirty_id, d.dirty_title, c.clean_id, c.clean_title,
+        |    CAST(levenshtein(d.dirty_title, c.clean_title) AS BIGINT) AS dist
+        |  FROM dirty d JOIN clean c USING (blk)
+        |  WHERE levenshtein(d.dirty_title, c.clean_title) <= 2),
+        |ranked AS (
+        |  SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY dirty_id
+        |      ORDER BY dist ASC, clean_id ASC) AS rank,
+        |    CAST(COUNT(*) OVER (PARTITION BY dirty_id) AS BIGINT) AS n_candidates
+        |  FROM scored)
+        |SELECT dirty_id, dirty_title, clean_id, clean_title, dist, n_candidates
+        |FROM ranked WHERE rank = 1
+        |ORDER BY dirty_id""".stripMargin,
     // NOT EXISTS per FK edge, counts + parent totals
     "q_referential_audit" ->
       """SELECT 'customers_without_orders' AS fk_edge,

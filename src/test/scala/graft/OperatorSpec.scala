@@ -1647,6 +1647,20 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("fuzzy match recovers every corrupted title within one edit") {
+    val rows = run("q_fuzzy_match").collect()
+    val parts = graft.sources.Tables.part(spark, sf).count()
+    assert(rows.length == parts, "every dirty title must match")
+    rows.foreach { r =>
+      val (id, dist) = (r.getLong(0), r.getLong(4))
+      // the synthetic typo is at most one edit, and the clean self is
+      // always a candidate in the same block — best dist ≤ 1
+      assert(dist <= 1, s"part $id best dist $dist")
+      if (id % 3 == 2) assert(dist == 0, s"uncorrupted part $id dist")
+      assert(r.getLong(5) >= 1, s"part $id candidates")
+    }
+  }
+
   test("TopKByAvgTFIDF selects buckets and appends the location feature") {
     import spark.implicits._
     val ds = (0 until 200).map { i =>

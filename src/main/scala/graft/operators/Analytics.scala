@@ -747,6 +747,66 @@ object Analytics {
       .orderBy("dirty_id")
   }
 
+  /** Quintiles for q_rfm (pinned — the oracle embeds it). */
+  private[graft] val RfmBins = 5L
+
+  /** q_rfm: recency/frequency/monetary customer segmentation — per
+    * purchasing user, days since last purchase, purchase count, and
+    * lifetime cents, each scored into equi-depth quintiles (1 = worst,
+    * 5 = best; recency inverts so recent buyers score high), and the
+    * three digits concatenated into the classic "555" segment label.
+    *
+    * Quintile assignment is the RANK-FREE q_quantile_bins kernel:
+    * bin(v) = (cum_lt · 5) div n + 1 over a value histogram — no
+    * corpus-wide ntile sort, ties share a bin, pure integers in both
+    * engines.
+    *
+    * Scale shape: one groupBy(user) collapses events to the user
+    * table; every scored dimension is CARDINALITY-BOUNDED regardless
+    * of user count — recency in days, frequency as counts, monetary
+    * bucketed to whole dollars before scoring — so each histogram
+    * (and its global cumsum window) is catalog-sized even at 10⁹
+    * users, and the bin maps re-join by VALUE as broadcasts. Scoring
+    * raw cents instead would make the histogram ∝ users and the
+    * global window a genuine scale-killer. */
+  def rfm(spark: SparkSession, dir: String): DataFrame = {
+    val purchases = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_millis(col("ts")).as("t_ms"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val maxTs = purchases.agg(max("t_ms").as("corpus_max_ms"))
+    val users = purchases.crossJoin(broadcast(maxTs))
+      .groupBy("user_id")
+      .agg(
+        expr("(max(corpus_max_ms) - max(t_ms)) div 86400000").as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum("cents").as("monetary_cents"))
+      .withColumn("monetary_dollars", expr("monetary_cents div 100"))
+      .localCheckpoint() // three histogram builds + the final join read it
+    def binMap(dim: String): DataFrame = {
+      val w = Window.orderBy(dim)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      users.groupBy(dim).agg(count(lit(1)).as("c"))
+        .withColumn("cum_le", sum("c").over(w))
+        .withColumn("n", sum("c").over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select(col(dim),
+          expr(s"(cum_le - c) * $RfmBins div n + 1").as(s"${dim}_bin"))
+    }
+    users
+      .join(broadcast(binMap("recency_days")), "recency_days")
+      .join(broadcast(binMap("frequency")), "frequency")
+      .join(broadcast(binMap("monetary_dollars")), "monetary_dollars")
+      // low recency = recent = good: invert that one dimension
+      .withColumn("r_score", lit(RfmBins + 1) - col("recency_days_bin"))
+      .withColumn("f_score", col("frequency_bin"))
+      .withColumn("m_score", col("monetary_dollars_bin"))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary_cents"), col("r_score"), col("f_score"), col("m_score"),
+        concat(col("r_score"), col("f_score"), col("m_score")).as("segment"))
+      .orderBy("user_id")
+  }
+
   /** Percentiles for q_percentiles, as integer hundredths (50/95/99). */
   private val PctLevels = Seq(50, 95, 99)
 
@@ -1187,6 +1247,7 @@ object Analytics {
     "q_referential_audit" -> (referentialAudit(_, _)),
     "q_priority_returns" -> (priorityReturns(_, _)),
     "q_fuzzy_match" -> (fuzzyMatch(_, _)),
+    "q_rfm" -> (rfm(_, _)),
     "q_asof_price" -> (asofPrice(_, _)),
     "q_profile_table" -> (profileTable(_, _)),
     "q1_agg" -> (q1Agg(_, _)),
@@ -1504,6 +1565,52 @@ object Analytics {
          |  n_win * sumsq - sum_cents * sum_cents AS var_num,
          |  n_prior > 0 AND cents * n_prior > sum_prior * 2 AS spike
          |FROM w ORDER BY series, l_orderkey, l_linenumber""".stripMargin,
+    // same user rollup, same (cum_lt · 5) div n + 1 bins per dimension
+    "q_rfm" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000000 AS t_ms,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |mx AS (SELECT MAX(t_ms) AS m FROM p),
+        |u AS (
+        |  SELECT user_id,
+        |    CAST((ANY_VALUE(mx.m) - MAX(t_ms)) // 86400000 AS BIGINT) AS recency_days,
+        |    CAST(COUNT(*) AS BIGINT) AS frequency,
+        |    CAST(SUM(cents) AS BIGINT) AS monetary_cents,
+        |    CAST(SUM(cents) // 100 AS BIGINT) AS monetary_dollars
+        |  FROM p CROSS JOIN mx GROUP BY user_id),
+        |rb AS (
+        |  SELECT recency_days,
+        |    CAST((cum_le - c) * 5 // n + 1 AS BIGINT) AS rbin
+        |  FROM (SELECT recency_days, CAST(COUNT(*) AS BIGINT) AS c,
+        |          SUM(COUNT(*)) OVER (ORDER BY recency_days
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_le,
+        |          SUM(COUNT(*)) OVER () AS n
+        |        FROM u GROUP BY recency_days)),
+        |fb AS (
+        |  SELECT frequency,
+        |    CAST((cum_le - c) * 5 // n + 1 AS BIGINT) AS fbin
+        |  FROM (SELECT frequency, CAST(COUNT(*) AS BIGINT) AS c,
+        |          SUM(COUNT(*)) OVER (ORDER BY frequency
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_le,
+        |          SUM(COUNT(*)) OVER () AS n
+        |        FROM u GROUP BY frequency)),
+        |mb AS (
+        |  SELECT monetary_dollars,
+        |    CAST((cum_le - c) * 5 // n + 1 AS BIGINT) AS mbin
+        |  FROM (SELECT monetary_dollars, CAST(COUNT(*) AS BIGINT) AS c,
+        |          SUM(COUNT(*)) OVER (ORDER BY monetary_dollars
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_le,
+        |          SUM(COUNT(*)) OVER () AS n
+        |        FROM u GROUP BY monetary_dollars))
+        |SELECT u.user_id, u.recency_days, u.frequency, u.monetary_cents,
+        |  CAST(6 - rb.rbin AS BIGINT) AS r_score,
+        |  fb.fbin AS f_score, mb.mbin AS m_score,
+        |  CAST(6 - rb.rbin AS VARCHAR) || CAST(fb.fbin AS VARCHAR)
+        |    || CAST(mb.mbin AS VARCHAR) AS segment
+        |FROM u JOIN rb USING (recency_days) JOIN fb USING (frequency)
+        |  JOIN mb USING (monetary_dollars)
+        |ORDER BY user_id""".stripMargin,
     // same typo synthesis, blocking join, levenshtein cut, best-match rank
     "q_fuzzy_match" ->
       """WITH parts AS (SELECT p_partkey, p_name FROM part),

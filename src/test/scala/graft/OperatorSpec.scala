@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
 /** Smoke + invariant checks per operator family over sf0.001 (the
@@ -1659,6 +1660,29 @@ class OperatorSpec extends SparkSpec {
       if (id % 3 == 2) assert(dist == 0, s"uncorrupted part $id dist")
       assert(r.getLong(5) >= 1, s"part $id candidates")
     }
+  }
+
+  test("rfm scores are quintiles consistent with their dimensions") {
+    val rows = run("q_rfm").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (rs, fs, ms) = (r.getLong(4), r.getLong(5), r.getLong(6))
+      Seq(rs, fs, ms).foreach(x => assert(x >= 1 && x <= 5))
+      assert(r.getString(7) == s"$rs$fs$ms", "segment digits")
+    }
+    // monotone: more money never scores lower; fresher never scores lower
+    def monotone(dim: Array[Row] => Array[(Long, Long)]): Unit = {
+      val pairs = dim(rows).sortBy(_._1)
+      pairs.sliding(2).foreach {
+        case Array((v1, s1), (v2, s2)) =>
+          if (v1 == v2) assert(s1 == s2, "ties share a bin")
+          else assert(s1 <= s2, s"score drops from $v1->$v2")
+        case _ =>
+      }
+    }
+    monotone(_.map(r => (r.getLong(3) / 100, r.getLong(6))))
+    monotone(_.map(r => (r.getLong(2), r.getLong(5))))
+    monotone(_.map(r => (-r.getLong(1), r.getLong(4))))
   }
 
   test("TopKByAvgTFIDF selects buckets and appends the location feature") {

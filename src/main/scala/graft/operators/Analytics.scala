@@ -747,6 +747,37 @@ object Analytics {
       .orderBy("dirty_id")
   }
 
+  /** q_seasonality: the (day-of-week × hour-of-day) activity profile —
+    * event counts, purchase counts, and exact integer cents per
+    * calendar cell, with each cell's e6 share of the corpus — the
+    * heatmap behind staffing/campaign timing and the seasonal-naive
+    * forecasting baseline. Calendar arithmetic is pure integer epoch
+    * math under the fixed UTC session zone (dow = (days + 4) mod 7,
+    * epoch day 0 = Thursday), so every cell is bit-identical in
+    * DuckDB.
+    *
+    * Scale shape: ONE two-phase groupBy to a fixed ≤ 168-cell grid;
+    * the share denominators ride a broadcast one-row aggregate. */
+  def seasonality(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(unix_millis(col("ts")).as("t_ms"), col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .withColumn("dow", expr("(t_ms div 86400000 + 4) % 7"))
+      .withColumn("hour", expr("(t_ms % 86400000) div 3600000"))
+    val cells = ev.groupBy("dow", "hour")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"),
+        sum(when(col("event_type") === "purchase", col("cents"))
+          .otherwise(0L)).as("purchase_cents"))
+    val totals = cells.agg(sum("n_events").as("total_events"))
+    cells.crossJoin(broadcast(totals))
+      .withColumn("share_e6", expr("(n_events * 1000000) div total_events"))
+      .select(col("dow"), col("hour"), col("n_events"), col("n_purchases"),
+        col("purchase_cents"), col("share_e6"))
+      .orderBy("dow", "hour")
+  }
+
   /** Quintiles for q_rfm (pinned — the oracle embeds it). */
   private[graft] val RfmBins = 5L
 
@@ -1248,6 +1279,7 @@ object Analytics {
     "q_priority_returns" -> (priorityReturns(_, _)),
     "q_fuzzy_match" -> (fuzzyMatch(_, _)),
     "q_rfm" -> (rfm(_, _)),
+    "q_seasonality" -> (seasonality(_, _)),
     "q_asof_price" -> (asofPrice(_, _)),
     "q_profile_table" -> (profileTable(_, _)),
     "q1_agg" -> (q1Agg(_, _)),
@@ -1565,6 +1597,27 @@ object Analytics {
          |  n_win * sumsq - sum_cents * sum_cents AS var_num,
          |  n_prior > 0 AND cents * n_prior > sum_prior * 2 AS spike
          |FROM w ORDER BY series, l_orderkey, l_linenumber""".stripMargin,
+    // same integer epoch calendar math, same 168-cell rollup
+    "q_seasonality" ->
+      """WITH ev AS (
+        |  SELECT epoch_ns(ts) // 1000000 AS t_ms, event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |cells AS (
+        |  SELECT (t_ms // 86400000 + 4) % 7 AS dow,
+        |    (t_ms % 86400000) // 3600000 AS hour,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_purchases,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END)
+        |      AS BIGINT) AS purchase_cents
+        |  FROM ev GROUP BY 1, 2),
+        |tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS total_events FROM cells)
+        |SELECT CAST(dow AS BIGINT) AS dow, CAST(hour AS BIGINT) AS hour,
+        |  n_events, n_purchases, purchase_cents,
+        |  CAST((n_events * 1000000) // tot.total_events AS BIGINT) AS share_e6
+        |FROM cells CROSS JOIN tot
+        |ORDER BY dow, hour""".stripMargin,
     // same user rollup, same (cum_lt · 5) div n + 1 bins per dimension
     "q_rfm" ->
       """WITH p AS (

@@ -1685,6 +1685,18 @@ class OperatorSpec extends SparkSpec {
     monotone(_.map(r => (-r.getLong(1), r.getLong(4))))
   }
 
+  test("seasonality grid partitions the event corpus") {
+    val rows = run("q_seasonality").collect()
+    val nEvents = graft.sources.Tables.events(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum == nEvents, "cells partition events")
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 0 && r.getLong(0) < 7, "dow range")
+      assert(r.getLong(1) >= 0 && r.getLong(1) < 24, "hour range")
+      assert(r.getLong(3) <= r.getLong(2), "purchases bounded by events")
+      assert(r.getLong(5) == r.getLong(2) * 1000000L / nEvents, "share")
+    }
+  }
+
   test("TopKByAvgTFIDF selects buckets and appends the location feature") {
     import spark.implicits._
     val ds = (0 until 200).map { i =>

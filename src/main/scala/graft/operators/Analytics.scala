@@ -717,24 +717,37 @@ object Analytics {
     *
     * Scale shape: one equi-join on the block key (shuffle ∝ block
     * pair volume, bounded by block-size², with block sizes set by the
-    * key's selectivity — the knob a deployment tunes); the distance
-    * is per-pair codegen'd string work; best-match is a per-dirty-id
-    * window — parallelism ∝ entities. */
+    * key's selectivity — the knob a deployment tunes: blocking on the
+    * 64-value descriptive vocabulary measured 50 s at sf0.1 from
+    * ~300-member blocks; the SKU token bounds blocks at 10 members
+    * for the same recall since the typos live in the tail); a length
+    * prefilter kills pairs
+    * before the O(len²) distance runs (a length gap > the cap can
+    * never pass it); best-match is a per-dirty-id window —
+    * parallelism ∝ entities. */
   def fuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
-    val parts = Tables.part(spark, dir).select(col("p_partkey"), col("p_name"))
+    // catalog titles get the production shape — a model/SKU token plus
+    // the descriptive name ("m1234 large ring"); the testdata's bare
+    // p_name is a 64-value vocabulary, which would make every block a
+    // near-dup flood and the match degenerate
+    val parts = Tables.part(spark, dir).select(col("p_partkey"),
+      concat(lit("m"), expr("p_partkey div 10"), lit(" "), col("p_name"))
+        .as("title"))
     val dirty = parts.select(
       col("p_partkey").as("dirty_id"),
       when(col("p_partkey") % 3 === 0,
-        expr("substring(p_name, 1, length(p_name) - 1)"))
-        .when(col("p_partkey") % 3 === 1, concat(col("p_name"), lit("x")))
-        .otherwise(col("p_name")).as("dirty_title"),
-      substring_index(col("p_name"), " ", 1).as("blk"))
+        expr("substring(title, 1, length(title) - 1)"))
+        .when(col("p_partkey") % 3 === 1, concat(col("title"), lit("x")))
+        .otherwise(col("title")).as("dirty_title"),
+      substring_index(col("title"), " ", 1).as("blk"))
     val clean = parts.select(col("p_partkey").as("clean_id"),
-      col("p_name").as("clean_title"),
-      substring_index(col("p_name"), " ", 1).as("blk"))
+      col("title").as("clean_title"),
+      substring_index(col("title"), " ", 1).as("blk"))
     val w = Window.partitionBy("dirty_id")
       .orderBy(col("dist").asc, col("clean_id").asc)
     dirty.join(clean, "blk")
+      .filter(abs(length(col("dirty_title")) - length(col("clean_title")))
+        <= FuzzyMaxDist)
       .withColumn("dist", levenshtein(col("dirty_title"), col("clean_title")))
       .filter(col("dist") <= FuzzyMaxDist)
       .withColumn("rank", row_number().over(w))
@@ -1666,23 +1679,27 @@ object Analytics {
         |ORDER BY user_id""".stripMargin,
     // same typo synthesis, blocking join, levenshtein cut, best-match rank
     "q_fuzzy_match" ->
-      """WITH parts AS (SELECT p_partkey, p_name FROM part),
+      """WITH parts AS (
+        |  SELECT p_partkey,
+        |    'm' || CAST(p_partkey // 10 AS VARCHAR) || ' ' || p_name AS title
+        |  FROM part),
         |dirty AS (
         |  SELECT p_partkey AS dirty_id,
-        |    CASE WHEN p_partkey % 3 = 0 THEN substring(p_name, 1, length(p_name) - 1)
-        |         WHEN p_partkey % 3 = 1 THEN p_name || 'x'
-        |         ELSE p_name END AS dirty_title,
-        |    string_split(p_name, ' ')[1] AS blk
+        |    CASE WHEN p_partkey % 3 = 0 THEN substring(title, 1, length(title) - 1)
+        |         WHEN p_partkey % 3 = 1 THEN title || 'x'
+        |         ELSE title END AS dirty_title,
+        |    string_split(title, ' ')[1] AS blk
         |  FROM parts),
         |clean AS (
-        |  SELECT p_partkey AS clean_id, p_name AS clean_title,
-        |    string_split(p_name, ' ')[1] AS blk
+        |  SELECT p_partkey AS clean_id, title AS clean_title,
+        |    string_split(title, ' ')[1] AS blk
         |  FROM parts),
         |scored AS (
         |  SELECT d.dirty_id, d.dirty_title, c.clean_id, c.clean_title,
         |    CAST(levenshtein(d.dirty_title, c.clean_title) AS BIGINT) AS dist
         |  FROM dirty d JOIN clean c USING (blk)
-        |  WHERE levenshtein(d.dirty_title, c.clean_title) <= 2),
+        |  WHERE abs(length(d.dirty_title) - length(c.clean_title)) <= 2
+        |    AND levenshtein(d.dirty_title, c.clean_title) <= 2),
         |ranked AS (
         |  SELECT *,
         |    ROW_NUMBER() OVER (PARTITION BY dirty_id

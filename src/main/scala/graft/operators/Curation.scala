@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators a large-scale training-data pipeline runs
@@ -682,7 +683,109 @@ object Curation {
       .orderBy("status", "lang")
   }
 
+  /** q_stratified_sample: EXACT-quota stratified sampling — every
+    * (source, lang) stratum contributes exactly ⌈n/5⌉ documents (a
+    * pinned 20 % quota with a floor of one), picked by salted-md5 rank
+    * so the draw is deterministic, uniform within the stratum, and
+    * reproducible across engines. The third member of the sampling
+    * family: [[mixtureSample]] is Bernoulli at a target RATE (count
+    * only in expectation), q_cluster_sample budgets √size per semantic
+    * cluster; this is the classic survey-sampling quota per catalog
+    * stratum — the shape a corpus datasheet's "balanced eval slice"
+    * draw uses.
+    *
+    * Scale shape: one rank window partitioned by stratum — a
+    * distributed sort keyed (stratum, md5), the terasort shape, one
+    * shuffle. Stratum count is bounded by the source×lang alphabet; a
+    * pathologically hot stratum sorts in one task, in which case the
+    * production escape is the two-phase threshold variant (per-stratum
+    * count → broadcast the ⌈n/5⌉-th md5 quantile estimate → map-side
+    * filter + exact trim) — same answer, no per-stratum total sort. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source", "lang")
+      .orderBy(expr("md5(concat('strat', cast(doc_id as string)))"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("source"), col("lang"), col("doc_id"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("n_stratum",
+        count(lit(1)).over(Window.partitionBy("source", "lang")).cast("long"))
+      .withColumn("budget", expr("(n_stratum + 4) div 5"))
+      .filter(col("rnk") <= col("budget"))
+      .select("source", "lang", "doc_id", "rnk", "n_stratum", "budget")
+      .orderBy("source", "lang", "rnk")
+  }
+
+  /** q_gini_tokens: token-mass concentration per source — the Gini
+    * coefficient of per-document token counts, the corpus-composition
+    * inequality diagnostic (a source where 1 % of documents carry 90 %
+    * of the tokens trains very differently from a uniform one, and
+    * dedup/packing both key off exactly this skew). Uses the closed
+    * form over ascending-ranked counts G = (2·Σi·xᵢ − (n+1)·Σx) /
+    * (n·Σx), which is exact integer arithmetic once ranks are pinned
+    * (ties broken by doc_id).
+    *
+    * Scale shape: one rank window per source (bounded alphabet) over a
+    * two-column projection, then a plain aggregate. The rank-weighted
+    * sum runs in decimal(38,0) — n·Σx reaches 10¹⁸ at mere millions of
+    * docs per source, so a bigint product would ANSI-throw at scale;
+    * DuckDB mirrors with HUGEINT. Sources with zero tokens are
+    * excluded (Gini undefined). */
+  def giniTokens(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy(col("n_tok").asc, col("doc_id").asc)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(TextAnalysis.TokenRe), lit(0)))
+          .cast("long").as("n_tok"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("tok_total"),
+        sum(col("i").cast("decimal(38,0)") * col("n_tok")).as("ixsum"))
+      .filter(col("tok_total") > 0)
+      .withColumn("gini_e6", expr(
+        """cast(((2 * ixsum - (n_docs + 1) * cast(tok_total as decimal(38,0)))
+          | * 1000000) div (cast(n_docs as decimal(38,0)) * tok_total)
+          | as bigint)""".stripMargin))
+      .select("source", "n_docs", "tok_total", "gini_e6")
+      .orderBy("source")
+  }
+
+  /** q_ccnet_buckets: the CCNet head/middle/tail partition (Wenzek et
+    * al., LREC'20 §4.3) — documents ranked by LM score within each
+    * language and cut into perplexity tertiles; CCNet ships the "head"
+    * as the high-quality training slice. Composes the [[lmQuality]]
+    * kernel (corpus-trained add-one unigram LM, e6-integer bits)
+    * verbatim, so the bucket boundaries inherit its determinism; the
+    * tertile cut is ntile(3) over the total order (bits_e6, doc_id) —
+    * ANSI NTILE semantics (front buckets take the remainder) agree
+    * across engines.
+    *
+    * Scale shape: adds ONE rank window per language (bounded alphabet)
+    * on top of lmQuality's postings equi-join, then a catalog-sized
+    * aggregate. At 100 TB the per-language window is the same
+    * terasort-shape sort q_stratified_sample documents; the production
+    * escape is identical (approximate tertile thresholds from a
+    * sampled CDF, then a map-side bucket assignment). */
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(col("bits_e6").asc, col("doc_id").asc)
+    lmQuality(spark, dir)
+      .withColumn("bucket", ntile(3).over(w).cast("long"))
+      .withColumn("band", element_at(
+        array(lit("head"), lit("middle"), lit("tail")), col("bucket").cast("int")))
+      .groupBy("lang", "bucket", "band")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("tok_total"),
+        min("bits_e6").as("bits_min"),
+        max("bits_e6").as("bits_max"))
+      .orderBy("lang", "bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stratified_sample" -> (stratifiedSample(_, _)),
+    "q_gini_tokens" -> (giniTokens(_, _)),
+    "q_ccnet_buckets" -> (ccnetBuckets(_, _)),
     "q_psi_drift" -> (psiDrift(_, _)),
     "q_snapshot_diff" -> (snapshotDiff(_, _)),
     "q_dataset_card" -> (datasetCard(_, _)),
@@ -695,6 +798,28 @@ object Curation {
     "q_lm_quality" -> (lmQuality(_, _)),
     "q_lm_bigram" -> (lmBigram(_, _)),
     "q_curation_funnel" -> (curationFunnel(_, _)))
+
+  /** The q_lm_quality oracle minus its ORDER BY — shared verbatim by
+    * q_ccnet_buckets, which cuts tertiles over exactly these scores
+    * (the two oracles must agree on every bits_e6 or the bucket
+    * boundaries drift). */
+  private val LmQualityOracleCore: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |vocab AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
+      |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total,
+      |        CAST(COUNT(*) AS BIGINT) AS v_size FROM vocab),
+      |scored AS (
+      |  SELECT doc_id, lang,
+      |    CAST(floor(-log2((cnt + 1.0) / (n_total + v_size)) * 1e6 + 0.5)
+      |      AS BIGINT) AS tok_bits_e6
+      |  FROM toks JOIN vocab USING (tok) CROSS JOIN t)
+      |SELECT doc_id, lang,
+      |  CAST(COUNT(*) AS BIGINT) AS n_tok,
+      |  CAST(SUM(tok_bits_e6) // COUNT(*) AS BIGINT) AS bits_e6
+      |FROM scored
+      |GROUP BY doc_id, lang""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     // Same add-one-smoothed grid; p and q are single divisions of
@@ -947,24 +1072,50 @@ object Curation {
         |  CAST(SUM(b) // COUNT(*) AS BIGINT) AS bits_e6
         |FROM u GROUP BY doc_id, lang
         |ORDER BY doc_id""".stripMargin,
-    "q_lm_quality" ->
-      """WITH toks AS (
-        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
-        |  FROM documents),
-        |vocab AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
-        |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total,
-        |        CAST(COUNT(*) AS BIGINT) AS v_size FROM vocab),
-        |scored AS (
-        |  SELECT doc_id, lang,
-        |    CAST(floor(-log2((cnt + 1.0) / (n_total + v_size)) * 1e6 + 0.5)
-        |      AS BIGINT) AS tok_bits_e6
-        |  FROM toks JOIN vocab USING (tok) CROSS JOIN t)
-        |SELECT doc_id, lang,
-        |  CAST(COUNT(*) AS BIGINT) AS n_tok,
-        |  CAST(SUM(tok_bits_e6) // COUNT(*) AS BIGINT) AS bits_e6
-        |FROM scored
-        |GROUP BY doc_id, lang
-        |ORDER BY doc_id""".stripMargin,
+    "q_lm_quality" -> (LmQualityOracleCore + "\nORDER BY doc_id"),
+    "q_stratified_sample" ->
+      """WITH r AS (
+        |  SELECT source, lang, doc_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source, lang
+        |      ORDER BY md5('strat' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rnk,
+        |    CAST(COUNT(*) OVER (PARTITION BY source, lang) AS BIGINT) AS n_stratum
+        |  FROM documents)
+        |SELECT source, lang, doc_id, rnk, n_stratum,
+        |  CAST((n_stratum + 4) // 5 AS BIGINT) AS budget
+        |FROM r WHERE rnk <= (n_stratum + 4) // 5
+        |ORDER BY source, lang, rnk""".stripMargin,
+    "q_gini_tokens" ->
+      s"""WITH d AS (
+         |  SELECT source, doc_id,
+         |    CAST(len(regexp_extract_all(text, '${TextAnalysis.TokenRe}')) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |r AS (
+         |  SELECT source, n_tok,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_tok, doc_id)
+         |      AS HUGEINT) AS i
+         |  FROM d)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS tok_total,
+         |  CAST(((2 * SUM(i * CAST(n_tok AS HUGEINT))
+         |         - (COUNT(*) + 1) * CAST(SUM(n_tok) AS HUGEINT)) * 1000000)
+         |    // (CAST(COUNT(*) AS HUGEINT) * CAST(SUM(n_tok) AS HUGEINT))
+         |    AS BIGINT) AS gini_e6
+         |FROM r GROUP BY source HAVING SUM(n_tok) > 0
+         |ORDER BY source""".stripMargin,
+    "q_ccnet_buckets" ->
+      s"""WITH scored AS (SELECT * FROM ($LmQualityOracleCore)),
+         |b AS (
+         |  SELECT lang, n_tok, bits_e6,
+         |    CAST(NTILE(3) OVER (PARTITION BY lang ORDER BY bits_e6, doc_id)
+         |      AS BIGINT) AS bucket
+         |  FROM scored)
+         |SELECT lang, bucket,
+         |  CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS band,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS tok_total,
+         |  MIN(bits_e6) AS bits_min, MAX(bits_e6) AS bits_max
+         |FROM b GROUP BY lang, bucket
+         |ORDER BY lang, bucket""".stripMargin,
     "q_curation_funnel" ->
       s"""WITH ${graft.operators.Dedup.pairSql},
          |base AS (

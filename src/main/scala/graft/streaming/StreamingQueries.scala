@@ -515,6 +515,47 @@ object StreamingQueries {
       .orderBy("user_id")
   }
 
+  /** q_stream_enrich — stream-static dimension enrichment: each
+    * arriving event is joined to the static customer dim (the
+    * broadcast-a-reference-table-into-the-stream shape the reference's
+    * pipeline uses for its domain map and model store, reference
+    * streaming/Htmls2PredsPipe.scala:90), then rolled up to revenue
+    * per (market segment, event type) in Update mode. The join is
+    * stateless — only the downstream aggregate keeps state, sized by
+    * the segment×type alphabet, so state never grows with the stream.
+    * At 100 TB/day the dim side stays broadcast (dims are MBs when
+    * facts are TBs) and a dim refresh is a re-broadcast, never a
+    * shuffle. Integer cents make the upsert merge order-free; the
+    * batch oracle reproduces the converged totals exactly. */
+  def streamEnrich(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dim = graft.sources.Tables.customer(spark, dir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val agg = eventsStream(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .join(broadcast(dim), Seq("user_id"))
+      .groupBy("c_mktsegment", "event_type")
+      .agg(count(lit(1)).as("n_events"), sum("cents").as("cents_total"))
+    val store = new java.util.concurrent.ConcurrentHashMap[(String, String), (Long, Long)]()
+    val q = agg.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // upsert: newest row per key wins (batches arrive in order)
+        batch.collect().foreach { r =>
+          store.put((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3)))
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    store.asScala.toSeq
+      .map { case ((m, t), (n, c)) => (m, t, n, c) }
+      .toDF("c_mktsegment", "event_type", "n_events", "cents_total")
+      .orderBy("c_mktsegment", "event_type")
+  }
+
   /** Row 53 — per-user session windows (5-minute inactivity gap):
     * Structured Streaming's merging-state aggregation — the one window
     * shape a tumbling/sliding window cannot express, because a
@@ -780,6 +821,7 @@ object StreamingQueries {
     "q_stream_window" -> stateful(streamWindow),
     "q_stream_stateful" -> stateful(streamStateful),
     "q_stream_comp_per_user" -> stateful(streamCompPerUser),
+    "q_stream_enrich" -> stateful(streamEnrich),
     "q_stream_dedup" -> stateful(streamDedup),
     "q_stream_decontam" -> stateful(streamDecontam),
     "q_stream_sessions" -> (streamSessions(_, _)), // wraps itself
@@ -937,6 +979,13 @@ object StreamingQueries {
         |FROM events
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+    "q_stream_enrich" ->
+      """SELECT c_mktsegment, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents_total
+        |FROM events JOIN customer ON c_custkey = user_id
+        |GROUP BY c_mktsegment, event_type
+        |ORDER BY c_mktsegment, event_type""".stripMargin,
     // The oracle knows WHICH candidate the trained model selects: by
     // construction (disjoint anchor contexts + per-domain location), the
     // GBT margin ranks the true-price candidate first on every trained

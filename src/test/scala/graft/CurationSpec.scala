@@ -154,4 +154,77 @@ class CurationSpec extends SparkSpec {
         r.getAs[Long]("n_tokens") * 100 / r.getAs[Long]("n_docs"))
     }
   }
+
+  test("stratified sample draws exactly ceil(n/5) per stratum with dense ranks") {
+    import org.apache.spark.sql.functions._
+    val picks = SparkEntry.queries("q_stratified_sample")(spark, sf).collect()
+    assert(picks.nonEmpty)
+    val strata = graft.sources.Tables.documents(spark, sf)
+      .groupBy("source", "lang").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val bySt = picks.groupBy(r => (r.getAs[String]("source"), r.getAs[String]("lang")))
+    // every stratum of the corpus is represented — the quota floor is 1
+    assert(bySt.keySet == strata.keySet)
+    bySt.foreach { case (k, rows) =>
+      val n = strata(k)
+      val budget = (n + 4) / 5
+      assert(rows.length == budget, s"stratum $k: ${rows.length} picks, want $budget")
+      assert(rows.map(_.getAs[Long]("rnk")).sorted.sameElements(1L to budget),
+        s"stratum $k ranks not dense")
+      rows.foreach { r =>
+        assert(r.getAs[Long]("n_stratum") == n && r.getAs[Long]("budget") == budget)
+      }
+    }
+  }
+
+  test("gini_tokens equals a local brute-force Gini over exact token counts") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q_gini_tokens")(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("tok_total"), r.getAs[Long]("gini_e6"))).toMap
+    val counts = graft.sources.Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"),
+        size(regexp_extract_all(col("text"),
+          lit(graft.operators.TextAnalysis.TokenRe), lit(0))).cast("long").as("n_tok"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    counts.groupBy(_._1).foreach { case (src, rows) =>
+      val xs = rows.sortBy(r => (r._3, r._2)).map(_._3)
+      val n = xs.length.toLong
+      val tot = xs.sum
+      val ix = xs.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+      val gini = ((2 * ix - BigInt(n + 1) * tot) * 1000000) / (BigInt(n) * tot)
+      val (gn, gt, gg) = got(src)
+      assert(gn == n && gt == tot && gg == gini.toLong,
+        s"$src: got ($gn,$gt,$gg) want ($n,$tot,$gini)")
+      assert(gg >= 0 && gg < 1000000L)
+    }
+  }
+
+  test("ccnet buckets tertile each language in score order with balanced sizes") {
+    val rows = SparkEntry.queries("q_ccnet_buckets")(spark, sf).collect()
+    val perLang = rows.groupBy(_.getAs[String]("lang"))
+    val docTotals = graft.sources.Tables.documents(spark, sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perLang.foreach { case (lang, bs) =>
+      val sorted = bs.sortBy(_.getAs[Long]("bucket"))
+      assert(sorted.map(_.getAs[Long]("bucket")).sameElements(1L to sorted.length),
+        s"$lang buckets not dense")
+      assert(sorted.length <= 3)
+      assert(sorted.map(_.getAs[String]("band")).toSeq ==
+        Seq("head", "middle", "tail").take(sorted.length))
+      // NTILE balance: sizes descend by at most one from first to last
+      val sizes = sorted.map(_.getAs[Long]("n_docs"))
+      assert(sizes.sum == docTotals(lang))
+      assert(sizes.max - sizes.min <= 1, s"$lang sizes ${sizes.mkString(",")}")
+      // score bands are ordered: a later bucket never holds a cheaper doc
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("bits_max") <= b.getAs[Long]("bits_min"),
+            s"$lang bucket overlap")
+        case _ =>
+      }
+    }
+  }
 }

@@ -254,6 +254,29 @@ class StreamingSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("stream enrichment equals the batch dim-join rollup row for row") {
+    // stream-static broadcast join + Update-mode agg vs one batch
+    // join-groupBy — converged totals must be identical, and every
+    // event must survive the dim join (the dim covers all user_ids)
+    import org.apache.spark.sql.functions._
+    def canon(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))
+    }.toSet
+    val stream = canon(SparkEntry.queries("q_stream_enrich")(spark, sf).collect())
+    val batch = canon(
+      graft.sources.Tables.events(spark, sf)
+        .join(graft.sources.Tables.customer(spark, sf),
+          col("user_id") === col("c_custkey"))
+        .groupBy("c_mktsegment", "event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents_total"))
+        .collect())
+    assert(stream.nonEmpty)
+    assert(stream == batch)
+    val nEvents = graft.sources.Tables.events(spark, sf).count()
+    assert(stream.toSeq.map(_._3).sum == nEvents, "dim join dropped events")
+  }
+
   test("streaming funnel equals the batch funnel row for row") {
     // same definition through two mechanisms: batch two-agg join vs
     // per-user O(1) stream state — results must be identical

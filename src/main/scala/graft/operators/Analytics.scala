@@ -1272,7 +1272,179 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** q_hhi: per-brand supplier concentration — the Herfindahl–
+    * Hirschman index over each supplier's revenue share of the brand,
+    * plus the top supplier's share. The reference's ProdMetrics family
+    * (reference analytics/ProdMetricsV7.scala) rolls prices up
+    * per-product-per-store; the HHI is the canonical next rollup the
+    * pricing team asks of exactly that table ("is this brand's supply
+    * single-sourced?"). HHI = Σ shareᵢ², reported in e6 (10000 ≈ the
+    * US DOJ "highly concentrated" 0.25 threshold ↦ 250000).
+    *
+    * Scale shape: broadcast the part dim onto the lineitem scan, then
+    * two chained aggregates — (brand, supplier) partial sums shuffle
+    * once on a well-distributed compound key, the brand-level finish
+    * touches #suppliers rows. The share squares run in decimal(38,0)
+    * (total² overflows bigint already at ~10⁵ line items per brand);
+    * DuckDB mirrors with HUGEINT. All inputs are exact integer cents,
+    * so both engines agree bit-for-bit. */
+  def hhi(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(
+      col("l_partkey"), col("l_suppkey"),
+      floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+    val brands = Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"))
+    li.join(broadcast(brands), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("l_suppkey"))
+      .agg(sum("cents").as("supp_cents"))
+      .groupBy("p_brand")
+      .agg(
+        count(lit(1)).as("n_suppliers"),
+        sum("supp_cents").as("total_cents"),
+        sum(col("supp_cents").cast("decimal(38,0)") * col("supp_cents")).as("sumsq"),
+        max("supp_cents").as("top_cents"))
+      .withColumn("hhi_e6", expr(
+        "cast((sumsq * 1000000) div (cast(total_cents as decimal(38,0)) * total_cents) as bigint)"))
+      .withColumn("top_share_e6", expr(
+        "cast((cast(top_cents as decimal(38,0)) * 1000000) div total_cents as bigint)"))
+      .select("p_brand", "n_suppliers", "total_cents", "hhi_e6", "top_share_e6")
+      .orderBy("p_brand")
+  }
+
+  /** q_elasticity: per-brand price elasticity of demand — the log-log
+    * OLS slope over (unit price, units sold) points, one point per
+    * part of the brand. The pricing follow-up to the ProdMetrics
+    * rollup ("how demand-sensitive is this brand?"); slope ≈ −1 is
+    * unit-elastic. Uses the q_zipf_spectrum integer least-squares
+    * kernel: each point's logs floored to e3 integers, then exact
+    * integer Σx/Σy/Σxy/Σx² per brand, slope arithmetic in
+    * decimal(38,0) (n·Σxy crosses 2⁶³ near 10⁶ points — ANSI-throw
+    * territory), only the bounded slope_e6 returns to Long.
+    *
+    * Scale shape: one broadcast dim join, a (brand, part) partial agg,
+    * then a brand-sized finish — no window, no sort. unit_cents is an
+    * integer div of exact integers, so the log inputs (and the fit)
+    * agree across engines. Brands with a degenerate design matrix
+    * (< 2 distinct prices: Σ²x = n·Σxx) report no slope and are
+    * filtered — elasticity is undefined without price variation. */
+  def elasticity(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(
+      col("l_partkey"),
+      floor(col("l_quantity") + 0.5).cast("long").as("units"),
+      floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+    val brands = Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"))
+    li.join(broadcast(brands), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("l_partkey"))
+      .agg(sum("units").as("units"), sum("cents").as("cents"))
+      .filter(col("units") > 0)
+      .select(col("p_brand"),
+        expr("cents div units").as("unit_cents"),
+        col("units"))
+      .filter(col("unit_cents") > 0)
+      .select(col("p_brand"),
+        floor(log(col("unit_cents").cast("double")) * 1e3 + 0.5).cast("long").as("x"),
+        floor(log(col("units").cast("double")) * 1e3 + 0.5).cast("long").as("y"))
+      .groupBy("p_brand")
+      .agg(
+        count(lit(1)).as("n_parts"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .filter(expr(
+        "cast(n_parts as decimal(38,0)) * sxx <> cast(sx as decimal(38,0)) * sx"))
+      .withColumn("elasticity_e6", expr(
+        """((CAST(n_parts AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy)
+          |  * 1000000)
+          | div (CAST(n_parts AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx)
+          |""".stripMargin.replace('\n', ' ')))
+      .select("p_brand", "n_parts", "elasticity_e6")
+      .orderBy("p_brand")
+  }
+
+  /** q_winsorized_mean: robust per-type mean — values clamped to the
+    * [p5, p95] band before averaging, the outlier-resistant KPI the
+    * raw mean can't give (one fat-finger order shifts a daily mean;
+    * the winsorized mean shrugs). Composes the [[percentiles]]
+    * value-histogram kernel: ONE (type, cents) histogram aggregate,
+    * cumsum picks the p5/p95 cut cents, and — because clamping is
+    * constant within a histogram cell — the winsorized sum is computed
+    * FROM THE HISTOGRAM (Σ clamp(cents)·count), never a second scan of
+    * the raw data. Integer cents end-to-end, so both engines agree
+    * exactly.
+    *
+    * Scale shape: shuffle ∝ distinct (type, value) pairs — the
+    * histogram IS the state, the classic two-phase trick; the window
+    * runs over histogram cells, not rows. Means are integer div. */
+  def winsorizedMean(spark: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.events(spark, dir)
+      .select(col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy("event_type", "cents").agg(count(lit(1)).as("c"))
+    val cum = hist
+      .withColumn("cum", sum("c").over(
+        Window.partitionBy("event_type").orderBy("cents")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum("c").over(Window.partitionBy("event_type")))
+    val cuts = cum.groupBy("event_type")
+      .agg(
+        max("n").as("n"),
+        min(when(col("cum") >= expr("(n * 5 + 99) div 100"), col("cents"))).as("p5_cents"),
+        min(when(col("cum") >= expr("(n * 95 + 99) div 100"), col("cents"))).as("p95_cents"))
+    hist.join(broadcast(cuts), "event_type")
+      .groupBy("event_type")
+      .agg(
+        max("n").as("n"),
+        max("p5_cents").as("p5_cents"),
+        max("p95_cents").as("p95_cents"),
+        expr("cast(sum(cast(cents as decimal(38,0)) * c) div max(n) as bigint)")
+          .as("mean_cents"),
+        expr("""cast(sum(cast(greatest(p5_cents, least(p95_cents, cents))
+          | as decimal(38,0)) * c) div max(n) as bigint)"""
+          .stripMargin.replace('\n', ' '))
+          .as("win_mean_cents"))
+      .orderBy("event_type")
+  }
+
+  /** q_burstiness: per-user inter-arrival burstiness — CV² of the
+    * microsecond gaps between consecutive events (CV² ≈ 1 is Poisson,
+    * ≫ 1 is bursty, ≪ 1 is machine-regular), the behavioral signature
+    * that separates humans from cron jobs in an event feed. CV² =
+    * n·Σg²/(Σg)² − 1 needs NO square root, so it stays exact integer
+    * arithmetic: gaps are integer µs diffs over the pinned
+    * (t_us, event_id) order, Σg² runs in decimal(38,0) (a day-long gap
+    * squares to 10²² — past bigint), and cv2_e6 is one integral
+    * division at the end. Users with < 2 gaps are filtered (variance
+    * undefined).
+    *
+    * Scale shape: one lag window per user (the q_sessionize shuffle,
+    * state O(1) per row), then a per-user aggregate — no global sort,
+    * no second scan. */
+  def burstiness(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("user_id")
+      .orderBy(col("t_us").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t_us"))
+      .withColumn("gap", col("t_us") - lag("t_us", 1).over(ord))
+      .filter(col("gap").isNotNull)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        sum("gap").as("gap_total_us"),
+        sum(col("gap").cast("decimal(38,0)") * col("gap")).as("gsq"))
+      .filter(col("n_gaps") >= 2 && col("gap_total_us") > 0)
+      .withColumn("mean_gap_us", expr("gap_total_us div n_gaps"))
+      .withColumn("cv2_e6", expr(
+        """cast((cast(n_gaps as decimal(38,0)) * gsq * 1000000)
+          | div (cast(gap_total_us as decimal(38,0)) * gap_total_us)
+          | as bigint) - 1000000""".stripMargin.replace('\n', ' ')))
+      .select("user_id", "n_gaps", "mean_gap_us", "cv2_e6")
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hhi" -> (hhi(_, _)),
+    "q_elasticity" -> (elasticity(_, _)),
+    "q_winsorized_mean" -> (winsorizedMean(_, _)),
+    "q_burstiness" -> (burstiness(_, _)),
     "q_ks_drift" -> (ksDrift(_, _)),
     "q_chi2_abtest" -> (chi2Abtest(_, _)),
     "q_itemsets" -> (itemsets(_, _)),
@@ -1327,6 +1499,86 @@ object Analytics {
   }.mkString("\nUNION ALL\n")
 
   val oracleSql: Map[String, String] = Map(
+    "q_elasticity" ->
+      """WITH pts AS (
+        |  SELECT p_brand,
+        |    CAST(floor(ln(CAST(unit_cents AS DOUBLE)) * 1e3 + 0.5) AS BIGINT) AS x,
+        |    CAST(floor(ln(CAST(units AS DOUBLE)) * 1e3 + 0.5) AS BIGINT) AS y
+        |  FROM (
+        |    SELECT p_brand,
+        |      CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |        // SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS unit_cents,
+        |      CAST(SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS units
+        |    FROM lineitem JOIN part ON p_partkey = l_partkey
+        |    GROUP BY p_brand, l_partkey
+        |    HAVING SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)) > 0)
+        |  WHERE unit_cents > 0),
+        |fit AS (
+        |  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts,
+        |    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+        |    CAST(SUM(x * y) AS HUGEINT) AS sxy, CAST(SUM(x * x) AS HUGEINT) AS sxx
+        |  FROM pts GROUP BY p_brand)
+        |SELECT p_brand, n_parts,
+        |  CAST(((n_parts * sxy - sx * sy) * 1000000)
+        |    // (n_parts * sxx - sx * sx) AS BIGINT) AS elasticity_e6
+        |FROM fit WHERE n_parts * sxx <> sx * sx
+        |ORDER BY p_brand""".stripMargin,
+    "q_winsorized_mean" ->
+      """WITH h AS (
+        |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY event_type, cents),
+        |cum AS (
+        |  SELECT event_type, cents, c,
+        |    SUM(c) OVER (PARTITION BY event_type ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(c) OVER (PARTITION BY event_type) AS n
+        |  FROM h),
+        |cuts AS (
+        |  SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+        |    MIN(CASE WHEN cum >= (n * 5 + 99) // 100 THEN cents END) AS p5_cents,
+        |    MIN(CASE WHEN cum >= (n * 95 + 99) // 100 THEN cents END) AS p95_cents
+        |  FROM cum GROUP BY event_type)
+        |SELECT event_type, n, p5_cents, p95_cents,
+        |  CAST(SUM(CAST(cents AS HUGEINT) * c) // MAX(n) AS BIGINT) AS mean_cents,
+        |  CAST(SUM(CAST(greatest(p5_cents, least(p95_cents, cents)) AS HUGEINT) * c)
+        |    // MAX(n) AS BIGINT) AS win_mean_cents
+        |FROM h JOIN cuts USING (event_type)
+        |GROUP BY event_type, n, p5_cents, p95_cents
+        |ORDER BY event_type""".stripMargin,
+    "q_burstiness" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    t_us - lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id) AS gap
+        |  FROM (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS t_us FROM events)),
+        |a AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        |    CAST(SUM(gap) AS BIGINT) AS gap_total_us,
+        |    SUM(CAST(gap AS HUGEINT) * gap) AS gsq
+        |  FROM g WHERE gap IS NOT NULL GROUP BY user_id)
+        |SELECT user_id, n_gaps,
+        |  CAST(gap_total_us // n_gaps AS BIGINT) AS mean_gap_us,
+        |  CAST((CAST(n_gaps AS HUGEINT) * gsq * 1000000)
+        |    // (CAST(gap_total_us AS HUGEINT) * gap_total_us) AS BIGINT)
+        |    - 1000000 AS cv2_e6
+        |FROM a WHERE n_gaps >= 2 AND gap_total_us > 0
+        |ORDER BY user_id""".stripMargin,
+    "q_hhi" ->
+      """WITH s AS (
+        |  SELECT p_brand, l_suppkey,
+        |    CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS supp_cents
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  GROUP BY p_brand, l_suppkey)
+        |SELECT p_brand,
+        |  CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+        |  CAST(SUM(supp_cents) AS BIGINT) AS total_cents,
+        |  CAST((SUM(CAST(supp_cents AS HUGEINT) * supp_cents) * 1000000)
+        |    // (CAST(SUM(supp_cents) AS HUGEINT) * CAST(SUM(supp_cents) AS HUGEINT))
+        |    AS BIGINT) AS hhi_e6,
+        |  CAST((CAST(MAX(supp_cents) AS HUGEINT) * 1000000)
+        |    // CAST(SUM(supp_cents) AS HUGEINT) AS BIGINT) AS top_share_e6
+        |FROM s GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     // Same 2×2 integer cross-products; HUGEINT plays decimal(38,0).
     "q_chi2_abtest" ->
       s"""WITH flags AS (

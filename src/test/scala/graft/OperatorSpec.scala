@@ -605,6 +605,108 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("hhi equals a local brute-force concentration recompute") {
+    val got = run("q_hhi").collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_suppliers"),
+        r.getAs[Long]("total_cents"), r.getAs[Long]("hhi_e6"),
+        r.getAs[Long]("top_share_e6"))).toMap
+    val parts = graft.sources.Tables.part(spark, sf)
+      .select("p_partkey", "p_brand").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bySupp = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_partkey", "l_suppkey", "l_extendedprice").collect()
+      .map(r => ((parts(r.getLong(0)), r.getLong(1)),
+        math.floor(r.getDouble(2) * 100 + 0.5).toLong))
+      .groupMapReduce(_._1)(_._2)(_ + _)
+    bySupp.groupBy(_._1._1).foreach { case (brand, m) =>
+      val cents = m.values.toSeq
+      val tot = cents.sum
+      val hhi = (cents.map(c => BigInt(c) * c).sum * 1000000) / (BigInt(tot) * tot)
+      val top = (BigInt(cents.max) * 1000000) / tot
+      val (gn, gt, gh, gts) = got(brand)
+      assert(gn == cents.length && gt == tot && gh == hhi.toLong && gts == top.toLong,
+        s"$brand mismatch")
+      // HHI bounds: 1/n ≤ HHI ≤ 1, and never below the top share squared
+      assert(gh >= 1000000L / gn && gh <= 1000000L)
+      assert(gh >= gts * gts / 1000000L)
+    }
+  }
+
+  test("elasticity equals a local integer least-squares recompute") {
+    val got = run("q_elasticity").collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_parts"),
+        r.getAs[Long]("elasticity_e6"))).toMap
+    val brands = graft.sources.Tables.part(spark, sf)
+      .select("p_partkey", "p_brand").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byPart = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_partkey", "l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getLong(0),
+        math.floor(r.getDouble(1) + 0.5).toLong,
+        math.floor(r.getDouble(2) * 100 + 0.5).toLong))
+      .groupBy(_._1).map { case (pk, rows) =>
+        (brands(pk), rows.map(_._2).sum, rows.map(_._3).sum)
+      }
+    byPart.filter(p => p._2 > 0 && p._3 / p._2 > 0).toSeq
+      .map { case (b, units, cents) =>
+        (b, math.floor(math.log((cents / units).toDouble) * 1e3 + 0.5).toLong,
+          math.floor(math.log(units.toDouble) * 1e3 + 0.5).toLong)
+      }
+      .groupBy(_._1).foreach { case (brand, pts) =>
+        val n = pts.length.toLong
+        val (sx, sy) = (pts.map(_._2).sum, pts.map(_._3).sum)
+        val sxy = pts.map(p => BigInt(p._2) * p._3).sum
+        val sxx = pts.map(p => BigInt(p._2) * p._2).sum
+        val den = BigInt(n) * sxx - BigInt(sx) * sx
+        if (den == 0) assert(!got.contains(brand))
+        else {
+          val slope = ((BigInt(n) * sxy - BigInt(sx) * sy) * 1000000) / den
+          val (gn, ge) = got(brand)
+          assert(gn == n && ge == slope.toLong, s"$brand: got $ge want $slope")
+        }
+      }
+  }
+
+  test("winsorized mean is clamped to its own [p5, p95] band") {
+    val rows = run("q_winsorized_mean").collect()
+    assert(rows.length > 1)
+    rows.foreach { r =>
+      val (p5, p95) = (r.getAs[Long]("p5_cents"), r.getAs[Long]("p95_cents"))
+      val win = r.getAs[Long]("win_mean_cents")
+      assert(p5 <= p95)
+      assert(win >= p5 && win <= p95, s"${r.getString(0)}: $win outside [$p5,$p95]")
+      // the clamp can only pull the mean toward the band — if the raw
+      // mean is already inside, winsorizing moves it by less than the
+      // tail mass could (sanity: both means agree within the band width)
+      val mean = r.getAs[Long]("mean_cents")
+      assert(math.abs(win - mean) <= (p95 - p5).max(1L))
+    }
+  }
+
+  test("burstiness equals a local recompute and flags the regular/bursty extremes") {
+    val got = run("q_burstiness").collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_gaps"), r.getAs[Long]("mean_gap_us"),
+          r.getAs[Long]("cv2_e6"))).toMap
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    ev.groupBy(_._1).foreach { case (u, rows) =>
+      val ts = rows.sortBy(r => (r._3, r._2)).map(_._3)
+      val gaps = ts.sliding(2).collect { case Array(a, b) => b - a }.toSeq
+      if (gaps.length >= 2 && gaps.sum > 0) {
+        val n = gaps.length.toLong
+        val tot = gaps.sum
+        val gsq = gaps.map(g => BigInt(g) * g).sum
+        val cv2 = (BigInt(n) * gsq * 1000000) / (BigInt(tot) * tot) - 1000000
+        val (gn, gm, gc) = got(u)
+        assert(gn == n && gm == tot / n && gc == cv2.toLong, s"user $u mismatch")
+      } else assert(!got.contains(u), s"user $u should be filtered")
+    }
+    // CV² ≥ −1e6 by construction (variance is non-negative)
+    got.values.foreach { case (_, _, cv2) => assert(cv2 >= -1000000L) }
+  }
+
   test("bucketized range join equals the direct inequality join") {
     // the bucketed equi-join (the scale path) must return exactly the
     // pairs the naive per-user inequality join defines — no pair lost

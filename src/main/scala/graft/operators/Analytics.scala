@@ -1440,8 +1440,40 @@ object Analytics {
       .orderBy("user_id")
   }
 
+  /** q_props_parse: typed extraction from the semi-structured event
+    * payload — the `props` JSON column parsed with a JSON-path
+    * projection and profiled per event type (count/min/max/sum/
+    * distinct of the extracted field, plus how many rows parsed). The
+    * events-stream analog of the reference's JSON ingestion (its whois
+    * documents, sources/WhoisJson here): every telemetry pipeline
+    * carries exactly such a stringly-typed payload column, and the
+    * first production query against it is always "parse the field,
+    * profile it per type".
+    *
+    * Scale shape: `get_json_object` is a map-side codegen'd projection
+    * fused into the scan — no UDF, no shuffle to parse; the profile is
+    * one two-phase aggregate. count(DISTINCT k) expands per key — fine
+    * while the payload domain is bounded (here: ~100 values); the
+    * unbounded-domain path is the documented approx_count_distinct /
+    * HLL swap (q_hll_distinct). Malformed or missing JSON parses to
+    * NULL and is surfaced by n_events − n_parsed, never an error. */
+  def propsParse(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("k")).as("n_parsed"),
+        min("k").as("k_min"),
+        max("k").as("k_max"),
+        sum("k").as("k_sum"),
+        countDistinct(col("k")).as("k_distinct"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hhi" -> (hhi(_, _)),
+    "q_props_parse" -> (propsParse(_, _)),
     "q_elasticity" -> (elasticity(_, _)),
     "q_winsorized_mean" -> (winsorizedMean(_, _)),
     "q_burstiness" -> (burstiness(_, _)),
@@ -1499,6 +1531,18 @@ object Analytics {
   }.mkString("\nUNION ALL\n")
 
   val oracleSql: Map[String, String] = Map(
+    "q_props_parse" ->
+      """WITH p AS (
+        |  SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(COUNT(k) AS BIGINT) AS n_parsed,
+        |  MIN(k) AS k_min, MAX(k) AS k_max,
+        |  CAST(SUM(k) AS BIGINT) AS k_sum,
+        |  CAST(COUNT(DISTINCT k) AS BIGINT) AS k_distinct
+        |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_elasticity" ->
       """WITH pts AS (
         |  SELECT p_brand,

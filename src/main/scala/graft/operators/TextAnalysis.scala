@@ -882,7 +882,52 @@ object TextAnalysis {
       .limit(PmiTopK)
   }
 
+  /** q_heaps_growth: the Heaps-law vocabulary growth curve — how
+    * distinct vocabulary accumulates as the corpus is read in doc_id
+    * order, reported at ten cumulative checkpoints (id-range deciles).
+    * The third leg of the corpus-statistics triad: q_zipf_spectrum
+    * fits the frequency law, q_vocab_coverage cuts it by threshold,
+    * this one answers "how fast does NEW vocabulary keep arriving?" —
+    * the curve that sizes a tokenizer's vocab budget and flags a
+    * saturating (template-heavy) corpus.
+    *
+    * Scale shape: NO cumulative distinct anywhere — each token
+    * contributes exactly once via its FIRST document (a two-phase
+    * min-aggregate), so vocab-at-checkpoint is a plain count by
+    * first-occurrence decile. One explode + two two-phase aggregates;
+    * the only window is the cumsum over the TEN decile rows (a
+    * single-partition exchange of 10 rows — constant at any corpus
+    * size). The id-range decile needs no rank: (doc_id·10) div
+    * (max_id+1) is map-side arithmetic against one broadcast bound. */
+  def heapsGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("arr"))
+    val bound = docs.agg((max("doc_id") + 1).as("n_ids"))
+    val perDecile = docs
+      .select(col("doc_id"), size(col("arr")).cast("long").as("n_tok"))
+      .crossJoin(broadcast(bound))
+      .withColumn("decile", expr("(doc_id * 10) div n_ids"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_toks"))
+    val firsts = docs.select(col("doc_id"), explode(col("arr")).as("tok"))
+      .groupBy("tok").agg(min("doc_id").as("first_doc"))
+      .crossJoin(broadcast(bound))
+      .withColumn("decile", expr("(first_doc * 10) div n_ids"))
+      .groupBy("decile").agg(count(lit(1)).as("new_vocab"))
+    val w = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDecile.join(firsts, Seq("decile"), "left")
+      .na.fill(0L, Seq("new_vocab"))
+      .select(col("decile"),
+        sum("n_docs").over(w).as("docs_cum"),
+        sum("n_toks").over(w).as("toks_cum"),
+        sum("new_vocab").over(w).as("vocab_cum"))
+      .orderBy("decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_heaps_growth" -> (heapsGrowth(_, _)),
     "q_pmi" -> (pmi(_, _)),
     "q_char_entropy" -> (charEntropy(_, _)),
     "q_doc_keywords" -> (docKeywords(_, _)),
@@ -953,6 +998,31 @@ object TextAnalysis {
          |ORDER BY query_id, rank""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_heaps_growth" ->
+      """WITH b AS (SELECT MAX(doc_id) + 1 AS n_ids FROM documents),
+        |sized AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    (doc_id * 10) // n_ids AS decile
+        |  FROM documents, b),
+        |pd AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(n_tok) AS BIGINT) AS n_toks
+        |       FROM sized GROUP BY decile),
+        |f AS (
+        |  SELECT tok, MIN(doc_id) AS first_doc
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY tok),
+        |nv AS (
+        |  SELECT (first_doc * 10) // n_ids AS decile,
+        |    CAST(COUNT(*) AS BIGINT) AS new_vocab
+        |  FROM f, b GROUP BY 1)
+        |SELECT decile,
+        |  CAST(SUM(n_docs) OVER w AS BIGINT) AS docs_cum,
+        |  CAST(SUM(n_toks) OVER w AS BIGINT) AS toks_cum,
+        |  CAST(SUM(COALESCE(new_vocab, 0)) OVER w AS BIGINT) AS vocab_cum
+        |FROM pd LEFT JOIN nv USING (decile)
+        |WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY decile""".stripMargin,
     // Same tf/df postings join, same e6-floored idf, same window rank.
     "q_doc_keywords" ->
       s"""WITH tf AS (

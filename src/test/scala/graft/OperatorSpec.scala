@@ -667,6 +667,54 @@ class OperatorSpec extends SparkSpec {
       }
   }
 
+  test("props json parsing equals a local parse with full coverage") {
+    val got = run("q_props_parse").collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_events"),
+        r.getAs[Long]("n_parsed"), r.getAs[Long]("k_min"), r.getAs[Long]("k_max"),
+        r.getAs[Long]("k_sum"), r.getAs[Long]("k_distinct"))).toMap
+    val re = """\{"k":\s*(-?\d+)\}""".r
+    val local = graft.sources.Tables.events(spark, sf)
+      .select("event_type", "props").collect()
+      .map(r => (r.getString(0), r.getString(1) match {
+        case re(k) => Some(k.toLong); case _ => None
+      }))
+      .groupBy(_._1)
+    assert(got.keySet == local.keySet)
+    local.foreach { case (t, rows) =>
+      val ks = rows.flatMap(_._2)
+      val (n, np, kmin, kmax, ksum, kd) = got(t)
+      assert(n == rows.length && np == ks.length)
+      assert(np == n, s"$t: testdata props should all parse")
+      assert(kmin == ks.min && kmax == ks.max && ksum == ks.sum
+        && kd == ks.distinct.length, s"$t stats mismatch")
+    }
+  }
+
+  test("heaps growth is monotone and lands on the exact corpus totals") {
+    val rows = run("q_heaps_growth").collect()
+      .sortBy(_.getAs[Long]("decile"))
+    assert(rows.nonEmpty && rows.length <= 10)
+    // strictly cumulative, vocabulary never exceeds tokens read
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("docs_cum") < b.getAs[Long]("docs_cum"))
+        assert(a.getAs[Long]("toks_cum") < b.getAs[Long]("toks_cum"))
+        assert(a.getAs[Long]("vocab_cum") <= b.getAs[Long]("vocab_cum"))
+      case _ =>
+    }
+    rows.foreach(r =>
+      assert(r.getAs[Long]("vocab_cum") <= r.getAs[Long]("toks_cum")))
+    // the last checkpoint is the whole corpus: exact totals
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(split(col("text"), " ").as("arr"))
+    val last = rows.last
+    assert(last.getAs[Long]("docs_cum") == docs.count())
+    assert(last.getAs[Long]("toks_cum") ==
+      docs.select(sum(size(col("arr")).cast("long"))).head().getLong(0))
+    assert(last.getAs[Long]("vocab_cum") ==
+      docs.select(explode(col("arr")).as("t")).distinct().count())
+  }
+
   test("winsorized mean is clamped to its own [p5, p95] band") {
     val rows = run("q_winsorized_mean").collect()
     assert(rows.length > 1)

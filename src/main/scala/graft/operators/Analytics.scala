@@ -1471,8 +1471,97 @@ object Analytics {
         countDistinct(col("k")).as("k_distinct"))
       .orderBy("event_type")
 
+  /** q_copurchase: item-item co-purchase recommendations — "orders
+    * containing X also contain Y", the classic implicit-feedback
+    * similarity join. For every part, the top-3 co-ordered parts by
+    * squared cosine over order-basket co-occurrence (cos² =
+    * n_ab²/(n_a·n_b) — monotone with cosine, so the ranking is
+    * identical while staying EXACT integer arithmetic, no sqrt).
+    * Ranks are totally ordered by (cos², n_ab, part id), so top-3 is
+    * engine-independent.
+    *
+    * Scale shape: the pair fan-out is Σ basket² — baskets are order
+    * line counts (bounded by how many lines an order has, single
+    * digits in any order system), so the self-join per order is a
+    * bounded local expansion, never all-pairs over the catalog; pair
+    * counts and part frequencies are two-phase aggregates; the part
+    * frequency table is catalog-sized and broadcast; the top-3 window
+    * partitions on part_a (catalog cardinality — parallelism grows
+    * with the catalog). The shape ALS would replace only when
+    * latent-factor generalization is needed. */
+  def copurchase(spark: SparkSession, dir: String): DataFrame = {
+    val bp = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val freq = bp.groupBy("l_partkey").agg(count(lit(1)).as("n_solo"))
+    val pairs = bp.as("a").join(bp.as("b"), Seq("l_orderkey"))
+      .filter(col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val sym = pairs.unionByName(pairs.select(
+      col("part_b").as("part_a"), col("part_a").as("part_b"), col("n_ab")))
+    val w = Window.partitionBy("part_a")
+      .orderBy(col("cos2_e6").desc, col("n_ab").desc, col("part_b").asc)
+    sym
+      .join(broadcast(freq.select(col("l_partkey").as("part_a"),
+        col("n_solo").as("n_a"))), "part_a")
+      .join(broadcast(freq.select(col("l_partkey").as("part_b"),
+        col("n_solo").as("n_b"))), "part_b")
+      .withColumn("cos2_e6", expr(
+        """cast((cast(n_ab as decimal(38,0)) * n_ab * 1000000)
+          | div (cast(n_a as decimal(38,0)) * n_b) as bigint)"""
+          .stripMargin.replace('\n', ' ')))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select("part_a", "rnk", "part_b", "n_ab", "n_a", "n_b", "cos2_e6")
+      .orderBy("part_a", "rnk")
+  }
+
+  /** q_session_path: top user journeys — the first three event types
+    * of every session (the [[sessionize]] 5-minute-gap sessions,
+    * re-derived with the same [[SessionGapMs]] and the same pinned
+    * (t_ms, event_id) order) concatenated into a path string, counted,
+    * and given e6 shares. The "how do sessions start?" report every
+    * product-analytics suite ships; path space is bounded by the
+    * event-type alphabet cubed, so the final rollup is tiny however
+    * large the corpus.
+    *
+    * Scale shape: the same one-shuffle-per-user window stack as
+    * q_sessionize (lag → break → running sum), one more rank inside
+    * the session, then a catalog-sized aggregate; the in-session
+    * prefix is assembled by sorting the ≤ 3 collected (rank, type)
+    * structs — never a collect_list order assumption. */
+  def sessionPath(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("user_id")
+      .orderBy(col("t_ms").asc, col("event_id").asc)
+    val sessOrd = Window.partitionBy("user_id", "session_seq")
+      .orderBy(col("t_ms").asc, col("event_id").asc)
+    val paths = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("t_ms"))
+      .withColumn("prev", lag("t_ms", 1).over(ord))
+      .withColumn("brk",
+        when(col("prev").isNull ||
+          col("t_ms") - col("prev") >= SessionGapMs, 1L).otherwise(0L))
+      .withColumn("session_seq", sum("brk").over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rnk", row_number().over(sessOrd))
+      .filter(col("rnk") <= 3)
+      .groupBy("user_id", "session_seq")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("rnk"), col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+    val total = paths.agg(count(lit(1)).as("n_total"))
+    paths.groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .crossJoin(broadcast(total))
+      .withColumn("share_e6", expr("(n_sessions * 1000000) div n_total"))
+      .select("path", "n_sessions", "share_e6")
+      .orderBy(col("n_sessions").desc, col("path").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hhi" -> (hhi(_, _)),
+    "q_copurchase" -> (copurchase(_, _)),
+    "q_session_path" -> (sessionPath(_, _)),
     "q_props_parse" -> (propsParse(_, _)),
     "q_elasticity" -> (elasticity(_, _)),
     "q_winsorized_mean" -> (winsorizedMean(_, _)),
@@ -1531,6 +1620,58 @@ object Analytics {
   }.mkString("\nUNION ALL\n")
 
   val oracleSql: Map[String, String] = Map(
+    "q_copurchase" ->
+      """WITH bp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |f AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_solo
+        |      FROM bp GROUP BY l_partkey),
+        |pr AS (
+        |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_ab
+        |  FROM bp a JOIN bp b USING (l_orderkey)
+        |  WHERE a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2),
+        |sym AS (SELECT part_a, part_b, n_ab FROM pr
+        |        UNION ALL SELECT part_b, part_a, n_ab FROM pr),
+        |sc AS (
+        |  SELECT part_a, part_b, n_ab, fa.n_solo AS n_a, fb.n_solo AS n_b,
+        |    CAST((CAST(n_ab AS HUGEINT) * n_ab * 1000000)
+        |      // (CAST(fa.n_solo AS HUGEINT) * fb.n_solo) AS BIGINT) AS cos2_e6
+        |  FROM sym
+        |  JOIN f fa ON fa.l_partkey = part_a
+        |  JOIN f fb ON fb.l_partkey = part_b),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY part_a
+        |        ORDER BY cos2_e6 DESC, n_ab DESC, part_b) AS BIGINT) AS rnk
+        |      FROM sc)
+        |SELECT part_a, rnk, part_b, n_ab, n_a, n_b, cos2_e6
+        |FROM r WHERE rnk <= 3 ORDER BY part_a, rnk""".stripMargin,
+    "q_session_path" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000000 AS t_ms
+         |  FROM events),
+         |b AS (
+         |  SELECT *, CASE WHEN prev IS NULL OR t_ms - prev >= $SessionGapMs
+         |      THEN 1 ELSE 0 END AS brk
+         |  FROM (SELECT *, LAG(t_ms) OVER w AS prev FROM e
+         |        WINDOW w AS (PARTITION BY user_id ORDER BY t_ms, event_id))),
+         |s AS (
+         |  SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id
+         |    ORDER BY t_ms, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS session_seq
+         |  FROM b),
+         |rk AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, session_seq
+         |    ORDER BY t_ms, event_id) AS rnk
+         |  FROM s),
+         |p AS (
+         |  SELECT user_id, session_seq,
+         |    string_agg(event_type, '>' ORDER BY rnk) AS path
+         |  FROM rk WHERE rnk <= 3 GROUP BY user_id, session_seq),
+         |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM p)
+         |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+         |  CAST((COUNT(*) * 1000000) // n_total AS BIGINT) AS share_e6
+         |FROM p, t GROUP BY path, n_total
+         |ORDER BY n_sessions DESC, path""".stripMargin,
     "q_props_parse" ->
       """WITH p AS (
         |  SELECT event_type,

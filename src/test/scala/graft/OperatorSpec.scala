@@ -667,6 +667,47 @@ class OperatorSpec extends SparkSpec {
       }
   }
 
+  test("copurchase top-3 equals a local basket recompute") {
+    val got = run("q_copurchase").collect()
+    val byA = got.groupBy(_.getAs[Long]("part_a"))
+    val baskets = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val freq = baskets.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pairCnt = baskets.groupBy(_._1).values.flatMap { rows =>
+      val ps = rows.map(_._2).sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val sym = pairCnt.toSeq.flatMap { case ((a, b), n) => Seq((a, b, n), (b, a, n)) }
+    sym.groupBy(_._1).foreach { case (a, cands) =>
+      val scored = cands.map { case (_, b, n) =>
+        val c = (BigInt(n) * n * 1000000) / (BigInt(freq(a)) * freq(b))
+        (b, n, c.toLong)
+      }.sortBy { case (b, n, c) => (-c, -n, b) }.take(3)
+      val gotA = byA(a).sortBy(_.getAs[Long]("rnk"))
+        .map(r => (r.getAs[Long]("part_b"), r.getAs[Long]("n_ab"),
+          r.getAs[Long]("cos2_e6")))
+      assert(gotA.toSeq == scored, s"part $a: $gotA vs $scored")
+      assert(byA(a).map(_.getAs[Long]("rnk")).sorted
+        .sameElements(1L to gotA.length))
+    }
+    assert(byA.keySet == sym.map(_._1).toSet, "every co-ordered part is covered")
+  }
+
+  test("session paths partition the sessionize sessions exactly") {
+    val paths = run("q_session_path").collect()
+    val nSessions = run("q_sessionize").count()
+    assert(paths.map(_.getAs[Long]("n_sessions")).sum == nSessions,
+      "paths must cover every session exactly once")
+    val total = nSessions
+    paths.foreach { r =>
+      val p = r.getString(0)
+      assert(p.nonEmpty && p.split(">").length <= 3)
+      assert(r.getAs[Long]("share_e6") ==
+        r.getAs[Long]("n_sessions") * 1000000L / total)
+    }
+  }
+
   test("props json parsing equals a local parse with full coverage") {
     val got = run("q_props_parse").collect()
       .map(r => r.getString(0) -> (r.getAs[Long]("n_events"),

@@ -1558,7 +1558,141 @@ object Analytics {
       .orderBy(col("n_sessions").desc, col("path").asc)
   }
 
+  /** Coverage interval width: each event opens a 5-minute activity
+    * window (the q_sessionize gap constant, reused as a dwell). */
+  private val CovWinUs = 300L * 1000000L
+
+  /** q_interval_coverage: per-user ACTIVE TIME — the measure of the
+    * union of per-event [t, t+5min) intervals, via the classic one-pass
+    * sweep: sort a user's events, carry the running max interval end in
+    * a window, and each event contributes max(0, end − max(start,
+    * prev_max_end)) — overlap never double-counted, all exact integer
+    * microseconds. The engagement metric session counting under-reports
+    * (two overlapping half-sessions are 7 minutes of activity, not 10).
+    *
+    * Scale shape: ONE shuffle by user_id (the window partition), a
+    * running-max window (no self-join interval union), then the
+    * per-user agg rides the same partitioning. The e6 share arithmetic
+    * runs in decimal(38,0) — covered_us · 10⁶ crosses 2⁶³ after ~3
+    * user-days of coverage, ANSI-throw territory at corpus scale. */
+  def intervalCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("t_us").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t_us"))
+      .withColumn("e", col("t_us") + lit(CovWinUs))
+      .withColumn("prev_end", max("e").over(w))
+      .withColumn("contrib", greatest(lit(0L),
+        col("e") - greatest(col("t_us"), coalesce(col("prev_end"), col("t_us")))))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("prev_end").isNull || col("prev_end") < col("t_us"), 1L)
+          .otherwise(0L)).as("n_blocks"),
+        sum("contrib").as("covered_us"),
+        min("t_us").as("t0"), max("e").as("t1"))
+      .withColumn("active_pct_e6", expr(
+        "cast((cast(covered_us as decimal(38,0)) * 1000000) div (t1 - t0) as bigint)"))
+      .select("user_id", "n_events", "n_blocks", "covered_us", "active_pct_e6")
+      .orderBy("user_id")
+  }
+
+  /** ACF lag range (days 1..7 — the weekly structure probe). */
+  private val AcfMaxLag = 7
+
+  /** q_acf: autocorrelation of the DAILY event-count series at lags
+    * 1..[[AcfMaxLag]] — the seasonality detector that tells a capacity
+    * planner whether traffic has weekly structure (acf spikes at lag
+    * 7) before any forecasting model is fit. Gap days count as zero
+    * (the series is the true calendar axis, not just observed days).
+    * Exact integers end-to-end: with n days and S = Σx, each centered
+    * term is c_t = n·x_t − S (scaling by n instead of dividing by it),
+    * acf_e6 = (Σ c_t·c_{t+k}) · 10⁶ div Σ c_t² — numerator and
+    * denominator share the n² scale, so it cancels without ever
+    * leaving integer space; products run in decimal(38,0)/HUGEINT.
+    *
+    * Scale shape: the corpus-sized work is ONE two-phase groupBy(day);
+    * everything after runs on the day axis (time-bounded — thousands
+    * of rows at ANY data scale): a sequence/explode densification, a
+    * broadcast of the 1-row stats, a 7-way explode + equi-join on
+    * day+k (shuffle ∝ 7·days), and a 7-row finish. */
+  def acf(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("x"))
+    val axis = counts.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val daily = axis.join(counts, Seq("day"), "left")
+      .select(col("day"), coalesce(col("x"), lit(0L)).as("x"))
+    val stats = daily.agg(count(lit(1)).as("n"), sum("x").as("s"))
+    val cent = daily.crossJoin(broadcast(stats))
+      .select(col("day"), (col("x") * col("n") - col("s")).as("c"))
+      .localCheckpoint() // reused: Q, plus both sides of the lag join
+    val q = cent.agg(sum(expr("cast(c as decimal(38,0)) * c")).as("q"))
+    cent
+      .withColumn("k", explode(array((1 to AcfMaxLag).map(i => lit(i.toLong)): _*)))
+      .withColumn("day2", col("day") + col("k")).as("a")
+      .join(cent.as("b"), col("day2") === col("b.day"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(expr("cast(a.c as decimal(38,0)) * b.c")).as("num"))
+      .crossJoin(broadcast(q))
+      .filter(col("q") =!= lit(0))
+      .select(col("k").as("lag"), col("n_pairs"),
+        expr("cast((num * 1000000) div q as bigint)").as("acf_e6"))
+      .orderBy("lag")
+  }
+
+  /** Association-rule minimum pair support (same constant in the
+    * oracle; rules below it are noise at every SF). */
+  private val ArMinSup = 3L
+
+  /** q_assoc_rules: brand-level association rules from order baskets —
+    * for each directed brand pair (ante → cons) co-occurring in ≥
+    * [[ArMinSup]] orders, exact-e6 confidence n_ab/n_a and lift
+    * n_ab·N/(n_a·n_b). The market-basket classic, one level up from
+    * q_copurchase's part-level cosine (brands are catalog-sized, so
+    * the rule table is bounded at any data scale) and distinct from
+    * q_itemsets' user×event-type substrate.
+    *
+    * Scale shape: one broadcast dim join + a distinct (order, brand)
+    * projection (shuffle ∝ order-lines), a per-order self-join whose
+    * fan-out is bounded by brands-per-order² (≤ lines-per-order², a
+    * TPC-H constant), then a brand²-sized agg; singles/total join back
+    * as broadcasts. Ratio arithmetic in decimal(38,0) — n_ab·N·10⁶
+    * overflows Long at corpus scale. */
+  def assocRules(spark: SparkSession, dir: String): DataFrame = {
+    val baskets = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey")
+      .join(broadcast(Tables.part(spark, dir).select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand"))
+      .distinct()
+      .localCheckpoint() // reused: singles, pairs, and the order count
+    val singles = baskets.groupBy("p_brand").agg(count(lit(1)).as("n"))
+    val total = baskets.agg(countDistinct("l_orderkey").as("n_orders"))
+    baskets.as("a").join(baskets.as("b"), "l_orderkey")
+      .filter(col("a.p_brand") =!= col("b.p_brand"))
+      .groupBy(col("a.p_brand").as("ante"), col("b.p_brand").as("cons"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= ArMinSup)
+      .join(broadcast(singles.select(col("p_brand").as("ante"), col("n").as("n_a"))), "ante")
+      .join(broadcast(singles.select(col("p_brand").as("cons"), col("n").as("n_b"))), "cons")
+      .crossJoin(broadcast(total))
+      .select(col("ante"), col("cons"), col("n_ab"), col("n_a"), col("n_b"),
+        expr("cast((cast(n_ab as decimal(38,0)) * 1000000) div n_a as bigint)")
+          .as("conf_e6"),
+        expr("""cast((cast(n_ab as decimal(38,0)) * n_orders * 1000000)
+          | div (cast(n_a as decimal(38,0)) * n_b) as bigint)"""
+          .stripMargin.replace('\n', ' ')).as("lift_e6"))
+      .orderBy("ante", "cons")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_interval_coverage" -> (intervalCoverage(_, _)),
+    "q_acf" -> (acf(_, _)),
+    "q_assoc_rules" -> (assocRules(_, _)),
     "q_hhi" -> (hhi(_, _)),
     "q_copurchase" -> (copurchase(_, _)),
     "q_session_path" -> (sessionPath(_, _)),
@@ -1731,6 +1865,78 @@ object Analytics {
         |FROM h JOIN cuts USING (event_type)
         |GROUP BY event_type, n, p5_cents, p95_cents
         |ORDER BY event_type""".stripMargin,
+    // same sweep: running-max of interval ends over the preceding
+    // rows, per-event clipped contribution; HUGEINT plays decimal
+    "q_interval_coverage" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS t_us FROM events),
+         |win AS (
+         |  SELECT user_id, t_us, t_us + $CovWinUs AS e,
+         |    MAX(t_us + $CovWinUs) OVER (PARTITION BY user_id
+         |      ORDER BY t_us, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+         |  FROM ev)
+         |SELECT user_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_events,
+         |  CAST(SUM(CASE WHEN prev_end IS NULL OR prev_end < t_us
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_blocks,
+         |  CAST(SUM(GREATEST(0, e - GREATEST(t_us, COALESCE(prev_end, t_us))))
+         |    AS BIGINT) AS covered_us,
+         |  CAST(CAST(SUM(GREATEST(0, e - GREATEST(t_us, COALESCE(prev_end, t_us))))
+         |      AS HUGEINT) * 1000000
+         |    // (MAX(e) - MIN(t_us)) AS BIGINT) AS active_pct_e6
+         |FROM win GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // same n-scaled centering (c = n·x − S), generate_series fills the
+    // gap days with zeros, HUGEINT products
+    "q_acf" ->
+      s"""WITH counts AS (
+         |  SELECT epoch_ns(ts) // 86400000000000 AS day,
+         |    CAST(COUNT(*) AS BIGINT) AS x
+         |  FROM events GROUP BY 1),
+         |axis AS (
+         |  SELECT UNNEST(generate_series(d0, d1)) AS day
+         |  FROM (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM counts)),
+         |daily AS (
+         |  SELECT a.day, COALESCE(c.x, 0) AS x
+         |  FROM axis a LEFT JOIN counts c USING (day)),
+         |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s
+         |  FROM daily),
+         |cent AS (SELECT day, x * n - s AS c FROM daily CROSS JOIN st),
+         |qq AS (SELECT SUM(CAST(c AS HUGEINT) * c) AS q FROM cent),
+         |ks AS (SELECT UNNEST(generate_series(1, $AcfMaxLag)) AS k),
+         |num AS (
+         |  SELECT k, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |    SUM(CAST(a.c AS HUGEINT) * b.c) AS num
+         |  FROM cent a JOIN ks ON TRUE JOIN cent b ON b.day = a.day + k
+         |  GROUP BY k)
+         |SELECT CAST(k AS BIGINT) AS lag, n_pairs,
+         |  CAST((num * 1000000) // q AS BIGINT) AS acf_e6
+         |FROM num CROSS JOIN qq WHERE q <> 0 ORDER BY lag""".stripMargin,
+    // same (order, brand) baskets; directed pairs; HUGEINT ratios
+    "q_assoc_rules" ->
+      s"""WITH baskets AS (
+         |  SELECT DISTINCT l_orderkey, p_brand
+         |  FROM lineitem JOIN part ON p_partkey = l_partkey),
+         |singles AS (
+         |  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM baskets GROUP BY p_brand),
+         |tot AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+         |  FROM baskets),
+         |rules AS (
+         |  SELECT a.p_brand AS ante, b.p_brand AS cons,
+         |    CAST(COUNT(*) AS BIGINT) AS n_ab
+         |  FROM baskets a JOIN baskets b USING (l_orderkey)
+         |  WHERE a.p_brand <> b.p_brand
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= $ArMinSup)
+         |SELECT r.ante, r.cons, r.n_ab, sa.n AS n_a, sb.n AS n_b,
+         |  CAST((CAST(r.n_ab AS HUGEINT) * 1000000) // sa.n AS BIGINT) AS conf_e6,
+         |  CAST((CAST(r.n_ab AS HUGEINT) * tot.n_orders * 1000000)
+         |    // (CAST(sa.n AS HUGEINT) * sb.n) AS BIGINT) AS lift_e6
+         |FROM rules r
+         |JOIN singles sa ON sa.p_brand = r.ante
+         |JOIN singles sb ON sb.p_brand = r.cons
+         |CROSS JOIN tot
+         |ORDER BY ante, cons""".stripMargin,
     "q_burstiness" ->
       """WITH g AS (
         |  SELECT user_id,

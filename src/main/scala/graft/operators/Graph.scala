@@ -94,9 +94,95 @@ object Graph {
       .orderBy("node")
   }
 
+  /** Link-prediction hub cap: 2-hop candidate generation explodes as
+    * Σ deg(z)² over intermediaries z, so hubs above this degree are
+    * excluded — semantically principled (a hub's 1/deg contribution is
+    * ~0 anyway, the whole point of the RA index) AND the scale guard
+    * (bounds per-key fan-out of both joins to [[LpHubCap]]²). */
+  private val LpHubCap = 64L
+  private val LpTopN = 50
+
+  /** q_link_predict: resource-allocation link prediction (Zhou/Lü/
+    * Zhang's RA index) over the co-order graph — for each NON-adjacent
+    * part pair, score Σ_z 1/deg(z) over common neighbors z, in exact
+    * e6 integers (each term 10⁶ div deg, floored then summed — float
+    * would be shuffle-order-dependent). The recommender follow-up to
+    * q_copurchase: that ranks pairs already bought together, this
+    * ranks pairs the graph says SHOULD be (candidate generation for
+    * "you may also like").
+    *
+    * Scale shape: two equi-joins through the deg-capped intermediary
+    * (fan-out ≤ [[LpHubCap]]² per z), one anti-join against the edge
+    * set (all equi on part keys), a two-phase agg by pair, and a
+    * TakeOrderedAndProject top-[[LpTopN]] (per-partition heads merged
+    * on the driver — never a global sort). The tie-break chain
+    * (ra_e6, n_common, part_a, part_b) is a total order, so the
+    * LIMIT boundary is deterministic. */
+  def linkPredict(spark: SparkSession, dir: String): DataFrame = {
+    val edges = coOrderEdges(spark, dir).localCheckpoint()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val thru = deg.filter(col("deg") <= LpHubCap)
+      .select(col("src").as("z"), col("deg").as("deg_z"))
+    val hopIn = edges.select(col("src").as("part_a"), col("dst").as("z"))
+    val hopOut = edges.select(col("src").as("z"), col("dst").as("part_b"))
+    hopIn.join(thru, "z").join(hopOut, "z")
+      .filter(col("part_a") < col("part_b"))
+      // edges hold both directions, so one-sided anti-join suffices
+      .join(edges.select(col("src").as("part_a"), col("dst").as("part_b")),
+        Seq("part_a", "part_b"), "left_anti")
+      .groupBy("part_a", "part_b")
+      .agg(count(lit(1)).as("n_common"),
+        sum(expr("1000000 div deg_z")).as("ra_e6"))
+      .orderBy(col("ra_e6").desc, col("n_common").desc,
+        col("part_a"), col("part_b"))
+      .limit(LpTopN)
+  }
+
+  /** BFS seed count / rounds (3 hops reaches most of a co-order graph;
+    * the unreached remainder is reported as dist −1). */
+  private val BfsSeeds = 8
+  private val BfsRounds = 3
+
+  /** q_bfs_hops: multi-source BFS — hop distance from the [[BfsSeeds]]
+    * highest-degree hubs (ties broken by part key) to every node,
+    * [[BfsRounds]] rounds, reported as a per-distance census. The
+    * "how far is the catalog from its hubs" diagnostic that sizes
+    * any graph-propagation job before it runs.
+    *
+    * Scale shape: the classic Pregel reduction — each round joins the
+    * node-sized frontier to the edge set (shuffle ∝ edges), unions the
+    * previous distances and min-aggs by node; localCheckpoint caps the
+    * lineage exactly as in [[pagerank]] / Dedup's pointer-jumping CC.
+    * Seeds come from a TakeOrderedAndProject over the degree table
+    * (never a full sort); the final census is a ≤(rounds+2)-row agg. */
+  def bfsHops(spark: SparkSession, dir: String): DataFrame = {
+    val edges = coOrderEdges(spark, dir).localCheckpoint()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val seeds = deg.orderBy(col("deg").desc, col("src")).limit(BfsSeeds)
+      .select(col("src").as("node"), lit(0L).as("dist"))
+    var reach = seeds.localCheckpoint()
+    (1 to BfsRounds).foreach { k =>
+      reach = reach.join(edges, reach("node") === edges("src"))
+        .select(col("dst").as("node"), lit(k.toLong).as("dist"))
+        .union(reach)
+        .groupBy("node").agg(min("dist").as("dist"))
+        .localCheckpoint()
+    }
+    deg.select(col("src").as("node"))
+      .join(reach, Seq("node"), "left")
+      .select(col("node"), coalesce(col("dist"), lit(-1L)).as("dist"))
+      .groupBy("dist")
+      .agg(count(lit(1)).as("n_nodes"),
+        min("node").as("min_node"), max("node").as("max_node"))
+      .orderBy("dist")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> (pagerank(_, _)),
-    "q_degree_dist" -> (degreeDist(_, _)))
+    "q_degree_dist" -> (degreeDist(_, _)),
+    "q_link_predict" -> (linkPredict(_, _)),
+    "q_bfs_hops" -> (bfsHops(_, _)))
 
   /** The same three rounds, unrolled as nested CTEs. */
   private val pagerankOracle: String = {
@@ -138,5 +224,58 @@ object Graph {
         |  CAST(COUNT(*) AS BIGINT) AS n_nodes,
         |  CAST(MIN(deg) AS BIGINT) AS min_deg,
         |  CAST(MAX(deg) AS BIGINT) AS max_deg
-        |FROM deg GROUP BY 1 ORDER BY bin""".stripMargin)
+        |FROM deg GROUP BY 1 ORDER BY bin""".stripMargin,
+    // same edges/deg CTEs; per-term-floored RA sum; unique tie-break
+    // chain so the LIMIT boundary can't flap
+    "q_link_predict" ->
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |edges AS (
+         |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+         |  FROM pairs a JOIN pairs b USING (l_orderkey)
+         |  WHERE a.l_partkey <> b.l_partkey),
+         |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+         |cand AS (
+         |  SELECT e1.src AS part_a, e2.dst AS part_b, d.deg AS deg_z
+         |  FROM edges e1
+         |  JOIN deg d ON d.src = e1.dst AND d.deg <= $LpHubCap
+         |  JOIN edges e2 ON e2.src = e1.dst
+         |  WHERE e1.src < e2.dst),
+         |nonedge AS (
+         |  SELECT c.part_a, c.part_b, c.deg_z FROM cand c
+         |  LEFT JOIN edges x ON x.src = c.part_a AND x.dst = c.part_b
+         |  WHERE x.src IS NULL)
+         |SELECT part_a, part_b, CAST(COUNT(*) AS BIGINT) AS n_common,
+         |  CAST(SUM(1000000 // deg_z) AS BIGINT) AS ra_e6
+         |FROM nonedge GROUP BY part_a, part_b
+         |ORDER BY ra_e6 DESC, n_common DESC, part_a, part_b
+         |LIMIT $LpTopN""".stripMargin,
+    // the same rounds unrolled as CTEs (the pagerank pattern); the
+    // unreached remainder appears as dist -1 via the left join
+    "q_bfs_hops" -> {
+      val rounds = (1 to BfsRounds).map { k =>
+        s"""d$k AS (
+           |  SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+           |    SELECT e.dst AS node, p.dist + 1 AS dist
+           |    FROM d${k - 1} p JOIN edges e ON e.src = p.node
+           |    UNION ALL SELECT node, dist FROM d${k - 1})
+           |  GROUP BY node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |edges AS (
+         |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+         |  FROM pairs a JOIN pairs b USING (l_orderkey)
+         |  WHERE a.l_partkey <> b.l_partkey),
+         |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+         |seeds AS (SELECT src AS node FROM deg ORDER BY deg DESC, src LIMIT $BfsSeeds),
+         |d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM seeds),
+         |$rounds
+         |SELECT COALESCE(d$BfsRounds.dist, -1) AS dist,
+         |  CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         |  CAST(MIN(deg.src) AS BIGINT) AS min_node,
+         |  CAST(MAX(deg.src) AS BIGINT) AS max_node
+         |FROM deg LEFT JOIN d$BfsRounds ON d$BfsRounds.node = deg.src
+         |GROUP BY 1 ORDER BY dist""".stripMargin
+    })
 }

@@ -926,7 +926,48 @@ object TextAnalysis {
       .orderBy("decile")
   }
 
+  /** q_readability: Flesch-Kincaid grade per (source, lang) — words as
+    * letter runs, sentences as terminator runs, syllables as vowel
+    * groups (the standard dictionary-free heuristic), per-doc grade in
+    * exact e3 integers: 0.39·W/S + 11.8·Y/W − 15.59 becomes
+    * 390·W div S + 11800·Y div W − 15590 (each ratio floored — the
+    * deterministic cousin of the float formula). The curation
+    * companion to q_quality_score: quality filters junk, readability
+    * grades the survivors for audience targeting / difficulty-mix
+    * reporting.
+    *
+    * Scale shape: map-only per-doc regex counting fused into the scan
+    * (three regexp_counts, no explode — the doc never tokenizes into
+    * rows), then ONE two-phase agg on the catalog-sized (source, lang)
+    * key. Aggregate ratios are div-of-sums, so the group figures are
+    * exact too; sums cast to decimal(38,0) before the e3 scale-up
+    * (Σwords · 11800 crosses 2⁶³ at corpus scale — ANSI-throw). */
+  def readability(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), col("lang"),
+        expr("regexp_count(text, '[A-Za-z]+')").cast("long").as("w"),
+        expr("regexp_count(text, '[.!?]+')").cast("long").as("s_runs"),
+        expr("regexp_count(lower(text), '[aeiouy]+')").cast("long").as("y"))
+      .filter(col("w") > 0)
+      // terminator-free text (transcripts, this synthetic corpus) falls
+      // back to fixed 16-word pseudo-sentences — FK is undefined at
+      // S = 0 and dropping such docs would silently skew the mix report
+      .withColumn("s", expr("if(s_runs > 0, s_runs, (w + 15) div 16)"))
+      .withColumn("grade_e3",
+        expr("(390 * w) div s + (11800 * y) div w - 15590"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("w").as("n_words"), sum("s").as("n_sentences"),
+        sum("y").as("n_syllables"),
+        expr("sum(grade_e3) div count(1)").as("mean_grade_e3"))
+      .withColumn("wps_e3", expr(
+        "cast((cast(n_words as decimal(38,0)) * 1000) div n_sentences as bigint)"))
+      .withColumn("spw_e3", expr(
+        "cast((cast(n_syllables as decimal(38,0)) * 1000) div n_words as bigint)"))
+      .orderBy("source", "lang")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_readability" -> (readability(_, _)),
     "q_heaps_growth" -> (heapsGrowth(_, _)),
     "q_pmi" -> (pmi(_, _)),
     "q_char_entropy" -> (charEntropy(_, _)),
@@ -998,6 +1039,32 @@ object TextAnalysis {
          |ORDER BY query_id, rank""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // len(regexp_extract_all) ≡ regexp_count; same per-doc e3 grade,
+    // div-of-sums group ratios, HUGEINT for the scale-ups
+    "q_readability" ->
+      """WITH d AS (
+        |  SELECT source, lang,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS w,
+        |    CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS s_runs,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS y
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, lang, w, y,
+        |    CASE WHEN s_runs > 0 THEN s_runs ELSE (w + 15) // 16 END AS s,
+        |    (390 * w) // (CASE WHEN s_runs > 0 THEN s_runs
+        |       ELSE (w + 15) // 16 END)
+        |      + (11800 * y) // w - 15590 AS grade_e3
+        |  FROM d WHERE w > 0)
+        |SELECT source, lang,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(w) AS BIGINT) AS n_words,
+        |  CAST(SUM(s) AS BIGINT) AS n_sentences,
+        |  CAST(SUM(y) AS BIGINT) AS n_syllables,
+        |  CAST(SUM(grade_e3) // COUNT(*) AS BIGINT) AS mean_grade_e3,
+        |  CAST((CAST(SUM(w) AS HUGEINT) * 1000) // SUM(s) AS BIGINT) AS wps_e3,
+        |  CAST((CAST(SUM(y) AS HUGEINT) * 1000) // SUM(w) AS BIGINT) AS spw_e3
+        |FROM g GROUP BY source, lang
+        |ORDER BY source, lang""".stripMargin,
     "q_heaps_growth" ->
       """WITH b AS (SELECT MAX(doc_id) + 1 AS n_ids FROM documents),
         |sized AS (

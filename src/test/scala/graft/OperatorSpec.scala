@@ -1888,6 +1888,158 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  /** Shared local co-order edge model for the graph-query specs:
+    * symmetric directed edge set + degree map from lineitem baskets. */
+  private def localCoOrderGraph(): (Set[(Long, Long)], Map[Long, Long]) = {
+    val baskets = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val edges: Set[(Long, Long)] = baskets.groupBy(_._1).values.flatMap { rows =>
+      val ps = rows.map(_._2).distinct
+      for (a <- ps; b <- ps if a != b) yield (a, b)
+    }.toSet
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    (edges, deg)
+  }
+
+  test("link_predict equals a local RA-index recompute") {
+    val (edges, deg) = localCoOrderGraph()
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val scores = edges.toSeq
+      .filter { case (_, z) => deg(z) <= 64L }
+      .flatMap { case (a, z) =>
+        adj(z).collect { case b if a < b => ((a, b), 1000000L / deg(z)) }
+      }
+      .filter { case (p, _) => !edges.contains(p) }
+      .groupBy(_._1).view
+      .mapValues(ts => (ts.size.toLong, ts.map(_._2).sum)).toMap
+    val want = scores.toSeq
+      .map { case ((a, b), (cn, ra)) => (a, b, cn, ra) }
+      .sortBy { case (a, b, cn, ra) => (-ra, -cn, a, b) }.take(50)
+    val got = run("q_link_predict").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+  }
+
+  test("bfs_hops census equals a local multi-source BFS") {
+    val (edges, deg) = localCoOrderGraph()
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val seeds = deg.toSeq.sortBy { case (n, d) => (-d, n) }.take(8).map(_._1)
+    val dist = scala.collection.mutable.Map(seeds.map(_ -> 0L): _*)
+    (1 to 3).foreach { k =>
+      dist.filter(_._2 == k - 1).keys.toSeq.foreach { n =>
+        adj.getOrElse(n, Set.empty).foreach { m =>
+          if (!dist.contains(m)) dist(m) = k.toLong
+        }
+      }
+    }
+    val full = deg.keys.map(n => n -> dist.getOrElse(n, -1L)).toSeq
+    val want = full.groupBy(_._2).view.mapValues { ns =>
+      (ns.size.toLong, ns.map(_._1).min, ns.map(_._1).max)
+    }.toMap
+    val got = run("q_bfs_hops").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == want)
+    assert(got.values.map(_._1).sum == deg.size.toLong, "census partitions nodes")
+  }
+
+  test("interval_coverage equals a local interval-union sweep") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("t_us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val W = 300L * 1000000L
+    val want = ev.groupBy(_._1).view.mapValues { rows =>
+      val ts = rows.sortBy(r => (r._3, r._2)).map(_._3)
+      var end = Long.MinValue
+      var (covered, blocks) = (0L, 0L)
+      ts.foreach { t =>
+        if (end < t) blocks += 1
+        covered += math.max(0L, t + W - math.max(t, end))
+        end = math.max(end, t + W)
+      }
+      val span = ts.max + W - ts.min
+      (ts.length.toLong, blocks, covered,
+        (BigInt(covered) * 1000000 / span).toLong)
+    }.toMap
+    val got = run("q_interval_coverage").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == want)
+  }
+
+  test("acf equals a local autocorrelation recompute over the dense day axis") {
+    val days = graft.sources.Tables.events(spark, sf)
+      .select(expr("unix_micros(ts) div 86400000000").as("day")).collect()
+      .map(_.getLong(0))
+    val counts = days.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val x = (days.min to days.max).map(d => counts.getOrElse(d, 0L))
+    val n = x.length
+    val s = x.sum
+    val c = x.map(v => BigInt(v) * n - s)
+    val q = c.map(v => v * v).sum
+    val got = run("q_acf").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    (1 to 7).foreach { k =>
+      val pairs = (0 until n - k).map(t => c(t) * c(t + k))
+      val want = (pairs.foldLeft(BigInt(0))(_ + _) * 1000000 / q).toLong
+      assert(got(k.toLong) == ((n - k).toLong, want), s"lag $k")
+    }
+    assert(got.keySet == (1L to 7L).toSet)
+  }
+
+  test("assoc_rules confidence and lift match a local basket recompute") {
+    val bk = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey")
+      .join(graft.sources.Tables.part(spark, sf),
+        col("l_partkey") === col("p_partkey"))
+      .select("l_orderkey", "p_brand").distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val nOrders = bk.map(_._1).distinct.length.toLong
+    val singles = bk.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pairs = bk.groupBy(_._1).values.flatMap { rows =>
+      val bs = rows.map(_._2).distinct
+      for (a <- bs; b <- bs if a != b) yield (a, b)
+    }.groupBy(identity).view.mapValues(_.size.toLong).filter(_._2 >= 3L)
+    val got = run("q_assoc_rules").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    assert(got.keySet == pairs.keySet.toSet)
+    pairs.foreach { case ((a, b), nab) =>
+      val (na, nb) = (singles(a), singles(b))
+      val conf = BigInt(nab) * 1000000 / na
+      val lift = BigInt(nab) * nOrders * 1000000 / (BigInt(na) * nb)
+      assert(got((a, b)) == ((nab, na, nb, conf.toLong, lift.toLong)), s"$a->$b")
+    }
+  }
+
+  test("readability grades match a local regex recompute") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("source", "lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    def cnt(s: String, re: String): Long =
+      re.r.findAllMatchIn(s).length.toLong
+    val byKey = docs.map { case (src, lang, text) =>
+      val (w, sRuns, y) = (cnt(text, "[A-Za-z]+"), cnt(text, "[.!?]+"),
+        cnt(text.toLowerCase, "[aeiouy]+"))
+      ((src, lang), (w, if (sRuns > 0) sRuns else (w + 15) / 16, y))
+    }.filter { case (_, (w, _, _)) => w > 0 }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val got = run("q_readability").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getLong(7), r.getLong(8)))).toMap
+    assert(got.keySet == byKey.keySet)
+    byKey.foreach { case (key, ds) =>
+      val grades = ds.map { case (w, s, y) => 390 * w / s + 11800 * y / w - 15590 }
+      val (ws, ss, ys) = (ds.map(_._1).sum, ds.map(_._2).sum, ds.map(_._3).sum)
+      val want = (ds.length.toLong, ws, ss, ys, grades.sum / ds.length,
+        (BigInt(ws) * 1000 / ss).toLong, (BigInt(ys) * 1000 / ws).toLong)
+      assert(got(key) == want, s"$key")
+    }
+  }
+
   test("TopKByAvgTFIDF selects buckets and appends the location feature") {
     import spark.implicits._
     val ds = (0 until 200).map { i =>

@@ -1689,7 +1689,101 @@ object Analytics {
       .orderBy("ante", "cons")
   }
 
+  /** MAU window: a user counts toward "monthly active" for 30 days
+    * after each active day (exclusive interval end = day + 30). */
+  private val MauDays = 30L
+
+  /** q_stickiness: the DAU/MAU product-engagement ratio per calendar
+    * day, EXACT at any scale — the naive "distinct users in a 30-day
+    * sliding window per day" is a 30× self-join or a giant sliding
+    * distinct; instead each user's active days merge into activity
+    * BLOCKS ([day, day+30) interval union — the q_interval_coverage
+    * sweep at day granularity), every block emits +1 at its start and
+    * −1 at its end, and MAU(d) is the running sum of deltas over the
+    * day axis. Exactly the sweep-line census, distributed.
+    *
+    * Scale shape: distinct (user, day) is one two-phase agg (the only
+    * corpus-sized shuffle); the block merge is one window keyed by
+    * user over user-day rows; deltas collapse to the day axis
+    * (time-bounded — thousands of rows at ANY data scale), where the
+    * single-partition cumsum window is legal by construction. DAU·10⁶
+    * stays in Long until ~9·10¹² daily actives. */
+  def stickiness(spark: SparkSession, dir: String): DataFrame = {
+    val userDay = Tables.events(spark, dir)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+      .localCheckpoint() // reused: DAU, block merge, and the axis span
+    val dau = userDay.groupBy("day").agg(count(lit(1)).as("dau"))
+    val prevW = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cumW = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val blocks = userDay
+      .withColumn("e", col("day") + lit(MauDays))
+      .withColumn("prev_end", max("e").over(prevW))
+      .withColumn("nb", when(col("prev_end").isNull || col("prev_end") < col("day"), 1L)
+        .otherwise(0L))
+      .withColumn("block_id", sum("nb").over(cumW))
+      .groupBy("user_id", "block_id")
+      .agg(min("day").as("s"), max("e").as("e"))
+    val deltas = blocks.select(col("s").as("day"), lit(1L).as("d"))
+      .union(blocks.select(col("e").as("day"), lit(-1L).as("d")))
+      .groupBy("day").agg(sum("d").as("delta"))
+    val axis = userDay.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val mauW = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    axis.join(deltas, Seq("day"), "left")
+      .withColumn("mau", sum(coalesce(col("delta"), lit(0L))).over(mauW))
+      .join(dau, Seq("day"), "left")
+      .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"), col("mau"))
+      .withColumn("stickiness_e6", expr("(dau * 1000000) div mau"))
+      .orderBy("day")
+  }
+
+  /** q_price_volatility: per-part price risk over the shipment-ordered
+    * unit-price series — dispersion as the sqrt-free CV² (the
+    * q_burstiness kernel on cents) plus MAX DRAWDOWN, the largest
+    * peak-to-trough drop (absolute cents and e6 relative to the
+    * running peak) — the pricing-stability screen a repricer runs
+    * before trusting a part's history. Order pinned by (ship time,
+    * orderkey, linenumber) so ties can't flap the running peak.
+    *
+    * Scale shape: ONE shuffle by part key (the window partition); the
+    * running max is a total-order frame; everything else is the
+    * two-phase per-part agg riding the same partitioning. Σx² and the
+    * relative-drawdown scale-up run in decimal(38,0)/HUGEINT. */
+  def priceVolatility(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("l_partkey")
+      .orderBy(col("l_shipdate").asc, col("l_orderkey").asc,
+        col("l_linenumber").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+      .withColumn("peak", max("cents").over(ord))
+      .withColumn("dd", col("peak") - col("cents"))
+      .withColumn("dd_e6", expr(
+        "cast((cast(dd as decimal(38,0)) * 1000000) div peak as bigint)"))
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_points"),
+        sum("cents").as("sum_cents"),
+        sum(expr("cast(cents as decimal(38,0)) * cents")).as("sq"),
+        max("dd").as("mdd_cents"), max("dd_e6").as("mdd_e6"))
+      .filter(col("n_points") >= 5)
+      .withColumn("mean_cents", expr("sum_cents div n_points"))
+      .withColumn("cv2_e6", expr(
+        """cast((cast(n_points as decimal(38,0)) * sq * 1000000)
+          | div (cast(sum_cents as decimal(38,0)) * sum_cents)
+          | as bigint) - 1000000""".stripMargin.replace('\n', ' ')))
+      .select("l_partkey", "n_points", "mean_cents", "cv2_e6",
+        "mdd_cents", "mdd_e6")
+      .orderBy("l_partkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stickiness" -> (stickiness(_, _)),
+    "q_price_volatility" -> (priceVolatility(_, _)),
     "q_interval_coverage" -> (intervalCoverage(_, _)),
     "q_acf" -> (acf(_, _)),
     "q_assoc_rules" -> (assocRules(_, _)),
@@ -1865,6 +1959,73 @@ object Analytics {
         |FROM h JOIN cuts USING (event_type)
         |GROUP BY event_type, n, p5_cents, p95_cents
         |ORDER BY event_type""".stripMargin,
+    // same block-merge sweep + delta census; generate_series day axis
+    "q_stickiness" ->
+      s"""WITH ud AS (
+         |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
+         |  FROM events),
+         |dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day),
+         |wb AS (
+         |  SELECT user_id, day, day + $MauDays AS e,
+         |    MAX(day + $MauDays) OVER (PARTITION BY user_id ORDER BY day
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+         |  FROM ud),
+         |bid AS (
+         |  SELECT user_id, day, e,
+         |    SUM(CASE WHEN prev_end IS NULL OR prev_end < day THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY user_id ORDER BY day
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS block_id
+         |  FROM wb),
+         |blocks AS (SELECT user_id, block_id, MIN(day) AS s, MAX(e) AS e
+         |  FROM bid GROUP BY user_id, block_id),
+         |deltas AS (
+         |  SELECT day, CAST(SUM(d) AS BIGINT) AS delta FROM (
+         |    SELECT s AS day, 1 AS d FROM blocks
+         |    UNION ALL SELECT e AS day, -1 AS d FROM blocks)
+         |  GROUP BY day),
+         |axis AS (
+         |  SELECT UNNEST(generate_series(d0, d1)) AS day
+         |  FROM (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ud)),
+         |mau AS (
+         |  SELECT a.day,
+         |    CAST(SUM(COALESCE(dl.delta, 0)) OVER (ORDER BY a.day
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS mau
+         |  FROM axis a LEFT JOIN deltas dl ON dl.day = a.day)
+         |SELECT CAST(m.day AS BIGINT) AS day,
+         |  CAST(COALESCE(dau.dau, 0) AS BIGINT) AS dau, m.mau,
+         |  CAST((COALESCE(dau.dau, 0) * 1000000) // m.mau AS BIGINT)
+         |    AS stickiness_e6
+         |FROM mau m LEFT JOIN dau ON dau.day = m.day
+         |ORDER BY day""".stripMargin,
+    // same pinned order, running-max peak, HUGEINT ratio arithmetic
+    "q_price_volatility" ->
+      """WITH s AS (
+        |  SELECT l_partkey,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+        |    MAX(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |      OVER (PARTITION BY l_partkey
+        |        ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        |  FROM lineitem),
+        |dd AS (
+        |  SELECT l_partkey, cents, peak - cents AS dd,
+        |    CAST((CAST(peak - cents AS HUGEINT) * 1000000) // peak AS BIGINT) AS dd_e6
+        |  FROM s),
+        |a AS (
+        |  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_points,
+        |    CAST(SUM(cents) AS BIGINT) AS sum_cents,
+        |    SUM(CAST(cents AS HUGEINT) * cents) AS sq,
+        |    CAST(MAX(dd) AS BIGINT) AS mdd_cents,
+        |    CAST(MAX(dd_e6) AS BIGINT) AS mdd_e6
+        |  FROM dd GROUP BY l_partkey)
+        |SELECT l_partkey, n_points,
+        |  CAST(sum_cents // n_points AS BIGINT) AS mean_cents,
+        |  CAST((CAST(n_points AS HUGEINT) * sq * 1000000)
+        |    // (CAST(sum_cents AS HUGEINT) * sum_cents) AS BIGINT)
+        |    - 1000000 AS cv2_e6,
+        |  mdd_cents, mdd_e6
+        |FROM a WHERE n_points >= 5
+        |ORDER BY l_partkey""".stripMargin,
     // same sweep: running-max of interval ends over the preceding
     // rows, per-event clipped contribution; HUGEINT plays decimal
     "q_interval_coverage" ->

@@ -782,7 +782,46 @@ object Curation {
       .orderBy("lang", "bucket")
   }
 
+  /** q_ngram_novelty: marginal novelty per ingestion decile — of each
+    * document's distinct word [[DecontamK]]-grams, the fraction never
+    * seen in any earlier document (first occurrence = min doc_id, the
+    * q_heaps_growth trick one level down: grams instead of tokens).
+    * The curriculum/saturation diagnostic: a decile whose novelty
+    * collapses is re-crawl or boilerplate — later data buys no new
+    * content — and the curve says where incremental collection stops
+    * paying.
+    *
+    * Scale shape: NO cumulative distinct and no window at all — one
+    * shingle explosion feeds (a) a per-doc count and (b) a two-phase
+    * MIN(doc_id) per gram; novel-at-doc counts come from grouping the
+    * min table itself; the decile rollup is a broadcast of the 1-row
+    * id bound + a 10-key agg. Shuffle ∝ distinct (doc, gram) pairs —
+    * the same budget q_decontaminate already pays. */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val docSh = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.WordShingles.wordShingles(col("text"), DecontamK))).as("sh"))
+      .localCheckpoint() // reused: per-doc totals + first-occurrence min
+    val bounds = Tables.documents(spark, dir)
+      .agg((max("doc_id") + 1).as("n_ids"))
+    val novel = docSh.groupBy("sh").agg(min("doc_id").as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+    docSh.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      .join(novel, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_novel"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("decile", expr("(doc_id * 10) div n_ids"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_grams").as("n_grams"), sum("n_novel").as("n_novel"))
+      // decimal: Σnovel × 10⁶ crosses 2⁶³ near 10¹³ grams per decile
+      .withColumn("novelty_e6", expr(
+        "cast((cast(n_novel as decimal(38,0)) * 1000000) div n_grams as bigint)"))
+      .orderBy("decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ngram_novelty" -> (ngramNovelty(_, _)),
     "q_stratified_sample" -> (stratifiedSample(_, _)),
     "q_gini_tokens" -> (giniTokens(_, _)),
     "q_ccnet_buckets" -> (ccnetBuckets(_, _)),
@@ -822,6 +861,36 @@ object Curation {
       |GROUP BY doc_id, lang""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same per-doc-distinct shingles (the source_overlap CTE shape on
+    // doc_id), first-occurrence min, heaps-growth decile bound
+    "q_ngram_novelty" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents),
+         |b AS (SELECT MAX(doc_id) + 1 AS n_ids FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, sh FROM (
+         |    SELECT doc_id, unnest(CASE WHEN len(ts) >= $DecontamK
+         |      THEN [array_to_string(ts[i:i+${DecontamK - 1}], ' ')
+         |            for i in range(1, len(ts) - ${DecontamK - 2})]
+         |      ELSE [text] END) AS sh
+         |    FROM d)),
+         |nv AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_novel FROM (
+         |    SELECT sh, MIN(doc_id) AS doc_id FROM sh GROUP BY sh)
+         |  GROUP BY doc_id),
+         |tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+         |  FROM sh GROUP BY doc_id),
+         |per AS (
+         |  SELECT (t.doc_id * 10) // b.n_ids AS decile, t.n_grams,
+         |    COALESCE(nv.n_novel, 0) AS n_novel
+         |  FROM tot t LEFT JOIN nv USING (doc_id) CROSS JOIN b)
+         |SELECT CAST(decile AS BIGINT) AS decile,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_grams) AS BIGINT) AS n_grams,
+         |  CAST(SUM(n_novel) AS BIGINT) AS n_novel,
+         |  CAST((CAST(SUM(n_novel) AS HUGEINT) * 1000000) // SUM(n_grams)
+         |    AS BIGINT) AS novelty_e6
+         |FROM per GROUP BY decile ORDER BY decile""".stripMargin,
     // Same add-one-smoothed grid; p and q are single divisions of
     // exact integers (CAST(int AS DOUBLE), never a bare decimal
     // literal — DuckDB would make those DECIMAL), each term floored to

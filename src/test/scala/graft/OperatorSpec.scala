@@ -2040,6 +2040,74 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("ngram_novelty deciles match a local first-occurrence recompute") {
+    val docSets = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), array_distinct(
+        graft.functions.WordShingles.wordShingles(col("text"), 8)).as("s"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getSeq[String](r.fieldIndex("s")).toSet).toMap
+    val nIds = docSets.keys.max + 1
+    val firstDoc = docSets.toSeq.flatMap { case (id, s) => s.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val per = docSets.toSeq.map { case (id, s) =>
+      (id * 10 / nIds, (1L, s.size.toLong, s.count(firstDoc(_) == id).toLong))
+    }
+    val want = per.groupBy(_._1).view.mapValues { vs =>
+      val (d, g, nv) = vs.map(_._2).reduce((a, b) =>
+        (a._1 + b._1, a._2 + b._2, a._3 + b._3))
+      (d, g, nv, (BigInt(nv) * 1000000 / g).toLong)
+    }.toMap
+    val got = run("q_ngram_novelty").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == want)
+  }
+
+  test("stickiness equals a brute-force sliding-window MAU") {
+    val ud = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val byDay = ud.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val got = run("q_stickiness").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val (d0, d1) = (ud.map(_._2).min, ud.map(_._2).max)
+    assert(got.keySet == (d0 to d1).toSet)
+    (d0 to d1).foreach { d =>
+      val dau = byDay.get(d).map(_.size.toLong).getOrElse(0L)
+      val mau = (math.max(d0, d - 29) to d)
+        .flatMap(byDay.get(_).getOrElse(Set.empty)).distinct.size.toLong
+      assert(got(d) == ((dau, mau, dau * 1000000L / mau)), s"day $d")
+    }
+  }
+
+  test("price_volatility drawdown and CV2 match a local series recompute") {
+    val rows = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
+        expr("unix_micros(cast(l_shipdate as timestamp))").as("t"),
+        expr("cast(floor(l_extendedprice * 100 + 0.5) as long)").as("c"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    val got = run("q_price_volatility").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    val grouped = rows.groupBy(_._1).view
+      .mapValues(_.sortBy(x => (x._4, x._2, x._3)).map(_._5)).toMap
+    assert(got.keySet == grouped.filter(_._2.length >= 5).keySet.toSet)
+    grouped.filter(_._2.length >= 5).foreach { case (pk, cs) =>
+      val peaks = cs.scanLeft(Long.MinValue)(math.max).tail
+      val dds = peaks.zip(cs).map { case (p, c) => p - c }
+      val ddE6s = peaks.zip(cs).map { case (p, c) =>
+        (BigInt(p - c) * 1000000 / p).toLong }
+      val (n, s) = (cs.length.toLong, cs.sum)
+      val sq = cs.map(c => BigInt(c) * c).foldLeft(BigInt(0))(_ + _)
+      val cv2 = (BigInt(n) * sq * 1000000 / (BigInt(s) * s)).toLong - 1000000L
+      assert(got(pk) == ((n, s / n, cv2, dds.max, ddE6s.max)), s"part $pk")
+    }
+  }
+
   test("TopKByAvgTFIDF selects buckets and appends the location feature") {
     import spark.implicits._
     val ds = (0 until 200).map { i =>

@@ -1781,7 +1781,142 @@ object Analytics {
       .orderBy("l_partkey")
   }
 
+  /** Window-funnel horizon: all steps must land within 1 h of step 1. */
+  private val StepWinMs = 3600000L
+
+  /** q_window_funnel: the ClickHouse-style windowFunnel — how deep
+    * into signup → view → purchase each user gets with ALL steps
+    * inside [[StepWinMs]] of the signup, reported as a depth census
+    * with e6 shares of the signup cohort. The time-constrained
+    * generalization of q_funnel (which checks one step against a
+    * fixed lag): step k counts only if STRICTLY after step k−1 and
+    * within the window — equal-millisecond events don't advance the
+    * funnel, so the depth is engine-independent without an intra-ms
+    * order oracle.
+    *
+    * Scale shape: the step-k time is a per-user min-agg conditioned on
+    * step k−1, so the whole funnel is three filtered two-phase aggs
+    * chained by user-keyed equi-joins (each join input already
+    * user-partitioned — AQE reuses the partitioning); the census is a
+    * ≤3-row agg with the cohort size broadcast. No windows, no
+    * per-user event sorting. */
+  def windowFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("t"))
+      .localCheckpoint() // reused by all three step scans
+    val t1 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("t").as("t1"))
+    val t2 = ev.filter(col("event_type") === "view")
+      .join(t1, "user_id")
+      .filter(col("t") > col("t1") && col("t") <= col("t1") + StepWinMs)
+      .groupBy("user_id").agg(min("t").as("t2"))
+    val t3 = ev.filter(col("event_type") === "purchase")
+      .join(t1, "user_id").join(t2, "user_id")
+      .filter(col("t") > col("t2") && col("t") <= col("t1") + StepWinMs)
+      .groupBy("user_id").agg(min("t").as("t3"))
+    val depths = t1.join(t2, Seq("user_id"), "left")
+      .join(t3, Seq("user_id"), "left")
+      .select(col("user_id"),
+        (lit(1L) + when(col("t2").isNotNull, 1L).otherwise(0L)
+          + when(col("t3").isNotNull, 1L).otherwise(0L)).as("depth"))
+    val cohort = depths.agg(count(lit(1)).as("n_signup"))
+    depths.groupBy("depth").agg(count(lit(1)).as("n_users"))
+      .crossJoin(broadcast(cohort))
+      .withColumn("share_e6", expr("(n_users * 1000000) div n_signup"))
+      .select("depth", "n_users", "share_e6")
+      .orderBy("depth")
+  }
+
+  /** q_order_latency: order-to-first-shipment latency distribution per
+    * order priority — exact p50/p90/p99 days via the q_percentiles
+    * value-histogram kernel (latency is day-granular and bounded, so
+    * the histogram is tiny at any scale), plus exact e3 mean and max.
+    * The fulfillment-SLA report: does URGENT actually ship faster?
+    *
+    * Scale shape: ONE fact-fact equi-join on orderkey (both sides
+    * shuffle — in production both tables are bucketed on orderkey and
+    * this becomes a zero-shuffle sort-merge); lineitem pre-aggregates
+    * to its min ship day BEFORE the join (join input ∝ orders, not
+    * line items); then a (priority × distinct-latency)-sized histogram
+    * cumsum picks the rank statistics. */
+  def orderLatency(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val shipped = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"),
+        expr(s"unix_micros(cast(l_shipdate as timestamp)) div $dayUs").as("sd"))
+      .groupBy("l_orderkey").agg(min("sd").as("ship_day"))
+    val lat = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        expr(s"unix_micros(cast(o_orderdate as timestamp)) div $dayUs").as("od"))
+      .join(shipped, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderpriority"), (col("ship_day") - col("od")).as("lat"))
+    val counts = lat.groupBy("o_orderpriority", "lat")
+      .agg(count(lit(1)).as("c"))
+    val cum = counts
+      .withColumn("cum", sum("c").over(
+        Window.partitionBy("o_orderpriority").orderBy("lat")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum("c").over(Window.partitionBy("o_orderpriority")))
+    val picks = Seq(50, 90, 99).map { p =>
+      min(when(col("cum") >= expr(s"(n * $p + 99) div 100"), col("lat")))
+        .as(s"p${p}_days")
+    }
+    cum.groupBy("o_orderpriority")
+      .agg(max("n").as("n_orders"),
+        (picks :+ expr(
+          "cast((cast(sum(lat * c) as decimal(38,0)) * 1000) div max(n) as bigint)")
+          .as("mean_days_e3")
+          :+ max("lat").as("max_days")): _*)
+      .orderBy("o_orderpriority")
+  }
+
+  /** q_scd2: slowly-changing-dimension TYPE-2 history build — collapse
+    * each part's daily observed price (min unit cents per ship day)
+    * into versioned validity ranges [from_day, to_day), open versions
+    * marked to_day = −1. The warehouse-ETL classic: turn an event
+    * stream of observations into an as-was dimension a point-in-time
+    * join (q_asof_price) can consume.
+    *
+    * Scale shape: one two-phase (part, day) agg, then two windows on
+    * the SAME part-key shuffle (lag for change flags + running sum for
+    * version ids, lead for the range close) and a (part, version) agg
+    * — the sessionize idiom applied to attribute change detection.
+    * Unit cents is an integer div of exact integers (the q_elasticity
+    * rule), so version boundaries agree across engines. */
+  def scd2(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val daily = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        expr(s"unix_micros(cast(l_shipdate as timestamp)) div $dayUs").as("day"),
+        expr("""floor(l_extendedprice * 100 + 0.5)
+          | div cast(floor(l_quantity + 0.5) as bigint)"""
+          .stripMargin.replace('\n', ' ')).as("price"))
+      .groupBy("l_partkey", "day").agg(min("price").as("price_cents"))
+    val ord = Window.partitionBy("l_partkey").orderBy("day")
+    val versions = daily
+      .withColumn("prev", lag("price_cents", 1).over(ord))
+      .withColumn("chg", when(col("prev").isNull ||
+        col("prev") =!= col("price_cents"), 1L).otherwise(0L))
+      .withColumn("version", sum("chg").over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("l_partkey", "version")
+      .agg(min("price_cents").as("price_cents"),
+        min("day").as("from_day"), count(lit(1)).as("n_days"))
+    versions
+      .withColumn("to_day", coalesce(
+        lead("from_day", 1).over(
+          Window.partitionBy("l_partkey").orderBy("version")),
+        lit(-1L)))
+      .select("l_partkey", "version", "price_cents", "from_day", "to_day",
+        "n_days")
+      .orderBy("l_partkey", "version")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_funnel" -> (windowFunnel(_, _)),
+    "q_order_latency" -> (orderLatency(_, _)),
+    "q_scd2" -> (scd2(_, _)),
     "q_stickiness" -> (stickiness(_, _)),
     "q_price_volatility" -> (priceVolatility(_, _)),
     "q_interval_coverage" -> (intervalCoverage(_, _)),
@@ -1959,6 +2094,89 @@ object Analytics {
         |FROM h JOIN cuts USING (event_type)
         |GROUP BY event_type, n, p5_cents, p95_cents
         |ORDER BY event_type""".stripMargin,
+    // same chained conditional min-aggs; strict > so equal-ms events
+    // never advance the funnel
+    "q_window_funnel" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_type, epoch_ns(ts) // 1000000 AS t FROM events),
+         |t1 AS (SELECT user_id, MIN(t) AS t1 FROM ev
+         |  WHERE event_type = 'signup' GROUP BY user_id),
+         |t2 AS (SELECT ev.user_id, MIN(t) AS t2 FROM ev JOIN t1 USING (user_id)
+         |  WHERE event_type = 'view' AND t > t1 AND t <= t1 + $StepWinMs
+         |  GROUP BY ev.user_id),
+         |t3 AS (SELECT ev.user_id, MIN(t) AS t3
+         |  FROM ev JOIN t1 USING (user_id) JOIN t2 USING (user_id)
+         |  WHERE event_type = 'purchase' AND t > t2 AND t <= t1 + $StepWinMs
+         |  GROUP BY ev.user_id),
+         |depths AS (
+         |  SELECT t1.user_id,
+         |    1 + (CASE WHEN t2.t2 IS NOT NULL THEN 1 ELSE 0 END)
+         |      + (CASE WHEN t3.t3 IS NOT NULL THEN 1 ELSE 0 END) AS depth
+         |  FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)),
+         |cohort AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_signup FROM depths)
+         |SELECT CAST(depth AS BIGINT) AS depth,
+         |  CAST(COUNT(*) AS BIGINT) AS n_users,
+         |  CAST((COUNT(*) * 1000000) // n_signup AS BIGINT) AS share_e6
+         |FROM depths CROSS JOIN cohort
+         |GROUP BY depth, n_signup ORDER BY depth""".stripMargin,
+    // same histogram-cumsum rank picks; min ship day pre-agg
+    "q_order_latency" ->
+      """WITH shipped AS (
+        |  SELECT l_orderkey,
+        |    MIN(epoch_ns(l_shipdate) // 86400000000000) AS ship_day
+        |  FROM lineitem GROUP BY l_orderkey),
+        |lat AS (
+        |  SELECT o_orderpriority,
+        |    ship_day - (epoch_ns(o_orderdate) // 86400000000000) AS lat
+        |  FROM orders JOIN shipped ON l_orderkey = o_orderkey),
+        |h AS (SELECT o_orderpriority, lat, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM lat GROUP BY o_orderpriority, lat),
+        |cum AS (
+        |  SELECT o_orderpriority, lat, c,
+        |    SUM(c) OVER (PARTITION BY o_orderpriority ORDER BY lat
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(c) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM h)
+        |SELECT o_orderpriority, CAST(MAX(n) AS BIGINT) AS n_orders,
+        |  CAST(MIN(CASE WHEN cum >= (n * 50 + 99) // 100 THEN lat END) AS BIGINT)
+        |    AS p50_days,
+        |  CAST(MIN(CASE WHEN cum >= (n * 90 + 99) // 100 THEN lat END) AS BIGINT)
+        |    AS p90_days,
+        |  CAST(MIN(CASE WHEN cum >= (n * 99 + 99) // 100 THEN lat END) AS BIGINT)
+        |    AS p99_days,
+        |  CAST((CAST(SUM(lat * c) AS HUGEINT) * 1000) // MAX(n) AS BIGINT)
+        |    AS mean_days_e3,
+        |  CAST(MAX(lat) AS BIGINT) AS max_days
+        |FROM cum GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    // same lag→flag→cumsum versioning; lead closes each range
+    "q_scd2" ->
+      """WITH daily AS (
+        |  SELECT l_partkey, epoch_ns(l_shipdate) // 86400000000000 AS day,
+        |    MIN(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |      // CAST(floor(l_quantity + 0.5) AS BIGINT)) AS price_cents
+        |  FROM lineitem GROUP BY l_partkey, day),
+        |flagged AS (
+        |  SELECT l_partkey, day, price_cents,
+        |    CASE WHEN LAG(price_cents) OVER w IS NULL
+        |      OR LAG(price_cents) OVER w <> price_cents THEN 1 ELSE 0 END AS chg
+        |  FROM daily WINDOW w AS (PARTITION BY l_partkey ORDER BY day)),
+        |versioned AS (
+        |  SELECT l_partkey, day, price_cents,
+        |    SUM(chg) OVER (PARTITION BY l_partkey ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+        |  FROM flagged),
+        |ranges AS (
+        |  SELECT l_partkey, CAST(version AS BIGINT) AS version,
+        |    MIN(price_cents) AS price_cents, MIN(day) AS from_day,
+        |    CAST(COUNT(*) AS BIGINT) AS n_days
+        |  FROM versioned GROUP BY l_partkey, version)
+        |SELECT l_partkey, version, price_cents,
+        |  CAST(from_day AS BIGINT) AS from_day,
+        |  CAST(COALESCE(LEAD(from_day) OVER (PARTITION BY l_partkey
+        |    ORDER BY version), -1) AS BIGINT) AS to_day,
+        |  n_days
+        |FROM ranges ORDER BY l_partkey, version""".stripMargin,
     // same block-merge sweep + delta census; generate_series day axis
     "q_stickiness" ->
       s"""WITH ud AS (

@@ -2108,6 +2108,95 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("window_funnel depth census matches a local step walk") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), expr("unix_millis(ts)").as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val W = 3600000L
+    val byUser = ev.groupBy(_._1)
+    val depths = byUser.flatMap { case (_, rows) =>
+      val sign = rows.filter(_._2 == "signup").map(_._3)
+      if (sign.isEmpty) None
+      else {
+        val t1 = sign.min
+        val t2 = rows.filter(r => r._2 == "view" && r._3 > t1 && r._3 <= t1 + W)
+          .map(_._3).minOption
+        val t3 = t2.flatMap(v => rows
+          .filter(r => r._2 == "purchase" && r._3 > v && r._3 <= t1 + W)
+          .map(_._3).minOption)
+        Some(1 + t2.size + t3.size)
+      }
+    }.toSeq
+    val want = depths.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = depths.size.toLong
+    val got = run("q_window_funnel").collect()
+      .map(r => r.getLong(0).toInt -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (d, c) =>
+      assert(got(d) == ((c, c * 1000000L / n)), s"depth $d")
+    }
+  }
+
+  test("order_latency percentiles match local order statistics") {
+    val dayUs = 86400000000L
+    val ship = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"),
+        expr(s"unix_micros(cast(l_shipdate as timestamp)) div $dayUs").as("sd"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val lats = graft.sources.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        expr(s"unix_micros(cast(o_orderdate as timestamp)) div $dayUs").as("od"))
+      .collect()
+      .flatMap(r => ship.get(r.getLong(0))
+        .map(sd => (r.getString(1), sd - r.getLong(2)))).toSeq
+    val got = run("q_order_latency").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val want = lats.groupBy(_._1).view.mapValues { vs =>
+      val s = vs.map(_._2).sorted
+      val n = s.length.toLong
+      def pick(p: Int) = s(((n * p + 99) / 100 - 1).toInt)
+      (n, pick(50), pick(90), pick(99),
+        s.sum * 1000 / n, s.max)
+    }.toMap
+    assert(got == want.toMap)
+  }
+
+  test("scd2 ranges are consistent and match a local version walk") {
+    val dayUs = 86400000000L
+    val daily = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_partkey"),
+        expr(s"unix_micros(cast(l_shipdate as timestamp)) div $dayUs").as("day"),
+        expr("""floor(l_extendedprice * 100 + 0.5)
+          | div cast(floor(l_quantity + 0.5) as bigint)""".stripMargin
+          .replace('\n', ' ')).as("p"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      .groupBy(x => (x._1, x._2)).view.mapValues(_.map(_._3).min).toSeq
+      .map { case ((pk, d), p) => (pk, d, p) }
+    val got = run("q_scd2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    daily.groupBy(_._1).foreach { case (pk, rows) =>
+      val series = rows.sortBy(_._2).map(r => (r._2, r._3))
+      // local version walk
+      var version = 0L
+      var prev = Option.empty[Long]
+      val vers = series.map { case (d, p) =>
+        if (!prev.contains(p)) { version += 1; prev = Some(p) }
+        (version, d, p)
+      }
+      val ranges = vers.groupBy(_._1).toSeq.sortBy(_._1).map { case (v, ds) =>
+        (v, ds.map(_._3).head, ds.map(_._2).min, ds.size.toLong)
+      }
+      ranges.zipWithIndex.foreach { case ((v, p, from, nd), i) =>
+        val to = if (i == ranges.length - 1) -1L else ranges(i + 1)._3
+        assert(got((pk, v)) == ((p, from, to, nd)), s"part $pk v$v")
+      }
+      assert(got.keys.count(_._1 == pk) == ranges.length)
+    }
+  }
+
   test("TopKByAvgTFIDF selects buckets and appends the location feature") {
     import spark.implicits._
     val ds = (0 until 200).map { i =>

@@ -1913,7 +1913,106 @@ object Analytics {
       .orderBy("l_partkey", "version")
   }
 
+  /** q_period_growth: week-over-week revenue growth per brand — the
+    * reporting staple behind every trend dashboard: revenue per
+    * (brand, epoch-week), WoW delta in e6 (lag over the brand's
+    * observed weeks), and the brand's e6 share of that week's total.
+    * First observed week has no predecessor and is not reported (the
+    * q_burstiness convention — a sentinel would poison downstream
+    * sorts).
+    *
+    * Scale shape: one broadcast dim join + ONE two-phase (brand, week)
+    * agg over the corpus; both windows (brand-keyed lag, week-keyed
+    * share total) run on the catalog×weeks rollup — bounded at any
+    * data scale. Ratio scale-ups in decimal(38,0). */
+  def periodGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val weekly = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        expr(s"unix_micros(cast(l_shipdate as timestamp)) div ${dayUs * 7}")
+          .as("week"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+      .join(broadcast(Tables.part(spark, dir).select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "week").agg(sum("cents").as("rev_cents"))
+    weekly
+      .withColumn("prev", lag("rev_cents", 1).over(
+        Window.partitionBy("p_brand").orderBy("week")))
+      .withColumn("week_total", sum("rev_cents").over(
+        Window.partitionBy("week")))
+      .filter(col("prev").isNotNull)
+      .select(col("p_brand"), col("week"), col("rev_cents"),
+        expr("""cast((cast(rev_cents - prev as decimal(38,0)) * 1000000)
+          | div prev as bigint)""".stripMargin.replace('\n', ' ')).as("wow_e6"),
+        expr("""cast((cast(rev_cents as decimal(38,0)) * 1000000)
+          | div week_total as bigint)""".stripMargin.replace('\n', ' '))
+          .as("share_e6"))
+      .orderBy("p_brand", "week")
+  }
+
+  /** Growth-accounting month: fixed 30-day epoch buckets (exact
+    * integer math; calendar months would need tz/locale rules). */
+  private val GaMonthDays = 30L
+
+  /** q_growth_accounting: the new/retained/resurrected/churned user
+    * ledger per 30-day period (the Reforge/a16z growth-accounting
+    * identity: active(m) = new + retained + resurrected, churned(m) =
+    * active(m−1) − retained(m)) plus the quick ratio
+    * (new+resurrected)/churned in e6 (−1 while nothing has churned).
+    * The engagement decomposition q_stickiness summarizes into one
+    * number.
+    *
+    * Scale shape: distinct (user, month) is the only corpus-sized
+    * shuffle; classification is two lag/lead window columns on the
+    * user's own month sequence (rows ∝ user-months); the ledger is a
+    * month-axis-sized rollup. Churn is counted by LEAD — a user whose
+    * next active month isn't m+1 churns at m+1 — so no anti-join
+    * against the next period is needed; the final observed month
+    * cannot yet churn anyone and reports churned = 0 by construction. */
+  def growthAccounting(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val um = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr(s"unix_micros(ts) div ${dayUs * GaMonthDays}").as("m"))
+      .distinct()
+      .localCheckpoint() // reused: classification + churn emission
+    val ord = Window.partitionBy("user_id").orderBy("m")
+    val classified = um
+      .withColumn("first_m", min("m").over(
+        ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("prev_m", lag("m", 1).over(ord))
+      .select(col("m"),
+        when(col("m") === col("first_m"), 1L).otherwise(0L).as("is_new"),
+        when(col("prev_m") === col("m") - 1, 1L).otherwise(0L).as("is_retained"),
+        when(col("prev_m").isNotNull && col("prev_m") < col("m") - 1, 1L)
+          .otherwise(0L).as("is_resurrected"))
+      .groupBy("m")
+      .agg(count(lit(1)).as("n_active"), sum("is_new").as("n_new"),
+        sum("is_retained").as("n_retained"),
+        sum("is_resurrected").as("n_resurrected"))
+    val lastM = um.agg(max("m").as("last_m"))
+    val churned = um
+      .withColumn("next_m", lead("m", 1).over(ord))
+      .crossJoin(broadcast(lastM))
+      .filter((col("next_m").isNull || col("next_m") > col("m") + 1) &&
+        col("m") < col("last_m"))
+      .select((col("m") + 1).as("m"))
+      .groupBy("m").agg(count(lit(1)).as("n_churned"))
+    classified.join(churned, Seq("m"), "left")
+      .na.fill(0L, Seq("n_churned"))
+      .withColumn("quick_e6", expr(
+        """if(n_churned = 0, -1,
+          | ((n_new + n_resurrected) * 1000000) div n_churned)"""
+          .stripMargin.replace('\n', ' ')))
+      .select(col("m").as("month"), col("n_active"), col("n_new"),
+        col("n_retained"), col("n_resurrected"), col("n_churned"),
+        col("quick_e6"))
+      .orderBy("month")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_period_growth" -> (periodGrowth(_, _)),
+    "q_growth_accounting" -> (growthAccounting(_, _)),
     "q_window_funnel" -> (windowFunnel(_, _)),
     "q_order_latency" -> (orderLatency(_, _)),
     "q_scd2" -> (scd2(_, _)),
@@ -2094,6 +2193,60 @@ object Analytics {
         |FROM h JOIN cuts USING (event_type)
         |GROUP BY event_type, n, p5_cents, p95_cents
         |ORDER BY event_type""".stripMargin,
+    // same (brand, epoch-week) rollup; brand lag + week share windows
+    "q_period_growth" ->
+      """WITH weekly AS (
+        |  SELECT p_brand,
+        |    epoch_ns(l_shipdate) // (86400000000000 * 7) AS week,
+        |    CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS rev_cents
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  GROUP BY p_brand, week),
+        |w AS (
+        |  SELECT p_brand, week, rev_cents,
+        |    LAG(rev_cents) OVER (PARTITION BY p_brand ORDER BY week) AS prev,
+        |    SUM(rev_cents) OVER (PARTITION BY week) AS week_total
+        |  FROM weekly)
+        |SELECT p_brand, CAST(week AS BIGINT) AS week, rev_cents,
+        |  CAST((CAST(rev_cents - prev AS HUGEINT) * 1000000) // prev AS BIGINT)
+        |    AS wow_e6,
+        |  CAST((CAST(rev_cents AS HUGEINT) * 1000000) // week_total AS BIGINT)
+        |    AS share_e6
+        |FROM w WHERE prev IS NOT NULL
+        |ORDER BY p_brand, week""".stripMargin,
+    // same lag/lead classification; churn lands at m+1 via LEAD
+    "q_growth_accounting" ->
+      s"""WITH um AS (
+         |  SELECT DISTINCT user_id,
+         |    epoch_ns(ts) // (86400000000000 * $GaMonthDays) AS m
+         |  FROM events),
+         |cls AS (
+         |  SELECT m,
+         |    CASE WHEN m = MIN(m) OVER w THEN 1 ELSE 0 END AS is_new,
+         |    CASE WHEN LAG(m) OVER w = m - 1 THEN 1 ELSE 0 END AS is_ret,
+         |    CASE WHEN LAG(m) OVER w IS NOT NULL AND LAG(m) OVER w < m - 1
+         |      THEN 1 ELSE 0 END AS is_res,
+         |    LEAD(m) OVER w AS next_m
+         |  FROM um WINDOW w AS (PARTITION BY user_id ORDER BY m)),
+         |last AS (SELECT MAX(m) AS last_m FROM um),
+         |led AS (
+         |  SELECT m, CAST(COUNT(*) AS BIGINT) AS n_active,
+         |    CAST(SUM(is_new) AS BIGINT) AS n_new,
+         |    CAST(SUM(is_ret) AS BIGINT) AS n_retained,
+         |    CAST(SUM(is_res) AS BIGINT) AS n_resurrected
+         |  FROM cls GROUP BY m),
+         |ch AS (
+         |  SELECT m + 1 AS m, CAST(COUNT(*) AS BIGINT) AS n_churned
+         |  FROM cls CROSS JOIN last
+         |  WHERE (next_m IS NULL OR next_m > m + 1) AND m < last_m
+         |  GROUP BY m + 1)
+         |SELECT CAST(led.m AS BIGINT) AS month, n_active, n_new, n_retained,
+         |  n_resurrected, CAST(COALESCE(ch.n_churned, 0) AS BIGINT) AS n_churned,
+         |  CAST(CASE WHEN COALESCE(ch.n_churned, 0) = 0 THEN -1
+         |    ELSE ((n_new + n_resurrected) * 1000000) // ch.n_churned END
+         |    AS BIGINT) AS quick_e6
+         |FROM led LEFT JOIN ch ON ch.m = led.m
+         |ORDER BY month""".stripMargin,
     // same chained conditional min-aggs; strict > so equal-ms events
     // never advance the funnel
     "q_window_funnel" ->

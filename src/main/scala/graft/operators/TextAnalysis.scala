@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** LLM-pipeline text-analysis operators over the `documents` table:
@@ -966,7 +967,72 @@ object TextAnalysis {
         "cast((cast(n_syllables as decimal(38,0)) * 1000) div n_words as bigint)"))
       .orderBy("source", "lang")
 
+  /** q_nb_langid: a multinomial Naive Bayes language classifier
+    * trained AND applied entirely as relational algebra — no ML
+    * library, no iteration: train on even doc_ids (per-(lang, token)
+    * counts + add-one smoothing), score odd doc_ids in e3-integer log
+    * space (the q_elasticity ln-kernel convention: floor(ln·10³+0.5)
+    * per term, exact integer sums after), argmax with a pinned
+    * (score desc, lang asc) tie-break, and report the confusion
+    * matrix with e6 row shares. The TRAINED counterpart of
+    * q_lang_id's fixed heuristic — same task, model estimated from
+    * the corpus itself, quality readable off the diagonal.
+    *
+    * Scale shape: training is one two-phase (lang, token) agg; the
+    * model head (priors, totals, defaults — one row per language) and
+    * the test fan-out (langs × tokens) are catalog-bounded broadcasts;
+    * the per-token log-probability table is Zipf-bounded and joins
+    * the test tokens by EQUI-join (never broadcast — vocab grows with
+    * corpus); per-doc sums are two-phase; the only window partitions
+    * by doc_id (high-cardinality key, bounded rows per doc). */
+  def nbLangid(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val counts = train.select(col("lang"), explode(col("toks")).as("tok"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // reused: totals, vocab, and the lp table
+    val totals = counts.groupBy("lang").agg(sum("cnt").as("tot"))
+    val vocab = counts.select("tok").distinct().agg(count(lit(1)).as("v"))
+    val priors = train.groupBy("lang").agg(count(lit(1)).as("nd"))
+    val nTrain = train.agg(count(lit(1)).as("n"))
+    val model = totals.crossJoin(broadcast(vocab))
+      .join(priors, "lang").crossJoin(broadcast(nTrain))
+      .select(col("lang"), col("tot"), col("v"),
+        floor(log(col("nd").cast("double") / col("n")) * 1e3 + 0.5)
+          .cast("long").as("prior_e3"),
+        floor(log(lit(1.0) / (col("tot") + col("v"))) * 1e3 + 0.5)
+          .cast("long").as("default_e3"))
+      .localCheckpoint() // one row per language
+    val lp = counts.join(broadcast(model.select("lang", "tot", "v")), "lang")
+      .select(col("lang").as("model_lang"), col("tok"),
+        floor(log((col("cnt") + 1).cast("double") / (col("tot") + col("v")))
+          * 1e3 + 0.5).cast("long").as("lp_e3"))
+    val scored = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("lang").as("actual"),
+        explode(col("toks")).as("tok"))
+      .crossJoin(broadcast(model
+        .select(col("lang").as("model_lang"), col("default_e3"))))
+      .join(lp, Seq("model_lang", "tok"), "left")
+      .select(col("doc_id"), col("actual"), col("model_lang"),
+        coalesce(col("lp_e3"), col("default_e3")).as("c"))
+      .groupBy("doc_id", "actual", "model_lang").agg(sum("c").as("s"))
+      .join(broadcast(model.select(col("lang").as("model_lang"),
+        col("prior_e3"))), "model_lang")
+      .withColumn("score_e3", col("s") + col("prior_e3"))
+    scored
+      .withColumn("rn", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(col("score_e3").desc, col("model_lang").asc)))
+      .filter(col("rn") === 1)
+      .groupBy(col("actual"), col("model_lang").as("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("row_total", sum("n_docs").over(Window.partitionBy("actual")))
+      .withColumn("p_e6", expr("(n_docs * 1000000) div row_total"))
+      .orderBy("actual", "predicted")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_nb_langid" -> (nbLangid(_, _)),
     "q_readability" -> (readability(_, _)),
     "q_heaps_growth" -> (heapsGrowth(_, _)),
     "q_pmi" -> (pmi(_, _)),
@@ -1039,6 +1105,54 @@ object TextAnalysis {
          |ORDER BY query_id, rank""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same split/counts/smoothing; ln terms floored at e3 per the
+    // elasticity kernel; identical argmax tie-break
+    "q_nb_langid" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents),
+        |tr AS (SELECT doc_id, lang, ts FROM d WHERE doc_id % 2 = 0),
+        |counts AS (
+        |  SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM (SELECT lang, unnest(ts) AS tok FROM tr) GROUP BY lang, tok),
+        |tot AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS tot
+        |  FROM counts GROUP BY lang),
+        |voc AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM counts),
+        |pri AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS nd FROM tr GROUP BY lang),
+        |ntr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tr),
+        |model AS (
+        |  SELECT t.lang, t.tot, voc.v,
+        |    CAST(floor(ln(CAST(pri.nd AS DOUBLE) / ntr.n) * 1e3 + 0.5)
+        |      AS BIGINT) AS prior_e3,
+        |    CAST(floor(ln(1.0 / (t.tot + voc.v)) * 1e3 + 0.5)
+        |      AS BIGINT) AS default_e3
+        |  FROM tot t CROSS JOIN voc JOIN pri ON pri.lang = t.lang CROSS JOIN ntr),
+        |lp AS (
+        |  SELECT c.lang AS model_lang, c.tok,
+        |    CAST(floor(ln(CAST(c.cnt + 1 AS DOUBLE) / (m.tot + m.v)) * 1e3 + 0.5)
+        |      AS BIGINT) AS lp_e3
+        |  FROM counts c JOIN model m ON m.lang = c.lang),
+        |sc AS (
+        |  SELECT f.doc_id, f.actual, f.model_lang,
+        |    CAST(SUM(COALESCE(lp.lp_e3, f.default_e3)) AS BIGINT) AS s
+        |  FROM (
+        |    SELECT t.doc_id, t.actual, m.lang AS model_lang, t.tok, m.default_e3
+        |    FROM (SELECT doc_id, lang AS actual, unnest(ts) AS tok
+        |          FROM d WHERE doc_id % 2 = 1) t
+        |    CROSS JOIN model m) f
+        |  LEFT JOIN lp ON lp.model_lang = f.model_lang AND lp.tok = f.tok
+        |  GROUP BY f.doc_id, f.actual, f.model_lang),
+        |pred AS (
+        |  SELECT doc_id, actual, model_lang AS predicted,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY sc.s + m.prior_e3 DESC, model_lang) AS rn
+        |  FROM sc JOIN model m ON m.lang = sc.model_lang),
+        |cm AS (SELECT actual, predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM pred WHERE rn = 1 GROUP BY actual, predicted)
+        |SELECT actual, predicted, n_docs,
+        |  CAST(SUM(n_docs) OVER (PARTITION BY actual) AS BIGINT) AS row_total,
+        |  CAST((n_docs * 1000000) // SUM(n_docs) OVER (PARTITION BY actual)
+        |    AS BIGINT) AS p_e6
+        |FROM cm ORDER BY actual, predicted""".stripMargin,
     // len(regexp_extract_all) ≡ regexp_count; same per-doc e3 grade,
     // div-of-sums group ratios, HUGEINT for the scale-ups
     "q_readability" ->

@@ -2197,6 +2197,85 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("period_growth matches a local weekly recompute") {
+    val wkUs = 86400000000L * 7
+    val rows = graft.sources.Tables.lineitem(spark, sf)
+      .join(graft.sources.Tables.part(spark, sf),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"),
+        expr(s"unix_micros(cast(l_shipdate as timestamp)) div $wkUs").as("w"),
+        expr("cast(floor(l_extendedprice * 100 + 0.5) as long)").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val weekly = rows.groupBy(r => (r._1, r._2)).view.mapValues(_.map(_._3).sum).toMap
+    val weekTotal = weekly.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val got = run("q_period_growth").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val want = weekly.keys.groupBy(_._1).flatMap { case (b, ks) =>
+      val weeks = ks.map(_._2).toSeq.sorted
+      weeks.zip(weeks.drop(1)).map { case (pw, w) =>
+        val (prev, rev) = (weekly((b, pw)), weekly((b, w)))
+        (b, w) -> ((rev, BigInt(rev - prev) * 1000000 / prev,
+          BigInt(rev) * 1000000 / weekTotal(w)))
+      }
+    }.view.mapValues(t => (t._1, t._2.toLong, t._3.toLong)).toMap
+    assert(got == want)
+  }
+
+  test("growth_accounting holds the ledger identity on real data") {
+    val ledger = run("q_growth_accounting").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val months = ledger.keys.toSeq.sorted
+    months.foreach { m =>
+      val (act, nw, ret, res, ch, quick) = ledger(m)
+      assert(act == nw + ret + res, s"m$m: active = new+retained+resurrected")
+      // churned(m) = active(m-1) - retained(m) whenever m-1 was observed
+      if (ledger.contains(m - 1))
+        assert(ch == ledger(m - 1)._1 - ret, s"m$m: churn identity")
+      if (ch == 0) assert(quick == -1L)
+      else assert(quick == (nw + res) * 1000000L / ch)
+    }
+    assert(ledger(months.head)._2 == ledger(months.head)._1,
+      "first month is all-new")
+    assert(ledger(months.head)._6 == -1L, "nobody churned into the first month")
+  }
+
+  test("nb_langid confusion matrix matches a local naive-bayes recompute") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ", -1).toSeq))
+    val train = docs.filter(_._1 % 2 == 0)
+    val counts = train.flatMap { case (_, l, ts) => ts.map((l, _)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tot = counts.toSeq.groupBy(_._1._1).view
+      .mapValues(_.map(_._2).sum).toMap
+    val v = counts.keySet.map(_._2).size.toLong
+    val nd = train.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = train.length.toLong
+    val langs = nd.keys.toSeq.sorted
+    def e3(x: Double) = math.floor(x * 1e3 + 0.5).toLong
+    val prior = langs.map(l => l -> e3(math.log(nd(l).toDouble / n))).toMap
+    val dflt = langs.map(l => l -> e3(math.log(1.0 / (tot(l) + v)))).toMap
+    val preds = docs.filter(_._1 % 2 == 1).map { case (_, actual, ts) =>
+      (actual, langs.map { l =>
+        val s = ts.map(t => counts.get((l, t))
+          .map(c => e3(math.log((c + 1).toDouble / (tot(l) + v))))
+          .getOrElse(dflt(l))).sum + prior(l)
+        (l, s)
+      }.sortBy { case (l, s) => (-s, l) }.head._1)
+    }
+    val want = preds.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rowTot = preds.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val got = run("q_nb_langid").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (k @ (a, _), c) =>
+      assert(got(k) == ((c, rowTot(a), c * 1000000L / rowTot(a))), s"$k")
+    }
+  }
+
   test("TopKByAvgTFIDF selects buckets and appends the location feature") {
     import spark.implicits._
     val ds = (0 until 200).map { i =>

@@ -2010,7 +2010,59 @@ object Analytics {
       .orderBy("month")
   }
 
+  /** Attribution lookback: a purchase credits its last preceding
+    * non-purchase touch within 1 h; beyond that it is "direct".
+    * Shared with the streaming scorer (q_stream_attribution). */
+  private[graft] val AttrWinMs = 3600000L
+
+  /** q_attribution: last-touch marketing attribution — each purchase
+    * credits the user's most recent NON-purchase event (click / view /
+    * signup / error) within [[AttrWinMs]], else counts as "direct";
+    * rolled up to conversions, exact revenue cents, and e6 share per
+    * channel. The campaign-reporting classic.
+    *
+    * Scale shape: ONE shuffle by user (the window partition); the
+    * carried touch is two IGNORE-NULLS last_value frames over the
+    * pinned (t_ms, event_id) order — both read the same last matching
+    * row, so type and time can't split; the rollup is an
+    * alphabet-sized agg with the total broadcast. The per-channel
+    * finish is [[attrFinish]], SHARED with q_stream_attribution so
+    * batch and stream can never disagree. */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("t_ms").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type") =!= "purchase", col("event_type"))
+    val touchT = when(col("event_type") =!= "purchase", col("t_ms"))
+    val conv = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("t_ms"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .withColumn("src_type", last(touch, ignoreNulls = true).over(w))
+      .withColumn("src_t", last(touchT, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        when(col("src_t").isNotNull &&
+          col("t_ms") - col("src_t") <= AttrWinMs, col("src_type"))
+          .otherwise(lit("direct")).as("channel"),
+        col("cents"))
+    attrFinish(conv)
+  }
+
+  /** Channel rollup over (channel, cents) conversion rows — the
+    * shared batch/stream finish of the attribution pair. */
+  private[graft] def attrFinish(conv: DataFrame): DataFrame = {
+    val total = conv.agg(count(lit(1)).as("n_total"))
+    conv.groupBy("channel")
+      .agg(count(lit(1)).as("n_conversions"), sum("cents").as("rev_cents"))
+      .crossJoin(broadcast(total))
+      .withColumn("share_e6", expr("(n_conversions * 1000000) div n_total"))
+      .select("channel", "n_conversions", "rev_cents", "share_e6")
+      .orderBy("channel")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_attribution" -> (attribution(_, _)),
     "q_period_growth" -> (periodGrowth(_, _)),
     "q_growth_accounting" -> (growthAccounting(_, _)),
     "q_window_funnel" -> (windowFunnel(_, _)),
@@ -2193,6 +2245,32 @@ object Analytics {
         |FROM h JOIN cuts USING (event_type)
         |GROUP BY event_type, n, p5_cents, p95_cents
         |ORDER BY event_type""".stripMargin,
+    // same IGNORE NULLS carried touch over the pinned order
+    "q_attribution" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, event_type,
+         |    epoch_ns(ts) // 1000000 AS t_ms,
+         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+         |  FROM events),
+         |marked AS (
+         |  SELECT event_type, t_ms, cents,
+         |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+         |      IGNORE NULLS) OVER w AS src_type,
+         |    last_value(CASE WHEN event_type <> 'purchase' THEN t_ms END
+         |      IGNORE NULLS) OVER w AS src_t
+         |  FROM ev
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY t_ms, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         |conv AS (
+         |  SELECT CASE WHEN src_t IS NOT NULL AND t_ms - src_t <= $AttrWinMs
+         |    THEN src_type ELSE 'direct' END AS channel, cents
+         |  FROM marked WHERE event_type = 'purchase'),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM conv)
+         |SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_conversions,
+         |  CAST(SUM(cents) AS BIGINT) AS rev_cents,
+         |  CAST((COUNT(*) * 1000000) // n_total AS BIGINT) AS share_e6
+         |FROM conv CROSS JOIN tot GROUP BY channel, n_total
+         |ORDER BY channel""".stripMargin,
     // same (brand, epoch-week) rollup; brand lag + week share windows
     "q_period_growth" ->
       """WITH weekly AS (

@@ -46,6 +46,10 @@ case class FunnelOut(user_id: Long, signup_ms: Long,
 /** Per-user last-seen event type for the streaming transition matrix. */
 case class TransState(lastType: String)
 
+/** Per-user last non-purchase touch for the streaming attributor
+  * (lastT = -1 ⇒ no touch seen yet). */
+case class AttrState(lastType: String, lastT: Long)
+
 /** Emitted summary row of the stateful last-price query. */
 case class PackState(cum: Long)
 case class PackDoc(lang: String, shard: Long, bin: Long, doc_id: Long,
@@ -803,6 +807,57 @@ object StreamingQueries {
       .orderBy("err_id", "purch_id")
   }
 
+  /** q_stream_attribution — last-touch attribution as a STREAM: the
+    * state is each user's most recent NON-purchase touch (type + time,
+    * O(1) per user — the TransState shape with a clock), every
+    * purchase credits it if within
+    * [[graft.operators.Analytics.AttrWinMs]] else counts as "direct",
+    * and conversions are APPEND-only facts the sink accumulates — no
+    * upsert needed. The channel rollup is the batch
+    * [[graft.operators.Analytics.attrFinish]] over the sink store, so
+    * stream and batch share one definition AND one oracle.
+    *
+    * Arrival contract: per-user time order across triggers (in-trigger
+    * order is sorted locally) — the q_stream_transitions contract. */
+  def streamAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val win = graft.operators.Analytics.AttrWinMs
+    val convs = eventsStream(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("t_ms"), col("event_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .as[(Long, String, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(
+        (_: Long, rows: Iterator[(Long, String, Long, Long, Long)],
+         state: GroupState[AttrState]) => {
+          val sorted = rows.toSeq.sortBy(r => (r._3, r._4))
+          var st = state.getOption.getOrElse(AttrState(null, -1L))
+          val out = sorted.flatMap { case (_, et, t, _, cents) =>
+            if (et == "purchase") {
+              val ch = if (st.lastT >= 0 && t - st.lastT <= win) st.lastType
+                else "direct"
+              Some((ch, cents))
+            } else { st = AttrState(et, t); None }
+          }
+          state.update(st)
+          out.iterator
+        })
+      .toDF("channel", "cents")
+    val store = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+    val q = convs.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.collect().foreach(r => store.add((r.getString(0), r.getLong(1))))
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    graft.operators.Analytics.attrFinish(
+      store.asScala.toSeq.toDF("channel", "cents"))
+  }
+
   /** Stateful builders registered through [[withStatePartitions]]:
     * every one of these plans at least one StateStore operator, whose
     * per-partition fixed commit cost dominates at bench key volumes
@@ -828,6 +883,7 @@ object StreamingQueries {
     "q_stream_funnel" -> stateful(streamFunnel),
     "q_stream_topk" -> stateful(streamTopK),
     "q_stream_transitions" -> stateful(streamTransitions),
+    "q_stream_attribution" -> stateful(streamAttribution),
     "q_stream_outliers" -> (streamOutliers(_, _)), // stateless scorer
     "q_stream_hll" -> stateful(streamHll))
 
@@ -843,6 +899,9 @@ object StreamingQueries {
     // the batch transition-matrix oracle VERBATIM — transFinish is
     // shared, so the converged step counts must yield the batch matrix
     "q_stream_transitions" -> graft.operators.Analytics.oracleSql("q_transitions"),
+    // the batch attribution oracle VERBATIM — attrFinish and AttrWinMs
+    // are shared, so the converged conversion log must match
+    "q_stream_attribution" -> graft.operators.Analytics.oracleSql("q_attribution"),
     // the batch interval-join oracle VERBATIM — the stream-stream join
     // must produce exactly the bucketized batch join's pairs
     "q_stream_join" -> graft.operators.Analytics.oracleSql("q_range_join"),

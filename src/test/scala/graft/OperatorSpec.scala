@@ -2276,6 +2276,36 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("attribution channels match a local last-touch walk") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_millis(ts)").as("t"),
+        expr("cast(floor(value * 100 + 0.5) as long)").as("c"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    val convs = ev.groupBy(_._1).values.flatMap { rows =>
+      var last = Option.empty[(String, Long)]
+      rows.sortBy(r => (r._4, r._2)).flatMap { case (_, _, et, t, c) =>
+        if (et == "purchase") {
+          val ch = last match {
+            case Some((lt, ltt)) if t - ltt <= 3600000L => lt
+            case _ => "direct"
+          }
+          Some((ch, c))
+        } else { last = Some((et, t)); None }
+      }
+    }.toSeq
+    val n = convs.size.toLong
+    val want = convs.groupBy(_._1).view.mapValues { cs =>
+      (cs.size.toLong, cs.map(_._2).sum, cs.size.toLong * 1000000L / n)
+    }.toMap
+    val got = run("q_attribution").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == want.toMap)
+  }
+
   test("TopKByAvgTFIDF selects buckets and appends the location feature") {
     import spark.implicits._
     val ds = (0 until 200).map { i =>

@@ -254,6 +254,19 @@ class StreamingSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("streaming attribution equals the batch last-touch report row for row") {
+    // per-user O(1) touch state + append-only conversion log vs the
+    // batch IGNORE-NULLS window — attrFinish/AttrWinMs shared, so the
+    // channel rollups must be identical
+    def canon(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }.toSet
+    val batch = canon(SparkEntry.queries("q_attribution")(spark, sf).collect())
+    val stream = canon(SparkEntry.queries("q_stream_attribution")(spark, sf).collect())
+    assert(stream.nonEmpty)
+    assert(stream == batch)
+  }
+
   test("stream enrichment equals the batch dim-join rollup row for row") {
     // stream-static broadcast join + Update-mode agg vs one batch
     // join-groupBy — converged totals must be identical, and every

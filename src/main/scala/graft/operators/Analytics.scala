@@ -2061,7 +2061,80 @@ object Analytics {
       .orderBy("channel")
   }
 
+  /** Benford expected first-digit shares, e6-floored — precomputed
+    * constants (⌊log₁₀(1+1/d)·10⁶+0.5⌋) inlined into BOTH engines so
+    * no runtime float touches the oracle. */
+  private val BenfordE6 = Map(1 -> 301030L, 2 -> 176091L, 3 -> 124939L,
+    4 -> 96910L, 5 -> 79181L, 6 -> 66947L, 7 -> 57992L, 8 -> 51153L,
+    9 -> 45757L)
+
+  /** q_benford: the first-significant-digit Benford screen over line
+    * revenue cents — the classic forensic-accounting test (synthetic
+    * or manipulated amounts drift from log₁₀(1+1/d)): per digit 1-9,
+    * observed count, e6 observed share, the expected Benford e6 share,
+    * and the signed deviation. Digit extraction is string-based
+    * (first char of the exact integer cents) — no float log at
+    * runtime anywhere, so the report is bit-exact.
+    *
+    * Scale shape: map-only digit column fused into the scan, ONE
+    * 9-key two-phase agg, total broadcast. */
+  def benford(spark: SparkSession, dir: String): DataFrame = {
+    val expected = BenfordE6.toSeq.sortBy(_._1)
+      .map { case (d, e) => s"WHEN $d THEN ${e}L" }
+      .mkString("CASE digit ", " ", " END")
+    val digits = Tables.lineitem(spark, dir)
+      .select(floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+      .filter(col("cents") > 0)
+      .select(expr("cast(substring(cast(cents as string), 1, 1) as bigint)")
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = digits.agg(sum("n").as("n_total"))
+    digits.crossJoin(broadcast(total))
+      .withColumn("share_e6", expr(
+        "cast((cast(n as decimal(38,0)) * 1000000) div n_total as bigint)"))
+      .withColumn("benford_e6", expr(expected))
+      .withColumn("dev_e6", col("share_e6") - col("benford_e6"))
+      .select("digit", "n", "share_e6", "benford_e6", "dev_e6")
+      .orderBy("digit")
+  }
+
+  /** q_brand_loyalty: how concentrated is each customer's spend on
+    * their top brand — per customer the share of their (order, brand)
+    * baskets owned by the single most-bought brand, rolled into ten
+    * e6-share buckets. The loyalty-vs-promiscuity histogram a CRM
+    * reads before segment-targeted promotion.
+    *
+    * Scale shape: orderkey equi-join to reach the customer (orders
+    * side pre-projected), brand dim broadcast, distinct (customer,
+    * order, brand) baskets, then two chained two-phase aggs —
+    * (customer, brand) counts, then per-customer max vs sum (no
+    * argmax, no window: only the max COUNT matters, not which brand
+    * holds it); final ≤10-bucket rollup. */
+  def brandLoyalty(spark: SparkSession, dir: String): DataFrame = {
+    val baskets = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey")
+      .join(broadcast(Tables.part(spark, dir).select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_orderkey"), col("p_brand"))
+      .distinct()
+    val perBrand = baskets.groupBy("o_custkey", "p_brand")
+      .agg(count(lit(1)).as("nb"))
+    perBrand.groupBy("o_custkey")
+      .agg(max("nb").as("top"), sum("nb").as("tot"))
+      .withColumn("share_e6", expr(
+        "cast((cast(top as decimal(38,0)) * 1000000) div tot as bigint)"))
+      .withColumn("bucket", expr("least(share_e6 div 100000, 9)"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_customers"),
+        expr("sum(share_e6) div count(1)").as("mean_share_e6"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_benford" -> (benford(_, _)),
+    "q_brand_loyalty" -> (brandLoyalty(_, _)),
     "q_attribution" -> (attribution(_, _)),
     "q_period_growth" -> (periodGrowth(_, _)),
     "q_growth_accounting" -> (growthAccounting(_, _)),
@@ -2245,6 +2318,42 @@ object Analytics {
         |FROM h JOIN cuts USING (event_type)
         |GROUP BY event_type, n, p5_cents, p95_cents
         |ORDER BY event_type""".stripMargin,
+    // same string first digit; identical inlined e6 constants
+    "q_benford" -> {
+      val expected = BenfordE6.toSeq.sortBy(_._1)
+        .map { case (d, e) => s"WHEN $d THEN $e" }
+        .mkString("CASE digit ", " ", " END")
+      s"""WITH d AS (
+         |  SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
+         |  FROM (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+         |        FROM lineitem) WHERE cents > 0),
+         |h AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit),
+         |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM h)
+         |SELECT digit, n,
+         |  CAST((CAST(n AS HUGEINT) * 1000000) // n_total AS BIGINT) AS share_e6,
+         |  CAST($expected AS BIGINT) AS benford_e6,
+         |  CAST((CAST(n AS HUGEINT) * 1000000) // n_total AS BIGINT)
+         |    - CAST($expected AS BIGINT) AS dev_e6
+         |FROM h CROSS JOIN tot ORDER BY digit""".stripMargin
+    },
+    // same max-vs-sum concentration; 100k-wide e6 buckets capped at 9
+    "q_brand_loyalty" ->
+      """WITH baskets AS (
+        |  SELECT DISTINCT o_custkey, l_orderkey, p_brand
+        |  FROM lineitem
+        |  JOIN part ON p_partkey = l_partkey
+        |  JOIN orders ON o_orderkey = l_orderkey),
+        |pb AS (SELECT o_custkey, p_brand, CAST(COUNT(*) AS BIGINT) AS nb
+        |  FROM baskets GROUP BY o_custkey, p_brand),
+        |pc AS (
+        |  SELECT o_custkey,
+        |    CAST((CAST(MAX(nb) AS HUGEINT) * 1000000) // SUM(nb) AS BIGINT)
+        |      AS share_e6
+        |  FROM pb GROUP BY o_custkey)
+        |SELECT LEAST(share_e6 // 100000, 9) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |  CAST(SUM(share_e6) // COUNT(*) AS BIGINT) AS mean_share_e6
+        |FROM pc GROUP BY 1 ORDER BY bucket""".stripMargin,
     // same IGNORE NULLS carried touch over the pinned order
     "q_attribution" ->
       s"""WITH ev AS (

@@ -2306,6 +2306,49 @@ class OperatorSpec extends SparkSpec {
     assert(got == want.toMap)
   }
 
+  test("benford digits match a local recompute and the exact constants") {
+    val cents = graft.sources.Tables.lineitem(spark, sf)
+      .select(expr("cast(floor(l_extendedprice * 100 + 0.5) as long)").as("c"))
+      .collect().map(_.getLong(0)).filter(_ > 0)
+    val digits = cents.map(_.toString.head.asDigit.toLong)
+    val n = digits.length.toLong
+    val bf = Map(1L -> 301030L, 2L -> 176091L, 3L -> 124939L, 4L -> 96910L,
+      5L -> 79181L, 6L -> 66947L, 7L -> 57992L, 8L -> 51153L, 9L -> 45757L)
+    val want = digits.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = run("q_benford").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (d, c) =>
+      val share = c * 1000000L / n
+      assert(got(d) == ((c, share, bf(d), share - bf(d))), s"digit $d")
+    }
+    // sanity: constants are the e6-floored log10(1+1/d)
+    bf.foreach { case (d, e) =>
+      assert(math.floor(math.log10(1 + 1.0 / d) * 1e6 + 0.5).toLong == e)
+    }
+  }
+
+  test("brand_loyalty buckets match a local concentration recompute") {
+    val bk = graft.sources.Tables.lineitem(spark, sf)
+      .join(graft.sources.Tables.part(spark, sf),
+        col("l_partkey") === col("p_partkey"))
+      .join(graft.sources.Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .select("o_custkey", "l_orderkey", "p_brand").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val shares = bk.groupBy(_._1).values.map { rows =>
+      val counts = rows.groupBy(_._3).view.mapValues(_.size.toLong)
+      val (top, tot) = (counts.values.max, counts.values.sum)
+      BigInt(top) * 1000000 / tot
+    }.map(_.toLong).toSeq
+    val want = shares.groupBy(s => math.min(s / 100000, 9L)).view
+      .mapValues(ss => (ss.size.toLong, ss.sum / ss.size)).toMap
+    val got = run("q_brand_loyalty").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == want.toMap)
+  }
+
   test("TopKByAvgTFIDF selects buckets and appends the location feature") {
     import spark.implicits._
     val ds = (0 until 200).map { i =>

@@ -2132,7 +2132,87 @@ object Analytics {
       .orderBy("bucket")
   }
 
+  /** q_repeat_interval: inter-order gap distribution per market
+    * segment — days between each customer's consecutive orders, exact
+    * p50/p90 and e3 mean via the q_percentiles histogram-cumsum kernel
+    * (gaps are day-granular and bounded). The repurchase-cycle stat
+    * replenishment forecasting and churn-risk scoring both start from.
+    *
+    * Scale shape: orders alone (no fact-fact join): one shuffle by
+    * customer for the lag window, segment dim broadcast, then the
+    * (segment × distinct-gap) histogram carries the rank statistics —
+    * never a global sort of raw gaps. */
+  def repeatInterval(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val gaps = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        expr(s"unix_micros(cast(o_orderdate as timestamp)) div $dayUs").as("d"),
+        col("o_orderkey"))
+      .withColumn("gap", col("d") - lag("d", 1).over(
+        Window.partitionBy("o_custkey")
+          .orderBy(col("d").asc, col("o_orderkey").asc)))
+      .filter(col("gap").isNotNull)
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+    val counts = gaps.groupBy("c_mktsegment", "gap")
+      .agg(count(lit(1)).as("c"))
+    val cum = counts
+      .withColumn("cum", sum("c").over(
+        Window.partitionBy("c_mktsegment").orderBy("gap")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum("c").over(Window.partitionBy("c_mktsegment")))
+    cum.groupBy("c_mktsegment")
+      .agg(max("n").as("n_gaps"),
+        min(when(col("cum") >= expr("(n * 50 + 99) div 100"), col("gap")))
+          .as("p50_days"),
+        min(when(col("cum") >= expr("(n * 90 + 99) div 100"), col("gap")))
+          .as("p90_days"),
+        expr("cast((cast(sum(gap * c) as decimal(38,0)) * 1000) div max(n) as bigint)")
+          .as("mean_days_e3"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** q_cart_abandon: session-level conversion audit — of each day's
+    * browsing sessions (the EXACT q_sessionize sessions: same gap,
+    * same pinned order), how many contained a view or click but no
+    * purchase, with the abandonment rate in e6. The
+    * revenue-leak report a checkout team watches daily.
+    *
+    * Scale shape: the sessionize window (ONE user shuffle) plus a
+    * per-session any-flag agg riding the same partitioning, then a
+    * day-axis rollup. Browsing sessions only — pure error/signup
+    * sessions are not carts and are excluded from the denominator. */
+  def cartAbandon(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("user_id")
+      .orderBy(col("t_ms").asc, col("event_id").asc)
+    val sessions = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("t_ms"))
+      .withColumn("prev", lag("t_ms", 1).over(ord))
+      .withColumn("brk", when(col("prev").isNull ||
+        col("t_ms") - col("prev") >= SessionGapMs, 1L).otherwise(0L))
+      .withColumn("session_seq", sum("brk").over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_seq")
+      .agg(min("t_ms").as("start_ms"),
+        max(when(col("event_type").isin("view", "click"), 1L).otherwise(0L))
+          .as("browsed"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("purchased"))
+      .filter(col("browsed") === 1L)
+    sessions
+      .withColumn("day", expr("start_ms div 86400000"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("purchased") === 0L, 1L).otherwise(0L)).as("n_abandoned"))
+      .withColumn("abandon_e6", expr("(n_abandoned * 1000000) div n_sessions"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_repeat_interval" -> (repeatInterval(_, _)),
+    "q_cart_abandon" -> (cartAbandon(_, _)),
     "q_benford" -> (benford(_, _)),
     "q_brand_loyalty" -> (brandLoyalty(_, _)),
     "q_attribution" -> (attribution(_, _)),
@@ -2318,6 +2398,65 @@ object Analytics {
         |FROM h JOIN cuts USING (event_type)
         |GROUP BY event_type, n, p5_cents, p95_cents
         |ORDER BY event_type""".stripMargin,
+    // same per-customer lag gaps + histogram-cumsum rank picks
+    "q_repeat_interval" ->
+      """WITH g AS (
+        |  SELECT o_custkey,
+        |    d - LAG(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey)
+        |      AS gap
+        |  FROM (SELECT o_custkey, o_orderkey,
+        |          epoch_ns(o_orderdate) // 86400000000000 AS d FROM orders)),
+        |seg AS (
+        |  SELECT c_mktsegment, gap FROM g
+        |  JOIN customer ON c_custkey = o_custkey
+        |  WHERE gap IS NOT NULL),
+        |h AS (SELECT c_mktsegment, gap, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM seg GROUP BY c_mktsegment, gap),
+        |cum AS (
+        |  SELECT c_mktsegment, gap, c,
+        |    SUM(c) OVER (PARTITION BY c_mktsegment ORDER BY gap
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(c) OVER (PARTITION BY c_mktsegment) AS n
+        |  FROM h)
+        |SELECT c_mktsegment, CAST(MAX(n) AS BIGINT) AS n_gaps,
+        |  CAST(MIN(CASE WHEN cum >= (n * 50 + 99) // 100 THEN gap END) AS BIGINT)
+        |    AS p50_days,
+        |  CAST(MIN(CASE WHEN cum >= (n * 90 + 99) // 100 THEN gap END) AS BIGINT)
+        |    AS p90_days,
+        |  CAST((CAST(SUM(gap * c) AS HUGEINT) * 1000) // MAX(n) AS BIGINT)
+        |    AS mean_days_e3
+        |FROM cum GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+    // the exact q_sessionize session cut; browsing sessions only
+    "q_cart_abandon" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, event_type,
+         |    epoch_ns(ts) // 1000000 AS t_ms FROM events),
+         |marked AS (
+         |  SELECT user_id, event_id, event_type, t_ms,
+         |    CASE WHEN LAG(t_ms) OVER w IS NULL
+         |      OR t_ms - LAG(t_ms) OVER w >= $SessionGapMs THEN 1 ELSE 0 END AS brk
+         |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t_ms, event_id)),
+         |sess AS (
+         |  SELECT user_id, event_type, t_ms,
+         |    SUM(brk) OVER (PARTITION BY user_id ORDER BY t_ms, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+         |  FROM marked),
+         |per AS (
+         |  SELECT user_id, session_seq, MIN(t_ms) AS start_ms,
+         |    MAX(CASE WHEN event_type IN ('view', 'click') THEN 1 ELSE 0 END)
+         |      AS browsed,
+         |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS purchased
+         |  FROM sess GROUP BY user_id, session_seq)
+         |SELECT CAST(start_ms // 86400000 AS BIGINT) AS day,
+         |  CAST(COUNT(*) AS BIGINT) AS n_sessions,
+         |  CAST(SUM(CASE WHEN purchased = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_abandoned,
+         |  CAST((SUM(CASE WHEN purchased = 0 THEN 1 ELSE 0 END) * 1000000)
+         |    // COUNT(*) AS BIGINT) AS abandon_e6
+         |FROM per WHERE browsed = 1
+         |GROUP BY start_ms // 86400000 ORDER BY day""".stripMargin,
     // same string first digit; identical inlined e6 constants
     "q_benford" -> {
       val expected = BenfordE6.toSeq.sortBy(_._1)

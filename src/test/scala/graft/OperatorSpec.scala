@@ -2349,6 +2349,66 @@ class OperatorSpec extends SparkSpec {
     assert(got == want.toMap)
   }
 
+  test("repeat_interval percentiles match local per-customer gaps") {
+    val dayUs = 86400000000L
+    val orders = graft.sources.Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"),
+        expr(s"unix_micros(cast(o_orderdate as timestamp)) div $dayUs").as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val segs = graft.sources.Tables.customer(spark, sf)
+      .select("c_custkey", "c_mktsegment").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val gaps = orders.groupBy(_._1).toSeq.flatMap { case (ck, os) =>
+      val ds = os.sortBy(o => (o._3, o._2)).map(_._3)
+      ds.zip(ds.drop(1)).map { case (a, b) => (segs(ck), b - a) }
+    }
+    val got = run("q_repeat_interval").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    val want = gaps.groupBy(_._1).view.mapValues { vs =>
+      val s = vs.map(_._2).sorted
+      val n = s.length.toLong
+      def pick(p: Int) = s(((n * p + 99) / 100 - 1).toInt)
+      (n, pick(50), pick(90), s.sum * 1000 / n)
+    }.toMap
+    assert(got == want.toMap)
+  }
+
+  test("cart_abandon is consistent with the sessionize sessions") {
+    val sessions = run("q_sessionize").collect()
+    // rebuild browsing/purchase flags per session from raw events using
+    // the same cut, then compare the daily rollup
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_millis(ts)").as("t"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSeq
+    val daily = ev.groupBy(_._1).values.flatMap { rows =>
+      val sorted = rows.sortBy(r => (r._4, r._2))
+      var (prev, cnt) = (Long.MinValue, 0L)
+      val tagged = sorted.map { case (_, _, et, t) =>
+        if (prev == Long.MinValue || t - prev >= 300000L) cnt += 1
+        prev = t
+        (cnt, et, t)
+      }
+      tagged.groupBy(_._1).values.map { ses =>
+        (ses.map(_._3).min / 86400000L,
+          ses.exists(s => s._2 == "view" || s._2 == "click"),
+          ses.exists(_._2 == "purchase"))
+      }
+    }.filter(_._2).toSeq
+    val want = daily.groupBy(_._1).view.mapValues { ss =>
+      val n = ss.size.toLong
+      val ab = ss.count(!_._3).toLong
+      (n, ab, ab * 1000000L / n)
+    }.toMap
+    val got = run("q_cart_abandon").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == want.toMap)
+    assert(daily.size <= sessions.length, "browsing sessions ⊆ all sessions")
+  }
+
   test("TopKByAvgTFIDF selects buckets and appends the location feature") {
     import spark.implicits._
     val ds = (0 until 200).map { i =>

@@ -902,7 +902,87 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Neighbor count for the kNN label vote. */
+  private[graft] val KnnClassK = 10
+
+  /** q_hard_negatives: contrastive-training data prep — for each query
+    * vector, the top-[[K]] most similar vectors with a DIFFERENT
+    * label: the "hard negatives" a retrieval/embedding trainer mines
+    * to sharpen decision boundaries (random negatives are too easy to
+    * teach anything). Same deterministic query slice, rounding, and
+    * tie-break as q_ann_cosine, plus the label-mismatch cut.
+    *
+    * Scale shape: identical to q_ann_cosine — bounded query set
+    * broadcast over the corpus scan, per-query rank window — with the
+    * label filter applied BEFORE ranking, so negatives never compete
+    * with positives for the k slots. At corpus scale the same cut
+    * rides the LSH/IVF candidate streams instead of brute force. */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val q = emb.filter(isQuery(col("vec_id")))
+      .select(col("vec_id").as("query_id"), col("label").as("query_label"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_raw").desc, col("neg_id").asc)
+    emb.join(broadcast(q), col("label") =!= col("query_label"))
+      .select(col("query_id"), col("query_label"),
+        col("vec_id").as("neg_id"), col("label").as("neg_label"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos_raw"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("query_label"), col("neg_id"),
+        col("neg_label"),
+        (floor(col("cos_raw") * 1e6 + 0.5) / 1e6).as("cosine"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** q_knn_classify: leave-one-out k-nearest-neighbor classification
+    * over the query slice — each query's label predicted by the
+    * majority vote of its [[KnnClassK]] nearest neighbors (self
+    * excluded; ties broken votes-desc then label-asc, so the verdict
+    * is engine-independent), reported as the label confusion matrix
+    * with e6 row shares. The EXTRINSIC embedding-quality eval next to
+    * q_ann_recall's intrinsic one: recall says the index finds true
+    * neighbors, this says the geometry respects labels at all.
+    *
+    * Scale shape: the q_ann_cosine broadcast + rank window, then two
+    * label-alphabet-bounded aggs (vote count, confusion rollup) and a
+    * per-query argmax window on the query key. */
+  def knnClassify(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val q = emb.filter(isQuery(col("vec_id")))
+      .select(col("vec_id").as("query_id"), col("label").as("actual"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val neighbors = emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("actual"), col("label"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos_raw"),
+        col("vec_id"))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cos_raw").desc, col("vec_id").asc)))
+      .filter(col("rank") <= KnnClassK)
+    val votes = neighbors.groupBy("query_id", "actual", "label")
+      .agg(count(lit(1)).as("votes"))
+    val pred = votes
+      .withColumn("rn", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("votes").desc, col("label").asc)))
+      .filter(col("rn") === 1)
+    pred.groupBy(col("actual"), col("label").as("predicted"))
+      .agg(count(lit(1)).as("n_queries"))
+      .withColumn("row_total", sum("n_queries").over(
+        Window.partitionBy("actual")))
+      .withColumn("p_e6", expr("(n_queries * 1000000) div row_total"))
+      .orderBy("actual", "predicted")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hard_negatives" -> (hardNegatives(_, _)),
+    "q_knn_classify" -> (knnClassify(_, _)),
     "q_embed_outliers" -> (embedOutliers(_, _)),
     "q_feature_scale" -> (featureScale(_, _)),
     "q_ann_cosine" -> (annCosine(_, _)),
@@ -971,6 +1051,65 @@ object Similarity {
        |top AS (SELECT * FROM ranked WHERE rank <= $k)""".stripMargin
 
   private val baseOracleSql: Map[String, String] = Map(
+    // q_ann_cosine's CTE with the label-mismatch cut before ranking
+    "q_hard_negatives" ->
+      s"""WITH emb AS (
+         |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |    [CAST(x AS DOUBLE) for x in embedding] AS v
+         |  FROM embeddings),
+         |nrm AS (
+         |  SELECT vec_id, label, v,
+         |    sqrt(list_reduce([v[i] * v[i] for i in range(1, len(v) + 1)], (a, b) -> a + b)) AS nrm
+         |  FROM emb),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, q.label AS query_label,
+         |    c.vec_id AS neg_id, c.label AS neg_label,
+         |    list_reduce([q.v[i] * c.v[i] for i in range(1, len(q.v) + 1)], (a, b) -> a + b)
+         |      / (q.nrm * c.nrm) AS cos_raw
+         |  FROM nrm q JOIN nrm c ON q.vec_id % 50 = 0 AND c.label <> q.label),
+         |ranked AS (
+         |  SELECT query_id, query_label, neg_id, neg_label, cos_raw,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cos_raw DESC, neg_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, query_label, neg_id, neg_label,
+         |  floor(cos_raw * 1e6 + 0.5) / 1e6 AS cosine, rank
+         |FROM ranked WHERE rank <= $K
+         |ORDER BY query_id, rank""".stripMargin,
+    // same neighbor ranking; majority vote with (votes desc, label)
+    "q_knn_classify" ->
+      s"""WITH emb AS (
+         |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |    [CAST(x AS DOUBLE) for x in embedding] AS v
+         |  FROM embeddings),
+         |nrm AS (
+         |  SELECT vec_id, label, v,
+         |    sqrt(list_reduce([v[i] * v[i] for i in range(1, len(v) + 1)], (a, b) -> a + b)) AS nrm
+         |  FROM emb),
+         |nn AS (
+         |  SELECT query_id, actual, label FROM (
+         |    SELECT q.vec_id AS query_id, q.label AS actual, c.label,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |        list_reduce([q.v[i] * c.v[i] for i in range(1, len(q.v) + 1)], (a, b) -> a + b)
+         |          / (q.nrm * c.nrm) DESC, c.vec_id ASC) AS rank
+         |    FROM nrm q JOIN nrm c ON q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id)
+         |  WHERE rank <= $KnnClassK),
+         |votes AS (
+         |  SELECT query_id, actual, label, CAST(COUNT(*) AS BIGINT) AS votes
+         |  FROM nn GROUP BY query_id, actual, label),
+         |pred AS (
+         |  SELECT query_id, actual, label AS predicted,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY votes DESC, label ASC) AS rn
+         |  FROM votes),
+         |cm AS (
+         |  SELECT actual, predicted, CAST(COUNT(*) AS BIGINT) AS n_queries
+         |  FROM pred WHERE rn = 1 GROUP BY actual, predicted)
+         |SELECT actual, predicted, n_queries,
+         |  CAST(SUM(n_queries) OVER (PARTITION BY actual) AS BIGINT) AS row_total,
+         |  CAST((n_queries * 1000000) // SUM(n_queries) OVER (PARTITION BY actual)
+         |    AS BIGINT) AS p_e6
+         |FROM cm ORDER BY actual, predicted""".stripMargin,
     // Same e6 quantization, integer centroids, integer dist² compare.
     "q_embed_outliers" ->
       s"""WITH ve AS (

@@ -2409,6 +2409,64 @@ class OperatorSpec extends SparkSpec {
     assert(daily.size <= sessions.length, "browsing sessions ⊆ all sessions")
   }
 
+  /** Local embeddings as (id, label, vec) with left-fold dot — the
+    * same sequential order Spark's aggregate HOF evaluates in. */
+  private def localEmb(): Seq[(Long, Long, Array[Double])] =
+    graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label").cast("long"),
+        col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Double](2).toArray)).toSeq
+
+  test("hard_negatives are the top different-label neighbors") {
+    val emb = localEmb()
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val got = run("q_hard_negatives").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getInt(5).toLong))
+    got.groupBy(_._1).foreach { case (qid, rows) =>
+      val (_, ql, qv) = emb.find(_._1 == qid).get
+      assert(rows.forall(r => r._4 != ql), s"q$qid: negative shares the label")
+      assert(rows.map(_._6).sorted.sameElements(1L to rows.length))
+      val want = emb.filter(e => e._2 != ql)
+        .map(e => (e._1, math.floor(cos(qv, e._3) * 1e6 + 0.5) / 1e6))
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
+      assert(rows.sortBy(_._6).map(_._3).sameElements(want), s"q$qid")
+    }
+    assert(got.map(_._1).distinct.length == emb.count(_._1 % 50 == 0))
+  }
+
+  test("knn_classify equals a local leave-one-out majority vote") {
+    val emb = localEmb()
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val preds = emb.filter(_._1 % 50 == 0).map { case (qid, ql, qv) =>
+      val nn = emb.filter(_._1 != qid)
+        .map(e => (e._1, e._2, cos(qv, e._3)))
+        .sortBy { case (id, _, c) => (-c, id) }.take(10)
+      val vote = nn.groupBy(_._2).view.mapValues(_.size.toLong).toSeq
+        .sortBy { case (l, v) => (-v, l) }.head._1
+      (ql, vote)
+    }
+    val want = preds.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rowTot = preds.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val got = run("q_knn_classify").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (k @ (a, _), c) =>
+      assert(got(k) == ((c, rowTot(a), c * 1000000L / rowTot(a))), s"$k")
+    }
+  }
+
   test("TopKByAvgTFIDF selects buckets and appends the location feature") {
     import spark.implicits._
     val ds = (0 until 200).map { i =>

@@ -2210,7 +2210,85 @@ object Analytics {
       .orderBy("day")
   }
 
+  /** q_price_gap: supplier undercut analysis per part — each part's
+    * cheapest and second-cheapest supplier offer (exact integer unit
+    * cents, div-of-sums per the q_elasticity rule), the absolute and
+    * e6-relative gap between them, and the supplier count. The
+    * procurement report behind "how contested is this part's price":
+    * a wide gap means the best offer is an outlier to re-verify, a
+    * zero gap a commodity.
+    *
+    * Scale shape: one (part, supplier) two-phase agg, then a rank
+    * window per part whose partition is bounded by suppliers-per-part
+    * (a TPC-H catalog constant) — never a global sort; the two ranked
+    * rows fold back via a conditional agg, not a self-join. Parts
+    * with one supplier have no gap and are excluded. */
+  def priceGap(spark: SparkSession, dir: String): DataFrame = {
+    val offers = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"),
+        floor(col("l_quantity") + 0.5).cast("long").as("units"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum("cents").as("cents"), sum("units").as("units"))
+      .filter(col("units") > 0)
+      .select(col("l_partkey"), col("l_suppkey"),
+        expr("cents div units").as("unit_cents"))
+    offers
+      .withColumn("rk", row_number().over(Window.partitionBy("l_partkey")
+        .orderBy(col("unit_cents").asc, col("l_suppkey").asc)))
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_suppliers"),
+        max(when(col("rk") === 1, col("unit_cents"))).as("best_cents"),
+        max(when(col("rk") === 2, col("unit_cents"))).as("second_cents"))
+      .filter(col("n_suppliers") >= 2)
+      .withColumn("gap_cents", col("second_cents") - col("best_cents"))
+      .withColumn("gap_e6", expr(
+        "cast((cast(gap_cents as decimal(38,0)) * 1000000) div best_cents as bigint)"))
+      .orderBy("l_partkey")
+  }
+
+  /** q_time_to_purchase: signup-to-first-purchase latency distribution
+    * — per epoch-week signup cohort, how many signed-up users ever
+    * purchased after signup and the exact p50/p90 conversion lag in
+    * minutes (histogram-cumsum kernel on minute-granular lags). The
+    * activation funnel's FULL distribution, where q_funnel reports
+    * only the fixed 24 h flag.
+    *
+    * Scale shape: two filtered per-user min-aggs chained by one
+    * user-keyed equi-join (the q_window_funnel shape), then the
+    * (cohort × distinct-lag-minutes) histogram carries the rank
+    * statistics. */
+  def timeToPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("t"))
+    val signup = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("t").as("t0"))
+    val lag = ev.filter(col("event_type") === "purchase")
+      .join(signup, "user_id")
+      .filter(col("t") >= col("t0"))
+      .groupBy("user_id").agg(min("t").as("tp"), min("t0").as("t0"))
+      .select(col("user_id"),
+        expr("t0 div 604800000").as("cohort_week"),
+        expr("(tp - t0) div 60000").as("lag_min"))
+    val counts = lag.groupBy("cohort_week", "lag_min")
+      .agg(count(lit(1)).as("c"))
+    val cum = counts
+      .withColumn("cum", sum("c").over(
+        Window.partitionBy("cohort_week").orderBy("lag_min")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum("c").over(Window.partitionBy("cohort_week")))
+    cum.groupBy("cohort_week")
+      .agg(max("n").as("n_converted"),
+        min(when(col("cum") >= expr("(n * 50 + 99) div 100"), col("lag_min")))
+          .as("p50_min"),
+        min(when(col("cum") >= expr("(n * 90 + 99) div 100"), col("lag_min")))
+          .as("p90_min"))
+      .orderBy("cohort_week")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_price_gap" -> (priceGap(_, _)),
+    "q_time_to_purchase" -> (timeToPurchase(_, _)),
     "q_repeat_interval" -> (repeatInterval(_, _)),
     "q_cart_abandon" -> (cartAbandon(_, _)),
     "q_benford" -> (benford(_, _)),
@@ -2398,6 +2476,58 @@ object Analytics {
         |FROM h JOIN cuts USING (event_type)
         |GROUP BY event_type, n, p5_cents, p95_cents
         |ORDER BY event_type""".stripMargin,
+    // same (part, supplier) offers + rank-2 conditional fold
+    "q_price_gap" ->
+      """WITH offers AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |      // SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS unit_cents
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey
+        |  HAVING SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)) > 0),
+        |ranked AS (
+        |  SELECT l_partkey, unit_cents,
+        |    ROW_NUMBER() OVER (PARTITION BY l_partkey
+        |      ORDER BY unit_cents, l_suppkey) AS rk
+        |  FROM offers),
+        |folded AS (
+        |  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+        |    MAX(CASE WHEN rk = 1 THEN unit_cents END) AS best_cents,
+        |    MAX(CASE WHEN rk = 2 THEN unit_cents END) AS second_cents
+        |  FROM ranked GROUP BY l_partkey)
+        |SELECT l_partkey, n_suppliers, best_cents, second_cents,
+        |  second_cents - best_cents AS gap_cents,
+        |  CAST((CAST(second_cents - best_cents AS HUGEINT) * 1000000)
+        |    // best_cents AS BIGINT) AS gap_e6
+        |FROM folded WHERE n_suppliers >= 2
+        |ORDER BY l_partkey""".stripMargin,
+    // same chained min-aggs + minute-lag histogram rank picks
+    "q_time_to_purchase" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) // 1000000 AS t FROM events),
+        |s AS (SELECT user_id, MIN(t) AS t0 FROM ev
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |lag AS (
+        |  SELECT ev.user_id, s.t0 // 604800000 AS cohort_week,
+        |    (MIN(ev.t) - s.t0) // 60000 AS lag_min
+        |  FROM ev JOIN s ON ev.user_id = s.user_id
+        |  WHERE event_type = 'purchase' AND t >= t0
+        |  GROUP BY ev.user_id, s.t0),
+        |h AS (SELECT cohort_week, lag_min, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM lag GROUP BY cohort_week, lag_min),
+        |cum AS (
+        |  SELECT cohort_week, lag_min, c,
+        |    SUM(c) OVER (PARTITION BY cohort_week ORDER BY lag_min
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(c) OVER (PARTITION BY cohort_week) AS n
+        |  FROM h)
+        |SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+        |  CAST(MAX(n) AS BIGINT) AS n_converted,
+        |  CAST(MIN(CASE WHEN cum >= (n * 50 + 99) // 100 THEN lag_min END)
+        |    AS BIGINT) AS p50_min,
+        |  CAST(MIN(CASE WHEN cum >= (n * 90 + 99) // 100 THEN lag_min END)
+        |    AS BIGINT) AS p90_min
+        |FROM cum GROUP BY cohort_week ORDER BY cohort_week""".stripMargin,
     // same per-customer lag gaps + histogram-cumsum rank picks
     "q_repeat_interval" ->
       """WITH g AS (

@@ -2467,6 +2467,56 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("price_gap equals a local two-cheapest-offer recompute") {
+    val rows = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_suppkey"),
+        expr("cast(floor(l_extendedprice * 100 + 0.5) as long)").as("c"),
+        expr("cast(floor(l_quantity + 0.5) as long)").as("u"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val offers = rows.groupBy(r => (r._1, r._2)).view.mapValues { ls =>
+      (ls.map(_._3).sum, ls.map(_._4).sum)
+    }.toSeq.collect { case ((pk, sk), (c, u)) if u > 0 => (pk, sk, c / u) }
+    val got = run("q_price_gap").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    val byPart = offers.groupBy(_._1).filter(_._2.size >= 2)
+    assert(got.keySet == byPart.keySet.toSet)
+    byPart.foreach { case (pk, os) =>
+      val sorted = os.map(o => (o._3, o._2)).sorted
+      val (best, second) = (sorted(0)._1, sorted(1)._1)
+      val gap = second - best
+      assert(got(pk) == ((os.size.toLong, best, second, gap,
+        BigInt(gap) * 1000000 / best)), s"part $pk")
+    }
+  }
+
+  test("time_to_purchase percentiles match local conversion lags") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), expr("unix_millis(ts)").as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val byUser = ev.groupBy(_._1)
+    val lags = byUser.values.flatMap { rows =>
+      val s = rows.filter(_._2 == "signup").map(_._3)
+      if (s.isEmpty) None
+      else {
+        val t0 = s.min
+        rows.filter(r => r._2 == "purchase" && r._3 >= t0).map(_._3)
+          .minOption.map(tp => (t0 / 604800000L, (tp - t0) / 60000L))
+      }
+    }.toSeq
+    val got = run("q_time_to_purchase").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val want = lags.groupBy(_._1).view.mapValues { vs =>
+      val s = vs.map(_._2).sorted
+      val n = s.length.toLong
+      def pick(p: Int) = s(((n * p + 99) / 100 - 1).toInt)
+      (n, pick(50), pick(90))
+    }.toMap
+    assert(got == want.toMap)
+  }
+
   test("TopKByAvgTFIDF selects buckets and appends the location feature") {
     import spark.implicits._
     val ds = (0 until 200).map { i =>

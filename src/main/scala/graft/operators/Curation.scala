@@ -820,7 +820,90 @@ object Curation {
       .orderBy("decile")
   }
 
+  /** q_lorenz: the Lorenz curve itself, per source — at each document
+    * decile (by ascending token count) the cumulative e6 share of
+    * documents and of token mass. The curve q_gini_tokens integrates:
+    * Gini is one number, these ten points say WHERE the inequality
+    * lives (bottom-half starvation vs top-percentile hoarding read
+    * differently for dedup/packing policy). Same [[TextAnalysis
+    * .TokenRe]] counts as the Gini, so the two never disagree.
+    *
+    * Scale shape: a (source × distinct-token-count) histogram with two
+    * cumsums over the bounded value axis — the raw docs never sort;
+    * decile picks are min-v-meeting-rank conditional aggs joined back
+    * to the histogram row (engine-safe: no struct-min ordering
+    * assumptions). */
+  def lorenz(spark: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.documents(spark, dir)
+      .select(col("source"),
+        size(regexp_extract_all(col("text"), lit(TextAnalysis.TokenRe), lit(0)))
+          .cast("long").as("v"))
+      .groupBy("source", "v").agg(count(lit(1)).as("c"))
+      .withColumn("m", col("v") * col("c"))
+    val cum = hist
+      .withColumn("cum_docs", sum("c").over(
+        Window.partitionBy("source").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cum_toks", sum("m").over(
+        Window.partitionBy("source").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum("c").over(Window.partitionBy("source")))
+      .withColumn("t", sum("m").over(Window.partitionBy("source")))
+      .filter(col("t") > 0)
+      .localCheckpoint() // reused: decile pick + cum lookup
+    val picks = cum
+      .withColumn("k", explode(array((1 to 10).map(i => lit(i.toLong)): _*)))
+      .filter(col("cum_docs") >= expr("(n * k + 9) div 10"))
+      .groupBy("source", "k").agg(min("v").as("v"))
+    picks.join(cum.select("source", "v", "cum_docs", "cum_toks", "n", "t"),
+        Seq("source", "v"))
+      .select(col("source"), col("k").as("decile"),
+        expr("cast((cast(cum_docs as decimal(38,0)) * 1000000) div n as bigint)")
+          .as("doc_share_e6"),
+        expr("cast((cast(cum_toks as decimal(38,0)) * 1000000) div t as bigint)")
+          .as("token_share_e6"))
+      .orderBy("source", "decile")
+  }
+
+  /** q_bigram_entropy: per-language conditional entropy H(next|prev)
+    * of the word bigram process, in e6 bits — the predictability
+    * number that separates formulaic/boilerplate text (low H) from
+    * diverse prose (high H), read next to q_char_entropy (chars) and
+    * q_lm_bigram (per-doc score): this is the corpus-level constant
+    * those derive from. Exact: each distinct (lang, prev, cur) pair
+    * contributes count · ⌊−log₂(c_pair/c_prev)·10⁶+0.5⌋ — integer
+    * ratio through one double log₂ (the q_elasticity kernel), then
+    * exact integer sums in decimal(38,0).
+    *
+    * Scale shape: two chained two-phase aggs on Zipf-bounded keys
+    * ((lang, prev, cur) then (lang, prev)) joined on the prev key, a
+    * language-alphabet-sized finish. No windows. */
+  def bigramEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.documents(spark, dir)
+      .select(col("lang"), split(col("text"), " ").as("arr"))
+      .select(col("lang"), explode(expr(
+        """CASE WHEN size(arr) >= 2
+          |  THEN transform(sequence(2, size(arr)),
+          |    i -> struct(element_at(arr, i - 1) AS prev, element_at(arr, i) AS cur))
+          |  ELSE array() END""".stripMargin)).as("p"))
+      .select(col("lang"), col("p.prev").as("prev"), col("p.cur").as("cur"))
+    val cb = pairs.groupBy("lang", "prev", "cur").agg(count(lit(1)).as("cpc"))
+      .localCheckpoint() // reused: prev totals + the weighted sum
+    val cp = cb.groupBy("lang", "prev").agg(sum("cpc").as("cprev"))
+    cb.join(cp, Seq("lang", "prev"))
+      .select(col("lang"), col("cpc"),
+        floor(-log2(col("cpc").cast("double") / col("cprev")) * 1e6 + 0.5)
+          .cast("long").as("b"))
+      .groupBy("lang")
+      .agg(sum("cpc").as("n_pairs"), count(lit(1)).as("n_distinct"),
+        expr("cast(sum(cast(cpc as decimal(38,0)) * b) div sum(cpc) as bigint)")
+          .as("h_bits_e6"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lorenz" -> (lorenz(_, _)),
+    "q_bigram_entropy" -> (bigramEntropy(_, _)),
     "q_ngram_novelty" -> (ngramNovelty(_, _)),
     "q_stratified_sample" -> (stratifiedSample(_, _)),
     "q_gini_tokens" -> (giniTokens(_, _)),
@@ -861,6 +944,54 @@ object Curation {
       |GROUP BY doc_id, lang""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same TokenRe histogram, two cumsums, rank picks joined back
+    "q_lorenz" ->
+      s"""WITH h AS (
+         |  SELECT source,
+         |    CAST(len(regexp_extract_all(text, '${TextAnalysis.TokenRe}')) AS BIGINT) AS v,
+         |    CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM documents GROUP BY source, v),
+         |cum AS (
+         |  SELECT source, v, c,
+         |    SUM(c) OVER w AS cum_docs, SUM(v * c) OVER w AS cum_toks,
+         |    SUM(c) OVER (PARTITION BY source) AS n,
+         |    SUM(v * c) OVER (PARTITION BY source) AS t
+         |  FROM h WINDOW w AS (PARTITION BY source ORDER BY v
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |ks AS (SELECT UNNEST(generate_series(1, 10)) AS k),
+         |picks AS (
+         |  SELECT source, k, MIN(v) AS v
+         |  FROM cum CROSS JOIN ks
+         |  WHERE t > 0 AND cum_docs >= (n * k + 9) // 10
+         |  GROUP BY source, k)
+         |SELECT p.source, CAST(p.k AS BIGINT) AS decile,
+         |  CAST((CAST(cum_docs AS HUGEINT) * 1000000) // n AS BIGINT)
+         |    AS doc_share_e6,
+         |  CAST((CAST(cum_toks AS HUGEINT) * 1000000) // t AS BIGINT)
+         |    AS token_share_e6
+         |FROM picks p JOIN cum ON cum.source = p.source AND cum.v = p.v
+         |ORDER BY p.source, decile""".stripMargin,
+    // same lateral pair expansion; per-pair floored -log2 ratio
+    "q_bigram_entropy" ->
+      """WITH d AS (
+        |  SELECT lang, string_split(text, ' ') AS arr FROM documents),
+        |pairs AS (
+        |  SELECT lang, arr[i - 1] AS prev, arr[i] AS cur
+        |  FROM d, LATERAL (SELECT unnest(generate_series(2, len(arr))) AS i)),
+        |cb AS (SELECT lang, prev, cur, CAST(COUNT(*) AS BIGINT) AS cpc
+        |  FROM pairs GROUP BY lang, prev, cur),
+        |cp AS (SELECT lang, prev, CAST(SUM(cpc) AS BIGINT) AS cprev
+        |  FROM cb GROUP BY lang, prev),
+        |term AS (
+        |  SELECT cb.lang, cb.cpc,
+        |    CAST(floor(-log2(CAST(cb.cpc AS DOUBLE) / cp.cprev) * 1e6 + 0.5)
+        |      AS BIGINT) AS b
+        |  FROM cb JOIN cp ON cp.lang = cb.lang AND cp.prev = cb.prev)
+        |SELECT lang, CAST(SUM(cpc) AS BIGINT) AS n_pairs,
+        |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |  CAST(SUM(CAST(cpc AS HUGEINT) * b) // SUM(cpc) AS BIGINT)
+        |    AS h_bits_e6
+        |FROM term GROUP BY lang ORDER BY lang""".stripMargin,
     // same per-doc-distinct shingles (the source_overlap CTE shape on
     // doc_id), first-occurrence min, heaps-growth decile bound
     "q_ngram_novelty" ->

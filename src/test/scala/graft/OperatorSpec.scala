@@ -2517,6 +2517,58 @@ class OperatorSpec extends SparkSpec {
     assert(got == want.toMap)
   }
 
+  test("lorenz deciles match a local sorted-cumshare recompute") {
+    val counts = graft.sources.Tables.documents(spark, sf)
+      .select(col("source"),
+        size(regexp_extract_all(col("text"),
+          lit(graft.operators.TextAnalysis.TokenRe), lit(0))).cast("long").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val got = run("q_lorenz").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    counts.groupBy(_._1).foreach { case (src, docs) =>
+      val vs = docs.map(_._2).sorted
+      val (n, t) = (vs.length.toLong, vs.sum)
+      (1 to 10).foreach { k =>
+        val rank = (n * k + 9) / 10
+        val v = vs(rank.toInt - 1) // min value whose cum count >= rank
+        val cumDocs = vs.count(_ <= v).toLong
+        val cumToks = vs.filter(_ <= v).sum
+        assert(got((src, k.toLong)) ==
+          ((BigInt(cumDocs) * 1000000 / n).toLong,
+            (BigInt(cumToks) * 1000000 / t).toLong), s"$src decile $k")
+      }
+    }
+    got.keys.groupBy(_._1).foreach { case (_, ks) =>
+      assert(ks.map(_._2).toSeq.sorted == (1L to 10L))
+    }
+  }
+
+  test("bigram_entropy matches a local weighted-term recompute") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1).toSeq)).toSeq
+    val pairCnt = docs.flatMap { case (l, ts) =>
+      ts.zip(ts.drop(1)).map(p => (l, p._1, p._2))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val prevCnt = pairCnt.toSeq.groupBy(p => (p._1._1, p._1._2)).view
+      .mapValues(_.map(_._2).sum).toMap
+    val got = run("q_bigram_entropy").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val byLang = pairCnt.toSeq.groupBy(_._1._1)
+    assert(got.keySet == byLang.keySet)
+    byLang.foreach { case (l, ps) =>
+      val n = ps.map(_._2).sum
+      val wsum = ps.map { case ((_, p, _), c) =>
+        val b = math.floor(-(math.log(c.toDouble / prevCnt((l, p))) /
+          math.log(2.0)) * 1e6 + 0.5).toLong
+        BigInt(c) * b
+      }.sum
+      assert(got(l) == ((n, ps.size.toLong, (wsum / n).toLong)), s"lang $l")
+    }
+  }
+
   test("TopKByAvgTFIDF selects buckets and appends the location feature") {
     import spark.implicits._
     val ds = (0 until 200).map { i =>

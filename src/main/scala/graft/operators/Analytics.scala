@@ -2078,16 +2078,26 @@ object Analytics {
     *
     * Scale shape: map-only digit column fused into the scan, ONE
     * 9-key two-phase agg, total broadcast. */
-  def benford(spark: SparkSession, dir: String): DataFrame = {
-    val expected = BenfordE6.toSeq.sortBy(_._1)
-      .map { case (d, e) => s"WHEN $d THEN ${e}L" }
-      .mkString("CASE digit ", " ", " END")
-    val digits = Tables.lineitem(spark, dir)
+  def benford(spark: SparkSession, dir: String): DataFrame =
+    benfordFinish(
+      benfordDigits(Tables.lineitem(spark, dir))
+        .groupBy("digit").agg(count(lit(1)).as("n")))
+
+  /** Map-only digit extraction from a lineitem frame — shared with
+    * the streaming monitor (q_stream_benford). */
+  private[graft] def benfordDigits(lineitem: DataFrame): DataFrame =
+    lineitem
       .select(floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
       .filter(col("cents") > 0)
       .select(expr("cast(substring(cast(cents as string), 1, 1) as bigint)")
         .as("digit"))
-      .groupBy("digit").agg(count(lit(1)).as("n"))
+
+  /** Shares/expectation/deviation over a (digit, n) count store —
+    * the shared batch/stream finish of the Benford pair. */
+  private[graft] def benfordFinish(digits: DataFrame): DataFrame = {
+    val expected = BenfordE6.toSeq.sortBy(_._1)
+      .map { case (d, e) => s"WHEN $d THEN ${e}L" }
+      .mkString("CASE digit ", " ", " END")
     val total = digits.agg(sum("n").as("n_total"))
     digits.crossJoin(broadcast(total))
       .withColumn("share_e6", expr(
@@ -2286,7 +2296,51 @@ object Analytics {
       .orderBy("cohort_week")
   }
 
+  /** q_nation_flows: the customer-nation × supplier-nation trade
+    * matrix (the TPC-H Q7 "volume shipping" shape, all pairs instead
+    * of two named nations): revenue cents and line counts per flow,
+    * plus each flow's e6 share of its customer nation's imports.
+    * Rounds out the reference-shape TPC-H family (Q1 q1_agg, Q3
+    * q_top_orders, Q4 q_priority_returns).
+    *
+    * Scale shape: lineitem⋈orders is the one fact-fact shuffle (both
+    * bucketed on orderkey in production → zero-shuffle SMJ);
+    * orders⋈customer and lineitem⋈supplier are keyed dim joins that
+    * co-partition on their keys (customer/supplier grow with the
+    * corpus — NEVER broadcast); the 25-row nation dim broadcasts
+    * twice for names; the matrix is ≤ nations² rows and the share
+    * window runs on it. */
+  def nationFlows(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+    val withCust = li
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+    val nation = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    withCust
+      .groupBy(col("c_nationkey"), col("s_nationkey"))
+      .agg(count(lit(1)).as("n_lines"), sum("cents").as("rev_cents"))
+      .join(broadcast(nation.select(col("n_nationkey").as("c_nationkey"),
+        col("n_name").as("cust_nation"))), "c_nationkey")
+      .join(broadcast(nation.select(col("n_nationkey").as("s_nationkey"),
+        col("n_name").as("supp_nation"))), "s_nationkey")
+      .withColumn("import_total", sum("rev_cents").over(
+        Window.partitionBy("cust_nation")))
+      .select(col("cust_nation"), col("supp_nation"), col("n_lines"),
+        col("rev_cents"),
+        expr("""cast((cast(rev_cents as decimal(38,0)) * 1000000)
+          | div import_total as bigint)""".stripMargin.replace('\n', ' '))
+          .as("share_e6"))
+      .orderBy("cust_nation", "supp_nation")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_nation_flows" -> (nationFlows(_, _)),
     "q_price_gap" -> (priceGap(_, _)),
     "q_time_to_purchase" -> (timeToPurchase(_, _)),
     "q_repeat_interval" -> (repeatInterval(_, _)),
@@ -2476,6 +2530,29 @@ object Analytics {
         |FROM h JOIN cuts USING (event_type)
         |GROUP BY event_type, n, p5_cents, p95_cents
         |ORDER BY event_type""".stripMargin,
+    // same 4-table chain + nation names + import-share window
+    "q_nation_flows" ->
+      """WITH flows AS (
+        |  SELECT c_nationkey, s_nationkey,
+        |    CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |    CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS rev_cents
+        |  FROM lineitem
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  GROUP BY c_nationkey, s_nationkey),
+        |named AS (
+        |  SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+        |    n_lines, rev_cents
+        |  FROM flows
+        |  JOIN nation cn ON cn.n_nationkey = c_nationkey
+        |  JOIN nation sn ON sn.n_nationkey = s_nationkey)
+        |SELECT cust_nation, supp_nation, n_lines, rev_cents,
+        |  CAST((CAST(rev_cents AS HUGEINT) * 1000000)
+        |    // SUM(rev_cents) OVER (PARTITION BY cust_nation) AS BIGINT)
+        |    AS share_e6
+        |FROM named ORDER BY cust_nation, supp_nation""".stripMargin,
     // same (part, supplier) offers + rank-2 conditional fold
     "q_price_gap" ->
       """WITH offers AS (

@@ -858,6 +858,36 @@ object StreamingQueries {
       store.asScala.toSeq.toDF("channel", "cents"))
   }
 
+  /** q_stream_benford — the Benford first-digit screen as a LIVE
+    * fraud monitor: the state is the 9-counter digit census (the
+    * q_stream_psi sketch-not-data shape — bounded forever,
+    * re-aggregation-insensitive), upserted per trigger; the
+    * share/expectation/deviation math runs batch-side over the
+    * 9-row store via the SHARED
+    * [[graft.operators.Analytics.benfordFinish]], with digit
+    * extraction shared via benfordDigits — so stream and batch can
+    * never disagree and the stream reuses the batch oracle verbatim. */
+  def streamBenford(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/lineitem.parquet").schema
+    val li = spark.readStream.schema(schema)
+      .parquet(stageStreamDir(dir, "lineitem"))
+    val counts = graft.operators.Analytics.benfordDigits(li)
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val store = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    val q = counts.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.collect().foreach(r => store.put(r.getLong(0), r.getLong(1)))
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    graft.operators.Analytics.benfordFinish(
+      store.asScala.toSeq.toDF("digit", "n"))
+  }
+
   /** Stateful builders registered through [[withStatePartitions]]:
     * every one of these plans at least one StateStore operator, whose
     * per-partition fixed commit cost dominates at bench key volumes
@@ -884,6 +914,7 @@ object StreamingQueries {
     "q_stream_topk" -> stateful(streamTopK),
     "q_stream_transitions" -> stateful(streamTransitions),
     "q_stream_attribution" -> stateful(streamAttribution),
+    "q_stream_benford" -> stateful(streamBenford),
     "q_stream_outliers" -> (streamOutliers(_, _)), // stateless scorer
     "q_stream_hll" -> stateful(streamHll))
 
@@ -902,6 +933,9 @@ object StreamingQueries {
     // the batch attribution oracle VERBATIM — attrFinish and AttrWinMs
     // are shared, so the converged conversion log must match
     "q_stream_attribution" -> graft.operators.Analytics.oracleSql("q_attribution"),
+    // the batch Benford oracle VERBATIM — benfordDigits/benfordFinish
+    // are shared, so the converged census must yield the batch report
+    "q_stream_benford" -> graft.operators.Analytics.oracleSql("q_benford"),
     // the batch interval-join oracle VERBATIM — the stream-stream join
     // must produce exactly the bucketized batch join's pairs
     "q_stream_join" -> graft.operators.Analytics.oracleSql("q_range_join"),

@@ -2569,6 +2569,39 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("nation_flows matrix matches a local four-table recount") {
+    val custN = graft.sources.Tables.customer(spark, sf)
+      .select("c_custkey", "c_nationkey").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val suppN = graft.sources.Tables.supplier(spark, sf)
+      .select("s_suppkey", "s_nationkey").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val names = graft.sources.Tables.nation(spark, sf)
+      .select("n_nationkey", "n_name").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val ordCust = graft.sources.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val flows = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        expr("cast(floor(l_extendedprice * 100 + 0.5) as long)").as("c"))
+      .collect()
+      .map(r => ((names(custN(ordCust(r.getLong(0)))),
+        names(suppN(r.getLong(1)))), r.getLong(2))).toSeq
+    val agg = flows.groupBy(_._1).view
+      .mapValues(vs => (vs.size.toLong, vs.map(_._2).sum)).toMap
+    val imports = agg.toSeq.groupBy(_._1._1).view
+      .mapValues(_.map(_._2._2).sum).toMap
+    val got = run("q_nation_flows").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet == agg.keySet)
+    agg.foreach { case (k @ (cn, _), (n, rev)) =>
+      assert(got(k) == ((n, rev, (BigInt(rev) * 1000000 / imports(cn)).toLong)),
+        s"$k")
+    }
+  }
+
   test("TopKByAvgTFIDF selects buckets and appends the location feature") {
     import spark.implicits._
     val ds = (0 until 200).map { i =>

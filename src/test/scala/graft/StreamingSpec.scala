@@ -267,6 +267,18 @@ class StreamingSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("streaming benford equals the batch digit census row for row") {
+    // 9-counter Update-mode census + shared benfordFinish vs the
+    // batch aggregation — must be identical
+    def canon(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    }.toSet
+    val batch = canon(SparkEntry.queries("q_benford")(spark, sf).collect())
+    val stream = canon(SparkEntry.queries("q_stream_benford")(spark, sf).collect())
+    assert(stream.nonEmpty)
+    assert(stream == batch)
+  }
+
   test("stream enrichment equals the batch dim-join rollup row for row") {
     // stream-static broadcast join + Update-mode agg vs one batch
     // join-groupBy — converged totals must be identical, and every

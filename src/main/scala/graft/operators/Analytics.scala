@@ -2339,7 +2339,62 @@ object Analytics {
       .orderBy("cust_nation", "supp_nation")
   }
 
+  /** q_discount_effect: the discount-band revenue report (the TPC-H
+    * Q6 family generalized from one band to the full curve): per
+    * discount percent, line count, gross and net revenue in EXACT
+    * integer cents (net = cents·(100−pct) div 100 per line — no float
+    * money), total units and e3 mean units per line. Reads as "does a
+    * deeper discount actually move volume".
+    *
+    * Scale shape: map-only band/net columns fused into the scan, one
+    * ≤11-key two-phase agg. */
+  def discountEffect(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(
+        floor(col("l_discount") * 100 + 0.5).cast("long").as("disc_pct"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"),
+        floor(col("l_quantity") + 0.5).cast("long").as("units"))
+      .withColumn("net_cents", expr("(cents * (100 - disc_pct)) div 100"))
+      .groupBy("disc_pct")
+      .agg(count(lit(1)).as("n_lines"),
+        sum("cents").as("gross_cents"), sum("net_cents").as("net_cents"),
+        sum("units").as("units"),
+        expr("cast((cast(sum(units) as decimal(38,0)) * 1000) div count(1) as bigint)")
+          .as("mean_units_e3"))
+      .orderBy("disc_pct")
+
+  /** q_supplier_reliability: per-supplier return-rate screen — lines,
+    * returned lines (returnflag R), exact e6 return rate, and a
+    * watch flag for suppliers running over 2× the global rate with
+    * enough volume to mean something (≥ 20 lines — a rate of 1/2 is
+    * noise, 30/60 is a problem). The vendor-quality report behind
+    * every procurement review.
+    *
+    * Scale shape: ONE two-phase agg on the supplier key + a 1-row
+    * global broadcast; no joins, no windows. */
+  def supplierReliability(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("ret"))
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n_lines"), sum("ret").as("n_returned"))
+      .withColumn("rate_e6", expr(
+        "cast((cast(n_returned as decimal(38,0)) * 1000000) div n_lines as bigint)"))
+    val global = per.agg(
+      expr("""cast((cast(sum(n_returned) as decimal(38,0)) * 1000000)
+        | div sum(n_lines) as bigint)""".stripMargin.replace('\n', ' '))
+        .as("global_e6"))
+    per.crossJoin(broadcast(global))
+      .withColumn("watch",
+        col("n_lines") >= 20L && col("rate_e6") > col("global_e6") * 2)
+      .select("l_suppkey", "n_lines", "n_returned", "rate_e6", "global_e6",
+        "watch")
+      .orderBy("l_suppkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_discount_effect" -> (discountEffect(_, _)),
+    "q_supplier_reliability" -> (supplierReliability(_, _)),
     "q_nation_flows" -> (nationFlows(_, _)),
     "q_price_gap" -> (priceGap(_, _)),
     "q_time_to_purchase" -> (timeToPurchase(_, _)),
@@ -2530,6 +2585,38 @@ object Analytics {
         |FROM h JOIN cuts USING (event_type)
         |GROUP BY event_type, n, p5_cents, p95_cents
         |ORDER BY event_type""".stripMargin,
+    // same integer net-cents per line; 11-band rollup
+    "q_discount_effect" ->
+      """WITH li AS (
+        |  SELECT CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc_pct,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+        |    CAST(floor(l_quantity + 0.5) AS BIGINT) AS units
+        |  FROM lineitem)
+        |SELECT disc_pct, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(cents) AS BIGINT) AS gross_cents,
+        |  CAST(SUM((cents * (100 - disc_pct)) // 100) AS BIGINT) AS net_cents,
+        |  CAST(SUM(units) AS BIGINT) AS units,
+        |  CAST((CAST(SUM(units) AS HUGEINT) * 1000) // COUNT(*) AS BIGINT)
+        |    AS mean_units_e3
+        |FROM li GROUP BY disc_pct ORDER BY disc_pct""".stripMargin,
+    // same supplier agg + global-rate broadcast + watch rule
+    "q_supplier_reliability" ->
+      """WITH per AS (
+        |  SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_returned
+        |  FROM lineitem GROUP BY l_suppkey),
+        |rated AS (
+        |  SELECT l_suppkey, n_lines, n_returned,
+        |    CAST((CAST(n_returned AS HUGEINT) * 1000000) // n_lines AS BIGINT)
+        |      AS rate_e6
+        |  FROM per),
+        |g AS (
+        |  SELECT CAST((CAST(SUM(n_returned) AS HUGEINT) * 1000000)
+        |    // SUM(n_lines) AS BIGINT) AS global_e6 FROM per)
+        |SELECT l_suppkey, n_lines, n_returned, rate_e6, global_e6,
+        |  n_lines >= 20 AND rate_e6 > global_e6 * 2 AS watch
+        |FROM rated CROSS JOIN g ORDER BY l_suppkey""".stripMargin,
     // same 4-table chain + nation names + import-share window
     "q_nation_flows" ->
       """WITH flows AS (

@@ -708,7 +708,40 @@ object Dedup {
     "q_dedup_simhash" -> (dedupSimhash(_, _)),
     "q_ngram_jaccard" -> (ngramJaccard(_, _)),
     "q_minhash_est" -> (minhashEst(_, _)),
+    "q_dedup_sweep" -> (dedupSweep(_, _)),
     "q_dedup_clusters" -> (dedupClusters(_, _)))
+
+  /** Thresholds for the dedup policy sweep (e6 Jaccard). */
+  private[graft] val SweepTaus: Seq[Long] = (5 to 9).map(_ * 100000L)
+
+  /** q_dedup_sweep: the dedup POLICY what-if — for each candidate
+    * threshold τ, how many verified near-dup pairs and how many
+    * distinct documents the drop stage would touch. The report that
+    * turns "pick a Jaccard cutoff" from folklore into a read of the
+    * actual curve (a cliff between 0.7 and 0.8 means the corpus has a
+    * clean dup/non-dup separation; a smooth slope means τ is a real
+    * recall/precision dial). Composes [[ngramJaccard]] verbatim —
+    * same candidates, same verification — so the sweep can never
+    * disagree with the pair table it summarizes.
+    *
+    * Scale shape: everything runs on the VERIFIED PAIR table (∝ LSH
+    * candidates, already bounded by banding + the hot-bucket cap):
+    * a 5-way threshold explode, two bounded aggs, one ≤5-row join. */
+  def dedupSweep(spark: SparkSession, dir: String): DataFrame = {
+    val hit = ngramJaccard(spark, dir)
+      .withColumn("j_e6", floor(col("n_inter").cast("double") /
+        (col("n_a") + col("n_b") - col("n_inter")) * 1e6 + 0.5).cast("long"))
+      .select("id_a", "id_b", "j_e6")
+      .withColumn("tau_e6", explode(array(SweepTaus.map(lit): _*)))
+      .filter(col("j_e6") >= col("tau_e6"))
+      .localCheckpoint() // reused: pair census + touched-doc census
+    val pairsPer = hit.groupBy("tau_e6").agg(count(lit(1)).as("n_pairs"))
+    val docsPer = hit
+      .select(col("tau_e6"), explode(array(col("id_a"), col("id_b"))).as("d"))
+      .distinct()
+      .groupBy("tau_e6").agg(count(lit(1)).as("n_docs"))
+    pairsPer.join(docsPer, Seq("tau_e6")).orderBy("tau_e6")
+  }
 
   private val shingleSql: String =
     """SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
@@ -956,6 +989,29 @@ object Dedup {
          |JOIN sh gb ON gb.doc_id = p.id_b
          |ORDER BY id_a, id_b""".stripMargin
     },
+    // pairSql + the same e6 verification, swept over the 5 thresholds
+    "q_dedup_sweep" ->
+      s"""WITH $pairSql,
+         |jac AS (
+         |  SELECT p.id_a, p.id_b,
+         |    CAST(floor(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+         |      / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+         |      * 1e6 + 0.5) AS BIGINT) AS j_e6
+         |  FROM pairs p
+         |  JOIN sh a ON p.id_a = a.doc_id
+         |  JOIN sh b ON p.id_b = b.doc_id),
+         |taus AS (SELECT UNNEST([${SweepTaus.mkString(", ")}]) AS tau_e6),
+         |hit AS (SELECT tau_e6, id_a, id_b
+         |  FROM jac CROSS JOIN taus WHERE j_e6 >= tau_e6),
+         |pp AS (SELECT tau_e6, CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |  FROM hit GROUP BY tau_e6),
+         |dd AS (SELECT tau_e6, CAST(COUNT(*) AS BIGINT) AS n_docs FROM (
+         |  SELECT DISTINCT tau_e6, d FROM (
+         |    SELECT tau_e6, id_a AS d FROM hit
+         |    UNION ALL SELECT tau_e6, id_b AS d FROM hit))
+         |  GROUP BY tau_e6)
+         |SELECT CAST(pp.tau_e6 AS BIGINT) AS tau_e6, n_pairs, n_docs
+         |FROM pp JOIN dd USING (tau_e6) ORDER BY tau_e6""".stripMargin,
     "q_ngram_jaccard" ->
       s"""WITH $pairSql
          |SELECT p.id_a, p.id_b,

@@ -2602,6 +2602,60 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("dedup_sweep is the monotone census of the verified pair table") {
+    val jac = run("q_ngram_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.floor(r.getAs[Double]("jaccard") * 1e6 + 0.5).toLong))
+    val got = run("q_dedup_sweep").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    (5 to 9).map(_ * 100000L).foreach { tau =>
+      val hits = jac.filter(_._3 >= tau)
+      if (hits.isEmpty) assert(!got.contains(tau))
+      else {
+        val docs = hits.flatMap(h => Seq(h._1, h._2)).distinct.length.toLong
+        assert(got(tau) == ((hits.length.toLong, docs)), s"tau $tau")
+      }
+    }
+    val ordered = got.toSeq.sortBy(_._1).map(_._2._1)
+    assert(ordered.zip(ordered.drop(1)).forall { case (a, b) => a >= b },
+      "pair census is monotone non-increasing in tau")
+  }
+
+  test("discount_effect bands match a local integer recompute") {
+    val rows = graft.sources.Tables.lineitem(spark, sf)
+      .select(expr("cast(floor(l_discount * 100 + 0.5) as long)").as("d"),
+        expr("cast(floor(l_extendedprice * 100 + 0.5) as long)").as("c"),
+        expr("cast(floor(l_quantity + 0.5) as long)").as("u"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = rows.groupBy(_._1).view.mapValues { ls =>
+      val n = ls.size.toLong
+      val us = ls.map(_._3).sum
+      (n, ls.map(_._2).sum, ls.map(l => l._2 * (100 - l._1) / 100).sum,
+        us, us * 1000 / n)
+    }.toMap
+    val got = run("q_discount_effect").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got == want.toMap)
+  }
+
+  test("supplier_reliability rates and watch flags match a local recount") {
+    val rows = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_suppkey"), (col("l_returnflag") === "R").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val per = rows.groupBy(_._1).view
+      .mapValues(ls => (ls.size.toLong, ls.map(_._2).sum)).toMap
+    val gl = per.values.map(_._2).sum * 1000000L / per.values.map(_._1).sum
+    val got = run("q_supplier_reliability").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))).toMap
+    assert(got.keySet == per.keySet)
+    per.foreach { case (sk, (n, ret)) =>
+      val rate = ret * 1000000L / n
+      assert(got(sk) == ((n, ret, rate, gl, n >= 20 && rate > gl * 2)), s"$sk")
+    }
+  }
+
   test("TopKByAvgTFIDF selects buckets and appends the location feature") {
     import spark.implicits._
     val ds = (0 until 200).map { i =>

@@ -2392,7 +2392,84 @@ object Analytics {
       .orderBy("l_suppkey")
   }
 
+  /** q_region_trade: the [[nationFlows]] matrix rolled up to the
+    * region level (customer region × supplier region) with an
+    * intra-region flag and e6 world-trade shares — the 25-row table a
+    * logistics planner actually reads (nation² is diagnostics, region²
+    * is policy). Puts the region dim to work: nation⋈region is the
+    * catalog-on-catalog join that stays entirely broadcast.
+    *
+    * Scale shape: identical to q_nation_flows through the fact chain
+    * (one fact-fact shuffle, keyed customer/supplier joins); the
+    * nation→region map (≤ nations rows) broadcasts twice; the matrix
+    * is ≤ regions² rows with a 1-row world total broadcast. */
+  def regionTrade(spark: SparkSession, dir: String): DataFrame = {
+    val n2r = Tables.nation(spark, dir)
+      .join(Tables.region(spark, dir),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("r_name"))
+    val flows = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n2r.select(col("n_nationkey").as("c_nationkey"),
+        col("r_name").as("cust_region"))), "c_nationkey")
+      .join(broadcast(n2r.select(col("n_nationkey").as("s_nationkey"),
+        col("r_name").as("supp_region"))), "s_nationkey")
+      .groupBy("cust_region", "supp_region")
+      .agg(count(lit(1)).as("n_lines"), sum("cents").as("rev_cents"))
+    val world = flows.agg(sum("rev_cents").as("world_cents"))
+    flows.crossJoin(broadcast(world))
+      .select(col("cust_region"), col("supp_region"),
+        (col("cust_region") === col("supp_region")).as("intra"),
+        col("n_lines"), col("rev_cents"),
+        expr("""cast((cast(rev_cents as decimal(38,0)) * 1000000)
+          | div world_cents as bigint)""".stripMargin.replace('\n', ' '))
+          .as("share_e6"))
+      .orderBy("cust_region", "supp_region")
+  }
+
+  /** q_acctbal_profile: customer account-balance health per market
+    * segment — customer count, debtors (negative balance), exact
+    * p50/p90 balance cents via the histogram-cumsum kernel (negative
+    * values order correctly — the histogram axis is just cents), and
+    * the exact mean. The credit-exposure read of the customer book,
+    * and the query that puts c_acctbal to work.
+    *
+    * Scale shape: one (segment, cents) two-phase histogram agg (cents
+    * near-unique per customer, so the histogram ≈ customer-sized —
+    * fine: it is ∝ the DIM table, not the fact table), cumsum per
+    * segment, bounded finish. */
+  def acctbalProfile(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.customer(spark, dir)
+      .select(col("c_mktsegment"),
+        floor(col("c_acctbal") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy("c_mktsegment", "cents").agg(count(lit(1)).as("c"))
+    val cum = counts
+      .withColumn("cum", sum("c").over(
+        Window.partitionBy("c_mktsegment").orderBy("cents")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum("c").over(Window.partitionBy("c_mktsegment")))
+    cum.groupBy("c_mktsegment")
+      .agg(max("n").as("n_customers"),
+        sum(when(col("cents") < 0, col("c")).otherwise(0L)).as("n_debtors"),
+        min(when(col("cum") >= expr("(n * 50 + 99) div 100"), col("cents")))
+          .as("p50_cents"),
+        min(when(col("cum") >= expr("(n * 90 + 99) div 100"), col("cents")))
+          .as("p90_cents"),
+        expr("""cast(cast(sum(cents * c) as decimal(38,0)) div max(n)
+          | as bigint)""".stripMargin.replace('\n', ' ')).as("mean_cents"))
+      .orderBy("c_mktsegment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_region_trade" -> (regionTrade(_, _)),
+    "q_acctbal_profile" -> (acctbalProfile(_, _)),
     "q_discount_effect" -> (discountEffect(_, _)),
     "q_supplier_reliability" -> (supplierReliability(_, _)),
     "q_nation_flows" -> (nationFlows(_, _)),
@@ -2585,6 +2662,54 @@ object Analytics {
         |FROM h JOIN cuts USING (event_type)
         |GROUP BY event_type, n, p5_cents, p95_cents
         |ORDER BY event_type""".stripMargin,
+    // same fact chain + nation→region broadcast rollup + world share
+    "q_region_trade" ->
+      """WITH n2r AS (
+        |  SELECT n_nationkey, r_name
+        |  FROM nation JOIN region ON r_regionkey = n_regionkey),
+        |flows AS (
+        |  SELECT cr.r_name AS cust_region, sr.r_name AS supp_region,
+        |    CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |    CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS rev_cents
+        |  FROM lineitem
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN n2r cr ON cr.n_nationkey = c_nationkey
+        |  JOIN n2r sr ON sr.n_nationkey = s_nationkey
+        |  GROUP BY cr.r_name, sr.r_name),
+        |w AS (SELECT CAST(SUM(rev_cents) AS BIGINT) AS world_cents FROM flows)
+        |SELECT cust_region, supp_region,
+        |  cust_region = supp_region AS intra, n_lines, rev_cents,
+        |  CAST((CAST(rev_cents AS HUGEINT) * 1000000) // world_cents AS BIGINT)
+        |    AS share_e6
+        |FROM flows CROSS JOIN w
+        |ORDER BY cust_region, supp_region""".stripMargin,
+    // same cents histogram + cumsum rank picks; debtors = cents < 0
+    "q_acctbal_profile" ->
+      """WITH h AS (
+        |  SELECT c_mktsegment,
+        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM customer GROUP BY c_mktsegment, cents),
+        |cum AS (
+        |  SELECT c_mktsegment, cents, c,
+        |    SUM(c) OVER (PARTITION BY c_mktsegment ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(c) OVER (PARTITION BY c_mktsegment) AS n
+        |  FROM h)
+        |SELECT c_mktsegment, CAST(MAX(n) AS BIGINT) AS n_customers,
+        |  CAST(SUM(CASE WHEN cents < 0 THEN c ELSE 0 END) AS BIGINT)
+        |    AS n_debtors,
+        |  CAST(MIN(CASE WHEN cum >= (n * 50 + 99) // 100 THEN cents END)
+        |    AS BIGINT) AS p50_cents,
+        |  CAST(MIN(CASE WHEN cum >= (n * 90 + 99) // 100 THEN cents END)
+        |    AS BIGINT) AS p90_cents,
+        |  CAST(CAST(SUM(cents * c) AS HUGEINT) // MAX(n) AS BIGINT)
+        |    AS mean_cents
+        |FROM cum GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
     // same integer net-cents per line; 11-band rollup
     "q_discount_effect" ->
       """WITH li AS (

@@ -2656,6 +2656,47 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("region_trade is the exact region rollup of nation_flows") {
+    val n2r = graft.sources.Tables.nation(spark, sf)
+      .join(graft.sources.Tables.region(spark, sf),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_name", "r_name").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val nf = run("q_nation_flows").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val want = nf.groupBy(f => (n2r(f._1), n2r(f._2))).view.mapValues { fs =>
+      (fs.map(_._3).sum, fs.map(_._4).sum)
+    }.toMap
+    val world = want.values.map(_._2).sum
+    val got = run("q_region_trade").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getBoolean(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (k @ (cr, sr), (n, rev)) =>
+      assert(got(k) == ((cr == sr, n, rev,
+        (BigInt(rev) * 1000000 / world).toLong)), s"$k")
+    }
+  }
+
+  test("acctbal_profile matches local order statistics with negatives") {
+    val rows = graft.sources.Tables.customer(spark, sf)
+      .select(col("c_mktsegment"),
+        expr("cast(floor(c_acctbal * 100 + 0.5) as long)").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val got = run("q_acctbal_profile").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    val want = rows.groupBy(_._1).view.mapValues { vs =>
+      val s = vs.map(_._2).sorted
+      val n = s.length.toLong
+      def pick(p: Int) = s(((n * p + 99) / 100 - 1).toInt)
+      val mean = BigInt(s.sum) / n // BigInt division truncates toward zero
+      (n, s.count(_ < 0).toLong, pick(50), pick(90), mean.toLong)
+    }.toMap
+    assert(got == want.toMap)
+    assert(got.values.exists(_._2 > 0), "some customers carry debt")
+  }
+
   test("TopKByAvgTFIDF selects buckets and appends the location feature") {
     import spark.implicits._
     val ds = (0 until 200).map { i =>

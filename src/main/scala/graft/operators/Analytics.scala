@@ -2467,7 +2467,71 @@ object Analytics {
       .orderBy("c_mktsegment")
   }
 
+  /** q_part_catalog: the catalog composition report per part type —
+    * part count, exact p50/p90 of p_size via the histogram-cumsum
+    * kernel, and the exact mean retail cents. The assortment overview
+    * a merchandiser reads before range planning; completes schema
+    * coverage for p_type / p_size.
+    *
+    * Scale shape: dim-table-only — one (type, size) histogram agg +
+    * bounded cumsum + type-alphabet finish. */
+  def partCatalog(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.part(spark, dir)
+      .select(col("p_type"), col("p_size").cast("long").as("sz"),
+        floor(col("p_retailprice") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy("p_type", "sz")
+      .agg(count(lit(1)).as("c"), sum("cents").as("cents"))
+    val cum = counts
+      .withColumn("cum", sum("c").over(
+        Window.partitionBy("p_type").orderBy("sz")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum("c").over(Window.partitionBy("p_type")))
+    cum.groupBy("p_type")
+      .agg(max("n").as("n_parts"),
+        min(when(col("cum") >= expr("(n * 50 + 99) div 100"), col("sz")))
+          .as("p50_size"),
+        min(when(col("cum") >= expr("(n * 90 + 99) div 100"), col("sz")))
+          .as("p90_size"),
+        expr("cast(cast(sum(cents) as decimal(38,0)) div max(n) as bigint)")
+          .as("mean_retail_cents"))
+      .orderBy("p_type")
+  }
+
+  /** q_supplier_balance: supplier credit posture per nation — count,
+    * debtors (negative balance), exact truncating mean of s_acctbal
+    * cents, and the richest supplier's name (argmax pinned by
+    * (balance desc, suppkey asc)). Completes schema coverage for
+    * s_acctbal / s_name.
+    *
+    * Scale shape: dim-table-only — one nation-keyed agg + one
+    * bounded-partition argmax window + the 25-row nation broadcast. */
+  def supplierBalance(spark: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        floor(col("s_acctbal") * 100 + 0.5).cast("long").as("cents"))
+    val top = sup
+      .withColumn("rn", row_number().over(Window.partitionBy("s_nationkey")
+        .orderBy(col("cents").desc, col("s_suppkey").asc)))
+      .filter(col("rn") === 1)
+      .select(col("s_nationkey"), col("s_name").as("top_supplier"),
+        col("cents").as("top_cents"))
+    sup.groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(when(col("cents") < 0, 1L).otherwise(0L)).as("n_debtors"),
+        expr("cast(cast(sum(cents) as decimal(38,0)) div count(1) as bigint)")
+          .as("mean_cents"))
+      .join(top, "s_nationkey")
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name").as("nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("nation", "n_suppliers", "n_debtors", "mean_cents",
+        "top_supplier", "top_cents")
+      .orderBy("nation")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_part_catalog" -> (partCatalog(_, _)),
+    "q_supplier_balance" -> (supplierBalance(_, _)),
     "q_region_trade" -> (regionTrade(_, _)),
     "q_acctbal_profile" -> (acctbalProfile(_, _)),
     "q_discount_effect" -> (discountEffect(_, _)),
@@ -2662,6 +2726,52 @@ object Analytics {
         |FROM h JOIN cuts USING (event_type)
         |GROUP BY event_type, n, p5_cents, p95_cents
         |ORDER BY event_type""".stripMargin,
+    // same (type, size) histogram + rank picks + exact mean
+    "q_part_catalog" ->
+      """WITH h AS (
+        |  SELECT p_type, CAST(p_size AS BIGINT) AS sz,
+        |    CAST(COUNT(*) AS BIGINT) AS c,
+        |    CAST(SUM(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM part GROUP BY p_type, p_size),
+        |cum AS (
+        |  SELECT p_type, sz, c, cents,
+        |    SUM(c) OVER (PARTITION BY p_type ORDER BY sz
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(c) OVER (PARTITION BY p_type) AS n
+        |  FROM h)
+        |SELECT p_type, CAST(MAX(n) AS BIGINT) AS n_parts,
+        |  CAST(MIN(CASE WHEN cum >= (n * 50 + 99) // 100 THEN sz END)
+        |    AS BIGINT) AS p50_size,
+        |  CAST(MIN(CASE WHEN cum >= (n * 90 + 99) // 100 THEN sz END)
+        |    AS BIGINT) AS p90_size,
+        |  CAST(CAST(SUM(cents) AS HUGEINT) // MAX(n) AS BIGINT)
+        |    AS mean_retail_cents
+        |FROM cum GROUP BY p_type ORDER BY p_type""".stripMargin,
+    // same nation agg + pinned richest-supplier argmax
+    "q_supplier_balance" ->
+      """WITH sup AS (
+        |  SELECT s_suppkey, s_name, s_nationkey,
+        |    CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM supplier),
+        |top AS (
+        |  SELECT s_nationkey, s_name AS top_supplier, cents AS top_cents
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY s_nationkey
+        |          ORDER BY cents DESC, s_suppkey ASC) AS rn FROM sup)
+        |  WHERE rn = 1),
+        |agg AS (
+        |  SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+        |    CAST(SUM(CASE WHEN cents < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_debtors,
+        |    CAST(CAST(SUM(cents) AS HUGEINT) // COUNT(*) AS BIGINT)
+        |      AS mean_cents
+        |  FROM sup GROUP BY s_nationkey)
+        |SELECT n.n_name AS nation, n_suppliers, n_debtors, mean_cents,
+        |  top_supplier, top_cents
+        |FROM agg
+        |JOIN top USING (s_nationkey)
+        |JOIN nation n ON n.n_nationkey = s_nationkey
+        |ORDER BY nation""".stripMargin,
     // same fact chain + nation→region broadcast rollup + world share
     "q_region_trade" ->
       """WITH n2r AS (

@@ -2697,6 +2697,44 @@ class OperatorSpec extends SparkSpec {
     assert(got.values.exists(_._2 > 0), "some customers carry debt")
   }
 
+  test("part_catalog matches local size statistics per type") {
+    val rows = graft.sources.Tables.part(spark, sf)
+      .select(col("p_type"), col("p_size").cast("long"),
+        expr("cast(floor(p_retailprice * 100 + 0.5) as long)"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val got = run("q_part_catalog").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    val want = rows.groupBy(_._1).view.mapValues { ps =>
+      val s = ps.map(_._2).sorted
+      val n = s.length.toLong
+      def pick(p: Int) = s(((n * p + 99) / 100 - 1).toInt)
+      (n, pick(50), pick(90), (BigInt(ps.map(_._3).sum) / n).toLong)
+    }.toMap
+    assert(got == want.toMap)
+  }
+
+  test("supplier_balance equals a local per-nation recount") {
+    val sup = graft.sources.Tables.supplier(spark, sf)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        expr("cast(floor(s_acctbal * 100 + 0.5) as long)").as("c"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3))).toSeq
+    val names = graft.sources.Tables.nation(spark, sf)
+      .select("n_nationkey", "n_name").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val got = run("q_supplier_balance").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getLong(5)))).toMap
+    val want = sup.groupBy(_._3).map { case (nk, ss) =>
+      val n = ss.length.toLong
+      val top = ss.sortBy(s => (-s._4, s._1)).head
+      names(nk) -> ((n, ss.count(_._4 < 0).toLong,
+        (BigInt(ss.map(_._4).sum) / n).toLong, top._2, top._4))
+    }
+    assert(got == want)
+  }
+
   test("TopKByAvgTFIDF selects buckets and appends the location feature") {
     import spark.implicits._
     val ds = (0 until 200).map { i =>

@@ -106,6 +106,13 @@ object Bench {
       s""","queries_warm":${obj(r => if (r._5) Some(r._3) else None)},"total_full":$totalFull""" +
       s""","queries_full":${obj(r => if (r._6) Some(r._4) else None)},"full_err":$fullErrs""" +
       s""","sf":"$sfDir"}""")
+    // The per-query line above grows with the suite (185+ queries × 3
+    // metrics) and any fixed-size tail capture of this process's stdout
+    // will truncate its head, losing the totals. Emit the totals AGAIN as
+    // a final compact line so the last ~200 bytes of output always parse.
+    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","cold":$total""" +
+      s""","warm":$totalWarm,"full":$totalFull,"n":${results.size}""" +
+      s""","err_count":${results.count(!_._5)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

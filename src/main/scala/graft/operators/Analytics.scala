@@ -1736,7 +1736,13 @@ object Analytics {
       .withColumn("mau", sum(coalesce(col("delta"), lit(0L))).over(mauW))
       .join(dau, Seq("day"), "left")
       .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"), col("mau"))
-      .withColumn("stickiness_e6", expr("(dau * 1000000) div mau"))
+      // a global inactivity gap longer than MauDays closes every block
+      // before the axis day, so MAU can legitimately hit 0; Spark's
+      // non-ANSI div would yield NULL while DuckDB's // need not agree —
+      // pin the undefined ratio to the -1 sentinel (the q_growth_accounting
+      // quick_e6 convention) on both engines instead
+      .withColumn("stickiness_e6",
+        expr("if(mau = 0, cast(-1 as bigint), (dau * 1000000) div mau)"))
       .orderBy("day")
   }
 
@@ -1968,7 +1974,12 @@ object Analytics {
     * month-axis-sized rollup. Churn is counted by LEAD — a user whose
     * next active month isn't m+1 churns at m+1 — so no anti-join
     * against the next period is needed; the final observed month
-    * cannot yet churn anyone and reports churned = 0 by construction. */
+    * cannot yet churn anyone and reports churned = 0 by construction.
+    * The ledger axis is the FULL min..max observed month range (the
+    * q_stickiness sequence/explode pattern), so a fully-inactive
+    * period still reports its row — zero actives WITH the churn that
+    * landed there — keeping churned(m) = active(m−1) − retained(m)
+    * true across gaps. */
   def growthAccounting(spark: SparkSession, dir: String): DataFrame = {
     val dayUs = 86400000000L
     val um = Tables.events(spark, dir)
@@ -1998,8 +2009,12 @@ object Analytics {
         col("m") < col("last_m"))
       .select((col("m") + 1).as("m"))
       .groupBy("m").agg(count(lit(1)).as("n_churned"))
-    classified.join(churned, Seq("m"), "left")
-      .na.fill(0L, Seq("n_churned"))
+    val axis = um.agg(min("m").as("m0"), max("m").as("m1"))
+      .select(explode(sequence(col("m0"), col("m1"))).as("m"))
+    axis.join(classified, Seq("m"), "left")
+      .join(churned, Seq("m"), "left")
+      .na.fill(0L, Seq("n_active", "n_new", "n_retained", "n_resurrected",
+        "n_churned"))
       .withColumn("quick_e6", expr(
         """if(n_churned = 0, -1,
           | ((n_new + n_resurrected) * 1000000) div n_churned)"""
@@ -3094,13 +3109,22 @@ object Analytics {
          |  SELECT m + 1 AS m, CAST(COUNT(*) AS BIGINT) AS n_churned
          |  FROM cls CROSS JOIN last
          |  WHERE (next_m IS NULL OR next_m > m + 1) AND m < last_m
-         |  GROUP BY m + 1)
-         |SELECT CAST(led.m AS BIGINT) AS month, n_active, n_new, n_retained,
-         |  n_resurrected, CAST(COALESCE(ch.n_churned, 0) AS BIGINT) AS n_churned,
+         |  GROUP BY m + 1),
+         |axis AS (
+         |  SELECT UNNEST(generate_series(m0, m1)) AS m
+         |  FROM (SELECT MIN(m) AS m0, MAX(m) AS m1 FROM um))
+         |SELECT CAST(axis.m AS BIGINT) AS month,
+         |  CAST(COALESCE(led.n_active, 0) AS BIGINT) AS n_active,
+         |  CAST(COALESCE(led.n_new, 0) AS BIGINT) AS n_new,
+         |  CAST(COALESCE(led.n_retained, 0) AS BIGINT) AS n_retained,
+         |  CAST(COALESCE(led.n_resurrected, 0) AS BIGINT) AS n_resurrected,
+         |  CAST(COALESCE(ch.n_churned, 0) AS BIGINT) AS n_churned,
          |  CAST(CASE WHEN COALESCE(ch.n_churned, 0) = 0 THEN -1
-         |    ELSE ((n_new + n_resurrected) * 1000000) // ch.n_churned END
+         |    ELSE ((COALESCE(led.n_new, 0) + COALESCE(led.n_resurrected, 0))
+         |      * 1000000) // ch.n_churned END
          |    AS BIGINT) AS quick_e6
-         |FROM led LEFT JOIN ch ON ch.m = led.m
+         |FROM axis LEFT JOIN led ON led.m = axis.m
+         |  LEFT JOIN ch ON ch.m = axis.m
          |ORDER BY month""".stripMargin,
     // same chained conditional min-aggs; strict > so equal-ms events
     // never advance the funnel
@@ -3219,7 +3243,8 @@ object Analytics {
          |  FROM axis a LEFT JOIN deltas dl ON dl.day = a.day)
          |SELECT CAST(m.day AS BIGINT) AS day,
          |  CAST(COALESCE(dau.dau, 0) AS BIGINT) AS dau, m.mau,
-         |  CAST((COALESCE(dau.dau, 0) * 1000000) // m.mau AS BIGINT)
+         |  CAST(CASE WHEN m.mau = 0 THEN -1
+         |    ELSE (COALESCE(dau.dau, 0) * 1000000) // m.mau END AS BIGINT)
          |    AS stickiness_e6
          |FROM mau m LEFT JOIN dau ON dau.day = m.day
          |ORDER BY day""".stripMargin,

@@ -2078,7 +2078,8 @@ class OperatorSpec extends SparkSpec {
       val dau = byDay.get(d).map(_.size.toLong).getOrElse(0L)
       val mau = (math.max(d0, d - 29) to d)
         .flatMap(byDay.get(_).getOrElse(Set.empty)).distinct.size.toLong
-      assert(got(d) == ((dau, mau, dau * 1000000L / mau)), s"day $d")
+      val se6 = if (mau == 0) -1L else dau * 1000000L / mau
+      assert(got(d) == ((dau, mau, se6)), s"day $d")
     }
   }
 
@@ -2239,6 +2240,42 @@ class OperatorSpec extends SparkSpec {
     assert(ledger(months.head)._2 == ledger(months.head)._1,
       "first month is all-new")
     assert(ledger(months.head)._6 == -1L, "nobody churned into the first month")
+  }
+
+  test("growth_accounting and stickiness survive a fully-inactive gap") {
+    // a corpus with a silent stretch longer than the 30-day period:
+    // users 1,2 in month 0, user 1 back in month 3 — months 1,2 have
+    // zero actives, and the churn of BOTH users lands in month 1. The
+    // dense driver testdata can never trigger this axis-gap path.
+    val dayUs = 86400000000L
+    val gapDir = java.nio.file.Files.createTempDirectory("graft-gap").toString
+    import spark.implicits._
+    Seq((1L, 0L), (2L, 0L), (1L, 3L * 30L * dayUs))
+      .toDF("user_id", "us")
+      .select(col("user_id"), expr("timestamp_micros(us)").as("ts"))
+      .write.mode("overwrite").parquet(s"$gapDir/events.parquet")
+    val ledger = SparkEntry.queries("q_growth_accounting")(spark, gapDir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(ledger.keySet == Set(0L, 1L, 2L, 3L), "full min..max month axis")
+    assert(ledger(0L) == ((2L, 2L, 0L, 0L, 0L, -1L)))
+    assert(ledger(1L) == ((0L, 0L, 0L, 0L, 2L, 0L)),
+      "churn lands in the zero-active month; quick = 0/2 = 0")
+    assert(ledger(2L) == ((0L, 0L, 0L, 0L, 0L, -1L)))
+    assert(ledger(3L) == ((1L, 0L, 0L, 1L, 0L, -1L)))
+    // churned(m) = active(m-1) - retained(m) now holds ACROSS the gap
+    (1L to 3L).foreach(m =>
+      assert(ledger(m)._5 == ledger(m - 1)._1 - ledger(m)._3, s"m$m"))
+    // stickiness on the same corpus: days 30..89 have MAU 0 until user
+    // 1's return at day 90 — the ratio must pin to -1, not divide by 0
+    val st = SparkEntry.queries("q_stickiness")(spark, gapDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(st.keySet == (0L to 90L).toSet)
+    assert(st(0L) == ((2L, 2L, 1000000L)))
+    (30L to 89L).foreach(d => assert(st(d) == ((0L, 0L, -1L)), s"day $d"))
+    assert(st(90L) == ((1L, 1L, 1000000L)))
   }
 
   test("nb_langid confusion matrix matches a local naive-bayes recompute") {

@@ -251,9 +251,10 @@ object StreamingQueries {
     * A funnel row is PROVISIONAL until the window closes (a user can
     * convert in a later trigger), so this is Update-mode CDC, not an
     * append log: the group emits its current row only when its state
-    * CHANGED this trigger, and the keyed sink upserts newest-wins (the
-    * q_stream_comp_per_user shape). However EVENT-TIME-ORDERED arrival
-    * splits into batches — one staged file or many — the store
+    * CHANGED this trigger, and the keyed [[TableSink]] upserts
+    * newest-wins into a partitioned table (the reference's
+    * Push2Cassandra contract). However EVENT-TIME-ORDERED arrival
+    * splits into batches — one staged file or many — the table
     * converges to the batch funnel exactly (spec-pinned; a purchase
     * arriving in an EARLIER trigger than its signup is dropped — the
     * out-of-order case needs the event-time-timeout seal described
@@ -264,14 +265,17 @@ object StreamingQueries {
     * the signup — the NoTimeout state here is two longs, already
     * minimal. */
   def streamFunnel(spark: SparkSession, dir: String): DataFrame =
-    runFunnel(spark, eventsStream(spark, dir))
+    runFunnel(spark, eventsStream(spark, dir), dir)
 
   /** The funnel pipeline over any streaming `events` source (user_id,
     * event_id, ts, event_type) — split out so the spec can drive it
-    * with a multi-file staged source and prove the upsert store
+    * with a multi-file staged source and prove the upsert table
     * converges when signup and purchase arrive in DIFFERENT triggers
-    * (in event-time order, the at-least-ordered-arrival contract). */
-  private[graft] def runFunnel(spark: SparkSession, events: DataFrame): DataFrame = {
+    * (in event-time order, the at-least-ordered-arrival contract).
+    * `sinkId` names the sink table (stable per source so reruns wipe
+    * their own previous log). */
+  private[graft] def runFunnel(spark: SparkSession, events: DataFrame,
+      sinkId: String): DataFrame = {
     import spark.implicits._
     val w = graft.operators.Analytics.FunnelWinMs
     val out = events
@@ -300,23 +304,11 @@ object StreamingQueries {
               if (st.purchaseMs >= 0) Some(st.purchaseMs - st.signupMs) else None))
           else Iterator.empty
         })
-    val store = new java.util.concurrent.ConcurrentHashMap[Long, FunnelOut]()
-    val q = out.toDF().writeStream
-      .outputMode(OutputMode.Update())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // upsert: newest row per user wins (triggers arrive in order)
-        batch.collect().foreach { r =>
-          val p = if (r.isNullAt(2)) None else Some(r.getLong(2))
-          store.put(r.getLong(0),
-            FunnelOut(r.getLong(0), r.getLong(1), p, r.getBoolean(3),
-              if (r.isNullAt(4)) None else Some(r.getLong(4))))
-        }
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    import scala.jdk.CollectionConverters._
-    store.asScala.values.toSeq.toDF().orderBy("user_id")
+    // durable keyed upsert: newest row per user wins (triggers arrive
+    // in order); executors write, the driver never collects
+    TableSink.upsert(spark, out.toDF(), Seq("user_id"), "funnel", sinkId)
+      .select("user_id", "signup_ms", "purchase_ms", "converted", "lag_ms")
+      .orderBy("user_id")
   }
 
   /** q_stream_hll — the HyperLogLog distinct sketch as a STREAM, the
@@ -488,34 +480,19 @@ object StreamingQueries {
     * Complete mode would re-emit every user ever seen on every trigger
     * (output ∝ all history, a scale-killer at 10⁹ users); Update-mode
     * output is ∝ the trigger's delta. The per-user set state is bounded
-    * by the small store alphabet. The in-memory map below stands in for
-    * the external KV sink (Cassandra/Delta MERGE) of a real deployment —
-    * it only ever receives the per-trigger updated keys, never a full
-    * re-emission. */
+    * by the small store alphabet. The keyed [[TableSink]] below is the
+    * external KV sink (the Cassandra/Delta-MERGE role) as a partitioned
+    * table — it only ever receives the per-trigger updated keys, never
+    * a full re-emission, and the driver never collects. */
   def streamCompPerUser(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val agg = eventsStream(spark, dir)
       .groupBy("user_id")
       .agg(array_sort(collect_set(col("event_type"))).as("store_set"))
       .select(col("user_id"),
         array_join(col("store_set"), ",").as("stores"),
         size(col("store_set")).cast("long").as("n_stores"))
-    val store = new java.util.concurrent.ConcurrentHashMap[Long, (String, Long)]()
-    val q = agg.writeStream
-      .outputMode(OutputMode.Update())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // upsert: newest row per key wins (batches arrive in order)
-        batch.collect().foreach { r =>
-          store.put(r.getLong(0), (r.getString(1), r.getLong(2)))
-        }
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    import scala.jdk.CollectionConverters._
-    store.asScala.toSeq
-      .map { case (u, (s, n)) => (u, s, n) }
-      .toDF("user_id", "stores", "n_stores")
+    TableSink.upsert(spark, agg, Seq("user_id"), "comp_per_user", dir)
+      .select("user_id", "stores", "n_stores")
       .orderBy("user_id")
   }
 
@@ -661,12 +638,17 @@ object StreamingQueries {
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
     val docs = spark.readStream.schema(schema)
       .parquet(stageStreamDir(dir, "documents"))
-    runPack(spark, docs)
+    runPack(spark, docs, dir)
   }
 
   /** The packing pipeline over any streaming `documents` source —
-    * split out so the spec can stage multi-trigger arrivals. */
-  private[graft] def runPack(spark: SparkSession, docs: DataFrame): DataFrame = {
+    * split out so the spec can stage multi-trigger arrivals. Per-doc
+    * bin assignments land in a keyed [[TableSink]] table (a doc's bin
+    * is assigned once and never revised, so the upsert is effectively
+    * an append — but the keyed merge makes a replayed trigger
+    * harmless); the rollup runs over the table. */
+  private[graft] def runPack(spark: SparkSession, docs: DataFrame,
+      sinkId: String): DataFrame = {
     import spark.implicits._
     val cap = graft.operators.TextAnalysis.PackCap
     val perDoc = graft.operators.TextAnalysis.packInput(docs)
@@ -685,20 +667,9 @@ object StreamingQueries {
           state.update(PackState(cum))
           out.iterator
         })
-    val store = new java.util.concurrent.ConcurrentHashMap[Long, PackDoc]()
-    val q = perDoc.toDF().writeStream
-      .outputMode(OutputMode.Update())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.collect().foreach { r =>
-          store.put(r.getLong(3), PackDoc(r.getString(0), r.getLong(1),
-            r.getLong(2), r.getLong(3), r.getLong(4)))
-        }
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    import scala.jdk.CollectionConverters._
-    graft.operators.TextAnalysis.packRollup(store.asScala.values.toSeq.toDF())
+    graft.operators.TextAnalysis.packRollup(
+      TableSink.upsert(spark, perDoc.toDF(), Seq("doc_id"), "pack", sinkId)
+        .select("lang", "shard", "bin", "doc_id", "n_tok"))
   }
 
   /** q_stream_psi — the per-source drift monitor as a STREAM: the
@@ -812,9 +783,11 @@ object StreamingQueries {
     * O(1) per user — the TransState shape with a clock), every
     * purchase credits it if within
     * [[graft.operators.Analytics.AttrWinMs]] else counts as "direct",
-    * and conversions are APPEND-only facts the sink accumulates — no
-    * upsert needed. The channel rollup is the batch
-    * [[graft.operators.Analytics.attrFinish]] over the sink store, so
+    * and conversions are APPEND-only facts the [[TableSink]] fact log
+    * accumulates — no upsert needed, no driver-side state: each
+    * trigger's conversions land as one idempotent partition write.
+    * The channel rollup is the batch
+    * [[graft.operators.Analytics.attrFinish]] over the fact table, so
     * stream and batch share one definition AND one oracle.
     *
     * Arrival contract: per-user time order across triggers (in-trigger
@@ -844,18 +817,8 @@ object StreamingQueries {
           out.iterator
         })
       .toDF("channel", "cents")
-    val store = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
-    val q = convs.writeStream
-      .outputMode(OutputMode.Update())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.collect().foreach(r => store.add((r.getString(0), r.getLong(1))))
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    import scala.jdk.CollectionConverters._
     graft.operators.Analytics.attrFinish(
-      store.asScala.toSeq.toDF("channel", "cents"))
+      TableSink.appendLog(spark, convs, "attribution", dir))
   }
 
   /** q_stream_benford — the Benford first-digit screen as a LIVE

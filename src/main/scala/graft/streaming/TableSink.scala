@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+/** Durable keyed sink for Update-mode streams — the reference's
+  * per-partition Cassandra upsert contract (streaming/Push2Cassandra
+  * .scala:24-41: each RDD partition writes its rows into a keyed
+  * Cassandra table; readers see last-write-wins per key) re-expressed
+  * as a partitioned parquet table, with no driver-side state at all.
+  *
+  * Write path (the LSM shape Cassandra itself uses): every micro-batch
+  * appends its changed rows under its own `batch=<id>` partition —
+  * executors write their partitions directly, the driver never
+  * collects. A REPLAYED batch (restart mid-commit) overwrites its own
+  * partition and nothing else, which makes the write idempotent at
+  * batch granularity — the standard exactly-once `foreachBatch`
+  * recipe. Work per trigger ∝ that trigger's changed keys (Update-mode
+  * deltas), never the table.
+  *
+  * Read path: newest-wins per key — one `row_number` over (key) by
+  * batch id descending, i.e. Cassandra's read-repair merge as a plan.
+  * Merge cost ∝ accumulated updates; a production table bounds that
+  * with periodic compaction (rewrite the merged view as `batch=<max>`,
+  * drop older partitions — the same maintenance Cassandra amortizes
+  * into its compaction threads). Partition pruning keeps a point query
+  * from touching compacted-away history.
+  *
+  * The table lives under /tmp and is wiped when the SAME query starts
+  * a fresh run (bench reruns must not merge against a previous run's
+  * batch ids, which restart at 0); a real deployment keeps one durable
+  * path per query and never wipes — batch ids are monotone under a
+  * checkpoint.
+  */
+private[graft] object TableSink {
+
+  /** One table directory per (query tag, source dir), wiped at the
+    * start of each run: this run's stream owns the table. */
+  private def freshDir(tag: String, src: String): String = {
+    val d = new java.io.File(
+      s"/tmp/graft_table_sink/${tag}_${Integer.toHexString(src.hashCode)}")
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(d)
+    d.mkdirs()
+    d.getAbsolutePath
+  }
+
+  private def runTo(dir: String, updates: DataFrame): Unit = {
+    val q = updates.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // executor-side partition write; overwrite scoped to THIS
+        // batch's partition so a replay is a no-op-equivalent
+        batch.write.mode("overwrite").parquet(s"$dir/batch=$batchId")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  private def readLog(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val any = new java.io.File(dir).listFiles()
+    if (any == null || any.isEmpty) // empty stream wrote no batch
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schema.add("batch", "long"))
+    else spark.read.option("basePath", dir).parquet(s"$dir/batch=*")
+      .withColumn("batch", col("batch").cast("long"))
+  }
+
+  /** Run `updates` (one row per changed key per trigger) into the
+    * table; return the converged newest-wins-per-key view. */
+  def upsert(spark: SparkSession, updates: DataFrame, keys: Seq[String],
+      tag: String, src: String): DataFrame = {
+    val dir = freshDir(tag, src)
+    runTo(dir, updates)
+    merged(spark, dir, keys, updates.schema)
+  }
+
+  /** The last-write-wins merged view of an upsert log. */
+  private[graft] def merged(spark: SparkSession, dir: String, keys: Seq[String],
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("batch").desc)
+    readLog(spark, dir, schema)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "batch")
+  }
+
+  /** Run `facts` (append-only rows, emitted exactly once upstream)
+    * into the table; return the full fact log. The same idempotent
+    * batch-partition write, no merge needed on read. */
+  def appendLog(spark: SparkSession, facts: DataFrame,
+      tag: String, src: String): DataFrame = {
+    val dir = freshDir(tag, src)
+    runTo(dir, facts)
+    readLog(spark, dir, facts.schema).drop("batch")
+  }
+}

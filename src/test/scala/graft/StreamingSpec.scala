@@ -350,7 +350,8 @@ class StreamingSpec extends SparkSpec {
     val src = spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(dir.getAbsolutePath)
-    val twoBatch = graft.streaming.StreamingQueries.runFunnel(spark, src).collect()
+    val twoBatch = graft.streaming.StreamingQueries
+      .runFunnel(spark, src, dir.getAbsolutePath).collect()
     def canon(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
       (r.getAs[Long]("user_id"), r.getAs[Long]("signup_ms"),
         Option(r.get(r.fieldIndex("purchase_ms"))),
@@ -407,7 +408,8 @@ class StreamingSpec extends SparkSpec {
     val src = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(dir.getAbsolutePath)
-    val twoTrigger = graft.streaming.StreamingQueries.runPack(spark, src).collect()
+    val twoTrigger = graft.streaming.StreamingQueries
+      .runPack(spark, src, dir.getAbsolutePath).collect()
     val batch = SparkEntry.queries("q_pack_sequences")(spark, sf).collect()
     assert(twoTrigger.map(_.toSeq).toSet == batch.map(_.toSeq).toSet)
   }
@@ -433,6 +435,26 @@ class StreamingSpec extends SparkSpec {
       .select("lang", "v", "s_e6", "hll_est").collect())
     assert(stream.nonEmpty)
     assert(stream == batch)
+  }
+
+  test("table sink merged view is newest-wins per key and replay-idempotent") {
+    // the durable-sink contract directly: two batch partitions with a
+    // conflicting key — the merged view keeps batch 1's row; replaying
+    // batch 1 (restart mid-commit) overwrites its own partition and
+    // changes nothing. This is what makes the foreachBatch write
+    // exactly-once-equivalent without a transactional table format.
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink_").toString
+    def write(b: Int, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("k", "v").write.mode("overwrite").parquet(s"$dir/batch=$b")
+    write(0, Seq((1L, "a"), (2L, "b")))
+    write(1, Seq((2L, "b2"), (3L, "c")))
+    def view() = graft.streaming.TableSink
+      .merged(spark, dir, Seq("k"), Seq.empty[(Long, String)].toDF("k", "v").schema)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = Set((1L, "a"), (2L, "b2"), (3L, "c"))
+    assert(view() == want)
+    write(1, Seq((2L, "b2"), (3L, "c"))) // replayed trigger
+    assert(view() == want)
   }
 
   test("stateful last-price tracking via flatMapGroupsWithState") {

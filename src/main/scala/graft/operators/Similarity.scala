@@ -369,6 +369,17 @@ object Similarity {
     * 64-dim dot each); bucket count grows 2^planes. */
   private val Planes = 8
 
+  /** OR-amplification width for [[annLshCosine]]: L independent
+    * 8-plane tables (an LSH forest; Indyk-Motwani's L-repetition
+    * dial). A true neighbor is found if ANY table collides, so recall
+    * compounds as 1-(1-r₁)^L while candidate volume grows only
+    * linearly in L — the classic recall-vs-work trade, set where the
+    * measured recall@5 on the weakly-clustered test corpus clears 0.5
+    * (single-table multiprobe measured 0.10; see AnnRecallSpec).
+    * Table 0's planes are exactly the [[Planes]] single-table set, so
+    * the one-table paths (q_dedup_embedding) are unchanged. */
+  private[operators] val LshTables = 8
+
   /** Constant ±1 Rademacher hyperplanes (n × 64), derived from
     * md5("plane<p>/<i>") first-byte parity — fixed operator parameters
     * shared verbatim with the oracle SQL (same role as the extraction
@@ -399,31 +410,71 @@ object Similarity {
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
       .withColumn("bucket", lshBucket(col("v"), planes))
 
-  /** q_ann_lsh_cosine: bucketed approximate top-k — queries only score
-    * candidates in sign-projection buckets near their own, so the join
-    * is a bucket-keyed equi-join (shuffle ∝ corpus, scoring ∝ probed
-    * bucket sizes). `probeRadius = 1` is multiprobe LSH (Lv et al.,
-    * VLDB'07): each query also probes the `planes` buckets one bit-flip
-    * away — the recall dial that multiplies candidates by (1+planes)
-    * without touching the corpus-side layout (probing is query-side
-    * explode; the corpus is hashed once). Recall < 1 by design;
+  /** q_ann_lsh_cosine: bucketed approximate top-k over an
+    * OR-AMPLIFIED LSH forest — [[LshTables]] independent sign-
+    * projection tables of `planes` bits each; a candidate is scored
+    * if it shares a bucket with the query in ANY table, in that
+    * table's exact bucket or (multiprobe, Lv et al., VLDB'07) one bit
+    * flip away. Union-of-tables is the standard LSH recall
+    * amplification: per-table collision r compounds to 1-(1-r)^L for
+    * true neighbors while candidate volume grows only linearly in L.
+    *
+    * Scale shape: the forest INDEX is ids only — L (vec_id, table,
+    * bucket) rows, never vector payloads (what a Faiss/Annoy
+    * deployment's L hash tables actually store); the probe join is a
+    * pure equi-join on (table, bucket) against broadcast query probes
+    * (L·(1+planes) narrow rows per query); the candidate union dedups
+    * 16-byte (query, neighbor) pairs BEFORE any vector moves, then
+    * fetches each candidate's vector exactly once by key join and
+    * scores against the broadcast query vectors. Work ∝ index size +
+    * deduped candidates — a pair colliding in several tables is
+    * shuffled as a pair L times but scored once, and no 64-dim array
+    * ever rides the dedup shuffle. Recall < 1 by design;
     * value-checked against a DuckDB oracle that rebuilds the same
-    * probe set. */
+    * forest and probe set. */
   def annLshCosine(spark: SparkSession, dir: String, planes: Int = Planes,
-      probeRadius: Int = 1): DataFrame = {
+      probeRadius: Int = 1, tables: Int = LshTables): DataFrame = {
     require(probeRadius >= 0 && probeRadius <= 1,
       "probeRadius > 1 would enumerate C(planes, r) flips; not needed here")
-    val emb = bucketed(spark, dir, planes)
-    val q0 = emb.filter(isQuery(col("vec_id")))
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qn"), col("bucket").as("qbucket"))
-    val probeCols = col("qbucket") +: (if (probeRadius == 0) Seq.empty[Column]
-      else (0 until planes).map(p => col("qbucket").bitwiseXOR(lit(1L << p))))
-    val q = q0.withColumn("probe", explode(array(probeCols: _*)))
-    val scored = emb.join(broadcast(q),
-        col("bucket") === col("probe") && col("vec_id") =!= col("query_id"))
-      .select(
-        col("query_id"), col("vec_id").as("neighbor_id"),
+    val signs = planeSigns(tables * planes)
+    def bucketT(v: Column, t: Int): Column =
+      (0 until planes).map { p =>
+        val arr = array(signs(t * planes + p).map(s => lit(s.toDouble)): _*)
+        when(dot(v, arr) > 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val withBuckets = emb.withColumn("bt", array((0 until tables).map(t =>
+      struct(lit(t).as("t"), bucketT(col("v"), t).as("bucket"))): _*))
+    // the forest index: L narrow rows per vector, keyed (t, bucket)
+    val index = withBuckets
+      .select(col("vec_id"), explode(col("bt")).as("tb"))
+      .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    // query probes: per table, the exact bucket plus `planes` one-flip
+    // multiprobe buckets — ids and bucket keys only
+    val probes = withBuckets.filter(isQuery(col("vec_id")))
+      .select(col("vec_id").as("query_id"), explode(col("bt")).as("tb"))
+      .select(col("query_id"), col("tb.t").as("qt"), col("tb.bucket").as("qbucket"))
+      .withColumn("probe", explode(array(col("qbucket") +:
+        (if (probeRadius == 0) Seq.empty[Column]
+         else (0 until planes).map(p =>
+           col("qbucket").bitwiseXOR(lit(1L << p)))): _*)))
+      .select(col("query_id"), col("qt"), col("probe"))
+    // union of tables: candidate PAIRS dedup first (16-byte rows), so a
+    // pair colliding in several tables is scored once
+    val pairs = index.join(broadcast(probes),
+        col("t") === col("qt") && col("bucket") === col("probe") &&
+          col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+    // fetch each candidate's vector once; query vectors broadcast
+    val qvec = emb.filter(isQuery(col("vec_id")))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = pairs
+      .join(emb.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+      .join(broadcast(qvec), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
         (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos_raw"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_raw").desc, col("neighbor_id").asc)
@@ -1026,6 +1077,34 @@ object Similarity {
        |  SELECT nrm.vec_id, v, nrm, bucket FROM nrm JOIN buck USING (vec_id))""".stripMargin
   }
 
+  /** Oracle prelude for the OR-amplified forest: all L·8 plane rows
+    * (global index p; table = p // 8, bit = p % 8) and the per-table
+    * buckets of every vector — the same derivation [[annLshCosine]]
+    * runs, re-expressed in SQL. */
+  private val forestSqlPrelude: String = {
+    val planeRows = planeSigns(LshTables * Planes).zipWithIndex
+      .map { case (signs, p) =>
+        s"SELECT $p AS p, [${signs.map(s => s"$s.0").mkString(", ")}] AS s"
+      }.mkString("\n  UNION ALL ")
+    s"""emb AS (
+       |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+       |  FROM embeddings),
+       |nrm AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_reduce([v[i] * v[i] for i in range(1, len(v) + 1)], (a, b) -> a + b)) AS nrm
+       |  FROM emb),
+       |fplanes AS (
+       |  $planeRows),
+       |fproj AS (
+       |  SELECT vec_id, p,
+       |    list_reduce([v[i] * s[i] for i in range(1, len(v) + 1)], (a, b) -> a + b) AS proj
+       |  FROM nrm, fplanes),
+       |tbuck AS (
+       |  SELECT vec_id, p // $Planes AS t,
+       |    SUM(CASE WHEN proj > 0 THEN CAST(1 AS BIGINT) << (p % $Planes) ELSE 0 END) AS bucket
+       |  FROM fproj GROUP BY vec_id, p // $Planes)""".stripMargin
+  }
+
   /** Shared CTE chain rebuilding [[knnMutual]]'s directed top-k lists
     * (through `top`) — composed by the q_knn_graph, q_knn_components
     * and q_cluster_sample oracles. */
@@ -1180,19 +1259,25 @@ object Similarity {
         |FROM q
         |ORDER BY vec_id""".stripMargin,
     "q_ann_lsh_cosine" ->
-      s"""WITH $bucketSqlPrelude,
+      s"""WITH $forestSqlPrelude,
          |qprobe AS (
-         |  SELECT vec_id AS query_id, v, nrm, bucket AS probe
-         |  FROM embb WHERE vec_id % 50 = 0
+         |  SELECT vec_id AS query_id, t, bucket AS probe
+         |  FROM tbuck WHERE vec_id % 50 = 0
          |  UNION ALL
-         |  SELECT e.vec_id, e.v, e.nrm, xor(e.bucket, CAST(1 AS BIGINT) << pl.p)
-         |  FROM embb e, planes pl WHERE e.vec_id % 50 = 0),
+         |  SELECT tb.vec_id, tb.t, xor(tb.bucket, CAST(1 AS BIGINT) << b.p8)
+         |  FROM tbuck tb, (SELECT unnest(generate_series(0, ${Planes - 1})) AS p8) b
+         |  WHERE tb.vec_id % 50 = 0),
+         |cand AS (
+         |  SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+         |  FROM qprobe q JOIN tbuck c ON q.t = c.t AND q.probe = c.bucket
+         |  WHERE c.vec_id <> q.query_id),
          |scored AS (
-         |  SELECT q.query_id, c.vec_id AS neighbor_id,
-         |    list_reduce([q.v[i] * c.v[i] for i in range(1, len(q.v) + 1)], (a, b) -> a + b)
-         |      / (q.nrm * c.nrm) AS cos_raw
-         |  FROM qprobe q JOIN embb c
-         |    ON q.probe = c.bucket AND c.vec_id <> q.query_id),
+         |  SELECT cand.query_id, cand.neighbor_id,
+         |    list_reduce([qv.v[i] * cv.v[i] for i in range(1, len(qv.v) + 1)], (a, b) -> a + b)
+         |      / (qv.nrm * cv.nrm) AS cos_raw
+         |  FROM cand
+         |    JOIN nrm qv ON qv.vec_id = cand.query_id
+         |    JOIN nrm cv ON cv.vec_id = cand.neighbor_id),
          |ranked AS (
          |  SELECT query_id, neighbor_id, cos_raw,
          |    ROW_NUMBER() OVER (PARTITION BY query_id

@@ -36,13 +36,15 @@ class AnnRecallSpec extends SparkSpec {
     val lsh = recall(topSets(graft.operators.Similarity.annLshCosine(spark, dir)), exact)
     val ivf = recall(topSets(graft.operators.Similarity.annIvfCosine(spark, dir)), exact)
     info(f"recall@5: lsh=$lsh%.4f ivf=$ivf%.4f over ${exact.size} queries")
-    // measured r9 on this corpus: lsh = 0.10 (multiprobe radius 1;
-    // single-bucket was 0.04), ivf = 0.54 (nprobe 4 of 16 cells; 0.36
-    // at nprobe 2). The synthetic embeddings are only weakly
-    // clustered, so absolute recall is bounded by the probed corpus
-    // fraction — the floors pin the measured level with margin, which
-    // is what a silent recall-for-speed regression would break.
-    assert(lsh >= 0.08, f"LSH recall@5 $lsh%.4f below floor 0.08")
+    // measured r10 on this corpus: lsh = 0.58 (8-table OR-amplified
+    // forest, radius-1 multiprobe per table; the r9 single-table
+    // multiprobe measured 0.10, single-bucket 0.04), ivf = 0.54
+    // (nprobe 4 of 16 cells; 0.36 at nprobe 2). The synthetic
+    // embeddings are only weakly clustered, so absolute recall is
+    // bounded by the probed corpus fraction — the floors pin the
+    // measured level with margin, which is what a silent
+    // recall-for-speed regression would break.
+    assert(lsh >= 0.45, f"LSH recall@5 $lsh%.4f below floor 0.45")
     assert(ivf >= 0.45, f"IVF recall@5 $ivf%.4f below floor 0.45")
   }
 }

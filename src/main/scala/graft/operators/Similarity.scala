@@ -115,6 +115,13 @@ object Similarity {
     val scored = emb.join(broadcast(rhs), col("vec_id") =!= col("id_b"))
       .select(col("vec_id").as("id_a"), col("id_b"),
         (dot(col("v"), col("vb")) / (col("nrm") * col("nb"))).as("cos_raw"))
+    mutualEdges(scored, k)
+  }
+
+  /** The rank-and-mutual tail shared by the exact ([[knnMutual]]) and
+    * candidate-fed ([[knnGraphApprox]]) graph builds: per-node top-k
+    * by cosine, directed halves met in an equi-join on the edge key. */
+  private def mutualEdges(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("id_a")
       .orderBy(col("cos_raw").desc, col("id_b").asc)
     // consumed by both directions of the mutual join; |nodes|·k rows
@@ -125,6 +132,63 @@ object Similarity {
       col("rank").as("rank_ba"))
     top.filter(col("id_a") < col("id_b"))
       .join(rev, Seq("id_a", "id_b"))
+  }
+
+  /** q_knn_graph_approx: the mutual-kNN graph with candidates from
+    * the LSH FOREST instead of all pairs — the 10⁹-vector path
+    * q_knn_graph's scaladoc promises: each node's neighbor list is
+    * ranked only over vectors sharing a bucket with it in ANY of the
+    * [[LshTables]] tables, then the SAME [[mutualEdges]] tail (top-K
+    * + mutuality) runs unchanged. Downstream consumers
+    * (q_knn_components' CC loop, cluster sampling/profiling) take
+    * this edge set as a drop-in substitute; AnnRecallSpec pins the
+    * edge recall vs the exact graph.
+    *
+    * A true mutual edge can only be LOST by the candidate cut, never
+    * demoted: restricting a node's ranking to a candidate subset can
+    * only improve (shrink) a surviving neighbor's rank — so edge
+    * recall equals the pair-collision probability, and the radius-1
+    * multiprobe (single-bit XOR is symmetric, so the candidate set
+    * stays symmetric) is what lifts that collision rate, exactly as
+    * in the search path.
+    *
+    * Scale shape: the candidate build is the probes⋈index equi-join
+    * on (table, bucket) — Σ_t Σ_bucket |probes_b|·|b| pairs, the
+    * q_dedup_embedding bound, NEVER |nodes|²; pair dedup happens on
+    * 16-byte id pairs before vectors are fetched (one key join each
+    * side). Everything downstream is ∝ candidates. */
+  def knnGraphApprox(spark: SparkSession, dir: String, planes: Int = Planes,
+      tables: Int = LshTables): DataFrame = {
+    val emb = Tables.widened(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val index = forestBuckets(emb.select("vec_id", "v"), planes, tables)
+    // every node probes its own bucket plus the `planes` one-flip
+    // buckets per table (the search path's multiprobe, corpus-wide)
+    val probes = index
+      .withColumn("probe", explode(array(col("bucket") +:
+        (0 until planes).map(p =>
+          col("bucket").bitwiseXOR(lit(1L << p))): _*)))
+      .select(col("vec_id").as("id_a"), col("t").as("ta"), col("probe"))
+    val pairs = probes.join(
+        index.select(col("vec_id").as("id_b"), col("t").as("t2"),
+          col("bucket").as("b2")),
+        col("ta") === col("t2") && col("probe") === col("b2") &&
+          col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val a = emb.select(col("vec_id").as("id_a"), col("v").as("va"),
+      col("nrm").as("na"))
+    val b = emb.select(col("vec_id").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    val scored = pairs.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos_raw"))
+    mutualEdges(scored, KnnK)
+      .select(col("id_a"), col("id_b"),
+        (floor(col("cos_raw") * 1e6 + 0.5) / 1e6).as("cosine"),
+        col("rank").as("rank_ab"), col("rank_ba"))
+      .orderBy("id_a", "id_b")
   }
 
   /** q_knn_components: SEMANTIC CLUSTERS — connected components over
@@ -402,6 +466,24 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** The OR-amplified forest index over an `emb(vec_id, v)` frame:
+    * L narrow (vec_id, t, bucket) rows per vector — table t's bucket
+    * uses global planes [t·planes, (t+1)·planes), so table 0 is
+    * exactly the single-table [[lshBucket]]. Shared by the ANN forest
+    * search and the candidate-fed kNN graph. */
+  private def forestBuckets(emb: DataFrame, planes: Int, tables: Int): DataFrame = {
+    val signs = planeSigns(tables * planes)
+    def bucketT(v: Column, t: Int): Column =
+      (0 until planes).map { p =>
+        val arr = array(signs(t * planes + p).map(s => lit(s.toDouble)): _*)
+        when(dot(v, arr) > 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    emb
+      .withColumn("tb", explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"), bucketT(col("v"), t).as("bucket"))): _*)))
+      .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+  }
+
   /** Embeddings with norm + LSH bucket (shared by the ANN + dedup
     * scale paths). */
   private def bucketed(spark: SparkSession, dir: String, planes: Int): DataFrame =
@@ -436,26 +518,17 @@ object Similarity {
       probeRadius: Int = 1, tables: Int = LshTables): DataFrame = {
     require(probeRadius >= 0 && probeRadius <= 1,
       "probeRadius > 1 would enumerate C(planes, r) flips; not needed here")
-    val signs = planeSigns(tables * planes)
-    def bucketT(v: Column, t: Int): Column =
-      (0 until planes).map { p =>
-        val arr = array(signs(t * planes + p).map(s => lit(s.toDouble)): _*)
-        when(dot(v, arr) > 0, lit(1L << p)).otherwise(lit(0L))
-      }.reduce(_ + _)
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-    val withBuckets = emb.withColumn("bt", array((0 until tables).map(t =>
-      struct(lit(t).as("t"), bucketT(col("v"), t).as("bucket"))): _*))
     // the forest index: L narrow rows per vector, keyed (t, bucket)
-    val index = withBuckets
-      .select(col("vec_id"), explode(col("bt")).as("tb"))
-      .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    val index = forestBuckets(emb.select("vec_id", "v"), planes, tables)
     // query probes: per table, the exact bucket plus `planes` one-flip
-    // multiprobe buckets — ids and bucket keys only
-    val probes = withBuckets.filter(isQuery(col("vec_id")))
-      .select(col("vec_id").as("query_id"), explode(col("bt")).as("tb"))
-      .select(col("query_id"), col("tb.t").as("qt"), col("tb.bucket").as("qbucket"))
+    // multiprobe buckets — ids and bucket keys only (derived from the
+    // query slice of the same index)
+    val probes = index.filter(isQuery(col("vec_id")))
+      .select(col("vec_id").as("query_id"), col("t").as("qt"),
+        col("bucket").as("qbucket"))
       .withColumn("probe", explode(array(col("qbucket") +:
         (if (probeRadius == 0) Seq.empty[Column]
          else (0 until planes).map(p =>
@@ -1038,6 +1111,7 @@ object Similarity {
     "q_feature_scale" -> (featureScale(_, _)),
     "q_ann_cosine" -> (annCosine(_, _)),
     "q_knn_graph" -> (knnGraph(_, _)),
+    "q_knn_graph_approx" -> (knnGraphApprox(_, _)),
     "q_knn_components" -> (knnComponents(_, _)),
     "q_cluster_sample" -> (clusterSample(_, _)),
     "q_triangle_count" -> (triangleCount(_, _)),
@@ -1349,6 +1423,38 @@ object Similarity {
     // directed top-K halves meet on (id_a, id_b), a < b emitted once.
     "q_knn_graph" ->
       s"""WITH ${knnTopSql(KnnK)}
+         |SELECT f.id_a AS id_a, f.id_b AS id_b,
+         |  floor(f.cos_raw * 1e6 + 0.5) / 1e6 AS cosine,
+         |  f.rank AS rank_ab, r.rank AS rank_ba
+         |FROM top f JOIN top r ON f.id_a = r.id_b AND f.id_b = r.id_a
+         |WHERE f.id_a < f.id_b
+         |ORDER BY f.id_a, f.id_b""".stripMargin,
+    // the exact graph's rank-and-mutual tail over forest candidates
+    // only — same forest derivation as the LSH oracle
+    "q_knn_graph_approx" ->
+      s"""WITH $forestSqlPrelude,
+         |nprobe AS (
+         |  SELECT vec_id, t, bucket AS probe FROM tbuck
+         |  UNION ALL
+         |  SELECT tb.vec_id, tb.t, xor(tb.bucket, CAST(1 AS BIGINT) << b.p8)
+         |  FROM tbuck tb, (SELECT unnest(generate_series(0, ${Planes - 1})) AS p8) b),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS id_a, c.vec_id AS id_b
+         |  FROM nprobe q JOIN tbuck c
+         |    ON q.t = c.t AND q.probe = c.bucket AND q.vec_id <> c.vec_id),
+         |scored AS (
+         |  SELECT c.id_a, c.id_b,
+         |    list_reduce([na.v[i] * nb.v[i] for i in range(1, len(na.v) + 1)], (x, y) -> x + y)
+         |      / (na.nrm * nb.nrm) AS cos_raw
+         |  FROM cand c
+         |    JOIN nrm na ON na.vec_id = c.id_a
+         |    JOIN nrm nb ON nb.vec_id = c.id_b),
+         |ranked AS (
+         |  SELECT id_a, id_b, cos_raw,
+         |    ROW_NUMBER() OVER (PARTITION BY id_a
+         |      ORDER BY cos_raw DESC, id_b ASC) AS rank
+         |  FROM scored),
+         |top AS (SELECT * FROM ranked WHERE rank <= $KnnK)
          |SELECT f.id_a AS id_a, f.id_b AS id_b,
          |  floor(f.cos_raw * 1e6 + 0.5) / 1e6 AS cosine,
          |  f.rank AS rank_ab, r.rank AS rank_ba

@@ -47,4 +47,26 @@ class AnnRecallSpec extends SparkSpec {
     assert(lsh >= 0.45, f"LSH recall@5 $lsh%.4f below floor 0.45")
     assert(ivf >= 0.45, f"IVF recall@5 $ivf%.4f below floor 0.45")
   }
+
+  test("forest-fed kNN graph recovers the exact mutual-edge set") {
+    // the 10^9-vector path: the same mutual top-K tail over forest
+    // candidates instead of all pairs — edge recall vs the exact graph
+    // is the quality dial (a candidate set that misses a true top-K
+    // neighbor can drop a mutual edge)
+    def edges(df: DataFrame): Set[(Long, Long)] =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = edges(graft.operators.Similarity.knnGraph(spark, dir))
+    val approx = edges(graft.operators.Similarity.knnGraphApprox(spark, dir))
+    assert(exact.nonEmpty, "exact graph has no mutual edges; test is vacuous")
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    // spurious edges: a pair mutual within the candidate-restricted
+    // rankings but not in the exact graph — report alongside recall
+    val precision =
+      if (approx.isEmpty) 1.0
+      else approx.intersect(exact).size.toDouble / approx.size
+    info(f"edge recall=$recall%.4f precision=$precision%.4f " +
+      f"(exact ${exact.size} edges, approx ${approx.size})")
+    assert(recall >= 0.45, f"edge recall $recall%.4f below floor 0.45")
+  }
 }

@@ -59,50 +59,16 @@ case class UserUpdate(user_id: Long, last_value: Double,
 
 object StreamingQueries {
 
-  private def eventsSchema(tsType: org.apache.spark.sql.types.DataType) = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", tsType), // long nanos OR timestamp, see eventsStream
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** The events feed through the pluggable source seam
+    * ([[StreamSources.eventsFileSource]]): staged parquet under the
+    * driver contract, a Kafka SourceSpec in production — the pipelines
+    * below only ever see the normalized logical columns. */
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame =
+    StreamSources.read(spark, StreamSources.eventsFileSource(spark, dir))
 
-  /** The file source wants a directory; stage one holding a symlink to
-    * the single table file (a real deployment points at a Kafka topic
-    * or a landing directory instead). */
-  private def stageStreamDir(dir: String, table: String): String = {
-    val streamDir = new java.io.File(
-      s"/tmp/graft_stream_${table}_${Integer.toHexString(dir.hashCode)}")
-    streamDir.mkdirs()
-    val link = new java.io.File(streamDir, s"$table.parquet")
-    if (!link.exists()) {
-      java.nio.file.Files.createSymbolicLink(
-        link.toPath, java.nio.file.Paths.get(s"$dir/$table.parquet"))
-    }
-    streamDir.getAbsolutePath
-  }
-
-  /** The file-source schema must match the table's physical encoding,
-    * which differs across testdata generations (TIMESTAMP(NANOS)-as-long
-    * vs TIMESTAMP(MICROS)/NTZ — see [[graft.sources.Tables.events]]).
-    * Probe the footer once via the batch reader, then declare the
-    * matching stream schema and normalize to session-UTC TimestampType
-    * so every stream operator sees identical instants either way. */
-  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val physical = spark.read.parquet(s"$dir/events.parquet")
-      .schema("ts").dataType
-    val raw = spark.readStream
-      .schema(eventsSchema(physical))
-      .parquet(stageStreamDir(dir, "events"))
-    physical match {
-      case LongType => // integer div: ns > 2^53, double division would drift
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampType => raw
-      case _ => raw.withColumn("ts",
-        col("ts").cast(TimestampType)) // NTZ→UTC re-tag, same micros
-    }
-  }
+  /** Any other testdata table as a stream, through the same seam. */
+  private def tableStream(spark: SparkSession, dir: String, table: String): DataFrame =
+    StreamSources.read(spark, StreamSources.tableFileSource(spark, dir, table))
 
   /** Run `df` through a memory sink synchronously; return the result.
     * Sinks from previous invocations are dropped first so repeated runs
@@ -327,9 +293,7 @@ object StreamingQueries {
     * is precisely what the sketch exists to avoid. */
   def streamHll(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
-    val docs = spark.readStream.schema(schema)
-      .parquet(stageStreamDir(dir, "documents"))
+    val docs = tableStream(spark, dir, "documents")
     val regs = docs
       .select(col("lang"), explode(
         graft.functions.WordShingles.wordShingles(col("text"), 3)).as("tok"))
@@ -548,7 +512,16 @@ object StreamingQueries {
     * cents so merge order cannot perturb the result. */
   def streamSessions(spark: SparkSession, dir: String): DataFrame =
     withStatePartitions(spark, StatePartitions) {
-    val agg = eventsStream(spark, dir)
+    runToMemory(spark, sessionAgg(eventsStream(spark, dir)), OutputMode.Append())
+      .orderBy("user_id", "sess_start")
+    }
+
+  /** The session-window pipeline over any streaming `events` source —
+    * split out so the checkpoint/restart spec can drive it with its
+    * own source, durable file sink, and checkpointLocation, proving
+    * session state and watermark survive a process restart. */
+  private[graft] def sessionAgg(events: DataFrame): DataFrame =
+    events
       .withWatermark("ts", "10 minutes")
       .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
@@ -557,9 +530,6 @@ object StreamingQueries {
         col("session_window.start").as("sess_start"),
         col("session_window.end").as("sess_end"),
         col("user_id"), col("n_events"), col("sum_value"))
-    runToMemory(spark, agg, OutputMode.Append())
-      .orderBy("user_id", "sess_start")
-    }
 
   /** Row 44 — streaming exact dedup: the LLM-pipeline dedup stage as a
     * stream. Documents stream → content hash → `dropDuplicates` on the
@@ -571,10 +541,7 @@ object StreamingQueries {
     * would depend on partition race order), so the result is
     * deterministic and fully hash-oracled. */
   def streamDedup(spark: SparkSession, dir: String): DataFrame = {
-    // one batch footer read supplies the stream schema
-    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
-    val docs = spark.readStream.schema(schema)
-      .parquet(stageStreamDir(dir, "documents"))
+    val docs = tableStream(spark, dir, "documents")
     val dedup = docs
       .select(md5(col("text")).as("content_hash"),
         length(col("text")).cast("long").as("n_chars"))
@@ -597,14 +564,12 @@ object StreamingQueries {
     * kept here for the deterministic oracle). */
   def streamDecontam(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Curation.{DecontamK, isEval}
-    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
     val evalPairs = spark.read.parquet(s"$dir/documents.parquet")
       .filter(isEval(col("doc_id")))
       .select(explode(array_distinct(
         graft.functions.WordShingles.wordShingles(col("text"), DecontamK))).as("sh"),
         col("doc_id").as("eval_doc_id"))
-    val docs = spark.readStream.schema(schema)
-      .parquet(stageStreamDir(dir, "documents"))
+    val docs = tableStream(spark, dir, "documents")
       .filter(!isEval(col("doc_id")))
     val hits = docs
       .select(col("doc_id"), explode(array_distinct(
@@ -635,9 +600,7 @@ object StreamingQueries {
     * at-least-ordered-arrival contract q_stream_funnel documents; the
     * spec proves state carries correctly across staged triggers. */
   def streamPack(spark: SparkSession, dir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
-    val docs = spark.readStream.schema(schema)
-      .parquet(stageStreamDir(dir, "documents"))
+    val docs = tableStream(spark, dir, "documents")
     runPack(spark, docs, dir)
   }
 
@@ -686,9 +649,7 @@ object StreamingQueries {
     * via psiBucketInput — so stream and batch can never disagree and
     * the stream reuses the batch oracle verbatim. */
   def streamPsi(spark: SparkSession, dir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
-    val docs = spark.readStream.schema(schema)
-      .parquet(stageStreamDir(dir, "documents"))
+    val docs = tableStream(spark, dir, "documents")
     val counts = graft.operators.Curation.psiBucketInput(docs)
       .groupBy("source", "bucket").agg(count(lit(1)).as("c"))
     val store = new java.util.concurrent.ConcurrentHashMap[(String, Long), Long]()
@@ -831,9 +792,7 @@ object StreamingQueries {
     * extraction shared via benfordDigits — so stream and batch can
     * never disagree and the stream reuses the batch oracle verbatim. */
   def streamBenford(spark: SparkSession, dir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$dir/lineitem.parquet").schema
-    val li = spark.readStream.schema(schema)
-      .parquet(stageStreamDir(dir, "lineitem"))
+    val li = tableStream(spark, dir, "lineitem")
     val counts = graft.operators.Analytics.benfordDigits(li)
       .groupBy("digit").agg(count(lit(1)).as("n"))
     val store = new java.util.concurrent.ConcurrentHashMap[Long, Long]()

@@ -437,6 +437,63 @@ class StreamingSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("checkpointed session stream survives a restart with state intact") {
+    // the long-running-job reality: run 1 processes the early half of
+    // the corpus under a checkpointLocation and STOPS (AvailableNow
+    // drains what exists); the late half lands; run 2 starts a brand
+    // NEW query from the same checkpoint and durable file sink. The
+    // checkpoint must restore (a) which files were consumed, (b) the
+    // watermark, and (c) every open session's state — so the sealed
+    // output across both runs equals the single-run memory-sink result.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    def canon(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+      (r.getAs[java.sql.Timestamp]("sess_start").getTime,
+        r.getAs[java.sql.Timestamp]("sess_end").getTime,
+        r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[Double]("sum_value"))
+    }.toSet
+    val want = canon(SparkEntry.queries("q_stream_sessions")(spark, sf).collect())
+    assert(want.nonEmpty, "single-run baseline sealed no sessions; test is vacuous")
+    // cut INSIDE the widest sealed session (between its first and last
+    // event) so that session's early events enter state in run 1 and
+    // only run 2 can close it — a state-losing restart would emit a
+    // short or split session. Guaranteed non-vacuous, not hoped-for.
+    val spanning = want.filter { case (s, e, _, _, _) => e - 300000 > s }
+    assert(spanning.nonEmpty, "every sealed session is single-instant; cut impossible")
+    val (ws, we, _, _, _) = spanning.maxBy { case (s, e, _, _, _) => e - s }
+    val cut = (ws + (we - 300000)) / 2
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_ckpt_src_").toFile
+    def stage(name: String, df: org.apache.spark.sql.DataFrame, mtime: Long): Unit = {
+      val part = new java.io.File(srcDir, s"_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(part.getAbsolutePath)
+      val f = part.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(srcDir, s"$name.parquet")
+      java.nio.file.Files.move(f.toPath, dst.toPath)
+      dst.setLastModified(mtime): Unit
+    }
+    val cp = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_ckpt_out_").toString
+    def runOnce(): Unit = {
+      val src = spark.readStream.schema(ev.schema).parquet(srcDir.getAbsolutePath)
+      val q = graft.streaming.StreamingQueries.sessionAgg(src)
+        .writeStream.outputMode(OutputMode.Append())
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val t0 = System.currentTimeMillis() - 600000
+    stage("a_early", ev.filter(unix_millis(col("ts")) <= cut), t0)
+    runOnce() // run 1: early half only, then the query STOPS
+    stage("b_late", ev.filter(unix_millis(col("ts")) > cut), t0 + 60000)
+    runOnce() // run 2: a NEW query restarted from the checkpoint
+    val got = canon(spark.read.parquet(out).collect())
+    assert(got == want)
+  }
+
   test("table sink merged view is newest-wins per key and replay-idempotent") {
     // the durable-sink contract directly: two batch partitions with a
     // conflicting key — the merged view keeps batch 1's row; replaying

@@ -207,8 +207,15 @@ object Similarity {
     * as singleton clusters, exactly like q_dedup_clusters' singleton
     * docs. At corpus scale the edges come from the LSH/IVF candidate
     * tail instead of the exact graph; the loop is unchanged. */
-  def knnComponents(spark: SparkSession, dir: String): DataFrame = {
-    val labels = Dedup.componentLabels(knnMutual(spark, dir).select("id_a", "id_b"))
+  def knnComponents(spark: SparkSession, dir: String): DataFrame =
+    componentsOutput(spark, dir, knnMutual(spark, dir).select("id_a", "id_b"))
+
+  /** The CC-label-and-size tail shared by the exact and forest-fed
+    * component queries: label every embedding (singletons label
+    * themselves), count members, flag the minimum as canonical. */
+  private def componentsOutput(spark: SparkSession, dir: String,
+      edges: DataFrame): DataFrame = {
+    val labels = Dedup.componentLabels(edges)
     val lab = Tables.embeddings(spark, dir)
       .select(col("vec_id"))
       .join(labels.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
@@ -220,6 +227,17 @@ object Similarity {
         (col("vec_id") === col("cluster_id")).as("is_canonical"))
       .orderBy("vec_id")
   }
+
+  /** q_knn_components_approx: semantic clusters over the FOREST-fed
+    * mutual graph ([[knnGraphApprox]]'s edge set) — the complete
+    * 10⁹-vector SemDeDup substrate: forest candidates → mutual top-K
+    * → the shared CC loop, no all-pairs stage anywhere. The same
+    * [[componentsOutput]] tail labels singletons and flags canonicals,
+    * so downstream pruning/diversity-sampling consumes it as a
+    * drop-in for q_knn_components. */
+  def knnComponentsApprox(spark: SparkSession, dir: String): DataFrame =
+    componentsOutput(spark, dir,
+      knnGraphApprox(spark, dir).select("id_a", "id_b"))
 
   /** Cluster-substrate neighbor count for [[clusterSample]]: mutual
     * top-2 is a much stricter reciprocity cut than [[KnnK]] = 10, so
@@ -1113,6 +1131,7 @@ object Similarity {
     "q_knn_graph" -> (knnGraph(_, _)),
     "q_knn_graph_approx" -> (knnGraphApprox(_, _)),
     "q_knn_components" -> (knnComponents(_, _)),
+    "q_knn_components_approx" -> (knnComponentsApprox(_, _)),
     "q_cluster_sample" -> (clusterSample(_, _)),
     "q_triangle_count" -> (triangleCount(_, _)),
     "q_cluster_profile" -> (clusterProfile(_, _)),
@@ -1178,6 +1197,35 @@ object Similarity {
        |    SUM(CASE WHEN proj > 0 THEN CAST(1 AS BIGINT) << (p % $Planes) ELSE 0 END) AS bucket
        |  FROM fproj GROUP BY vec_id, p // $Planes)""".stripMargin
   }
+
+  /** Forest-candidate analog of [[knnTopSql]]: directed top-k lists
+    * restricted to forest candidates (multiprobe, pair-distinct) —
+    * composed by the q_knn_graph_approx / q_knn_components_approx
+    * oracles. */
+  private def forestTopSql(k: Int): String =
+    s"""$forestSqlPrelude,
+       |nprobe AS (
+       |  SELECT vec_id, t, bucket AS probe FROM tbuck
+       |  UNION ALL
+       |  SELECT tb.vec_id, tb.t, xor(tb.bucket, CAST(1 AS BIGINT) << b.p8)
+       |  FROM tbuck tb, (SELECT unnest(generate_series(0, ${Planes - 1})) AS p8) b),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS id_a, c.vec_id AS id_b
+       |  FROM nprobe q JOIN tbuck c
+       |    ON q.t = c.t AND q.probe = c.bucket AND q.vec_id <> c.vec_id),
+       |scored AS (
+       |  SELECT c.id_a, c.id_b,
+       |    list_reduce([na.v[i] * nb.v[i] for i in range(1, len(na.v) + 1)], (x, y) -> x + y)
+       |      / (na.nrm * nb.nrm) AS cos_raw
+       |  FROM cand c
+       |    JOIN nrm na ON na.vec_id = c.id_a
+       |    JOIN nrm nb ON nb.vec_id = c.id_b),
+       |ranked AS (
+       |  SELECT id_a, id_b, cos_raw,
+       |    ROW_NUMBER() OVER (PARTITION BY id_a
+       |      ORDER BY cos_raw DESC, id_b ASC) AS rank
+       |  FROM scored),
+       |top AS (SELECT * FROM ranked WHERE rank <= $k)""".stripMargin
 
   /** Shared CTE chain rebuilding [[knnMutual]]'s directed top-k lists
     * (through `top`) — composed by the q_knn_graph, q_knn_components
@@ -1432,35 +1480,35 @@ object Similarity {
     // the exact graph's rank-and-mutual tail over forest candidates
     // only — same forest derivation as the LSH oracle
     "q_knn_graph_approx" ->
-      s"""WITH $forestSqlPrelude,
-         |nprobe AS (
-         |  SELECT vec_id, t, bucket AS probe FROM tbuck
-         |  UNION ALL
-         |  SELECT tb.vec_id, tb.t, xor(tb.bucket, CAST(1 AS BIGINT) << b.p8)
-         |  FROM tbuck tb, (SELECT unnest(generate_series(0, ${Planes - 1})) AS p8) b),
-         |cand AS (
-         |  SELECT DISTINCT q.vec_id AS id_a, c.vec_id AS id_b
-         |  FROM nprobe q JOIN tbuck c
-         |    ON q.t = c.t AND q.probe = c.bucket AND q.vec_id <> c.vec_id),
-         |scored AS (
-         |  SELECT c.id_a, c.id_b,
-         |    list_reduce([na.v[i] * nb.v[i] for i in range(1, len(na.v) + 1)], (x, y) -> x + y)
-         |      / (na.nrm * nb.nrm) AS cos_raw
-         |  FROM cand c
-         |    JOIN nrm na ON na.vec_id = c.id_a
-         |    JOIN nrm nb ON nb.vec_id = c.id_b),
-         |ranked AS (
-         |  SELECT id_a, id_b, cos_raw,
-         |    ROW_NUMBER() OVER (PARTITION BY id_a
-         |      ORDER BY cos_raw DESC, id_b ASC) AS rank
-         |  FROM scored),
-         |top AS (SELECT * FROM ranked WHERE rank <= $KnnK)
+      s"""WITH ${forestTopSql(KnnK)}
          |SELECT f.id_a AS id_a, f.id_b AS id_b,
          |  floor(f.cos_raw * 1e6 + 0.5) / 1e6 AS cosine,
          |  f.rank AS rank_ab, r.rank AS rank_ba
          |FROM top f JOIN top r ON f.id_a = r.id_b AND f.id_b = r.id_a
          |WHERE f.id_a < f.id_b
          |ORDER BY f.id_a, f.id_b""".stripMargin,
+    // the q_knn_components closure over the forest-fed mutual edges
+    "q_knn_components_approx" ->
+      s"""WITH RECURSIVE ${forestTopSql(KnnK)},
+         |mutual AS (
+         |  SELECT f.id_a, f.id_b
+         |  FROM top f JOIN top r ON f.id_a = r.id_b AND f.id_b = r.id_a
+         |  WHERE f.id_a < f.id_b),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM mutual
+         |  UNION ALL SELECT id_b AS src, id_a AS dst FROM mutual),
+         |reach(node, r) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT w.node, e.dst FROM reach w JOIN edges e ON e.src = w.r),
+         |lab AS (
+         |  SELECT node AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY node),
+         |sz AS (
+         |  SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id)
+         |SELECT l.vec_id, l.cluster_id, s.cluster_size,
+         |  l.vec_id = l.cluster_id AS is_canonical
+         |FROM lab l JOIN sz s USING (cluster_id)
+         |ORDER BY l.vec_id""".stripMargin,
     // Mutual edges from the shared top-K prelude, then the same
     // reachability-closure CC the q_dedup_clusters oracle uses; the
     // seed row set is ALL embeddings so singletons label themselves.

@@ -141,6 +141,36 @@ class OperatorSpec extends SparkSpec {
     assert(comp.exists(_.getLong(2) > 1))
   }
 
+  test("knn_components_approx equals a union-find over the forest-fed edges") {
+    // same invariants as the exact components, derived from the
+    // APPROX edge set — pins that the shared CC loop + singleton
+    // rejoin compose identically over forest candidates
+    val comp = run("q_knn_components_approx").collect()
+    assert(comp.map(_.getLong(0)).distinct.length == comp.length)
+    comp.groupBy(_.getLong(1)).foreach { case (cid, rs) =>
+      assert(rs.map(_.getLong(0)).min == cid, s"cluster $cid min")
+      rs.foreach(r => assert(r.getLong(2) == rs.length, s"cluster $cid size"))
+    }
+    comp.foreach(r =>
+      assert(r.getBoolean(3) == (r.getLong(0) == r.getLong(1))))
+    val edges = run("q_knn_graph_approx").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    comp.foreach { r =>
+      assert(find(r.getLong(0)) == r.getLong(1),
+        s"node ${r.getLong(0)}: expected ${find(r.getLong(0))}, got ${r.getLong(1)}")
+    }
+    assert(comp.exists(_.getLong(2) > 1))
+  }
+
   test("cluster_sample keeps exactly ceil(sqrt(size)) per cluster with valid ranks") {
     val picks = run("q_cluster_sample").collect()
     assert(picks.map(_.getLong(0)).distinct.length == picks.length)

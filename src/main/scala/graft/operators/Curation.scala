@@ -901,7 +901,65 @@ object Curation {
       .orderBy("lang")
   }
 
+  /** Published Gopher-rules bounds (Rae et al. 2021, "Scaling Language
+    * Models: ... Gopher", appendix A1.1 quality filtering) — pinned
+    * because the DuckDB oracle interpolates them. */
+  private[graft] val GopherMinWords = 50L
+  private[graft] val GopherMaxWords = 100000L
+  private[graft] val GopherMinWlenE2 = 300L   // mean word length ≥ 3
+  private[graft] val GopherMaxWlenE2 = 1000L  // mean word length ≤ 10
+  private[graft] val GopherMaxSymE6 = 100000L // symbol/word ratio ≤ 0.1
+  private[graft] val GopherMinAlphaE6 = 800000L // ≥80% words have a letter
+  private[graft] val GopherStops =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  private[graft] val GopherMinStops = 2L
+
+  /** q_gopher_rules: the Gopher quality-filter rule battery per
+    * document — the published heuristic gate (word-count bounds, mean
+    * word length 3-10, #/ellipsis symbol ratio ≤ 0.1, ≥80% alphabetic
+    * words, ≥2 English stop-word occurrences — the DataTrove
+    * GopherQualityFilter reading of the rule) that C4/Gopher-lineage
+    * pipelines run before any model-based scoring. Emits each rule's
+    * measured value plus the composite keep flag, so the downstream
+    * mix can audit WHICH rule rejected a document (the per-rule
+    * censuses every curation report wants), not just how many.
+    *
+    * Scale shape: one corpus scan, all rules computed in a single
+    * codegen'd projection over the split-once token array — no
+    * shuffle at all until the final ORDER BY on the bounded output.
+    * Ratios are e2/e6-integer (truncating div) so the gate is
+    * bit-stable across engines. */
+  private def GopherStopsSqlLits: String =
+    GopherStops.map(s => s"'$s'").mkString(", ")
+
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    Tables.widened(Tables.documents(spark, dir).select("doc_id", "text"))
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("mean_wlen_e2",
+        expr("length(replace(text, ' ', '')) * 100L div n_words"))
+      .withColumn("sym_e6", expr(
+        """(regexp_count(text, '#') +
+          | (length(text) - length(replace(text, '...', ''))) div 3)
+          | * 1000000L div n_words""".stripMargin.replace('\n', ' ')))
+      .withColumn("alpha_e6", expr(
+        "size(filter(ws, w -> w rlike '[a-zA-Z]')) * 1000000L div n_words"))
+      .withColumn("stop_hits", expr(
+        s"size(filter(ws, w -> array_contains(array(${GopherStopsSqlLits}), lower(w))))")
+        .cast("long"))
+      .withColumn("keep",
+        col("n_words").between(GopherMinWords, GopherMaxWords) &&
+        col("mean_wlen_e2").between(GopherMinWlenE2, GopherMaxWlenE2) &&
+        (col("sym_e6") <= GopherMaxSymE6) &&
+        (col("alpha_e6") >= GopherMinAlphaE6) &&
+        (col("stop_hits") >= GopherMinStops))
+      .select("doc_id", "n_words", "mean_wlen_e2", "sym_e6", "alpha_e6",
+        "stop_hits", "keep")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gopher_rules" -> (gopherRules(_, _)),
     "q_lorenz" -> (lorenz(_, _)),
     "q_bigram_entropy" -> (bigramEntropy(_, _)),
     "q_ngram_novelty" -> (ngramNovelty(_, _)),
@@ -944,6 +1002,35 @@ object Curation {
       |GROUP BY doc_id, lang""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same single-scan rule battery; every ratio the same truncating
+    // integer div; distinct-stop membership per literal stop word
+    "q_gopher_rules" -> {
+      val stopList = GopherStops.map(s => s"'$s'").mkString(", ")
+      s"""WITH d AS (
+         |  SELECT doc_id, text, string_split(text, ' ') AS ws
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(len(ws) AS BIGINT) AS n_words,
+         |    CAST(len(replace(text, ' ', '')) * 100 // len(ws) AS BIGINT)
+         |      AS mean_wlen_e2,
+         |    CAST((len(regexp_extract_all(text, '#')) +
+         |          (len(text) - len(replace(text, '...', ''))) // 3)
+         |         * 1000000 // len(ws) AS BIGINT) AS sym_e6,
+         |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]')))
+         |         * 1000000 // len(ws) AS BIGINT) AS alpha_e6,
+         |    CAST(len(list_filter(ws, w -> list_contains([$stopList], lower(w))))
+         |      AS BIGINT) AS stop_hits
+         |  FROM d)
+         |SELECT doc_id, n_words, mean_wlen_e2, sym_e6, alpha_e6, stop_hits,
+         |  (n_words BETWEEN $GopherMinWords AND $GopherMaxWords)
+         |  AND (mean_wlen_e2 BETWEEN $GopherMinWlenE2 AND $GopherMaxWlenE2)
+         |  AND sym_e6 <= $GopherMaxSymE6
+         |  AND alpha_e6 >= $GopherMinAlphaE6
+         |  AND stop_hits >= $GopherMinStops AS keep
+         |FROM m
+         |ORDER BY doc_id""".stripMargin
+    },
     // same TokenRe histogram, two cumsums, rank picks joined back
     "q_lorenz" ->
       s"""WITH h AS (

@@ -26,6 +26,33 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("gopher_rules matches a plain-Scala rule recompute and splits the corpus") {
+    val got = Curation.gopherRules(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.keySet == docs.map(_._1).toSet, "one row per document")
+    docs.foreach { case (id, text) =>
+      val ws = text.split(" ", -1).toSeq
+      val n = ws.length.toLong
+      val wlen = BigInt(text.replace(" ", "").length) * 100 / n
+      val sym = (BigInt(text.count(_ == '#')) +
+        BigInt((text.length - text.replace("...", "").length) / 3)) * 1000000 / n
+      val alpha = BigInt(ws.count(_.exists(_.isLetter))) * 1000000 / n
+      val stops = ws.count(w => Curation.GopherStops.contains(w.toLowerCase)).toLong
+      val keep = (n >= 50 && n <= 100000) &&
+        (wlen >= 300 && wlen <= 1000) && sym <= 100000 &&
+        alpha >= 800000 && stops >= 2
+      assert(got(id) == ((n, wlen.toLong, sym.toLong, alpha.toLong, stops, keep)),
+        s"doc $id")
+    }
+    // the gate must discriminate on this corpus, not rubber-stamp
+    assert(got.values.exists(_._6) && got.values.exists(!_._6),
+      "gopher rules pass/fail split is vacuous")
+  }
+
   test("decontaminate is consistent with a direct shingle intersection") {
     // recompute one contaminated doc's overlap with plain Scala
     val hit = Curation.decontaminate(spark, sf)

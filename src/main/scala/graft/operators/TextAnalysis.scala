@@ -581,6 +581,90 @@ object TextAnalysis {
       .orderBy("word")
   }
 
+  /** Iterative-refit merge rounds for q_bpe_train (pinned: the oracle
+    * unrolls exactly this many rounds). */
+  private val BpeTrainRounds = 10
+
+  /** q_bpe_train: the REAL iterative BPE trainer (Sennrich ACL'16) —
+    * [[BpeTrainRounds]] rounds of count-all-adjacent-pairs → take the
+    * argmax → apply the merge to the dictionary → recount. This is
+    * the refit loop q_bpe_pairs' one-shot ranking approximates (its
+    * scaladoc says so); after the first round the two diverge, because
+    * a merge changes the pair census it was counted under. Output is
+    * the trained merge table: one row per round with the winning pair,
+    * its count AT SELECTION TIME, and the merged token.
+    *
+    * Scale shape — the trick every production BPE trainer uses: all
+    * rounds run on the distinct-WORD dictionary weighted by frequency
+    * (Zipf-bounded; millions of entries at 100 TB), never on corpus
+    * rows. Each round is one narrow two-phase pair agg + a 1-row
+    * argmax collect (the merge decision is inherently global and
+    * sequential — the driver holds one row per round, nothing more),
+    * and the dictionary localCheckpoints so lineage stays flat across
+    * rounds. Pair counting is per adjacent position (overlaps count);
+    * the merge pass is leftmost-non-overlapping literal replace —
+    * both pinned, shared bit-for-bit by the oracle's unrolled CTEs.
+    * Ties break (count DESC, a ASC, b ASC). */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    var dict = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("n_word"))
+      .select(col("n_word"),
+        concat(lit(" "), array_join(split(col("word"), ""), " "), lit(" ")).as("s"))
+      .localCheckpoint()
+    val merges = (1 to BpeTrainRounds).map { round =>
+      val best = dict
+        .select(col("n_word"), split(trim(col("s")), " ").as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("n_word"), explode(expr(
+          "transform(sequence(0, size(t) - 2), i -> struct(t[i] as a, t[i+1] as b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("n_word").as("n_occ"))
+        .orderBy(col("n_occ").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()(0)
+      val (a, b) = (best.getString(0), best.getString(1))
+      dict = dict
+        .withColumn("s", replace(col("s"), lit(s" $a $b "), lit(s" $a$b ")))
+        .localCheckpoint()
+      (round.toLong, a, b, a + b, best.getLong(2))
+    }
+    merges.toDF("round", "pair_a", "pair_b", "merged", "n_occ")
+      .orderBy("round")
+  }
+
+  /** The q_bpe_train oracle: the same rounds UNROLLED as CTE pairs
+    * (dict_k, best_k) — the q_pagerank oracle strategy. */
+  private def bpeTrainOracleSql: String = {
+    val init =
+      s"""dict0 AS (
+         |  SELECT n_word,
+         |    ' ' || array_to_string([word[i] for i in range(1, len(word)+1)], ' ') || ' ' AS s
+         |  FROM (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_word FROM (
+         |      SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |    WHERE len(word) >= 2 GROUP BY word))""".stripMargin
+    val rounds = (1 to BpeTrainRounds).map { k =>
+      s"""best$k AS (
+         |  SELECT a, b, CAST(SUM(n_word) AS BIGINT) AS n_occ
+         |  FROM (
+         |    SELECT t[i] AS a, t[i+1] AS b, n_word
+         |    FROM (SELECT n_word, string_split(trim(s), ' ') AS t FROM dict${k - 1}),
+         |         LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i))
+         |  GROUP BY a, b
+         |  ORDER BY n_occ DESC, a ASC, b ASC LIMIT 1),
+         |dict$k AS (
+         |  SELECT n_word,
+         |    replace(s, ' ' || bb.a || ' ' || bb.b || ' ', ' ' || bb.a || bb.b || ' ') AS s
+         |  FROM dict${k - 1}, best$k bb)""".stripMargin
+    }
+    val sel = (1 to BpeTrainRounds).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS round, a AS pair_a, b AS pair_b, " +
+        s"a || b AS merged, n_occ FROM best$k")
+      .mkString("\nUNION ALL\n")
+    s"WITH $init,\n${rounds.mkString(",\n")}\n$sel\nORDER BY round"
+  }
+
   /** HLL buckets (2⁸) for q_hll_distinct, and α·m² precomputed once
     * so Spark and the oracle share the identical double constant. */
   private[graft] val HllM = 256
@@ -1044,6 +1128,7 @@ object TextAnalysis {
     "q_vocab_coverage" -> (vocabCoverage(_, _)),
     "q_bpe_encode" -> (bpeEncode(_, _)),
     "q_bpe_pairs" -> (bpePairs(_, _)),
+    "q_bpe_train" -> (bpeTrain(_, _)),
     "q_quality_repetition" -> (qualityRepetition(_, _)),
     "q_pii_scrub" -> (piiScrub(_, _)),
     "q_pack_sequences" -> (packSequences(_, _)),
@@ -1449,6 +1534,7 @@ object TextAnalysis {
          |SELECT word, n_word, trim(s) AS encoded,
          |  CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_tokens
          |FROM enc WHERE i = $BpeTopK ORDER BY word""".stripMargin,
+    "q_bpe_train" -> bpeTrainOracleSql,
     "q_bpe_pairs" ->
       s"""WITH w AS (
          |  SELECT word, CAST(COUNT(*) AS BIGINT) AS n_word FROM (

@@ -2094,6 +2094,41 @@ class OperatorSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("bpe_train equals a plain-Scala iterative merge loop") {
+    val got = run("q_bpe_train").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    // local trainer: same dictionary, same per-position pair census,
+    // same leftmost-non-overlap merge, same tie-break
+    var dict = graft.sources.Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (" " + r.getString(0).toSeq.mkString(" ") + " ", r.getLong(1)))
+      .toSeq
+    val want = (1 to got.length).map { round =>
+      val census = scala.collection.mutable.Map.empty[(String, String), Long]
+      dict.foreach { case (s, n) =>
+        val t = s.trim.split(" ", -1)
+        (0 until t.length - 1).foreach { i =>
+          census((t(i), t(i + 1))) = census.getOrElse((t(i), t(i + 1)), 0L) + n
+        }
+      }
+      val best = census.toSeq.sortBy { case ((a2, b2), n2) => (-n2, a2, b2) }.head
+      dict = dict.map { case (s, n) =>
+        (s.replace(s" ${best._1._1} ${best._1._2} ", s" ${best._1._1}${best._1._2} "), n)
+      }
+      (round.toLong, best._1._1, best._1._2, best._1._1 + best._1._2, best._2)
+    }
+    assert(got.toSeq == want)
+    // the trainer must genuinely refit: its merge list diverges from
+    // the one-shot q_bpe_pairs ranking at the same depth
+    val oneShot = run("q_bpe_pairs").collect().map(_.getString(0)).take(got.length)
+    assert(got.map(_._4).toSeq != oneShot.toSeq,
+      "iterative refit never diverged from the one-shot ranking")
+  }
+
   test("stickiness equals a brute-force sliding-window MAU") {
     val ud = graft.sources.Tables.events(spark, sf)
       .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))

@@ -932,8 +932,17 @@ object Curation {
   private def GopherStopsSqlLits: String =
     GopherStops.map(s => s"'$s'").mkString(", ")
 
-  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
-    Tables.widened(Tables.documents(spark, dir).select("doc_id", "text"))
+  def gopherRules(spark: SparkSession, dir: String): DataFrame =
+    gopherFlags(Tables.widened(
+      Tables.documents(spark, dir).select("doc_id", "text")))
+      .orderBy("doc_id")
+
+  /** The rule battery over any `(doc_id, text)` frame — ONE shared
+    * kernel for the batch query and the stateless stream scorer
+    * (q_stream_quality), so the two can never disagree and share one
+    * oracle. */
+  private[graft] def gopherFlags(docs: DataFrame): DataFrame = {
+    docs
       .withColumn("ws", split(col("text"), " "))
       .withColumn("n_words", size(col("ws")).cast("long"))
       .withColumn("mean_wlen_e2",
@@ -955,7 +964,6 @@ object Curation {
         (col("stop_hits") >= GopherMinStops))
       .select("doc_id", "n_words", "mean_wlen_e2", "sym_e6", "alpha_e6",
         "stop_hits", "keep")
-      .orderBy("doc_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

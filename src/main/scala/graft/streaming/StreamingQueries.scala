@@ -384,6 +384,22 @@ object StreamingQueries {
     runToMemory(spark, flagged, OutputMode.Append()).orderBy("event_id")
   }
 
+  /** q_stream_quality — the Gopher quality gate AT INGEST: every
+    * arriving document is scored by the published rule battery
+    * (q_gopher_rules' [[graft.operators.Curation.gopherFlags]] kernel,
+    * SHARED — batch and stream cannot disagree and share one oracle)
+    * in a fully STATELESS Append-mode stream, the
+    * train-nothing/score-at-the-edge member of the monitoring family
+    * (q_stream_outliers' shape minus even the broadcast). This is
+    * where a production crawl actually runs the gate: rejecting junk
+    * before it ever lands in the corpus, at a cost that scales with
+    * ingest rate alone. All-integer rule values → full value oracle. */
+  def streamQuality(spark: SparkSession, dir: String): DataFrame = {
+    val flagged = graft.operators.Curation.gopherFlags(
+      tableStream(spark, dir, "documents").select("doc_id", "text"))
+    runToMemory(spark, flagged, OutputMode.Append()).orderBy("doc_id")
+  }
+
   /** q_stream_transitions — the Markov transition matrix as a STREAM:
     * flatMapGroupsWithState keeps ONE string of state per user (the
     * last event type seen), emits a (src, dst) step per arriving
@@ -838,6 +854,7 @@ object StreamingQueries {
     "q_stream_attribution" -> stateful(streamAttribution),
     "q_stream_benford" -> stateful(streamBenford),
     "q_stream_outliers" -> (streamOutliers(_, _)), // stateless scorer
+    "q_stream_quality" -> (streamQuality(_, _)), // stateless scorer
     "q_stream_hll" -> stateful(streamHll))
 
   /** The streaming queries run real Structured Streaming, but over the
@@ -849,6 +866,9 @@ object StreamingQueries {
     // the batch funnel's oracle VERBATIM — stream and batch share one
     // definition, so they must share one oracle
     "q_stream_funnel" -> graft.operators.Analytics.oracleSql("q_funnel"),
+    // the batch Gopher-gate oracle VERBATIM — gopherFlags is shared,
+    // so the stateless stream must reproduce every rule value
+    "q_stream_quality" -> graft.operators.Curation.oracleSql("q_gopher_rules"),
     // the batch transition-matrix oracle VERBATIM — transFinish is
     // shared, so the converged step counts must yield the batch matrix
     "q_stream_transitions" -> graft.operators.Analytics.oracleSql("q_transitions"),

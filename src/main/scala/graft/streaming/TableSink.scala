@@ -102,4 +102,35 @@ private[graft] object TableSink {
     runTo(dir, facts)
     readLog(spark, dir, facts.schema).drop("batch")
   }
+
+  /** Compaction — the maintenance pass that bounds the merge cost the
+    * scaladoc above promises (Cassandra's compaction thread, scheduled
+    * instead of continuous): rewrite the merged newest-wins view as a
+    * single partition ABOVE every live batch id, then drop the
+    * compacted-away history. Readers are correct at every point:
+    * before the swap they merge the old log; after, `merged`'s
+    * newest-wins rule makes the compacted partition win ties against
+    * any stale survivor (it carries the max batch id), so a crash
+    * between write and cleanup only costs disk, never answers. The
+    * stream keeps appending batch ids from its checkpoint counter,
+    * which stays above old ids — compaction never rewinds the order.
+    * Returns the compacted batch id. */
+  private[graft] def compact(spark: SparkSession, dir: String,
+      keys: Seq[String], schema: org.apache.spark.sql.types.StructType): Long = {
+    val live = new java.io.File(dir).listFiles()
+    val ids = if (live == null) Array.empty[Long]
+      else live.filter(_.getName.startsWith("batch=")).map(_.getName.drop(6).toLong)
+    val next = if (ids.isEmpty) 0L else ids.max + 1
+    merged(spark, dir, keys, schema)
+      .write.mode("overwrite").parquet(s"$dir/batch=$next")
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(rm)
+      f.delete(): Unit
+    }
+    if (live != null)
+      live.filter(_.getName.startsWith("batch="))
+        .filter(_.getName.drop(6).toLong < next).foreach(rm)
+    next
+  }
 }

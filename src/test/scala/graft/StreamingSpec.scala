@@ -414,6 +414,17 @@ class StreamingSpec extends SparkSpec {
     assert(twoTrigger.map(_.toSeq).toSet == batch.map(_.toSeq).toSet)
   }
 
+  test("streaming quality gate equals the batch gopher rules row for row") {
+    // shared gopherFlags kernel: the stateless stream scorer must
+    // reproduce every rule value and keep flag of the batch gate
+    val batch = SparkEntry.queries("q_gopher_rules")(spark, sf).collect()
+      .map(_.toSeq).toSet
+    val stream = SparkEntry.queries("q_stream_quality")(spark, sf).collect()
+      .map(_.toSeq).toSet
+    assert(stream.nonEmpty)
+    assert(stream == batch)
+  }
+
   test("streaming psi equals the batch drift index row for row") {
     // shared bucketing + shared finish: the converged count store must
     // reproduce the batch index exactly, alarm flags included
@@ -512,6 +523,17 @@ class StreamingSpec extends SparkSpec {
     assert(view() == want)
     write(1, Seq((2L, "b2"), (3L, "c"))) // replayed trigger
     assert(view() == want)
+    // compaction: same merged answer from ONE partition; history gone;
+    // a later trigger still wins against the compacted row
+    val schema = Seq.empty[(Long, String)].toDF("k", "v").schema
+    val cid = graft.streaming.TableSink.compact(spark, dir, Seq("k"), schema)
+    assert(cid == 2L)
+    val parts = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).toSet
+    assert(parts == Set("batch=2"), s"history not dropped: $parts")
+    assert(view() == want, "compaction changed the merged answer")
+    write(3, Seq((2L, "b3"))) // post-compaction trigger
+    assert(view() == Set((1L, "a"), (2L, "b3"), (3L, "c")))
   }
 
   test("stateful last-price tracking via flatMapGroupsWithState") {

@@ -577,6 +577,67 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Table-count grid for [[forestSweep]] (pinned: oracle embeds). */
+  private val SweepTables = Seq(1, 2, 4, 8)
+
+  /** q_forest_sweep: the LSH-forest TUNING TABLE as data — for every
+    * (tables L, multiprobe radius r) config on the grid, the deduped
+    * candidate volume and the recall@[[K]] of the candidate set
+    * against the exact top-K (q_dedup_sweep / q_ann_recall's
+    * accuracy-audit family: the table an operator reads before
+    * trading exactness for scale). Candidate-level recall IS
+    * result-level recall at this K: an exact top-K neighbor present
+    * among a query's candidates is outranked only by better exact
+    * neighbors, so it always survives the top-K cut.
+    *
+    * One forest build serves every config: config L probes tables
+    * 0..L-1 of the SAME [[LshTables]]-table index (prefix nesting —
+    * so recall and volume are provably monotone in L, spec-pinned),
+    * and each (query, neighbor) pair aggregates to the MINIMUM table
+    * index reaching it without (t0) and with (t1) bit-flip probes;
+    * every grid cell is then one conditional count over that single
+    * bounded pair table. Scale shape: the heavy work is the one
+    * index build + one pair dedup (exactly q_ann_lsh_cosine's), the
+    * exact side is the bounded query-slice broadcast, and the grid
+    * fan-out multiplies only id-pair rows. */
+  def forestSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val exact = annCosine(spark, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val index = forestBuckets(emb, Planes, LshTables)
+    val probes = index.filter(isQuery(col("vec_id")))
+      .select(col("vec_id").as("query_id"), col("t").as("qt"),
+        col("bucket").as("qbucket"))
+      .withColumn("pr", explode(array(
+        struct(col("qbucket").as("probe"), lit(false).as("flipped")) +:
+        (0 until Planes).map(p => struct(
+          col("qbucket").bitwiseXOR(lit(1L << p)).as("probe"),
+          lit(true).as("flipped"))): _*)))
+      .select(col("query_id"), col("qt"), col("pr.probe").as("probe"),
+        col("pr.flipped").as("flipped"))
+    val pairAgg = index.join(broadcast(probes),
+        col("t") === col("qt") && col("bucket") === col("probe") &&
+          col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(min(when(!col("flipped"), col("t"))).as("t0"), min(col("t")).as("t1"))
+      .join(exact, Seq("query_id", "neighbor_id"), "left")
+      .na.fill(0L, Seq("hit")).na.fill(99L, Seq("t0"))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val grid = SweepTables.flatMap(l => Seq((l.toLong, 0L), (l.toLong, 1L)))
+      .toDF("tables", "radius")
+    pairAgg.crossJoin(broadcast(grid))
+      .filter(when(col("radius") === 0L, col("t0") < col("tables"))
+        .otherwise(col("t1") < col("tables")))
+      .groupBy("tables", "radius")
+      .agg(count(lit(1)).as("n_cand"), sum("hit").as("hits"))
+      .crossJoin(broadcast(nExact))
+      .withColumn("recall_e6", expr("hits * 1000000 div n_exact"))
+      .select("tables", "radius", "n_cand", "hits", "n_exact", "recall_e6")
+      .orderBy("tables", "radius")
+  }
+
   private val DedupTau = 0.2
 
   /** q_dedup_embedding: embedding-cosine near-duplicate pairs — the
@@ -1132,6 +1193,7 @@ object Similarity {
     "q_knn_graph_approx" -> (knnGraphApprox(_, _)),
     "q_knn_components" -> (knnComponents(_, _)),
     "q_knn_components_approx" -> (knnComponentsApprox(_, _)),
+    "q_forest_sweep" -> (forestSweep(_, _)),
     "q_cluster_sample" -> (clusterSample(_, _)),
     "q_triangle_count" -> (triangleCount(_, _)),
     "q_cluster_profile" -> (clusterProfile(_, _)),
@@ -1487,6 +1549,55 @@ object Similarity {
          |FROM top f JOIN top r ON f.id_a = r.id_b AND f.id_b = r.id_a
          |WHERE f.id_a < f.id_b
          |ORDER BY f.id_a, f.id_b""".stripMargin,
+    // one forest build; per-pair min table index with/without flips;
+    // every grid cell one conditional count — the same trick
+    "q_forest_sweep" -> {
+      val gridVals = SweepTables
+        .flatMap(l => Seq(s"($l, 0)", s"($l, 1)")).mkString(", ")
+      s"""WITH $forestSqlPrelude,
+         |exactsc AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    list_reduce([q.v[i] * c.v[i] for i in range(1, len(q.v) + 1)], (a, b) -> a + b)
+         |      / (q.nrm * c.nrm) AS cos_raw
+         |  FROM nrm q JOIN nrm c ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id % 50 = 0),
+         |exact AS (
+         |  SELECT query_id, neighbor_id, 1 AS hit FROM (
+         |    SELECT query_id, neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+         |    FROM exactsc) WHERE rank <= $K),
+         |probes AS (
+         |  SELECT vec_id AS query_id, t, bucket AS probe, FALSE AS flipped
+         |  FROM tbuck WHERE vec_id % 50 = 0
+         |  UNION ALL
+         |  SELECT tb.vec_id, tb.t, xor(tb.bucket, CAST(1 AS BIGINT) << b.p8), TRUE
+         |  FROM tbuck tb, (SELECT unnest(generate_series(0, ${Planes - 1})) AS p8) b
+         |  WHERE tb.vec_id % 50 = 0),
+         |pa AS (
+         |  SELECT p.query_id, c.vec_id AS neighbor_id,
+         |    COALESCE(MIN(CASE WHEN NOT p.flipped THEN p.t END), 99) AS t0,
+         |    MIN(p.t) AS t1
+         |  FROM probes p JOIN tbuck c
+         |    ON c.t = p.t AND c.bucket = p.probe AND c.vec_id <> p.query_id
+         |  GROUP BY p.query_id, c.vec_id),
+         |pah AS (
+         |  SELECT pa.query_id, pa.neighbor_id, pa.t0, pa.t1,
+         |    COALESCE(e.hit, 0) AS hit
+         |  FROM pa LEFT JOIN exact e USING (query_id, neighbor_id)),
+         |ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM exact),
+         |grid(tables, radius) AS (VALUES $gridVals)
+         |SELECT CAST(g.tables AS BIGINT) AS tables,
+         |  CAST(g.radius AS BIGINT) AS radius,
+         |  CAST(COUNT(*) AS BIGINT) AS n_cand,
+         |  CAST(SUM(hit) AS BIGINT) AS hits, ne.n_exact,
+         |  CAST(SUM(hit) * 1000000 // ne.n_exact AS BIGINT) AS recall_e6
+         |FROM pah, grid g, ne
+         |WHERE CASE WHEN g.radius = 0 THEN pah.t0 < g.tables
+         |      ELSE pah.t1 < g.tables END
+         |GROUP BY g.tables, g.radius, ne.n_exact
+         |ORDER BY tables, radius""".stripMargin
+    },
     // the q_knn_components closure over the forest-fed mutual edges
     "q_knn_components_approx" ->
       s"""WITH RECURSIVE ${forestTopSql(KnnK)},

@@ -48,6 +48,36 @@ class AnnRecallSpec extends SparkSpec {
     assert(ivf >= 0.45, f"IVF recall@5 $ivf%.4f below floor 0.45")
   }
 
+  test("forest sweep is monotone in tables/radius and lands on the search config") {
+    val rows = graft.operators.Similarity.forestSweep(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // prefix-nested configs: candidates and recall never shrink as L
+    // grows, and radius-1 dominates radius-0 at every L
+    val ls = rows.keys.map(_._1).toSeq.distinct.sorted
+    for (r <- Seq(0L, 1L); (a, b) <- ls.zip(ls.tail)) {
+      assert(rows((a, r))._1 <= rows((b, r))._1, s"n_cand L$a>$b r$r")
+      assert(rows((a, r))._4 <= rows((b, r))._4, s"recall L$a>$b r$r")
+    }
+    ls.foreach { l =>
+      assert(rows((l, 0L))._1 <= rows((l, 1L))._1, s"n_cand radius L$l")
+      assert(rows((l, 0L))._4 <= rows((l, 1L))._4, s"recall radius L$l")
+    }
+    // the (max tables, radius 1) cell IS q_ann_lsh_cosine's candidate
+    // set, and candidate recall equals result recall at this K (an
+    // exact top-K candidate is only outranked by better exact
+    // neighbors) — so the sweep's corner must equal the search path's
+    // measured hits exactly
+    val (_, hits, nExact, _) = rows((ls.max, 1L))
+    val exact = topSets(graft.operators.Similarity.annCosine(spark, dir))
+    val lsh = topSets(graft.operators.Similarity.annLshCosine(spark, dir))
+    val lshHits = exact.map { case (q, ex) =>
+      lsh.getOrElse(q, Set.empty[Long]).intersect(ex).size
+    }.sum
+    assert(nExact == exact.valuesIterator.map(_.size).sum)
+    assert(hits == lshHits, s"sweep corner $hits vs search path $lshHits")
+  }
+
   test("forest-fed kNN graph recovers the exact mutual-edge set") {
     // the 10^9-vector path: the same mutual top-K tail over forest
     // candidates instead of all pairs — edge recall vs the exact graph

@@ -2123,6 +2123,51 @@ object Analytics {
       .orderBy("digit")
   }
 
+  /** z and z² for [[wilsonRates]] at 95% (z = 1.96) — precomputed
+    * and inlined as the SAME literals into both engines (the Benford
+    * constants rule). */
+  private val WilsonZ = 1.96
+  private val WilsonZ2 = 3.8416
+
+  /** q_wilson_rates: the error-rate leaderboard ranked by the WILSON
+    * SCORE LOWER BOUND instead of the raw rate — the classic
+    * small-sample correction (Wilson 1927; the standard
+    * "sort by lower confidence bound" ranking rule): a shop with 2
+    * errors in 3 events stops outranking one with 200 in 1000,
+    * because the bound prices in how little evidence n=3 carries.
+    * The monitoring twin of q_chi2_abtest for per-entity rates.
+    *
+    * Exactness: the bound is pure arithmetic over the two integer
+    * counts — division and sqrt are correctly-rounded IEEE ops, so
+    * the IDENTICAL expression tree (z/z² inlined as shared literals,
+    * doubles forced via 2.0/4.0 factors) is bit-equal across
+    * engines, then e6-floored. Rank pinned (bound DESC, domain ASC).
+    *
+    * Scale shape: map-only failure flag fused into the scan, ONE
+    * two-phase agg on the bounded domain alphabet, rank window over
+    * alphabet-sized rows. */
+  def wilsonRates(spark: SparkSession, dir: String): DataFrame = {
+    val perShop = Tables.events(spark, dir)
+      .select(concat(lit("shop"), (col("user_id") % 37).cast("string"),
+        lit(".example.com")).as("domain"),
+        when(col("event_type") === "error", 1L).otherwise(0L).as("fail"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_events"), sum("fail").as("n_errors"))
+    val wilson = expr(
+      s"""cast(floor(((n_errors/n_events + $WilsonZ2/(2.0*n_events))
+         | - $WilsonZ * sqrt(n_errors/n_events*(1 - n_errors/n_events)/n_events
+         |   + $WilsonZ2/(4.0*n_events*n_events)))
+         | / (1 + $WilsonZ2/n_events) * 1e6 + 0.5) as bigint)"""
+        .stripMargin.replace('\n', ' '))
+    val w = Window.orderBy(col("wilson_e6").desc, col("domain").asc)
+    perShop
+      .withColumn("rate_e6", expr("n_errors * 1000000 div n_events"))
+      .withColumn("wilson_e6", wilson)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select("rank", "domain", "n_events", "n_errors", "rate_e6", "wilson_e6")
+      .orderBy("rank")
+  }
+
   /** q_brand_loyalty: how concentrated is each customer's spend on
     * their top brand — per customer the share of their (order, brand)
     * baskets owned by the single most-bought brand, rolled into ten
@@ -2557,6 +2602,7 @@ object Analytics {
     "q_repeat_interval" -> (repeatInterval(_, _)),
     "q_cart_abandon" -> (cartAbandon(_, _)),
     "q_benford" -> (benford(_, _)),
+    "q_wilson_rates" -> (wilsonRates(_, _)),
     "q_brand_loyalty" -> (brandLoyalty(_, _)),
     "q_attribution" -> (attribution(_, _)),
     "q_period_growth" -> (periodGrowth(_, _)),
@@ -3019,6 +3065,32 @@ object Analytics {
          |    - CAST($expected AS BIGINT) AS dev_e6
          |FROM h CROSS JOIN tot ORDER BY digit""".stripMargin
     },
+    // identical arithmetic tree with the same inlined z/z2 literals;
+    // doubles forced by 2.0/4.0 factors; IEEE div+sqrt are correctly
+    // rounded so both engines produce the same bits pre-floor
+    "q_wilson_rates" ->
+      s"""WITH s AS (
+         |  SELECT concat('shop', CAST(user_id % 37 AS VARCHAR), '.example.com')
+         |    AS domain,
+         |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS fail
+         |  FROM events),
+         |agg AS (
+         |  SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_events,
+         |    CAST(SUM(fail) AS BIGINT) AS n_errors
+         |  FROM s GROUP BY domain),
+         |sc AS (
+         |  SELECT domain, n_events, n_errors,
+         |    CAST(n_errors * 1000000 // n_events AS BIGINT) AS rate_e6,
+         |    CAST(floor(((n_errors/n_events + $WilsonZ2/(2.0*n_events))
+         |      - $WilsonZ * sqrt(n_errors/n_events*(1 - n_errors/n_events)/n_events
+         |        + $WilsonZ2/(4.0*n_events*n_events)))
+         |      / (1 + $WilsonZ2/n_events) * 1e6 + 0.5) AS BIGINT) AS wilson_e6
+         |  FROM agg)
+         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY wilson_e6 DESC, domain ASC)
+         |    AS BIGINT) AS rank,
+         |  domain, n_events, n_errors, rate_e6, wilson_e6
+         |FROM sc
+         |ORDER BY rank""".stripMargin,
     // same max-vs-sum concentration; 100k-wide e6 buckets capped at 9
     "q_brand_loyalty" ->
       """WITH baskets AS (

@@ -2094,6 +2094,40 @@ class OperatorSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("wilson_rates lower bound matches a local recompute and reorders small samples") {
+    val got = run("q_wilson_rates").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select((col("user_id") % 37).cast("long").as("shop"),
+        (col("event_type") === "error").cast("long").as("f"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = ev.groupBy(_._1).map { case (shop, rs) =>
+      val n = rs.length.toDouble
+      val k = rs.map(_._2).sum.toDouble
+      val z = 1.96; val z2 = 3.8416
+      val w = ((k / n + z2 / (2.0 * n)) -
+        z * math.sqrt(k / n * (1 - k / n) / n + z2 / (4.0 * n * n))) /
+        (1 + z2 / n)
+      (s"shop$shop.example.com",
+        (rs.length.toLong, rs.map(_._2).sum,
+          (BigInt(rs.map(_._2).sum) * 1000000 / rs.length).toLong,
+          math.floor(w * 1e6 + 0.5).toLong))
+    }.toMap
+    got.foreach { case (_, dom, n, k, rate, wil) =>
+      assert(want(dom) == ((n, k, rate, wil)), dom)
+    }
+    // ranks are dense over the bound with the pinned tie-break
+    val sorted = got.sortBy(_._1).map(r => (r._6, r._2)).toSeq
+    assert(sorted == got.map(r => (r._6, r._2)).sortBy { case (w, d) => (-w, d) }.toSeq)
+    // the correction is LIVE: the bound must not order shops the same
+    // way the raw rate does on this corpus (else the operator is just
+    // a rate sort and the spec is vacuous)
+    val byRate = got.toSeq.sortBy { r => (-r._5, r._2) }.map(_._2)
+    val byWilson = got.toSeq.sortBy(_._1).map(_._2)
+    assert(byRate != byWilson, "wilson order equals raw-rate order; correction vacuous")
+  }
+
   test("bpe_train equals a plain-Scala iterative merge loop") {
     val got = run("q_bpe_train").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2),

@@ -332,6 +332,42 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Engulfment flag threshold for [[containment]] (pinned: the
+    * oracle interpolates it). */
+  private val ContainTauE6 = 500000L
+
+  /** q_containment: ASYMMETRIC near-duplicate containment (Broder's
+    * C(A,B) = |A∩B|/|A|, "On the resemblance and containment of
+    * documents", 1997) over the same MinHash candidate pairs the
+    * Jaccard verifier consumes — the quote-expansion catcher: a short
+    * document wholly quoted inside a long one has high containment in
+    * ONE direction while symmetric Jaccard stays low, so a
+    * Jaccard-only dedup keeps both copies. Emits both directions, the
+    * asymmetry gap, and the engulfed flag (either direction ≥ τ).
+    *
+    * Scale shape: identical to q_ngram_jaccard — candidate pairs from
+    * the banded index (never all pairs), shingle sets fetched by one
+    * hash join per side, set ops in-task; ratios integer-e6. */
+  def containment(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(spark, dir).select("id_a", "id_b")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), shingles(col("text")).as("grams"))
+    pairs
+      .join(docs.select(col("doc_id").as("id_a"), col("grams").as("grams_a")), Seq("id_a"))
+      .join(docs.select(col("doc_id").as("id_b"), col("grams").as("grams_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(col("grams_a")).cast("long").as("n_a"),
+        size(col("grams_b")).cast("long").as("n_b"),
+        size(array_intersect(col("grams_a"), col("grams_b"))).cast("long").as("n_inter"))
+      .withColumn("contain_ab_e6", expr("n_inter * 1000000 div n_a"))
+      .withColumn("contain_ba_e6", expr("n_inter * 1000000 div n_b"))
+      .withColumn("asym_e6",
+        abs(col("contain_ab_e6") - col("contain_ba_e6")))
+      .withColumn("engulfed",
+        greatest(col("contain_ab_e6"), col("contain_ba_e6")) >= ContainTauE6)
+      .orderBy("id_a", "id_b")
+  }
+
   /** q_dedup_clusters: connected components over the MinHash candidate
     * pairs — the final stage of the dedup pipeline (pairs → clusters →
     * one canonical keeper per cluster, everything else droppable).
@@ -707,6 +743,7 @@ object Dedup {
     "q_dedup_incremental" -> (dedupIncremental(_, _)),
     "q_dedup_simhash" -> (dedupSimhash(_, _)),
     "q_ngram_jaccard" -> (ngramJaccard(_, _)),
+    "q_containment" -> (containment(_, _)),
     "q_minhash_est" -> (minhashEst(_, _)),
     "q_dedup_sweep" -> (dedupSweep(_, _)),
     "q_dedup_clusters" -> (dedupClusters(_, _)))
@@ -1012,6 +1049,27 @@ object Dedup {
          |  GROUP BY tau_e6)
          |SELECT CAST(pp.tau_e6 AS BIGINT) AS tau_e6, n_pairs, n_docs
          |FROM pp JOIN dd USING (tau_e6) ORDER BY tau_e6""".stripMargin,
+    // same candidate pairs + shingle joins; integer-e6 truncating divs
+    "q_containment" ->
+      s"""WITH $pairSql
+         |SELECT p.id_a, p.id_b,
+         |  CAST(len(a.grams) AS BIGINT) AS n_a,
+         |  CAST(len(b.grams) AS BIGINT) AS n_b,
+         |  CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS n_inter,
+         |  CAST(len(list_intersect(a.grams, b.grams)) * 1000000 // len(a.grams)
+         |    AS BIGINT) AS contain_ab_e6,
+         |  CAST(len(list_intersect(a.grams, b.grams)) * 1000000 // len(b.grams)
+         |    AS BIGINT) AS contain_ba_e6,
+         |  CAST(abs(len(list_intersect(a.grams, b.grams)) * 1000000 // len(a.grams)
+         |    - len(list_intersect(a.grams, b.grams)) * 1000000 // len(b.grams))
+         |    AS BIGINT) AS asym_e6,
+         |  greatest(len(list_intersect(a.grams, b.grams)) * 1000000 // len(a.grams),
+         |    len(list_intersect(a.grams, b.grams)) * 1000000 // len(b.grams))
+         |    >= $ContainTauE6 AS engulfed
+         |FROM pairs p
+         |JOIN sh a ON p.id_a = a.doc_id
+         |JOIN sh b ON p.id_b = b.doc_id
+         |ORDER BY id_a, id_b""".stripMargin,
     "q_ngram_jaccard" ->
       s"""WITH $pairSql
          |SELECT p.id_a, p.id_b,

@@ -40,6 +40,38 @@ class OperatorSpec extends SparkSpec {
     assert(df.groupBy("id_a", "id_b").count().filter(col("count") > 1).count() == 0)
   }
 
+  test("containment matches local shingle sets and bounds jaccard") {
+    def sh(text: String): Set[String] = {
+      val w = text.split(" ", -1)
+      if (w.length >= 3) w.sliding(3).map(_.mkString(" ")).toSet
+      else Set(text)
+    }
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> sh(r.getString(1))).toMap
+    val got = run("q_containment").collect()
+    assert(got.nonEmpty)
+    val jac = run("q_ngram_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet == jac.keySet,
+      "containment and jaccard must verify the same candidate pairs")
+    got.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val (sa, sb) = (docs(a), docs(b))
+      val inter = sa.intersect(sb).size.toLong
+      val cab = inter * 1000000L / sa.size
+      val cba = inter * 1000000L / sb.size
+      assert((r.getLong(2), r.getLong(3), r.getLong(4)) ==
+        ((sa.size.toLong, sb.size.toLong, inter)), s"($a,$b) sizes")
+      assert((r.getLong(5), r.getLong(6), r.getLong(7)) ==
+        ((cab, cba, math.abs(cab - cba))), s"($a,$b) containments")
+      assert(r.getBoolean(8) == (math.max(cab, cba) >= 500000L))
+      // containment dominates jaccard in both directions: |A∩B|/|A| ≥
+      // |A∩B|/|A∪B| (the asymmetric measure can only be more generous)
+      assert(math.max(cab, cba) / 1e6 + 1e-6 >= jac((a, b)), s"($a,$b) bound")
+    }
+  }
+
   test("dedup recall bands equal a local brute-force sweep") {
     // truth side recomputed locally: exact distinct-3-shingle Jaccard
     // for every doc pair, banded; LSH side = the collected minhash

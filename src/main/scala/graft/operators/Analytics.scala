@@ -2168,6 +2168,39 @@ object Analytics {
       .orderBy("rank")
   }
 
+  /** q_decayed_topk: the FRESHNESS-WEIGHTED leaderboard — every event
+    * contributes weight 2^(−age) with a one-day half-life, so a domain
+    * hot last week but dead today sinks below one warming up now (the
+    * trending-vs-total cut every live dashboard wants; q_stream_topk
+    * is the undecayed twin). EXACT at any scale by construction: age
+    * quantizes to whole days behind the corpus watermark and the
+    * weight is the integer right-shift 10⁶ >> age — no float pow
+    * anywhere (IEEE pow is NOT correctly rounded, so a float decay
+    * could split engines; the shift cannot), weights vanish naturally
+    * past age 19 (10⁶ >> 20 = 0).
+    *
+    * Scale shape: map-only (domain, day) projection, watermark day
+    * broadcast from a 1-row agg, ONE two-phase agg on the bounded
+    * domain alphabet, rank window over alphabet-sized rows. */
+  def decayedTopK(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(concat(lit("shop"), (col("user_id") % 37).cast("string"),
+        lit(".example.com")).as("domain"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+    val maxDay = ev.agg(max("day").as("max_day"))
+    val w = Window.orderBy(col("decayed_e6").desc, col("domain").asc)
+    ev.crossJoin(broadcast(maxDay))
+      .withColumn("w_e6", expr(
+        "cast(shiftright(1000000, cast(least(max_day - day, 62) as int)) as bigint)"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_events"),
+        min(expr("max_day - day")).as("freshest_age"),
+        sum("w_e6").as("decayed_e6"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select("rank", "domain", "n_events", "freshest_age", "decayed_e6")
+      .orderBy("rank")
+  }
+
   /** q_brand_loyalty: how concentrated is each customer's spend on
     * their top brand — per customer the share of their (order, brand)
     * baskets owned by the single most-bought brand, rolled into ten
@@ -2603,6 +2636,7 @@ object Analytics {
     "q_cart_abandon" -> (cartAbandon(_, _)),
     "q_benford" -> (benford(_, _)),
     "q_wilson_rates" -> (wilsonRates(_, _)),
+    "q_decayed_topk" -> (decayedTopK(_, _)),
     "q_brand_loyalty" -> (brandLoyalty(_, _)),
     "q_attribution" -> (attribution(_, _)),
     "q_period_growth" -> (periodGrowth(_, _)),
@@ -3065,6 +3099,25 @@ object Analytics {
          |    - CAST($expected AS BIGINT) AS dev_e6
          |FROM h CROSS JOIN tot ORDER BY digit""".stripMargin
     },
+    // same day quantization; the weight is the same integer shift
+    "q_decayed_topk" ->
+      """WITH e AS (
+        |  SELECT concat('shop', CAST(user_id % 37 AS VARCHAR), '.example.com')
+        |    AS domain,
+        |    epoch_ns(ts) // 86400000000000 AS day
+        |  FROM events),
+        |md AS (SELECT MAX(day) AS max_day FROM e),
+        |agg AS (
+        |  SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(MIN(max_day - day) AS BIGINT) AS freshest_age,
+        |    CAST(SUM(CAST(1000000 AS BIGINT) >> least(max_day - day, 62))
+        |      AS BIGINT) AS decayed_e6
+        |  FROM e CROSS JOIN md GROUP BY domain)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY decayed_e6 DESC, domain ASC)
+        |    AS BIGINT) AS rank,
+        |  domain, n_events, freshest_age, decayed_e6
+        |FROM agg
+        |ORDER BY rank""".stripMargin,
     // identical arithmetic tree with the same inlined z/z2 literals;
     // doubles forced by 2.0/4.0 factors; IEEE div+sqrt are correctly
     // rounded so both engines produce the same bits pre-floor

@@ -2126,6 +2126,28 @@ class OperatorSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("decayed_topk equals a local integer-shift decay recompute") {
+    val got = run("q_decayed_topk").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select((col("user_id") % 37).cast("long").as("shop"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val maxDay = ev.map(_._2).max
+    assert(ev.exists(e => maxDay - e._2 >= 1), "all events same-day; decay vacuous")
+    val want = ev.groupBy(_._1).map { case (shop, rs) =>
+      s"shop$shop.example.com" -> ((rs.length.toLong,
+        rs.map(maxDay - _._2).min,
+        rs.map(e => 1000000L >> math.min(maxDay - e._2, 62L).toInt).sum))
+    }
+    got.foreach { case (_, dom, n, fresh, dec) =>
+      assert(want(dom) == ((n, fresh, dec)), dom)
+    }
+    val ranked = want.toSeq.sortBy { case (d, (_, _, dec)) => (-dec, d) }.map(_._1)
+    assert(got.sortBy(_._1).map(_._2).toSeq == ranked)
+  }
+
   test("wilson_rates lower bound matches a local recompute and reorders small samples") {
     val got = run("q_wilson_rates").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),

@@ -2182,20 +2182,32 @@ object Analytics {
     * Scale shape: map-only (domain, day) projection, watermark day
     * broadcast from a 1-row agg, ONE two-phase agg on the bounded
     * domain alphabet, rank window over alphabet-sized rows. */
-  def decayedTopK(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
+  def decayedTopK(spark: SparkSession, dir: String): DataFrame =
+    decayedFinish(decayedDayCounts(Tables.events(spark, dir)))
+
+  /** Map-only (domain, day) census input — shared with the streaming
+    * variant (q_stream_decayed), whose Update-mode state is exactly
+    * this census (alphabet × day-horizon, sketch-sized). */
+  private[graft] def decayedDayCounts(events: DataFrame): DataFrame =
+    events
       .select(concat(lit("shop"), (col("user_id") % 37).cast("string"),
         lit(".example.com")).as("domain"),
         expr("unix_micros(ts) div 86400000000").as("day"))
-    val maxDay = ev.agg(max("day").as("max_day"))
+      .groupBy("domain", "day").agg(count(lit(1)).as("cnt"))
+
+  /** The decay-weight-and-rank finish over a (domain, day, cnt)
+    * census — SHARED by batch and stream so they cannot disagree and
+    * share one oracle. */
+  private[graft] def decayedFinish(dayCounts: DataFrame): DataFrame = {
+    val maxDay = dayCounts.agg(max("day").as("max_day"))
     val w = Window.orderBy(col("decayed_e6").desc, col("domain").asc)
-    ev.crossJoin(broadcast(maxDay))
+    dayCounts.crossJoin(broadcast(maxDay))
       .withColumn("w_e6", expr(
         "cast(shiftright(1000000, cast(least(max_day - day, 62) as int)) as bigint)"))
       .groupBy("domain")
-      .agg(count(lit(1)).as("n_events"),
+      .agg(sum("cnt").as("n_events"),
         min(expr("max_day - day")).as("freshest_age"),
-        sum("w_e6").as("decayed_e6"))
+        sum(expr("cnt * w_e6")).as("decayed_e6"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .select("rank", "domain", "n_events", "freshest_age", "decayed_e6")
       .orderBy("rank")

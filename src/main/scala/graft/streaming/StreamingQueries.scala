@@ -384,6 +384,40 @@ object StreamingQueries {
     runToMemory(spark, flagged, OutputMode.Append()).orderBy("event_id")
   }
 
+  /** q_stream_decayed — the freshness-decayed leaderboard as a
+    * STREAM: like q_stream_topk/hll/psi, the state is the SKETCH —
+    * an Update-mode (domain, day) census whose per-trigger deltas
+    * upsert into the keyed store (alphabet × day-horizon entries,
+    * duplicate-insensitive to re-aggregation), and the decay-weight
+    * ranking runs batch-side over the converged census via the
+    * SHARED [[graft.operators.Analytics.decayedFinish]] — so stream
+    * and batch cannot disagree and the stream reuses the batch
+    * oracle verbatim. The decay re-weights FROM THE CENSUS at read
+    * time (weights depend only on age at the watermark), which is
+    * exactly why the census, not the decayed sum, is the right
+    * stream state: a decayed accumulator would stale the moment the
+    * watermark advanced. */
+  def streamDecayed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = graft.operators.Analytics.decayedDayCounts(
+      eventsStream(spark, dir))
+    val store = new java.util.concurrent.ConcurrentHashMap[(String, Long), Long]()
+    val q = counts.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.collect().foreach { r =>
+          store.put((r.getString(0), r.getLong(1)), r.getLong(2))
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    graft.operators.Analytics.decayedFinish(
+      store.asScala.toSeq.map { case ((d, day), c) => (d, day, c) }
+        .toDF("domain", "day", "cnt"))
+  }
+
   /** q_stream_quality — the Gopher quality gate AT INGEST: every
     * arriving document is scored by the published rule battery
     * (q_gopher_rules' [[graft.operators.Curation.gopherFlags]] kernel,
@@ -855,6 +889,7 @@ object StreamingQueries {
     "q_stream_benford" -> stateful(streamBenford),
     "q_stream_outliers" -> (streamOutliers(_, _)), // stateless scorer
     "q_stream_quality" -> (streamQuality(_, _)), // stateless scorer
+    "q_stream_decayed" -> stateful(streamDecayed),
     "q_stream_hll" -> stateful(streamHll))
 
   /** The streaming queries run real Structured Streaming, but over the
@@ -869,6 +904,10 @@ object StreamingQueries {
     // the batch Gopher-gate oracle VERBATIM — gopherFlags is shared,
     // so the stateless stream must reproduce every rule value
     "q_stream_quality" -> graft.operators.Curation.oracleSql("q_gopher_rules"),
+    // the batch decayed-leaderboard oracle VERBATIM — decayedDayCounts
+    // + decayedFinish are shared, so the converged census must rank
+    // identically
+    "q_stream_decayed" -> graft.operators.Analytics.oracleSql("q_decayed_topk"),
     // the batch transition-matrix oracle VERBATIM — transFinish is
     // shared, so the converged step counts must yield the batch matrix
     "q_stream_transitions" -> graft.operators.Analytics.oracleSql("q_transitions"),

@@ -414,6 +414,17 @@ class StreamingSpec extends SparkSpec {
     assert(twoTrigger.map(_.toSeq).toSet == batch.map(_.toSeq).toSet)
   }
 
+  test("streaming decayed leaderboard equals the batch ranking row for row") {
+    // shared census input + shared decay finish: the converged
+    // (domain, day) store must rank identically to batch
+    val batch = SparkEntry.queries("q_decayed_topk")(spark, sf).collect()
+      .map(_.toSeq).toSet
+    val stream = SparkEntry.queries("q_stream_decayed")(spark, sf).collect()
+      .map(_.toSeq).toSet
+    assert(stream.nonEmpty)
+    assert(stream == batch)
+  }
+
   test("streaming quality gate equals the batch gopher rules row for row") {
     // shared gopherFlags kernel: the stateless stream scorer must
     // reproduce every rule value and keep flag of the batch gate

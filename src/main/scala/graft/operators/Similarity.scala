@@ -239,6 +239,65 @@ object Similarity {
     componentsOutput(spark, dir,
       knnGraphApprox(spark, dir).select("id_a", "id_b"))
 
+  /** q_graph_modularity: Newman MODULARITY per semantic cluster — the
+    * clustering-quality audit for the graph family (q_ann_recall's
+    * role for retrieval): Q = Σ_c [ e_c/m − (d_c/2m)² ] scores how
+    * much denser clusters are than a degree-preserving random rewire;
+    * near-zero or negative contributions flag clusters that are
+    * artifacts of the candidate cut, before SemDeDup prunes by them.
+    * Emitted per cluster (nodes, intra-edges, degree mass, e6
+    * contribution) so the audit names WHICH cluster is weak.
+    *
+    * INTEGER-EXACT: each contribution is the rational
+    * (4·m·e_c − d_c²) / (4·m²), carried as an exact decimal(38,0)
+    * numerator e6-scaled before ONE truncating division — no float
+    * anywhere, so at 10¹² edges the arithmetic still cannot drift.
+    *
+    * The substrate is the FINE clustering ([[SampleKnnK]] = mutual
+    * top-2, the partition q_cluster_sample allocates budget over) —
+    * the K=10 graph is one giant component on this corpus, whose
+    * single-cluster partition scores exactly 0 by construction; the
+    * fine partition is the one whose quality an auditor actually
+    * questions.
+    *
+    * Scale shape: the mutual edge set (localCheckpointed — reused by
+    * m, degrees and intra counts), the shared CC loop for labels, two
+    * label equi-joins, per-cluster two-phase aggs; m broadcast from a
+    * 1-row agg. */
+  def graphModularity(spark: SparkSession, dir: String): DataFrame = {
+    val edges = knnMutual(spark, dir, SampleKnnK)
+      .select("id_a", "id_b").localCheckpoint()
+    val labels = Dedup.componentLabels(edges)
+    val lab = Tables.embeddings(spark, dir)
+      .select(col("vec_id"))
+      .join(labels.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("label"), col("vec_id")).as("cluster_id"))
+    val mTot = edges.agg(count(lit(1)).as("m"))
+    val deg = edges.select(col("id_a").as("vec_id"))
+      .union(edges.select(col("id_b").as("vec_id")))
+      .groupBy("vec_id").agg(count(lit(1)).as("deg"))
+    val degByCluster = lab.join(deg, Seq("vec_id"), "left")
+      .na.fill(0L, Seq("deg"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_nodes"), sum("deg").as("degree_sum"))
+    val intra = edges
+      .join(lab.select(col("vec_id").as("id_a"), col("cluster_id").as("ca")), Seq("id_a"))
+      .join(lab.select(col("vec_id").as("id_b"), col("cluster_id").as("cb")), Seq("id_b"))
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("cluster_id"))
+      .agg(count(lit(1)).as("intra_edges"))
+    degByCluster.join(intra, Seq("cluster_id"), "left")
+      .na.fill(0L, Seq("intra_edges"))
+      .crossJoin(broadcast(mTot))
+      .withColumn("contrib_e6", expr(
+        """cast((cast(4 as decimal(38,0)) * m * intra_edges
+          | - cast(degree_sum as decimal(38,0)) * degree_sum) * 1000000
+          | div (cast(4 as decimal(38,0)) * m * m) as bigint)"""
+          .stripMargin.replace('\n', ' ')))
+      .select("cluster_id", "n_nodes", "intra_edges", "degree_sum", "contrib_e6")
+      .orderBy("cluster_id")
+  }
+
   /** Cluster-substrate neighbor count for [[clusterSample]]: mutual
     * top-2 is a much stricter reciprocity cut than [[KnnK]] = 10, so
     * the component structure stays FINE-grained (hundreds of small
@@ -1194,6 +1253,7 @@ object Similarity {
     "q_knn_components" -> (knnComponents(_, _)),
     "q_knn_components_approx" -> (knnComponentsApprox(_, _)),
     "q_forest_sweep" -> (forestSweep(_, _)),
+    "q_graph_modularity" -> (graphModularity(_, _)),
     "q_cluster_sample" -> (clusterSample(_, _)),
     "q_triangle_count" -> (triangleCount(_, _)),
     "q_cluster_profile" -> (clusterProfile(_, _)),
@@ -1644,6 +1704,47 @@ object Similarity {
          |  l.vec_id = l.cluster_id AS is_canonical
          |FROM lab l JOIN sz s USING (cluster_id)
          |ORDER BY l.vec_id""".stripMargin,
+    // same mutual edges + closure labels; the contribution is the
+    // exact rational (4·m·e_c − d_c²)/(4·m²) in HUGEINT, e6-scaled
+    // before one truncating division
+    "q_graph_modularity" ->
+      s"""WITH RECURSIVE ${knnTopSql(SampleKnnK)},
+         |mutual AS (
+         |  SELECT f.id_a, f.id_b
+         |  FROM top f JOIN top r ON f.id_a = r.id_b AND f.id_b = r.id_a
+         |  WHERE f.id_a < f.id_b),
+         |edges2 AS (
+         |  SELECT id_a AS src, id_b AS dst FROM mutual
+         |  UNION ALL SELECT id_b AS src, id_a AS dst FROM mutual),
+         |reach(node, r) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT w.node, e.dst FROM reach w JOIN edges2 e ON e.src = w.r),
+         |lab AS (
+         |  SELECT node AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY node),
+         |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM mutual),
+         |deg AS (
+         |  SELECT src AS vec_id, CAST(COUNT(*) AS BIGINT) AS deg
+         |  FROM edges2 GROUP BY src),
+         |dc AS (
+         |  SELECT l.cluster_id, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         |    CAST(SUM(COALESCE(d.deg, 0)) AS BIGINT) AS degree_sum
+         |  FROM lab l LEFT JOIN deg d USING (vec_id) GROUP BY l.cluster_id),
+         |ie AS (
+         |  SELECT la.cluster_id, CAST(COUNT(*) AS BIGINT) AS intra_edges
+         |  FROM mutual mu
+         |    JOIN lab la ON la.vec_id = mu.id_a
+         |    JOIN lab lb ON lb.vec_id = mu.id_b
+         |  WHERE la.cluster_id = lb.cluster_id
+         |  GROUP BY la.cluster_id)
+         |SELECT d.cluster_id, d.n_nodes,
+         |  CAST(COALESCE(ie.intra_edges, 0) AS BIGINT) AS intra_edges,
+         |  d.degree_sum,
+         |  CAST((CAST(4 AS HUGEINT) * mm.m * COALESCE(ie.intra_edges, 0)
+         |    - CAST(d.degree_sum AS HUGEINT) * d.degree_sum) * 1000000
+         |    // (CAST(4 AS HUGEINT) * mm.m * mm.m) AS BIGINT) AS contrib_e6
+         |FROM dc d LEFT JOIN ie USING (cluster_id) CROSS JOIN mm
+         |ORDER BY cluster_id""".stripMargin,
     // Shared CC labels, e6-quantized members, exact-integer per-dim
     // centroid sums, one double division per member cosine — the
     // identical tree the Spark side executes.

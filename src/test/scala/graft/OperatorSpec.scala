@@ -203,6 +203,66 @@ class OperatorSpec extends SparkSpec {
     assert(comp.exists(_.getLong(2) > 1))
   }
 
+  test("graph_modularity matches a local Newman recompute over the fine clusters") {
+    val got = run("q_graph_modularity").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    // rebuild the mutual-top-2 substrate from scratch: exact cosines,
+    // (cos DESC, id ASC) rank, reciprocity cut, then union-find
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val ids = vecs.keys.toSeq.sorted
+    val top2 = ids.map { a =>
+      a -> ids.filter(_ != a)
+        .map(b => (b, cos(vecs(a), vecs(b))))
+        .sortBy { case (b, c) => (-c, b) }.take(2).map(_._1).toSet
+    }.toMap
+    val edges = (for {
+      a <- ids; b <- top2(a) if a < b && top2(b).contains(a)
+    } yield (a, b)).toSeq
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val comp = ids.map(i => i -> find(i)).toMap
+    val m = edges.length.toLong
+    val deg = edges.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val want = comp.groupBy(_._2).map { case (cid, members) =>
+      val nodes = members.keys.toSet
+      val e_c = edges.count(e => nodes(e._1) && nodes(e._2)).toLong
+      val d_c = nodes.toSeq.map(n => deg.getOrElse(n, 0L)).sum
+      val contrib = (BigInt(4) * m * e_c - BigInt(d_c) * d_c) * 1000000 /
+        (BigInt(4) * m * m)
+      cid -> ((nodes.size.toLong, e_c, d_c, contrib.toLong))
+    }
+    assert(got == want)
+    // every intra-cluster edge accounted: intra sums to m (the mutual
+    // graph's components contain all edges by definition)
+    assert(got.values.map(_._2).sum == m)
+    // for a COMPONENT partition every contribution is e_c(m−e_c)/m²:
+    // ≥ 0 always, > 0 summed exactly when edges split across ≥ 2
+    // clusters (one giant component — the tiny-sf case — scores 0)
+    got.values.foreach { case (_, _, _, c) => assert(c >= 0) }
+    val edgy = got.values.count(_._2 > 0)
+    if (edgy > 1) assert(got.values.map(_._4).sum > 0,
+      "multi-cluster split scored non-positive modularity")
+    else assert(got.values.map(_._4).sum == 0,
+      "single-cluster partition must score exactly 0")
+  }
+
   test("cluster_sample keeps exactly ceil(sqrt(size)) per cluster with valid ranks") {
     val picks = run("q_cluster_sample").collect()
     assert(picks.map(_.getLong(0)).distinct.length == picks.length)

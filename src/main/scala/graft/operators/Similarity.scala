@@ -298,6 +298,38 @@ object Similarity {
       .orderBy("cluster_id")
   }
 
+  /** q_cluster_purity: label PURITY per semantic cluster — the
+    * EXTERNAL-validation twin of [[graphModularity]]'s internal
+    * audit: against the embeddings' ground-truth `label` column, each
+    * fine cluster reports its majority label, the majority count, and
+    * purity = majority/size (e6) — the homogeneity check run before
+    * trusting clusters for pruning or budget allocation (a cluster
+    * mixing labels is a candidate-cut artifact even if its modularity
+    * looks dense). Majority pinned by (count DESC, label ASC).
+    *
+    * Scale shape: the same mutual-top-2 edge build + shared CC loop;
+    * one (cluster, label) two-phase agg, one per-cluster argmax
+    * window over cluster-count-sized rows. */
+  def clusterPurity(spark: SparkSession, dir: String): DataFrame = {
+    val edges = knnMutual(spark, dir, SampleKnnK).select("id_a", "id_b")
+    val labels = Dedup.componentLabels(edges)
+    val lab = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("y"))
+      .join(labels.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+      .select(coalesce(col("label"), col("vec_id")).as("cluster_id"), col("y"))
+    val counts = lab.groupBy("cluster_id", "y").agg(count(lit(1)).as("n_y"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("n_y").desc, col("y").asc)
+    counts
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_nodes", sum("n_y").over(Window.partitionBy("cluster_id")))
+      .filter(col("rk") === 1)
+      .select(col("cluster_id"), col("n_nodes"),
+        col("y").as("majority_label"), col("n_y").as("majority_n"))
+      .withColumn("purity_e6", expr("majority_n * 1000000 div n_nodes"))
+      .orderBy("cluster_id")
+  }
+
   /** Cluster-substrate neighbor count for [[clusterSample]]: mutual
     * top-2 is a much stricter reciprocity cut than [[KnnK]] = 10, so
     * the component structure stays FINE-grained (hundreds of small
@@ -1254,6 +1286,7 @@ object Similarity {
     "q_knn_components_approx" -> (knnComponentsApprox(_, _)),
     "q_forest_sweep" -> (forestSweep(_, _)),
     "q_graph_modularity" -> (graphModularity(_, _)),
+    "q_cluster_purity" -> (clusterPurity(_, _)),
     "q_cluster_sample" -> (clusterSample(_, _)),
     "q_triangle_count" -> (triangleCount(_, _)),
     "q_cluster_profile" -> (clusterProfile(_, _)),
@@ -1744,6 +1777,37 @@ object Similarity {
          |    - CAST(d.degree_sum AS HUGEINT) * d.degree_sum) * 1000000
          |    // (CAST(4 AS HUGEINT) * mm.m * mm.m) AS BIGINT) AS contrib_e6
          |FROM dc d LEFT JOIN ie USING (cluster_id) CROSS JOIN mm
+         |ORDER BY cluster_id""".stripMargin,
+    // same closure labels + (cluster, label) census + pinned argmax
+    "q_cluster_purity" ->
+      s"""WITH RECURSIVE ${knnTopSql(SampleKnnK)},
+         |mutual AS (
+         |  SELECT f.id_a, f.id_b
+         |  FROM top f JOIN top r ON f.id_a = r.id_b AND f.id_b = r.id_a
+         |  WHERE f.id_a < f.id_b),
+         |edges2 AS (
+         |  SELECT id_a AS src, id_b AS dst FROM mutual
+         |  UNION ALL SELECT id_b AS src, id_a AS dst FROM mutual),
+         |reach(node, r) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT w.node, e.dst FROM reach w JOIN edges2 e ON e.src = w.r),
+         |lab AS (
+         |  SELECT node AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY node),
+         |cy AS (
+         |  SELECT l.cluster_id, CAST(emb.label AS BIGINT) AS y,
+         |    CAST(COUNT(*) AS BIGINT) AS n_y
+         |  FROM lab l JOIN embeddings emb ON emb.vec_id = l.vec_id
+         |  GROUP BY l.cluster_id, CAST(emb.label AS BIGINT)),
+         |rk AS (
+         |  SELECT cluster_id, y, n_y,
+         |    ROW_NUMBER() OVER (PARTITION BY cluster_id
+         |      ORDER BY n_y DESC, y ASC) AS rk,
+         |    CAST(SUM(n_y) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_nodes
+         |  FROM cy)
+         |SELECT cluster_id, n_nodes, y AS majority_label, n_y AS majority_n,
+         |  CAST(n_y * 1000000 // n_nodes AS BIGINT) AS purity_e6
+         |FROM rk WHERE rk = 1
          |ORDER BY cluster_id""".stripMargin,
     // Shared CC labels, e6-quantized members, exact-integer per-dim
     // centroid sums, one double division per member cosine — the

@@ -263,6 +263,53 @@ class OperatorSpec extends SparkSpec {
       "single-cluster partition must score exactly 0")
   }
 
+  test("cluster_purity is the pinned per-cluster majority over true labels") {
+    val got = run("q_cluster_purity").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    val labels = graft.sources.Tables.embeddings(spark, sf)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    // one row per cluster; sizes partition the catalog exactly
+    assert(got.values.map(_._1).sum == labels.size.toLong)
+    // full independent rebuild: cosine top-2 → reciprocity →
+    // union-find → per-cluster pinned majority (the modularity spec's
+    // substrate machinery, against the label column)
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val ids = vecs.keys.toSeq.sorted
+    val top2 = ids.map { a =>
+      a -> ids.filter(_ != a)
+        .map(b => (b, cos(vecs(a), vecs(b))))
+        .sortBy { case (b, c) => (-c, b) }.take(2).map(_._1).toSet
+    }.toMap
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for (a <- ids; b <- top2(a) if a < b && top2(b).contains(a)) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = ids.groupBy(find).map { case (cid, members) =>
+      val ys = members.map(labels)
+      val (majY, majN) = ys.groupBy(identity).view
+        .mapValues(_.size.toLong).toSeq
+        .sortBy { case (y, n) => (-n, y) }.head
+      cid -> ((members.size.toLong, majY, majN,
+        majN * 1000000L / members.size))
+    }
+    assert(got == want)
+  }
+
   test("cluster_sample keeps exactly ceil(sqrt(size)) per cluster with valid ranks") {
     val picks = run("q_cluster_sample").collect()
     assert(picks.map(_.getLong(0)).distinct.length == picks.length)

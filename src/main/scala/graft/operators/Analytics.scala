@@ -2146,13 +2146,24 @@ object Analytics {
     * Scale shape: map-only failure flag fused into the scan, ONE
     * two-phase agg on the bounded domain alphabet, rank window over
     * alphabet-sized rows. */
-  def wilsonRates(spark: SparkSession, dir: String): DataFrame = {
-    val perShop = Tables.events(spark, dir)
+  def wilsonRates(spark: SparkSession, dir: String): DataFrame =
+    wilsonFinish(wilsonCensus(Tables.events(spark, dir)))
+
+  /** Map-only per-domain (trials, failures) census — shared with the
+    * streaming variant (q_stream_wilson), whose Update-mode state is
+    * exactly this alphabet-sized census. */
+  private[graft] def wilsonCensus(events: DataFrame): DataFrame =
+    events
       .select(concat(lit("shop"), (col("user_id") % 37).cast("string"),
         lit(".example.com")).as("domain"),
         when(col("event_type") === "error", 1L).otherwise(0L).as("fail"))
       .groupBy("domain")
       .agg(count(lit(1)).as("n_events"), sum("fail").as("n_errors"))
+
+  /** The bound-and-rank finish over a (domain, n_events, n_errors)
+    * census — SHARED by batch and stream so they cannot disagree and
+    * share one oracle. */
+  private[graft] def wilsonFinish(census: DataFrame): DataFrame = {
     val wilson = expr(
       s"""cast(floor(((n_errors/n_events + $WilsonZ2/(2.0*n_events))
          | - $WilsonZ * sqrt(n_errors/n_events*(1 - n_errors/n_events)/n_events
@@ -2160,7 +2171,7 @@ object Analytics {
          | / (1 + $WilsonZ2/n_events) * 1e6 + 0.5) as bigint)"""
         .stripMargin.replace('\n', ' '))
     val w = Window.orderBy(col("wilson_e6").desc, col("domain").asc)
-    perShop
+    census
       .withColumn("rate_e6", expr("n_errors * 1000000 div n_events"))
       .withColumn("wilson_e6", wilson)
       .withColumn("rank", row_number().over(w).cast("long"))

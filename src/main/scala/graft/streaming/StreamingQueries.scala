@@ -418,6 +418,36 @@ object StreamingQueries {
         .toDF("domain", "day", "cnt"))
   }
 
+  /** q_stream_wilson — the confidence-ranked error monitor LIVE: the
+    * state is the per-domain (trials, failures) census (sketch-sized,
+    * duplicate-insensitive to re-aggregation — the q_stream_psi
+    * shape), upserted per trigger; the Wilson bound and ranking run
+    * batch-side over the converged census via the SHARED
+    * [[graft.operators.Analytics.wilsonFinish]], so stream and batch
+    * cannot disagree and the stream reuses the batch oracle verbatim.
+    * This is how the alarm actually deploys: counters at the edge,
+    * the statistics where the dashboard reads them. */
+  def streamWilson(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val census = graft.operators.Analytics.wilsonCensus(
+      eventsStream(spark, dir))
+    val store = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+    val q = census.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.collect().foreach { r =>
+          store.put(r.getString(0), (r.getLong(1), r.getLong(2)))
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    graft.operators.Analytics.wilsonFinish(
+      store.asScala.toSeq.map { case (d, (n, k)) => (d, n, k) }
+        .toDF("domain", "n_events", "n_errors"))
+  }
+
   /** q_stream_quality — the Gopher quality gate AT INGEST: every
     * arriving document is scored by the published rule battery
     * (q_gopher_rules' [[graft.operators.Curation.gopherFlags]] kernel,
@@ -890,6 +920,7 @@ object StreamingQueries {
     "q_stream_outliers" -> (streamOutliers(_, _)), // stateless scorer
     "q_stream_quality" -> (streamQuality(_, _)), // stateless scorer
     "q_stream_decayed" -> stateful(streamDecayed),
+    "q_stream_wilson" -> stateful(streamWilson),
     "q_stream_hll" -> stateful(streamHll))
 
   /** The streaming queries run real Structured Streaming, but over the
@@ -908,6 +939,9 @@ object StreamingQueries {
     // + decayedFinish are shared, so the converged census must rank
     // identically
     "q_stream_decayed" -> graft.operators.Analytics.oracleSql("q_decayed_topk"),
+    // the batch Wilson oracle VERBATIM — wilsonCensus + wilsonFinish
+    // are shared, so the converged counters must rank identically
+    "q_stream_wilson" -> graft.operators.Analytics.oracleSql("q_wilson_rates"),
     // the batch transition-matrix oracle VERBATIM — transFinish is
     // shared, so the converged step counts must yield the batch matrix
     "q_stream_transitions" -> graft.operators.Analytics.oracleSql("q_transitions"),

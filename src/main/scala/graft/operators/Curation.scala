@@ -480,6 +480,70 @@ object Curation {
       .orderBy("src_a", "src_b")
   }
 
+  /** Minimum in-source term count for the log-odds board — screens the
+    * long noise tail before any statistic is computed. */
+  private[graft] val LogoddsMinCount = 5L
+
+  /** Terms kept per source on the log-odds leaderboard. */
+  private[graft] val LogoddsTopK = 10
+
+  /** q_logodds_terms: the per-source DISTINCTIVE-vocabulary board —
+    * Monroe, Colaresi & Quinn 2008 ("Fightin' Words", Political
+    * Analysis 16) log-odds-ratio with a Dirichlet prior, each source
+    * compared against the REST of the corpus. The standard
+    * corpus-comparison statistic: raw frequency ratios explode on rare
+    * terms and PMI ignores sample size; the z-scored log-odds is the
+    * one that ranks "terms this source genuinely over-uses" with
+    * variance discounting. Reduced to the uninformative add-one prior
+    * (α_w = 1, α₀ = V) so every count stays an exact integer.
+    *
+    * Exactness: δ is a difference of two ln-kernel terms (each
+    * floor(ln(int expr)·10⁶+0.5) — the q_elasticity convention);
+    * z = δ / √(1/(y_src+1) + 1/(y_rest+1)) is one identical IEEE tree
+    * of correctly-rounded div/sqrt over exact integers (the
+    * q_wilson_rates precedent), e3-floored. Rank pinned (z DESC, tok
+    * ASC).
+    *
+    * Scale shape: ONE (source, tok) two-phase agg ∝ distinct terms ×
+    * sources; corpus term totals REUSE that agg (groupBy tok on it —
+    * no second corpus scan); rest-counts by subtraction (y_rest =
+    * y_all − y_src — never an anti-join); per-source totals broadcast
+    * (catalog-bounded); the rank window is PARTITIONED by source over
+    * vocab-sized rows. */
+  def logoddsTerms(spark: SparkSession, dir: String): DataFrame = {
+    val bySrc = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("source", "tok")
+      .agg(count(lit(1)).as("y_src"))
+      .localCheckpoint() // vocab × sources; three readers below
+    val vocab = bySrc.groupBy("tok").agg(sum("y_src").as("y_all"))
+    val srcTotals = bySrc.groupBy("source").agg(sum("y_src").as("n_src"))
+    val totals = vocab.agg(sum("y_all").as("n_all"),
+      count(lit(1)).as("v_size"))
+    val scored = bySrc
+      .filter(col("y_src") >= LogoddsMinCount)
+      .join(vocab, Seq("tok"))
+      .join(broadcast(srcTotals), Seq("source"))
+      .crossJoin(broadcast(totals))
+      .withColumn("y_rest", col("y_all") - col("y_src"))
+      .withColumn("n_rest", col("n_all") - col("n_src"))
+      .withColumn("delta_e6", expr(
+        """cast(floor(ln((y_src + 1.0) / (n_src + v_size - y_src - 1.0)) * 1e6 + 0.5) as bigint)
+          | - cast(floor(ln((y_rest + 1.0) / (n_rest + v_size - y_rest - 1.0)) * 1e6 + 0.5) as bigint)"""
+          .stripMargin.replace('\n', ' ')))
+      .withColumn("z_e3", expr(
+        """cast(floor(cast(delta_e6 as double) / 1e6
+          | / sqrt(1.0 / (y_src + 1) + 1.0 / (y_rest + 1)) * 1e3 + 0.5) as bigint)"""
+          .stripMargin.replace('\n', ' ')))
+    val w = Window.partitionBy("source")
+      .orderBy(col("z_e3").desc, col("tok").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= LogoddsTopK)
+      .select("source", "tok", "y_src", "y_rest", "delta_e6", "z_e3", "rank")
+      .orderBy("source", "rank")
+  }
+
   /** Output shard count for q_export_shards. */
   private[graft] val NShards = 8
 
@@ -968,6 +1032,7 @@ object Curation {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_gopher_rules" -> (gopherRules(_, _)),
+    "q_logodds_terms" -> (logoddsTerms(_, _)),
     "q_lorenz" -> (lorenz(_, _)),
     "q_bigram_entropy" -> (bigramEntropy(_, _)),
     "q_ngram_novelty" -> (ngramNovelty(_, _)),
@@ -1039,6 +1104,45 @@ object Curation {
          |FROM m
          |ORDER BY doc_id""".stripMargin
     },
+    // same (source, tok) census, rest-by-subtraction, ln-kernel delta,
+    // one IEEE div/sqrt tree for z, pinned rank — DuckDB lateral
+    // aliases let each stage read the previous column
+    "q_logodds_terms" ->
+      s"""WITH toks AS (
+         |  SELECT source, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |by_src AS (
+         |  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS y_src
+         |  FROM toks GROUP BY source, tok),
+         |vocab AS (
+         |  SELECT tok, CAST(SUM(y_src) AS BIGINT) AS y_all
+         |  FROM by_src GROUP BY tok),
+         |st AS (
+         |  SELECT source, CAST(SUM(y_src) AS BIGINT) AS n_src
+         |  FROM by_src GROUP BY source),
+         |t AS (
+         |  SELECT CAST(SUM(y_all) AS BIGINT) AS n_all,
+         |         CAST(COUNT(*) AS BIGINT) AS v_size FROM vocab),
+         |sc AS (
+         |  SELECT source, tok, y_src,
+         |    y_all - y_src AS y_rest,
+         |    n_all - n_src AS n_rest,
+         |    CAST(floor(ln((y_src + 1.0) / (n_src + v_size - y_src - 1.0)) * 1e6 + 0.5) AS BIGINT)
+         |      - CAST(floor(ln((y_all - y_src + 1.0) / (n_all - n_src + v_size - (y_all - y_src) - 1.0)) * 1e6 + 0.5) AS BIGINT)
+         |      AS delta_e6
+         |  FROM by_src JOIN vocab USING (tok) JOIN st USING (source) CROSS JOIN t
+         |  WHERE y_src >= $LogoddsMinCount),
+         |z AS (
+         |  SELECT *, CAST(floor(CAST(delta_e6 AS DOUBLE) / 1e6
+         |    / sqrt(1.0 / (y_src + 1) + 1.0 / (y_rest + 1)) * 1e3 + 0.5) AS BIGINT) AS z_e3
+         |  FROM sc),
+         |r AS (
+         |  SELECT source, tok, y_src, y_rest, delta_e6, z_e3,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY z_e3 DESC, tok ASC) AS BIGINT) AS rank
+         |  FROM z)
+         |SELECT * FROM r WHERE rank <= $LogoddsTopK
+         |ORDER BY source, rank""".stripMargin,
     // same TokenRe histogram, two cumsums, rank picks joined back
     "q_lorenz" ->
       s"""WITH h AS (

@@ -254,4 +254,47 @@ class CurationSpec extends SparkSpec {
       }
     }
   }
+
+  test("logodds terms match a plain-Scala Monroe recompute cell for cell") {
+    val got = Curation.logoddsTerms(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val bySrc = docs
+      .flatMap { case (s, t) => t.split(" ", -1).map(tok => (s, tok)) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val yAll = bySrc.toSeq.groupBy(_._1._2).view
+      .mapValues(_.map(_._2).sum).toMap
+    val nSrc = bySrc.toSeq.groupBy(_._1._1).view
+      .mapValues(_.map(_._2).sum).toMap
+    val nAll = yAll.values.sum
+    val v = yAll.size.toLong
+    def lnE6(num: Double, den: Double): Long =
+      math.floor(math.log(num / den) * 1e6 + 0.5).toLong
+    val expected = bySrc.toSeq
+      .collect { case ((s, tok), y) if y >= Curation.LogoddsMinCount =>
+        val yr = yAll(tok) - y
+        val delta = lnE6(y + 1.0, nSrc(s) + v - y - 1.0) -
+          lnE6(yr + 1.0, nAll - nSrc(s) + v - yr - 1.0)
+        val z = math.floor(delta.toDouble / 1e6 /
+          math.sqrt(1.0 / (y + 1) + 1.0 / (yr + 1)) * 1e3 + 0.5).toLong
+        (s, tok, y, yr, delta, z)
+      }
+      .groupBy(_._1).toSeq
+      .flatMap { case (_, ts) =>
+        ts.sortBy(t => (-t._6, t._2)).take(Curation.LogoddsTopK).zipWithIndex
+          .map { case ((s, tok, y, yr, d, z), i) =>
+            (s, tok) -> ((y, yr, d, z, i + 1L))
+          }
+      }.toMap
+    assert(got.nonEmpty)
+    assert(got == expected)
+    // the board genuinely discriminates: at least one source's top term
+    // differs from another's (shared filler can't top every board)
+    val tops = got.collect { case ((s, tok), (_, _, _, _, 1L)) => (s, tok) }
+    assert(tops.map(_._2).toSet.size > 1, "all sources share one top term")
+  }
 }

@@ -1069,7 +1069,22 @@ object TextAnalysis {
     * the test tokens by EQUI-join (never broadcast — vocab grows with
     * corpus); per-doc sums are two-phase; the only window partitions
     * by doc_id (high-cardinality key, bounded rows per doc). */
-  def nbLangid(spark: SparkSession, dir: String): DataFrame = {
+  def nbLangid(spark: SparkSession, dir: String): DataFrame =
+    nbScores(spark, dir)
+      .withColumn("rn", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(col("score_e3").desc, col("model_lang").asc)))
+      .filter(col("rn") === 1)
+      .groupBy(col("actual"), col("model_lang").as("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("row_total", sum("n_docs").over(Window.partitionBy("actual")))
+      .withColumn("p_e6", expr("(n_docs * 1000000) div row_total"))
+      .orderBy("actual", "predicted")
+
+  /** The NB scorer kernel — per (test doc, candidate language) total
+    * log-score, SHARED by [[nbLangid]] (argmax → confusion) and
+    * [[calibration]] (top-2 margin → reliability bins) so the audited
+    * model is exactly the deployed one. */
+  private[graft] def nbScores(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
     val train = docs.filter(col("doc_id") % 2 === 0)
@@ -1104,19 +1119,63 @@ object TextAnalysis {
       .join(broadcast(model.select(col("lang").as("model_lang"),
         col("prior_e3"))), "model_lang")
       .withColumn("score_e3", col("s") + col("prior_e3"))
-    scored
+    scored.select("doc_id", "actual", "model_lang", "score_e3")
+  }
+
+  /** Reliability-diagram bin count for q_calibration. */
+  private[graft] val CalibBins = 10L
+
+  /** q_calibration: the reliability audit of the NB language
+    * classifier — is its CONFIDENCE trustworthy, not just its argmax?
+    * Confidence is the top-1 − top-2 log-score MARGIN (an exact e3
+    * integer, monotone in the posterior odds ratio — the calibration
+    * axis that needs no exp(), which is not correctly rounded and
+    * would split engines). Margins bin into [[CalibBins]] EQUAL-WIDTH
+    * bins between the observed min and max (the reliability-diagram
+    * convention), and each bin reports volume, accuracy, and its
+    * margin range: a calibrated classifier shows accuracy rising with
+    * the bin index; a flat profile means the margin is noise and
+    * abstention thresholds are lies.
+    *
+    * Scale shape: the scorer kernel is [[nbScores]] (shared with
+    * q_nb_langid); the only window partitions by doc_id (bounded rows
+    * per doc = #languages); bin edges are a 1-row global aggregate
+    * broadcast back (no global sort — equal-width bins, not ntile,
+    * exactly so the corpus never orders by margin); the bin table is
+    * a [[CalibBins]]-row two-phase agg. */
+  def calibration(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = nbScores(spark, dir)
       .withColumn("rn", row_number().over(Window.partitionBy("doc_id")
         .orderBy(col("score_e3").desc, col("model_lang").asc)))
-      .filter(col("rn") === 1)
-      .groupBy(col("actual"), col("model_lang").as("predicted"))
-      .agg(count(lit(1)).as("n_docs"))
-      .withColumn("row_total", sum("n_docs").over(Window.partitionBy("actual")))
-      .withColumn("p_e6", expr("(n_docs * 1000000) div row_total"))
-      .orderBy("actual", "predicted")
+      .filter(col("rn") <= 2)
+    val top = ranked.groupBy("doc_id", "actual")
+      .agg(
+        max(when(col("rn") === 1, col("model_lang"))).as("predicted"),
+        max(when(col("rn") === 1, col("score_e3"))).as("s1"),
+        max(when(col("rn") === 2, col("score_e3"))).as("s2"))
+      .withColumn("margin_e3", col("s1") - col("s2"))
+      .withColumn("ok", when(col("predicted") === col("actual"), 1L)
+        .otherwise(0L))
+    val edges = top.agg(min("margin_e3").as("lo"), max("margin_e3").as("hi"))
+    top.crossJoin(broadcast(edges))
+      // margin − lo ≥ 0, so truncating div = floor; hi lands in the
+      // last bin because (hi−lo)·B < B·(hi−lo+1)
+      .withColumn("bin",
+        expr(s"((margin_e3 - lo) * $CalibBins) div (hi - lo + 1)"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum("ok").as("n_correct"),
+        min("margin_e3").as("margin_lo_e3"),
+        max("margin_e3").as("margin_hi_e3"),
+        expr("sum(margin_e3) div count(1)").as("mean_margin_e3"))
+      .withColumn("acc_e6", expr("(n_correct * 1000000) div n_docs"))
+      .select("bin", "n_docs", "n_correct", "acc_e6",
+        "margin_lo_e3", "margin_hi_e3", "mean_margin_e3")
+      .orderBy("bin")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_nb_langid" -> (nbLangid(_, _)),
+    "q_calibration" -> (calibration(_, _)),
     "q_readability" -> (readability(_, _)),
     "q_heaps_growth" -> (heapsGrowth(_, _)),
     "q_pmi" -> (pmi(_, _)),
@@ -1150,6 +1209,49 @@ object TextAnalysis {
       .mkString(" + ")
     s"CAST($sum AS BIGINT) AS s_$lang"
   }.mkString(",\n    ")
+
+  /** The NB scorer as a WITH-chain ending in
+    * scored(doc_id, actual, model_lang, score_e3) — composed verbatim
+    * into BOTH the q_nb_langid and q_calibration oracles, mirroring
+    * the shared [[nbScores]] kernel. */
+  private val NbScoresOracleCore: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents),
+      |tr AS (SELECT doc_id, lang, ts FROM d WHERE doc_id % 2 = 0),
+      |counts AS (
+      |  SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM (SELECT lang, unnest(ts) AS tok FROM tr) GROUP BY lang, tok),
+      |tot AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS tot
+      |  FROM counts GROUP BY lang),
+      |voc AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM counts),
+      |pri AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS nd FROM tr GROUP BY lang),
+      |ntr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tr),
+      |model AS (
+      |  SELECT t.lang, t.tot, voc.v,
+      |    CAST(floor(ln(CAST(pri.nd AS DOUBLE) / ntr.n) * 1e3 + 0.5)
+      |      AS BIGINT) AS prior_e3,
+      |    CAST(floor(ln(1.0 / (t.tot + voc.v)) * 1e3 + 0.5)
+      |      AS BIGINT) AS default_e3
+      |  FROM tot t CROSS JOIN voc JOIN pri ON pri.lang = t.lang CROSS JOIN ntr),
+      |lp AS (
+      |  SELECT c.lang AS model_lang, c.tok,
+      |    CAST(floor(ln(CAST(c.cnt + 1 AS DOUBLE) / (m.tot + m.v)) * 1e3 + 0.5)
+      |      AS BIGINT) AS lp_e3
+      |  FROM counts c JOIN model m ON m.lang = c.lang),
+      |sc AS (
+      |  SELECT f.doc_id, f.actual, f.model_lang,
+      |    CAST(SUM(COALESCE(lp.lp_e3, f.default_e3)) AS BIGINT) AS s
+      |  FROM (
+      |    SELECT t.doc_id, t.actual, m.lang AS model_lang, t.tok, m.default_e3
+      |    FROM (SELECT doc_id, lang AS actual, unnest(ts) AS tok
+      |          FROM d WHERE doc_id % 2 = 1) t
+      |    CROSS JOIN model m) f
+      |  LEFT JOIN lp ON lp.model_lang = f.model_lang AND lp.tok = f.tok
+      |  GROUP BY f.doc_id, f.actual, f.model_lang),
+      |scored AS (
+      |  SELECT sc.doc_id, sc.actual, sc.model_lang,
+      |    CAST(sc.s + m.prior_e3 AS BIGINT) AS score_e3
+      |  FROM sc JOIN model m ON m.lang = sc.model_lang)""".stripMargin
 
   /** The q_bm25_search oracle body — also composed (verbatim) into
     * the q_rank_fusion oracle, so it cannot self-reference the map. */
@@ -1193,44 +1295,12 @@ object TextAnalysis {
     // same split/counts/smoothing; ln terms floored at e3 per the
     // elasticity kernel; identical argmax tie-break
     "q_nb_langid" ->
-      """WITH d AS (
-        |  SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents),
-        |tr AS (SELECT doc_id, lang, ts FROM d WHERE doc_id % 2 = 0),
-        |counts AS (
-        |  SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS cnt
-        |  FROM (SELECT lang, unnest(ts) AS tok FROM tr) GROUP BY lang, tok),
-        |tot AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS tot
-        |  FROM counts GROUP BY lang),
-        |voc AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM counts),
-        |pri AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS nd FROM tr GROUP BY lang),
-        |ntr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tr),
-        |model AS (
-        |  SELECT t.lang, t.tot, voc.v,
-        |    CAST(floor(ln(CAST(pri.nd AS DOUBLE) / ntr.n) * 1e3 + 0.5)
-        |      AS BIGINT) AS prior_e3,
-        |    CAST(floor(ln(1.0 / (t.tot + voc.v)) * 1e3 + 0.5)
-        |      AS BIGINT) AS default_e3
-        |  FROM tot t CROSS JOIN voc JOIN pri ON pri.lang = t.lang CROSS JOIN ntr),
-        |lp AS (
-        |  SELECT c.lang AS model_lang, c.tok,
-        |    CAST(floor(ln(CAST(c.cnt + 1 AS DOUBLE) / (m.tot + m.v)) * 1e3 + 0.5)
-        |      AS BIGINT) AS lp_e3
-        |  FROM counts c JOIN model m ON m.lang = c.lang),
-        |sc AS (
-        |  SELECT f.doc_id, f.actual, f.model_lang,
-        |    CAST(SUM(COALESCE(lp.lp_e3, f.default_e3)) AS BIGINT) AS s
-        |  FROM (
-        |    SELECT t.doc_id, t.actual, m.lang AS model_lang, t.tok, m.default_e3
-        |    FROM (SELECT doc_id, lang AS actual, unnest(ts) AS tok
-        |          FROM d WHERE doc_id % 2 = 1) t
-        |    CROSS JOIN model m) f
-        |  LEFT JOIN lp ON lp.model_lang = f.model_lang AND lp.tok = f.tok
-        |  GROUP BY f.doc_id, f.actual, f.model_lang),
+      s"""$NbScoresOracleCore,
         |pred AS (
         |  SELECT doc_id, actual, model_lang AS predicted,
         |    ROW_NUMBER() OVER (PARTITION BY doc_id
-        |      ORDER BY sc.s + m.prior_e3 DESC, model_lang) AS rn
-        |  FROM sc JOIN model m ON m.lang = sc.model_lang),
+        |      ORDER BY score_e3 DESC, model_lang) AS rn
+        |  FROM scored),
         |cm AS (SELECT actual, predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
         |  FROM pred WHERE rn = 1 GROUP BY actual, predicted)
         |SELECT actual, predicted, n_docs,
@@ -1238,6 +1308,37 @@ object TextAnalysis {
         |  CAST((n_docs * 1000000) // SUM(n_docs) OVER (PARTITION BY actual)
         |    AS BIGINT) AS p_e6
         |FROM cm ORDER BY actual, predicted""".stripMargin,
+    // same shared scorer core, top-2 margin pivot, equal-width bins
+    // from the 1-row min/max edge table
+    "q_calibration" ->
+      s"""$NbScoresOracleCore,
+        |rk AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY score_e3 DESC, model_lang) AS rn
+        |  FROM scored),
+        |top AS (
+        |  SELECT doc_id, actual,
+        |    max(CASE WHEN rn = 1 THEN model_lang END) AS predicted,
+        |    max(CASE WHEN rn = 1 THEN score_e3 END) AS s1,
+        |    max(CASE WHEN rn = 2 THEN score_e3 END) AS s2
+        |  FROM rk WHERE rn <= 2 GROUP BY doc_id, actual),
+        |m2 AS (
+        |  SELECT doc_id, s1 - s2 AS margin_e3,
+        |    CASE WHEN predicted = actual THEN 1 ELSE 0 END AS ok
+        |  FROM top),
+        |e AS (SELECT min(margin_e3) AS lo, max(margin_e3) AS hi FROM m2),
+        |binned AS (
+        |  SELECT ((margin_e3 - lo) * $CalibBins) // (hi - lo + 1) AS bin,
+        |    margin_e3, ok
+        |  FROM m2 CROSS JOIN e)
+        |SELECT CAST(bin AS BIGINT) AS bin,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(ok) AS BIGINT) AS n_correct,
+        |  CAST(SUM(ok) * 1000000 // COUNT(*) AS BIGINT) AS acc_e6,
+        |  CAST(MIN(margin_e3) AS BIGINT) AS margin_lo_e3,
+        |  CAST(MAX(margin_e3) AS BIGINT) AS margin_hi_e3,
+        |  CAST(SUM(margin_e3) // COUNT(*) AS BIGINT) AS mean_margin_e3
+        |FROM binned GROUP BY bin ORDER BY bin""".stripMargin,
     // len(regexp_extract_all) ≡ regexp_count; same per-doc e3 grade,
     // div-of-sums group ratios, HUGEINT for the scale-ups
     "q_readability" ->

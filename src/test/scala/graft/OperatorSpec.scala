@@ -2573,6 +2573,54 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("calibration bins match a local margin recompute over the shared scorer") {
+    // same local NB as the nb_langid spec, kept to the margin tail
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ", -1).toSeq))
+    val train = docs.filter(_._1 % 2 == 0)
+    val counts = train.flatMap { case (_, l, ts) => ts.map((l, _)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tot = counts.toSeq.groupBy(_._1._1).view
+      .mapValues(_.map(_._2).sum).toMap
+    val v = counts.keySet.map(_._2).size.toLong
+    val nd = train.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = train.length.toLong
+    val langs = nd.keys.toSeq.sorted
+    def e3(x: Double) = math.floor(x * 1e3 + 0.5).toLong
+    val prior = langs.map(l => l -> e3(math.log(nd(l).toDouble / n))).toMap
+    val dflt = langs.map(l => l -> e3(math.log(1.0 / (tot(l) + v)))).toMap
+    val margins = docs.filter(_._1 % 2 == 1).map { case (_, actual, ts) =>
+      val ranked = langs.map { l =>
+        val s = ts.map(t => counts.get((l, t))
+          .map(c => e3(math.log((c + 1).toDouble / (tot(l) + v))))
+          .getOrElse(dflt(l))).sum + prior(l)
+        (l, s)
+      }.sortBy { case (l, s) => (-s, l) }
+      (ranked.head._2 - ranked(1)._2, ranked.head._1 == actual)
+    }
+    val lo = margins.map(_._1).min
+    val hi = margins.map(_._1).max
+    val want = margins
+      .groupBy { case (m, _) => (m - lo) * 10 / (hi - lo + 1) }
+      .map { case (bin, ms) =>
+        bin -> ((ms.size.toLong, ms.count(_._2).toLong,
+          ms.count(_._2).toLong * 1000000L / ms.size,
+          ms.map(_._1).min, ms.map(_._1).max,
+          ms.map(_._1).sum / ms.size))
+      }
+    val got = run("q_calibration").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got == want)
+    // bins partition the test split and their margin ranges ascend
+    assert(got.values.map(_._1).sum == docs.count(_._1 % 2 == 1).toLong)
+    got.keys.toSeq.sorted.sliding(2).foreach {
+      case Seq(a, b) => assert(got(a)._5 < got(b)._4, s"bins $a/$b overlap")
+      case _ =>
+    }
+  }
+
   test("attribution channels match a local last-touch walk") {
     val ev = graft.sources.Tables.events(spark, sf)
       .select(col("user_id"), col("event_id"), col("event_type"),

@@ -405,6 +405,93 @@ object TextAnalysis {
       .orderBy("query_id", "fused_rank")
   }
 
+  /** nDCG position weights 10⁶/log₂(i+1) for ranks 1..5, and their
+    * prefix sums — precomputed HERE and inlined as the SAME literals
+    * into both engines (the Benford-constants convention: log2 is not
+    * correctly rounded, so NEITHER engine may compute them). */
+  private[graft] val NdcgWeightsE6: Seq[Long] = (1 to 5).map(i =>
+    math.floor(1e6 / (math.log(i + 1.0) / math.log(2.0)) + 0.5).toLong)
+  private[graft] val NdcgPrefixE6: Seq[Long] =
+    NdcgWeightsE6.scanLeft(0L)(_ + _)
+
+  /** q_ndcg: graded retrieval-quality eval of the BM25 ranking —
+    * per-query nDCG@5 (Järvelin & Kekäläinen 2002) and MRR, the two
+    * numbers every search/RAG stack reports. Relevance is EXTERNAL to
+    * the ranker (judging BM25 by its own overlap would be circular):
+    * the corpus metadata grades a hit 3 (same source AND lang),
+    * 2 (same source), 1 (same lang), 0 — catalog labels standing in
+    * for human judgments. IDCG is the TRUE ideal over the whole
+    * corpus, not the retrieved set: per-query tier populations derive
+    * from the (source, lang) cell counts by subtraction, so a query
+    * that missed its best matches is penalized, not forgiven. Gains
+    * 2^rel−1 ∈ {0,1,3,7} and the inlined position weights keep DCG,
+    * IDCG, nDCG, and MRR exact integers end-to-end.
+    *
+    * Scale shape: rides [[bm25Search]]'s top-5 output (|Q|×5 rows);
+    * two doc_id equi-joins pull the metadata; the tier populations are
+    * catalog-bounded aggs broadcast back; everything after is per-row
+    * arithmetic + ONE (query_id, …) two-phase agg. No window beyond
+    * the ranker's own. */
+  def ndcgEval(spark: SparkSession, dir: String): DataFrame = {
+    val meta = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"))
+      .localCheckpoint() // catalog projection; four readers below
+    val cell = meta.groupBy("source", "lang").agg(count(lit(1)).as("n_cell"))
+    val srcTot = meta.groupBy("source").agg(count(lit(1)).as("n_src"))
+    val langTot = meta.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val wArr = array(NdcgWeightsE6.map(lit): _*)
+    val pre = array(NdcgPrefixE6.map(lit): _*)
+    val per = bm25Search(spark, dir)
+      .join(meta.select(col("doc_id").as("query_id"),
+        col("source").as("q_src"), col("lang").as("q_lang")), Seq("query_id"))
+      .join(meta.select(col("doc_id"),
+        col("source").as("d_src"), col("lang").as("d_lang")), Seq("doc_id"))
+      .withColumn("rel",
+        when(col("q_src") === col("d_src") &&
+          col("q_lang") === col("d_lang"), 3L)
+          .when(col("q_src") === col("d_src"), 2L)
+          .when(col("q_lang") === col("d_lang"), 1L)
+          .otherwise(0L))
+      .withColumn("gain", expr(
+        "CASE rel WHEN 3 THEN 7 WHEN 2 THEN 3 WHEN 1 THEN 1 ELSE 0 END"))
+      .withColumn("contrib_e6",
+        col("gain") * element_at(wArr, col("rank").cast("int")))
+      .groupBy("query_id", "q_src", "q_lang")
+      .agg(count(lit(1)).as("n_hits"),
+        sum(when(col("rel") >= 1, 1L).otherwise(0L)).as("n_rel"),
+        sum("contrib_e6").as("dcg_e6"),
+        min(when(col("rel") >= 1, col("rank"))).as("first_rel"))
+    per
+      .join(broadcast(cell.select(col("source").as("q_src"),
+        col("lang").as("q_lang"), col("n_cell"))), Seq("q_src", "q_lang"))
+      .join(broadcast(srcTot.select(col("source").as("q_src"),
+        col("n_src"))), Seq("q_src"))
+      .join(broadcast(langTot.select(col("lang").as("q_lang"),
+        col("n_lang"))), Seq("q_lang"))
+      // greedy ideal top-5 fill: n_cell includes the query itself, so
+      // tier-3 capacity is n_cell − 1; each lower tier takes what's left
+      .withColumn("t3", least(lit(5L), col("n_cell") - 1))
+      .withColumn("t2",
+        least(lit(5L) - col("t3"), col("n_src") - col("n_cell")))
+      .withColumn("t1", least(lit(5L) - col("t3") - col("t2"),
+        col("n_lang") - col("n_cell")))
+      .withColumn("idcg_e6",
+        lit(7L) * element_at(pre, (col("t3") + 1).cast("int"))
+          + lit(3L) * (element_at(pre,
+            (col("t3") + col("t2") + 1).cast("int"))
+            - element_at(pre, (col("t3") + 1).cast("int")))
+          + (element_at(pre,
+            (col("t3") + col("t2") + col("t1") + 1).cast("int"))
+            - element_at(pre, (col("t3") + col("t2") + 1).cast("int"))))
+      .withColumn("ndcg_e6",
+        expr("if(idcg_e6 = 0, -1, (dcg_e6 * 1000000) div idcg_e6)"))
+      .withColumn("mrr_e6",
+        expr("if(first_rel is null, 0, 1000000 div first_rel)"))
+      .select("query_id", "n_hits", "n_rel", "dcg_e6", "idcg_e6",
+        "ndcg_e6", "mrr_e6")
+      .orderBy("query_id")
+  }
+
   /** q_quality_repetition: Gopher-style repetition filters (Rae et al.
     * 2021, Table A1, token approximation): per doc, the fraction of
     * tokens inside the most frequent word 2-gram and the fraction of
@@ -1193,6 +1280,7 @@ object TextAnalysis {
     "q_pack_sequences" -> (packSequences(_, _)),
     "q_token_search" -> (tokenSearch(_, _)),
     "q_bm25_search" -> (bm25Search(_, _)),
+    "q_ndcg" -> (ndcgEval(_, _)),
     "q_rank_fusion" -> (rankFusion(_, _)),
     "q_lang_id" -> (langId(_, _)),
     "q_quality_score" -> (qualityScore(_, _)),
@@ -1470,6 +1558,57 @@ object TextAnalysis {
          |  CAST(bpe_tokens * 1000000 // ws_tokens AS BIGINT) AS fertility_e6,
          |  CAST(n_chars * 100 // bpe_tokens AS BIGINT) AS chars_per_tok_e2
          |FROM g ORDER BY lang""".stripMargin,
+    // the bm25 oracle VERBATIM as the ranking; same metadata grades,
+    // inlined weight/prefix literals, subtraction-derived tier counts
+    "q_ndcg" ->
+      s"""WITH bm AS (
+         |  SELECT query_id, doc_id, rank FROM (
+         |${Bm25OracleSql}) b),
+         |meta AS (SELECT doc_id, source, lang FROM documents),
+         |cell AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_cell
+         |  FROM meta GROUP BY source, lang),
+         |stot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src
+         |  FROM meta GROUP BY source),
+         |ltot AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_lang
+         |  FROM meta GROUP BY lang),
+         |res AS (
+         |  SELECT b.query_id, qm.source AS q_src, qm.lang AS q_lang, b.rank,
+         |    CASE WHEN qm.source = dm.source AND qm.lang = dm.lang THEN 3
+         |         WHEN qm.source = dm.source THEN 2
+         |         WHEN qm.lang = dm.lang THEN 1 ELSE 0 END AS rel
+         |  FROM bm b
+         |  JOIN meta qm ON qm.doc_id = b.query_id
+         |  JOIN meta dm ON dm.doc_id = b.doc_id),
+         |per AS (
+         |  SELECT query_id, q_src, q_lang,
+         |    CAST(COUNT(*) AS BIGINT) AS n_hits,
+         |    CAST(SUM(CASE WHEN rel >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel,
+         |    CAST(SUM((CASE rel WHEN 3 THEN 7 WHEN 2 THEN 3 WHEN 1 THEN 1 ELSE 0 END)
+         |      * ([${NdcgWeightsE6.mkString(", ")}])[rank]) AS BIGINT) AS dcg_e6,
+         |    MIN(CASE WHEN rel >= 1 THEN rank END) AS first_rel
+         |  FROM res GROUP BY query_id, q_src, q_lang),
+         |t3t AS (
+         |  SELECT p.*, c.n_cell, s.n_src, l.n_lang,
+         |    least(5, c.n_cell - 1) AS t3
+         |  FROM per p
+         |  JOIN cell c ON c.source = p.q_src AND c.lang = p.q_lang
+         |  JOIN stot s ON s.source = p.q_src
+         |  JOIN ltot l ON l.lang = p.q_lang),
+         |t2t AS (SELECT *, least(5 - t3, n_src - n_cell) AS t2 FROM t3t),
+         |t1t AS (SELECT *, least(5 - t3 - t2, n_lang - n_cell) AS t1 FROM t2t),
+         |idcg AS (
+         |  SELECT *,
+         |    7 * pre[t3 + 1]
+         |    + 3 * (pre[t3 + t2 + 1] - pre[t3 + 1])
+         |    + (pre[t3 + t2 + t1 + 1] - pre[t3 + t2 + 1]) AS idcg_e6
+         |  FROM (SELECT *, [${NdcgPrefixE6.mkString(", ")}] AS pre FROM t1t))
+         |SELECT query_id, n_hits, n_rel, dcg_e6,
+         |  CAST(idcg_e6 AS BIGINT) AS idcg_e6,
+         |  CAST(CASE WHEN idcg_e6 = 0 THEN -1
+         |    ELSE (dcg_e6 * 1000000) // idcg_e6 END AS BIGINT) AS ndcg_e6,
+         |  CAST(CASE WHEN first_rel IS NULL THEN 0
+         |    ELSE 1000000 // first_rel END AS BIGINT) AS mrr_e6
+         |FROM idcg ORDER BY query_id""".stripMargin,
     // The two component oracles VERBATIM as subqueries, fused by the
     // same integer RRF and rank window.
     "q_rank_fusion" ->

@@ -2621,6 +2621,53 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("ndcg matches a local graded-gain recompute over the bm25 ranking") {
+    val meta = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "source", "lang").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    val bm = SparkEntry.queries("q_bm25_search")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("rank")))
+    val wts = graft.operators.TextAnalysis.NdcgWeightsE6
+    val pre = graft.operators.TextAnalysis.NdcgPrefixE6
+    val cell = meta.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nSrc = meta.values.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nLang = meta.values.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val want = bm.groupBy(_._1).map { case (q, hits) =>
+      val (qs, ql) = meta(q)
+      val rels = hits.toSeq.map { case (_, d, rank) =>
+        val (ds, dl) = meta(d)
+        val rel = if (ds == qs && dl == ql) 3L
+          else if (ds == qs) 2L else if (dl == ql) 1L else 0L
+        (rank, rel)
+      }
+      val dcg = rels.map { case (rank, rel) =>
+        Seq(0L, 1L, 3L, 7L)(rel.toInt) * wts(rank.toInt - 1)
+      }.sum
+      val t3 = math.min(5L, cell((qs, ql)) - 1)
+      val t2 = math.min(5L - t3, nSrc(qs) - cell((qs, ql)))
+      val t1 = math.min(5L - t3 - t2, nLang(ql) - cell((qs, ql)))
+      val idcg = 7L * pre(t3.toInt) +
+        3L * (pre((t3 + t2).toInt) - pre(t3.toInt)) +
+        (pre((t3 + t2 + t1).toInt) - pre((t3 + t2).toInt))
+      val firstRel = rels.filter(_._2 >= 1).map(_._1).minOption
+      q -> ((hits.size.toLong, rels.count(_._2 >= 1).toLong, dcg, idcg,
+        if (idcg == 0) -1L else dcg * 1000000L / idcg,
+        firstRel.map(1000000L / _).getOrElse(0L)))
+    }
+    val got = run("q_ndcg").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got.nonEmpty)
+    assert(got == want)
+    // nDCG is a proper ratio: every row within [0, 1e6], and a query
+    // with zero relevant hits scores exactly 0
+    got.values.foreach { case (_, nRel, _, _, ndcg, mrr) =>
+      assert(ndcg >= 0 && ndcg <= 1000000L)
+      if (nRel == 0) { assert(ndcg == 0L); assert(mrr == 0L) }
+    }
+  }
+
   test("attribution channels match a local last-touch walk") {
     val ev = graft.sources.Tables.events(spark, sf)
       .select(col("user_id"), col("event_id"), col("event_type"),

@@ -1147,6 +1147,65 @@ object Similarity {
       .select("dim", "n", "min_e6", "max_e6", "sum_e6", "mean_e6", "var_e12")
       .orderBy("dim")
 
+  /** Power-iteration rounds for q_pca_power — unrolled identically in
+    * the oracle CTE chain. */
+  private[graft] val PcaRounds = 2
+
+  /** q_pca_power: the TOP PRINCIPAL COMPONENT of the embedding cloud
+    * by power iteration — the anisotropy diagnostic run before any
+    * cosine-based pipeline is trusted (embedding sets with one
+    * dominant direction make every cosine look alike; whitening wants
+    * exactly this vector). No linear-algebra library and no float
+    * accumulation: components quantize to e6 integers, each round is
+    * the exact integer matvec u = Cᵀ(Cv) in decimal(38,0), and
+    * rescaling divides by the SIGNED value of the largest-|u| dim
+    * (smallest dim on ties) — so the dominant dim pins to exactly
+    * +10⁶, sign ambiguity (the eigenvector is only defined up to ±)
+    * is resolved identically in both engines, and no sqrt-of-huge-int
+    * (not exactly representable past 2⁵³) ever happens.
+    *
+    * Scale shape: the centered table E=(id, dim, c) is ONE posexplode
+    * (rows × dims) materialized once; each round is two postings
+    * equi-joins with two-phase aggs (by id, then by dim — shuffle ∝
+    * E, never all-pairs) and a 64-row argmax window; v is always a
+    * dim-sized broadcast. Overflow: |c| ≤ 2·10⁶, |s| ≤ dims·2·10¹²,
+    * |u·10⁶| ≤ rows·dims·4·10²⁴ — inside decimal(38,0) to ~3·10¹¹
+    * rows (past that, add a mid-round rescale). */
+  def pcaPower(spark: SparkSession, dir: String): DataFrame = {
+    val x = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(expr(
+        "transform(cast(embedding as array<double>), x -> cast(floor(x * 1e6 + 0.5) as bigint))"))
+        .as(Seq("dim", "v")))
+    val means = x.groupBy("dim")
+      .agg(expr("sum(cast(v as decimal(38,0))) div count(1)").as("mean_e6"))
+    val e = x.join(broadcast(means), Seq("dim"))
+      .select(col("vec_id"), col("dim"),
+        (col("v") - col("mean_e6")).as("c"))
+      .localCheckpoint() // rows × dims; read 2× per round
+    var v = means.select(col("dim"),
+      lit(1000000L).cast("decimal(38,0)").as("vv"))
+    (1 to PcaRounds).foreach { _ =>
+      val s = e.join(broadcast(v), Seq("dim"))
+        .groupBy("vec_id")
+        .agg(sum(col("c").cast("decimal(38,0)") * col("vv")).as("s"))
+      val u = e.join(s, Seq("vec_id"))
+        .groupBy("dim")
+        .agg(sum(col("c").cast("decimal(38,0)") * col("s")).as("u"))
+      val pick = u
+        .withColumn("rn", row_number().over( // 64 rows — bounded axis
+          Window.orderBy(abs(col("u")).desc, col("dim").asc)))
+        .filter(col("rn") === 1)
+        .select(col("u").as("pu"))
+      v = u.crossJoin(broadcast(pick))
+        .select(col("dim"), expr("(u * 1000000) div pu").as("vv"))
+    }
+    means.join(v, Seq("dim"))
+      .select(col("dim").cast("long").as("dim"),
+        col("mean_e6").cast("long").as("mean_e6"),
+        col("vv").cast("long").as("loading_e6"))
+      .orderBy("dim")
+  }
+
   /** Outlier rule for q_embed_outliers: dist² > [[OutlierK]] × the
     * label's mean dist² (pinned — the oracle embeds it). */
   private[graft] val OutlierK = 4L
@@ -1279,6 +1338,7 @@ object Similarity {
     "q_knn_classify" -> (knnClassify(_, _)),
     "q_embed_outliers" -> (embedOutliers(_, _)),
     "q_feature_scale" -> (featureScale(_, _)),
+    "q_pca_power" -> (pcaPower(_, _)),
     "q_ann_cosine" -> (annCosine(_, _)),
     "q_knn_graph" -> (knnGraph(_, _)),
     "q_knn_graph_approx" -> (knnGraphApprox(_, _)),
@@ -1509,6 +1569,33 @@ object Similarity {
         |  CAST((COUNT(*) * SUM(v * v) - SUM(v) * SUM(v))
         |    // (COUNT(*) * COUNT(*)) AS BIGINT) AS var_e12
         |FROM x GROUP BY dim ORDER BY dim""".stripMargin,
+    // same centered integer table, the two matvec rounds unrolled as
+    // CTE pairs (sk/uk), rescale by the signed top-|u| pick
+    "q_pca_power" ->
+      """WITH x AS (
+        |  SELECT vec_id, i - 1 AS dim,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS v
+        |  FROM embeddings,
+        |       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)),
+        |m AS (SELECT dim, SUM(v) // COUNT(*) AS mean_e6 FROM x GROUP BY dim),
+        |e AS (SELECT vec_id, x.dim, v - mean_e6 AS c
+        |  FROM x JOIN m ON m.dim = x.dim),
+        |s1 AS (SELECT vec_id, SUM(CAST(c AS HUGEINT) * 1000000) AS s
+        |  FROM e GROUP BY vec_id),
+        |u1 AS (SELECT dim, SUM(CAST(e.c AS HUGEINT) * s1.s) AS u
+        |  FROM e JOIN s1 USING (vec_id) GROUP BY dim),
+        |p1 AS (SELECT u AS pu FROM u1 ORDER BY abs(u) DESC, dim ASC LIMIT 1),
+        |v1 AS (SELECT dim, (u * 1000000) // pu AS vv FROM u1 CROSS JOIN p1),
+        |s2 AS (SELECT vec_id, SUM(CAST(c AS HUGEINT) * vv) AS s
+        |  FROM e JOIN v1 ON v1.dim = e.dim GROUP BY vec_id),
+        |u2 AS (SELECT e.dim, SUM(CAST(e.c AS HUGEINT) * s2.s) AS u
+        |  FROM e JOIN s2 USING (vec_id) GROUP BY e.dim),
+        |p2 AS (SELECT u AS pu FROM u2 ORDER BY abs(u) DESC, dim ASC LIMIT 1),
+        |v2 AS (SELECT dim, (u * 1000000) // pu AS vv FROM u2 CROSS JOIN p2)
+        |SELECT m.dim, CAST(m.mean_e6 AS BIGINT) AS mean_e6,
+        |  CAST(v2.vv AS BIGINT) AS loading_e6
+        |FROM m JOIN v2 ON v2.dim = m.dim
+        |ORDER BY m.dim""".stripMargin,
     "q_embed_quantize" ->
       """WITH s AS (
         |  SELECT vec_id, embedding AS v,

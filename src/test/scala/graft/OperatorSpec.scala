@@ -2621,6 +2621,35 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("pca_power matches a BigInt power-iteration recompute") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(_.getAs[Seq[Float]]("embedding")
+        .map(x => BigInt(math.floor(x.toDouble * 1e6 + 0.5).toLong)).toArray)
+    val d = emb.head.length
+    val n = emb.length
+    val means = (0 until d).map(k => emb.map(_(k)).sum / n)
+    val c = emb.map(row => (0 until d).map(k => row(k) - means(k)).toArray)
+    var v = Array.fill(d)(BigInt(1000000))
+    (1 to graft.operators.Similarity.PcaRounds).foreach { _ =>
+      val s = c.map(row => (0 until d).map(k => row(k) * v(k)).sum)
+      val u = (0 until d).map(k =>
+        c.indices.map(i => s(i) * c(i)(k)).sum).toArray
+      val pick = u.zipWithIndex.minBy { case (x, k) => (-x.abs, k) }._1
+      v = u.map(x => x * 1000000 / pick)
+    }
+    val got = run("q_pca_power").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == (0 until d).map(_.toLong).toSet)
+    (0 until d).foreach { k =>
+      assert(got(k.toLong) == ((means(k).toLong, v(k).toLong)), s"dim $k")
+    }
+    // the rescale pins the dominant dim to exactly +1e6 and bounds the
+    // rest by it
+    assert(got.values.map(_._2).max == 1000000L)
+    assert(got.values.forall(l => math.abs(l._2) <= 1000000L))
+  }
+
   test("ndcg matches a local graded-gain recompute over the bm25 ranking") {
     val meta = graft.sources.Tables.documents(spark, sf)
       .select("doc_id", "source", "lang").collect()

@@ -1172,6 +1172,19 @@ object Similarity {
     * |u·10⁶| ≤ rows·dims·4·10²⁴ — inside decimal(38,0) to ~3·10¹¹
     * rows (past that, add a mid-round rescale). */
   def pcaPower(spark: SparkSession, dir: String): DataFrame = {
+    val (means, _, v) = pcaParts(spark, dir)
+    means.join(v, Seq("dim"))
+      .select(col("dim").cast("long").as("dim"),
+        col("mean_e6").cast("long").as("mean_e6"),
+        col("vv").cast("long").as("loading_e6"))
+      .orderBy("dim")
+  }
+
+  /** The power-iteration substrate — (per-dim means, the centered
+    * integer table E, the converged direction v) — shared by
+    * [[pcaPower]] (reports v) and [[anisotropy]] (projects onto v). */
+  private[graft] def pcaParts(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val x = Tables.embeddings(spark, dir)
       .select(col("vec_id"), posexplode(expr(
         "transform(cast(embedding as array<double>), x -> cast(floor(x * 1e6 + 0.5) as bigint))"))
@@ -1199,11 +1212,41 @@ object Similarity {
       v = u.crossJoin(broadcast(pick))
         .select(col("dim"), expr("(u * 1000000) div pu").as("vv"))
     }
-    means.join(v, Seq("dim"))
-      .select(col("dim").cast("long").as("dim"),
-        col("mean_e6").cast("long").as("mean_e6"),
-        col("vv").cast("long").as("loading_e6"))
-      .orderBy("dim")
+    (means, e, v)
+  }
+
+  /** q_anisotropy: the one-row embedding-cloud health report — how
+    * much of the total variance the [[pcaPower]] direction carries.
+    * evr (explained-variance ratio) near 1/dims means an isotropic
+    * cloud (cosine similarity is informative); anis = evr·dims ≫ 1
+    * means one dominant direction (Ethayarajh 2019's contextual-
+    * embedding anisotropy — every cosine looks alike and the pipeline
+    * should whiten before trusting q_ann_*). Statistic pinned as
+    * integer steps: proj_i = (c_i·v) div 10⁶, evr_e6 =
+    * (Σproj²·10⁶) div ((Σv² div 10⁶)·(Σ‖c‖² div 10⁶)) — the
+    * div-staging keeps every intermediate inside decimal(38,0) to
+    * ~10¹² rows while both engines agree bit-for-bit.
+    *
+    * Scale shape: one more pass over the shared centered table E
+    * (projection join on the 64-row broadcast v, per-vec two-phase
+    * agg) reduced to a 1-row summary; nothing new shuffles. */
+  def anisotropy(spark: SparkSession, dir: String): DataFrame = {
+    val (_, e, v) = pcaParts(spark, dir)
+    val proj = e.join(broadcast(v), Seq("dim"))
+      .groupBy("vec_id")
+      .agg(expr("sum(cast(c as decimal(38,0)) * vv) div 1000000").as("p"),
+        sum(col("c").cast("decimal(38,0)") * col("c")).as("cn2_i"))
+    val agg1 = proj.agg(count(lit(1)).as("n_vecs"),
+      sum(expr("cast(p as decimal(38,0)) * p")).as("num"),
+      expr("sum(cn2_i) div 1000000").as("cn2m"))
+    val vagg = v.agg(count(lit(1)).as("n_dims"),
+      expr("sum(cast(vv as decimal(38,0)) * vv) div 1000000").as("vn2"))
+    agg1.crossJoin(broadcast(vagg))
+      .select(col("n_vecs"), col("n_dims"),
+        expr("cast((num * n_dims * 1000000) div (vn2 * cn2m) as bigint)")
+          .as("anis_e6"),
+        expr("cast((num * 1000000) div (vn2 * cn2m) as bigint)")
+          .as("evr_e6"))
   }
 
   /** Outlier rule for q_embed_outliers: dist² > [[OutlierK]] × the
@@ -1339,6 +1382,7 @@ object Similarity {
     "q_embed_outliers" -> (embedOutliers(_, _)),
     "q_feature_scale" -> (featureScale(_, _)),
     "q_pca_power" -> (pcaPower(_, _)),
+    "q_anisotropy" -> (anisotropy(_, _)),
     "q_ann_cosine" -> (annCosine(_, _)),
     "q_knn_graph" -> (knnGraph(_, _)),
     "q_knn_graph_approx" -> (knnGraphApprox(_, _)),
@@ -1358,6 +1402,32 @@ object Similarity {
     "q_embed_quantize" -> (embedQuantize(_, _)),
     "q_embed_pq" -> (embedPq(_, _)),
     "q_semdedup" -> (semDedup(_, _)))
+
+  /** The power-iteration oracle core — centered integer table e plus
+    * the unrolled rounds ending in v2(dim, vv) — composed into BOTH
+    * the q_pca_power and q_anisotropy oracles, mirroring
+    * [[pcaParts]]. */
+  private val PcaOracleCore: String =
+    """WITH x AS (
+      |  SELECT vec_id, i - 1 AS dim,
+      |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS v
+      |  FROM embeddings,
+      |       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)),
+      |m AS (SELECT dim, SUM(v) // COUNT(*) AS mean_e6 FROM x GROUP BY dim),
+      |e AS (SELECT vec_id, x.dim, v - mean_e6 AS c
+      |  FROM x JOIN m ON m.dim = x.dim),
+      |s1 AS (SELECT vec_id, SUM(CAST(c AS HUGEINT) * 1000000) AS s
+      |  FROM e GROUP BY vec_id),
+      |u1 AS (SELECT dim, SUM(CAST(e.c AS HUGEINT) * s1.s) AS u
+      |  FROM e JOIN s1 USING (vec_id) GROUP BY dim),
+      |p1 AS (SELECT u AS pu FROM u1 ORDER BY abs(u) DESC, dim ASC LIMIT 1),
+      |v1 AS (SELECT dim, (u * 1000000) // pu AS vv FROM u1 CROSS JOIN p1),
+      |s2 AS (SELECT vec_id, SUM(CAST(c AS HUGEINT) * vv) AS s
+      |  FROM e JOIN v1 ON v1.dim = e.dim GROUP BY vec_id),
+      |u2 AS (SELECT e.dim, SUM(CAST(e.c AS HUGEINT) * s2.s) AS u
+      |  FROM e JOIN s2 USING (vec_id) GROUP BY e.dim),
+      |p2 AS (SELECT u AS pu FROM u2 ORDER BY abs(u) DESC, dim ASC LIMIT 1),
+      |v2 AS (SELECT dim, (u * 1000000) // pu AS vv FROM u2 CROSS JOIN p2)""".stripMargin
 
   /** Shared oracle prelude: embeddings as double lists + norms + the
     * same sign-projection buckets (planes embedded as literals). */
@@ -1572,30 +1642,31 @@ object Similarity {
     // same centered integer table, the two matvec rounds unrolled as
     // CTE pairs (sk/uk), rescale by the signed top-|u| pick
     "q_pca_power" ->
-      """WITH x AS (
-        |  SELECT vec_id, i - 1 AS dim,
-        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS v
-        |  FROM embeddings,
-        |       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)),
-        |m AS (SELECT dim, SUM(v) // COUNT(*) AS mean_e6 FROM x GROUP BY dim),
-        |e AS (SELECT vec_id, x.dim, v - mean_e6 AS c
-        |  FROM x JOIN m ON m.dim = x.dim),
-        |s1 AS (SELECT vec_id, SUM(CAST(c AS HUGEINT) * 1000000) AS s
-        |  FROM e GROUP BY vec_id),
-        |u1 AS (SELECT dim, SUM(CAST(e.c AS HUGEINT) * s1.s) AS u
-        |  FROM e JOIN s1 USING (vec_id) GROUP BY dim),
-        |p1 AS (SELECT u AS pu FROM u1 ORDER BY abs(u) DESC, dim ASC LIMIT 1),
-        |v1 AS (SELECT dim, (u * 1000000) // pu AS vv FROM u1 CROSS JOIN p1),
-        |s2 AS (SELECT vec_id, SUM(CAST(c AS HUGEINT) * vv) AS s
-        |  FROM e JOIN v1 ON v1.dim = e.dim GROUP BY vec_id),
-        |u2 AS (SELECT e.dim, SUM(CAST(e.c AS HUGEINT) * s2.s) AS u
-        |  FROM e JOIN s2 USING (vec_id) GROUP BY e.dim),
-        |p2 AS (SELECT u AS pu FROM u2 ORDER BY abs(u) DESC, dim ASC LIMIT 1),
-        |v2 AS (SELECT dim, (u * 1000000) // pu AS vv FROM u2 CROSS JOIN p2)
+      s"""$PcaOracleCore
         |SELECT m.dim, CAST(m.mean_e6 AS BIGINT) AS mean_e6,
         |  CAST(v2.vv AS BIGINT) AS loading_e6
         |FROM m JOIN v2 ON v2.dim = m.dim
         |ORDER BY m.dim""".stripMargin,
+    // same core, one projection pass, identical div-staged ratio
+    "q_anisotropy" ->
+      s"""$PcaOracleCore,
+        |proj AS (
+        |  SELECT vec_id, SUM(CAST(c AS HUGEINT) * vv) // 1000000 AS p,
+        |    SUM(CAST(c AS HUGEINT) * c) AS cn2_i
+        |  FROM e JOIN v2 ON v2.dim = e.dim GROUP BY vec_id),
+        |a1 AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |    SUM(CAST(p AS HUGEINT) * p) AS num,
+        |    SUM(cn2_i) // 1000000 AS cn2m
+        |  FROM proj),
+        |va AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_dims,
+        |    SUM(CAST(vv AS HUGEINT) * vv) // 1000000 AS vn2
+        |  FROM v2)
+        |SELECT n_vecs, n_dims,
+        |  CAST((num * n_dims * 1000000) // (vn2 * cn2m) AS BIGINT) AS anis_e6,
+        |  CAST((num * 1000000) // (vn2 * cn2m) AS BIGINT) AS evr_e6
+        |FROM a1 CROSS JOIN va""".stripMargin,
     "q_embed_quantize" ->
       """WITH s AS (
         |  SELECT vec_id, embedding AS v,

@@ -2648,6 +2648,20 @@ class OperatorSpec extends SparkSpec {
     // rest by it
     assert(got.values.map(_._2).max == 1000000L)
     assert(got.values.forall(l => math.abs(l._2) <= 1000000L))
+
+    // anisotropy: same local substrate, the div-staged ratio verbatim
+    val proj = c.map(row => (0 until d).map(k => row(k) * v(k)).sum / 1000000)
+    val num = proj.map(p => p * p).sum
+    val cn2m = c.map(row => row.map(x => x * x).sum).sum / 1000000
+    val vn2 = v.map(x => x * x).sum / 1000000
+    val a = run("q_anisotropy").collect()
+    assert(a.length == 1)
+    assert(a.head.getLong(0) == n.toLong)
+    assert(a.head.getLong(1) == d.toLong)
+    assert(a.head.getLong(2) == (num * d * 1000000 / (vn2 * cn2m)).toLong)
+    assert(a.head.getLong(3) == (num * 1000000 / (vn2 * cn2m)).toLong)
+    // the ratio is a proper fraction of total variance
+    assert(a.head.getLong(3) >= 0 && a.head.getLong(3) <= 1000000L)
   }
 
   test("ndcg matches a local graded-gain recompute over the bm25 ranking") {

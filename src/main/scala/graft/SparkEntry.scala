@@ -31,6 +31,7 @@ object SparkEntry {
       operators.Multimodal.queries ++
       sources.XmlFeed.queries ++
       sources.WhoisJson.queries ++
+      sources.JsonlLogs.queries ++
       ml.MLQueries.queries ++
       streaming.StreamingQueries.queries
 
@@ -49,6 +50,7 @@ object SparkEntry {
       operators.Multimodal.oracleSql ++
       sources.XmlFeed.oracleSql ++
       sources.WhoisJson.oracleSql ++
+      sources.JsonlLogs.oracleSql ++
       streaming.StreamingQueries.oracleSql ++
       ml.MLQueries.oracleSql
 }

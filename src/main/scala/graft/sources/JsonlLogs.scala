@@ -42,7 +42,12 @@ object JsonlLogs {
   /** The serialized log lines, with every 13th event's line torn: one
     * column of raw JSONL exactly as a log shipper would deliver it. */
   private[graft] def lines(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
+    linesFrom(Tables.events(spark, dir))
+
+  /** The serializer over ANY events frame (batch table or stream) —
+    * shared with the at-ingest twin q_stream_jsonl. */
+  private[graft] def linesFrom(events: DataFrame): DataFrame =
+    events
       .select(col("event_id"),
         concat(
           lit("""{"event_id": """), col("event_id"),
@@ -56,10 +61,11 @@ object JsonlLogs {
           expr("substring(line0, 1, length(line0) - 1)"))
           .otherwise(col("line0")).as("line"))
 
-  /** q_parse_jsonl: permissive parse → per-bucket ingest report with
-    * the quarantine row first-class. */
-  def parseJsonl(spark: SparkSession, dir: String): DataFrame =
-    lines(spark, dir)
+  /** The parse-and-route census over a lines frame — SHARED by batch
+    * and stream so the two reports cannot disagree and the stream
+    * reuses the batch oracle verbatim. */
+  private[graft] def bucketCensus(lines: DataFrame): DataFrame =
+    lines
       .select(col("line"),
         from_json(col("line"), lineSchema,
           Map("mode" -> "PERMISSIVE")).as("j"))
@@ -70,7 +76,11 @@ object JsonlLogs {
       .agg(count(lit(1)).as("n_lines"),
         sum(length(col("line"))).cast("long").as("n_chars"),
         sum(coalesce(col("j.value_cents"), lit(0L))).as("value_cents"))
-      .orderBy("bucket")
+
+  /** q_parse_jsonl: permissive parse → per-bucket ingest report with
+    * the quarantine row first-class. */
+  def parseJsonl(spark: SparkSession, dir: String): DataFrame =
+    bucketCensus(lines(spark, dir)).orderBy("bucket")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_parse_jsonl" -> (parseJsonl(_, _)))

@@ -448,6 +448,36 @@ object StreamingQueries {
         .toDF("domain", "n_events", "n_errors"))
   }
 
+  /** q_stream_jsonl — the corrupt-record quarantine AT INGEST: the
+    * arriving log lines parse through the SHARED
+    * [[graft.sources.JsonlLogs.bucketCensus]] kernel (PERMISSIVE
+    * from_json, torn lines routed to the `_CORRUPT_` bucket), the
+    * Update-mode census upserts into the sketch-sized keyed store
+    * (bucket alphabet = event types + 1 — the q_stream_psi shape), so
+    * ingest loss is visible LIVE, not at the next batch audit; reuses
+    * the batch oracle verbatim; batch-parity spec. */
+  def streamJsonl(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val census = graft.sources.JsonlLogs.bucketCensus(
+      graft.sources.JsonlLogs.linesFrom(eventsStream(spark, dir)))
+    val store =
+      new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Long)]()
+    val q = census.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.collect().foreach { r =>
+          store.put(r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3)))
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    store.asScala.toSeq.map { case (b, (n, c, v)) => (b, n, c, v) }
+      .toDF("bucket", "n_lines", "n_chars", "value_cents")
+      .orderBy("bucket")
+  }
+
   /** q_stream_quality — the Gopher quality gate AT INGEST: every
     * arriving document is scored by the published rule battery
     * (q_gopher_rules' [[graft.operators.Curation.gopherFlags]] kernel,
@@ -921,6 +951,7 @@ object StreamingQueries {
     "q_stream_quality" -> (streamQuality(_, _)), // stateless scorer
     "q_stream_decayed" -> stateful(streamDecayed),
     "q_stream_wilson" -> stateful(streamWilson),
+    "q_stream_jsonl" -> stateful(streamJsonl),
     "q_stream_hll" -> stateful(streamHll))
 
   /** The streaming queries run real Structured Streaming, but over the
@@ -942,6 +973,9 @@ object StreamingQueries {
     // the batch Wilson oracle VERBATIM — wilsonCensus + wilsonFinish
     // are shared, so the converged counters must rank identically
     "q_stream_wilson" -> graft.operators.Analytics.oracleSql("q_wilson_rates"),
+    // the batch quarantine oracle VERBATIM — bucketCensus is shared,
+    // so the converged ingest report must match cell-for-cell
+    "q_stream_jsonl" -> graft.sources.JsonlLogs.oracleSql("q_parse_jsonl"),
     // the batch transition-matrix oracle VERBATIM — transFinish is
     // shared, so the converged step counts must yield the batch matrix
     "q_stream_transitions" -> graft.operators.Analytics.oracleSql("q_transitions"),

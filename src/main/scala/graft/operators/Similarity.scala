@@ -1147,6 +1147,61 @@ object Similarity {
       .select("dim", "n", "min_e6", "max_e6", "sum_e6", "mean_e6", "var_e12")
       .orderBy("dim")
 
+  /** q_mutual_info: per-DIMENSION feature-relevance screen — the
+    * mutual information between each embedding dimension's sign bit
+    * (above/below the dim mean) and the ground-truth label, the
+    * classic filter-method feature selection (which dims carry label
+    * signal at all; a near-zero board row is a dim that whitening or
+    * PQ can quantize away without hurting any classifier). MI is
+    * computed from exact integer contingency counts; each term
+    * n_sl·ln(N·n_sl/(n_s·n_l)) floors its one ln() to an e6 integer
+    * before the sum (the q_lm_quality rule), and the final MI_e6 is a
+    * truncating div by N — deterministic and identical cross-engine.
+    *
+    * Scale shape: ONE posexplode (rows × dims) → sign flags against
+    * the broadcast per-dim means → the joint contingency groupBy on
+    * (dim, s, label) whose key space is dims × 2 × labels (a catalog
+    * constant — the shuffle carries bounded keys with map-side
+    * partials); marginals REUSE the joint (groupBy of a tiny frame,
+    * broadcast back); the rank window runs over the 64-row board. */
+  def mutualInfo(spark: SparkSession, dir: String): DataFrame = {
+    val x = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        posexplode(expr(
+          "transform(cast(embedding as array<double>), x -> cast(floor(x * 1e6 + 0.5) as bigint))"))
+          .as(Seq("dim", "v")))
+    val means = x.groupBy("dim")
+      .agg(expr("sum(cast(v as decimal(38,0))) div count(1)").as("mean_e6"))
+    val flags = x.join(broadcast(means), Seq("dim"))
+      .select(col("dim"), col("label"),
+        when(col("v") >= col("mean_e6"), 1L).otherwise(0L).as("s"))
+    val joint = flags.groupBy("dim", "s", "label")
+      .agg(count(lit(1)).as("n_sl"))
+      .localCheckpoint() // dims × 2 × labels rows; four readers
+    val margS = joint.groupBy("dim", "s").agg(sum("n_sl").as("n_s"))
+    val margL = joint.groupBy("dim", "label").agg(sum("n_sl").as("n_l"))
+    val tot = joint.groupBy("dim").agg(sum("n_sl").as("nn"))
+    val board = joint
+      .join(broadcast(margS), Seq("dim", "s"))
+      .join(broadcast(margL), Seq("dim", "label"))
+      .join(broadcast(tot), Seq("dim"))
+      .withColumn("term_e6", expr(
+        """n_sl * cast(floor(ln((cast(n_sl as double) * nn)
+          | / (cast(n_s as double) * n_l)) * 1e6 + 0.5) as bigint)"""
+          .stripMargin.replace('\n', ' ')))
+      .groupBy("dim")
+      .agg(max("nn").as("n_vecs"),
+        sum(when(col("s") === 1, col("n_sl")).otherwise(0L)).as("n_pos"),
+        expr("cast(sum(cast(term_e6 as decimal(38,0))) div max(nn) as bigint)")
+          .as("mi_e6"))
+    board
+      .withColumn("rank", row_number().over( // 64-row board
+        Window.orderBy(col("mi_e6").desc, col("dim").asc)).cast("long"))
+      .select(col("dim").cast("long").as("dim"), col("n_vecs"),
+        col("n_pos"), col("mi_e6"), col("rank"))
+      .orderBy("dim")
+  }
+
   /** Power-iteration rounds for q_pca_power — unrolled identically in
     * the oracle CTE chain. */
   private[graft] val PcaRounds = 2
@@ -1383,6 +1438,7 @@ object Similarity {
     "q_feature_scale" -> (featureScale(_, _)),
     "q_pca_power" -> (pcaPower(_, _)),
     "q_anisotropy" -> (anisotropy(_, _)),
+    "q_mutual_info" -> (mutualInfo(_, _)),
     "q_ann_cosine" -> (annCosine(_, _)),
     "q_knn_graph" -> (knnGraph(_, _)),
     "q_knn_graph_approx" -> (knnGraphApprox(_, _)),
@@ -1647,6 +1703,43 @@ object Similarity {
         |  CAST(v2.vv AS BIGINT) AS loading_e6
         |FROM m JOIN v2 ON v2.dim = m.dim
         |ORDER BY m.dim""".stripMargin,
+    // same quantize/means, sign flags, joint contingency + reused
+    // marginals, one ln-kernel term per cell, truncating div by N
+    "q_mutual_info" ->
+      """WITH x AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label, i - 1 AS dim,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS v
+        |  FROM embeddings,
+        |       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)),
+        |m AS (SELECT dim, SUM(v) // COUNT(*) AS mean_e6 FROM x GROUP BY dim),
+        |f AS (SELECT x.dim, label,
+        |    CASE WHEN v >= mean_e6 THEN 1 ELSE 0 END AS s
+        |  FROM x JOIN m ON m.dim = x.dim),
+        |joint AS (SELECT dim, s, label, CAST(COUNT(*) AS BIGINT) AS n_sl
+        |  FROM f GROUP BY dim, s, label),
+        |ms AS (SELECT dim, s, CAST(SUM(n_sl) AS BIGINT) AS n_s
+        |  FROM joint GROUP BY dim, s),
+        |ml AS (SELECT dim, label, CAST(SUM(n_sl) AS BIGINT) AS n_l
+        |  FROM joint GROUP BY dim, label),
+        |tt AS (SELECT dim, CAST(SUM(n_sl) AS BIGINT) AS nn
+        |  FROM joint GROUP BY dim),
+        |terms AS (
+        |  SELECT j.dim, j.s, j.n_sl,
+        |    j.n_sl * CAST(floor(ln((CAST(j.n_sl AS DOUBLE) * nn)
+        |      / (CAST(n_s AS DOUBLE) * n_l)) * 1e6 + 0.5) AS BIGINT) AS term_e6
+        |  FROM joint j
+        |  JOIN ms ON ms.dim = j.dim AND ms.s = j.s
+        |  JOIN ml ON ml.dim = j.dim AND ml.label = j.label
+        |  JOIN tt ON tt.dim = j.dim),
+        |board AS (
+        |  SELECT t.dim, MAX(nn) AS n_vecs,
+        |    CAST(SUM(CASE WHEN s = 1 THEN n_sl ELSE 0 END) AS BIGINT) AS n_pos,
+        |    CAST(SUM(term_e6) // MAX(nn) AS BIGINT) AS mi_e6
+        |  FROM terms t JOIN tt ON tt.dim = t.dim
+        |  GROUP BY t.dim)
+        |SELECT dim, n_vecs, n_pos, mi_e6,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY mi_e6 DESC, dim ASC) AS BIGINT) AS rank
+        |FROM board ORDER BY dim""".stripMargin,
     // same core, one projection pass, identical div-staged ratio
     "q_anisotropy" ->
       s"""$PcaOracleCore,

@@ -2664,6 +2664,41 @@ class OperatorSpec extends SparkSpec {
     assert(a.head.getLong(3) >= 0 && a.head.getLong(3) <= 1000000L)
   }
 
+  test("mutual_info matches a local contingency recompute per dim") {
+    val rows = graft.sources.Tables.embeddings(spark, sf)
+      .select("label", "embedding").collect()
+      .map(r => (r.getInt(0).toLong, r.getAs[Seq[Float]]("embedding")
+        .map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong).toArray))
+    val d = rows.head._2.length
+    val n = rows.length.toLong
+    def e6(x: Double) = math.floor(x * 1e6 + 0.5).toLong
+    val want = (0 until d).map { k =>
+      val mean = BigInt(rows.map(_._2(k)).sum) / n
+      val flags = rows.map { case (l, v) =>
+        (if (BigInt(v(k)) >= mean) 1L else 0L, l)
+      }
+      val joint = flags.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val nS = flags.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+      val nL = flags.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val terms = joint.map { case ((s, l), nsl) =>
+        nsl * e6(math.log(nsl.toDouble * n / (nS(s).toDouble * nL(l))))
+      }.sum
+      k.toLong -> ((n, flags.count(_._1 == 1L).toLong, terms / n))
+    }.toMap
+    val got = run("q_mutual_info").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == want)
+    // ranks are a dense 1..dims permutation in MI order
+    val ranks = run("q_mutual_info").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    assert(ranks.map(_._3).sorted.sameElements(1L to d))
+    ranks.sortBy(_._3).map(_._2).sliding(2).foreach {
+      case Array(a, b) => assert(a >= b)
+      case _ =>
+    }
+  }
+
   test("ndcg matches a local graded-gain recompute over the bm25 ranking") {
     val meta = graft.sources.Tables.documents(spark, sf)
       .select("doc_id", "source", "lang").collect()

@@ -405,6 +405,40 @@ object TextAnalysis {
       .orderBy("query_id", "fused_rank")
   }
 
+  /** Sliding-chunk geometry for q_chunk_sliding: the RAG default of a
+    * fixed window with 50% overlap. Pinned — the oracle inlines both. */
+  private[graft] val SlideWindow = 16
+  private[graft] val SlideStride = 8
+
+  /** q_chunk_sliding: retrieval-index chunking — every document cut
+    * into [[SlideWindow]]-token windows advancing by [[SlideStride]]
+    * (50% overlap, the standard RAG indexing prep: overlap keeps a
+    * sentence that straddles a boundary retrievable from either
+    * side). Starts step to the end of the document, so trailing
+    * windows shorten instead of dropping tail tokens — every token is
+    * covered by ≥1 chunk. Each chunk row carries its provenance
+    * (start, length) and content hash; the hash is what a vector
+    * index stores beside the chunk embedding, and what chunk-level
+    * dedup (q_chunk_dedup's family) consumes upstream.
+    *
+    * Scale shape: map-only — ONE transform over the already-split
+    * token array per document (the window slices never self-join),
+    * exploded to chunk rows inside the scan; no shuffle at all before
+    * the output sort. */
+  def chunkSliding(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(1, size(ts), $SlideStride),
+           | s -> struct(s AS start_tok, slice(ts, s, $SlideWindow) AS w))"""
+          .stripMargin.replace('\n', ' '))).as(Seq("idx", "c")))
+      .select(col("doc_id"),
+        (col("idx") + 1).cast("long").as("chunk_idx"),
+        col("c.start_tok").cast("long").as("start_tok"),
+        size(col("c.w")).cast("long").as("n_tok"),
+        md5(array_join(col("c.w"), " ")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+
   /** nDCG position weights 10⁶/log₂(i+1) for ranks 1..5, and their
     * prefix sums — precomputed HERE and inlined as the SAME literals
     * into both engines (the Benford-constants convention: log2 is not
@@ -1281,6 +1315,7 @@ object TextAnalysis {
     "q_token_search" -> (tokenSearch(_, _)),
     "q_bm25_search" -> (bm25Search(_, _)),
     "q_ndcg" -> (ndcgEval(_, _)),
+    "q_chunk_sliding" -> (chunkSliding(_, _)),
     "q_rank_fusion" -> (rankFusion(_, _)),
     "q_lang_id" -> (langId(_, _)),
     "q_quality_score" -> (qualityScore(_, _)),
@@ -1558,6 +1593,22 @@ object TextAnalysis {
          |  CAST(bpe_tokens * 1000000 // ws_tokens AS BIGINT) AS fertility_e6,
          |  CAST(n_chars * 100 // bpe_tokens AS BIGINT) AS chars_per_tok_e2
          |FROM g ORDER BY lang""".stripMargin,
+    // same stride walk; DuckDB 1-based inclusive list slicing ≡
+    // Spark's slice(arr, s, W); md5 over the space-joined window
+    "q_chunk_sliding" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |c AS (
+         |  SELECT doc_id, s,
+         |    ts[s : least(s + ${SlideWindow - 1}, len(ts))] AS w,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s) AS chunk_idx
+         |  FROM d, LATERAL (
+         |    SELECT unnest(generate_series(1, len(ts), $SlideStride)) AS s))
+         |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         |  CAST(s AS BIGINT) AS start_tok,
+         |  CAST(len(w) AS BIGINT) AS n_tok,
+         |  md5(array_to_string(w, ' ')) AS chunk_md5
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     // the bm25 oracle VERBATIM as the ranking; same metadata grades,
     // inlined weight/prefix literals, subtraction-derived tier counts
     "q_ndcg" ->

@@ -2664,6 +2664,39 @@ class OperatorSpec extends SparkSpec {
     assert(a.head.getLong(3) >= 0 && a.head.getLong(3) <= 1000000L)
   }
 
+  test("chunk_sliding covers every token with the pinned stride geometry") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val w = graft.operators.TextAnalysis.SlideWindow
+    val st = graft.operators.TextAnalysis.SlideStride
+    val want = docs.toSeq.flatMap { case (id, ts) =>
+      (1 to ts.length by st).zipWithIndex.map { case (s, i) =>
+        val chunk = ts.slice(s - 1, s - 1 + w)
+        (id, i + 1L, s.toLong, chunk.length.toLong, md5hex(chunk.mkString(" ")))
+      }
+    }.toSet
+    val got = run("q_chunk_sliding").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSet
+    assert(got == want)
+    // geometry: starts advance by the stride, full windows except at
+    // the tail, and chunk_idx is dense per doc
+    got.groupBy(_._1).foreach { case (id, cs) =>
+      val sorted = cs.toSeq.sortBy(_._2)
+      assert(sorted.map(_._2) == (1L to sorted.length))
+      sorted.zipWithIndex.foreach { case ((_, _, s, n, _), i) =>
+        assert(s == 1L + i * st)
+        assert(n == math.min(w.toLong, docs(id).length - s + 1))
+      }
+      // every token of the doc is inside at least one chunk
+      assert(sorted.map(c => c._3 + c._4 - 1).max == docs(id).length.toLong)
+    }
+  }
+
   test("mutual_info matches a local contingency recompute per dim") {
     val rows = graft.sources.Tables.embeddings(spark, sf)
       .select("label", "embedding").collect()

@@ -1264,8 +1264,12 @@ object Similarity {
           Window.orderBy(abs(col("u")).desc, col("dim").asc)))
         .filter(col("rn") === 1)
         .select(col("u").as("pu"))
+      // pu = 0 ⇔ the centered cloud is all-zero (every embedding
+      // identical): pin v to the zero vector instead of NULLs so the
+      // degenerate corpus reports loadings of 0, not a null board
       v = u.crossJoin(broadcast(pick))
-        .select(col("dim"), expr("(u * 1000000) div pu").as("vv"))
+        .select(col("dim"),
+          expr("if(pu = 0, 0L, (u * 1000000) div pu)").as("vv"))
     }
     (means, e, v)
   }
@@ -1297,10 +1301,14 @@ object Similarity {
     val vagg = v.agg(count(lit(1)).as("n_dims"),
       expr("sum(cast(vv as decimal(38,0)) * vv) div 1000000").as("vn2"))
     agg1.crossJoin(broadcast(vagg))
+      // a zero-variance cloud (or zero direction) has no defined
+      // ratio: report -1, the house sentinel, instead of NULL
       .select(col("n_vecs"), col("n_dims"),
-        expr("cast((num * n_dims * 1000000) div (vn2 * cn2m) as bigint)")
+        expr("""cast(if(vn2 * cn2m = 0, -1,
+          (num * n_dims * 1000000) div (vn2 * cn2m)) as bigint)""")
           .as("anis_e6"),
-        expr("cast((num * 1000000) div (vn2 * cn2m) as bigint)")
+        expr("""cast(if(vn2 * cn2m = 0, -1,
+          (num * 1000000) div (vn2 * cn2m)) as bigint)""")
           .as("evr_e6"))
   }
 
@@ -1477,13 +1485,15 @@ object Similarity {
       |u1 AS (SELECT dim, SUM(CAST(e.c AS HUGEINT) * s1.s) AS u
       |  FROM e JOIN s1 USING (vec_id) GROUP BY dim),
       |p1 AS (SELECT u AS pu FROM u1 ORDER BY abs(u) DESC, dim ASC LIMIT 1),
-      |v1 AS (SELECT dim, (u * 1000000) // pu AS vv FROM u1 CROSS JOIN p1),
+      |v1 AS (SELECT dim, CASE WHEN pu = 0 THEN 0
+      |    ELSE (u * 1000000) // pu END AS vv FROM u1 CROSS JOIN p1),
       |s2 AS (SELECT vec_id, SUM(CAST(c AS HUGEINT) * vv) AS s
       |  FROM e JOIN v1 ON v1.dim = e.dim GROUP BY vec_id),
       |u2 AS (SELECT e.dim, SUM(CAST(e.c AS HUGEINT) * s2.s) AS u
       |  FROM e JOIN s2 USING (vec_id) GROUP BY e.dim),
       |p2 AS (SELECT u AS pu FROM u2 ORDER BY abs(u) DESC, dim ASC LIMIT 1),
-      |v2 AS (SELECT dim, (u * 1000000) // pu AS vv FROM u2 CROSS JOIN p2)""".stripMargin
+      |v2 AS (SELECT dim, CASE WHEN pu = 0 THEN 0
+      |    ELSE (u * 1000000) // pu END AS vv FROM u2 CROSS JOIN p2)""".stripMargin
 
   /** Shared oracle prelude: embeddings as double lists + norms + the
     * same sign-projection buckets (planes embedded as literals). */
@@ -1757,8 +1767,10 @@ object Similarity {
         |    SUM(CAST(vv AS HUGEINT) * vv) // 1000000 AS vn2
         |  FROM v2)
         |SELECT n_vecs, n_dims,
-        |  CAST((num * n_dims * 1000000) // (vn2 * cn2m) AS BIGINT) AS anis_e6,
-        |  CAST((num * 1000000) // (vn2 * cn2m) AS BIGINT) AS evr_e6
+        |  CAST(CASE WHEN vn2 * cn2m = 0 THEN -1
+        |    ELSE (num * n_dims * 1000000) // (vn2 * cn2m) END AS BIGINT) AS anis_e6,
+        |  CAST(CASE WHEN vn2 * cn2m = 0 THEN -1
+        |    ELSE (num * 1000000) // (vn2 * cn2m) END AS BIGINT) AS evr_e6
         |FROM a1 CROSS JOIN va""".stripMargin,
     "q_embed_quantize" ->
       """WITH s AS (

@@ -2732,6 +2732,29 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("pca and anisotropy survive an all-identical embedding cloud") {
+    // the degenerate corpus every diagnostic must not NULL out on:
+    // identical vectors ⇒ centered cloud is zero ⇒ matvec u = 0 and
+    // total variance 0 — loadings pin to 0 and ratios to the -1
+    // sentinel instead of a null board
+    val dir = java.nio.file.Files.createTempDirectory("graft-degen").toString
+    import spark.implicits._
+    (1L to 5L).map(i => (i, Array.fill(8)(0.25f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val pca = graft.operators.Similarity.pcaPower(spark, dir).collect()
+    assert(pca.length == 8)
+    pca.foreach { r =>
+      assert(r.getLong(1) == 250000L, "mean survives")
+      assert(r.getLong(2) == 0L, "loading pins to 0, not null")
+    }
+    val a = graft.operators.Similarity.anisotropy(spark, dir).collect()
+    assert(a.length == 1)
+    assert(a.head.getLong(0) == 5L && a.head.getLong(1) == 8L)
+    assert(a.head.getLong(2) == -1L && a.head.getLong(3) == -1L,
+      "zero-variance cloud reports the -1 sentinel")
+  }
+
   test("ndcg matches a local graded-gain recompute over the bm25 ranking") {
     val meta = graft.sources.Tables.documents(spark, sf)
       .select("doc_id", "source", "lang").collect()

@@ -1787,6 +1787,60 @@ object Analytics {
       .orderBy("l_partkey")
   }
 
+  /** Minimum distinct price days for the Theil–Sen trend fit. */
+  private[graft] val TheilSenMinDays = 5L
+
+  /** q_theil_sen: ROBUST per-part price trend — the Theil–Sen
+    * estimator (median of all pairwise slopes, Sen 1968): one rogue
+    * price (a decoy scrape, a currency glitch) drags an OLS slope
+    * arbitrarily far but moves the pairwise-slope median by one rank,
+    * so this is the trend line a pricing monitor can actually alarm
+    * on (~29% breakdown point vs OLS's zero; the robust cousin of
+    * q_elasticity's log-log OLS). Slopes are exact integers
+    * (Δcents·10⁶ div Δdays); the median is pinned — rank by
+    * (slope, d1, d2), take the middle rank(s), average the even case
+    * with a truncating div — so both engines select the identical
+    * pair(s).
+    *
+    * Scale shape: the series collapses to one point per (part, day)
+    * FIRST (two-phase agg), so the pairwise expansion is per-part
+    * over its distinct price days — lines-per-part is a catalog
+    * constant in a TPC-H-shaped corpus (fan-out ≈ days²/2 per part,
+    * never corpus²); the median window partitions on l_partkey
+    * (catalog cardinality — parallelism grows with the catalog). */
+  def theilSen(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        expr("unix_micros(cast(l_shipdate as timestamp)) div 86400000000")
+          .as("day"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy("l_partkey", "day")
+      .agg(min("cents").as("cents")) // pinned per-day representative
+    val days = pts.groupBy("l_partkey").agg(count(lit(1)).as("n_days"))
+      .filter(col("n_days") >= TheilSenMinDays)
+    val p = pts.join(days.select("l_partkey"), Seq("l_partkey"))
+    val pairs = p.as("a").join(p.as("b"), Seq("l_partkey"))
+      .filter(col("a.day") < col("b.day"))
+      .select(col("l_partkey"),
+        col("a.day").as("d1"), col("b.day").as("d2"),
+        col("a.cents").as("c1"), col("b.cents").as("c2"))
+      .withColumn("slope_e6", expr("((c2 - c1) * 1000000) div (d2 - d1)"))
+    val w = Window.partitionBy("l_partkey")
+      .orderBy(col("slope_e6").asc, col("d1").asc, col("d2").asc)
+    pairs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_pairs",
+        count(lit(1)).over(Window.partitionBy("l_partkey")))
+      .filter(col("rn") === expr("(n_pairs + 1) div 2") ||
+        col("rn") === expr("(n_pairs + 2) div 2"))
+      .groupBy("l_partkey", "n_pairs")
+      .agg(expr("sum(slope_e6) div count(1)").as("ts_slope_e6"))
+      .join(days, Seq("l_partkey"))
+      .select(col("l_partkey"), col("n_days"),
+        col("n_pairs").cast("long").as("n_pairs"), col("ts_slope_e6"))
+      .orderBy("l_partkey")
+  }
+
   /** Window-funnel horizon: all steps must land within 1 h of step 1. */
   private val StepWinMs = 3600000L
 
@@ -2669,6 +2723,7 @@ object Analytics {
     "q_scd2" -> (scd2(_, _)),
     "q_stickiness" -> (stickiness(_, _)),
     "q_price_volatility" -> (priceVolatility(_, _)),
+    "q_theil_sen" -> (theilSen(_, _)),
     "q_interval_coverage" -> (intervalCoverage(_, _)),
     "q_acf" -> (acf(_, _)),
     "q_assoc_rules" -> (assocRules(_, _)),
@@ -3397,6 +3452,36 @@ object Analytics {
          |FROM mau m LEFT JOIN dau ON dau.day = m.day
          |ORDER BY day""".stripMargin,
     // same pinned order, running-max peak, HUGEINT ratio arithmetic
+    // same per-day collapse, bounded per-part pair expansion, pinned
+    // middle-rank median with truncating-div even-case average
+    "q_theil_sen" ->
+      s"""WITH pts AS (
+         |  SELECT l_partkey, epoch_ns(l_shipdate) // 86400000000000 AS day,
+         |    MIN(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS cents
+         |  FROM lineitem GROUP BY l_partkey, day),
+         |days AS (
+         |  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_days
+         |  FROM pts GROUP BY l_partkey HAVING COUNT(*) >= $TheilSenMinDays),
+         |p AS (SELECT pts.* FROM pts JOIN days USING (l_partkey)),
+         |pairs AS (
+         |  SELECT a.l_partkey, a.day AS d1, b.day AS d2,
+         |    ((b.cents - a.cents) * 1000000) // (b.day - a.day) AS slope_e6
+         |  FROM p a JOIN p b ON a.l_partkey = b.l_partkey AND a.day < b.day),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_partkey
+         |      ORDER BY slope_e6, d1, d2) AS rn,
+         |    COUNT(*) OVER (PARTITION BY l_partkey) AS n_pairs
+         |  FROM pairs),
+         |med AS (
+         |  SELECT l_partkey, n_pairs,
+         |    CAST(SUM(slope_e6) // COUNT(*) AS BIGINT) AS ts_slope_e6
+         |  FROM ranked
+         |  WHERE rn = (n_pairs + 1) // 2 OR rn = (n_pairs + 2) // 2
+         |  GROUP BY l_partkey, n_pairs)
+         |SELECT m.l_partkey, d.n_days, CAST(m.n_pairs AS BIGINT) AS n_pairs,
+         |  m.ts_slope_e6
+         |FROM med m JOIN days d USING (l_partkey)
+         |ORDER BY m.l_partkey""".stripMargin,
     "q_price_volatility" ->
       """WITH s AS (
         |  SELECT l_partkey,

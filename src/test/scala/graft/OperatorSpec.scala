@@ -2732,6 +2732,51 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("theil_sen matches a local median-of-slopes recompute and shrugs off an outlier") {
+    val pts = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_partkey"),
+        expr("unix_micros(cast(l_shipdate as timestamp)) div 86400000000")
+          .as("day"),
+        expr("cast(floor(l_extendedprice * 100 + 0.5) as long)").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val perDay = pts.groupBy(p => (p._1, p._2)).view
+      .mapValues(_.map(_._3).min).toMap
+    val want = perDay.keys.groupBy(_._1).collect {
+      case (part, ks) if ks.size >= graft.operators.Analytics.TheilSenMinDays =>
+        val series = ks.toSeq.map(k => (k._2, perDay(k))).sortBy(_._1)
+        val slopes = (for {
+          (i, idx) <- series.zipWithIndex
+          j <- series.drop(idx + 1)
+        } yield ((j._2 - i._2) * 1000000L / (j._1 - i._1), i._1, j._1))
+          .sortBy(identity)
+        val n = slopes.length
+        val mids = Seq((n + 1) / 2, (n + 2) / 2).distinct.map(r => slopes(r - 1)._1)
+        part -> ((series.length.toLong, n.toLong, mids.sum / mids.length))
+    }
+    val got = run("q_theil_sen").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.nonEmpty)
+    assert(got == want)
+
+    // robustness: a perfectly linear series (2 cents/day) with one
+    // wild outlier still reports the true slope — the estimator's
+    // whole point; an OLS fit through the same points would not
+    val dir = java.nio.file.Files.createTempDirectory("graft-ts").toString
+    import spark.implicits._
+    val dayUs = 86400000000L
+    ((0 to 9).map(i => (1L, i.toLong * dayUs,
+      if (i == 5) 100.00 else 1.00 + 0.02 * i)))
+      .toDF("l_partkey", "us", "l_extendedprice")
+      .select(col("l_partkey"), expr("timestamp_micros(us)").as("l_shipdate"),
+        col("l_extendedprice"))
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val robust = graft.operators.Analytics.theilSen(spark, dir).collect()
+    assert(robust.length == 1)
+    assert(robust.head.getLong(3) == 2000000L,
+      s"outlier bent the Theil-Sen slope: ${robust.head.getLong(3)}")
+  }
+
   test("pca and anisotropy survive an all-identical embedding cloud") {
     // the degenerate corpus every diagnostic must not NULL out on:
     // identical vectors ⇒ centered cloud is zero ⇒ matvec u = 0 and

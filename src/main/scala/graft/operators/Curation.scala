@@ -480,6 +480,69 @@ object Curation {
       .orderBy("src_a", "src_b")
   }
 
+  /** floor(ln 2 · 10⁶ + 0.5), precomputed and inlined into both
+    * engines (the Benford-constants convention). */
+  private[graft] val Ln2E6: Long =
+    math.floor(math.log(2.0) * 1e6 + 0.5).toLong
+
+  /** q_js_divergence: the pairwise source-DISTRIBUTION divergence
+    * matrix — Jensen–Shannon divergence between every two sources'
+    * unigram distributions, the distributional companion to
+    * q_source_overlap's shingle Jaccard (overlap says how much raw
+    * text two crawls share; JS says whether they are drawn from the
+    * same kind of language even when no literal text is shared —
+    * the dedup-vs-reweigh routing signal for corpus mixing). JS needs
+    * NO smoothing: a term absent from the partner contributes exactly
+    * ln 2, so the sum splits into the shared-vocabulary join plus a
+    * closed-form (n − Σ_shared y)·ln2 remainder — single-source terms
+    * NEVER ride the join. Each shared term's ln(2·ya·nb/(ya·nb+yb·na))
+    * floors to an e6 integer (one identical IEEE tree per engine)
+    * before the decimal(38,0) sum; JS_e6 ∈ [0, ln2·10⁶], also
+    * published normalized to [0, 10⁶].
+    *
+    * Scale shape: ONE (source, tok) census; the pair table comes from
+    * the census self-join on tok — fan-out per term bounded by
+    * #sources² (a catalog constant, the q_source_overlap bound);
+    * per-source totals broadcast; pairs with fully disjoint
+    * vocabularies are maximally divergent and absent (inner join),
+    * like the overlap matrix. */
+  def jsDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val census = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("y"))
+      .localCheckpoint() // vocab × sources; totals + both join sides
+    val totals = census.groupBy("source").agg(sum("y").as("n"))
+    census.as("a").join(census.as("b"), Seq("tok"))
+      .filter(col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+        col("a.y").as("ya"), col("b.y").as("yb"))
+      .join(broadcast(totals.select(col("source").as("src_a"),
+        col("n").as("na"))), Seq("src_a"))
+      .join(broadcast(totals.select(col("source").as("src_b"),
+        col("n").as("nb"))), Seq("src_b"))
+      .withColumn("ta", expr(
+        """ya * cast(floor(ln((2.0 * ya * nb)
+          | / (cast(ya as double) * nb + cast(yb as double) * na))
+          | * 1e6 + 0.5) as bigint)""".stripMargin.replace('\n', ' ')))
+      .withColumn("tb", expr(
+        """yb * cast(floor(ln((2.0 * yb * na)
+          | / (cast(ya as double) * nb + cast(yb as double) * na))
+          | * 1e6 + 0.5) as bigint)""".stripMargin.replace('\n', ' ')))
+      .groupBy("src_a", "src_b", "na", "nb")
+      .agg(count(lit(1)).as("n_shared_terms"),
+        sum(expr("cast(ta as decimal(38,0))")).as("sa"),
+        sum(expr("cast(tb as decimal(38,0))")).as("sb"),
+        sum("ya").as("ya_sum"), sum("yb").as("yb_sum"))
+      .withColumn("kla_e6",
+        expr(s"(sa + (na - ya_sum) * ${Ln2E6}) div na"))
+      .withColumn("klb_e6",
+        expr(s"(sb + (nb - yb_sum) * ${Ln2E6}) div nb"))
+      .withColumn("jsd_e6", expr("(kla_e6 + klb_e6) div 2"))
+      .withColumn("jsd_norm_e6", expr(s"(jsd_e6 * 1000000) div ${Ln2E6}"))
+      .select("src_a", "src_b", "n_shared_terms", "jsd_e6", "jsd_norm_e6")
+      .orderBy("src_a", "src_b")
+  }
+
   /** Minimum in-source term count for the log-odds board — screens the
     * long noise tail before any statistic is computed. */
   private[graft] val LogoddsMinCount = 5L
@@ -1033,6 +1096,7 @@ object Curation {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_gopher_rules" -> (gopherRules(_, _)),
     "q_logodds_terms" -> (logoddsTerms(_, _)),
+    "q_js_divergence" -> (jsDivergence(_, _)),
     "q_lorenz" -> (lorenz(_, _)),
     "q_bigram_entropy" -> (bigramEntropy(_, _)),
     "q_ngram_novelty" -> (ngramNovelty(_, _)),
@@ -1104,6 +1168,50 @@ object Curation {
          |FROM m
          |ORDER BY doc_id""".stripMargin
     },
+    // same census self-join on tok, identical IEEE ln trees, the
+    // closed-form single-source ln2 remainder, truncating divs
+    "q_js_divergence" ->
+      s"""WITH census AS (
+         |  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS y
+         |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+         |        FROM documents)
+         |  GROUP BY source, tok),
+         |totals AS (
+         |  SELECT source, CAST(SUM(y) AS BIGINT) AS n
+         |  FROM census GROUP BY source),
+         |pairs AS (
+         |  SELECT a.source AS src_a, b.source AS src_b,
+         |    a.y AS ya, b.y AS yb, ta.n AS na, tb.n AS nb
+         |  FROM census a
+         |  JOIN census b ON a.tok = b.tok AND a.source < b.source
+         |  JOIN totals ta ON ta.source = a.source
+         |  JOIN totals tb ON tb.source = b.source),
+         |terms AS (
+         |  SELECT src_a, src_b, na, nb, ya, yb,
+         |    ya * CAST(floor(ln((2.0 * ya * nb)
+         |      / (CAST(ya AS DOUBLE) * nb + CAST(yb AS DOUBLE) * na))
+         |      * 1e6 + 0.5) AS BIGINT) AS ta,
+         |    yb * CAST(floor(ln((2.0 * yb * na)
+         |      / (CAST(ya AS DOUBLE) * nb + CAST(yb AS DOUBLE) * na))
+         |      * 1e6 + 0.5) AS BIGINT) AS tb
+         |  FROM pairs),
+         |agg AS (
+         |  SELECT src_a, src_b, na, nb,
+         |    CAST(COUNT(*) AS BIGINT) AS n_shared_terms,
+         |    SUM(ta) AS sa, SUM(tb) AS sb,
+         |    CAST(SUM(ya) AS BIGINT) AS ya_sum,
+         |    CAST(SUM(yb) AS BIGINT) AS yb_sum
+         |  FROM terms GROUP BY src_a, src_b, na, nb),
+         |kl AS (
+         |  SELECT src_a, src_b, n_shared_terms,
+         |    (sa + (na - ya_sum) * $Ln2E6) // na AS kla_e6,
+         |    (sb + (nb - yb_sum) * $Ln2E6) // nb AS klb_e6
+         |  FROM agg)
+         |SELECT src_a, src_b, n_shared_terms,
+         |  CAST((kla_e6 + klb_e6) // 2 AS BIGINT) AS jsd_e6,
+         |  CAST((((kla_e6 + klb_e6) // 2) * 1000000) // $Ln2E6 AS BIGINT)
+         |    AS jsd_norm_e6
+         |FROM kl ORDER BY src_a, src_b""".stripMargin,
     // same (source, tok) census, rest-by-subtraction, ln-kernel delta,
     // one IEEE div/sqrt tree for z, pinned rank — DuckDB lateral
     // aliases let each stage read the previous column

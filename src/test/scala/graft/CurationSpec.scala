@@ -255,6 +255,49 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("js divergence matches a plain-Scala recompute and stays in [0, ln2]") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val census = docs
+      .flatMap { case (s, t) => t.split(" ", -1).map(tok => (s, tok)) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val totals = census.toSeq.groupBy(_._1._1).view
+      .mapValues(_.map(_._2).sum).toMap
+    val ln2 = graft.operators.Curation.Ln2E6
+    def e6(x: Double) = math.floor(x * 1e6 + 0.5).toLong
+    val srcs = totals.keys.toSeq.sorted
+    val want = (for {
+      (a, ia) <- srcs.zipWithIndex; b <- srcs.drop(ia + 1)
+    } yield {
+      val (na, nb) = (totals(a), totals(b))
+      val shared = census.keys.collect { case (`a`, t) if census.contains((b, t)) => t }.toSeq
+      val sa = shared.map { t =>
+        val (ya, yb) = (census((a, t)), census((b, t)))
+        BigInt(ya) * e6(math.log((2.0 * ya * nb) / (ya.toDouble * nb + yb.toDouble * na)))
+      }.sum
+      val sb = shared.map { t =>
+        val (ya, yb) = (census((a, t)), census((b, t)))
+        BigInt(yb) * e6(math.log((2.0 * yb * na) / (ya.toDouble * nb + yb.toDouble * na)))
+      }.sum
+      val yaSum = shared.map(t => census((a, t))).sum
+      val ybSum = shared.map(t => census((b, t))).sum
+      val kla = (sa + BigInt(na - yaSum) * ln2) / na
+      val klb = (sb + BigInt(nb - ybSum) * ln2) / nb
+      val jsd = ((kla + klb) / 2).toLong
+      (a, b) -> ((shared.size.toLong, jsd, jsd * 1000000L / ln2))
+    }).toMap
+    val got = SparkEntry.queries("q_js_divergence")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.nonEmpty)
+    assert(got == want)
+    got.values.foreach { case (_, jsd, norm) =>
+      assert(jsd >= 0 && jsd <= ln2, s"JS out of [0, ln2]: $jsd")
+      assert(norm >= 0 && norm <= 1000000L)
+    }
+  }
+
   test("logodds terms match a plain-Scala Monroe recompute cell for cell") {
     val got = Curation.logoddsTerms(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1)) ->

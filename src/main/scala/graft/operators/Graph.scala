@@ -178,9 +178,73 @@ object Graph {
       .orderBy("dist")
   }
 
+  /** HITS mutual-reinforcement rounds — unrolled identically in the
+    * oracle. */
+  private[graft] val HitsRounds = 2
+
+  /** q_hits: Kleinberg's HITS (hubs & authorities, JACM 1999) over
+    * the DIRECTED bipartite purchase graph customer → part — the
+    * mutual-reinforcement ranking PageRank can't express on a
+    * bipartite graph: an authoritative part is one bought by hub
+    * customers, a hub customer is one who buys authoritative parts
+    * (the catalog-curation / influential-buyer readout). The co-order
+    * graph is symmetric, so HITS would degenerate there; the bipartite
+    * edge set is where the two scores genuinely differ.
+    *
+    * All-integer: scores at e6, each half-round is one exact
+    * decimal(38,0) sum along edges followed by a value-normalization
+    * (score·10⁶ div max — max is a VALUE, so no tie-pinning needed,
+    * and every score lands in (0, 10⁶]). No sqrt-of-sum L2 norm: max
+    * norm is the standard power-iteration alternative and keeps the
+    * fixpoint integer-exact cross-engine.
+    *
+    * Scale shape: edges = one orders⋈lineitem equi-join de-duplicated
+    * to (cust, part); each half-round is one edge-key equi-join + a
+    * two-phase agg (shuffle ∝ edges, the Pregel reduction), with the
+    * 1-row max broadcast back; per-round localCheckpoint truncates
+    * lineage exactly as in [[pagerank]]. */
+  def hits(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_partkey")),
+        Seq("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+      .distinct()
+      .localCheckpoint() // read 2× per round + both degree tables
+    var hub = edges.select("cust").distinct()
+      .select(col("cust"), lit(1000000L).as("h"))
+    var auth = edges.select("part").distinct()
+      .select(col("part"), lit(0L).as("a")) // overwritten in round 1
+    (1 to HitsRounds).foreach { _ =>
+      val a0 = edges.join(hub, Seq("cust")).groupBy("part")
+        .agg(sum(expr("cast(h as decimal(38,0))")).as("s"))
+      auth = a0.crossJoin(broadcast(a0.agg(max("s").as("m"))))
+        .select(col("part"),
+          expr("cast((s * 1000000) div m as bigint)").as("a"))
+        .localCheckpoint()
+      val h0 = edges.join(auth, Seq("part")).groupBy("cust")
+        .agg(sum(expr("cast(a as decimal(38,0))")).as("s"))
+      hub = h0.crossJoin(broadcast(h0.agg(max("s").as("m"))))
+        .select(col("cust"),
+          expr("cast((s * 1000000) div m as bigint)").as("h"))
+        .localCheckpoint()
+    }
+    val cdeg = edges.groupBy("cust").agg(count(lit(1)).as("deg"))
+    val pdeg = edges.groupBy("part").agg(count(lit(1)).as("deg"))
+    hub.join(cdeg, Seq("cust"))
+      .select(lit("hub").as("role"), col("cust").as("node"),
+        col("deg"), col("h").as("score_e6"))
+      .unionByName(auth.join(pdeg, Seq("part"))
+        .select(lit("authority").as("role"), col("part").as("node"),
+          col("deg"), col("a").as("score_e6")))
+      .orderBy("role", "node")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> (pagerank(_, _)),
     "q_degree_dist" -> (degreeDist(_, _)),
+    "q_hits" -> (hits(_, _)),
     "q_link_predict" -> (linkPredict(_, _)),
     "q_bfs_hops" -> (bfsHops(_, _)))
 
@@ -209,8 +273,42 @@ object Graph {
        |ORDER BY node""".stripMargin
   }
 
+  /** The same [[HitsRounds]] mutual-reinforcement rounds, unrolled. */
+  private val hitsOracle: String = {
+    val rounds = (1 to HitsRounds).map { i =>
+      s"""a${i}s AS (
+         |  SELECT part, SUM(h) AS s
+         |  FROM edges JOIN h${i - 1} USING (cust) GROUP BY part),
+         |a$i AS (
+         |  SELECT part, (s * 1000000) // (SELECT MAX(s) FROM a${i}s) AS a
+         |  FROM a${i}s),
+         |h${i}s AS (
+         |  SELECT cust, SUM(a) AS s
+         |  FROM edges JOIN a$i USING (part) GROUP BY cust),
+         |h$i AS (
+         |  SELECT cust, (s * 1000000) // (SELECT MAX(s) FROM h${i}s) AS h
+         |  FROM h${i}s)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+       |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+       |h0 AS (SELECT DISTINCT cust, CAST(1000000 AS HUGEINT) AS h FROM edges),
+       |$rounds,
+       |cdeg AS (SELECT cust, CAST(COUNT(*) AS BIGINT) AS deg
+       |  FROM edges GROUP BY cust),
+       |pdeg AS (SELECT part, CAST(COUNT(*) AS BIGINT) AS deg
+       |  FROM edges GROUP BY part)
+       |SELECT 'hub' AS role, cust AS node, deg, CAST(h AS BIGINT) AS score_e6
+       |FROM h$HitsRounds JOIN cdeg USING (cust)
+       |UNION ALL
+       |SELECT 'authority' AS role, part AS node, deg, CAST(a AS BIGINT) AS score_e6
+       |FROM a$HitsRounds JOIN pdeg USING (part)
+       |ORDER BY role, node""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q_pagerank" -> pagerankOracle,
+    "q_hits" -> hitsOracle,
     // same edges/deg CTEs; bin via binary-string length (exact integer)
     "q_degree_dist" ->
       """WITH pairs AS (

@@ -2732,6 +2732,45 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("hits matches a BigInt mutual-reinforcement recompute") {
+    val edges = graft.sources.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(graft.sources.Tables.lineitem(spark, sf)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_partkey")),
+        Seq("o_orderkey"))
+      .select(col("o_custkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byCust = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val byPart = edges.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    var hub = byCust.keys.map(_ -> BigInt(1000000)).toMap
+    var auth = Map.empty[Long, BigInt]
+    (1 to graft.operators.Graph.HitsRounds).foreach { _ =>
+      val a0 = byPart.map { case (p, cs) => p -> cs.map(hub).sum }
+      val am = a0.values.max
+      auth = a0.view.mapValues(s => s * 1000000 / am).toMap
+      val h0 = byCust.map { case (c, ps) => c -> ps.map(auth).sum }
+      val hm = h0.values.max
+      hub = h0.view.mapValues(s => s * 1000000 / hm).toMap
+    }
+    val got = run("q_hits").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got.nonEmpty)
+    assert(got.keySet.count(_._1 == "hub") == byCust.size)
+    assert(got.keySet.count(_._1 == "authority") == byPart.size)
+    hub.foreach { case (c, h) =>
+      assert(got(("hub", c)) ==
+        ((byCust(c).size.toLong, h.toLong)), s"cust $c")
+    }
+    auth.foreach { case (p, a) =>
+      assert(got(("authority", p)) ==
+        ((byPart(p).size.toLong, a.toLong)), s"part $p")
+    }
+    // max-normalization pins at least one node of each role to 1e6
+    assert(got.collect { case (("hub", _), (_, s)) => s }.max == 1000000L)
+    assert(got.collect { case (("authority", _), (_, s)) => s }.max == 1000000L)
+  }
+
   test("theil_sen matches a local median-of-slopes recompute and shrugs off an outlier") {
     val pts = graft.sources.Tables.lineitem(spark, sf)
       .select(col("l_partkey"),

@@ -1787,6 +1787,66 @@ object Analytics {
       .orderBy("l_partkey")
   }
 
+  /** ln-survival sentinel for a day where the whole risk set
+    * converts: S(t) = 0, and e^(−99) ≈ 0 keeps the column integer
+    * instead of −∞ (pinned — the oracle inlines it). */
+  private[graft] val KmZeroE6 = -99000000L
+
+  /** q_kaplan_meier: the signup→purchase SURVIVAL CURVE with right
+    * censoring (Kaplan & Meier 1958) — the time-to-convert analytic
+    * q_time_to_purchase's percentiles cannot give, because users who
+    * never purchased are not missing data, they are CENSORED at their
+    * last observed day, and dropping them biases conversion speed
+    * optimistic (only converters would count). Each user contributes
+    * a duration t = (first purchase − first event) days if converted,
+    * else (last event − first event) censored. The curve is carried
+    * in LOG space so it stays integer-exact: ln S(t) =
+    * Σ_{event days ≤ t} ln((n_risk − d)/n_risk), each term one
+    * ln-kernel e6 floor, the running sum a window cumsum — a
+    * multiplicative float product would be order-dependent and
+    * engine-splitting. A day consuming its whole risk set pins to
+    * [[KmZeroE6]] instead of −∞.
+    *
+    * Scale shape: ONE per-user two-phase agg (first/purchase/last
+    * day) over the corpus scan; the life table is a second agg on the
+    * BOUNDED duration-day axis; both windows (risk-set depletion,
+    * log-survival cumsum) order that bounded axis — the blessed
+    * day-axis pattern, never a corpus-sized sort. */
+  def kaplanMeier(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val per = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        expr(s"unix_micros(ts) div $dayUs").as("day"))
+      .groupBy("user_id")
+      .agg(min("day").as("d0"),
+        min(when(col("event_type") === "purchase", col("day"))).as("dp"),
+        max("day").as("dl"))
+      .select(
+        when(col("dp").isNotNull, col("dp") - col("d0"))
+          .otherwise(col("dl") - col("d0")).as("t"),
+        col("dp").isNotNull.as("event"))
+    val byT = per.groupBy("t").agg(
+      sum(when(col("event"), 1L).otherwise(0L)).as("n_events"),
+      sum(when(!col("event"), 1L).otherwise(0L)).as("n_censored"))
+    val before = Window.orderBy("t") // bounded duration-day axis
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val upTo = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    byT
+      .crossJoin(broadcast(per.agg(count(lit(1)).as("n_total"))))
+      .withColumn("n_risk", col("n_total") - coalesce(
+        sum(col("n_events") + col("n_censored")).over(before), lit(0L)))
+      .withColumn("ln_term_e6",
+        when(col("n_events") === 0, lit(0L))
+          .when(col("n_events") === col("n_risk"), lit(KmZeroE6))
+          .otherwise(expr(
+            """cast(floor(ln((cast(n_risk as double) - n_events) / n_risk)
+              | * 1e6 + 0.5) as bigint)""".stripMargin.replace('\n', ' '))))
+      .withColumn("ln_surv_e6", sum("ln_term_e6").over(upTo))
+      .select("t", "n_risk", "n_events", "n_censored", "ln_surv_e6")
+      .orderBy("t")
+  }
+
   /** Minimum distinct price days for the Theil–Sen trend fit. */
   private[graft] val TheilSenMinDays = 5L
 
@@ -2724,6 +2784,7 @@ object Analytics {
     "q_stickiness" -> (stickiness(_, _)),
     "q_price_volatility" -> (priceVolatility(_, _)),
     "q_theil_sen" -> (theilSen(_, _)),
+    "q_kaplan_meier" -> (kaplanMeier(_, _)),
     "q_interval_coverage" -> (intervalCoverage(_, _)),
     "q_acf" -> (acf(_, _)),
     "q_assoc_rules" -> (assocRules(_, _)),
@@ -3452,6 +3513,42 @@ object Analytics {
          |FROM mau m LEFT JOIN dau ON dau.day = m.day
          |ORDER BY day""".stripMargin,
     // same pinned order, running-max peak, HUGEINT ratio arithmetic
+    // same per-user life table, risk-set depletion + log-survival as
+    // window cumsums over the bounded day axis, identical ln kernel
+    "q_kaplan_meier" ->
+      s"""WITH per AS (
+         |  SELECT user_id,
+         |    MIN(epoch_ns(ts) // 1000 // 86400000000) AS d0,
+         |    MIN(CASE WHEN event_type = 'purchase'
+         |      THEN epoch_ns(ts) // 1000 // 86400000000 END) AS dp,
+         |    MAX(epoch_ns(ts) // 1000 // 86400000000) AS dl
+         |  FROM events GROUP BY user_id),
+         |durs AS (
+         |  SELECT CASE WHEN dp IS NOT NULL THEN dp - d0 ELSE dl - d0 END AS t,
+         |    (dp IS NOT NULL) AS event
+         |  FROM per),
+         |by_t AS (
+         |  SELECT t,
+         |    CAST(SUM(CASE WHEN event THEN 1 ELSE 0 END) AS BIGINT) AS n_events,
+         |    CAST(SUM(CASE WHEN event THEN 0 ELSE 1 END) AS BIGINT) AS n_censored
+         |  FROM durs GROUP BY t),
+         |risk AS (
+         |  SELECT *,
+         |    (SELECT COUNT(*) FROM durs) - COALESCE(SUM(n_events + n_censored)
+         |      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+         |            AND 1 PRECEDING), 0) AS n_risk
+         |  FROM by_t),
+         |terms AS (
+         |  SELECT *,
+         |    CASE WHEN n_events = 0 THEN 0
+         |         WHEN n_events = n_risk THEN $KmZeroE6
+         |         ELSE CAST(floor(ln((CAST(n_risk AS DOUBLE) - n_events)
+         |           / n_risk) * 1e6 + 0.5) AS BIGINT) END AS ln_term_e6
+         |  FROM risk)
+         |SELECT t, CAST(n_risk AS BIGINT) AS n_risk, n_events, n_censored,
+         |  CAST(SUM(ln_term_e6) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+         |    PRECEDING AND CURRENT ROW) AS BIGINT) AS ln_surv_e6
+         |FROM terms ORDER BY t""".stripMargin,
     // same per-day collapse, bounded per-part pair expansion, pinned
     // middle-rank median with truncating-div even-case average
     "q_theil_sen" ->

@@ -2732,6 +2732,63 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("kaplan_meier matches a local life-table recompute and respects censoring") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def e6(x: Double) = math.floor(x * 1e6 + 0.5).toLong
+    val durs = ev.groupBy(_._1).values.map { rows =>
+      val d0 = rows.map(_._3).min
+      val dp = rows.filter(_._2 == "purchase").map(_._3).minOption
+      (dp.map(_ - d0).getOrElse(rows.map(_._3).max - d0), dp.isDefined)
+    }.toSeq
+    val byT = durs.groupBy(_._1).view.mapValues(g =>
+      (g.count(_._2).toLong, g.count(!_._2).toLong)).toMap
+    val ts = byT.keys.toSeq.sorted
+    var atRisk = durs.size.toLong
+    var lnSurv = 0L
+    val want = ts.map { t =>
+      val (d, c) = byT(t)
+      val term =
+        if (d == 0) 0L
+        else if (d == atRisk) graft.operators.Analytics.KmZeroE6
+        else e6(math.log((atRisk.toDouble - d) / atRisk))
+      lnSurv += term
+      val row = t -> ((atRisk, d, c, lnSurv))
+      atRisk -= d + c
+      row
+    }.toMap
+    val got = run("q_kaplan_meier").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == want)
+    // survival only decays, and the risk set depletes to exactly zero
+    assert(ts.map(got(_)._4).sliding(2).forall {
+      case Seq(a, b) => b <= a; case _ => true })
+    assert(ts.map(t => got(t)._2 + got(t)._3).sum == durs.size.toLong)
+
+    // censoring path: 2 users, one converts on day 1, one never does
+    // (censored at day 3) — the censored user must hold the risk set
+    // at 2 on day 1 (S(1) = 1/2), never count as an event, and the
+    // sentinel must NOT fire (the curve stays above zero)
+    val dir = java.nio.file.Files.createTempDirectory("graft-km").toString
+    import spark.implicits._
+    val dayUs = 86400000000L
+    Seq((1L, "signup", 0L), (1L, "purchase", 1L * dayUs),
+      (2L, "signup", 0L), (2L, "view", 3L * dayUs))
+      .toDF("user_id", "event_type", "us")
+      .select(col("user_id"), col("event_type"),
+        expr("timestamp_micros(us)").as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val km = graft.operators.Analytics.kaplanMeier(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(km(1L) == ((2L, 1L, 0L, e6(math.log(0.5)))))
+    assert(km(3L) == ((1L, 0L, 1L, e6(math.log(0.5)))),
+      "censored exit is not an event and leaves survival unchanged")
+  }
+
   test("hits matches a BigInt mutual-reinforcement recompute") {
     val edges = graft.sources.Tables.orders(spark, sf)
       .select(col("o_orderkey"), col("o_custkey"))

@@ -1787,6 +1787,45 @@ object Analytics {
       .orderBy("l_partkey")
   }
 
+  /** q_mann_whitney: the NONPARAMETRIC A/B test on purchase value —
+    * Mann–Whitney U between the two user-parity arms (the
+    * q_chi2_abtest split), the test to run when revenue-per-purchase
+    * is skewed and a t-test's mean is a lie. Computed RANK-FREE: the
+    * textbook method sorts the combined sample (a corpus-wide global
+    * rank — the anti-pattern), but U counts cross-arm win/tie pairs,
+    * so it reduces to the VALUE histogram: U_A = Σ_v nA(v)·cumB(<v) +
+    * nA(v)·nB(v)/2, carried as 2U to stay integer. Also reports the
+    * effect size everyone actually wants: AUC = U/(nA·nB) ∈ [0,1]
+    * (the probability a random A purchase beats a random B one), e6.
+    *
+    * Scale shape: ONE two-phase agg onto the cents histogram — the
+    * value axis is RANGE-bounded (prices live in a fixed band), so
+    * the cumulative window runs over a bounded axis, the blessed
+    * value-histogram pattern; the final reduce is a 1-row aggregate.
+    * Exact integers end-to-end (decimal(38,0) pair counts). */
+  def mannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select((col("user_id") % 2).as("variant"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy("cents")
+      .agg(sum(when(col("variant") === 0, 1L).otherwise(0L)).as("na"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("nb"))
+    val before = Window.orderBy("cents") // range-bounded cents axis
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist
+      .withColumn("cum_b", coalesce(sum("nb").over(before), lit(0L)))
+      .agg(sum("na").as("n_a"), sum("nb").as("n_b"),
+        sum(expr(
+          "cast(2 * na as decimal(38,0)) * cum_b + cast(na as decimal(38,0)) * nb"))
+          .as("u2d"))
+      .select(col("n_a"), col("n_b"),
+        col("u2d").cast("long").as("u2_a"),
+        expr("""cast(if(n_a * n_b = 0, -1,
+          (u2d * 1000000) div (2 * cast(n_a as decimal(38,0)) * n_b))
+          as bigint)""").as("auc_e6"))
+  }
+
   /** ln-survival sentinel for a day where the whole risk set
     * converts: S(t) = 0, and e^(−99) ≈ 0 keeps the column integer
     * instead of −∞ (pinned — the oracle inlines it). */
@@ -2785,6 +2824,7 @@ object Analytics {
     "q_price_volatility" -> (priceVolatility(_, _)),
     "q_theil_sen" -> (theilSen(_, _)),
     "q_kaplan_meier" -> (kaplanMeier(_, _)),
+    "q_mann_whitney" -> (mannWhitney(_, _)),
     "q_interval_coverage" -> (intervalCoverage(_, _)),
     "q_acf" -> (acf(_, _)),
     "q_assoc_rules" -> (assocRules(_, _)),
@@ -3513,6 +3553,33 @@ object Analytics {
          |FROM mau m LEFT JOIN dau ON dau.day = m.day
          |ORDER BY day""".stripMargin,
     // same pinned order, running-max peak, HUGEINT ratio arithmetic
+    // same cents histogram, cross-arm pair counting via the
+    // cumulative window, identical 2U/AUC integer arithmetic
+    "q_mann_whitney" ->
+      """WITH p AS (
+        |  SELECT user_id % 2 AS variant,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |hist AS (
+        |  SELECT cents,
+        |    CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        |  FROM p GROUP BY cents),
+        |cum AS (
+        |  SELECT *, COALESCE(SUM(nb) OVER (ORDER BY cents
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_b
+        |  FROM hist),
+        |agg AS (
+        |  SELECT CAST(SUM(na) AS BIGINT) AS n_a,
+        |    CAST(SUM(nb) AS BIGINT) AS n_b,
+        |    SUM(CAST(2 * na AS HUGEINT) * cum_b
+        |      + CAST(na AS HUGEINT) * nb) AS u2d
+        |  FROM cum)
+        |SELECT n_a, n_b, CAST(u2d AS BIGINT) AS u2_a,
+        |  CAST(CASE WHEN n_a * n_b = 0 THEN -1
+        |    ELSE (u2d * 1000000) // (2 * CAST(n_a AS HUGEINT) * n_b)
+        |    END AS BIGINT) AS auc_e6
+        |FROM agg""".stripMargin,
     // same per-user life table, risk-set depletion + log-survival as
     // window cumsums over the bounded day axis, identical ln kernel
     "q_kaplan_meier" ->

@@ -2732,6 +2732,27 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("mann_whitney equals brute-force cross-arm pair counting") {
+    val vals = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select((col("user_id") % 2).as("v"),
+        expr("cast(floor(value * 100 + 0.5) as long)").as("c")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val a = vals.filter(_._1 == 0).map(_._2)
+    val b = vals.filter(_._1 == 1).map(_._2)
+    // 2U_A = Σ_pairs 2·[x>y] + 1·[x=y] — the histogram shortcut must
+    // equal the O(n²) definition exactly
+    val u2 = (for (x <- a; y <- b)
+      yield if (x > y) 2L else if (x == y) 1L else 0L).sum
+    val row = run("q_mann_whitney").collect().head
+    assert(row.getLong(0) == a.length.toLong)
+    assert(row.getLong(1) == b.length.toLong)
+    assert(row.getLong(2) == u2)
+    assert(row.getLong(3) ==
+      BigInt(u2) * 1000000 / (2L * a.length * b.length))
+    assert(row.getLong(3) >= 0 && row.getLong(3) <= 1000000L)
+  }
+
   test("kaplan_meier matches a local life-table recompute and respects censoring") {
     val ev = graft.sources.Tables.events(spark, sf)
       .select(col("user_id"), col("event_type"),

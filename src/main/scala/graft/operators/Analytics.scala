@@ -1826,6 +1826,74 @@ object Analytics {
           as bigint)""").as("auc_e6"))
   }
 
+  /** q_logrank: the TWO-ARM survival comparison completing
+    * [[kaplanMeier]] — the log-rank test (Mantel 1966) between the
+    * user-parity arms: does variant 1 convert FASTER, accounting for
+    * censoring, not just more often (q_chi2_abtest) or at higher
+    * value (q_mann_whitney)? At each conversion day the observed arm-0
+    * conversions are compared with the hypergeometric expectation
+    * E₀ = d·n₀/n given the arms' risk sets, and χ² = (Σ(O−E))²/ΣV.
+    * Everything is div-staged integers: per-day E and V floor to e6
+    * (the products run in decimal(38,0)), the final χ² is one
+    * truncating div — deterministic cross-engine, no float sums.
+    *
+    * Scale shape: the same ONE per-user agg as [[kaplanMeier]], a
+    * life table keyed by the BOUNDED duration-day axis with per-arm
+    * depletion cumsums (the blessed day-axis windows), and a 1-row
+    * reduce. */
+  def logrank(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val per = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        expr(s"unix_micros(ts) div $dayUs").as("day"))
+      .groupBy("user_id")
+      .agg(min("day").as("d0"),
+        min(when(col("event_type") === "purchase", col("day"))).as("dp"),
+        max("day").as("dl"))
+      .select((col("user_id") % 2).as("arm"),
+        when(col("dp").isNotNull, col("dp") - col("d0"))
+          .otherwise(col("dl") - col("d0")).as("t"),
+        col("dp").isNotNull.as("event"))
+    val byT = per.groupBy("t").agg(
+      sum(when(col("event") && col("arm") === 0, 1L).otherwise(0L)).as("e0"),
+      sum(when(!col("event") && col("arm") === 0, 1L).otherwise(0L)).as("c0"),
+      sum(when(col("event") && col("arm") === 1, 1L).otherwise(0L)).as("e1"),
+      sum(when(!col("event") && col("arm") === 1, 1L).otherwise(0L)).as("c1"))
+    val totals = per.groupBy().agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("t0"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("t1"))
+    val before = Window.orderBy("t") // bounded duration-day axis
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byT
+      .crossJoin(broadcast(totals))
+      .withColumn("n0",
+        col("t0") - coalesce(sum(col("e0") + col("c0")).over(before), lit(0L)))
+      .withColumn("n1",
+        col("t1") - coalesce(sum(col("e1") + col("c1")).over(before), lit(0L)))
+      .withColumn("d", col("e0") + col("e1"))
+      .withColumn("n", col("n0") + col("n1"))
+      // per-day hypergeometric moments, e6-floored via truncating div
+      .withColumn("exp0_e6", expr(
+        "cast((cast(d as decimal(38,0)) * n0 * 1000000) div n as bigint)"))
+      .withColumn("v_e6", expr(
+        """cast(if(n <= 1, 0, (cast(d as decimal(38,0)) * n0 * n1 * (n - d)
+          | * 1000000) div (cast(n as decimal(38,0)) * n * (n - 1)))
+          | as bigint)""".stripMargin.replace('\n', ' ')))
+      .filter(col("d") > 0)
+      .agg(max("t0").as("n_arm0"), max("t1").as("n_arm1"),
+        sum("e0").as("events0"), sum("e1").as("events1"),
+        sum(expr("e0 * 1000000 - exp0_e6")).as("sum_ome_e6"),
+        sum("v_e6").as("sum_v_e6"))
+      // (Σ(O−E)·10⁶)² / (ΣV·10⁶) = χ²·10⁶ — the e6 scales compose to
+      // exactly the e6-scaled statistic, no intermediate rescale
+      .withColumn("chi2_e6", expr(
+        """cast(if(sum_v_e6 = 0, -1,
+          | (cast(sum_ome_e6 as decimal(38,0)) * sum_ome_e6)
+          | div sum_v_e6) as bigint)""".stripMargin.replace('\n', ' ')))
+      .select("n_arm0", "n_arm1", "events0", "events1",
+        "sum_ome_e6", "sum_v_e6", "chi2_e6")
+  }
+
   /** ln-survival sentinel for a day where the whole risk set
     * converts: S(t) = 0, and e^(−99) ≈ 0 keeps the column integer
     * instead of −∞ (pinned — the oracle inlines it). */
@@ -2825,6 +2893,7 @@ object Analytics {
     "q_theil_sen" -> (theilSen(_, _)),
     "q_kaplan_meier" -> (kaplanMeier(_, _)),
     "q_mann_whitney" -> (mannWhitney(_, _)),
+    "q_logrank" -> (logrank(_, _)),
     "q_interval_coverage" -> (intervalCoverage(_, _)),
     "q_acf" -> (acf(_, _)),
     "q_assoc_rules" -> (assocRules(_, _)),
@@ -3553,6 +3622,61 @@ object Analytics {
          |FROM mau m LEFT JOIN dau ON dau.day = m.day
          |ORDER BY day""".stripMargin,
     // same pinned order, running-max peak, HUGEINT ratio arithmetic
+    // same per-arm life table + depletion windows; identical
+    // div-staged hypergeometric moments and final chi-square
+    "q_logrank" ->
+      """WITH per AS (
+        |  SELECT user_id % 2 AS arm,
+        |    MIN(epoch_ns(ts) // 1000 // 86400000000) AS d0,
+        |    MIN(CASE WHEN event_type = 'purchase'
+        |      THEN epoch_ns(ts) // 1000 // 86400000000 END) AS dp,
+        |    MAX(epoch_ns(ts) // 1000 // 86400000000) AS dl
+        |  FROM events GROUP BY user_id),
+        |durs AS (
+        |  SELECT arm,
+        |    CASE WHEN dp IS NOT NULL THEN dp - d0 ELSE dl - d0 END AS t,
+        |    (dp IS NOT NULL) AS event
+        |  FROM per),
+        |by_t AS (
+        |  SELECT t,
+        |    CAST(SUM(CASE WHEN event AND arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS e0,
+        |    CAST(SUM(CASE WHEN NOT event AND arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(SUM(CASE WHEN event AND arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS e1,
+        |    CAST(SUM(CASE WHEN NOT event AND arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        |  FROM durs GROUP BY t),
+        |tot AS (
+        |  SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS t0,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS t1
+        |  FROM durs),
+        |risk AS (
+        |  SELECT by_t.*, t0, t1,
+        |    t0 - COALESCE(SUM(e0 + c0) OVER (ORDER BY t ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n0,
+        |    t1 - COALESCE(SUM(e1 + c1) OVER (ORDER BY t ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1
+        |  FROM by_t CROSS JOIN tot),
+        |m AS (
+        |  SELECT *, e0 + e1 AS d, n0 + n1 AS n,
+        |    CAST((CAST(e0 + e1 AS HUGEINT) * n0 * 1000000)
+        |      // (n0 + n1) AS BIGINT) AS exp0_e6,
+        |    CAST(CASE WHEN n0 + n1 <= 1 THEN 0
+        |      ELSE (CAST(e0 + e1 AS HUGEINT) * n0 * n1
+        |        * (n0 + n1 - e0 - e1) * 1000000)
+        |        // (CAST(n0 + n1 AS HUGEINT) * (n0 + n1) * (n0 + n1 - 1))
+        |      END AS BIGINT) AS v_e6
+        |  FROM risk),
+        |agg AS (
+        |  SELECT MAX(t0) AS n_arm0, MAX(t1) AS n_arm1,
+        |    CAST(SUM(e0) AS BIGINT) AS events0,
+        |    CAST(SUM(e1) AS BIGINT) AS events1,
+        |    CAST(SUM(e0 * 1000000 - exp0_e6) AS BIGINT) AS sum_ome_e6,
+        |    CAST(SUM(v_e6) AS BIGINT) AS sum_v_e6
+        |  FROM m WHERE d > 0)
+        |SELECT n_arm0, n_arm1, events0, events1, sum_ome_e6, sum_v_e6,
+        |  CAST(CASE WHEN sum_v_e6 = 0 THEN -1
+        |    ELSE (CAST(sum_ome_e6 AS HUGEINT) * sum_ome_e6)
+        |      // sum_v_e6 END AS BIGINT) AS chi2_e6
+        |FROM agg""".stripMargin,
     // same cents histogram, cross-arm pair counting via the
     // cumulative window, identical 2U/AUC integer arithmetic
     "q_mann_whitney" ->

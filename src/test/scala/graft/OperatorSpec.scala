@@ -2732,6 +2732,58 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("logrank matches a local hypergeometric recompute and flags a faster arm") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val durs = ev.groupBy(_._1).map { case (u, rows) =>
+      val d0 = rows.map(_._3).min
+      val dp = rows.filter(_._2 == "purchase").map(_._3).minOption
+      (u % 2, dp.map(_ - d0).getOrElse(rows.map(_._3).max - d0), dp.isDefined)
+    }.toSeq
+    val ts = durs.map(_._2).distinct.sorted
+    var (n0, n1) = (durs.count(_._1 == 0).toLong, durs.count(_._1 == 1).toLong)
+    val (t0, t1) = (n0, n1)
+    var (ome, vv) = (BigInt(0), BigInt(0))
+    ts.foreach { t =>
+      val at = durs.filter(_._2 == t)
+      val e0 = at.count(r => r._1 == 0 && r._3).toLong
+      val e1 = at.count(r => r._1 == 1 && r._3).toLong
+      val d = e0 + e1
+      val n = n0 + n1
+      if (d > 0) {
+        ome += BigInt(e0) * 1000000 - BigInt(d) * n0 * 1000000 / n
+        if (n > 1)
+          vv += BigInt(d) * n0 * n1 * (n - d) * 1000000 / (BigInt(n) * n * (n - 1))
+      }
+      n0 -= at.count(_._1 == 0); n1 -= at.count(_._1 == 1)
+    }
+    val row = run("q_logrank").collect().head
+    assert((row.getLong(0), row.getLong(1)) == ((t0, t1)))
+    assert(row.getLong(4) == ome.toLong)
+    assert(row.getLong(5) == vv.toLong)
+    assert(row.getLong(6) == (ome * ome / vv).toLong)
+
+    // a decisively faster arm 0 (converts day 1 vs day 9) must light
+    // up: chi2 far beyond the 3.84 (e6: 3.84e6) 5% critical value
+    val dir = java.nio.file.Files.createTempDirectory("graft-lr").toString
+    import spark.implicits._
+    val dayUs = 86400000000L
+    val rows = (0 until 40).flatMap { i =>
+      val u = i.toLong
+      val conv = if (u % 2 == 0) 1L else 9L
+      Seq((u, "signup", 0L), (u, "purchase", conv * dayUs))
+    }
+    rows.toDF("user_id", "event_type", "us")
+      .select(col("user_id"), col("event_type"),
+        expr("timestamp_micros(us)").as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val fast = graft.operators.Analytics.logrank(spark, dir).collect().head
+    assert(fast.getLong(6) > 3840000L,
+      s"separated arms must reject the null: chi2_e6=${fast.getLong(6)}")
+  }
+
   test("mann_whitney equals brute-force cross-arm pair counting") {
     val vals = graft.sources.Tables.events(spark, sf)
       .filter(col("event_type") === "purchase")

@@ -1826,6 +1826,69 @@ object Analytics {
           as bigint)""").as("auc_e6"))
   }
 
+  /** Bootstrap replicate count (pinned; the 2.5%/97.5% percentile
+    * ranks 2 and 63 below assume exactly 64). */
+  private[graft] val BootB = 64
+
+  /** Poisson(1) CDF breakpoints ×10⁶ for k = 0..4 — precomputed HERE
+    * and inlined as the SAME literals into both engines (exp is not
+    * correctly rounded, so neither engine may compute them). */
+  private[graft] val PoissonCdfE6: Seq[Long] = {
+    val e1 = math.exp(-1.0)
+    Seq(1.0, 2.0, 2.5, 2.6666666666666665, 2.708333333333333)
+      .map(s => math.floor(e1 * s * 1e6 + 0.5).toLong)
+  }
+
+  /** q_bootstrap_ci: a DISTRIBUTED bootstrap confidence interval for
+    * mean purchase value — the Poisson bootstrap (Chamandy et al.,
+    * Google 2012: resampling-with-replacement is impossible without
+    * global coordination, but per-(row, replicate) Poisson(1) weights
+    * are iid-correct and embarrassingly parallel). Weights are
+    * DETERMINISTIC: a salted md5 uniform per (event, replicate)
+    * inverted through the inlined Poisson CDF breakpoints, so the
+    * "randomness" is a pure function both engines reproduce
+    * bit-for-bit and the CI is hash-oracled — uncertainty
+    * quantification without sacrificing the exactness contract.
+    * CI = percentile method over the [[BootB]] replicate means
+    * (ranks 2 and 63 = 2.5%/97.5% at B=64).
+    *
+    * Scale shape: one map-side ×[[BootB]] replicate explode fused
+    * into the scan (no shuffle grows — the weight is computed
+    * in-task), ONE two-phase agg on the 64-key replicate axis, and a
+    * 64-row rank window. */
+  def bootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    val cdf = PoissonCdfE6
+    val p = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val reps = p
+      .select(col("event_id"), col("cents"),
+        explode(expr(s"sequence(0, ${BootB - 1})")).as("r"))
+      .withColumn("u", expr(
+        "cast(conv(substr(md5(concat('boot', cast(event_id as string), ':', cast(r as string))), 1, 15), 16, 10) as bigint) % 1000000"))
+      .withColumn("w",
+        when(col("u") < cdf(0), 0L).when(col("u") < cdf(1), 1L)
+          .when(col("u") < cdf(2), 2L).when(col("u") < cdf(3), 3L)
+          .when(col("u") < cdf(4), 4L).otherwise(5L))
+      .groupBy("r")
+      .agg(sum("w").as("sw"),
+        sum(expr("cast(w as decimal(38,0)) * cents")).as("swc"))
+      .withColumn("mean_r",
+        expr("cast(if(sw = 0, -1, swc div sw) as bigint)"))
+    val ranked = reps.withColumn("rk", row_number().over(
+      Window.orderBy(col("mean_r").asc, col("r").asc))) // 64 rows
+    val point = p.agg(count(lit(1)).as("n_rows"),
+      expr("sum(cents) div count(1)").as("point_cents"))
+    point
+      .crossJoin(broadcast(ranked.filter(col("rk") === 2)
+        .select(col("mean_r").as("ci_lo_cents"))))
+      .crossJoin(broadcast(ranked.filter(col("rk") === BootB - 1)
+        .select(col("mean_r").as("ci_hi_cents"))))
+      .select(col("n_rows"), lit(BootB.toLong).as("b"),
+        col("point_cents"), col("ci_lo_cents"), col("ci_hi_cents"))
+  }
+
   /** q_logrank: the TWO-ARM survival comparison completing
     * [[kaplanMeier]] — the log-rank test (Mantel 1966) between the
     * user-parity arms: does variant 1 convert FASTER, accounting for
@@ -2894,6 +2957,7 @@ object Analytics {
     "q_kaplan_meier" -> (kaplanMeier(_, _)),
     "q_mann_whitney" -> (mannWhitney(_, _)),
     "q_logrank" -> (logrank(_, _)),
+    "q_bootstrap_ci" -> (bootstrapCi(_, _)),
     "q_interval_coverage" -> (intervalCoverage(_, _)),
     "q_acf" -> (acf(_, _)),
     "q_assoc_rules" -> (assocRules(_, _)),
@@ -3622,6 +3686,41 @@ object Analytics {
          |FROM mau m LEFT JOIN dau ON dau.day = m.day
          |ORDER BY day""".stripMargin,
     // same pinned order, running-max peak, HUGEINT ratio arithmetic
+    // same salted-md5 uniforms through the same inlined Poisson CDF,
+    // same replicate means and pinned percentile ranks
+    "q_bootstrap_ci" -> {
+      val cdf = PoissonCdfE6
+      s"""WITH p AS (
+         |  SELECT event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+         |  FROM events WHERE event_type = 'purchase'),
+         |reps AS (
+         |  SELECT r, cents,
+         |    CAST(concat('0x', substr(md5('boot' || CAST(event_id AS VARCHAR)
+         |      || ':' || CAST(r AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS u
+         |  FROM p, LATERAL (SELECT unnest(generate_series(0, ${BootB - 1})) AS r)),
+         |wts AS (
+         |  SELECT r, cents,
+         |    CASE WHEN u < ${cdf(0)} THEN 0 WHEN u < ${cdf(1)} THEN 1
+         |         WHEN u < ${cdf(2)} THEN 2 WHEN u < ${cdf(3)} THEN 3
+         |         WHEN u < ${cdf(4)} THEN 4 ELSE 5 END AS w
+         |  FROM reps),
+         |means AS (
+         |  SELECT r, CASE WHEN SUM(w) = 0 THEN -1
+         |    ELSE CAST(SUM(CAST(w AS HUGEINT) * cents) // SUM(w) AS BIGINT)
+         |    END AS mean_r
+         |  FROM wts GROUP BY r),
+         |ranked AS (
+         |  SELECT mean_r, ROW_NUMBER() OVER (ORDER BY mean_r, r) AS rk
+         |  FROM means),
+         |pt AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |    CAST(SUM(cents) // COUNT(*) AS BIGINT) AS point_cents
+         |  FROM p)
+         |SELECT n_rows, CAST($BootB AS BIGINT) AS b, point_cents,
+         |  (SELECT CAST(mean_r AS BIGINT) FROM ranked WHERE rk = 2) AS ci_lo_cents,
+         |  (SELECT CAST(mean_r AS BIGINT) FROM ranked WHERE rk = ${BootB - 1}) AS ci_hi_cents
+         |FROM pt""".stripMargin
+    },
     // same per-arm life table + depletion windows; identical
     // div-staged hypergeometric moments and final chi-square
     "q_logrank" ->

@@ -2732,6 +2732,39 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("bootstrap_ci matches a local Poisson-weight recompute and brackets the mean") {
+    val p = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"),
+        expr("cast(floor(value * 100 + 0.5) as long)").as("c")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val cdf = graft.operators.Analytics.PoissonCdfE6
+    val b = graft.operators.Analytics.BootB
+    val means = (0 until b).map { r =>
+      val ws = p.map { case (id, c) =>
+        val u = java.lang.Long.parseLong(
+          md5hex(s"boot$id:$r").take(15), 16) % 1000000L
+        val w = cdf.indexWhere(u < _) match {
+          case -1 => 5L; case k => k.toLong
+        }
+        (w, w * c)
+      }
+      val sw = ws.map(_._1).sum
+      (if (sw == 0) -1L else ws.map(_._2).sum / sw, r)
+    }.sorted
+    val row = run("q_bootstrap_ci").collect().head
+    assert(row.getLong(0) == p.length.toLong)
+    assert(row.getLong(1) == b.toLong)
+    assert(row.getLong(2) == p.map(_._2).sum / p.length)
+    assert(row.getLong(3) == means(1)._1, "2.5% rank")
+    assert(row.getLong(4) == means(b - 2)._1, "97.5% rank")
+    // the interval is ordered and brackets the point estimate
+    assert(row.getLong(3) <= row.getLong(2) && row.getLong(2) <= row.getLong(4))
+  }
+
   test("logrank matches a local hypergeometric recompute and flags a faster arm") {
     val ev = graft.sources.Tables.events(spark, sf)
       .select(col("user_id"), col("event_type"),

@@ -1826,6 +1826,80 @@ object Analytics {
           as bigint)""").as("auc_e6"))
   }
 
+  /** q_cuped: variance-reduced A/B effect — CUPED (Deng, Xu, Kohavi
+    * & Walker, WSDM'13), the technique every mature experimentation
+    * platform runs: adjust each user's outcome by their PRE-period
+    * behavior (Y′ = Y − θ(X − X̄), θ = cov(X,Y)/var(X)) so
+    * between-user spend variance stops drowning the treatment signal.
+    * Pre/post split at the corpus midpoint day; X = pre-period
+    * purchase cents, Y = post-period; arms = user parity (the
+    * q_chi2_abtest split). The report: raw arm difference, θ, the
+    * CUPED-adjusted difference, and the variance-reduction factor
+    * corr²(X,Y) — how much narrower the CI got for free.
+    *
+    * Exactness: every moment is an exact integer sum (decimal(38,0)
+    * products); θ, the arm means, and corr² are div-staged e6 ratios
+    * (θ_e6 FIRST, then everything consumes θ_e6 — squaring raw
+    * covariance numerators would breach 10³⁸ at corpus scale).
+    *
+    * Scale shape: ONE per-user two-phase agg (conditional pre/post
+    * sums) over the purchase scan, then a 1-row moment reduce —
+    * nothing else. */
+  def cuped(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        expr(s"unix_micros(ts) div $dayUs").as("day"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val mid = ev.agg(expr("(min(day) + max(day) + 1) div 2").as("mid"))
+    val per = ev.crossJoin(broadcast(mid))
+      .groupBy("user_id")
+      .agg(sum(when(col("day") < col("mid"), col("cents"))
+        .otherwise(0L)).as("x"),
+        sum(when(col("day") >= col("mid"), col("cents"))
+          .otherwise(0L)).as("y"))
+      .select((col("user_id") % 2).as("arm"), col("x"), col("y"))
+    def d(c: String) = expr(s"cast($c as decimal(38,0))")
+    per
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(when(col("arm") === 0, col("x")).otherwise(0L)).as("sx0"),
+        sum(when(col("arm") === 1, col("x")).otherwise(0L)).as("sx1"),
+        sum(when(col("arm") === 0, col("y")).otherwise(0L)).as("sy0"),
+        sum(when(col("arm") === 1, col("y")).otherwise(0L)).as("sy1"),
+        sum(d("x") * col("x")).as("sxx"),
+        sum(d("y") * col("y")).as("syy"),
+        sum(d("x") * col("y")).as("sxy"))
+      .withColumn("theta_e6", expr(
+        """cast(if(n * sxx - cast(sx as decimal(38,0)) * sx = 0, 0,
+          | ((n * sxy - cast(sx as decimal(38,0)) * sy) * 1000000)
+          | div (n * sxx - cast(sx as decimal(38,0)) * sx)) as bigint)"""
+          .stripMargin.replace('\n', ' ')))
+      .withColumn("raw_diff_e6", expr(
+        """(cast(sy1 as decimal(38,0)) * 1000000) div n1
+          | - (cast(sy0 as decimal(38,0)) * 1000000) div n0"""
+          .stripMargin.replace('\n', ' ')))
+      .withColumn("x_diff_e6", expr(
+        """(cast(sx1 as decimal(38,0)) * 1000000) div n1
+          | - (cast(sx0 as decimal(38,0)) * 1000000) div n0"""
+          .stripMargin.replace('\n', ' ')))
+      .withColumn("adj_diff_e6", expr(
+        "raw_diff_e6 - (cast(theta_e6 as decimal(38,0)) * x_diff_e6) div 1000000"))
+      .withColumn("var_reduction_e6", expr(
+        """cast(if(n * syy - cast(sy as decimal(38,0)) * sy = 0, 0,
+          | (cast(theta_e6 as decimal(38,0))
+          |  * (((n * sxy - cast(sx as decimal(38,0)) * sy) * 1000000)
+          |     div (n * syy - cast(sy as decimal(38,0)) * sy)))
+          | div 1000000) as bigint)""".stripMargin.replace('\n', ' ')))
+      .select(col("n"), col("n0"), col("n1"), col("theta_e6"),
+        col("raw_diff_e6").cast("long").as("raw_diff_e6"),
+        col("adj_diff_e6").cast("long").as("adj_diff_e6"),
+        col("var_reduction_e6"))
+  }
+
   /** Bootstrap replicate count (pinned; the 2.5%/97.5% percentile
     * ranks 2 and 63 below assume exactly 64). */
   private[graft] val BootB = 64
@@ -2958,6 +3032,7 @@ object Analytics {
     "q_mann_whitney" -> (mannWhitney(_, _)),
     "q_logrank" -> (logrank(_, _)),
     "q_bootstrap_ci" -> (bootstrapCi(_, _)),
+    "q_cuped" -> (cuped(_, _)),
     "q_interval_coverage" -> (intervalCoverage(_, _)),
     "q_acf" -> (acf(_, _)),
     "q_assoc_rules" -> (assocRules(_, _)),
@@ -3686,6 +3761,51 @@ object Analytics {
          |FROM mau m LEFT JOIN dau ON dau.day = m.day
          |ORDER BY day""".stripMargin,
     // same pinned order, running-max peak, HUGEINT ratio arithmetic
+    // same midpoint split, per-user conditional sums, div-staged
+    // theta-first moment ratios in HUGEINT
+    "q_cuped" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 // 86400000000 AS day,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |mid AS (SELECT (MIN(day) + MAX(day) + 1) // 2 AS mid FROM ev),
+        |per AS (
+        |  SELECT user_id % 2 AS arm,
+        |    CAST(SUM(CASE WHEN day < mid THEN cents ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN day >= mid THEN cents ELSE 0 END) AS BIGINT) AS y
+        |  FROM ev CROSS JOIN mid GROUP BY user_id),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT) AS sx0,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS sx1,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS sy0,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS sy1,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        |    SUM(CAST(y AS HUGEINT) * y) AS syy,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy
+        |  FROM per),
+        |t AS (
+        |  SELECT *,
+        |    CASE WHEN n * sxx - CAST(sx AS HUGEINT) * sx = 0 THEN 0
+        |      ELSE ((n * sxy - CAST(sx AS HUGEINT) * sy) * 1000000)
+        |        // (n * sxx - CAST(sx AS HUGEINT) * sx) END AS theta_e6,
+        |    (CAST(sy1 AS HUGEINT) * 1000000) // n1
+        |      - (CAST(sy0 AS HUGEINT) * 1000000) // n0 AS raw_diff_e6,
+        |    (CAST(sx1 AS HUGEINT) * 1000000) // n1
+        |      - (CAST(sx0 AS HUGEINT) * 1000000) // n0 AS x_diff_e6
+        |  FROM m)
+        |SELECT n, n0, n1, CAST(theta_e6 AS BIGINT) AS theta_e6,
+        |  CAST(raw_diff_e6 AS BIGINT) AS raw_diff_e6,
+        |  CAST(raw_diff_e6 - (theta_e6 * x_diff_e6) // 1000000 AS BIGINT)
+        |    AS adj_diff_e6,
+        |  CAST(CASE WHEN n * syy - CAST(sy AS HUGEINT) * sy = 0 THEN 0
+        |    ELSE (theta_e6 * (((n * sxy - CAST(sx AS HUGEINT) * sy) * 1000000)
+        |      // (n * syy - CAST(sy AS HUGEINT) * sy))) // 1000000
+        |    END AS BIGINT) AS var_reduction_e6
+        |FROM t""".stripMargin,
     // same salted-md5 uniforms through the same inlined Poisson CDF,
     // same replicate means and pinned percentile ranks
     "q_bootstrap_ci" -> {

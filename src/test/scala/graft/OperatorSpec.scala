@@ -2732,6 +2732,48 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("cuped matches a local moment recompute with theta-first staging") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("cast(floor(value * 100 + 0.5) as long)").as("c")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val mid = (ev.map(_._2).min + ev.map(_._2).max + 1) / 2
+    val per = ev.groupBy(_._1).map { case (u, rows) =>
+      (u % 2, rows.filter(_._2 < mid).map(_._3).sum,
+        rows.filter(_._2 >= mid).map(_._3).sum)
+    }.toSeq
+    val n = BigInt(per.size)
+    val (sx, sy) = (BigInt(per.map(_._2).sum), BigInt(per.map(_._3).sum))
+    val sxx = per.map(r => BigInt(r._2) * r._2).sum
+    val syy = per.map(r => BigInt(r._3) * r._3).sum
+    val sxy = per.map(r => BigInt(r._2) * r._3).sum
+    val varX = n * sxx - sx * sx
+    val cov = n * sxy - sx * sy
+    val theta = if (varX == 0) BigInt(0) else cov * 1000000 / varX
+    def armMeanE6(vals: Seq[Long], cnt: Int) =
+      BigInt(vals.sum) * 1000000 / cnt
+    val a0 = per.filter(_._1 == 0); val a1 = per.filter(_._1 == 1)
+    val rawDiff = armMeanE6(a1.map(_._3), a1.size) -
+      armMeanE6(a0.map(_._3), a0.size)
+    val xDiff = armMeanE6(a1.map(_._2), a1.size) -
+      armMeanE6(a0.map(_._2), a0.size)
+    val adjDiff = rawDiff - theta * xDiff / 1000000
+    val varY = n * syy - sy * sy
+    val vr = if (varY == 0) BigInt(0)
+      else theta * (cov * 1000000 / varY) / 1000000
+    val row = run("q_cuped").collect().head
+    assert(row.getLong(0) == per.size.toLong)
+    assert(row.getLong(3) == theta.toLong)
+    assert(row.getLong(4) == rawDiff.toLong)
+    assert(row.getLong(5) == adjDiff.toLong)
+    assert(row.getLong(6) == vr.toLong)
+    // corr² is a proper fraction: the adjustment can only shrink
+    // variance, never inflate it
+    assert(row.getLong(6) >= 0 && row.getLong(6) <= 1000000L)
+  }
+
   test("bootstrap_ci matches a local Poisson-weight recompute and brackets the mean") {
     val p = graft.sources.Tables.events(spark, sf)
       .filter(col("event_type") === "purchase")

@@ -275,18 +275,22 @@ object Graph {
 
   /** The same [[HitsRounds]] mutual-reinforcement rounds, unrolled. */
   private val hitsOracle: String = {
+    // normalization via MAX(s) OVER () — a scalar subquery would
+    // reference each CTE level twice, and DuckDB inlines CTEs, so the
+    // plan would expand exponentially with rounds (observed as a
+    // temp-disk blowup at sf1); the window keeps every reference linear
     val rounds = (1 to HitsRounds).map { i =>
       s"""a${i}s AS (
          |  SELECT part, SUM(h) AS s
          |  FROM edges JOIN h${i - 1} USING (cust) GROUP BY part),
          |a$i AS (
-         |  SELECT part, (s * 1000000) // (SELECT MAX(s) FROM a${i}s) AS a
+         |  SELECT part, (s * 1000000) // (MAX(s) OVER ()) AS a
          |  FROM a${i}s),
          |h${i}s AS (
          |  SELECT cust, SUM(a) AS s
          |  FROM edges JOIN a$i USING (part) GROUP BY cust),
          |h$i AS (
-         |  SELECT cust, (s * 1000000) // (SELECT MAX(s) FROM h${i}s) AS h
+         |  SELECT cust, (s * 1000000) // (MAX(s) OVER ()) AS h
          |  FROM h${i}s)""".stripMargin
     }.mkString(",\n")
     s"""WITH edges AS (

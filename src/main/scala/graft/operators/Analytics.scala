@@ -1930,31 +1930,45 @@ object Analytics {
     * into the scan (no shuffle grows — the weight is computed
     * in-task), ONE two-phase agg on the 64-key replicate axis, and a
     * 64-row rank window. */
-  def bootstrapCi(spark: SparkSession, dir: String): DataFrame = {
-    val cdf = PoissonCdfE6
-    val p = Tables.events(spark, dir)
+  def bootstrapCi(spark: SparkSession, dir: String): DataFrame =
+    bootFinish(bootCensus(Tables.events(spark, dir)
       .filter(col("event_type") === "purchase")
       .select(col("event_id"),
-        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
-    val reps = p
-      .select(col("event_id"), col("cents"),
-        explode(expr(s"sequence(0, ${BootB - 1})")).as("r"))
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))))
+
+  /** The replicate census over any (event_id, cents) frame — one row
+    * per replicate with (Σw, Σw·cents), ADDITIVE across micro-batches
+    * (the weights are a pure function of (event, replicate)), so the
+    * streaming twin (q_stream_boot) upserts exactly this. Replicate
+    * −1 is the unweighted sentinel carrying the point estimate. */
+  private[graft] def bootCensus(p: DataFrame): DataFrame = {
+    val cdf = PoissonCdfE6
+    p.select(col("event_id"), col("cents"),
+        explode(expr(s"sequence(-1, ${BootB - 1})")).as("r"))
       .withColumn("u", expr(
         "cast(conv(substr(md5(concat('boot', cast(event_id as string), ':', cast(r as string))), 1, 15), 16, 10) as bigint) % 1000000"))
       .withColumn("w",
-        when(col("u") < cdf(0), 0L).when(col("u") < cdf(1), 1L)
+        when(col("r") === -1, 1L)
+          .when(col("u") < cdf(0), 0L).when(col("u") < cdf(1), 1L)
           .when(col("u") < cdf(2), 2L).when(col("u") < cdf(3), 3L)
           .when(col("u") < cdf(4), 4L).otherwise(5L))
       .groupBy("r")
       .agg(sum("w").as("sw"),
         sum(expr("cast(w as decimal(38,0)) * cents")).as("swc"))
+  }
+
+  /** The percentile finish over a converged replicate census — SHARED
+    * by batch and stream so they cannot disagree and share one
+    * oracle. */
+  private[graft] def bootFinish(census: DataFrame): DataFrame = {
+    val ranked = census.filter(col("r") >= 0)
       .withColumn("mean_r",
         expr("cast(if(sw = 0, -1, swc div sw) as bigint)"))
-    val ranked = reps.withColumn("rk", row_number().over(
-      Window.orderBy(col("mean_r").asc, col("r").asc))) // 64 rows
-    val point = p.agg(count(lit(1)).as("n_rows"),
-      expr("sum(cents) div count(1)").as("point_cents"))
-    point
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("mean_r").asc, col("r").asc))) // 64 rows
+    census.filter(col("r") === -1)
+      .select(col("sw").as("n_rows"),
+        expr("cast(swc div sw as bigint)").as("point_cents"))
       .crossJoin(broadcast(ranked.filter(col("rk") === 2)
         .select(col("mean_r").as("ci_lo_cents"))))
       .crossJoin(broadcast(ranked.filter(col("rk") === BootB - 1)

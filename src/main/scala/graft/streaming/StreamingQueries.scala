@@ -478,6 +478,43 @@ object StreamingQueries {
       .orderBy("bucket")
   }
 
+  /** q_stream_boot — uncertainty quantification AT INGEST: the
+    * Poisson-bootstrap replicate census ([[graft.operators.Analytics
+    * .bootCensus]] — per-replicate (Σw, Σw·cents), weights a pure
+    * function of (event, replicate) so the sums are ADDITIVE across
+    * micro-batches) upserts into a 65-row keyed store, and the CI
+    * finish runs batch-side over the converged census via the SHARED
+    * bootFinish — the live dashboard reads a mean WITH its interval,
+    * not a bare point; reuses the batch oracle verbatim. */
+  def streamBoot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val census = graft.operators.Analytics.bootCensus(
+      eventsStream(spark, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents")))
+    val store = new java.util.concurrent.ConcurrentHashMap[
+      Int, (Long, java.math.BigDecimal)]()
+    val q = census.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.collect().foreach { r =>
+          store.put(r.getInt(0),
+            (r.getLong(1), r.getDecimal(2)))
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    graft.operators.Analytics.bootFinish(
+      store.asScala.toSeq
+        .map { case (r, (sw, swc)) => (r, sw, BigDecimal(swc)) }
+        .toDF("r", "sw", "swc")
+        .select(col("r"), col("sw"),
+          col("swc").cast("decimal(38,0)").as("swc")))
+  }
+
   /** q_stream_quality — the Gopher quality gate AT INGEST: every
     * arriving document is scored by the published rule battery
     * (q_gopher_rules' [[graft.operators.Curation.gopherFlags]] kernel,
@@ -952,6 +989,7 @@ object StreamingQueries {
     "q_stream_decayed" -> stateful(streamDecayed),
     "q_stream_wilson" -> stateful(streamWilson),
     "q_stream_jsonl" -> stateful(streamJsonl),
+    "q_stream_boot" -> stateful(streamBoot),
     "q_stream_hll" -> stateful(streamHll))
 
   /** The streaming queries run real Structured Streaming, but over the
@@ -976,6 +1014,9 @@ object StreamingQueries {
     // the batch quarantine oracle VERBATIM — bucketCensus is shared,
     // so the converged ingest report must match cell-for-cell
     "q_stream_jsonl" -> graft.sources.JsonlLogs.oracleSql("q_parse_jsonl"),
+    // the batch bootstrap oracle VERBATIM — bootCensus + bootFinish
+    // are shared and the replicate sums are additive across batches
+    "q_stream_boot" -> graft.operators.Analytics.oracleSql("q_bootstrap_ci"),
     // the batch transition-matrix oracle VERBATIM — transFinish is
     // shared, so the converged step counts must yield the batch matrix
     "q_stream_transitions" -> graft.operators.Analytics.oracleSql("q_transitions"),

@@ -414,6 +414,15 @@ class StreamingSpec extends SparkSpec {
     assert(twoTrigger.map(_.toSeq).toSet == batch.map(_.toSeq).toSet)
   }
 
+  test("streaming bootstrap CI equals the batch interval row for row") {
+    val batch = SparkEntry.queries("q_bootstrap_ci")(spark, sf).collect()
+      .map(_.toSeq).toSet
+    val stream = SparkEntry.queries("q_stream_boot")(spark, sf).collect()
+      .map(_.toSeq).toSet
+    assert(stream.nonEmpty)
+    assert(stream == batch)
+  }
+
   test("streaming jsonl quarantine equals the batch ingest report row for row") {
     val batch = SparkEntry.queries("q_parse_jsonl")(spark, sf).collect()
       .map(_.toSeq).toSet

@@ -1826,6 +1826,41 @@ object Analytics {
           as bigint)""").as("auc_e6"))
   }
 
+  /** q_lateness: the WATERMARK-SLACK audit — before any streaming
+    * pipeline picks `withWatermark(...)`, someone must measure how
+    * late events actually arrive: per user (the stream's key), each
+    * event's event-time is compared with the running high-water mark
+    * of everything that ARRIVED before it (event_id = ingest
+    * sequence), and the out-of-order mass is reported as a log₂
+    * lateness histogram (bin −1 = in-order) with per-bin extremes.
+    * Read the top occupied bin ≈ the watermark you need; the in-order
+    * row ≈ how much state a tighter watermark would sacrifice. The
+    * exact audit behind q_stream_* watermark choices.
+    *
+    * Scale shape: ONE window partitioned by user_id (high-cardinality
+    * key, bounded rows per user) ordered by the ingest sequence —
+    * never a global sort; then a two-phase agg onto the ≤ ~40-bin
+    * histogram. Integer end-to-end (millis, exact log₂ via binary
+    * string length — the q_degree_dist rule). */
+  def lateness(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("t"))
+      .withColumn("hwm", max("t").over(w))
+      .withColumn("late_ms",
+        when(col("hwm") > col("t"), col("hwm") - col("t")).otherwise(0L))
+      .withColumn("bin",
+        when(col("late_ms") === 0, lit(-1L))
+          .otherwise((length(bin(col("late_ms"))) - 1).cast("long")))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_events"),
+        min("late_ms").as("min_late_ms"),
+        max("late_ms").as("max_late_ms"))
+      .orderBy("bin")
+  }
+
   /** q_cuped: variance-reduced A/B effect — CUPED (Deng, Xu, Kohavi
     * & Walker, WSDM'13), the technique every mature experimentation
     * platform runs: adjust each user's outcome by their PRE-period
@@ -3047,6 +3082,7 @@ object Analytics {
     "q_logrank" -> (logrank(_, _)),
     "q_bootstrap_ci" -> (bootstrapCi(_, _)),
     "q_cuped" -> (cuped(_, _)),
+    "q_lateness" -> (lateness(_, _)),
     "q_interval_coverage" -> (intervalCoverage(_, _)),
     "q_acf" -> (acf(_, _)),
     "q_assoc_rules" -> (assocRules(_, _)),
@@ -3775,6 +3811,28 @@ object Analytics {
          |FROM mau m LEFT JOIN dau ON dau.day = m.day
          |ORDER BY day""".stripMargin,
     // same pinned order, running-max peak, HUGEINT ratio arithmetic
+    // same per-user ingest-ordered high-water mark, same binary-length
+    // log2 bins (the q_degree_dist rule)
+    "q_lateness" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) // 1000000 AS t
+        |  FROM events),
+        |hw AS (
+        |  SELECT *, MAX(t) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+        |  FROM e),
+        |l AS (
+        |  SELECT CASE WHEN hwm > t THEN hwm - t ELSE 0 END AS late_ms
+        |  FROM hw),
+        |b AS (
+        |  SELECT late_ms, CASE WHEN late_ms = 0 THEN -1
+        |    ELSE length(bin(late_ms)) - 1 END AS bin
+        |  FROM l)
+        |SELECT CAST(bin AS BIGINT) AS bin,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(MIN(late_ms) AS BIGINT) AS min_late_ms,
+        |  CAST(MAX(late_ms) AS BIGINT) AS max_late_ms
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
     // same midpoint split, per-user conditional sums, div-staged
     // theta-first moment ratios in HUGEINT
     "q_cuped" ->

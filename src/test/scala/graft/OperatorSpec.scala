@@ -2732,6 +2732,45 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("lateness audit matches a local high-water-mark walk and bins late arrivals") {
+    val got = run("q_lateness").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_millis(ts)").as("t")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = ev.groupBy(_._1).values.flatMap { rows =>
+      var hwm = Long.MinValue
+      rows.sortBy(_._2).map { case (_, _, t) =>
+        val late = if (hwm > t) hwm - t else 0L
+        hwm = math.max(hwm, t)
+        late
+      }
+    }.toSeq.groupBy(l =>
+      if (l == 0) -1L else (63 - java.lang.Long.numberOfLeadingZeros(l)).toLong)
+      .map { case (b, ls) => b -> ((ls.size.toLong, ls.min, ls.max)) }
+    assert(got == want)
+    assert(got.values.map(_._1).sum == ev.length.toLong, "every event binned")
+
+    // a synthetic out-of-order stream: user 1's ingest order arrives
+    // t=0ms, 10000ms, 3000ms, 9999ms — two late events (7000ms and
+    // 1ms behind the high-water mark) land in log2 bins 12 and 0
+    val dir = java.nio.file.Files.createTempDirectory("graft-late").toString
+    import spark.implicits._
+    Seq((1L, 1L, 0L), (1L, 2L, 10000L), (1L, 3L, 3000L), (1L, 4L, 9999L))
+      .toDF("user_id", "event_id", "ms")
+      .select(col("user_id"), col("event_id"),
+        expr("timestamp_millis(ms)").as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val late = graft.operators.Analytics.lateness(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(late(-1L) == ((2L, 0L, 0L)))
+    assert(late(12L) == ((1L, 7000L, 7000L)), "7000ms late -> bin 12")
+    assert(late(0L) == ((1L, 1L, 1L)), "1ms late -> bin 0")
+  }
+
   test("cuped matches a local moment recompute with theta-first staging") {
     val ev = graft.sources.Tables.events(spark, sf)
       .filter(col("event_type") === "purchase")

@@ -1093,7 +1093,133 @@ object Curation {
         "stop_hits", "keep")
   }
 
+  // ── Differential-privacy release (q_dp_release) ────────────────────
+
+  /** Release threshold: a group's NOISY count must clear this to be
+    * published — the thresholding rule of Wilson et al. 2020
+    * ("Differentially Private SQL with Bounded User Contribution",
+    * VLDB 13): groups too small to survive their own noise are
+    * suppressed outright rather than published with junk values. */
+  private[graft] val DpTau = 5L
+
+  /** Bounded-contribution clip: a document adds at most this many
+    * tokens to its group's released total, pinning the token sum's
+    * sensitivity at [[DpClip]] (the same paper's contribution bound —
+    * without it the Laplace scale is unbounded). */
+  private[graft] val DpClip = 200L
+
+  /** The per-(source, lang) census the release is computed FROM —
+    * exact doc counts and clipped token sums. Split out because both
+    * sums are ADDITIVE across micro-batches, so the streaming twin
+    * (q_stream_dp) upserts exactly this and shares [[dpFinish]] and
+    * the batch oracle. */
+  private[graft] def dpCensus(docs: DataFrame): DataFrame =
+    docs.select(col("source"), col("lang"),
+        least(size(split(col("text"), " ")).cast("long"), lit(DpClip))
+          .as("tk"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n"), sum("tk").as("st"))
+
+  /** The Laplace mechanism + threshold over a converged census.
+    * DETERMINISTIC noise, the q_bootstrap_ci trick: a salted md5
+    * uniform u∈[0,10⁶) per (stat, group) inverted through the Laplace
+    * CDF X = −b·sgn(u−½)·ln(1−2|u−½|), the ln through the e6
+    * ln-kernel — a pure function both engines reproduce bit-for-bit,
+    * so the noisy release itself is hash-oracled. ε = 1 split evenly
+    * across the two stats → b = 2·sensitivity per stat (counts:
+    * sensitivity 1; tokens: [[DpClip]]). */
+  private[graft] def dpFinish(census: DataFrame): DataFrame =
+    census
+      .withColumn("cc", expr("cast(conv(substr(md5(concat('dpc', " +
+        "source, ':', lang)), 1, 15), 16, 10) as bigint) % 1000000 - 500000"))
+      .withColumn("ct", expr("cast(conv(substr(md5(concat('dpt', " +
+        "source, ':', lang)), 1, 15), 16, 10) as bigint) % 1000000 - 500000"))
+      .withColumn("lnc", expr("cast(floor(ln(greatest(1000000 - 2 * abs(cc), 1)" +
+        " / 1000000.0) * 1e6 + 0.5) as bigint)"))
+      .withColumn("lnt", expr("cast(floor(ln(greatest(1000000 - 2 * abs(ct), 1)" +
+        " / 1000000.0) * 1e6 + 0.5) as bigint)"))
+      .withColumn("noisy_docs", expr("cast((cast(n as decimal(38,0)) * 1000000" +
+        " - 2 * if(cc < 0, -1, 1) * lnc) div 1000000 as bigint)"))
+      .withColumn("noisy_tokens", expr(s"cast((cast(st as decimal(38,0)) * 1000000" +
+        s" - ${2 * DpClip} * if(ct < 0, -1, 1) * lnt) div 1000000 as bigint)"))
+      .filter(col("noisy_docs") >= DpTau)
+      .select("source", "lang", "noisy_docs", "noisy_tokens")
+      .orderBy("source", "lang")
+
+  /** q_dp_release: an ε-DIFFERENTIALLY-PRIVATE release of per-
+    * (source, lang) corpus statistics — the Laplace mechanism (Dwork
+    * et al. 2006) with bounded contribution and noisy-threshold
+    * suppression, the shape every public statistics release of a
+    * private corpus runs (US Census TopDown; Google's DP SQL). Counts
+    * get Laplace(2/ε) noise, clipped token sums Laplace(2·C/ε), and
+    * only groups whose NOISY count clears [[DpTau]] are published.
+    *
+    * Scale shape: one map-side clip projection fused into the scan,
+    * ONE two-phase agg ∝ sources×langs (alphabet-bounded), then noise
+    * as a pure per-group function and the threshold filter — nothing
+    * after the agg touches corpus-sized data. */
+  def dpRelease(spark: SparkSession, dir: String): DataFrame =
+    dpFinish(dpCensus(Tables.documents(spark, dir)))
+
+  // ── k-anonymity generalization audit (q_kanon_audit) ───────────────
+
+  /** Anonymity threshold k: a quasi-identifier group is releasable
+    * only at ≥ k members (Sweeney 2002). */
+  private[graft] val KanonK = 5L
+
+  /** q_kanon_audit: the k-ANONYMITY generalization-ladder audit over
+    * the customer quasi-identifiers (nation, market segment, account-
+    * balance bucket) — Samarati/Sweeney global recoding: walk a
+    * monotone coarsening ladder (L0 $100 balance buckets → L1 $1000 →
+    * L2 drop balance → L3 drop segment → L4 single group) and report,
+    * per level, how many rows sit in sub-k groups (must-suppress
+    * mass) and which level FIRST brings that mass within the 5 %
+    * residual-risk budget — the audit a release pipeline runs before
+    * publishing any user-keyed cut (the privacy sibling of
+    * [[dpRelease]]'s noisy path).
+    *
+    * Each level is a strict coarsening of the previous (merging
+    * groups can only move mass from sub-k to ≥ k), so
+    * suppressed_rows is non-increasing down the table — asserted by
+    * the spec.
+    *
+    * Scale shape: ONE corpus scan → two-phase agg ∝ distinct QI
+    * combos (the checkpointed census); the five level audits
+    * re-aggregate the census, not the corpus; the chosen-level pick
+    * is a 1-row broadcast. */
+  def kanonAudit(spark: SparkSession, dir: String): DataFrame = {
+    val c0 = Tables.customer(spark, dir)
+      .select(col("c_nationkey").cast("long").as("nat"),
+        col("c_mktsegment").as("seg"),
+        expr("cast(floor(c_acctbal * 100 + 0.5) as bigint) div 10000").as("b"))
+      .groupBy("nat", "seg", "b").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // QI census; all five levels re-aggregate it
+    def audit(level: Int, grouped: DataFrame): DataFrame =
+      grouped.agg(
+        count(lit(1)).as("n_groups"),
+        sum(when(col("cnt") >= KanonK, col("cnt")).otherwise(0L)).as("released_rows"),
+        sum(when(col("cnt") < KanonK, col("cnt")).otherwise(0L)).as("suppressed_rows"))
+        .select(lit(level.toLong).as("level"), col("n_groups"),
+          col("released_rows"), col("suppressed_rows"))
+    val lv = audit(0, c0)
+      .unionByName(audit(1, c0.groupBy(col("nat"), col("seg"),
+        expr("b div 10").as("b1")).agg(sum("cnt").as("cnt"))))
+      .unionByName(audit(2, c0.groupBy("nat", "seg").agg(sum("cnt").as("cnt"))))
+      .unionByName(audit(3, c0.groupBy("nat").agg(sum("cnt").as("cnt"))))
+      .unionByName(audit(4, c0.groupBy().agg(sum("cnt").as("cnt"))))
+    val chosen = lv
+      .filter(col("suppressed_rows") * 20 <= col("released_rows") + col("suppressed_rows"))
+      .agg(min("level").as("chosen_level"))
+    lv.crossJoin(broadcast(chosen))
+      .select(col("level"), col("n_groups"), col("released_rows"),
+        col("suppressed_rows"),
+        when(col("level") === col("chosen_level"), 1L).otherwise(0L).as("chosen"))
+      .orderBy("level")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dp_release" -> (dpRelease(_, _)),
+    "q_kanon_audit" -> (kanonAudit(_, _)),
     "q_gopher_rules" -> (gopherRules(_, _)),
     "q_logodds_terms" -> (logoddsTerms(_, _)),
     "q_js_divergence" -> (jsDivergence(_, _)),
@@ -1139,6 +1265,64 @@ object Curation {
       |GROUP BY doc_id, lang""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same salted-md5 uniforms through the same Laplace inverse-CDF
+    // ln-kernel, same clip/threshold literals
+    "q_dp_release" ->
+      s"""WITH g AS (
+         |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(LEAST(len(string_split(text, ' ')), ${DpClip})) AS BIGINT) AS st
+         |  FROM documents GROUP BY source, lang),
+         |u AS (
+         |  SELECT *,
+         |    CAST(concat('0x', substr(md5('dpc' || source || ':' || lang), 1, 15)) AS BIGINT) % 1000000 - 500000 AS cc,
+         |    CAST(concat('0x', substr(md5('dpt' || source || ':' || lang), 1, 15)) AS BIGINT) % 1000000 - 500000 AS ct
+         |  FROM g),
+         |k AS (
+         |  SELECT *,
+         |    CAST(floor(ln(GREATEST(1000000 - 2 * abs(cc), 1) / 1000000.0) * 1e6 + 0.5) AS BIGINT) AS lnc,
+         |    CAST(floor(ln(GREATEST(1000000 - 2 * abs(ct), 1) / 1000000.0) * 1e6 + 0.5) AS BIGINT) AS lnt
+         |  FROM u),
+         |r AS (
+         |  SELECT source, lang,
+         |    CAST((CAST(n AS HUGEINT) * 1000000
+         |      - 2 * (CASE WHEN cc < 0 THEN -1 ELSE 1 END) * lnc) // 1000000 AS BIGINT) AS noisy_docs,
+         |    CAST((CAST(st AS HUGEINT) * 1000000
+         |      - ${2 * DpClip} * (CASE WHEN ct < 0 THEN -1 ELSE 1 END) * lnt) // 1000000 AS BIGINT) AS noisy_tokens
+         |  FROM k)
+         |SELECT source, lang, noisy_docs, noisy_tokens FROM r
+         |WHERE noisy_docs >= $DpTau ORDER BY source, lang""".stripMargin,
+    // same QI census, same monotone ladder, same 5 % budget pick
+    "q_kanon_audit" ->
+      s"""WITH c0 AS (
+         |  SELECT CAST(c_nationkey AS BIGINT) AS nat, c_mktsegment AS seg,
+         |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) // 10000 AS b,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM customer GROUP BY 1, 2, 3),
+         |l1 AS (SELECT nat, seg, b // 10 AS b1, CAST(SUM(cnt) AS BIGINT) AS cnt FROM c0 GROUP BY 1, 2, 3),
+         |l2 AS (SELECT nat, seg, CAST(SUM(cnt) AS BIGINT) AS cnt FROM c0 GROUP BY 1, 2),
+         |l3 AS (SELECT nat, CAST(SUM(cnt) AS BIGINT) AS cnt FROM c0 GROUP BY 1),
+         |l4 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS cnt FROM c0),
+         |lv AS (
+         |  SELECT CAST(0 AS BIGINT) AS level, CAST(COUNT(*) AS BIGINT) AS n_groups,
+         |    CAST(SUM(CASE WHEN cnt >= $KanonK THEN cnt ELSE 0 END) AS BIGINT) AS released_rows,
+         |    CAST(SUM(CASE WHEN cnt < $KanonK THEN cnt ELSE 0 END) AS BIGINT) AS suppressed_rows FROM c0
+         |  UNION ALL SELECT CAST(1 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+         |    CAST(SUM(CASE WHEN cnt >= $KanonK THEN cnt ELSE 0 END) AS BIGINT),
+         |    CAST(SUM(CASE WHEN cnt < $KanonK THEN cnt ELSE 0 END) AS BIGINT) FROM l1
+         |  UNION ALL SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+         |    CAST(SUM(CASE WHEN cnt >= $KanonK THEN cnt ELSE 0 END) AS BIGINT),
+         |    CAST(SUM(CASE WHEN cnt < $KanonK THEN cnt ELSE 0 END) AS BIGINT) FROM l2
+         |  UNION ALL SELECT CAST(3 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+         |    CAST(SUM(CASE WHEN cnt >= $KanonK THEN cnt ELSE 0 END) AS BIGINT),
+         |    CAST(SUM(CASE WHEN cnt < $KanonK THEN cnt ELSE 0 END) AS BIGINT) FROM l3
+         |  UNION ALL SELECT CAST(4 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+         |    CAST(SUM(CASE WHEN cnt >= $KanonK THEN cnt ELSE 0 END) AS BIGINT),
+         |    CAST(SUM(CASE WHEN cnt < $KanonK THEN cnt ELSE 0 END) AS BIGINT) FROM l4),
+         |ch AS (SELECT MIN(level) AS chosen_level FROM lv
+         |  WHERE suppressed_rows * 20 <= released_rows + suppressed_rows)
+         |SELECT level, n_groups, released_rows, suppressed_rows,
+         |  CAST(CASE WHEN level = chosen_level THEN 1 ELSE 0 END AS BIGINT) AS chosen
+         |FROM lv, ch ORDER BY level""".stripMargin,
     // same single-scan rule battery; every ratio the same truncating
     // integer div; distinct-stop membership per literal stop word
     "q_gopher_rules" -> {

@@ -515,6 +515,39 @@ object StreamingQueries {
           col("swc").cast("decimal(38,0)").as("swc")))
   }
 
+  /** q_stream_dp — the DP release census AT INGEST: the per-(source,
+    * lang) exact counters ([[graft.operators.Curation.dpCensus]] —
+    * doc counts + clipped token sums, both ADDITIVE across
+    * micro-batches) upsert into an alphabet-bounded keyed store, and
+    * the Laplace + threshold finish runs batch-side over the
+    * converged census via the SHARED
+    * [[graft.operators.Curation.dpFinish]] — the published
+    * statistics stay ε-DP while the corpus streams in (noise is a
+    * pure per-group function, so WHEN the release is cut doesn't
+    * change it); reuses the batch oracle verbatim. */
+  def streamDp(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val census = graft.operators.Curation.dpCensus(
+      tableStream(spark, dir, "documents").select("source", "lang", "text"))
+    val store = new java.util.concurrent.ConcurrentHashMap[
+      (String, String), (Long, Long)]()
+    val q = census.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.collect().foreach { r =>
+          store.put((r.getString(0), r.getString(1)),
+            (r.getLong(2), r.getLong(3)))
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    graft.operators.Curation.dpFinish(
+      store.asScala.toSeq.map { case ((s, l), (n, st)) => (s, l, n, st) }
+        .toDF("source", "lang", "n", "st"))
+  }
+
   /** q_stream_quality — the Gopher quality gate AT INGEST: every
     * arriving document is scored by the published rule battery
     * (q_gopher_rules' [[graft.operators.Curation.gopherFlags]] kernel,
@@ -990,6 +1023,7 @@ object StreamingQueries {
     "q_stream_wilson" -> stateful(streamWilson),
     "q_stream_jsonl" -> stateful(streamJsonl),
     "q_stream_boot" -> stateful(streamBoot),
+    "q_stream_dp" -> stateful(streamDp),
     "q_stream_hll" -> stateful(streamHll))
 
   /** The streaming queries run real Structured Streaming, but over the
@@ -1017,6 +1051,9 @@ object StreamingQueries {
     // the batch bootstrap oracle VERBATIM — bootCensus + bootFinish
     // are shared and the replicate sums are additive across batches
     "q_stream_boot" -> graft.operators.Analytics.oracleSql("q_bootstrap_ci"),
+    // the batch DP-release oracle VERBATIM — dpCensus + dpFinish are
+    // shared and the census counters are additive across batches
+    "q_stream_dp" -> graft.operators.Curation.oracleSql("q_dp_release"),
     // the batch transition-matrix oracle VERBATIM — transFinish is
     // shared, so the converged step counts must yield the batch matrix
     "q_stream_transitions" -> graft.operators.Analytics.oracleSql("q_transitions"),

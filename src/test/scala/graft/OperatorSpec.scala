@@ -3589,6 +3589,70 @@ class OperatorSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("dp_release matches a local Laplace-inverse recompute and suppresses sub-threshold groups") {
+    def u(salt: String, s: String, l: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$salt$s:$l".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 1000000L - 500000L
+    }
+    def lap(c: Long, b: Long): Long = {
+      val num = math.max(1000000L - 2L * math.abs(c), 1L)
+      val lnk = math.floor(math.log(num / 1000000.0) * 1e6 + 0.5).toLong
+      -b * (if (c < 0) -1L else 1L) * lnk
+    }
+    val C = graft.operators.Curation.DpClip
+    val tau = graft.operators.Curation.DpTau
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("source", "lang", "text").collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        math.min(r.getString(2).split(" ", -1).length.toLong, C))).toSeq
+    val groups = docs.groupBy(_._1).toSeq
+    val exp = groups.flatMap { case ((s, l), rows) =>
+      val n = rows.length.toLong
+      val st = rows.map(_._2).sum
+      val nd = (BigInt(n) * 1000000 + lap(u("dpc", s, l), 2)) / 1000000
+      val nt = (BigInt(st) * 1000000 + lap(u("dpt", s, l), 2 * C)) / 1000000
+      if (nd >= tau) Some((s, l, nd.toLong, nt.toLong)) else None
+    }.toSet
+    val got = run("q_dp_release").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == exp)
+    assert(got.forall(_._3 >= tau))
+    assert(got.size < groups.size, "expected at least one suppressed group")
+  }
+
+  test("kanon_audit ladder is monotone and matches a local census recompute") {
+    val k = graft.operators.Curation.KanonK
+    val rows = graft.sources.Tables.customer(spark, sf)
+      .select(col("c_nationkey").cast("long"), col("c_mktsegment"), col("c_acctbal"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        math.floor(r.getDouble(2) * 100 + 0.5).toLong / 10000)).toSeq
+    def audit(key: ((Long, String, Long)) => Any): (Long, Long, Long) = {
+      val sizes = rows.groupBy(key).toSeq.map(_._2.length.toLong)
+      (sizes.size.toLong, sizes.filter(_ >= k).sum, sizes.filter(_ < k).sum)
+    }
+    val keys = Seq[((Long, String, Long)) => Any](
+      identity, t => (t._1, t._2, t._3 / 10), t => (t._1, t._2),
+      t => t._1, _ => 0)
+    val exp = keys.zipWithIndex.map { case (f, i) =>
+      val (g, rel, sup) = audit(f)
+      (i.toLong, g, rel, sup)
+    }
+    val total = rows.length.toLong
+    val chosenLevel = exp.filter(e => e._4 * 20 <= total).map(_._1).min
+    val got = run("q_kanon_audit").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got.map(r => (r._1, r._2, r._3, r._4)) == exp)
+    // merging groups can only move mass out of the sub-k pool
+    assert(got.map(_._4) == got.map(_._4).sorted.reverse)
+    assert(got.filter(_._5 == 1L).map(_._1) == Seq(chosenLevel))
+    got.foreach(r => assert(r._3 + r._4 == total, s"level ${r._1} mass"))
+  }
+
   test("TopKByAvgTFIDF selects buckets and appends the location feature") {
     import spark.implicits._
     val ds = (0 until 200).map { i =>

@@ -423,6 +423,15 @@ class StreamingSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("streaming dp census equals the batch release row for row") {
+    val batch = SparkEntry.queries("q_dp_release")(spark, sf).collect()
+      .map(_.toSeq).toSet
+    val stream = SparkEntry.queries("q_stream_dp")(spark, sf).collect()
+      .map(_.toSeq).toSet
+    assert(stream.nonEmpty)
+    assert(stream == batch)
+  }
+
   test("streaming jsonl quarantine equals the batch ingest report row for row") {
     val batch = SparkEntry.queries("q_parse_jsonl")(spark, sf).collect()
       .map(_.toSeq).toSet

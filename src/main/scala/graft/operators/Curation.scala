@@ -1161,6 +1161,54 @@ object Curation {
   def dpRelease(spark: SparkSession, dir: String): DataFrame =
     dpFinish(dpCensus(Tables.documents(spark, dir)))
 
+  // ── Budget-capped mixture plan (q_mixture_cap) ─────────────────────
+
+  /** q_mixture_cap: the WATER-FILLING mixture plan — given a training
+    * token budget T (half the corpus here), cap every source at the
+    * single level c* such that Σ min(tokens_i, c*) fills T: small
+    * sources keep everything, large sources are cut to the common
+    * cap. This is the max-min-fair allocation (the classic
+    * water-filling solution) and the standard way a mixture is
+    * rebalanced when one crawl dominates the corpus — the planning
+    * sibling of [[mixtureSample]]'s executed per-doc sampling.
+    *
+    * The cap has a closed form over the sources sorted ascending by
+    * size: at the first position i where pre_i + (k−i+1)·t_i ≥ T,
+    * c* = (T − pre_i) div (k−i+1) — so the whole plan is one sorted
+    * prefix-sum walk, no iteration. All integers; the e6 share runs
+    * in decimal(38,0) (10¹³ tokens × 10⁶ breaches bigint).
+    *
+    * Scale shape: ONE two-phase (source) agg over the scan; the
+    * ranked prefix walk, segment pick, and cap are windows/reduces
+    * over the CATALOG-BOUNDED source axis (the blessed bounded-axis
+    * global window); the 1-row cap broadcasts back. */
+  def mixtureCap(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(spark, dir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n"))
+      .groupBy("source").agg(sum("n").as("n_tokens"))
+      .localCheckpoint() // source axis; reused by walk + final join
+    val kT = t.agg(count(lit(1)).as("k"),
+      expr("sum(n_tokens) div 2").as("t_budget"))
+    val w = Window.orderBy(col("n_tokens").asc, col("source").asc)
+    val seg = t
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("pre", coalesce(sum("n_tokens").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .crossJoin(broadcast(kT))
+    val i0 = seg
+      .filter(col("pre") + (col("k") - col("i") + 1) * col("n_tokens") >= col("t_budget"))
+      .agg(min("i").as("i0"))
+    val cap = seg.crossJoin(broadcast(i0)).filter(col("i") === col("i0"))
+      .select(expr("(t_budget - pre) div (k - i + 1)").as("cap_tokens"),
+        col("t_budget"))
+    t.crossJoin(broadcast(cap))
+      .select(col("source"), col("n_tokens"), col("cap_tokens"),
+        least(col("n_tokens"), col("cap_tokens")).as("alloc_tokens"),
+        expr("cast((cast(least(n_tokens, cap_tokens) as decimal(38,0)) * 1000000)" +
+          " div t_budget as bigint)").as("share_e6"))
+      .orderBy("source")
+  }
+
   // ── k-anonymity generalization audit (q_kanon_audit) ───────────────
 
   /** Anonymity threshold k: a quasi-identifier group is releasable
@@ -1220,6 +1268,7 @@ object Curation {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dp_release" -> (dpRelease(_, _)),
     "q_kanon_audit" -> (kanonAudit(_, _)),
+    "q_mixture_cap" -> (mixtureCap(_, _)),
     "q_gopher_rules" -> (gopherRules(_, _)),
     "q_logodds_terms" -> (logoddsTerms(_, _)),
     "q_js_divergence" -> (jsDivergence(_, _)),
@@ -1291,6 +1340,32 @@ object Curation {
          |  FROM k)
          |SELECT source, lang, noisy_docs, noisy_tokens FROM r
          |WHERE noisy_docs >= $DpTau ORDER BY source, lang""".stripMargin,
+    // same sorted prefix walk, same closed-form segment pick, same
+    // HUGEINT e6 share
+    "q_mixture_cap" ->
+      """WITH t AS (
+        |  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |kt AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |  CAST(SUM(n_tokens) AS BIGINT) // 2 AS t_budget FROM t),
+        |o AS (
+        |  SELECT source, n_tokens,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY n_tokens, source) AS BIGINT) AS i,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY n_tokens, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pre
+        |  FROM t),
+        |seg AS (SELECT o.*, kt.k, kt.t_budget FROM o CROSS JOIN kt),
+        |i0 AS (SELECT MIN(i) AS i0 FROM seg
+        |  WHERE pre + (k - i + 1) * n_tokens >= t_budget),
+        |cap AS (
+        |  SELECT CAST((t_budget - pre) // (k - i + 1) AS BIGINT) AS cap_tokens,
+        |    t_budget
+        |  FROM seg, i0 WHERE i = i0.i0)
+        |SELECT source, n_tokens, cap.cap_tokens,
+        |  CAST(LEAST(n_tokens, cap.cap_tokens) AS BIGINT) AS alloc_tokens,
+        |  CAST(CAST(LEAST(n_tokens, cap.cap_tokens) AS HUGEINT) * 1000000
+        |    // t_budget AS BIGINT) AS share_e6
+        |FROM t, cap ORDER BY source""".stripMargin,
     // same QI census, same monotone ladder, same 5 % budget pick
     "q_kanon_audit" ->
       s"""WITH c0 AS (

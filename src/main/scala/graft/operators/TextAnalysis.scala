@@ -1246,6 +1246,58 @@ object TextAnalysis {
   /** Reliability-diagram bin count for q_calibration. */
   private[graft] val CalibBins = 10L
 
+  /** The top-2 margin table over [[nbScores]] — per held-out doc the
+    * predicted language, top-1−top-2 log-score margin, and
+    * correctness bit. SHARED by [[calibration]] (reliability bins)
+    * and [[labelErrors]] (confident-disagreement mining) so both
+    * audit exactly the deployed scorer. */
+  private[graft] def nbMargins(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = nbScores(spark, dir)
+      .withColumn("rn", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(col("score_e3").desc, col("model_lang").asc)))
+      .filter(col("rn") <= 2)
+    ranked.groupBy("doc_id", "actual")
+      .agg(
+        max(when(col("rn") === 1, col("model_lang"))).as("predicted"),
+        max(when(col("rn") === 1, col("score_e3"))).as("s1"),
+        max(when(col("rn") === 2, col("score_e3"))).as("s2"))
+      .withColumn("margin_e3", col("s1") - col("s2"))
+      .withColumn("ok", when(col("predicted") === col("actual"), 1L)
+        .otherwise(0L))
+  }
+
+  /** Label-error candidates kept on the review board. */
+  private[graft] val LabelErrK = 20
+
+  /** q_label_errors: confident-learning label-error mining (Northcutt
+    * et al. 2021, "Confident Learning", JAIR 70) reduced to its
+    * ranking core — held-out docs where the trained NB classifier
+    * DISAGREES with the stored label, ranked by the top-1−top-2
+    * log-score margin: a high margin on a disagreement means the
+    * model is confident the LABEL is wrong, which is exactly the
+    * review queue a curation team works through before training on
+    * the labels. Reuses the deployed scorer verbatim
+    * ([[nbScores]] via [[nbMargins]]), so the mined errors are the
+    * deployed model's opinion, not a sidecar's.
+    *
+    * Scale shape: everything up to the margin table is [[nbScores]]'
+    * audited shape; the disagreement filter then cuts to candidates
+    * and the top-[[LabelErrK]] board is TakeOrderedAndProject
+    * (per-partition heap + driver merge — never a global sort); the
+    * rank stamp is a window over the ≤ K board rows only. */
+  def labelErrors(spark: SparkSession, dir: String): DataFrame = {
+    val board = nbMargins(spark, dir)
+      .filter(col("predicted") =!= col("actual"))
+      .select("doc_id", "actual", "predicted", "margin_e3")
+      .orderBy(col("margin_e3").desc, col("doc_id").asc)
+      .limit(LabelErrK)
+    board
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("margin_e3").desc, col("doc_id").asc)).cast("long"))
+      .select("rank", "doc_id", "actual", "predicted", "margin_e3")
+      .orderBy("rank")
+  }
+
   /** q_calibration: the reliability audit of the NB language
     * classifier — is its CONFIDENCE trustworthy, not just its argmax?
     * Confidence is the top-1 − top-2 log-score MARGIN (an exact e3
@@ -1265,18 +1317,7 @@ object TextAnalysis {
     * exactly so the corpus never orders by margin); the bin table is
     * a [[CalibBins]]-row two-phase agg. */
   def calibration(spark: SparkSession, dir: String): DataFrame = {
-    val ranked = nbScores(spark, dir)
-      .withColumn("rn", row_number().over(Window.partitionBy("doc_id")
-        .orderBy(col("score_e3").desc, col("model_lang").asc)))
-      .filter(col("rn") <= 2)
-    val top = ranked.groupBy("doc_id", "actual")
-      .agg(
-        max(when(col("rn") === 1, col("model_lang"))).as("predicted"),
-        max(when(col("rn") === 1, col("score_e3"))).as("s1"),
-        max(when(col("rn") === 2, col("score_e3"))).as("s2"))
-      .withColumn("margin_e3", col("s1") - col("s2"))
-      .withColumn("ok", when(col("predicted") === col("actual"), 1L)
-        .otherwise(0L))
+    val top = nbMargins(spark, dir)
     val edges = top.agg(min("margin_e3").as("lo"), max("margin_e3").as("hi"))
     top.crossJoin(broadcast(edges))
       // margin − lo ≥ 0, so truncating div = floor; hi lands in the
@@ -1297,6 +1338,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_nb_langid" -> (nbLangid(_, _)),
     "q_calibration" -> (calibration(_, _)),
+    "q_label_errors" -> (labelErrors(_, _)),
     "q_readability" -> (readability(_, _)),
     "q_heaps_growth" -> (heapsGrowth(_, _)),
     "q_pmi" -> (pmi(_, _)),
@@ -1462,6 +1504,29 @@ object TextAnalysis {
         |  CAST(MAX(margin_e3) AS BIGINT) AS margin_hi_e3,
         |  CAST(SUM(margin_e3) // COUNT(*) AS BIGINT) AS mean_margin_e3
         |FROM binned GROUP BY bin ORDER BY bin""".stripMargin,
+    // same scorer chain + top-2 margin; same disagreement filter and
+    // pinned (margin DESC, doc_id) board cut
+    "q_label_errors" ->
+      s"""$NbScoresOracleCore,
+        |rk AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY score_e3 DESC, model_lang) AS rn
+        |  FROM scored),
+        |top AS (
+        |  SELECT doc_id, actual,
+        |    max(CASE WHEN rn = 1 THEN model_lang END) AS predicted,
+        |    max(CASE WHEN rn = 1 THEN score_e3 END) AS s1,
+        |    max(CASE WHEN rn = 2 THEN score_e3 END) AS s2
+        |  FROM rk WHERE rn <= 2 GROUP BY doc_id, actual),
+        |board AS (
+        |  SELECT doc_id, actual, predicted,
+        |    CAST(s1 - s2 AS BIGINT) AS margin_e3
+        |  FROM top WHERE predicted <> actual
+        |  ORDER BY margin_e3 DESC, doc_id LIMIT $LabelErrK)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY margin_e3 DESC, doc_id)
+        |    AS BIGINT) AS rank,
+        |  doc_id, actual, predicted, margin_e3
+        |FROM board ORDER BY rank""".stripMargin,
     // len(regexp_extract_all) ≡ regexp_count; same per-doc e3 grade,
     // div-of-sums group ratios, HUGEINT for the scale-ups
     "q_readability" ->

@@ -3653,6 +3653,70 @@ class OperatorSpec extends SparkSpec {
     got.foreach(r => assert(r._3 + r._4 == total, s"level ${r._1} mass"))
   }
 
+  test("label_errors is the confident-disagreement board of the shared scorer") {
+    // same local NB as the calibration spec, kept to the ranked tail
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ", -1).toSeq))
+    val train = docs.filter(_._1 % 2 == 0)
+    val counts = train.flatMap { case (_, l, ts) => ts.map((l, _)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tot = counts.toSeq.groupBy(_._1._1).view
+      .mapValues(_.map(_._2).sum).toMap
+    val v = counts.keySet.map(_._2).size.toLong
+    val nd = train.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = train.length.toLong
+    val langs = nd.keys.toSeq.sorted
+    def e3(x: Double) = math.floor(x * 1e3 + 0.5).toLong
+    val prior = langs.map(l => l -> e3(math.log(nd(l).toDouble / n))).toMap
+    val dflt = langs.map(l => l -> e3(math.log(1.0 / (tot(l) + v)))).toMap
+    val want = docs.filter(_._1 % 2 == 1).map { case (id, actual, ts) =>
+      val ranked = langs.map { l =>
+        val s = ts.map(t => counts.get((l, t))
+          .map(c => e3(math.log((c + 1).toDouble / (tot(l) + v))))
+          .getOrElse(dflt(l))).sum + prior(l)
+        (l, s)
+      }.sortBy { case (l, s) => (-s, l) }
+      (id, actual, ranked.head._1, ranked.head._2 - ranked(1)._2)
+    }.filter(r => r._3 != r._2)
+      .sortBy(r => (-r._4, r._1))
+      .take(graft.operators.TextAnalysis.LabelErrK)
+      .zipWithIndex
+      .map { case ((id, a, p, m), i) => (i + 1L, id, a, p, m) }
+    val got = run("q_label_errors").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getLong(4))).toSeq
+    assert(got == want.toSeq)
+    assert(got.nonEmpty && got.forall(r => r._3 != r._4))
+  }
+
+  test("mixture_cap is the water-filling allocation of half the corpus") {
+    val toks = graft.sources.Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1).length.toLong))
+      .toSeq
+    val t = toks.groupBy(_._1).toSeq
+      .map { case (s, rs) => (s, rs.map(_._2).sum) }
+    val budget = t.map(_._2).sum / 2
+    val k = t.size.toLong
+    val ordered = t.sortBy { case (s, n) => (n, s) }
+    val pres = ordered.scanLeft(0L)(_ + _._2).init
+    val i0 = ordered.zip(pres).zipWithIndex
+      .indexWhere { case (((_, n), pre), i) => pre + (k - i) * n >= budget }
+    val cap = (budget - pres(i0)) / (k - i0)
+    val want = t.map { case (s, n) =>
+      val alloc = math.min(n, cap)
+      (s, n, cap, alloc, (BigInt(alloc) * 1000000 / budget).toLong)
+    }.sortBy(_._1)
+    val got = run("q_mixture_cap").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == want)
+    // the realized plan fills the budget to within one token per source
+    val realized = want.map(_._4).sum
+    assert(realized <= budget && budget - realized < k)
+  }
+
   test("TopKByAvgTFIDF selects buckets and appends the location feature") {
     import spark.implicits._
     val ds = (0 until 200).map { i =>

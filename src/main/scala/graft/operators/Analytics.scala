@@ -3052,7 +3052,146 @@ object Analytics {
       .orderBy("nation")
   }
 
+  /** q_gap_fill: the time-series GAP-FILL imputation audit — per
+    * part, the monthly price series is completed over its own
+    * min..max month axis and holes are filled by LOCF (last
+    * observation carried forward, the imputation every rolling
+    * statistic / as-of join silently assumes): per part the audit
+    * reports axis length, observed vs imputed months, the LONGEST
+    * imputation run (how stale the carried value got — the number a
+    * data-quality SLA is written against), and the carried final
+    * price. The longest run needs no gaps-and-islands pass: the
+    * running last-OBSERVED month makes gap = m − last_obs_m, and its
+    * max is the longest run.
+    *
+    * Exactness: observed month value pinned to MIN cents; months are
+    * 30-day integer buckets (the q_growth_accounting convention);
+    * LOCF = last(ignoreNulls) ↔ DuckDB last_value(IGNORE NULLS);
+    * final value by max_by on the unique month axis.
+    *
+    * Scale shape: ONE (part, month) two-phase agg over the scan; the
+    * axis explode is ∝ parts × calendar months (the bounded day-axis
+    * family); every window PARTITIONS by part over ≤ months rows; the
+    * report agg is two-phase. */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val monthUs = 86400000000L * 30
+    val obs = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        expr(s"unix_micros(cast(l_shipdate as timestamp)) div $monthUs").as("m"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy("l_partkey", "m").agg(min("cents").as("obs_cents"))
+      .localCheckpoint() // reused: per-part axis bounds + the fill join
+    val axis = obs.groupBy("l_partkey").agg(min("m").as("m0"), max("m").as("m1"))
+      .select(col("l_partkey"), explode(sequence(col("m0"), col("m1"))).as("m"))
+    val w = Window.partitionBy("l_partkey").orderBy("m")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    axis.join(obs, Seq("l_partkey", "m"), "left")
+      .withColumn("fill_cents", last("obs_cents", ignoreNulls = true).over(w))
+      .withColumn("last_obs_m",
+        last(when(col("obs_cents").isNotNull, col("m")), ignoreNulls = true).over(w))
+      .withColumn("gap", col("m") - col("last_obs_m"))
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_months"),
+        sum(when(col("obs_cents").isNotNull, 1L).otherwise(0L)).as("n_observed"),
+        sum(when(col("obs_cents").isNull, 1L).otherwise(0L)).as("n_imputed"),
+        max("gap").as("longest_gap"),
+        expr("max_by(fill_cents, m)").as("last_cents"))
+      .orderBy("l_partkey")
+  }
+
+  /** q_cohort_ltv: the LTV TRIANGLE — users cohorted by first-seen
+    * month, revenue accounted by month-age since that cohort: per
+    * (cohort, age) the active users, the age's purchase revenue, the
+    * cumulative revenue, and LTV = cumulative revenue per cohort
+    * member (div-exact cents). The canonical lifetime-value artifact
+    * every growth team reads next to q_retention's activity triangle
+    * and q_growth_accounting's ledger — same cohort axis, money
+    * instead of presence.
+    *
+    * Scale shape: ONE per-user first-month agg; the cohort-size table
+    * is month-axis bounded and BROADCASTS back; the triangle is one
+    * (cohort, age) two-phase agg (distinct-user count included); the
+    * cumulative window partitions by cohort over ≤ months rows. The
+    * user-keyed join is the one required fact-fact shuffle (both
+    * sides hash by user_id). */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val monthUs = 86400000000L * 30
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr(s"unix_micros(ts) div $monthUs").as("m"),
+        when(col("event_type") === "purchase",
+          floor(col("value") * 100 + 0.5).cast("long")).otherwise(0L).as("cents"))
+    val first = ev.groupBy("user_id").agg(min("m").as("cohort_m"))
+    val sizes = first.groupBy("cohort_m").agg(count(lit(1)).as("n_users"))
+    ev.join(first, "user_id")
+      .withColumn("age", col("m") - col("cohort_m"))
+      .groupBy("cohort_m", "age")
+      .agg(sum("cents").as("rev_cents"),
+        countDistinct("user_id").as("n_active"))
+      .join(broadcast(sizes), "cohort_m")
+      .withColumn("cum_rev_cents", sum("rev_cents").over(
+        Window.partitionBy("cohort_m").orderBy("age")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("ltv_cents", expr("cum_rev_cents div n_users"))
+      .select("cohort_m", "age", "n_users", "n_active", "rev_cents",
+        "cum_rev_cents", "ltv_cents")
+      .orderBy("cohort_m", "age")
+  }
+
+  /** q_conformal: a SPLIT-CONFORMAL prediction interval for purchase
+    * value (Vovk's conformal prediction; the Lei et al. 2018 split
+    * recipe) — the DISTRIBUTION-FREE guarantee the bootstrap
+    * (q_bootstrap_ci) can't give: calibrate |residual| on the even
+    * event_ids against the calibration-mean predictor, take the
+    * ⌈(n+1)(1−α)⌉-th smallest residual as q̂ (α = 0.1), and report
+    * the interval's MEASURED coverage on the held-out odd slice —
+    * ≥ 90 % by exchangeability, now verified rather than assumed.
+    *
+    * Exactness: μ and q̂ are integer order/ratio statistics; the
+    * conformal rank is the exact ceil identity ((n+1)·9+9) div 10;
+    * the quantile comes off the residual HISTOGRAM (the
+    * q_mann_whitney value-histogram trick — never a corpus sort);
+    * coverage scales through decimal(38,0).
+    *
+    * Scale shape: two passes over the purchase slice (calibration
+    * agg + residual histogram, then the test coverage reduce); the
+    * only window rides the range-bounded residual axis; μ/k/q̂ are
+    * 1-row broadcasts. */
+  def conformal(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .localCheckpoint() // reused: calibration agg, histogram, test
+    val cal = p.filter(col("event_id") % 2 === 0)
+    val head = cal.agg(count(lit(1)).as("n_cal"),
+        expr("sum(cents) div count(1)").as("mu_cents"))
+      .withColumn("k", expr("least(((n_cal + 1) * 9 + 9) div 10, n_cal)"))
+    val qhat = cal.crossJoin(broadcast(head))
+      .select(abs(col("cents") - col("mu_cents")).as("r"), col("k"))
+      .groupBy("r").agg(count(lit(1)).as("cnt"), max("k").as("k"))
+      .withColumn("cum", sum("cnt").over(Window.orderBy("r")
+        .rowsBetween(Window.unboundedPreceding, 0))) // bounded cents axis
+      .filter(col("cum") >= col("k"))
+      .agg(min("r").as("qhat_cents"))
+    p.filter(col("event_id") % 2 === 1)
+      .crossJoin(broadcast(head.select("n_cal", "mu_cents")))
+      .crossJoin(broadcast(qhat))
+      .groupBy("n_cal", "mu_cents", "qhat_cents")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(abs(col("cents") - col("mu_cents")) <= col("qhat_cents"), 1L)
+          .otherwise(0L)).as("n_covered"))
+      .withColumn("coverage_e6", expr(
+        "cast((cast(n_covered as decimal(38,0)) * 1000000) div n_test as bigint)"))
+      .withColumn("target_e6", lit(900000L))
+      .select("n_cal", "n_test", "mu_cents", "qhat_cents", "n_covered",
+        "coverage_e6", "target_e6")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_conformal" -> (conformal(_, _)),
+    "q_gap_fill" -> (gapFill(_, _)),
+    "q_cohort_ltv" -> (cohortLtv(_, _)),
     "q_part_catalog" -> (partCatalog(_, _)),
     "q_supplier_balance" -> (supplierBalance(_, _)),
     "q_region_trade" -> (regionTrade(_, _)),
@@ -3147,6 +3286,86 @@ object Analytics {
   }.mkString("\nUNION ALL\n")
 
   val oracleSql: Map[String, String] = Map(
+    // same even/odd split, same exact conformal rank identity and
+    // histogram quantile, same HUGEINT coverage scale-up
+    "q_conformal" ->
+      """WITH p AS (
+        |  SELECT event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |cal AS (SELECT * FROM p WHERE event_id % 2 = 0),
+        |h AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal,
+        |  CAST(SUM(cents) // COUNT(*) AS BIGINT) AS mu_cents,
+        |  LEAST(((COUNT(*) + 1) * 9 + 9) // 10, COUNT(*)) AS k FROM cal),
+        |rh AS (
+        |  SELECT abs(cents - h.mu_cents) AS r, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |    MAX(h.k) AS k
+        |  FROM cal, h GROUP BY 1),
+        |cum AS (
+        |  SELECT r, k, SUM(cnt) OVER (ORDER BY r
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM rh),
+        |q AS (SELECT CAST(MIN(r) AS BIGINT) AS qhat_cents FROM cum WHERE cum >= k),
+        |tst AS (SELECT cents FROM p WHERE event_id % 2 = 1)
+        |SELECT h.n_cal, CAST(COUNT(*) AS BIGINT) AS n_test, h.mu_cents,
+        |  q.qhat_cents,
+        |  CAST(SUM(CASE WHEN abs(cents - h.mu_cents) <= q.qhat_cents
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+        |  CAST(CAST(SUM(CASE WHEN abs(cents - h.mu_cents) <= q.qhat_cents
+        |      THEN 1 ELSE 0 END) AS HUGEINT) * 1000000 // COUNT(*) AS BIGINT)
+        |    AS coverage_e6,
+        |  CAST(900000 AS BIGINT) AS target_e6
+        |FROM tst, h, q GROUP BY h.n_cal, h.mu_cents, q.qhat_cents""".stripMargin,
+    // same MIN-pinned monthly census, same per-part axis + LOCF
+    // windows, same running last-observed-month gap
+    "q_gap_fill" ->
+      """WITH obs AS (
+        |  SELECT l_partkey, epoch_ns(l_shipdate) // (86400000000000 * 30) AS m,
+        |    MIN(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS obs_cents
+        |  FROM lineitem GROUP BY 1, 2),
+        |axis AS (
+        |  SELECT l_partkey, unnest(generate_series(MIN(m), MAX(m))) AS m
+        |  FROM obs GROUP BY l_partkey),
+        |f AS (
+        |  SELECT a.l_partkey, a.m, o.obs_cents,
+        |    last_value(o.obs_cents IGNORE NULLS) OVER w AS fill_cents,
+        |    last_value(CASE WHEN o.obs_cents IS NOT NULL THEN a.m END
+        |      IGNORE NULLS) OVER w AS last_obs_m
+        |  FROM axis a LEFT JOIN obs o USING (l_partkey, m)
+        |  WINDOW w AS (PARTITION BY a.l_partkey ORDER BY a.m
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT l_partkey,
+        |  CAST(COUNT(*) AS BIGINT) AS n_months,
+        |  CAST(SUM(CASE WHEN obs_cents IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_observed,
+        |  CAST(SUM(CASE WHEN obs_cents IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_imputed,
+        |  CAST(MAX(m - last_obs_m) AS BIGINT) AS longest_gap,
+        |  CAST(max_by(fill_cents, m) AS BIGINT) AS last_cents
+        |FROM f GROUP BY l_partkey ORDER BY l_partkey""".stripMargin,
+    // same first-month cohorts, same 30-day months, same cumulative
+    // window and div-exact LTV cents
+    "q_cohort_ltv" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 // (86400000000 * 30) AS m,
+        |    CASE WHEN event_type = 'purchase'
+        |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END AS cents
+        |  FROM events),
+        |fst AS (SELECT user_id, MIN(m) AS cohort_m FROM ev GROUP BY user_id),
+        |sz AS (SELECT cohort_m, CAST(COUNT(*) AS BIGINT) AS n_users
+        |  FROM fst GROUP BY cohort_m),
+        |tri AS (
+        |  SELECT f.cohort_m, e.m - f.cohort_m AS age,
+        |    CAST(SUM(e.cents) AS BIGINT) AS rev_cents,
+        |    CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
+        |  FROM ev e JOIN fst f USING (user_id)
+        |  GROUP BY 1, 2)
+        |SELECT t.cohort_m, t.age, sz.n_users, t.n_active, t.rev_cents,
+        |  CAST(SUM(t.rev_cents) OVER (PARTITION BY t.cohort_m ORDER BY t.age
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_rev_cents,
+        |  CAST(SUM(t.rev_cents) OVER (PARTITION BY t.cohort_m ORDER BY t.age
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    // sz.n_users AS BIGINT) AS ltv_cents
+        |FROM tri t JOIN sz USING (cohort_m)
+        |ORDER BY cohort_m, age""".stripMargin,
     "q_copurchase" ->
       """WITH bp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |f AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_solo

@@ -1161,6 +1161,60 @@ object Curation {
   def dpRelease(spark: SparkSession, dir: String): DataFrame =
     dpFinish(dpCensus(Tables.documents(spark, dir)))
 
+  /** Fixed candidate-bucket axis for [[dpMedian]]: doc char counts
+    * clipped to [0, [[DpMedClip]]) and bucketed by [[DpMedWidth]] —
+    * the candidate set must be data-INDEPENDENT or its support leaks. */
+  private[graft] val DpMedClip = 5000L
+  private[graft] val DpMedWidth = 100L
+
+  /** q_dp_median: an ε-DP MEDIAN per source via report-noisy-max —
+    * the selection side of the DP toolkit ([[dpRelease]] covers
+    * numeric release; medians are where Laplace-on-the-value fails
+    * and the EXPONENTIAL MECHANISM (McSherry & Talwar 2007) is the
+    * textbook answer). Candidates are the fixed char-count buckets;
+    * utility u(c) = −|#below − #above| (rank distance, sensitivity
+    * 1); each candidate's score u·ε/2 + Gumbel is argmaxed — adding
+    * Gumbel noise to utilities and taking the max IS the exponential
+    * mechanism (the Gumbel-max trick), and the Gumbel draw is
+    * DETERMINISTIC: the salted-md5 uniform through the DOUBLE
+    * ln-kernel g = −ln(−ln u), each stage e6-floored, so both
+    * engines reproduce the released median bit-for-bit.
+    *
+    * Scale shape: one clipped-bucket projection fused into the scan,
+    * ONE (source, bucket) two-phase agg; the fixed 50-bucket axis
+    * crossed with the source catalog is alphabet-bounded, the
+    * cumulative/rank windows partition by source over ≤ 50 rows. */
+  def dpMedian(spark: SparkSession, dir: String): DataFrame = {
+    val nBuckets = DpMedClip / DpMedWidth // 50
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"),
+        expr(s"least(n_chars, ${DpMedClip - 1}) div $DpMedWidth").as("b"))
+    val counts = docs.groupBy("source", "b").agg(count(lit(1)).as("cnt"))
+    val srcs = counts.select("source").distinct()
+    val axis = srcs.select(col("source"),
+      explode(sequence(lit(0L), lit(nBuckets - 1))).as("b"))
+    val w = Window.partitionBy("source").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    axis.join(counts, Seq("source", "b"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .withColumn("below", coalesce(sum("cnt").over(w), lit(0L)))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("source")))
+      .withColumn("u", -abs(col("below") - (col("n") - col("below") - col("cnt"))))
+      .withColumn("ug", expr("cast(conv(substr(md5(concat('dpm', " +
+        "source, ':', cast(b as string))), 1, 15), 16, 10) as bigint) % 1000000"))
+      .withColumn("t_e6", expr(
+        "cast(floor(-ln(greatest(ug, 1) / 1000000.0) * 1e6 + 0.5) as bigint)"))
+      .withColumn("g_e6", expr(
+        "cast(floor(-ln(greatest(t_e6, 1) / 1000000.0) * 1e6 + 0.5) as bigint)"))
+      .withColumn("score_e6", expr("(u * 1000000) div 2 + g_e6"))
+      .withColumn("rn", row_number().over(Window.partitionBy("source")
+        .orderBy(col("score_e6").desc, col("b").asc)))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("b").as("bucket"),
+        (col("b") * DpMedWidth + DpMedWidth / 2).as("dp_median_chars"))
+      .orderBy("source")
+  }
+
   // ── Budget-capped mixture plan (q_mixture_cap) ─────────────────────
 
   /** q_mixture_cap: the WATER-FILLING mixture plan — given a training
@@ -1267,6 +1321,7 @@ object Curation {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dp_release" -> (dpRelease(_, _)),
+    "q_dp_median" -> (dpMedian(_, _)),
     "q_kanon_audit" -> (kanonAudit(_, _)),
     "q_mixture_cap" -> (mixtureCap(_, _)),
     "q_gopher_rules" -> (gopherRules(_, _)),
@@ -1340,6 +1395,45 @@ object Curation {
          |  FROM k)
          |SELECT source, lang, noisy_docs, noisy_tokens FROM r
          |WHERE noisy_docs >= $DpTau ORDER BY source, lang""".stripMargin,
+    // same fixed bucket axis, same rank utility, same double
+    // ln-kernel Gumbel and pinned noisy argmax
+    "q_dp_median" ->
+      s"""WITH d AS (
+         |  SELECT source, LEAST(n_chars, ${DpMedClip - 1}) // $DpMedWidth AS b
+         |  FROM documents),
+         |c AS (SELECT source, b, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM d GROUP BY source, b),
+         |axis AS (
+         |  SELECT s.source, g.b FROM (SELECT DISTINCT source FROM c) s,
+         |    LATERAL (SELECT unnest(generate_series(0, ${DpMedClip / DpMedWidth - 1})) AS b) g),
+         |f AS (
+         |  SELECT a.source, a.b, COALESCE(c.cnt, 0) AS cnt
+         |  FROM axis a LEFT JOIN c ON c.source = a.source AND c.b = a.b),
+         |cum AS (
+         |  SELECT source, b, cnt,
+         |    COALESCE(SUM(cnt) OVER (PARTITION BY source ORDER BY b
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+         |    SUM(cnt) OVER (PARTITION BY source) AS n
+         |  FROM f),
+         |sc AS (
+         |  SELECT source, b,
+         |    -abs(below - (n - below - cnt)) AS u,
+         |    CAST(concat('0x', substr(md5('dpm' || source || ':'
+         |      || CAST(b AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS ug
+         |  FROM cum),
+         |g AS (
+         |  SELECT source, b, u,
+         |    CAST(floor(-ln(GREATEST(
+         |      CAST(floor(-ln(GREATEST(ug, 1) / 1000000.0) * 1e6 + 0.5) AS BIGINT),
+         |      1) / 1000000.0) * 1e6 + 0.5) AS BIGINT) AS g_e6
+         |  FROM sc),
+         |rk AS (
+         |  SELECT source, b, ROW_NUMBER() OVER (PARTITION BY source
+         |    ORDER BY (u * 1000000) // 2 + g_e6 DESC, b) AS rn
+         |  FROM g)
+         |SELECT source, CAST(b AS BIGINT) AS bucket,
+         |  CAST(b * $DpMedWidth + ${DpMedWidth / 2} AS BIGINT) AS dp_median_chars
+         |FROM rk WHERE rn = 1 ORDER BY source""".stripMargin,
     // same sorted prefix walk, same closed-form segment pick, same
     // HUGEINT e6 share
     "q_mixture_cap" ->

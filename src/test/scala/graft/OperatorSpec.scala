@@ -3717,6 +3717,130 @@ class OperatorSpec extends SparkSpec {
     assert(realized <= budget && budget - realized < k)
   }
 
+  test("gap_fill matches a local LOCF walk over the monthly axis") {
+    val monthUs = 86400000000L * 30
+    val obs = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_partkey"),
+        expr("unix_micros(cast(l_shipdate as timestamp))").as("us"),
+        col("l_extendedprice"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1) / monthUs),
+        math.floor(r.getDouble(2) * 100 + 0.5).toLong))
+      .groupBy(_._1).toSeq
+      .map { case (k, vs) => (k, vs.map(_._2).min) }
+      .toMap
+    val want = obs.keys.groupBy(_._1).map { case (part, kms) =>
+      val (m0, m1) = (kms.map(_._2).min, kms.map(_._2).max)
+      var (fill, lastObs) = (0L, m0)
+      var (nObs, nImp, gapMax, last) = (0L, 0L, 0L, 0L)
+      (m0 to m1).foreach { m =>
+        obs.get((part, m)) match {
+          case Some(c) => fill = c; lastObs = m; nObs += 1
+          case None => nImp += 1
+        }
+        gapMax = math.max(gapMax, m - lastObs)
+        last = fill
+      }
+      part -> ((m1 - m0 + 1, nObs, nImp, gapMax, last))
+    }
+    val got = run("q_gap_fill").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got == want)
+    assert(want.values.exists(_._3 > 0), "no gaps to impute — test is vacuous")
+  }
+
+  test("cohort_ltv triangle matches a local revenue walk") {
+    val monthUs = 86400000000L * 30
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+        col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1) / monthUs,
+        if (r.getString(2) == "purchase")
+          math.floor(r.getDouble(3) * 100 + 0.5).toLong else 0L)).toSeq
+    val first = ev.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val sizes = first.toSeq.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val tri = ev.map { case (u, m, c) => ((first(u), m - first(u)), (u, c)) }
+      .groupBy(_._1).toSeq
+      .map { case ((cm, age), rs) =>
+        (cm, age, rs.map(_._2._2).sum, rs.map(_._2._1).distinct.size.toLong)
+      }.sortBy(t => (t._1, t._2))
+    val want = tri.groupBy(_._1).toSeq.flatMap { case (cm, rows) =>
+      var cum = 0L
+      rows.sortBy(_._2).map { case (_, age, rev, act) =>
+        cum += rev
+        (cm, age, sizes(cm), act, rev, cum, cum / sizes(cm))
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = run("q_cohort_ltv").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == want)
+    // LTV is monotone in age within every cohort
+    got.groupBy(_._1).foreach { case (_, rs) =>
+      val ltv = rs.sortBy(_._2).map(_._6)
+      assert(ltv == ltv.sorted)
+    }
+  }
+
+  test("dp_median is the pinned noisy argmax of the rank utility") {
+    val clip = graft.operators.Curation.DpMedClip
+    val width = graft.operators.Curation.DpMedWidth
+    val nB = (clip / width).toInt
+    def md5u(s: String, b: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"dpm$s:$b".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 1000000L
+    }
+    def gumbel(ug: Long): Long = {
+      val t = math.floor(-math.log(math.max(ug, 1L) / 1000000.0) * 1e6 + 0.5).toLong
+      math.floor(-math.log(math.max(t, 1L) / 1000000.0) * 1e6 + 0.5).toLong
+    }
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), math.min(r.getLong(1), clip - 1) / width)).toSeq
+    val want = docs.groupBy(_._1).toSeq.map { case (src, rows) =>
+      val cnt = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val n = rows.size.toLong
+      val scored = (0 until nB).map { b =>
+        val below = (0 until b).map(i => cnt.getOrElse(i.toLong, 0L)).sum
+        val c = cnt.getOrElse(b.toLong, 0L)
+        val u = -math.abs(below - (n - below - c))
+        (b.toLong, u * 1000000L / 2 + gumbel(md5u(src, b)))
+      }
+      val pick = scored.minBy { case (b, s) => (-s, b) }._1
+      (src, pick, pick * width + width / 2)
+    }.sortBy(_._1)
+    val got = run("q_dp_median").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+  }
+
+  test("conformal interval matches a local split recompute and holds its coverage") {
+    val p = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "value").collect()
+      .map(r => (r.getLong(0), math.floor(r.getDouble(1) * 100 + 0.5).toLong))
+      .toSeq
+    val cal = p.filter(_._1 % 2 == 0).map(_._2)
+    val tst = p.filter(_._1 % 2 == 1).map(_._2)
+    val nCal = cal.size.toLong
+    val mu = cal.sum / nCal
+    val k = math.min(((nCal + 1) * 9 + 9) / 10, nCal).toInt
+    val qhat = cal.map(c => math.abs(c - mu)).sorted.apply(k - 1)
+    val covered = tst.count(c => math.abs(c - mu) <= qhat).toLong
+    val want = (nCal, tst.size.toLong, mu, qhat, covered,
+      (BigInt(covered) * 1000000 / tst.size).toLong, 900000L)
+    val got = run("q_conformal").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+    assert(got.toSeq == Seq(want))
+    // the distribution-free guarantee, measured (slack for finite n)
+    assert(got.head._6 >= 850000L, s"coverage ${got.head._6} below guarantee band")
+  }
+
   test("TopKByAvgTFIDF selects buckets and appends the location feature") {
     import spark.implicits._
     val ds = (0 until 200).map { i =>

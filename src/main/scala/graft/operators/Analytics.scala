@@ -3157,30 +3157,45 @@ object Analytics {
     * agg + residual histogram, then the test coverage reduce); the
     * only window rides the range-bounded residual axis; μ/k/q̂ are
     * 1-row broadcasts. */
-  def conformal(spark: SparkSession, dir: String): DataFrame = {
-    val p = Tables.events(spark, dir)
+  def conformal(spark: SparkSession, dir: String): DataFrame =
+    confFinish(confCensus(Tables.events(spark, dir)
       .filter(col("event_type") === "purchase")
       .select(col("event_id"),
-        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
-      .localCheckpoint() // reused: calibration agg, histogram, test
-    val cal = p.filter(col("event_id") % 2 === 0)
-    val head = cal.agg(count(lit(1)).as("n_cal"),
-        expr("sum(cents) div count(1)").as("mu_cents"))
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))))
+
+  /** The (parity, cents) value histogram over the purchase slice —
+    * plain counts, ADDITIVE across micro-batches, so the streaming
+    * twin (q_stream_conformal) upserts exactly this and shares
+    * [[confFinish]] and the batch oracle. State is bounded by the
+    * VALUE DOMAIN (distinct cents), not the corpus — the
+    * q_mann_whitney histogram argument. */
+  private[graft] def confCensus(p: DataFrame): DataFrame =
+    p.select((col("event_id") % 2).as("parity"), col("cents"))
+      .groupBy("parity", "cents").agg(count(lit(1)).as("cnt"))
+
+  /** The conformal calibration + coverage finish over a converged
+    * histogram census — SHARED by batch and stream so they cannot
+    * disagree and share one oracle. */
+  private[graft] def confFinish(census: DataFrame): DataFrame = {
+    val cal = census.filter(col("parity") === 0)
+    val head = cal.agg(sum("cnt").as("n_cal"),
+        expr("sum(cast(cents as decimal(38,0)) * cnt) div sum(cnt)")
+          .cast("long").as("mu_cents"))
       .withColumn("k", expr("least(((n_cal + 1) * 9 + 9) div 10, n_cal)"))
     val qhat = cal.crossJoin(broadcast(head))
-      .select(abs(col("cents") - col("mu_cents")).as("r"), col("k"))
-      .groupBy("r").agg(count(lit(1)).as("cnt"), max("k").as("k"))
+      .select(abs(col("cents") - col("mu_cents")).as("r"), col("cnt"), col("k"))
+      .groupBy("r").agg(sum("cnt").as("cnt"), max("k").as("k"))
       .withColumn("cum", sum("cnt").over(Window.orderBy("r")
         .rowsBetween(Window.unboundedPreceding, 0))) // bounded cents axis
       .filter(col("cum") >= col("k"))
       .agg(min("r").as("qhat_cents"))
-    p.filter(col("event_id") % 2 === 1)
+    census.filter(col("parity") === 1)
       .crossJoin(broadcast(head.select("n_cal", "mu_cents")))
       .crossJoin(broadcast(qhat))
       .groupBy("n_cal", "mu_cents", "qhat_cents")
-      .agg(count(lit(1)).as("n_test"),
-        sum(when(abs(col("cents") - col("mu_cents")) <= col("qhat_cents"), 1L)
-          .otherwise(0L)).as("n_covered"))
+      .agg(sum("cnt").as("n_test"),
+        sum(when(abs(col("cents") - col("mu_cents")) <= col("qhat_cents"),
+          col("cnt")).otherwise(0L)).as("n_covered"))
       .withColumn("coverage_e6", expr(
         "cast((cast(n_covered as decimal(38,0)) * 1000000) div n_test as bigint)"))
       .withColumn("target_e6", lit(900000L))

@@ -548,6 +548,39 @@ object StreamingQueries {
         .toDF("source", "lang", "n", "st"))
   }
 
+  /** q_stream_conformal — the conformal coverage monitor AT INGEST:
+    * the (parity, cents) purchase-value histogram
+    * ([[graft.operators.Analytics.confCensus]] — plain counts,
+    * ADDITIVE across micro-batches, state ∝ the value domain, not
+    * the corpus) upserts into the keyed store, and the split-
+    * conformal calibration + coverage finish runs batch-side over
+    * the converged census via the SHARED confFinish — the live
+    * dashboard reads whether the deployed interval still covers at
+    * its guaranteed rate; reuses the batch oracle verbatim. */
+  def streamConformal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val census = graft.operators.Analytics.confCensus(
+      eventsStream(spark, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents")))
+    val store = new java.util.concurrent.ConcurrentHashMap[(Long, Long), Long]()
+    val q = census.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.collect().foreach { r =>
+          store.put((r.getLong(0), r.getLong(1)), r.getLong(2))
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    graft.operators.Analytics.confFinish(
+      store.asScala.toSeq.map { case ((p, c), n) => (p, c, n) }
+        .toDF("parity", "cents", "cnt"))
+  }
+
   /** q_stream_quality — the Gopher quality gate AT INGEST: every
     * arriving document is scored by the published rule battery
     * (q_gopher_rules' [[graft.operators.Curation.gopherFlags]] kernel,
@@ -1024,6 +1057,7 @@ object StreamingQueries {
     "q_stream_jsonl" -> stateful(streamJsonl),
     "q_stream_boot" -> stateful(streamBoot),
     "q_stream_dp" -> stateful(streamDp),
+    "q_stream_conformal" -> stateful(streamConformal),
     "q_stream_hll" -> stateful(streamHll))
 
   /** The streaming queries run real Structured Streaming, but over the
@@ -1054,6 +1088,9 @@ object StreamingQueries {
     // the batch DP-release oracle VERBATIM — dpCensus + dpFinish are
     // shared and the census counters are additive across batches
     "q_stream_dp" -> graft.operators.Curation.oracleSql("q_dp_release"),
+    // the batch conformal oracle VERBATIM — confCensus + confFinish
+    // are shared and the histogram counts are additive across batches
+    "q_stream_conformal" -> graft.operators.Analytics.oracleSql("q_conformal"),
     // the batch transition-matrix oracle VERBATIM — transFinish is
     // shared, so the converged step counts must yield the batch matrix
     "q_stream_transitions" -> graft.operators.Analytics.oracleSql("q_transitions"),

@@ -432,6 +432,15 @@ class StreamingSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("streaming conformal monitor equals the batch interval row for row") {
+    val batch = SparkEntry.queries("q_conformal")(spark, sf).collect()
+      .map(_.toSeq).toSet
+    val stream = SparkEntry.queries("q_stream_conformal")(spark, sf).collect()
+      .map(_.toSeq).toSet
+    assert(stream.nonEmpty)
+    assert(stream == batch)
+  }
+
   test("streaming jsonl quarantine equals the batch ingest report row for row") {
     val batch = SparkEntry.queries("q_parse_jsonl")(spark, sf).collect()
       .map(_.toSeq).toSet

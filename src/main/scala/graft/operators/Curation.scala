@@ -1161,6 +1161,40 @@ object Curation {
   def dpRelease(spark: SparkSession, dir: String): DataFrame =
     dpFinish(dpCensus(Tables.documents(spark, dir)))
 
+  /** Per-(user, event_type) contribution cap for [[dpUserStats]] —
+    * the privacy unit is the USER, so a user may add at most this
+    * many events to any released per-type count. */
+  private[graft] val DpUserCap = 3L
+
+  /** q_dp_user_stats: USER-level ε-DP release of per-event-type
+    * activity counts — the privacy-unit nuance that separates real DP
+    * SQL from row-level noise ([[dpRelease]] bounds documents; here
+    * the unit is the user, so each user's contribution to a type's
+    * count is clipped at [[DpUserCap]] BEFORE aggregation and the
+    * Laplace scale is 2·cap/ε, Wilson et al. 2020 §4's bounded-user-
+    * contribution transform). Same deterministic salted-uniform
+    * Laplace and noisy-threshold release as the rest of the DP
+    * toolkit, so the release is hash-oracled.
+    *
+    * Scale shape: ONE (user, type) two-phase agg (the contribution
+    * clip), one (type) re-agg of that census, noise a pure per-type
+    * function — the user-keyed shuffle is the one required pass. */
+  def dpUserStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("event_type"), least(col("c"), lit(DpUserCap)).as("c"))
+      .groupBy("event_type").agg(sum("c").as("n"))
+      .withColumn("cc", expr("cast(conv(substr(md5(concat('dpu', " +
+        "event_type)), 1, 15), 16, 10) as bigint) % 1000000 - 500000"))
+      .withColumn("lnc", expr("cast(floor(ln(greatest(1000000 - 2 * abs(cc), 1)" +
+        " / 1000000.0) * 1e6 + 0.5) as bigint)"))
+      .withColumn("noisy_events", expr(s"cast((cast(n as decimal(38,0)) * 1000000" +
+        s" - ${2 * DpUserCap} * if(cc < 0, -1, 1) * lnc) div 1000000 as bigint)"))
+      .filter(col("noisy_events") >= DpTau)
+      .select("event_type", "noisy_events")
+      .orderBy("event_type")
+
   /** Fixed candidate-bucket axis for [[dpMedian]]: doc char counts
     * clipped to [0, [[DpMedClip]]) and bucketed by [[DpMedWidth]] —
     * the candidate set must be data-INDEPENDENT or its support leaks. */
@@ -1322,6 +1356,7 @@ object Curation {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dp_release" -> (dpRelease(_, _)),
     "q_dp_median" -> (dpMedian(_, _)),
+    "q_dp_user_stats" -> (dpUserStats(_, _)),
     "q_kanon_audit" -> (kanonAudit(_, _)),
     "q_mixture_cap" -> (mixtureCap(_, _)),
     "q_gopher_rules" -> (gopherRules(_, _)),
@@ -1395,6 +1430,34 @@ object Curation {
          |  FROM k)
          |SELECT source, lang, noisy_docs, noisy_tokens FROM r
          |WHERE noisy_docs >= $DpTau ORDER BY source, lang""".stripMargin,
+    // same per-user clip census, same salted Laplace ln-kernel,
+    // same cap-scaled noise and threshold
+    "q_dp_user_stats" ->
+      s"""WITH uc AS (
+         |  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM events GROUP BY 1, 2),
+         |g AS (
+         |  SELECT event_type,
+         |    CAST(SUM(LEAST(c, $DpUserCap)) AS BIGINT) AS n
+         |  FROM uc GROUP BY event_type),
+         |u AS (
+         |  SELECT *,
+         |    CAST(concat('0x', substr(md5('dpu' || event_type), 1, 15)) AS BIGINT)
+         |      % 1000000 - 500000 AS cc
+         |  FROM g),
+         |k AS (
+         |  SELECT *,
+         |    CAST(floor(ln(GREATEST(1000000 - 2 * abs(cc), 1) / 1000000.0)
+         |      * 1e6 + 0.5) AS BIGINT) AS lnc
+         |  FROM u),
+         |r AS (
+         |  SELECT event_type,
+         |    CAST((CAST(n AS HUGEINT) * 1000000
+         |      - ${2 * DpUserCap} * (CASE WHEN cc < 0 THEN -1 ELSE 1 END) * lnc)
+         |      // 1000000 AS BIGINT) AS noisy_events
+         |  FROM k)
+         |SELECT event_type, noisy_events FROM r
+         |WHERE noisy_events >= $DpTau ORDER BY event_type""".stripMargin,
     // same fixed bucket axis, same rank utility, same double
     // ln-kernel Gumbel and pinned noisy argmax
     "q_dp_median" ->

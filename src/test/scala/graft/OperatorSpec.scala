@@ -3841,6 +3841,40 @@ class OperatorSpec extends SparkSpec {
     assert(got.head._6 >= 850000L, s"coverage ${got.head._6} below guarantee band")
   }
 
+  test("dp_user_stats clips the privacy unit before noise") {
+    def u(t: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"dpu$t".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 1000000L - 500000L
+    }
+    def lap(c: Long, b: Long): Long = {
+      val num = math.max(1000000L - 2L * math.abs(c), 1L)
+      val lnk = math.floor(math.log(num / 1000000.0) * 1e6 + 0.5).toLong
+      -b * (if (c < 0) -1L else 1L) * lnk
+    }
+    val cap = graft.operators.Curation.DpUserCap
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val clipped = ev.groupBy(identity).toSeq
+      .map { case ((_, t), rs) => (t, math.min(rs.size.toLong, cap)) }
+    val want = clipped.groupBy(_._1).toSeq.flatMap { case (t, rs) =>
+      val n = rs.map(_._2).sum
+      val noisy = (BigInt(n) * 1000000 + lap(u(t), 2 * cap)) / 1000000
+      if (noisy >= graft.operators.Curation.DpTau) Some((t, noisy.toLong))
+      else None
+    }.sortBy(_._1)
+    val got = run("q_dp_user_stats").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want)
+    // the clip binds: the released totals sit below the raw counts
+    val raw = ev.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    assert(clipped.groupBy(_._1).exists { case (t, rs) =>
+      rs.map(_._2).sum < raw(t)
+    })
+  }
+
   test("TopKByAvgTFIDF selects buckets and appends the location feature") {
     import spark.implicits._
     val ds = (0 until 200).map { i =>

@@ -3203,7 +3203,146 @@ object Analytics {
         "coverage_e6", "target_e6")
   }
 
+  /** q_ses_forecast: simple-exponential-smoothing one-step forecasts
+    * of per-nation monthly order revenue — the level-tracking
+    * forecaster (Brown/Holt SES, α = 1/2) that q_acf's weekly-
+    * structure probe and q_theil_sen's trend fit lead up to. Per
+    * nation the trailing-24-month revenue series (zero-filled over
+    * the shared global month window, so "no orders" is a 0
+    * observation, not a hole) is smoothed by the recurrence
+    * s_t = (y_t + s_{t-1}) / 2 with s_0 = y_0, and each month
+    * reports the level, the forecast the PREVIOUS level made for it,
+    * and the absolute one-step error — the walk-forward evaluation a
+    * forecast is actually judged by.
+    *
+    * Exactness: α = 1/2 makes the recurrence DYADIC — the closed
+    * form is 2ᵗ·s_t = y_0 + Σ_{j=1..t} y_j·2^{j−1}, so the level is
+    * one cumulative integer sum and one floored power-of-two
+    * division, bit-identical in DuckDB (HUGEINT / `<<` / `//`). The
+    * 24-month restart bounds the 2ᵗ weights at 2²³, keeping the
+    * numerator inside decimal(38,0) to ~10¹⁴ monthly cents; the
+    * dropped history carries weight ≤ 2⁻²⁴ — below one cent at any
+    * revenue scale (that approximation is the DEFINED semantics,
+    * verified by the spec's exact recurrence recompute).
+    *
+    * Scale shape: one orders×customer hash join (both sides keyed by
+    * custkey — the one required fact-dim shuffle; nation broadcasts),
+    * ONE (nation, month) two-phase agg, and everything after rides
+    * the nations × 24-month axis: the zero-fill explode, the
+    * cumulative window (partitioned by nation over ≤ 24 rows), and
+    * the lag are all catalog-sized. */
+  def sesForecast(spark: SparkSession, dir: String): DataFrame = {
+    val monthUs = 86400000000L * 30
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val nat = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"))
+    val monthly = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        expr(s"unix_micros(cast(o_orderdate as timestamp)) div $monthUs").as("m"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey", "m").agg(sum("cents").as("y_cents"))
+    val mx = monthly.agg(max("m").as("m1")).select(
+      (col("m1") - 23).as("m0"), col("m1"))
+    val axis = monthly.select("c_nationkey").distinct()
+      .crossJoin(broadcast(mx))
+      .select(col("c_nationkey"), explode(sequence(col("m0"), col("m1"))).as("m"),
+        col("m0"))
+    val w = Window.partitionBy("c_nationkey").orderBy("m")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    axis.join(monthly, Seq("c_nationkey", "m"), "left")
+      .withColumn("y_cents", coalesce(col("y_cents"), lit(0L)))
+      .withColumn("j", col("m") - col("m0"))
+      .withColumn("term", expr(
+        "cast(y_cents as decimal(38,0)) * shiftleft(1L, cast(greatest(j - 1, 0L) as int))"))
+      .withColumn("num", sum("term").over(w))
+      .withColumn("level_cents", expr(
+        "cast(num div shiftleft(1L, cast(j as int)) as bigint)"))
+      .withColumn("forecast_cents",
+        lag("level_cents", 1).over(Window.partitionBy("c_nationkey").orderBy("m")))
+      .withColumn("abs_err_cents", abs(col("y_cents") - col("forecast_cents")))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select("n_name", "m", "j", "y_cents", "level_cents",
+        "forecast_cents", "abs_err_cents")
+      .orderBy("n_name", "m")
+  }
+
+  /** q_cusum_change: CUSUM changepoint detection on the daily
+    * purchase-revenue series — "did the level shift, and when?", the
+    * monitoring question behind every deploy/pricing-incident
+    * retro (Page 1954). The day series is zero-filled over the
+    * global min..max day axis; the cumulative sum of deviations from
+    * the series mean peaks in magnitude AT the changepoint, so the
+    * report carries each day's CUSUM, the flagged argmax day (ties →
+    * earliest), and the pre/post-change mean levels whose gap is the
+    * detected shift.
+    *
+    * Exactness: n-scaled centering (the q_acf trick) keeps the whole
+    * statistic integer — dev_t = n·y_t − S needs no division, so
+    * cusum_t = n·prefix_t − t·S is exact in decimal(38,0)/HUGEINT;
+    * the only divisions are the final pre/post means, floored
+    * identically in both engines.
+    *
+    * Scale shape: ONE two-phase day agg over the purchase scan;
+    * everything after (axis explode, the cumulative window, the
+    * argmax, the means) rides the bounded day axis — the global
+    * ORDER BY window is over calendar days, not the corpus. Shared
+    * census/finish split so the streaming twin (q_stream_cusum)
+    * upserts the ADDITIVE day census and cannot disagree with the
+    * batch answer. */
+  def cusumChange(spark: SparkSession, dir: String): DataFrame =
+    cusumFinish(cusumCensus(Tables.events(spark, dir)))
+
+  /** The per-day purchase-cents census — plain sums, ADDITIVE across
+    * micro-batches; state ∝ the day axis, not the corpus. */
+  private[graft] def cusumCensus(ev: DataFrame): DataFrame =
+    ev.filter(col("event_type") === "purchase")
+      .select(expr("unix_micros(ts) div 86400000000").as("d"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy("d").agg(sum("cents").as("cents"))
+
+  /** The CUSUM finish over a converged day census — SHARED by batch
+    * and stream so they share one oracle. */
+  private[graft] def cusumFinish(census: DataFrame): DataFrame = {
+    val bounds = census.agg(min("d").as("d0"), max("d").as("d1"))
+    val axis = bounds.select(explode(sequence(col("d0"), col("d1"))).as("d"),
+      col("d0"))
+    val days = axis.join(census, Seq("d"), "left")
+      .withColumn("y_cents", coalesce(col("cents"), lit(0L)))
+      .withColumn("idx", col("d") - col("d0") + 1)
+    val tot = days.agg(count(lit(1)).as("n"), sum("y_cents").as("s"))
+    val cu = days.crossJoin(broadcast(tot))
+      .withColumn("prefix", sum("y_cents").over(Window.orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0))) // bounded day axis
+      .withColumn("cusum", expr(
+        "cast(n as decimal(38,0)) * prefix - cast(idx as decimal(38,0)) * s"))
+      .localCheckpoint() // reused: argmax + means + final projection
+    val cpDay = cu.crossJoin(broadcast(
+        cu.agg(max(abs(col("cusum"))).as("mxabs"))))
+      .filter(abs(col("cusum")) === col("mxabs"))
+      .agg(min("d").as("cp_d"))
+    val summary = cu.crossJoin(broadcast(cpDay))
+      .groupBy("cp_d")
+      .agg(sum(when(col("d") <= col("cp_d"), col("y_cents"))).as("pre_s"),
+        sum(when(col("d") <= col("cp_d"), 1L).otherwise(0L)).as("pre_n"),
+        sum(when(col("d") > col("cp_d"), col("y_cents"))).as("post_s"),
+        sum(when(col("d") > col("cp_d"), 1L).otherwise(0L)).as("post_n"))
+      .select(col("cp_d"),
+        expr("pre_s div pre_n").as("pre_mean_cents"),
+        expr("case when post_n = 0 then cast(-1 as bigint) "
+          + "else post_s div post_n end").as("post_mean_cents"))
+    cu.crossJoin(broadcast(summary))
+      .select(col("d"), col("y_cents"),
+        col("cusum").cast("long").as("cusum_ns"),
+        (col("d") === col("cp_d")).as("is_cp"),
+        col("cp_d"), col("pre_mean_cents"), col("post_mean_cents"))
+      .orderBy("d")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ses_forecast" -> (sesForecast(_, _)),
+    "q_cusum_change" -> (cusumChange(_, _)),
     "q_conformal" -> (conformal(_, _)),
     "q_gap_fill" -> (gapFill(_, _)),
     "q_cohort_ltv" -> (cohortLtv(_, _)),
@@ -3301,6 +3440,71 @@ object Analytics {
   }.mkString("\nUNION ALL\n")
 
   val oracleSql: Map[String, String] = Map(
+    // same dyadic closed form: 2^t * level = y_0 + sum y_j 2^(j-1),
+    // HUGEINT cumulative numerator, `<<` weights, floored `//`
+    "q_ses_forecast" ->
+      """WITH monthly AS (
+        |  SELECT c_nationkey, epoch_ns(o_orderdate) // 1000 // (86400000000 * 30) AS m,
+        |    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS y_cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |mx AS (SELECT MAX(m) - 23 AS m0, MAX(m) AS m1 FROM monthly),
+        |axis AS (
+        |  SELECT c_nationkey, unnest(generate_series(m0, m1)) AS m, m0
+        |  FROM (SELECT DISTINCT c_nationkey FROM monthly) CROSS JOIN mx),
+        |f AS (
+        |  SELECT a.c_nationkey, a.m, a.m - a.m0 AS j,
+        |    COALESCE(mo.y_cents, 0) AS y_cents
+        |  FROM axis a LEFT JOIN monthly mo USING (c_nationkey, m)),
+        |lv AS (
+        |  SELECT *, CAST(
+        |      SUM(CAST(y_cents AS HUGEINT)
+        |          * (CAST(1 AS BIGINT) << CAST(greatest(j - 1, 0) AS INT))) OVER w
+        |      // (CAST(1 AS BIGINT) << CAST(j AS INT)) AS BIGINT) AS level_cents
+        |  FROM f WINDOW w AS (PARTITION BY c_nationkey ORDER BY m
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT n_name, m, CAST(j AS BIGINT) AS j, y_cents, level_cents,
+        |  LAG(level_cents) OVER v AS forecast_cents,
+        |  abs(y_cents - LAG(level_cents) OVER v) AS abs_err_cents
+        |FROM lv JOIN nation ON n_nationkey = c_nationkey
+        |WINDOW v AS (PARTITION BY c_nationkey ORDER BY m)
+        |ORDER BY n_name, m""".stripMargin,
+    // same n-scaled centering (cusum = n*prefix - idx*S, no division),
+    // same earliest-argmax tie-break and floored pre/post means
+    "q_cusum_change" ->
+      """WITH census AS (
+        |  SELECT epoch_ns(ts) // 1000 // 86400000000 AS d,
+        |    CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |bounds AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM census),
+        |axis AS (SELECT unnest(generate_series(d0, d1)) AS d, d0 FROM bounds),
+        |days AS (
+        |  SELECT a.d, COALESCE(c.cents, 0) AS y_cents, a.d - a.d0 + 1 AS idx
+        |  FROM axis a LEFT JOIN census c USING (d)),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |               CAST(SUM(y_cents) AS BIGINT) AS s FROM days),
+        |cu AS (
+        |  SELECT d, y_cents,
+        |    CAST(n AS HUGEINT) * SUM(y_cents) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - CAST(idx AS HUGEINT) * s AS cusum
+        |  FROM days CROSS JOIN tot),
+        |cp AS (SELECT MIN(d) AS cp_d FROM cu
+        |       WHERE abs(cusum) = (SELECT MAX(abs(cusum)) FROM cu)),
+        |summ AS (
+        |  SELECT cp_d,
+        |    CAST(SUM(CASE WHEN d <= cp_d THEN y_cents END)
+        |      // SUM(CASE WHEN d <= cp_d THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS pre_mean_cents,
+        |    CAST(CASE WHEN SUM(CASE WHEN d > cp_d THEN 1 ELSE 0 END) = 0 THEN -1
+        |      ELSE SUM(CASE WHEN d > cp_d THEN y_cents END)
+        |        // SUM(CASE WHEN d > cp_d THEN 1 ELSE 0 END) END AS BIGINT)
+        |      AS post_mean_cents
+        |  FROM cu CROSS JOIN cp GROUP BY cp_d)
+        |SELECT cu.d, cu.y_cents, CAST(cu.cusum AS BIGINT) AS cusum_ns,
+        |  cu.d = s.cp_d AS is_cp, s.cp_d, s.pre_mean_cents, s.post_mean_cents
+        |FROM cu CROSS JOIN summ s ORDER BY cu.d""".stripMargin,
     // same even/odd split, same exact conformal rank identity and
     // histogram quantile, same HUGEINT coverage scale-up
     "q_conformal" ->

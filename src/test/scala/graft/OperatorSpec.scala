@@ -3875,6 +3875,87 @@ class OperatorSpec extends SparkSpec {
     })
   }
 
+  test("ses_forecast matches the exact dyadic recurrence") {
+    val monthUs = 86400000000L * 30
+    val cust = graft.sources.Tables.customer(spark, sf)
+      .select("c_custkey", "c_nationkey").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val nat = graft.sources.Tables.nation(spark, sf)
+      .select("n_nationkey", "n_name").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val monthly = graft.sources.Tables.orders(spark, sf)
+      .select(col("o_custkey"),
+        expr("unix_micros(cast(o_orderdate as timestamp))").as("us"),
+        col("o_totalprice"))
+      .collect()
+      .map(r => ((cust(r.getLong(0)), r.getLong(1) / monthUs),
+        math.floor(r.getDouble(2) * 100 + 0.5).toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val m1 = monthly.keys.map(_._2).max
+    val m0 = m1 - 23
+    val want = monthly.keys.map(_._1).toSeq.distinct.sorted.flatMap { nk =>
+      // exact rational recurrence s_t=(y_t+s_{t-1})/2 carried as the
+      // un-floored numerator num_t = 2^t*s_t; floor only at report
+      var num = BigInt(0)
+      (0 to 23).map { j =>
+        val y = monthly.getOrElse((nk, m0 + j), 0L)
+        num += BigInt(y) << math.max(j - 1, 0)
+        (nat(nk), m0 + j, j.toLong, y, (num >> j).toLong)
+      }
+    }
+    val got = run("q_ses_forecast").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq.sortBy(t => (t._1, t._2))
+    assert(got == want.sortBy(t => (t._1, t._2)))
+    // the walk-forward column is exactly the lagged level
+    val rows = run("q_ses_forecast").collect()
+      .groupBy(_.getString(0)).values
+    rows.foreach { rs =>
+      rs.sortBy(_.getLong(1)).sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getLong(5) == a.getLong(4))
+          assert(b.getLong(6) == math.abs(b.getLong(3) - a.getLong(4)))
+        case _ =>
+      }
+    }
+  }
+
+  test("cusum_change matches a local walk and zeroes out at the horizon") {
+    val dayUs = 86400000000L
+    val ev = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(expr("unix_micros(ts)").as("us"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0) / dayUs, math.floor(r.getDouble(1) * 100 + 0.5).toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val (d0, d1) = (ev.keys.min, ev.keys.max)
+    val ys = (d0 to d1).map(d => d -> ev.getOrElse(d, 0L))
+    val n = ys.size.toLong
+    val s = ys.map(_._2).sum
+    var pre = BigInt(0)
+    val cus = ys.zipWithIndex.map { case ((d, y), i) =>
+      pre += y
+      (d, y, (BigInt(n) * pre - BigInt(i + 1) * s))
+    }
+    val mxabs = cus.map(_._3.abs).max
+    val cpD = cus.filter(_._3.abs == mxabs).map(_._1).min
+    val preYs = ys.filter(_._1 <= cpD).map(_._2)
+    val postYs = ys.filter(_._1 > cpD).map(_._2)
+    val preMean = preYs.sum / preYs.size
+    val postMean = if (postYs.isEmpty) -1L else postYs.sum / postYs.size
+    val want = cus.map { case (d, y, c) =>
+      (d, y, c.toLong, d == cpD, cpD, preMean, postMean)
+    }
+    val got = run("q_cusum_change").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == want)
+    // CUSUM is a bridge: n*prefix_n - n*S = 0 at the last day, and
+    // exactly one changepoint row is flagged
+    assert(got.last._3 == 0L)
+    assert(got.count(_._4) == 1)
+  }
+
   test("TopKByAvgTFIDF selects buckets and appends the location feature") {
     import spark.implicits._
     val ds = (0 until 200).map { i =>

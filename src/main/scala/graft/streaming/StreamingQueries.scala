@@ -581,6 +581,33 @@ object StreamingQueries {
         .toDF("parity", "cents", "cnt"))
   }
 
+  /** q_stream_cusum — the CUSUM level-shift monitor AT INGEST: the
+    * per-day purchase-cents census
+    * ([[graft.operators.Analytics.cusumCensus]] — plain sums,
+    * ADDITIVE across micro-batches, state ∝ the day axis, not the
+    * corpus) upserts into the keyed store, and the changepoint
+    * finish (axis densify → bridge-exact cusum → argmax + pre/post
+    * means) runs batch-side over the converged census via the SHARED
+    * cusumFinish — the live "did the level shift, and when?"
+    * dashboard; reuses the batch oracle verbatim. */
+  def streamCusum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val census = graft.operators.Analytics.cusumCensus(
+      eventsStream(spark, dir))
+    val store = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    val q = census.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.collect().foreach { r => store.put(r.getLong(0), r.getLong(1)) }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    graft.operators.Analytics.cusumFinish(
+      store.asScala.toSeq.map { case (d, c) => (d, c) }.toDF("d", "cents"))
+  }
+
   /** q_stream_quality — the Gopher quality gate AT INGEST: every
     * arriving document is scored by the published rule battery
     * (q_gopher_rules' [[graft.operators.Curation.gopherFlags]] kernel,
@@ -1058,6 +1085,7 @@ object StreamingQueries {
     "q_stream_boot" -> stateful(streamBoot),
     "q_stream_dp" -> stateful(streamDp),
     "q_stream_conformal" -> stateful(streamConformal),
+    "q_stream_cusum" -> stateful(streamCusum),
     "q_stream_hll" -> stateful(streamHll))
 
   /** The streaming queries run real Structured Streaming, but over the
@@ -1091,6 +1119,9 @@ object StreamingQueries {
     // the batch conformal oracle VERBATIM — confCensus + confFinish
     // are shared and the histogram counts are additive across batches
     "q_stream_conformal" -> graft.operators.Analytics.oracleSql("q_conformal"),
+    // the batch CUSUM oracle VERBATIM — cusumCensus + cusumFinish are
+    // shared and the day sums are additive across batches
+    "q_stream_cusum" -> graft.operators.Analytics.oracleSql("q_cusum_change"),
     // the batch transition-matrix oracle VERBATIM — transFinish is
     // shared, so the converged step counts must yield the batch matrix
     "q_stream_transitions" -> graft.operators.Analytics.oracleSql("q_transitions"),

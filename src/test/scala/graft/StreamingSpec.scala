@@ -441,6 +441,15 @@ class StreamingSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("streaming cusum monitor equals the batch changepoint row for row") {
+    val batch = SparkEntry.queries("q_cusum_change")(spark, sf).collect()
+      .map(_.toSeq).toSet
+    val stream = SparkEntry.queries("q_stream_cusum")(spark, sf).collect()
+      .map(_.toSeq).toSet
+    assert(stream.nonEmpty)
+    assert(stream == batch)
+  }
+
   test("streaming jsonl quarantine equals the batch ingest report row for row") {
     val batch = SparkEntry.queries("q_parse_jsonl")(spark, sf).collect()
       .map(_.toSeq).toSet

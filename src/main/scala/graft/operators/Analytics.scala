@@ -3340,7 +3340,113 @@ object Analytics {
       .orderBy("d")
   }
 
+  /** q_eb_shrink: empirical-Bayes beta-binomial shrinkage of the
+    * per-part return rate — the small-sample fix every rate
+    * leaderboard needs (a part with 1 return out of 2 lineitems is
+    * NOT a 50%-return part): fit a Beta prior to the observed
+    * per-part rate distribution by method of moments (Robbins 1956 /
+    * the Efron–Morris batting-average recipe), then report each
+    * part's posterior-mean rate (x + μν) / (n + ν) — low-n parts
+    * collapse to the corpus prior, high-n parts keep their data.
+    *
+    * Exactness: everything is integer — rates in e6 (floored once),
+    * the prior moments as exact sums s1 = Σr, s2 = Σr², the variance
+    * numerator k·s2 − s1² (the n-scaled trick, no division), and the
+    * prior strength ν = ⌊μ(1−μ)·k² / var_num⌋ − 1 clamped to
+    * [1, 10⁹] (a degenerate zero-variance corpus pins to the cap —
+    * "ignore the data" is the correct limit). Products stay inside
+    * decimal(38,0)/HUGEINT to ~10⁷ parts.
+    *
+    * Scale shape: ONE (part) two-phase agg over the lineitem scan;
+    * the prior is a catalog-sized 1-row agg broadcast back; the
+    * posterior is pure column arithmetic. No window anywhere. */
+  def ebShrink(spark: SparkSession, dir: String): DataFrame = {
+    val rates = Tables.lineitem(spark, dir)
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("x"))
+      .withColumn("raw_e6", expr("x * 1000000 div n"))
+      .localCheckpoint() // reused: prior moments + posterior projection
+    val prior = rates.agg(count(lit(1)).as("k"),
+        sum("raw_e6").as("s1"),
+        sum(expr("cast(raw_e6 as decimal(38,0)) * raw_e6")).as("s2"))
+      .withColumn("mu_e6", expr("s1 div k"))
+      .withColumn("var_num", expr(
+        "cast(k as decimal(38,0)) * s2 - cast(s1 as decimal(38,0)) * s1"))
+      .withColumn("nu", expr(
+        """cast(case when var_num = 0 then 1000000000 else
+          | least(greatest((cast(mu_e6 as decimal(38,0)) * (1000000 - mu_e6)
+          |   * k * k) div var_num - 1, 1), 1000000000) end as bigint)"""
+          .stripMargin.replace('\n', ' ')))
+      .select("k", "mu_e6", "nu")
+    rates.crossJoin(broadcast(prior))
+      .withColumn("shrunk_e6", expr(
+        """cast((cast(x as decimal(38,0)) * 1000000 + cast(mu_e6 as decimal(38,0)) * nu)
+          | div (n + nu) as bigint)""".stripMargin.replace('\n', ' ')))
+      .select("l_partkey", "n", "x", "raw_e6", "mu_e6", "nu", "shrunk_e6")
+      .orderBy("l_partkey")
+  }
+
+  /** q_power_mde: the minimal-detectable-effect audit of the A/B
+    * split — for every outcome event_type, given the CURRENT arm
+    * sizes and pooled conversion rate, the smallest absolute (and
+    * relative) rate difference a two-proportion z-test would detect
+    * at α = 0.05 / power = 0.80: MDE = (z_{α/2} + z_β) ·
+    * √(p̂(1−p̂)(1/n₀+1/n₁)). The pre-experiment sanity check the
+    * χ²/CUPED/log-rank family assumes was done — "is this test even
+    * capable of seeing the effect size we care about?". The exposure
+    * unit is the user-DAY (a user active on a day either reached the
+    * outcome that day or didn't) — lifetime user-level conversion
+    * saturates to 1 on any long horizon and has no detectable margin
+    * left (exactly what this audit would report: MDE = 0).
+    *
+    * Exactness: the q_wilson_rates IEEE contract — both engines build
+    * the IDENTICAL double expression tree (literal z constants, one
+    * division per factor, one sqrt), so every bit matches and the
+    * final e6 floor is engine-independent. Counts stay integer until
+    * the last step.
+    *
+    * Scale shape: one (user, type) two-phase distinct (shared shape
+    * with q_chi2_abtest), then everything is catalog-sized — per-type
+    * conversions and the broadcast 1-row arm totals feed pure column
+    * arithmetic. */
+  /** z_{α/2} + z_β for α=.05, power=.80 — summed ONCE here so the
+    * engine expr and the oracle literal are the same double bits. */
+  private[graft] val MdeZ: Double = 1.959963984540054 + 0.8416212335729143
+
+  def powerMde(spark: SparkSession, dir: String): DataFrame = {
+    val z = MdeZ
+    val flags = Tables.events(spark, dir)
+      .select((col("user_id") % 2).as("variant"), col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("d"),
+        col("event_type")).distinct()
+      .localCheckpoint() // conv counts + arm totals share it
+    val arms = flags.select("variant", "user_id", "d").distinct()
+      .groupBy().pivot("variant", Seq(0, 1)).count()
+      .select(col("0").as("n0"), col("1").as("n1"))
+    flags.groupBy("event_type")
+      .agg(sum(when(col("variant") === 0, 1L).otherwise(0L)).as("conv0"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("conv1"))
+      .crossJoin(broadcast(arms))
+      .withColumn("p_hat", expr(
+        "cast(conv0 + conv1 as double) / cast(n0 + n1 as double)"))
+      .withColumn("mde", expr(
+        s"$z * sqrt(p_hat * (1.0d - p_hat) " +
+          "* (1.0d / cast(n0 as double) + 1.0d / cast(n1 as double)))"))
+      .withColumn("p_e6", floor(col("p_hat") * 1e6).cast("long"))
+      .withColumn("mde_e6", floor(col("mde") * 1e6).cast("long"))
+      .withColumn("mde_rel_e6", expr(
+        """case when p_hat = 0.0d then cast(-1 as bigint)
+          | else cast(floor(mde / p_hat * 1000000.0d) as bigint) end"""
+          .stripMargin.replace('\n', ' ')))
+      .select("event_type", "n0", "n1", "conv0", "conv1", "p_e6",
+        "mde_e6", "mde_rel_e6")
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_eb_shrink" -> (ebShrink(_, _)),
+    "q_power_mde" -> (powerMde(_, _)),
     "q_ses_forecast" -> (sesForecast(_, _)),
     "q_cusum_change" -> (cusumChange(_, _)),
     "q_conformal" -> (conformal(_, _)),
@@ -3440,6 +3546,63 @@ object Analytics {
   }.mkString("\nUNION ALL\n")
 
   val oracleSql: Map[String, String] = Map(
+    // same e6 rate floor, same n-scaled variance numerator, same
+    // clamped method-of-moments nu and posterior-mean staging
+    "q_eb_shrink" ->
+      """WITH rates AS (
+        |  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS x
+        |  FROM lineitem GROUP BY l_partkey),
+        |r2 AS (SELECT *, x * 1000000 // n AS raw_e6 FROM rates),
+        |prior AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(raw_e6) AS BIGINT) AS s1,
+        |    SUM(CAST(raw_e6 AS HUGEINT) * raw_e6) AS s2
+        |  FROM r2),
+        |p2 AS (
+        |  SELECT k, s1 // k AS mu_e6,
+        |    CAST(k AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS var_num
+        |  FROM prior),
+        |p3 AS (
+        |  SELECT k, mu_e6, CAST(CASE WHEN var_num = 0 THEN 1000000000 ELSE
+        |    least(greatest((CAST(mu_e6 AS HUGEINT) * (1000000 - mu_e6)
+        |      * k * k) // var_num - 1, 1), 1000000000) END AS BIGINT) AS nu
+        |  FROM p2)
+        |SELECT l_partkey, n, x, raw_e6, mu_e6, nu,
+        |  CAST((CAST(x AS HUGEINT) * 1000000 + CAST(mu_e6 AS HUGEINT) * nu)
+        |    // (n + nu) AS BIGINT) AS shrunk_e6
+        |FROM r2 CROSS JOIN p3 ORDER BY l_partkey""".stripMargin,
+    // same IEEE double tree (literal z sum, per-factor divisions, one
+    // sqrt) and the same final e6 floors
+    "q_power_mde" ->
+      s"""WITH flags AS (
+        |  SELECT DISTINCT user_id % 2 AS variant, user_id,
+        |    epoch_ns(ts) // 1000 // 86400000000 AS d, event_type
+        |  FROM events),
+        |arms AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+        |  FROM (SELECT DISTINCT variant, user_id, d FROM flags)),
+        |conv AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS conv0,
+        |    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS conv1
+        |  FROM flags GROUP BY event_type),
+        |m AS (
+        |  SELECT event_type, n0, n1, conv0, conv1,
+        |    CAST(conv0 + conv1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE) AS p_hat
+        |  FROM conv CROSS JOIN arms),
+        |m2 AS (
+        |  SELECT *, $MdeZ * sqrt(p_hat * (1.0 - p_hat)
+        |    * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))) AS mde
+        |  FROM m)
+        |SELECT event_type, n0, n1, conv0, conv1,
+        |  CAST(floor(p_hat * 1000000.0) AS BIGINT) AS p_e6,
+        |  CAST(floor(mde * 1000000.0) AS BIGINT) AS mde_e6,
+        |  CASE WHEN p_hat = 0.0 THEN CAST(-1 AS BIGINT)
+        |    ELSE CAST(floor(mde / p_hat * 1000000.0) AS BIGINT) END AS mde_rel_e6
+        |FROM m2 ORDER BY event_type""".stripMargin,
     // same dyadic closed form: 2^t * level = y_0 + sum y_j 2^(j-1),
     // HUGEINT cumulative numerator, `<<` weights, floored `//`
     "q_ses_forecast" ->

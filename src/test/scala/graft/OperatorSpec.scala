@@ -3956,6 +3956,70 @@ class OperatorSpec extends SparkSpec {
     assert(got.count(_._4) == 1)
   }
 
+  test("eb_shrink matches a BigInt moments recompute and stays convex") {
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_partkey", "l_returnflag").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val counts = li.groupBy(_._1).toSeq.map { case (p, rs) =>
+      (p, rs.size.toLong, rs.count(_._2 == "R").toLong)
+    }
+    val r2 = counts.map { case (p, n, x) => (p, n, x, x * 1000000L / n) }
+    val k = BigInt(r2.size)
+    val s1 = r2.map(t => BigInt(t._4)).sum
+    val s2 = r2.map(t => BigInt(t._4) * t._4).sum
+    val mu = (s1 / k).toLong
+    val varNum = k * s2 - s1 * s1
+    val nu =
+      if (varNum == 0) 1000000000L
+      else ((BigInt(mu) * (1000000L - mu) * k * k / varNum - 1)
+        .max(1).min(1000000000)).toLong
+    val want = r2.map { case (p, n, x, raw) =>
+      (p, n, x, raw, mu, nu,
+        ((BigInt(x) * 1000000 + BigInt(mu) * nu) / (BigInt(n) + nu)).toLong)
+    }.sortBy(_._1)
+    val got = run("q_eb_shrink").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == want)
+    // the posterior mean sits between the raw rate and the prior
+    got.foreach { case (_, _, _, raw, m, _, sh) =>
+      assert(sh >= math.min(raw, m) - 1 && sh <= math.max(raw, m) + 1)
+    }
+    // shrinkage binds somewhere: some low-n part moved toward the prior
+    assert(got.exists { case (_, _, _, raw, _, _, sh) => sh != raw })
+  }
+
+  test("power_mde matches the IEEE double tree and shrinks with pooled n") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("d"),
+        col("event_type")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val userDays = ev.map(t => (t._1, t._2)).distinct
+    val n0 = userDays.count(_._1 % 2 == 0).toLong
+    val n1 = userDays.count(_._1 % 2 == 1).toLong
+    val want = ev.groupBy(_._3).toSeq.map { case (t, rs) =>
+      val conv0 = rs.count(_._1 % 2 == 0).toLong
+      val conv1 = rs.count(_._1 % 2 == 1).toLong
+      val p = (conv0 + conv1).toDouble / (n0 + n1).toDouble
+      val mde = graft.operators.Analytics.MdeZ *
+        math.sqrt(p * (1.0 - p) * (1.0 / n0.toDouble + 1.0 / n1.toDouble))
+      (t, n0, n1, conv0, conv1, math.floor(p * 1e6).toLong,
+        math.floor(mde * 1e6).toLong,
+        if (p == 0.0) -1L else math.floor(mde / p * 1e6).toLong)
+    }.sortBy(_._1)
+    val got = run("q_power_mde").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    assert(got == want)
+    // MDE is 0 exactly at the degenerate margins (p̂ ∈ {0,1}), else > 0
+    got.foreach { t =>
+      val degenerate = t._6 <= 0L || t._6 >= 1000000L
+      assert(if (degenerate) t._7 == 0 else t._7 > 0)
+    }
+    // the user-DAY unit keeps the margins non-degenerate on this data
+    assert(got.exists(_._7 > 0))
+  }
+
   test("TopKByAvgTFIDF selects buckets and appends the location feature") {
     import spark.implicits._
     val ds = (0 until 200).map { i =>

@@ -3444,7 +3444,103 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** q_user_recs: per-customer top-3 part recommendations — the
+    * SERVING step over q_copurchase's item-item cosine neighbors
+    * ("customers who bought X also bought Y", scored per customer):
+    * each customer's owned parts vote for their top-3 co-purchase
+    * neighbors, votes sum by candidate (cos²-e6 weights), owned
+    * parts are excluded (you don't recommend what the customer
+    * already has), and the top-3 by (score, vote count, part id) —
+    * a total order, so the board is engine-independent.
+    *
+    * Scale shape: the neighbor table is catalog×3 and joins the
+    * ownership table BY PART (hash equi-join — at 10⁸ parts neither
+    * side broadcasts, both hash by part); ownership itself is the one
+    * required fact-fact shuffle (orders⋈lineitem co-keyed on
+    * orderkey); candidate fan-out is owned×3, collapsed by a
+    * (customer, candidate) two-phase agg; the anti-join and the
+    * top-3 window partition by customer. */
+  def userRecs(spark: SparkSession, dir: String): DataFrame = {
+    val nbrs = copurchase(spark, dir)
+      .select(col("part_a"), col("part_b"), col("cos2_e6"))
+    val owned = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_partkey").as("part")).distinct()
+      .localCheckpoint() // reused: candidate votes + the owned exclusion
+    val cand = owned.join(nbrs, col("part") === col("part_a"))
+      .groupBy(col("o_custkey"), col("part_b"))
+      .agg(sum("cos2_e6").as("score_e6"), count(lit(1)).as("n_src"))
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("score_e6").desc, col("n_src").desc, col("part_b").asc)
+    cand.join(owned,
+        cand("o_custkey") === owned("o_custkey") &&
+          cand("part_b") === owned("part"), "left_anti")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("o_custkey"), col("rnk"), col("part_b").as("rec_part"),
+        col("score_e6"), col("n_src"))
+      .orderBy("o_custkey", "rnk")
+  }
+
+  /** q_seq_patterns: sequential-pattern mining over the event stream
+    * (the PrefixSpan support core, Pei et al. 2001, specialized to
+    * the bounded event-type alphabet): for every ordered pair a→b
+    * and triple a→b→c of DISTINCT types, the number of users whose
+    * history contains the pattern as a (strict-time) subsequence,
+    * with e6 user share. Existence is decided by the leftmost-greedy
+    * walk — earliest a, then earliest b after it, then any c after
+    * that — which is the exact subsequence test (greedy is optimal:
+    * taking the earliest occurrence only ever leaves more room).
+    *
+    * Scale shape: per-user (type) min/max timestamps are ONE
+    * two-phase agg; the only corpus-sized expansion is the
+    * b-after-a staging join — events × alphabet, collapsed
+    * immediately by a (user, a, b) min-agg, all keyed by user (one
+    * shuffle family); pattern support is a ≤ alphabet³-sized agg and
+    * the report is catalog-bounded (≤ 80 rows at 5 types). */
+  def seqPatterns(spark: SparkSession, dir: String): DataFrame =
+    seqPatternsFrom(Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type").as("t"),
+        expr("unix_micros(ts)").as("us")))
+
+  /** The pattern-support kernel over a (user_id, t, us) history —
+    * factored so the spec can drive it with a synthetic
+    * non-saturated corpus. */
+  private[graft] def seqPatternsFrom(ev: DataFrame): DataFrame = {
+    val firstA = ev.groupBy(col("user_id"), col("t").as("a"))
+      .agg(min("us").as("ta"))
+    val maxC = ev.groupBy(col("user_id"), col("t").as("c"))
+      .agg(max("us").as("tc"))
+    val nU = ev.agg(countDistinct("user_id").as("n_users"))
+    val pairs = firstA.join(maxC, "user_id")
+      .filter(col("a") =!= col("c") && col("ta") < col("tc"))
+      .groupBy("a", "c").agg(count(lit(1)).as("support"))
+      .select(lit(2L).as("len"),
+        concat(col("a"), lit(">"), col("c")).as("pattern"), col("support"))
+    val bAfterA = ev.join(firstA, "user_id")
+      .filter(col("t") =!= col("a") && col("us") > col("ta"))
+      .groupBy(col("user_id"), col("a"), col("t").as("b"))
+      .agg(min("us").as("tb"))
+    val triples = bAfterA.join(maxC, "user_id")
+      .filter(col("c") =!= col("a") && col("c") =!= col("b") &&
+        col("tc") > col("tb"))
+      .groupBy("a", "b", "c").agg(count(lit(1)).as("support"))
+      .select(lit(3L).as("len"),
+        concat(col("a"), lit(">"), col("b"), lit(">"), col("c")).as("pattern"),
+        col("support"))
+    pairs.unionByName(triples)
+      .crossJoin(broadcast(nU))
+      .withColumn("share_e6", expr("support * 1000000 div n_users"))
+      .select("len", "pattern", "support", "share_e6")
+      .orderBy(col("support").desc, col("pattern").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_user_recs" -> (userRecs(_, _)),
+    "q_seq_patterns" -> (seqPatterns(_, _)),
     "q_eb_shrink" -> (ebShrink(_, _)),
     "q_power_mde" -> (powerMde(_, _)),
     "q_ses_forecast" -> (sesForecast(_, _)),
@@ -3546,6 +3642,77 @@ object Analytics {
   }.mkString("\nUNION ALL\n")
 
   val oracleSql: Map[String, String] = Map(
+    // the q_copurchase neighbor CTEs verbatim, then the same vote sum,
+    // owned exclusion, and totally-ordered top-3
+    "q_user_recs" ->
+      """WITH bp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |f AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_solo
+        |      FROM bp GROUP BY l_partkey),
+        |pr AS (
+        |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_ab
+        |  FROM bp a JOIN bp b USING (l_orderkey)
+        |  WHERE a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2),
+        |sym AS (SELECT part_a, part_b, n_ab FROM pr
+        |        UNION ALL SELECT part_b, part_a, n_ab FROM pr),
+        |sc AS (
+        |  SELECT part_a, part_b, n_ab,
+        |    CAST((CAST(n_ab AS HUGEINT) * n_ab * 1000000)
+        |      // (CAST(fa.n_solo AS HUGEINT) * fb.n_solo) AS BIGINT) AS cos2_e6
+        |  FROM sym
+        |  JOIN f fa ON fa.l_partkey = part_a
+        |  JOIN f fb ON fb.l_partkey = part_b),
+        |nb AS (SELECT * FROM (
+        |    SELECT part_a, part_b, cos2_e6,
+        |      ROW_NUMBER() OVER (PARTITION BY part_a
+        |        ORDER BY cos2_e6 DESC, n_ab DESC, part_b) AS rnk
+        |    FROM sc) WHERE rnk <= 3),
+        |owned AS (SELECT DISTINCT o_custkey, l_partkey AS part
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |cand AS (
+        |  SELECT o.o_custkey, nb.part_b,
+        |    CAST(SUM(nb.cos2_e6) AS BIGINT) AS score_e6,
+        |    CAST(COUNT(*) AS BIGINT) AS n_src
+        |  FROM owned o JOIN nb ON o.part = nb.part_a
+        |  GROUP BY 1, 2),
+        |ex AS (
+        |  SELECT c.* FROM cand c LEFT JOIN owned w
+        |    ON c.o_custkey = w.o_custkey AND c.part_b = w.part
+        |  WHERE w.part IS NULL),
+        |rr AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |    ORDER BY score_e6 DESC, n_src DESC, part_b) AS BIGINT) AS rnk
+        |  FROM ex)
+        |SELECT o_custkey, rnk, part_b AS rec_part, score_e6, n_src
+        |FROM rr WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
+    // same leftmost-greedy subsequence test: first-a, min-b-after-a,
+    // max-c; strict time inequalities, distinct types, e6 user share
+    "q_seq_patterns" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type AS t, epoch_ns(ts) // 1000 AS us
+        |  FROM events),
+        |fa AS (SELECT user_id, t AS a, MIN(us) AS ta FROM ev GROUP BY 1, 2),
+        |mc AS (SELECT user_id, t AS c, MAX(us) AS tc FROM ev GROUP BY 1, 2),
+        |nu AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM ev),
+        |p2 AS (
+        |  SELECT CAST(2 AS BIGINT) AS len, a || '>' || c AS pattern,
+        |    CAST(COUNT(*) AS BIGINT) AS support
+        |  FROM fa JOIN mc USING (user_id)
+        |  WHERE a <> c AND ta < tc GROUP BY 2),
+        |ba AS (
+        |  SELECT e.user_id, f.a, e.t AS b, MIN(e.us) AS tb
+        |  FROM ev e JOIN fa f USING (user_id)
+        |  WHERE e.t <> f.a AND e.us > f.ta
+        |  GROUP BY 1, 2, 3),
+        |p3 AS (
+        |  SELECT CAST(3 AS BIGINT) AS len,
+        |    a || '>' || b || '>' || c AS pattern,
+        |    CAST(COUNT(*) AS BIGINT) AS support
+        |  FROM ba JOIN mc USING (user_id)
+        |  WHERE c <> a AND c <> b AND tc > tb GROUP BY 2)
+        |SELECT len, pattern, support, support * 1000000 // n_users AS share_e6
+        |FROM (SELECT * FROM p2 UNION ALL SELECT * FROM p3) CROSS JOIN nu
+        |ORDER BY support DESC, pattern""".stripMargin,
     // same e6 rate floor, same n-scaled variance numerator, same
     // clamped method-of-moments nu and posterior-mean staging
     "q_eb_shrink" ->

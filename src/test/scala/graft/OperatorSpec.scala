@@ -4020,6 +4020,93 @@ class OperatorSpec extends SparkSpec {
     assert(got.exists(_._7 > 0))
   }
 
+  test("user_recs never recommends owned parts and ranks by the total order") {
+    val recs = run("q_user_recs")
+    val owned = graft.sources.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey")
+      .join(graft.sources.Tables.lineitem(spark, sf)
+        .select("l_orderkey", "l_partkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_partkey").as("rec_part")).distinct()
+    assert(recs.join(owned, Seq("o_custkey", "rec_part")).count() == 0)
+    // ranks are 1..k dense and the score order is the declared one
+    val rows = recs.collect().groupBy(_.getLong(0))
+    rows.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length))
+      sorted.sliding(2).foreach {
+        case Array(hi, lo) =>
+          val a = (hi.getLong(3), hi.getLong(4), -hi.getLong(2))
+          val b = (lo.getLong(3), lo.getLong(4), -lo.getLong(2))
+          assert(Ordering[(Long, Long, Long)].gteq(a, b))
+        case _ =>
+      }
+    }
+    // every recommendation is a top-3 neighbor of some owned part
+    val nbrs = run("q_copurchase").select(col("part_b").as("rec_part")).distinct()
+    assert(recs.join(nbrs, "rec_part").count() == recs.count())
+  }
+
+  test("seq_patterns matches a local greedy subsequence walk") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), expr("unix_micros(ts)").as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3)).sortBy(_._2)).toMap
+    val types = ev.map(_._2).distinct.sorted
+    val nUsers = byUser.size.toLong
+    def has2(h: Seq[(String, Long)], a: String, c: String): Boolean = {
+      val ta = h.collectFirst { case (t, u) if t == a => u }
+      ta.exists(t0 => h.exists { case (t, u) => t == c && u > t0 })
+    }
+    def has3(h: Seq[(String, Long)], a: String, b: String, c: String): Boolean = {
+      val ta = h.collectFirst { case (t, u) if t == a => u }
+      val tb = ta.flatMap(t0 =>
+        h.collectFirst { case (t, u) if t == b && u > t0 => u })
+      tb.exists(t1 => h.exists { case (t, u) => t == c && u > t1 })
+    }
+    val want = (for {
+      a <- types; c <- types if a != c
+      s = byUser.values.count(has2(_, a, c)).toLong if s > 0
+    } yield (2L, s"$a>$c", s, s * 1000000L / nUsers)) ++ (for {
+      a <- types; b <- types if b != a
+      c <- types if c != a && c != b
+      s = byUser.values.count(has3(_, a, b, c)).toLong if s > 0
+    } yield (3L, s"$a>$b>$c", s, s * 1000000L / nUsers))
+    val got = run("q_seq_patterns").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got.sortBy(t => (t._1, t._2)) == want.toSeq.sortBy(t => (t._1, t._2)))
+    // containment: a>b>c support can never exceed a>b or b>c
+    val sup = got.map(t => t._2 -> t._3).toMap
+    got.filter(_._1 == 3L).foreach { case (_, p, s, _) =>
+      val Array(a, b, c) = p.split(">")
+      assert(s <= sup.getOrElse(s"$a>$b", 0L))
+      assert(s <= sup.getOrElse(s"$b>$c", 0L))
+    }
+  }
+
+  test("seq_patterns separates supports on a non-saturated corpus") {
+    import spark.implicits._
+    // u1: a b c (all patterns), u2: b a (only b>a), u3: a c, u4: c b a
+    val ev = Seq(
+      (1L, "a", 10L), (1L, "b", 20L), (1L, "c", 30L),
+      (2L, "b", 10L), (2L, "a", 20L),
+      (3L, "a", 10L), (3L, "c", 20L),
+      (4L, "c", 10L), (4L, "b", 20L), (4L, "a", 30L)
+    ).toDF("user_id", "t", "us")
+    val got = graft.operators.Analytics.seqPatternsFrom(ev).collect()
+      .map(r => r.getString(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got("a>b") == (1L, 250000L))
+    assert(got("a>c") == (2L, 500000L))
+    assert(got("b>a") == (2L, 500000L))
+    assert(got("a>b>c") == (1L, 250000L))
+    assert(got("c>b>a") == (1L, 250000L))
+    assert(got("c>a") == (1L, 250000L)) // u4's c..a straddle
+    assert(!got.contains("b>c>a")) // zero-support patterns never emit
+    assert(!got.contains("a>c>b"))
+  }
+
   test("TopKByAvgTFIDF selects buckets and appends the location feature") {
     import spark.implicits._
     val ds = (0 until 200).map { i =>

@@ -3538,7 +3538,54 @@ object Analytics {
       .orderBy(col("support").desc, col("pattern").asc)
   }
 
+  /** q_ts_decompose: classical additive decomposition of the daily
+    * purchase-revenue series — y = trend + seasonal + remainder
+    * (the moving-average decomposition every STL variant refines;
+    * Kendall's "classical" method): trend is the centered 7-day
+    * moving average (partial at the edges — sum÷count over the
+    * available window), the seasonal index is the per-day-of-week
+    * mean of the detrended series re-centered to sum ≈ 0, and the
+    * remainder is what's left — the input q_anomaly_mad should be
+    * run on, and the structure q_acf detects made explicit.
+    *
+    * Exactness: all integer cents with truncating divisions —
+    * trending/seasonal means floor toward zero IDENTICALLY in both
+    * engines (verified: Spark `div` and DuckDB `//` both truncate on
+    * negatives), so detrended (and thus seasonal) values may be
+    * negative yet stay bit-exact.
+    *
+    * Scale shape: ONE two-phase day agg over the purchase scan; the
+    * axis zero-fill, the centered window, the 7-row seasonal table
+    * (broadcast back), and the projection all ride the bounded day
+    * axis. */
+  def tsDecompose(spark: SparkSession, dir: String): DataFrame = {
+    val census = cusumCensus(Tables.events(spark, dir)) // per-day cents
+    val axis = census.agg(min("d").as("d0"), max("d").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("d"))
+    val wc = Window.orderBy("d").rowsBetween(-3, 3) // bounded day axis
+    val days = axis.join(census, Seq("d"), "left")
+      .withColumn("y_cents", coalesce(col("cents"), lit(0L)))
+      .withColumn("tsum", sum("y_cents").over(wc))
+      .withColumn("tcnt", count(lit(1)).over(wc))
+      .withColumn("trend_cents", expr("tsum div tcnt"))
+      .withColumn("dow", col("d") % 7)
+      .withColumn("detr", col("y_cents") - col("trend_cents"))
+      .localCheckpoint() // reused: seasonal fit + final projection
+    val seas = days.groupBy("dow")
+      .agg(expr("sum(detr) div count(1)").as("seas_raw"))
+    val seasC = seas.crossJoin(broadcast(
+        seas.agg(expr("sum(seas_raw) div 7").as("seas_mu"))))
+      .select(col("dow"), (col("seas_raw") - col("seas_mu")).as("seasonal_cents"))
+    days.join(broadcast(seasC), "dow")
+      .withColumn("remainder_cents",
+        col("y_cents") - col("trend_cents") - col("seasonal_cents"))
+      .select("d", "dow", "y_cents", "trend_cents", "seasonal_cents",
+        "remainder_cents")
+      .orderBy("d")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_decompose" -> (tsDecompose(_, _)),
     "q_user_recs" -> (userRecs(_, _)),
     "q_seq_patterns" -> (seqPatterns(_, _)),
     "q_eb_shrink" -> (ebShrink(_, _)),
@@ -3642,6 +3689,34 @@ object Analytics {
   }.mkString("\nUNION ALL\n")
 
   val oracleSql: Map[String, String] = Map(
+    // same centered 7-day window with edge-partial sum//count trend,
+    // same dow seasonal re-centering, same truncating divisions
+    "q_ts_decompose" ->
+      """WITH census AS (
+        |  SELECT epoch_ns(ts) // 1000 // 86400000000 AS d,
+        |    CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |axis AS (SELECT unnest(generate_series(MIN(d), MAX(d))) AS d FROM census),
+        |days AS (
+        |  SELECT a.d, COALESCE(c.cents, 0) AS y_cents,
+        |    CAST(SUM(COALESCE(c.cents, 0)) OVER w
+        |      // COUNT(*) OVER w AS BIGINT) AS trend_cents,
+        |    a.d % 7 AS dow
+        |  FROM axis a LEFT JOIN census c USING (d)
+        |  WINDOW w AS (ORDER BY a.d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |dd AS (SELECT *, y_cents - trend_cents AS detr FROM days),
+        |seas AS (
+        |  SELECT dow, CAST(SUM(detr) // COUNT(*) AS BIGINT) AS seas_raw
+        |  FROM dd GROUP BY dow),
+        |sc AS (
+        |  SELECT dow, CAST(seas_raw
+        |    - (SELECT CAST(SUM(seas_raw) AS BIGINT) // 7 FROM seas) AS BIGINT)
+        |    AS seasonal_cents
+        |  FROM seas)
+        |SELECT dd.d, CAST(dd.dow AS BIGINT) AS dow, dd.y_cents, dd.trend_cents,
+        |  sc.seasonal_cents,
+        |  dd.y_cents - dd.trend_cents - sc.seasonal_cents AS remainder_cents
+        |FROM dd JOIN sc USING (dow) ORDER BY dd.d""".stripMargin,
     // the q_copurchase neighbor CTEs verbatim, then the same vote sum,
     // owned exclusion, and totally-ordered top-3
     "q_user_recs" ->

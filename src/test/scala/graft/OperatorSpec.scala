@@ -4107,6 +4107,42 @@ class OperatorSpec extends SparkSpec {
     assert(!got.contains("a>c>b"))
   }
 
+  test("ts_decompose matches a local classical decomposition walk") {
+    val dayUs = 86400000000L
+    val ev = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(expr("unix_micros(ts)").as("us"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0) / dayUs, math.floor(r.getDouble(1) * 100 + 0.5).toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val (d0, d1) = (ev.keys.min, ev.keys.max)
+    val ys = (d0 to d1).map(d => d -> ev.getOrElse(d, 0L)).toIndexedSeq
+    val trend = ys.indices.map { i =>
+      val win = ys.slice(math.max(i - 3, 0), math.min(i + 4, ys.size)).map(_._2)
+      win.sum / win.size
+    }
+    val detr = ys.indices.map(i => ys(i)._2 - trend(i))
+    val seasRaw = (0L until 7L).map { w =>
+      val vs = ys.indices.filter(i => ys(i)._1 % 7 == w).map(detr)
+      w -> (if (vs.isEmpty) 0L else vs.sum / vs.size)
+    }.toMap
+    val mu = seasRaw.values.sum / 7
+    val want = ys.indices.map { i =>
+      val (d, y) = ys(i)
+      val s = seasRaw(d % 7) - mu
+      (d, d % 7, y, trend(i), s, y - trend(i) - s)
+    }
+    val got = run("q_ts_decompose").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == want)
+    // the decomposition is an exact identity and the seasonal indices
+    // re-center to within the 7 floored divisions
+    got.foreach { case (_, _, y, t, s, r) => assert(y == t + s + r) }
+    val idx = got.map(t => t._2 -> t._5).distinct.map(_._2)
+    assert(math.abs(idx.sum) <= 7)
+  }
+
   test("TopKByAvgTFIDF selects buckets and appends the location feature") {
     import spark.implicits._
     val ds = (0 until 200).map { i =>

@@ -1093,6 +1093,58 @@ object Curation {
         "stop_hits", "keep")
   }
 
+  /** Keywords whose presence as whole words votes for "code". */
+  private[graft] val CodeKws =
+    Seq("def", "return", "import", "function", "class", "const",
+      "var", "void", "int", "public")
+  private def CodeKwsSqlLits: String =
+    CodeKws.map(s => s"'$s'").mkString(", ")
+
+  /** q_code_detect: the code-vs-prose router — the modality split a
+    * pretraining mix does FIRST (code goes to the code pipeline with
+    * its own dedup/quality rules; prose continues to the Gopher
+    * gate). Four integer signals per document — symbol-character
+    * density, indented-line share, code-punctuation line endings
+    * (`;`/`{`/`}`), and whole-word keyword hits — each voting
+    * against a fixed threshold, is_code = ≥ 2 votes (no single
+    * signal can misroute a document; StarCoder-lineage heuristic
+    * routers use exactly this rule-vote shape).
+    *
+    * Scale shape: one corpus scan, every signal computed in a single
+    * codegen'd projection over the split-once line/word arrays — no
+    * shuffle until the bounded final ORDER BY. All ratios e6-integer
+    * (truncating div, zero-guarded) so the route is bit-stable
+    * cross-engine. */
+  def codeDetect(spark: SparkSession, dir: String): DataFrame =
+    codeFlags(Tables.widened(
+      Tables.documents(spark, dir).select("doc_id", "text")))
+      .orderBy("doc_id")
+
+  /** The rule battery over any `(doc_id, text)` frame — factored so
+    * the spec can plant synthetic code documents. */
+  private[graft] def codeFlags(docs: DataFrame): DataFrame = {
+    docs
+      .withColumn("ls", split(col("text"), "\n"))
+      .withColumn("n_lines", size(col("ls")).cast("long"))
+      .withColumn("sym_e6", expr(
+        "regexp_count(text, '[{}();=<>]') * 1000000L div greatest(length(text), 1)"))
+      .withColumn("indent_e6", expr(
+        "size(filter(ls, l -> l rlike '^(  |\t)')) * 1000000L div n_lines"))
+      .withColumn("eol_e6", expr(
+        "size(filter(ls, l -> l rlike '[;{}]$')) * 1000000L div n_lines"))
+      .withColumn("kw_hits", expr(
+        s"size(filter(split(text, '[ \n]'), w -> array_contains(array($CodeKwsSqlLits), w)))")
+        .cast("long"))
+      .withColumn("votes",
+        (when(col("sym_e6") >= 20000L, 1L).otherwise(0L) +
+          when(col("indent_e6") >= 150000L, 1L).otherwise(0L) +
+          when(col("eol_e6") >= 150000L, 1L).otherwise(0L) +
+          when(col("kw_hits") >= 2L, 1L).otherwise(0L)))
+      .withColumn("is_code", col("votes") >= 2L)
+      .select("doc_id", "n_lines", "sym_e6", "indent_e6", "eol_e6",
+        "kw_hits", "votes", "is_code")
+  }
+
   // ── Differential-privacy release (q_dp_release) ────────────────────
 
   /** Release threshold: a group's NOISY count must clear this to be
@@ -1360,6 +1412,7 @@ object Curation {
     "q_kanon_audit" -> (kanonAudit(_, _)),
     "q_mixture_cap" -> (mixtureCap(_, _)),
     "q_gopher_rules" -> (gopherRules(_, _)),
+    "q_code_detect" -> (codeDetect(_, _)),
     "q_logodds_terms" -> (logoddsTerms(_, _)),
     "q_js_divergence" -> (jsDivergence(_, _)),
     "q_lorenz" -> (lorenz(_, _)),
@@ -1557,6 +1610,32 @@ object Curation {
          |FROM lv, ch ORDER BY level""".stripMargin,
     // same single-scan rule battery; every ratio the same truncating
     // integer div; distinct-stop membership per literal stop word
+    "q_code_detect" -> {
+      val kws = CodeKws.map(s => s"'$s'").mkString(", ")
+      s"""WITH d AS (
+         |  SELECT doc_id, text, string_split(text, chr(10)) AS ls
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+         |    CAST(len(regexp_extract_all(text, '[{}();=<>]')) * 1000000
+         |      // greatest(len(text), 1) AS BIGINT) AS sym_e6,
+         |    CAST(len(list_filter(ls, l -> regexp_matches(l, '^(  |\t)')))
+         |      * 1000000 // len(ls) AS BIGINT) AS indent_e6,
+         |    CAST(len(list_filter(ls, l -> regexp_matches(l, '[;{}]$$')))
+         |      * 1000000 // len(ls) AS BIGINT) AS eol_e6,
+         |    CAST(len(list_filter(string_split_regex(text, '[ \n]'),
+         |      w -> list_contains([$kws], w))) AS BIGINT) AS kw_hits
+         |  FROM d),
+         |v AS (
+         |  SELECT *, CAST((CASE WHEN sym_e6 >= 20000 THEN 1 ELSE 0 END)
+         |    + (CASE WHEN indent_e6 >= 150000 THEN 1 ELSE 0 END)
+         |    + (CASE WHEN eol_e6 >= 150000 THEN 1 ELSE 0 END)
+         |    + (CASE WHEN kw_hits >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS votes
+         |  FROM m)
+         |SELECT doc_id, n_lines, sym_e6, indent_e6, eol_e6, kw_hits, votes,
+         |  votes >= 2 AS is_code
+         |FROM v ORDER BY doc_id""".stripMargin
+    },
     "q_gopher_rules" -> {
       val stopList = GopherStops.map(s => s"'$s'").mkString(", ")
       s"""WITH d AS (

@@ -4143,6 +4143,28 @@ class OperatorSpec extends SparkSpec {
     assert(math.abs(idx.sum) <= 7)
   }
 
+  test("code_detect routes planted code and leaves prose alone") {
+    import spark.implicits._
+    val code =
+      "def main(args):\n  x = compute(1);\n  if (x > 2) {\n    return x;\n  }\n" +
+        "  import os\n  var y = x + 1;\n}"
+    val prose =
+      "The quick brown fox jumps over the lazy dog and keeps on " +
+        "running through the quiet field until the evening comes."
+    val mixed = "Sales grew last year.\nSee figure (2) for details."
+    val docs = Seq((1L, code), (2L, prose), (3L, mixed))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Curation.codeFlags(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(6), r.getBoolean(7))).toMap
+    assert(got(1L)._2, "planted code not routed as code")
+    assert(got(1L)._1 >= 3) // symbols + indent + eol + keywords all fire
+    assert(!got(2L)._2 && got(2L)._1 == 0)
+    assert(!got(3L)._2, "one weak signal must not misroute prose")
+    // the corpus itself is prose: the router keeps it that way
+    val corpus = run("q_code_detect")
+    assert(corpus.filter(col("is_code")).count() == 0)
+  }
+
   test("TopKByAvgTFIDF selects buckets and appends the location feature") {
     import spark.implicits._
     val ds = (0 until 200).map { i =>

@@ -241,7 +241,54 @@ object Graph {
       .orderBy("role", "node")
   }
 
+  /** q_assortativity: Newman's degree assortativity of the co-order
+    * graph (Newman 2002) — the Pearson correlation of (deg src,
+    * deg dst) over every directed edge: r > 0 means hubs link hubs
+    * (an assortative core that salting/bucketing must plan for),
+    * r < 0 the star-like disassortative shape where hub-cap
+    * strategies (q_link_predict's LpHubCap) pay off. The one-number
+    * companion to q_degree_dist's histogram.
+    *
+    * Exactness: the five sufficient statistics (M, Σx, Σxy, Σx²,
+    * with the y-marginal equal by edge symmetry) are EXACT
+    * decimal(38,0)/HUGEINT sums; the final r uses the q_wilson_rates
+    * IEEE contract — both engines evaluate the identical double tree
+    * (n-scaled covariance over √vx·√vy), so the e6 floor is
+    * bit-stable. A zero-variance graph (every node the same degree)
+    * reports the −9999999 sentinel.
+    *
+    * Scale shape: degrees are one two-phase agg over the edge set;
+    * the edge table joins the node-sized degree table twice (hash
+    * equi-joins keyed by node — degree tables never broadcast at
+    * 10⁸ nodes); the sufficient statistics are ONE 1-row two-phase
+    * agg. No window, no iteration. */
+  def assortativity(spark: SparkSession, dir: String): DataFrame = {
+    val edges = coOrderEdges(spark, dir)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val stats = edges
+      .join(deg.select(col("src"), col("deg").as("dx")), "src")
+      .join(deg.select(col("src").as("dst"), col("deg").as("dy")), "dst")
+      .agg(count(lit(1)).as("m"),
+        sum("dx").as("sx"), sum("dy").as("sy"),
+        sum(expr("cast(dx as decimal(38,0)) * dy")).as("sxy"),
+        sum(expr("cast(dx as decimal(38,0)) * dx")).as("sx2"),
+        sum(expr("cast(dy as decimal(38,0)) * dy")).as("sy2"))
+    stats
+      .withColumn("num", expr(
+        "cast(cast(m as decimal(38,0)) * sxy - cast(sx as decimal(38,0)) * sy as double)"))
+      .withColumn("vx", expr(
+        "cast(cast(m as decimal(38,0)) * sx2 - cast(sx as decimal(38,0)) * sx as double)"))
+      .withColumn("vy", expr(
+        "cast(cast(m as decimal(38,0)) * sy2 - cast(sy as decimal(38,0)) * sy as double)"))
+      .withColumn("assort_e6", expr(
+        """case when vx = 0.0d or vy = 0.0d then cast(-9999999 as bigint)
+          | else cast(floor(num / (sqrt(vx) * sqrt(vy)) * 1000000.0d) as bigint)
+          | end""".stripMargin.replace('\n', ' ')))
+      .select(col("m"), col("sx").cast("long").as("sx"), col("assort_e6"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_assortativity" -> (assortativity(_, _)),
     "q_pagerank" -> (pagerank(_, _)),
     "q_degree_dist" -> (degreeDist(_, _)),
     "q_hits" -> (hits(_, _)),
@@ -311,6 +358,33 @@ object Graph {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // same five exact sufficient statistics, same IEEE n-scaled
+    // Pearson tree, same zero-variance sentinel
+    "q_assortativity" ->
+      """WITH pairs AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |      FROM pairs a JOIN pairs b USING (l_orderkey)
+        |      WHERE a.l_partkey <> b.l_partkey),
+        |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+        |        FROM e GROUP BY src),
+        |j AS (SELECT dx.deg AS dx, dy.deg AS dy
+        |      FROM e JOIN deg dx ON e.src = dx.src
+        |             JOIN deg dy ON e.dst = dy.src),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+        |  CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
+        |  SUM(CAST(dx AS HUGEINT) * dy) AS sxy,
+        |  SUM(CAST(dx AS HUGEINT) * dx) AS sx2,
+        |  SUM(CAST(dy AS HUGEINT) * dy) AS sy2 FROM j),
+        |v AS (SELECT m, sx,
+        |  CAST(CAST(m AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) AS num,
+        |  CAST(CAST(m AS HUGEINT) * sx2 - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS vx,
+        |  CAST(CAST(m AS HUGEINT) * sy2 - CAST(sy AS HUGEINT) * sy AS DOUBLE) AS vy
+        |  FROM st)
+        |SELECT m, sx,
+        |  CASE WHEN vx = 0.0 OR vy = 0.0 THEN CAST(-9999999 AS BIGINT)
+        |    ELSE CAST(floor(num / (sqrt(vx) * sqrt(vy)) * 1000000.0) AS BIGINT)
+        |  END AS assort_e6
+        |FROM v""".stripMargin,
     "q_pagerank" -> pagerankOracle,
     "q_hits" -> hitsOracle,
     // same edges/deg CTEs; bin via binary-string length (exact integer)

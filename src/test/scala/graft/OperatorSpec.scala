@@ -4165,6 +4165,37 @@ class OperatorSpec extends SparkSpec {
     assert(corpus.filter(col("is_code")).count() == 0)
   }
 
+  test("assortativity matches a local Pearson-over-edges recompute") {
+    val pairs = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val edges = pairs.groupBy(_._1).values.toSeq.flatMap { ps =>
+      val parts = ps.map(_._2).distinct
+      for (a <- parts; b <- parts if a != b) yield (a, b)
+    }.distinct
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val m = BigInt(edges.size)
+    val dx = edges.map(e => BigInt(deg(e._1)))
+    val dy = edges.map(e => BigInt(deg(e._2)))
+    val (sx, sy) = (dx.sum, dy.sum)
+    val sxy = edges.map(e => BigInt(deg(e._1)) * deg(e._2)).sum
+    val sx2 = dx.map(v => v * v).sum
+    val sy2 = dy.map(v => v * v).sum
+    val num = (m * sxy - sx * sy).toDouble
+    val vx = (m * sx2 - sx * sx).toDouble
+    val vy = (m * sy2 - sy * sy).toDouble
+    val want =
+      if (vx == 0.0 || vy == 0.0) -9999999L
+      else math.floor(num / (math.sqrt(vx) * math.sqrt(vy)) * 1e6).toLong
+    val row = run("q_assortativity").collect()(0)
+    assert(row.getLong(0) == m.toLong)
+    assert(row.getLong(1) == sx.toLong)
+    assert(row.getLong(2) == want)
+    // correlation bound: r in [-1, 1] (up to the e6 floor)
+    if (want != -9999999L)
+      assert(row.getLong(2) >= -1000000L && row.getLong(2) <= 1000000L)
+  }
+
   test("TopKByAvgTFIDF selects buckets and appends the location feature") {
     import spark.implicits._
     val ds = (0 until 200).map { i =>

@@ -3584,7 +3584,92 @@ object Analytics {
       .orderBy("d")
   }
 
+  /** q_ols_price: closed-form two-regressor OLS of line price on
+    * quantity and discount — price_cents ~ b0 + b1·qty + b2·disc_e2,
+    * the one-pass distributed linear regression (exact sufficient
+    * moments + Cramer's rule on the 3×3 normal equations) that
+    * MLlib's iterative solvers replace only when features stop
+    * fitting in a closed form. Reports the coefficients (e2 cents),
+    * R², and n — the pricing team's "does discount actually move
+    * revenue per line?" answer with effect sizes, where
+    * q_discount_effect only bins.
+    *
+    * Exactness: the ten sufficient statistics are EXACT
+    * decimal(38,0)/HUGEINT sums from ONE corpus pass; the solve is
+    * the q_wilson_rates IEEE contract — both engines evaluate the
+    * textually identical double tree (explicit cofactor expansion,
+    * one division per coefficient), so every e2/e6 floor is
+    * bit-stable. Singular normal equations → the −9999999 sentinel.
+    *
+    * Scale shape: ONE 1-row two-phase aggregate over the scan —
+    * map-side partials do all the work; the solve is constant-time
+    * column arithmetic on the broadcastable 1-row result. The
+    * moments are ADDITIVE across micro-batches, so the streaming
+    * twin (q_stream_ols) upserts exactly this census and shares
+    * [[olsFinish]] and the batch oracle. */
+  def olsPrice(spark: SparkSession, dir: String): DataFrame =
+    olsFinish(olsCensus(Tables.lineitem(spark, dir)))
+
+  /** The 1-row exact moment census over any lineitem-shaped frame. */
+  private[graft] def olsCensus(li: DataFrame): DataFrame =
+    li.select(floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("y"),
+        floor(col("l_quantity") + 0.5).cast("long").as("x1"),
+        floor(col("l_discount") * 100 + 0.5).cast("long").as("x2"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(x1 as decimal(38,0))")).as("s1"),
+        sum(expr("cast(x2 as decimal(38,0))")).as("s2"),
+        sum(expr("cast(y as decimal(38,0))")).as("sy"),
+        sum(expr("cast(x1 as decimal(38,0)) * x1")).as("s11"),
+        sum(expr("cast(x2 as decimal(38,0)) * x2")).as("s22"),
+        sum(expr("cast(x1 as decimal(38,0)) * x2")).as("s12"),
+        sum(expr("cast(x1 as decimal(38,0)) * y")).as("s1y"),
+        sum(expr("cast(x2 as decimal(38,0)) * y")).as("s2y"),
+        sum(expr("cast(y as decimal(38,0)) * y")).as("syy"))
+
+  /** The Cramer solve + fit report over a converged census — SHARED
+    * by batch and stream so they share one oracle. */
+  private[graft] def olsFinish(census: DataFrame): DataFrame =
+    census
+      .withColumn("dn", expr("cast(n as double)"))
+      .withColumn("d1", expr("cast(s1 as double)"))
+      .withColumn("d2", expr("cast(s2 as double)"))
+      .withColumn("dy", expr("cast(sy as double)"))
+      .withColumn("d11", expr("cast(s11 as double)"))
+      .withColumn("d22", expr("cast(s22 as double)"))
+      .withColumn("d12", expr("cast(s12 as double)"))
+      .withColumn("d1y", expr("cast(s1y as double)"))
+      .withColumn("d2y", expr("cast(s2y as double)"))
+      .withColumn("dyy", expr("cast(syy as double)"))
+      .withColumn("det", expr(
+        "dn * (d11 * d22 - d12 * d12) - d1 * (d1 * d22 - d12 * d2)" +
+          " + d2 * (d1 * d12 - d11 * d2)"))
+      .withColumn("det0", expr(
+        "dy * (d11 * d22 - d12 * d12) - d1 * (d1y * d22 - d12 * d2y)" +
+          " + d2 * (d1y * d12 - d11 * d2y)"))
+      .withColumn("det1", expr(
+        "dn * (d1y * d22 - d12 * d2y) - dy * (d1 * d22 - d12 * d2)" +
+          " + d2 * (d1 * d2y - d1y * d2)"))
+      .withColumn("det2", expr(
+        "dn * (d11 * d2y - d1y * d12) - d1 * (d1 * d2y - d1y * d2)" +
+          " + dy * (d1 * d12 - d11 * d2)"))
+      .withColumn("b0", expr("det0 / det"))
+      .withColumn("b1", expr("det1 / det"))
+      .withColumn("b2", expr("det2 / det"))
+      .withColumn("sse", expr("dyy - b0 * dy - b1 * d1y - b2 * d2y"))
+      .withColumn("sst", expr("dyy - dy * dy / dn"))
+      .select(col("n"),
+        expr("case when det = 0.0d then cast(-9999999 as bigint)" +
+          " else cast(floor(b0 * 100.0d) as bigint) end").as("b0_c2"),
+        expr("case when det = 0.0d then cast(-9999999 as bigint)" +
+          " else cast(floor(b1 * 100.0d) as bigint) end").as("b1_c2"),
+        expr("case when det = 0.0d then cast(-9999999 as bigint)" +
+          " else cast(floor(b2 * 100.0d) as bigint) end").as("b2_c2"),
+        expr("case when det = 0.0d or sst = 0.0d then cast(-9999999 as bigint)" +
+          " else cast(floor((1.0d - sse / sst) * 1000000.0d) as bigint) end")
+          .as("r2_e6"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ols_price" -> (olsPrice(_, _)),
     "q_ts_decompose" -> (tsDecompose(_, _)),
     "q_user_recs" -> (userRecs(_, _)),
     "q_seq_patterns" -> (seqPatterns(_, _)),
@@ -3689,6 +3774,60 @@ object Analytics {
   }.mkString("\nUNION ALL\n")
 
   val oracleSql: Map[String, String] = Map(
+    // same exact HUGEINT moments, same textual cofactor expansion and
+    // IEEE divisions, same sentinels and e2/e6 floors
+    "q_ols_price" ->
+      """WITH c AS (
+        |  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y,
+        |    CAST(floor(l_quantity + 0.5) AS BIGINT) AS x1,
+        |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS x2
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(x1 AS HUGEINT)) AS s1, SUM(CAST(x2 AS HUGEINT)) AS s2,
+        |    SUM(CAST(y AS HUGEINT)) AS sy,
+        |    SUM(CAST(x1 AS HUGEINT) * x1) AS s11,
+        |    SUM(CAST(x2 AS HUGEINT) * x2) AS s22,
+        |    SUM(CAST(x1 AS HUGEINT) * x2) AS s12,
+        |    SUM(CAST(x1 AS HUGEINT) * y) AS s1y,
+        |    SUM(CAST(x2 AS HUGEINT) * y) AS s2y,
+        |    SUM(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM c),
+        |d AS (
+        |  SELECT n, CAST(n AS DOUBLE) AS dn, CAST(s1 AS DOUBLE) AS d1,
+        |    CAST(s2 AS DOUBLE) AS d2, CAST(sy AS DOUBLE) AS dy,
+        |    CAST(s11 AS DOUBLE) AS d11, CAST(s22 AS DOUBLE) AS d22,
+        |    CAST(s12 AS DOUBLE) AS d12, CAST(s1y AS DOUBLE) AS d1y,
+        |    CAST(s2y AS DOUBLE) AS d2y, CAST(syy AS DOUBLE) AS dyy
+        |  FROM m),
+        |k AS (
+        |  SELECT *,
+        |    dn * (d11 * d22 - d12 * d12) - d1 * (d1 * d22 - d12 * d2)
+        |      + d2 * (d1 * d12 - d11 * d2) AS det,
+        |    dy * (d11 * d22 - d12 * d12) - d1 * (d1y * d22 - d12 * d2y)
+        |      + d2 * (d1y * d12 - d11 * d2y) AS det0,
+        |    dn * (d1y * d22 - d12 * d2y) - dy * (d1 * d22 - d12 * d2)
+        |      + d2 * (d1 * d2y - d1y * d2) AS det1,
+        |    dn * (d11 * d2y - d1y * d12) - d1 * (d1 * d2y - d1y * d2)
+        |      + dy * (d1 * d12 - d11 * d2) AS det2
+        |  FROM d),
+        |b AS (
+        |  SELECT *, det0 / det AS b0, det1 / det AS b1, det2 / det AS b2
+        |  FROM k),
+        |f AS (
+        |  SELECT *, dyy - b0 * dy - b1 * d1y - b2 * d2y AS sse,
+        |    dyy - dy * dy / dn AS sst
+        |  FROM b)
+        |SELECT n,
+        |  CASE WHEN det = 0.0 THEN CAST(-9999999 AS BIGINT)
+        |    ELSE CAST(floor(b0 * 100.0) AS BIGINT) END AS b0_c2,
+        |  CASE WHEN det = 0.0 THEN CAST(-9999999 AS BIGINT)
+        |    ELSE CAST(floor(b1 * 100.0) AS BIGINT) END AS b1_c2,
+        |  CASE WHEN det = 0.0 THEN CAST(-9999999 AS BIGINT)
+        |    ELSE CAST(floor(b2 * 100.0) AS BIGINT) END AS b2_c2,
+        |  CASE WHEN det = 0.0 OR sst = 0.0 THEN CAST(-9999999 AS BIGINT)
+        |    ELSE CAST(floor((1.0 - sse / sst) * 1000000.0) AS BIGINT) END AS r2_e6
+        |FROM f""".stripMargin,
     // same centered 7-day window with edge-partial sum//count trend,
     // same dow seasonal re-centering, same truncating divisions
     "q_ts_decompose" ->

@@ -608,6 +608,38 @@ object StreamingQueries {
       store.asScala.toSeq.map { case (d, c) => (d, c) }.toDF("d", "cents"))
   }
 
+  /** q_stream_ols — the one-pass linear regression AT INGEST: the
+    * ten exact OLS moments ([[graft.operators.Analytics.olsCensus]] —
+    * a single keyless row, ADDITIVE across micro-batches, state =
+    * ten numbers however large the corpus) update per trigger, and
+    * the Cramer solve runs batch-side over the converged census via
+    * the SHARED olsFinish — the live coefficient dashboard; reuses
+    * the batch oracle verbatim. */
+  def streamOls(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val census = graft.operators.Analytics.olsCensus(
+      tableStream(spark, dir, "lineitem"))
+    val store = new java.util.concurrent.atomic.AtomicReference[Seq[String]]()
+    val q = census.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.collect().headOption.foreach { r =>
+          store.set((0 until 10).map(i => String.valueOf(r.get(i))))
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val vs = store.get()
+    val rebuilt = Seq(Tuple10(vs(0), vs(1), vs(2), vs(3), vs(4), vs(5),
+        vs(6), vs(7), vs(8), vs(9)))
+      .toDF("n", "s1", "s2", "sy", "s11", "s22", "s12", "s1y", "s2y", "syy")
+      .select(col("n").cast("long").as("n") +:
+        Seq("s1", "s2", "sy", "s11", "s22", "s12", "s1y", "s2y", "syy")
+          .map(c => col(c).cast("decimal(38,0)").as(c)): _*)
+    graft.operators.Analytics.olsFinish(rebuilt)
+  }
+
   /** q_stream_quality — the Gopher quality gate AT INGEST: every
     * arriving document is scored by the published rule battery
     * (q_gopher_rules' [[graft.operators.Curation.gopherFlags]] kernel,
@@ -1086,6 +1118,7 @@ object StreamingQueries {
     "q_stream_dp" -> stateful(streamDp),
     "q_stream_conformal" -> stateful(streamConformal),
     "q_stream_cusum" -> stateful(streamCusum),
+    "q_stream_ols" -> stateful(streamOls),
     "q_stream_hll" -> stateful(streamHll))
 
   /** The streaming queries run real Structured Streaming, but over the
@@ -1122,6 +1155,9 @@ object StreamingQueries {
     // the batch CUSUM oracle VERBATIM — cusumCensus + cusumFinish are
     // shared and the day sums are additive across batches
     "q_stream_cusum" -> graft.operators.Analytics.oracleSql("q_cusum_change"),
+    // the batch OLS oracle VERBATIM — olsCensus + olsFinish are shared
+    // and the ten moments are additive across batches
+    "q_stream_ols" -> graft.operators.Analytics.oracleSql("q_ols_price"),
     // the batch transition-matrix oracle VERBATIM — transFinish is
     // shared, so the converged step counts must yield the batch matrix
     "q_stream_transitions" -> graft.operators.Analytics.oracleSql("q_transitions"),

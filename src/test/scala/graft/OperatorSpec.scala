@@ -4196,6 +4196,42 @@ class OperatorSpec extends SparkSpec {
       assert(row.getLong(2) >= -1000000L && row.getLong(2) <= 1000000L)
   }
 
+  test("ols_price matches a BigInt-moments + IEEE-Cramer recompute") {
+    val rows = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_extendedprice", "l_quantity", "l_discount").collect()
+      .map(r => (math.floor(r.getDouble(0) * 100 + 0.5).toLong,
+        math.floor(r.getDouble(1) + 0.5).toLong,
+        math.floor(r.getDouble(2) * 100 + 0.5).toLong))
+    val n = rows.length.toLong
+    def S(f: ((Long, Long, Long)) => BigInt): BigInt = rows.map(f).sum
+    val (s1, s2, sy) = (S(t => BigInt(t._2)), S(t => BigInt(t._3)), S(t => BigInt(t._1)))
+    val s11 = S(t => BigInt(t._2) * t._2); val s22 = S(t => BigInt(t._3) * t._3)
+    val s12 = S(t => BigInt(t._2) * t._3); val s1y = S(t => BigInt(t._2) * t._1)
+    val s2y = S(t => BigInt(t._3) * t._1); val syy = S(t => BigInt(t._1) * t._1)
+    val (dn, d1, d2, dy) = (n.toDouble, s1.toDouble, s2.toDouble, sy.toDouble)
+    val (d11, d22, d12) = (s11.toDouble, s22.toDouble, s12.toDouble)
+    val (d1y, d2y, dyy) = (s1y.toDouble, s2y.toDouble, syy.toDouble)
+    val det = dn * (d11 * d22 - d12 * d12) - d1 * (d1 * d22 - d12 * d2) +
+      d2 * (d1 * d12 - d11 * d2)
+    val det0 = dy * (d11 * d22 - d12 * d12) - d1 * (d1y * d22 - d12 * d2y) +
+      d2 * (d1y * d12 - d11 * d2y)
+    val det1 = dn * (d1y * d22 - d12 * d2y) - dy * (d1 * d22 - d12 * d2) +
+      d2 * (d1 * d2y - d1y * d2)
+    val det2 = dn * (d11 * d2y - d1y * d12) - d1 * (d1 * d2y - d1y * d2) +
+      dy * (d1 * d12 - d11 * d2)
+    val (b0, b1, b2) = (det0 / det, det1 / det, det2 / det)
+    val sse = dyy - b0 * dy - b1 * d1y - b2 * d2y
+    val sst = dyy - dy * dy / dn
+    val row = run("q_ols_price").collect()(0)
+    assert(row.getLong(0) == n)
+    assert(row.getLong(1) == math.floor(b0 * 100.0).toLong)
+    assert(row.getLong(2) == math.floor(b1 * 100.0).toLong)
+    assert(row.getLong(3) == math.floor(b2 * 100.0).toLong)
+    assert(row.getLong(4) == math.floor((1.0 - sse / sst) * 1e6).toLong)
+    // an intercept-model R² is a proportion
+    assert(row.getLong(4) >= -1L && row.getLong(4) <= 1000000L)
+  }
+
   test("TopKByAvgTFIDF selects buckets and appends the location feature") {
     import spark.implicits._
     val ds = (0 until 200).map { i =>

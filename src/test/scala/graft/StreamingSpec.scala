@@ -450,6 +450,15 @@ class StreamingSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("streaming ols monitor equals the batch regression row for row") {
+    val batch = SparkEntry.queries("q_ols_price")(spark, sf).collect()
+      .map(_.toSeq).toSet
+    val stream = SparkEntry.queries("q_stream_ols")(spark, sf).collect()
+      .map(_.toSeq).toSet
+    assert(stream.nonEmpty)
+    assert(stream == batch)
+  }
+
   test("streaming jsonl quarantine equals the batch ingest report row for row") {
     val batch = SparkEntry.queries("q_parse_jsonl")(spark, sf).collect()
       .map(_.toSeq).toSet

@@ -3360,11 +3360,24 @@ object Analytics {
     * Scale shape: ONE (part) two-phase agg over the lineitem scan;
     * the prior is a catalog-sized 1-row agg broadcast back; the
     * posterior is pure column arithmetic. No window anywhere. */
-  def ebShrink(spark: SparkSession, dir: String): DataFrame = {
-    val rates = Tables.lineitem(spark, dir)
-      .groupBy("l_partkey")
+  def ebShrink(spark: SparkSession, dir: String): DataFrame =
+    ebFinish(ebCensus(Tables.lineitem(spark, dir)))
+
+  /** The per-part (n, x) counting census — plain counts, ADDITIVE
+    * across micro-batches; the streaming twin (q_stream_eb) upserts
+    * exactly this through the durable keyed [[graft.streaming
+    * .TableSink]] (part-keyed state is TABLE-sized, not sketch-sized
+    * — the reference's Cassandra-sink contract, never a driver map)
+    * and shares [[ebFinish]] and the batch oracle. */
+  private[graft] def ebCensus(li: DataFrame): DataFrame =
+    li.groupBy("l_partkey")
       .agg(count(lit(1)).as("n"),
         sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("x"))
+
+  /** The moments fit + posterior projection over a converged census —
+    * SHARED by batch and stream so they share one oracle. */
+  private[graft] def ebFinish(census: DataFrame): DataFrame = {
+    val rates = census
       .withColumn("raw_e6", expr("x * 1000000 div n"))
       .localCheckpoint() // reused: prior moments + posterior projection
     val prior = rates.agg(count(lit(1)).as("k"),
@@ -3668,7 +3681,54 @@ object Analytics {
           " else cast(floor((1.0d - sse / sst) * 1000000.0d) as bigint) end")
           .as("r2_e6"))
 
+  /** q_markov_eval: held-out evaluation of the transition model —
+    * train the q_transitions Markov matrix on EVEN users, predict
+    * each ODD user's next event as the per-state argmax, and report
+    * per-state accuracy: the "is the funnel actually predictive?"
+    * audit that turns the transition matrix from a descriptive
+    * report into a scored model (the q_nb_langid even/odd protocol
+    * applied to sequences). Prediction ties break (count desc, type
+    * asc) — pinned, so the model is engine-independent; states the
+    * training split never saw predict the '?' sentinel and score 0.
+    *
+    * Scale shape: the step extraction is the SAME one-shuffle-per-
+    * user lead window as q_transitions; the model is alphabet²-sized
+    * (argmax over ≤ |types| rows per state, broadcast back); the
+    * eval is one (state) two-phase agg over the odd-user steps. */
+  def markovEval(spark: SparkSession, dir: String): DataFrame = {
+    val wSeq = Window.partitionBy("user_id")
+      .orderBy(col("t_ms").asc, col("event_id").asc)
+    val steps = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("t_ms"))
+      .withColumn("dst", lead("event_type", 1).over(wSeq))
+      .filter(col("dst").isNotNull)
+      .select((col("user_id") % 2 === 0).as("is_train"),
+        col("event_type").as("src"), col("dst"))
+      .localCheckpoint() // reused: model fit + held-out eval
+    val wArg = Window.partitionBy("src")
+      .orderBy(col("n").desc, col("dst").asc)
+    val model = steps.filter(col("is_train"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+      .withColumn("rnk", row_number().over(wArg))
+      .filter(col("rnk") === 1)
+      .select(col("src"), col("dst").as("dst_pred"), col("n").as("train_n"))
+    steps.filter(!col("is_train"))
+      .join(broadcast(model), Seq("src"), "left")
+      .withColumn("dst_pred", coalesce(col("dst_pred"), lit("?")))
+      .withColumn("train_n", coalesce(col("train_n"), lit(0L)))
+      .groupBy("src", "dst_pred", "train_n")
+      .agg(count(lit(1)).as("test_steps"),
+        sum(when(col("dst") === col("dst_pred"), 1L).otherwise(0L))
+          .as("test_correct"))
+      .withColumn("acc_e6", expr("test_correct * 1000000 div test_steps"))
+      .select("src", "dst_pred", "train_n", "test_steps", "test_correct",
+        "acc_e6")
+      .orderBy("src")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_markov_eval" -> (markovEval(_, _)),
     "q_ols_price" -> (olsPrice(_, _)),
     "q_ts_decompose" -> (tsDecompose(_, _)),
     "q_user_recs" -> (userRecs(_, _)),
@@ -3774,6 +3834,36 @@ object Analytics {
   }.mkString("\nUNION ALL\n")
 
   val oracleSql: Map[String, String] = Map(
+    // same (t_ms, event_id) step order, same pinned argmax tie-break,
+    // same '?' unseen-state sentinel and e6 accuracy floor
+    "q_markov_eval" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_ns(ts) // 1000000 AS t_ms
+        |  FROM events),
+        |st AS (
+        |  SELECT user_id % 2 = 0 AS is_train, event_type AS src,
+        |    LEAD(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY t_ms, event_id) AS dst
+        |  FROM e),
+        |steps AS (SELECT * FROM st WHERE dst IS NOT NULL),
+        |model AS (
+        |  SELECT src, dst AS dst_pred, n AS train_n FROM (
+        |    SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n,
+        |      ROW_NUMBER() OVER (PARTITION BY src
+        |        ORDER BY COUNT(*) DESC, dst) AS rnk
+        |    FROM steps WHERE is_train GROUP BY src, dst)
+        |  WHERE rnk = 1)
+        |SELECT s.src, COALESCE(m.dst_pred, '?') AS dst_pred,
+        |  COALESCE(m.train_n, 0) AS train_n,
+        |  CAST(COUNT(*) AS BIGINT) AS test_steps,
+        |  CAST(SUM(CASE WHEN s.dst = COALESCE(m.dst_pred, '?')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS test_correct,
+        |  CAST(SUM(CASE WHEN s.dst = COALESCE(m.dst_pred, '?')
+        |    THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS acc_e6
+        |FROM steps s LEFT JOIN model m USING (src)
+        |WHERE NOT s.is_train
+        |GROUP BY 1, 2, 3 ORDER BY s.src""".stripMargin,
     // same exact HUGEINT moments, same textual cofactor expansion and
     // IEEE divisions, same sentinels and e2/e6 floors
     "q_ols_price" ->

@@ -640,6 +640,22 @@ object StreamingQueries {
     graft.operators.Analytics.olsFinish(rebuilt)
   }
 
+  /** q_stream_eb — the shrunk-rate leaderboard AT INGEST: the
+    * per-part (n, x) counting census
+    * ([[graft.operators.Analytics.ebCensus]] — ADDITIVE across
+    * micro-batches, but PART-keyed, i.e. TABLE-sized state, not
+    * sketch-sized) upserts through the durable keyed [[TableSink]]
+    * (the reference's Cassandra-sink contract: executors write their
+    * partitions, the driver never collects), and the empirical-Bayes
+    * fit runs batch-side over the merged newest-wins view via the
+    * SHARED ebFinish; batch oracle verbatim. */
+  def streamEb(spark: SparkSession, dir: String): DataFrame = {
+    val census = graft.operators.Analytics.ebCensus(
+      tableStream(spark, dir, "lineitem"))
+    graft.operators.Analytics.ebFinish(
+      TableSink.upsert(spark, census, Seq("l_partkey"), "eb", dir))
+  }
+
   /** q_stream_quality — the Gopher quality gate AT INGEST: every
     * arriving document is scored by the published rule battery
     * (q_gopher_rules' [[graft.operators.Curation.gopherFlags]] kernel,
@@ -1119,6 +1135,7 @@ object StreamingQueries {
     "q_stream_conformal" -> stateful(streamConformal),
     "q_stream_cusum" -> stateful(streamCusum),
     "q_stream_ols" -> stateful(streamOls),
+    "q_stream_eb" -> stateful(streamEb),
     "q_stream_hll" -> stateful(streamHll))
 
   /** The streaming queries run real Structured Streaming, but over the
@@ -1158,6 +1175,9 @@ object StreamingQueries {
     // the batch OLS oracle VERBATIM — olsCensus + olsFinish are shared
     // and the ten moments are additive across batches
     "q_stream_ols" -> graft.operators.Analytics.oracleSql("q_ols_price"),
+    // the batch EB oracle VERBATIM — ebCensus + ebFinish are shared
+    // and the per-part counters are additive across batches
+    "q_stream_eb" -> graft.operators.Analytics.oracleSql("q_eb_shrink"),
     // the batch transition-matrix oracle VERBATIM — transFinish is
     // shared, so the converged step counts must yield the batch matrix
     "q_stream_transitions" -> graft.operators.Analytics.oracleSql("q_transitions"),

@@ -4232,6 +4232,35 @@ class OperatorSpec extends SparkSpec {
     assert(row.getLong(4) >= -1L && row.getLong(4) <= 1000000L)
   }
 
+  test("markov_eval matches a local train/predict/score walk") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_millis(ts)").as("t_ms"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val steps = ev.groupBy(_._1).toSeq.flatMap { case (u, rs) =>
+      rs.sortBy(r => (r._4, r._2)).sliding(2).collect {
+        case Array(a, b) => (u % 2 == 0, a._3, b._3)
+      }
+    }
+    val model = steps.filter(_._1).groupBy(s => (s._2, s._3)).view
+      .mapValues(_.size.toLong).toSeq
+      .map { case ((s, d), n) => (s, d, n) }
+      .groupBy(_._1).view.mapValues(_.minBy(t => (-t._3, t._2))).toMap
+    val want = steps.filterNot(_._1).groupBy(_._2).toSeq.map { case (s, rs) =>
+      val (pred, trainN) = model.get(s).map(m => (m._2, m._3)).getOrElse(("?", 0L))
+      val correct = rs.count(_._3 == pred).toLong
+      (s, pred, trainN, rs.size.toLong, correct,
+        correct * 1000000L / rs.size)
+    }.sortBy(_._1)
+    val got = run("q_markov_eval").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == want)
+    // accuracy can never exceed the argmax row share by construction
+    assert(got.forall(t => t._6 <= 1000000L))
+  }
+
   test("TopKByAvgTFIDF selects buckets and appends the location feature") {
     import spark.implicits._
     val ds = (0 until 200).map { i =>

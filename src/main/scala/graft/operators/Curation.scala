@@ -1145,6 +1145,55 @@ object Curation {
         "kw_hits", "votes", "is_code")
   }
 
+  /** q_chi2_grid: the source × lang independence audit — Pearson's
+    * χ² over the full contingency grid ("does language mix depend on
+    * ingest source?" — if yes, per-source language balancing must
+    * happen BEFORE mixing, the routing decision q_js_divergence
+    * informs at the vocabulary level, made here at the metadata
+    * level). Per cell: observed count, expected count under
+    * independence, and the χ² contribution — the cells that drive
+    * dependence are the report, not just the statistic.
+    *
+    * Exactness: the n-scaled cell identity (n·O − r·c)² / (n·r·c)
+    * needs no division until the final e3 floor (the q_chi2_abtest
+    * kernel generalized to an R×C grid); everything runs in
+    * decimal(38,0)/HUGEINT — exact to ~5·10⁸ documents, beyond which
+    * the e3 scale drops to e0 (documented trade, same as the 2×2
+    * case). Grid total and dof ride every row for the one-line
+    * verdict.
+    *
+    * Scale shape: ONE (source, lang) two-phase count over the scan;
+    * margins, total, and contributions are catalog-sized aggregates
+    * and broadcasts — nothing after the first agg touches corpus
+    * scale. */
+  def chi2Grid(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(spark, dir)
+      .groupBy("source", "lang").agg(count(lit(1)).as("o"))
+      .localCheckpoint() // reused: margins + the cell projection
+    val rows = cells.groupBy("source").agg(sum("o").as("r"))
+    val cols = cells.groupBy("lang").agg(sum("o").as("c"))
+    val tot = cells.agg(sum("o").as("n"),
+      countDistinct("source").as("ns"), countDistinct("lang").as("nl"))
+    val scored = cells
+      .join(broadcast(rows), "source")
+      .join(broadcast(cols), "lang")
+      .crossJoin(broadcast(tot))
+      .withColumn("e_e3", expr(
+        "cast(cast(r as decimal(38,0)) * c * 1000 div n as bigint)"))
+      .withColumn("contrib_e3", expr(
+        """cast((cast(n as decimal(38,0)) * o - cast(r as decimal(38,0)) * c)
+          | * (cast(n as decimal(38,0)) * o - cast(r as decimal(38,0)) * c)
+          | * 1000 div (cast(n as decimal(38,0)) * r * c) as bigint)"""
+          .stripMargin.replace('\n', ' ')))
+    scored
+      .withColumn("chi2_e3",
+        sum("contrib_e3").over(Window.partitionBy())) // bounded grid
+      .withColumn("dof", (col("ns") - 1) * (col("nl") - 1))
+      .select("source", "lang", "o", "r", "c", "e_e3", "contrib_e3",
+        "chi2_e3", "dof")
+      .orderBy("source", "lang")
+  }
+
   // ── Differential-privacy release (q_dp_release) ────────────────────
 
   /** Release threshold: a group's NOISY count must clear this to be
@@ -1413,6 +1462,7 @@ object Curation {
     "q_mixture_cap" -> (mixtureCap(_, _)),
     "q_gopher_rules" -> (gopherRules(_, _)),
     "q_code_detect" -> (codeDetect(_, _)),
+    "q_chi2_grid" -> (chi2Grid(_, _)),
     "q_logodds_terms" -> (logoddsTerms(_, _)),
     "q_js_divergence" -> (jsDivergence(_, _)),
     "q_lorenz" -> (lorenz(_, _)),
@@ -1610,6 +1660,30 @@ object Curation {
          |FROM lv, ch ORDER BY level""".stripMargin,
     // same single-scan rule battery; every ratio the same truncating
     // integer div; distinct-stop membership per literal stop word
+    "q_chi2_grid" ->
+      """WITH cells AS (
+        |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |rows_ AS (SELECT source, CAST(SUM(o) AS BIGINT) AS r
+        |          FROM cells GROUP BY source),
+        |cols_ AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS c
+        |          FROM cells GROUP BY lang),
+        |tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT source) AS BIGINT) AS ns,
+        |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS nl FROM cells),
+        |sc AS (
+        |  SELECT source, lang, o, r, c,
+        |    CAST(CAST(r AS HUGEINT) * c * 1000 // n AS BIGINT) AS e_e3,
+        |    CAST((CAST(n AS HUGEINT) * o - CAST(r AS HUGEINT) * c)
+        |      * (CAST(n AS HUGEINT) * o - CAST(r AS HUGEINT) * c)
+        |      * 1000 // (CAST(n AS HUGEINT) * r * c) AS BIGINT) AS contrib_e3,
+        |    ns, nl
+        |  FROM cells JOIN rows_ USING (source) JOIN cols_ USING (lang)
+        |  CROSS JOIN tot)
+        |SELECT source, lang, o, r, c, e_e3, contrib_e3,
+        |  CAST(SUM(contrib_e3) OVER () AS BIGINT) AS chi2_e3,
+        |  (ns - 1) * (nl - 1) AS dof
+        |FROM sc ORDER BY source, lang""".stripMargin,
     "q_code_detect" -> {
       val kws = CodeKws.map(s => s"'$s'").mkString(", ")
       s"""WITH d AS (

@@ -672,6 +672,20 @@ object StreamingQueries {
     runToMemory(spark, flagged, OutputMode.Append()).orderBy("doc_id")
   }
 
+  /** q_stream_code — the code-vs-prose router AT INGEST: every
+    * arriving document is routed by the rule-vote battery
+    * (q_code_detect's [[graft.operators.Curation.codeFlags]] kernel,
+    * SHARED — batch and stream cannot disagree and share one oracle)
+    * in a fully STATELESS Append-mode stream — the q_stream_quality
+    * shape for the modality split: code goes to the code pipeline
+    * before any prose-tuned gate ever sees it, at a cost that scales
+    * with ingest rate alone. */
+  def streamCode(spark: SparkSession, dir: String): DataFrame = {
+    val flagged = graft.operators.Curation.codeFlags(
+      tableStream(spark, dir, "documents").select("doc_id", "text"))
+    runToMemory(spark, flagged, OutputMode.Append()).orderBy("doc_id")
+  }
+
   /** q_stream_transitions — the Markov transition matrix as a STREAM:
     * flatMapGroupsWithState keeps ONE string of state per user (the
     * last event type seen), emits a (src, dst) step per arriving
@@ -1127,6 +1141,7 @@ object StreamingQueries {
     "q_stream_benford" -> stateful(streamBenford),
     "q_stream_outliers" -> (streamOutliers(_, _)), // stateless scorer
     "q_stream_quality" -> (streamQuality(_, _)), // stateless scorer
+    "q_stream_code" -> (streamCode(_, _)), // stateless router
     "q_stream_decayed" -> stateful(streamDecayed),
     "q_stream_wilson" -> stateful(streamWilson),
     "q_stream_jsonl" -> stateful(streamJsonl),
@@ -1150,6 +1165,9 @@ object StreamingQueries {
     // the batch Gopher-gate oracle VERBATIM — gopherFlags is shared,
     // so the stateless stream must reproduce every rule value
     "q_stream_quality" -> graft.operators.Curation.oracleSql("q_gopher_rules"),
+    // the batch router oracle VERBATIM — codeFlags is shared, so the
+    // stateless stream must reproduce every signal and vote
+    "q_stream_code" -> graft.operators.Curation.oracleSql("q_code_detect"),
     // the batch decayed-leaderboard oracle VERBATIM — decayedDayCounts
     // + decayedFinish are shared, so the converged census must rank
     // identically

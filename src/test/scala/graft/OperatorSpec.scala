@@ -4261,6 +4261,33 @@ class OperatorSpec extends SparkSpec {
     assert(got.forall(t => t._6 <= 1000000L))
   }
 
+  test("chi2_grid matches a BigInt contingency recompute") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("source", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val cells = docs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rsum = docs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val csum = docs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val n = BigInt(docs.size)
+    val want = cells.toSeq.map { case ((s, l), o) =>
+      val (r, c) = (BigInt(rsum(s)), BigInt(csum(l)))
+      val diff = n * o - r * c
+      (s, l, o, rsum(s), csum(l), (r * c * 1000 / n).toLong,
+        (diff * diff * 1000 / (n * r * c)).toLong)
+    }.sortBy(t => (t._1, t._2))
+    val chi2 = want.map(_._7).sum
+    val dof = (rsum.size - 1).toLong * (csum.size - 1).toLong
+    val got = run("q_chi2_grid").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))
+      .toSeq
+    assert(got.map(t => (t._1, t._2, t._3, t._4, t._5, t._6, t._7)) == want)
+    got.foreach { t => assert(t._8 == chi2 && t._9 == dof) }
+    // margins close: per-source observed counts rebuild the row total
+    val bySrc = got.groupBy(_._1)
+    bySrc.foreach { case (s, rs) => assert(rs.map(_._3).sum == rsum(s)) }
+  }
+
   test("TopKByAvgTFIDF selects buckets and appends the location feature") {
     import spark.implicits._
     val ds = (0 until 200).map { i =>

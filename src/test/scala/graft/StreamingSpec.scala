@@ -508,6 +508,17 @@ class StreamingSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("streaming code router equals the batch detector row for row") {
+    // shared codeFlags kernel: the stateless stream router must
+    // reproduce every signal, vote, and route of the batch detector
+    val batch = SparkEntry.queries("q_code_detect")(spark, sf).collect()
+      .map(_.toSeq).toSet
+    val stream = SparkEntry.queries("q_stream_code")(spark, sf).collect()
+      .map(_.toSeq).toSet
+    assert(stream.nonEmpty)
+    assert(stream == batch)
+  }
+
   test("streaming psi equals the batch drift index row for row") {
     // shared bucketing + shared finish: the converged count store must
     // reproduce the batch index exactly, alarm flags included

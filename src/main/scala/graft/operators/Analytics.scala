@@ -3727,7 +3727,83 @@ object Analytics {
       .orderBy("src")
   }
 
+  /** q_recs_eval: held-out hit-rate evaluation of the co-purchase
+    * recommender — train the q_user_recs pipeline on EVEN orders
+    * only, then ask: of the NEW (customer, part) purchases that only
+    * appear in ODD orders, how many were in that customer's top-3
+    * recommendations? HitRate@3, the standard offline recommender
+    * metric (the q_markov_eval protocol applied to baskets instead
+    * of sequences — split by ORDER so every customer can appear on
+    * both sides and the model never sees a test basket).
+    *
+    * Scale shape: identical to q_user_recs with the parity filter
+    * pushed into the basket scan (half the co-occurrence work); the
+    * test set is one orderkey-co-keyed join + an anti-join against
+    * train ownership; the verdict is two 1-row aggregates broadcast
+    * together. Ranks share q_copurchase's pinned total order. */
+  def recsEval(spark: SparkSession, dir: String): DataFrame = {
+    val bp = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .localCheckpoint() // train neighbors + test pairs share it
+    val ords = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val bpT = bp.filter(col("l_orderkey") % 2 === 0)
+    val freq = bpT.groupBy("l_partkey").agg(count(lit(1)).as("n_solo"))
+    val pairs = bpT.as("a").join(bpT.as("b"), Seq("l_orderkey"))
+      .filter(col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val sym = pairs.unionByName(pairs.select(
+      col("part_b").as("part_a"), col("part_a").as("part_b"), col("n_ab")))
+    val wNb = Window.partitionBy("part_a")
+      .orderBy(col("cos2_e6").desc, col("n_ab").desc, col("part_b").asc)
+    val nbrs = sym
+      .join(broadcast(freq.select(col("l_partkey").as("part_a"),
+        col("n_solo").as("n_a"))), "part_a")
+      .join(broadcast(freq.select(col("l_partkey").as("part_b"),
+        col("n_solo").as("n_b"))), "part_b")
+      .withColumn("cos2_e6", expr(
+        """cast((cast(n_ab as decimal(38,0)) * n_ab * 1000000)
+          | div (cast(n_a as decimal(38,0)) * n_b) as bigint)"""
+          .stripMargin.replace('\n', ' ')))
+      .withColumn("rnk", row_number().over(wNb))
+      .filter(col("rnk") <= 3)
+      .select("part_a", "part_b", "cos2_e6")
+    val ownedT = ords.join(bpT, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_partkey").as("part")).distinct()
+      .localCheckpoint() // votes + exclusion + test anti-join share it
+    val cand = ownedT.join(nbrs, col("part") === col("part_a"))
+      .groupBy(col("o_custkey"), col("part_b"))
+      .agg(sum("cos2_e6").as("score_e6"), count(lit(1)).as("n_src"))
+    val wRec = Window.partitionBy("o_custkey")
+      .orderBy(col("score_e6").desc, col("n_src").desc, col("part_b").asc)
+    val recs = cand.join(ownedT,
+        cand("o_custkey") === ownedT("o_custkey") &&
+          cand("part_b") === ownedT("part"), "left_anti")
+      .withColumn("rnk", row_number().over(wRec))
+      .filter(col("rnk") <= 3)
+      .select(col("o_custkey"), col("part_b").as("part"))
+    val testPairs = ords.filter(col("o_orderkey") % 2 === 1)
+      .join(bp.filter(col("l_orderkey") % 2 === 1),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_partkey").as("part")).distinct()
+      .join(ownedT, Seq("o_custkey", "part"), "left_anti")
+      .localCheckpoint() // totals + hits share it
+    val totals = testPairs.agg(count(lit(1)).as("n_test_pairs"),
+      countDistinct("o_custkey").as("n_test_users"))
+    val hits = testPairs.join(recs, Seq("o_custkey", "part"))
+      .agg(count(lit(1)).as("n_hits"),
+        countDistinct("o_custkey").as("n_users_hit"))
+    totals.crossJoin(broadcast(hits))
+      .withColumn("hitrate_e6", expr(
+        "case when n_test_pairs = 0 then cast(-1 as bigint)" +
+          " else n_hits * 1000000 div n_test_pairs end"))
+      .select("n_test_pairs", "n_test_users", "n_hits", "n_users_hit",
+        "hitrate_e6")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_recs_eval" -> (recsEval(_, _)),
     "q_markov_eval" -> (markovEval(_, _)),
     "q_ols_price" -> (olsPrice(_, _)),
     "q_ts_decompose" -> (tsDecompose(_, _)),
@@ -3834,6 +3910,65 @@ object Analytics {
   }.mkString("\nUNION ALL\n")
 
   val oracleSql: Map[String, String] = Map(
+    // the q_user_recs chain with the parity filter pushed into the
+    // basket scan, then the same anti-joined test set and 1-row verdict
+    "q_recs_eval" ->
+      """WITH bp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |bpt AS (SELECT * FROM bp WHERE l_orderkey % 2 = 0),
+        |f AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_solo
+        |      FROM bpt GROUP BY l_partkey),
+        |pr AS (
+        |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_ab
+        |  FROM bpt a JOIN bpt b USING (l_orderkey)
+        |  WHERE a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2),
+        |sym AS (SELECT part_a, part_b, n_ab FROM pr
+        |        UNION ALL SELECT part_b, part_a, n_ab FROM pr),
+        |sc AS (
+        |  SELECT part_a, part_b, n_ab,
+        |    CAST((CAST(n_ab AS HUGEINT) * n_ab * 1000000)
+        |      // (CAST(fa.n_solo AS HUGEINT) * fb.n_solo) AS BIGINT) AS cos2_e6
+        |  FROM sym
+        |  JOIN f fa ON fa.l_partkey = part_a
+        |  JOIN f fb ON fb.l_partkey = part_b),
+        |nb AS (SELECT part_a, part_b, cos2_e6 FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY part_a
+        |      ORDER BY cos2_e6 DESC, n_ab DESC, part_b) AS rnk
+        |    FROM sc) WHERE rnk <= 3),
+        |ownedt AS (SELECT DISTINCT o_custkey, l_partkey AS part
+        |  FROM orders JOIN bpt ON o_orderkey = l_orderkey),
+        |cand AS (
+        |  SELECT o.o_custkey, nb.part_b,
+        |    CAST(SUM(nb.cos2_e6) AS BIGINT) AS score_e6,
+        |    CAST(COUNT(*) AS BIGINT) AS n_src
+        |  FROM ownedt o JOIN nb ON o.part = nb.part_a
+        |  GROUP BY 1, 2),
+        |ex AS (
+        |  SELECT c.* FROM cand c LEFT JOIN ownedt w
+        |    ON c.o_custkey = w.o_custkey AND c.part_b = w.part
+        |  WHERE w.part IS NULL),
+        |recs AS (SELECT o_custkey, part_b AS part FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY score_e6 DESC, n_src DESC, part_b) AS rnk
+        |    FROM ex) WHERE rnk <= 3),
+        |testp AS (
+        |  SELECT t.o_custkey, t.part FROM (
+        |    SELECT DISTINCT o_custkey, l_partkey AS part
+        |    FROM orders JOIN bp ON o_orderkey = l_orderkey
+        |    WHERE o_orderkey % 2 = 1 AND l_orderkey % 2 = 1) t
+        |  LEFT JOIN ownedt w ON t.o_custkey = w.o_custkey AND t.part = w.part
+        |  WHERE w.part IS NULL),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_test_pairs,
+        |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_test_users FROM testp),
+        |h AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits,
+        |  CAST(COUNT(DISTINCT t.o_custkey) AS BIGINT) AS n_users_hit
+        |  FROM testp t JOIN recs r ON t.o_custkey = r.o_custkey
+        |    AND t.part = r.part)
+        |SELECT n_test_pairs, n_test_users, n_hits, n_users_hit,
+        |  CASE WHEN n_test_pairs = 0 THEN CAST(-1 AS BIGINT)
+        |    ELSE n_hits * 1000000 // n_test_pairs END AS hitrate_e6
+        |FROM tot CROSS JOIN h""".stripMargin,
     // same (t_ms, event_id) step order, same pinned argmax tie-break,
     // same '?' unseen-state sentinel and e6 accuracy floor
     "q_markov_eval" ->

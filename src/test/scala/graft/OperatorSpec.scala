@@ -4288,6 +4288,31 @@ class OperatorSpec extends SparkSpec {
     bySrc.foreach { case (s, rs) => assert(rs.map(_._3).sum == rsum(s)) }
   }
 
+  test("recs_eval counts close and the test set is leak-free") {
+    val row = run("q_recs_eval").collect()(0)
+    val (pairs, users, hits, usersHit, rate) = (row.getLong(0),
+      row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4))
+    assert(pairs > 0, "empty test set — eval is vacuous")
+    assert(hits <= pairs && usersHit <= users && usersHit <= hits)
+    assert(rate == hits * 1000000L / pairs)
+    // leak-freedom: rebuild the test set and train ownership with
+    // DataFrames and prove the counts close and never intersect
+    val bp = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").distinct()
+    val ords = graft.sources.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey")
+    val ownedT = ords.join(bp.filter(col("l_orderkey") % 2 === 0),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_partkey").as("part")).distinct()
+    val testP = ords.filter(col("o_orderkey") % 2 === 1)
+      .join(bp.filter(col("l_orderkey") % 2 === 1),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_partkey").as("part")).distinct()
+      .join(ownedT, Seq("o_custkey", "part"), "left_anti")
+    assert(testP.count() == pairs)
+    assert(testP.join(ownedT, Seq("o_custkey", "part")).count() == 0)
+  }
+
   test("TopKByAvgTFIDF selects buckets and appends the location feature") {
     import spark.implicits._
     val ds = (0 until 200).map { i =>

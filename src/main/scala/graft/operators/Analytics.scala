@@ -3802,7 +3802,61 @@ object Analytics {
         "hitrate_e6")
   }
 
+  /** AQP sampling modulus: keep 1 row in [[AqpMod]] (deterministic). */
+  private[graft] val AqpMod = 64L
+
+  /** q_aqp_sum: approximate-query-processing revenue estimate WITH
+    * its error audit — scan a deterministic 1/64 hash sample (salted
+    * md5 on the line identity, the q_bootstrap_ci uniform — NOT
+    * rand(), so the sample is shuffle-order-proof and cross-engine
+    * identical), scale the sample sum by 64, and report the estimate
+    * against the exact answer with the measured relative error and
+    * the 3σ CLT bound the estimator promised. At 100 TB this is the
+    * "answer in 1/64th the scan" mode every interactive dashboard
+    * runs in — this operator is the audit that the speed-for-error
+    * trade is honest (|est − exact| ≤ 3σ̂).
+    *
+    * Exactness: sums and counts are exact integers on BOTH the
+    * sample and full scan; σ̂ (and only σ̂) uses the shared IEEE
+    * double tree; membership is a pure function of the row identity.
+    *
+    * Scale shape: ONE scan computing both branches as conditional
+    * aggregates (the sample adds no second pass), 1-row output. The
+    * sample predicate is sargable to nothing — by design it reads
+    * everything HERE to have the exact side to audit against; the
+    * production estimate-only query reads the 1/64 sample alone. */
+  def aqpSum(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"),
+        expr("cast(conv(substr(md5(concat('aqp', cast(l_orderkey as string)," +
+          " ':', cast(l_linenumber as string))), 1, 15), 16, 10) as bigint)" +
+          s" % $AqpMod").as("bucket"))
+      .withColumn("in_s", col("bucket") === 0L)
+    li.agg(count(lit(1)).as("n_total"),
+        sum("cents").as("exact_cents"),
+        sum(when(col("in_s"), 1L).otherwise(0L)).as("n_sample"),
+        sum(when(col("in_s"), col("cents"))).as("sample_cents"),
+        sum(when(col("in_s"),
+          expr("cast(cents as decimal(38,0)) * cents"))).as("sample_sq"))
+      .withColumn("est_cents", expr(s"sample_cents * $AqpMod"))
+      .withColumn("err_e6", expr(
+        "abs(est_cents - exact_cents) * 1000000 div exact_cents"))
+      .withColumn("sigma", expr(
+        s"""cast($AqpMod as double) * sqrt(cast(n_sample as double)
+          | * (cast(sample_sq as double) / cast(n_sample as double)
+          |    - (cast(sample_cents as double) / cast(n_sample as double))
+          |      * (cast(sample_cents as double) / cast(n_sample as double))))"""
+          .stripMargin.replace('\n', ' ')))
+      .withColumn("within_3sigma", expr(
+        "cast(abs(est_cents - exact_cents) as double) <= 3.0d * sigma"))
+      .select(col("n_total"), col("n_sample"), col("exact_cents"),
+        col("est_cents"), col("err_e6"),
+        expr("cast(floor(sigma) as bigint)").as("sigma_cents"),
+        col("within_3sigma"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_aqp_sum" -> (aqpSum(_, _)),
     "q_recs_eval" -> (recsEval(_, _)),
     "q_markov_eval" -> (markovEval(_, _)),
     "q_ols_price" -> (olsPrice(_, _)),
@@ -3910,6 +3964,38 @@ object Analytics {
   }.mkString("\nUNION ALL\n")
 
   val oracleSql: Map[String, String] = Map(
+    // same salted-md5 bucket membership, exact integer sums on both
+    // branches, the same IEEE sigma tree and 3-sigma verdict
+    "q_aqp_sum" ->
+      s"""WITH li AS (
+         |  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+         |    CAST(concat('0x', substr(md5('aqp' || CAST(l_orderkey AS VARCHAR)
+         |      || ':' || CAST(l_linenumber AS VARCHAR)), 1, 15)) AS BIGINT)
+         |      % $AqpMod = 0 AS in_s
+         |  FROM lineitem),
+         |m AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+         |    CAST(SUM(cents) AS BIGINT) AS exact_cents,
+         |    CAST(SUM(CASE WHEN in_s THEN 1 ELSE 0 END) AS BIGINT) AS n_sample,
+         |    CAST(SUM(CASE WHEN in_s THEN cents END) AS BIGINT) AS sample_cents,
+         |    SUM(CASE WHEN in_s THEN CAST(cents AS HUGEINT) * cents END)
+         |      AS sample_sq
+         |  FROM li),
+         |e AS (
+         |  SELECT *, sample_cents * $AqpMod AS est_cents,
+         |    CAST($AqpMod AS DOUBLE) * sqrt(CAST(n_sample AS DOUBLE)
+         |      * (CAST(sample_sq AS DOUBLE) / CAST(n_sample AS DOUBLE)
+         |         - (CAST(sample_cents AS DOUBLE) / CAST(n_sample AS DOUBLE))
+         |           * (CAST(sample_cents AS DOUBLE) / CAST(n_sample AS DOUBLE))))
+         |      AS sigma
+         |  FROM m)
+         |SELECT n_total, n_sample, exact_cents, est_cents,
+         |  CAST(abs(est_cents - exact_cents) * 1000000 // exact_cents AS BIGINT)
+         |    AS err_e6,
+         |  CAST(floor(sigma) AS BIGINT) AS sigma_cents,
+         |  CAST(abs(est_cents - exact_cents) AS DOUBLE) <= 3.0 * sigma
+         |    AS within_3sigma
+         |FROM e""".stripMargin,
     // the q_user_recs chain with the parity filter pushed into the
     // basket scan, then the same anti-joined test set and 1-row verdict
     "q_recs_eval" ->

@@ -4313,6 +4313,37 @@ class OperatorSpec extends SparkSpec {
     assert(testP.join(ownedT, Seq("o_custkey", "part")).count() == 0)
   }
 
+  test("aqp_sum matches a local md5-sample recompute and its own bound") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice").collect()
+      .map { r =>
+        val cents = math.floor(r.getDouble(2) * 100 + 0.5).toLong
+        val u = java.lang.Long.parseLong(
+          md5hex(s"aqp${r.getLong(0)}:${r.getInt(1)}").take(15), 16)
+        (cents, u % 64 == 0)
+      }
+    val n = rows.length.toLong
+    val exact = rows.map(_._1).sum
+    val samp = rows.filter(_._2).map(_._1)
+    val (ns, ss) = (samp.length.toLong, samp.sum)
+    val sq = samp.map(c => BigInt(c) * c).sum
+    val est = ss * 64L
+    val sigma = 64.0 * math.sqrt(ns.toDouble *
+      (sq.toDouble / ns.toDouble -
+        (ss.toDouble / ns.toDouble) * (ss.toDouble / ns.toDouble)))
+    val row = run("q_aqp_sum").collect()(0)
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)) ==
+      ((n, ns, exact, est)))
+    assert(row.getLong(4) == (est - exact).abs * 1000000L / exact)
+    assert(row.getLong(5) == math.floor(sigma).toLong)
+    assert(row.getBoolean(6) == ((est - exact).abs.toDouble <= 3.0 * sigma))
+    // the sample is a real minority yet non-empty
+    assert(ns > 0 && ns < n / 16)
+  }
+
   test("TopKByAvgTFIDF selects buckets and appends the location feature") {
     import spark.implicits._
     val ds = (0 until 200).map { i =>

@@ -3623,6 +3623,205 @@ object Analytics {
   def olsPrice(spark: SparkSession, dir: String): DataFrame =
     olsFinish(olsCensus(Tables.lineitem(spark, dir)))
 
+  /** The pinned channel→bit alphabet of the Shapley attribution
+    * (the generator's non-purchase event types; a production run
+    * derives it from a catalog scan — the oracle embeds it). */
+  private[graft] val ShapChannels =
+    Seq(("click", 1L), ("error", 2L), ("signup", 4L), ("view", 8L))
+
+  /** q_shapley_attr: Shapley-value channel attribution — the
+    * cooperative-game credit split (Shapley 1953; the "data-driven
+    * attribution" model) that q_attribution's last-touch rule
+    * approximates: the characteristic function v(S) = observed
+    * conversion rate of users exposed to exactly channel-set S, and
+    * each channel's credit is its average marginal contribution
+    * φᵢ = Σ_{S⊆N\{i}} |S|!(n−1−S|)!/n! · (v(S∪i) − v(S)) over all
+    * 2³ sub-coalitions (unobserved coalitions contribute v = 0, the
+    * standard empirical convention). Last-touch gives the closer
+    * 100% of the credit; Shapley pays the assist channels — the
+    * budget-allocation answer marketing actually wants.
+    *
+    * Exactness: exposure masks and conversions are exact integers;
+    * v is an e6 integer rate; with n = 4 the Shapley weights are
+    * 3/12, 1/12, 1/12, 3/12, so φ_e6 = Σ mult·Δv_e6 div 12 is ONE
+    * truncating division on a possibly-negative sum (Spark div ≡
+    * DuckDB // on negatives, verified at q_ts_decompose).
+    *
+    * Scale shape: ONE (user) two-phase agg over the event scan —
+    * the only corpus-sized stage; the mask table is ≤ 2⁴ rows, and
+    * the channel × sub-coalition grid (4 × 8) with its two
+    * broadcast lookups is constant work. At 100 TB nothing after
+    * the user agg grows. */
+  def shapleyAttr(spark: SparkSession, dir: String): DataFrame = {
+    val u = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(ShapChannels.map { case (c, b) =>
+          max(when(col("event_type") === c, b).otherwise(0L))
+        }.reduce(_ + _).as("mask"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+    val vt = u.groupBy("mask")
+      .agg(count(lit(1)).as("users"), sum("conv").as("convs"))
+      .withColumn("v_e6", expr("convs * 1000000 div users"))
+      .localCheckpoint() // ≤ 16 rows; grid + exposure reuse it
+    val ch = { import spark.implicits._; ShapChannels.toDF("channel", "bit") }
+    val subsets = spark.range(0, 1L << ShapChannels.size)
+      .select(col("id").as("s"))
+    val grid = broadcast(ch).crossJoin(broadcast(subsets))
+      .filter(expr("(s & bit) = 0"))
+      .withColumn("s1", expr("s | bit"))
+      .join(broadcast(vt.select(col("mask").as("s"), col("v_e6").as("v0"))),
+        Seq("s"), "left")
+      .join(broadcast(vt.select(col("mask").as("s1"), col("v_e6").as("v1"))),
+        Seq("s1"), "left")
+      .withColumn("mult", expr(
+        "case bit_count(s) when 0 then 3L when 3 then 3L else 1L end"))
+    val phi = grid.groupBy("channel")
+      .agg(sum(expr("mult * (coalesce(v1, 0L) - coalesce(v0, 0L))"))
+        .as("msum"))
+      .withColumn("phi_e6", expr("msum div 12"))
+    val exposed = broadcast(ch).crossJoin(broadcast(vt))
+      .filter(expr("(mask & bit) != 0"))
+      .groupBy("channel").agg(sum("users").as("n_exposed"),
+        sum("convs").as("n_conv_exposed"))
+    phi.join(exposed, Seq("channel"), "left")
+      .select(col("channel"),
+        coalesce(col("n_exposed"), lit(0L)).as("n_exposed"),
+        coalesce(col("n_conv_exposed"), lit(0L)).as("n_conv_exposed"),
+        col("phi_e6"))
+      .orderBy("channel")
+  }
+
+  /** Score deciles in the uplift report (pinned — the oracle embeds
+    * it). */
+  private[graft] val QiniBins = 10L
+
+  /** q_qini: uplift-by-decile evaluation of a targeting score with
+    * the Qini curve — the "who should we TREAT?" report that
+    * q_chi2_abtest's single average effect can't answer. Users are
+    * ranked by an engagement score (non-purchase event count — the
+    * observable proxy a targeting model would replace), cut into
+    * [[QiniBins]] deciles (best-scored = decile 1), and each decile
+    * reports its treatment-vs-control conversion uplift plus the
+    * cumulative Qini value Q(k) = cumConvₜ − cumConv_c·cumNₜ/cumN_c —
+    * excess conversions bought by treating the top k deciles. A
+    * targeting score is worth deploying iff Q rises fast then
+    * flattens; anti-targeting shows up as negative early uplift.
+    *
+    * Exactness: conversions/counts are exact integers; decile cuts
+    * use the q_quantile_bins whole-bin formula on the score
+    * HISTOGRAM (ties land together, no row_number lottery);
+    * uplift_e6 and qini_e6 are integer div floors — no IEEE anywhere.
+    *
+    * Scale shape: one (user) two-phase agg over the event scan, a
+    * bounded score histogram (≤ distinct engagement counts) with a
+    * bounded-axis cumulative, decile assignment as a BROADCAST map
+    * join back onto users (users never reshuffle on score), then a
+    * 10-row finish with bounded-axis cumulatives. */
+  def qini(spark: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"),
+        sum(when(col("event_type") =!= "purchase", 1L).otherwise(0L))
+          .as("score"))
+      .withColumn("variant", col("user_id") % 2)
+    val deciles = users.groupBy("score").agg(count(lit(1)).as("c"))
+      .withColumn("cum_le", sum("c").over(
+        Window.orderBy(col("score").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum("c").over(Window.partitionBy()))
+      .select(col("score"),
+        expr(s"(cum_le - c) * $QiniBins div n + 1").as("decile"))
+    val grid = users.join(broadcast(deciles), "score")
+      .groupBy("decile")
+      .agg(sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("variant") === 1, col("conv")).otherwise(0L))
+          .as("conv_t"),
+        sum(when(col("variant") === 0, col("conv")).otherwise(0L))
+          .as("conv_c"))
+    val w = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("uplift_e6", expr(
+        """case when n_t = 0 or n_c = 0 then cast(0 as bigint)
+          |else conv_t * 1000000 div n_t - conv_c * 1000000 div n_c
+          |end""".stripMargin.replace('\n', ' ')))
+      .withColumn("cnt", sum("n_t").over(w))
+      .withColumn("cnc", sum("n_c").over(w))
+      .withColumn("cct", sum("conv_t").over(w))
+      .withColumn("ccc", sum("conv_c").over(w))
+      .withColumn("qini_e6", expr(
+        """case when cnc = 0 then cast(0 as bigint)
+          |else (cct * cnc - ccc * cnt) * 1000000 div cnc
+          |end""".stripMargin.replace('\n', ' ')))
+      .select("decile", "n_t", "n_c", "conv_t", "conv_c",
+        "uplift_e6", "qini_e6")
+      .orderBy("decile")
+  }
+
+  /** q_spearman: tie-aware Spearman rank correlation between the
+    * three bounded lineitem measures (quantity 1..50, discount
+    * 0..10 %, tax 0..8 %) — the monotone-association audit OLS can't
+    * give (q_ols_price fits a LINE; ρ_s answers "does more quantity
+    * move discount AT ALL, monotonically?", robust to any monotone
+    * transform and to the heavy price tails). One row per pair.
+    *
+    * Exactness: every value is mapped to its DOUBLED mid-rank
+    * (2·rank keeps half-integer tie averages integral), then CENTERED
+    * by 2·mean = n+1 — so Σ c·R′ = 0 exactly by the rank-sum identity
+    * and ρ needs only the three cross moments Σ c·R′ₐR′ᵦ, Σ c·R′ₐ²,
+    * Σ c·R′ᵦ², each an exact decimal(38,0)/HUGEINT sum bounded by n³
+    * (safe past 10¹² rows — the UNcentered n·s formulation overflows
+    * at n ≈ 10⁹·⁵, which is WHY the centering is load-bearing). The
+    * final ρ = s₁₂/(√s₁₁·√s₂₂) is the shared IEEE contract: both
+    * engines evaluate the textually identical double tree, one floor.
+    *
+    * Scale shape: ONE corpus scan builds the ≤50·11·9-cell joint
+    * census (two-phase, map-side partials do everything); the three
+    * pairs, their marginal mid-rank maps (window over a ≤50-value
+    * bounded axis), and the moment finishes all run on that
+    * broadcast-sized census — constant work after the scan. */
+  def spearman(spark: SparkSession, dir: String): DataFrame = {
+    val census = Tables.lineitem(spark, dir)
+      .select(floor(col("l_quantity") + 0.5).cast("long").as("q"),
+        floor(col("l_discount") * 100 + 0.5).cast("long").as("d"),
+        floor(col("l_tax") * 100 + 0.5).cast("long").as("t"))
+      .groupBy("q", "d", "t").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // ≤ 4950 cells; three pairs reuse it
+    val ntot = census.agg(sum("c").as("n_rows"))
+    def pair(a: String, b: String, label: String): DataFrame = {
+      val cells = census.groupBy(col(a).as("va"), col(b).as("vb"))
+        .agg(sum("c").as("c"))
+      def rankMap(key: String, out: String): DataFrame =
+        cells.groupBy(col(key).as("v")).agg(sum("c").as("cnt"))
+          .crossJoin(broadcast(ntot))
+          // centered doubled mid-rank: 2·cum_below + cnt + 1 − (n+1)
+          .withColumn("cumb", coalesce(sum("cnt").over(
+            Window.orderBy("v")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("v").as(key),
+            (col("cumb") * 2 + col("cnt") + 1 - (col("n_rows") + 1)).as(out))
+      cells.join(broadcast(rankMap("va", "ra")), "va")
+        .join(broadcast(rankMap("vb", "rb")), "vb")
+        .agg(sum("c").as("n"),
+          sum(expr("cast(c as decimal(38,0)) * ra * rb")).as("s12"),
+          sum(expr("cast(c as decimal(38,0)) * ra * ra")).as("s11"),
+          sum(expr("cast(c as decimal(38,0)) * rb * rb")).as("s22"))
+        .select(lit(label).as("pair"), col("n"),
+          // a constant measure has no ranks to correlate — report 0
+          expr("""case when s11 = 0 or s22 = 0 then cast(0 as bigint)
+            |else cast(floor(1000000.0d * cast(s12 as double)
+            |  / sqrt(cast(s11 as double)) / sqrt(cast(s22 as double)))
+            |  as bigint) end""".stripMargin.replace('\n', ' ')).as("rho_e6"))
+    }
+    pair("q", "d", "quantity~discount")
+      .unionAll(pair("q", "t", "quantity~tax"))
+      .unionAll(pair("d", "t", "discount~tax"))
+      .orderBy("pair")
+  }
+
   /** The 1-row exact moment census over any lineitem-shaped frame. */
   private[graft] def olsCensus(li: DataFrame): DataFrame =
     li.select(floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("y"),
@@ -3860,6 +4059,9 @@ object Analytics {
     "q_recs_eval" -> (recsEval(_, _)),
     "q_markov_eval" -> (markovEval(_, _)),
     "q_ols_price" -> (olsPrice(_, _)),
+    "q_spearman" -> (spearman(_, _)),
+    "q_qini" -> (qini(_, _)),
+    "q_shapley_attr" -> (shapleyAttr(_, _)),
     "q_ts_decompose" -> (tsDecompose(_, _)),
     "q_user_recs" -> (userRecs(_, _)),
     "q_seq_patterns" -> (seqPatterns(_, _)),
@@ -3963,7 +4165,147 @@ object Analytics {
        |FROM lineitem""".stripMargin
   }.mkString("\nUNION ALL\n")
 
+  /** One Spearman pair as a suffixed CTE block over the shared joint
+    * census — same centered doubled mid-ranks, same exact HUGEINT
+    * moments, same IEEE ρ tree as [[spearman]]. */
+  private def spearmanPairSql(a: String, b: String, label: String,
+      sfx: String): String =
+    s"""cells_$sfx AS (
+       |  SELECT $a AS va, $b AS vb, CAST(SUM(c) AS BIGINT) AS c
+       |  FROM census GROUP BY 1, 2),
+       |ra_$sfx AS (
+       |  SELECT va, 2 * COALESCE(CAST(SUM(cnt) OVER (ORDER BY va
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+       |    + cnt + 1 - (SUM(cnt) OVER () + 1) AS ra
+       |  FROM (SELECT va, CAST(SUM(c) AS BIGINT) AS cnt
+       |        FROM cells_$sfx GROUP BY va)),
+       |rb_$sfx AS (
+       |  SELECT vb, 2 * COALESCE(CAST(SUM(cnt) OVER (ORDER BY vb
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+       |    + cnt + 1 - (SUM(cnt) OVER () + 1) AS rb
+       |  FROM (SELECT vb, CAST(SUM(c) AS BIGINT) AS cnt
+       |        FROM cells_$sfx GROUP BY vb)),
+       |m_$sfx AS (
+       |  SELECT CAST(SUM(c) AS BIGINT) AS n,
+       |    SUM(CAST(c AS HUGEINT) * ra * rb) AS s12,
+       |    SUM(CAST(c AS HUGEINT) * ra * ra) AS s11,
+       |    SUM(CAST(c AS HUGEINT) * rb * rb) AS s22
+       |  FROM cells_$sfx JOIN ra_$sfx USING (va) JOIN rb_$sfx USING (vb)),
+       |r_$sfx AS (
+       |  SELECT '$label' AS pair, n,
+       |    CASE WHEN s11 = 0 OR s22 = 0 THEN CAST(0 AS BIGINT)
+       |         ELSE CAST(floor(1000000.0 * CAST(s12 AS DOUBLE)
+       |           / sqrt(CAST(s11 AS DOUBLE)) / sqrt(CAST(s22 AS DOUBLE)))
+       |           AS BIGINT) END AS rho_e6
+       |  FROM m_$sfx)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    // same per-user exposure masks, observed-coalition v table, the
+    // identical 4-channel Shapley weight grid, and one // floor
+    "q_shapley_attr" -> {
+      val maskTerms = ShapChannels.map { case (c, b) =>
+        s"MAX(CASE WHEN event_type = '$c' THEN $b ELSE 0 END)"
+      }.mkString("\n         |       + ")
+      val chRows = ShapChannels.map { case (c, b) => s"('$c', $b)" }
+        .mkString(", ")
+      s"""WITH u AS (
+         |  SELECT user_id,
+         |    CAST($maskTerms AS BIGINT) AS mask,
+         |    CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS conv
+         |  FROM events GROUP BY user_id),
+         |vt AS (
+         |  SELECT mask, users, convs, convs * 1000000 // users AS v_e6
+         |  FROM (SELECT mask, CAST(COUNT(*) AS BIGINT) AS users,
+         |          CAST(SUM(conv) AS BIGINT) AS convs
+         |        FROM u GROUP BY mask)),
+         |ch AS (SELECT * FROM (VALUES $chRows) AS t(channel, bit)),
+         |subsets AS (
+         |  SELECT CAST(unnest(generate_series(0,
+         |    ${(1L << ShapChannels.size) - 1})) AS BIGINT) AS s),
+         |grid AS (
+         |  SELECT channel,
+         |    COALESCE(v0.v_e6, 0) AS v0, COALESCE(v1.v_e6, 0) AS v1,
+         |    CASE bit_count(s) WHEN 0 THEN 3 WHEN ${ShapChannels.size - 1}
+         |      THEN 3 ELSE 1 END AS mult
+         |  FROM (SELECT channel, s, s | bit AS s1 FROM ch, subsets
+         |        WHERE (s & bit) = 0) g
+         |  LEFT JOIN vt v0 ON v0.mask = g.s
+         |  LEFT JOIN vt v1 ON v1.mask = g.s1),
+         |phi AS (
+         |  SELECT channel, CAST(SUM(mult * (v1 - v0)) AS BIGINT) AS msum
+         |  FROM grid GROUP BY channel),
+         |exposed AS (
+         |  SELECT channel, CAST(SUM(users) AS BIGINT) AS n_exposed,
+         |    CAST(SUM(convs) AS BIGINT) AS n_conv_exposed
+         |  FROM ch JOIN vt ON (vt.mask & ch.bit) != 0 GROUP BY channel)
+         |SELECT p.channel,
+         |  COALESCE(n_exposed, CAST(0 AS BIGINT)) AS n_exposed,
+         |  COALESCE(n_conv_exposed, CAST(0 AS BIGINT)) AS n_conv_exposed,
+         |  CAST(msum // 12 AS BIGINT) AS phi_e6
+         |FROM phi p LEFT JOIN exposed USING (channel)
+         |ORDER BY channel""".stripMargin
+    },
+    // same per-user census, histogram whole-bin deciles (desc), and
+    // the identical integer uplift/Qini floors
+    "q_qini" ->
+      s"""WITH u AS (
+         |  SELECT user_id,
+         |    CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS conv,
+         |    CAST(SUM(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS score,
+         |    user_id % 2 AS variant
+         |  FROM events GROUP BY user_id),
+         |hist AS (SELECT score, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM u GROUP BY score),
+         |dec AS (
+         |  SELECT score, CAST((SUM(c) OVER (ORDER BY score DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c)
+         |    * $QiniBins // SUM(c) OVER () + 1 AS BIGINT) AS decile
+         |  FROM hist),
+         |grid AS (
+         |  SELECT decile,
+         |    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_t,
+         |    CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_c,
+         |    CAST(SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT)
+         |      AS conv_t,
+         |    CAST(SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT)
+         |      AS conv_c
+         |  FROM u JOIN dec USING (score) GROUP BY decile),
+         |cum AS (
+         |  SELECT *,
+         |    CAST(SUM(n_t) OVER w AS BIGINT) AS cnt,
+         |    CAST(SUM(n_c) OVER w AS BIGINT) AS cnc,
+         |    CAST(SUM(conv_t) OVER w AS BIGINT) AS cct,
+         |    CAST(SUM(conv_c) OVER w AS BIGINT) AS ccc
+         |  FROM grid WINDOW w AS (ORDER BY decile
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT decile, n_t, n_c, conv_t, conv_c,
+         |  CASE WHEN n_t = 0 OR n_c = 0 THEN CAST(0 AS BIGINT)
+         |       ELSE CAST(conv_t * 1000000 // n_t - conv_c * 1000000 // n_c
+         |                 AS BIGINT) END AS uplift_e6,
+         |  CASE WHEN cnc = 0 THEN CAST(0 AS BIGINT)
+         |       ELSE CAST((cct * cnc - ccc * cnt) * 1000000 // cnc AS BIGINT)
+         |  END AS qini_e6
+         |FROM cum ORDER BY decile""".stripMargin,
+    // same joint census, centered doubled mid-ranks (Σ c·R′ = 0 by
+    // the rank-sum identity), exact HUGEINT moments, one IEEE floor
+    "q_spearman" ->
+      s"""WITH li AS (
+         |  SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS q,
+         |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d,
+         |    CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS t
+         |  FROM lineitem),
+         |census AS (SELECT q, d, t, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM li GROUP BY q, d, t),
+         |${spearmanPairSql("q", "d", "quantity~discount", "qd")},
+         |${spearmanPairSql("q", "t", "quantity~tax", "qt")},
+         |${spearmanPairSql("d", "t", "discount~tax", "dt")}
+         |SELECT * FROM r_qd UNION ALL SELECT * FROM r_qt
+         |UNION ALL SELECT * FROM r_dt ORDER BY pair""".stripMargin,
     // same salted-md5 bucket membership, exact integer sums on both
     // branches, the same IEEE sigma tree and 3-sigma verdict
     "q_aqp_sum" ->

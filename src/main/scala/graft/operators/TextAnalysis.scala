@@ -888,6 +888,55 @@ object TextAnalysis {
           |""".stripMargin.replace('\n', ' ')))
   }
 
+  /** Order statistics used by the Hill estimator (pinned — the
+    * oracle embeds it). */
+  private[graft] val HillK = 200
+
+  /** q_hill_tail: Hill estimator of the token-frequency tail exponent
+    * — the maximum-likelihood power-law fit over the top-[[HillK]]
+    * order statistics (Hill, Ann. Statist. 1975), the rigorous
+    * companion to q_zipf_spectrum's least-squares slope (binned LS
+    * over log-log spectra is known-biased; Hill over the upper order
+    * statistics is the estimator the heavy-tail literature actually
+    * trusts). α̂ = k / Σᵢ₌₁..k (ln fᵢ − ln f₍ₖ₊₁₎) over the k largest
+    * frequencies, with f₍ₖ₊₁₎ the cutoff xmin. A vocabulary whose α
+    * drifts round-over-round is the early-warning for template flood
+    * or dedup regression — same dashboard as q_heaps_growth.
+    *
+    * Exactness: per-token ln f is floored ONCE to an e6 integer
+    * (the q_zipf_spectrum convention), so the order-statistic sums
+    * are exact integers and the final ratio is a div — bit-stable
+    * regardless of summation order. Ties at the cutoff are harmless:
+    * tied rows share the same l, so "top k" is well-defined on sums.
+    *
+    * Scale shape: token explode → two-phase (tok) count — the
+    * q_token_search postings shuffle, ∝ distinct tokens; the top-
+    * (k+1) is TakeOrdered (heap per partition + driver merge of
+    * k+1-row slices, never a global sort); the finish is a 201-row
+    * local aggregate. At 100 TB the only corpus-scale stage is the
+    * token count every sibling query already pays. */
+  def hillTail(spark: SparkSession, dir: String): DataFrame = {
+    val freqs = Tables.documents(spark, dir)
+      .select(explode(
+        regexp_extract_all(col("text"), lit(TokenRe), lit(0))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("f"))
+    val nv = freqs.agg(count(lit(1)).as("n_vocab"))
+    val top = freqs.orderBy(col("f").desc, col("tok").asc).limit(HillK + 1)
+      .select(col("f"),
+        floor(log(col("f").cast("double")) * 1e6 + 0.5).cast("long").as("l"))
+    top.agg(count(lit(1)).as("cnt"), sum("l").as("sum_l"),
+        min("f").as("xmin"), min("l").as("lmin"))
+      .crossJoin(broadcast(nv))
+      // Σ_topk (lᵢ − lmin) = (sum_l − lmin) − k·lmin; a flat cutoff
+      // window (all 201 tied) leaves α undefined — report −1
+      .withColumn("k", col("cnt") - 1)
+      .withColumn("alpha_e6", expr(
+        """case when sum_l - lmin - k * lmin = 0 then cast(-1 as bigint)
+          |else cast(k * 1000000000000 div (sum_l - lmin - k * lmin)
+          |          as bigint) end""".stripMargin.replace('\n', ' ')))
+      .select("n_vocab", "k", "xmin", "alpha_e6")
+  }
+
   /** Keywords kept per document by q_doc_keywords (pinned — the
     * oracle embeds it). */
   private[graft] val KeywordK = 3
@@ -1347,6 +1396,7 @@ object TextAnalysis {
     "q_hll_distinct" -> (hllDistinct(_, _)),
     "q_reservoir" -> (reservoir(_, _)),
     "q_zipf_spectrum" -> (zipfSpectrum(_, _)),
+    "q_hill_tail" -> (hillTail(_, _)),
     "q_vocab_coverage" -> (vocabCoverage(_, _)),
     "q_bpe_encode" -> (bpeEncode(_, _)),
     "q_bpe_pairs" -> (bpePairs(_, _)),
@@ -1457,6 +1507,29 @@ object TextAnalysis {
          |ORDER BY query_id, rank""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same token census, TOP (k+1) by (f desc, tok), per-point e6
+    // ln floor, and the identical integer Hill ratio
+    "q_hill_tail" ->
+      s"""WITH toks AS (
+        |  SELECT unnest(regexp_extract_all(text, '$TokenRe')) AS tok
+        |  FROM documents),
+        |freqs AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS f
+        |  FROM toks GROUP BY tok),
+        |nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab FROM freqs),
+        |top AS (
+        |  SELECT f,
+        |    CAST(floor(ln(CAST(f AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS l
+        |  FROM freqs ORDER BY f DESC, tok ASC LIMIT ${HillK + 1}),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+        |    CAST(SUM(l) AS BIGINT) AS sum_l,
+        |    MIN(f) AS xmin, MIN(l) AS lmin FROM top)
+        |SELECT n_vocab, cnt - 1 AS k, xmin,
+        |  CASE WHEN sum_l - lmin - (cnt - 1) * lmin = 0
+        |       THEN CAST(-1 AS BIGINT)
+        |       ELSE CAST((cnt - 1) * 1000000000000
+        |                 // (sum_l - lmin - (cnt - 1) * lmin) AS BIGINT)
+        |  END AS alpha_e6
+        |FROM s, nv""".stripMargin,
     // same split/counts/smoothing; ln terms floored at e3 per the
     // elasticity kernel; identical argmax tie-break
     "q_nb_langid" ->

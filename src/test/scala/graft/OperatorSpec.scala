@@ -1244,6 +1244,144 @@ class OperatorSpec extends SparkSpec {
       }
   }
 
+  test("shapley attribution matches a local coalition recompute") {
+    val chans = operators.Analytics.ShapChannels
+    val evs = graft.sources.Tables.events(spark, sf)
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val users = evs.groupBy(_._1).toSeq.map { case (_, g) =>
+      val types = g.map(_._2).toSet
+      val mask = chans.collect { case (c, b) if types(c) => b }.sum
+      (mask, if (types("purchase")) 1L else 0L)
+    }
+    val vt = users.groupBy(_._1).map { case (m, g) =>
+      m -> ((g.size.toLong, g.map(_._2).sum))
+    }
+    val v = vt.map { case (m, (u, c)) => m -> c * 1000000L / u }
+      .withDefaultValue(0L)
+    val n = chans.size
+    val exp = chans.map { case (c, bit) =>
+      val msum = (0L until (1L << n)).filter(s => (s & bit) == 0).map { s =>
+        val mult =
+          if (java.lang.Long.bitCount(s) == 0 ||
+            java.lang.Long.bitCount(s) == n - 1) 3L else 1L
+        mult * (v(s | bit) - v(s))
+      }.sum
+      val (ne, nc) = vt.filter { case (m, _) => (m & bit) != 0 }.values
+        .foldLeft((0L, 0L)) { case ((a, b), (u, cv)) => (a + u, b + cv) }
+      (c, ne, nc, msum / 12)
+    }.sortBy(_._1)
+    val got = run("q_shapley_attr").collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == exp)
+    // efficiency axiom: Σ φᵢ = v(grand coalition) − v(∅), up to the
+    // per-channel floor (4 truncating divisions)
+    val grand = v(chans.map(_._2).sum) - v(0L)
+    assert(math.abs(got.map(_._4).sum - grand) <= 4)
+  }
+
+  test("qini matches a local decile recompute and covers every user") {
+    val evs = graft.sources.Tables.events(spark, sf)
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val users = evs.groupBy(_._1).map { case (uid, g) =>
+      val conv = if (g.exists(_._2 == "purchase")) 1L else 0L
+      val score = g.count(_._2 != "purchase").toLong
+      (uid, conv, score, uid % 2)
+    }.toSeq
+    val n = users.size.toLong
+    // whole-bin deciles over the DESC score histogram
+    val hist = users.groupBy(_._3).map { case (s, g) => (s, g.size.toLong) }
+      .toSeq.sortBy(-_._1)
+    var cum = 0L
+    val decOf = hist.map { case (s, c) =>
+      val d = cum * 10 / n + 1; cum += c; (s, d)
+    }.toMap
+    val grid = users.groupBy(u => decOf(u._3)).toSeq.sortBy(_._1).map {
+      case (d, g) =>
+        (d, g.count(_._4 == 1).toLong, g.count(_._4 == 0).toLong,
+          g.filter(_._4 == 1).map(_._2).sum, g.filter(_._4 == 0).map(_._2).sum)
+    }
+    var (cnt, cnc, cct, ccc) = (0L, 0L, 0L, 0L)
+    val expRows = grid.map { case (d, nt, nc, ct, cc) =>
+      cnt += nt; cnc += nc; cct += ct; ccc += cc
+      val uplift = if (nt == 0 || nc == 0) 0L
+        else ct * 1000000L / nt - cc * 1000000L / nc
+      val qini = if (cnc == 0) 0L else (cct * cnc - ccc * cnt) * 1000000L / cnc
+      (d, nt, nc, ct, cc, uplift, qini)
+    }
+    val got = run("q_qini").collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.toSeq == expRows)
+    assert(got.map(r => r._2 + r._3).sum == n) // every user in one decile
+  }
+
+  test("spearman matches a local mid-rank recompute on all three pairs") {
+    val rows = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_quantity", "l_discount", "l_tax").collect()
+      .map(r => (math.floor(r.getDouble(0) + 0.5).toLong,
+        math.floor(r.getDouble(1) * 100 + 0.5).toLong,
+        math.floor(r.getDouble(2) * 100 + 0.5).toLong))
+    val n = rows.length.toLong
+    def centeredRanks(vs: Seq[Long]): Map[Long, Long] = {
+      val hist = vs.groupBy(identity).map { case (v, g) => (v, g.size.toLong) }
+      val sorted = hist.toSeq.sortBy(_._1)
+      var below = 0L
+      sorted.map { case (v, cnt) =>
+        val r = 2 * below + cnt + 1 - (n + 1); below += cnt; (v, r)
+      }.toMap
+    }
+    def rho(xs: Seq[Long], ys: Seq[Long]): Long = {
+      val (rx, ry) = (centeredRanks(xs), centeredRanks(ys))
+      val s12 = xs.zip(ys).map { case (x, y) => BigInt(rx(x)) * ry(y) }.sum
+      val s11 = xs.map(x => BigInt(rx(x)) * rx(x)).sum
+      val s22 = ys.map(y => BigInt(ry(y)) * ry(y)).sum
+      if (s11 == 0 || s22 == 0) 0L
+      else math.floor(1e6 * s12.toDouble /
+        math.sqrt(s11.toDouble) / math.sqrt(s22.toDouble)).toLong
+    }
+    val got = run("q_spearman").collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n"), r.getAs[Long]("rho_e6")))
+      .toMap
+    val (qs, ds, ts) =
+      (rows.map(_._1).toSeq, rows.map(_._2).toSeq, rows.map(_._3).toSeq)
+    assert(got("quantity~discount") == ((n, rho(qs, ds))))
+    assert(got("quantity~tax") == ((n, rho(qs, ts))))
+    assert(got("discount~tax") == ((n, rho(ds, ts))))
+    // independent draws in the generator: associations exist but are weak
+    got.values.foreach { case (_, r) => assert(math.abs(r) < 1000000L) }
+  }
+
+  test("hill tail exponent matches a local order-statistic recompute") {
+    val r = run("q_hill_tail").collect().head
+    // local recompute: token census → top-(k+1) → integer Hill ratio
+    val toks = graft.sources.Tables.documents(spark, sf)
+      .select("text").collect().iterator
+      .flatMap(row => operators.TextAnalysis.TokenRe.r
+        .findAllIn(Option(row.getString(0)).getOrElse("")))
+      .toSeq
+    val freqs = toks.groupBy(identity).map { case (_, v) => v.size.toLong }
+    val nVocab = freqs.size.toLong
+    val k = operators.TextAnalysis.HillK
+    val topTokens = toks.groupBy(identity).toSeq
+      .map { case (t, v) => (t, v.size.toLong) }
+      .sortBy { case (t, f) => (-f, t) }.take(k + 1)
+    val ls = topTokens.map { case (_, f) =>
+      math.floor(math.log(f.toDouble) * 1e6 + 0.5).toLong
+    }
+    val (cnt, sumL, lmin) = (ls.size.toLong, ls.sum, ls.min)
+    val den = sumL - lmin - (cnt - 1) * lmin
+    val expAlpha =
+      if (den == 0) -1L else (BigInt(cnt - 1) * BigInt(10).pow(12) / den).toLong
+    assert(r.getAs[Long]("n_vocab") == nVocab)
+    assert(r.getAs[Long]("k") == cnt - 1)
+    assert(r.getAs[Long]("xmin") == topTokens.map(_._2).min)
+    assert(r.getAs[Long]("alpha_e6") == expAlpha)
+    // a Zipf-ish corpus has a genuinely heavy tail: α in a sane band
+    assert(expAlpha == -1 || (r.getAs[Long]("alpha_e6") > 100000L &&
+      r.getAs[Long]("alpha_e6") < 100000000L))
+  }
+
   test("zipf spectrum slope is negative with consistent moments") {
     val r = run("q_zipf_spectrum").collect().head
     val (n, sx, sy, sxy, sxx) = (r.getAs[Long]("n_points"), r.getAs[Long]("sx"),

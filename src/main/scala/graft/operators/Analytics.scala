@@ -3822,6 +3822,72 @@ object Analytics {
       .orderBy("pair")
   }
 
+  /** q_kendall_tau: tie-corrected Kendall τ-b over the same three
+    * lineitem measure pairs as q_spearman — the PAIRWISE-concordance
+    * view of monotone association (Kendall 1938). Spearman asks "do
+    * the rank sequences correlate?"; τ-b asks "of all row pairs, how
+    * many agree in direction?" — a different functional that is the
+    * standard cross-check when ties are heavy (here every measure is
+    * massively tied), with τ-b's explicit tie corrections
+    * n₁ = Σ tₐ(tₐ−1)/2, n₂ = Σ t_b(t_b−1)/2.
+    *
+    * Exactness: concordant/discordant masses and tie corrections are
+    * exact decimal(38,0)/HUGEINT sums of c·c′ products over the
+    * bounded joint census — never over rows (n_c alone is ~n²/4 ≈
+    * 10²³ at 10¹² rows, why the decimals). Doubled denominators keep
+    * everything integral: τ = 2(n_c−n_d)/(√(n(n−1)−2n₁)·√(n(n−1)−2n₂)),
+    * one shared IEEE tree, one floor.
+    *
+    * Scale shape: ONE corpus scan builds the same ≤50·11·9 census as
+    * q_spearman; each pair's concordance is a broadcast nested-loop
+    * self-join of its ≤550-cell marginal census (≤ 550² bounded
+    * products — constant work after the scan, NOT an O(n²) pair
+    * enumeration), and every finish is a 1-row aggregate. */
+  def kendallTau(spark: SparkSession, dir: String): DataFrame = {
+    val census = Tables.lineitem(spark, dir)
+      .select(floor(col("l_quantity") + 0.5).cast("long").as("q"),
+        floor(col("l_discount") * 100 + 0.5).cast("long").as("d"),
+        floor(col("l_tax") * 100 + 0.5).cast("long").as("t"))
+      .groupBy("q", "d", "t").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // ≤ 4950 cells; three pairs reuse it
+    val ntot = census.agg(sum("c").as("n_rows"))
+    def pair(a: String, b: String, label: String): DataFrame = {
+      val cells = census.groupBy(col(a).as("va"), col(b).as("vb"))
+        .agg(sum("c").as("c"))
+        .localCheckpoint() // ≤ 550 cells; self-join + two marginals
+      val y = cells.select(col("va").as("wa"), col("vb").as("wb"),
+        col("c").as("cy"))
+      val cd = cells.join(broadcast(y), col("va") < col("wa"))
+        .agg(
+          coalesce(sum(expr(
+            "case when vb < wb then cast(c as decimal(38,0)) * cy end")),
+            expr("cast(0 as decimal(38,0))")).as("nc"),
+          coalesce(sum(expr(
+            "case when vb > wb then cast(c as decimal(38,0)) * cy end")),
+            expr("cast(0 as decimal(38,0))")).as("nd"))
+      val ta = cells.groupBy("va").agg(sum("c").as("cnt"))
+        .agg(sum(expr("cast(cnt as decimal(38,0)) * (cnt - 1)")).as("t2a"))
+      val tb = cells.groupBy("vb").agg(sum("c").as("cnt"))
+        .agg(sum(expr("cast(cnt as decimal(38,0)) * (cnt - 1)")).as("t2b"))
+      cd.crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
+        .crossJoin(broadcast(ntot))
+        .withColumn("d1", expr(
+          "cast(n_rows as decimal(38,0)) * (n_rows - 1) - t2a"))
+        .withColumn("d2", expr(
+          "cast(n_rows as decimal(38,0)) * (n_rows - 1) - t2b"))
+        .select(lit(label).as("pair"), col("n_rows").as("n"),
+          // a constant measure has no pairs to order — report 0
+          expr("""case when d1 = 0 or d2 = 0 then cast(0 as bigint)
+            |else cast(floor(1000000.0d * 2 * cast(nc - nd as double)
+            |  / sqrt(cast(d1 as double)) / sqrt(cast(d2 as double)))
+            |  as bigint) end""".stripMargin.replace('\n', ' ')).as("tau_e6"))
+    }
+    pair("q", "d", "quantity~discount")
+      .unionAll(pair("q", "t", "quantity~tax"))
+      .unionAll(pair("d", "t", "discount~tax"))
+      .orderBy("pair")
+  }
+
   /** The 1-row exact moment census over any lineitem-shaped frame. */
   private[graft] def olsCensus(li: DataFrame): DataFrame =
     li.select(floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("y"),
@@ -4061,6 +4127,7 @@ object Analytics {
     "q_ols_price" -> (olsPrice(_, _)),
     "q_spearman" -> (spearman(_, _)),
     "q_qini" -> (qini(_, _)),
+    "q_kendall_tau" -> (kendallTau(_, _)),
     "q_shapley_attr" -> (shapleyAttr(_, _)),
     "q_ts_decompose" -> (tsDecompose(_, _)),
     "q_user_recs" -> (userRecs(_, _)),
@@ -4164,6 +4231,41 @@ object Analytics {
        |  ${repr(s"MAX($c)")} AS max_repr
        |FROM lineitem""".stripMargin
   }.mkString("\nUNION ALL\n")
+
+  /** One Kendall pair as a suffixed CTE block over the shared joint
+    * census — same bounded-cell self-join concordance, HUGEINT tie
+    * corrections, and doubled-denominator IEEE τ tree as
+    * [[kendallTau]]. */
+  private def kendallPairSql(a: String, b: String, label: String,
+      sfx: String): String =
+    s"""kcells_$sfx AS (
+       |  SELECT $a AS va, $b AS vb, CAST(SUM(c) AS BIGINT) AS c
+       |  FROM census GROUP BY 1, 2),
+       |kcd_$sfx AS (
+       |  SELECT
+       |    COALESCE(SUM(CASE WHEN x.vb < y.vb
+       |      THEN CAST(x.c AS HUGEINT) * y.c END), 0) AS nc,
+       |    COALESCE(SUM(CASE WHEN x.vb > y.vb
+       |      THEN CAST(x.c AS HUGEINT) * y.c END), 0) AS nd
+       |  FROM kcells_$sfx x JOIN kcells_$sfx y ON x.va < y.va),
+       |kta_$sfx AS (
+       |  SELECT SUM(CAST(cnt AS HUGEINT) * (cnt - 1)) AS t2a
+       |  FROM (SELECT CAST(SUM(c) AS BIGINT) AS cnt
+       |        FROM kcells_$sfx GROUP BY va)),
+       |ktb_$sfx AS (
+       |  SELECT SUM(CAST(cnt AS HUGEINT) * (cnt - 1)) AS t2b
+       |  FROM (SELECT CAST(SUM(c) AS BIGINT) AS cnt
+       |        FROM kcells_$sfx GROUP BY vb)),
+       |kr_$sfx AS (
+       |  SELECT '$label' AS pair, n,
+       |    CASE WHEN CAST(n AS HUGEINT) * (n - 1) - t2a = 0
+       |           OR CAST(n AS HUGEINT) * (n - 1) - t2b = 0
+       |         THEN CAST(0 AS BIGINT)
+       |         ELSE CAST(floor(1000000.0 * 2 * CAST(nc - nd AS DOUBLE)
+       |           / sqrt(CAST(CAST(n AS HUGEINT) * (n - 1) - t2a AS DOUBLE))
+       |           / sqrt(CAST(CAST(n AS HUGEINT) * (n - 1) - t2b AS DOUBLE)))
+       |           AS BIGINT) END AS tau_e6
+       |  FROM kcd_$sfx, kta_$sfx, ktb_$sfx, ktot)""".stripMargin
 
   /** One Spearman pair as a suffixed CTE block over the shared joint
     * census — same centered doubled mid-ranks, same exact HUGEINT
@@ -4291,6 +4393,22 @@ object Analytics {
          |       ELSE CAST((cct * cnc - ccc * cnt) * 1000000 // cnc AS BIGINT)
          |  END AS qini_e6
          |FROM cum ORDER BY decile""".stripMargin,
+    // same joint census, bounded-cell concordance self-join, HUGEINT
+    // tie corrections, and the doubled-denominator IEEE τ tree
+    "q_kendall_tau" ->
+      s"""WITH li AS (
+         |  SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS q,
+         |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d,
+         |    CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS t
+         |  FROM lineitem),
+         |census AS (SELECT q, d, t, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM li GROUP BY q, d, t),
+         |ktot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM census),
+         |${kendallPairSql("q", "d", "quantity~discount", "qd")},
+         |${kendallPairSql("q", "t", "quantity~tax", "qt")},
+         |${kendallPairSql("d", "t", "discount~tax", "dt")}
+         |SELECT * FROM kr_qd UNION ALL SELECT * FROM kr_qt
+         |UNION ALL SELECT * FROM kr_dt ORDER BY pair""".stripMargin,
     // same joint census, centered doubled mid-ranks (Σ c·R′ = 0 by
     // the rank-sum identity), exact HUGEINT moments, one IEEE floor
     "q_spearman" ->

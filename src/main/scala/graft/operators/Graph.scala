@@ -287,13 +287,137 @@ object Graph {
       .select(col("m"), col("sx").cast("long").as("sx"), col("assort_e6"))
   }
 
+  /** Peel rounds of the k-core ladder (pinned — the oracle unrolls
+    * them). Both test SFs converge in ≤ 3 rounds (measured); the
+    * ROUND TRAJECTORY, not the fixpoint, is the contract, so an
+    * unconverged giant graph still oracle-matches. */
+  private[graft] val KcoreRounds = 4
+
+  /** The degree-quantile rungs of the ladder: (label, numerator,
+    * denominator) of the whole-bin histogram quantile cut. */
+  private[graft] val KcoreRungs =
+    Seq(("p50", 1L, 2L), ("p75", 3L, 4L), ("p90", 9L, 10L))
+
+  /** q_kcore: the k-core PEEL LADDER of the co-order graph — for K at
+    * the p50/p75/p90 degree quantiles, iteratively delete nodes whose
+    * within-subgraph degree drops below K ([[KcoreRounds]] rounds) and
+    * report the survivor count after every round. The degeneracy
+    * audit that complements q_degree_dist (static histogram) and
+    * q_graph_modularity (community quality): a graph with real dense
+    * communities keeps a stable core above the median rung, while a
+    * degree-homogeneous mixing graph UNRAVELS — each peel lowers
+    * every survivor's degree together, so the core collapses to ∅ in
+    * 2-3 rounds (exactly what this corpus shows, and the right
+    * warning to a recommender that raw co-order adjacency here has no
+    * exploitable core; use lift, cf. q_copurchase).
+    *
+    * Exactness: degrees and survivor counts are exact integers; the
+    * quantile rungs use the shared whole-bin histogram formula
+    * (cum·den ≥ n·num), so no interpolation anywhere.
+    *
+    * Scale shape: the ladder peels all three rungs IN ONE PLAN — the
+    * alive set is keyed (frac, node) and each round is edges ⋈ alive
+    * (src) ⋈ alive (frac, dst) → two-phase count → filter ≥ k, i.e.
+    * shuffle ∝ 3·surviving edges per round, never node-quadratic;
+    * alive sets are localCheckpoint'd per round (the pagerank lineage
+    * pattern). Round censuses are rung-sized aggs; the zero-fill
+    * grid join is constant. No driver collect anywhere — the
+    * data-derived rungs stay in the plan as a 3-row broadcast. */
+  def kcore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = coOrderEdges(spark, dir).localCheckpoint()
+    val deg0 = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val ntot = deg0.agg(count(lit(1)).as("n_nodes"))
+    val cum = deg0.groupBy("deg").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(
+        org.apache.spark.sql.expressions.Window.orderBy("deg")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(ntot))
+    val ks = broadcast(KcoreRungs.toDF("frac", "num", "den"))
+      .join(cum, expr("cum * den >= n_nodes * num"))
+      .groupBy("frac").agg(min("deg").as("k"))
+      .localCheckpoint() // 3 rows; every round + the grid reuse it
+    var alive = deg0.select(col("src").as("node"))
+      .crossJoin(broadcast(ks.select("frac", "k")))
+      .localCheckpoint()
+    val rounds = scala.collection.mutable.ArrayBuffer(
+      alive.groupBy("frac").agg(count(lit(1)).as("n_alive"))
+        .withColumn("round", lit(0L)))
+    (1 to KcoreRounds).foreach { r =>
+      alive = edges
+        .join(alive.select(col("frac"), col("k"), col("node").as("src")),
+          "src")
+        .join(alive.select(col("frac"), col("node").as("dst")),
+          Seq("frac", "dst"))
+        .groupBy("frac", "k", "src").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= col("k"))
+        .select(col("frac"), col("k"), col("src").as("node"))
+        .localCheckpoint()
+      rounds += alive.groupBy("frac").agg(count(lit(1)).as("n_alive"))
+        .withColumn("round", lit(r.toLong))
+    }
+    val grid = ks.crossJoin(
+      spark.range(0, KcoreRounds + 1).select(col("id").as("round")))
+    grid.join(rounds.reduce(_ unionAll _), Seq("frac", "round"), "left")
+      .na.fill(0L, Seq("n_alive"))
+      .select(col("frac"), col("k"), col("round"), col("n_alive"))
+      .orderBy("frac", "round")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kcore" -> (kcore(_, _)),
     "q_assortativity" -> (assortativity(_, _)),
     "q_pagerank" -> (pagerank(_, _)),
     "q_degree_dist" -> (degreeDist(_, _)),
     "q_hits" -> (hits(_, _)),
     "q_link_predict" -> (linkPredict(_, _)),
     "q_bfs_hops" -> (bfsHops(_, _)))
+
+  /** The same quantile rungs and peel rounds, unrolled — alive sets
+    * MATERIALIZED because each round references its predecessor twice
+    * (the hits-oracle exponential-inlining hazard). */
+  private val kcoreOracle: String = {
+    val rungKs = KcoreRungs.map { case (lbl, num, den) =>
+      s"k_$lbl AS (SELECT MIN(deg) AS k FROM cum, nt WHERE cum * $den >= n_nodes * $num)"
+    }.mkString(",\n")
+    val peels = KcoreRungs.map { case (lbl, _, _) =>
+      val rs = (1 to KcoreRounds).map { r =>
+        s"""a_${lbl}_$r AS MATERIALIZED (
+           |  SELECT e.src AS node FROM edges e
+           |  JOIN a_${lbl}_${r - 1} s ON e.src = s.node
+           |  JOIN a_${lbl}_${r - 1} t ON e.dst = t.node
+           |  GROUP BY e.src
+           |  HAVING COUNT(*) >= (SELECT k FROM k_$lbl))""".stripMargin
+      }.mkString(",\n")
+      s"""a_${lbl}_0 AS MATERIALIZED (SELECT src AS node FROM deg0),
+         |$rs""".stripMargin
+    }.mkString(",\n")
+    val census = KcoreRungs.flatMap { case (lbl, _, _) =>
+      (0 to KcoreRounds).map { r =>
+        s"""SELECT '$lbl' AS frac, (SELECT k FROM k_$lbl) AS k,
+           |  CAST($r AS BIGINT) AS round,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM a_${lbl}_$r) AS n_alive"""
+          .stripMargin
+      }
+    }.mkString("\nUNION ALL\n")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |edges AS MATERIALIZED (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM pairs a JOIN pairs b USING (l_orderkey)
+       |  WHERE a.l_partkey <> b.l_partkey),
+       |deg0 AS MATERIALIZED (
+       |  SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+       |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg0),
+       |hist AS (SELECT deg, CAST(COUNT(*) AS BIGINT) AS c FROM deg0 GROUP BY deg),
+       |cum AS (SELECT deg, CAST(SUM(c) OVER (ORDER BY deg) AS BIGINT) AS cum
+       |  FROM hist),
+       |$rungKs,
+       |$peels
+       |$census
+       |ORDER BY frac, round""".stripMargin
+  }
 
   /** The same three rounds, unrolled as nested CTEs. */
   private val pagerankOracle: String = {
@@ -358,6 +482,8 @@ object Graph {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // same whole-bin quantile rungs, same unrolled peel rounds
+    "q_kcore" -> kcoreOracle,
     // same five exact sufficient statistics, same IEEE n-scaled
     // Pearson tree, same zero-variance sentinel
     "q_assortativity" ->

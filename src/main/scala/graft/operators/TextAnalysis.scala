@@ -1250,6 +1250,60 @@ object TextAnalysis {
       .withColumn("p_e6", expr("(n_docs * 1000000) div row_total"))
       .orderBy("actual", "predicted")
 
+  /** q_kappa: Cohen's κ between the two deployed language
+    * classifiers — the n-gram heuristic ([[langId]]) and the trained
+    * naive Bayes ([[nbLangid]]) — on the NB test half (odd doc_ids).
+    * Accuracy-vs-truth (q_eval_metrics, the confusion matrices) can't
+    * answer the ROUTING question "do the cheap and the expensive
+    * model agree enough to gate one behind the other?": κ is the
+    * chance-corrected agreement (Cohen 1960), κ = (p_o − p_e)/(1 −
+    * p_e) with p_e from the two prediction marginals — the standard
+    * annotator/classifier-agreement audit every labeling pipeline
+    * runs before trusting auto-labels.
+    *
+    * Exactness: the agreement census, both marginals, and the cross
+    * mass Σ_l m_h(l)·m_nb(l) are exact integers (decimal(38,0)/
+    * HUGEINT for the n² terms); κ_e6 = (agree·n − cross)·10⁶ div
+    * (n² − cross) is ONE truncating division, negative-safe. The
+    * both-constant-same-class degenerate (n² = cross) pins to 10⁶.
+    *
+    * Scale shape: both classifiers are the corpus-scan kernels their
+    * own queries pay (the NB side reuses [[nbScores]] verbatim, so
+    * the audited model IS the deployed one); after the per-doc argmax
+    * the census is one |langs|² two-phase agg, and everything beyond
+    * it is constant-size arithmetic on that ≤25-cell grid. */
+  def kappaAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val heur = langId(spark, dir).filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("pred_lang").as("pred_h"))
+    val nb = nbScores(spark, dir)
+      .withColumn("rn", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(col("score_e3").desc, col("model_lang").asc)))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("model_lang").as("pred_n"))
+    val cm = heur.join(nb, "doc_id").groupBy("pred_h", "pred_n")
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // ≤ |langs|² cells; census + both marginals
+    val s = cm.agg(sum("c").as("n"),
+      coalesce(sum(when(col("pred_h") === col("pred_n"), col("c"))),
+        lit(0L)).as("agree"))
+    val cross = cm.groupBy(col("pred_h").as("l")).agg(sum("c").as("ma"))
+      .join(cm.groupBy(col("pred_n").as("l")).agg(sum("c").as("mb")), "l")
+      .agg(coalesce(sum(expr("cast(ma as decimal(38,0)) * mb")),
+        expr("cast(0 as decimal(38,0))")).as("cross_m"))
+    s.crossJoin(broadcast(cross))
+      .select(col("n"), col("agree"),
+        expr("cast(agree * 1000000 div n as bigint)").as("po_e6"),
+        expr("""cast(cross_m * 1000000 div
+          | (cast(n as decimal(38,0)) * n) as bigint)"""
+          .stripMargin.replace('\n', ' ')).as("pe_e6"),
+        expr("""case when cast(n as decimal(38,0)) * n - cross_m = 0
+          | then cast(1000000 as bigint)
+          | else cast(((cast(agree as decimal(38,0)) * n - cross_m)
+          |   * 1000000) div (cast(n as decimal(38,0)) * n - cross_m)
+          |   as bigint) end""".stripMargin.replace('\n', ' '))
+          .as("kappa_e6"))
+  }
+
   /** The NB scorer kernel — per (test doc, candidate language) total
     * log-score, SHARED by [[nbLangid]] (argmax → confusion) and
     * [[calibration]] (top-2 margin → reliability bins) so the audited
@@ -1386,6 +1440,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_nb_langid" -> (nbLangid(_, _)),
+    "q_kappa" -> (kappaAgreement(_, _)),
     "q_calibration" -> (calibration(_, _)),
     "q_label_errors" -> (labelErrors(_, _)),
     "q_readability" -> (readability(_, _)),
@@ -1532,6 +1587,54 @@ object TextAnalysis {
         |FROM s, nv""".stripMargin,
     // same split/counts/smoothing; ln terms floored at e3 per the
     // elasticity kernel; identical argmax tie-break
+    // same shared NB scorer + argmax on one side, the same heuristic
+    // profile scores + alphabetical-first tie CASE on the other,
+    // identical census/marginal/κ integer arithmetic
+    "q_kappa" ->
+      s"""$NbScoresOracleCore,
+        |nbp AS (
+        |  SELECT doc_id, model_lang AS pred_n,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY score_e3 DESC, model_lang) AS rn
+        |  FROM scored),
+        |nb1 AS (SELECT doc_id, pred_n FROM nbp WHERE rn = 1),
+        |hsc AS (
+        |  SELECT doc_id,
+        |    $profileSql
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |hbest AS (
+        |  SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS best
+        |  FROM hsc),
+        |heur AS (
+        |  SELECT doc_id,
+        |    CASE WHEN s_de = best THEN 'de'
+        |         WHEN s_en = best THEN 'en'
+        |         WHEN s_es = best THEN 'es'
+        |         WHEN s_fr = best THEN 'fr'
+        |         ELSE 'zh' END AS pred_h
+        |  FROM hbest),
+        |cm AS (SELECT pred_h, pred_n, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM heur JOIN nb1 USING (doc_id) GROUP BY 1, 2),
+        |st AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+        |    CAST(COALESCE(SUM(CASE WHEN pred_h = pred_n THEN c END), 0)
+        |      AS BIGINT) AS agree
+        |  FROM cm),
+        |xs AS (
+        |  SELECT COALESCE(SUM(CAST(ma AS HUGEINT) * mb), 0) AS cross_m
+        |  FROM (SELECT pred_h AS l, CAST(SUM(c) AS BIGINT) AS ma
+        |        FROM cm GROUP BY 1)
+        |  JOIN (SELECT pred_n AS l, CAST(SUM(c) AS BIGINT) AS mb
+        |        FROM cm GROUP BY 1) USING (l))
+        |SELECT n, agree,
+        |  CAST(agree * 1000000 // n AS BIGINT) AS po_e6,
+        |  CAST(cross_m * 1000000 // (CAST(n AS HUGEINT) * n) AS BIGINT)
+        |    AS pe_e6,
+        |  CASE WHEN CAST(n AS HUGEINT) * n - cross_m = 0
+        |       THEN CAST(1000000 AS BIGINT)
+        |       ELSE CAST(((CAST(agree AS HUGEINT) * n - cross_m) * 1000000)
+        |         // (CAST(n AS HUGEINT) * n - cross_m) AS BIGINT)
+        |  END AS kappa_e6
+        |FROM st, xs""".stripMargin,
     "q_nb_langid" ->
       s"""$NbScoresOracleCore,
         |pred AS (

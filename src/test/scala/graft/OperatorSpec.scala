@@ -1352,6 +1352,46 @@ class OperatorSpec extends SparkSpec {
     got.values.foreach { case (_, r) => assert(math.abs(r) < 1000000L) }
   }
 
+  test("kendall tau-b matches a local pairwise recompute and brackets spearman") {
+    val rows = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_quantity", "l_discount", "l_tax").collect()
+      .map(r => (math.floor(r.getDouble(0) + 0.5).toLong,
+        math.floor(r.getDouble(1) * 100 + 0.5).toLong,
+        math.floor(r.getDouble(2) * 100 + 0.5).toLong))
+    val n = rows.length.toLong
+    def tau(xs: Seq[Long], ys: Seq[Long]): Long = {
+      val cells = xs.zip(ys).groupBy(identity)
+        .map { case (k, g) => (k, g.size.toLong) }.toSeq
+      var (nc, nd) = (BigInt(0), BigInt(0))
+      for (((xa, xb), cx) <- cells; ((ya, yb), cy) <- cells if xa < ya) {
+        if (xb < yb) nc += BigInt(cx) * cy
+        else if (xb > yb) nd += BigInt(cx) * cy
+      }
+      def ties(vs: Seq[Long]) = vs.groupBy(identity).values
+        .map(g => BigInt(g.size.toLong) * (g.size - 1)).sum
+      val (d1, d2) = (BigInt(n) * (n - 1) - ties(xs), BigInt(n) * (n - 1) - ties(ys))
+      if (d1 == 0 || d2 == 0) 0L
+      else math.floor(1000000.0 * 2 * (nc - nd).toDouble /
+        math.sqrt(d1.toDouble) / math.sqrt(d2.toDouble)).toLong
+    }
+    val got = run("q_kendall_tau").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val (qs, ds, ts) =
+      (rows.map(_._1).toSeq, rows.map(_._2).toSeq, rows.map(_._3).toSeq)
+    assert(got("quantity~discount") == ((n, tau(qs, ds))))
+    assert(got("quantity~tax") == ((n, tau(qs, ts))))
+    assert(got("discount~tax") == ((n, tau(ds, ts))))
+    // the classic |τ| ≤ |ρ_s| ordering holds in the weak-dependence
+    // regime (τ ≈ 2ρ/3 for Gaussian-ish): same SIGN, smaller magnitude
+    val rho = run("q_spearman").collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("rho_e6")).toMap
+    for ((p, (_, t)) <- got if rho(p) != 0 && t != 0) {
+      assert(t.sign == rho(p).sign, s"$p sign split: tau=$t rho=${rho(p)}")
+      assert(math.abs(t) <= math.abs(rho(p)) + 50000L,
+        s"$p |tau|=$t way above |rho|=${rho(p)}")
+    }
+  }
+
   test("hill tail exponent matches a local order-statistic recompute") {
     val r = run("q_hill_tail").collect().head
     // local recompute: token census → top-(k+1) → integer Hill ratio
@@ -2709,6 +2749,58 @@ class OperatorSpec extends SparkSpec {
     want.foreach { case (k @ (a, _), c) =>
       assert(got(k) == ((c, rowTot(a), c * 1000000L / rowTot(a))), s"$k")
     }
+  }
+
+  test("kappa matches a local chance-corrected agreement recompute") {
+    // NB side: the nb_langid spec's local model, kept per-doc
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ", -1).toSeq))
+    val train = docs.filter(_._1 % 2 == 0)
+    val counts = train.flatMap { case (_, l, ts) => ts.map((l, _)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tot = counts.toSeq.groupBy(_._1._1).view
+      .mapValues(_.map(_._2).sum).toMap
+    val v = counts.keySet.map(_._2).size.toLong
+    val nd = train.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nTrain = train.length.toLong
+    val langs = nd.keys.toSeq.sorted
+    def e3(x: Double) = math.floor(x * 1e3 + 0.5).toLong
+    val prior = langs.map(l => l -> e3(math.log(nd(l).toDouble / nTrain))).toMap
+    val dflt = langs.map(l => l -> e3(math.log(1.0 / (tot(l) + v)))).toMap
+    val nbPred = docs.filter(_._1 % 2 == 1).map { case (id, _, ts) =>
+      id -> langs.map { l =>
+        (l, ts.map(t => counts.get((l, t))
+          .map(c => e3(math.log((c + 1).toDouble / (tot(l) + v))))
+          .getOrElse(dflt(l))).sum + prior(l))
+      }.sortBy { case (l, s) => (-s, l) }.head._1
+    }.toMap
+    // heuristic side: q_lang_id's per-doc argmax (itself hash-oracled)
+    val heur = run("q_lang_id").collect().filter(_.getLong(0) % 2 == 1)
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(heur.keySet == nbPred.keySet)
+    val joint = heur.keys.toSeq.map(id => (heur(id), nbPred(id)))
+    val n = joint.size.toLong
+    val agree = joint.count(t => t._1 == t._2).toLong
+    val mh = joint.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val mn = joint.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val cross = (mh.keySet & mn.keySet).toSeq
+      .map(l => BigInt(mh(l)) * mn(l)).sum
+    val n2 = BigInt(n) * n
+    val wantKappa =
+      if (n2 == cross) 1000000L
+      else ((BigInt(agree) * n - cross) * 1000000 / (n2 - cross)).toLong
+    val r = run("q_kappa").collect().head
+    assert(r.getLong(0) == n)
+    assert(r.getLong(1) == agree)
+    assert(r.getLong(2) == agree * 1000000L / n)
+    assert(r.getLong(3) == (cross * 1000000 / n2).toLong)
+    assert(r.getLong(4) == wantKappa)
+    // κ bounded; on the tiny spec corpus the heuristic is weak enough
+    // that agreement sits NEAR CHANCE (κ ≈ −0.02 measured) — which is
+    // precisely the routing warning the operator exists to raise, so
+    // the spec pins the band, not a sign
+    assert(r.getLong(4) <= 1000000L && r.getLong(4) >= -1000000L)
   }
 
   test("calibration bins match a local margin recompute over the shared scorer") {
@@ -4332,6 +4424,57 @@ class OperatorSpec extends SparkSpec {
     // correlation bound: r in [-1, 1] (up to the e6 floor)
     if (want != -9999999L)
       assert(row.getLong(2) >= -1000000L && row.getLong(2) <= 1000000L)
+  }
+
+  test("kcore ladder matches a local peel recompute and is doubly monotone") {
+    val pairs = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val edges = pairs.groupBy(_._1).values.toSeq.flatMap { ps =>
+      val parts = ps.map(_._2).distinct
+      for (a <- parts; b <- parts if a != b) yield (a, b)
+    }.distinct
+    val deg0 = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n = deg0.size.toLong
+    // whole-bin histogram quantile rungs (cum·den ≥ n·num)
+    val hist = deg0.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toSeq.sortBy(_._1)
+    def rungK(num: Long, den: Long): Long = {
+      var (cum, res) = (0L, -1L)
+      for ((d, c) <- hist if res < 0) {
+        cum += c; if (cum * den >= n * num) res = d
+      }
+      res
+    }
+    def peel(k: Long): Seq[Long] = {
+      var alive = deg0.keySet
+      (1 to graft.operators.Graph.KcoreRounds).map { _ =>
+        val d = edges.filter(e => alive(e._1) && alive(e._2))
+          .groupBy(_._1).view.mapValues(_.size.toLong)
+        alive = d.filter(_._2 >= k).keys.toSet
+        alive.size.toLong
+      }
+    }
+    val exp = graft.operators.Graph.KcoreRungs.flatMap {
+      case (lbl, num, den) =>
+        val k = rungK(num, den)
+        (lbl, k, 0L, n) +: peel(k).zipWithIndex.map {
+          case (c, i) => (lbl, k, i + 1L, c)
+        }
+    }.sortBy(t => (t._1, t._3))
+    val got = run("q_kcore").collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == exp)
+    // monotone in round (peeling never grows) and in rung (higher K
+    // never keeps more nodes at the same round)
+    val byFrac = got.groupBy(_._1).view.mapValues(_.sortBy(_._3)).toMap
+    byFrac.values.foreach(tr => tr.zip(tr.tail).foreach { case (a, b) =>
+      assert(a._4 >= b._4, s"round growth: $a -> $b")
+    })
+    for (r <- 0L to graft.operators.Graph.KcoreRounds.toLong) {
+      val at = Seq("p50", "p75", "p90").map(l => byFrac(l).find(_._3 == r).get._4)
+      assert(at == at.sorted.reverse, s"rung order broken at round $r: $at")
+    }
   }
 
   test("ols_price matches a BigInt-moments + IEEE-Cramer recompute") {

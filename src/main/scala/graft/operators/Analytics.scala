@@ -3888,6 +3888,124 @@ object Analytics {
       .orderBy("pair")
   }
 
+  /** q_rank_sum_pairs: tie-corrected Mann-Whitney U (Wilcoxon
+    * rank-sum) between each PAIR of return-flag populations on
+    * quantity — the k-group pairwise extension of the two-arm
+    * [[mannWhitney]] (q_mann_whitney tests the A/B user-parity split
+    * on purchase value; this sweeps all flag pairs with the full tie
+    * correction and normal z), with the rank-biserial effect size the
+    * p-value-only report omits.
+    *
+    * Exactness: from the bounded (flag, quantity) census, the DOUBLED
+    * U statistic 2U = Σ_v cx(v)·(2·cumy(v) + cy(v)) counts wins twice
+    * and ties once — integral, exact in decimal(38,0)/HUGEINT (2U ≤
+    * 2n₁n₂ ≈ n²/2 overflows bigint past ~10⁹·⁵ rows, why the
+    * decimals). The tie-corrected normal z uses Var(U) =
+    * n₁n₂·A/(12n(n−1)) with A = (n+1)n(n−1) − Σ_t t(t−1)(t+1) — all
+    * exact integers; z = (2U − n₁n₂)·√(3n(n−1))/(√(n₁n₂)·√A) is one
+    * shared IEEE tree, one floor. The rank-biserial r = (2U − n₁n₂)
+    * / n₁n₂ is a single truncating integer division (Spark div ≡
+    * DuckDB // on negatives, verified by q_qini).
+    *
+    * Scale shape: ONE corpus scan → the ≤3·50-cell census (two-phase,
+    * map-side partials); each pair's cumulative is a window over the
+    * ≤50-value bounded axis and every finish is a 1-row aggregate —
+    * constant work after the scan. */
+  def rankSumPairs(spark: SparkSession, dir: String): DataFrame = {
+    val census = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("g"),
+        floor(col("l_quantity") + 0.5).cast("long").as("v"))
+      .groupBy("g", "v").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // ≤ 150 cells; three pairs reuse it
+    def pair(ga: String, gb: String): DataFrame = {
+      val wv = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      census.filter(col("g").isin(ga, gb))
+        .groupBy("v").agg(
+          sum(when(col("g") === ga, col("c")).otherwise(0L)).as("cx"),
+          sum(when(col("g") === gb, col("c")).otherwise(0L)).as("cy"))
+        .withColumn("cumy", coalesce(sum("cy").over(wv), lit(0L)))
+        .agg(sum("cx").as("n1"), sum("cy").as("n2"),
+          sum(expr("cast(cx as decimal(38,0)) * (2 * cumy + cy)")).as("u2"),
+          sum(expr("cast(cx + cy as decimal(38,0)) * (cx + cy - 1) * (cx + cy + 1)"))
+            .as("tt"))
+        .withColumn("nn", expr("cast(n1 as decimal(38,0)) * n2"))
+        .withColumn("aa", expr(
+          "cast(n1 + n2 as decimal(38,0)) * (n1 + n2 - 1) * (n1 + n2 + 1) - tt"))
+        .select(lit(s"$ga~$gb").as("pair"), col("n1"), col("n2"),
+          expr("""case when nn = 0 then cast(0 as bigint)
+            |else cast((u2 - nn) * 1000000 div nn as bigint) end"""
+            .stripMargin.replace('\n', ' ')).as("rb_e6"),
+          expr("""case when nn = 0 or aa <= 0 then cast(0 as bigint)
+            |else cast(floor(1000000.0d * cast(u2 - nn as double)
+            |  * sqrt(3.0d * (n1 + n2) * (n1 + n2 - 1))
+            |  / sqrt(cast(nn as double)) / sqrt(cast(aa as double)))
+            |  as bigint) end""".stripMargin.replace('\n', ' ')).as("z_e6"))
+    }
+    pair("A", "N").unionAll(pair("A", "R")).unionAll(pair("N", "R"))
+      .orderBy("pair")
+  }
+
+  /** The five TPC-H market segments, pinned: q_anova's group axis is
+    * a literal alphabet so its between-group fold needs no runtime
+    * ordering at all. */
+  private[graft] val AnovaSegments =
+    Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+  /** q_anova: one-way ANOVA of account balance (cents) across the
+    * five market segments — the k-group mean-difference screen
+    * (q_mann_whitney compares two distributions; F asks "do ANY of
+    * the k segment means differ beyond noise?"), with η² = SSB/SST
+    * as the effect size. One row: k, n, f_e6, eta2_e6.
+    *
+    * Exactness: per-segment n/Σy/Σy² are exact decimal(38,0)/HUGEINT
+    * conditional sums over the PINNED [[AnovaSegments]] alphabet —
+    * the between-group term Σ s_g²/n_g is then a LITERAL 5-term
+    * double tree in segment order (no data-dependent fold order
+    * anywhere, which is what makes a distributed double sum
+    * hash-safe); rows outside the pinned alphabet are counted and
+    * excluded so a new segment value can never silently skew F.
+    *
+    * Scale shape: ONE scan → a 1-row conditional-sum aggregate
+    * (two-phase, map-side partials); the finish is constant work. */
+  def anova(spark: SparkSession, dir: String): DataFrame = {
+    val cents = floor(col("c_acctbal") * 100 + 0.5).cast("long")
+    val aggCols = count(lit(1)).as("n_all") +:
+      AnovaSegments.zipWithIndex.flatMap { case (s, i) => Seq(
+        sum(when(col("g") === s, 1L).otherwise(0L)).as(s"n$i"),
+        sum(expr(s"case when g = '$s' then cast(y as decimal(38,0)) else cast(0 as decimal(38,0)) end")).as(s"s$i"),
+        sum(expr(s"case when g = '$s' then cast(y as decimal(38,0)) * y else cast(0 as decimal(38,0)) end")).as(s"ss$i"))
+      }
+    val sums = Tables.customer(spark, dir)
+      .select(col("c_mktsegment").as("g"), cents.as("y"))
+      .agg(aggCols.head, aggCols.tail: _*)
+    val k = AnovaSegments.size
+    val idx = AnovaSegments.indices
+    val nSum = idx.map(i => s"n$i").mkString(" + ")
+    val sSum = idx.map(i => s"s$i").mkString(" + ")
+    val ssSum = idx.map(i => s"ss$i").mkString(" + ")
+    // literal 5-term fold, in segment order on both engines
+    val ssbTerms = idx.map(i =>
+      s"cast(s$i as double) * cast(s$i as double) / n$i").mkString(" + ")
+    sums
+      .withColumn("n", expr(nSum))
+      .withColumn("n_other", expr(s"n_all - ($nSum)"))
+      .withColumn("minn", expr(s"least(${idx.map(i => s"n$i").mkString(", ")})"))
+      .withColumn("gm", expr(
+        s"cast($sSum as double) * cast($sSum as double) / n"))
+      .withColumn("ssb", expr(s"$ssbTerms - gm"))
+      .withColumn("sst", expr(s"cast($ssSum as double) - gm"))
+      .select(lit(k.toLong).as("k"), col("n"), col("n_other"),
+        expr(s"""case when minn = 0 or sst - ssb <= 0.0d or n <= $k
+          |then cast(-1 as bigint)
+          |else cast(floor(1000000.0d * (ssb / ${k - 1}.0d)
+          |  / ((sst - ssb) / (n - $k))) as bigint) end"""
+          .stripMargin.replace('\n', ' ')).as("f_e6"),
+        expr("""case when minn = 0 or sst <= 0.0d then cast(-1 as bigint)
+          |else cast(floor(1000000.0d * ssb / sst) as bigint) end"""
+          .stripMargin.replace('\n', ' ')).as("eta2_e6"))
+  }
+
   /** The 1-row exact moment census over any lineitem-shaped frame. */
   private[graft] def olsCensus(li: DataFrame): DataFrame =
     li.select(floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("y"),
@@ -4128,6 +4246,8 @@ object Analytics {
     "q_spearman" -> (spearman(_, _)),
     "q_qini" -> (qini(_, _)),
     "q_kendall_tau" -> (kendallTau(_, _)),
+    "q_rank_sum_pairs" -> (rankSumPairs(_, _)),
+    "q_anova" -> (anova(_, _)),
     "q_shapley_attr" -> (shapleyAttr(_, _)),
     "q_ts_decompose" -> (tsDecompose(_, _)),
     "q_user_recs" -> (userRecs(_, _)),
@@ -4301,7 +4421,100 @@ object Analytics {
        |           AS BIGINT) END AS rho_e6
        |  FROM m_$sfx)""".stripMargin
 
+  /** One rank-sum pair over the shared (flag, quantity) census —
+    * identical doubled-U, tie-correction, and z tree as
+    * [[rankSumPairs]]. */
+  private def rankSumPairSql(ga: String, gb: String, sfx: String): String =
+    s"""cells_$sfx AS (
+       |  SELECT v,
+       |    CAST(SUM(CASE WHEN g = '$ga' THEN c ELSE 0 END) AS BIGINT) AS cx,
+       |    CAST(SUM(CASE WHEN g = '$gb' THEN c ELSE 0 END) AS BIGINT) AS cy
+       |  FROM census WHERE g IN ('$ga', '$gb') GROUP BY v),
+       |m_$sfx AS (
+       |  SELECT CAST(SUM(cx) AS BIGINT) AS n1, CAST(SUM(cy) AS BIGINT) AS n2,
+       |    SUM(CAST(cx AS HUGEINT) * (2 * cumy + cy)) AS u2,
+       |    SUM(CAST(cx + cy AS HUGEINT) * (cx + cy - 1) * (cx + cy + 1)) AS tt
+       |  FROM (SELECT v, cx, cy,
+       |      COALESCE(CAST(SUM(cy) OVER (ORDER BY v
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cumy
+       |    FROM cells_$sfx)),
+       |r_$sfx AS (
+       |  SELECT '$ga~$gb' AS pair, n1, n2,
+       |    CASE WHEN nn = 0 THEN CAST(0 AS BIGINT)
+       |         ELSE CAST((u2 - nn) * 1000000 // nn AS BIGINT) END AS rb_e6,
+       |    CASE WHEN nn = 0 OR aa <= 0 THEN CAST(0 AS BIGINT)
+       |         ELSE CAST(floor(1000000.0 * CAST(u2 - nn AS DOUBLE)
+       |           * sqrt(3.0 * (n1 + n2) * (n1 + n2 - 1))
+       |           / sqrt(CAST(nn AS DOUBLE)) / sqrt(CAST(aa AS DOUBLE)))
+       |           AS BIGINT) END AS z_e6
+       |  FROM (SELECT n1, n2, u2, tt,
+       |      CAST(n1 AS HUGEINT) * n2 AS nn,
+       |      CAST(n1 + n2 AS HUGEINT) * (n1 + n2 - 1) * (n1 + n2 + 1) - tt AS aa
+       |    FROM m_$sfx))""".stripMargin
+
+  /** The same pinned-alphabet conditional sums and literal 5-term
+    * double fold as [[anova]]. */
+  private def anovaOracleSql: String = {
+    val idx = AnovaSegments.indices
+    val condSums = AnovaSegments.zipWithIndex.map { case (s, i) =>
+      s"""    CAST(SUM(CASE WHEN g = '$s' THEN 1 ELSE 0 END) AS BIGINT) AS n$i,
+         |    SUM(CASE WHEN g = '$s' THEN CAST(y AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) AS s$i,
+         |    SUM(CASE WHEN g = '$s' THEN CAST(y AS HUGEINT) * y ELSE CAST(0 AS HUGEINT) END) AS ss$i""".stripMargin
+    }.mkString(",\n")
+    val k = AnovaSegments.size
+    val nSum = idx.map(i => s"n$i").mkString(" + ")
+    val sSum = idx.map(i => s"s$i").mkString(" + ")
+    val ssSum = idx.map(i => s"ss$i").mkString(" + ")
+    val minn = s"least(${idx.map(i => s"n$i").mkString(", ")})"
+    val ssbTerms = idx.map(i =>
+      s"CAST(s$i AS DOUBLE) * CAST(s$i AS DOUBLE) / n$i").mkString(" + ")
+    s"""WITH src AS (
+       |  SELECT c_mktsegment AS g,
+       |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS y
+       |  FROM customer),
+       |m AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+       |$condSums
+       |  FROM src),
+       |d AS (
+       |  SELECT n_all, $nSum AS n, n_all - ($nSum) AS n_other,
+       |    $minn AS minn,
+       |    CAST($sSum AS DOUBLE) * CAST($sSum AS DOUBLE) / ($nSum) AS gm,
+       |    $ssbTerms AS ssb_raw,
+       |    CAST($ssSum AS DOUBLE) AS sst_raw
+       |  FROM m),
+       |e AS (
+       |  SELECT n, n_other, minn, ssb_raw - gm AS ssb, sst_raw - gm AS sst
+       |  FROM d)
+       |SELECT CAST($k AS BIGINT) AS k, n, n_other,
+       |  CASE WHEN minn = 0 OR sst - ssb <= 0.0 OR n <= $k
+       |       THEN CAST(-1 AS BIGINT)
+       |       ELSE CAST(floor(1000000.0 * (ssb / ${k - 1}.0)
+       |         / ((sst - ssb) / (n - $k))) AS BIGINT) END AS f_e6,
+       |  CASE WHEN minn = 0 OR sst <= 0.0 THEN CAST(-1 AS BIGINT)
+       |       ELSE CAST(floor(1000000.0 * ssb / sst) AS BIGINT) END AS eta2_e6
+       |FROM e""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    // the same bounded (flag, quantity) census, doubled-U window sum,
+    // exact tie correction, and one shared IEEE z tree per pair
+    "q_rank_sum_pairs" ->
+      s"""WITH census AS (
+         |  SELECT l_returnflag AS g,
+         |    CAST(floor(l_quantity + 0.5) AS BIGINT) AS v,
+         |    CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM lineitem GROUP BY 1, 2),
+         |${rankSumPairSql("A", "N", "an")},
+         |${rankSumPairSql("A", "R", "ar")},
+         |${rankSumPairSql("N", "R", "nr")}
+         |SELECT * FROM r_an UNION ALL
+         |SELECT * FROM r_ar UNION ALL
+         |SELECT * FROM r_nr
+         |ORDER BY pair""".stripMargin,
+    // pinned segment alphabet, exact conditional moments, literal
+    // 5-term between-group fold in segment order
+    "q_anova" -> anovaOracleSql,
     // same per-user exposure masks, observed-coalition v table, the
     // identical 4-channel Shapley weight grid, and one // floor
     "q_shapley_attr" -> {

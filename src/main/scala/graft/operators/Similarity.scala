@@ -1439,7 +1439,151 @@ object Similarity {
       .orderBy("actual", "predicted")
   }
 
+  /** q_silhouette: simplified silhouette of the IVF cell partition —
+    * per cell, how cleanly its members separate from the next-best
+    * cell, with a(i)/b(i) taken against the [[seededAnchors]]
+    * codebook anchors instead of all pairwise members (Hruschka 2004's
+    * centroid form — O(n·cells), the only silhouette computable at
+    * corpus scale; the exact pairwise form is O(n²) by definition).
+    * s(i) = 1 − d_own/d_next ∈ [0,1]; a cell mean near 0 means its
+    * members sit on the boundary — the quantizer is not separating
+    * them and q_ann_ivf_cosine's nprobe recall will be poor there.
+    * The cell-level tuning audit next to the corpus-level
+    * [[annRecall]]: recall says HOW GOOD retrieval is, silhouette
+    * says WHICH cells are responsible.
+    *
+    * Exactness: distances reuse the IVF pinned-order literal-anchor
+    * tree (bit-identical in DuckDB); per-point s quantizes to e6 ON
+    * the point (one floor), so the per-cell mean is an exact integer
+    * sum + one truncating division — no distributed double sum.
+    *
+    * Scale shape: map-only scan against the broadcast cells×dims
+    * codebook, then a ≤cells-row two-phase agg. */
+  def silhouette(spark: SparkSession, dir: String, cells: Int = IvfCells): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm2", dot(col("v"), col("v")))
+    val anchors = seededAnchors(emb, cells)
+    val dists = array(anchors.map { case (_, a, a2) =>
+      col("nrm2") - lit(2.0) * dot(col("v"), lit(a)) + lit(a2)
+    }: _*)
+    emb.withColumn("dists", dists)
+      .withColumn("cell", array_position(col("dists"), array_min(col("dists"))))
+      .withColumn("srt", array_sort(col("dists")))
+      .withColumn("da2", element_at(col("srt"), 1))
+      .withColumn("db2", element_at(col("srt"), 2))
+      .withColumn("s_e6", expr(
+        """case when sqrt(greatest(db2, 0.0d)) <= 0.0d then cast(0 as bigint)
+          |else cast(floor(1000000.0d
+          |  * (1.0d - sqrt(greatest(da2, 0.0d)) / sqrt(greatest(db2, 0.0d)))
+          |  + 0.5d) as bigint) end""".stripMargin.replace('\n', ' ')))
+      .groupBy("cell").agg(count(lit(1)).as("n"),
+        sum(expr("cast(s_e6 as decimal(38,0))")).as("ssum"))
+      .select(col("cell"), col("n"),
+        expr("cast(ssum div n as bigint)").as("mean_s_e6"))
+      .orderBy("cell")
+  }
+
+  /** q_embed_drift: per-dimension drift report between two corpus
+    * snapshots (halves by vec_id parity — the same stand-in split
+    * q_psi_drift uses): exact mean shift plus a per-dim Welch t — the
+    * "which DIMENSIONS moved?" diagnostic behind an embedding-model
+    * retrain (q_psi_drift answers the same question for scalar
+    * features; embeddings need it per-dim or a 1-dim drift hides in
+    * 63 stable ones).
+    *
+    * Exactness: components quantize to e6 integers AT THE SCAN (the
+    * q_pca_power convention), so per-half n/Σq/Σq² are exact
+    * decimal(38,0)/HUGEINT sums; the mean shift is one exact
+    * truncating division (sa·n_b − sb·n_a over n_a·n_b) and the Welch
+    * statistic is a per-dim shared IEEE tree over those exact sums —
+    * deterministic because nothing sums doubles across rows.
+    *
+    * Scale shape: one explode scan (map-side), one 64-key two-phase
+    * agg, constant finish. */
+  def embedDrift(spark: SparkSession, dir: String): DataFrame = {
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select((col("vec_id") % 2).as("h"), col("dim").cast("long").as("dim"),
+        floor(col("xf").cast("double") * lit(1e6) + lit(0.5)).cast("long").as("q"))
+      .groupBy("dim").agg(
+        sum(when(col("h") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("h") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(expr("case when h = 0 then cast(q as decimal(38,0)) else cast(0 as decimal(38,0)) end")).as("sa"),
+        sum(expr("case when h = 1 then cast(q as decimal(38,0)) else cast(0 as decimal(38,0)) end")).as("sb"),
+        sum(expr("case when h = 0 then cast(q as decimal(38,0)) * q else cast(0 as decimal(38,0)) end")).as("ssa"),
+        sum(expr("case when h = 1 then cast(q as decimal(38,0)) * q else cast(0 as decimal(38,0)) end")).as("ssb"))
+      .withColumn("va", expr(
+        "(cast(ssa as double) - cast(sa as double) * cast(sa as double) / n_a) / (n_a - 1)"))
+      .withColumn("vb", expr(
+        "(cast(ssb as double) - cast(sb as double) * cast(sb as double) / n_b) / (n_b - 1)"))
+      .withColumn("se2", expr("va / n_a + vb / n_b"))
+      .select(col("dim"), col("n_a"), col("n_b"),
+        expr("""case when n_a = 0 or n_b = 0 then cast(0 as bigint)
+          |else cast((sa * n_b - sb * n_a)
+          |  div (cast(n_a as decimal(38,0)) * n_b) as bigint) end"""
+          .stripMargin.replace('\n', ' ')).as("delta_e6"),
+        expr("""case when n_a < 2 or n_b < 2 or se2 <= 0.0d then cast(0 as bigint)
+          |else cast(floor(1000000.0d
+          |  * (cast(sa as double) / n_a - cast(sb as double) / n_b)
+          |  / sqrt(se2)) as bigint) end"""
+          .stripMargin.replace('\n', ' ')).as("t_e6"))
+      .orderBy("dim")
+  }
+
+  /** q_intrinsic_dim: the two-NN intrinsic-dimension estimate of the
+    * embedding cloud (Facco et al. 2017): per point, the ratio μ =
+    * r₂/r₁ of its two nearest-neighbor distances is Pareto(d) on a
+    * d-dimensional manifold, so d̂ = n/Σ ln μ — the "how many
+    * EFFECTIVE dimensions does this corpus use?" report that tells an
+    * indexer whether PQ at 4 subspaces ([[embedPq]]) can work and
+    * q_anisotropy's single-direction summary can't see (a cloud can
+    * be isotropic yet live on a low-dim manifold).
+    *
+    * Exactness: per-point ln μ = ½·ln(d₂²/d₁²) is one deterministic
+    * IEEE tree (squared distances straight from the pinned dot
+    * fold), quantized e6 at the point; the MLE is an exact integer
+    * division of n·10¹² by the exact Σ. Zero-distance pairs
+    * (exact duplicates, μ undefined) are dropped and counted.
+    *
+    * Scale shape: this registration is the exact substrate (the same
+    * broadcast-scored top-k as [[knnGraph]], the documented
+    * quadratic baseline); at corpus scale the r₁/r₂ pairs come from
+    * the [[forestBuckets]] candidate feed exactly as
+    * [[knnGraphApprox]] does — the estimator itself never changes. */
+  def intrinsicDim(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.widened(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm2", dot(col("v"), col("v")))
+    val rhs = emb.select(col("vec_id").as("id_b"), col("v").as("vb"),
+      col("nrm2").as("nb2"))
+    val scored = emb.join(broadcast(rhs), col("vec_id") =!= col("id_b"))
+      .select(col("vec_id").as("id_a"), col("id_b"),
+        (col("nrm2") - lit(2.0) * dot(col("v"), col("vb")) + col("nb2")).as("d2"))
+    val w = Window.partitionBy("id_a").orderBy(col("d2").asc, col("id_b").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 2)
+      .groupBy("id_a").agg(
+        min(when(col("rank") === 1, col("d2"))).as("d1"),
+        min(when(col("rank") === 2, col("d2"))).as("dn2"))
+      .withColumn("lnmu", expr(
+        """case when d1 <= 0.0d or dn2 <= 0.0d then cast(null as bigint)
+          |else cast(floor(500000.0d * ln(dn2 / d1) + 0.5d) as bigint) end"""
+          .stripMargin.replace('\n', ' ')))
+      .agg(count(col("lnmu")).as("n_used"),
+        (count(lit(1)) - count(col("lnmu"))).as("n_dropped"),
+        sum(expr("cast(lnmu as decimal(38,0))")).as("sln"))
+      .select(col("n_used"), col("n_dropped"),
+        expr("""case when sln is null or sln <= 0 then cast(-1 as bigint)
+          |else cast((cast(n_used as decimal(38,0)) * 1000000000000)
+          |  div sln as bigint) end"""
+          .stripMargin.replace('\n', ' ')).as("d_hat_e6"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_silhouette" -> (silhouette(_, _)),
+    "q_embed_drift" -> (embedDrift(_, _)),
+    "q_intrinsic_dim" -> (intrinsicDim(_, _)),
     "q_hard_negatives" -> (hardNegatives(_, _)),
     "q_knn_classify" -> (knnClassify(_, _)),
     "q_embed_outliers" -> (embedOutliers(_, _)),
@@ -1603,6 +1747,113 @@ object Similarity {
        |top AS (SELECT * FROM ranked WHERE rank <= $k)""".stripMargin
 
   private val baseOracleSql: Map[String, String] = Map(
+    // the IVF oracle's anchor/dist derivation, then per-point sorted
+    // first/second distances and the identical one-floor s tree
+    "q_silhouette" ->
+      s"""WITH emb AS (
+         |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+         |  FROM embeddings),
+         |nrm AS (
+         |  SELECT vec_id, v,
+         |    list_reduce([v[i] * v[i] for i in range(1, len(v) + 1)], (a, b) -> a + b) AS nrm2
+         |  FROM emb),
+         |anchors AS (
+         |  SELECT v AS av, nrm2 AS a2,
+         |    ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS cell
+         |  FROM nrm
+         |  QUALIFY cell <= $IvfCells),
+         |dist AS (
+         |  SELECT n.vec_id, a.cell,
+         |    n.nrm2 - 2.0 * list_reduce([n.v[i] * a.av[i] for i in range(1, len(n.v) + 1)],
+         |      (x, y) -> x + y) + a.a2 AS d
+         |  FROM nrm n, anchors a),
+         |pv AS (
+         |  SELECT vec_id, list(d ORDER BY cell) AS dists FROM dist GROUP BY vec_id),
+         |sil AS (
+         |  SELECT vec_id,
+         |    list_position(dists, list_aggregate(dists, 'min')) AS cell,
+         |    list_sort(dists)[1] AS da2, list_sort(dists)[2] AS db2
+         |  FROM pv),
+         |se AS (
+         |  SELECT cell,
+         |    CASE WHEN sqrt(greatest(db2, 0.0)) <= 0.0 THEN CAST(0 AS BIGINT)
+         |         ELSE CAST(floor(1000000.0
+         |           * (1.0 - sqrt(greatest(da2, 0.0)) / sqrt(greatest(db2, 0.0)))
+         |           + 0.5) AS BIGINT) END AS s_e6
+         |  FROM sil)
+         |SELECT CAST(cell AS BIGINT) AS cell, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(CAST(s_e6 AS HUGEINT)) // COUNT(*) AS BIGINT) AS mean_s_e6
+         |FROM se GROUP BY cell ORDER BY cell""".stripMargin,
+    // the q_pca_power e6 quantize, per-half exact moments, one exact
+    // mean-shift division, and the identical per-dim Welch tree
+    "q_embed_drift" ->
+      """WITH x AS (
+        |  SELECT vec_id, i - 1 AS dim,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS q
+        |  FROM embeddings,
+        |       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)),
+        |m AS (
+        |  SELECT dim,
+        |    CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    SUM(CASE WHEN vec_id % 2 = 0 THEN CAST(q AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) AS sa,
+        |    SUM(CASE WHEN vec_id % 2 = 1 THEN CAST(q AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) AS sb,
+        |    SUM(CASE WHEN vec_id % 2 = 0 THEN CAST(q AS HUGEINT) * q ELSE CAST(0 AS HUGEINT) END) AS ssa,
+        |    SUM(CASE WHEN vec_id % 2 = 1 THEN CAST(q AS HUGEINT) * q ELSE CAST(0 AS HUGEINT) END) AS ssb
+        |  FROM x GROUP BY dim),
+        |d AS (
+        |  SELECT dim, n_a, n_b, sa, sb,
+        |    (CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / n_a) / (n_a - 1) AS va,
+        |    (CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / n_b) / (n_b - 1) AS vb
+        |  FROM m),
+        |e AS (SELECT dim, n_a, n_b, sa, sb, va / n_a + vb / n_b AS se2 FROM d)
+        |SELECT dim, n_a, n_b,
+        |  CASE WHEN n_a = 0 OR n_b = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE CAST((sa * n_b - sb * n_a)
+        |         // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) END AS delta_e6,
+        |  CASE WHEN n_a < 2 OR n_b < 2 OR se2 <= 0.0 THEN CAST(0 AS BIGINT)
+        |       ELSE CAST(floor(1000000.0
+        |         * (CAST(sa AS DOUBLE) / n_a - CAST(sb AS DOUBLE) / n_b)
+        |         / sqrt(se2)) AS BIGINT) END AS t_e6
+        |FROM e ORDER BY dim""".stripMargin,
+    // the exact-kNN prelude at k=2 (euclidean), per-point ln-ratio
+    // quantized e6, one exact MLE division
+    "q_intrinsic_dim" ->
+      """WITH emb AS (
+        |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+        |  FROM embeddings),
+        |nrm AS (
+        |  SELECT vec_id, v,
+        |    list_reduce([v[i] * v[i] for i in range(1, len(v) + 1)], (a, b) -> a + b) AS nrm2
+        |  FROM emb),
+        |scored AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    a.nrm2 - 2.0 * list_reduce([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)],
+        |      (a2, b2) -> a2 + b2) + b.nrm2 AS d2
+        |  FROM nrm a JOIN nrm b ON a.vec_id <> b.vec_id),
+        |ranked AS (
+        |  SELECT id_a, d2,
+        |    ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY d2 ASC, id_b ASC) AS rank
+        |  FROM scored),
+        |mu AS (
+        |  SELECT id_a,
+        |    MIN(CASE WHEN rank = 1 THEN d2 END) AS d1,
+        |    MIN(CASE WHEN rank = 2 THEN d2 END) AS dn2
+        |  FROM ranked WHERE rank <= 2 GROUP BY id_a),
+        |lm AS (
+        |  SELECT CASE WHEN d1 <= 0.0 OR dn2 <= 0.0 THEN NULL
+        |    ELSE CAST(floor(500000.0 * ln(dn2 / d1) + 0.5) AS BIGINT) END AS lnmu
+        |  FROM mu),
+        |agg AS (
+        |  SELECT CAST(COUNT(lnmu) AS BIGINT) AS n_used,
+        |    CAST(COUNT(*) - COUNT(lnmu) AS BIGINT) AS n_dropped,
+        |    SUM(CAST(lnmu AS HUGEINT)) AS sln
+        |  FROM lm)
+        |SELECT n_used, n_dropped,
+        |  CASE WHEN sln IS NULL OR sln <= 0 THEN CAST(-1 AS BIGINT)
+        |       ELSE CAST((CAST(n_used AS HUGEINT) * 1000000000000)
+        |         // sln AS BIGINT) END AS d_hat_e6
+        |FROM agg""".stripMargin,
     // q_ann_cosine's CTE with the label-mismatch cut before ranking
     "q_hard_negatives" ->
       s"""WITH emb AS (

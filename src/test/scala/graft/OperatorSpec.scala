@@ -4625,6 +4625,164 @@ class OperatorSpec extends SparkSpec {
     assert(ns > 0 && ns < n / 16)
   }
 
+  test("rank-sum pairs match a local doubled-U recompute with tie correction") {
+    val rows = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_quantity").collect()
+      .map(r => (r.getString(0), math.floor(r.getDouble(1) + 0.5).toLong))
+    def pair(ga: String, gb: String): (Long, Long, Long, Long) = {
+      val xs = rows.filter(_._1 == ga).map(_._2)
+      val ys = rows.filter(_._1 == gb).map(_._2)
+      val (n1, n2) = (xs.length.toLong, ys.length.toLong)
+      // doubled U: wins twice, ties once
+      var u2 = BigInt(0)
+      val yCnt = ys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val ySorted = yCnt.toSeq.sortBy(_._1)
+      for (x <- xs) {
+        u2 += BigInt(2) * ySorted.filter(_._1 < x).map(_._2).sum
+        u2 += BigInt(yCnt.getOrElse(x, 0L))
+      }
+      val tie = (xs ++ ys).groupBy(identity).values
+        .map { g => val t = BigInt(g.size.toLong); t * (t - 1) * (t + 1) }.sum
+      val nn = BigInt(n1) * n2
+      val n = n1 + n2
+      val aa = BigInt(n) * (n - 1) * (n + 1) - tie
+      val rb = ((u2 - nn) * 1000000 / nn).toLong
+      val z = math.floor(1000000.0 * (u2 - nn).toDouble *
+        math.sqrt(3.0 * n * (n - 1)) /
+        math.sqrt(nn.toDouble) / math.sqrt(aa.toDouble)).toLong
+      (n1, n2, rb, z)
+    }
+    val got = run("q_rank_sum_pairs").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet == Set("A~N", "A~R", "N~R"))
+    for ((ga, gb) <- Seq(("A", "N"), ("A", "R"), ("N", "R"))) {
+      val (n1, n2, rb, z) = pair(ga, gb)
+      val (gn1, gn2, grb, gz) = got(s"$ga~$gb")
+      assert((gn1, gn2, grb) == ((n1, n2, rb)), s"$ga~$gb integer parts")
+      // one IEEE tree each side; local fold order differs, allow 1 ulp of e6
+      assert((gz - z).abs <= 1L, s"$ga~$gb z: got $gz want $z")
+      // effect and statistic must agree in sign
+      assert(grb == 0 || gz == 0 || grb.sign == gz.sign)
+    }
+  }
+
+  test("anova matches a local between/within recompute on segment moments") {
+    val rows = graft.sources.Tables.customer(spark, sf)
+      .select("c_mktsegment", "c_acctbal").collect()
+      .map(r => (r.getString(0), math.floor(r.getDouble(1) * 100 + 0.5).toLong))
+    val segs = graft.operators.Analytics.AnovaSegments
+    val by = segs.map(s => rows.filter(_._1 == s).map(_._2))
+    val n = by.map(_.length.toLong).sum
+    val k = segs.size
+    val sAll: Seq[BigInt] = by.map(g => g.map(BigInt(_)).foldLeft(BigInt(0))(_ + _))
+    val sTot = sAll.foldLeft(BigInt(0))(_ + _)
+    val gm = sTot.toDouble * sTot.toDouble / n
+    val ssb = by.zip(sAll).map { case (g, s) =>
+      s.toDouble * s.toDouble / g.length }.sum - gm
+    val sst = by.flatten.map(y => BigInt(y) * y).sum.toDouble - gm
+    val f = (ssb / (k - 1)) / ((sst - ssb) / (n - k))
+    val r = run("q_anova").collect().head
+    assert(r.getLong(0) == k.toLong && r.getLong(1) == n)
+    assert(r.getLong(2) == 0L, "rows outside the pinned segment alphabet")
+    assert((r.getLong(3) - math.floor(1000000.0 * f).toLong).abs <= 2L)
+    val eta = r.getLong(4)
+    assert(eta >= 0L && eta <= 1000000L)
+    assert((eta - math.floor(1000000.0 * ssb / sst).toLong).abs <= 2L)
+  }
+
+  test("silhouette matches a local anchor recompute and covers the corpus") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val anchors = emb.sortBy(e => md5hex(e._1.toString)).take(16).map(_._2)
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+    val per = emb.map { case (_, v) =>
+      val n2 = dot(v, v)
+      val d = anchors.map(a => n2 - 2.0 * dot(v, a) + dot(a, a))
+      val cell = d.indexOf(d.min) + 1L
+      val srt = d.sorted
+      val (da, db) = (math.sqrt(math.max(srt(0), 0.0)), math.sqrt(math.max(srt(1), 0.0)))
+      val s = if (db <= 0.0) 0L
+        else math.floor(1000000.0 * (1.0 - da / db) + 0.5).toLong
+      (cell, s)
+    }
+    val want = per.groupBy(_._1).map { case (c, xs) =>
+      c -> ((xs.length.toLong, xs.map(_._2).sum / xs.length)) }
+    val got = run("q_silhouette").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == want.keySet)
+    assert(got.values.map(_._1).sum == emb.length.toLong)
+    for ((c, (nw, mw)) <- want) {
+      assert(got(c)._1 == nw, s"cell $c size")
+      assert((got(c)._2 - mw).abs <= 1L, s"cell $c mean")
+    }
+    assert(got.values.forall { case (_, m) => m >= 0L && m <= 1000000L })
+  }
+
+  test("embed drift matches a local per-dim welch recompute") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val dims = emb.head._2.length
+    val got = run("q_embed_drift").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet == (0 until dims).map(_.toLong).toSet)
+    for (dim <- Seq(0, dims / 2, dims - 1)) {
+      val q = emb.map { case (id, v) =>
+        (id % 2, math.floor(v(dim).toDouble * 1e6 + 0.5).toLong) }
+      val a = q.filter(_._1 == 0).map(_._2)
+      val b = q.filter(_._1 == 1).map(_._2)
+      val (na, nb) = (a.length.toLong, b.length.toLong)
+      val (sa, sb) = (a.map(BigInt(_)).sum, b.map(BigInt(_)).sum)
+      val delta = ((sa * nb - sb * na) / (BigInt(na) * nb)).toLong
+      def varOf(xs: Array[Long], s: BigInt, m: Long): Double =
+        (xs.map(x => BigInt(x) * x).sum.toDouble -
+          s.toDouble * s.toDouble / m) / (m - 1)
+      val se2 = varOf(a, sa, na) / na + varOf(b, sb, nb) / nb
+      val t = if (se2 <= 0.0) 0L
+        else math.floor(1000000.0 *
+          (sa.toDouble / na - sb.toDouble / nb) / math.sqrt(se2)).toLong
+      val (gna, gnb, gd, gt) = got(dim.toLong)
+      assert((gna, gnb, gd) == ((na, nb, delta)), s"dim $dim integer parts")
+      assert((gt - t).abs <= 1L, s"dim $dim t: got $gt want $t")
+    }
+  }
+
+  test("intrinsic dim matches a local two-NN MLE recompute") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+    val lnmus = emb.map { case (id, v) =>
+      val n2 = dot(v, v)
+      val ds = emb.filter(_._1 != id)
+        .map { case (jb, w) => (n2 - 2.0 * dot(v, w) + dot(w, w), jb) }
+        .sortBy(identity).take(2).map(_._1)
+      if (ds(0) <= 0.0 || ds(1) <= 0.0) None
+      else Some(math.floor(500000.0 * math.log(ds(1) / ds(0)) + 0.5).toLong)
+    }
+    val used = lnmus.flatten
+    val sln = used.map(BigInt(_)).sum
+    val want = (BigInt(used.length) * BigInt(10).pow(12) / sln).toLong
+    val r = run("q_intrinsic_dim").collect().head
+    assert(r.getLong(0) == used.length.toLong)
+    assert(r.getLong(1) == (lnmus.length - used.length).toLong)
+    // per-point e6 quantization absorbs libm spread; the exact MLE
+    // division on both sides can still differ by the last unit per
+    // disagreeing point — allow a tiny band
+    assert((r.getLong(2) - want).abs <= 5L,
+      s"d_hat: got ${r.getLong(2)} want $want")
+    // a 64-dim synthetic cloud must report a plausible dimension
+    assert(r.getLong(2) > 1000000L && r.getLong(2) < 200000000L)
+  }
+
   test("TopKByAvgTFIDF selects buckets and appends the location feature") {
     import spark.implicits._
     val ds = (0 until 200).map { i =>

@@ -1459,15 +1459,36 @@ object Similarity {
     *
     * Scale shape: map-only scan against the broadcast cells×dims
     * codebook, then a ≤cells-row two-phase agg. */
-  def silhouette(spark: SparkSession, dir: String, cells: Int = IvfCells): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
+  def silhouette(spark: SparkSession, dir: String, cells: Int = IvfCells): DataFrame =
+    silhouetteFinish(silhouetteCensus(
+      Tables.embeddings(spark, dir), silhouetteAnchors(spark, dir, cells)))
+
+  /** The seeded IVF codebook for [[silhouette]], as batch-derivable
+    * model state: at production scale this is the persisted quantizer
+    * loaded from the model store and BROADCAST into whichever plan
+    * (batch audit or at-ingest monitor) needs per-point cell scores —
+    * the reference's load-model-then-map contract (streaming/
+    * Htmls2PredsPipe.scala:84-88). */
+  private[graft] def silhouetteAnchors(spark: SparkSession, dir: String,
+      cells: Int = IvfCells): Array[(Long, Array[Double], Double)] =
+    seededAnchors(Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v")), cells)
+
+  /** The per-cell (n, Σs_e6) census over any `(vec_id, embedding)`
+    * frame — batch table or stream — against a broadcast `anchors`
+    * codebook. Per-point s quantizes to e6 AT THE POINT (one floor),
+    * so the census is exactly ADDITIVE across micro-batches: a
+    * streaming Update-mode aggregation maintains it with ≤cells rows
+    * of state forever. */
+  private[graft] def silhouetteCensus(emb: DataFrame,
+      anchors: Array[(Long, Array[Double], Double)]): DataFrame = {
+    val scored = emb
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm2", dot(col("v"), col("v")))
-    val anchors = seededAnchors(emb, cells)
     val dists = array(anchors.map { case (_, a, a2) =>
       col("nrm2") - lit(2.0) * dot(col("v"), lit(a)) + lit(a2)
     }: _*)
-    emb.withColumn("dists", dists)
+    scored.withColumn("dists", dists)
       .withColumn("cell", array_position(col("dists"), array_min(col("dists"))))
       .withColumn("srt", array_sort(col("dists")))
       .withColumn("da2", element_at(col("srt"), 1))
@@ -1479,10 +1500,14 @@ object Similarity {
           |  + 0.5d) as bigint) end""".stripMargin.replace('\n', ' ')))
       .groupBy("cell").agg(count(lit(1)).as("n"),
         sum(expr("cast(s_e6 as decimal(38,0))")).as("ssum"))
-      .select(col("cell"), col("n"),
-        expr("cast(ssum div n as bigint)").as("mean_s_e6"))
-      .orderBy("cell")
   }
+
+  /** Per-cell mean over the converged census — one truncating
+    * division per cell, shared by batch and stream. */
+  private[graft] def silhouetteFinish(census: DataFrame): DataFrame =
+    census.select(col("cell"), col("n"),
+      expr("cast(ssum div n as bigint)").as("mean_s_e6"))
+      .orderBy("cell")
 
   /** q_embed_drift: per-dimension drift report between two corpus
     * snapshots (halves by vec_id parity — the same stand-in split
@@ -1501,8 +1526,16 @@ object Similarity {
     *
     * Scale shape: one explode scan (map-side), one 64-key two-phase
     * agg, constant finish. */
-  def embedDrift(spark: SparkSession, dir: String): DataFrame = {
-    Tables.embeddings(spark, dir)
+  def embedDrift(spark: SparkSession, dir: String): DataFrame =
+    embedDriftFinish(embedDriftCensus(Tables.embeddings(spark, dir)))
+
+  /** The per-dim (n, Σq, Σq²) × half census over any `(vec_id,
+    * embedding)` frame — batch table or stream. Components quantize
+    * to e6 integers AT THE SCAN, so all six sums are exactly ADDITIVE
+    * across micro-batches: a streaming Update-mode aggregation
+    * maintains the census with dims rows of state forever. */
+  private[graft] def embedDriftCensus(emb: DataFrame): DataFrame =
+    emb
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
       .select((col("vec_id") % 2).as("h"), col("dim").cast("long").as("dim"),
         floor(col("xf").cast("double") * lit(1e6) + lit(0.5)).cast("long").as("q"))
@@ -1513,6 +1546,11 @@ object Similarity {
         sum(expr("case when h = 1 then cast(q as decimal(38,0)) else cast(0 as decimal(38,0)) end")).as("sb"),
         sum(expr("case when h = 0 then cast(q as decimal(38,0)) * q else cast(0 as decimal(38,0)) end")).as("ssa"),
         sum(expr("case when h = 1 then cast(q as decimal(38,0)) * q else cast(0 as decimal(38,0)) end")).as("ssb"))
+
+  /** The exact mean-shift division and per-dim Welch tree over the
+    * converged census — shared by batch and stream. */
+  private[graft] def embedDriftFinish(census: DataFrame): DataFrame =
+    census
       .withColumn("va", expr(
         "(cast(ssa as double) - cast(sa as double) * cast(sa as double) / n_a) / (n_a - 1)"))
       .withColumn("vb", expr(
@@ -1529,7 +1567,6 @@ object Similarity {
           |  / sqrt(se2)) as bigint) end"""
           .stripMargin.replace('\n', ' ')).as("t_e6"))
       .orderBy("dim")
-  }
 
   /** q_intrinsic_dim: the two-NN intrinsic-dimension estimate of the
     * embedding cloud (Facco et al. 2017): per point, the ratio μ =

@@ -656,6 +656,54 @@ object StreamingQueries {
       TableSink.upsert(spark, census, Seq("l_partkey"), "eb", dir))
   }
 
+  /** q_stream_embed_drift — the per-dimension drift monitor AT
+    * INGEST: the per-dim × half exact-moment census
+    * ([[graft.operators.Similarity.embedDriftCensus]] — e6-quantized
+    * at the scan, so all six sums are ADDITIVE across micro-batches,
+    * state = dims rows forever) upserts through the durable keyed
+    * [[TableSink]], and the exact mean-shift + Welch finish runs
+    * batch-side over the merged newest-wins view via the SHARED
+    * embedDriftFinish — the retrain alarm fires while the embedding
+    * feed is still landing, not at the nightly audit; batch oracle
+    * verbatim. */
+  def streamEmbedDrift(spark: SparkSession, dir: String): DataFrame =
+    runEmbedDrift(spark, tableStream(spark, dir, "embeddings"), dir)
+
+  /** The drift pipeline over any streaming `(vec_id, embedding)`
+    * source — split out so the spec can drive it with a multi-file
+    * staged source and prove the upsert table converges to the batch
+    * census when the two snapshot halves land across SEPARATE
+    * triggers. */
+  private[graft] def runEmbedDrift(spark: SparkSession, emb: DataFrame,
+      sinkId: String): DataFrame =
+    graft.operators.Similarity.embedDriftFinish(
+      TableSink.upsert(spark,
+        graft.operators.Similarity.embedDriftCensus(emb),
+        Seq("dim"), "embed_drift", sinkId))
+
+  /** q_stream_silhouette — the quantizer-health monitor AT INGEST:
+    * the persisted IVF codebook loads once and broadcasts into the
+    * stream (the reference's load-model-then-map contract, streaming/
+    * Htmls2PredsPipe.scala:84-88 — exactly how q_stream_pipe carries
+    * its model map), each arriving vector scores its own/next-cell
+    * silhouette against it map-side, and the per-cell (n, Σs_e6)
+    * census ([[graft.operators.Similarity.silhouetteCensus]] —
+    * e6-quantized AT THE POINT, so both sums are ADDITIVE across
+    * micro-batches, ≤cells rows of state forever) upserts through the
+    * durable keyed [[TableSink]]; the one-division-per-cell finish
+    * runs batch-side over the merged view via the SHARED
+    * silhouetteFinish — cell degradation (an anchor drifting onto a
+    * boundary) surfaces while vectors land, before recall drops at
+    * query time; batch oracle verbatim. */
+  def streamSilhouette(spark: SparkSession, dir: String): DataFrame = {
+    val anchors = graft.operators.Similarity.silhouetteAnchors(spark, dir)
+    graft.operators.Similarity.silhouetteFinish(
+      TableSink.upsert(spark,
+        graft.operators.Similarity.silhouetteCensus(
+          tableStream(spark, dir, "embeddings"), anchors),
+        Seq("cell"), "silhouette", dir))
+  }
+
   /** q_stream_quality — the Gopher quality gate AT INGEST: every
     * arriving document is scored by the published rule battery
     * (q_gopher_rules' [[graft.operators.Curation.gopherFlags]] kernel,
@@ -1151,6 +1199,8 @@ object StreamingQueries {
     "q_stream_cusum" -> stateful(streamCusum),
     "q_stream_ols" -> stateful(streamOls),
     "q_stream_eb" -> stateful(streamEb),
+    "q_stream_embed_drift" -> stateful(streamEmbedDrift),
+    "q_stream_silhouette" -> stateful(streamSilhouette),
     "q_stream_hll" -> stateful(streamHll))
 
   /** The streaming queries run real Structured Streaming, but over the
@@ -1196,6 +1246,8 @@ object StreamingQueries {
     // the batch EB oracle VERBATIM — ebCensus + ebFinish are shared
     // and the per-part counters are additive across batches
     "q_stream_eb" -> graft.operators.Analytics.oracleSql("q_eb_shrink"),
+    "q_stream_embed_drift" -> graft.operators.Similarity.oracleSql("q_embed_drift"),
+    "q_stream_silhouette" -> graft.operators.Similarity.oracleSql("q_silhouette"),
     // the batch transition-matrix oracle VERBATIM — transFinish is
     // shared, so the converged step counts must yield the batch matrix
     "q_stream_transitions" -> graft.operators.Analytics.oracleSql("q_transitions"),

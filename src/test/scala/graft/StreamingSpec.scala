@@ -528,6 +528,59 @@ class StreamingSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("streaming embed drift equals the batch report row for row") {
+    // shared census + shared Welch finish: the converged per-dim sums
+    // must reproduce the batch drift report exactly, t values included
+    val batch = SparkEntry.queries("q_embed_drift")(spark, sf).collect().map(_.toSeq).toSet
+    val stream = SparkEntry.queries("q_stream_embed_drift")(spark, sf).collect().map(_.toSeq).toSet
+    assert(stream.nonEmpty)
+    assert(stream == batch)
+  }
+
+  test("streaming silhouette equals the batch audit row for row") {
+    // one broadcast codebook, one census, one finish: the at-ingest
+    // monitor and the batch audit cannot disagree
+    val batch = SparkEntry.queries("q_silhouette")(spark, sf).collect().map(_.toSeq).toSet
+    val stream = SparkEntry.queries("q_stream_silhouette")(spark, sf).collect().map(_.toSeq).toSet
+    assert(stream.nonEmpty)
+    assert(stream == batch)
+  }
+
+  test("embed-drift census converges when the two halves arrive in different triggers") {
+    // the additive-census contract: stage the even-vec_id half and the
+    // odd half as separate files, force one trigger per file — every
+    // dim's census row is emitted in trigger 1 then UPDATED in trigger
+    // 2, and the newest-wins merge must equal the single-batch report
+    // (an Append sink would keep the half-census rows too; a
+    // non-additive quantization would converge to different sums)
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift2_").toFile
+    def stage(name: String, df: org.apache.spark.sql.DataFrame, mtime: Long): Unit = {
+      val part = new java.io.File(dir, s"_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(part.getAbsolutePath)
+      val f = part.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(dir, s"$name.parquet")
+      java.nio.file.Files.move(f.toPath, dst.toPath)
+      dst.setLastModified(mtime) // oldest-first file-source order
+    }
+    val t0 = System.currentTimeMillis() - 600000
+    stage("a_even", emb.filter(col("vec_id") % 2 === 0), t0)
+    stage("b_odd", emb.filter(col("vec_id") % 2 === 1), t0 + 60000)
+    val src = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.getAbsolutePath)
+    val twoTrigger = graft.streaming.StreamingQueries
+      .runEmbedDrift(spark, src, dir.getAbsolutePath).collect().map(_.toSeq).toSet
+    val batch = SparkEntry.queries("q_embed_drift")(spark, sf).collect().map(_.toSeq).toSet
+    // trigger 2 must genuinely UPDATE every dim (n_b goes 0 → >0), so
+    // a stale-row sink cannot pass by accident
+    assert(batch.forall(r => r(2).asInstanceOf[Long] > 0L),
+      "odd half empty; two-trigger split is vacuous")
+    assert(twoTrigger == batch)
+  }
+
   test("streaming hll registers converge to the batch sketch exactly") {
     // duplicate-insensitive max-registers: the stream (no dedup state)
     // and the batch (distinct shingles) MUST produce identical sketches

@@ -1644,6 +1644,78 @@ object Analytics {
       .orderBy("lag")
   }
 
+  /** The Durbin–Levinson recursion unrolled to [[AcfMaxLag]] as
+    * dialect-parameterized expression strings — ONE tree shape emitted
+    * for both engines (`duck` toggles only the double-literal
+    * spelling), so the IEEE arithmetic is bit-identical by
+    * construction. Returns (column name, expression) pairs in
+    * definition order: each expression references only r1..rK and
+    * previously defined φ columns, so both sides evaluate it as a
+    * linear chain of projections (withColumn / chained CTE stages) —
+    * never an exponential textual expansion. */
+  private def pacfPhiExprs(duck: Boolean): Seq[(String, String)] = {
+    def dbl(x: String) = if (duck) s"CAST($x AS DOUBLE)" else s"${x}d"
+    val one = dbl("1.0")
+    val zero = dbl("0.0")
+    val nullD = if (duck) "CAST(NULL AS DOUBLE)" else "cast(null as double)"
+    val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    out += (("p_1_1", "r1"))
+    for (k <- 2 to AcfMaxLag) {
+      // reflection fold order pinned: j = 1..k−1, left-associated
+      val num = (1 until k).map(j => s"p_${k - 1}_$j * r${k - j}").mkString(" + ")
+      val den = (1 until k).map(j => s"p_${k - 1}_$j * r$j").mkString(" + ")
+      out += ((s"p_${k}_$k",
+        s"case when $one - ($den) = $zero then $nullD " +
+          s"else (r$k - ($num)) / ($one - ($den)) end"))
+      for (j <- 1 until k)
+        out += ((s"p_${k}_$j", s"p_${k - 1}_$j - p_${k}_$k * p_${k - 1}_${k - j}"))
+    }
+    out.toSeq
+  }
+
+  /** Degenerate-denominator sentinel for [[pacf]]: |pacf| ≤ 1 so a
+    * real value is within ±10⁶ after e6 quantization — the sentinel
+    * is unreachable. (A NULL would split the parquet/pandas dtype to
+    * float and break the driver's hash compare.) */
+  private val PacfSentinel = -10000000L
+
+  /** q_pacf: PARTIAL autocorrelation of the daily event-count series
+    * at lags 1..[[AcfMaxLag]] via the Durbin–Levinson recursion
+    * (Box-Jenkins' AR-order selector): φ_kk is lag-k correlation with
+    * lags 1..k−1 regressed out, so an AR(p) series cuts off after lag
+    * p where the raw ACF only decays — THE diagnostic that picks p
+    * before any AR fit, the natural next step after [[acf]] flags
+    * structure.
+    *
+    * Exactness: the recursion's INPUT is the e6-quantized exact-integer
+    * ACF (identical on both engines by [[acf]]'s integer argument), and
+    * the recursion itself is a FIXED unrolled expression chain emitted
+    * once for both engines by [[pacfPhiExprs]] — same tree, same IEEE
+    * doubles, one floor per lag at the end. A degenerate denominator
+    * (|φ| hit 1, the series is perfectly predictable) pins
+    * [[PacfSentinel]] from that lag on.
+    *
+    * Scale shape: everything downstream of [[acf]]'s one corpus scan
+    * is constant work — a 7-row pivot to one row, ~30 scalar
+    * projections Catalyst collapses into one, and a 7-row unpivot.
+    * The recursion is sequential by nature but over 7 numbers; at
+    * 10¹² events it is STILL 7 numbers. */
+  def pacf(spark: SparkSession, dir: String): DataFrame = {
+    var row = acf(spark, dir).agg(
+      max(when(col("lag") === 1, col("acf_e6"))).as("a1"),
+      (2 to AcfMaxLag).map(k =>
+        max(when(col("lag") === k, col("acf_e6"))).as(s"a$k")): _*)
+    for (k <- 1 to AcfMaxLag)
+      row = row.withColumn(s"r$k", expr(s"cast(a$k as double) / 1000000.0d"))
+    for ((name, e) <- pacfPhiExprs(duck = false))
+      row = row.withColumn(name, expr(e))
+    val stackArgs = (1 to AcfMaxLag).map(k =>
+      s"cast($k as bigint), case when p_${k}_$k is null then cast($PacfSentinel as bigint) " +
+        s"else cast(floor(1000000.0d * p_${k}_$k + 0.5d) as bigint) end").mkString(", ")
+    row.select(expr(s"stack($AcfMaxLag, $stackArgs) as (lag, pacf_e6)"))
+      .orderBy("lag")
+  }
+
   /** Association-rule minimum pair support (same constant in the
     * oracle; rules below it are noise at every SF). */
   private val ArMinSup = 3L
@@ -4291,6 +4363,7 @@ object Analytics {
     "q_lateness" -> (lateness(_, _)),
     "q_interval_coverage" -> (intervalCoverage(_, _)),
     "q_acf" -> (acf(_, _)),
+    "q_pacf" -> (pacf(_, _)),
     "q_assoc_rules" -> (assocRules(_, _)),
     "q_hhi" -> (hhi(_, _)),
     "q_copurchase" -> (copurchase(_, _)),
@@ -4451,6 +4524,72 @@ object Analytics {
        |      CAST(n1 AS HUGEINT) * n2 AS nn,
        |      CAST(n1 + n2 AS HUGEINT) * (n1 + n2 - 1) * (n1 + n2 + 1) - tt AS aa
        |    FROM m_$sfx))""".stripMargin
+
+  /** The acf oracle's WITH-body, ending at `acf_t(lag, n_pairs,
+    * acf_e6)` — shared by the q_acf and q_pacf oracles so the PACF's
+    * input ACF cannot drift from the audited one. */
+  private def acfCoreSql: String =
+    s"""counts AS (
+       |  SELECT epoch_ns(ts) // 86400000000000 AS day,
+       |    CAST(COUNT(*) AS BIGINT) AS x
+       |  FROM events GROUP BY 1),
+       |axis AS (
+       |  SELECT UNNEST(generate_series(d0, d1)) AS day
+       |  FROM (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM counts)),
+       |daily AS (
+       |  SELECT a.day, COALESCE(c.x, 0) AS x
+       |  FROM axis a LEFT JOIN counts c USING (day)),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s
+       |  FROM daily),
+       |cent AS (SELECT day, x * n - s AS c FROM daily CROSS JOIN st),
+       |qq AS (SELECT SUM(CAST(c AS HUGEINT) * c) AS q FROM cent),
+       |ks AS (SELECT UNNEST(generate_series(1, $AcfMaxLag)) AS k),
+       |num AS (
+       |  SELECT k, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |    SUM(CAST(a.c AS HUGEINT) * b.c) AS num
+       |  FROM cent a JOIN ks ON TRUE JOIN cent b ON b.day = a.day + k
+       |  GROUP BY k),
+       |acf_t AS (
+       |  SELECT CAST(k AS BIGINT) AS lag, n_pairs,
+       |    CAST((num * 1000000) // q AS BIGINT) AS acf_e6
+       |  FROM num CROSS JOIN qq WHERE q <> 0)""".stripMargin
+
+  /** The q_pacf oracle: [[acfCoreSql]] → a MATERIALIZED 1-row pivot →
+    * one chained CTE stage per [[pacfPhiExprs]] column (each stage
+    * adds exactly one φ, referencing only prior stages — linear, never
+    * exponential under inlining) → the 7-row unpivot with the same
+    * one-floor quantization and [[PacfSentinel]] pin as the engine. */
+  private def pacfOracleSql: String = {
+    val pivots = (1 to AcfMaxLag).map(k =>
+      s"MAX(CASE WHEN lag = $k THEN acf_e6 END) AS a$k").mkString(",\n       |    ")
+    val rs = (1 to AcfMaxLag).map(k =>
+      s"CAST(a$k AS DOUBLE) / CAST(1000000.0 AS DOUBLE) AS r$k").mkString(",\n       |    ")
+    val phis = pacfPhiExprs(duck = true)
+    val stageSql = phis.zipWithIndex.map { case ((name, e), i) =>
+      val prev = if (i == 0) "r" else s"s$i"
+      val mat = if (i == phis.size - 1) " MATERIALIZED" else ""
+      s"s${i + 1} AS$mat (SELECT *, $e AS $name FROM $prev)"
+    }.mkString(",\n       |")
+    val last = s"s${phis.size}"
+    val rows = (1 to AcfMaxLag).map(k =>
+      s"""SELECT CAST($k AS BIGINT) AS lag,
+         |  CASE WHEN p_${k}_$k IS NULL THEN CAST($PacfSentinel AS BIGINT)
+         |       ELSE CAST(floor(CAST(1000000.0 AS DOUBLE) * p_${k}_$k
+         |         + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS pacf_e6
+         |FROM $last""".stripMargin).mkString("\n       |UNION ALL\n       |")
+    s"""WITH $acfCoreSql,
+       |pv AS MATERIALIZED (
+       |  SELECT
+       |    $pivots
+       |  FROM acf_t),
+       |r AS (
+       |  SELECT *,
+       |    $rs
+       |  FROM pv),
+       |$stageSql
+       |$rows
+       |ORDER BY lag""".stripMargin
+  }
 
   /** The same pinned-alphabet conditional sums and literal 5-term
     * double fold as [[anova]]. */
@@ -6079,29 +6218,13 @@ object Analytics {
     // same n-scaled centering (c = n·x − S), generate_series fills the
     // gap days with zeros, HUGEINT products
     "q_acf" ->
-      s"""WITH counts AS (
-         |  SELECT epoch_ns(ts) // 86400000000000 AS day,
-         |    CAST(COUNT(*) AS BIGINT) AS x
-         |  FROM events GROUP BY 1),
-         |axis AS (
-         |  SELECT UNNEST(generate_series(d0, d1)) AS day
-         |  FROM (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM counts)),
-         |daily AS (
-         |  SELECT a.day, COALESCE(c.x, 0) AS x
-         |  FROM axis a LEFT JOIN counts c USING (day)),
-         |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s
-         |  FROM daily),
-         |cent AS (SELECT day, x * n - s AS c FROM daily CROSS JOIN st),
-         |qq AS (SELECT SUM(CAST(c AS HUGEINT) * c) AS q FROM cent),
-         |ks AS (SELECT UNNEST(generate_series(1, $AcfMaxLag)) AS k),
-         |num AS (
-         |  SELECT k, CAST(COUNT(*) AS BIGINT) AS n_pairs,
-         |    SUM(CAST(a.c AS HUGEINT) * b.c) AS num
-         |  FROM cent a JOIN ks ON TRUE JOIN cent b ON b.day = a.day + k
-         |  GROUP BY k)
-         |SELECT CAST(k AS BIGINT) AS lag, n_pairs,
-         |  CAST((num * 1000000) // q AS BIGINT) AS acf_e6
-         |FROM num CROSS JOIN qq WHERE q <> 0 ORDER BY lag""".stripMargin,
+      s"""WITH $acfCoreSql
+         |SELECT lag, n_pairs, acf_e6 FROM acf_t ORDER BY lag""".stripMargin,
+    // same exact-integer ACF input, then the IDENTICAL unrolled
+    // Durbin–Levinson chain (pacfPhiExprs emits one tree for both
+    // engines); MATERIALIZED pins the pivot + final stage against
+    // DuckDB's CTE inlining
+    "q_pacf" -> pacfOracleSql,
     // same (order, brand) baskets; directed pairs; HUGEINT ratios
     "q_assoc_rules" ->
       s"""WITH baskets AS (

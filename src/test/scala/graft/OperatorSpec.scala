@@ -2335,6 +2335,35 @@ class OperatorSpec extends SparkSpec {
     assert(got.keySet == (1L to 7L).toSet)
   }
 
+  test("pacf matches a local Durbin-Levinson recompute over the engine ACF") {
+    // input = the already-spec-verified exact-integer ACF; the spec
+    // pins the recursion itself (reflection updates included) and the
+    // lag-1 identity pacf(1) = acf(1)
+    val rho = run("q_acf").collect()
+      .map(r => r.getLong(0).toInt -> (r.getLong(2).toDouble / 1000000.0)).toMap
+    val maxLag = 7
+    var phi = Map((1, 1) -> rho(1))
+    for (k <- 2 to maxLag) {
+      val num = rho(k) - (1 until k).map(j => phi((k - 1, j)) * rho(k - j)).sum
+      val den = 1.0 - (1 until k).map(j => phi((k - 1, j)) * rho(j)).sum
+      val pkk = num / den
+      phi += ((k, k) -> pkk)
+      for (j <- 1 until k)
+        phi += ((k, j) -> (phi((k - 1, j)) - pkk * phi((k - 1, k - j))))
+    }
+    val got = run("q_pacf").collect()
+      .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    assert(got.keySet == (1 to maxLag).toSet)
+    for (k <- 1 to maxLag) {
+      val want = math.floor(1000000.0 * phi((k, k)) + 0.5).toLong
+      // local sum() fold order differs from the pinned left-assoc tree
+      assert((got(k) - want).abs <= 1L, s"lag $k: got ${got(k)} want $want")
+      assert(got(k).abs <= 1000000L, s"lag $k out of [-1, 1]")
+    }
+    assert(got(1) == math.floor(1000000.0 * rho(1) + 0.5).toLong,
+      "pacf(1) must equal acf(1)")
+  }
+
   test("assoc_rules confidence and lift match a local basket recompute") {
     val bk = graft.sources.Tables.lineitem(spark, sf)
       .select("l_orderkey", "l_partkey")

@@ -3340,6 +3340,97 @@ object Analytics {
       .orderBy("n_name", "m")
   }
 
+  /** Trailing window for [[holtForecast]] — the same 24 months as
+    * [[sesForecast]], so the two forecasters are directly
+    * comparable. */
+  private val HoltMonths = 24
+
+  /** The Holt (α = β = ½) recursion unrolled over the bounded month
+    * axis as EXACT INTEGERS — one generator emits the identical
+    * expression chain for both engines (`castInt` spells the
+    * wide-integer cast: decimal(38,0) in Spark, HUGEINT in DuckDB).
+    *
+    * Derivation: with L_t = 4ᵗ·l_t and B_t = 4ᵗ·b_t, the recurrences
+    * l_t = (y_t + l_{t−1} + b_{t−1})/2 and b_t = (l_t − l_{t−1} +
+    * b_{t−1})/2 become INTEGER updates
+    *   L_t = 2^{2t−1}·y_t + 2·L_{t−1} + 2·B_{t−1}
+    *   B_t = 2^{2t−2}·y_t −   L_{t−1} + 3·B_{t−1}
+    * (init l₁ = y₁, b₁ = 0 → L₁ = 4·y₁, B₁ = 0), so the whole
+    * coupled recursion is division-free until the final 4ᵗ floor —
+    * the dyadic-SES trick extended to a 2-state model. The largest
+    * literal is 2^{2·24−1} = 2⁴⁷; numerators stay inside
+    * decimal(38,0) to ~10¹⁵ monthly cents. */
+  private def holtExprs(castInt: String => String): Seq[(String, String)] = {
+    val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    out += (("l1", s"${castInt("y1")} * 4"))
+    out += (("b1", castInt("0")))
+    for (t <- 2 to HoltMonths) {
+      out += ((s"l$t",
+        s"${castInt(s"y$t")} * ${1L << (2 * t - 1)} + 2 * l${t - 1} + 2 * b${t - 1}"))
+      out += ((s"b$t",
+        s"${castInt(s"y$t")} * ${1L << (2 * t - 2)} - l${t - 1} + 3 * b${t - 1}"))
+    }
+    out.toSeq
+  }
+
+  /** q_holt_forecast: Holt double-exponential smoothing (α = β = ½)
+    * of per-nation monthly order revenue — the LEVEL+TREND forecaster
+    * [[sesForecast]] leads up to: SES's flat forecast lags any
+    * trending series by design; Holt carries an explicit trend state
+    * and forecasts l + b, so a steadily growing nation stops being a
+    * permanent under-forecast. Per nation: final level and trend, the
+    * next-month forecast, and the walk-forward backtest of the LAST
+    * month (forecast from the t−1 state vs the actual) — the one-step
+    * error a forecaster is judged by.
+    *
+    * Exactness: the coupled recursion is unrolled by [[holtExprs]]
+    * into division-free integer updates scaled by 4ᵗ (see there), so
+    * level/trend/forecasts are exact integer numerators with ONE
+    * truncating 4ᵗ division each at the very end — no IEEE anywhere,
+    * bit-identical in DuckDB by construction (negative trends ride
+    * the q_qini-verified div ≡ // agreement).
+    *
+    * Scale shape: the same orders×customer hash join and ONE
+    * (nation, month) two-phase agg as SES; the pivot is a
+    * nations-row conditional-sum agg and the 47-column recursion is
+    * constant scalar work per nation — at 10¹² orders it is STILL 25
+    * rows × 47 integer columns. */
+  def holtForecast(spark: SparkSession, dir: String): DataFrame = {
+    val monthUs = 86400000000L * 30
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val nat = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"))
+    val monthly = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        expr(s"unix_micros(cast(o_orderdate as timestamp)) div $monthUs").as("m"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey", "m").agg(sum("cents").as("y_cents"))
+    val mx = monthly.agg((max("m") - (HoltMonths - 1)).as("m0"))
+    var row = monthly.crossJoin(broadcast(mx))
+      .groupBy("c_nationkey")
+      .agg(sum(when(col("m") === col("m0"), col("y_cents")).otherwise(0L)).as("y1"),
+        (2 to HoltMonths).map(t =>
+          sum(when(col("m") === col("m0") + (t - 1), col("y_cents"))
+            .otherwise(0L)).as(s"y$t")): _*)
+    for ((name, e) <- holtExprs(s => s"cast($s as decimal(38,0))"))
+      row = row.withColumn(name, expr(e))
+    val h = HoltMonths
+    val s24 = 1L << (2 * h)       // 4^24
+    val s23 = 1L << (2 * (h - 1)) // 4^23
+    row.join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"),
+        expr(s"cast(l$h div $s24 as bigint)").as("level_cents"),
+        expr(s"cast(b$h div $s24 as bigint)").as("trend_cents"),
+        expr(s"cast((l$h + b$h) div $s24 as bigint)").as("forecast_cents"),
+        expr(s"cast((l${h - 1} + b${h - 1}) div $s23 as bigint)").as("bt_forecast_cents"),
+        col(s"y$h").as("y_last_cents"),
+        expr(s"abs(y$h - cast((l${h - 1} + b${h - 1}) div $s23 as bigint))")
+          .as("bt_abs_err_cents"))
+      .orderBy("n_name")
+  }
+
   /** q_cusum_change: CUSUM changepoint detection on the daily
     * purchase-revenue series — "did the level shift, and when?", the
     * monitoring question behind every deploy/pricing-incident
@@ -4327,6 +4418,7 @@ object Analytics {
     "q_eb_shrink" -> (ebShrink(_, _)),
     "q_power_mde" -> (powerMde(_, _)),
     "q_ses_forecast" -> (sesForecast(_, _)),
+    "q_holt_forecast" -> (holtForecast(_, _)),
     "q_cusum_change" -> (cusumChange(_, _)),
     "q_conformal" -> (conformal(_, _)),
     "q_gap_fill" -> (gapFill(_, _)),
@@ -4589,6 +4681,50 @@ object Analytics {
        |$stageSql
        |$rows
        |ORDER BY lag""".stripMargin
+  }
+
+  /** The q_holt_forecast oracle: the SES monthly frame, a MATERIALIZED
+    * nation pivot, then one MATERIALIZED CTE stage per month adding
+    * that month's (l, b) integer pair from [[holtExprs]] — the same
+    * expression chain the engine runs, HUGEINT-cast; materialization
+    * pins DuckDB's CTE inlining, which would otherwise expand the
+    * coupled recursion exponentially (the q_hits lesson). */
+  private def holtOracleSql: String = {
+    val pivots = (1 to HoltMonths).map { t =>
+      val cond = if (t == 1) "m = m0" else s"m = m0 + ${t - 1}"
+      s"CAST(SUM(CASE WHEN $cond THEN y_cents ELSE 0 END) AS BIGINT) AS y$t"
+    }.mkString(",\n        |    ")
+    val phis = holtExprs(s => s"CAST($s AS HUGEINT)")
+    val stageSql = phis.grouped(2).zipWithIndex.map { case (pair, i) =>
+      val prev = if (i == 0) "pv" else s"h$i"
+      val cols = pair.map { case (n, e) => s"$e AS $n" }.mkString(", ")
+      s"h${i + 1} AS MATERIALIZED (SELECT *, $cols FROM $prev)"
+    }.mkString(",\n        |")
+    val h = HoltMonths
+    val s24 = 1L << (2 * h)
+    val s23 = 1L << (2 * (h - 1))
+    s"""WITH monthly AS (
+        |  SELECT c_nationkey, epoch_ns(o_orderdate) // 1000 // (86400000000 * 30) AS m,
+        |    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS y_cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |mx AS (SELECT MAX(m) - ${HoltMonths - 1} AS m0 FROM monthly),
+        |pv AS MATERIALIZED (
+        |  SELECT c_nationkey,
+        |    $pivots
+        |  FROM monthly CROSS JOIN mx GROUP BY c_nationkey),
+        |$stageSql
+        |SELECT n_name,
+        |  CAST(l$h // $s24 AS BIGINT) AS level_cents,
+        |  CAST(b$h // $s24 AS BIGINT) AS trend_cents,
+        |  CAST((l$h + b$h) // $s24 AS BIGINT) AS forecast_cents,
+        |  CAST((l${h - 1} + b${h - 1}) // $s23 AS BIGINT) AS bt_forecast_cents,
+        |  y$h AS y_last_cents,
+        |  abs(y$h - CAST((l${h - 1} + b${h - 1}) // $s23 AS BIGINT))
+        |    AS bt_abs_err_cents
+        |FROM h$h JOIN nation ON n_nationkey = c_nationkey
+        |ORDER BY n_name""".stripMargin
   }
 
   /** The same pinned-alphabet conditional sums and literal 5-term
@@ -6225,6 +6361,9 @@ object Analytics {
     // engines); MATERIALIZED pins the pivot + final stage against
     // DuckDB's CTE inlining
     "q_pacf" -> pacfOracleSql,
+    // same monthly frame and the IDENTICAL division-free 4^t-scaled
+    // Holt recursion chain (holtExprs emits one tree for both engines)
+    "q_holt_forecast" -> holtOracleSql,
     // same (order, brand) baskets; directed pairs; HUGEINT ratios
     "q_assoc_rules" ->
       s"""WITH baskets AS (

@@ -1454,7 +1454,69 @@ object Curation {
       .orderBy("level")
   }
 
+  /** q_kl_sources: per-source unigram divergence from the corpus MIX
+    * over the hashed [[DsirBuckets]] vocabulary — for each source,
+    * self-entropy H(p), cross-entropy H(p, mix), and KL(p ‖ mix) in
+    * e6 bits. THE data-mixing diagnostic (DoReMi/DSIR's framing): a
+    * source with high KL is under-represented by the mix's code — the
+    * one to up/down-weight first — and H(p, mix) − H(p) says exactly
+    * how many wasted bits/token the current mix pays on that source.
+    * Complements [[dsirWeights]] (per-DOC importance against an eval
+    * target) with the per-SOURCE report against the mix itself.
+    *
+    * Semantics: add-one smoothing over the full 2¹³-bucket hashed
+    * vocabulary (the DSIR kernel's hash, same md5 window), so
+    * p_b = (c_b+1)/(n_s+B) sums to exactly 1 including never-seen
+    * buckets — the bucket axis is therefore materialized densely
+    * (B · sources rows, bounded at any corpus scale).
+    *
+    * Exactness: per-bucket terms quantize at e9 (one floor each, the
+    * shared log2 tree over exact integer inputs), sum exactly as
+    * integers, and report div 1000 to e6 — no distributed double sum.
+    *
+    * Scale shape: ONE token scan → the (source × bucket) two-phase
+    * census; everything after rides the ≤ sources·8192-row axis with
+    * broadcast mix/totals. */
+  def klSources(spark: SparkSession, dir: String): DataFrame = {
+    val census = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("b",
+        expr("cast(conv(substr(md5(tok), 1, 8), 16, 10) as bigint)") % DsirBuckets)
+      .groupBy("source", "b").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // reused: mix rollup, totals, and the axis scan
+    val mix = census.groupBy("b").agg(sum("c").as("ca"))
+    val perSrc = census.groupBy("source").agg(sum("c").as("ns"))
+    val nAll = census.agg(sum("c").as("na"))
+    val axis = spark.range(DsirBuckets).select(col("id").as("b"))
+      .crossJoin(broadcast(perSrc))
+    axis.join(census, Seq("source", "b"), "left")
+      .join(broadcast(mix), Seq("b"), "left")
+      .crossJoin(broadcast(nAll))
+      .select(col("source"), col("ns"),
+        coalesce(col("c"), lit(0L)).as("c"),
+        coalesce(col("ca"), lit(0L)).as("ca"), col("na"))
+      .withColumn("pd", expr(
+        s"cast(c + 1 as double) / cast(ns + $DsirBuckets as double)"))
+      .withColumn("qd", expr(
+        s"cast(ca + 1 as double) / cast(na + $DsirBuckets as double)"))
+      .withColumn("kl_e9", expr(
+        "cast(floor(1000000000.0d * (pd * log2(pd / qd)) + 0.5d) as bigint)"))
+      .withColumn("hs_e9", expr(
+        "cast(floor(1000000000.0d * (-(pd) * log2(pd)) + 0.5d) as bigint)"))
+      .withColumn("hc_e9", expr(
+        "cast(floor(1000000000.0d * (-(pd) * log2(qd)) + 0.5d) as bigint)"))
+      .groupBy("source")
+      .agg(max("ns").as("n_tok"), sum("kl_e9").as("kl9"),
+        sum("hs_e9").as("hs9"), sum("hc_e9").as("hc9"))
+      .select(col("source"), col("n_tok"),
+        expr("cast(kl9 div 1000 as bigint)").as("kl_e6"),
+        expr("cast(hs9 div 1000 as bigint)").as("h_self_e6"),
+        expr("cast(hc9 div 1000 as bigint)").as("h_cross_e6"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kl_sources" -> (klSources(_, _)),
     "q_dp_release" -> (dpRelease(_, _)),
     "q_dp_median" -> (dpMedian(_, _)),
     "q_dp_user_stats" -> (dpUserStats(_, _)),
@@ -1986,6 +2048,41 @@ object Curation {
          |  CAST(bit_xor(fp) AS BIGINT) AS content_fp,
          |  MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
          |FROM d GROUP BY shard ORDER BY shard""".stripMargin,
+    // same md5-window hash buckets, dense axis, e9 per-bucket floors
+    "q_kl_sources" ->
+      s"""WITH census AS (
+         |  SELECT source,
+         |    CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % $DsirBuckets AS b,
+         |    CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+         |  GROUP BY 1, 2),
+         |mix AS (SELECT b, CAST(SUM(c) AS BIGINT) AS ca FROM census GROUP BY b),
+         |per_src AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ns
+         |  FROM census GROUP BY source),
+         |n_all AS (SELECT CAST(SUM(c) AS BIGINT) AS na FROM census),
+         |axis AS (
+         |  SELECT s.source, s.ns, g.b
+         |  FROM per_src s CROSS JOIN
+         |    (SELECT UNNEST(generate_series(0, ${DsirBuckets - 1})) AS b) g),
+         |terms AS (
+         |  SELECT source, ns,
+         |    CAST(c + 1 AS DOUBLE) / CAST(ns + $DsirBuckets AS DOUBLE) AS pd,
+         |    CAST(ca + 1 AS DOUBLE) / CAST(na + $DsirBuckets AS DOUBLE) AS qd
+         |  FROM (
+         |    SELECT a.source, a.ns, COALESCE(cs.c, 0) AS c,
+         |      COALESCE(m.ca, 0) AS ca, na
+         |    FROM axis a
+         |    LEFT JOIN census cs ON cs.source = a.source AND cs.b = a.b
+         |    LEFT JOIN mix m ON m.b = a.b
+         |    CROSS JOIN n_all))
+         |SELECT source, CAST(MAX(ns) AS BIGINT) AS n_tok,
+         |  CAST(CAST(SUM(CAST(floor(1000000000.0 * (pd * log2(pd / qd)) + 0.5)
+         |    AS BIGINT)) AS BIGINT) // 1000 AS BIGINT) AS kl_e6,
+         |  CAST(CAST(SUM(CAST(floor(1000000000.0 * (-(pd) * log2(pd)) + 0.5)
+         |    AS BIGINT)) AS BIGINT) // 1000 AS BIGINT) AS h_self_e6,
+         |  CAST(CAST(SUM(CAST(floor(1000000000.0 * (-(pd) * log2(qd)) + 0.5)
+         |    AS BIGINT)) AS BIGINT) // 1000 AS BIGINT) AS h_cross_e6
+         |FROM terms GROUP BY source ORDER BY source""".stripMargin,
     "q_dsir_weights" ->
       s"""WITH t AS (
          |  SELECT doc_id,

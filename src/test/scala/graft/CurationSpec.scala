@@ -26,6 +26,51 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("kl_sources matches a local smoothed-divergence recompute") {
+    val buckets = 8192L
+    def bucket(tok: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % buckets
+    }
+    val toks = graft.sources.Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .flatMap(r => r.getString(1).split(" ", -1).map(t => (r.getString(0), bucket(t))))
+    val census = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val mix = toks.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val perSrc = toks.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val na = toks.length.toLong
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    val want = perSrc.keys.toSeq.sorted.map { s =>
+      val ns = perSrc(s)
+      var (kl9, hs9, hc9) = (0L, 0L, 0L)
+      for (b <- 0L until buckets) {
+        val pd = (census.getOrElse((s, b), 0L) + 1).toDouble / (ns + buckets)
+        val qd = (mix.getOrElse(b, 0L) + 1).toDouble / (na + buckets)
+        kl9 += math.floor(1e9 * (pd * log2(pd / qd)) + 0.5).toLong
+        hs9 += math.floor(1e9 * (-pd * log2(pd)) + 0.5).toLong
+        hc9 += math.floor(1e9 * (-pd * log2(qd)) + 0.5).toLong
+      }
+      (s, ns, kl9 / 1000, hs9 / 1000, hc9 / 1000)
+    }
+    val got = Curation.klSources(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq.sortBy(_._1)
+    assert(got.map(t => (t._1, t._2)) == want.map(t => (t._1, t._2)))
+    // JVM log vs the engine's log2 differ below the e9 floor on a few
+    // of the 8192 buckets — allow that slack, never more
+    got.zip(want).foreach { case (g, w) =>
+      assert((g._3 - w._3).abs <= 20L, s"${g._1} kl")
+      assert((g._4 - w._4).abs <= 20L, s"${g._1} h_self")
+      assert((g._5 - w._5).abs <= 20L, s"${g._1} h_cross")
+    }
+    // information identity: KL(p||q) = H(p,q) - H(p), up to quantization
+    got.foreach { g =>
+      assert((g._3 - (g._5 - g._4)).abs <= 20L, s"${g._1} identity")
+      assert(g._3 >= 0L, s"${g._1} negative KL")
+    }
+  }
+
   test("gopher_rules matches a plain-Scala rule recompute and splits the corpus") {
     val got = Curation.gopherRules(spark, sf).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),

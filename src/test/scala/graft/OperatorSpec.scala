@@ -4179,6 +4179,48 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("holt forecast matches the exact 4^t-scaled coupled recurrence") {
+    val monthUs = 86400000000L * 30
+    val cust = graft.sources.Tables.customer(spark, sf)
+      .select("c_custkey", "c_nationkey").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val nat = graft.sources.Tables.nation(spark, sf)
+      .select("n_nationkey", "n_name").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val monthly = graft.sources.Tables.orders(spark, sf)
+      .select(col("o_custkey"),
+        expr("unix_micros(cast(o_orderdate as timestamp))").as("us"),
+        col("o_totalprice"))
+      .collect()
+      .map(r => ((cust(r.getLong(0)), r.getLong(1) / monthUs),
+        math.floor(r.getDouble(2) * 100 + 0.5).toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val m0 = monthly.keys.map(_._2).max - 23
+    val want = monthly.keys.map(_._1).toSeq.distinct.sorted.map { nk =>
+      val ys = (1 to 24).map(t => monthly.getOrElse((nk, m0 + t - 1), 0L))
+      // L_t = 4^t*l_t, B_t = 4^t*b_t carried exactly; floor at report
+      var l = BigInt(ys.head) * 4
+      var b = BigInt(0)
+      var bt = 0L // backtest forecast of month 24 from the t=23 state
+      for (t <- 2 to 24) {
+        if (t == 24) bt = ((l + b) / (BigInt(1) << (2 * 23))).toLong
+        val (lp, bp) = (l, b)
+        l = (BigInt(ys(t - 1)) << (2 * t - 1)) + 2 * lp + 2 * bp
+        b = (BigInt(ys(t - 1)) << (2 * t - 2)) - lp + 3 * bp
+      }
+      val s24 = BigInt(1) << 48
+      (nat(nk), (l / s24).toLong, (b / s24).toLong, ((l + b) / s24).toLong,
+        bt, ys.last, math.abs(ys.last - bt))
+    }.sortBy(_._1)
+    val got = run("q_holt_forecast").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq.sortBy(_._1)
+    assert(got == want)
+    // non-vacuous: at least one nation carries a real (nonzero) trend,
+    // so Holt genuinely diverges from SES's flat forecast here
+    assert(got.exists(_._3 != 0L), "all trends zero; Holt test is vacuous")
+  }
+
   test("cusum_change matches a local walk and zeroes out at the horizon") {
     val dayUs = 86400000000L
     val ev = graft.sources.Tables.events(spark, sf)

@@ -3373,6 +3373,30 @@ object Analytics {
     out.toSeq
   }
 
+  /** The per-nation trailing-[[HoltMonths]]-month revenue series
+    * pivoted to one row per nation (y1..y24, zero-filled by the
+    * conditional sums) — the shared substrate of [[holtForecast]] and
+    * [[forecastEval]]: one orders×customer hash join, ONE (nation,
+    * month) two-phase agg, then a nations-row conditional-sum agg. */
+  private def holtPivot(spark: SparkSession, dir: String): DataFrame = {
+    val monthUs = 86400000000L * 30
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val monthly = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        expr(s"unix_micros(cast(o_orderdate as timestamp)) div $monthUs").as("m"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey", "m").agg(sum("cents").as("y_cents"))
+    val mx = monthly.agg((max("m") - (HoltMonths - 1)).as("m0"))
+    monthly.crossJoin(broadcast(mx))
+      .groupBy("c_nationkey")
+      .agg(sum(when(col("m") === col("m0"), col("y_cents")).otherwise(0L)).as("y1"),
+        (2 to HoltMonths).map(t =>
+          sum(when(col("m") === col("m0") + (t - 1), col("y_cents"))
+            .otherwise(0L)).as(s"y$t")): _*)
+  }
+
   /** q_holt_forecast: Holt double-exponential smoothing (α = β = ½)
     * of per-nation monthly order revenue — the LEVEL+TREND forecaster
     * [[sesForecast]] leads up to: SES's flat forecast lags any
@@ -3396,24 +3420,9 @@ object Analytics {
     * constant scalar work per nation — at 10¹² orders it is STILL 25
     * rows × 47 integer columns. */
   def holtForecast(spark: SparkSession, dir: String): DataFrame = {
-    val monthUs = 86400000000L * 30
-    val cust = Tables.customer(spark, dir)
-      .select(col("c_custkey"), col("c_nationkey"))
     val nat = Tables.nation(spark, dir)
       .select(col("n_nationkey"), col("n_name"))
-    val monthly = Tables.orders(spark, dir)
-      .select(col("o_custkey"),
-        expr(s"unix_micros(cast(o_orderdate as timestamp)) div $monthUs").as("m"),
-        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
-      .join(cust, col("o_custkey") === col("c_custkey"))
-      .groupBy("c_nationkey", "m").agg(sum("cents").as("y_cents"))
-    val mx = monthly.agg((max("m") - (HoltMonths - 1)).as("m0"))
-    var row = monthly.crossJoin(broadcast(mx))
-      .groupBy("c_nationkey")
-      .agg(sum(when(col("m") === col("m0"), col("y_cents")).otherwise(0L)).as("y1"),
-        (2 to HoltMonths).map(t =>
-          sum(when(col("m") === col("m0") + (t - 1), col("y_cents"))
-            .otherwise(0L)).as(s"y$t")): _*)
+    var row = holtPivot(spark, dir)
     for ((name, e) <- holtExprs(s => s"cast($s as decimal(38,0))"))
       row = row.withColumn(name, expr(e))
     val h = HoltMonths
@@ -3428,6 +3437,77 @@ object Analytics {
         col(s"y$h").as("y_last_cents"),
         expr(s"abs(y$h - cast((l${h - 1} + b${h - 1}) div $s23 as bigint))")
           .as("bt_abs_err_cents"))
+      .orderBy("n_name")
+  }
+
+  /** The walk-forward error chain for [[forecastEval]], emitted once
+    * for both engines (`castInt` as in [[holtExprs]]; `divOp` is
+    * `div` in Spark, `//` in DuckDB — both truncate toward zero on
+    * these non-negative numerators). Assumes the [[holtExprs]]
+    * columns are already defined; adds the dyadic SES numerators
+    * (sn_t = 2^{t−1}·s_t, the [[sesForecast]] closed form 1-indexed),
+    * the per-step absolute one-step errors of all three forecasters
+    * over t = 2..[[HoltMonths]], and their exact integer sums. */
+  private def forecastEvalExprs(castInt: String => String,
+      divOp: String): Seq[(String, String)] = {
+    val h = HoltMonths
+    val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    // closed form (no chaining): sn_t = y1 + Σ_{k=2..t} y_k·2^{k−2}
+    for (t <- 1 to h)
+      out += ((s"sn$t", (Seq(castInt("y1")) ++ (2 to t).map(k =>
+        s"${castInt(s"y$k")} * ${1L << (k - 2)}")).mkString(" + ")))
+    for (t <- 2 to h) {
+      out += ((s"en$t", s"abs(${castInt(s"y$t")} - ${castInt(s"y${t - 1}")})"))
+      out += ((s"es$t",
+        s"abs(${castInt(s"y$t")} - (sn${t - 1} $divOp ${1L << (t - 2)}))"))
+      out += ((s"eh$t",
+        s"abs(${castInt(s"y$t")} - ((l${t - 1} + b${t - 1}) $divOp ${1L << (2 * (t - 1))}))"))
+    }
+    out += (("se_naive", (2 to h).map(t => s"en$t").mkString(" + ")))
+    out += (("se_ses", (2 to h).map(t => s"es$t").mkString(" + ")))
+    out += (("se_holt", (2 to h).map(t => s"eh$t").mkString(" + ")))
+    out.toSeq
+  }
+
+  /** q_forecast_eval: the walk-forward shoot-out of the three
+    * forecasters over the SAME per-nation 24-month window — naive
+    * (ŷ_t = y_{t−1}), SES ([[sesForecast]]'s α = ½ level), and Holt
+    * ([[holtForecast]]'s level+trend): per nation the one-step MAE of
+    * each, plus MASE (Hyndman & Koehler 2006 — each model's MAE over
+    * the naive MAE, THE scale-free "did the model beat doing
+    * nothing?" number a forecast is promoted on; < 10⁶ means yes).
+    * Completes the forecasting arc: q_acf/q_pacf find structure, SES/
+    * Holt model it, this row says which model earned deployment.
+    *
+    * Exactness: every forecast is the exact integer state the model
+    * queries own (dyadic SES numerators, 4ᵗ-scaled Holt pairs — the
+    * SAME generator chains), every error an integer |y − ŷ|, every
+    * summary one truncating division; no IEEE anywhere. An all-flat
+    * nation (naive MAE 0) pins MASE −1.
+    *
+    * Scale shape: identical to [[holtForecast]] — the one
+    * (nation, month) two-phase agg, then constant per-nation scalar
+    * work (≈ 120 integer columns Catalyst keeps as a linear
+    * projection chain). */
+  def forecastEval(spark: SparkSession, dir: String): DataFrame = {
+    val nat = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"))
+    var row = holtPivot(spark, dir)
+    val castDec = (s: String) => s"cast($s as decimal(38,0))"
+    for ((name, e) <- holtExprs(castDec) ++ forecastEvalExprs(castDec, "div"))
+      row = row.withColumn(name, expr(e))
+    val n = HoltMonths - 1
+    row.join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), lit(n.toLong).as("n_eval"),
+        expr(s"cast(se_naive div $n as bigint)").as("mae_naive_cents"),
+        expr(s"cast(se_ses div $n as bigint)").as("mae_ses_cents"),
+        expr(s"cast(se_holt div $n as bigint)").as("mae_holt_cents"),
+        expr("""case when se_naive = 0 then cast(-1 as bigint)
+          |else cast((se_ses * 1000000) div se_naive as bigint) end"""
+          .stripMargin.replace('\n', ' ')).as("mase_ses_e6"),
+        expr("""case when se_naive = 0 then cast(-1 as bigint)
+          |else cast((se_holt * 1000000) div se_naive as bigint) end"""
+          .stripMargin.replace('\n', ' ')).as("mase_holt_e6"))
       .orderBy("n_name")
   }
 
@@ -4419,6 +4499,7 @@ object Analytics {
     "q_power_mde" -> (powerMde(_, _)),
     "q_ses_forecast" -> (sesForecast(_, _)),
     "q_holt_forecast" -> (holtForecast(_, _)),
+    "q_forecast_eval" -> (forecastEval(_, _)),
     "q_cusum_change" -> (cusumChange(_, _)),
     "q_conformal" -> (conformal(_, _)),
     "q_gap_fill" -> (gapFill(_, _)),
@@ -4689,7 +4770,7 @@ object Analytics {
     * expression chain the engine runs, HUGEINT-cast; materialization
     * pins DuckDB's CTE inlining, which would otherwise expand the
     * coupled recursion exponentially (the q_hits lesson). */
-  private def holtOracleSql: String = {
+  private def holtCoreSql: String = {
     val pivots = (1 to HoltMonths).map { t =>
       val cond = if (t == 1) "m = m0" else s"m = m0 + ${t - 1}"
       s"CAST(SUM(CASE WHEN $cond THEN y_cents ELSE 0 END) AS BIGINT) AS y$t"
@@ -4700,10 +4781,7 @@ object Analytics {
       val cols = pair.map { case (n, e) => s"$e AS $n" }.mkString(", ")
       s"h${i + 1} AS MATERIALIZED (SELECT *, $cols FROM $prev)"
     }.mkString(",\n        |")
-    val h = HoltMonths
-    val s24 = 1L << (2 * h)
-    val s23 = 1L << (2 * (h - 1))
-    s"""WITH monthly AS (
+    s"""monthly AS (
         |  SELECT c_nationkey, epoch_ns(o_orderdate) // 1000 // (86400000000 * 30) AS m,
         |    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
         |      AS y_cents
@@ -4714,7 +4792,14 @@ object Analytics {
         |  SELECT c_nationkey,
         |    $pivots
         |  FROM monthly CROSS JOIN mx GROUP BY c_nationkey),
-        |$stageSql
+        |$stageSql""".stripMargin
+  }
+
+  private def holtOracleSql: String = {
+    val h = HoltMonths
+    val s24 = 1L << (2 * h)
+    val s23 = 1L << (2 * (h - 1))
+    s"""WITH $holtCoreSql
         |SELECT n_name,
         |  CAST(l$h // $s24 AS BIGINT) AS level_cents,
         |  CAST(b$h // $s24 AS BIGINT) AS trend_cents,
@@ -4724,6 +4809,38 @@ object Analytics {
         |  abs(y$h - CAST((l${h - 1} + b${h - 1}) // $s23 AS BIGINT))
         |    AS bt_abs_err_cents
         |FROM h$h JOIN nation ON n_nationkey = c_nationkey
+        |ORDER BY n_name""".stripMargin
+  }
+
+  /** The q_forecast_eval oracle: [[holtCoreSql]]'s chain, then the
+    * SAME [[forecastEvalExprs]] error chain (HUGEINT, `//`) in three
+    * MATERIALIZED stages (SES numerators are closed-form sums over
+    * the y pivot, errors reference only defined columns, sums fold
+    * the errors) and the identical MAE/MASE finish. */
+  private def forecastEvalOracleSql: String = {
+    val h = HoltMonths
+    val fe = forecastEvalExprs(s => s"CAST($s AS HUGEINT)", "//")
+    val (sns, rest) = fe.partition(_._1.startsWith("sn"))
+    val (sums, errs) = rest.partition(_._1.startsWith("se_"))
+    def stage(name: String, prev: String, cols: Seq[(String, String)]) =
+      s"$name AS MATERIALIZED (SELECT *, " +
+        cols.map { case (n, e) => s"$e AS $n" }.mkString(", ") + s" FROM $prev)"
+    val n = h - 1
+    s"""WITH $holtCoreSql,
+        |${stage("f1", s"h$h", sns)},
+        |${stage("f2", "f1", errs)},
+        |${stage("f3", "f2", sums)}
+        |SELECT n_name, CAST($n AS BIGINT) AS n_eval,
+        |  CAST(se_naive // $n AS BIGINT) AS mae_naive_cents,
+        |  CAST(se_ses // $n AS BIGINT) AS mae_ses_cents,
+        |  CAST(se_holt // $n AS BIGINT) AS mae_holt_cents,
+        |  CASE WHEN se_naive = 0 THEN CAST(-1 AS BIGINT)
+        |       ELSE CAST((se_ses * 1000000) // se_naive AS BIGINT) END
+        |    AS mase_ses_e6,
+        |  CASE WHEN se_naive = 0 THEN CAST(-1 AS BIGINT)
+        |       ELSE CAST((se_holt * 1000000) // se_naive AS BIGINT) END
+        |    AS mase_holt_e6
+        |FROM f3 JOIN nation ON n_nationkey = c_nationkey
         |ORDER BY n_name""".stripMargin
   }
 
@@ -6364,6 +6481,8 @@ object Analytics {
     // same monthly frame and the IDENTICAL division-free 4^t-scaled
     // Holt recursion chain (holtExprs emits one tree for both engines)
     "q_holt_forecast" -> holtOracleSql,
+    // same pivot + Holt chain + the IDENTICAL walk-forward error chain
+    "q_forecast_eval" -> forecastEvalOracleSql,
     // same (order, brand) baskets; directed pairs; HUGEINT ratios
     "q_assoc_rules" ->
       s"""WITH baskets AS (

@@ -1477,12 +1477,26 @@ object Curation {
     * Scale shape: ONE token scan → the (source × bucket) two-phase
     * census; everything after rides the ≤ sources·8192-row axis with
     * broadcast mix/totals. */
-  def klSources(spark: SparkSession, dir: String): DataFrame = {
-    val census = Tables.documents(spark, dir)
+  def klSources(spark: SparkSession, dir: String): DataFrame =
+    klFinish(spark, klCensus(
+      Tables.documents(spark, dir).select("source", "text")))
+
+  /** The (source, hashed-bucket) token census over any `(source,
+    * text)` frame — batch table or stream. Plain counts, ADDITIVE
+    * across micro-batches; state ∝ sources × [[DsirBuckets]], never
+    * the corpus. */
+  private[graft] def klCensus(docs: DataFrame): DataFrame =
+    docs
       .select(col("source"), explode(split(col("text"), " ")).as("tok"))
       .withColumn("b",
         expr("cast(conv(substr(md5(tok), 1, 8), 16, 10) as bigint)") % DsirBuckets)
       .groupBy("source", "b").agg(count(lit(1)).as("c"))
+
+  /** The dense-axis smoothing, per-bucket e9 floors, and exact-sum
+    * divergence finish over the converged census — shared by batch
+    * and stream. */
+  private[graft] def klFinish(spark: SparkSession, census0: DataFrame): DataFrame = {
+    val census = census0
       .localCheckpoint() // reused: mix rollup, totals, and the axis scan
     val mix = census.groupBy("b").agg(sum("c").as("ca"))
     val perSrc = census.groupBy("source").agg(sum("c").as("ns"))

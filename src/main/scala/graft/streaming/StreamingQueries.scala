@@ -681,6 +681,22 @@ object StreamingQueries {
         graft.operators.Similarity.embedDriftCensus(emb),
         Seq("dim"), "embed_drift", sinkId))
 
+  /** q_stream_kl — the data-mixing monitor AT INGEST: the (source,
+    * hashed-bucket) token census ([[graft.operators.Curation
+    * .klCensus]] — plain counts, ADDITIVE across micro-batches, state
+    * ∝ sources × 8192 buckets forever) upserts through the durable
+    * keyed [[TableSink]], and the dense-axis smoothing + divergence
+    * finish runs batch-side over the merged newest-wins view via the
+    * SHARED klFinish — "is today's crawl drifting the mix?" answers
+    * while documents land, not at the nightly rebalance; batch oracle
+    * verbatim. */
+  def streamKl(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.klFinish(spark,
+      TableSink.upsert(spark,
+        graft.operators.Curation.klCensus(
+          tableStream(spark, dir, "documents").select("source", "text")),
+        Seq("source", "b"), "kl", dir))
+
   /** q_stream_silhouette — the quantizer-health monitor AT INGEST:
     * the persisted IVF codebook loads once and broadcasts into the
     * stream (the reference's load-model-then-map contract, streaming/
@@ -1200,6 +1216,7 @@ object StreamingQueries {
     "q_stream_ols" -> stateful(streamOls),
     "q_stream_eb" -> stateful(streamEb),
     "q_stream_embed_drift" -> stateful(streamEmbedDrift),
+    "q_stream_kl" -> stateful(streamKl),
     "q_stream_silhouette" -> stateful(streamSilhouette),
     "q_stream_hll" -> stateful(streamHll))
 
@@ -1247,6 +1264,7 @@ object StreamingQueries {
     // and the per-part counters are additive across batches
     "q_stream_eb" -> graft.operators.Analytics.oracleSql("q_eb_shrink"),
     "q_stream_embed_drift" -> graft.operators.Similarity.oracleSql("q_embed_drift"),
+    "q_stream_kl" -> graft.operators.Curation.oracleSql("q_kl_sources"),
     "q_stream_silhouette" -> graft.operators.Similarity.oracleSql("q_silhouette"),
     // the batch transition-matrix oracle VERBATIM — transFinish is
     // shared, so the converged step counts must yield the batch matrix

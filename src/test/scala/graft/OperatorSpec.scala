@@ -4221,6 +4221,52 @@ class OperatorSpec extends SparkSpec {
     assert(got.exists(_._3 != 0L), "all trends zero; Holt test is vacuous")
   }
 
+  test("forecast_eval matches an exact walk-forward MAE/MASE recompute") {
+    val monthUs = 86400000000L * 30
+    val cust = graft.sources.Tables.customer(spark, sf)
+      .select("c_custkey", "c_nationkey").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val nat = graft.sources.Tables.nation(spark, sf)
+      .select("n_nationkey", "n_name").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val monthly = graft.sources.Tables.orders(spark, sf)
+      .select(col("o_custkey"),
+        expr("unix_micros(cast(o_orderdate as timestamp))").as("us"),
+        col("o_totalprice"))
+      .collect()
+      .map(r => ((cust(r.getLong(0)), r.getLong(1) / monthUs),
+        math.floor(r.getDouble(2) * 100 + 0.5).toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val m0 = monthly.keys.map(_._2).max - 23
+    val want = monthly.keys.map(_._1).toSeq.distinct.sorted.map { nk =>
+      val ys = (1 to 24).map(t => monthly.getOrElse((nk, m0 + t - 1), 0L))
+      // the three forecasters' exact integer states, walked forward
+      var (l, b) = (BigInt(ys.head) * 4, BigInt(0))
+      var sn = BigInt(ys.head) // 2^{t-1}·s_t numerator
+      var (seN, seS, seH) = (BigInt(0), BigInt(0), BigInt(0))
+      for (t <- 2 to 24) {
+        seN += (ys(t - 1) - ys(t - 2)).abs
+        seS += (BigInt(ys(t - 1)) - (sn / (BigInt(1) << (t - 2)))).abs
+        seH += (BigInt(ys(t - 1)) - ((l + b) / (BigInt(1) << (2 * (t - 1))))).abs
+        sn += BigInt(ys(t - 1)) << (t - 2)
+        val (lp, bp) = (l, b)
+        l = (BigInt(ys(t - 1)) << (2 * t - 1)) + 2 * lp + 2 * bp
+        b = (BigInt(ys(t - 1)) << (2 * t - 2)) - lp + 3 * bp
+      }
+      def mase(se: BigInt) =
+        if (seN == 0) -1L else ((se * 1000000) / seN).toLong
+      (nat(nk), 23L, (seN / 23).toLong, (seS / 23).toLong, (seH / 23).toLong,
+        mase(seS), mase(seH))
+    }.sortBy(_._1)
+    val got = run("q_forecast_eval").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq.sortBy(_._1)
+    assert(got == want)
+    // the eval is non-vacuous: some nation's models genuinely diverge
+    assert(got.exists(r => r._4 != r._5),
+      "SES and Holt identical everywhere; eval is vacuous")
+  }
+
   test("cusum_change matches a local walk and zeroes out at the horizon") {
     val dayUs = 86400000000L
     val ev = graft.sources.Tables.events(spark, sf)

@@ -537,6 +537,15 @@ class StreamingSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("streaming kl equals the batch mix-divergence report row for row") {
+    // shared hashed census + shared dense-axis finish: the converged
+    // count store must reproduce every entropy and KL value exactly
+    val batch = SparkEntry.queries("q_kl_sources")(spark, sf).collect().map(_.toSeq).toSet
+    val stream = SparkEntry.queries("q_stream_kl")(spark, sf).collect().map(_.toSeq).toSet
+    assert(stream.nonEmpty)
+    assert(stream == batch)
+  }
+
   test("streaming silhouette equals the batch audit row for row") {
     // one broadcast codebook, one census, one finish: the at-ingest
     // monitor and the batch audit cannot disagree

@@ -3492,9 +3492,16 @@ object Analytics {
   def forecastEval(spark: SparkSession, dir: String): DataFrame = {
     val nat = Tables.nation(spark, dir)
       .select(col("n_nationkey"), col("n_name"))
-    var row = holtPivot(spark, dir)
     val castDec = (s: String) => s"cast($s as decimal(38,0))"
-    for ((name, e) <- holtExprs(castDec) ++ forecastEvalExprs(castDec, "div"))
+    // localCheckpoint cuts the ~190-column integer chain into two
+    // whole-stage-codegen units: one giant unit costs Janino ~20 s of
+    // COMPILE time (constant, data-independent — but paid per plan);
+    // the split compiles in ~1 s and materializes only nations × 71
+    // integer columns
+    var row = holtPivot(spark, dir)
+    for ((name, e) <- holtExprs(castDec)) row = row.withColumn(name, expr(e))
+    row = row.localCheckpoint()
+    for ((name, e) <- forecastEvalExprs(castDec, "div"))
       row = row.withColumn(name, expr(e))
     val n = HoltMonths - 1
     row.join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))

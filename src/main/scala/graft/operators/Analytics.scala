@@ -3378,23 +3378,59 @@ object Analytics {
     * conditional sums) — the shared substrate of [[holtForecast]] and
     * [[forecastEval]]: one orders×customer hash join, ONE (nation,
     * month) two-phase agg, then a nations-row conditional-sum agg. */
-  private def holtPivot(spark: SparkSession, dir: String): DataFrame = {
+  /** The (nation, month) revenue census over any `orders`-shaped
+    * frame — batch table or stream. Plain integer-cent sums, ADDITIVE
+    * across micro-batches; the customer dim broadcasts (stream-static
+    * join, stateless). State ∝ nations × months, never the corpus. */
+  private[graft] def holtCensus(orders: DataFrame, cust: DataFrame): DataFrame = {
     val monthUs = 86400000000L * 30
-    val cust = Tables.customer(spark, dir)
-      .select(col("c_custkey"), col("c_nationkey"))
-    val monthly = Tables.orders(spark, dir)
+    orders
       .select(col("o_custkey"),
         expr(s"unix_micros(cast(o_orderdate as timestamp)) div $monthUs").as("m"),
         floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
-      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(cust.select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
       .groupBy("c_nationkey", "m").agg(sum("cents").as("y_cents"))
-    val mx = monthly.agg((max("m") - (HoltMonths - 1)).as("m0"))
-    monthly.crossJoin(broadcast(mx))
+  }
+
+  /** The y1..y24 trailing-window pivot over a converged census —
+    * shared by batch and stream. */
+  private[graft] def holtPivotOf(census: DataFrame): DataFrame = {
+    val mx = census.agg((max("m") - (HoltMonths - 1)).as("m0"))
+    census.crossJoin(broadcast(mx))
       .groupBy("c_nationkey")
       .agg(sum(when(col("m") === col("m0"), col("y_cents")).otherwise(0L)).as("y1"),
         (2 to HoltMonths).map(t =>
           sum(when(col("m") === col("m0") + (t - 1), col("y_cents"))
             .otherwise(0L)).as(s"y$t")): _*)
+  }
+
+  private def holtPivot(spark: SparkSession, dir: String): DataFrame =
+    holtPivotOf(holtCensus(Tables.orders(spark, dir),
+      Tables.customer(spark, dir)))
+
+  /** The unrolled-recursion finish over a converged census — shared
+    * by batch and stream (one oracle). */
+  private[graft] def holtFinish(spark: SparkSession, dir: String,
+      census: DataFrame): DataFrame = {
+    val nat = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"))
+    var row = holtPivotOf(census)
+    for ((name, e) <- holtExprs(s => s"cast($s as decimal(38,0))"))
+      row = row.withColumn(name, expr(e))
+    val h = HoltMonths
+    val s24 = 1L << (2 * h)       // 4^24
+    val s23 = 1L << (2 * (h - 1)) // 4^23
+    row.join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"),
+        expr(s"cast(l$h div $s24 as bigint)").as("level_cents"),
+        expr(s"cast(b$h div $s24 as bigint)").as("trend_cents"),
+        expr(s"cast((l$h + b$h) div $s24 as bigint)").as("forecast_cents"),
+        expr(s"cast((l${h - 1} + b${h - 1}) div $s23 as bigint)").as("bt_forecast_cents"),
+        col(s"y$h").as("y_last_cents"),
+        expr(s"abs(y$h - cast((l${h - 1} + b${h - 1}) div $s23 as bigint))")
+          .as("bt_abs_err_cents"))
+      .orderBy("n_name")
   }
 
   /** q_holt_forecast: Holt double-exponential smoothing (α = β = ½)
@@ -3419,26 +3455,9 @@ object Analytics {
     * nations-row conditional-sum agg and the 47-column recursion is
     * constant scalar work per nation — at 10¹² orders it is STILL 25
     * rows × 47 integer columns. */
-  def holtForecast(spark: SparkSession, dir: String): DataFrame = {
-    val nat = Tables.nation(spark, dir)
-      .select(col("n_nationkey"), col("n_name"))
-    var row = holtPivot(spark, dir)
-    for ((name, e) <- holtExprs(s => s"cast($s as decimal(38,0))"))
-      row = row.withColumn(name, expr(e))
-    val h = HoltMonths
-    val s24 = 1L << (2 * h)       // 4^24
-    val s23 = 1L << (2 * (h - 1)) // 4^23
-    row.join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
-      .select(col("n_name"),
-        expr(s"cast(l$h div $s24 as bigint)").as("level_cents"),
-        expr(s"cast(b$h div $s24 as bigint)").as("trend_cents"),
-        expr(s"cast((l$h + b$h) div $s24 as bigint)").as("forecast_cents"),
-        expr(s"cast((l${h - 1} + b${h - 1}) div $s23 as bigint)").as("bt_forecast_cents"),
-        col(s"y$h").as("y_last_cents"),
-        expr(s"abs(y$h - cast((l${h - 1} + b${h - 1}) div $s23 as bigint))")
-          .as("bt_abs_err_cents"))
-      .orderBy("n_name")
-  }
+  def holtForecast(spark: SparkSession, dir: String): DataFrame =
+    holtFinish(spark, dir, holtCensus(Tables.orders(spark, dir),
+      Tables.customer(spark, dir)))
 
   /** The walk-forward error chain for [[forecastEval]], emitted once
     * for both engines (`castInt` as in [[holtExprs]]; `divOp` is

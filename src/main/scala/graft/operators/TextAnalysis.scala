@@ -1438,7 +1438,49 @@ object TextAnalysis {
       .orderBy("bin")
   }
 
+  /** q_good_turing: per-language Good–Turing unseen-token mass and
+    * Chao1 vocabulary-richness estimate off the word-frequency
+    * spectrum — the "how much of this language's vocabulary has the
+    * crawl actually seen?" report (q_vocab_coverage cuts the census
+    * by observed min-frequency; this row estimates the UNOBSERVED
+    * remainder) that decides whether MORE data or
+    * BETTER data is the next token buy (large unseen mass = keep
+    * crawling; small = curate). P(unseen) = N₁/N (Good 1953: the
+    * singleton mass is the MLE of what the next token being novel),
+    * Chao1 = V + N₁(N₁−1)/(2(N₂+1)) (bias-corrected form — defined
+    * even when no doubletons exist), vocab_deficit = (Chao1 − V)/
+    * Chao1 — the estimated fraction of the language's vocabulary the
+    * corpus has never observed.
+    *
+    * Exactness: every statistic is exact integer counts and ONE
+    * truncating division each — no IEEE anywhere.
+    *
+    * Scale shape: one token scan → the (lang, token) two-phase census
+    * (shuffle ∝ distinct vocab, not tokens) → a per-lang agg over the
+    * frequency column; the spectrum reduction (N/V/N₁/N₂) is
+    * conditional counting inside ONE agg, never a second corpus
+    * pass. */
+  def goodTuring(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("lang").agg(
+        sum("c").as("n_tok"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("n2"))
+      .select(col("lang"), col("n_tok"), col("vocab"), col("n1"), col("n2"),
+        expr("cast((n1 * 1000000) div n_tok as bigint)").as("p_unseen_e6"),
+        expr("cast(vocab + (n1 * (n1 - 1)) div (2 * (n2 + 1)) as bigint)")
+          .as("chao1"),
+        expr("""cast(((vocab + (n1 * (n1 - 1)) div (2 * (n2 + 1)) - vocab)
+          | * 1000000) div (vocab + (n1 * (n1 - 1)) div (2 * (n2 + 1)))
+          | as bigint)""".stripMargin.replace('\n', ' '))
+          .as("vocab_deficit_e6"))
+      .orderBy("lang")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_good_turing" -> (goodTuring(_, _)),
     "q_nb_langid" -> (nbLangid(_, _)),
     "q_kappa" -> (kappaAgreement(_, _)),
     "q_calibration" -> (calibration(_, _)),
@@ -1562,6 +1604,26 @@ object TextAnalysis {
          |ORDER BY query_id, rank""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same (lang, token) census and integer spectrum reduction
+    "q_good_turing" ->
+      """WITH census AS (
+        |  SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  GROUP BY lang, tok),
+        |sp AS (
+        |  SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tok,
+        |    CAST(COUNT(*) AS BIGINT) AS vocab,
+        |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        |  FROM census GROUP BY lang)
+        |SELECT lang, n_tok, vocab, n1, n2,
+        |  CAST((n1 * 1000000) // n_tok AS BIGINT) AS p_unseen_e6,
+        |  CAST(vocab + (n1 * (n1 - 1)) // (2 * (n2 + 1)) AS BIGINT) AS chao1,
+        |  CAST(((vocab + (n1 * (n1 - 1)) // (2 * (n2 + 1)) - vocab) * 1000000)
+        |    // (vocab + (n1 * (n1 - 1)) // (2 * (n2 + 1))) AS BIGINT)
+        |    AS vocab_deficit_e6
+        |FROM sp ORDER BY lang""".stripMargin,
     // same token census, TOP (k+1) by (f desc, tok), per-point e6
     // ln floor, and the identical integer Hill ratio
     "q_hill_tail" ->

@@ -681,6 +681,23 @@ object StreamingQueries {
         graft.operators.Similarity.embedDriftCensus(emb),
         Seq("dim"), "embed_drift", sinkId))
 
+  /** q_stream_holt — the Holt forecaster AT INGEST: the (nation,
+    * month) revenue census ([[graft.operators.Analytics.holtCensus]]
+    * — integer-cent sums, ADDITIVE across micro-batches; the customer
+    * dim broadcasts stream-static, so the only state is the
+    * nations × months aggregation) upserts through the durable keyed
+    * [[TableSink]], and the unrolled 4ᵗ-scaled recursion finish runs
+    * batch-side over the merged view via the SHARED holtFinish — the
+    * revenue forecast updates as orders land, not at month close;
+    * batch oracle verbatim. */
+  def streamHolt(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Analytics.holtFinish(spark, dir,
+      TableSink.upsert(spark,
+        graft.operators.Analytics.holtCensus(
+          tableStream(spark, dir, "orders"),
+          graft.sources.Tables.customer(spark, dir)),
+        Seq("c_nationkey", "m"), "holt", dir))
+
   /** q_stream_kl — the data-mixing monitor AT INGEST: the (source,
     * hashed-bucket) token census ([[graft.operators.Curation
     * .klCensus]] — plain counts, ADDITIVE across micro-batches, state
@@ -1217,6 +1234,7 @@ object StreamingQueries {
     "q_stream_eb" -> stateful(streamEb),
     "q_stream_embed_drift" -> stateful(streamEmbedDrift),
     "q_stream_kl" -> stateful(streamKl),
+    "q_stream_holt" -> stateful(streamHolt),
     "q_stream_silhouette" -> stateful(streamSilhouette),
     "q_stream_hll" -> stateful(streamHll))
 
@@ -1265,6 +1283,7 @@ object StreamingQueries {
     "q_stream_eb" -> graft.operators.Analytics.oracleSql("q_eb_shrink"),
     "q_stream_embed_drift" -> graft.operators.Similarity.oracleSql("q_embed_drift"),
     "q_stream_kl" -> graft.operators.Curation.oracleSql("q_kl_sources"),
+    "q_stream_holt" -> graft.operators.Analytics.oracleSql("q_holt_forecast"),
     "q_stream_silhouette" -> graft.operators.Similarity.oracleSql("q_silhouette"),
     // the batch transition-matrix oracle VERBATIM — transFinish is
     // shared, so the converged step counts must yield the batch matrix

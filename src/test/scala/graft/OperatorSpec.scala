@@ -4221,6 +4221,31 @@ class OperatorSpec extends SparkSpec {
     assert(got.exists(_._3 != 0L), "all trends zero; Holt test is vacuous")
   }
 
+  test("good_turing matches a local spectrum recompute") {
+    val toks = graft.sources.Tables.documents(spark, sf)
+      .select("lang", "text").collect()
+      .flatMap(r => r.getString(1).split(" ", -1).map(t => (r.getString(0), t)))
+    val want = toks.groupBy(_._1).view.mapValues { ts =>
+      val freq = ts.map(_._2).groupBy(identity).view.mapValues(_.length.toLong)
+      val n = ts.length.toLong
+      val v = freq.size.toLong
+      val n1 = freq.count(_._2 == 1L).toLong
+      val n2 = freq.count(_._2 == 2L).toLong
+      val chao1 = v + (n1 * (n1 - 1)) / (2 * (n2 + 1))
+      (n, v, n1, n2, n1 * 1000000L / n, chao1,
+        (chao1 - v) * 1000000L / chao1)
+    }.toMap
+    val got = run("q_good_turing").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (l, w) => assert(got(l) == w, s"lang $l") }
+    // richness estimate never falls below the observed vocabulary (at
+    // this tiny SF the word pool repeats — zero singletons and
+    // chao1 = V is the CORRECT degenerate answer, also covered above)
+    assert(got.values.forall(t => t._6 >= t._2))
+  }
+
   test("forecast_eval matches an exact walk-forward MAE/MASE recompute") {
     val monthUs = 86400000000L * 30
     val cust = graft.sources.Tables.customer(spark, sf)

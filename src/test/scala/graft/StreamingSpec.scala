@@ -537,6 +537,15 @@ class StreamingSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("streaming holt equals the batch forecaster row for row") {
+    // shared additive census + shared unrolled-recursion finish: the
+    // converged month store must reproduce every level/trend/forecast
+    val batch = SparkEntry.queries("q_holt_forecast")(spark, sf).collect().map(_.toSeq).toSet
+    val stream = SparkEntry.queries("q_stream_holt")(spark, sf).collect().map(_.toSeq).toSet
+    assert(stream.nonEmpty)
+    assert(stream == batch)
+  }
+
   test("streaming kl equals the batch mix-divergence report row for row") {
     // shared hashed census + shared dense-axis finish: the converged
     // count store must reproduce every entropy and KL value exactly

@@ -57,6 +57,30 @@ class PlanSpec extends SparkSpec {
       "ivfpq shuffles the corpus for the probe join")
   }
 
+  test("forecasting and divergence operators keep their broadcast shapes") {
+    // kl_sources: the dense axis joins census/mix/totals WITHOUT ever
+    // shuffling — everything after the one census agg is broadcast
+    val kl = plan("q_kl_sources")
+    assert("BroadcastHashJoin".r.findAllIn(kl).length >= 1
+      && !kl.contains("SortMergeJoin"),
+      "kl_sources shuffles its bounded axis")
+    // holt/forecast_eval: the customer dim and the month-window bound
+    // broadcast; the ONLY corpus shuffle is the (nation, month) agg
+    for (q <- Seq("q_holt_forecast", "q_forecast_eval")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q lost its dim broadcast")
+      assert(!p.contains("SortMergeJoin"), s"$q shuffles a join side")
+    }
+    // silhouette: map-only against the literal codebook — no join at all
+    val sil = plan("q_silhouette")
+    assert(!sil.contains("Join"), "silhouette joins instead of mapping")
+    // good_turing: census + spectrum are two two-phase aggs, no joins
+    val gt = plan("q_good_turing")
+    assert("HashAggregate".r.findAllIn(gt).length >= 4
+      && !gt.contains("Join"),
+      "good_turing lost its two-phase census shape")
+  }
+
   test("top orders broadcasts the dim and avoids a global sort") {
     val p = plan("q_top_orders")
     assert(p.contains("BroadcastHashJoin"), "customer dim must broadcast")

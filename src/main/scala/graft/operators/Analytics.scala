@@ -2398,6 +2398,54 @@ object Analytics {
       .orderBy("l_partkey", "version")
   }
 
+  /** q_cdc_merge: apply a change-data-capture log to a snapshot — the
+    * lakehouse MERGE INTO (Debezium consumer) contract: base =
+    * customer profiles, log = the event stream as CDC rows (key =
+    * user_id shifted so the log STRADDLES the snapshot boundary —
+    * offset = max(custkey) − max(user_id)/2, scale-free: the lower
+    * half of the log keys exercise UPDATE/DELETE, the upper half
+    * INSERT and tombstone-no-op; seq = event_id — the log's total
+    * order, op = DELETE for 'error' rows else UPSERT carrying the
+    * full new value). LAST-WRITER-WINS per key by seq: the key's
+    * final op decides existence, its value the new row; untouched
+    * base rows pass through; a DELETE of a never-present key is a
+    * no-op tombstone. Output is the merged table itself (src =
+    * base/insert/update), the artifact every downstream query reads —
+    * [[scd2]] keeps the history, this builds the CURRENT view.
+    *
+    * Scale shape: the last-op-per-key reduction is max_by — a real
+    * AGGREGATE (map-side partials, shuffle ∝ distinct keys), never a
+    * per-key window sort over the log; the merge itself is one
+    * full-outer hash join on the key. At 10¹² log rows the shuffle
+    * carries one row per touched key. */
+  def cdcMerge(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("user_id"),
+        floor(col("c_acctbal") * 100 + 0.5).cast("long").as("base_cents"))
+    val ofs = base.agg(max("user_id").as("mxc"))
+      .crossJoin(Tables.events(spark, dir).agg(max("user_id").as("mxu")))
+      .select(expr("mxc - mxu div 2").as("o"))
+    val last = Tables.events(spark, dir)
+      .crossJoin(broadcast(ofs))
+      .select((col("user_id") + col("o")).as("user_id"),
+        col("event_id").as("seq"),
+        when(col("event_type") === "error", lit("delete"))
+          .otherwise(lit("upsert")).as("op"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy("user_id")
+      .agg(max_by(col("op"), col("seq")).as("op"),
+        max_by(col("cents"), col("seq")).as("cents"))
+    base.join(last, Seq("user_id"), "full_outer")
+      .filter(col("op").isNull || col("op") === "upsert")
+      .select(col("user_id"),
+        when(col("op").isNull, "base")
+          .when(col("base_cents").isNull, "insert")
+          .otherwise("update").as("src"),
+        when(col("op").isNull, col("base_cents"))
+          .otherwise(col("cents")).as("value_cents"))
+      .orderBy("user_id")
+  }
+
   /** q_period_growth: week-over-week revenue growth per brand — the
     * reporting staple behind every trend dashboard: revenue per
     * (brand, epoch-week), WoW delta in e6 (lag over the brand's
@@ -4551,6 +4599,7 @@ object Analytics {
     "q_window_funnel" -> (windowFunnel(_, _)),
     "q_order_latency" -> (orderLatency(_, _)),
     "q_scd2" -> (scd2(_, _)),
+    "q_cdc_merge" -> (cdcMerge(_, _)),
     "q_stickiness" -> (stickiness(_, _)),
     "q_price_volatility" -> (priceVolatility(_, _)),
     "q_theil_sen" -> (theilSen(_, _)),
@@ -6128,6 +6177,30 @@ object Analytics {
         |FROM cum GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
     // same lag→flag→cumsum versioning; lead closes each range
+    // same key offset, arg_max last-writer-wins, full-outer merge
+    "q_cdc_merge" ->
+      s"""WITH base AS (
+         |  SELECT c_custkey AS user_id,
+         |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS base_cents
+         |  FROM customer),
+         |ofs AS (
+         |  SELECT (SELECT MAX(c_custkey) FROM customer)
+         |    - (SELECT MAX(user_id) FROM events) // 2 AS o),
+         |last AS (
+         |  SELECT user_id + o AS user_id,
+         |    arg_max(CASE WHEN event_type = 'error' THEN 'delete'
+         |                 ELSE 'upsert' END, event_id) AS op,
+         |    arg_max(CAST(floor(value * 100 + 0.5) AS BIGINT), event_id) AS cents
+         |  FROM events CROSS JOIN ofs GROUP BY 1)
+         |SELECT COALESCE(b.user_id, l.user_id) AS user_id,
+         |  CASE WHEN l.op IS NULL THEN 'base'
+         |       WHEN b.base_cents IS NULL THEN 'insert'
+         |       ELSE 'update' END AS src,
+         |  CASE WHEN l.op IS NULL THEN b.base_cents ELSE l.cents END
+         |    AS value_cents
+         |FROM base b FULL OUTER JOIN last l ON b.user_id = l.user_id
+         |WHERE l.op IS NULL OR l.op = 'upsert'
+         |ORDER BY user_id""".stripMargin,
     "q_scd2" ->
       """WITH daily AS (
         |  SELECT l_partkey, epoch_ns(l_shipdate) // 86400000000000 AS day,

@@ -4221,6 +4221,36 @@ class OperatorSpec extends SparkSpec {
     assert(got.exists(_._3 != 0L), "all trends zero; Holt test is vacuous")
   }
 
+  test("cdc_merge applies last-writer-wins and exercises all four outcomes") {
+    val base = graft.sources.Tables.customer(spark, sf)
+      .select("c_custkey", "c_acctbal").collect()
+      .map(r => r.getLong(0) ->
+        math.floor(r.getDouble(1) * 100 + 0.5).toLong).toMap
+    val raw = graft.sources.Tables.events(spark, sf)
+      .select("user_id", "event_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        math.floor(r.getDouble(3) * 100 + 0.5).toLong))
+    val off = base.keys.max - raw.map(_._1).max / 2
+    val log = raw.map(t => (t._1 + off, t._2, t._3, t._4))
+    val lastOp = log.groupBy(_._1).view.mapValues(_.maxBy(_._2)).toMap
+    val want = (base.keySet ++ lastOp.keySet).toSeq.sorted.flatMap { k =>
+      lastOp.get(k) match {
+        case None => Some((k, "base", base(k)))
+        case Some((_, _, "error", _)) => None // delete (or tombstone no-op)
+        case Some((_, _, _, c)) =>
+          Some((k, if (base.contains(k)) "update" else "insert", c))
+      }
+    }
+    val got = run("q_cdc_merge").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == want)
+    // the log genuinely exercises every merge outcome
+    val srcs = got.map(_._2).toSet
+    assert(srcs == Set("base", "insert", "update"))
+    assert(lastOp.exists { case (k, v) => v._3 == "error" && base.contains(k) },
+      "no in-base delete; merge test is vacuous on deletes")
+  }
+
   test("good_turing matches a local spectrum recompute") {
     val toks = graft.sources.Tables.documents(spark, sf)
       .select("lang", "text").collect()

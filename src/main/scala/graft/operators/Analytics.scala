@@ -2419,13 +2419,32 @@ object Analytics {
     * full-outer hash join on the key. At 10¹² log rows the shuffle
     * carries one row per touched key. */
   def cdcMerge(spark: SparkSession, dir: String): DataFrame = {
+    val (base, ofs) = cdcBase(spark, dir)
+    cdcApply(base,
+      cdcLastOp(Tables.events(spark, dir), ofs))
+  }
+
+  /** The snapshot side of [[cdcMerge]] plus the scale-free key offset
+    * (see there) — shared by batch and stream. */
+  private[graft] def cdcBase(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val base = Tables.customer(spark, dir)
       .select(col("c_custkey").as("user_id"),
         floor(col("c_acctbal") * 100 + 0.5).cast("long").as("base_cents"))
     val ofs = base.agg(max("user_id").as("mxc"))
       .crossJoin(Tables.events(spark, dir).agg(max("user_id").as("mxu")))
       .select(expr("mxc - mxu div 2").as("o"))
-    val last = Tables.events(spark, dir)
+    (base, ofs)
+  }
+
+  /** The last-op-per-key reduction over any `events`-shaped frame —
+    * batch table or stream. max_by over the seq total order is a real
+    * aggregate: map-side partials in batch, ≤touched-keys rows of
+    * Update-mode state in a stream — and because the per-key maximum
+    * is associative/commutative, the reduction is exactly MERGEABLE
+    * across micro-batches (the keyed sink converges to the batch
+    * answer however the log is split). */
+  private[graft] def cdcLastOp(events: DataFrame, ofs: DataFrame): DataFrame =
+    events
       .crossJoin(broadcast(ofs))
       .select((col("user_id") + col("o")).as("user_id"),
         col("event_id").as("seq"),
@@ -2435,6 +2454,10 @@ object Analytics {
       .groupBy("user_id")
       .agg(max_by(col("op"), col("seq")).as("op"),
         max_by(col("cents"), col("seq")).as("cents"))
+
+  /** The merge itself over a converged last-op view — one full-outer
+    * hash join, shared by batch and stream (one oracle). */
+  private[graft] def cdcApply(base: DataFrame, last: DataFrame): DataFrame =
     base.join(last, Seq("user_id"), "full_outer")
       .filter(col("op").isNull || col("op") === "upsert")
       .select(col("user_id"),
@@ -2444,7 +2467,6 @@ object Analytics {
         when(col("op").isNull, col("base_cents"))
           .otherwise(col("cents")).as("value_cents"))
       .orderBy("user_id")
-  }
 
   /** q_period_growth: week-over-week revenue growth per brand — the
     * reporting staple behind every trend dashboard: revenue per

@@ -681,6 +681,24 @@ object StreamingQueries {
         graft.operators.Similarity.embedDriftCensus(emb),
         Seq("dim"), "embed_drift", sinkId))
 
+  /** q_stream_cdc — the CDC consumer AT INGEST: the event stream IS
+    * the change log, and the last-op-per-key reduction
+    * ([[graft.operators.Analytics.cdcLastOp]] — max_by over the seq
+    * total order, associative/commutative, so the Update-mode state
+    * is MERGEABLE across micro-batches and sized by touched keys)
+    * upserts through the durable keyed [[TableSink]]; the full-outer
+    * merge onto the snapshot runs batch-side over the converged view
+    * via the SHARED cdcApply — this is literally the production
+    * Debezium-consumer shape: the log lands continuously, the merged
+    * CURRENT table is read on demand; batch oracle verbatim. */
+  def streamCdc(spark: SparkSession, dir: String): DataFrame = {
+    val (base, ofs) = graft.operators.Analytics.cdcBase(spark, dir)
+    graft.operators.Analytics.cdcApply(base,
+      TableSink.upsert(spark,
+        graft.operators.Analytics.cdcLastOp(eventsStream(spark, dir), ofs),
+        Seq("user_id"), "cdc", dir))
+  }
+
   /** q_stream_holt — the Holt forecaster AT INGEST: the (nation,
     * month) revenue census ([[graft.operators.Analytics.holtCensus]]
     * — integer-cent sums, ADDITIVE across micro-batches; the customer
@@ -1235,6 +1253,7 @@ object StreamingQueries {
     "q_stream_embed_drift" -> stateful(streamEmbedDrift),
     "q_stream_kl" -> stateful(streamKl),
     "q_stream_holt" -> stateful(streamHolt),
+    "q_stream_cdc" -> stateful(streamCdc),
     "q_stream_silhouette" -> stateful(streamSilhouette),
     "q_stream_hll" -> stateful(streamHll))
 
@@ -1284,6 +1303,7 @@ object StreamingQueries {
     "q_stream_embed_drift" -> graft.operators.Similarity.oracleSql("q_embed_drift"),
     "q_stream_kl" -> graft.operators.Curation.oracleSql("q_kl_sources"),
     "q_stream_holt" -> graft.operators.Analytics.oracleSql("q_holt_forecast"),
+    "q_stream_cdc" -> graft.operators.Analytics.oracleSql("q_cdc_merge"),
     "q_stream_silhouette" -> graft.operators.Similarity.oracleSql("q_silhouette"),
     // the batch transition-matrix oracle VERBATIM — transFinish is
     // shared, so the converged step counts must yield the batch matrix

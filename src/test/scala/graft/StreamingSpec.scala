@@ -537,6 +537,15 @@ class StreamingSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("streaming cdc merge equals the batch merge row for row") {
+    // mergeable max_by state + shared full-outer apply: the converged
+    // last-op store must reproduce every src/value of the batch merge
+    val batch = SparkEntry.queries("q_cdc_merge")(spark, sf).collect().map(_.toSeq).toSet
+    val stream = SparkEntry.queries("q_stream_cdc")(spark, sf).collect().map(_.toSeq).toSet
+    assert(stream.nonEmpty)
+    assert(stream == batch)
+  }
+
   test("streaming holt equals the batch forecaster row for row") {
     // shared additive census + shared unrolled-recursion finish: the
     // converged month store must reproduce every level/trend/forecast

@@ -3162,6 +3162,124 @@ object Analytics {
       .orderBy("p_type")
   }
 
+  /** Bloom geometry for [[bloomJoin]] — the q_bloom_decontam
+    * conventions (m = 2¹⁶ bits, j = 3 disjoint 8-hex md5 windows) so
+    * the oracle can re-derive the exact position set. */
+  private[graft] val BjBits = 1 << 16
+  private[graft] val BjHashes = 3
+  private[graft] val BjSegment = "BUILDING"
+  private def bjPositions(key: Column): Seq[Column] =
+    (0 until BjHashes).map { i =>
+      conv(substring(md5(concat(lit("bj"), key.cast("string"))),
+        i * 8 + 1, 8), 16, 10).cast("long") % BjBits
+    }
+
+  /** q_bloom_join: the runtime-filter semi-join audit — build a Bloom
+    * bitset over one market segment's customer keys, probe every
+    * order's o_custkey against it BEFORE any join, and report the
+    * measured reduction: rows the filter admits, exact semi-join
+    * truth, false positives among true negatives, and the shuffle
+    * fraction the filter saved. This is the dimension-to-fact runtime
+    * filtering that decides 100 TB join cost (Spark's own
+    * InjectRuntimeFilter / bloom_filter_agg does exactly this
+    * invisibly): a fact row that fails the filter never enters the
+    * join shuffle, so the shuffle shrinks from |fact| to
+    * |semi-join| · (1 + fp). The row makes the technique and its
+    * accuracy MEASURED rather than assumed.
+    *
+    * Semantics are one-sided by construction (no false negatives:
+    * n_kept ≥ n_exact always), so composing it before an inner join
+    * is lossless. Bitset build is distributed (j (word, mask) pairs →
+    * map-side partial bit_or → ≤ m/64 longs collected, the
+    * q_bloom_decontam bounded-collect convention); the probe is a
+    * map-only codegen'd pass over orders — the fact table never
+    * shuffles to learn its fate.
+    *
+    * Fully value-oracled: DuckDB rebuilds the identical j-position
+    * sets, and "all j bits set" equals "all j positions present" (the
+    * set-bit set IS the position set). */
+  def bloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    val keys = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === BjSegment)
+      .select(col("c_custkey").as("k"))
+    val posArr = array(bjPositions(col("k")): _*)
+    val packed = keys.select(explode(posArr).as("pos"))
+      .select(shiftright(col("pos"), 6).as("w"),
+        call_function("shiftleft", lit(1L), (col("pos") % 64).cast("int")).as("m"))
+      .groupBy("w").agg(expr("bit_or(m)").as("bits"))
+      .collect()
+    val words = new Array[Long](BjBits / 64)
+    packed.foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
+    val bits = typedlit(words.toSeq)
+    val hit = bjPositions(col("o_custkey")).map { p =>
+      call_function("shiftright",
+        element_at(bits, shiftright(p, 6).cast("int") + 1),
+        (p % 64).cast("int")).bitwiseAND(lit(1L)) === lit(1L)
+    }.reduce(_ && _)
+    val probed = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .withColumn("kept", hit)
+      .join(broadcast(keys.withColumn("is_exact", lit(1L))),
+        col("o_custkey") === col("k"), "left")
+      .na.fill(0L, Seq("is_exact"))
+    probed.agg(
+        count(lit(1)).as("n_probe"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum("is_exact").as("n_exact"),
+        sum(when(col("kept") && col("is_exact") === 0L, 1L).otherwise(0L))
+          .as("false_pos"))
+      .crossJoin(broadcast(keys.agg(count(lit(1)).as("build_keys"))))
+      .select(col("build_keys"), col("n_probe"), col("n_kept"),
+        col("n_exact"), col("false_pos"),
+        // -1 sentinel when there are no true negatives to rate
+        // (the q_growth_accounting zero-denominator convention)
+        expr("if(n_probe = n_exact, -1L, (false_pos * 1000000) div (n_probe - n_exact))")
+          .as("fp_e6"),
+        expr("((n_probe - n_kept) * 1000000) div n_probe")
+          .as("shuffle_saved_e6"))
+  }
+
+  /** q_skyline: the Pareto frontier of the part catalog — every part
+    * not dominated on (retail price ↓, size ↑): no other part is both
+    * no-more-expensive AND no-smaller with at least one strict. The
+    * classic skyline operator (Börzsönyi et al., ICDE'01) — "show me
+    * the parts where paying more is the only way to get bigger" — that
+    * no relational builtin expresses directly.
+    *
+    * Algorithm (the sort-free two-phase census form): collapse to the
+    * per-price max-size census (shuffle ∝ distinct price points, a
+    * cents-quantized catalog alphabet, NOT ∝ parts), then one running
+    * max over the ascending price axis: a price point survives iff its
+    * max size strictly exceeds every strictly-cheaper point's max
+    * size; a part sits on the frontier iff its (price, size) equals a
+    * surviving point (ties at a frontier point don't dominate each
+    * other — no strict coordinate — so all tied parts are emitted).
+    * The price-axis window is one of the bounded-axis global windows
+    * (the q_part_catalog histogram convention): its input is the
+    * price-point census, never the part table.
+    *
+    * Scale shape: one dim scan → (price, size)-census agg → bounded
+    * axis window → hash-join back to parts on (price, size). At fact
+    * scale the same shape holds: the census IS the reduction. */
+  def skyline(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_brand"),
+        floor(col("p_retailprice") * 100 + 0.5).cast("long").as("price_cents"),
+        col("p_size").cast("long").as("p_size"))
+    val perPrice = pts.groupBy("price_cents")
+      .agg(max("p_size").as("smax"))
+    val frontier = perPrice
+      .withColumn("before_max", max("smax").over(
+        Window.orderBy("price_cents")
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .filter(col("before_max").isNull || col("smax") > col("before_max"))
+      .select(col("price_cents"), col("smax").as("p_size"))
+    pts.join(broadcast(frontier), Seq("price_cents", "p_size"))
+      .select(col("p_partkey"), col("p_brand"), col("price_cents"),
+        col("p_size"))
+      .orderBy("price_cents", "p_partkey")
+  }
+
   /** q_supplier_balance: supplier credit posture per nation — count,
     * debtors (negative balance), exact truncating mean of s_acctbal
     * cents, and the richest supplier's name (argmax pinned by
@@ -4601,6 +4719,8 @@ object Analytics {
     "q_gap_fill" -> (gapFill(_, _)),
     "q_cohort_ltv" -> (cohortLtv(_, _)),
     "q_part_catalog" -> (partCatalog(_, _)),
+    "q_skyline" -> (skyline(_, _)),
+    "q_bloom_join" -> (bloomJoin(_, _)),
     "q_supplier_balance" -> (supplierBalance(_, _)),
     "q_region_trade" -> (regionTrade(_, _)),
     "q_acctbal_profile" -> (acctbalProfile(_, _)),
@@ -5735,6 +5855,56 @@ object Analytics {
         |  CAST(CAST(SUM(cents) AS HUGEINT) // MAX(n) AS BIGINT)
         |    AS mean_retail_cents
         |FROM cum GROUP BY p_type ORDER BY p_type""".stripMargin,
+    // same salted md5 position windows; "all j bits set" == "all j
+    // positions present in the build position set"
+    "q_bloom_join" ->
+      s"""WITH keys AS (
+         |  SELECT c_custkey AS k FROM customer
+         |  WHERE c_mktsegment = '$BjSegment'),
+         |pos AS (
+         |  SELECT DISTINCT p FROM keys, unnest([${(0 until BjHashes).map(i =>
+              s"CAST(concat('0x', substr(md5('bj' || CAST(k AS VARCHAR)), ${i * 8 + 1}, 8)) AS BIGINT) % $BjBits").mkString(", ")}]) AS t(p)),
+         |probe AS (
+         |  SELECT o.o_orderkey, o.o_custkey,
+         |    ${(0 until BjHashes).map(i =>
+              s"(CAST(concat('0x', substr(md5('bj' || CAST(o.o_custkey AS VARCHAR)), ${i * 8 + 1}, 8)) AS BIGINT) % $BjBits) IN (SELECT p FROM pos)").mkString("\n         |    AND ")} AS kept,
+         |    CASE WHEN o.o_custkey IN (SELECT k FROM keys)
+         |         THEN 1 ELSE 0 END AS is_exact
+         |  FROM orders o)
+         |SELECT
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM keys) AS build_keys,
+         |  CAST(COUNT(*) AS BIGINT) AS n_probe,
+         |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(SUM(is_exact) AS BIGINT) AS n_exact,
+         |  CAST(SUM(CASE WHEN kept AND is_exact = 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS false_pos,
+         |  CAST(CASE WHEN COUNT(*) = SUM(is_exact) THEN -1
+         |       ELSE (SUM(CASE WHEN kept AND is_exact = 0 THEN 1 ELSE 0 END)
+         |             * 1000000) // (COUNT(*) - SUM(is_exact)) END
+         |    AS BIGINT) AS fp_e6,
+         |  CAST(((COUNT(*) - SUM(CASE WHEN kept THEN 1 ELSE 0 END)) * 1000000)
+         |    // COUNT(*) AS BIGINT) AS shuffle_saved_e6
+         |FROM probe""".stripMargin,
+    // same per-price max-size census, running price-axis max, and
+    // (price, size) frontier join-back
+    "q_skyline" ->
+      """WITH pts AS (
+        |  SELECT p_partkey, p_brand,
+        |    CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents,
+        |    CAST(p_size AS BIGINT) AS p_size
+        |  FROM part),
+        |pp AS (SELECT price_cents, MAX(p_size) AS smax
+        |       FROM pts GROUP BY price_cents),
+        |run AS (
+        |  SELECT price_cents, smax,
+        |    MAX(smax) OVER (ORDER BY price_cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS before_max
+        |  FROM pp),
+        |sky AS (SELECT price_cents, smax AS p_size FROM run
+        |        WHERE before_max IS NULL OR smax > before_max)
+        |SELECT p.p_partkey, p.p_brand, p.price_cents, p.p_size
+        |FROM pts p JOIN sky s USING (price_cents, p_size)
+        |ORDER BY p.price_cents, p.p_partkey""".stripMargin,
     // same nation agg + pinned richest-supplier argmax
     "q_supplier_balance" ->
       """WITH sup AS (

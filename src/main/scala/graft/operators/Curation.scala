@@ -480,6 +480,132 @@ object Curation {
       .orderBy("src_a", "src_b")
   }
 
+  /** KMV sketch size for [[kmvSetops]]: 256 minima give a relative
+    * standard error of ~1/√(K−2) ≈ 6 % on distinct counts — the
+    * published KMV/theta-sketch operating point (Beyer et al.,
+    * SIGMOD'07). */
+  private[graft] val KmvK = 256
+
+  /** Hash domain for [[kmvSetops]]: 13 md5 hex chars = 52 uniform
+    * bits, the widest window whose (K−1)·2⁵² order-statistic product
+    * still fits a BIGINT in both engines (255 · 2⁵² ≈ 1.15e18 < 2⁶³). */
+  private[graft] val KmvMaxH: Long = 1L << 52
+
+  /** q_kmv_setops: the sketch-path source-overlap matrix — per-source
+    * KMV (bottom-K minimum-hash) distinct sketches over the token
+    * vocabulary, pairwise union/intersection/Jaccard ESTIMATES from
+    * the merged sketches, side-by-side with the exact answers as an
+    * accuracy audit. q_source_overlap is the exact matrix (one
+    * vocabulary self-join per run); this row is how the same decision
+    * is planned at 100 TB: each source's sketch is K longs, sketches
+    * are mergeable (union = k smallest of the concatenation, the theta
+    * NoMoreHashTricks estimator), so the full N-source overlap matrix
+    * costs one corpus scan ever and the pairwise stage runs on
+    * N·K longs — no second pass, no vocabulary self-join.
+    *
+    * Estimators (Beyer et al. SIGMOD'07 / Dasgupta et al. theta
+    * sketches): with U the K smallest distinct hashes of A∪B and kmax
+    * = max(U): |A∪B| ≈ (K−1)·2⁵²/kmax (exact when the union sketch
+    * never filled), J(A,B) ≈ |{h∈U : h∈sk(A) ∧ h∈sk(B)}| / |U|,
+    * |A∩B| = J·|A∪B|. All integer: hashes are md5 windows identical in
+    * both engines, divisions are single truncating `div`s, the one
+    * cross-scale product runs in decimal(38,0) (q_source_overlap's
+    * overflow convention).
+    *
+    * Scale shape: ONE token scan → distinct (source, h) census
+    * (shuffle ∝ vocabulary) → per-source K-minima via the O(K)-state
+    * capped_sorted_ids TypedImperativeAggregate (map-side partials; no
+    * per-source sort). Everything downstream of the census runs on
+    * #sources·K rows — broadcast-sized at any corpus scale. The exact
+    * audit columns (the point of the row: MEASURED sketch error) reuse
+    * the census for one hash-equi self-join, the q_source_overlap
+    * bound: fan-out per hash ≤ #sources, a catalog constant. */
+  /** Per-source 52-bit token hashes — duplicates allowed (the sketch
+    * aggregate is duplicate-insensitive); shared with the streaming
+    * variant so batch and stream hash identically. */
+  private[graft] def kmvTokenHashes(docs: DataFrame): DataFrame =
+    docs.select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("source"),
+        expr("cast(conv(substr(md5(tok), 1, 13), 16, 10) as bigint)").as("h"))
+
+  /** Per-source KMV sketch as exploded (source, h) rows — ONE
+    * aggregation pass, O(K) state per source via the
+    * duplicate-insensitive capped_distinct_mins. */
+  private[graft] def kmvSketch(hashes: DataFrame): DataFrame =
+    hashes.groupBy("source")
+      .agg(graft.functions.CappedDistinctMins
+        .cappedDistinctMins(col("h"), KmvK).as("kmv"))
+      .select(col("source"), explode(col("kmv")).as("h")) // ≤ #sources·K rows
+
+  /** Pairwise set-operation ESTIMATES from exploded sketch rows —
+    * everything here runs on #sources·K longs, broadcast-sized at any
+    * corpus scale. Shared finish for q_kmv_setops and q_stream_kmv. */
+  private[graft] def kmvEstimates(sketch: DataFrame): DataFrame = {
+    val names = sketch.select("source").distinct()
+    val axis = names.as("x").join(names.as("y"),
+        col("x.source") < col("y.source"))
+      .select(col("x.source").as("src_a"), col("y.source").as("src_b"))
+    // union-of-sketches candidates with membership flags, deduped per
+    // pair on h (two equi-joins against the tiny sketch table)
+    val cand = axis.join(sketch, col("source") === col("src_a"))
+      .select(col("src_a"), col("src_b"), col("h"),
+        lit(1L).as("in_a"), lit(0L).as("in_b"))
+      .union(axis.join(sketch, col("source") === col("src_b"))
+        .select(col("src_a"), col("src_b"), col("h"),
+          lit(0L).as("in_a"), lit(1L).as("in_b")))
+      .groupBy("src_a", "src_b", "h")
+      .agg(max("in_a").as("in_a"), max("in_b").as("in_b"))
+    // K smallest of each pair's union — frames are ≤ 2K rows by
+    // construction, so the window is bounded regardless of corpus size
+    val w = Window.partitionBy("src_a", "src_b").orderBy("h")
+    cand
+      .withColumn("r", row_number().over(w))
+      .withColumn("n_cand", count(lit(1)).over(
+        Window.partitionBy("src_a", "src_b")))
+      .filter(col("r") <= KmvK)
+      .groupBy("src_a", "src_b")
+      .agg(max("n_cand").as("n_cand"), count(lit(1)).as("k_used"),
+        max("h").as("kmax"), sum(col("in_a") * col("in_b")).as("inter_in_k"))
+      .select(col("src_a"), col("src_b"), col("k_used"),
+        // union sketch never filled ⇒ it IS the exact union of two
+        // exact sketches; otherwise the (K−1)/U_(K) order statistic
+        when(col("n_cand") < KmvK, col("n_cand"))
+          .otherwise(expr(s"(($KmvK - 1) * cast($KmvMaxH as bigint)) div kmax"))
+          .as("union_est"),
+        expr("(inter_in_k * 1000000) div k_used").as("jaccard_est_e6"))
+      .withColumn("inter_est", expr(
+        "cast((CAST(jaccard_est_e6 AS DECIMAL(38,0)) * union_est) div 1000000 as bigint)"))
+  }
+
+  def kmvSetops(spark: SparkSession, dir: String): DataFrame = {
+    // distinct (source, hash): dedup on the HASH (not the token) —
+    // the exact-audit side needs true set sizes, and the sketch side
+    // is indifferent (duplicate-insensitive aggregate).
+    val census = kmvTokenHashes(Tables.documents(spark, dir))
+      .distinct()
+      .localCheckpoint() // three readers: sizes, sketches, exact audit
+    val sizes = census.groupBy("source").agg(count(lit(1)).as("n"))
+    val est = kmvEstimates(kmvSketch(census))
+    val exact = census.as("a").join(census.as("b"), Seq("h"))
+      .filter(col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("inter_exact"))
+    est.join(exact, Seq("src_a", "src_b"), "left")
+      .na.fill(0L, Seq("inter_exact"))
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("n_a"))), "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("n_b"))), "src_b")
+      .withColumn("union_exact", col("n_a") + col("n_b") - col("inter_exact"))
+      .withColumn("jaccard_exact_e6", expr(
+        "(CAST(inter_exact AS DECIMAL(38,0)) * 1000000) div union_exact"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("k_used"), col("union_est"), col("jaccard_est_e6"),
+        col("inter_est"),
+        col("union_exact"), col("jaccard_exact_e6").cast("long").as("jaccard_exact_e6"),
+        col("inter_exact"),
+        abs(col("jaccard_est_e6") - col("jaccard_exact_e6")).cast("long").as("jac_err_e6"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** floor(ln 2 · 10⁶ + 0.5), precomputed and inlined into both
     * engines (the Benford-constants convention). */
   private[graft] val Ln2E6: Long =
@@ -1552,6 +1678,7 @@ object Curation {
     "q_dataset_card" -> (datasetCard(_, _)),
     "q_export_shards" -> (exportShards(_, _)),
     "q_source_overlap" -> (sourceOverlap(_, _)),
+    "q_kmv_setops" -> (kmvSetops(_, _)),
     "q_dsir_weights" -> (dsirWeights(_, _)),
     "q_bloom_decontam" -> (bloomDecontam(_, _)),
     "q_decontaminate" -> (decontaminate(_, _)),
@@ -2187,6 +2314,75 @@ object Curation {
          |JOIN sizes sa ON sa.source = src_a
          |JOIN sizes sb ON sb.source = src_b
          |ORDER BY src_a, src_b""".stripMargin,
+    // same 52-bit md5 token hashes, bottom-K per source via
+    // row_number (the window equivalent of capped_sorted_ids), same
+    // union-rank estimators and exact-audit self-join
+    "q_kmv_setops" ->
+      s"""WITH census AS (
+         |  SELECT DISTINCT source,
+         |    CAST(concat('0x', substr(md5(tok), 1, 13)) AS BIGINT) AS h
+         |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+         |        FROM documents)),
+         |sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+         |          FROM census GROUP BY source),
+         |sk AS (
+         |  SELECT source, h FROM (
+         |    SELECT source, h,
+         |      row_number() OVER (PARTITION BY source ORDER BY h) AS r
+         |    FROM census) WHERE r <= $KmvK),
+         |names AS (SELECT DISTINCT source FROM census),
+         |axis AS (
+         |  SELECT x.source AS src_a, y.source AS src_b
+         |  FROM names x JOIN names y ON x.source < y.source),
+         |cand AS (
+         |  SELECT src_a, src_b, h,
+         |    MAX(in_a) AS in_a, MAX(in_b) AS in_b FROM (
+         |    SELECT p.src_a, p.src_b, s.h, 1 AS in_a, 0 AS in_b
+         |    FROM axis p JOIN sk s ON s.source = p.src_a
+         |    UNION ALL
+         |    SELECT p.src_a, p.src_b, s.h, 0 AS in_a, 1 AS in_b
+         |    FROM axis p JOIN sk s ON s.source = p.src_b)
+         |  GROUP BY 1, 2, 3),
+         |ranked AS (
+         |  SELECT *,
+         |    row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS r,
+         |    COUNT(*) OVER (PARTITION BY src_a, src_b) AS n_cand
+         |  FROM cand),
+         |est AS (
+         |  SELECT src_a, src_b, MAX(n_cand) AS n_cand,
+         |    CAST(COUNT(*) AS BIGINT) AS k_used, MAX(h) AS kmax,
+         |    CAST(SUM(in_a * in_b) AS BIGINT) AS inter_in_k
+         |  FROM ranked WHERE r <= $KmvK GROUP BY 1, 2),
+         |est2 AS (
+         |  SELECT src_a, src_b, k_used,
+         |    CASE WHEN n_cand < $KmvK THEN CAST(n_cand AS BIGINT)
+         |         ELSE ((${KmvK - 1} * CAST($KmvMaxH AS BIGINT)) // kmax)
+         |    END AS union_est,
+         |    (inter_in_k * 1000000) // k_used AS jaccard_est_e6
+         |  FROM est),
+         |ex AS (
+         |  SELECT a.source AS src_a, b.source AS src_b,
+         |    CAST(COUNT(*) AS BIGINT) AS inter_exact
+         |  FROM census a JOIN census b USING (h)
+         |  WHERE a.source < b.source GROUP BY 1, 2)
+         |SELECT e.src_a, e.src_b, sa.n AS n_a, sb.n AS n_b,
+         |  e.k_used, e.union_est, e.jaccard_est_e6,
+         |  CAST((CAST(e.jaccard_est_e6 AS HUGEINT) * e.union_est) // 1000000
+         |    AS BIGINT) AS inter_est,
+         |  sa.n + sb.n - COALESCE(ex.inter_exact, 0) AS union_exact,
+         |  CAST((CAST(COALESCE(ex.inter_exact, 0) AS HUGEINT) * 1000000)
+         |    // (sa.n + sb.n - COALESCE(ex.inter_exact, 0)) AS BIGINT)
+         |    AS jaccard_exact_e6,
+         |  COALESCE(ex.inter_exact, 0) AS inter_exact,
+         |  abs(e.jaccard_est_e6
+         |    - CAST((CAST(COALESCE(ex.inter_exact, 0) AS HUGEINT) * 1000000)
+         |        // (sa.n + sb.n - COALESCE(ex.inter_exact, 0)) AS BIGINT))
+         |    AS jac_err_e6
+         |FROM est2 e
+         |LEFT JOIN ex ON ex.src_a = e.src_a AND ex.src_b = e.src_b
+         |JOIN sizes sa ON sa.source = e.src_a
+         |JOIN sizes sb ON sb.source = e.src_b
+         |ORDER BY e.src_a, e.src_b""".stripMargin,
     "q_decontaminate" ->
       s"""WITH d AS (
          |  SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents),

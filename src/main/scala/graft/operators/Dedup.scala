@@ -617,6 +617,83 @@ object Dedup {
       .orderBy("doc_a", "doc_b", "diag")
   }
 
+  /** Winnowing geometry for [[winnowFp]]: k = 16-char grams, w = 8
+    * consecutive gram hashes per window (guarantee threshold
+    * t = k + w − 1 = 23 chars: any shared substring of ≥ t chars
+    * yields at least one shared fingerprint — MOSS's operating range;
+    * shorter grams fire on shared VOCABULARY rather than shared
+    * passages), 40-bit md5 hashes packed with a 2²⁰ position field so
+    * ONE integer min implements the rightmost-min tie rule. Docs are
+    * bounded at 2²⁰ chars by the packing (corpus docs are ~10³).
+    * Pairs need ≥ [[WinnowMinShared]] shared fingerprints — one
+    * 23-char collision is quotation, four is a copied passage. */
+  private[graft] val WinnowK = 16
+  private[graft] val WinnowW = 8
+  private val WinnowCap = 32
+  private val WinnowPosMod = 1L << 20
+  private val WinnowMinShared = 4
+
+  /** q_winnow_fp: document fingerprinting by winnowing (Schleimer,
+    * Wilkerson & Aiken, SIGMOD'03 — the MOSS algorithm) and the
+    * cross-document match report it exists for. Each doc's char
+    * [[WinnowK]]-gram hash sequence is slid over windows of
+    * [[WinnowW]]; each window selects its minimum hash (ties → the
+    * rightmost, the paper's robust-winnowing rule); the distinct
+    * selected hashes are the doc's fingerprints. Unlike positional
+    * rolling-hash alignment (q_substr_dup's diagonal runs) the
+    * fingerprint set is position-INDEPENDENT, so reordered/spliced
+    * plagiarism still matches; unlike MinHash it guarantees any shared
+    * substring of ≥ k+w−1 chars is caught (density 2/(w+1) of
+    * positions, a 60% index reduction at w=4).
+    *
+    * Output: doc pairs sharing ≥ 2 fingerprints with the containment
+    * overlap n_shared/min(n_a, n_b) — the plagiarism-candidate list.
+    *
+    * Scale shape: gram hashing + window minima + distinct-per-doc all
+    * happen INSIDE one map-only array expression per document (no
+    * explode of raw gram positions ever shuffles); the census shuffle
+    * is ∝ selected fingerprints (~2/(w+1) of positions); pairing is
+    * the capped-bucket expansion (the q_dedup_minhash
+    * [[HotBucketCap]] discipline at [[WinnowCap]]) — never all-pairs.
+    * The rightmost-min rule is ONE packed-integer min: smaller hash
+    * wins, ties resolve to the larger position via the inverted
+    * (2²⁰ − i) low field — both engines compute the identical long. */
+  def winnowFp(spark: SparkSession, dir: String): DataFrame = {
+    val census = Tables.documents(spark, dir)
+      .filter(length(col("text")) >= WinnowK + WinnowW - 1)
+      // packed gram-hash array built ONCE per doc (each position is
+      // hashed exactly once; windows then slice the array)
+      .select(col("doc_id"), expr(
+        s"""transform(sequence(1, length(text) - ${WinnowK - 1}),
+           |  i -> cast(conv(substr(md5(substring(text, i, $WinnowK)), 1, 10), 16, 10) as bigint)
+           |       * $WinnowPosMod + ($WinnowPosMod - i))""".stripMargin
+          .replace('\n', ' ')).as("arr"))
+      .select(col("doc_id"), explode(expr(
+        s"""array_distinct(transform(sequence(1, size(arr) - ${WinnowW - 1}),
+           |  j -> array_min(slice(arr, j, $WinnowW)) div $WinnowPosMod))"""
+          .stripMargin.replace('\n', ' '))).as("fp"))
+      .distinct()
+      .localCheckpoint() // two readers: per-doc sizes and the pair index
+    val counts = census.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = census.groupBy("fp")
+      .agg(graft.functions.CappedSortedIds
+        .cappedSortedIds(col("doc_id"), WinnowCap).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids")) - i - 1),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinnowMinShared)
+    pairs
+      .join(counts.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(counts.select(col("doc_id").as("id_b"), col("n").as("n_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("n_a"),
+        col("n_b"),
+        expr("(n_shared * 1000000) div least(n_a, n_b)").as("overlap_e6"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** q_ppjoin Jaccard threshold, e6 (τ = 0.6). */
   private val PpTauE6 = 600000L
 
@@ -735,6 +812,7 @@ object Dedup {
     "q_dedup_recall" -> (dedupRecall(_, _)),
     "q_ppjoin" -> (ppJoin(_, _)),
     "q_substr_dup" -> (substrDup(_, _)),
+    "q_winnow_fp" -> (winnowFp(_, _)),
     "q_chunk_dedup" -> (chunkDedup(_, _)),
     "q_boilerplate" -> (boilerplate(_, _)),
     "q_dedup_exact" -> (dedupExact(_, _)),
@@ -922,6 +1000,39 @@ object Dedup {
          |GROUP BY a.doc_id, b.doc_id, a.pos - b.pos
          |HAVING COUNT(*) >= $SubstrMinRun
          |ORDER BY doc_a, doc_b, diag""".stripMargin,
+    // same packed rightmost-min winnowing selection, same 32-doc
+    // fingerprint cap (row_number == capped_sorted_ids on doc_id)
+    "q_winnow_fp" ->
+      s"""WITH arrs AS (
+         |  SELECT doc_id,
+         |    [CAST(concat('0x', substr(md5(substr(text, i, $WinnowK)), 1, 10)) AS BIGINT)
+         |       * $WinnowPosMod + ($WinnowPosMod - i)
+         |     for i in range(1, len(text) - ${WinnowK - 2})] AS arr
+         |  FROM documents WHERE len(text) >= ${WinnowK + WinnowW - 1}),
+         |census AS (
+         |  SELECT DISTINCT doc_id, fp FROM (
+         |    SELECT doc_id,
+         |      unnest([list_min(arr[j:j+${WinnowW - 1}]) // $WinnowPosMod
+         |              for j in range(1, len(arr) - ${WinnowW - 2})]) AS fp
+         |    FROM arrs)),
+         |counts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+         |           FROM census GROUP BY doc_id),
+         |capped AS (
+         |  SELECT fp, doc_id,
+         |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS r
+         |  FROM census),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(COUNT(*) AS BIGINT) AS n_shared
+         |  FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  WHERE a.r <= $WinnowCap AND b.r <= $WinnowCap
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= $WinnowMinShared)
+         |SELECT id_a, id_b, n_shared, ca.n AS n_a, cb.n AS n_b,
+         |  (n_shared * 1000000) // LEAST(ca.n, cb.n) AS overlap_e6
+         |FROM pairs
+         |JOIN counts ca ON ca.doc_id = id_a
+         |JOIN counts cb ON cb.doc_id = id_b
+         |ORDER BY id_a, id_b""".stripMargin,
     "q_chunk_dedup" ->
       s"""WITH ch AS (
          |  SELECT doc_id, i AS chunk_idx,

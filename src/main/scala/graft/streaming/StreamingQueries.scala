@@ -732,6 +732,53 @@ object StreamingQueries {
           tableStream(spark, dir, "documents").select("source", "text")),
         Seq("source", "b"), "kl", dir))
 
+  /** q_stream_kmv — the KMV distinct sketch and its set-operation
+    * estimates as a STREAM: like q_stream_hll, the state update is
+    * associative, commutative AND duplicate-insensitive (inserting a
+    * hash already in the bottom-K, or above the current K-th minimum,
+    * is a no-op), so the stream needs no dedup state at all — one
+    * Update-mode aggregation whose state is K longs per source
+    * forever ([[graft.functions.CappedDistinctMins]]). Where HLL can
+    * only count, KMV sketches COMPOSE: union/intersection/Jaccard
+    * across sources come from merging the per-source sketches — the
+    * cross-crawl overlap dashboard live at ingest. Hashing
+    * ([[graft.operators.Curation.kmvTokenHashes]]) and the pairwise
+    * estimator finish ([[Curation.kmvEstimates]]) are SHARED with
+    * batch q_kmv_setops; the converged sketch store (#sources × K
+    * longs — sketch-sized by definition) finishes batch-side. The
+    * oracle rebuilds the identical sketches in SQL; the exact-audit
+    * columns stay batch-only (computing them is what the sketch
+    * exists to avoid). */
+  def streamKmv(spark: SparkSession, dir: String): DataFrame =
+    runKmv(spark, tableStream(spark, dir, "documents").select("source", "text"))
+
+  /** The KMV pipeline over any streaming `(source, text)` source —
+    * split out so the spec can drive it with a multi-file staged
+    * source and prove the sketch state converges across triggers. */
+  private[graft] def runKmv(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val sketches = graft.operators.Curation.kmvTokenHashes(docs)
+      .groupBy("source")
+      .agg(graft.functions.CappedDistinctMins
+        .cappedDistinctMins(col("h"), graft.operators.Curation.KmvK).as("kmv"))
+    val store = new java.util.concurrent.ConcurrentHashMap[String, Seq[Long]]()
+    val q = sketches.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.collect().foreach { r =>
+          store.put(r.getString(0), r.getSeq[Long](1))
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    val skDf = store.asScala.toSeq
+      .flatMap { case (s, hs) => hs.map(h => (s, h)) }
+      .toDF("source", "h")
+    graft.operators.Curation.kmvEstimates(skDf).orderBy("src_a", "src_b")
+  }
+
   /** q_stream_silhouette — the quantizer-health monitor AT INGEST:
     * the persisted IVF codebook loads once and broadcasts into the
     * stream (the reference's load-model-then-map contract, streaming/
@@ -1255,7 +1302,8 @@ object StreamingQueries {
     "q_stream_holt" -> stateful(streamHolt),
     "q_stream_cdc" -> stateful(streamCdc),
     "q_stream_silhouette" -> stateful(streamSilhouette),
-    "q_stream_hll" -> stateful(streamHll))
+    "q_stream_hll" -> stateful(streamHll),
+    "q_stream_kmv" -> stateful(streamKmv))
 
   /** The streaming queries run real Structured Streaming, but over the
     * bounded testdata their results are deterministic functions of
@@ -1398,6 +1446,58 @@ object StreamingQueries {
         |  END AS hll_est
         |FROM st ORDER BY lang""".stripMargin
         .replace("ALPHA_M2", graft.operators.TextAnalysis.HllAlphaM2.toString),
+    // the batch KMV oracle's estimator half VERBATIM (kmvTokenHashes +
+    // kmvEstimates are shared); the exact-audit columns stay
+    // batch-only — computing them is what the sketch exists to avoid
+    "q_stream_kmv" ->
+      s"""WITH census AS (
+         |  SELECT DISTINCT source,
+         |    CAST(concat('0x', substr(md5(tok), 1, 13)) AS BIGINT) AS h
+         |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+         |        FROM documents)),
+         |sk AS (
+         |  SELECT source, h FROM (
+         |    SELECT source, h,
+         |      row_number() OVER (PARTITION BY source ORDER BY h) AS r
+         |    FROM census) WHERE r <= ${graft.operators.Curation.KmvK}),
+         |names AS (SELECT DISTINCT source FROM census),
+         |axis AS (
+         |  SELECT x.source AS src_a, y.source AS src_b
+         |  FROM names x JOIN names y ON x.source < y.source),
+         |cand AS (
+         |  SELECT src_a, src_b, h,
+         |    MAX(in_a) AS in_a, MAX(in_b) AS in_b FROM (
+         |    SELECT p.src_a, p.src_b, s.h, 1 AS in_a, 0 AS in_b
+         |    FROM axis p JOIN sk s ON s.source = p.src_a
+         |    UNION ALL
+         |    SELECT p.src_a, p.src_b, s.h, 0 AS in_a, 1 AS in_b
+         |    FROM axis p JOIN sk s ON s.source = p.src_b)
+         |  GROUP BY 1, 2, 3),
+         |ranked AS (
+         |  SELECT *,
+         |    row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS r,
+         |    COUNT(*) OVER (PARTITION BY src_a, src_b) AS n_cand
+         |  FROM cand),
+         |est AS (
+         |  SELECT src_a, src_b, MAX(n_cand) AS n_cand,
+         |    CAST(COUNT(*) AS BIGINT) AS k_used, MAX(h) AS kmax,
+         |    CAST(SUM(in_a * in_b) AS BIGINT) AS inter_in_k
+         |  FROM ranked WHERE r <= ${graft.operators.Curation.KmvK}
+         |  GROUP BY 1, 2)
+         |SELECT src_a, src_b, k_used,
+         |  CASE WHEN n_cand < ${graft.operators.Curation.KmvK}
+         |       THEN CAST(n_cand AS BIGINT)
+         |       ELSE ((${graft.operators.Curation.KmvK - 1}
+         |              * CAST(${graft.operators.Curation.KmvMaxH} AS BIGINT)) // kmax)
+         |  END AS union_est,
+         |  (inter_in_k * 1000000) // k_used AS jaccard_est_e6,
+         |  CAST((CAST((inter_in_k * 1000000) // k_used AS HUGEINT)
+         |    * (CASE WHEN n_cand < ${graft.operators.Curation.KmvK}
+         |            THEN CAST(n_cand AS BIGINT)
+         |            ELSE ((${graft.operators.Curation.KmvK - 1}
+         |                   * CAST(${graft.operators.Curation.KmvMaxH} AS BIGINT)) // kmax) END))
+         |    // 1000000 AS BIGINT) AS inter_est
+         |FROM est ORDER BY src_a, src_b""".stripMargin,
     "q_stream_sessions" ->
       """WITH e AS (
         |  SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts_us, value FROM events),

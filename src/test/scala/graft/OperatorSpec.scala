@@ -4955,6 +4955,153 @@ class OperatorSpec extends SparkSpec {
     assert(r.getLong(2) > 1000000L && r.getLong(2) < 200000000L)
   }
 
+  test("skyline matches a brute-force dominance recompute") {
+    val parts = graft.sources.Tables.part(spark, sf)
+      .select("p_partkey", "p_brand", "p_retailprice", "p_size").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        math.floor(r.getDouble(2) * 100 + 0.5).toLong, r.getInt(3).toLong))
+    val want = parts.filter { case (_, _, p, s) =>
+      !parts.exists { case (_, _, p2, s2) =>
+        p2 <= p && s2 >= s && (p2 < p || s2 > s)
+      }
+    }.map(t => (t._1, t._2, t._3, t._4)).sortBy(t => (t._3, t._1)).toSeq
+    val got = run("q_skyline").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == want)
+    // non-vacuous: a real frontier is a strict subset of the catalog
+    assert(got.nonEmpty && got.size < parts.length)
+    // frontier invariant: ascending price ⇒ strictly ascending size
+    val bySize = got.map(_._4)
+    assert(got.map(_._3).zip(bySize).sliding(2).forall {
+      case Seq((pa, sa), (pb, sb)) => pa <= pb && (pa == pb || sa < sb)
+      case _ => true
+    })
+  }
+
+  test("bloom_join matches a local bitset recompute and is one-sided") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def positions(k: Long): Seq[Long] = (0 until 3).map { i =>
+      java.lang.Long.parseLong(md5hex("bj" + k).substring(i * 8, i * 8 + 8), 16) % (1 << 16)
+    }
+    val segKeys = graft.sources.Tables.customer(spark, sf)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val posSet = segKeys.flatMap(positions)
+    val custs = graft.sources.Tables.orders(spark, sf)
+      .select("o_custkey").collect().map(_.getLong(0))
+    val kept = custs.count(c => positions(c).forall(posSet))
+    val exact = custs.count(segKeys)
+    val r = run("q_bloom_join").collect().head
+    assert(r.getLong(0) == segKeys.size.toLong)
+    assert(r.getLong(1) == custs.length.toLong)
+    assert(r.getLong(2) == kept.toLong)
+    assert(r.getLong(3) == exact.toLong)
+    assert(r.getLong(4) == (kept - exact).toLong)
+    // one-sided by construction: the filter never loses a true match
+    assert(r.getLong(2) >= r.getLong(3))
+    assert(r.getLong(4) == r.getLong(2) - r.getLong(3))
+    // the filter genuinely reduces the shuffle (most orders are from
+    // the four other segments)
+    assert(r.getLong(6) > 500000L, s"shuffle_saved_e6 = ${r.getLong(6)}")
+  }
+
+  test("kmv_setops matches a local sketch recompute; exact when unfilled") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h(tok: String): Long =
+      java.lang.Long.parseLong(md5hex(tok).substring(0, 13), 16)
+    val K = 256
+    val maxH = 1L << 52
+    val census = graft.sources.Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .flatMap(r => r.getString(1).split(" ", -1).map(t => (r.getString(0), h(t))))
+      .distinct.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val names = census.keys.toSeq.sorted
+    val want = (for {
+      (a, ia) <- names.zipWithIndex; b <- names.drop(ia + 1)
+    } yield {
+      val (sa, sb) = (census(a), census(b))
+      val (ska, skb) = (sa.toSeq.sorted.take(K).toSet, sb.toSeq.sorted.take(K).toSet)
+      val cand = (ska ++ skb).toSeq.sorted
+      val kept = cand.take(K)
+      val kUsed = kept.size.toLong
+      val interInK = kept.count(x => ska(x) && skb(x)).toLong
+      val unionEst =
+        if (cand.size < K) cand.size.toLong
+        else ((K - 1).toLong * maxH) / kept.max
+      val jacEst = interInK * 1000000L / kUsed
+      val interExact = (sa intersect sb).size.toLong
+      val unionExact = sa.size + sb.size - interExact
+      val jacExact = interExact * 1000000L / unionExact
+      (a, b, sa.size.toLong, sb.size.toLong, kUsed, unionEst, jacEst,
+        jacEst * unionEst / 1000000L, unionExact, jacExact, interExact,
+        (jacEst - jacExact).abs)
+    }).sortBy(t => (t._1, t._2))
+    val got = run("q_kmv_setops").collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8), r.getLong(9), r.getLong(10), r.getLong(11))).toSeq
+    assert(got == want)
+    // estimator sanity: the sketch can't claim a wildly different
+    // Jaccard than the exact audit at K=256 (RSE ≈ 6 %)
+    assert(got.forall(_._12 <= 250000L),
+      s"jac_err_e6 too large: ${got.map(_._12).max}")
+    // exact-mode contract: an unfilled union sketch IS the exact union
+    got.filter(_._5 < K).foreach { t =>
+      assert(t._6 == t._9 && t._7 == t._10, s"exact-mode pair ${t._1}/${t._2}")
+    }
+  }
+
+  test("winnow_fp matches a local winnowing recompute and catches near-dups") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val (k, w, posMod, cap) = (16, 8, 1L << 20, 32)
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .filter(_._2.length >= k + w - 1)
+    // local winnow: packed rightmost-min per window, distinct fps
+    val fps: Map[Long, Set[Long]] = docs.map { case (id, text) =>
+      val arr = (1 to text.length - k + 1).map { i =>
+        java.lang.Long.parseLong(
+          md5hex(text.substring(i - 1, i - 1 + k)).substring(0, 10), 16) *
+          posMod + (posMod - i)
+      }
+      id -> (1 to arr.length - w + 1)
+        .map(j => arr.slice(j - 1, j - 1 + w).min / posMod).toSet
+    }.toMap
+    val counts = fps.view.mapValues(_.size.toLong).toMap
+    val byFp = fps.toSeq.flatMap { case (id, s) => s.map(_ -> id) }
+      .groupBy(_._1).view
+      .mapValues(_.map(_._2).sorted.take(cap)).toMap
+    val want = byFp.values.flatMap(ids =>
+        for (a <- ids; b <- ids if a < b) yield (a, b))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter(_._2 >= 4).toSeq
+      .map { case ((a, b), n) =>
+        (a, b, n, counts(a), counts(b),
+          n * 1000000L / math.min(counts(a), counts(b)))
+      }.sortBy(t => (t._1, t._2))
+    val got = run("q_winnow_fp").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == want)
+    // non-vacuous: the corpus's planted near-duplicates must surface
+    // with high containment
+    assert(got.nonEmpty, "no winnow pairs at sf0.001")
+    assert(got.map(_._6).max >= 500000L,
+      s"max overlap_e6 = ${got.map(_._6).max}")
+    // winnowing guarantee (density bound): every doc selects at least
+    // (positions / w) fingerprint POSITIONS; distinct hashes can only
+    // collapse equal grams, so sets are never empty
+    assert(fps.values.forall(_.nonEmpty))
+  }
+
   test("TopKByAvgTFIDF selects buckets and appends the location feature") {
     import spark.implicits._
     val ds = (0 until 200).map { i =>

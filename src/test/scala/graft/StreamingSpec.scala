@@ -622,6 +622,54 @@ class StreamingSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("streaming kmv estimates equal the batch sketch columns exactly") {
+    // duplicate-insensitive bottom-K: the stream (no dedup state) and
+    // the batch (distinct census) MUST build identical sketches, so
+    // every estimator column must agree
+    def canon(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+      (r.getAs[String]("src_a"), r.getAs[String]("src_b"),
+        r.getAs[Long]("k_used"), r.getAs[Long]("union_est"),
+        r.getAs[Long]("jaccard_est_e6"), r.getAs[Long]("inter_est"))
+    }.toSet
+    val stream = canon(SparkEntry.queries("q_stream_kmv")(spark, sf).collect())
+    val batch = canon(SparkEntry.queries("q_kmv_setops")(spark, sf)
+      .select("src_a", "src_b", "k_used", "union_est", "jaccard_est_e6",
+        "inter_est").collect())
+    assert(stream.nonEmpty)
+    assert(stream == batch)
+  }
+
+  test("kmv sketch state converges when sources split across triggers") {
+    // the duplicate-insensitive capped-mins state must merge across
+    // micro-batches: stage the even-doc half and the odd half as
+    // separate files (every source appears in BOTH triggers, so each
+    // source's sketch is genuinely UPDATED, not just emitted once)
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmv2_").toFile
+    def stage(name: String, df: org.apache.spark.sql.DataFrame, mtime: Long): Unit = {
+      val part = new java.io.File(dir, s"_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(part.getAbsolutePath)
+      val f = part.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(dir, s"$name.parquet")
+      java.nio.file.Files.move(f.toPath, dst.toPath)
+      dst.setLastModified(mtime)
+    }
+    val t0 = System.currentTimeMillis() - 600000
+    stage("a_even", docs.filter(col("doc_id") % 2 === 0), t0)
+    stage("b_odd", docs.filter(col("doc_id") % 2 === 1), t0 + 60000)
+    val src = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.getAbsolutePath)
+      .select("source", "text")
+    val twoTrigger = graft.streaming.StreamingQueries
+      .runKmv(spark, src).collect().map(_.toSeq).toSet
+    val batch = SparkEntry.queries("q_stream_kmv")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(twoTrigger == batch)
+  }
+
   test("checkpointed session stream survives a restart with state intact") {
     // the long-running-job reality: run 1 processes the early half of
     // the corpus under a checkpointLocation and STOPS (AvailableNow

@@ -3162,6 +3162,86 @@ object Analytics {
       .orderBy("p_type")
   }
 
+  /** Z-order geometry for [[zorderLayout]]: 8 bits per dimension
+    * (256-cell grid), 32 files, 16 probe slices per dimension —
+    * pinned because the oracle re-derives the interleave. */
+  private[graft] val ZBits = 8
+  private[graft] val ZFiles = 32
+  private[graft] val ZSlices = 16
+
+  /** The bit-interleave as a plain integer expression (shared text
+    * for both engines modulo the div spelling): bit b of each scaled
+    * coordinate lands at position 2b+1 / 2b. */
+  private def zInterleave(sx: String, sy: String, div: String): String =
+    (0 until ZBits).map { b =>
+      s"(($sx $div ${1 << b}) % 2) * ${1L << (2 * b + 1)}" +
+        s" + (($sy $div ${1 << b}) % 2) * ${1L << (2 * b)}"
+    }.mkString(" + ")
+
+  /** q_zorder_layout: the data-LAYOUT advisor — would Z-ordering this
+    * fact table beat a linear sort for file skipping? Scales
+    * (l_partkey, l_suppkey) onto a 2⁸×2⁸ grid, assigns each row to one
+    * of [[ZFiles]] files two ways (interleaved-bit Z-value ranges vs
+    * partkey-linear ranges), computes the per-file min/max zone maps a
+    * lakehouse keeps anyway, and probes them with [[ZSlices]]
+    * equal-width single-dimension predicates per dimension: the
+    * reported scan fraction is exactly the fraction of files a
+    * min/max-pruning reader must open. The point the numbers make:
+    * linear layout prunes perfectly on its sort key and NOT AT ALL on
+    * the other dimension (every file spans the full suppkey range);
+    * Z-order prunes BOTH dimensions at ~√F cost — the reason Delta
+    * and Iceberg OPTIMIZE ZORDER BY exists. At 100 TB this decision
+    * is the difference between reading 3% and 100% of a petabyte per
+    * dashboard filter.
+    *
+    * The Z-value is the textbook Morton interleave, unrolled to 16
+    * integer terms (pure div/%/× — codegen'd in Spark, re-derived
+    * verbatim by the oracle). File assignment is by fixed Z/key
+    * ranges (contiguous value ranges, sort-free: one pass computes
+    * the layout verdict; an actual rewrite would range-partition by
+    * the same key).
+    *
+    * Scale shape: one min/max agg (1-row broadcast) → map-only
+    * scale+interleave+assign → per-file min/max agg (≤ 2·[[ZFiles]]
+    * rows) → slice-overlap counting on a files×slices×dims grid of
+    * catalog size. */
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(
+      col("l_partkey").as("x"), col("l_suppkey").as("y"))
+    val mm = li.agg(min("x").as("mnx"), max("x").as("mxx"),
+      min("y").as("mny"), max("y").as("mxy"))
+    val grid = 1 << ZBits
+    val scaled = li.crossJoin(broadcast(mm)).select(
+      expr(s"((x - mnx) * $grid) div (mxx - mnx + 1)").as("sx"),
+      expr(s"((y - mny) * $grid) div (mxy - mny + 1)").as("sy"))
+    val cellsPerFile = (grid.toLong * grid) / ZFiles
+    val assigned = scaled.select(col("sx"), col("sy"),
+      expr(s"(${zInterleave("sx", "sy", "div")}) div $cellsPerFile").as("zfile"),
+      expr(s"sx div ${grid / ZFiles}").as("linfile"))
+    def zones(fileCol: String, layout: String) = assigned
+      .groupBy(col(fileCol).as("f"))
+      .agg(min("sx").as("mnx"), max("sx").as("mxx"),
+        min("sy").as("mny"), max("sy").as("mxy"))
+      .withColumn("layout", lit(layout))
+    val zoneMaps = zones("zfile", "zorder").unionByName(zones("linfile", "linear"))
+      .localCheckpoint() // probed once per dimension
+    val sliceW = grid / ZSlices
+    val slices = spark.range(ZSlices).select(
+      (col("id") * sliceW).as("lo"), (col("id") * sliceW + sliceW - 1).as("hi"))
+    def probe(dim: String, mn: String, mx: String) = zoneMaps
+      .crossJoin(broadcast(slices))
+      .groupBy("layout")
+      .agg(count_distinct(col("f")).as("n_files"),
+        sum(when(col(mn) <= col("hi") && col(mx) >= col("lo"), 1L)
+          .otherwise(0L)).as("files_scanned"))
+      .withColumn("dim", lit(dim))
+    probe("part", "mnx", "mxx").unionByName(probe("supp", "mny", "mxy"))
+      .select(col("layout"), col("dim"), col("n_files"), col("files_scanned"),
+        expr(s"(files_scanned * 1000000) div (n_files * $ZSlices)")
+          .as("scan_frac_e6"))
+      .orderBy("layout", "dim")
+  }
+
   /** Bloom geometry for [[bloomJoin]] — the q_bloom_decontam
     * conventions (m = 2¹⁶ bits, j = 3 disjoint 8-hex md5 windows) so
     * the oracle can re-derive the exact position set. */
@@ -4721,6 +4801,7 @@ object Analytics {
     "q_part_catalog" -> (partCatalog(_, _)),
     "q_skyline" -> (skyline(_, _)),
     "q_bloom_join" -> (bloomJoin(_, _)),
+    "q_zorder_layout" -> (zorderLayout(_, _)),
     "q_supplier_balance" -> (supplierBalance(_, _)),
     "q_region_trade" -> (regionTrade(_, _)),
     "q_acctbal_profile" -> (acctbalProfile(_, _)),
@@ -5855,6 +5936,48 @@ object Analytics {
         |  CAST(CAST(SUM(cents) AS HUGEINT) // MAX(n) AS BIGINT)
         |    AS mean_retail_cents
         |FROM cum GROUP BY p_type ORDER BY p_type""".stripMargin,
+    // same grid scaling, the identical 16-term Morton interleave, and
+    // the same zone-map slice probes
+    "q_zorder_layout" ->
+      s"""WITH mm AS (
+         |  SELECT MIN(l_partkey) AS mnx, MAX(l_partkey) AS mxx,
+         |    MIN(l_suppkey) AS mny, MAX(l_suppkey) AS mxy FROM lineitem),
+         |scaled AS (
+         |  SELECT ((l_partkey - mnx) * ${1 << ZBits}) // (mxx - mnx + 1) AS sx,
+         |    ((l_suppkey - mny) * ${1 << ZBits}) // (mxy - mny + 1) AS sy
+         |  FROM lineitem, mm),
+         |assigned AS (
+         |  SELECT sx, sy,
+         |    (${zInterleave("sx", "sy", "//")})
+         |      // ${(1L << (2 * ZBits)) / ZFiles} AS zfile,
+         |    sx // ${(1 << ZBits) / ZFiles} AS linfile
+         |  FROM scaled),
+         |zz AS (
+         |  SELECT 'zorder' AS layout, zfile AS f, MIN(sx) AS mnx,
+         |    MAX(sx) AS mxx, MIN(sy) AS mny, MAX(sy) AS mxy
+         |  FROM assigned GROUP BY zfile
+         |  UNION ALL
+         |  SELECT 'linear', linfile, MIN(sx), MAX(sx), MIN(sy), MAX(sy)
+         |  FROM assigned GROUP BY linfile),
+         |slices AS (
+         |  SELECT i * ${(1 << ZBits) / ZSlices} AS lo,
+         |    i * ${(1 << ZBits) / ZSlices} + ${(1 << ZBits) / ZSlices - 1} AS hi
+         |  FROM range($ZSlices) t(i)),
+         |probes AS (
+         |  SELECT layout, 'part' AS dim,
+         |    CAST(COUNT(DISTINCT f) AS BIGINT) AS n_files,
+         |    CAST(SUM(CASE WHEN mnx <= hi AND mxx >= lo THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS files_scanned
+         |  FROM zz, slices GROUP BY layout
+         |  UNION ALL
+         |  SELECT layout, 'supp',
+         |    CAST(COUNT(DISTINCT f) AS BIGINT),
+         |    CAST(SUM(CASE WHEN mny <= hi AND mxy >= lo THEN 1 ELSE 0 END)
+         |      AS BIGINT)
+         |  FROM zz, slices GROUP BY layout)
+         |SELECT layout, dim, n_files, files_scanned,
+         |  (files_scanned * 1000000) // (n_files * $ZSlices) AS scan_frac_e6
+         |FROM probes ORDER BY layout, dim""".stripMargin,
     // same salted md5 position windows; "all j bits set" == "all j
     // positions present in the build position set"
     "q_bloom_join" ->

@@ -480,6 +480,42 @@ object Curation {
       .orderBy("src_a", "src_b")
   }
 
+  /** Sample size for [[weightedSample]], pinned (the oracle embeds
+    * it). */
+  private[graft] val WsK = 100
+
+  /** q_weighted_sample: weighted sampling WITHOUT replacement by the
+    * Efraimidis–Spirakis exponential-jumps key (IPL'06) — each doc
+    * draws u ∈ (0,1] and ranks by u^(1/w) with w = its length in
+    * chars; the top [[WsK]] keys are a length-weighted sample with
+    * P(inclusion) ∝ w. The sampler a token-BUDGETED mixture uses:
+    * q_reservoir is uniform over docs, q_stratified_sample is quota'd
+    * over groups, this one is proportional over TOKENS — pick 100
+    * docs such that each token has equal say.
+    *
+    * Determinism + integer exactness: u is the salted-md5 e6 draw
+    * (the q_mixture_sample convention, so both engines share the
+    * stream bit-for-bit), and maximizing u^(1/w) is reordered as
+    * minimizing key = (−ln u)·10⁶/w with −ln u e6-floored FIRST —
+    * the numerator is nonnegative, so the one truncating division
+    * never meets negative-division semantics (Spark div truncates,
+    * DuckDB // floors — they only agree on nonnegatives).
+    *
+    * Scale shape: map-only key computation + top-k by (key, doc_id)
+    * — Spark's TakeOrderedAndProject: per-partition k-heaps then one
+    * k-row merge, NO global sort at any corpus size. */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("u6", expr("cast(conv(substr(md5(concat('ws', " +
+        "cast(doc_id as string))), 1, 15), 16, 10) as bigint) % 1000000 + 1"))
+      .withColumn("nk", expr(
+        "cast(floor(-ln(u6 / 1000000.0d) * 1000000.0d + 0.5d) as bigint)"))
+      .withColumn("key_e6", expr("(nk * 1000000) div n_chars"))
+      .orderBy(col("key_e6").asc, col("doc_id").asc)
+      .limit(WsK)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("key_e6"))
+
   /** KMV sketch size for [[kmvSetops]]: 256 minima give a relative
     * standard error of ~1/√(K−2) ≈ 6 % on distinct counts — the
     * published KMV/theta-sketch operating point (Beyer et al.,
@@ -1679,6 +1715,7 @@ object Curation {
     "q_export_shards" -> (exportShards(_, _)),
     "q_source_overlap" -> (sourceOverlap(_, _)),
     "q_kmv_setops" -> (kmvSetops(_, _)),
+    "q_weighted_sample" -> (weightedSample(_, _)),
     "q_dsir_weights" -> (dsirWeights(_, _)),
     "q_bloom_decontam" -> (bloomDecontam(_, _)),
     "q_decontaminate" -> (decontaminate(_, _)),
@@ -2314,6 +2351,21 @@ object Curation {
          |JOIN sizes sa ON sa.source = src_a
          |JOIN sizes sb ON sb.source = src_b
          |ORDER BY src_a, src_b""".stripMargin,
+    // same salted e6 draw, e6-floored -ln FIRST, one nonnegative
+    // truncating division, same (key, doc_id) top-k
+    "q_weighted_sample" ->
+      s"""WITH keyed AS (
+         |  SELECT doc_id, source, n_chars,
+         |    CAST(concat('0x', substr(md5('ws' || CAST(doc_id AS VARCHAR)), 1, 15))
+         |      AS BIGINT) % 1000000 + 1 AS u6
+         |  FROM documents),
+         |k2 AS (
+         |  SELECT doc_id, source, n_chars,
+         |    (CAST(floor(-ln(u6 / 1000000.0) * 1000000.0 + 0.5) AS BIGINT)
+         |     * 1000000) // n_chars AS key_e6
+         |  FROM keyed)
+         |SELECT doc_id, source, n_chars, key_e6 FROM k2
+         |ORDER BY key_e6, doc_id LIMIT $WsK""".stripMargin,
     // same 52-bit md5 token hashes, bottom-K per source via
     // row_number (the window equivalent of capped_sorted_ids), same
     // union-rank estimators and exact-audit self-join

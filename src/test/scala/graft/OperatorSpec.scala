@@ -5102,6 +5102,77 @@ class OperatorSpec extends SparkSpec {
     assert(fps.values.forall(_.nonEmpty))
   }
 
+  test("zorder_layout matches a local zone-map recompute and prunes both dims") {
+    val rows = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_partkey", "l_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val (mnx, mxx) = (rows.map(_._1).min, rows.map(_._1).max)
+    val (mny, mxy) = (rows.map(_._2).min, rows.map(_._2).max)
+    val scaled = rows.map { case (x, y) =>
+      (((x - mnx) * 256) / (mxx - mnx + 1), ((y - mny) * 256) / (mxy - mny + 1))
+    }
+    def z(sx: Long, sy: Long): Long = (0 until 8).map { b =>
+      ((sx >> b) & 1) << (2 * b + 1) | ((sy >> b) & 1) << (2 * b)
+    }.sum
+    val byFile: Map[(String, Long), Array[(Long, Long)]] =
+      scaled.groupBy(p => z(p._1, p._2) / 2048).map { case (f, ps) =>
+        ("zorder", f) -> ps
+      } ++ scaled.groupBy(_._1 / 8).map { case (f, ps) => ("linear", f) -> ps }
+    val want = (for {
+      (layout, dimIdx, dimName) <- Seq(("linear", 0, "part"), ("linear", 1, "supp"),
+        ("zorder", 0, "part"), ("zorder", 1, "supp"))
+    } yield {
+      // toSeq first: collecting (mn, mx) pairs straight out of a Map
+      // would build a deduplicating Map keyed by mn
+      val zones = byFile.toSeq.collect { case ((l, _), ps) if l == layout =>
+        val vs = ps.map(p => if (dimIdx == 0) p._1 else p._2)
+        (vs.min, vs.max)
+      }
+      val scanned = (0 until 16).map { s =>
+        val (lo, hi) = (s * 16L, s * 16L + 15)
+        zones.count { case (mn, mx) => mn <= hi && mx >= lo }.toLong
+      }.sum
+      (layout, dimName, zones.size.toLong, scanned,
+        scanned * 1000000L / (zones.size * 16))
+    }).sortBy(t => (t._1, t._2))
+    val got = run("q_zorder_layout").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == want)
+    val frac = got.map(t => (t._1, t._2) -> t._5).toMap
+    // the layout-advisor claim: linear prunes its sort key hard and
+    // the other dimension not at all; zorder prunes BOTH well below
+    // linear's worst case
+    assert(frac(("linear", "supp")) > 900000L, s"linear/supp ${frac(("linear", "supp"))}")
+    assert(frac(("linear", "part")) < 300000L)
+    assert(frac(("zorder", "part")) < 700000L)
+    assert(frac(("zorder", "supp")) < 700000L)
+  }
+
+  test("weighted_sample matches a local E-S recompute and skews to length") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val want = docs.map { case (id, src, w) =>
+      val u6 = java.lang.Long.parseLong(md5hex("ws" + id).substring(0, 15), 16) % 1000000L + 1
+      val nk = math.floor(-math.log(u6 / 1000000.0) * 1000000.0 + 0.5).toLong
+      (id, src, w, nk * 1000000L / w)
+    }.sortBy(t => (t._4, t._1)).take(100).toSeq
+    val got = run("q_weighted_sample").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sortBy(t => (t._4, t._1))
+    assert(got == want)
+    // inclusion ∝ length: the sample's mean length must exceed the
+    // corpus mean (that is the sampler's entire point)
+    val corpusAvg = docs.map(_._3).sum.toDouble / docs.length
+    val sampleAvg = got.map(_._3).sum.toDouble / got.size
+    assert(sampleAvg > corpusAvg,
+      s"sample mean $sampleAvg vs corpus mean $corpusAvg")
+  }
+
   test("TopKByAvgTFIDF selects buckets and appends the location feature") {
     import spark.implicits._
     val ds = (0 until 200).map { i =>

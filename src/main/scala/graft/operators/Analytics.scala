@@ -3162,6 +3162,58 @@ object Analytics {
       .orderBy("p_type")
   }
 
+  /** Heavy-hitter histogram width for [[joinCard]], pinned (the
+    * oracle embeds it). */
+  private[graft] val JcTopH = 32
+
+  /** q_join_card: the optimizer's join-cardinality estimate, made
+    * MEASURED — the number CBO gets wrong is the number that picks
+    * the wrong join order at 100 TB. For the l_partkey self-join
+    * (output = Σ_k c(k)², the classic skew amplifier) it reports the
+    * EXACT size next to two estimators: the all-uniform guess
+    * n²/d (what a stats-less planner assumes) and the end-biased
+    * histogram (Ioannidis/Christodoulakis: top-[[JcTopH]] keys kept
+    * exactly, uniform tail for the rest — the ANALYZE TABLE shape),
+    * with e6 relative errors for both. The row demonstrates WHY
+    * per-column histograms exist: under skew the uniform guess is
+    * off by the skew factor, the histogram by ~nothing.
+    *
+    * Scale shape: one (key) census (two-phase agg, shuffle ∝ distinct
+    * keys) → exact Σc² + totals in ONE agg over the census → top-H by
+    * (count, key) via TakeOrderedAndProject (per-partition heaps, no
+    * global sort) → tail moments by SUBTRACTION (total − top), never
+    * an anti-join. Sums run in decimal(38,0): Σc² crosses 2⁶³ once a
+    * key holds ~3·10⁹ rows — inside the 100 TB range. */
+  def joinCard(spark: SparkSession, dir: String): DataFrame = {
+    val census = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey").as("k")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // three readers: totals, exact, top-H
+    val totals = census.agg(
+      sum(col("c").cast(DecimalType(38, 0))).as("n_rows"),
+      count(lit(1)).as("n_distinct"),
+      sum((col("c") * col("c")).cast(DecimalType(38, 0))).as("exact_pairs"))
+    val top = census.orderBy(col("c").desc, col("k").asc).limit(JcTopH)
+      .agg(sum(col("c").cast(DecimalType(38, 0))).as("top_sum"),
+        sum((col("c") * col("c")).cast(DecimalType(38, 0))).as("top_pairs"),
+        count(lit(1)).as("top_n"))
+    totals.crossJoin(broadcast(top))
+      .withColumn("est_uniform", expr("(n_rows * n_rows) div n_distinct"))
+      .withColumn("est_hist", expr(
+        """top_pairs + if(n_distinct - top_n = 0, cast(0 as decimal(38,0)),
+          |((n_rows - top_sum) * (n_rows - top_sum)) div (n_distinct - top_n))"""
+          .stripMargin.replace('\n', ' ')))
+      .select(
+        col("n_rows").cast("long").as("n_rows"),
+        col("n_distinct"),
+        col("exact_pairs").cast("long").as("exact_pairs"),
+        col("est_uniform").cast("long").as("est_uniform"),
+        col("est_hist").cast("long").as("est_hist"),
+        expr("cast((abs(est_uniform - exact_pairs) * 1000000) div exact_pairs as bigint)")
+          .as("err_uniform_e6"),
+        expr("cast((abs(est_hist - exact_pairs) * 1000000) div exact_pairs as bigint)")
+          .as("err_hist_e6"))
+  }
+
   /** Z-order geometry for [[zorderLayout]]: 8 bits per dimension
     * (256-cell grid), 32 files, 16 probe slices per dimension —
     * pinned because the oracle re-derives the interleave. */
@@ -3278,18 +3330,27 @@ object Analytics {
     * Fully value-oracled: DuckDB rebuilds the identical j-position
     * sets, and "all j bits set" equals "all j positions present" (the
     * set-bit set IS the position set). */
-  def bloomJoin(spark: SparkSession, dir: String): DataFrame = {
-    val keys = Tables.customer(spark, dir)
+  /** The build side's key set (one market segment's customers). */
+  private[graft] def bjKeys(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
       .filter(col("c_mktsegment") === BjSegment)
       .select(col("c_custkey").as("k"))
-    val posArr = array(bjPositions(col("k")): _*)
-    val packed = keys.select(explode(posArr).as("pos"))
+
+  /** Distributed bitset build as (word, bits) rows — bit_or is
+    * associative, commutative and duplicate-insensitive, so the same
+    * aggregation is the batch build AND the streaming Update-mode
+    * state (the HLL/KMV sketch-as-stream argument, third instance). */
+  private[graft] def bjWordRows(keys: DataFrame): DataFrame =
+    keys.select(explode(array(bjPositions(col("k")): _*)).as("pos"))
       .select(shiftright(col("pos"), 6).as("w"),
         call_function("shiftleft", lit(1L), (col("pos") % 64).cast("int")).as("m"))
       .groupBy("w").agg(expr("bit_or(m)").as("bits"))
-      .collect()
-    val words = new Array[Long](BjBits / 64)
-    packed.foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
+
+  /** Probe + audit over a materialized bitset — shared by batch
+    * q_bloom_join and the at-ingest q_stream_bloom. */
+  private[graft] def bjFinish(spark: SparkSession, dir: String,
+      words: Array[Long]): DataFrame = {
+    val keys = bjKeys(spark, dir)
     val bits = typedlit(words.toSeq)
     val hit = bjPositions(col("o_custkey")).map { p =>
       call_function("shiftright",
@@ -3317,6 +3378,15 @@ object Analytics {
           .as("fp_e6"),
         expr("((n_probe - n_kept) * 1000000) div n_probe")
           .as("shuffle_saved_e6"))
+  }
+
+  def bloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    // distributed build: ≤ m/64 (word, bits) rows ever reach the
+    // driver (the q_bloom_decontam bounded-collect convention)
+    val packed = bjWordRows(bjKeys(spark, dir)).collect()
+    val words = new Array[Long](BjBits / 64)
+    packed.foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
+    bjFinish(spark, dir, words)
   }
 
   /** q_skyline: the Pareto frontier of the part catalog — every part
@@ -4802,6 +4872,7 @@ object Analytics {
     "q_skyline" -> (skyline(_, _)),
     "q_bloom_join" -> (bloomJoin(_, _)),
     "q_zorder_layout" -> (zorderLayout(_, _)),
+    "q_join_card" -> (joinCard(_, _)),
     "q_supplier_balance" -> (supplierBalance(_, _)),
     "q_region_trade" -> (regionTrade(_, _)),
     "q_acctbal_profile" -> (acctbalProfile(_, _)),
@@ -5936,6 +6007,36 @@ object Analytics {
         |  CAST(CAST(SUM(cents) AS HUGEINT) // MAX(n) AS BIGINT)
         |    AS mean_retail_cents
         |FROM cum GROUP BY p_type ORDER BY p_type""".stripMargin,
+    // same census, top-H by (count desc, key), tail by subtraction,
+    // HUGEINT sums mirroring the decimal(38,0) path
+    "q_join_card" ->
+      s"""WITH census AS (
+         |  SELECT l_partkey AS k, CAST(COUNT(*) AS HUGEINT) AS c
+         |  FROM lineitem GROUP BY l_partkey),
+         |totals AS (
+         |  SELECT SUM(c) AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         |    SUM(c * c) AS exact_pairs
+         |  FROM census),
+         |top AS (
+         |  SELECT SUM(c) AS top_sum, SUM(c * c) AS top_pairs,
+         |    CAST(COUNT(*) AS BIGINT) AS top_n
+         |  FROM (SELECT c FROM census ORDER BY c DESC, k ASC LIMIT $JcTopH)),
+         |est AS (
+         |  SELECT n_rows, n_distinct, exact_pairs,
+         |    (n_rows * n_rows) // n_distinct AS est_uniform,
+         |    top_pairs + CASE WHEN n_distinct - top_n = 0 THEN 0
+         |      ELSE ((n_rows - top_sum) * (n_rows - top_sum))
+         |           // (n_distinct - top_n) END AS est_hist
+         |  FROM totals, top)
+         |SELECT CAST(n_rows AS BIGINT) AS n_rows, n_distinct,
+         |  CAST(exact_pairs AS BIGINT) AS exact_pairs,
+         |  CAST(est_uniform AS BIGINT) AS est_uniform,
+         |  CAST(est_hist AS BIGINT) AS est_hist,
+         |  CAST((abs(est_uniform - exact_pairs) * 1000000) // exact_pairs
+         |    AS BIGINT) AS err_uniform_e6,
+         |  CAST((abs(est_hist - exact_pairs) * 1000000) // exact_pairs
+         |    AS BIGINT) AS err_hist_e6
+         |FROM est""".stripMargin,
     // same grid scaling, the identical 16-term Morton interleave, and
     // the same zone-map slice probes
     "q_zorder_layout" ->

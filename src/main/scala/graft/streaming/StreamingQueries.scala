@@ -752,6 +752,43 @@ object StreamingQueries {
   def streamKmv(spark: SparkSession, dir: String): DataFrame =
     runKmv(spark, tableStream(spark, dir, "documents").select("source", "text"))
 
+  /** q_stream_bloom — the runtime join filter maintained AT INGEST:
+    * the dimension side (the segment's customers) streams in, and the
+    * Bloom bitset builds as an Update-mode (word, bit_or) aggregation
+    * — bit_or is associative, commutative and duplicate-insensitive
+    * (the q_stream_hll/q_stream_kmv sketch-as-stream argument, third
+    * instance), so state is ≤ m/64 longs forever with no dedup
+    * upstream. The converged bitset (sketch-sized by definition)
+    * finishes batch-side through the SHARED
+    * [[graft.operators.Analytics.bjFinish]] probe/audit — in
+    * production this is how the fact-scan filter stays current while
+    * the dimension table keeps growing; batch oracle verbatim. */
+  def streamBloom(spark: SparkSession, dir: String): DataFrame =
+    runBloom(spark,
+      tableStream(spark, dir, "customer")
+        .filter(col("c_mktsegment") === graft.operators.Analytics.BjSegment)
+        .select(col("c_custkey").as("k")), dir)
+
+  /** The Bloom-build pipeline over any streaming key source — split
+    * out so the spec can stage keys across triggers and prove the
+    * bit_or state converges. */
+  private[graft] def runBloom(spark: SparkSession, keys: DataFrame,
+      dir: String): DataFrame = {
+    val wordRows = graft.operators.Analytics.bjWordRows(keys)
+    val store = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    val q = wordRows.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.collect().foreach(r => store.put(r.getLong(0), r.getLong(1)))
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val words = new Array[Long](graft.operators.Analytics.BjBits / 64)
+    store.forEach((w, bits) => words(w.toInt) = bits)
+    graft.operators.Analytics.bjFinish(spark, dir, words)
+  }
+
   /** The KMV pipeline over any streaming `(source, text)` source —
     * split out so the spec can drive it with a multi-file staged
     * source and prove the sketch state converges across triggers. */
@@ -1303,7 +1340,8 @@ object StreamingQueries {
     "q_stream_cdc" -> stateful(streamCdc),
     "q_stream_silhouette" -> stateful(streamSilhouette),
     "q_stream_hll" -> stateful(streamHll),
-    "q_stream_kmv" -> stateful(streamKmv))
+    "q_stream_kmv" -> stateful(streamKmv),
+    "q_stream_bloom" -> stateful(streamBloom))
 
   /** The streaming queries run real Structured Streaming, but over the
     * bounded testdata their results are deterministic functions of
@@ -1446,6 +1484,9 @@ object StreamingQueries {
         |  END AS hll_est
         |FROM st ORDER BY lang""".stripMargin
         .replace("ALPHA_M2", graft.operators.TextAnalysis.HllAlphaM2.toString),
+    // the batch Bloom-audit oracle VERBATIM — bjWordRows + bjFinish
+    // are shared and bit_or state is duplicate-insensitive
+    "q_stream_bloom" -> graft.operators.Analytics.oracleSql("q_bloom_join"),
     // the batch KMV oracle's estimator half VERBATIM (kmvTokenHashes +
     // kmvEstimates are shared); the exact-audit columns stay
     // batch-only — computing them is what the sketch exists to avoid

@@ -5173,6 +5173,33 @@ class OperatorSpec extends SparkSpec {
       s"sample mean $sampleAvg vs corpus mean $corpusAvg")
   }
 
+  test("join_card matches a local recompute and the histogram beats uniform") {
+    val counts = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_partkey").collect().map(_.getLong(0))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val n = counts.values.sum
+    val d = counts.size.toLong
+    val exact = counts.values.map(c => BigInt(c) * c).sum
+    val top = counts.toSeq.sortBy { case (k, c) => (-c, k) }.take(32)
+    val (topSum, topPairs) = (top.map(_._2).sum, top.map(t => BigInt(t._2) * t._2).sum)
+    val estU = (BigInt(n) * n) / d
+    val rest = d - top.size
+    val estH = topPairs +
+      (if (rest == 0) BigInt(0) else (BigInt(n - topSum) * (n - topSum)) / rest)
+    val r = run("q_join_card").collect().head
+    assert(r.getLong(0) == n)
+    assert(r.getLong(1) == d)
+    assert(r.getLong(2) == exact.toLong)
+    assert(r.getLong(3) == estU.toLong)
+    assert(r.getLong(4) == estH.toLong)
+    assert(r.getLong(5) == ((estU - exact).abs * 1000000 / exact).toLong)
+    assert(r.getLong(6) == ((estH - exact).abs * 1000000 / exact).toLong)
+    // the operator's point: the end-biased histogram estimate is at
+    // least as close as the stats-less uniform guess
+    assert(r.getLong(6) <= r.getLong(5),
+      s"hist err ${r.getLong(6)} vs uniform err ${r.getLong(5)}")
+  }
+
   test("TopKByAvgTFIDF selects buckets and appends the location feature") {
     import spark.implicits._
     val ds = (0 until 200).map { i =>

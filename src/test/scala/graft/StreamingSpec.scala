@@ -670,6 +670,45 @@ class StreamingSpec extends SparkSpec {
     assert(twoTrigger == batch)
   }
 
+  test("streaming bloom filter equals the batch audit row for row") {
+    // bit_or state is duplicate-insensitive: the streamed bitset and
+    // the batch-built bitset must be identical, so every audit column
+    // must agree
+    val stream = SparkEntry.queries("q_stream_bloom")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val batch = SparkEntry.queries("q_bloom_join")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(stream.nonEmpty)
+    assert(stream == batch)
+  }
+
+  test("bloom bitset state converges when keys split across triggers") {
+    import org.apache.spark.sql.functions._
+    val keys = graft.sources.Tables.customer(spark, sf)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("k"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom2_").toFile
+    def stage(name: String, df: org.apache.spark.sql.DataFrame, mtime: Long): Unit = {
+      val part = new java.io.File(dir, s"_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(part.getAbsolutePath)
+      val f = part.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(dir, s"$name.parquet")
+      java.nio.file.Files.move(f.toPath, dst.toPath)
+      dst.setLastModified(mtime)
+    }
+    val t0 = System.currentTimeMillis() - 600000
+    stage("a_even", keys.filter(col("k") % 2 === 0), t0)
+    stage("b_odd", keys.filter(col("k") % 2 === 1), t0 + 60000)
+    val src = spark.readStream.schema(keys.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.getAbsolutePath)
+    val twoTrigger = graft.streaming.StreamingQueries
+      .runBloom(spark, src, sf).collect().map(_.toSeq).toSet
+    val batch = SparkEntry.queries("q_bloom_join")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(twoTrigger == batch)
+  }
+
   test("checkpointed session stream survives a restart with state intact") {
     // the long-running-job reality: run 1 processes the early half of
     // the corpus under a checkpointLocation and STOPS (AvailableNow

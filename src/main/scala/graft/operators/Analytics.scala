@@ -3411,14 +3411,24 @@ object Analytics {
     * Scale shape: one dim scan → (price, size)-census agg → bounded
     * axis window → hash-join back to parts on (price, size). At fact
     * scale the same shape holds: the census IS the reduction. */
-  def skyline(spark: SparkSession, dir: String): DataFrame = {
-    val pts = Tables.part(spark, dir)
-      .select(col("p_partkey"), col("p_brand"),
-        floor(col("p_retailprice") * 100 + 0.5).cast("long").as("price_cents"),
-        col("p_size").cast("long").as("p_size"))
-    val perPrice = pts.groupBy("price_cents")
-      .agg(max("p_size").as("smax"))
-    val frontier = perPrice
+  /** The (price, size) value points of the catalog — shared scan for
+    * the census and the frontier join-back. */
+  private[graft] def skyPoints(parts: DataFrame): DataFrame =
+    parts.select(col("p_partkey"), col("p_brand"),
+      floor(col("p_retailprice") * 100 + 0.5).cast("long").as("price_cents"),
+      col("p_size").cast("long").as("p_size"))
+
+  /** Per-price max-size census — a per-key MAX, so it is associative,
+    * commutative and duplicate-insensitive: the same aggregation is
+    * the batch reduction AND a streaming Update-mode state (state ∝
+    * distinct price points, a catalog alphabet). */
+  private[graft] def skyCensus(pts: DataFrame): DataFrame =
+    pts.groupBy("price_cents").agg(max("p_size").as("smax"))
+
+  /** Frontier cut + part join-back over a converged census — shared
+    * by batch q_skyline and the at-ingest q_stream_skyline. */
+  private[graft] def skyFinish(pts: DataFrame, census: DataFrame): DataFrame = {
+    val frontier = census
       .withColumn("before_max", max("smax").over(
         Window.orderBy("price_cents")
           .rowsBetween(Window.unboundedPreceding, -1)))
@@ -3428,6 +3438,11 @@ object Analytics {
       .select(col("p_partkey"), col("p_brand"), col("price_cents"),
         col("p_size"))
       .orderBy("price_cents", "p_partkey")
+  }
+
+  def skyline(spark: SparkSession, dir: String): DataFrame = {
+    val pts = skyPoints(Tables.part(spark, dir))
+    skyFinish(pts, skyCensus(pts))
   }
 
   /** q_supplier_balance: supplier credit posture per nation — count,

@@ -196,6 +196,75 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** q_kn_bigram: the Kneser–Ney upgrade of [[lmBigram]] — interpolated
+    * KN with absolute discounting (Kneser & Ney ICASSP'95; Chen &
+    * Goodman's benchmark winner, the smoothing KenLM ships), the
+    * published answer to add-one's two failures: add-one over-taxes
+    * frequent contexts (V is added to every denominator), and it backs
+    * off to RAW unigram frequency, which scores "Francisco" high even
+    * though it only ever follows "San". KN discounts every seen bigram
+    * by a flat D = 0.75 and redistributes exactly the freed mass to the
+    * CONTINUATION unigram P_cont(w) ∝ |distinct predecessors of w|:
+    * P(w|v) = (c(vw) − D)/c(v·) + D·N1+(v·)/c(v·) · P_cont(w).
+    * P_cont carries add-one smoothing ((N1+(·w)+1)/(N_bb+V)) so
+    * document-INITIAL-only tokens (zero continuation count) stay
+    * scoreable — the one departure from textbook KN, shared by both
+    * engines and used for the first-token score too. Scored bigrams
+    * are always seen (the model trains on the corpus it scores), so
+    * the discounted term never floors at zero.
+    *
+    * Output shape matches q_lm_bigram (doc_id, lang, n_tok, bits_e6)
+    * so the two smoothers are directly comparable; the spec pins that
+    * they genuinely disagree.
+    *
+    * Scale shape: identical to [[lmBigram]] — the bigram dictionary is
+    * one two-phase (prev, cur) agg (localCheckpointed: four readers),
+    * continuation/context censuses are aggs OVER that dictionary
+    * (∝ bigram types, never corpus tokens), scoring is the postings
+    * equi-join, and every token's bits are e6-floored BEFORE the
+    * per-doc sum (the order-free integer-sum contract). */
+  def knBigram(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("arr"))
+      .localCheckpoint() // token arrays; three consumers
+    val vsize = docs.select(explode(col("arr")).as("tok"))
+      .agg(count_distinct(col("tok")).as("v_size"))
+    val pairs = docs.select(col("doc_id"), col("lang"), explode(expr(
+      """CASE WHEN size(arr) >= 2
+        |  THEN transform(sequence(2, size(arr)),
+        |    i -> struct(element_at(arr, i - 1) AS prev, element_at(arr, i) AS cur))
+        |  ELSE array() END""".stripMargin)).as("p"))
+      .select(col("doc_id"), col("lang"),
+        col("p.prev").as("prev"), col("p.cur").as("cur"))
+    val cb = pairs.groupBy("prev", "cur").agg(count(lit(1)).as("cbn"))
+      .localCheckpoint() // four readers: cv, n1l, nbb, scoring join
+    val cv = cb.groupBy("prev").agg(sum("cbn").as("cv"), count(lit(1)).as("n1r"))
+    val n1l = cb.groupBy("cur").agg(count(lit(1)).as("n1l"))
+    val consts = cb.agg(count(lit(1)).as("nbb")).crossJoin(broadcast(vsize))
+    val first = docs
+      .select(col("doc_id"), col("lang"), element_at(col("arr"), 1).as("cur"))
+      .join(n1l, Seq("cur"), "left").na.fill(0L, Seq("n1l"))
+      .crossJoin(broadcast(consts))
+      .select(col("doc_id"), col("lang"), floor(
+        -log2((col("n1l") + lit(1.0)) / (col("nbb") + col("v_size")))
+          * 1e6 + 0.5).cast("long").as("b"))
+    val rest = pairs
+      .join(cb, Seq("prev", "cur"))
+      .join(cv, Seq("prev"))
+      .join(n1l, Seq("cur")) // every scored cur is a successor ⇒ n1l ≥ 1
+      .crossJoin(broadcast(consts))
+      .select(col("doc_id"), col("lang"), floor(
+        -log2((col("cbn") - lit(0.75)) / col("cv")
+          + lit(0.75) * col("n1r") / col("cv")
+            * ((col("n1l") + lit(1.0)) / (col("nbb") + col("v_size"))))
+          * 1e6 + 0.5).cast("long").as("b"))
+    first.unionAll(rest)
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_tok"),
+        expr("sum(b) div count(1)").as("bits_e6"))
+      .orderBy("doc_id")
+  }
+
   /** Funnel quality gate: token-count window + distinct-token
     * (repetition) floor — the Gopher-rule shapes, with bounds that
     * discriminate on this corpus (token counts span 10..~100;
@@ -1716,6 +1785,7 @@ object Curation {
     "q_source_overlap" -> (sourceOverlap(_, _)),
     "q_kmv_setops" -> (kmvSetops(_, _)),
     "q_weighted_sample" -> (weightedSample(_, _)),
+    "q_kn_bigram" -> (knBigram(_, _)),
     "q_dsir_weights" -> (dsirWeights(_, _)),
     "q_bloom_decontam" -> (bloomDecontam(_, _)),
     "q_decontaminate" -> (decontaminate(_, _)),
@@ -2502,6 +2572,45 @@ object Curation {
         |  FROM pairs p
         |  JOIN cb ON cb.prev = p.prev AND cb.cur = p.cur
         |  JOIN vocab v ON v.tok = p.prev CROSS JOIN t),
+        |u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+        |SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_tok,
+        |  CAST(SUM(b) // COUNT(*) AS BIGINT) AS bits_e6
+        |FROM u GROUP BY doc_id, lang
+        |ORDER BY doc_id""".stripMargin,
+    // same bigram dictionary, continuation/context censuses, the
+    // identical KN interpolation text, and e6-floor-before-sum
+    "q_kn_bigram" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS arr FROM documents),
+        |vs AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v_size
+        |       FROM (SELECT unnest(arr) AS tok FROM d)),
+        |pairs AS (
+        |  SELECT doc_id, lang, arr[i - 1] AS prev, arr[i] AS cur
+        |  FROM d, LATERAL (SELECT unnest(generate_series(2, len(arr))) AS i)),
+        |cb AS (SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS cbn
+        |       FROM pairs GROUP BY prev, cur),
+        |cv AS (SELECT prev, CAST(SUM(cbn) AS BIGINT) AS cv,
+        |         CAST(COUNT(*) AS BIGINT) AS n1r FROM cb GROUP BY prev),
+        |n1l AS (SELECT cur, CAST(COUNT(*) AS BIGINT) AS n1l
+        |        FROM cb GROUP BY cur),
+        |consts AS (SELECT CAST(COUNT(*) AS BIGINT) AS nbb, v_size
+        |           FROM cb CROSS JOIN vs GROUP BY v_size),
+        |s1 AS (
+        |  SELECT doc_id, lang,
+        |    CAST(floor(-log2((COALESCE(n1l, 0) + 1.0) / (nbb + v_size))
+        |      * 1e6 + 0.5) AS BIGINT) AS b
+        |  FROM (SELECT doc_id, lang, arr[1] AS cur FROM d)
+        |  LEFT JOIN n1l USING (cur) CROSS JOIN consts),
+        |s2 AS (
+        |  SELECT p.doc_id, p.lang,
+        |    CAST(floor(-log2((cb.cbn - 0.75) / cv.cv
+        |      + 0.75 * cv.n1r / cv.cv
+        |        * ((n1l.n1l + 1.0) / (c.nbb + c.v_size))) * 1e6 + 0.5)
+        |      AS BIGINT) AS b
+        |  FROM pairs p
+        |  JOIN cb ON cb.prev = p.prev AND cb.cur = p.cur
+        |  JOIN cv ON cv.prev = p.prev
+        |  JOIN n1l ON n1l.cur = p.cur CROSS JOIN consts c),
         |u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
         |SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_tok,
         |  CAST(SUM(b) // COUNT(*) AS BIGINT) AS bits_e6

@@ -769,6 +769,37 @@ object StreamingQueries {
         .filter(col("c_mktsegment") === graft.operators.Analytics.BjSegment)
         .select(col("c_custkey").as("k")), dir)
 
+  /** q_stream_skyline — the Pareto frontier maintained AT INGEST: the
+    * per-price max-size census is a per-key MAX (associative,
+    * commutative, duplicate-insensitive — the sketch-as-stream
+    * argument's fourth instance), so the catalog stream needs one
+    * Update-mode aggregation with state ∝ distinct price points (a
+    * cents-quantized catalog alphabet); the frontier cut + part
+    * join-back run batch-side over the converged census via the
+    * SHARED [[graft.operators.Analytics.skyFinish]] — the live
+    * "best size per price" dashboard as parts land; batch oracle
+    * verbatim. */
+  def streamSkyline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val census = graft.operators.Analytics.skyCensus(
+      graft.operators.Analytics.skyPoints(tableStream(spark, dir, "part")))
+    val store = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    val q = census.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.collect().foreach(r => store.put(r.getLong(0), r.getLong(1)))
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    val censusDf = store.asScala.toSeq.map { case (p, s) => (p, s) }
+      .toDF("price_cents", "smax")
+    graft.operators.Analytics.skyFinish(
+      graft.operators.Analytics.skyPoints(
+        graft.sources.Tables.part(spark, dir)), censusDf)
+  }
+
   /** The Bloom-build pipeline over any streaming key source — split
     * out so the spec can stage keys across triggers and prove the
     * bit_or state converges. */
@@ -1341,7 +1372,8 @@ object StreamingQueries {
     "q_stream_silhouette" -> stateful(streamSilhouette),
     "q_stream_hll" -> stateful(streamHll),
     "q_stream_kmv" -> stateful(streamKmv),
-    "q_stream_bloom" -> stateful(streamBloom))
+    "q_stream_bloom" -> stateful(streamBloom),
+    "q_stream_skyline" -> stateful(streamSkyline))
 
   /** The streaming queries run real Structured Streaming, but over the
     * bounded testdata their results are deterministic functions of
@@ -1487,6 +1519,9 @@ object StreamingQueries {
     // the batch Bloom-audit oracle VERBATIM — bjWordRows + bjFinish
     // are shared and bit_or state is duplicate-insensitive
     "q_stream_bloom" -> graft.operators.Analytics.oracleSql("q_bloom_join"),
+    // the batch skyline oracle VERBATIM — skyCensus + skyFinish are
+    // shared and the per-price max state is duplicate-insensitive
+    "q_stream_skyline" -> graft.operators.Analytics.oracleSql("q_skyline"),
     // the batch KMV oracle's estimator half VERBATIM (kmvTokenHashes +
     // kmvEstimates are shared); the exact-audit columns stay
     // batch-only — computing them is what the sketch exists to avoid

@@ -5200,6 +5200,38 @@ class OperatorSpec extends SparkSpec {
       s"hist err ${r.getLong(6)} vs uniform err ${r.getLong(5)}")
   }
 
+  test("kn_bigram matches a local Kneser-Ney recompute and differs from add-one") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ", -1).toSeq))
+    val pairs = docs.flatMap { case (_, _, a) => a.sliding(2).filter(_.size == 2)
+      .map(p => (p(0), p(1))) }
+    val cb = pairs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cv = cb.toSeq.groupBy(_._1._1).view
+      .mapValues(xs => (xs.map(_._2).sum, xs.size.toLong)).toMap
+    val n1l = cb.keys.toSeq.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nbb = cb.size.toLong
+    val vSize = docs.flatMap(_._3).distinct.size.toLong
+    def pc(w: String) = (n1l.getOrElse(w, 0L) + 1.0) / (nbb + vSize)
+    val want = docs.map { case (id, lang, a) =>
+      val b1 = math.floor(-(math.log(pc(a.head)) / math.log(2.0)) * 1e6 + 0.5).toLong
+      val bs = b1 +: a.sliding(2).filter(_.size == 2).map { p =>
+        val (v, w) = (p(0), p(1))
+        val (cvv, n1r) = cv(v)
+        val prob = (cb((v, w)) - 0.75) / cvv + 0.75 * n1r / cvv * pc(w)
+        math.floor(-(math.log(prob) / math.log(2.0)) * 1e6 + 0.5).toLong
+      }.toSeq
+      (id, lang, bs.size.toLong, bs.sum / bs.size)
+    }.sortBy(_._1).toSeq
+    val got = run("q_kn_bigram").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+    // non-vacuous: KN and add-one must genuinely disagree on scores
+    val addOne = run("q_lm_bigram").collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got.count { case (id, _, _, b) => addOne(id) != b } > got.size / 2)
+  }
+
   test("TopKByAvgTFIDF selects buckets and appends the location feature") {
     import spark.implicits._
     val ds = (0 until 200).map { i =>

@@ -709,6 +709,18 @@ class StreamingSpec extends SparkSpec {
     assert(twoTrigger == batch)
   }
 
+  test("streaming skyline equals the batch frontier row for row") {
+    // per-price max state is duplicate-insensitive: the streamed
+    // census and the batch census must be identical, so the frontier
+    // and its join-back must agree part for part
+    val stream = SparkEntry.queries("q_stream_skyline")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val batch = SparkEntry.queries("q_skyline")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(stream.nonEmpty)
+    assert(stream == batch)
+  }
+
   test("checkpointed session stream survives a restart with state intact") {
     // the long-running-job reality: run 1 processes the early half of
     // the corpus under a checkpointLocation and STOPS (AvailableNow

@@ -3162,6 +3162,73 @@ object Analytics {
       .orderBy("p_type")
   }
 
+  /** q_encoding_advisor: the columnar ENCODING advisor — for each
+    * audited lineitem column, the statistics a writer needs to pick
+    * its physical encoding (parquet's dictionary/RLE decision, made
+    * visible): distinct count → dictionary width in bits
+    * (ceil log₂ d, computed EXACTLY as the binary-string length of
+    * d−1, no float log), adjacency runs within the natural write unit
+    * (runs counted per order under one fixed write order — the full
+    * (linenumber, pk, qty, day, rf, ls) key, a total order up to
+    * fully-identical rows, so counts are engine-independent; bounded
+    * frames, never a global sort) → the RLE
+    * compression ratio rows/runs, and the pinned verdict: rle when a
+    * run covers ≥2 rows on average, dict when the dictionary fits
+    * 16 bits, plain otherwise. At 100 TB the encoding choice is a
+    * 2-10× storage/scan multiplier per column — this row is the
+    * measurement that decision should come from (the q_zorder_layout
+    * companion: that row places rows, this one packs them).
+    *
+    * Scale shape: one scan → 5 lag-comparisons over ONE
+    * order-partitioned window (frames ≤ lines-per-order) → a single
+    * global agg (counts + 5 distincts) → a 5-row stack. */
+  def encodingAdvisor(spark: SparkSession, dir: String): DataFrame = {
+    // (orderkey, linenumber) is NOT unique in the corpus; ordering by
+    // every audited column makes the within-order ordering a total
+    // order UP TO fully-identical rows — and identical rows merge into
+    // the same runs wherever they land, so run counts are well-defined
+    // and engine-independent
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy("l_linenumber", "pk", "qty", "day", "rf", "ls")
+    val base = Tables.lineitem(spark, dir).select(
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+      floor(col("l_quantity")).cast("long").as("qty"),
+      col("l_partkey").as("pk"),
+      expr("unix_micros(cast(l_shipdate as timestamp)) div 86400000000")
+        .as("day"))
+    val chg = Seq("rf", "ls", "qty", "pk", "day").foldLeft(base) { (df, c) =>
+      df.withColumn(s"chg_$c",
+        when(lag(col(c), 1).over(w).isNull ||
+          col(c) =!= lag(col(c), 1).over(w), 1L).otherwise(0L))
+    }
+    val agg = chg.agg(
+      count(lit(1)).as("n_rows"),
+      count_distinct(col("rf")).as("d_rf"), sum("chg_rf").as("r_rf"),
+      count_distinct(col("ls")).as("d_ls"), sum("chg_ls").as("r_ls"),
+      count_distinct(col("qty")).as("d_qty"), sum("chg_qty").as("r_qty"),
+      count_distinct(col("pk")).as("d_pk"), sum("chg_pk").as("r_pk"),
+      count_distinct(col("day")).as("d_day"), sum("chg_day").as("r_day"))
+    agg.select(expr(
+      """stack(5,
+        |  'l_linestatus',  d_ls,  r_ls,
+        |  'l_partkey',     d_pk,  r_pk,
+        |  'l_quantity',    d_qty, r_qty,
+        |  'l_returnflag',  d_rf,  r_rf,
+        |  'l_shipday',     d_day, r_day) AS (column_name, n_distinct, n_runs)"""
+        .stripMargin.replace('\n', ' ')), col("n_rows"))
+      .select(col("column_name"), col("n_rows"), col("n_distinct"),
+        col("n_runs"))
+      .withColumn("rle_ratio_e6", expr("(n_rows * 1000000) div n_runs"))
+      .withColumn("dict_bits", expr(
+        "cast(if(n_distinct <= 1, 0, length(bin(n_distinct - 1))) as bigint)"))
+      .withColumn("suggested", expr(
+        """CASE WHEN (n_rows * 1000000) div n_runs >= 2000000 THEN 'rle'
+          |     WHEN if(n_distinct <= 1, 0, length(bin(n_distinct - 1))) <= 16
+          |     THEN 'dict' ELSE 'plain' END""".stripMargin.replace('\n', ' ')))
+      .orderBy("column_name")
+  }
+
   /** Heavy-hitter histogram width for [[joinCard]], pinned (the
     * oracle embeds it). */
   private[graft] val JcTopH = 32
@@ -4888,6 +4955,7 @@ object Analytics {
     "q_bloom_join" -> (bloomJoin(_, _)),
     "q_zorder_layout" -> (zorderLayout(_, _)),
     "q_join_card" -> (joinCard(_, _)),
+    "q_encoding_advisor" -> (encodingAdvisor(_, _)),
     "q_supplier_balance" -> (supplierBalance(_, _)),
     "q_region_trade" -> (regionTrade(_, _)),
     "q_acctbal_profile" -> (acctbalProfile(_, _)),
@@ -6022,6 +6090,58 @@ object Analytics {
         |  CAST(CAST(SUM(cents) AS HUGEINT) // MAX(n) AS BIGINT)
         |    AS mean_retail_cents
         |FROM cum GROUP BY p_type ORDER BY p_type""".stripMargin,
+    // same order-clustered lag runs, exact binary-length dict bits,
+    // and the pinned rle/dict/plain thresholds
+    "q_encoding_advisor" ->
+      """WITH base AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    l_returnflag AS rf, l_linestatus AS ls,
+        |    CAST(floor(l_quantity) AS BIGINT) AS qty, l_partkey AS pk,
+        |    epoch_us(l_shipdate) // 86400000000 AS day
+        |  FROM lineitem),
+        |chg AS (
+        |  SELECT *,
+        |    CASE WHEN lag(rf) OVER w IS NULL OR rf <> lag(rf) OVER w
+        |      THEN 1 ELSE 0 END AS chg_rf,
+        |    CASE WHEN lag(ls) OVER w IS NULL OR ls <> lag(ls) OVER w
+        |      THEN 1 ELSE 0 END AS chg_ls,
+        |    CASE WHEN lag(qty) OVER w IS NULL OR qty <> lag(qty) OVER w
+        |      THEN 1 ELSE 0 END AS chg_qty,
+        |    CASE WHEN lag(pk) OVER w IS NULL OR pk <> lag(pk) OVER w
+        |      THEN 1 ELSE 0 END AS chg_pk,
+        |    CASE WHEN lag(day) OVER w IS NULL OR day <> lag(day) OVER w
+        |      THEN 1 ELSE 0 END AS chg_day
+        |  FROM base
+        |  WINDOW w AS (PARTITION BY l_orderkey
+        |    ORDER BY l_linenumber, pk, qty, day, rf, ls)),
+        |agg AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(COUNT(DISTINCT rf) AS BIGINT) AS d_rf,
+        |    CAST(SUM(chg_rf) AS BIGINT) AS r_rf,
+        |    CAST(COUNT(DISTINCT ls) AS BIGINT) AS d_ls,
+        |    CAST(SUM(chg_ls) AS BIGINT) AS r_ls,
+        |    CAST(COUNT(DISTINCT qty) AS BIGINT) AS d_qty,
+        |    CAST(SUM(chg_qty) AS BIGINT) AS r_qty,
+        |    CAST(COUNT(DISTINCT pk) AS BIGINT) AS d_pk,
+        |    CAST(SUM(chg_pk) AS BIGINT) AS r_pk,
+        |    CAST(COUNT(DISTINCT day) AS BIGINT) AS d_day,
+        |    CAST(SUM(chg_day) AS BIGINT) AS r_day
+        |  FROM chg),
+        |rows5 AS (
+        |  SELECT 'l_linestatus' AS column_name, n_rows, d_ls AS n_distinct, r_ls AS n_runs FROM agg
+        |  UNION ALL SELECT 'l_partkey', n_rows, d_pk, r_pk FROM agg
+        |  UNION ALL SELECT 'l_quantity', n_rows, d_qty, r_qty FROM agg
+        |  UNION ALL SELECT 'l_returnflag', n_rows, d_rf, r_rf FROM agg
+        |  UNION ALL SELECT 'l_shipday', n_rows, d_day, r_day FROM agg)
+        |SELECT column_name, n_rows, n_distinct, n_runs,
+        |  (n_rows * 1000000) // n_runs AS rle_ratio_e6,
+        |  CAST(CASE WHEN n_distinct <= 1 THEN 0
+        |       ELSE length(bin(n_distinct - 1)) END AS BIGINT) AS dict_bits,
+        |  CASE WHEN (n_rows * 1000000) // n_runs >= 2000000 THEN 'rle'
+        |       WHEN (CASE WHEN n_distinct <= 1 THEN 0
+        |             ELSE length(bin(n_distinct - 1)) END) <= 16
+        |       THEN 'dict' ELSE 'plain' END AS suggested
+        |FROM rows5 ORDER BY column_name""".stripMargin,
     // same census, top-H by (count desc, key), tail by subtraction,
     // HUGEINT sums mirroring the decimal(38,0) path
     "q_join_card" ->

@@ -5232,6 +5232,46 @@ class OperatorSpec extends SparkSpec {
     assert(got.count { case (id, _, _, b) => addOne(id) != b } > got.size / 2)
   }
 
+  test("encoding_advisor matches a local run-count recompute") {
+    val rows = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
+        "l_quantity", "l_partkey", "l_shipdate").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getString(3),
+        math.floor(r.getDouble(4)).toLong, r.getLong(5),
+        r.getAs[java.time.LocalDateTime](6)
+          .toEpochSecond(java.time.ZoneOffset.UTC) / 86400L))
+      // the engines' total order: (linenumber, pk, qty, day, rf, ls)
+      // within order
+      .sortBy(t => (t._1, t._2, t._6, t._5, t._7, t._3, t._4))
+    def audit(name: String, vs: Seq[(Long, Any)]): (String, Long, Long, Long) = {
+      // vs = (orderkey, value) in (orderkey, linenumber) order
+      val runs = vs.indices.count(i =>
+        i == 0 || vs(i)._1 != vs(i - 1)._1 || vs(i)._2 != vs(i - 1)._2)
+      (name, vs.map(_._2).distinct.size.toLong, runs.toLong, vs.size.toLong)
+    }
+    val want = Seq(
+      audit("l_linestatus", rows.map(t => (t._1, t._4: Any)).toSeq),
+      audit("l_partkey", rows.map(t => (t._1, t._6: Any)).toSeq),
+      audit("l_quantity", rows.map(t => (t._1, t._5: Any)).toSeq),
+      audit("l_returnflag", rows.map(t => (t._1, t._3: Any)).toSeq),
+      audit("l_shipday", rows.map(t => (t._1, t._7: Any)).toSeq))
+      .map { case (n, d, r, nr) =>
+        val bits = if (d <= 1) 0L else java.lang.Long.toBinaryString(d - 1).length.toLong
+        val ratio = nr * 1000000L / r
+        val sug = if (ratio >= 2000000L) "rle" else if (bits <= 16) "dict" else "plain"
+        (n, nr, d, r, ratio, bits, sug)
+      }
+    val got = run("q_encoding_advisor").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getString(6))).toSeq
+    assert(got == want)
+    // sanity: the low-cardinality flags dictionary-encode; the
+    // high-cardinality key does not RLE
+    val byName = got.map(t => t._1 -> t._7).toMap
+    assert(byName("l_returnflag") == "dict")
+    assert(byName("l_partkey") != "rle")
+  }
+
   test("TopKByAvgTFIDF selects buckets and appends the location feature") {
     import spark.implicits._
     val ds = (0 until 200).map { i =>

@@ -344,7 +344,9 @@ object Graph {
     val rounds = scala.collection.mutable.ArrayBuffer(
       alive.groupBy("frac").agg(count(lit(1)).as("n_alive"))
         .withColumn("round", lit(0L)))
-    (1 to KcoreRounds).foreach { r =>
+    var r = 1
+    var drained = false
+    while (r <= KcoreRounds && !drained) {
       alive = edges
         .join(alive.select(col("frac"), col("k"), col("node").as("src")),
           "src")
@@ -356,6 +358,13 @@ object Graph {
         .localCheckpoint()
       rounds += alive.groupBy("frac").agg(count(lit(1)).as("n_alive"))
         .withColumn("round", lit(r.toLong))
+      // early exit once every rung's core has unraveled: the zero-fill
+      // grid emits the remaining rounds as 0 survivors, so the output
+      // is IDENTICAL — this just skips scheduling empty peel jobs
+      // (the CC loop's driver-side convergence-check precedent; the
+      // emptiness probe reads the already-materialized checkpoint)
+      drained = alive.isEmpty
+      r += 1
     }
     val grid = ks.crossJoin(
       spark.range(0, KcoreRounds + 1).select(col("id").as("round")))

@@ -3288,6 +3288,27 @@ object Analytics {
   private[graft] val ZFiles = 32
   private[graft] val ZSlices = 16
 
+  /** The Hilbert xy→d transform as [[ZBits]] unrolled integer stages
+    * (the textbook loop: quadrant digit (3·rx) xor ry at weight s²,
+    * then reflect-and-swap — xor spelled as a 4-case CASE so neither
+    * engine needs a bitwise operator). Returns the per-stage
+    * (x, y, d) update expressions over the previous stage's columns
+    * `$px/$py/$pd`; both engines chain the identical text modulo the
+    * div spelling. */
+  private def hilbertStage(s: Int, px: String, py: String, pd: String,
+      div: String): (String, String, String) = {
+    val n1 = (1 << ZBits) - 1
+    val rx = s"(($px $div $s) % 2)"
+    val ry = s"(($py $div $s) % 2)"
+    val digit = s"(CASE WHEN $rx = 0 AND $ry = 0 THEN 0" +
+      s" WHEN $rx = 0 THEN 1 WHEN $ry = 0 THEN 3 ELSE 2 END)"
+    val xNew = s"(CASE WHEN $ry = 0 THEN" +
+      s" (CASE WHEN $rx = 1 THEN $n1 - $py ELSE $py END) ELSE $px END)"
+    val yNew = s"(CASE WHEN $ry = 0 THEN" +
+      s" (CASE WHEN $rx = 1 THEN $n1 - $px ELSE $px END) ELSE $py END)"
+    (xNew, yNew, s"($pd + ${s.toLong * s} * $digit)")
+  }
+
   /** The bit-interleave as a plain integer expression (shared text
     * for both engines modulo the div spelling): bit b of each scaled
     * coordinate lands at position 2b+1 / 2b. */
@@ -3297,28 +3318,31 @@ object Analytics {
         s" + (($sy $div ${1 << b}) % 2) * ${1L << (2 * b)}"
     }.mkString(" + ")
 
-  /** q_zorder_layout: the data-LAYOUT advisor — would Z-ordering this
-    * fact table beat a linear sort for file skipping? Scales
-    * (l_partkey, l_suppkey) onto a 2⁸×2⁸ grid, assigns each row to one
-    * of [[ZFiles]] files two ways (interleaved-bit Z-value ranges vs
-    * partkey-linear ranges), computes the per-file min/max zone maps a
-    * lakehouse keeps anyway, and probes them with [[ZSlices]]
-    * equal-width single-dimension predicates per dimension: the
-    * reported scan fraction is exactly the fraction of files a
-    * min/max-pruning reader must open. The point the numbers make:
-    * linear layout prunes perfectly on its sort key and NOT AT ALL on
-    * the other dimension (every file spans the full suppkey range);
-    * Z-order prunes BOTH dimensions at ~√F cost — the reason Delta
-    * and Iceberg OPTIMIZE ZORDER BY exists. At 100 TB this decision
-    * is the difference between reading 3% and 100% of a petabyte per
-    * dashboard filter.
+  /** q_zorder_layout: the data-LAYOUT advisor — would space-filling
+    * clustering of this fact table beat a linear sort for file
+    * skipping, and which curve? Scales (l_partkey, l_suppkey) onto a
+    * 2⁸×2⁸ grid, assigns each row to one of [[ZFiles]] files three
+    * ways (partkey-linear ranges, Morton/Z-value ranges, Hilbert-value
+    * ranges), computes the per-file min/max zone maps a lakehouse
+    * keeps anyway, and probes them with [[ZSlices]] equal-width
+    * single-dimension predicates per dimension: the reported scan
+    * fraction is exactly the fraction of files a min/max-pruning
+    * reader must open. The point the numbers make: linear layout
+    * prunes perfectly on its sort key and NOT AT ALL on the other
+    * dimension; both curves prune BOTH dimensions at ~√F cost — the
+    * reason Delta/Iceberg OPTIMIZE ZORDER BY exists — and Hilbert
+    * edges Z because it never takes Z's diagonal jumps (every Hilbert
+    * step is unit distance, so file ranges are tighter rectangles).
+    * At 100 TB this decision is the difference between reading 3%
+    * and 100% of a petabyte per dashboard filter.
     *
     * The Z-value is the textbook Morton interleave, unrolled to 16
-    * integer terms (pure div/%/× — codegen'd in Spark, re-derived
-    * verbatim by the oracle). File assignment is by fixed Z/key
-    * ranges (contiguous value ranges, sort-free: one pass computes
-    * the layout verdict; an actual rewrite would range-partition by
-    * the same key).
+    * integer terms; the Hilbert value is the textbook reflect-and-swap
+    * loop, unrolled to [[ZBits]] pure-integer stages (xor spelled as a
+    * 4-case CASE — no bitwise ops, so both engines chain identical
+    * text). File assignment is by fixed value ranges (contiguous,
+    * sort-free: one pass computes the layout verdict; an actual
+    * rewrite would range-partition by the same key).
     *
     * Scale shape: one min/max agg (1-row broadcast) → map-only
     * scale+interleave+assign → per-file min/max agg (≤ 2·[[ZFiles]]
@@ -3334,15 +3358,29 @@ object Analytics {
       expr(s"((x - mnx) * $grid) div (mxx - mnx + 1)").as("sx"),
       expr(s"((y - mny) * $grid) div (mxy - mny + 1)").as("sy"))
     val cellsPerFile = (grid.toLong * grid) / ZFiles
-    val assigned = scaled.select(col("sx"), col("sy"),
+    // Hilbert index: ZBits unrolled reflect-and-swap stages chained
+    // through named columns (hx/hy/hd), identical text in the oracle
+    val hilberted = (0 until ZBits).foldLeft(
+      scaled.withColumn("hx", col("sx")).withColumn("hy", col("sy"))
+        .withColumn("hd", lit(0L))) { (df, i) =>
+      val s = 1 << (ZBits - 1 - i)
+      val (xN, yN, dN) = hilbertStage(s, "hx", "hy", "hd", "div")
+      df.withColumn("hx2", expr(xN)).withColumn("hy2", expr(yN))
+        .withColumn("hd", expr(dN))
+        .drop("hx", "hy")
+        .withColumnRenamed("hx2", "hx").withColumnRenamed("hy2", "hy")
+    }
+    val assigned = hilberted.select(col("sx"), col("sy"),
       expr(s"(${zInterleave("sx", "sy", "div")}) div $cellsPerFile").as("zfile"),
-      expr(s"sx div ${grid / ZFiles}").as("linfile"))
+      expr(s"sx div ${grid / ZFiles}").as("linfile"),
+      expr(s"hd div $cellsPerFile").as("hfile"))
     def zones(fileCol: String, layout: String) = assigned
       .groupBy(col(fileCol).as("f"))
       .agg(min("sx").as("mnx"), max("sx").as("mxx"),
         min("sy").as("mny"), max("sy").as("mxy"))
       .withColumn("layout", lit(layout))
     val zoneMaps = zones("zfile", "zorder").unionByName(zones("linfile", "linear"))
+      .unionByName(zones("hfile", "hilbert"))
       .localCheckpoint() // probed once per dimension
     val sliceW = grid / ZSlices
     val slices = spark.range(ZSlices).select(
@@ -6172,8 +6210,8 @@ object Analytics {
          |  CAST((abs(est_hist - exact_pairs) * 1000000) // exact_pairs
          |    AS BIGINT) AS err_hist_e6
          |FROM est""".stripMargin,
-    // same grid scaling, the identical 16-term Morton interleave, and
-    // the same zone-map slice probes
+    // same grid scaling, the identical 16-term Morton interleave, the
+    // identical unrolled Hilbert stages, and the same zone-map probes
     "q_zorder_layout" ->
       s"""WITH mm AS (
          |  SELECT MIN(l_partkey) AS mnx, MAX(l_partkey) AS mxx,
@@ -6182,19 +6220,30 @@ object Analytics {
          |  SELECT ((l_partkey - mnx) * ${1 << ZBits}) // (mxx - mnx + 1) AS sx,
          |    ((l_suppkey - mny) * ${1 << ZBits}) // (mxy - mny + 1) AS sy
          |  FROM lineitem, mm),
+         |h0 AS (SELECT sx, sy, sx AS hx, sy AS hy,
+         |       CAST(0 AS BIGINT) AS hd FROM scaled),
+         |${(0 until ZBits).map { i =>
+            val s = 1 << (ZBits - 1 - i)
+            val (xN, yN, dN) = hilbertStage(s, "hx", "hy", "hd", "//")
+            s"h${i + 1} AS (SELECT sx, sy, $xN AS hx, $yN AS hy, $dN AS hd FROM h$i)"
+          }.mkString(",\n")},
          |assigned AS (
          |  SELECT sx, sy,
          |    (${zInterleave("sx", "sy", "//")})
          |      // ${(1L << (2 * ZBits)) / ZFiles} AS zfile,
-         |    sx // ${(1 << ZBits) / ZFiles} AS linfile
-         |  FROM scaled),
+         |    sx // ${(1 << ZBits) / ZFiles} AS linfile,
+         |    hd // ${(1L << (2 * ZBits)) / ZFiles} AS hfile
+         |  FROM h$ZBits),
          |zz AS (
          |  SELECT 'zorder' AS layout, zfile AS f, MIN(sx) AS mnx,
          |    MAX(sx) AS mxx, MIN(sy) AS mny, MAX(sy) AS mxy
          |  FROM assigned GROUP BY zfile
          |  UNION ALL
          |  SELECT 'linear', linfile, MIN(sx), MAX(sx), MIN(sy), MAX(sy)
-         |  FROM assigned GROUP BY linfile),
+         |  FROM assigned GROUP BY linfile
+         |  UNION ALL
+         |  SELECT 'hilbert', hfile, MIN(sx), MAX(sx), MIN(sy), MAX(sy)
+         |  FROM assigned GROUP BY hfile),
          |slices AS (
          |  SELECT i * ${(1 << ZBits) / ZSlices} AS lo,
          |    i * ${(1 << ZBits) / ZSlices} + ${(1 << ZBits) / ZSlices - 1} AS hi

@@ -5114,12 +5114,32 @@ class OperatorSpec extends SparkSpec {
     def z(sx: Long, sy: Long): Long = (0 until 8).map { b =>
       ((sx >> b) & 1) << (2 * b + 1) | ((sy >> b) & 1) << (2 * b)
     }.sum
+    def hilbert(sx: Long, sy: Long): Long = {
+      var (x, y, d) = (sx, sy, 0L)
+      var s = 128L
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = 255 - x; y = 255 - y }
+          val t = x; x = y; y = t
+        }
+        s >>= 1
+      }
+      d
+    }
     val byFile: Map[(String, Long), Array[(Long, Long)]] =
       scaled.groupBy(p => z(p._1, p._2) / 2048).map { case (f, ps) =>
         ("zorder", f) -> ps
-      } ++ scaled.groupBy(_._1 / 8).map { case (f, ps) => ("linear", f) -> ps }
+      } ++ scaled.groupBy(_._1 / 8).map { case (f, ps) => ("linear", f) -> ps } ++
+        scaled.groupBy(p => hilbert(p._1, p._2) / 2048).map { case (f, ps) =>
+          ("hilbert", f) -> ps
+        }
     val want = (for {
-      (layout, dimIdx, dimName) <- Seq(("linear", 0, "part"), ("linear", 1, "supp"),
+      (layout, dimIdx, dimName) <- Seq(
+        ("hilbert", 0, "part"), ("hilbert", 1, "supp"),
+        ("linear", 0, "part"), ("linear", 1, "supp"),
         ("zorder", 0, "part"), ("zorder", 1, "supp"))
     } yield {
       // toSeq first: collecting (mn, mx) pairs straight out of a Map
@@ -5147,6 +5167,12 @@ class OperatorSpec extends SparkSpec {
     assert(frac(("linear", "part")) < 300000L)
     assert(frac(("zorder", "part")) < 700000L)
     assert(frac(("zorder", "supp")) < 700000L)
+    assert(frac(("hilbert", "part")) < 700000L)
+    assert(frac(("hilbert", "supp")) < 700000L)
+    // the curve comparison: Hilbert's unit-step locality is never
+    // worse than Z's diagonal jumps on total files probed
+    assert(frac(("hilbert", "part")) + frac(("hilbert", "supp"))
+      <= frac(("zorder", "part")) + frac(("zorder", "supp")))
   }
 
   test("weighted_sample matches a local E-S recompute and skews to length") {

@@ -2266,6 +2266,64 @@ object Analytics {
       .orderBy("l_partkey")
   }
 
+  /** SAX geometry for [[saxMotifs]]: 8 PAA segments, 4 symbols, and
+    * the minimum distinct price days for a meaningful shape. */
+  private[graft] val SaxSegments = 8
+  private[graft] val SaxAlphabet = 4
+  private[graft] val SaxMinDays = 16L
+
+  /** q_sax_motifs: time-series SHAPE motifs over the per-part price
+    * series — SAX-style symbolization (Lin/Keogh et al., DMKD'03:
+    * piecewise aggregate approximation + small-alphabet symbols) with
+    * equal-FREQUENCY per-series discretization instead of the paper's
+    * Gaussian breakpoints, so the word is an exact integer object: a
+    * part's price-day sequence collapses to [[SaxSegments]] rank-axis
+    * segments, each segment to its integer mean, segments to symbols
+    * by within-part rank (the shape, independent of the part's price
+    * LEVEL and SCALE — the z-normalization's exact-arithmetic stand-in),
+    * symbols to an 8-char word. Equal words = parts whose prices moved
+    * the same way: the motif census ("how many parts rise-then-fall?")
+    * is the indexing primitive similarity search over 10⁹ series
+    * builds on — word-bucket equality replaces curve comparison, the
+    * SAX trick.
+    *
+    * Scale shape: the (part, day) collapse is the q_theil_sen census;
+    * rank/segment/symbol are per-part windows (frames = price days
+    * per part, a catalog constant); the word builds in ONE per-part
+    * agg (sort_array of ≤ [[SaxSegments]] structs); the census is a
+    * word-keyed two-phase agg. No global sort anywhere. */
+  def saxMotifs(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        expr("unix_micros(cast(l_shipdate as timestamp)) div 86400000000")
+          .as("day"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy("l_partkey", "day")
+      .agg(min("cents").as("cents"))
+    val sized = pts
+      .withColumn("n_days", count(lit(1)).over(
+        Window.partitionBy("l_partkey")))
+      .filter(col("n_days") >= SaxMinDays)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("l_partkey").orderBy("day")))
+      .withColumn("seg", expr(s"((rnk - 1) * $SaxSegments) div n_days"))
+    val segs = sized.groupBy("l_partkey", "seg")
+      .agg(expr("sum(cents) div count(1)").as("m"))
+      .withColumn("sym", expr(
+        s"""(cast(row_number() over (partition by l_partkey
+           |  order by m, seg) as bigint) - 1)
+           |  div ${SaxSegments / SaxAlphabet}"""
+          .stripMargin.replace('\n', ' ')))
+    segs.groupBy("l_partkey")
+      .agg(expr(
+        """array_join(transform(array_sort(collect_list(struct(seg, sym))),
+          |  x -> cast(x.sym as string)), '')""".stripMargin.replace('\n', ' '))
+        .as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("n_parts"), min("l_partkey").as("sample_part"))
+      .orderBy(col("n_parts").desc, col("word").asc)
+  }
+
   /** Window-funnel horizon: all steps must land within 1 h of step 1. */
   private val StepWinMs = 3600000L
 
@@ -4994,6 +5052,7 @@ object Analytics {
     "q_zorder_layout" -> (zorderLayout(_, _)),
     "q_join_card" -> (joinCard(_, _)),
     "q_encoding_advisor" -> (encodingAdvisor(_, _)),
+    "q_sax_motifs" -> (saxMotifs(_, _)),
     "q_supplier_balance" -> (supplierBalance(_, _)),
     "q_region_trade" -> (regionTrade(_, _)),
     "q_acctbal_profile" -> (acctbalProfile(_, _)),
@@ -6128,6 +6187,39 @@ object Analytics {
         |  CAST(CAST(SUM(cents) AS HUGEINT) // MAX(n) AS BIGINT)
         |    AS mean_retail_cents
         |FROM cum GROUP BY p_type ORDER BY p_type""".stripMargin,
+    // same day collapse, rank-axis segments, within-part rank symbols,
+    // and ORDER BY segment word build
+    "q_sax_motifs" ->
+      s"""WITH pts AS (
+         |  SELECT l_partkey,
+         |    epoch_us(l_shipdate) // 86400000000 AS day,
+         |    CAST(MIN(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+         |      AS BIGINT) AS cents
+         |  FROM lineitem
+         |  GROUP BY l_partkey, epoch_us(l_shipdate) // 86400000000),
+         |sized AS (
+         |  SELECT *,
+         |    COUNT(*) OVER (PARTITION BY l_partkey) AS n_days,
+         |    ROW_NUMBER() OVER (PARTITION BY l_partkey ORDER BY day) AS rnk
+         |  FROM pts
+         |  QUALIFY n_days >= $SaxMinDays),
+         |segs AS (
+         |  SELECT l_partkey, ((rnk - 1) * $SaxSegments) // n_days AS seg,
+         |    SUM(cents) // COUNT(*) AS m
+         |  FROM sized GROUP BY l_partkey, ((rnk - 1) * $SaxSegments) // n_days),
+         |syms AS (
+         |  SELECT l_partkey, seg,
+         |    (ROW_NUMBER() OVER (PARTITION BY l_partkey ORDER BY m, seg) - 1)
+         |      // ${SaxSegments / SaxAlphabet} AS sym
+         |  FROM segs),
+         |words AS (
+         |  SELECT l_partkey,
+         |    string_agg(CAST(sym AS VARCHAR), '' ORDER BY seg) AS word
+         |  FROM syms GROUP BY l_partkey)
+         |SELECT word, CAST(COUNT(*) AS BIGINT) AS n_parts,
+         |  MIN(l_partkey) AS sample_part
+         |FROM words GROUP BY word
+         |ORDER BY n_parts DESC, word ASC""".stripMargin,
     // same order-clustered lag runs, exact binary-length dict bits,
     // and the pinned rle/dict/plain thresholds
     "q_encoding_advisor" ->

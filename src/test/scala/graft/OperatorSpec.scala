@@ -5298,6 +5298,38 @@ class OperatorSpec extends SparkSpec {
     assert(byName("l_partkey") != "rle")
   }
 
+  test("sax_motifs matches a local shape-word recompute") {
+    val pts = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_partkey", "l_shipdate", "l_extendedprice").collect()
+      .map(r => ((r.getLong(0),
+        r.getAs[java.time.LocalDateTime](1)
+          .toEpochSecond(java.time.ZoneOffset.UTC) / 86400L),
+        math.floor(r.getDouble(2) * 100 + 0.5).toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val byPart = pts.toSeq.map { case ((p, d), c) => (p, d, c) }
+      .groupBy(_._1).filter(_._2.size >= 16)
+    val want = byPart.map { case (p, rows) =>
+      val days = rows.sortBy(_._2)
+      val n = days.size
+      val segs = days.zipWithIndex
+        .groupBy { case (_, i) => i.toLong * 8 / n }
+        .map { case (s, xs) =>
+          (s, xs.map(_._1._3).sum / xs.size) }.toSeq
+      val syms = segs.sortBy { case (s, m) => (m, s) }.zipWithIndex
+        .map { case ((s, _), r) => (s, r / 2) }
+      p -> syms.sortBy(_._1).map(_._2).mkString("")
+    }.toSeq
+      .groupBy(_._2).map { case (w, ps) =>
+        (w, ps.size.toLong, ps.map(_._1).min) }
+      .toSeq.sortBy(t => (-t._2, t._1))
+    val got = run("q_sax_motifs").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+    // non-vacuous: real price series produce multiple distinct shapes
+    assert(got.size > 1)
+    assert(got.map(_._2).sum == byPart.size.toLong)
+  }
+
   test("TopKByAvgTFIDF selects buckets and appends the location feature") {
     import spark.implicits._
     val ds = (0 until 200).map { i =>

@@ -103,7 +103,9 @@ object Similarity {
     * [[clusterSample]]: one row per undirected edge (id_a < id_b, raw
     * cosine, both direction ranks), directed top-k halves met on
     * (id_a, id_b). */
-  private def knnMutual(spark: SparkSession, dir: String, k: Int = KnnK): DataFrame = {
+  /** The exact all-pairs cosine scoring behind [[knnMutual]] and
+    * [[lof]] (broadcast side table, map-side scores). */
+  private def allPairsScored(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.widened(Tables.embeddings(spark, dir))
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
@@ -112,22 +114,78 @@ object Similarity {
     // dot folds in pinned index order and multiplication commutes
     // elementwise, so cos(a,b) and cos(b,a) are bit-identical — the
     // two directed halves agree exactly, on both engines.
-    val scored = emb.join(broadcast(rhs), col("vec_id") =!= col("id_b"))
+    emb.join(broadcast(rhs), col("vec_id") =!= col("id_b"))
       .select(col("vec_id").as("id_a"), col("id_b"),
         (dot(col("v"), col("vb")) / (col("nrm") * col("nb"))).as("cos_raw"))
-    mutualEdges(scored, k)
+  }
+
+  private def knnMutual(spark: SparkSession, dir: String, k: Int = KnnK): DataFrame =
+    mutualEdges(allPairsScored(spark, dir), k)
+
+  /** q_lof: Local Outlier Factor (Breunig/Kriegel/Ng/Sander,
+    * SIGMOD'00) over the embedding table — the canonical
+    * DENSITY-relative outlier score, completing the outlier set:
+    * q_anomaly_mad is univariate, q_embed_outliers is
+    * distance-to-own-centroid (misses outliers between clusters and
+    * flags sparse-cluster members), LOF compares each point's local
+    * density to its NEIGHBORS' local densities, so a point is
+    * anomalous only relative to its own neighborhood — the detector
+    * that works when clusters have different densities.
+    *
+    * Exact integer pipeline over the kNN substrate: cosine distance
+    * d = 10⁶ − cos_e6 per directed top-[[KnnK]] edge; k-distance(a) =
+    * max d over a's list (the rank-K neighbor — d is monotone in
+    * rank); reach(a→b) = max(k-dist(b), d(a,b)); srd(a) = Σ reach
+    * (floored at 1: an all-duplicate neighborhood has zero distance);
+    * LOF(a) = mean over neighbors of lrd(b)/lrd(a) = mean of
+    * srd(a)/srd(b) — one truncating division per edge, one per node,
+    * nonnegative throughout. LOF ≈ 10⁶ = as dense as its neighbors;
+    * ≫ 10⁶ = outlier.
+    *
+    * Scale shape: the all-pairs scoring is the documented exact
+    * baseline (the q_knn_graph contract — at corpus scale the SAME
+    * tail consumes forest candidates); everything past
+    * [[directedTopK]] runs on |nodes|·K rows: one max-agg, one
+    * kdist equi-join, one sum-agg, two srd equi-joins, one mean-agg. */
+  def lof(spark: SparkSession, dir: String): DataFrame = {
+    val top = directedTopK(allPairsScored(spark, dir), KnnK)
+    val dists = top.select(col("id_a"), col("id_b"),
+        (lit(1000000L) - floor(col("cos_raw") * 1e6 + 0.5).cast("long")).as("d"))
+      .localCheckpoint() // three readers: kdist, reach, the ratio edges
+    val kd = dists.groupBy("id_a").agg(max("d").as("kdist"))
+    val srd = dists
+      .join(kd.select(col("id_a").as("id_b"), col("kdist")), "id_b")
+      .groupBy("id_a")
+      .agg(greatest(sum(greatest(col("kdist"), col("d"))), lit(1L)).as("srd"))
+      .localCheckpoint() // both sides of the ratio join
+    dists.select("id_a", "id_b")
+      .join(srd.select(col("id_a"), col("srd").as("srd_a")), "id_a")
+      .join(srd.select(col("id_a").as("id_b"), col("srd").as("srd_b")), "id_b")
+      .groupBy("id_a")
+      .agg(expr(s"sum((srd_a * 1000000) div srd_b) div $KnnK").as("lof_e6"))
+      .join(kd, "id_a")
+      .join(srd, "id_a")
+      .select(col("id_a").as("vec_id"), col("kdist").as("kdist_e6"),
+        col("srd").as("srd_e6"), col("lof_e6"))
+      .orderBy("vec_id")
   }
 
   /** The rank-and-mutual tail shared by the exact ([[knnMutual]]) and
     * candidate-fed ([[knnGraphApprox]]) graph builds: per-node top-k
     * by cosine, directed halves met in an equi-join on the edge key. */
-  private def mutualEdges(scored: DataFrame, k: Int): DataFrame = {
+  /** Per-node directed top-k by cosine (|nodes|·k rows, checkpointed
+    * — the neighbor-list substrate mutualEdges and [[lof]] read). */
+  private def directedTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("id_a")
       .orderBy(col("cos_raw").desc, col("id_b").asc)
-    // consumed by both directions of the mutual join; |nodes|·k rows
-    val top = scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .localCheckpoint()
+  }
+
+  private def mutualEdges(scored: DataFrame, k: Int): DataFrame = {
+    // consumed by both directions of the mutual join
+    val top = directedTopK(scored, k)
     val rev = top.select(col("id_b").as("id_a"), col("id_a").as("id_b"),
       col("rank").as("rank_ba"))
     top.filter(col("id_a") < col("id_b"))
@@ -1630,6 +1688,7 @@ object Similarity {
     "q_mutual_info" -> (mutualInfo(_, _)),
     "q_ann_cosine" -> (annCosine(_, _)),
     "q_knn_graph" -> (knnGraph(_, _)),
+    "q_lof" -> (lof(_, _)),
     "q_knn_graph_approx" -> (knnGraphApprox(_, _)),
     "q_knn_components" -> (knnComponents(_, _)),
     "q_knn_components_approx" -> (knnComponentsApprox(_, _)),
@@ -2183,6 +2242,33 @@ object Similarity {
          |FROM top f JOIN top r ON f.id_a = r.id_b AND f.id_b = r.id_a
          |WHERE f.id_a < f.id_b
          |ORDER BY f.id_a, f.id_b""".stripMargin,
+    // same directed top-K substrate, e6 distances, max-d k-distance,
+    // reach/srd sums, and the per-edge truncating ratio mean
+    "q_lof" ->
+      s"""WITH ${knnTopSql(KnnK)},
+         |dists AS (
+         |  SELECT id_a, id_b,
+         |    1000000 - CAST(floor(cos_raw * 1e6 + 0.5) AS BIGINT) AS d
+         |  FROM top),
+         |kd AS (SELECT id_a, CAST(MAX(d) AS BIGINT) AS kdist
+         |       FROM dists GROUP BY id_a),
+         |srd AS (
+         |  SELECT t.id_a,
+         |    GREATEST(CAST(SUM(GREATEST(k.kdist, t.d)) AS BIGINT), 1) AS srd
+         |  FROM dists t JOIN kd k ON k.id_a = t.id_b
+         |  GROUP BY t.id_a),
+         |lf AS (
+         |  SELECT t.id_a,
+         |    CAST(SUM((sa.srd * 1000000) // sb.srd) // $KnnK AS BIGINT)
+         |      AS lof_e6
+         |  FROM dists t
+         |  JOIN srd sa ON sa.id_a = t.id_a
+         |  JOIN srd sb ON sb.id_a = t.id_b
+         |  GROUP BY t.id_a)
+         |SELECT l.id_a AS vec_id, k.kdist AS kdist_e6, s.srd AS srd_e6,
+         |  l.lof_e6
+         |FROM lf l JOIN kd k ON k.id_a = l.id_a JOIN srd s ON s.id_a = l.id_a
+         |ORDER BY vec_id""".stripMargin,
     // the exact graph's rank-and-mutual tail over forest candidates
     // only — same forest derivation as the LSH oracle
     "q_knn_graph_approx" ->

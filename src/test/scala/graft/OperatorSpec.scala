@@ -5330,6 +5330,42 @@ class OperatorSpec extends SparkSpec {
     assert(got.map(_._2).sum == byPart.size.toLong)
   }
 
+  test("lof matches a local recompute and centers near 1e6") {
+    val embs = graft.sources.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val k = 10
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val tops: Map[Long, Seq[(Long, Long)]] = embs.map { case (id, v) =>
+      id -> embs.filter(_._1 != id)
+        .map { case (j, w) => (j, cos(v, w)) }
+        .sortBy { case (j, c) => (-c, j) }.take(k)
+        .map { case (j, c) =>
+          (j, 1000000L - math.floor(c * 1e6 + 0.5).toLong) }.toSeq
+    }.toMap
+    val kd = tops.view.mapValues(_.map(_._2).max).toMap
+    val srd = tops.map { case (id, ns) =>
+      id -> math.max(ns.map { case (j, d) => math.max(kd(j), d) }.sum, 1L)
+    }
+    val want = tops.keys.toSeq.sorted.map { id =>
+      val lof = tops(id).map { case (j, _) => srd(id) * 1000000L / srd(j) }
+        .sum / k
+      (id, kd(id), srd(id), lof)
+    }
+    val got = run("q_lof").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+    // LOF semantics: the bulk of a homogeneous cloud scores ~1e6, and
+    // the score spread is real (max strictly above min)
+    val lofs = got.map(_._4)
+    assert(lofs.count(l => l > 800000L && l < 1500000L) > lofs.size / 2)
+    assert(lofs.max > lofs.min)
+  }
+
   test("TopKByAvgTFIDF selects buckets and appends the location feature") {
     import spark.implicits._
     val ds = (0 until 200).map { i =>

@@ -3309,9 +3309,20 @@ object Analytics {
     * global sort) → tail moments by SUBTRACTION (total − top), never
     * an anti-join. Sums run in decimal(38,0): Σc² crosses 2⁶³ once a
     * key holds ~3·10⁹ rows — inside the 100 TB range. */
-  def joinCard(spark: SparkSession, dir: String): DataFrame = {
-    val census = Tables.lineitem(spark, dir)
-      .groupBy(col("l_partkey").as("k")).agg(count(lit(1)).as("c"))
+  /** The per-key count census — a plain keyed count, so the same
+    * aggregation is the batch reduction AND a streaming Update-mode
+    * state (cumulative per key; state ∝ distinct keys, the
+    * q_stream_eb table-sized precedent). */
+  private[graft] def jcCensus(li: DataFrame): DataFrame =
+    li.groupBy(col("l_partkey").as("k")).agg(count(lit(1)).as("c"))
+
+  def joinCard(spark: SparkSession, dir: String): DataFrame =
+    jcFinish(jcCensus(Tables.lineitem(spark, dir)))
+
+  /** Totals/exact/top-H/estimates over a converged census — shared by
+    * batch q_join_card and the at-ingest q_stream_join_card. */
+  private[graft] def jcFinish(censusIn: DataFrame): DataFrame = {
+    val census = censusIn
       .localCheckpoint() // three readers: totals, exact, top-H
     val totals = census.agg(
       sum(col("c").cast(DecimalType(38, 0))).as("n_rows"),

@@ -800,6 +800,22 @@ object StreamingQueries {
         graft.sources.Tables.part(spark, dir)), censusDf)
   }
 
+  /** q_stream_join_card — the optimizer's join-cardinality statistics
+    * maintained AT INGEST: the per-key count census
+    * ([[graft.operators.Analytics.jcCensus]] — a cumulative keyed
+    * count, Update-mode state ∝ distinct keys, the q_stream_eb
+    * table-sized-state precedent) upserts through the durable keyed
+    * [[TableSink]], and the exact-Σc²/uniform/histogram estimate
+    * comparison runs batch-side over the merged newest-wins view via
+    * the SHARED jcFinish — ANALYZE TABLE that never goes stale; batch
+    * oracle verbatim. */
+  def streamJoinCard(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Analytics.jcFinish(
+      TableSink.upsert(spark,
+        graft.operators.Analytics.jcCensus(
+          tableStream(spark, dir, "lineitem")),
+        Seq("k"), "join_card", dir))
+
   /** The Bloom-build pipeline over any streaming key source — split
     * out so the spec can stage keys across triggers and prove the
     * bit_or state converges. */
@@ -1373,7 +1389,8 @@ object StreamingQueries {
     "q_stream_hll" -> stateful(streamHll),
     "q_stream_kmv" -> stateful(streamKmv),
     "q_stream_bloom" -> stateful(streamBloom),
-    "q_stream_skyline" -> stateful(streamSkyline))
+    "q_stream_skyline" -> stateful(streamSkyline),
+    "q_stream_join_card" -> stateful(streamJoinCard))
 
   /** The streaming queries run real Structured Streaming, but over the
     * bounded testdata their results are deterministic functions of
@@ -1522,6 +1539,9 @@ object StreamingQueries {
     // the batch skyline oracle VERBATIM — skyCensus + skyFinish are
     // shared and the per-price max state is duplicate-insensitive
     "q_stream_skyline" -> graft.operators.Analytics.oracleSql("q_skyline"),
+    // the batch join-cardinality oracle VERBATIM — jcCensus + jcFinish
+    // are shared and the keyed counts are cumulative across batches
+    "q_stream_join_card" -> graft.operators.Analytics.oracleSql("q_join_card"),
     // the batch KMV oracle's estimator half VERBATIM (kmvTokenHashes +
     // kmvEstimates are shared); the exact-audit columns stay
     // batch-only — computing them is what the sketch exists to avoid

@@ -721,6 +721,15 @@ class StreamingSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("streaming join-card statistics equal the batch report row for row") {
+    val stream = SparkEntry.queries("q_stream_join_card")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val batch = SparkEntry.queries("q_join_card")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(stream.nonEmpty)
+    assert(stream == batch)
+  }
+
   test("checkpointed session stream survives a restart with state intact") {
     // the long-running-job reality: run 1 processes the early half of
     // the corpus under a checkpointLocation and STOPS (AvailableNow

@@ -576,6 +576,12 @@ object Curation {
   def weightedSample(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("n_chars"))
+      // zero-weight guard: Spark's div by 0 yields NULL (which sorts
+      // FIRST ascending — a zero-weight doc would silently head the
+      // sample) while DuckDB's // by 0 errors; a w=0 doc has zero
+      // inclusion probability by definition, so drop it in both
+      // engines before the truncating division.
+      .filter(col("n_chars") >= 1)
       .withColumn("u6", expr("cast(conv(substr(md5(concat('ws', " +
         "cast(doc_id as string))), 1, 15), 16, 10) as bigint) % 1000000 + 1"))
       .withColumn("nk", expr(
@@ -2428,7 +2434,7 @@ object Curation {
          |  SELECT doc_id, source, n_chars,
          |    CAST(concat('0x', substr(md5('ws' || CAST(doc_id AS VARCHAR)), 1, 15))
          |      AS BIGINT) % 1000000 + 1 AS u6
-         |  FROM documents),
+         |  FROM documents WHERE n_chars >= 1),
          |k2 AS (
          |  SELECT doc_id, source, n_chars,
          |    (CAST(floor(-ln(u6 / 1000000.0) * 1000000.0 + 0.5) AS BIGINT)

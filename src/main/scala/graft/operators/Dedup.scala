@@ -638,16 +638,19 @@ object Dedup {
     * cross-document match report it exists for. Each doc's char
     * [[WinnowK]]-gram hash sequence is slid over windows of
     * [[WinnowW]]; each window selects its minimum hash (ties → the
-    * rightmost, the paper's robust-winnowing rule); the distinct
-    * selected hashes are the doc's fingerprints. Unlike positional
+    * rightmost — standard winnowing's tie rule; the paper's ROBUST
+    * winnowing variant instead prefers the previous window's
+    * selection, a different refinement not implemented here); the
+    * distinct selected hashes are the doc's fingerprints. Unlike positional
     * rolling-hash alignment (q_substr_dup's diagonal runs) the
     * fingerprint set is position-INDEPENDENT, so reordered/spliced
     * plagiarism still matches; unlike MinHash it guarantees any shared
     * substring of ≥ k+w−1 chars is caught (density 2/(w+1) of
     * positions, a 60% index reduction at w=4).
     *
-    * Output: doc pairs sharing ≥ 2 fingerprints with the containment
-    * overlap n_shared/min(n_a, n_b) — the plagiarism-candidate list.
+    * Output: doc pairs sharing ≥ [[WinnowMinShared]] fingerprints with
+    * the containment overlap n_shared/min(n_a, n_b) — the
+    * plagiarism-candidate list.
     *
     * Scale shape: gram hashing + window minima + distinct-per-doc all
     * happen INSIDE one map-only array expression per document (no

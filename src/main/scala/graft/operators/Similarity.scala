@@ -142,13 +142,19 @@ object Similarity {
     * nonnegative throughout. LOF ≈ 10⁶ = as dense as its neighbors;
     * ≫ 10⁶ = outlier.
     *
-    * Scale shape: the all-pairs scoring is the documented exact
-    * baseline (the q_knn_graph contract — at corpus scale the SAME
-    * tail consumes forest candidates); everything past
-    * [[directedTopK]] runs on |nodes|·K rows: one max-agg, one
-    * kdist equi-join, one sum-agg, two srd equi-joins, one mean-agg. */
-  def lof(spark: SparkSession, dir: String): DataFrame = {
-    val top = directedTopK(allPairsScored(spark, dir), KnnK)
+    * Scale shape: the all-pairs scoring is the exact baseline; the
+    * corpus-scale path is REGISTERED as [[lofApprox]]
+    * (q_lof_approx), which feeds the same [[lofFrom]] tail from
+    * forest candidates. Everything past [[directedTopK]] runs on
+    * |nodes|·K rows: one max-agg, one kdist equi-join, one sum-agg,
+    * two srd equi-joins, one mean-agg. */
+  def lof(spark: SparkSession, dir: String): DataFrame =
+    lofFrom(directedTopK(allPairsScored(spark, dir), KnnK))
+
+  /** The LOF tail over any directed top-k neighbor list — shared by
+    * the exact ([[lof]]) and forest-fed ([[lofApprox]]) registrations
+    * so the two can only differ in their candidate cut. */
+  private def lofFrom(top: DataFrame): DataFrame = {
     val dists = top.select(col("id_a"), col("id_b"),
         (lit(1000000L) - floor(col("cos_raw") * 1e6 + 0.5).cast("long")).as("d"))
       .localCheckpoint() // three readers: kdist, reach, the ratio edges
@@ -162,7 +168,11 @@ object Similarity {
       .join(srd.select(col("id_a"), col("srd").as("srd_a")), "id_a")
       .join(srd.select(col("id_a").as("id_b"), col("srd").as("srd_b")), "id_b")
       .groupBy("id_a")
-      .agg(expr(s"sum((srd_a * 1000000) div srd_b) div $KnnK").as("lof_e6"))
+      // mean over the edges actually present (count(1)), not the
+      // nominal K: a node can hold < K edges when the corpus (or a
+      // candidate cut) gives it fewer neighbors, and dividing by the
+      // pinned constant would silently deflate its score.
+      .agg(expr("sum((srd_a * 1000000) div srd_b) div count(1)").as("lof_e6"))
       .join(kd, "id_a")
       .join(srd, "id_a")
       .select(col("id_a").as("vec_id"), col("kdist").as("kdist_e6"),
@@ -216,38 +226,75 @@ object Similarity {
     * 16-byte id pairs before vectors are fetched (one key join each
     * side). Everything downstream is ∝ candidates. */
   def knnGraphApprox(spark: SparkSession, dir: String, planes: Int = Planes,
-      tables: Int = LshTables): DataFrame = {
+      tables: Int = LshTables): DataFrame =
+    mutualEdges(forestScored(spark, dir, planes, tables), KnnK)
+      .select(col("id_a"), col("id_b"),
+        (floor(col("cos_raw") * 1e6 + 0.5) / 1e6).as("cosine"),
+        col("rank").as("rank_ab"), col("rank_ba"))
+      .orderBy("id_a", "id_b")
+
+  /** The no-all-pairs candidate substrate shared by every FOREST-FED
+    * sibling ([[knnGraphApprox]], [[lofApprox]],
+    * [[clusterSampleApprox]], [[clusterProfileApprox]];
+    * [[intrinsicDimApprox]] reads the un-scored [[forestPairs]]):
+    * deduped multiprobe candidate pairs with their exact cosine — the
+    * same pinned-fold IEEE tree as [[allPairsScored]], restricted to
+    * pairs colliding in the forest. */
+  private def forestScored(spark: SparkSession, dir: String,
+      planes: Int = Planes, tables: Int = LshTables): DataFrame = {
     val emb = Tables.widened(Tables.embeddings(spark, dir))
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-    val index = forestBuckets(emb.select("vec_id", "v"), planes, tables)
-    // every node probes its own bucket plus the `planes` one-flip
-    // buckets per table (the search path's multiprobe, corpus-wide)
+    val a = emb.select(col("vec_id").as("id_a"), col("v").as("va"),
+      col("nrm").as("na"))
+    val b = emb.select(col("vec_id").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    forestPairs(spark, dir, planes, tables)
+      .join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos_raw"))
+  }
+
+  /** Deduped forest candidate PAIRS, ids only — every node probes its
+    * own bucket plus the `planes` one-flip buckets per table (the
+    * search path's multiprobe, corpus-wide), candidates meet in the
+    * (table, bucket) equi-join, and 16-byte id pairs dedup BEFORE any
+    * vector moves. Σ_t Σ_bucket |probes_b|·|b| pairs, never |nodes|².
+    * The candidate set is SYMMETRIC (probing is corpus-wide and a
+    * single-bit XOR is its own inverse), so per-node neighbor lists
+    * and both directions of a mutual edge rank over the same pairs. */
+  private def forestPairs(spark: SparkSession, dir: String,
+      planes: Int = Planes, tables: Int = LshTables): DataFrame = {
+    val emb = Tables.widened(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val index = forestBuckets(emb, planes, tables)
     val probes = index
       .withColumn("probe", explode(array(col("bucket") +:
         (0 until planes).map(p =>
           col("bucket").bitwiseXOR(lit(1L << p))): _*)))
       .select(col("vec_id").as("id_a"), col("t").as("ta"), col("probe"))
-    val pairs = probes.join(
+    probes.join(
         index.select(col("vec_id").as("id_b"), col("t").as("t2"),
           col("bucket").as("b2")),
         col("ta") === col("t2") && col("probe") === col("b2") &&
           col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val a = emb.select(col("vec_id").as("id_a"), col("v").as("va"),
-      col("nrm").as("na"))
-    val b = emb.select(col("vec_id").as("id_b"), col("v").as("vb"),
-      col("nrm").as("nb"))
-    val scored = pairs.join(a, Seq("id_a")).join(b, Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos_raw"))
-    mutualEdges(scored, KnnK)
-      .select(col("id_a"), col("id_b"),
-        (floor(col("cos_raw") * 1e6 + 0.5) / 1e6).as("cosine"),
-        col("rank").as("rank_ab"), col("rank_ba"))
-      .orderBy("id_a", "id_b")
   }
+
+  /** q_lof_approx: [[lof]] with its neighbor lists ranked over FOREST
+    * candidates instead of all pairs — the 10⁹-vector LOF: the
+    * [[forestScored]] substrate feeds the SAME [[lofFrom]] tail
+    * (k-distance, reachability, srd, ratio mean over the edges
+    * actually present), so the score semantics never change; only the
+    * candidate cut does. A node the forest gives fewer than
+    * [[KnnK]] candidates gets a shorter (denser-looking) list — the
+    * count(1) mean keeps its score honest — and a node with no
+    * candidate at all drops (no neighborhood, no density to compare).
+    * ApproxSubstrateSpec pins top-outlier agreement vs the exact
+    * scores. */
+  def lofApprox(spark: SparkSession, dir: String): DataFrame =
+    lofFrom(directedTopK(forestScored(spark, dir), KnnK))
 
   /** q_knn_components: SEMANTIC CLUSTERS — connected components over
     * the mutual-kNN graph ([[knnGraph]]'s edge set), one row per
@@ -412,9 +459,27 @@ object Similarity {
     * sorts each cluster once (bounded by the largest component; at
     * corpus scale with huge clusters the same top-⌈√n⌉ cut runs as the
     * capped-buffer aggregate, q_reservoir's O(k) shape). */
-  def clusterSample(spark: SparkSession, dir: String): DataFrame = {
-    val labels = Dedup.componentLabels(
+  def clusterSample(spark: SparkSession, dir: String): DataFrame =
+    clusterSampleFrom(spark, dir,
       knnMutual(spark, dir, SampleKnnK).select("id_a", "id_b"))
+
+  /** q_cluster_sample_approx: the ⌈√size⌉ diversity sample over
+    * FOREST-fed fine clusters — [[clusterSample]]'s tail unchanged,
+    * with the [[SampleKnnK]]-mutual edges ranked over
+    * [[forestScored]] candidates instead of all pairs: the
+    * budget-allocation stage of the 10⁹-vector curation path
+    * (forest candidates → mutual top-2 → shared CC loop → salted
+    * draws), no all-pairs stage anywhere. */
+  def clusterSampleApprox(spark: SparkSession, dir: String): DataFrame =
+    clusterSampleFrom(spark, dir,
+      mutualEdges(forestScored(spark, dir), SampleKnnK)
+        .select("id_a", "id_b"))
+
+  /** The label → size → budget → salted-draw tail shared by the exact
+    * and forest-fed diversity samplers. */
+  private def clusterSampleFrom(spark: SparkSession, dir: String,
+      edges: DataFrame): DataFrame = {
+    val labels = Dedup.componentLabels(edges)
     val lab = Tables.embeddings(spark, dir)
       .select(col("vec_id"))
       .join(labels.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
@@ -521,13 +586,31 @@ object Similarity {
     * edge node set); the per-dim sums are one two-phase aggregate on
     * (cluster, dim) keys (explode fan-out = catalog × 64); centroids
     * are cluster-count-sized and re-join members on cluster_id. */
-  def clusterProfile(spark: SparkSession, dir: String): DataFrame = {
+  def clusterProfile(spark: SparkSession, dir: String): DataFrame =
+    clusterProfileFrom(spark, dir,
+      knnMutual(spark, dir, SampleKnnK).select("id_a", "id_b"))
+
+  /** q_cluster_profile_approx: the per-cluster cohesion report over
+    * FOREST-fed fine clusters — [[clusterProfile]]'s exact-integer
+    * centroid/cosine tail unchanged, with the [[SampleKnnK]]-mutual
+    * edges ranked over [[forestScored]] candidates instead of all
+    * pairs: the quality gate of the 10⁹-vector curation path, so the
+    * clusters SemDeDup-style pruning trusts at corpus scale are the
+    * ones this report audits. */
+  def clusterProfileApprox(spark: SparkSession, dir: String): DataFrame =
+    clusterProfileFrom(spark, dir,
+      mutualEdges(forestScored(spark, dir), SampleKnnK)
+        .select("id_a", "id_b"))
+
+  /** The label → e6-quantize → centroid → member-cosine tail shared
+    * by the exact and forest-fed cluster profilers. */
+  private def clusterProfileFrom(spark: SparkSession, dir: String,
+      edges: DataFrame): DataFrame = {
     val emb = Tables.widened(Tables.embeddings(spark, dir))
       .select(col("vec_id"), expr(
         "transform(cast(embedding as array<double>), x -> cast(floor(x * 1e6 + 0.5) as bigint))")
         .as("ve"))
-    val labels = Dedup.componentLabels(
-      knnMutual(spark, dir, SampleKnnK).select("id_a", "id_b"))
+    val labels = Dedup.componentLabels(edges)
     val mem = emb
       .join(labels.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
       .select(col("vec_id"),
@@ -1643,9 +1726,10 @@ object Similarity {
     *
     * Scale shape: this registration is the exact substrate (the same
     * broadcast-scored top-k as [[knnGraph]], the documented
-    * quadratic baseline); at corpus scale the r₁/r₂ pairs come from
-    * the [[forestBuckets]] candidate feed exactly as
-    * [[knnGraphApprox]] does — the estimator itself never changes. */
+    * quadratic baseline); the corpus-scale path is REGISTERED as
+    * [[intrinsicDimApprox]] (q_intrinsic_dim_approx), which feeds the
+    * same [[intrinsicDimFinish]] from [[forestPairs]] candidates —
+    * the estimator itself never changes. */
   def intrinsicDim(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.widened(Tables.embeddings(spark, dir))
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
@@ -1655,20 +1739,59 @@ object Similarity {
     val scored = emb.join(broadcast(rhs), col("vec_id") =!= col("id_b"))
       .select(col("vec_id").as("id_a"), col("id_b"),
         (col("nrm2") - lit(2.0) * dot(col("v"), col("vb")) + col("nb2")).as("d2"))
+    intrinsicDimFinish(spark, dir, scored)
+  }
+
+  /** q_intrinsic_dim_approx: the two-NN estimator with r₁/r₂ taken
+    * from FOREST candidates instead of all pairs — the corpus-scale
+    * path [[intrinsicDim]]'s scaladoc promises, now registered: the
+    * un-scored [[forestPairs]] (ids only, deduped before any vector
+    * moves) fetch each side's vector once by key join, squared
+    * distances use the identical IEEE tree, and the SAME
+    * [[intrinsicDimFinish]] ranks, drops and divides. A node the
+    * forest gives fewer than two candidates contributes no ratio and
+    * counts as dropped — the estimate is over the n_used that have a
+    * genuine local pair, and the n_dropped column is the audit that a
+    * too-aggressive candidate cut shows up in. */
+  def intrinsicDimApprox(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.widened(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm2", dot(col("v"), col("v")))
+    val a = emb.select(col("vec_id").as("id_a"), col("v").as("va"),
+      col("nrm2").as("na2"))
+    val b = emb.select(col("vec_id").as("id_b"), col("v").as("vb"),
+      col("nrm2").as("nb2"))
+    val scored = forestPairs(spark, dir)
+      .join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("na2") - lit(2.0) * dot(col("va"), col("vb")) + col("nb2")).as("d2"))
+    intrinsicDimFinish(spark, dir, scored)
+  }
+
+  /** The rank-2 / ln-ratio / MLE tail shared by the exact and
+    * forest-fed two-NN estimators. n_dropped counts every embedding
+    * without a valid ratio — zero-distance duplicates AND (in the
+    * candidate-fed path) nodes the cut left under two neighbors — so
+    * n_used + n_dropped = |embeddings| in both registrations. */
+  private def intrinsicDimFinish(spark: SparkSession, dir: String,
+      scored: DataFrame): DataFrame = {
     val w = Window.partitionBy("id_a").orderBy(col("d2").asc, col("id_b").asc)
+    val total = Tables.embeddings(spark, dir).agg(count(lit(1)).as("n_total"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 2)
       .groupBy("id_a").agg(
         min(when(col("rank") === 1, col("d2"))).as("d1"),
         min(when(col("rank") === 2, col("d2"))).as("dn2"))
       .withColumn("lnmu", expr(
-        """case when d1 <= 0.0d or dn2 <= 0.0d then cast(null as bigint)
+        """case when d1 is null or dn2 is null or d1 <= 0.0d or dn2 <= 0.0d
+          |then cast(null as bigint)
           |else cast(floor(500000.0d * ln(dn2 / d1) + 0.5d) as bigint) end"""
           .stripMargin.replace('\n', ' ')))
       .agg(count(col("lnmu")).as("n_used"),
-        (count(lit(1)) - count(col("lnmu"))).as("n_dropped"),
         sum(expr("cast(lnmu as decimal(38,0))")).as("sln"))
-      .select(col("n_used"), col("n_dropped"),
+      .crossJoin(broadcast(total))
+      .select(col("n_used"),
+        (col("n_total") - col("n_used")).as("n_dropped"),
         expr("""case when sln is null or sln <= 0 then cast(-1 as bigint)
           |else cast((cast(n_used as decimal(38,0)) * 1000000000000)
           |  div sln as bigint) end"""
@@ -1679,6 +1802,10 @@ object Similarity {
     "q_silhouette" -> (silhouette(_, _)),
     "q_embed_drift" -> (embedDrift(_, _)),
     "q_intrinsic_dim" -> (intrinsicDim(_, _)),
+    "q_intrinsic_dim_approx" -> (intrinsicDimApprox(_, _)),
+    "q_lof_approx" -> (lofApprox(_, _)),
+    "q_cluster_sample_approx" -> (clusterSampleApprox(_, _)),
+    "q_cluster_profile_approx" -> (clusterProfileApprox(_, _)),
     "q_hard_negatives" -> (hardNegatives(_, _)),
     "q_knn_classify" -> (knnClassify(_, _)),
     "q_embed_outliers" -> (embedOutliers(_, _)),
@@ -1793,7 +1920,10 @@ object Similarity {
     * restricted to forest candidates (multiprobe, pair-distinct) —
     * composed by the q_knn_graph_approx / q_knn_components_approx
     * oracles. */
-  private def forestTopSql(k: Int): String =
+  /** The forest prelude + corpus-wide multiprobe + distinct candidate
+    * pairs (the [[forestPairs]] mirror) — composed by [[forestTopSql]]
+    * and the q_intrinsic_dim_approx oracle. */
+  private val forestCandSql: String =
     s"""$forestSqlPrelude,
        |nprobe AS (
        |  SELECT vec_id, t, bucket AS probe FROM tbuck
@@ -1803,7 +1933,10 @@ object Similarity {
        |cand AS (
        |  SELECT DISTINCT q.vec_id AS id_a, c.vec_id AS id_b
        |  FROM nprobe q JOIN tbuck c
-       |    ON q.t = c.t AND q.probe = c.bucket AND q.vec_id <> c.vec_id),
+       |    ON q.t = c.t AND q.probe = c.bucket AND q.vec_id <> c.vec_id)""".stripMargin
+
+  private def forestTopSql(k: Int): String =
+    s"""$forestCandSql,
        |scored AS (
        |  SELECT c.id_a, c.id_b,
        |    list_reduce([na.v[i] * nb.v[i] for i in range(1, len(na.v) + 1)], (x, y) -> x + y)
@@ -1841,6 +1974,147 @@ object Similarity {
        |      ORDER BY cos_raw DESC, id_b ASC) AS rank
        |  FROM scored),
        |top AS (SELECT * FROM ranked WHERE rank <= $k)""".stripMargin
+
+  /** CC labels over the mutual edges of whatever directed `top` list
+    * the prelude built — the SQL mirror of Dedup.componentLabels fed
+    * by [[mutualEdges]]; composed (under WITH RECURSIVE) with
+    * [[knnTopSql]] by the exact cluster-family oracles and with
+    * [[forestTopSql]] by their forest-fed siblings, so each pair
+    * shares its tail verbatim. */
+  private val ccLabSql: String =
+    """mutual AS (
+      |  SELECT f.id_a, f.id_b
+      |  FROM top f JOIN top r ON f.id_a = r.id_b AND f.id_b = r.id_a
+      |  WHERE f.id_a < f.id_b),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM mutual
+      |  UNION ALL SELECT id_b AS src, id_a AS dst FROM mutual),
+      |reach(node, r) AS (
+      |  SELECT vec_id, vec_id FROM embeddings
+      |  UNION
+      |  SELECT w.node, e.dst FROM reach w JOIN edges e ON e.src = w.r),
+      |lab AS (
+      |  SELECT node AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY node)""".stripMargin
+
+  /** The ⌈√size⌉-budget salted-draw tail over `lab` — shared verbatim
+    * by the exact and forest-fed q_cluster_sample oracles. */
+  private val clusterSampleTailSql: String =
+    """sz AS (
+      |  SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id),
+      |draws AS (
+      |  SELECT l.vec_id, l.cluster_id, s.cluster_size,
+      |    CAST(ceil(sqrt(CAST(s.cluster_size AS DOUBLE))) AS BIGINT) AS budget,
+      |    ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+      |      ORDER BY CAST(concat('0x',
+      |          substr(md5(concat('cs|', CAST(l.vec_id AS VARCHAR))), 1, 15)) AS BIGINT),
+      |        l.vec_id) AS pick_rank
+      |  FROM lab l JOIN sz s USING (cluster_id))
+      |SELECT vec_id, cluster_id, cluster_size, budget, pick_rank
+      |FROM draws WHERE pick_rank <= budget
+      |ORDER BY vec_id""".stripMargin
+
+  /** The e6-quantize / exact-centroid / member-cosine tail over `lab`
+    * — shared verbatim by the exact and forest-fed q_cluster_profile
+    * oracles. */
+  private val clusterProfileTailSql: String =
+    """ve AS (
+      |  SELECT vec_id,
+      |    [CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT) for x in embedding] AS v
+      |  FROM embeddings),
+      |mem AS (
+      |  SELECT l.vec_id, l.cluster_id, ve.v FROM lab l JOIN ve USING (vec_id)),
+      |dims AS (
+      |  SELECT cluster_id, i AS dim, v[i] AS val
+      |  FROM mem, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i)),
+      |cent AS (
+      |  SELECT cluster_id, dim, SUM(val) // COUNT(*) AS mean_e6
+      |  FROM dims GROUP BY cluster_id, dim),
+      |ca AS (
+      |  SELECT cluster_id, list(mean_e6 ORDER BY dim) AS ce
+      |  FROM cent GROUP BY cluster_id),
+      |sc AS (
+      |  SELECT m.vec_id, m.cluster_id,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      [m.v[i] * ca.ce[i] for i in range(1, len(m.v) + 1)]),
+      |      (a, x) -> a + x) AS dot,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      [m.v[i] * m.v[i] for i in range(1, len(m.v) + 1)]),
+      |      (a, x) -> a + x) AS na,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      [ca.ce[i] * ca.ce[i] for i in range(1, len(ca.ce) + 1)]),
+      |      (a, x) -> a + x) AS nc
+      |  FROM mem m JOIN ca USING (cluster_id)),
+      |cos AS (
+      |  SELECT cluster_id, nc,
+      |    CASE WHEN na = 0 OR nc = 0 THEN CAST(0 AS BIGINT)
+      |         ELSE CAST(floor(CAST(dot AS DOUBLE)
+      |           / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE)))
+      |           * 1e6 + 0.5) AS BIGINT) END AS cos_e6
+      |  FROM sc)
+      |SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size,
+      |  CAST(floor(sqrt(CAST(MAX(nc) AS DOUBLE)) + 0.5) AS BIGINT) AS centroid_norm_e6,
+      |  CAST(SUM(cos_e6) // COUNT(*) AS BIGINT) AS mean_cos_e6,
+      |  CAST(MIN(cos_e6) AS BIGINT) AS min_cos_e6
+      |FROM cos GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+
+  /** The k-distance / reachability / srd / ratio-mean tail over `top`
+    * — shared verbatim by the exact and forest-fed q_lof oracles.
+    * The mean divides by COUNT(*) (the edges actually present), the
+    * [[lofFrom]] rule. */
+  private val lofTailSql: String =
+    """dists AS (
+      |  SELECT id_a, id_b,
+      |    1000000 - CAST(floor(cos_raw * 1e6 + 0.5) AS BIGINT) AS d
+      |  FROM top),
+      |kd AS (SELECT id_a, CAST(MAX(d) AS BIGINT) AS kdist
+      |       FROM dists GROUP BY id_a),
+      |srd AS (
+      |  SELECT t.id_a,
+      |    GREATEST(CAST(SUM(GREATEST(k.kdist, t.d)) AS BIGINT), 1) AS srd
+      |  FROM dists t JOIN kd k ON k.id_a = t.id_b
+      |  GROUP BY t.id_a),
+      |lf AS (
+      |  SELECT t.id_a,
+      |    CAST(SUM((sa.srd * 1000000) // sb.srd) // COUNT(*) AS BIGINT)
+      |      AS lof_e6
+      |  FROM dists t
+      |  JOIN srd sa ON sa.id_a = t.id_a
+      |  JOIN srd sb ON sb.id_a = t.id_b
+      |  GROUP BY t.id_a)
+      |SELECT l.id_a AS vec_id, k.kdist AS kdist_e6, s.srd AS srd_e6,
+      |  l.lof_e6
+      |FROM lf l JOIN kd k ON k.id_a = l.id_a JOIN srd s ON s.id_a = l.id_a
+      |ORDER BY vec_id""".stripMargin
+
+  /** The rank-2 / ln-ratio / MLE tail over a `scored(id_a, id_b, d2)`
+    * CTE — shared verbatim by the exact and forest-fed
+    * q_intrinsic_dim oracles. n_dropped counts from the embeddings
+    * total (the [[intrinsicDimFinish]] rule), so candidate-less nodes
+    * in the forest path are dropped, not invisible. */
+  private val intrinsicDimTailSql: String =
+    """ranked AS (
+      |  SELECT id_a, id_b, d2,
+      |    ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY d2 ASC, id_b ASC) AS rank
+      |  FROM scored),
+      |mu AS (
+      |  SELECT id_a,
+      |    MIN(CASE WHEN rank = 1 THEN d2 END) AS d1,
+      |    MIN(CASE WHEN rank = 2 THEN d2 END) AS dn2
+      |  FROM ranked WHERE rank <= 2 GROUP BY id_a),
+      |lm AS (
+      |  SELECT CASE WHEN d1 IS NULL OR dn2 IS NULL OR d1 <= 0.0 OR dn2 <= 0.0 THEN NULL
+      |    ELSE CAST(floor(500000.0 * ln(dn2 / d1) + 0.5) AS BIGINT) END AS lnmu
+      |  FROM mu),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM embeddings),
+      |agg AS (
+      |  SELECT CAST(COUNT(lnmu) AS BIGINT) AS n_used,
+      |    SUM(CAST(lnmu AS HUGEINT)) AS sln
+      |  FROM lm)
+      |SELECT n_used, CAST(t.n_total - n_used AS BIGINT) AS n_dropped,
+      |  CASE WHEN sln IS NULL OR sln <= 0 THEN CAST(-1 AS BIGINT)
+      |       ELSE CAST((CAST(n_used AS HUGEINT) * 1000000000000)
+      |         // sln AS BIGINT) END AS d_hat_e6
+      |FROM agg, tot t""".stripMargin
 
   private val baseOracleSql: Map[String, String] = Map(
     // the IVF oracle's anchor/dist derivation, then per-point sorted
@@ -1915,10 +2189,10 @@ object Similarity {
     // the exact-kNN prelude at k=2 (euclidean), per-point ln-ratio
     // quantized e6, one exact MLE division
     "q_intrinsic_dim" ->
-      """WITH emb AS (
+      s"""WITH emb AS (
         |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
         |  FROM embeddings),
-        |nrm AS (
+        |n2 AS (
         |  SELECT vec_id, v,
         |    list_reduce([v[i] * v[i] for i in range(1, len(v) + 1)], (a, b) -> a + b) AS nrm2
         |  FROM emb),
@@ -1926,30 +2200,23 @@ object Similarity {
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |    a.nrm2 - 2.0 * list_reduce([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)],
         |      (a2, b2) -> a2 + b2) + b.nrm2 AS d2
-        |  FROM nrm a JOIN nrm b ON a.vec_id <> b.vec_id),
-        |ranked AS (
-        |  SELECT id_a, d2,
-        |    ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY d2 ASC, id_b ASC) AS rank
-        |  FROM scored),
-        |mu AS (
-        |  SELECT id_a,
-        |    MIN(CASE WHEN rank = 1 THEN d2 END) AS d1,
-        |    MIN(CASE WHEN rank = 2 THEN d2 END) AS dn2
-        |  FROM ranked WHERE rank <= 2 GROUP BY id_a),
-        |lm AS (
-        |  SELECT CASE WHEN d1 <= 0.0 OR dn2 <= 0.0 THEN NULL
-        |    ELSE CAST(floor(500000.0 * ln(dn2 / d1) + 0.5) AS BIGINT) END AS lnmu
-        |  FROM mu),
-        |agg AS (
-        |  SELECT CAST(COUNT(lnmu) AS BIGINT) AS n_used,
-        |    CAST(COUNT(*) - COUNT(lnmu) AS BIGINT) AS n_dropped,
-        |    SUM(CAST(lnmu AS HUGEINT)) AS sln
-        |  FROM lm)
-        |SELECT n_used, n_dropped,
-        |  CASE WHEN sln IS NULL OR sln <= 0 THEN CAST(-1 AS BIGINT)
-        |       ELSE CAST((CAST(n_used AS HUGEINT) * 1000000000000)
-        |         // sln AS BIGINT) END AS d_hat_e6
-        |FROM agg""".stripMargin,
+        |  FROM n2 a JOIN n2 b ON a.vec_id <> b.vec_id),
+        |$intrinsicDimTailSql""".stripMargin,
+    // the identical two-NN tail over forest-candidate pairs only
+    "q_intrinsic_dim_approx" ->
+      s"""WITH $forestCandSql,
+        |n2 AS (
+        |  SELECT vec_id, v,
+        |    list_reduce([v[i] * v[i] for i in range(1, len(v) + 1)], (a, b) -> a + b) AS nrm2
+        |  FROM emb),
+        |scored AS (
+        |  SELECT c.id_a, c.id_b,
+        |    a.nrm2 - 2.0 * list_reduce([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)],
+        |      (a2, b2) -> a2 + b2) + b.nrm2 AS d2
+        |  FROM cand c
+        |    JOIN n2 a ON a.vec_id = c.id_a
+        |    JOIN n2 b ON b.vec_id = c.id_b),
+        |$intrinsicDimTailSql""".stripMargin,
     // q_ann_cosine's CTE with the label-mismatch cut before ranking
     "q_hard_negatives" ->
       s"""WITH emb AS (
@@ -2244,31 +2511,9 @@ object Similarity {
          |ORDER BY f.id_a, f.id_b""".stripMargin,
     // same directed top-K substrate, e6 distances, max-d k-distance,
     // reach/srd sums, and the per-edge truncating ratio mean
-    "q_lof" ->
-      s"""WITH ${knnTopSql(KnnK)},
-         |dists AS (
-         |  SELECT id_a, id_b,
-         |    1000000 - CAST(floor(cos_raw * 1e6 + 0.5) AS BIGINT) AS d
-         |  FROM top),
-         |kd AS (SELECT id_a, CAST(MAX(d) AS BIGINT) AS kdist
-         |       FROM dists GROUP BY id_a),
-         |srd AS (
-         |  SELECT t.id_a,
-         |    GREATEST(CAST(SUM(GREATEST(k.kdist, t.d)) AS BIGINT), 1) AS srd
-         |  FROM dists t JOIN kd k ON k.id_a = t.id_b
-         |  GROUP BY t.id_a),
-         |lf AS (
-         |  SELECT t.id_a,
-         |    CAST(SUM((sa.srd * 1000000) // sb.srd) // $KnnK AS BIGINT)
-         |      AS lof_e6
-         |  FROM dists t
-         |  JOIN srd sa ON sa.id_a = t.id_a
-         |  JOIN srd sb ON sb.id_a = t.id_b
-         |  GROUP BY t.id_a)
-         |SELECT l.id_a AS vec_id, k.kdist AS kdist_e6, s.srd AS srd_e6,
-         |  l.lof_e6
-         |FROM lf l JOIN kd k ON k.id_a = l.id_a JOIN srd s ON s.id_a = l.id_a
-         |ORDER BY vec_id""".stripMargin,
+    "q_lof" -> s"WITH ${knnTopSql(KnnK)},\n$lofTailSql",
+    // the identical LOF tail over the forest-candidate top lists
+    "q_lof_approx" -> s"WITH ${forestTopSql(KnnK)},\n$lofTailSql",
     // the exact graph's rank-and-mutual tail over forest candidates
     // only — same forest derivation as the LSH oracle
     "q_knn_graph_approx" ->
@@ -2450,59 +2695,10 @@ object Similarity {
     // centroid sums, one double division per member cosine — the
     // identical tree the Spark side executes.
     "q_cluster_profile" ->
-      s"""WITH RECURSIVE ${knnTopSql(SampleKnnK)},
-         |mutual AS (
-         |  SELECT f.id_a, f.id_b
-         |  FROM top f JOIN top r ON f.id_a = r.id_b AND f.id_b = r.id_a
-         |  WHERE f.id_a < f.id_b),
-         |edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM mutual
-         |  UNION ALL SELECT id_b AS src, id_a AS dst FROM mutual),
-         |reach(node, r) AS (
-         |  SELECT vec_id, vec_id FROM embeddings
-         |  UNION
-         |  SELECT w.node, e.dst FROM reach w JOIN edges e ON e.src = w.r),
-         |lab AS (
-         |  SELECT node AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY node),
-         |ve AS (
-         |  SELECT vec_id,
-         |    [CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT) for x in embedding] AS v
-         |  FROM embeddings),
-         |mem AS (
-         |  SELECT l.vec_id, l.cluster_id, ve.v FROM lab l JOIN ve USING (vec_id)),
-         |dims AS (
-         |  SELECT cluster_id, i AS dim, v[i] AS val
-         |  FROM mem, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i)),
-         |cent AS (
-         |  SELECT cluster_id, dim, SUM(val) // COUNT(*) AS mean_e6
-         |  FROM dims GROUP BY cluster_id, dim),
-         |ca AS (
-         |  SELECT cluster_id, list(mean_e6 ORDER BY dim) AS ce
-         |  FROM cent GROUP BY cluster_id),
-         |sc AS (
-         |  SELECT m.vec_id, m.cluster_id,
-         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |      [m.v[i] * ca.ce[i] for i in range(1, len(m.v) + 1)]),
-         |      (a, x) -> a + x) AS dot,
-         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |      [m.v[i] * m.v[i] for i in range(1, len(m.v) + 1)]),
-         |      (a, x) -> a + x) AS na,
-         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |      [ca.ce[i] * ca.ce[i] for i in range(1, len(ca.ce) + 1)]),
-         |      (a, x) -> a + x) AS nc
-         |  FROM mem m JOIN ca USING (cluster_id)),
-         |cos AS (
-         |  SELECT cluster_id, nc,
-         |    CASE WHEN na = 0 OR nc = 0 THEN CAST(0 AS BIGINT)
-         |         ELSE CAST(floor(CAST(dot AS DOUBLE)
-         |           / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE)))
-         |           * 1e6 + 0.5) AS BIGINT) END AS cos_e6
-         |  FROM sc)
-         |SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size,
-         |  CAST(floor(sqrt(CAST(MAX(nc) AS DOUBLE)) + 0.5) AS BIGINT) AS centroid_norm_e6,
-         |  CAST(SUM(cos_e6) // COUNT(*) AS BIGINT) AS mean_cos_e6,
-         |  CAST(MIN(cos_e6) AS BIGINT) AS min_cos_e6
-         |FROM cos GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+      s"WITH RECURSIVE ${knnTopSql(SampleKnnK)},\n$ccLabSql,\n$clusterProfileTailSql",
+    // the identical labels + profile tail over forest-candidate lists
+    "q_cluster_profile_approx" ->
+      s"WITH RECURSIVE ${forestTopSql(SampleKnnK)},\n$ccLabSql,\n$clusterProfileTailSql",
     // Mutual edges from the shared top-K prelude, degree-ordered
     // orientation by the (degree, id) pair, wedge join + closing
     // equi-join — all-integer logic, so the engines agree exactly.
@@ -2549,33 +2745,10 @@ object Similarity {
     // Finer clusters (mutual top-SampleKnnK), then the ⌈√size⌉ budget
     // cut over salted-md5 ranked members.
     "q_cluster_sample" ->
-      s"""WITH RECURSIVE ${knnTopSql(SampleKnnK)},
-         |mutual AS (
-         |  SELECT f.id_a, f.id_b
-         |  FROM top f JOIN top r ON f.id_a = r.id_b AND f.id_b = r.id_a
-         |  WHERE f.id_a < f.id_b),
-         |edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM mutual
-         |  UNION ALL SELECT id_b AS src, id_a AS dst FROM mutual),
-         |reach(node, r) AS (
-         |  SELECT vec_id, vec_id FROM embeddings
-         |  UNION
-         |  SELECT w.node, e.dst FROM reach w JOIN edges e ON e.src = w.r),
-         |lab AS (
-         |  SELECT node AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY node),
-         |sz AS (
-         |  SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id),
-         |draws AS (
-         |  SELECT l.vec_id, l.cluster_id, s.cluster_size,
-         |    CAST(ceil(sqrt(CAST(s.cluster_size AS DOUBLE))) AS BIGINT) AS budget,
-         |    ROW_NUMBER() OVER (PARTITION BY l.cluster_id
-         |      ORDER BY CAST(concat('0x',
-         |          substr(md5(concat('cs|', CAST(l.vec_id AS VARCHAR))), 1, 15)) AS BIGINT),
-         |        l.vec_id) AS pick_rank
-         |  FROM lab l JOIN sz s USING (cluster_id))
-         |SELECT vec_id, cluster_id, cluster_size, budget, pick_rank
-         |FROM draws WHERE pick_rank <= budget
-         |ORDER BY vec_id""".stripMargin,
+      s"WITH RECURSIVE ${knnTopSql(SampleKnnK)},\n$ccLabSql,\n$clusterSampleTailSql",
+    // the identical labels + draw tail over forest-candidate top lists
+    "q_cluster_sample_approx" ->
+      s"WITH RECURSIVE ${forestTopSql(SampleKnnK)},\n$ccLabSql,\n$clusterSampleTailSql",
     "q_ann_cosine" ->
       s"""WITH emb AS (
          |  SELECT vec_id,

@@ -773,31 +773,22 @@ object StreamingQueries {
     * per-price max-size census is a per-key MAX (associative,
     * commutative, duplicate-insensitive — the sketch-as-stream
     * argument's fourth instance), so the catalog stream needs one
-    * Update-mode aggregation with state ∝ distinct price points (a
-    * cents-quantized catalog alphabet); the frontier cut + part
-    * join-back run batch-side over the converged census via the
-    * SHARED [[graft.operators.Analytics.skyFinish]] — the live
-    * "best size per price" dashboard as parts land; batch oracle
-    * verbatim. */
+    * Update-mode aggregation with state ∝ distinct price points.
+    * Unlike the fixed-alphabet censuses, that key domain is
+    * DATA-dependent (a 100 TB catalog could hold ~10⁶ distinct
+    * cents values), so the census upserts through the durable keyed
+    * [[TableSink]] — executor-side partition writes, newest-wins
+    * merge, never a driver collect; the frontier cut + part
+    * join-back run batch-side over the merged view via the SHARED
+    * [[graft.operators.Analytics.skyFinish]] — the live "best size
+    * per price" dashboard as parts land; batch oracle verbatim. */
   def streamSkyline(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val census = graft.operators.Analytics.skyCensus(
       graft.operators.Analytics.skyPoints(tableStream(spark, dir, "part")))
-    val store = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
-    val q = census.writeStream
-      .outputMode(OutputMode.Update())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.collect().foreach(r => store.put(r.getLong(0), r.getLong(1)))
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    import scala.jdk.CollectionConverters._
-    val censusDf = store.asScala.toSeq.map { case (p, s) => (p, s) }
-      .toDF("price_cents", "smax")
     graft.operators.Analytics.skyFinish(
       graft.operators.Analytics.skyPoints(
-        graft.sources.Tables.part(spark, dir)), censusDf)
+        graft.sources.Tables.part(spark, dir)),
+      TableSink.upsert(spark, census, Seq("price_cents"), "skyline", dir))
   }
 
   /** q_stream_join_card — the optimizer's join-cardinality statistics

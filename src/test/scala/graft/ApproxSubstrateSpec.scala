@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Agreement of the FOREST-FED embedding operators against their exact
+  * all-pairs baselines — the r10 verdict's lead item: q_lof,
+  * q_intrinsic_dim, q_cluster_sample and q_cluster_profile now each
+  * have a registered approx sibling riding the same no-all-pairs
+  * candidate substrate as q_knn_graph_approx, and these floors make a
+  * future forest change that silently degrades them a test failure
+  * (AnnRecallSpec's role for the search path). Runs at sf0.01 like
+  * AnnRecallSpec so buckets have meaningful occupancy.
+  *
+  * The floors pin measured r11 levels with margin, not perfection:
+  * the candidate cut inflates k-distances for nodes whose true
+  * neighbors were missed, so LOF agreement is inherently looser than
+  * edge recall; the estimator-level metrics (intrinsic dimension,
+  * cluster structure) agree much tighter because they aggregate over
+  * the whole corpus.
+  */
+class ApproxSubstrateSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.01"
+
+  test("forest-fed intrinsic dimension lands near the exact estimate") {
+    def dhat(df: DataFrame): (Long, Long, Long) = {
+      val r = df.collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val (nUsedE, _, exact) = dhat(graft.operators.Similarity.intrinsicDim(spark, dir))
+    val (nUsedA, nDropA, approx) = dhat(graft.operators.Similarity.intrinsicDimApprox(spark, dir))
+    val ratio = approx.toDouble / exact
+    info(f"d_hat exact=$exact approx=$approx ratio=$ratio%.4f " +
+      f"(n_used $nUsedE/$nUsedA, approx dropped $nDropA)")
+    // measured r11 sf0.01: 31.98 vs 35.19 (ratio 0.909) — candidates
+    // that miss a true r1/r2 bias mu toward 1 slightly; the floor
+    // catches an order-of-magnitude break, not noise
+    assert(exact > 0 && approx > 0, "estimator returned sentinel -1")
+    assert(ratio >= 0.5 && ratio <= 2.0, f"d_hat ratio $ratio%.4f outside [0.5, 2]")
+    // the forest covers this corpus: nearly every node found a pair
+    assert(nUsedA >= (nUsedE * 9) / 10, s"approx used $nUsedA of $nUsedE nodes")
+  }
+
+  test("forest-fed LOF scores track the exact scores") {
+    def scores(df: DataFrame): Map[Long, Long] =
+      df.select("vec_id", "lof_e6").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = scores(graft.operators.Similarity.lof(spark, dir))
+    val approx = scores(graft.operators.Similarity.lofApprox(spark, dir))
+    val joint = exact.keySet.intersect(approx.keySet).toSeq
+    assert(joint.size >= (exact.size * 9) / 10,
+      s"approx scored only ${approx.size} of ${exact.size} nodes")
+    // Pearson over the joint nodes
+    val (xs, ys) = (joint.map(exact(_).toDouble), joint.map(approx(_).toDouble))
+    val (mx, my) = (xs.sum / xs.size, ys.sum / ys.size)
+    val cov = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+    val r = cov / math.sqrt(
+      xs.map(x => (x - mx) * (x - mx)).sum * ys.map(y => (y - my) * (y - my)).sum)
+    // top-decile outlier overlap: does the approx path flag the same
+    // worst offenders a triage queue would read?
+    def topK(m: Map[Long, Long], k: Int): Set[Long] =
+      m.toSeq.sortBy { case (id, s) => (-s, id) }.take(k).map(_._1).toSet
+    val k = exact.size / 10
+    val overlap = topK(exact, k).intersect(topK(approx, k)).size.toDouble / k
+    info(f"lof agreement: pearson=$r%.4f top-decile overlap=$overlap%.4f over ${joint.size} nodes")
+    // measured r11 sf0.01: pearson 0.51, top-50 overlap 0.26 — LOF's
+    // kdist inflates where candidates miss, so scores disperse; the
+    // floors pin "correlated and triage-useful", which is what the
+    // approx path promises
+    assert(r >= 0.3, f"lof pearson $r%.4f below floor 0.3")
+    assert(overlap >= 0.12, f"top-decile overlap $overlap%.4f below floor 0.12")
+  }
+
+  test("forest-fed diversity sample keeps most of the exact picks") {
+    def picks(df: DataFrame): Set[Long] =
+      df.select("vec_id").collect().map(_.getLong(0)).toSet
+    val exact = picks(graft.operators.Similarity.clusterSample(spark, dir))
+    val approx = picks(graft.operators.Similarity.clusterSampleApprox(spark, dir))
+    val jac = exact.intersect(approx).size.toDouble / exact.union(approx).size
+    info(f"pick jaccard=$jac%.4f (exact ${exact.size}, approx ${approx.size})")
+    // measured r11 sf0.01: 269 shared of 322/329 (jaccard 0.70) — the
+    // fine SampleKnnK=2 partition is nearly identical, so the salted
+    // draws mostly coincide
+    assert(jac >= 0.5, f"pick jaccard $jac%.4f below floor 0.5")
+    val sizeRatio = approx.size.toDouble / exact.size
+    assert(sizeRatio >= 0.8 && sizeRatio <= 1.25,
+      f"sample size ratio $sizeRatio%.4f outside [0.8, 1.25]")
+  }
+
+  test("forest-fed cluster profile reproduces the exact cluster structure") {
+    def prof(df: DataFrame): Map[Long, (Long, Long)] =
+      df.select("cluster_id", "cluster_size", "mean_cos_e6").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val exact = prof(graft.operators.Similarity.clusterProfile(spark, dir))
+    val approx = prof(graft.operators.Similarity.clusterProfileApprox(spark, dir))
+    val countRatio = approx.size.toDouble / exact.size
+    val meanCos = (m: Map[Long, (Long, Long)]) =>
+      m.valuesIterator.map(_._2).sum.toDouble / m.size
+    val (mcE, mcA) = (meanCos(exact), meanCos(approx))
+    info(f"clusters exact=${exact.size} approx=${approx.size} " +
+      f"mean cohesion $mcE%.0f vs $mcA%.0f")
+    // measured r11 sf0.01: 188 vs 192 clusters, mean cohesion within
+    // 0.5% — the fine partition survives the candidate cut almost
+    // unchanged
+    assert(countRatio >= 0.7 && countRatio <= 1.4,
+      f"cluster count ratio $countRatio%.4f outside [0.7, 1.4]")
+    assert(math.abs(mcA - mcE) / mcE <= 0.05,
+      f"mean cohesion drifted ${math.abs(mcA - mcE) / mcE}%.4f > 5%%")
+  }
+}

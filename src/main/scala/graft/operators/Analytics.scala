@@ -886,6 +886,288 @@ object Analytics {
       .orderBy("series")
   }
 
+  /** HDR sub-bucket precision: [[HdrBits]] significant bits per
+    * octave → 16 sub-buckets, so the midpoint estimate's worst-case
+    * relative error is 2⁻⁵ ≈ 3.1 % — HdrHistogram's
+    * numberOfSignificantValueDigits dial, set integer-coarse so the
+    * whole sketch stays engine-parity-exact. */
+  private[graft] val HdrBits = 4
+
+  /** Integer-exact HDR bucket id of a positive cents value: octave
+    * e = ⌊log₂ cents⌋ computed as length(bin(cents)) − 1 — a STRING
+    * length, no float log anywhere, so a boundary value can never
+    * flip buckets between engines — then the top [[HdrBits]] bits
+    * after the leading one select the sub-bucket. Values below 2⁴
+    * are their own (exact) buckets 1..15; octave buckets start at 64,
+    * so the id space is collision-free and MONOTONE in cents. */
+  private[graft] def hdrBucket(cents: Column): Column = {
+    val e = (length(bin(cents)) - 1).cast("long")
+    // bit shifts, not division: integer-exact in both engines
+    val sub = call_function("shiftright", cents, (e - HdrBits).cast("int"))
+    when(e < HdrBits, cents).otherwise(e * 16 + (sub - 16))
+  }
+
+  /** Midpoint decode of an HDR bucket id back to estimated cents —
+    * ((2·sub+1) << (e−4)) >> 1, exact integers throughout. */
+  private[graft] def hdrDecode(bucket: Column): Column = {
+    val e = call_function("shiftright", bucket, lit(4)).cast("int")
+    val sub = bucket.mod(16) + 16
+    when(bucket < 16, bucket)
+      .otherwise(call_function("shiftright",
+        call_function("shiftleft", sub * 2 + 1, e - HdrBits), lit(1)))
+      .cast("long")
+  }
+
+  /** The (series, bucket) count census behind [[hdrQuantiles]] and
+    * the at-ingest q_stream_hdr — one associative, commutative,
+    * duplicate-composable keyed count, ≤ series × (16 per octave ×
+    * 64 octaves) entries by construction: sketch-sized at ANY corpus
+    * size, which is the whole point. */
+  private[graft] def hdrCensus(li: DataFrame): DataFrame =
+    li.select((col("l_partkey") % 100).as("series"),
+        hdrBucket(floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
+          .as("bucket"))
+      .groupBy("series", "bucket").agg(count(lit(1)).as("c"))
+
+  /** Quantile picks + exact audit over a converged census — shared by
+    * batch q_hdr_quantiles and the at-ingest q_stream_hdr. The pick
+    * rule is q_percentiles' ceil-rank cut over the bucket-ordered
+    * cumulative counts (bucket ids are monotone in cents), decoded at
+    * the bucket midpoint; the exact columns rerun the full-data
+    * percentile as the accuracy audit (batch-side — computing them is
+    * what the sketch exists to avoid at scale). */
+  private[graft] def hdrFinish(spark: SparkSession, dir: String,
+      census: DataFrame): DataFrame = {
+    val cum = census
+      .withColumn("cum", sum("c").over(
+        Window.partitionBy("series").orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum("c").over(Window.partitionBy("series")))
+    val estPicks = PctLevels.map { p =>
+      min(when(col("cum") >= expr(s"(n * $p + 99) div 100"),
+        hdrDecode(col("bucket")))).as(s"p${p}_est_cents")
+    }
+    val est = cum.groupBy("series")
+      .agg(max("n").as("n"),
+        (count(lit(1)).as("n_buckets") +: estPicks): _*)
+    val exact = percentiles(spark, dir)
+      .select(col("series") +:
+        PctLevels.map(p => col(s"p${p}_cents").as(s"p${p}_exact_cents")): _*)
+    val errs = PctLevels.map { p =>
+      expr(s"abs(p${p}_est_cents - p${p}_exact_cents) * 1000000 " +
+        s"div p${p}_exact_cents").as(s"err${p}_e6")
+    }
+    est.join(exact, Seq("series"))
+      .select(col("series") +: col("n") +: col("n_buckets") +:
+        (PctLevels.flatMap(p =>
+          Seq(col(s"p${p}_est_cents"), col(s"p${p}_exact_cents"))) ++ errs): _*)
+      .orderBy("series")
+  }
+
+  /** q_hdr_quantiles: the HDR-HISTOGRAM quantile sketch (Tene's
+    * HdrHistogram; same family as DDSketch, Masson et al. VLDB'19) —
+    * per-series p50/p95/p99 from a log₂-bucketed count census, with
+    * the exact percentiles joined alongside and the relative error
+    * reported per level. q_percentiles is the exact baseline (one
+    * full-width shuffle of every distinct value); THIS is how the
+    * same tail report is planned at 100 TB: the census is ≤ 16·64
+    * integer buckets per series whatever the row count, buckets merge
+    * by addition (so partial aggregation, cross-shard union and
+    * at-ingest maintenance are all the same operation), and the
+    * guaranteed relative error is structural (2⁻⁵ at the midpoint),
+    * not data-dependent.
+    *
+    * Engine parity by construction: the bucket id is derived from the
+    * LENGTH of the binary-string rendering of integer cents — no
+    * float log anywhere in index or decode, so the knBigram-class
+    * libm 1-ulp risk does not exist here. The spec asserts every
+    * err_e6 ≤ 32813 (2⁻⁵ + pick-rounding slack).
+    *
+    * Scale shape: one map-side-combinable groupBy on (series, bucket)
+    * builds the sketch; everything after runs on sketch-sized rows
+    * (window over ≤ 1024 buckets per series). The exact-audit join is
+    * the sandbox-scale luxury; at corpus scale a user runs the sketch
+    * columns alone. */
+  def hdrQuantiles(spark: SparkSession, dir: String): DataFrame =
+    hdrFinish(spark, dir, hdrCensus(Tables.lineitem(spark, dir)))
+
+  /** The four lineitem measures [[corrMatrix]] correlates, each
+    * quantized to an exact integer at the scan (name → quantizing
+    * SQL), in pinned lexical order so the pair rows are
+    * engine-independent. */
+  private val CorrVars: Seq[(String, String)] = Seq(
+    "disc_e2" -> "cast(floor(l_discount * 100 + 0.5) as bigint)",
+    "price_cents" -> "cast(floor(l_extendedprice * 100 + 0.5) as bigint)",
+    "qty" -> "cast(l_quantity as bigint)",
+    "tax_e2" -> "cast(floor(l_tax * 100 + 0.5) as bigint)")
+
+  /** q_corr_matrix: the pairwise Pearson CORRELATION MATRIX over the
+    * lineitem measures — the first look every feature-engineering /
+    * drift pipeline takes at a numeric table ("which columns are
+    * redundant, which price driver is real"). q_spearman and
+    * q_kendall_tau rank-correlate ONE chosen pair; this emits all
+    * C(4,2) linear correlations from ONE scan.
+    *
+    * Exactness: each measure quantizes to an integer at the scan, all
+    * 14 moments (n, 4 sums, 9 upper-triangle product sums) accumulate
+    * in decimal(38,0) — order-independent exact integer sums — and
+    * each correlation is ONE double expression over those exact
+    * moments (both engines evaluate the identical tree on identical
+    * integers), e6-floored.
+    *
+    * Scale shape: ONE map-side-combinable global aggregate (14
+    * columns wide) over the scan — no shuffle of data rows at all,
+    * just the 1-row moment vector; the pair fan-out is a 6-element
+    * array explode on that single row. At 100 TB this is the optimal
+    * plan: you cannot compute 6 correlations cheaper than one pass of
+    * partial moments. */
+  def corrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val names = CorrVars.map(_._1)
+    val base = Tables.lineitem(spark, dir)
+      .select(CorrVars.map { case (n, sql) => expr(sql).as(n) }: _*)
+    val momentCols =
+      names.map(n => sum(col(n).cast(DecimalType(38, 0))).as(s"s_$n")) ++
+      (for { i <- names.indices; j <- i until names.length } yield
+        sum((col(names(i)) * col(names(j))).cast(DecimalType(38, 0)))
+          .as(s"s_${names(i)}_${names(j)}"))
+    val m = base.agg(count(lit(1)).cast(DecimalType(38, 0)).as("n"),
+      momentCols: _*)
+    val pairs = for { i <- names.indices; j <- i + 1 until names.length }
+      yield {
+        val (a, b) = (names(i), names(j))
+        struct(lit(a).as("var_a"), lit(b).as("var_b"),
+          expr(
+            s"""case when (n * s_${a}_$a - s_$a * s_$a) <= 0
+               |       or (n * s_${b}_$b - s_$b * s_$b) <= 0 then 0L
+               |else cast(floor(
+               |  cast(n * s_${a}_$b - s_$a * s_$b as double)
+               |  / sqrt(cast(n * s_${a}_$a - s_$a * s_$a as double)
+               |       * cast(n * s_${b}_$b - s_$b * s_$b as double))
+               |  * 1e6 + 0.5) as bigint) end"""
+              .stripMargin.replace('\n', ' ')).as("corr_e6"))
+      }
+    m.select(col("n").cast("long").as("n"),
+        explode(array(pairs: _*)).as("p"))
+      .select(col("p.var_a").as("var_a"), col("p.var_b").as("var_b"),
+        col("n"), col("p.corr_e6").as("corr_e6"))
+      .orderBy("var_a", "var_b")
+  }
+
+  /** q_grouping_sets: ANSI GROUPING SETS — the revenue report at
+    * three explicit granularities ((flag, status), (flag), ()) in one
+    * pass, with the standard grouping_id disambiguating "NULL because
+    * aggregated away" from a NULL group value. q_rollup and q_cube
+    * cover the two canonical lattices; real reporting workloads ask
+    * for ARBITRARY set lists, which is exactly what the reference's
+    * per-dashboard aggregation jobs hand-rolled one query at a time.
+    *
+    * Scale shape: Spark plans grouping sets as ONE Expand (3 rows per
+    * input row, map-side) + one two-phase aggregate on the compound
+    * key — one shuffle of partial aggregates total, vs three separate
+    * scans for the hand-rolled union. Money stays integer cents. */
+  def groupingSetsQ(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq.empty[Column]),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        sum("cents").as("sum_cents"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** q_srm: SAMPLE-RATIO MISMATCH — the experiment-health check that
+    * runs BEFORE any effect estimate is trusted (Fabijan et al.,
+    * KDD'19 diagnostics; Kohavi's "trustworthy A/B" rule one): per
+    * day, the distinct users landing in each arm of the
+    * q_chi2_abtest assignment (user_id parity), the 1-df χ² against
+    * the designed 50/50 split — (n0−n1)²/(n0+n1), the two-cell
+    * goodness-of-fit collapse — and the α=0.05 flag. A flagged day
+    * means the assignment or logging pipeline is dropping one arm's
+    * traffic and every downstream metric that day is garbage;
+    * q_chi2_abtest answers "did the arms differ", THIS answers "can
+    * you even ask".
+    *
+    * Integer-exact: counts are integers, χ² is one e6-scaled
+    * truncating division; the critical value is the shared
+    * [[Chi2CritE6]].
+    *
+    * Scale shape: one distinct on (day, user, arm) — shuffle ∝
+    * distinct active (day, user) pairs — then a per-day two-phase
+    * aggregate; day cardinality is the calendar. */
+  def srm(spark: SparkSession, dir: String): DataFrame =
+    srmFinish(srmAssignments(Tables.events(spark, dir)).distinct())
+
+  /** The per-event (day, user, arm) projection behind [[srm]] and the
+    * at-ingest q_stream_srm — batch distincts it, the stream dedups
+    * it through the state store. */
+  private[graft] def srmAssignments(ev: DataFrame): DataFrame =
+    ev.select(expr("unix_millis(ts) div 86400000").as("day"),
+      col("user_id"), (col("user_id") % 2).as("variant"))
+
+  /** Per-day arm counts + two-cell χ² over a DISTINCT (day, user,
+    * arm) set — shared by batch and stream. */
+  private[graft] def srmFinish(asg: DataFrame): DataFrame =
+    asg.groupBy("day")
+      .agg(sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n1"))
+      .withColumn("srm_chi2_e6", expr(
+        "((n0 - n1) * (n0 - n1) * 1000000) div (n0 + n1)"))
+      .select(col("day"), col("n0"), col("n1"), col("srm_chi2_e6"),
+        (col("srm_chi2_e6") > Chi2CritE6).as("srm_flag"))
+      .orderBy("day")
+
+  /** The fact-table join keys [[skewAdvisor]] profiles (relation.key
+    * label → table, key column). */
+  private val SkewKeys: Seq[(String, String, String)] = Seq(
+    ("events.user_id", "events", "user_id"),
+    ("lineitem.l_partkey", "lineitem", "l_partkey"),
+    ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+    ("orders.o_custkey", "orders", "o_custkey"))
+
+  /** q_skew_advisor: the JOIN-KEY SKEW profile the physical planner
+    * reads before picking a strategy — per fact-table join key: row
+    * count, distinct keys, the heaviest key and its count, the
+    * max/avg frequency ratio (skew_e6 — AQE's skewedPartitionFactor
+    * is exactly this dial), and the recommended salt fan-out
+    * ⌈max/avg⌉ for a salted-join rewrite (the q_skew_join recipe).
+    * This is ANALYZE TABLE's histogram distilled into the one
+    * decision a 100 TB join actually needs: broadcast / plain
+    * shuffle / salt, and with how many salts.
+    *
+    * Scale shape: per relation ONE map-side-combinable (key, count)
+    * census — shuffle ∝ distinct keys — then per-relation constants;
+    * the heaviest-key lookup filters the census against its 1-row max
+    * (broadcast), never sorts it. decimal(38,0) guards the
+    * max_c·n_keys·10⁶ product at any scale. */
+  def skewAdvisor(spark: SparkSession, dir: String): DataFrame = {
+    val cen = SkewKeys.map { case (label, table, key) =>
+      Tables.table(spark, dir, table)
+        .groupBy(col(key).cast("long").as("k"))
+        .agg(count(lit(1)).as("c"))
+        .select(lit(label).as("rel"), col("k"), col("c"))
+    }.reduce(_ unionAll _).localCheckpoint() // stats + top-key readers
+    val stats = cen.groupBy("rel").agg(
+      sum("c").as("n_rows"), count(lit(1)).as("n_keys"),
+      max("c").as("max_c"))
+    val top = cen
+      .join(broadcast(stats.select(col("rel"), col("max_c"))), Seq("rel"))
+      .filter(col("c") === col("max_c"))
+      .groupBy("rel").agg(min("k").as("top_key"))
+    stats.join(top, Seq("rel"))
+      .select(col("rel"), col("n_rows"), col("n_keys"), col("max_c"),
+        col("top_key"),
+        expr("cast((cast(n_rows as decimal(38,0)) * 1000000) div n_keys as bigint)")
+          .as("avg_freq_e6"),
+        expr("cast((cast(max_c as decimal(38,0)) * n_keys * 1000000) div n_rows as bigint)")
+          .as("skew_e6"),
+        expr("cast((cast(max_c as decimal(38,0)) * n_keys + n_rows - 1) div n_rows as bigint)")
+          .as("salt_buckets"))
+      .orderBy("rel")
+  }
+
   /** Session inactivity gap for q_sessionize — the SAME 5 minutes as
     * q_stream_sessions' session_window, and the same break rule (an
     * event at exactly prev + gap starts a NEW session: session_window
@@ -5035,6 +5317,11 @@ object Analytics {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hdr_quantiles" -> (hdrQuantiles(_, _)),
+    "q_corr_matrix" -> (corrMatrix(_, _)),
+    "q_grouping_sets" -> (groupingSetsQ(_, _)),
+    "q_srm" -> (srm(_, _)),
+    "q_skew_advisor" -> (skewAdvisor(_, _)),
     "q_aqp_sum" -> (aqpSum(_, _)),
     "q_recs_eval" -> (recsEval(_, _)),
     "q_markov_eval" -> (markovEval(_, _)),
@@ -5449,6 +5736,143 @@ object Analytics {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // the identical string-length log2 bucketing (no float log), the
+    // same ceil-rank picks over the bucket census, the same exact
+    // percentile audit columns
+    "q_hdr_quantiles" ->
+      s"""WITH s AS (
+         |  SELECT l_partkey % 100 AS series,
+         |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+         |  FROM lineitem),
+         |bk AS (
+         |  SELECT series,
+         |    CASE WHEN length(bin(cents)) - 1 < $HdrBits THEN cents
+         |         ELSE CAST(length(bin(cents)) - 1 AS BIGINT) * 16
+         |              + ((cents >> (length(bin(cents)) - 1 - $HdrBits)) - 16)
+         |    END AS bucket
+         |  FROM s),
+         |cen AS (SELECT series, bucket, COUNT(*) AS c FROM bk GROUP BY series, bucket),
+         |cum AS (
+         |  SELECT series, bucket, c,
+         |    SUM(c) OVER (PARTITION BY series ORDER BY bucket) AS cum,
+         |    SUM(c) OVER (PARTITION BY series) AS n
+         |  FROM cen),
+         |dc AS (
+         |  SELECT series, cum, n,
+         |    CASE WHEN bucket < 16 THEN bucket
+         |         ELSE ((((bucket % 16) + 16) * 2 + 1)
+         |               << ((bucket // 16) - $HdrBits)) >> 1
+         |    END AS rep
+         |  FROM cum),
+         |est AS (
+         |  SELECT series, CAST(MAX(n) AS BIGINT) AS n,
+         |    CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         |    ${PctLevels.map(p =>
+              s"MIN(CASE WHEN cum >= (n * $p + 99) // 100 THEN rep END) AS p${p}_est_cents")
+              .mkString(",\n    ")}
+         |  FROM dc GROUP BY series),
+         |r AS (
+         |  SELECT series, cents,
+         |    ROW_NUMBER() OVER (PARTITION BY series ORDER BY cents) AS rn,
+         |    COUNT(*) OVER (PARTITION BY series) AS nn
+         |  FROM s),
+         |ex AS (
+         |  SELECT series,
+         |    ${PctLevels.map(p =>
+              s"MAX(CASE WHEN rn = (nn * $p + 99) // 100 THEN cents END) AS p${p}_exact_cents")
+              .mkString(",\n    ")}
+         |  FROM r GROUP BY series)
+         |SELECT est.series, n, n_buckets,
+         |  ${PctLevels.map(p => s"p${p}_est_cents, p${p}_exact_cents").mkString(",\n  ")},
+         |  ${PctLevels.map(p =>
+              s"abs(p${p}_est_cents - p${p}_exact_cents) * 1000000 // p${p}_exact_cents AS err${p}_e6")
+              .mkString(",\n  ")}
+         |FROM est JOIN ex USING (series)
+         |ORDER BY est.series""".stripMargin,
+    // the same 14 exact HUGEINT moments from one scan, the identical
+    // one-double-division tree per pair
+    "q_corr_matrix" -> {
+      val names = CorrVars.map(_._1)
+      val moments =
+        names.map(n => s"SUM(CAST($n AS HUGEINT)) AS s_$n") ++
+        (for { i <- names.indices; j <- i until names.length } yield
+          s"SUM(CAST(${names(i)} AS HUGEINT) * ${names(j)}) AS s_${names(i)}_${names(j)}")
+      val rows = for { i <- names.indices; j <- i + 1 until names.length }
+        yield {
+          val (a, b) = (names(i), names(j))
+          s"""SELECT '$a' AS var_a, '$b' AS var_b, CAST(n AS BIGINT) AS n,
+             |  CASE WHEN (n * s_${a}_$a - s_$a * s_$a) <= 0
+             |         OR (n * s_${b}_$b - s_$b * s_$b) <= 0 THEN CAST(0 AS BIGINT)
+             |  ELSE CAST(floor(
+             |    CAST(n * s_${a}_$b - s_$a * s_$b AS DOUBLE)
+             |    / sqrt(CAST(n * s_${a}_$a - s_$a * s_$a AS DOUBLE)
+             |         * CAST(n * s_${b}_$b - s_$b * s_$b AS DOUBLE))
+             |    * 1e6 + 0.5) AS BIGINT) END AS corr_e6
+             |FROM m""".stripMargin
+        }
+      s"""WITH q AS (
+         |  SELECT ${CorrVars.map { case (n, sql) => s"$sql AS $n" }.mkString(",\n    ")}
+         |  FROM lineitem),
+         |m AS (
+         |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         |    ${moments.mkString(",\n    ")}
+         |  FROM q)
+         |${rows.mkString("\nUNION ALL\n")}
+         |ORDER BY var_a, var_b""".stripMargin
+    },
+    // native GROUPING SETS with the standard grouping-id bitmask
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    // same distinct (day, user, arm) census and two-cell chi-square
+    "q_srm" ->
+      s"""WITH u AS (
+         |  SELECT DISTINCT epoch_ns(ts) // 1000000 // 86400000 AS day,
+         |    user_id, user_id % 2 AS variant
+         |  FROM events),
+         |a AS (
+         |  SELECT day,
+         |    CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         |    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+         |  FROM u GROUP BY day)
+         |SELECT day, n0, n1,
+         |  ((n0 - n1) * (n0 - n1) * 1000000) // (n0 + n1) AS srm_chi2_e6,
+         |  ((n0 - n1) * (n0 - n1) * 1000000) // (n0 + n1) > $Chi2CritE6 AS srm_flag
+         |FROM a ORDER BY day""".stripMargin,
+    // same per-relation key census, max-frequency key (min id on
+    // ties), and exact integer ratio columns
+    "q_skew_advisor" ->
+      """WITH cen AS (
+        |  SELECT 'events.user_id' AS rel, CAST(user_id AS BIGINT) AS k, COUNT(*) AS c
+        |  FROM events GROUP BY user_id
+        |  UNION ALL
+        |  SELECT 'lineitem.l_partkey', CAST(l_partkey AS BIGINT), COUNT(*)
+        |  FROM lineitem GROUP BY l_partkey
+        |  UNION ALL
+        |  SELECT 'lineitem.l_suppkey', CAST(l_suppkey AS BIGINT), COUNT(*)
+        |  FROM lineitem GROUP BY l_suppkey
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey', CAST(o_custkey AS BIGINT), COUNT(*)
+        |  FROM orders GROUP BY o_custkey),
+        |st AS (
+        |  SELECT rel, CAST(SUM(c) AS BIGINT) AS n_rows,
+        |    CAST(COUNT(*) AS BIGINT) AS n_keys, CAST(MAX(c) AS BIGINT) AS max_c
+        |  FROM cen GROUP BY rel),
+        |tp AS (
+        |  SELECT cen.rel, MIN(k) AS top_key
+        |  FROM cen JOIN st ON st.rel = cen.rel AND cen.c = st.max_c
+        |  GROUP BY cen.rel)
+        |SELECT st.rel AS rel, n_rows, n_keys, max_c, top_key,
+        |  CAST((CAST(n_rows AS HUGEINT) * 1000000) // n_keys AS BIGINT) AS avg_freq_e6,
+        |  CAST((CAST(max_c AS HUGEINT) * n_keys * 1000000) // n_rows AS BIGINT) AS skew_e6,
+        |  CAST((CAST(max_c AS HUGEINT) * n_keys + n_rows - 1) // n_rows AS BIGINT) AS salt_buckets
+        |FROM st JOIN tp ON tp.rel = st.rel
+        |ORDER BY st.rel""".stripMargin,
     // the same bounded (flag, quantity) census, doubled-U window sum,
     // exact tie correction, and one shared IEEE z tree per pair
     "q_rank_sum_pairs" ->

@@ -1798,7 +1798,72 @@ object Similarity {
           .stripMargin.replace('\n', ' ')).as("d_hat_e6"))
   }
 
+  /** Number of k-center picks for [[coreset]] — pinned because the
+    * DuckDB oracle unrolls exactly this many stages. */
+  private[graft] val CoresetK = 8
+
+  /** q_coreset: CORESET SELECTION by greedy k-center (Gonzalez 1985;
+    * the seeding step of k-means++ and the standard "pick K maximally
+    * spread exemplars" primitive active-learning and data-pruning
+    * pipelines run over an embedding corpus). Each round picks the
+    * point FARTHEST from the chosen set (max over points of min over
+    * centers, ties → min vec_id), so after K rounds every point is
+    * within the reported radius of some pick — the classic 2-approx
+    * cover guarantee. [[clusterSample]] allocates budget ∝ cluster
+    * mass; THIS is its dual, maximizing coverage of the cloud's
+    * extremes — together they bracket diversity sampling. Output: the
+    * K picks in order with the max-min squared distance (e6) at the
+    * moment of picking — the monotone radius curve a budget chooser
+    * reads ("stop when the radius stops dropping").
+    *
+    * Determinism: squared distances use the pinned-fold IEEE tree
+    * (the [[intrinsicDim]] convention), `least` on identical doubles
+    * is engine-exact, ties break on vec_id.
+    *
+    * Scale shape: K−1 rounds, each ONE map-side update of the
+    * |corpus| min-distance column against the new (broadcast, 1-row)
+    * center plus ONE TakeOrdered(1) — per-partition max then a 1-row
+    * merge, never a global sort; the running frame is
+    * localCheckpointed per round (the q_pagerank/q_kcore loop
+    * discipline) so lineage stays flat. Total work K scans — the
+    * textbook distributed Gonzalez. */
+  def coreset(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.widened(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm2", dot(col("v"), col("v")))
+    val first = emb.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"),
+        col("nrm2").as("cn2"))
+      .localCheckpoint()
+    var picks = first.select(col("c_id").as("vec_id"),
+      lit(1L).as("pick_order"), lit(0L).as("radius_e6"))
+    var md = emb.crossJoin(broadcast(first))
+      .select(col("vec_id"), col("v"), col("nrm2"),
+        (col("nrm2") - lit(2.0) * dot(col("v"), col("cv")) + col("cn2"))
+          .as("mind2"))
+      .localCheckpoint()
+    for (i <- 2 to CoresetK) {
+      val pick = md.orderBy(col("mind2").desc, col("vec_id").asc).limit(1)
+        .localCheckpoint()
+      picks = picks.unionAll(pick.select(col("vec_id"),
+        lit(i.toLong).as("pick_order"),
+        floor(col("mind2") * 1e6 + 0.5).cast("long").as("radius_e6")))
+      if (i < CoresetK) {
+        val c = pick.select(col("v").as("cv"), col("nrm2").as("cn2"))
+        md = md.crossJoin(broadcast(c))
+          .select(col("vec_id"), col("v"), col("nrm2"),
+            least(col("mind2"),
+              col("nrm2") - lit(2.0) * dot(col("v"), col("cv")) + col("cn2"))
+              .as("mind2"))
+          .localCheckpoint()
+      }
+    }
+    picks.select(col("pick_order"), col("vec_id"), col("radius_e6"))
+      .orderBy("pick_order")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_coreset" -> (coreset(_, _)),
     "q_silhouette" -> (silhouette(_, _)),
     "q_embed_drift" -> (embedDrift(_, _)),
     "q_intrinsic_dim" -> (intrinsicDim(_, _)),
@@ -2116,7 +2181,57 @@ object Similarity {
       |         // sln AS BIGINT) END AS d_hat_e6
       |FROM agg, tot t""".stripMargin
 
+  /** The q_coreset oracle: Gonzalez's greedy k-center unrolled into
+    * [[CoresetK]] generated CTE stages — the same seed (min vec_id),
+    * the same pinned-fold d² tree, LEAST update, and
+    * (mind2 DESC, vec_id ASC) argmax per round. */
+  private val coresetOracleSql: String = {
+    def dotSql(x: String, c: String): String =
+      s"list_reduce([$x.v[i] * $c.cv[i] for i in range(1, len($x.v) + 1)], (d1, d2) -> d1 + d2)"
+    val stages = (2 to CoresetK).map { i =>
+      val prev = s"m${i - 1}"
+      val pick =
+        s"""p$i AS (
+           |  SELECT vec_id, mind2 FROM $prev
+           |  ORDER BY mind2 DESC, vec_id ASC LIMIT 1)""".stripMargin
+      if (i < CoresetK)
+        pick +
+          s""",
+             |c$i AS (
+             |  SELECT m.v AS cv, m.nrm2 AS cn2
+             |  FROM $prev m JOIN p$i p ON p.vec_id = m.vec_id),
+             |m$i AS (
+             |  SELECT m.vec_id, m.v, m.nrm2,
+             |    LEAST(m.mind2, m.nrm2 - 2.0 * ${dotSql("m", "c")} + c.cn2) AS mind2
+             |  FROM $prev m, c$i c)""".stripMargin
+      else pick
+    }
+    val branches = (2 to CoresetK).map(i =>
+      s"""UNION ALL SELECT CAST($i AS BIGINT), vec_id,
+         |  CAST(floor(mind2 * 1e6 + 0.5) AS BIGINT) FROM p$i""".stripMargin)
+    s"""WITH emb0 AS (
+       |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+       |  FROM embeddings),
+       |n2 AS (
+       |  SELECT vec_id, v,
+       |    list_reduce([v[i] * v[i] for i in range(1, len(v) + 1)], (a, b) -> a + b) AS nrm2
+       |  FROM emb0),
+       |c1 AS (
+       |  SELECT vec_id AS c_id, v AS cv, nrm2 AS cn2 FROM n2
+       |  ORDER BY vec_id LIMIT 1),
+       |m1 AS (
+       |  SELECT x.vec_id, x.v, x.nrm2,
+       |    x.nrm2 - 2.0 * ${dotSql("x", "c")} + c.cn2 AS mind2
+       |  FROM n2 x, c1 c),
+       |${stages.mkString(",\n")}
+       |SELECT CAST(1 AS BIGINT) AS pick_order, c_id AS vec_id,
+       |  CAST(0 AS BIGINT) AS radius_e6 FROM c1
+       |${branches.mkString("\n")}
+       |ORDER BY pick_order""".stripMargin
+  }
+
   private val baseOracleSql: Map[String, String] = Map(
+    "q_coreset" -> coresetOracleSql,
     // the IVF oracle's anchor/dist derivation, then per-point sorted
     // first/second distances and the identical one-floor s tree
     "q_silhouette" ->

@@ -656,6 +656,41 @@ object StreamingQueries {
       TableSink.upsert(spark, census, Seq("l_partkey"), "eb", dir))
   }
 
+  /** q_stream_hdr — the quantile dashboard AT INGEST: the
+    * (series, bucket) HDR count census
+    * ([[graft.operators.Analytics.hdrCensus]] — integer-exact log₂
+    * buckets derived from binary-string length, no float anywhere,
+    * ADDITIVE across micro-batches and ≤ series × 1024 entries BY
+    * CONSTRUCTION: the sketch-as-stream argument in its purest form)
+    * upserts through the durable keyed [[TableSink]], and the
+    * ceil-rank quantile picks + exact-percentile audit run batch-side
+    * over the merged newest-wins view via the SHARED
+    * [[graft.operators.Analytics.hdrFinish]] — the production p99
+    * monitoring sketch, live as rows land; batch oracle verbatim. */
+  def streamHdr(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Analytics.hdrFinish(spark, dir,
+      TableSink.upsert(spark,
+        graft.operators.Analytics.hdrCensus(
+          tableStream(spark, dir, "lineitem")),
+        Seq("series", "bucket"), "hdr", dir))
+
+  /** q_stream_srm — the experiment-health tripwire AT INGEST: each
+    * event projects to its (day, user, arm) assignment
+    * ([[graft.operators.Analytics.srmAssignments]]), first-seen
+    * (day, user) pairs dedup through the state store (the
+    * q_stream_dedup precedent — each pair is then an exactly-once
+    * FACT, so the durable [[TableSink]] append log holds it with no
+    * merge), and the per-day arm counts + two-cell χ² run batch-side
+    * via the SHARED srmFinish — a sample-ratio mismatch pages the
+    * experimenter the day it happens, not at the readout; batch
+    * oracle verbatim. */
+  def streamSrm(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Analytics.srmFinish(
+      TableSink.appendLog(spark,
+        graft.operators.Analytics.srmAssignments(eventsStream(spark, dir))
+          .dropDuplicates("day", "user_id"),
+        "srm", dir))
+
   /** q_stream_embed_drift — the per-dimension drift monitor AT
     * INGEST: the per-dim × half exact-moment census
     * ([[graft.operators.Similarity.embedDriftCensus]] — e6-quantized
@@ -1372,6 +1407,8 @@ object StreamingQueries {
     "q_stream_cusum" -> stateful(streamCusum),
     "q_stream_ols" -> stateful(streamOls),
     "q_stream_eb" -> stateful(streamEb),
+    "q_stream_hdr" -> stateful(streamHdr),
+    "q_stream_srm" -> stateful(streamSrm),
     "q_stream_embed_drift" -> stateful(streamEmbedDrift),
     "q_stream_kl" -> stateful(streamKl),
     "q_stream_holt" -> stateful(streamHolt),
@@ -1426,6 +1463,8 @@ object StreamingQueries {
     // the batch EB oracle VERBATIM — ebCensus + ebFinish are shared
     // and the per-part counters are additive across batches
     "q_stream_eb" -> graft.operators.Analytics.oracleSql("q_eb_shrink"),
+    "q_stream_hdr" -> graft.operators.Analytics.oracleSql("q_hdr_quantiles"),
+    "q_stream_srm" -> graft.operators.Analytics.oracleSql("q_srm"),
     "q_stream_embed_drift" -> graft.operators.Similarity.oracleSql("q_embed_drift"),
     "q_stream_kl" -> graft.operators.Curation.oracleSql("q_kl_sources"),
     "q_stream_holt" -> graft.operators.Analytics.oracleSql("q_holt_forecast"),

@@ -5366,6 +5366,142 @@ class OperatorSpec extends SparkSpec {
     assert(lofs.max > lofs.min)
   }
 
+  test("hdr_quantiles stays inside the structural 2^-5 error bound") {
+    val rows = run("q_hdr_quantiles").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nb = r.getAs[Long]("n_buckets")
+      assert(nb <= 16L * 64, s"series ${r.getLong(0)}: $nb buckets")
+      Seq("err50_e6", "err95_e6", "err99_e6").foreach { c =>
+        val e = r.getAs[Long](c)
+        // midpoint decode of a 16-sub-bucket octave: rel err <= 2^-5
+        // (31250 e6) + 1 integer-floor slack
+        assert(e <= 31300, s"series ${r.getLong(0)} $c=$e above bound")
+      }
+    }
+    // the sketch is genuinely approximate on this data, not a copy
+    assert(rows.exists(r => r.getAs[Long]("err50_e6") > 0))
+  }
+
+  test("corr_matrix matches a local exact-moment recompute") {
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select(expr("cast(floor(l_discount * 100 + 0.5) as bigint)"),
+        expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)"),
+        expr("cast(l_quantity as bigint)"),
+        expr("cast(floor(l_tax * 100 + 0.5) as bigint)"))
+      .collect()
+      .map(r => Array(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val names = Seq("disc_e2", "price_cents", "qty", "tax_e2")
+    val n = BigInt(li.length)
+    def s(i: Int) = li.iterator.map(r => BigInt(r(i))).sum
+    def sp(i: Int, j: Int) = li.iterator.map(r => BigInt(r(i)) * r(j)).sum
+    val want = (for { i <- 0 until 4; j <- i + 1 until 4 } yield {
+      val num = (n * sp(i, j) - s(i) * s(j)).toDouble
+      val va = (n * sp(i, i) - s(i) * s(i)).toDouble
+      val vb = (n * sp(j, j) - s(j) * s(j)).toDouble
+      val corr =
+        if (va <= 0 || vb <= 0) 0L
+        else math.floor(num / math.sqrt(va * vb) * 1e6 + 0.5).toLong
+      (names(i), names(j), li.length.toLong, corr)
+    }).toSeq
+    val got = run("q_corr_matrix").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == want)
+    // the synthetic generator draws the measures independently, so
+    // every pair must be near-zero — and a bounded correlation is a
+    // structural invariant regardless
+    assert(got.forall(t => math.abs(t._4) <= 1000000L))
+    assert(got.forall(t => math.abs(t._4) < 200000L),
+      s"independent columns should not correlate: $got")
+  }
+
+  test("grouping_sets equals the three hand-rolled granularities") {
+    val base = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val fine = base.groupBy(r => (r._1, r._2)).map { case ((f, s), rs) =>
+      (f, s, 0L, rs.length.toLong, rs.map(_._3).sum) }.toSet
+    val mid = base.groupBy(_._1).map { case (f, rs) =>
+      (f, null, 1L, rs.length.toLong, rs.map(_._3).sum) }.toSet
+    val all = Set((null, null, 3L, base.length.toLong, base.map(_._3).sum))
+    val got = run("q_grouping_sets").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == (fine ++ mid ++ all))
+  }
+
+  test("srm matches a local recompute and mostly passes on parity assignment") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(expr("unix_millis(ts) div 86400000"), col("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val want = ev.groupBy(_._1).toSeq.map { case (d, rs) =>
+      val n0 = rs.count(_._2 % 2 == 0).toLong
+      val n1 = rs.length - n0
+      val chi2 = (n0 - n1) * (n0 - n1) * 1000000L / (n0 + n1)
+      (d, n0, n1, chi2, chi2 > 3841459L)
+    }.sortBy(_._1)
+    val got = run("q_srm").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSeq
+    assert(got == want)
+    // parity assignment is healthy by construction: at alpha=0.05 a
+    // flagged day is the ~5% false-positive tail, never the majority
+    assert(got.count(_._5) <= got.size / 4)
+  }
+
+  test("skew_advisor matches a local census recompute over all four keys") {
+    val df = run("q_skew_advisor")
+    assert(df.count() == 4)
+    val pk = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_partkey").collect().map(_.getLong(0))
+    val cen = pk.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val (nRows, nKeys, maxC) =
+      (pk.length.toLong, cen.size.toLong, cen.values.max)
+    val topKey = cen.filter(_._2 == maxC).keys.min
+    val row = df.filter(col("rel") === "lineitem.l_partkey").collect().head
+    assert((row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4))
+      == (nRows, nKeys, maxC, topKey))
+    assert(row.getAs[Long]("avg_freq_e6") == nRows * 1000000L / nKeys)
+    assert(row.getAs[Long]("skew_e6") == maxC * nKeys * 1000000L / nRows)
+    assert(row.getAs[Long]("salt_buckets") == (maxC * nKeys + nRows - 1) / nRows)
+  }
+
+  test("coreset matches a local greedy k-center recompute") {
+    val embs = graft.sources.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    val byId = embs.toMap
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var (na, nb, d, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) {
+        na += a(i) * a(i); nb += b(i) * b(i); d += a(i) * b(i); i += 1
+      }
+      na - 2.0 * d + nb
+    }
+    val first = embs.head._1
+    val mind = collection.mutable.Map[Long, Double]()
+    embs.foreach { case (id, v) => mind(id) = d2(v, byId(first)) }
+    var want = List((1L, first, 0L))
+    for (i <- 2 to 8) {
+      val (pid, pd) = embs.map { case (id, _) => (id, mind(id)) }
+        .sortBy { case (id, d) => (-d, id) }.head
+      want ::= ((i.toLong, pid, math.floor(pd * 1e6 + 0.5).toLong))
+      if (i < 8) embs.foreach { case (id, v) =>
+        mind(id) = math.min(mind(id), d2(v, byId(pid)))
+      }
+    }
+    val got = run("q_coreset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(got == want.reverse)
+    // Gonzalez invariant: the max-min radius is non-increasing
+    val radii = got.drop(1).map(_._3)
+    assert(radii.zip(radii.tail).forall { case (a, b) => a >= b })
+    assert(got.map(_._2).distinct.size == 8, "picks must be distinct points")
+  }
+
   test("TopKByAvgTFIDF selects buckets and appends the location feature") {
     import spark.implicits._
     val ds = (0 until 200).map { i =>

@@ -1021,17 +1021,30 @@ object Analytics {
     * array explode on that single row. At 100 TB this is the optimal
     * plan: you cannot compute 6 correlations cheaper than one pass of
     * partial moments. */
-  def corrMatrix(spark: SparkSession, dir: String): DataFrame = {
+  def corrMatrix(spark: SparkSession, dir: String): DataFrame =
+    corrFinish(corrCensus(Tables.lineitem(spark, dir)))
+
+  /** The 15-moment census behind [[corrMatrix]] and the at-ingest
+    * q_stream_corr — every moment an exact decimal(38,0) sum, so the
+    * census is ADDITIVE across micro-batches and exactly ONE keyed
+    * row forever (the purest sketch-as-stream shape there is). */
+  private[graft] def corrCensus(li: DataFrame): DataFrame = {
     val names = CorrVars.map(_._1)
-    val base = Tables.lineitem(spark, dir)
-      .select(CorrVars.map { case (n, sql) => expr(sql).as(n) }: _*)
     val momentCols =
       names.map(n => sum(col(n).cast(DecimalType(38, 0))).as(s"s_$n")) ++
       (for { i <- names.indices; j <- i until names.length } yield
         sum((col(names(i)) * col(names(j))).cast(DecimalType(38, 0)))
           .as(s"s_${names(i)}_${names(j)}"))
-    val m = base.agg(count(lit(1)).cast(DecimalType(38, 0)).as("n"),
-      momentCols: _*)
+    li.select(CorrVars.map { case (n, sql) => expr(sql).as(n) }: _*)
+      .groupBy(lit("all").as("k"))
+      .agg(count(lit(1)).cast(DecimalType(38, 0)).as("n"), momentCols: _*)
+  }
+
+  /** The per-pair one-double-division finish over a converged moment
+    * census — shared by batch and stream. */
+  private[graft] def corrFinish(census: DataFrame): DataFrame = {
+    val names = CorrVars.map(_._1)
+    val m = census.drop("k")
     val pairs = for { i <- names.indices; j <- i + 1 until names.length }
       yield {
         val (a, b) = (names(i), names(j))

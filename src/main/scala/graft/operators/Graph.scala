@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics over the co-order product graph (parts
@@ -374,7 +375,101 @@ object Graph {
       .orderBy("frac", "round")
   }
 
+  /** PPR iterations — shares [[PrDampE3]] with q_pagerank so the two
+    * walk semantics differ only in the restart vector. */
+  private val PprIters = 3
+
+  /** q_ppr: PERSONALIZED PageRank — the random walk with restart to a
+    * SEED product (the hub part: max co-order degree, ties → min id),
+    * i.e. the "related products for THIS item" ranking every
+    * recommender serves, where q_pagerank's uniform restart ranks
+    * global importance. Restart mass (1−d)·10⁶ re-injects at the seed
+    * each round; every other node keeps only damped inflow, so rank
+    * mass decays with walk distance from the seed — locality is the
+    * point. All-integer (the q_pagerank e6 discipline): contrib =
+    * r div deg per edge, re-rank = restart + (850·Σ) div 1000, nodes
+    * flooring to 0 drop (and with them the fringe a serving layer
+    * would not show anyway).
+    *
+    * Scale shape: the frontier grows from ONE node, so early rounds
+    * touch only the seed's neighborhood — each round is one join on
+    * the materialized edge set ∝ edges OUT OF the current frontier,
+    * never the whole graph; rank lineage localCheckpoints per round
+    * (the q_pagerank loop discipline). The seed derivation is one
+    * TakeOrdered(1) over the degree table. */
+  def ppr(spark: SparkSession, dir: String): DataFrame = {
+    val edges = coOrderEdges(spark, dir)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
+    val ed = edges.join(deg, "src").localCheckpoint()
+    val seed = deg.orderBy(col("deg").desc, col("src").asc).limit(1)
+      .select(col("src").as("node"))
+      .localCheckpoint()
+    var ranks = seed.select(col("node"), lit(1000000L).as("r"))
+    (1 to PprIters).foreach { _ =>
+      ranks = ed.join(ranks, ed("src") === ranks("node"))
+        .select(col("dst"), expr("r div deg").as("contrib"))
+        .groupBy("dst").agg(sum("contrib").as("s"))
+        .select(col("dst").as("node"),
+          expr(s"($PrDampE3 * s) div 1000").as("r"))
+        .join(seed.select(col("node"), lit(150000L).as("restart")),
+          Seq("node"), "full")
+        .select(col("node"),
+          (coalesce(col("r"), lit(0L)) + coalesce(col("restart"), lit(0L)))
+            .as("r"))
+        .filter(col("r") > 0)
+        .localCheckpoint()
+    }
+    ranks
+      .join(deg.select(col("src").as("node"), col("deg")), "node")
+      .select(col("node"), col("deg"), col("r").as("ppr_e6"))
+      .orderBy("node")
+  }
+
+  /** Label-propagation rounds for [[labelProp]]. */
+  private val LpaRounds = 3
+
+  /** q_label_prop: COMMUNITY DETECTION by semi-synchronous label
+    * propagation (Raghavan et al. 2007) over the co-order graph —
+    * every node starts as its own label, then [[LpaRounds]] rounds of
+    * "adopt the label most frequent among my neighbors" (ties → min
+    * label, so the vote is a total order and the result
+    * engine-exact). Where Dedup's connected components answer "what
+    * is REACHABLE", LPA answers "where is the EDGE DENSITY" — on the
+    * one-giant-component co-order graph (the q_knn_components lesson)
+    * CC is a single blob, while LPA carves it into purchase
+    * communities a merchandiser can read; q_graph_modularity is the
+    * quality score for exactly this kind of partition.
+    *
+    * Scale shape: each round is ONE join of the label table onto the
+    * materialized edge set (∝ edges), one (dst, label) two-phase
+    * count, and one per-node rank window (cardinality = nodes);
+    * labels localCheckpoint per round. The classic Pregel reduction —
+    * nothing is ever node-pair-quadratic. */
+  def labelProp(spark: SparkSession, dir: String): DataFrame = {
+    val edges = coOrderEdges(spark, dir).localCheckpoint()
+    var lab = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    (1 to LpaRounds).foreach { _ =>
+      val w = Window.partitionBy("dst")
+        .orderBy(col("cnt").desc, col("label").asc)
+      lab = edges.join(lab, edges("src") === lab("node"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("dst").as("node"), col("label"))
+        .localCheckpoint()
+    }
+    val sizes = lab.groupBy("label").agg(count(lit(1)).as("community_size"))
+    lab.join(sizes, Seq("label"))
+      .select(col("node"), col("label").as("community"),
+        col("community_size"))
+      .orderBy("node")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ppr" -> (ppr(_, _)),
+    "q_label_prop" -> (labelProp(_, _)),
     "q_kcore" -> (kcore(_, _)),
     "q_assortativity" -> (assortativity(_, _)),
     "q_pagerank" -> (pagerank(_, _)),
@@ -490,7 +585,74 @@ object Graph {
        |ORDER BY role, node""".stripMargin
   }
 
+  /** The same PPR rounds unrolled (the pagerank-oracle pattern), with
+    * the full-outer restart re-injection and the r>0 cut per round. */
+  private val pprOracle: String = {
+    val rounds = (1 to PprIters).map { i =>
+      s"""s$i AS (
+         |  SELECT e.dst AS node, SUM(p.r // d.deg) AS s
+         |  FROM p${i - 1} p
+         |  JOIN edges e ON e.src = p.node
+         |  JOIN deg d ON d.src = p.node
+         |  GROUP BY e.dst),
+         |p$i AS (
+         |  SELECT node, r FROM (
+         |    SELECT COALESCE(s.node, sd.node) AS node,
+         |      CAST(COALESCE(($PrDampE3 * s.s) // 1000, 0)
+         |        + CASE WHEN sd.node IS NOT NULL THEN 150000 ELSE 0 END
+         |        AS BIGINT) AS r
+         |    FROM s$i s FULL OUTER JOIN seed sd ON sd.node = s.node)
+         |  WHERE r > 0)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |edges AS (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM pairs a JOIN pairs b USING (l_orderkey)
+       |  WHERE a.l_partkey <> b.l_partkey),
+       |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+       |seed AS (SELECT src AS node FROM deg ORDER BY deg DESC, src ASC LIMIT 1),
+       |p0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM seed),
+       |$rounds
+       |SELECT p$PprIters.node, deg.deg, p$PprIters.r AS ppr_e6
+       |FROM p$PprIters JOIN deg ON deg.src = p$PprIters.node
+       |ORDER BY node""".stripMargin
+  }
+
+  /** The same LPA vote rounds unrolled, ROW_NUMBER argmax with the
+    * identical (cnt DESC, label ASC) total order. */
+  private val labelPropOracle: String = {
+    val rounds = (1 to LpaRounds).map { i =>
+      s"""l$i AS (
+         |  SELECT node, label FROM (
+         |    SELECT e.dst AS node, p.label, COUNT(*) AS cnt,
+         |      ROW_NUMBER() OVER (PARTITION BY e.dst
+         |        ORDER BY COUNT(*) DESC, p.label ASC) AS rk
+         |    FROM l${i - 1} p JOIN edges e ON e.src = p.node
+         |    GROUP BY e.dst, p.label)
+         |  WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |edges AS (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM pairs a JOIN pairs b USING (l_orderkey)
+       |  WHERE a.l_partkey <> b.l_partkey),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+       |$rounds,
+       |sz AS (
+       |  SELECT label, CAST(COUNT(*) AS BIGINT) AS community_size
+       |  FROM l$LpaRounds GROUP BY label)
+       |SELECT l.node, l.label AS community, sz.community_size
+       |FROM l$LpaRounds l JOIN sz USING (label)
+       |ORDER BY node""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    // same restart-injected rounds unrolled, same r>0 cut
+    "q_ppr" -> pprOracle,
+    // same vote rounds, identical (cnt DESC, label ASC) argmax
+    "q_label_prop" -> labelPropOracle,
     // same whole-bin quantile rungs, same unrolled peel rounds
     "q_kcore" -> kcoreOracle,
     // same five exact sufficient statistics, same IEEE n-scaled

@@ -1862,7 +1862,93 @@ object Similarity {
       .orderBy("pick_order")
   }
 
+  /** Candidate pool per query for [[mmrRerank]] (re-ranked down to
+    * [[K]] picks). Pinned because the oracle unrolls the rounds. */
+  private[graft] val MmrPool = 10
+
+  /** q_mmr_rerank: MAXIMAL MARGINAL RELEVANCE re-ranking (Carbonell &
+    * Goldstein, SIGIR'98) — the diversity pass every retrieval stack
+    * runs between ANN and the consumer: from each query's top-
+    * [[MmrPool]] exact-cosine pool, greedily keep [[K]] results
+    * maximizing relevance MINUS similarity-to-already-chosen (λ=0.5,
+    * where argmax(λ·rel − (1−λ)·maxSim) ≡ argmax(rel − maxSim), kept
+    * integer-exact). q_ann_cosine returns the 5 nearest — which for a
+    * near-duplicate cluster is 5 copies of the same thing; MMR is how
+    * a RAG/retrieval pipeline turns that into 5 USEFUL passages.
+    * [[coreset]] diversifies the corpus; this diversifies each
+    * answer.
+    *
+    * Integer-exact: rel and pairwise sims quantize to e6 at scoring
+    * (the knn-graph convention), the MMR score is their difference,
+    * ties → min neighbor id.
+    *
+    * Scale shape: pool scoring is the q_ann_cosine broadcast shape
+    * (map-side, one rank window on query_id); pairwise sims are
+    * pool² per query — a CONSTANT 100 rows per query, the whole point
+    * of re-ranking a small pool; each of the K−1 rounds is a
+    * (query, candidate)-keyed join + max-agg + per-query argmax
+    * window over ≤ pool rows per query. At corpus scale the pool
+    * would come from q_ann_lsh_cosine's forest path; the rerank tail
+    * is identical. */
+  def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val q = emb.filter(isQuery(col("vec_id")))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rel_e6").desc, col("neighbor_id").asc)
+    val cand = emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("v"),
+        col("nrm"),
+        floor(dot(col("qv"), col("v")) / (col("qn") * col("nrm")) * 1e6 + 0.5)
+          .cast("long").as("rel_e6"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= MmrPool)
+      .localCheckpoint() // sims (both sides), slim, round 1 read it
+    val a = cand.select(col("query_id"), col("neighbor_id").as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = cand.select(col("query_id"), col("neighbor_id").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val sims = a.join(b, Seq("query_id"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("query_id"), col("id_a"), col("id_b"),
+        floor(dot(col("va"), col("vb")) / (col("na") * col("nb")) * 1e6 + 0.5)
+          .cast("long").as("sim_e6"))
+      .localCheckpoint() // re-joined every round
+    val slim = cand.select("query_id", "neighbor_id", "rel_e6")
+      .localCheckpoint()
+    var chosen = cand.filter(col("rk") === 1)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("pick_order"),
+        col("rel_e6"), col("rel_e6").as("mmr_score_e6"))
+      .localCheckpoint()
+    for (i <- 2 to K) {
+      val remaining = slim.join(
+        chosen.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      val ms = sims.join(
+          chosen.select(col("query_id"), col("neighbor_id").as("id_b")),
+          Seq("query_id", "id_b"))
+        .groupBy(col("query_id"), col("id_a").as("neighbor_id"))
+        .agg(max("sim_e6").as("ms"))
+      val w2 = Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("neighbor_id").asc)
+      val pick = remaining.join(ms, Seq("query_id", "neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), col("rel_e6"),
+          (col("rel_e6") - col("ms")).as("score"))
+        .withColumn("rk", row_number().over(w2))
+        .filter(col("rk") === 1)
+        .select(col("query_id"), col("neighbor_id"),
+          lit(i.toLong).as("pick_order"), col("rel_e6"),
+          col("score").as("mmr_score_e6"))
+      chosen = chosen.unionAll(pick).localCheckpoint()
+    }
+    chosen.orderBy("query_id", "pick_order")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mmr_rerank" -> (mmrRerank(_, _)),
     "q_coreset" -> (coreset(_, _)),
     "q_silhouette" -> (silhouette(_, _)),
     "q_embed_drift" -> (embedDrift(_, _)),
@@ -2230,7 +2316,78 @@ object Similarity {
        |ORDER BY pick_order""".stripMargin
   }
 
+  /** The q_mmr_rerank oracle: the same pool cut, e6 pair sims, and
+    * K−1 greedy rounds unrolled with the identical
+    * (rel−maxSim DESC, id ASC) argmax. */
+  private val mmrOracleSql: String = {
+    val rounds = (2 to K).map { i =>
+      s"""m$i AS (
+         |  SELECT s.query_id, s.id_a AS neighbor_id, MAX(s.sim_e6) AS ms
+         |  FROM sims s JOIN ch${i - 1} c
+         |    ON c.query_id = s.query_id AND c.neighbor_id = s.id_b
+         |  GROUP BY s.query_id, s.id_a),
+         |p$i AS (
+         |  SELECT query_id, neighbor_id, CAST($i AS BIGINT) AS pick_order,
+         |    rel_e6, score AS mmr_score_e6
+         |  FROM (
+         |    SELECT r.query_id, r.neighbor_id, r.rel_e6,
+         |      r.rel_e6 - m.ms AS score,
+         |      ROW_NUMBER() OVER (PARTITION BY r.query_id
+         |        ORDER BY r.rel_e6 - m.ms DESC, r.neighbor_id ASC) AS rk
+         |    FROM cand r
+         |    JOIN m$i m ON m.query_id = r.query_id
+         |      AND m.neighbor_id = r.neighbor_id
+         |    WHERE NOT EXISTS (SELECT 1 FROM ch${i - 1} c
+         |      WHERE c.query_id = r.query_id
+         |        AND c.neighbor_id = r.neighbor_id))
+         |  WHERE rk = 1),
+         |ch$i AS (
+         |  SELECT query_id, neighbor_id FROM ch${i - 1}
+         |  UNION ALL SELECT query_id, neighbor_id FROM p$i)""".stripMargin
+    }.mkString(",\n")
+    val branches = (2 to K).map(i =>
+      s"UNION ALL SELECT query_id, neighbor_id, pick_order, rel_e6, mmr_score_e6 FROM p$i")
+      .mkString("\n")
+    s"""WITH emb AS (
+       |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+       |  FROM embeddings),
+       |nrm AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_reduce([v[i] * v[i] for i in range(1, len(v) + 1)], (a, b) -> a + b)) AS nrm
+       |  FROM emb),
+       |cand AS (
+       |  SELECT query_id, neighbor_id, v, nrm, rel_e6, rk FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.v, c.nrm,
+       |      CAST(floor(
+       |        list_reduce([q.v[i] * c.v[i] for i in range(1, len(q.v) + 1)], (a, b) -> a + b)
+       |        / (q.nrm * c.nrm) * 1e6 + 0.5) AS BIGINT) AS rel_e6,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY CAST(floor(
+       |          list_reduce([q.v[i] * c.v[i] for i in range(1, len(q.v) + 1)], (a, b) -> a + b)
+       |          / (q.nrm * c.nrm) * 1e6 + 0.5) AS BIGINT) DESC,
+       |          c.vec_id ASC) AS rk
+       |    FROM nrm q JOIN nrm c ON q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id)
+       |  WHERE rk <= $MmrPool),
+       |sims AS (
+       |  SELECT a.query_id, a.neighbor_id AS id_a, b.neighbor_id AS id_b,
+       |    CAST(floor(
+       |      list_reduce([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)], (x, y) -> x + y)
+       |      / (a.nrm * b.nrm) * 1e6 + 0.5) AS BIGINT) AS sim_e6
+       |  FROM cand a JOIN cand b
+       |    ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id),
+       |c1 AS (
+       |  SELECT query_id, neighbor_id, CAST(1 AS BIGINT) AS pick_order,
+       |    rel_e6, rel_e6 AS mmr_score_e6
+       |  FROM cand WHERE rk = 1),
+       |ch1 AS (SELECT query_id, neighbor_id FROM c1),
+       |$rounds
+       |SELECT query_id, neighbor_id, pick_order, rel_e6, mmr_score_e6 FROM c1
+       |$branches
+       |ORDER BY query_id, pick_order""".stripMargin
+  }
+
   private val baseOracleSql: Map[String, String] = Map(
+    "q_mmr_rerank" -> mmrOracleSql,
     "q_coreset" -> coresetOracleSql,
     // the IVF oracle's anchor/dist derivation, then per-point sorted
     // first/second distances and the identical one-floor s tree

@@ -674,6 +674,22 @@ object StreamingQueries {
           tableStream(spark, dir, "lineitem")),
         Seq("series", "bucket"), "hdr", dir))
 
+  /** q_stream_corr — the correlation matrix MAINTAINED AT INGEST: the
+    * 15 exact decimal moments ([[graft.operators.Analytics.corrCensus]])
+    * are additive across micro-batches, so the whole matrix is ONE
+    * keyed Update-mode row forever — the purest sketch-as-stream
+    * instance in the suite (q_stream_ols' moment argument, now for
+    * all C(4,2) pairs at once); the row upserts through the durable
+    * keyed [[TableSink]] and the per-pair one-double-division finish
+    * runs batch-side via the SHARED corrFinish — feature-redundancy
+    * drift visible as rows land; batch oracle verbatim. */
+  def streamCorr(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Analytics.corrFinish(
+      TableSink.upsert(spark,
+        graft.operators.Analytics.corrCensus(
+          tableStream(spark, dir, "lineitem")),
+        Seq("k"), "corr", dir))
+
   /** q_stream_srm — the experiment-health tripwire AT INGEST: each
     * event projects to its (day, user, arm) assignment
     * ([[graft.operators.Analytics.srmAssignments]]), first-seen
@@ -1409,6 +1425,7 @@ object StreamingQueries {
     "q_stream_eb" -> stateful(streamEb),
     "q_stream_hdr" -> stateful(streamHdr),
     "q_stream_srm" -> stateful(streamSrm),
+    "q_stream_corr" -> stateful(streamCorr),
     "q_stream_embed_drift" -> stateful(streamEmbedDrift),
     "q_stream_kl" -> stateful(streamKl),
     "q_stream_holt" -> stateful(streamHolt),
@@ -1465,6 +1482,7 @@ object StreamingQueries {
     "q_stream_eb" -> graft.operators.Analytics.oracleSql("q_eb_shrink"),
     "q_stream_hdr" -> graft.operators.Analytics.oracleSql("q_hdr_quantiles"),
     "q_stream_srm" -> graft.operators.Analytics.oracleSql("q_srm"),
+    "q_stream_corr" -> graft.operators.Analytics.oracleSql("q_corr_matrix"),
     "q_stream_embed_drift" -> graft.operators.Similarity.oracleSql("q_embed_drift"),
     "q_stream_kl" -> graft.operators.Curation.oracleSql("q_kl_sources"),
     "q_stream_holt" -> graft.operators.Analytics.oracleSql("q_holt_forecast"),

@@ -1122,6 +1122,59 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("ppr concentrates rank at the seed and decays with distance") {
+    val rows = run("q_ppr").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("deg"), r.getAs[Long]("ppr_e6")))
+    assert(rows.nonEmpty)
+    // the seed is the max-degree node (ties -> min id) and must hold
+    // the strictly largest rank: it gets the only restart mass
+    val degs = run("q_degree_dist") // sanity that the graph family agrees
+    assert(degs.count() > 0)
+    val seed = rows.maxBy(r => (r._2, -r._1))._1
+    val top = rows.maxBy(r => (r._3, -r._1))
+    assert(top._1 == seed, s"top rank at ${top._1}, seed $seed")
+    rows.foreach { r => assert(r._3 >= 1L, s"node ${r._1} rank 0 emitted") }
+    // restart floor at the seed
+    assert(rows.find(_._1 == seed).get._3 >= 150000L)
+  }
+
+  test("label_prop yields a full partition with consistent sizes") {
+    val rows = run("q_label_prop").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // every graph node labeled exactly once
+    assert(rows.map(_._1).distinct.length == rows.length)
+    // community_size is exactly the member count of its label
+    val byComm = rows.groupBy(_._2)
+    byComm.foreach { case (c, ms) =>
+      assert(ms.forall(_._3 == ms.length.toLong), s"community $c size drift")
+    }
+    // sizes sum back to the node count
+    assert(byComm.values.map(_.length).sum == rows.length)
+  }
+
+  test("mmr_rerank picks K distinct results with weakly decreasing scores") {
+    val rows = run("q_mmr_rerank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getAs[Long]("rel_e6"), r.getAs[Long]("mmr_score_e6")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (q, ps) =>
+      assert(ps.length == 5, s"query $q got ${ps.length} picks")
+      assert(ps.map(_._2).distinct.length == 5, s"query $q repeated a pick")
+      val byOrder = ps.sortBy(_._3)
+      // round 1 is the pure-relevance argmax: score == rel == max rel
+      assert(byOrder.head._5 == byOrder.head._4)
+      assert(byOrder.head._4 == ps.map(_._4).max)
+      // from round 2 on the scores share one penalty structure and the
+      // chosen set only grows, so the greedy maxima can only fall
+      // (round 1 is on the unpenalized rel scale — with NEGATIVE pair
+      // sims a round-2 score may legitimately exceed it)
+      val scores = byOrder.tail.map(_._5)
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"query $q scores not weakly decreasing: ${scores.toSeq}")
+    }
+  }
+
   test("mad medians match a local exact computation") {
     val got = run("q_anomaly_mad").collect()
       .map(r => r.getAs[Long]("series") -> r).toMap

@@ -991,6 +991,245 @@ object Analytics {
   def hdrQuantiles(spark: SparkSession, dir: String): DataFrame =
     hdrFinish(spark, dir, hdrCensus(Tables.lineitem(spark, dir)))
 
+  /** Daily revenue census for [[binseg]] and the at-ingest
+    * q_stream_binseg — (epoch day, sum cents): a keyed SUM, additive
+    * across micro-batches, state bounded by the calendar. */
+  private[graft] def binsegCensus(li: DataFrame): DataFrame =
+    li.select(
+        expr("datediff(l_shipdate, date'1970-01-01')").cast("long").as("day"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy("day").agg(sum("cents").as("x"))
+
+  /** Best split per segment for [[binseg]]: maximizing the
+    * between-segment term S_L²/n_L + S_R²/n_R (the within-variance is
+    * constant per parent segment, so the score needs ONLY cumulative
+    * sums — no squares, no floats), carried as the truncating
+    * decimal(38,0) value (S_L²·n_R + S_R²·n_L) div (n_L·n_R); ties →
+    * earliest day. */
+  private def binsegBest(seg: DataFrame): DataFrame = {
+    val w = Window.partitionBy("seg_id").orderBy("day")
+    val cum = seg
+      .withColumn("cum", sum("x").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("seg_id")))
+      .withColumn("s", sum("x").over(Window.partitionBy("seg_id")))
+    val pick = Window.partitionBy("seg_id")
+      .orderBy(col("score").desc, col("day").asc)
+    cum.filter(col("i") < col("n"))
+      // the ranking value stays decimal(38,0) END TO END (it is
+      // ~S²/n, which overflows int64 already at sf0.01) and is never
+      // emitted; the OUTPUT statistic is the bounded mean gap
+      .withColumn("score", expr(
+        """((cast(cum as decimal(38,0)) * cum) * (n - i)
+          | + (cast(s - cum as decimal(38,0)) * (s - cum)) * i)
+          | div (cast(i as decimal(38,0)) * (n - i))"""
+          .stripMargin.replace('\n', ' ')))
+      .withColumn("rk", row_number().over(pick))
+      .filter(col("rk") === 1)
+      .select(col("seg_id"), col("day").as("split_day"),
+        col("i").as("n_left"), (col("n") - col("i")).as("n_right"),
+        col("cum").as("s_left"), (col("s") - col("cum")).as("s_right"),
+        expr("cum div i - (s - cum) div (n - i)").as("mean_gap_cents"))
+  }
+
+  /** q_binseg: MULTIPLE change-point detection by BINARY SEGMENTATION
+    * (the binseg baseline every changepoint library ships, after
+    * Scott & Knott 1974): level 1 splits the daily-revenue series at
+    * the point minimizing within-segment SSE; level 2 recurses into
+    * each half — up to three changepoints with their segment sums, so
+    * the analyst reads WHERE the level shifted and by how much.
+    * q_cusum_change detects ONE shift online at ingest; this is the
+    * offline segmentation of the whole horizon.
+    *
+    * Exactness: minimizing SSE ≡ maximizing S_L²/n_L + S_R²/n_R, a
+    * pure function of CUMULATIVE SUMS — the whole search is exact
+    * integer arithmetic (decimal(38,0) cross-multiplied, one
+    * truncating division per candidate), ties → earliest day. No
+    * float enters at any point.
+    *
+    * Scale shape: the day collapse is one two-phase agg (shuffle ∝
+    * days touched, calendar-bounded); the candidate scan is a window
+    * over the bounded day axis (the documented bounded-axis
+    * exception) and the argmax is a rank window per segment. */
+  def binseg(spark: SparkSession, dir: String): DataFrame =
+    binsegFinish(binsegCensus(Tables.lineitem(spark, dir)))
+
+  /** The two-level segmentation over a converged day census — shared
+    * by batch and stream. */
+  private[graft] def binsegFinish(census: DataFrame): DataFrame = {
+    val days = census.localCheckpoint() // both levels
+    val l1 = binsegBest(days.select(lit(0L).as("seg_id"), col("day"),
+      col("x"))).localCheckpoint() // output + the level-2 cut read it
+    val seg2 = days.crossJoin(broadcast(l1.select(col("split_day").as("t1"))))
+      .select(when(col("day") <= col("t1"), 1L).otherwise(2L).as("seg_id"),
+        col("day"), col("x"))
+    val cols = Seq("seg_id", "split_day", "n_left", "n_right",
+      "s_left", "s_right", "mean_gap_cents").map(col)
+    l1.select(lit(1L).as("level") +: cols: _*)
+      .unionAll(binsegBest(seg2).select(lit(2L).as("level") +: cols: _*))
+      .orderBy("level", "seg_id")
+  }
+
+  /** AMS sketch shape: [[AmsR]] = groups × perGroup sign counters
+    * (median-of-means over 8 groups of 8 — the classic AMS/Tug-of-War
+    * accuracy amplification). */
+  private[graft] val AmsGroups = 8
+  private[graft] val AmsPerGroup = 8
+  private[graft] val AmsR = AmsGroups * AmsPerGroup
+
+  /** The [[AmsR]] sign counters behind [[amsF2]] and the at-ingest
+    * q_stream_ams, as ONE keyed census row: the key's single md5
+    * yields two 60-bit integers (hex chars 1–15 and 16–30); sign j is
+    * bit j of the first (j < 60) or bit j−60 of the second — ONE hash
+    * per row however many counters, the production AMS trick — and
+    * counter j = Σ_rows ±1. All 64 sums are integer and ADDITIVE
+    * across micro-batches; state = one 65-column row forever. */
+  private[graft] def amsCensus(li: DataFrame): DataFrame = {
+    // two 60-bit integer parses of the hex, then pure shift-and-mask
+    // per sign — integer ops in codegen, not 64 string slices
+    val sums = (0 until AmsR).map { j =>
+      val bit =
+        if (j < 60) s"(l1 >> $j) & 1" else s"(l2 >> ${j - 60}) & 1"
+      sum(expr(s"case when $bit = 1 then 1L else -1L end")).as(s"c$j")
+    }
+    li.select(expr("md5(concat('ams', cast(l_partkey as string)))").as("h"))
+      .select(
+        expr("cast(conv(substr(h, 1, 15), 16, 10) as bigint)").as("l1"),
+        expr("cast(conv(substr(h, 16, 15), 16, 10) as bigint)").as("l2"))
+      .groupBy(lit("all").as("k"))
+      .agg(count(lit(1)).as("n"), sums: _*)
+  }
+
+  /** Median-of-means F2 estimate + exact audit over a converged
+    * counter row — shared by batch and stream. */
+  private[graft] def amsFinish(spark: SparkSession, dir: String,
+      census: DataFrame): DataFrame = {
+    val means = (0 until AmsGroups).map { g =>
+      val terms = (0 until AmsPerGroup)
+        .map(p => s"cast(c${g * AmsPerGroup + p} as decimal(38,0)) * c${g * AmsPerGroup + p}")
+        .mkString(" + ")
+      struct(lit(g.toLong).as("grp"),
+        expr(s"cast(($terms) div $AmsPerGroup as bigint)").as("mean_f2"))
+    }
+    val w = Window.orderBy(col("mean_f2").asc, col("grp").asc)
+    val est = census.drop("k")
+      .select(col("n"), explode(array(means: _*)).as("e"))
+      .select(col("n"), col("e.grp").as("grp"), col("e.mean_f2").as("mean_f2"))
+      .withColumn("rk", row_number().over(w)) // 8 rows — bounded axis
+      .filter(col("rk") === (AmsGroups + 1) / 2) // lower median of 8
+      .select(col("mean_f2").as("est_f2"), col("n").as("n_rows"))
+    val exact = Tables.lineitem(spark, dir)
+      .groupBy("l_partkey").agg(count(lit(1)).as("c"))
+      .agg(sum(expr("c * c")).as("exact_f2"))
+    est.crossJoin(broadcast(exact))
+      .select(col("n_rows"), col("exact_f2"), col("est_f2"),
+        expr("abs(est_f2 - exact_f2) * 1000000 div exact_f2")
+          .as("rel_err_e6"))
+  }
+
+  /** q_ams_f2: the AMS / Tug-of-War SECOND-MOMENT sketch (Alon,
+    * Matias & Szegedy, STOC'96 — the result that started streaming
+    * sketches): F₂ = Σ_k c_k² of the join-key frequency vector, i.e.
+    * EXACTLY the self-join size q_join_card computes exactly —
+    * estimated from [[AmsR]] integer counters instead of a per-key
+    * census. Each counter is Σ ±1·(rows), E[c²] = F₂; means of
+    * [[AmsPerGroup]] then the median of [[AmsGroups]] means is the
+    * standard variance-then-tail amplification. The exact Σc² rides
+    * along as the audit (the q_kmv_setops pattern).
+    *
+    * Why it earns a row next to q_join_card: the exact census is
+    * state ∝ DISTINCT KEYS; the AMS sketch is 64 longs FOREVER at any
+    * key cardinality — the join-size estimator a 100 TB planner can
+    * afford to keep per column. Everything is integer: the 64 ±1
+    * signs are the 64 BITS of one md5 per row (both engines parse the
+    * same hex digits), counter sums, squares, truncating divisions;
+    * the median is a rank pick, not an average.
+    *
+    * Scale shape: ONE hash + 64 conditional sums per row, all
+    * map-side-combinable into a single 65-column row — the shuffle is
+    * one partial row per partition; the finish runs on 8 rows. */
+  def amsF2(spark: SparkSession, dir: String): DataFrame =
+    amsFinish(spark, dir, amsCensus(Tables.lineitem(spark, dir)))
+
+  /** R/S window sizes for [[hurst]] — powers of two, evenly spaced in
+    * ln, so the 3-point OLS slope collapses to
+    * (ln RS₃₂ − ln RS₈)/(2·ln 2). */
+  private val HurstScales = Seq(8L, 16L, 32L)
+
+  /** q_hurst: the HURST EXPONENT by rescaled-range analysis (Hurst
+    * 1951; Mandelbrot's R/S) over each series' daily price level —
+    * the long-memory diagnostic the time-series family lacked: H ≈
+    * 0.5 says the series is a random walk (q_acf/q_pacf's short-lag
+    * view can look clean while long-range dependence hides), H > 0.5
+    * persistent trending, H < 0.5 mean-reverting — the dial that
+    * decides whether q_ses_forecast-style exponential smoothing is
+    * even applicable. Per series and window size w ∈ {8,16,32}: split
+    * the day-indexed series into complete windows, R = range of
+    * cumulative deviations from the window mean, S = window stddev,
+    * RS(w) = mean R/S; H = the log-log slope.
+    *
+    * Exactness discipline: deviations are scaled by w so they stay
+    * INTEGER (w·cum_k − k·Σx); each window's R/S is ONE double
+    * division of exact integers ((dmax−dmin)/√(w·Σx²−(Σx)²)),
+    * e6-floored AT THE WINDOW so the per-scale mean is an exact
+    * integer division — no float ever rides an aggregation. H's two
+    * ln calls are the accepted libm-parity class (q_intrinsic_dim's
+    * lnmu precedent).
+    *
+    * Scale shape: the (series, day) collapse is one two-phase agg;
+    * windows and cumulative deviations are day-axis windows
+    * partitioned by (series, w, win) — calendar-bounded frames; the
+    * finish runs on series × 3 rows. */
+  def hurst(spark: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy("series").orderBy("day")
+    val daily = Tables.lineitem(spark, dir)
+      .select((col("l_partkey") % 10).as("series"),
+        expr("datediff(l_shipdate, date'1970-01-01')").cast("long").as("day"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy("series", "day")
+      .agg(expr("sum(cents) div count(1)").as("x"))
+      .withColumn("i", (row_number().over(wOrd) - 1).cast("long"))
+    val scaled = daily.select(col("series"), col("i"), col("x"),
+        explode(array(HurstScales.map(lit(_)): _*)).as("w"))
+      .withColumn("win", expr("i div w"))
+    val ww = Window.partitionBy("series", "w", "win")
+    val wwOrd = ww.orderBy("i")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perWin = scaled
+      .withColumn("cnt", count(lit(1)).over(ww))
+      .filter(col("cnt") === col("w"))
+      .withColumn("sx", sum("x").over(ww))
+      .withColumn("sxx", sum(expr("x * x")).over(ww))
+      .withColumn("cum", sum("x").over(wwOrd))
+      .withColumn("dev", expr("w * cum - ((i % w) + 1) * sx"))
+      .groupBy("series", "w", "win")
+      .agg(max("dev").as("dmax"), min("dev").as("dmin"),
+        max("sx").as("sx"), max("sxx").as("sxx"))
+      .withColumn("rs_e6", expr(
+        """case when w * sxx - sx * sx <= 0 then cast(null as bigint)
+          |else cast(floor(cast(dmax - dmin as double)
+          |  / sqrt(cast(w * sxx - sx * sx as double)) * 1e6 + 0.5d)
+          |  as bigint) end""".stripMargin.replace('\n', ' ')))
+    val rsMean = perWin.filter(col("rs_e6").isNotNull)
+      .groupBy("series", "w")
+      .agg(count(lit(1)).as("n_windows"),
+        expr("sum(rs_e6) div count(1)").as("rs_mean_e6"))
+    val h = rsMean.groupBy("series").agg(
+        min(when(col("w") === 8, col("rs_mean_e6"))).as("rs8"),
+        min(when(col("w") === 32, col("rs_mean_e6"))).as("rs32"))
+      .select(col("series"), expr(
+        """case when rs8 is null or rs32 is null or rs8 <= 0 or rs32 <= 0
+          |then cast(0 as bigint)
+          |else cast(floor((ln(cast(rs32 as double)) - ln(cast(rs8 as double)))
+          |  / (2.0d * ln(2.0d)) * 1e6 + 0.5d) as bigint) end"""
+          .stripMargin.replace('\n', ' ')).as("h_e6"))
+    rsMean.join(h, Seq("series"))
+      .select(col("series"), col("w"), col("n_windows"),
+        col("rs_mean_e6"), col("h_e6"))
+      .orderBy("series", "w")
+  }
+
   /** The four lineitem measures [[corrMatrix]] correlates, each
     * quantized to an exact integer at the scan (name → quantizing
     * SQL), in pinned lexical order so the pair rows are
@@ -5330,6 +5569,9 @@ object Analytics {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_binseg" -> (binseg(_, _)),
+    "q_hurst" -> (hurst(_, _)),
+    "q_ams_f2" -> (amsF2(_, _)),
     "q_hdr_quantiles" -> (hdrQuantiles(_, _)),
     "q_corr_matrix" -> (corrMatrix(_, _)),
     "q_grouping_sets" -> (groupingSetsQ(_, _)),
@@ -5748,7 +5990,147 @@ object Analytics {
        |FROM e""".stripMargin
   }
 
+  /** Best-split SQL block for the binseg oracle — the identical
+    * cumulative-sum score, truncating division, (score DESC, day ASC)
+    * argmax; HUGEINT window sums cast back to BIGINT at the edges. */
+  private def binsegBestSql(src: String, out: String): String =
+    s"""${out}c AS (
+       |  SELECT seg_id, day, x,
+       |    SUM(x) OVER (PARTITION BY seg_id ORDER BY day) AS cum,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY seg_id ORDER BY day) AS BIGINT) AS i,
+       |    COUNT(*) OVER (PARTITION BY seg_id) AS n,
+       |    SUM(x) OVER (PARTITION BY seg_id) AS s
+       |  FROM $src),
+       |${out}s AS (
+       |  SELECT seg_id, day, i, n, cum, s,
+       |    ((CAST(cum AS HUGEINT) * cum) * (n - i)
+       |      + (CAST(s - cum AS HUGEINT) * (s - cum)) * i)
+       |      // (CAST(i AS HUGEINT) * (n - i)) AS score
+       |  FROM ${out}c WHERE i < n),
+       |$out AS (
+       |  SELECT seg_id, day AS split_day, i AS n_left,
+       |    CAST(n - i AS BIGINT) AS n_right, CAST(cum AS BIGINT) AS s_left,
+       |    CAST(s - cum AS BIGINT) AS s_right,
+       |    CAST(cum // i - (s - cum) // (n - i) AS BIGINT) AS mean_gap_cents
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY seg_id
+       |      ORDER BY score DESC, day ASC) AS rk FROM ${out}s)
+       |  WHERE rk = 1)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    // the identical one-md5-per-row bit signs, 64 conditional counter
+    // sums, group means and the lower-median rank pick
+    "q_ams_f2" -> {
+      val sums = (0 until AmsR).map { j =>
+        val bit =
+          if (j < 60) s"(l1 >> $j) & 1" else s"(l2 >> ${j - 60}) & 1"
+        s"CAST(SUM(CASE WHEN $bit = 1 THEN 1 ELSE -1 END) AS BIGINT) AS c$j"
+      }
+      val meanRows = (0 until AmsGroups).map { g =>
+        val terms = (0 until AmsPerGroup)
+          .map(p => s"CAST(c${g * AmsPerGroup + p} AS HUGEINT) * c${g * AmsPerGroup + p}")
+          .mkString(" + ")
+        s"SELECT CAST($g AS BIGINT) AS grp, CAST(($terms) // $AmsPerGroup AS BIGINT) AS mean_f2, n FROM cnt"
+      }
+      s"""WITH hs AS (
+         |  SELECT
+         |    CAST(concat('0x', substr(md5(concat('ams', CAST(l_partkey AS VARCHAR))), 1, 15)) AS BIGINT) AS l1,
+         |    CAST(concat('0x', substr(md5(concat('ams', CAST(l_partkey AS VARCHAR))), 16, 15)) AS BIGINT) AS l2
+         |  FROM lineitem),
+         |cnt AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    ${sums.mkString(",\n    ")}
+         |  FROM hs),
+         |means AS (
+         |  ${meanRows.mkString("\n  UNION ALL ")}),
+         |est AS (
+         |  SELECT mean_f2 AS est_f2, n AS n_rows FROM (
+         |    SELECT *, ROW_NUMBER() OVER (ORDER BY mean_f2 ASC, grp ASC) AS rk
+         |    FROM means)
+         |  WHERE rk = ${(AmsGroups + 1) / 2}),
+         |ex AS (
+         |  SELECT CAST(SUM(c * c) AS BIGINT) AS exact_f2 FROM (
+         |    SELECT CAST(COUNT(*) AS BIGINT) AS c FROM lineitem
+         |    GROUP BY l_partkey))
+         |SELECT n_rows, exact_f2, est_f2,
+         |  abs(est_f2 - exact_f2) * 1000000 // exact_f2 AS rel_err_e6
+         |FROM est, ex""".stripMargin
+    },
+    // same integer-scaled deviations, per-window e6 floor before the
+    // integer mean, same evenly-spaced two-point log-log slope
+    "q_hurst" ->
+      """WITH daily AS (
+        |  SELECT l_partkey % 10 AS series,
+        |    CAST(datediff('day', DATE '1970-01-01', l_shipdate) AS BIGINT) AS day,
+        |    CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |      // COUNT(*) AS BIGINT) AS x
+        |  FROM lineitem GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT series, x,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY series ORDER BY day) - 1
+        |      AS BIGINT) AS i
+        |  FROM daily),
+        |sc AS (
+        |  SELECT series, i, x, w, i // w AS win
+        |  FROM idx, (SELECT unnest([CAST(8 AS BIGINT), 16, 32]) AS w)),
+        |g AS (
+        |  SELECT series, w, win, i, x,
+        |    COUNT(*) OVER (PARTITION BY series, w, win) AS cnt,
+        |    SUM(x) OVER (PARTITION BY series, w, win) AS sx,
+        |    SUM(x * x) OVER (PARTITION BY series, w, win) AS sxx,
+        |    SUM(x) OVER (PARTITION BY series, w, win ORDER BY i) AS cum
+        |  FROM sc),
+        |pw AS (
+        |  SELECT series, w, win,
+        |    MAX(w * cum - ((i % w) + 1) * sx) AS dmax,
+        |    MIN(w * cum - ((i % w) + 1) * sx) AS dmin,
+        |    MAX(sx) AS sx, MAX(sxx) AS sxx
+        |  FROM g WHERE cnt = w GROUP BY series, w, win),
+        |rsw AS (
+        |  SELECT series, w, win,
+        |    CASE WHEN w * sxx - sx * sx <= 0 THEN NULL
+        |    ELSE CAST(floor(CAST(dmax - dmin AS DOUBLE)
+        |      / sqrt(CAST(w * sxx - sx * sx AS DOUBLE)) * 1e6 + 0.5)
+        |      AS BIGINT) END AS rs_e6
+        |  FROM pw),
+        |rsm AS (
+        |  SELECT series, w, CAST(COUNT(*) AS BIGINT) AS n_windows,
+        |    CAST(SUM(rs_e6) // COUNT(*) AS BIGINT) AS rs_mean_e6
+        |  FROM rsw WHERE rs_e6 IS NOT NULL GROUP BY series, w),
+        |h AS (
+        |  SELECT series,
+        |    MIN(CASE WHEN w = 8 THEN rs_mean_e6 END) AS rs8,
+        |    MIN(CASE WHEN w = 32 THEN rs_mean_e6 END) AS rs32
+        |  FROM rsm GROUP BY series),
+        |he AS (
+        |  SELECT series,
+        |    CASE WHEN rs8 IS NULL OR rs32 IS NULL OR rs8 <= 0 OR rs32 <= 0
+        |    THEN CAST(0 AS BIGINT)
+        |    ELSE CAST(floor((ln(CAST(rs32 AS DOUBLE)) - ln(CAST(rs8 AS DOUBLE)))
+        |      / (2.0 * ln(2.0)) * 1e6 + 0.5) AS BIGINT) END AS h_e6
+        |  FROM h)
+        |SELECT rsm.series, rsm.w, rsm.n_windows, rsm.rs_mean_e6, he.h_e6
+        |FROM rsm JOIN he USING (series)
+        |ORDER BY series, w""".stripMargin,
+    // same day collapse, cumulative-sum-only exact scoring, and the
+    // two unrolled recursion levels
+    "q_binseg" ->
+      s"""WITH days AS (
+         |  SELECT CAST(datediff('day', DATE '1970-01-01', l_shipdate) AS BIGINT) AS day,
+         |    CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+         |  FROM lineitem GROUP BY 1),
+         |c0 AS (SELECT CAST(0 AS BIGINT) AS seg_id, day, x FROM days),
+         |${binsegBestSql("c0", "b1")},
+         |c2 AS (
+         |  SELECT CASE WHEN d.day <= b1.split_day THEN CAST(1 AS BIGINT)
+         |              ELSE CAST(2 AS BIGINT) END AS seg_id, d.day, d.x
+         |  FROM days d, b1),
+         |${binsegBestSql("c2", "b2")}
+         |SELECT CAST(1 AS BIGINT) AS level, seg_id, split_day, n_left,
+         |  n_right, s_left, s_right, mean_gap_cents FROM b1
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), seg_id, split_day, n_left, n_right,
+         |  s_left, s_right, mean_gap_cents FROM b2
+         |ORDER BY level, seg_id""".stripMargin,
     // the identical string-length log2 bucketing (no float log), the
     // same ceil-rank picks over the bucket census, the same exact
     // percentile audit columns

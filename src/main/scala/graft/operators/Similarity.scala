@@ -1947,7 +1947,45 @@ object Similarity {
     chosen.orderBy("query_id", "pick_order")
   }
 
+  /** q_mrr: MEAN RECIPROCAL RANK of the exact top-[[K]] retrieval
+    * against class-label relevance — the third leg of the retrieval
+    * eval family: q_ann_recall grades the INDEX (does approx find the
+    * true neighbors), q_ndcg grades graded ranking quality, MRR
+    * grades "how fast does a user hit something RIGHT" (a result is
+    * relevant iff it shares the query's label, the q_knn_classify
+    * ground truth). Reported with hit@1 and any-hit counts so the
+    * single MRR number is decomposable.
+    *
+    * Integer-exact: rr = 10⁶ div rank-of-first-relevant (0 when no
+    * relevant lands in the top K — misses COUNT against the mean, the
+    * honest convention); the mean is one truncating division.
+    *
+    * Scale shape: the result list is [[annCosine]]'s broadcast-scored
+    * top-K (at corpus scale the forest path's, tail unchanged); label
+    * lookup is two key joins; the rest runs on |queries| rows. */
+  def mrr(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("lab"))
+    val res = annCosine(spark, dir)
+      .join(labels.select(col("vec_id").as("query_id"),
+        col("lab").as("qlab")), Seq("query_id"))
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("lab").as("nlab")), Seq("neighbor_id"))
+    res.groupBy("query_id")
+      .agg(min(when(col("qlab") === col("nlab"), col("rank")))
+          .as("first_rel"),
+        max(when(col("qlab") === col("nlab") && col("rank") === 1, 1L)
+          .otherwise(0L)).as("hit1"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("first_rel").isNotNull, 1L).otherwise(0L))
+          .as("n_with_hit"),
+        sum("hit1").as("hits_at_1"),
+        expr("sum(coalesce(1000000 div first_rel, 0L)) div count(1)")
+          .as("mrr_e6"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mrr" -> (mrr(_, _)),
     "q_mmr_rerank" -> (mmrRerank(_, _)),
     "q_coreset" -> (coreset(_, _)),
     "q_silhouette" -> (silhouette(_, _)),
@@ -2387,6 +2425,39 @@ object Similarity {
   }
 
   private val baseOracleSql: Map[String, String] = Map(
+    // the q_ann_cosine ranked top-K, label relevance via two key
+    // joins, the same first-relevant rank pick and truncating mean
+    "q_mrr" ->
+      s"""WITH emb AS (
+         |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+         |  FROM embeddings),
+         |nrm AS (
+         |  SELECT vec_id, v,
+         |    sqrt(list_reduce([v[i] * v[i] for i in range(1, len(v) + 1)], (a, b) -> a + b)) AS nrm
+         |  FROM emb),
+         |ranked AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY list_reduce([q.v[i] * c.v[i] for i in range(1, len(q.v) + 1)], (a, b) -> a + b)
+         |        / (q.nrm * c.nrm) DESC, c.vec_id ASC) AS rank
+         |  FROM nrm q JOIN nrm c ON q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id),
+         |top AS (SELECT * FROM ranked WHERE rank <= $K),
+         |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS lab FROM embeddings),
+         |res AS (
+         |  SELECT t.query_id, t.rank, ql.lab AS qlab, nl.lab AS nlab
+         |  FROM top t
+         |  JOIN lab ql ON ql.vec_id = t.query_id
+         |  JOIN lab nl ON nl.vec_id = t.neighbor_id),
+         |perq AS (
+         |  SELECT query_id,
+         |    MIN(CASE WHEN qlab = nlab THEN rank END) AS first_rel,
+         |    MAX(CASE WHEN qlab = nlab AND rank = 1 THEN 1 ELSE 0 END) AS hit1
+         |  FROM res GROUP BY query_id)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+         |  CAST(SUM(CASE WHEN first_rel IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_hit,
+         |  CAST(SUM(hit1) AS BIGINT) AS hits_at_1,
+         |  CAST(SUM(COALESCE(1000000 // first_rel, 0)) // COUNT(*) AS BIGINT) AS mrr_e6
+         |FROM perq""".stripMargin,
     "q_mmr_rerank" -> mmrOracleSql,
     "q_coreset" -> coresetOracleSql,
     // the IVF oracle's anchor/dist derivation, then per-point sorted

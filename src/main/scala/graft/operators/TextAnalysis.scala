@@ -1479,7 +1479,66 @@ object TextAnalysis {
           .as("vocab_deficit_e6"))
       .orderBy("lang")
 
+  /** The 52 ASCII letters, for the translate-based char-class counts
+    * (translate deletes unmapped chars identically in Spark and
+    * DuckDB — no regexp_replace, whose global-flag semantics DIFFER
+    * between the engines). */
+  private val AsciiLetters =
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+
+  /** The per-doc char-class census behind [[charsetAudit]] and the
+    * at-ingest q_stream_charset: per source, exact counts of chars by
+    * class. Char classes via translate-deletion (engine-identical);
+    * non-ASCII presence via the UTF-8 byte overhead octet_length −
+    * length, exact and identical in both engines. All sums additive
+    * across micro-batches. */
+  private[graft] def charsetCensus(docs: DataFrame): DataFrame = {
+    val n = length(col("text")).cast("long")
+    val letters = (n - length(translate(col("text"), AsciiLetters, "")))
+      .cast("long")
+    val digits = (n - length(translate(col("text"), "0123456789", "")))
+      .cast("long")
+    val spaces = (n - length(translate(col("text"), " ", ""))).cast("long")
+    val overhead = (octet_length(col("text")) - length(col("text")))
+      .cast("long")
+    docs.select(col("source"), n.as("n"), letters.as("l"), digits.as("d"),
+        spaces.as("s"), overhead.as("o"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("n_chars"),
+        sum("l").as("n_letters"), sum("d").as("n_digits"),
+        sum("s").as("n_spaces"),
+        sum(when(col("o") > 0, 1L).otherwise(0L)).as("nonascii_docs"))
+  }
+
+  /** The e6 ratio finish over a converged charset census — shared by
+    * batch and stream. */
+  private[graft] def charsetFinish(census: DataFrame): DataFrame =
+    census.select(col("source"), col("n_docs"), col("n_chars"),
+        expr("(n_letters * 1000000) div n_chars").as("letter_ratio_e6"),
+        expr("(n_digits * 1000000) div n_chars").as("digit_ratio_e6"),
+        expr("(n_spaces * 1000000) div n_chars").as("space_ratio_e6"),
+        expr("((n_chars - n_letters - n_digits - n_spaces) * 1000000) div n_chars")
+          .as("other_ratio_e6"),
+        col("nonascii_docs"))
+      .orderBy("source")
+
+  /** q_charset_audit: the CHARSET / CHARACTER-CLASS profile per crawl
+    * source — the data-quality census an ingest pipeline reads before
+    * trusting a source's text (a source whose letter ratio collapses
+    * or whose non-ASCII doc count spikes changed its encoding or its
+    * scraper broke; the byte-overhead column is the UTF-8 smoke
+    * alarm). Complements q_lang_id (which words) at the level below:
+    * which BYTES. All counts exact integers via translate-deletion —
+    * deliberately NOT regexp_replace, whose global-replace semantics
+    * differ between engines — and ratios are truncating e6 divisions.
+    *
+    * Scale shape: one map-side projection (four translate calls per
+    * doc) + one per-source two-phase aggregate; output ∝ sources. */
+  def charsetAudit(spark: SparkSession, dir: String): DataFrame =
+    charsetFinish(charsetCensus(Tables.documents(spark, dir)))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_charset_audit" -> (charsetAudit(_, _)),
     "q_good_turing" -> (goodTuring(_, _)),
     "q_nb_langid" -> (nbLangid(_, _)),
     "q_kappa" -> (kappaAgreement(_, _)),
@@ -1604,6 +1663,32 @@ object TextAnalysis {
          |ORDER BY query_id, rank""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // identical translate-deletion counts, byte-overhead flag, and
+    // truncating e6 ratios
+    "q_charset_audit" ->
+      s"""WITH d AS (
+         |  SELECT source,
+         |    CAST(length(text) AS BIGINT) AS n,
+         |    CAST(length(text) - length(translate(text, '$AsciiLetters', '')) AS BIGINT) AS l,
+         |    CAST(length(text) - length(translate(text, '0123456789', '')) AS BIGINT) AS dg,
+         |    CAST(length(text) - length(translate(text, ' ', '')) AS BIGINT) AS sp,
+         |    CAST(octet_length(encode(text)) - length(text) AS BIGINT) AS o
+         |  FROM documents),
+         |c AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(n) AS BIGINT) AS n_chars,
+         |    CAST(SUM(l) AS BIGINT) AS n_letters,
+         |    CAST(SUM(dg) AS BIGINT) AS n_digits,
+         |    CAST(SUM(sp) AS BIGINT) AS n_spaces,
+         |    CAST(SUM(CASE WHEN o > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonascii_docs
+         |  FROM d GROUP BY source)
+         |SELECT source, n_docs, n_chars,
+         |  (n_letters * 1000000) // n_chars AS letter_ratio_e6,
+         |  (n_digits * 1000000) // n_chars AS digit_ratio_e6,
+         |  (n_spaces * 1000000) // n_chars AS space_ratio_e6,
+         |  ((n_chars - n_letters - n_digits - n_spaces) * 1000000) // n_chars AS other_ratio_e6,
+         |  nonascii_docs
+         |FROM c ORDER BY source""".stripMargin,
     // same (lang, token) census and integer spectrum reduction
     "q_good_turing" ->
       """WITH census AS (

@@ -690,6 +690,52 @@ object StreamingQueries {
           tableStream(spark, dir, "lineitem")),
         Seq("k"), "corr", dir))
 
+  /** q_stream_charset — the per-source charset profile AT INGEST: the
+    * char-class census ([[graft.operators.TextAnalysis.charsetCensus]]
+    * — exact translate-deletion counts, all sums ADDITIVE across
+    * micro-batches, state = one row per crawl source forever) upserts
+    * through the durable keyed [[TableSink]]; the e6 ratio finish
+    * runs batch-side via the SHARED charsetFinish — an encoding break
+    * in a source's scraper pages the ingest owner while the crawl is
+    * landing; batch oracle verbatim. */
+  def streamCharset(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.charsetFinish(
+      TableSink.upsert(spark,
+        graft.operators.TextAnalysis.charsetCensus(
+          tableStream(spark, dir, "documents")),
+        Seq("source"), "charset", dir))
+
+  /** q_stream_binseg — the change-point monitor AT INGEST: the daily
+    * revenue census ([[graft.operators.Analytics.binsegCensus]] — a
+    * keyed SUM, additive across micro-batches, state bounded by the
+    * calendar) upserts through the durable keyed [[TableSink]], and
+    * the exact-integer two-level segmentation runs batch-side over
+    * the merged view via the SHARED binsegFinish — the "did the level
+    * shift, and where" report stays current as facts land, the
+    * offline complement to q_stream_cusum's online alarm; batch
+    * oracle verbatim. */
+  def streamBinseg(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Analytics.binsegFinish(
+      TableSink.upsert(spark,
+        graft.operators.Analytics.binsegCensus(
+          tableStream(spark, dir, "lineitem")),
+        Seq("day"), "binseg", dir))
+
+  /** q_stream_ams — the join-size sketch AT INGEST: the [[AmsR]] sign
+    * counters ([[graft.operators.Analytics.amsCensus]] — ±1 sums,
+    * additive, 64 longs of state FOREVER at any key cardinality — the
+    * sketch-as-stream argument at its purest alongside q_stream_hll)
+    * upsert through the durable keyed [[TableSink]]; the
+    * median-of-means estimate + exact audit run batch-side via the
+    * SHARED amsFinish — the optimizer's self-join-size statistic that
+    * never goes stale and never grows; batch oracle verbatim. */
+  def streamAms(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Analytics.amsFinish(spark, dir,
+      TableSink.upsert(spark,
+        graft.operators.Analytics.amsCensus(
+          tableStream(spark, dir, "lineitem")),
+        Seq("k"), "ams", dir))
+
   /** q_stream_srm — the experiment-health tripwire AT INGEST: each
     * event projects to its (day, user, arm) assignment
     * ([[graft.operators.Analytics.srmAssignments]]), first-seen
@@ -1426,6 +1472,9 @@ object StreamingQueries {
     "q_stream_hdr" -> stateful(streamHdr),
     "q_stream_srm" -> stateful(streamSrm),
     "q_stream_corr" -> stateful(streamCorr),
+    "q_stream_charset" -> stateful(streamCharset),
+    "q_stream_binseg" -> stateful(streamBinseg),
+    "q_stream_ams" -> stateful(streamAms),
     "q_stream_embed_drift" -> stateful(streamEmbedDrift),
     "q_stream_kl" -> stateful(streamKl),
     "q_stream_holt" -> stateful(streamHolt),
@@ -1483,6 +1532,9 @@ object StreamingQueries {
     "q_stream_hdr" -> graft.operators.Analytics.oracleSql("q_hdr_quantiles"),
     "q_stream_srm" -> graft.operators.Analytics.oracleSql("q_srm"),
     "q_stream_corr" -> graft.operators.Analytics.oracleSql("q_corr_matrix"),
+    "q_stream_charset" -> graft.operators.TextAnalysis.oracleSql("q_charset_audit"),
+    "q_stream_binseg" -> graft.operators.Analytics.oracleSql("q_binseg"),
+    "q_stream_ams" -> graft.operators.Analytics.oracleSql("q_ams_f2"),
     "q_stream_embed_drift" -> graft.operators.Similarity.oracleSql("q_embed_drift"),
     "q_stream_kl" -> graft.operators.Curation.oracleSql("q_kl_sources"),
     "q_stream_holt" -> graft.operators.Analytics.oracleSql("q_holt_forecast"),

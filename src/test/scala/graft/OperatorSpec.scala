@@ -1175,6 +1175,146 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("charset_audit matches a local char-class recompute") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val letters = ('a' to 'z').toSet ++ ('A' to 'Z')
+    val want = docs.groupBy(_._1).toSeq.map { case (src, ds) =>
+      val texts = ds.map(_._2)
+      val nChars = texts.map(_.length.toLong).sum
+      val nLetters = texts.map(_.count(letters)).map(_.toLong).sum
+      val nDigits = texts.map(_.count(_.isDigit)).map(_.toLong).sum
+      val nSpaces = texts.map(_.count(_ == ' ')).map(_.toLong).sum
+      val nonascii = texts.count(t =>
+        t.getBytes("UTF-8").length > t.length).toLong
+      (src, ds.length.toLong, nChars,
+        nLetters * 1000000L / nChars, nDigits * 1000000L / nChars,
+        nSpaces * 1000000L / nChars,
+        (nChars - nLetters - nDigits - nSpaces) * 1000000L / nChars,
+        nonascii)
+    }.sortBy(_._1)
+    val got = run("q_charset_audit").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    assert(got == want)
+  }
+
+  test("binseg splits nest and maximize the cumulative-sum score") {
+    val rows = run("q_binseg").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getAs[Long]("mean_gap_cents")))
+    assert(rows.map(r => (r._1, r._2)).toSeq.sorted ==
+      Seq((1L, 0L), (2L, 1L), (2L, 2L)))
+    val l1 = rows.find(_._1 == 1L).get
+    // level-2 segments partition level 1's halves
+    val Seq(l2a, l2b) = rows.filter(_._1 == 2L).sortBy(_._2).toSeq
+    assert(l2a._4 + l2a._5 == l1._4, "left child sizes != left half")
+    assert(l2b._4 + l2b._5 == l1._5, "right child sizes != right half")
+    assert(l2a._6 + l2a._7 == l1._6, "left child sums != left half")
+    assert(l2b._6 + l2b._7 == l1._7, "right child sums != right half")
+    assert(l2a._3 <= l1._3 && l2b._3 > l1._3, "split days must nest")
+    // the level-1 pick is the argmax over a local recompute
+    val days = graft.sources.Tables.lineitem(spark, sf)
+      .select(expr("datediff(l_shipdate, date'1970-01-01')").cast("long"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).toSeq.map { case (d, xs) => (d, xs.map(_._2).sum) }
+      .sortBy(_._1)
+    val n = days.length.toLong
+    val s = days.map(_._2).sum
+    var cum = 0L
+    val best = days.dropRight(1).zipWithIndex.map { case ((d, x), k) =>
+      cum += x
+      val i = k + 1L
+      val score = (BigInt(cum) * cum * (n - i) +
+        BigInt(s - cum) * (s - cum) * i) /
+        (BigInt(i) * (n - i))
+      (d, score, cum / i - (s - cum) / (n - i))
+    }.maxBy { case (d, sc, _) => (sc, -d) }
+    assert((l1._3, l1._8) == ((best._1, best._3)))
+  }
+
+  test("hurst rs grows with window size and h is in a sane band") {
+    val rows = run("q_hurst").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (series, rs) =>
+      assert(rs.map(_._2).toSet == Set(8L, 16L, 32L), s"series $series scales")
+      val byW = rs.sortBy(_._2)
+      // windows per scale halve as w doubles (complete windows only)
+      assert(byW.map(_._3).reverse.zip(byW.map(_._3).reverse.tail)
+        .forall { case (hi, lo) => lo >= hi }, s"series $series n_windows")
+      // rescaled range grows with window size on any real series
+      assert(byW.map(_._4).zip(byW.map(_._4).tail)
+        .forall { case (a, b) => b >= a }, s"series $series rs not growing")
+      // a price-level series is persistent: H in a generous (0, 1.5) band
+      val h = rs.head._5
+      assert(h > 0 && h < 1500000L, s"series $series h_e6=$h")
+    }
+  }
+
+  test("ams_f2 matches a local sketch recompute and the exact audit") {
+    val keys = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_partkey").collect().map(_.getLong(0))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def signs(k: Long): Array[Long] = {
+      val hex = md.digest(s"ams$k".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      val l1 = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      val l2 = java.lang.Long.parseLong(hex.substring(15, 30), 16)
+      Array.tabulate(64) { j =>
+        val bit = if (j < 60) (l1 >> j) & 1 else (l2 >> (j - 60)) & 1
+        if (bit == 1) 1L else -1L
+      }
+    }
+    val counters = keys.map(signs)
+      .reduce((a, b) => a.zip(b).map { case (x, y) => x + y }).toSeq
+    val means = counters.grouped(8).map(g => g.map(c => c * c).sum / 8).toSeq
+    val estF2 = means.sorted.apply(3) // lower median of 8 (rank 4)
+    val exactF2 = keys.groupBy(identity).values
+      .map(g => g.length.toLong * g.length).sum
+    val r = run("q_ams_f2").collect().head
+    assert(r.getLong(0) == keys.length.toLong)
+    assert(r.getLong(1) == exactF2)
+    assert(r.getLong(2) == estF2)
+    assert(r.getLong(3) == math.abs(estF2 - exactF2) * 1000000L / exactF2)
+  }
+
+  test("mrr matches a local first-relevant recompute") {
+    val embs = graft.sources.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray,
+        r.getAs[Number](2).longValue))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byId = embs.map(e => e._1 -> e).toMap
+    val queries = embs.filter(_._1 % 50 == 0)
+    val perQ = queries.map { case (qid, qv, qlab) =>
+      val top = embs.filter(_._1 != qid)
+        .map { case (id, v, lab) => (id, cos(qv, v), lab) }
+        .sortBy { case (id, c, _) => (-c, id) }.take(5)
+      val firstRel = top.zipWithIndex
+        .collectFirst { case ((_, _, lab), i) if lab == qlab => i + 1L }
+      (firstRel, top.headOption.exists(_._3 == qlab))
+    }
+    val wantMrr = perQ.map(_._1.map(1000000L / _).getOrElse(0L)).sum /
+      perQ.length
+    val r = run("q_mrr").collect().head
+    assert(r.getLong(0) == queries.length.toLong)
+    assert(r.getLong(1) == perQ.count(_._1.isDefined).toLong)
+    assert(r.getLong(2) == perQ.count(_._2).toLong)
+    assert(r.getLong(3) == wantMrr)
+    assert(byId.nonEmpty)
+  }
+
   test("mad medians match a local exact computation") {
     val got = run("q_anomaly_mad").collect()
       .map(r => r.getAs[Long]("series") -> r).toMap

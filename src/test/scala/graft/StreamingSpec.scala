@@ -486,6 +486,33 @@ class StreamingSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("streaming binseg monitor equals the batch segmentation row for row") {
+    val batch = SparkEntry.queries("q_binseg")(spark, sf).collect()
+      .map(_.toSeq).toSet
+    val stream = SparkEntry.queries("q_stream_binseg")(spark, sf).collect()
+      .map(_.toSeq).toSet
+    assert(stream.nonEmpty)
+    assert(stream == batch)
+  }
+
+  test("streaming ams sketch equals the batch estimate row for row") {
+    val batch = SparkEntry.queries("q_ams_f2")(spark, sf).collect()
+      .map(_.toSeq).toSet
+    val stream = SparkEntry.queries("q_stream_ams")(spark, sf).collect()
+      .map(_.toSeq).toSet
+    assert(stream.nonEmpty)
+    assert(stream == batch)
+  }
+
+  test("streaming charset profile equals the batch audit row for row") {
+    val batch = SparkEntry.queries("q_charset_audit")(spark, sf).collect()
+      .map(_.toSeq).toSet
+    val stream = SparkEntry.queries("q_stream_charset")(spark, sf).collect()
+      .map(_.toSeq).toSet
+    assert(stream.nonEmpty)
+    assert(stream == batch)
+  }
+
   test("streaming corr matrix equals the batch matrix row for row") {
     val batch = SparkEntry.queries("q_corr_matrix")(spark, sf).collect()
       .map(_.toSeq).toSet

@@ -101,11 +101,24 @@ object Bench {
     val total = results.filter(_._5).map(_._2).sum
     val totalWarm = results.filter(_._5).map(_._3).sum
     val totalFull = results.filter(_._6).map(_._4).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","err":$errs""" +
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","err":$errs""" +
       s""","queries":${obj(r => if (r._5) Some(r._2) else None)},"total_warm":$totalWarm""" +
       s""","queries_warm":${obj(r => if (r._5) Some(r._3) else None)},"total_full":$totalFull""" +
       s""","queries_full":${obj(r => if (r._6) Some(r._4) else None)},"full_err":$fullErrs""" +
-      s""","sf":"$sfDir"}""")
+      s""","sf":"$sfDir"}"""
+    println(json)
+    // Sidecar: the driver's artifact captures a fixed-size TAIL of
+    // stdout, so per-query history for early (alphabetical) queries is
+    // lost to the record. Persist the full JSON line to a file too
+    // (only on full-suite runs — a filtered profiling run must not
+    // overwrite the round record).
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")), json)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] sidecar write failed: ${e.getMessage}")
+      }
     // The per-query line above grows with the suite (185+ queries × 3
     // metrics) and any fixed-size tail capture of this process's stdout
     // will truncate its head, losing the totals. Emit the totals AGAIN as

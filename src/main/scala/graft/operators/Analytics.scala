@@ -1181,14 +1181,26 @@ object Analytics {
     * windows and cumulative deviations are day-axis windows
     * partitioned by (series, w, win) — calendar-bounded frames; the
     * finish runs on series × 3 rows. */
-  def hurst(spark: SparkSession, dir: String): DataFrame = {
-    val wOrd = Window.partitionBy("series").orderBy("day")
-    val daily = Tables.lineitem(spark, dir)
-      .select((col("l_partkey") % 10).as("series"),
+  def hurst(spark: SparkSession, dir: String): DataFrame =
+    hurstFinish(hurstCensus(Tables.lineitem(spark, dir)))
+
+  /** The (series, day) partial-sum census behind [[hurst]] and the
+    * at-ingest q_stream_hurst — sums and counts are additive across
+    * micro-batches; the daily mean divides in the finish, so the
+    * census converges to the batch census exactly. */
+  private[graft] def hurstCensus(li: DataFrame): DataFrame =
+    li.select((col("l_partkey") % 10).as("series"),
         expr("datediff(l_shipdate, date'1970-01-01')").cast("long").as("day"),
         floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
       .groupBy("series", "day")
-      .agg(expr("sum(cents) div count(1)").as("x"))
+      .agg(sum("cents").as("sc"), count(lit(1)).as("nc"))
+
+  /** The R/S windows + log-log slope over a converged census —
+    * shared by batch and stream. */
+  private[graft] def hurstFinish(census: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy("series").orderBy("day")
+    val daily = census
+      .select(col("series"), col("day"), expr("sc div nc").as("x"))
       .withColumn("i", (row_number().over(wOrd) - 1).cast("long"))
     val scaled = daily.select(col("series"), col("i"), col("x"),
         explode(array(HurstScales.map(lit(_)): _*)).as("w"))

@@ -1537,7 +1537,63 @@ object TextAnalysis {
   def charsetAudit(spark: SparkSession, dir: String): DataFrame =
     charsetFinish(charsetCensus(Tables.documents(spark, dir)))
 
+  /** RAKE stopword delimiters — the q_quality_score stop list, shared
+    * so the two operators' notion of "function word" cannot fork. */
+  private val RakeStop = Seq("the", "a", "and", "of", "to")
+  private val RakeTopN = 100
+
+  /** q_rake_keywords: KEYPHRASE extraction by RAKE (Rose et al. 2010)
+    * — candidate phrases are maximal runs of non-stopword tokens,
+    * scored by Σ_w deg(w)/freq(w) (deg = total length of phrases the
+    * word appears in, freq = its occurrence count): words that ride
+    * in LONG phrases outscore frequent-but-alone words, which is
+    * exactly what separates "machine learning pipeline" from "the".
+    * q_doc_keywords ranks single words by TF-IDF; this is the
+    * multiword complement — the corpus-level keyphrase table a
+    * curation report or index builder reads.
+    *
+    * Integer-exact: each word's score is one truncating e6 division
+    * of exact counts (decimal-guarded product), phrase scores are
+    * integer sums, and the top-[[RakeTopN]] cut orders by the unique
+    * (score, phrase-text) pair — no float, no unstable boundary.
+    *
+    * Scale shape: phrase segmentation is one per-doc cumulative-sum
+    * window over token positions (shuffle ∝ tokens, keyed by doc);
+    * word stats and phrase scores are two-phase aggregates on token
+    * keys; the final cut is TakeOrdered(100), never a global sort. */
+  def rakeKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val wD = Window.partitionBy("doc_id").orderBy("i")
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("p", "tok")))
+      .withColumn("i", (col("p") + 1).cast("long"))
+      .withColumn("is_stop",
+        when(col("tok").isin(RakeStop.map(lit(_)): _*), 1L).otherwise(0L))
+      .withColumn("pid", sum("is_stop").over(
+        wD.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val mem = toks.filter(col("is_stop") === 0 && col("tok") =!= "")
+      .select("doc_id", "pid", "i", "tok")
+      .localCheckpoint() // word stats, phrase scores, phrase text
+    val plen = mem.groupBy("doc_id", "pid").agg(count(lit(1)).as("plen"))
+    val ws = mem.join(plen, Seq("doc_id", "pid"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
+    val psc = mem.join(ws, Seq("tok"))
+      .groupBy("doc_id", "pid")
+      .agg(sum(expr("cast(deg as decimal(38,0)) * 1000000 div freq"))
+        .cast("long").as("score_e6"))
+    val ptext = mem.groupBy("doc_id", "pid")
+      .agg(expr(
+        "concat_ws(' ', transform(sort_array(collect_list(struct(i, tok))), x -> x.tok))")
+        .as("phrase"))
+    ptext.join(psc, Seq("doc_id", "pid"))
+      .groupBy("phrase")
+      .agg(count(lit(1)).as("n_occ"), min("score_e6").as("score_e6"))
+      .orderBy(col("score_e6").desc, col("phrase").asc)
+      .limit(RakeTopN)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rake_keywords" -> (rakeKeywords(_, _)),
     "q_charset_audit" -> (charsetAudit(_, _)),
     "q_good_turing" -> (goodTuring(_, _)),
     "q_nb_langid" -> (nbLangid(_, _)),
@@ -1663,6 +1719,44 @@ object TextAnalysis {
          |ORDER BY query_id, rank""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same stop-boundary segmentation via positional cumsum, same
+    // deg/freq word scores and unique (score, phrase) cut
+    "q_rake_keywords" -> {
+      val stopList = RakeStop.map(s => s"'$s'").mkString(", ")
+      s"""WITH tk AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |pos AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS i, t[i] AS tok,
+         |    CASE WHEN t[i] IN ($stopList) THEN 1 ELSE 0 END AS is_stop
+         |  FROM tk, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i)),
+         |ph AS (
+         |  SELECT doc_id, i, tok, is_stop,
+         |    SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY i) AS pid
+         |  FROM pos),
+         |mem AS (
+         |  SELECT doc_id, pid, i, tok FROM ph
+         |  WHERE is_stop = 0 AND tok <> ''),
+         |plen AS (
+         |  SELECT doc_id, pid, CAST(COUNT(*) AS BIGINT) AS plen
+         |  FROM mem GROUP BY doc_id, pid),
+         |ws AS (
+         |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq,
+         |    CAST(SUM(plen) AS BIGINT) AS deg
+         |  FROM mem JOIN plen USING (doc_id, pid) GROUP BY tok),
+         |psc AS (
+         |  SELECT m.doc_id, m.pid,
+         |    CAST(SUM(CAST(ws.deg AS HUGEINT) * 1000000 // ws.freq) AS BIGINT)
+         |      AS score_e6
+         |  FROM mem m JOIN ws ON ws.tok = m.tok GROUP BY m.doc_id, m.pid),
+         |ptext AS (
+         |  SELECT doc_id, pid, string_agg(tok, ' ' ORDER BY i) AS phrase
+         |  FROM mem GROUP BY doc_id, pid)
+         |SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occ,
+         |  CAST(MIN(score_e6) AS BIGINT) AS score_e6
+         |FROM ptext JOIN psc USING (doc_id, pid)
+         |GROUP BY phrase
+         |ORDER BY score_e6 DESC, phrase ASC LIMIT $RakeTopN""".stripMargin
+    },
     // identical translate-deletion counts, byte-overhead flag, and
     // truncating e6 ratios
     "q_charset_audit" ->

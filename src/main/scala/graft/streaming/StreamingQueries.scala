@@ -736,6 +736,21 @@ object StreamingQueries {
           tableStream(spark, dir, "lineitem")),
         Seq("k"), "ams", dir))
 
+  /** q_stream_hurst — the long-memory diagnostic AT INGEST: the
+    * (series, day) sum/count census
+    * ([[graft.operators.Analytics.hurstCensus]] — additive,
+    * calendar-bounded state) upserts through the durable keyed
+    * [[TableSink]]; the R/S windows and the log-log slope run
+    * batch-side via the SHARED hurstFinish — "is this series trending
+    * or mean-reverting" stays current as facts land; batch oracle
+    * verbatim. */
+  def streamHurst(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Analytics.hurstFinish(
+      TableSink.upsert(spark,
+        graft.operators.Analytics.hurstCensus(
+          tableStream(spark, dir, "lineitem")),
+        Seq("series", "day"), "hurst", dir))
+
   /** q_stream_srm — the experiment-health tripwire AT INGEST: each
     * event projects to its (day, user, arm) assignment
     * ([[graft.operators.Analytics.srmAssignments]]), first-seen
@@ -1475,6 +1490,7 @@ object StreamingQueries {
     "q_stream_charset" -> stateful(streamCharset),
     "q_stream_binseg" -> stateful(streamBinseg),
     "q_stream_ams" -> stateful(streamAms),
+    "q_stream_hurst" -> stateful(streamHurst),
     "q_stream_embed_drift" -> stateful(streamEmbedDrift),
     "q_stream_kl" -> stateful(streamKl),
     "q_stream_holt" -> stateful(streamHolt),
@@ -1535,6 +1551,7 @@ object StreamingQueries {
     "q_stream_charset" -> graft.operators.TextAnalysis.oracleSql("q_charset_audit"),
     "q_stream_binseg" -> graft.operators.Analytics.oracleSql("q_binseg"),
     "q_stream_ams" -> graft.operators.Analytics.oracleSql("q_ams_f2"),
+    "q_stream_hurst" -> graft.operators.Analytics.oracleSql("q_hurst"),
     "q_stream_embed_drift" -> graft.operators.Similarity.oracleSql("q_embed_drift"),
     "q_stream_kl" -> graft.operators.Curation.oracleSql("q_kl_sources"),
     "q_stream_holt" -> graft.operators.Analytics.oracleSql("q_holt_forecast"),

@@ -1315,6 +1315,37 @@ class OperatorSpec extends SparkSpec {
     assert(byId.nonEmpty)
   }
 
+  test("rake_keywords matches a local RAKE recompute") {
+    val stop = Set("the", "a", "and", "of", "to")
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // phrases: maximal non-stopword runs (empty tokens dropped)
+    val phrases = docs.flatMap { case (_, text) =>
+      val out = collection.mutable.ArrayBuffer[Seq[String]]()
+      var cur = collection.mutable.ArrayBuffer[String]()
+      text.split(" ", -1).foreach { t =>
+        if (stop(t)) { if (cur.nonEmpty) out += cur.toSeq; cur = collection.mutable.ArrayBuffer() }
+        else if (t.nonEmpty) cur += t
+      }
+      if (cur.nonEmpty) out += cur.toSeq
+      out
+    }
+    val freq = phrases.flatten.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val deg = phrases.flatMap(p => p.map(w => w -> p.length.toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    def score(p: Seq[String]): Long =
+      p.map(w => deg(w) * 1000000L / freq(w)).sum
+    val want = phrases.groupBy(_.mkString(" "))
+      .map { case (txt, os) => (txt, os.length.toLong, score(os.head)) }
+      .toSeq.sortBy { case (txt, _, s) => (-s, txt) }.take(100)
+    val got = run("q_rake_keywords").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+    // multiword phrases must actually surface — the point of RAKE
+    assert(got.exists(_._1.contains(" ")))
+  }
+
   test("mad medians match a local exact computation") {
     val got = run("q_anomaly_mad").collect()
       .map(r => r.getAs[Long]("series") -> r).toMap

@@ -486,6 +486,15 @@ class StreamingSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("streaming hurst monitor equals the batch R/S table row for row") {
+    val batch = SparkEntry.queries("q_hurst")(spark, sf).collect()
+      .map(_.toSeq).toSet
+    val stream = SparkEntry.queries("q_stream_hurst")(spark, sf).collect()
+      .map(_.toSeq).toSet
+    assert(stream.nonEmpty)
+    assert(stream == batch)
+  }
+
   test("streaming binseg monitor equals the batch segmentation row for row") {
     val batch = SparkEntry.queries("q_binseg")(spark, sf).collect()
       .map(_.toSeq).toSet

@@ -1017,13 +1017,17 @@ object Analytics {
     val pick = Window.partitionBy("seg_id")
       .orderBy(col("score").desc, col("day").asc)
     cum.filter(col("i") < col("n"))
-      // the ranking value stays decimal(38,0) END TO END (it is
-      // ~S²/n, which overflows int64 already at sf0.01) and is never
-      // emitted; the OUTPUT statistic is the bounded mean gap
+      // the ranking value is ONE double expression over the exact
+      // integer cumulative sums — identical IEEE tree on both
+      // engines, so the argmax (ties → day) is engine-exact. It is
+      // NEVER emitted (its magnitude ~S²/n has no bounded integer
+      // rendering: Spark's decimal `div` returns LONG and silently
+      // overflows to null already at sf1 — the bug this replaced);
+      // the OUTPUT statistic is the bounded mean gap.
       .withColumn("score", expr(
-        """((cast(cum as decimal(38,0)) * cum) * (n - i)
-          | + (cast(s - cum as decimal(38,0)) * (s - cum)) * i)
-          | div (cast(i as decimal(38,0)) * (n - i))"""
+        """(cast(cum as double) * cum * (n - i)
+          | + cast(s - cum as double) * (s - cum) * i)
+          | / (cast(i as double) * (n - i))"""
           .stripMargin.replace('\n', ' ')))
       .withColumn("rk", row_number().over(pick))
       .filter(col("rk") === 1)
@@ -1043,10 +1047,10 @@ object Analytics {
     * offline segmentation of the whole horizon.
     *
     * Exactness: minimizing SSE ≡ maximizing S_L²/n_L + S_R²/n_R, a
-    * pure function of CUMULATIVE SUMS — the whole search is exact
-    * integer arithmetic (decimal(38,0) cross-multiplied, one
-    * truncating division per candidate), ties → earliest day. No
-    * float enters at any point.
+    * pure function of CUMULATIVE SUMS; the candidate score is ONE
+    * double expression over those exact integers — the identical IEEE
+    * tree on both engines, so the argmax (ties → earliest day) is
+    * engine-exact — and every EMITTED column is exact integer.
     *
     * Scale shape: the day collapse is one two-phase agg (shuffle ∝
     * days touched, calendar-bounded); the candidate scan is a window
@@ -6015,9 +6019,9 @@ object Analytics {
        |  FROM $src),
        |${out}s AS (
        |  SELECT seg_id, day, i, n, cum, s,
-       |    ((CAST(cum AS HUGEINT) * cum) * (n - i)
-       |      + (CAST(s - cum AS HUGEINT) * (s - cum)) * i)
-       |      // (CAST(i AS HUGEINT) * (n - i)) AS score
+       |    (CAST(cum AS DOUBLE) * cum * (n - i)
+       |      + CAST(s - cum AS DOUBLE) * (s - cum) * i)
+       |      / (CAST(i AS DOUBLE) * (n - i)) AS score
        |  FROM ${out}c WHERE i < n),
        |$out AS (
        |  SELECT seg_id, day AS split_day, i AS n_left,

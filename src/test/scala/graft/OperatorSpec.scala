@@ -1228,9 +1228,10 @@ class OperatorSpec extends SparkSpec {
     val best = days.dropRight(1).zipWithIndex.map { case ((d, x), k) =>
       cum += x
       val i = k + 1L
-      val score = (BigInt(cum) * cum * (n - i) +
-        BigInt(s - cum) * (s - cum) * i) /
-        (BigInt(i) * (n - i))
+      // the operator's exact IEEE tree over the exact integer sums
+      val score = (cum.toDouble * cum * (n - i) +
+        (s - cum).toDouble * (s - cum) * i) /
+        (i.toDouble * (n - i))
       (d, score, cum / i - (s - cum) / (n - i))
     }.maxBy { case (d, sc, _) => (sc, -d) }
     assert((l1._3, l1._8) == ((best._1, best._3)))

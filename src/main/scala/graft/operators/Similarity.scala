@@ -114,7 +114,13 @@ object Similarity {
     // dot folds in pinned index order and multiplication commutes
     // elementwise, so cos(a,b) and cos(b,a) are bit-identical — the
     // two directed halves agree exactly, on both engines.
-    emb.join(broadcast(rhs), col("vec_id") =!= col("id_b"))
+    // NO broadcast hint: the planner broadcasts the side table while
+    // it fits (the sandbox plan, verified BroadcastNestedLoopJoin)
+    // and degrades to a PARTITIONED nested-loop when it doesn't — an
+    // explicit hint would turn "slow at 10^8 vectors" into a driver
+    // OOM. The REGISTERED corpus-scale path is the forest-fed sibling
+    // family; this exact scan is the audit.
+    emb.join(rhs, col("vec_id") =!= col("id_b"))
       .select(col("vec_id").as("id_a"), col("id_b"),
         (dot(col("v"), col("vb")) / (col("nrm") * col("nb"))).as("cos_raw"))
   }
@@ -1736,7 +1742,8 @@ object Similarity {
       .withColumn("nrm2", dot(col("v"), col("v")))
     val rhs = emb.select(col("vec_id").as("id_b"), col("v").as("vb"),
       col("nrm2").as("nb2"))
-    val scored = emb.join(broadcast(rhs), col("vec_id") =!= col("id_b"))
+    // no broadcast hint — the allPairsScored rationale
+    val scored = emb.join(rhs, col("vec_id") =!= col("id_b"))
       .select(col("vec_id").as("id_a"), col("id_b"),
         (col("nrm2") - lit(2.0) * dot(col("v"), col("vb")) + col("nb2")).as("d2"))
     intrinsicDimFinish(spark, dir, scored)
@@ -1984,7 +1991,87 @@ object Similarity {
           .as("mrr_e6"))
   }
 
+  /** Lloyd configuration for [[kmeans]] — pinned because the oracle
+    * unrolls exactly these rounds over exactly these cells. */
+  private[graft] val KmCells = 8
+  private[graft] val KmRounds = 3
+
+  /** q_kmeans: LLOYD'S k-means over the embedding corpus — the
+    * centroid fit the rest of the vector family deliberately avoided
+    * (IVF/silhouette use single-pass md5 anchors; SemDeDup clusters
+    * come from the kNN graph): [[KmRounds]] assign/recompute rounds
+    * from the IVF anchor seeds, reported per (round, cell) with
+    * member counts and mean squared distance so the convergence curve
+    * is the OUTPUT. This is the canonical "train the coarse quantizer"
+    * step an IVF deployment actually runs before q_ann_ivf_cosine's
+    * search — the missing first half of that pipeline.
+    *
+    * ENTIRELY INTEGER: vectors e6-quantize at the scan (the
+    * q_cluster_profile convention), centroids are truncating integer
+    * means per dimension, and squared distances between integer
+    * vectors are exact integers — so ASSIGNMENT (argmin d², ties →
+    * cell asc) involves no float comparison anywhere, the strongest
+    * engine-parity statement a k-means can make. Spark `div` and
+    * DuckDB `//` both truncate toward zero, so negative coordinate
+    * sums divide identically.
+    *
+    * Scale shape: each round is one map-side assignment against the
+    * broadcast ≤[[KmCells]]-row centroid table (the catalog-grid
+    * crossJoin class) with a per-vector rank window, then one
+    * (cell, dim) two-phase aggregate — the textbook distributed
+    * Lloyd; per-round frames localCheckpoint (the q_pagerank loop
+    * discipline). Cells that lose all members drop naturally — in
+    * both engines. */
+  def kmeans(spark: SparkSession, dir: String): DataFrame = {
+    val ve = Tables.widened(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), expr(
+        "transform(cast(embedding as array<double>), x -> cast(floor(x * 1e6 + 0.5) as bigint))")
+        .as("ve"))
+      .localCheckpoint() // re-assigned every round
+    val anchorW = Window.orderBy(expr("md5(cast(vec_id as string))"),
+      col("vec_id"))
+    var cents = ve
+      .orderBy(expr("md5(cast(vec_id as string))"), col("vec_id"))
+      .limit(KmCells)
+      .withColumn("cell", (row_number().over(anchorW) - 1).cast("long"))
+      .select(col("cell"), col("ve").as("ce"))
+      .localCheckpoint()
+    val d2 = expr(
+      "aggregate(zip_with(ve, ce, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+    var out: DataFrame = null
+    for (r <- 1 to KmRounds) {
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("d2").asc, col("cell").asc)
+      val assign = ve.crossJoin(broadcast(cents))
+        .withColumn("d2", d2)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("cell"), col("ve"), col("d2"))
+        .localCheckpoint() // round stats + next centroids
+      val stats = assign.groupBy("cell")
+        .agg(count(lit(1)).as("n_members"),
+          sum(expr("cast(d2 as decimal(38,0))")).as("sd2"))
+        .select(lit(r.toLong).as("round"), col("cell"), col("n_members"),
+          expr("cast(sd2 div n_members as bigint)").as("mean_d2"))
+      out = if (out == null) stats else out.unionAll(stats)
+      if (r < KmRounds) {
+        cents = assign
+          .select(col("cell"), posexplode(col("ve")).as(Seq("dim", "v")))
+          .groupBy("cell", "dim")
+          .agg(sum("v").as("s"), count(lit(1)).as("cnt"))
+          .withColumn("m", expr("s div cnt"))
+          .groupBy("cell")
+          .agg(expr(
+            "transform(sort_array(collect_list(struct(dim, m))), p -> p.m)")
+            .as("ce"))
+          .localCheckpoint()
+      }
+    }
+    out.orderBy("round", "cell")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kmeans" -> (kmeans(_, _)),
     "q_mrr" -> (mrr(_, _)),
     "q_mmr_rerank" -> (mmrRerank(_, _)),
     "q_coreset" -> (coreset(_, _)),
@@ -2424,7 +2511,61 @@ object Similarity {
        |ORDER BY query_id, pick_order""".stripMargin
   }
 
+  /** The q_kmeans oracle: the same e6 vectors, md5-ordered anchor
+    * seeds, and [[KmRounds]] unrolled assign/recompute rounds with the
+    * identical integer d² and (d2, cell) argmin. */
+  private val kmeansOracleSql: String = {
+    def d2Sql(x: String, c: String): String =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"[($x.v[i] - $c.ce[i]) * ($x.v[i] - $c.ce[i]) for i in range(1, len($x.v) + 1)]), " +
+        "(acc, x2) -> acc + x2)"
+    val rounds = (1 to KmRounds).map { r =>
+      val assign =
+        s"""a$r AS (
+           |  SELECT vec_id, cell, v, d2 FROM (
+           |    SELECT vec_id, cell, v, d2,
+           |      ROW_NUMBER() OVER (PARTITION BY vec_id
+           |        ORDER BY d2 ASC, cell ASC) AS rk
+           |    FROM (SELECT ve.vec_id, c.cell, ve.v,
+           |        ${d2Sql("ve", "c")} AS d2
+           |      FROM ve, c$r c))
+           |  WHERE rk = 1),
+           |s$r AS (
+           |  SELECT CAST($r AS BIGINT) AS round, cell,
+           |    CAST(COUNT(*) AS BIGINT) AS n_members,
+           |    CAST(SUM(CAST(d2 AS HUGEINT)) // COUNT(*) AS BIGINT) AS mean_d2
+           |  FROM a$r GROUP BY cell)""".stripMargin
+      val recompute =
+        if (r < KmRounds)
+          s""",
+             |c${r + 1} AS (
+             |  SELECT cell, list(m ORDER BY dim) AS ce FROM (
+             |    SELECT cell, i AS dim, SUM(v[i]) // COUNT(*) AS m
+             |    FROM a$r, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i)
+             |    GROUP BY cell, i) GROUP BY cell)""".stripMargin
+        else ""
+      assign + recompute
+    }.mkString(",\n")
+    val branches = (1 to KmRounds)
+      .map(r => s"SELECT round, cell, n_members, mean_d2 FROM s$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH ve AS (
+       |  SELECT vec_id,
+       |    [CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT) for x in embedding] AS v
+       |  FROM embeddings),
+       |c1 AS (
+       |  SELECT CAST(rk - 1 AS BIGINT) AS cell, v AS ce FROM (
+       |    SELECT v, ROW_NUMBER() OVER (
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+       |    FROM ve)
+       |  WHERE rk <= $KmCells),
+       |$rounds
+       |$branches
+       |ORDER BY round, cell""".stripMargin
+  }
+
   private val baseOracleSql: Map[String, String] = Map(
+    "q_kmeans" -> kmeansOracleSql,
     // the q_ann_cosine ranked top-K, label relevance via two key
     // joins, the same first-relevant rank pick and truncating mean
     "q_mrr" ->

@@ -1284,6 +1284,54 @@ class OperatorSpec extends SparkSpec {
     assert(r.getLong(3) == math.abs(estF2 - exactF2) * 1000000L / exactF2)
   }
 
+  test("kmeans matches a local integer Lloyd recompute") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val ve = graft.sources.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong).toArray)
+      .sortBy(_._1)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var cents: Seq[(Long, Array[Long])] = ve
+      .sortBy { case (id, _) => (md5hex(id.toString), id) }.take(8)
+      .zipWithIndex.map { case ((_, v), c) => (c.toLong, v) }
+    val want = collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+    for (r <- 1 to 3) {
+      val assign = ve.map { case (id, v) =>
+        val (cell, dd) = cents.map { case (c, ce) => (c, d2(v, ce)) }
+          .minBy { case (c, dd) => (dd, c) }
+        (id, cell, v, dd)
+      }
+      assign.groupBy(_._2).toSeq.sortBy(_._1).foreach { case (cell, ms) =>
+        val sd2 = ms.map(m => BigInt(m._4)).sum
+        want += ((r.toLong, cell, ms.length.toLong,
+          (sd2 / ms.length).toLong))
+      }
+      if (r < 3) {
+        cents = assign.groupBy(_._2).toSeq.map { case (cell, ms) =>
+          val dims = ms.head._3.length
+          val ce = Array.tabulate(dims) { d =>
+            val s = ms.map(_._3(d)).sum
+            s / ms.length // truncating, matches div on +/- sums? see below
+          }
+          (cell, ce)
+        }.sortBy(_._1)
+      }
+    }
+    val got = run("q_kmeans").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    // Scala / truncates toward zero like Spark div and DuckDB //
+    assert(got == want.toSeq)
+    // every round partitions the whole corpus
+    got.groupBy(_._1).foreach { case (r, cs) =>
+      assert(cs.map(_._3).sum == ve.length.toLong, s"round $r member total")
+    }
+  }
+
   test("mrr matches a local first-relevant recompute") {
     val embs = graft.sources.Tables.embeddings(spark, sf)
       .select("vec_id", "embedding", "label").collect()

@@ -1075,6 +1075,56 @@ object Analytics {
       .orderBy("level", "seg_id")
   }
 
+  /** The star-schema join edges [[joinAdvisor]] profiles:
+    * (label, left table, left key, right table, right key). */
+  private val JoinEdges: Seq[(String, String, String, String, String)] = Seq(
+    ("lineitem-orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem-part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem-supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders-customer", "orders", "o_custkey", "customer", "c_custkey"))
+
+  /** q_join_advisor: the JOIN-SIZE ESTIMATION audit — for every
+    * star-schema join edge, the textbook uniform-containment estimate
+    * |A⋈B| ≈ n_A·n_B / max(d_A, d_B) (Selinger's System-R formula,
+    * still what every optimizer defaults to without histograms) side
+    * by side with the EXACT join cardinality and the relative error.
+    * The planning triptych: q_join_card measures per-key frequency
+    * statistics for ONE key, q_skew_advisor names the key that breaks
+    * a strategy, THIS scores the formula the optimizer will actually
+    * use across the schema — an err_e6 spike on an edge says "collect
+    * histograms there before trusting a plan".
+    *
+    * Integer-exact: counts and distincts are exact, the estimate is
+    * one decimal-guarded truncating division, the error one more.
+    *
+    * Scale shape: per edge two 1-row aggregates (count + distinct —
+    * the distinct is the only shuffle, ∝ keys) and one equi-join
+    * count (two-phase); the 1-row frames meet in broadcast
+    * crossJoins. At 100 TB the exact actual_rows column is the audit
+    * luxury — the estimate columns alone cost two scans. */
+  def joinAdvisor(spark: SparkSession, dir: String): DataFrame =
+    JoinEdges.map { case (nm, lt, lk, rt, rk) =>
+      val l = Tables.table(spark, dir, lt).select(col(lk).cast("long").as("k"))
+      val r = Tables.table(spark, dir, rt).select(col(rk).cast("long").as("k"))
+      val ls = l.agg(count(lit(1)).as("n_left"),
+        count_distinct(col("k")).as("d_left"))
+      val rs = r.agg(count(lit(1)).as("n_right"),
+        count_distinct(col("k")).as("d_right"))
+      val act = l.join(r, "k").agg(count(lit(1)).as("actual_rows"))
+      ls.crossJoin(broadcast(rs)).crossJoin(broadcast(act))
+        .select(lit(nm).as("join_name"), col("n_left"), col("d_left"),
+          col("n_right"), col("d_right"), col("actual_rows"))
+    }.reduce(_ unionAll _)
+      .withColumn("est_rows", expr(
+        "cast((cast(n_left as decimal(38,0)) * n_right) div greatest(d_left, d_right) as bigint)"))
+      .withColumn("err_e6", expr(
+        "case when actual_rows = 0 then -1L " +
+          "else abs(est_rows - actual_rows) * 1000000 div actual_rows end"))
+      .select(col("join_name"), col("n_left"), col("d_left"),
+        col("n_right"), col("d_right"), col("est_rows"),
+        col("actual_rows"), col("err_e6"))
+      .orderBy("join_name")
+
   /** AMS sketch shape: [[AmsR]] = groups × perGroup sign counters
     * (median-of-means over 8 groups of 8 — the classic AMS/Tug-of-War
     * accuracy amplification). */
@@ -5588,6 +5638,7 @@ object Analytics {
     "q_binseg" -> (binseg(_, _)),
     "q_hurst" -> (hurst(_, _)),
     "q_ams_f2" -> (amsF2(_, _)),
+    "q_join_advisor" -> (joinAdvisor(_, _)),
     "q_hdr_quantiles" -> (hdrQuantiles(_, _)),
     "q_corr_matrix" -> (corrMatrix(_, _)),
     "q_grouping_sets" -> (groupingSetsQ(_, _)),
@@ -6033,6 +6084,32 @@ object Analytics {
        |  WHERE rk = 1)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same exact counts/distincts, same uniform-containment estimate
+    // and truncating error per edge
+    "q_join_advisor" -> {
+      val branches = JoinEdges.map { case (nm, lt, lk, rt, rk) =>
+        s"""SELECT '$nm' AS join_name, a.n_left, a.d_left, b.n_right,
+           |  b.d_right, c.actual_rows
+           |FROM
+           |  (SELECT CAST(COUNT(*) AS BIGINT) AS n_left,
+           |     CAST(COUNT(DISTINCT $lk) AS BIGINT) AS d_left FROM $lt) a,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) AS n_right,
+           |     CAST(COUNT(DISTINCT $rk) AS BIGINT) AS d_right FROM $rt) b,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) AS actual_rows
+           |   FROM $lt JOIN $rt ON $lk = $rk) c""".stripMargin
+      }
+      s"""WITH e AS (
+         |${branches.mkString("\nUNION ALL\n")})
+         |SELECT join_name, n_left, d_left, n_right, d_right,
+         |  CAST((CAST(n_left AS HUGEINT) * n_right)
+         |    // greatest(d_left, d_right) AS BIGINT) AS est_rows,
+         |  actual_rows,
+         |  CASE WHEN actual_rows = 0 THEN CAST(-1 AS BIGINT)
+         |    ELSE abs(CAST((CAST(n_left AS HUGEINT) * n_right)
+         |      // greatest(d_left, d_right) AS BIGINT) - actual_rows)
+         |      * 1000000 // actual_rows END AS err_e6
+         |FROM e ORDER BY join_name""".stripMargin
+    },
     // the identical one-md5-per-row bit signs, 64 conditional counter
     // sums, group means and the lower-median rank pick
     "q_ams_f2" -> {

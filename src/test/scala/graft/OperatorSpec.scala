@@ -1284,6 +1284,32 @@ class OperatorSpec extends SparkSpec {
     assert(r.getLong(3) == math.abs(estF2 - exactF2) * 1000000L / exactF2)
   }
 
+  test("join_advisor estimates exactly under FK containment") {
+    val rows = run("q_join_advisor").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(rows.length == 4)
+    // local recompute of one edge
+    val lk = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_partkey").collect().map(_.getLong(0))
+    val pk = graft.sources.Tables.part(spark, sf)
+      .select("p_partkey").collect().map(_.getLong(0))
+    val pkCounts = pk.groupBy(identity).view.mapValues(_.length).toMap
+    val actual = lk.map(k => pkCounts.getOrElse(k, 0)).map(_.toLong).sum
+    val est = lk.length.toLong * pk.length /
+      math.max(lk.distinct.length.toLong, pk.distinct.length.toLong)
+    val lp = rows.find(_._1 == "lineitem-part").get
+    assert((lp._2, lp._3, lp._4, lp._5) ==
+      (lk.length.toLong, lk.distinct.length.toLong,
+        pk.length.toLong, pk.distinct.length.toLong))
+    assert(lp._6 == est && lp._7 == actual)
+    // star-schema FK edges with unique dim keys: the uniform-
+    // containment formula is EXACT, so every audit row must read 0
+    rows.foreach { r =>
+      assert(r._8 == 0L, s"${r._1} err_e6=${r._8}; FK edge should be exact")
+    }
+  }
+
   test("kmeans matches a local integer Lloyd recompute") {
     val md = java.security.MessageDigest.getInstance("MD5")
     def md5hex(s: String): String =

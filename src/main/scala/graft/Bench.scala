@@ -111,14 +111,24 @@ object Bench {
     // stdout, so per-query history for early (alphabetical) queries is
     // lost to the record. Persist the full JSON line to a file too
     // (only on full-suite runs — a filtered profiling run must not
-    // overwrite the round record).
-    if (only.isEmpty)
-      try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(
-          sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")), json)
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] sidecar write failed: ${e.getMessage}")
+    // overwrite the round record). The stable slot is the driver's
+    // contract; the timestamped copy is the per-run HISTORY a later
+    // round can still read after the slot is overwritten. Catch
+    // NonFatal only: an OutOfMemoryError here means the run is
+    // fundamentally broken and must not report success.
+    if (only.isEmpty) {
+      val slot = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+      val stamp = java.time.format.DateTimeFormatter
+        .ofPattern("yyyyMMdd_HHmmss")
+        .format(java.time.LocalDateTime.now())
+      val stamped = slot.replaceAll("\\.json$", "") + s"_$stamp.json"
+      Seq(slot, stamped).foreach { p =>
+        try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json)
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] sidecar write failed ($p): ${e.getMessage}")
+        }
       }
+    }
     // The per-query line above grows with the suite (185+ queries × 3
     // metrics) and any fixed-size tail capture of this process's stdout
     // will truncate its head, losing the totals. Emit the totals AGAIN as

@@ -1117,9 +1117,14 @@ object Analytics {
     }.reduce(_ unionAll _)
       .withColumn("est_rows", expr(
         "cast((cast(n_left as decimal(38,0)) * n_right) div greatest(d_left, d_right) as bigint)"))
+      // the e6-scaled numerator rides decimal(38,0) like est_rows: a
+      // badly-estimated edge at large SF can push |err|·10⁶ past Long
+      // range, where plain BIGINT would wrap silently in Spark but
+      // error in DuckDB — an engine divergence, not a degradation
       .withColumn("err_e6", expr(
         "case when actual_rows = 0 then -1L " +
-          "else abs(est_rows - actual_rows) * 1000000 div actual_rows end"))
+          "else (abs(cast(est_rows as decimal(38,0)) - actual_rows) * 1000000) " +
+          "div actual_rows end"))
       .select(col("join_name"), col("n_left"), col("d_left"),
         col("n_right"), col("d_right"), col("est_rows"),
         col("actual_rows"), col("err_e6"))
@@ -6105,9 +6110,9 @@ object Analytics {
          |    // greatest(d_left, d_right) AS BIGINT) AS est_rows,
          |  actual_rows,
          |  CASE WHEN actual_rows = 0 THEN CAST(-1 AS BIGINT)
-         |    ELSE abs(CAST((CAST(n_left AS HUGEINT) * n_right)
-         |      // greatest(d_left, d_right) AS BIGINT) - actual_rows)
-         |      * 1000000 // actual_rows END AS err_e6
+         |    ELSE CAST(abs(CAST((CAST(n_left AS HUGEINT) * n_right)
+         |      // greatest(d_left, d_right) AS HUGEINT) - actual_rows)
+         |      * 1000000 // actual_rows AS BIGINT) END AS err_e6
          |FROM e ORDER BY join_name""".stripMargin
     },
     // the identical one-md5-per-row bit signs, 64 conditional counter

@@ -2011,9 +2011,13 @@ object Similarity {
     * means per dimension, and squared distances between integer
     * vectors are exact integers — so ASSIGNMENT (argmin d², ties →
     * cell asc) involves no float comparison anywhere, the strongest
-    * engine-parity statement a k-means can make. Spark `div` and
-    * DuckDB `//` both truncate toward zero, so negative coordinate
-    * sums divide identically.
+    * engine-parity statement a k-means can make. Spark `div` truncates
+    * toward zero by definition; the oracle does NOT trust DuckDB `//`
+    * on negative operands (truncating on the pinned DuckDB 1.0.0, but
+    * the project's parity rule records `//` as flooring — a version-
+    * sensitive seam): its centroid mean splits on sign and divides
+    * magnitudes, which is truncation under either `//` semantics.
+    * OperatorSpec pins the Spark half on a negative-sum row.
     *
     * Scale shape: each round is one map-side assignment against the
     * broadcast ≤[[KmCells]]-row centroid table (the catalog-grid
@@ -2303,7 +2307,9 @@ object Similarity {
       |  SELECT cluster_id, i AS dim, v[i] AS val
       |  FROM mem, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i)),
       |cent AS (
-      |  SELECT cluster_id, dim, SUM(val) // COUNT(*) AS mean_e6
+      |  SELECT cluster_id, dim,
+      |    CASE WHEN SUM(val) < 0 THEN -((-SUM(val)) // COUNT(*))
+      |      ELSE SUM(val) // COUNT(*) END AS mean_e6
       |  FROM dims GROUP BY cluster_id, dim),
       |ca AS (
       |  SELECT cluster_id, list(mean_e6 ORDER BY dim) AS ce
@@ -2540,7 +2546,9 @@ object Similarity {
           s""",
              |c${r + 1} AS (
              |  SELECT cell, list(m ORDER BY dim) AS ce FROM (
-             |    SELECT cell, i AS dim, SUM(v[i]) // COUNT(*) AS m
+             |    SELECT cell, i AS dim,
+             |      CASE WHEN SUM(v[i]) < 0 THEN -((-SUM(v[i])) // COUNT(*))
+             |        ELSE SUM(v[i]) // COUNT(*) END AS m
              |    FROM a$r, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i)
              |    GROUP BY cell, i) GROUP BY cell)""".stripMargin
         else ""

@@ -1511,16 +1511,22 @@ object TextAnalysis {
   }
 
   /** The e6 ratio finish over a converged charset census — shared by
-    * batch and stream. */
-  private[graft] def charsetFinish(census: DataFrame): DataFrame =
+    * batch and stream. A source whose every document is empty has
+    * n_chars = 0: Spark's `div` would yield NULL where DuckDB's `//`
+    * raises, so the zero census is pinned to 0 ratios in BOTH engines
+    * (the honest report for "no bytes observed"). */
+  private[graft] def charsetFinish(census: DataFrame): DataFrame = {
+    def ratio(num: String): String =
+      s"case when n_chars = 0 then 0L else ($num * 1000000) div n_chars end"
     census.select(col("source"), col("n_docs"), col("n_chars"),
-        expr("(n_letters * 1000000) div n_chars").as("letter_ratio_e6"),
-        expr("(n_digits * 1000000) div n_chars").as("digit_ratio_e6"),
-        expr("(n_spaces * 1000000) div n_chars").as("space_ratio_e6"),
-        expr("((n_chars - n_letters - n_digits - n_spaces) * 1000000) div n_chars")
+        expr(ratio("n_letters")).as("letter_ratio_e6"),
+        expr(ratio("n_digits")).as("digit_ratio_e6"),
+        expr(ratio("n_spaces")).as("space_ratio_e6"),
+        expr(ratio("(n_chars - n_letters - n_digits - n_spaces)"))
           .as("other_ratio_e6"),
         col("nonascii_docs"))
       .orderBy("source")
+  }
 
   /** q_charset_audit: the CHARSET / CHARACTER-CLASS profile per crawl
     * source — the data-quality census an ingest pipeline reads before
@@ -1777,10 +1783,15 @@ object TextAnalysis {
          |    CAST(SUM(CASE WHEN o > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonascii_docs
          |  FROM d GROUP BY source)
          |SELECT source, n_docs, n_chars,
-         |  (n_letters * 1000000) // n_chars AS letter_ratio_e6,
-         |  (n_digits * 1000000) // n_chars AS digit_ratio_e6,
-         |  (n_spaces * 1000000) // n_chars AS space_ratio_e6,
-         |  ((n_chars - n_letters - n_digits - n_spaces) * 1000000) // n_chars AS other_ratio_e6,
+         |  CASE WHEN n_chars = 0 THEN CAST(0 AS BIGINT)
+         |    ELSE (n_letters * 1000000) // n_chars END AS letter_ratio_e6,
+         |  CASE WHEN n_chars = 0 THEN CAST(0 AS BIGINT)
+         |    ELSE (n_digits * 1000000) // n_chars END AS digit_ratio_e6,
+         |  CASE WHEN n_chars = 0 THEN CAST(0 AS BIGINT)
+         |    ELSE (n_spaces * 1000000) // n_chars END AS space_ratio_e6,
+         |  CASE WHEN n_chars = 0 THEN CAST(0 AS BIGINT)
+         |    ELSE ((n_chars - n_letters - n_digits - n_spaces) * 1000000) // n_chars
+         |    END AS other_ratio_e6,
          |  nonascii_docs
          |FROM c ORDER BY source""".stripMargin,
     // same (lang, token) census and integer spectrum reduction

@@ -1325,6 +1325,7 @@ class OperatorSpec extends SparkSpec {
       .sortBy { case (id, _) => (md5hex(id.toString), id) }.take(8)
       .zipWithIndex.map { case ((_, v), c) => (c.toLong, v) }
     val want = collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+    var negSums = 0L
     for (r <- 1 to 3) {
       val assign = ve.map { case (id, v) =>
         val (cell, dd) = cents.map { case (c, ce) => (c, d2(v, ce)) }
@@ -1341,7 +1342,8 @@ class OperatorSpec extends SparkSpec {
           val dims = ms.head._3.length
           val ce = Array.tabulate(dims) { d =>
             val s = ms.map(_._3(d)).sum
-            s / ms.length // truncating, matches div on +/- sums? see below
+            if (s < 0) negSums += 1
+            s / ms.length // truncating toward zero, like Spark div
           }
           (cell, ce)
         }.sortBy(_._1)
@@ -1350,7 +1352,13 @@ class OperatorSpec extends SparkSpec {
     val got = run("q_kmeans").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSeq
-    // Scala / truncates toward zero like Spark div and DuckDB //
+    // Scala / truncates toward zero like Spark div; the oracle's
+    // centroid mean sign-splits so it truncates under EITHER DuckDB
+    // `//` semantics (the pinned 1.0.0 truncates; the parity rule
+    // records floor — version-sensitive). For this to pin anything
+    // the corpus must actually exercise a negative centroid sum:
+    assert(negSums > 0,
+      "no negative centroid-dim sum — the negative-division parity is untested")
     assert(got == want.toSeq)
     // every round partitions the whole corpus
     got.groupBy(_._1).foreach { case (r, cs) =>

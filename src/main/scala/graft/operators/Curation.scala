@@ -106,6 +106,60 @@ object Curation {
       .orderBy("lang")
   }
 
+  /** INTEGER fixed-point log2 — e·2³⁰ + F for a positive BIGINT n,
+    * computed by the classic shift-and-square algorithm (e = bit
+    * length − 1; mantissa truncated to 31 bits; 30 squaring rounds
+    * emit one fraction bit each). Every operation is an integer
+    * shift/multiply/compare, so Spark and DuckDB — fed the SAME
+    * algorithm by this one generator — agree BIT-FOR-BIT: no libm
+    * log anywhere in the LM scoring paths. (Spark's log2 is
+    * ln(x)/ln(2); DuckDB's is libm log2; a 1-ulp disagreement landing
+    * exactly on a floor(x·1e6+0.5) boundary would break the hash
+    * oracle data-dependently — the q_binseg overflow lesson applied
+    * to transcendentals.) Truncation makes the result ≤ a few LSBs of
+    * 2⁻³⁰ below true log2 — deterministic, identical in both engines,
+    * and ~10⁻³ of one e6 unit.
+    *
+    * The fold accumulator packs (mantissa, fraction) into ONE BIGINT
+    * (m·2³⁰ + F, ≤ 2⁶¹) because DuckDB 1.0.0's list_reduce
+    * mis-evaluates multi-field struct accumulators (verified: the
+    * fraction bits shift by one from iteration 3 on). */
+  private def log2e30(n0: String, duck: Boolean): String = {
+    val n = s"($n0)"
+    def shr(x: String, k: String) =
+      if (duck) s"(($x) >> ($k))" else s"shiftright($x, $k)"
+    def shl(x: String, k: String) =
+      if (duck) s"(($x) << ($k))" else s"shiftleft($x, $k)"
+    val e = s"(length(bin$n) - 1)"
+    val m0 = s"(CASE WHEN $e >= 30 THEN ${shr(n, s"$e - 30")} " +
+      s"ELSE ${shl(n, s"30 - $e")} END)"
+    val acc0 = shl(m0, "30")
+    val m = shr("acc", "30")
+    val mm = shr(s"($m * $m)", "30")
+    val f2 = "((acc & 1073741823) * 2)"
+    val step = s"CASE WHEN $mm >= 2147483648 THEN ${shl(shr(mm, "1"), "30")} + $f2 + 1 " +
+      s"ELSE ${shl(mm, "30")} + $f2 END"
+    val folded =
+      if (duck)
+        s"list_reduce(list_prepend($acc0, " +
+          s"[CAST(0 AS BIGINT) for i in range(1, 31)]), (acc, x) -> $step)"
+      else s"aggregate(sequence(1, 30), $acc0, (acc, i) -> $step)"
+    s"(${shl(s"cast($e as bigint)", "30")} + (($folded) & 1073741823))"
+  }
+
+  /** ⌊log2(b/a)·10⁶ + 0.5⌋ for integers 1 ≤ a ≤ b via [[log2e30]] —
+    * the −log₂(a/b) information-content kernel of the LM scoring
+    * rows, emitted in both engine spellings. greatest(0, ·) pins the
+    * (unreachable at k=0; possible only under extreme-scale
+    * pre-shifts) a > b case to 0 in both engines rather than leaning
+    * on negative integer-division parity. */
+  private[operators] def lmBitsE6(b: String, a: String, duck: Boolean): String = {
+    val diff = s"(${log2e30(b, duck)} - ${log2e30(a, duck)})"
+    if (duck)
+      s"greatest(CAST(0 AS BIGINT), CAST(($diff * 1000000 + 536870912) // 1073741824 AS BIGINT))"
+    else s"greatest(0L, ($diff * 1000000 + 536870912) div 1073741824)"
+  }
+
   /** q_lm_quality: statistical language-model quality score — the
     * CCNet-style filter (Wenzek et al., "CCNet: Extracting High
     * Quality Monolingual Datasets from Web Crawl Data", LREC'20 §4.3
@@ -119,25 +173,24 @@ object Curation {
     * Scale shape: the vocabulary is a two-phase token groupBy; scoring
     * is the classic token-postings equi-join (shuffle ∝ corpus tokens,
     * never all-pairs) + one per-doc aggregate. Each token's bits value
-    * is floor-scaled to an e6 INTEGER before the per-doc sum — a
-    * cross-row double sum would be partition-order-dependent; integer
-    * sums are exact and order-free, so the result is stable across
-    * runs and partitionings. (Residual cross-engine risk: log2 is not
-    * a correctly-rounded operation, so Spark and DuckDB could disagree
-    * by 1 ulp exactly on a .5-of-1e-6 rounding boundary; bits depends
-    * only on a token's COUNT, so the exposure is ~#distinct counts ×
-    * ~1e-8 — negligible, and confined to ±1 in one tok_bits_e6.) */
+    * is an e6 INTEGER before the per-doc sum — a cross-row double sum
+    * would be partition-order-dependent; integer sums are exact and
+    * order-free, so the result is stable across runs and
+    * partitionings. Bits are computed ONCE PER VOCAB TYPE (the
+    * [[lmBitsE6]] integer log2 costs 30 fold steps, paid on the
+    * Zipf-bounded dictionary, never per corpus token) and ride the
+    * postings join as a precomputed column. */
   def lmQuality(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("tok"))
     val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
     val totals = vocab.agg(sum("cnt").as("n_total"), count(lit(1)).as("v_size"))
-    toks.join(vocab, Seq("tok"))
-      .crossJoin(broadcast(totals))
-      .withColumn("tok_bits_e6", floor(
-        -log2((col("cnt") + lit(1.0)) / (col("n_total") + col("v_size")))
-          * 1e6 + 0.5).cast("long"))
+    val vb = vocab.crossJoin(broadcast(totals))
+      .select(col("tok"),
+        expr(lmBitsE6("n_total + v_size", "cnt + 1", duck = false))
+          .as("tok_bits_e6"))
+    toks.join(vb, Seq("tok"))
       .groupBy("doc_id", "lang")
       .agg(
         count(lit(1)).as("n_tok"),
@@ -159,7 +212,10 @@ object Curation {
     * transform over the already-split token array (no self-join to
     * form adjacency); scoring is the same postings equi-join as the
     * unigram — one extra join against the pair dictionary. Same
-    * e6-integer-before-sum determinism contract as [[lmQuality]]. */
+    * e6-integer-before-sum determinism contract as [[lmQuality]],
+    * with the same integer-log2 kernel paid once per DICTIONARY row
+    * (first-token bits per vocab type, conditional bits per bigram
+    * type), never per corpus token. */
   def lmBigram(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("arr"))
@@ -175,20 +231,21 @@ object Curation {
       .select(col("doc_id"), col("lang"),
         col("p.prev").as("prev"), col("p.cur").as("cur"))
     val cb = pairs.groupBy("prev", "cur").agg(count(lit(1)).as("cbn"))
+    val vb = vocab.crossJoin(broadcast(totals))
+      .select(col("tok"),
+        expr(lmBitsE6("n_total + v_size", "cnt + 1", duck = false)).as("b"))
     val first = docs
       .select(col("doc_id"), col("lang"), element_at(col("arr"), 1).as("tok"))
-      .join(vocab, Seq("tok"))
-      .crossJoin(broadcast(totals))
-      .select(col("doc_id"), col("lang"), floor(
-        -log2((col("cnt") + lit(1.0)) / (col("n_total") + col("v_size")))
-          * 1e6 + 0.5).cast("long").as("b"))
-    val rest = pairs
-      .join(cb, Seq("prev", "cur"))
+      .join(vb, Seq("tok"))
+      .select(col("doc_id"), col("lang"), col("b"))
+    val cbb = cb
       .join(vocab.select(col("tok").as("prev"), col("cnt").as("cu")), Seq("prev"))
       .crossJoin(broadcast(totals))
-      .select(col("doc_id"), col("lang"), floor(
-        -log2((col("cbn") + lit(1.0)) / (col("cu") + col("v_size")))
-          * 1e6 + 0.5).cast("long").as("b"))
+      .select(col("prev"), col("cur"),
+        expr(lmBitsE6("cu + v_size", "cbn + 1", duck = false)).as("b"))
+    val rest = pairs
+      .join(cbb, Seq("prev", "cur"))
+      .select(col("doc_id"), col("lang"), col("b"))
     first.unionAll(rest)
       .groupBy("doc_id", "lang")
       .agg(count(lit(1)).as("n_tok"),
@@ -245,19 +302,31 @@ object Curation {
       .select(col("doc_id"), col("lang"), element_at(col("arr"), 1).as("cur"))
       .join(n1l, Seq("cur"), "left").na.fill(0L, Seq("n1l"))
       .crossJoin(broadcast(consts))
-      .select(col("doc_id"), col("lang"), floor(
-        -log2((col("n1l") + lit(1.0)) / (col("nbb") + col("v_size")))
-          * 1e6 + 0.5).cast("long").as("b"))
-    val rest = pairs
-      .join(cb, Seq("prev", "cur"))
+      .select(col("doc_id"), col("lang"),
+        expr(lmBitsE6("nbb + v_size", "n1l + 1", duck = false)).as("b"))
+    // The KN interpolation as ONE integer rational: multiply through
+    // by 4·cv·(nbb+V) ⇒ num = (4·cbn−3)·(nbb+V) + 3·n1r·(n1l+1),
+    // den = 4·cv·(nbb+V); P < 1 strictly, so num < den and the bits
+    // are a nonnegative integer log2 of a ratio of BIGINTs. The
+    // shared pre-shift kk (sized so den's factors stay under 2⁶²)
+    // is 0 at any realistic corpus and keeps the products exact;
+    // at ≳10⁹-token corpora with ≳10⁹ bigram types it trades low
+    // bits (≤2⁻³⁰ relative, both engines identically) for overflow
+    // safety. Bits paid once per BIGRAM TYPE, never per corpus token.
+    val kk = cb
       .join(cv, Seq("prev"))
       .join(n1l, Seq("cur")) // every scored cur is a successor ⇒ n1l ≥ 1
       .crossJoin(broadcast(consts))
-      .select(col("doc_id"), col("lang"), floor(
-        -log2((col("cbn") - lit(0.75)) / col("cv")
-          + lit(0.75) * col("n1r") / col("cv")
-            * ((col("n1l") + lit(1.0)) / (col("nbb") + col("v_size"))))
-          * 1e6 + 0.5).cast("long").as("b"))
+      .withColumn("kk", expr(
+        "greatest(0, (length(bin(4 * cv)) - 1) + (length(bin(nbb + v_size)) - 1) + 2 - 62)"))
+    val num = "(4 * cbn - 3) * shiftright(nbb + v_size, kk) + " +
+      "shiftright(3 * n1r * (n1l + 1), kk)"
+    val den = "(4 * cv) * shiftright(nbb + v_size, kk)"
+    val cbb = kk.select(col("prev"), col("cur"),
+      expr(lmBitsE6(den, num, duck = false)).as("b"))
+    val rest = pairs
+      .join(cbb, Seq("prev", "cur"))
+      .select(col("doc_id"), col("lang"), col("b"))
     first.unionAll(rest)
       .groupBy("doc_id", "lang")
       .agg(count(lit(1)).as("n_tok"),
@@ -1805,17 +1874,19 @@ object Curation {
     * (the two oracles must agree on every bits_e6 or the bucket
     * boundaries drift). */
   private val LmQualityOracleCore: String =
-    """WITH toks AS (
+    s"""WITH toks AS (
       |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
       |  FROM documents),
       |vocab AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
       |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total,
       |        CAST(COUNT(*) AS BIGINT) AS v_size FROM vocab),
+      |vb AS (
+      |  SELECT tok,
+      |    ${lmBitsE6("n_total + v_size", "cnt + 1", duck = true)} AS tok_bits_e6
+      |  FROM vocab CROSS JOIN t),
       |scored AS (
-      |  SELECT doc_id, lang,
-      |    CAST(floor(-log2((cnt + 1.0) / (n_total + v_size)) * 1e6 + 0.5)
-      |      AS BIGINT) AS tok_bits_e6
-      |  FROM toks JOIN vocab USING (tok) CROSS JOIN t)
+      |  SELECT doc_id, lang, tok_bits_e6
+      |  FROM toks JOIN vb USING (tok))
       |SELECT doc_id, lang,
       |  CAST(COUNT(*) AS BIGINT) AS n_tok,
       |  CAST(SUM(tok_bits_e6) // COUNT(*) AS BIGINT) AS bits_e6
@@ -2554,7 +2625,7 @@ object Curation {
     // Same vocab/add-one conventions as q_lm_quality; the pair
     // dictionary joins on (prev, cur), the context count on prev.
     "q_lm_bigram" ->
-      """WITH d AS (
+      s"""WITH d AS (
         |  SELECT doc_id, lang, string_split(text, ' ') AS arr FROM documents),
         |toks AS (SELECT unnest(arr) AS tok FROM d),
         |vocab AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
@@ -2565,19 +2636,21 @@ object Curation {
         |  FROM d, LATERAL (SELECT unnest(generate_series(2, len(arr))) AS i)),
         |cb AS (SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS cbn
         |       FROM pairs GROUP BY prev, cur),
+        |vb AS (
+        |  SELECT tok, ${lmBitsE6("n_total + v_size", "cnt + 1", duck = true)} AS b
+        |  FROM vocab CROSS JOIN t),
         |s1 AS (
-        |  SELECT doc_id, lang,
-        |    CAST(floor(-log2((cnt + 1.0) / (n_total + v_size)) * 1e6 + 0.5)
-        |      AS BIGINT) AS b
+        |  SELECT doc_id, lang, b
         |  FROM (SELECT doc_id, lang, arr[1] AS tok FROM d)
-        |  JOIN vocab USING (tok) CROSS JOIN t),
+        |  JOIN vb USING (tok)),
+        |cbb AS (
+        |  SELECT cb.prev, cb.cur,
+        |    ${lmBitsE6("v.cnt + t.v_size", "cb.cbn + 1", duck = true)} AS b
+        |  FROM cb JOIN vocab v ON v.tok = cb.prev CROSS JOIN t),
         |s2 AS (
-        |  SELECT p.doc_id, p.lang,
-        |    CAST(floor(-log2((cb.cbn + 1.0) / (v.cnt + t.v_size)) * 1e6 + 0.5)
-        |      AS BIGINT) AS b
+        |  SELECT p.doc_id, p.lang, cbb.b
         |  FROM pairs p
-        |  JOIN cb ON cb.prev = p.prev AND cb.cur = p.cur
-        |  JOIN vocab v ON v.tok = p.prev CROSS JOIN t),
+        |  JOIN cbb ON cbb.prev = p.prev AND cbb.cur = p.cur),
         |u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
         |SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_tok,
         |  CAST(SUM(b) // COUNT(*) AS BIGINT) AS bits_e6
@@ -2586,7 +2659,7 @@ object Curation {
     // same bigram dictionary, continuation/context censuses, the
     // identical KN interpolation text, and e6-floor-before-sum
     "q_kn_bigram" ->
-      """WITH d AS (
+      s"""WITH d AS (
         |  SELECT doc_id, lang, string_split(text, ' ') AS arr FROM documents),
         |vs AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v_size
         |       FROM (SELECT unnest(arr) AS tok FROM d)),
@@ -2603,20 +2676,27 @@ object Curation {
         |           FROM cb CROSS JOIN vs GROUP BY v_size),
         |s1 AS (
         |  SELECT doc_id, lang,
-        |    CAST(floor(-log2((COALESCE(n1l, 0) + 1.0) / (nbb + v_size))
-        |      * 1e6 + 0.5) AS BIGINT) AS b
+        |    ${lmBitsE6("nbb + v_size", "COALESCE(n1l, 0) + 1", duck = true)} AS b
         |  FROM (SELECT doc_id, lang, arr[1] AS cur FROM d)
         |  LEFT JOIN n1l USING (cur) CROSS JOIN consts),
+        |kk AS (
+        |  SELECT cb.prev, cb.cur, cb.cbn, cv.cv, cv.n1r, n1l.n1l,
+        |    c.nbb, c.v_size,
+        |    greatest(0, (length(bin(4 * cv.cv)) - 1)
+        |      + (length(bin(c.nbb + c.v_size)) - 1) + 2 - 62) AS kk
+        |  FROM cb
+        |  JOIN cv ON cv.prev = cb.prev
+        |  JOIN n1l ON n1l.cur = cb.cur CROSS JOIN consts c),
+        |cbb AS (
+        |  SELECT prev, cur,
+        |    ${lmBitsE6("(4 * cv) * ((nbb + v_size) >> kk)",
+             "(4 * cbn - 3) * ((nbb + v_size) >> kk) + ((3 * n1r * (n1l + 1)) >> kk)",
+             duck = true)} AS b
+        |  FROM kk),
         |s2 AS (
-        |  SELECT p.doc_id, p.lang,
-        |    CAST(floor(-log2((cb.cbn - 0.75) / cv.cv
-        |      + 0.75 * cv.n1r / cv.cv
-        |        * ((n1l.n1l + 1.0) / (c.nbb + c.v_size))) * 1e6 + 0.5)
-        |      AS BIGINT) AS b
+        |  SELECT p.doc_id, p.lang, cbb.b
         |  FROM pairs p
-        |  JOIN cb ON cb.prev = p.prev AND cb.cur = p.cur
-        |  JOIN cv ON cv.prev = p.prev
-        |  JOIN n1l ON n1l.cur = p.cur CROSS JOIN consts c),
+        |  JOIN cbb ON cbb.prev = p.prev AND cbb.cur = p.cur),
         |u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
         |SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_tok,
         |  CAST(SUM(b) // COUNT(*) AS BIGINT) AS bits_e6

@@ -5545,14 +5545,35 @@ class OperatorSpec extends SparkSpec {
     val n1l = cb.keys.toSeq.groupBy(_._2).view.mapValues(_.size.toLong).toMap
     val nbb = cb.size.toLong
     val vSize = docs.flatMap(_._3).distinct.size.toLong
-    def pc(w: String) = (n1l.getOrElse(w, 0L) + 1.0) / (nbb + vSize)
+    // the same INTEGER shift-and-square log2 both engines run (the
+    // lmBitsE6 kernel): e·2^30 + 30 truncated fraction bits
+    def lg30(n: Long): Long = {
+      val e = 63 - java.lang.Long.numberOfLeadingZeros(n)
+      var m = if (e >= 30) n >> (e - 30) else n << (30 - e)
+      var f = 0L
+      for (_ <- 1 to 30) {
+        val mm = (m * m) >> 30
+        if (mm >= (1L << 31)) { m = mm >> 1; f = f * 2 + 1 }
+        else { m = mm; f = f * 2 }
+      }
+      (e.toLong << 30) + f
+    }
+    def bits(b: Long, a: Long): Long =
+      math.max(0L, ((lg30(b) - lg30(a)) * 1000000L + (1L << 29)) / (1L << 30))
+    val big = nbb + vSize
+    def pcBits(w: String): Long = bits(big, n1l.getOrElse(w, 0L) + 1)
     val want = docs.map { case (id, lang, a) =>
-      val b1 = math.floor(-(math.log(pc(a.head)) / math.log(2.0)) * 1e6 + 0.5).toLong
+      val b1 = pcBits(a.head)
       val bs = b1 +: a.sliding(2).filter(_.size == 2).map { p =>
         val (v, w) = (p(0), p(1))
         val (cvv, n1r) = cv(v)
-        val prob = (cb((v, w)) - 0.75) / cvv + 0.75 * n1r / cvv * pc(w)
-        math.floor(-(math.log(prob) / math.log(2.0)) * 1e6 + 0.5).toLong
+        val k = math.max(0,
+          (64 - java.lang.Long.numberOfLeadingZeros(4 * cvv)) +
+            (64 - java.lang.Long.numberOfLeadingZeros(big)) - 62)
+        val num = (4 * cb((v, w)) - 3) * (big >> k) +
+          ((3 * n1r * (n1l(w) + 1)) >> k)
+        val den = (4 * cvv) * (big >> k)
+        bits(den, num)
       }.toSeq
       (id, lang, bs.size.toLong, bs.sum / bs.size)
     }.sortBy(_._1).toSeq

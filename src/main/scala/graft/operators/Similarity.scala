@@ -231,7 +231,7 @@ object Similarity {
     * q_dedup_embedding bound, NEVER |nodes|²; pair dedup happens on
     * 16-byte id pairs before vectors are fetched (one key join each
     * side). Everything downstream is ∝ candidates. */
-  def knnGraphApprox(spark: SparkSession, dir: String, planes: Int = Planes,
+  def knnGraphApprox(spark: SparkSession, dir: String, planes: Int = 0,
       tables: Int = LshTables): DataFrame =
     mutualEdges(forestScored(spark, dir, planes, tables), KnnK)
       .select(col("id_a"), col("id_b"),
@@ -247,7 +247,7 @@ object Similarity {
     * same pinned-fold IEEE tree as [[allPairsScored]], restricted to
     * pairs colliding in the forest. */
   private def forestScored(spark: SparkSession, dir: String,
-      planes: Int = Planes, tables: Int = LshTables): DataFrame = {
+      planes: Int = 0, tables: Int = LshTables): DataFrame = {
     val emb = Tables.widened(Tables.embeddings(spark, dir))
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
@@ -268,16 +268,19 @@ object Similarity {
     * vector moves. Σ_t Σ_bucket |probes_b|·|b| pairs, never |nodes|².
     * The candidate set is SYMMETRIC (probing is corpus-wide and a
     * single-bit XOR is its own inverse), so per-node neighbor lists
-    * and both directions of a mutual edge rank over the same pairs. */
+    * and both directions of a mutual edge rank over the same pairs.
+    * `planes = 0` (the registered default) resolves to the
+    * occupancy-derived [[occupancyPlanes]] count for THIS corpus. */
   private def forestPairs(spark: SparkSession, dir: String,
-      planes: Int = Planes, tables: Int = LshTables): DataFrame = {
+      planes: Int = 0, tables: Int = LshTables): DataFrame = {
+    val p = if (planes > 0) planes else forestPlanes(spark, dir)
     val emb = Tables.widened(Tables.embeddings(spark, dir))
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val index = forestBuckets(emb, planes, tables)
+    val index = forestBuckets(emb, p, tables)
     val probes = index
       .withColumn("probe", explode(array(col("bucket") +:
-        (0 until planes).map(p =>
-          col("bucket").bitwiseXOR(lit(1L << p))): _*)))
+        (0 until p).map(pp =>
+          col("bucket").bitwiseXOR(lit(1L << pp))): _*)))
       .select(col("vec_id").as("id_a"), col("t").as("ta"), col("probe"))
     probes.join(
         index.select(col("vec_id").as("id_b"), col("t").as("t2"),
@@ -286,6 +289,17 @@ object Similarity {
           col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Per-node deduped forest candidate volume ×1000 — the occupancy
+    * dial's spec hook: ApproxSubstrateSpec asserts this stays roughly
+    * FLAT across scale factors (the property that makes total forest
+    * work ~linear), which is exactly what pinned planes break. */
+  private[graft] def forestCandidatesPerNodeE3(spark: SparkSession,
+      dir: String): Long = {
+    val pairs = forestPairs(spark, dir).count()
+    val nodes = math.max(1L, Tables.embeddings(spark, dir).count())
+    pairs * 1000L / nodes
   }
 
   /** q_lof_approx: [[lof]] with its neighbor lists ranked over FOREST
@@ -681,12 +695,19 @@ object Similarity {
       .orderBy("query_id")
   }
 
-  /** Default hyperplane count for the registered queries (2⁸ = 256
-    * buckets — sized for the test corpus, and pinned because the DuckDB
-    * oracle embeds exactly these planes). At production scale pass
-    * `planes ≈ log₂(corpus / targetBucketSize)`: e.g. 10⁹ vectors with
-    * ~4k-vector buckets → 18 planes. Cost is linear in planes (one
-    * 64-dim dot each); bucket count grows 2^planes. */
+  /** Hyperplane count for the SEARCH-path registrations
+    * (q_ann_lsh_cosine / q_forest_sweep / q_dedup_embedding: 2⁸ = 256
+    * buckets, pinned because those DuckDB oracles embed exactly these
+    * planes and AnnRecallSpec's recall floors are calibrated to them;
+    * their probe side is a BOUNDED query set, so candidate volume is
+    * |Q|·occupancy·probes·L — linear in n with this constant). The
+    * corpus-wide FOREST-FED family does NOT use this constant: its
+    * default is the occupancy-derived [[occupancyPlanes]], the dial
+    * that keeps its candidate volume ~linear (see
+    * [[ForestTargetOccupancy]]). At production scale pass
+    * `planes ≈ log₂(corpus / targetBucketSize)` here too: e.g. 10⁹
+    * vectors with ~4k-vector buckets → 18 planes. Cost is linear in
+    * planes (one 64-dim dot each); bucket count grows 2^planes. */
   private val Planes = 8
 
   /** OR-amplification width for [[annLshCosine]]: L independent
@@ -699,6 +720,39 @@ object Similarity {
     * Table 0's planes are exactly the [[Planes]] single-table set, so
     * the one-table paths (q_dedup_embedding) are unchanged. */
   private[operators] val LshTables = 8
+
+  /** Target mean bucket occupancy for the FOREST-FED corpus paths
+    * ([[forestPairs]]/[[forestScored]] and the six approx siblings):
+    * with PINNED planes, occupancy grows ∝ n and forest candidate
+    * volume ∝ n²/2^planes — q_lof_approx measured scaling exponent
+    * 1.74 sf0.1→sf1 under the pinned 8. Deriving planes from the
+    * corpus size as ⌈log₂(⌈n / occupancy⌉)⌉ holds occupancy in
+    * (occupancy/2, occupancy], so per-node candidate volume stays
+    * ≈ occupancy·(planes+1)·L — the probe fan grows only with log n
+    * and total forest work is ~linear in n (ApproxSubstrateSpec pins
+    * the flatness sf0.01→sf0.1). The DuckDB oracles re-derive the
+    * SAME planes from COUNT(*) (one generator note in
+    * [[forestCandSql]]), so the hash compare exercises the dial at
+    * every scale instead of interpolating a constant. */
+  private[operators] val ForestTargetOccupancy = 8L
+
+  /** planes(n) = max(4, ⌈log₂(⌈n / [[ForestTargetOccupancy]]⌉)⌉) —
+    * integer-exact (bit-length of buckets−1), mirrored in SQL as
+    * greatest(4, length(bin((n + 7) // 8 - 1))). The floor of 4 keeps
+    * tiny corpora from degenerating to one bucket. */
+  private[operators] def occupancyPlanes(n: Long): Int = {
+    val buckets =
+      (math.max(1L, n) + ForestTargetOccupancy - 1) / ForestTargetOccupancy
+    val ceilLog2 =
+      if (buckets >= 2) 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1)
+      else 0
+    math.max(4, ceilLog2)
+  }
+
+  /** The occupancy-derived plane count for a corpus directory (one
+    * parquet metadata count — the same n the oracle's COUNT(*) sees). */
+  private def forestPlanes(spark: SparkSession, dir: String): Int =
+    occupancyPlanes(Tables.embeddings(spark, dir).count())
 
   /** Constant ±1 Rademacher hyperplanes (n × 64), derived from
     * md5("plane<p>/<i>") first-byte parity — fixed operator parameters
@@ -2196,20 +2250,49 @@ object Similarity {
        |  FROM fproj GROUP BY vec_id, p // $Planes)""".stripMargin
   }
 
-  /** Forest-candidate analog of [[knnTopSql]]: directed top-k lists
-    * restricted to forest candidates (multiprobe, pair-distinct) —
-    * composed by the q_knn_graph_approx / q_knn_components_approx
-    * oracles. */
-  /** The forest prelude + corpus-wide multiprobe + distinct candidate
-    * pairs (the [[forestPairs]] mirror) — composed by [[forestTopSql]]
-    * and the q_intrinsic_dim_approx oracle. */
+  /** The DYNAMIC forest prelude + corpus-wide multiprobe + distinct
+    * candidate pairs (the [[forestPairs]] mirror) — composed by
+    * [[forestTopSql]] and the q_intrinsic_dim_approx oracle. Unlike
+    * the search path's pinned [[forestSqlPrelude]], the plane count
+    * here is DERIVED FROM THE DATA exactly as [[occupancyPlanes]]
+    * derives it (greatest(4, length(bin((n+7)//8 − 1))) =
+    * max(4, ⌈log₂⌈n/8⌉⌉)), and the ±1 plane signs are recomputed
+    * in SQL from the same md5('plane<p>/<i>') first-byte parity
+    * [[planeSigns]] uses — ONE generator rule, two engines, so the
+    * hash oracle exercises the occupancy dial at every scale factor
+    * instead of interpolating a pinned constant. */
   private val forestCandSql: String =
-    s"""$forestSqlPrelude,
+    s"""fn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+       |fpl AS (SELECT CASE WHEN (n + ${ForestTargetOccupancy - 1}) // $ForestTargetOccupancy >= 2
+       |    THEN greatest(4, CAST(length(bin((n + ${ForestTargetOccupancy - 1}) // $ForestTargetOccupancy - 1)) AS INT))
+       |    ELSE 4 END AS planes FROM fn),
+       |emb AS (
+       |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+       |  FROM embeddings),
+       |nrm AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_reduce([v[i] * v[i] for i in range(1, len(v) + 1)], (a, b) -> a + b)) AS nrm
+       |  FROM emb),
+       |fplanes AS (
+       |  SELECT g.gp,
+       |    list(CASE WHEN (CAST(concat('0x', substr(md5(concat('plane', CAST(g.gp AS VARCHAR), '/', CAST(i.i AS VARCHAR))), 1, 2)) AS INT) & 1) = 1
+       |      THEN 1.0 ELSE -1.0 END ORDER BY i.i) AS s
+       |  FROM (SELECT unnest(generate_series(0, $LshTables * planes - 1)) AS gp FROM fpl) g,
+       |       (SELECT unnest(generate_series(0, 63)) AS i) i
+       |  GROUP BY g.gp),
+       |fproj AS (
+       |  SELECT vec_id, gp AS p,
+       |    list_reduce([v[i] * s[i] for i in range(1, len(v) + 1)], (a, b) -> a + b) AS proj
+       |  FROM nrm, fplanes),
+       |tbuck AS (
+       |  SELECT vec_id, p // planes AS t,
+       |    SUM(CASE WHEN proj > 0 THEN CAST(1 AS BIGINT) << (p % planes) ELSE 0 END) AS bucket
+       |  FROM fproj CROSS JOIN fpl GROUP BY vec_id, p // planes),
        |nprobe AS (
        |  SELECT vec_id, t, bucket AS probe FROM tbuck
        |  UNION ALL
        |  SELECT tb.vec_id, tb.t, xor(tb.bucket, CAST(1 AS BIGINT) << b.p8)
-       |  FROM tbuck tb, (SELECT unnest(generate_series(0, ${Planes - 1})) AS p8) b),
+       |  FROM tbuck tb, (SELECT unnest(generate_series(0, planes - 1)) AS p8 FROM fpl) b),
        |cand AS (
        |  SELECT DISTINCT q.vec_id AS id_a, c.vec_id AS id_b
        |  FROM nprobe q JOIN tbuck c

@@ -31,11 +31,12 @@ class ApproxSubstrateSpec extends SparkSpec {
     val ratio = approx.toDouble / exact
     info(f"d_hat exact=$exact approx=$approx ratio=$ratio%.4f " +
       f"(n_used $nUsedE/$nUsedA, approx dropped $nDropA)")
-    // measured r11 sf0.01: 31.98 vs 35.19 (ratio 0.909) — candidates
-    // that miss a true r1/r2 bias mu toward 1 slightly; the floor
-    // catches an order-of-magnitude break, not noise
+    // measured r12 sf0.01 (occupancy-scaled forest, planes=6): 33.90
+    // vs 35.19 (ratio 0.963; r11's pinned 8-plane forest sat at
+    // 0.909) — candidates that miss a true r1/r2 bias mu toward 1
+    // slightly; the band pins the occupancy dial's quality level
     assert(exact > 0 && approx > 0, "estimator returned sentinel -1")
-    assert(ratio >= 0.5 && ratio <= 2.0, f"d_hat ratio $ratio%.4f outside [0.5, 2]")
+    assert(ratio >= 0.8 && ratio <= 1.25, f"d_hat ratio $ratio%.4f outside [0.8, 1.25]")
     // the forest covers this corpus: nearly every node found a pair
     assert(nUsedA >= (nUsedE * 9) / 10, s"approx used $nUsedA of $nUsedE nodes")
   }
@@ -62,12 +63,14 @@ class ApproxSubstrateSpec extends SparkSpec {
     val k = exact.size / 10
     val overlap = topK(exact, k).intersect(topK(approx, k)).size.toDouble / k
     info(f"lof agreement: pearson=$r%.4f top-decile overlap=$overlap%.4f over ${joint.size} nodes")
-    // measured r11 sf0.01: pearson 0.51, top-50 overlap 0.26 — LOF's
-    // kdist inflates where candidates miss, so scores disperse; the
-    // floors pin "correlated and triage-useful", which is what the
-    // approx path promises
-    assert(r >= 0.3, f"lof pearson $r%.4f below floor 0.3")
-    assert(overlap >= 0.12, f"top-decile overlap $overlap%.4f below floor 0.12")
+    // measured r12 sf0.01 (occupancy-scaled forest): pearson 0.82,
+    // top-50 overlap 0.66 — the r11 verdict's floors (0.3 / 0.12 at
+    // the pinned 8-plane forest's 0.51 / 0.26) were "too loose to
+    // trust as a triage tool"; these pin the occupancy dial's level
+    // with margin: a forest change that degrades the outlier queue
+    // below 0.6 / 0.4 is a failure, not a tuning note
+    assert(r >= 0.6, f"lof pearson $r%.4f below floor 0.6")
+    assert(overlap >= 0.4, f"top-decile overlap $overlap%.4f below floor 0.4")
   }
 
   test("forest-fed diversity sample keeps most of the exact picks") {
@@ -77,13 +80,36 @@ class ApproxSubstrateSpec extends SparkSpec {
     val approx = picks(graft.operators.Similarity.clusterSampleApprox(spark, dir))
     val jac = exact.intersect(approx).size.toDouble / exact.union(approx).size
     info(f"pick jaccard=$jac%.4f (exact ${exact.size}, approx ${approx.size})")
-    // measured r11 sf0.01: 269 shared of 322/329 (jaccard 0.70) — the
-    // fine SampleKnnK=2 partition is nearly identical, so the salted
-    // draws mostly coincide
-    assert(jac >= 0.5, f"pick jaccard $jac%.4f below floor 0.5")
+    // measured r12 sf0.01 (occupancy-scaled forest): jaccard 0.88
+    // (r11's pinned forest: 0.70) — the fine SampleKnnK=2 partition
+    // is nearly identical, so the salted draws mostly coincide
+    assert(jac >= 0.7, f"pick jaccard $jac%.4f below floor 0.7")
     val sizeRatio = approx.size.toDouble / exact.size
     assert(sizeRatio >= 0.8 && sizeRatio <= 1.25,
       f"sample size ratio $sizeRatio%.4f outside [0.8, 1.25]")
+  }
+
+  test("per-node forest candidate volume stays roughly flat across scale factors") {
+    // THE occupancy-dial property: with planes = ⌈log₂⌈n/occupancy⌉⌉
+    // the mean bucket occupancy is pinned in (occ/2, occ], so deduped
+    // candidates per node ≈ occupancy·(probes)·(tables) grows only
+    // with the log-n probe fan — total forest work ~linear in n. The
+    // r11 pinned-planes forest FAILED exactly this (volume ∝ n/2⁸;
+    // q_lof_approx sf1 exponent 1.74), which is why the flatness is
+    // spec-pinned and not a scaladoc promise.
+    val small = graft.operators.Similarity
+      .forestCandidatesPerNodeE3(spark, "/root/testdata/sf0.001")
+    val mid = graft.operators.Similarity
+      .forestCandidatesPerNodeE3(spark, dir)
+    val big = graft.operators.Similarity
+      .forestCandidatesPerNodeE3(spark, "/root/testdata/sf0.1")
+    info(s"candidates/node ×1e3: sf0.001=$small sf0.01=$mid sf0.1=$big")
+    // 100× the corpus may grow per-node volume only by the log-n
+    // probe fan (~2×), never by the 100× a pinned forest would show
+    assert(big <= mid * 3 && mid <= big * 3,
+      s"per-node volume not flat sf0.01→sf0.1: $mid vs $big")
+    assert(big <= small * 4 && small <= big * 6,
+      s"per-node volume not flat sf0.001→sf0.1: $small vs $big")
   }
 
   test("forest-fed cluster profile reproduces the exact cluster structure") {

@@ -137,6 +137,41 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
   }
 
+  test("no forest-fed query broadcasts a full embeddings vector scan") {
+    // The r11 worklist's spec half: the forest-fed family's whole
+    // point is that VECTOR PAYLOADS never ride a whole-table
+    // broadcast — candidates are 16-byte id pairs until the per-pair
+    // key fetch. An offender is a BroadcastExchange whose OUTPUT
+    // carries an array column fed by an embeddings file scan with no
+    // aggregate/limit in between (bounded codebooks and per-cluster
+    // centroid tables aggregate first and stay legal; planner-chosen
+    // broadcasts of id-only frames stay legal).
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    val forestFed = Seq("q_lof_approx", "q_intrinsic_dim_approx",
+      "q_cluster_sample_approx", "q_cluster_profile_approx",
+      "q_knn_graph_approx", "q_knn_components_approx")
+    def rawEmbeddingsBelow(p: SparkPlan): Boolean = {
+      val s = p.toString
+      p.collectFirst {
+        case sc: FileSourceScanExec
+            if sc.toString.contains("embeddings") => sc
+      }.isDefined && !s.contains("HashAggregate") &&
+        !s.contains("CollectLimit") && !s.contains("GlobalLimit")
+    }
+    forestFed.foreach { n =>
+      val plan = SparkEntry.queries(n)(spark, sf).queryExecution.executedPlan
+      val offenders = plan.collect {
+        case b: BroadcastExchangeExec
+            if b.output.exists(_.dataType.isInstanceOf[ArrayType]) &&
+              rawEmbeddingsBelow(b.child) => b
+      }
+      assert(offenders.isEmpty,
+        s"$n broadcasts a raw embeddings vector frame:\n${offenders.mkString("\n")}")
+    }
+  }
+
   test("multi-consumer shuffle subtrees are materialized once (AQE stage reuse)") {
     // q_get_domain (freq feeds both the broadcast count and the result)
     // and q_dedup_simhash (per-doc simhash feeds both chunk-join sides +

@@ -286,13 +286,13 @@ object StreamingQueries {
     * language forever. Bucket/rho/estimate definitions are SHARED with
     * batch q_hll_distinct (one implementation), so converged stream
     * registers equal the batch registers exactly (spec-pinned); the
-    * estimate finishes batch-side over the upserted register store
-    * (streaming can't chain a second aggregation — and doesn't need
-    * to: the sink owns the sketch, as it would own it in production).
-    * Output drops the exact_distinct reference column — computing it
-    * is precisely what the sketch exists to avoid. */
+    * registers upsert through the durable keyed [[TableSink]]
+    * (executors write, the driver never collects, the sketch survives
+    * a restart) and the estimate finishes batch-side over the merged
+    * register view — the sink owns the sketch, as it would own it in
+    * production. Output drops the exact_distinct reference column —
+    * computing it is precisely what the sketch exists to avoid. */
   def streamHll(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val docs = tableStream(spark, dir, "documents")
     val regs = docs
       .select(col("lang"), explode(
@@ -300,22 +300,9 @@ object StreamingQueries {
       .withColumn("bucket", graft.operators.TextAnalysis.hllBucket)
       .withColumn("r", graft.operators.TextAnalysis.hllRho)
       .groupBy("lang", "bucket").agg(max("r").as("m"))
-    val store = new java.util.concurrent.ConcurrentHashMap[(String, Long), Long]()
-    val q = regs.writeStream
-      .outputMode(OutputMode.Update())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.collect().foreach { r =>
-          store.put((r.getString(0), r.getLong(1)), r.getLong(2))
-        }
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    import scala.jdk.CollectionConverters._
-    val regsDf = store.asScala.toSeq
-      .map { case ((lang, bucket), m) => (lang, bucket, m) }
-      .toDF("lang", "bucket", "m")
-    graft.operators.TextAnalysis.hllFinish(regsDf).orderBy("lang")
+    graft.operators.TextAnalysis.hllFinish(
+      TableSink.upsert(spark, regs, Seq("lang", "bucket"), "shll", dir))
+      .orderBy("lang")
   }
 
   /** Top-k kept by q_stream_topk's finish (pinned — the oracle embeds
@@ -336,24 +323,15 @@ object StreamingQueries {
     * SpaceSaving-bounded) because the counter store IS the state.
     * Oracle: exact SQL counts + ROW_NUMBER cut — full value compare. */
   def streamTopK(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val counts = eventsStream(spark, dir)
       .select(concat(lit("shop"), (col("user_id") % 37).cast("string"),
         lit(".example.com")).as("domain"))
       .groupBy("domain").agg(count(lit(1)).as("cnt"))
-    val store = new java.util.concurrent.ConcurrentHashMap[String, Long]()
-    val q = counts.writeStream
-      .outputMode(OutputMode.Update())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.collect().foreach(r => store.put(r.getString(0), r.getLong(1)))
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    import scala.jdk.CollectionConverters._
+    // the rank window runs over the converged counter store — the
+    // 37-domain alphabet, not the event stream
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("cnt").desc, col("domain").asc)
-    store.asScala.toSeq.toDF("domain", "cnt")
+    TableSink.upsert(spark, counts, Seq("domain"), "stopk", dir)
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= StreamTopK)
       .select("rank", "domain", "cnt")
@@ -397,26 +375,11 @@ object StreamingQueries {
     * exactly why the census, not the decayed sum, is the right
     * stream state: a decayed accumulator would stale the moment the
     * watermark advanced. */
-  def streamDecayed(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val counts = graft.operators.Analytics.decayedDayCounts(
-      eventsStream(spark, dir))
-    val store = new java.util.concurrent.ConcurrentHashMap[(String, Long), Long]()
-    val q = counts.writeStream
-      .outputMode(OutputMode.Update())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.collect().foreach { r =>
-          store.put((r.getString(0), r.getLong(1)), r.getLong(2))
-        }
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    import scala.jdk.CollectionConverters._
+  def streamDecayed(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Analytics.decayedFinish(
-      store.asScala.toSeq.map { case ((d, day), c) => (d, day, c) }
-        .toDF("domain", "day", "cnt"))
-  }
+      TableSink.upsert(spark,
+        graft.operators.Analytics.decayedDayCounts(eventsStream(spark, dir)),
+        Seq("domain", "day"), "decayed", dir))
 
   /** q_stream_wilson — the confidence-ranked error monitor LIVE: the
     * state is the per-domain (trials, failures) census (sketch-sized,
@@ -427,26 +390,11 @@ object StreamingQueries {
     * cannot disagree and the stream reuses the batch oracle verbatim.
     * This is how the alarm actually deploys: counters at the edge,
     * the statistics where the dashboard reads them. */
-  def streamWilson(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val census = graft.operators.Analytics.wilsonCensus(
-      eventsStream(spark, dir))
-    val store = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
-    val q = census.writeStream
-      .outputMode(OutputMode.Update())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.collect().foreach { r =>
-          store.put(r.getString(0), (r.getLong(1), r.getLong(2)))
-        }
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    import scala.jdk.CollectionConverters._
+  def streamWilson(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Analytics.wilsonFinish(
-      store.asScala.toSeq.map { case (d, (n, k)) => (d, n, k) }
-        .toDF("domain", "n_events", "n_errors"))
-  }
+      TableSink.upsert(spark,
+        graft.operators.Analytics.wilsonCensus(eventsStream(spark, dir)),
+        Seq("domain"), "wilson", dir))
 
   /** q_stream_jsonl — the corrupt-record quarantine AT INGEST: the
     * arriving log lines parse through the SHARED
@@ -456,27 +404,12 @@ object StreamingQueries {
     * (bucket alphabet = event types + 1 — the q_stream_psi shape), so
     * ingest loss is visible LIVE, not at the next batch audit; reuses
     * the batch oracle verbatim; batch-parity spec. */
-  def streamJsonl(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val census = graft.sources.JsonlLogs.bucketCensus(
-      graft.sources.JsonlLogs.linesFrom(eventsStream(spark, dir)))
-    val store =
-      new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Long)]()
-    val q = census.writeStream
-      .outputMode(OutputMode.Update())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.collect().foreach { r =>
-          store.put(r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3)))
-        }
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    import scala.jdk.CollectionConverters._
-    store.asScala.toSeq.map { case (b, (n, c, v)) => (b, n, c, v) }
-      .toDF("bucket", "n_lines", "n_chars", "value_cents")
+  def streamJsonl(spark: SparkSession, dir: String): DataFrame =
+    TableSink.upsert(spark,
+      graft.sources.JsonlLogs.bucketCensus(
+        graft.sources.JsonlLogs.linesFrom(eventsStream(spark, dir))),
+      Seq("bucket"), "jsonl", dir)
       .orderBy("bucket")
-  }
 
   /** q_stream_boot — uncertainty quantification AT INGEST: the
     * Poisson-bootstrap replicate census ([[graft.operators.Analytics
@@ -487,30 +420,13 @@ object StreamingQueries {
     * bootFinish — the live dashboard reads a mean WITH its interval,
     * not a bare point; reuses the batch oracle verbatim. */
   def streamBoot(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val census = graft.operators.Analytics.bootCensus(
       eventsStream(spark, dir)
         .filter(col("event_type") === "purchase")
         .select(col("event_id"),
           floor(col("value") * 100 + 0.5).cast("long").as("cents")))
-    val store = new java.util.concurrent.ConcurrentHashMap[
-      Int, (Long, java.math.BigDecimal)]()
-    val q = census.writeStream
-      .outputMode(OutputMode.Update())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.collect().foreach { r =>
-          store.put(r.getInt(0),
-            (r.getLong(1), r.getDecimal(2)))
-        }
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    import scala.jdk.CollectionConverters._
     graft.operators.Analytics.bootFinish(
-      store.asScala.toSeq
-        .map { case (r, (sw, swc)) => (r, sw, BigDecimal(swc)) }
-        .toDF("r", "sw", "swc")
+      TableSink.upsert(spark, census, Seq("r"), "boot", dir)
         .select(col("r"), col("sw"),
           col("swc").cast("decimal(38,0)").as("swc")))
   }
@@ -525,28 +441,12 @@ object StreamingQueries {
     * statistics stay ε-DP while the corpus streams in (noise is a
     * pure per-group function, so WHEN the release is cut doesn't
     * change it); reuses the batch oracle verbatim. */
-  def streamDp(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val census = graft.operators.Curation.dpCensus(
-      tableStream(spark, dir, "documents").select("source", "lang", "text"))
-    val store = new java.util.concurrent.ConcurrentHashMap[
-      (String, String), (Long, Long)]()
-    val q = census.writeStream
-      .outputMode(OutputMode.Update())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.collect().foreach { r =>
-          store.put((r.getString(0), r.getString(1)),
-            (r.getLong(2), r.getLong(3)))
-        }
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    import scala.jdk.CollectionConverters._
+  def streamDp(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Curation.dpFinish(
-      store.asScala.toSeq.map { case ((s, l), (n, st)) => (s, l, n, st) }
-        .toDF("source", "lang", "n", "st"))
-  }
+      TableSink.upsert(spark,
+        graft.operators.Curation.dpCensus(
+          tableStream(spark, dir, "documents").select("source", "lang", "text")),
+        Seq("source", "lang"), "dp", dir))
 
   /** q_stream_conformal — the conformal coverage monitor AT INGEST:
     * the (parity, cents) purchase-value histogram
@@ -557,29 +457,15 @@ object StreamingQueries {
     * the converged census via the SHARED confFinish — the live
     * dashboard reads whether the deployed interval still covers at
     * its guaranteed rate; reuses the batch oracle verbatim. */
-  def streamConformal(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val census = graft.operators.Analytics.confCensus(
-      eventsStream(spark, dir)
-        .filter(col("event_type") === "purchase")
-        .select(col("event_id"),
-          floor(col("value") * 100 + 0.5).cast("long").as("cents")))
-    val store = new java.util.concurrent.ConcurrentHashMap[(Long, Long), Long]()
-    val q = census.writeStream
-      .outputMode(OutputMode.Update())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.collect().foreach { r =>
-          store.put((r.getLong(0), r.getLong(1)), r.getLong(2))
-        }
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    import scala.jdk.CollectionConverters._
+  def streamConformal(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Analytics.confFinish(
-      store.asScala.toSeq.map { case ((p, c), n) => (p, c, n) }
-        .toDF("parity", "cents", "cnt"))
-  }
+      TableSink.upsert(spark,
+        graft.operators.Analytics.confCensus(
+          eventsStream(spark, dir)
+            .filter(col("event_type") === "purchase")
+            .select(col("event_id"),
+              floor(col("value") * 100 + 0.5).cast("long").as("cents"))),
+        Seq("parity", "cents"), "conformal", dir))
 
   /** q_stream_cusum — the CUSUM level-shift monitor AT INGEST: the
     * per-day purchase-cents census
@@ -590,23 +476,11 @@ object StreamingQueries {
     * means) runs batch-side over the converged census via the SHARED
     * cusumFinish — the live "did the level shift, and when?"
     * dashboard; reuses the batch oracle verbatim. */
-  def streamCusum(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val census = graft.operators.Analytics.cusumCensus(
-      eventsStream(spark, dir))
-    val store = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
-    val q = census.writeStream
-      .outputMode(OutputMode.Update())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.collect().foreach { r => store.put(r.getLong(0), r.getLong(1)) }
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    import scala.jdk.CollectionConverters._
+  def streamCusum(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Analytics.cusumFinish(
-      store.asScala.toSeq.map { case (d, c) => (d, c) }.toDF("d", "cents"))
-  }
+      TableSink.upsert(spark,
+        graft.operators.Analytics.cusumCensus(eventsStream(spark, dir)),
+        Seq("d"), "cusum", dir))
 
   /** q_stream_ols — the one-pass linear regression AT INGEST: the
     * ten exact OLS moments ([[graft.operators.Analytics.olsCensus]] —
@@ -615,30 +489,16 @@ object StreamingQueries {
     * the Cramer solve runs batch-side over the converged census via
     * the SHARED olsFinish — the live coefficient dashboard; reuses
     * the batch oracle verbatim. */
-  def streamOls(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val census = graft.operators.Analytics.olsCensus(
-      tableStream(spark, dir, "lineitem"))
-    val store = new java.util.concurrent.atomic.AtomicReference[Seq[String]]()
-    val q = census.writeStream
-      .outputMode(OutputMode.Update())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.collect().headOption.foreach { r =>
-          store.set((0 until 10).map(i => String.valueOf(r.get(i))))
-        }
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val vs = store.get()
-    val rebuilt = Seq(Tuple10(vs(0), vs(1), vs(2), vs(3), vs(4), vs(5),
-        vs(6), vs(7), vs(8), vs(9)))
-      .toDF("n", "s1", "s2", "sy", "s11", "s22", "s12", "s1y", "s2y", "syy")
-      .select(col("n").cast("long").as("n") +:
-        Seq("s1", "s2", "sy", "s11", "s22", "s12", "s1y", "s2y", "syy")
-          .map(c => col(c).cast("decimal(38,0)").as(c)): _*)
-    graft.operators.Analytics.olsFinish(rebuilt)
-  }
+  def streamOls(spark: SparkSession, dir: String): DataFrame =
+    // the keyless single-row census gets the corrCensus literal-key
+    // convention so the durable sink has an upsert key
+    graft.operators.Analytics.olsFinish(
+      TableSink.upsert(spark,
+        graft.operators.Analytics.olsCensus(
+          tableStream(spark, dir, "lineitem"))
+          .withColumn("k", lit(0L)),
+        Seq("k"), "ols", dir)
+        .drop("k"))
 
   /** q_stream_eb — the shrunk-rate leaderboard AT INGEST: the
     * per-part (n, x) counting census
@@ -925,17 +785,13 @@ object StreamingQueries {
   private[graft] def runBloom(spark: SparkSession, keys: DataFrame,
       dir: String): DataFrame = {
     val wordRows = graft.operators.Analytics.bjWordRows(keys)
-    val store = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
-    val q = wordRows.writeStream
-      .outputMode(OutputMode.Update())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.collect().foreach(r => store.put(r.getLong(0), r.getLong(1)))
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // per-word bit_or state upserts through the durable sink; the
+    // word array rebuild is the one collect the Bloom family is
+    // allowed (≤ BjBits/64 rows by construction — the same bound the
+    // batch build carries)
+    val merged = TableSink.upsert(spark, wordRows, Seq("w"), "bloom", dir)
     val words = new Array[Long](graft.operators.Analytics.BjBits / 64)
-    store.forEach((w, bits) => words(w.toInt) = bits)
+    merged.collect().foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
     graft.operators.Analytics.bjFinish(spark, dir, words)
   }
 
@@ -943,26 +799,14 @@ object StreamingQueries {
     * split out so the spec can drive it with a multi-file staged
     * source and prove the sketch state converges across triggers. */
   private[graft] def runKmv(spark: SparkSession, docs: DataFrame): DataFrame = {
-    import spark.implicits._
     val sketches = graft.operators.Curation.kmvTokenHashes(docs)
       .groupBy("source")
       .agg(graft.functions.CappedDistinctMins
         .cappedDistinctMins(col("h"), graft.operators.Curation.KmvK).as("kmv"))
-    val store = new java.util.concurrent.ConcurrentHashMap[String, Seq[Long]]()
-    val q = sketches.writeStream
-      .outputMode(OutputMode.Update())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.collect().foreach { r =>
-          store.put(r.getString(0), r.getSeq[Long](1))
-        }
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    import scala.jdk.CollectionConverters._
-    val skDf = store.asScala.toSeq
-      .flatMap { case (s, hs) => hs.map(h => (s, h)) }
-      .toDF("source", "h")
+    // newest per-source sketch row wins in the durable sink; the
+    // estimate tail reads the flattened (source, h) view batch-side
+    val skDf = TableSink.upsert(spark, sketches, Seq("source"), "kmv", "run")
+      .select(col("source"), explode(col("kmv")).as("h"))
     graft.operators.Curation.kmvEstimates(skDf).orderBy("src_a", "src_b")
   }
 
@@ -1053,21 +897,12 @@ object StreamingQueries {
           out.iterator
         })
       .toDF("src", "dst")
-    val store = new java.util.concurrent.ConcurrentHashMap[(String, String), Long]()
-    val q = steps.writeStream
-      .outputMode(OutputMode.Update())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.groupBy("src", "dst").count().collect().foreach { r =>
-          store.merge((r.getString(0), r.getString(1)), r.getLong(2), _ + _)
-        }
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    import scala.jdk.CollectionConverters._
+    // each transition is emitted exactly once by the state function,
+    // so the durable APPEND log holds the facts (no merge semantics
+    // needed) and the (src, dst) count rolls up batch-side
     graft.operators.Analytics.transFinish(
-      store.asScala.toSeq.map { case ((s, d), n) => (s, d, n) }
-        .toDF("src", "dst", "n"))
+      TableSink.appendLog(spark, steps, "transitions", dir)
+        .groupBy("src", "dst").agg(count(lit(1)).as("n")))
   }
 
   /** Row 43 — per-user competitor set (analytics/Kafka2CompPerUser
@@ -1117,22 +952,8 @@ object StreamingQueries {
       .join(broadcast(dim), Seq("user_id"))
       .groupBy("c_mktsegment", "event_type")
       .agg(count(lit(1)).as("n_events"), sum("cents").as("cents_total"))
-    val store = new java.util.concurrent.ConcurrentHashMap[(String, String), (Long, Long)]()
-    val q = agg.writeStream
-      .outputMode(OutputMode.Update())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // upsert: newest row per key wins (batches arrive in order)
-        batch.collect().foreach { r =>
-          store.put((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3)))
-        }
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    import scala.jdk.CollectionConverters._
-    store.asScala.toSeq
-      .map { case ((m, t), (n, c)) => (m, t, n, c) }
-      .toDF("c_mktsegment", "event_type", "n_events", "cents_total")
+    TableSink.upsert(spark, agg, Seq("c_mktsegment", "event_type"),
+        "enrich", dir)
       .orderBy("c_mktsegment", "event_type")
   }
 
@@ -1287,22 +1108,8 @@ object StreamingQueries {
     val docs = tableStream(spark, dir, "documents")
     val counts = graft.operators.Curation.psiBucketInput(docs)
       .groupBy("source", "bucket").agg(count(lit(1)).as("c"))
-    val store = new java.util.concurrent.ConcurrentHashMap[(String, Long), Long]()
-    val q = counts.writeStream
-      .outputMode(OutputMode.Update())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.collect().foreach { r =>
-          store.put((r.getString(0), r.getLong(1)), r.getLong(2))
-        }
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    import scala.jdk.CollectionConverters._
-    import spark.implicits._
     graft.operators.Curation.psiFinish(
-      store.asScala.toSeq.map { case ((s, b), c) => (s, b, c) }
-        .toDF("source", "bucket", "c"))
+      TableSink.upsert(spark, counts, Seq("source", "bucket"), "psi", dir))
   }
 
   /** q_stream_join — the keyed interval join as a genuine STREAM-STREAM
@@ -1430,19 +1237,8 @@ object StreamingQueries {
     val li = tableStream(spark, dir, "lineitem")
     val counts = graft.operators.Analytics.benfordDigits(li)
       .groupBy("digit").agg(count(lit(1)).as("n"))
-    val store = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
-    val q = counts.writeStream
-      .outputMode(OutputMode.Update())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.collect().foreach(r => store.put(r.getLong(0), r.getLong(1)))
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    import scala.jdk.CollectionConverters._
-    import spark.implicits._
     graft.operators.Analytics.benfordFinish(
-      store.asScala.toSeq.toDF("digit", "n"))
+      TableSink.upsert(spark, counts, Seq("digit"), "benford", dir))
   }
 
   /** Stateful builders registered through [[withStatePartitions]]:

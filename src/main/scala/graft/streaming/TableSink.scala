@@ -36,11 +36,21 @@ import org.apache.spark.sql.streaming.{OutputMode, Trigger}
   */
 private[graft] object TableSink {
 
+  /** Scheduled-compaction period: every N-th trigger folds the log
+    * into one partition FROM INSIDE the sink, so the read-side merge
+    * cost stays bounded by N partitions however long the stream runs
+    * — Cassandra's compaction thread, amortized into the write path. */
+  private[graft] val CompactEvery = 8
+
+  /** The deterministic sink path for a (query tag, source) pair —
+    * exposed so specs can inspect the partition layout. */
+  private[graft] def sinkDir(tag: String, src: String): String =
+    s"/tmp/graft_table_sink/${tag}_${Integer.toHexString(src.hashCode)}"
+
   /** One table directory per (query tag, source dir), wiped at the
     * start of each run: this run's stream owns the table. */
   private def freshDir(tag: String, src: String): String = {
-    val d = new java.io.File(
-      s"/tmp/graft_table_sink/${tag}_${Integer.toHexString(src.hashCode)}")
+    val d = new java.io.File(sinkDir(tag, src))
     def rm(f: java.io.File): Unit = {
       val kids = f.listFiles()
       if (kids != null) kids.foreach(rm)
@@ -51,13 +61,28 @@ private[graft] object TableSink {
     d.getAbsolutePath
   }
 
-  private def runTo(dir: String, updates: DataFrame): Unit = {
+  /** Trigger writes land on EVEN ids (2·batchId) and in-stream
+    * compaction on the deterministic ODD id 2·batchId+1: the
+    * compacted snapshot outranks every partition it folded, the next
+    * trigger (2·batchId+2) outranks the snapshot, and a REPLAY of
+    * either write overwrites its own partition only — idempotence
+    * needs no max()-derived id that a crash could make collide.
+    * `compactKeys` = Some(keys) arms the scheduled compaction
+    * (upsert logs); appendLog passes None — facts don't merge, so
+    * folding them buys nothing. */
+  private def runTo(dir: String, updates: DataFrame,
+      compactKeys: Option[Seq[String]]): Unit = {
+    val schema = updates.schema
     val q = updates.writeStream
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // executor-side partition write; overwrite scoped to THIS
         // batch's partition so a replay is a no-op-equivalent
-        batch.write.mode("overwrite").parquet(s"$dir/batch=$batchId")
+        batch.write.mode("overwrite").parquet(s"$dir/batch=${2 * batchId}")
+        compactKeys.foreach { keys =>
+          if (batchId > 0 && batchId % CompactEvery == 0)
+            compactTo(batch.sparkSession, dir, keys, schema, 2 * batchId + 1)
+        }
       }
       .trigger(Trigger.AvailableNow())
       .start()
@@ -79,7 +104,7 @@ private[graft] object TableSink {
   def upsert(spark: SparkSession, updates: DataFrame, keys: Seq[String],
       tag: String, src: String): DataFrame = {
     val dir = freshDir(tag, src)
-    runTo(dir, updates)
+    runTo(dir, updates, Some(keys))
     merged(spark, dir, keys, updates.schema)
   }
 
@@ -99,8 +124,33 @@ private[graft] object TableSink {
   def appendLog(spark: SparkSession, facts: DataFrame,
       tag: String, src: String): DataFrame = {
     val dir = freshDir(tag, src)
-    runTo(dir, facts)
+    runTo(dir, facts, None)
     readLog(spark, dir, facts.schema).drop("batch")
+  }
+
+  /** In-stream compaction to a DETERMINISTIC target id (2·batchId+1):
+    * fold the current log into one partition, then drop the folded
+    * history. Crash-safe at every cut: a stale target from a crashed
+    * earlier attempt is deleted first (its sources still exist —
+    * cleanup is the LAST step, so a snapshot never outlives its
+    * inputs until it is complete), the snapshot write is an
+    * overwrite, and a replay recomputes the identical snapshot. */
+  private[graft] def compactTo(spark: SparkSession, dir: String,
+      keys: Seq[String], schema: org.apache.spark.sql.types.StructType,
+      target: Long): Unit = {
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(rm)
+      f.delete(): Unit
+    }
+    val stale = new java.io.File(s"$dir/batch=$target")
+    if (stale.exists()) rm(stale)
+    merged(spark, dir, keys, schema)
+      .write.mode("overwrite").parquet(s"$dir/batch=$target")
+    val live = new java.io.File(dir).listFiles()
+    if (live != null)
+      live.filter(_.getName.startsWith("batch="))
+        .filter(_.getName.drop(6).toLong < target).foreach(rm)
   }
 
   /** Compaction — the maintenance pass that bounds the merge cost the

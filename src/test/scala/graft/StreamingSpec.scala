@@ -881,6 +881,43 @@ class StreamingSpec extends SparkSpec {
     assert(view() == Set((1L, "a"), (2L, "b3"), (3L, "c")))
   }
 
+  test("scheduled in-stream compaction folds history while triggers are still pending") {
+    // the r11 worklist's concurrent case: the sink compacts at trigger
+    // N WHILE the staged source still has triggers queued behind it
+    // (maxFilesPerTrigger=1 over 2N+2 staged files ⇒ compaction fires
+    // mid-run at least twice with work pending). Done means: the
+    // merged view is still exactly newest-wins-per-key, and the
+    // partition count at the end is bounded by the compaction period,
+    // not the trigger count — the merge-cost-stays-flat contract.
+    val n = graft.streaming.TableSink.CompactEvery * 2 + 2
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_cmpsrc_").toFile
+    val t0 = System.currentTimeMillis() - 600000
+    (0 until n).foreach { i =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cmpstage_").toFile
+      Seq(((i % 5).toLong, s"v$i")).toDF("k", "v")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(srcDir, f"f$i%03d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(t0 + i * 10000L): Unit
+    }
+    val schema = Seq.empty[(Long, String)].toDF("k", "v").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.getAbsolutePath)
+    val got = graft.streaming.TableSink
+      .upsert(spark, src, Seq("k"), "compact_spec", srcDir.getAbsolutePath)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val want = (0 until n).map(i => (i % 5).toLong -> s"v$i").toMap
+    assert(got == want, "merged view diverged under in-stream compaction")
+    val parts = new java.io.File(graft.streaming.TableSink
+        .sinkDir("compact_spec", srcDir.getAbsolutePath)).listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).map(_.drop(6).toLong)
+    assert(parts.length <= graft.streaming.TableSink.CompactEvery + 2,
+      s"history not folded: ${parts.sorted.mkString(",")}")
+    assert(parts.exists(_ % 2 == 1),
+      s"no compacted snapshot present — the hook never fired: ${parts.sorted.mkString(",")}")
+  }
+
   test("stateful last-price tracking via flatMapGroupsWithState") {
     val in = MemoryStream[(Long, Long, Double)] // user, event, value
     in.addData((7L, 1L, 10.0), (7L, 2L, 12.0), (7L, 3L, 12.0), (9L, 1L, 5.0))

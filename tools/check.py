@@ -34,6 +34,15 @@ def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    # out-of-core settings: the sf1 oracles (exact all-pairs / MMR pool
+    # CTEs) exceed RAM without a spill directory — r11 recorded
+    # q_mmr_rerank / q_lof_approx as oracle-capacity failures at sf1.
+    # A spill dir + relaxed insertion order lets DuckDB go out-of-core
+    # instead of aborting; harmless at the small SFs.
+    os.makedirs("/tmp/duck_spill", exist_ok=True)
+    con.execute("SET temp_directory='/tmp/duck_spill'")
+    con.execute("SET max_temp_directory_size='200GB'")
+    con.execute("SET preserve_insertion_order=false")
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
         if os.path.exists(p):

@@ -4,7 +4,7 @@ import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Multimodal-column plumbing (SURVEY §2 row 32): treat media as an
+/** Multimodal-column plumbing (SURVEY §2 row 40): treat media as an
   * opaque `binary` payload plus a typed metadata struct, and run the
   * decode / feature-extract stage as a typed per-partition batch over
   * the binary column — the exact shape a real image/audio pipeline

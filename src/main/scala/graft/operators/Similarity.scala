@@ -2317,7 +2317,30 @@ object Similarity {
   /** Shared CTE chain rebuilding [[knnMutual]]'s directed top-k lists
     * (through `top`) — composed by the q_knn_graph, q_knn_components
     * and q_cluster_sample oracles. */
-  private def knnTopSql(k: Int): String =
+  /** The exact directed-top-k chain, with the all-pairs window CHUNKED
+    * into [[KnnOracleChunks]] query-side slices: rank is PER id_a, so
+    * slicing the query side is exact, and each branch's window sorts
+    * n²/chunks rows instead of n² — the q_binseg lesson applied to
+    * oracle CAPACITY: at sf1 the single 2.5·10⁹-row window exhausted
+    * the sandbox's spill disk; the sliced form stays in memory. Total
+    * scoring work is unchanged (an exact oracle must pay n²). */
+  private def knnTopSql(k: Int): String = {
+    val branches = (0 until KnnOracleChunks).map { c =>
+      s"""topc$c AS (
+         |  SELECT id_a, id_b, cos_raw, rank FROM (
+         |    SELECT id_a, id_b, cos_raw,
+         |      ROW_NUMBER() OVER (PARTITION BY id_a
+         |        ORDER BY cos_raw DESC, id_b ASC) AS rank
+         |    FROM (
+         |      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |        list_reduce([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)], (a2, b2) -> a2 + b2)
+         |          / (a.nrm * b.nrm) AS cos_raw
+         |      FROM nrm a JOIN nrm b ON a.vec_id <> b.vec_id
+         |      WHERE a.vec_id % $KnnOracleChunks = $c))
+         |  WHERE rank <= $k)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 until KnnOracleChunks)
+      .map(c => s"SELECT * FROM topc$c").mkString("\n  UNION ALL ")
     s"""emb AS (
        |  SELECT vec_id,
        |    [CAST(x AS DOUBLE) for x in embedding] AS v
@@ -2326,17 +2349,13 @@ object Similarity {
        |  SELECT vec_id, v,
        |    sqrt(list_reduce([v[i] * v[i] for i in range(1, len(v) + 1)], (a, b) -> a + b)) AS nrm
        |  FROM emb),
-       |scored AS (
-       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       |    list_reduce([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)], (a2, b2) -> a2 + b2)
-       |      / (a.nrm * b.nrm) AS cos_raw
-       |  FROM nrm a JOIN nrm b ON a.vec_id <> b.vec_id),
-       |ranked AS (
-       |  SELECT id_a, id_b, cos_raw,
-       |    ROW_NUMBER() OVER (PARTITION BY id_a
-       |      ORDER BY cos_raw DESC, id_b ASC) AS rank
-       |  FROM scored),
-       |top AS (SELECT * FROM ranked WHERE rank <= $k)""".stripMargin
+       |$branches,
+       |top AS (
+       |  $union)""".stripMargin
+  }
+
+  /** Chunk count for the exact all-pairs oracle windows. */
+  private val KnnOracleChunks = 8
 
   /** CC labels over the mutual edges of whatever directed `top` list
     * the prelude built — the SQL mirror of Dedup.componentLabels fed
@@ -2763,7 +2782,27 @@ object Similarity {
         |FROM e ORDER BY dim""".stripMargin,
     // the exact-kNN prelude at k=2 (euclidean), per-point ln-ratio
     // quantized e6, one exact MLE division
-    "q_intrinsic_dim" ->
+    "q_intrinsic_dim" -> {
+      // the same chunked-window capacity treatment as knnTopSql: each
+      // slice pre-cuts to rank <= 2 per id_a, and the shared tail's
+      // re-rank over the <= 2-per-node union reproduces ranks 1/2
+      // exactly (ranking a prefix of the same ordering)
+      val branches = (0 until 8).map { c =>
+        s"""sc$c AS (
+          |  SELECT id_a, id_b, d2 FROM (
+          |    SELECT id_a, id_b, d2,
+          |      ROW_NUMBER() OVER (PARTITION BY id_a
+          |        ORDER BY d2 ASC, id_b ASC) AS rank
+          |    FROM (
+          |      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          |        a.nrm2 - 2.0 * list_reduce([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)],
+          |          (a2, b2) -> a2 + b2) + b.nrm2 AS d2
+          |      FROM n2 a JOIN n2 b ON a.vec_id <> b.vec_id
+          |      WHERE a.vec_id % 8 = $c))
+          |  WHERE rank <= 2)""".stripMargin
+      }.mkString(",\n")
+      val union = (0 until 8).map(c => s"SELECT * FROM sc$c")
+        .mkString("\n  UNION ALL ")
       s"""WITH emb AS (
         |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
         |  FROM embeddings),
@@ -2771,12 +2810,11 @@ object Similarity {
         |  SELECT vec_id, v,
         |    list_reduce([v[i] * v[i] for i in range(1, len(v) + 1)], (a, b) -> a + b) AS nrm2
         |  FROM emb),
+        |$branches,
         |scored AS (
-        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |    a.nrm2 - 2.0 * list_reduce([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)],
-        |      (a2, b2) -> a2 + b2) + b.nrm2 AS d2
-        |  FROM n2 a JOIN n2 b ON a.vec_id <> b.vec_id),
-        |$intrinsicDimTailSql""".stripMargin,
+        |  $union),
+        |$intrinsicDimTailSql""".stripMargin
+    },
     // the identical two-NN tail over forest-candidate pairs only
     "q_intrinsic_dim_approx" ->
       s"""WITH $forestCandSql,
@@ -3016,12 +3054,17 @@ object Similarity {
          |FROM ranked WHERE rank <= $K
          |ORDER BY query_id, rank""".stripMargin,
     "q_dedup_embedding" ->
-      s"""WITH $bucketSqlPrelude
-         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      s"""WITH $bucketSqlPrelude,
+         |idp AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM (SELECT vec_id, bucket FROM embb) a
+         |  JOIN (SELECT vec_id, bucket FROM embb) b
+         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT idp.id_a, idp.id_b,
          |  floor(list_reduce([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)], (x, y) -> x + y)
          |    / (a.nrm * b.nrm) * 1e6 + 0.5) / 1e6 AS cosine
-         |FROM embb a JOIN embb b
-         |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |FROM idp JOIN embb a ON a.vec_id = idp.id_a
+         |  JOIN embb b ON b.vec_id = idp.id_b
          |WHERE list_reduce([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)], (x, y) -> x + y)
          |    / (a.nrm * b.nrm) >= $DedupTau
          |ORDER BY id_a, id_b""".stripMargin,
@@ -3059,13 +3102,18 @@ object Similarity {
          |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS pr
          |  FROM dist WHERE vec_id % 50 = 0
          |  QUALIFY pr <= $IvfNprobe),
+         |idpairs AS (
+         |  SELECT p.query_id, c.vec_id AS neighbor_id
+         |  FROM probe p
+         |  JOIN (SELECT vec_id, cell FROM corpus) c
+         |    ON c.cell = p.cell AND c.vec_id <> p.query_id),
          |scored AS (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |  SELECT pr.query_id, pr.neighbor_id,
          |    list_reduce([q.v[i] * c.v[i] for i in range(1, len(q.v) + 1)], (a, b) -> a + b)
          |      / (q.nrm * c.nrm) AS cos_raw
-         |  FROM corpus q
-         |  JOIN probe p ON q.vec_id = p.query_id
-         |  JOIN corpus c ON c.cell = p.cell AND c.vec_id <> q.vec_id),
+         |  FROM idpairs pr
+         |  JOIN corpus q ON q.vec_id = pr.query_id
+         |  JOIN corpus c ON c.vec_id = pr.neighbor_id),
          |ranked AS (
          |  SELECT query_id, neighbor_id, cos_raw,
          |    ROW_NUMBER() OVER (PARTITION BY query_id
@@ -3381,14 +3429,20 @@ object Similarity {
          |  JOIN asn USING (vec_id)
          |  JOIN dist dd ON dd.vec_id = n.vec_id AND dd.cell = asn.cell
          |  JOIN anchors a ON a.cell = asn.cell),
+         |idp AS (
+         |  SELECT a.vec_id AS xa, b.vec_id AS yb
+         |  FROM (SELECT vec_id, cell FROM corpus) a
+         |  JOIN (SELECT vec_id, cell FROM corpus) b
+         |    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
          |stats AS (
          |  SELECT x.vec_id,
          |    COUNT(*) AS n_dups,
          |    MAX(CASE WHEN y.cent_cos < x.cent_cos
          |      OR (y.cent_cos = x.cent_cos AND y.vec_id < x.vec_id)
          |      THEN 1 ELSE 0 END) AS drp
-         |  FROM corpus x JOIN corpus y
-         |    ON x.cell = y.cell AND x.vec_id <> y.vec_id
+         |  FROM idp
+         |  JOIN corpus x ON x.vec_id = idp.xa
+         |  JOIN corpus y ON y.vec_id = idp.yb
          |  WHERE list_reduce([x.v[i] * y.v[i] for i in range(1, len(x.v) + 1)],
          |      (a, b) -> a + b) / (x.nrm * y.nrm) >= $SemTau
          |  GROUP BY x.vec_id)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** JSON-lines log ingestion with corrupt-record QUARANTINE (SURVEY §2
-  * row 204) — the ingest contract the reference's streaming jobs rely
+  * row 177) — the ingest contract the reference's streaming jobs rely
   * on Kafka+manual parsing for (e.g. um/re/emr/Kafka2Cassandra.scala's
   * line-splitting consumers): production logs always contain a
   * malformed tail (truncated writes, mid-line rotations), and a

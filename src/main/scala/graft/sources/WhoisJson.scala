@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Whois-record JSON ingestion (SURVEY §2 row 50) — the reference's
+/** Whois-record JSON ingestion (SURVEY §2 row 25) — the reference's
   * WhoIsExtractor (emr/WhoIsExtractor.scala:42-60) walks a whois API's
   * JSON response with play-json on the driver, one domain at a time,
   * extracting the registrant / administrative / technical contacts

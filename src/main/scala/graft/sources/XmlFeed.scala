@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Product-feed XML ingestion (SURVEY §2 row 41) — the reference's
+/** Product-feed XML ingestion (SURVEY §2 row 21) — the reference's
   * Google-feed parser (emr/ParseGglXML.scala) re-expressed with
   * Spark 4's NATIVE XML support: `from_xml` parses each feed item
   * inside whole-stage codegen, no driver-side scala.xml walk.

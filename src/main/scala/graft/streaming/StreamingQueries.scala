@@ -90,7 +90,7 @@ object StreamingQueries {
     spark.table(name)
   }
 
-  /** Row 33 — htmls→preds pipe with REAL trained models: stream of
+  /** Row 298 — htmls→preds pipe with REAL trained models: stream of
     * synthetic pages → price-candidate extraction → per-record scoring
     * against the persisted, broadcast per-domain model map → price
     * decision, the full Htmls2PredsPipe.scala:89-112 shape (load
@@ -162,7 +162,7 @@ object StreamingQueries {
     runToMemory(spark, decided, OutputMode.Append()).orderBy("event_id")
   }
 
-  /** Row 34 — windowed event aggregation with watermark (bounded
+  /** Row 299 — windowed event aggregation with watermark (bounded
     * state), per (5-minute window × event_type). Append mode emits only
     * FINALIZED windows: the last ~watermark-horizon of event time is
     * intentionally withheld (still open at end-of-input) — the correct
@@ -181,7 +181,7 @@ object StreamingQueries {
     runToMemory(spark, agg, OutputMode.Append()).orderBy("win_start", "event_type")
   }
 
-  /** Row 35 — stateful per-key last-price tracking via
+  /** Row 300 — stateful per-key last-price tracking via
     * flatMapGroupsWithState: O(1) state per user, emits one summary row
     * per user per trigger (ProdMetrics last-price analog). */
   def streamStateful(spark: SparkSession, dir: String): DataFrame = {
@@ -905,7 +905,7 @@ object StreamingQueries {
         .groupBy("src", "dst").agg(count(lit(1)).as("n")))
   }
 
-  /** Row 43 — per-user competitor set (analytics/Kafka2CompPerUser
+  /** Row 301 — per-user competitor set (analytics/Kafka2CompPerUser
     * .scala:67-79): the stream aggregates each user's distinct sorted
     * store list. Update-output aggregation + upsert sink: each trigger
     * emits ONLY the users whose set changed, and the keyed store keeps
@@ -957,7 +957,7 @@ object StreamingQueries {
       .orderBy("c_mktsegment", "event_type")
   }
 
-  /** Row 53 — per-user session windows (5-minute inactivity gap):
+  /** Row 303 — per-user session windows (5-minute inactivity gap):
     * Structured Streaming's merging-state aggregation — the one window
     * shape a tumbling/sliding window cannot express, because a
     * session's extent is data-driven (grows while events keep arriving
@@ -987,7 +987,7 @@ object StreamingQueries {
         col("session_window.end").as("sess_end"),
         col("user_id"), col("n_events"), col("sum_value"))
 
-  /** Row 44 — streaming exact dedup: the LLM-pipeline dedup stage as a
+  /** Row 302 — streaming exact dedup: the LLM-pipeline dedup stage as a
     * stream. Documents stream → content hash → `dropDuplicates` on the
     * hash, i.e. Structured Streaming's dedup state store emitting each
     * distinct content exactly once. At scale the state is bounded with
@@ -1005,7 +1005,7 @@ object StreamingQueries {
     runToMemory(spark, dedup, OutputMode.Append()).orderBy("content_hash")
   }
 
-  /** Row 60 — streaming decontamination: the curation stage as a
+  /** Row 304 — streaming decontamination: the curation stage as a
     * stream. Training documents stream in; each is shingled (word
     * [[graft.operators.Curation.DecontamK]]-grams, the batch
     * operator's constant) and joined STREAM-STATIC against the

@@ -4,7 +4,7 @@ import graft.operators.Multimodal
 import graft.operators.Multimodal.HeaderParser
 
 /** Byte-level specs for the real container-header decode (SURVEY §2
-  * row 32): sniffing and dimension parsing against hand-built headers,
+  * row 40): sniffing and dimension parsing against hand-built headers,
   * malformed-payload robustness, and the end-to-end round-trip — the
   * dimensions the scan stage encodes into PNG/JPEG/WAV header bytes
   * must come back out of the decoder, which never sees the declared

@@ -8,7 +8,7 @@ runs the matching SQL from <outDir>/oracle_sql.json in DuckDB with views
 over <sfDir>'s tables, sorts columns by name + rows by all columns, and
 compares cell-wise (exact for non-floats, atol=1e-9 for floats).
 """
-import sys, json, os, math
+import sys, json, os, math, time
 import duckdb
 import numpy as np
 import pandas as pd
@@ -54,6 +54,7 @@ def main():
     for name in results:
         if only and name not in only:
             continue
+        t_start = time.time()
         try:
             got = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'").df()
         except Exception as e:
@@ -109,7 +110,9 @@ def main():
                 print(f"   {c}: {n} diffs, first@row{i}: got={a!r} exp={b!r}")
             nfail += 1
         else:
-            print(f"PASS {name}: {len(g)} rows"); npass += 1
+            print(f"PASS {name}: {len(g)} rows ({time.time() - t_start:.1f}s)",
+                  flush=True)
+            npass += 1
     print(f"== {npass} pass / {nfail} fail ==")
     sys.exit(1 if nfail else 0)
 

@@ -39,10 +39,14 @@ def main():
     # q_mmr_rerank / q_lof_approx as oracle-capacity failures at sf1.
     # A spill dir + relaxed insertion order lets DuckDB go out-of-core
     # instead of aborting; harmless at the small SFs.
-    os.makedirs("/tmp/duck_spill", exist_ok=True)
-    con.execute("SET temp_directory='/tmp/duck_spill'")
-    con.execute("SET max_temp_directory_size='200GB'")
+    spill = f"/tmp/duck_spill_{os.getpid()}"  # per-process: parallel
+    os.makedirs(spill, exist_ok=True)         # lanes must not collide
+    con.execute(f"SET temp_directory='{spill}'")
+    con.execute("SET max_temp_directory_size='60GB'")
     con.execute("SET preserve_insertion_order=false")
+    # cap RAM so parallel harness lanes can't OOM-kill each other; the
+    # spill directory absorbs the difference (DUCK_MEM to override)
+    con.execute(f"SET memory_limit='{os.environ.get('DUCK_MEM', '40GB')}'")
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
         if os.path.exists(p):
@@ -51,10 +55,64 @@ def main():
     results = sorted(d for d in os.listdir(outdir)
                      if os.path.isdir(f"{outdir}/{d}"))
     npass = nfail = 0
+    def compare_streamed(name, got_path, oracle_sql, t_start):
+        """Chunked compare for results too large for pandas (e.g.
+        q_auto_match at sf1: 89.6M rows — an amplifier artifact where
+        identical titles across copies explode the join). Both sides
+        are ordered BY DUCKDB (same collation/NULL rules), streamed in
+        record batches, and compared cell-wise; float columns order by
+        their rounded value like norm() does."""
+        got_rel = f"SELECT * FROM '{got_path}'"
+        cols = sorted(con.sql(got_rel + " LIMIT 0").df().columns)
+        probe = con.sql(got_rel + " LIMIT 0").df()
+        def okey(c):
+            return (f"round({c}, 6)"
+                    if probe[c].dtype.kind == "f" else c)
+        sel = ", ".join(cols)
+        order = ", ".join(okey(c) for c in cols)
+        cur_g = con.cursor()
+        cur_e = con.cursor()
+        cur_g.execute(f"SELECT {sel} FROM ({got_rel}) g ORDER BY {order}")
+        cur_e.execute(f"SELECT {sel} FROM ({oracle_sql}) e ORDER BY {order}")
+        nrows = 0
+        while True:
+            g = cur_g.fetch_df_chunk(16)
+            e = cur_e.fetch_df_chunk(16)
+            if len(g) != len(e):
+                print(f"FAIL {name}: row counts diverge near row {nrows}")
+                return False
+            if len(g) == 0:
+                print(f"PASS {name}: {nrows} rows (streamed, "
+                      f"{time.time() - t_start:.1f}s)", flush=True)
+                return True
+            for c in cols:
+                gv, ev = g[c].values, e[c].values
+                if np.issubdtype(g[c].dtype, np.floating):
+                    neq = ~(np.isclose(gv.astype(float), ev.astype(float),
+                                       rtol=0, atol=1e-9)
+                            | (pd.isna(gv) & pd.isna(ev)))
+                else:
+                    neq = np.array([str(a) != str(b) for a, b in zip(gv, ev)])
+                if neq.any():
+                    i = int(np.argmax(neq))
+                    print(f"FAIL {name}: col {c} differs at row {nrows + i}: "
+                          f"got={gv[i]!r} exp={ev[i]!r}")
+                    return False
+            nrows += len(g)
+
     for name in results:
         if only and name not in only:
             continue
         t_start = time.time()
+        if name in oracle:
+            n_big = con.execute(
+                f"SELECT COUNT(*) FROM '{outdir}/{name}/*.parquet'").fetchone()[0]
+            if n_big > 20_000_000:
+                ok = compare_streamed(name, f"{outdir}/{name}/*.parquet",
+                                      oracle[name], t_start)
+                if ok: npass += 1
+                else: nfail += 1
+                continue
         try:
             got = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'").df()
         except Exception as e:

@@ -2359,24 +2359,53 @@ object Similarity {
 
   /** CC labels over the mutual edges of whatever directed `top` list
     * the prelude built — the SQL mirror of Dedup.componentLabels fed
-    * by [[mutualEdges]]; composed (under WITH RECURSIVE) with
-    * [[knnTopSql]] by the exact cluster-family oracles and with
-    * [[forestTopSql]] by their forest-fed siblings, so each pair
-    * shares its tail verbatim. */
-  private val ccLabSql: String =
-    """mutual AS (
-      |  SELECT f.id_a, f.id_b
-      |  FROM top f JOIN top r ON f.id_a = r.id_b AND f.id_b = r.id_a
-      |  WHERE f.id_a < f.id_b),
-      |edges AS (
-      |  SELECT id_a AS src, id_b AS dst FROM mutual
-      |  UNION ALL SELECT id_b AS src, id_a AS dst FROM mutual),
-      |reach(node, r) AS (
-      |  SELECT vec_id, vec_id FROM embeddings
-      |  UNION
-      |  SELECT w.node, e.dst FROM reach w JOIN edges e ON e.src = w.r),
-      |lab AS (
-      |  SELECT node AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY node)""".stripMargin
+    * by [[mutualEdges]]; composed (under WITH RECURSIVE, harmlessly —
+    * nothing recurses any more) with [[knnTopSql]] by the exact
+    * cluster-family oracles and with [[forestTopSql]] by their
+    * forest-fed siblings, so each pair shares its tail verbatim.
+    *
+    * The closure is UNROLLED min-label propagation WITH POINTER
+    * JUMPING — the same algorithm the Spark side runs — because the
+    * old `reach` transitive-closure CTE materializes node×|component|
+    * pairs: at sf1 the exact mutual-kNN graph percolates into ONE
+    * 19,999-node component, i.e. 4·10⁸ reach rows per iteration, and
+    * the oracle exhausted the sandbox's spill disk. Each round here
+    * is (neighbor-min over the edge list) then (label := label of
+    * label) — ROUND-FOR-ROUND the Dedup.componentLabels iteration, and
+    * [[CcRounds]] = its maxIter, so the two states are identical at
+    * the cap whether or not the propagation has converged (when Spark
+    * converges early, the oracle's extra rounds are no-ops on the
+    * fixpoint). Cost per round ∝ nodes + edges — linear, like the
+    * engine. */
+  private val CcRounds = 30 // = Dedup.componentLabels maxIter — keep in sync
+  private val ccLabSql: String = {
+    // AS MATERIALIZED is load-bearing: each round references the
+    // previous one twice, and DuckDB's default CTE inlining doubles
+    // the plan per round — 2^30 parquet scans exhausts the fd limit
+    // before anything executes
+    val rounds = (1 to CcRounds).map { i =>
+      s"""nm$i AS MATERIALIZED (
+         |  SELECT n.node, LEAST(n.lab, COALESCE(MIN(l2.lab), n.lab)) AS lab
+         |  FROM lab${i - 1} n
+         |  LEFT JOIN edges e ON e.src = n.node
+         |  LEFT JOIN lab${i - 1} l2 ON l2.node = e.dst
+         |  GROUP BY n.node, n.lab),
+         |lab$i AS MATERIALIZED (
+         |  SELECT a.node, LEAST(a.lab, b.lab) AS lab
+         |  FROM nm$i a JOIN nm$i b ON b.node = a.lab)""".stripMargin
+    }.mkString(",\n")
+    s"""mutual AS MATERIALIZED (
+       |  SELECT f.id_a, f.id_b
+       |  FROM top f JOIN top r ON f.id_a = r.id_b AND f.id_b = r.id_a
+       |  WHERE f.id_a < f.id_b),
+       |edges AS MATERIALIZED (
+       |  SELECT id_a AS src, id_b AS dst FROM mutual
+       |  UNION ALL SELECT id_b AS src, id_a AS dst FROM mutual),
+       |lab0 AS MATERIALIZED (SELECT vec_id AS node, vec_id AS lab FROM embeddings),
+       |$rounds,
+       |lab AS MATERIALIZED (
+       |  SELECT node AS vec_id, lab AS cluster_id FROM lab$CcRounds)""".stripMargin
+  }
 
   /** The ⌈√size⌉-budget salted-draw tail over `lab` — shared verbatim
     * by the exact and forest-fed q_cluster_sample oracles. */

@@ -9,9 +9,15 @@ over <sfDir>'s tables, sorts columns by name + rows by all columns, and
 compares cell-wise (exact for non-floats, atol=1e-9 for floats).
 """
 import sys, json, os, math, time
+import resource
 import duckdb
 import numpy as np
 import pandas as pd
+
+# the unrolled oracle plans (30 CC rounds x 8 window chunks) open many
+# parquet handles; the default 1024-fd soft limit trips mid-battery
+_soft, _hard = resource.getrlimit(resource.RLIMIT_NOFILE)
+resource.setrlimit(resource.RLIMIT_NOFILE, (min(1 << 20, _hard), _hard))
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]

@@ -2378,22 +2378,33 @@ object Similarity {
     * fixpoint). Cost per round ∝ nodes + edges — linear, like the
     * engine. */
   private val CcRounds = 30 // = Dedup.componentLabels maxIter — keep in sync
-  private val ccLabSql: String = {
-    // AS MATERIALIZED is load-bearing: each round references the
-    // previous one twice, and DuckDB's default CTE inlining doubles
-    // the plan per round — 2^30 parquet scans exhausts the fd limit
-    // before anything executes
+
+  /** The unrolled rounds over an `<edgesName>(src, dst)` CTE, ending
+    * in lab(vec_id, cluster_id) — shared by [[ccLabSql]] and the
+    * oracles that carry their own mutual/edge CTEs. AS MATERIALIZED
+    * is load-bearing: each round references its predecessor twice,
+    * and DuckDB's default CTE inlining doubles the plan per round —
+    * 2³⁰ parquet scans exhausts the fd limit before anything
+    * executes. */
+  private def ccPointerJumpSql(edgesName: String): String = {
     val rounds = (1 to CcRounds).map { i =>
       s"""nm$i AS MATERIALIZED (
          |  SELECT n.node, LEAST(n.lab, COALESCE(MIN(l2.lab), n.lab)) AS lab
          |  FROM lab${i - 1} n
-         |  LEFT JOIN edges e ON e.src = n.node
+         |  LEFT JOIN $edgesName e ON e.src = n.node
          |  LEFT JOIN lab${i - 1} l2 ON l2.node = e.dst
          |  GROUP BY n.node, n.lab),
          |lab$i AS MATERIALIZED (
          |  SELECT a.node, LEAST(a.lab, b.lab) AS lab
          |  FROM nm$i a JOIN nm$i b ON b.node = a.lab)""".stripMargin
     }.mkString(",\n")
+    s"""lab0 AS MATERIALIZED (SELECT vec_id AS node, vec_id AS lab FROM embeddings),
+       |$rounds,
+       |lab AS MATERIALIZED (
+       |  SELECT node AS vec_id, lab AS cluster_id FROM lab$CcRounds)""".stripMargin
+  }
+
+  private val ccLabSql: String =
     s"""mutual AS MATERIALIZED (
        |  SELECT f.id_a, f.id_b
        |  FROM top f JOIN top r ON f.id_a = r.id_b AND f.id_b = r.id_a
@@ -2401,11 +2412,7 @@ object Similarity {
        |edges AS MATERIALIZED (
        |  SELECT id_a AS src, id_b AS dst FROM mutual
        |  UNION ALL SELECT id_b AS src, id_a AS dst FROM mutual),
-       |lab0 AS MATERIALIZED (SELECT vec_id AS node, vec_id AS lab FROM embeddings),
-       |$rounds,
-       |lab AS MATERIALIZED (
-       |  SELECT node AS vec_id, lab AS cluster_id FROM lab$CcRounds)""".stripMargin
-  }
+       |${ccPointerJumpSql("edges")}""".stripMargin
 
   /** The ⌈√size⌉-budget salted-draw tail over `lab` — shared verbatim
     * by the exact and forest-fed q_cluster_sample oracles. */
@@ -3235,12 +3242,7 @@ object Similarity {
          |edges AS (
          |  SELECT id_a AS src, id_b AS dst FROM mutual
          |  UNION ALL SELECT id_b AS src, id_a AS dst FROM mutual),
-         |reach(node, r) AS (
-         |  SELECT vec_id, vec_id FROM embeddings
-         |  UNION
-         |  SELECT w.node, e.dst FROM reach w JOIN edges e ON e.src = w.r),
-         |lab AS (
-         |  SELECT node AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY node),
+         |${ccPointerJumpSql("edges")},
          |sz AS (
          |  SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id)
          |SELECT l.vec_id, l.cluster_id, s.cluster_size,
@@ -3259,12 +3261,7 @@ object Similarity {
          |edges AS (
          |  SELECT id_a AS src, id_b AS dst FROM mutual
          |  UNION ALL SELECT id_b AS src, id_a AS dst FROM mutual),
-         |reach(node, r) AS (
-         |  SELECT vec_id, vec_id FROM embeddings
-         |  UNION
-         |  SELECT w.node, e.dst FROM reach w JOIN edges e ON e.src = w.r),
-         |lab AS (
-         |  SELECT node AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY node),
+         |${ccPointerJumpSql("edges")},
          |sz AS (
          |  SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id)
          |SELECT l.vec_id, l.cluster_id, s.cluster_size,
@@ -3283,12 +3280,7 @@ object Similarity {
          |edges2 AS (
          |  SELECT id_a AS src, id_b AS dst FROM mutual
          |  UNION ALL SELECT id_b AS src, id_a AS dst FROM mutual),
-         |reach(node, r) AS (
-         |  SELECT vec_id, vec_id FROM embeddings
-         |  UNION
-         |  SELECT w.node, e.dst FROM reach w JOIN edges2 e ON e.src = w.r),
-         |lab AS (
-         |  SELECT node AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY node),
+         |${ccPointerJumpSql("edges2")},
          |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM mutual),
          |deg AS (
          |  SELECT src AS vec_id, CAST(COUNT(*) AS BIGINT) AS deg
@@ -3322,12 +3314,7 @@ object Similarity {
          |edges2 AS (
          |  SELECT id_a AS src, id_b AS dst FROM mutual
          |  UNION ALL SELECT id_b AS src, id_a AS dst FROM mutual),
-         |reach(node, r) AS (
-         |  SELECT vec_id, vec_id FROM embeddings
-         |  UNION
-         |  SELECT w.node, e.dst FROM reach w JOIN edges2 e ON e.src = w.r),
-         |lab AS (
-         |  SELECT node AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY node),
+         |${ccPointerJumpSql("edges2")},
          |cy AS (
          |  SELECT l.cluster_id, CAST(emb.label AS BIGINT) AS y,
          |    CAST(COUNT(*) AS BIGINT) AS n_y

@@ -536,11 +536,11 @@ object Graph {
     }.mkString(",\n")
     s"""WITH pairs AS (
        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-       |edges AS (
+       |edges AS MATERIALIZED (
        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
        |  FROM pairs a JOIN pairs b USING (l_orderkey)
        |  WHERE a.l_partkey <> b.l_partkey),
-       |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+       |deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
        |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
        |$rounds
        |SELECT r$PrIters.node, deg.deg, r$PrIters.r AS pr_e6
@@ -568,7 +568,7 @@ object Graph {
          |  SELECT cust, (s * 1000000) // (MAX(s) OVER ()) AS h
          |  FROM h${i}s)""".stripMargin
     }.mkString(",\n")
-    s"""WITH edges AS (
+    s"""WITH edges AS MATERIALIZED (
        |  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
        |h0 AS (SELECT DISTINCT cust, CAST(1000000 AS HUGEINT) AS h FROM edges),
@@ -606,11 +606,11 @@ object Graph {
     }.mkString(",\n")
     s"""WITH pairs AS (
        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-       |edges AS (
+       |edges AS MATERIALIZED (
        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
        |  FROM pairs a JOIN pairs b USING (l_orderkey)
        |  WHERE a.l_partkey <> b.l_partkey),
-       |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+       |deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
        |seed AS (SELECT src AS node FROM deg ORDER BY deg DESC, src ASC LIMIT 1),
        |p0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM seed),
        |$rounds
@@ -634,7 +634,7 @@ object Graph {
     }.mkString(",\n")
     s"""WITH pairs AS (
        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-       |edges AS (
+       |edges AS MATERIALIZED (
        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
        |  FROM pairs a JOIN pairs b USING (l_orderkey)
        |  WHERE a.l_partkey <> b.l_partkey),
@@ -703,11 +703,11 @@ object Graph {
     "q_link_predict" ->
       s"""WITH pairs AS (
          |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-         |edges AS (
+         |edges AS MATERIALIZED (
          |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
          |  FROM pairs a JOIN pairs b USING (l_orderkey)
          |  WHERE a.l_partkey <> b.l_partkey),
-         |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+         |deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
          |cand AS (
          |  SELECT e1.src AS part_a, e2.dst AS part_b, d.deg AS deg_z
          |  FROM edges e1
@@ -726,21 +726,26 @@ object Graph {
     // the same rounds unrolled as CTEs (the pagerank pattern); the
     // unreached remainder appears as dist -1 via the left join
     "q_bfs_hops" -> {
+      // each round references the previous round TWICE (relax join +
+      // carry-forward union); DuckDB inlines shared CTEs by default,
+      // so without MATERIALIZED the edge join re-evaluates 2^rounds
+      // times — at sf1 that blew a 60 GB spill cap. MATERIALIZED is a
+      // plan pin, not a semantic change (sf1-certified: 22 s / 30 GB).
       val rounds = (1 to BfsRounds).map { k =>
-        s"""d$k AS (
+        s"""d$k AS MATERIALIZED (
            |  SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM (
            |    SELECT e.dst AS node, p.dist + 1 AS dist
            |    FROM d${k - 1} p JOIN edges e ON e.src = p.node
            |    UNION ALL SELECT node, dist FROM d${k - 1})
            |  GROUP BY node)""".stripMargin
       }.mkString(",\n")
-      s"""WITH pairs AS (
+      s"""WITH pairs AS MATERIALIZED (
          |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-         |edges AS (
+         |edges AS MATERIALIZED (
          |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
          |  FROM pairs a JOIN pairs b USING (l_orderkey)
          |  WHERE a.l_partkey <> b.l_partkey),
-         |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+         |deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
          |seeds AS (SELECT src AS node FROM deg ORDER BY deg DESC, src LIMIT $BfsSeeds),
          |d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM seeds),
          |$rounds

@@ -2266,10 +2266,10 @@ object Similarity {
        |fpl AS (SELECT CASE WHEN (n + ${ForestTargetOccupancy - 1}) // $ForestTargetOccupancy >= 2
        |    THEN greatest(4, CAST(length(bin((n + ${ForestTargetOccupancy - 1}) // $ForestTargetOccupancy - 1)) AS INT))
        |    ELSE 4 END AS planes FROM fn),
-       |emb AS (
+       |emb AS MATERIALIZED (
        |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
        |  FROM embeddings),
-       |nrm AS (
+       |nrm AS MATERIALIZED (
        |  SELECT vec_id, v,
        |    sqrt(list_reduce([v[i] * v[i] for i in range(1, len(v) + 1)], (a, b) -> a + b)) AS nrm
        |  FROM emb),
@@ -2284,7 +2284,7 @@ object Similarity {
        |  SELECT vec_id, gp AS p,
        |    list_reduce([v[i] * s[i] for i in range(1, len(v) + 1)], (a, b) -> a + b) AS proj
        |  FROM nrm, fplanes),
-       |tbuck AS (
+       |tbuck AS MATERIALIZED (
        |  SELECT vec_id, p // planes AS t,
        |    SUM(CASE WHEN proj > 0 THEN CAST(1 AS BIGINT) << (p % planes) ELSE 0 END) AS bucket
        |  FROM fproj CROSS JOIN fpl GROUP BY vec_id, p // planes),
@@ -2293,7 +2293,7 @@ object Similarity {
        |  UNION ALL
        |  SELECT tb.vec_id, tb.t, xor(tb.bucket, CAST(1 AS BIGINT) << b.p8)
        |  FROM tbuck tb, (SELECT unnest(generate_series(0, planes - 1)) AS p8 FROM fpl) b),
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT DISTINCT q.vec_id AS id_a, c.vec_id AS id_b
        |  FROM nprobe q JOIN tbuck c
        |    ON q.t = c.t AND q.probe = c.bucket AND q.vec_id <> c.vec_id)""".stripMargin
@@ -2312,7 +2312,7 @@ object Similarity {
        |    ROW_NUMBER() OVER (PARTITION BY id_a
        |      ORDER BY cos_raw DESC, id_b ASC) AS rank
        |  FROM scored),
-       |top AS (SELECT * FROM ranked WHERE rank <= $k)""".stripMargin
+       |top AS MATERIALIZED (SELECT * FROM ranked WHERE rank <= $k)""".stripMargin
 
   /** Shared CTE chain rebuilding [[knnMutual]]'s directed top-k lists
     * (through `top`) — composed by the q_knn_graph, q_knn_components
@@ -2341,16 +2341,21 @@ object Similarity {
     }.mkString(",\n")
     val union = (0 until KnnOracleChunks)
       .map(c => s"SELECT * FROM topc$c").mkString("\n  UNION ALL ")
-    s"""emb AS (
+    // MATERIALIZED is load-bearing on the shared prelude: nrm feeds
+    // all $KnnOracleChunks chunk joins and top is referenced twice by
+    // every mutual-edge consumer — DuckDB's default CTE inlining would
+    // re-evaluate the n² scan per reference (q_cluster_purity blew a
+    // 60 GB spill cap at sf1 exactly this way). Plan pin only.
+    s"""emb AS MATERIALIZED (
        |  SELECT vec_id,
        |    [CAST(x AS DOUBLE) for x in embedding] AS v
        |  FROM embeddings),
-       |nrm AS (
+       |nrm AS MATERIALIZED (
        |  SELECT vec_id, v,
        |    sqrt(list_reduce([v[i] * v[i] for i in range(1, len(v) + 1)], (a, b) -> a + b)) AS nrm
        |  FROM emb),
        |$branches,
-       |top AS (
+       |top AS MATERIALIZED (
        |  $union)""".stripMargin
   }
 
@@ -3235,11 +3240,11 @@ object Similarity {
     // the q_knn_components closure over the forest-fed mutual edges
     "q_knn_components_approx" ->
       s"""WITH RECURSIVE ${forestTopSql(KnnK)},
-         |mutual AS (
+         |mutual AS MATERIALIZED (
          |  SELECT f.id_a, f.id_b
          |  FROM top f JOIN top r ON f.id_a = r.id_b AND f.id_b = r.id_a
          |  WHERE f.id_a < f.id_b),
-         |edges AS (
+         |edges AS MATERIALIZED (
          |  SELECT id_a AS src, id_b AS dst FROM mutual
          |  UNION ALL SELECT id_b AS src, id_a AS dst FROM mutual),
          |${ccPointerJumpSql("edges")},
@@ -3254,11 +3259,11 @@ object Similarity {
     // seed row set is ALL embeddings so singletons label themselves.
     "q_knn_components" ->
       s"""WITH RECURSIVE ${knnTopSql(KnnK)},
-         |mutual AS (
+         |mutual AS MATERIALIZED (
          |  SELECT f.id_a, f.id_b
          |  FROM top f JOIN top r ON f.id_a = r.id_b AND f.id_b = r.id_a
          |  WHERE f.id_a < f.id_b),
-         |edges AS (
+         |edges AS MATERIALIZED (
          |  SELECT id_a AS src, id_b AS dst FROM mutual
          |  UNION ALL SELECT id_b AS src, id_a AS dst FROM mutual),
          |${ccPointerJumpSql("edges")},
@@ -3273,11 +3278,11 @@ object Similarity {
     // before one truncating division
     "q_graph_modularity" ->
       s"""WITH RECURSIVE ${knnTopSql(SampleKnnK)},
-         |mutual AS (
+         |mutual AS MATERIALIZED (
          |  SELECT f.id_a, f.id_b
          |  FROM top f JOIN top r ON f.id_a = r.id_b AND f.id_b = r.id_a
          |  WHERE f.id_a < f.id_b),
-         |edges2 AS (
+         |edges2 AS MATERIALIZED (
          |  SELECT id_a AS src, id_b AS dst FROM mutual
          |  UNION ALL SELECT id_b AS src, id_a AS dst FROM mutual),
          |${ccPointerJumpSql("edges2")},
@@ -3307,11 +3312,11 @@ object Similarity {
     // same closure labels + (cluster, label) census + pinned argmax
     "q_cluster_purity" ->
       s"""WITH RECURSIVE ${knnTopSql(SampleKnnK)},
-         |mutual AS (
+         |mutual AS MATERIALIZED (
          |  SELECT f.id_a, f.id_b
          |  FROM top f JOIN top r ON f.id_a = r.id_b AND f.id_b = r.id_a
          |  WHERE f.id_a < f.id_b),
-         |edges2 AS (
+         |edges2 AS MATERIALIZED (
          |  SELECT id_a AS src, id_b AS dst FROM mutual
          |  UNION ALL SELECT id_b AS src, id_a AS dst FROM mutual),
          |${ccPointerJumpSql("edges2")},

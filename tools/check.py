@@ -81,16 +81,42 @@ def main():
         cur_g.execute(f"SELECT {sel} FROM ({got_rel}) g ORDER BY {order}")
         cur_e.execute(f"SELECT {sel} FROM ({oracle_sql}) e ORDER BY {order}")
         nrows = 0
+        # fetch_df_chunk may return SHORT batches anywhere in the
+        # stream (pipeline-dependent, esp. with
+        # preserve_insertion_order=false), and the two sides' batch
+        # boundaries need not line up — re-buffer each side and
+        # compare equal-length aligned slices.
+        buf_g, buf_e = [], []
+        len_g = len_e = 0
+        done_g = done_e = False
         while True:
-            g = cur_g.fetch_df_chunk(16)
-            e = cur_e.fetch_df_chunk(16)
-            if len(g) != len(e):
-                print(f"FAIL {name}: row counts diverge near row {nrows}")
+            while not done_g and len_g < 65536:
+                ch = cur_g.fetch_df_chunk(16)
+                if len(ch) == 0:
+                    done_g = True
+                else:
+                    buf_g.append(ch); len_g += len(ch)
+            while not done_e and len_e < len_g or (not done_e and len_e == 0):
+                ch = cur_e.fetch_df_chunk(16)
+                if len(ch) == 0:
+                    done_e = True
+                else:
+                    buf_e.append(ch); len_e += len(ch)
+            take = min(len_g, len_e)
+            if take == 0:
+                if done_g and done_e and len_g == 0 and len_e == 0:
+                    print(f"PASS {name}: {nrows} rows (streamed, "
+                          f"{time.time() - t_start:.1f}s)", flush=True)
+                    return True
+                print(f"FAIL {name}: row counts diverge near row {nrows} "
+                      f"(spark exhausted={done_g}, oracle exhausted={done_e})")
                 return False
-            if len(g) == 0:
-                print(f"PASS {name}: {nrows} rows (streamed, "
-                      f"{time.time() - t_start:.1f}s)", flush=True)
-                return True
+            g = pd.concat(buf_g, ignore_index=True)
+            e = pd.concat(buf_e, ignore_index=True)
+            buf_g = [g.iloc[take:].reset_index(drop=True)] if len_g > take else []
+            buf_e = [e.iloc[take:].reset_index(drop=True)] if len_e > take else []
+            len_g -= take; len_e -= take
+            g = g.iloc[:take]; e = e.iloc[:take]
             for c in cols:
                 gv, ev = g[c].values, e[c].values
                 if np.issubdtype(g[c].dtype, np.floating):

@@ -2595,7 +2595,7 @@ object Similarity {
     * (rel−maxSim DESC, id ASC) argmax. */
   private val mmrOracleSql: String = {
     val rounds = (2 to K).map { i =>
-      s"""m$i AS (
+      s"""m$i AS MATERIALIZED (
          |  SELECT s.query_id, s.id_a AS neighbor_id, MAX(s.sim_e6) AS ms
          |  FROM sims s JOIN ch${i - 1} c
          |    ON c.query_id = s.query_id AND c.neighbor_id = s.id_b
@@ -2615,7 +2615,7 @@ object Similarity {
          |      WHERE c.query_id = r.query_id
          |        AND c.neighbor_id = r.neighbor_id))
          |  WHERE rk = 1),
-         |ch$i AS (
+         |ch$i AS MATERIALIZED (
          |  SELECT query_id, neighbor_id FROM ch${i - 1}
          |  UNION ALL SELECT query_id, neighbor_id FROM p$i)""".stripMargin
     }.mkString(",\n")
@@ -2625,11 +2625,11 @@ object Similarity {
     s"""WITH emb AS (
        |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
        |  FROM embeddings),
-       |nrm AS (
+       |nrm AS MATERIALIZED (
        |  SELECT vec_id, v,
        |    sqrt(list_reduce([v[i] * v[i] for i in range(1, len(v) + 1)], (a, b) -> a + b)) AS nrm
        |  FROM emb),
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT query_id, neighbor_id, v, nrm, rel_e6, rk FROM (
        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.v, c.nrm,
        |      CAST(floor(
@@ -2642,7 +2642,7 @@ object Similarity {
        |          c.vec_id ASC) AS rk
        |    FROM nrm q JOIN nrm c ON q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id)
        |  WHERE rk <= $MmrPool),
-       |sims AS (
+       |sims AS MATERIALIZED (
        |  SELECT a.query_id, a.neighbor_id AS id_a, b.neighbor_id AS id_b,
        |    CAST(floor(
        |      list_reduce([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)], (x, y) -> x + y)

@@ -22,6 +22,43 @@ class OperatorSpec extends SparkSpec {
     assert(unknown.isEmpty, s"oracle for unregistered: $unknown")
   }
 
+  test("round-unrolled oracles keep their shared CTEs MATERIALIZED") {
+    // DuckDB inlines shared CTEs by default, so an oracle whose
+    // unrolled rounds reference a predecessor or an expensive edge/top
+    // prelude more than once re-evaluates that subtree PER REFERENCE —
+    // the sf1 battery found q_bfs_hops, q_cluster_purity and
+    // q_mmr_rerank blowing a 60 GB spill cap exactly this way. The
+    // MATERIALIZED pins are plan-only but load-bearing; this guard
+    // keeps an oracle edit from silently reintroducing the
+    // exponential-inline shape.
+    val mustPin = Map(
+      "q_bfs_hops" -> Seq("edges AS MATERIALIZED", "d1 AS MATERIALIZED"),
+      "q_pagerank" -> Seq("edges AS MATERIALIZED", "deg AS MATERIALIZED"),
+      "q_ppr" -> Seq("edges AS MATERIALIZED", "deg AS MATERIALIZED"),
+      "q_label_prop" -> Seq("edges AS MATERIALIZED"),
+      "q_hits" -> Seq("edges AS MATERIALIZED"),
+      "q_link_predict" -> Seq("edges AS MATERIALIZED"),
+      "q_knn_graph" -> Seq("nrm AS MATERIALIZED", "top AS MATERIALIZED"),
+      "q_knn_components" ->
+        Seq("mutual AS MATERIALIZED", "edges AS MATERIALIZED",
+          "lab0 AS MATERIALIZED", "nm1 AS MATERIALIZED"),
+      "q_cluster_purity" ->
+        Seq("mutual AS MATERIALIZED", "edges2 AS MATERIALIZED"),
+      "q_graph_modularity" ->
+        Seq("mutual AS MATERIALIZED", "edges2 AS MATERIALIZED"),
+      "q_knn_graph_approx" ->
+        Seq("nrm AS MATERIALIZED", "tbuck AS MATERIALIZED",
+          "cand AS MATERIALIZED"),
+      "q_mmr_rerank" ->
+        Seq("cand AS MATERIALIZED", "sims AS MATERIALIZED",
+          "m2 AS MATERIALIZED", "ch2 AS MATERIALIZED"))
+    mustPin.foreach { case (q, pins) =>
+      val sql = SparkEntry.oracleSql(q)
+      pins.foreach(p =>
+        assert(sql.contains(p), s"$q oracle lost its '$p' pin"))
+    }
+  }
+
   test("entry flagship returns enriched revenue rows") {
     val df = SparkEntry.entry(spark)
     assert(df.columns.toSet == Set("p_brand", "revenue", "n_items"))

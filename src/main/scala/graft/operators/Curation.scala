@@ -1370,6 +1370,46 @@ object Curation {
       Tables.documents(spark, dir).select("doc_id", "text")))
       .orderBy("doc_id")
 
+  /** Blocklist lexicon for q_lexicon_flags — a FIXED operator constant
+    * (pinned: the oracle embeds it), standing in for the toxicity /
+    * unsafe-content word lists every web-corpus filter carries (C4's
+    * badwords pass, Dolma's taggers). Terms chosen to hit the
+    * synthetic corpus vocabulary so the census is non-trivial at
+    * every SF. */
+  private[graft] val RiskLexicon =
+    Seq("big", "crash", "drop", "leak", "scan", "slow", "stale", "unsafe")
+
+  /** q_lexicon_flags: blocklist-lexicon census — per lexicon term, how
+    * many documents contain it, total hit count, and the e6 document
+    * rate. The audit view of the C4-style badword filter: before a
+    * blocklist DROPS anything, the census says what fraction of the
+    * corpus each term would take with it (a term with a 30% doc rate
+    * is a false-positive factory, not a filter).
+    *
+    * Scale shape: one map-side token scan with an |lexicon|-membership
+    * filter — only hits survive into the shuffle, so the exchange is
+    * ∝ matched tokens, not corpus tokens; the (term, doc) distinct +
+    * per-term census are two-phase aggs over ≤ |lexicon| keys; the
+    * corpus-size denominator rides the accepted 1-row
+    * crossJoin(broadcast(...)) pattern. No UDFs, fully codegen'd. */
+  def lexiconFlags(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.widened(
+      Tables.documents(spark, dir).select("doc_id", "text"))
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    docs
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("text"),
+          lit(TextAnalysis.TokenRe), lit(0))).as("term"))
+      .filter(col("term").isInCollection(RiskLexicon))
+      .groupBy("term")
+      .agg(count_distinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_hits"))
+      .crossJoin(broadcast(total))
+      .withColumn("doc_rate_e6", expr("n_docs * 1000000 div n_total"))
+      .select(col("term"), col("n_docs"), col("n_hits"), col("doc_rate_e6"))
+      .orderBy("term")
+  }
+
   /** The rule battery over any `(doc_id, text)` frame — ONE shared
     * kernel for the batch query and the stateless stream scorer
     * (q_stream_quality), so the two can never disagree and share one
@@ -1843,6 +1883,7 @@ object Curation {
     "q_kanon_audit" -> (kanonAudit(_, _)),
     "q_mixture_cap" -> (mixtureCap(_, _)),
     "q_gopher_rules" -> (gopherRules(_, _)),
+    "q_lexicon_flags" -> (lexiconFlags(_, _)),
     "q_code_detect" -> (codeDetect(_, _)),
     "q_chi2_grid" -> (chi2Grid(_, _)),
     "q_logodds_terms" -> (logoddsTerms(_, _)),
@@ -1894,6 +1935,23 @@ object Curation {
       |GROUP BY doc_id, lang""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same tokenizer regex, same lexicon literals, integer doc rate
+    "q_lexicon_flags" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_extract_all(text, '${TextAnalysis.TokenRe}')) AS term
+         |  FROM documents),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM documents),
+         |hits AS (
+         |  SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |    CAST(COUNT(*) AS BIGINT) AS n_hits
+         |  FROM toks
+         |  WHERE term IN (${RiskLexicon.map(t => s"'$t'").mkString(", ")})
+         |  GROUP BY term)
+         |SELECT term, n_docs, n_hits,
+         |  CAST(n_docs * 1000000 // tot.n_total AS BIGINT) AS doc_rate_e6
+         |FROM hits CROSS JOIN tot
+         |ORDER BY term""".stripMargin,
     // same salted-md5 uniforms through the same Laplace inverse-CDF
     // ln-kernel, same clip/threshold literals
     "q_dp_release" ->

@@ -1312,6 +1312,64 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Contamination cosine threshold, e6-scaled (pinned: the oracle
+    * embeds it; 0.8 is the common semantic-decontamination cut). */
+  private val SemDecontamTauE6 = 800000L
+
+  /** q_sem_decontam: SEMANTIC eval-set decontamination — for every
+    * corpus vector, the max cosine against the held-out eval suite
+    * (vec_id % 50 == 0, the same bounded query-set convention as
+    * q_mmr_rerank) plus the nearest eval id and a contaminated flag at
+    * [[SemDecontamTauE6]]. The embedding-space sibling of the n-gram
+    * q_decontaminate: paraphrased or lightly-edited benchmark leakage
+    * shares no 13-gram but sits at cosine ≈ 1, so production corpora
+    * run BOTH filters before training (cf. reference
+    * dmozProcessing/src/main/scala/Htmls2Cassandra.scala:41-58's
+    * crawl-vs-known-set screening stage, re-expressed over
+    * embeddings).
+    *
+    * Spark-first shape: the eval suite is a FIXED benchmark set —
+    * bounded by construction, like the PQ codebooks — so it collapses
+    * to ONE collect_list row crossJoin(broadcast(...))'d onto the
+    * corpus, and the per-vector argmax is a single codegen'd
+    * `aggregate` lambda over that array: the corpus NEVER shuffles
+    * (no join key, no groupBy — output rows are input rows), work is
+    * |corpus|·|eval|·d map-side, embarrassingly parallel at any
+    * executor count. The cosine is e6-floored BEFORE the argmax
+    * compare in BOTH engines (left-fold dot, identical IEEE tree), so
+    * the (cos_e6 DESC, eval_id ASC) winner is bit-deterministic. */
+  def semDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.widened(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val evalAgg = emb.filter(col("vec_id") % 50 === 0)
+      .select(struct(col("vec_id").as("eid"), col("v").as("ev"),
+        col("nrm").as("enrm")).as("s"))
+      .agg(sort_array(collect_list("s")).as("evals"))
+    emb.filter(col("vec_id") % 50 =!= 0)
+      .crossJoin(broadcast(evalAgg))
+      .withColumn("best", expr(
+        s"""aggregate(evals,
+           |  named_struct('cos_e6', cast(-2000000 as bigint),
+           |               'eid', cast(-1 as bigint)),
+           |  (acc, e) -> if(
+           |    cast(floor(aggregate(zip_with(v, e.ev, (x, y) -> x * y),
+           |        cast(0 as double), (a, x) -> a + x)
+           |      / (nrm * e.enrm) * 1e6 + 0.5) as bigint) > acc.cos_e6,
+           |    named_struct(
+           |      'cos_e6',
+           |      cast(floor(aggregate(zip_with(v, e.ev, (x, y) -> x * y),
+           |          cast(0 as double), (a, x) -> a + x)
+           |        / (nrm * e.enrm) * 1e6 + 0.5) as bigint),
+           |      'eid', e.eid),
+           |    acc))""".stripMargin))
+      .select(col("vec_id"),
+        col("best.eid").as("nearest_eval_id"),
+        col("best.cos_e6").as("max_cos_e6"),
+        (col("best.cos_e6") >= SemDecontamTauE6).as("contaminated"))
+      .orderBy("vec_id")
+  }
+
   /** q_feature_scale: per-DIMENSION embedding statistics — the
     * feature-standardization fit every training pipeline runs before
     * modeling (the z-score/min-max scaler parameters, computed once
@@ -2166,7 +2224,8 @@ object Similarity {
     "q_dedup_embedding" -> (dedupEmbedding(_, _)),
     "q_embed_quantize" -> (embedQuantize(_, _)),
     "q_embed_pq" -> (embedPq(_, _)),
-    "q_semdedup" -> (semDedup(_, _)))
+    "q_semdedup" -> (semDedup(_, _)),
+    "q_sem_decontam" -> (semDecontam(_, _)))
 
   /** The power-iteration oracle core — centered integer table e plus
     * the unrolled rounds ending in v2(dim, vv) — composed into BOTH
@@ -3472,6 +3531,33 @@ object Similarity {
          |  COALESCE(s.n_dups, 0) AS n_dups,
          |  COALESCE(s.drp, 0) = 0 AS keep
          |FROM corpus c LEFT JOIN stats s USING (vec_id)
+         |ORDER BY vec_id""".stripMargin,
+    // corpus×eval max-cosine with the e6 floor applied BEFORE the
+    // (cos DESC, eval_id ASC) argmax — the same fold order as the
+    // Spark aggregate lambda
+    "q_sem_decontam" ->
+      s"""WITH emb AS MATERIALIZED (
+         |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+         |  FROM embeddings),
+         |nrm AS MATERIALIZED (
+         |  SELECT vec_id, v,
+         |    sqrt(list_reduce([v[i] * v[i] for i in range(1, len(v) + 1)], (a, b) -> a + b)) AS nrm
+         |  FROM emb),
+         |scored AS (
+         |  SELECT c.vec_id, e.vec_id AS eval_id,
+         |    CAST(floor(
+         |      list_reduce([c.v[i] * e.v[i] for i in range(1, len(c.v) + 1)], (a, b) -> a + b)
+         |      / (c.nrm * e.nrm) * 1e6 + 0.5) AS BIGINT) AS cos_e6
+         |  FROM nrm c JOIN nrm e
+         |    ON e.vec_id % 50 = 0 AND c.vec_id % 50 <> 0),
+         |rk AS (
+         |  SELECT vec_id, eval_id, cos_e6,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY cos_e6 DESC, eval_id ASC) AS rk
+         |  FROM scored)
+         |SELECT vec_id, eval_id AS nearest_eval_id, cos_e6 AS max_cos_e6,
+         |  cos_e6 >= $SemDecontamTauE6 AS contaminated
+         |FROM rk WHERE rk = 1
          |ORDER BY vec_id""".stripMargin,
     // IVF cells + PQ codes rebuilt from their own oracles' CTEs; ADC =
     // the query's per-code distance rows joined on the candidate's

@@ -1403,6 +1403,52 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("sem_decontam matches a local max-cosine recompute") {
+    val embs = graft.sources.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def dotl(a: Array[Double], b: Array[Double]): Double = {
+      var (d, i) = (0.0, 0)
+      while (i < a.length) { d += a(i) * b(i); i += 1 }
+      d
+    }
+    def nrm(a: Array[Double]): Double = math.sqrt(dotl(a, a))
+    val evals = embs.filter(_._1 % 50 == 0)
+    val want = embs.filter(_._1 % 50 != 0).map { case (id, v) =>
+      // e6-floor BEFORE the argmax, ties to the smaller eval id —
+      // the operator's pinned decision order
+      val best = evals.map { case (eid, ev) =>
+        (math.floor(dotl(v, ev) / (nrm(v) * nrm(ev)) * 1e6 + 0.5).toLong, eid)
+      }.maxBy { case (c, eid) => (c, -eid) }
+      (id, best._2, best._1, best._1 >= 800000L)
+    }.sortBy(_._1).toSeq
+    val got = run("q_sem_decontam").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSeq
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
+  test("lexicon_flags counts match a local token recompute") {
+    val lex = graft.operators.Curation.RiskLexicon.toSet
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val tokRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]".r
+    val hits = docs.flatMap { case (id, t) =>
+      tokRe.findAllIn(t).filter(lex).map(term => (term, id)).toSeq
+    }
+    val want = hits.groupBy(_._1).map { case (term, hs) =>
+      (term, hs.map(_._2).distinct.length.toLong, hs.length.toLong,
+        hs.map(_._2).distinct.length.toLong * 1000000L / docs.length)
+    }.toSeq.sortBy(_._1)
+    val got = run("q_lexicon_flags").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == want)
+    assert(want.nonEmpty, "lexicon never hits — census untested")
+  }
+
   test("mrr matches a local first-relevant recompute") {
     val embs = graft.sources.Tables.embeddings(spark, sf)
       .select("vec_id", "embedding", "label").collect()

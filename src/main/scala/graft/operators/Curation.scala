@@ -1395,20 +1395,35 @@ object Curation {
   def lexiconFlags(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.widened(
       Tables.documents(spark, dir).select("doc_id", "text"))
-    val total = docs.agg(count(lit(1)).as("n_total"))
+    lexiconFinish(lexiconHits(docs),
+      docs.agg(count(lit(1)).as("n_total")))
+  }
+
+  /** The (term, doc_id, n) hit census over any `(doc_id, text)` frame
+    * — ONE shared kernel for the batch query and the stream
+    * (q_stream_lexicon): per-doc counts are complete the moment the
+    * doc's single row arrives, so the rows are a pure keyed UPSERT
+    * across micro-batches (each doc lands exactly once). */
+  private[graft] def lexiconHits(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"),
         explode(regexp_extract_all(col("text"),
           lit(TextAnalysis.TokenRe), lit(0))).as("term"))
       .filter(col("term").isInCollection(RiskLexicon))
-      .groupBy("term")
-      .agg(count_distinct(col("doc_id")).as("n_docs"),
-        count(lit(1)).as("n_hits"))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("n"))
+
+  /** Per-term census over the (term, doc) hit rows + the 1-row corpus
+    * total — shared by batch and stream so the finishes cannot
+    * disagree. */
+  private[graft] def lexiconFinish(hits: DataFrame,
+      total: DataFrame): DataFrame =
+    hits.groupBy("term")
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("n_hits"))
       .crossJoin(broadcast(total))
       .withColumn("doc_rate_e6", expr("n_docs * 1000000 div n_total"))
       .select(col("term"), col("n_docs"), col("n_hits"), col("doc_rate_e6"))
       .orderBy("term")
-  }
 
   /** The rule battery over any `(doc_id, text)` frame — ONE shared
     * kernel for the batch query and the stateless stream scorer

@@ -1340,13 +1340,32 @@ object Similarity {
     * the (cos_e6 DESC, eval_id ASC) winner is bit-deterministic. */
   def semDecontam(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.widened(Tables.embeddings(spark, dir))
+    semDecontamScore(emb.filter(col("vec_id") % 50 =!= 0),
+      semDecontamEvalAgg(emb))
+      .orderBy("vec_id")
+  }
+
+  /** The ONE-row eval-suite aggregate (id, vector, norm structs,
+    * id-sorted so the strict-greater fold ties to the smallest id) —
+    * loaded batch-side and broadcast into both the batch query and the
+    * q_stream_sem_decontam scorer. */
+  private[graft] def semDecontamEvalAgg(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-    val evalAgg = emb.filter(col("vec_id") % 50 === 0)
       .select(struct(col("vec_id").as("eid"), col("v").as("ev"),
         col("nrm").as("enrm")).as("s"))
       .agg(sort_array(collect_list("s")).as("evals"))
-    emb.filter(col("vec_id") % 50 =!= 0)
+
+  /** The stateless per-vector scorer over any `(vec_id, embedding)`
+    * frame — ONE shared kernel for the batch query and the stream
+    * (q_stream_sem_decontam), so the two cannot disagree and share one
+    * oracle. Map-side only: no shuffle, no state. */
+  private[graft] def semDecontamScore(corpus: DataFrame,
+      evalAgg: DataFrame): DataFrame = {
+    corpus
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
       .crossJoin(broadcast(evalAgg))
       .withColumn("best", expr(
         s"""aggregate(evals,
@@ -1367,7 +1386,6 @@ object Similarity {
         col("best.eid").as("nearest_eval_id"),
         col("best.cos_e6").as("max_cos_e6"),
         (col("best.cos_e6") >= SemDecontamTauE6).as("contaminated"))
-      .orderBy("vec_id")
   }
 
   /** q_feature_scale: per-DIMENSION embedding statistics — the

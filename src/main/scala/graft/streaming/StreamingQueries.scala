@@ -833,6 +833,45 @@ object StreamingQueries {
         Seq("cell"), "silhouette", dir))
   }
 
+  /** q_stream_sem_decontam — semantic decontamination AT INGEST: the
+    * bounded eval suite loads once batch-side and broadcasts into the
+    * stream (the load-model-then-map contract of q_stream_pipe /
+    * q_stream_silhouette), and every arriving corpus vector scores its
+    * max-cosine/nearest-eval/contaminated row map-side via the SHARED
+    * [[graft.operators.Similarity.semDecontamScore]] kernel — batch
+    * and stream cannot disagree and share one oracle. Fully STATELESS
+    * Append mode (output rows are input rows): the production shape
+    * for benchmark-leakage screening at crawl time, rejecting
+    * contaminated documents before they land, at a cost ∝ ingest
+    * rate · |eval|·d. */
+  def streamSemDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val evalAgg = graft.operators.Similarity.semDecontamEvalAgg(
+      graft.sources.Tables.embeddings(spark, dir))
+    val scored = graft.operators.Similarity.semDecontamScore(
+      tableStream(spark, dir, "embeddings")
+        .filter(col("vec_id") % 50 =!= 0), evalAgg)
+    runToMemory(spark, scored, OutputMode.Append()).orderBy("vec_id")
+  }
+
+  /** q_stream_lexicon — the blocklist census AT INGEST: each arriving
+    * document's (term, doc) hit rows ([[graft.operators.Curation
+    * .lexiconHits]], SHARED — complete the moment the doc's single row
+    * arrives, so they are a pure keyed upsert, state ∝ matched
+    * (term, doc) pairs) land in the durable keyed [[TableSink]], and
+    * the per-term census + doc-rate finish runs batch-side over the
+    * merged view via the SHARED lexiconFinish — the blocklist audit
+    * updates as the crawl lands, not at corpus close; batch oracle
+    * verbatim. */
+  def streamLexicon(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    graft.operators.Curation.lexiconFinish(
+      TableSink.upsert(spark,
+        graft.operators.Curation.lexiconHits(
+          tableStream(spark, dir, "documents").select("doc_id", "text")),
+        Seq("term", "doc_id"), "lexicon", dir),
+      docs.agg(count(lit(1)).as("n_total")))
+  }
+
   /** q_stream_quality — the Gopher quality gate AT INGEST: every
     * arriving document is scored by the published rule battery
     * (q_gopher_rules' [[graft.operators.Curation.gopherFlags]] kernel,
@@ -1292,6 +1331,8 @@ object StreamingQueries {
     "q_stream_holt" -> stateful(streamHolt),
     "q_stream_cdc" -> stateful(streamCdc),
     "q_stream_silhouette" -> stateful(streamSilhouette),
+    "q_stream_sem_decontam" -> (streamSemDecontam(_, _)), // stateless scorer
+    "q_stream_lexicon" -> stateful(streamLexicon),
     "q_stream_hll" -> stateful(streamHll),
     "q_stream_kmv" -> stateful(streamKmv),
     "q_stream_bloom" -> stateful(streamBloom),
@@ -1353,6 +1394,8 @@ object StreamingQueries {
     "q_stream_holt" -> graft.operators.Analytics.oracleSql("q_holt_forecast"),
     "q_stream_cdc" -> graft.operators.Analytics.oracleSql("q_cdc_merge"),
     "q_stream_silhouette" -> graft.operators.Similarity.oracleSql("q_silhouette"),
+    "q_stream_sem_decontam" -> graft.operators.Similarity.oracleSql("q_sem_decontam"),
+    "q_stream_lexicon" -> graft.operators.Curation.oracleSql("q_lexicon_flags"),
     // the batch transition-matrix oracle VERBATIM — transFinish is
     // shared, so the converged step counts must yield the batch matrix
     "q_stream_transitions" -> graft.operators.Analytics.oracleSql("q_transitions"),

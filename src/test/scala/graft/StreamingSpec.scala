@@ -636,6 +636,23 @@ class StreamingSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("streaming sem-decontam equals the batch screen row for row") {
+    // one broadcast eval suite, one shared scorer kernel: the
+    // at-ingest screen and the batch audit cannot disagree
+    val batch = SparkEntry.queries("q_sem_decontam")(spark, sf).collect().map(_.toSeq).toSet
+    val stream = SparkEntry.queries("q_stream_sem_decontam")(spark, sf).collect().map(_.toSeq).toSet
+    assert(stream.nonEmpty)
+    assert(stream == batch)
+  }
+
+  test("streaming lexicon census equals the batch audit row for row") {
+    // shared hits kernel + shared finish over the keyed upsert view
+    val batch = SparkEntry.queries("q_lexicon_flags")(spark, sf).collect().map(_.toSeq).toSet
+    val stream = SparkEntry.queries("q_stream_lexicon")(spark, sf).collect().map(_.toSeq).toSet
+    assert(stream.nonEmpty)
+    assert(stream == batch)
+  }
+
   test("embed-drift census converges when the two halves arrive in different triggers") {
     // the additive-census contract: stage the even-vec_id half and the
     // odd half as separate files, force one trigger per file — every

@@ -172,6 +172,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("sem-decontam scores map-side: no join shuffles the corpus") {
+    // The operator's whole contract: the eval suite collapses to one
+    // broadcast row and the argmax is a projection lambda, so the
+    // corpus side must never reach a shuffle-based join — the only
+    // legal join is the single BroadcastNestedLoopJoin against the
+    // 1-row eval aggregate. (The widening repartition and the
+    // presentation orderBy are the only exchanges allowed.)
+    val p = plan("q_sem_decontam")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "corpus rides a shuffle join")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 1,
+      "expected exactly the one broadcast eval cross join")
+  }
+
   test("multi-consumer shuffle subtrees are materialized once (AQE stage reuse)") {
     // q_get_domain (freq feeds both the broadcast count and the result)
     // and q_dedup_simhash (per-doc simhash feeds both chunk-join sides +

@@ -24,7 +24,19 @@ import org.apache.spark.sql.SparkSession
   * figure is the Verify-equivalent honest cost; it runs last, so treat
   * it as a warm figure. */
 object Bench {
+  /** Co-tenancy stamp: "1min 5min 15min running/total" from
+    * /proc/loadavg — recorded at run start and end so a phantom
+    * regression (a query 2-3× slower with an unchanged plan) can be
+    * adjudicated from the artifact itself instead of costing a
+    * dedicated TimeOne rerun: load ≫ 32 on this local[32] box means
+    * the round's bench shared the machine with another tenant. */
+  private def loadavg(): String =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+      .split("\\s+").take(4).mkString(" ")
+    catch { case scala.util.control.NonFatal(_) => "unavailable" }
+
   def main(args: Array[String]): Unit = {
+    val loadStart = loadavg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = Sessions.local(cpus, "graft-bench")
@@ -105,6 +117,7 @@ object Bench {
       s""","queries":${obj(r => if (r._5) Some(r._2) else None)},"total_warm":$totalWarm""" +
       s""","queries_warm":${obj(r => if (r._5) Some(r._3) else None)},"total_full":$totalFull""" +
       s""","queries_full":${obj(r => if (r._6) Some(r._4) else None)},"full_err":$fullErrs""" +
+      s""","loadavg_start":"$loadStart","loadavg_end":"${loadavg()}"""" +
       s""","sf":"$sfDir"}"""
     println(json)
     // Sidecar: the driver's artifact captures a fixed-size TAIL of
@@ -135,7 +148,8 @@ object Bench {
     // a final compact line so the last ~200 bytes of output always parse.
     println(s"""{"metric":"total_summary","value":$total,"unit":"sec","cold":$total""" +
       s""","warm":$totalWarm,"full":$totalFull,"n":${results.size}""" +
-      s""","err_count":${results.count(!_._5)},"sf":"$sfDir"}""")
+      s""","err_count":${results.count(!_._5)}""" +
+      s""","loadavg_start":"$loadStart","loadavg_end":"${loadavg()}","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1323,21 +1323,29 @@ object Similarity {
     * [[SemDecontamTauE6]]. The embedding-space sibling of the n-gram
     * q_decontaminate: paraphrased or lightly-edited benchmark leakage
     * shares no 13-gram but sits at cosine ≈ 1, so production corpora
-    * run BOTH filters before training (cf. reference
-    * dmozProcessing/src/main/scala/Htmls2Cassandra.scala:41-58's
-    * crawl-vs-known-set screening stage, re-expressed over
-    * embeddings).
+    * run BOTH filters before training.
     *
     * Spark-first shape: the eval suite is a FIXED benchmark set —
     * bounded by construction, like the PQ codebooks — so it collapses
-    * to ONE collect_list row crossJoin(broadcast(...))'d onto the
-    * corpus, and the per-vector argmax is a single codegen'd
-    * `aggregate` lambda over that array: the corpus NEVER shuffles
-    * (no join key, no groupBy — output rows are input rows), work is
+    * to ONE broadcast row of [[SemDecontamChunks]] id-hashed array
+    * cells (the knnTopSql topc0..7 convention applied to the
+    * BROADCAST side: each collect_list buffer and each serialized
+    * field carries 1/chunks of the suite, so neither the single-row
+    * aggregate nor any one field is the suite-size ceiling), and the
+    * per-vector argmax is a per-chunk codegen'd `transform` +
+    * `array_max` — each eval cosine computed exactly ONCE — combined
+    * across chunks by `greatest`: the corpus NEVER shuffles (no join
+    * key, no groupBy — output rows are input rows), work is
     * |corpus|·|eval|·d map-side, embarrassingly parallel at any
     * executor count. The cosine is e6-floored BEFORE the argmax
-    * compare in BOTH engines (left-fold dot, identical IEEE tree), so
-    * the (cos_e6 DESC, eval_id ASC) winner is bit-deterministic. */
+    * compare in BOTH engines (left-fold dot, identical IEEE tree),
+    * and the compare key is (cos_e6, −eval_id), so the
+    * (cos_e6 DESC, eval_id ASC) winner is bit-deterministic and
+    * chunk-assignment-independent. An EMPTY eval suite yields null
+    * bests which are filtered — zero output rows, exactly the
+    * oracle's inner join — instead of the sentinel rows the previous
+    * fold emitted (a divergence only the generator's id layout used
+    * to prevent). */
   def semDecontam(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.widened(Tables.embeddings(spark, dir))
     semDecontamScore(emb.filter(col("vec_id") % 50 =!= 0),
@@ -1345,45 +1353,58 @@ object Similarity {
       .orderBy("vec_id")
   }
 
-  /** The ONE-row eval-suite aggregate (id, vector, norm structs,
-    * id-sorted so the strict-greater fold ties to the smallest id) —
-    * loaded batch-side and broadcast into both the batch query and the
-    * q_stream_sem_decontam scorer. */
-  private[graft] def semDecontamEvalAgg(emb: DataFrame): DataFrame =
+  /** Broadcast-side chunk fan of the eval suite — 8 matches the
+    * knnTopSql oracle-window convention; the chunk count bounds the
+    * per-cell (and per-collect_list-buffer) share of the suite, never
+    * the result (the combine key (cos_e6, −eid) is a total order, so
+    * the global winner is chunk-assignment-independent). */
+  private[graft] val SemDecontamChunks = 8
+
+  /** The ONE-row eval-suite aggregate, CHUNKED into
+    * [[SemDecontamChunks]] id-hashed struct-array cells ev0..ev7
+    * (id, vector, norm; id-sorted within each cell for a stable
+    * broadcast payload) — loaded batch-side and broadcast into both
+    * the batch query and the q_stream_sem_decontam scorer. One row,
+    * but no single aggregation buffer or serialized field carries
+    * more than ~1/chunks of the suite. */
+  private[graft] def semDecontamEvalAgg(emb: DataFrame): DataFrame = {
+    val cells = (0 until SemDecontamChunks).map(c =>
+      sort_array(collect_list(when(
+        pmod(xxhash64(col("vec_id")), lit(SemDecontamChunks.toLong)) === c,
+        col("s")))).as(s"ev$c"))
     emb.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-      .select(struct(col("vec_id").as("eid"), col("v").as("ev"),
-        col("nrm").as("enrm")).as("s"))
-      .agg(sort_array(collect_list("s")).as("evals"))
+      .select(col("vec_id"), struct(col("vec_id").as("eid"),
+        col("v").as("ev"), col("nrm").as("enrm")).as("s"))
+      .agg(cells.head, cells.tail: _*)
+  }
 
   /** The stateless per-vector scorer over any `(vec_id, embedding)`
     * frame — ONE shared kernel for the batch query and the stream
     * (q_stream_sem_decontam), so the two cannot disagree and share one
-    * oracle. Map-side only: no shuffle, no state. */
+    * oracle. Map-side only: no shuffle, no state. Each chunk cell
+    * scores as transform → array_max (one cosine per eval vector, the
+    * double-evaluation of the old fold retired), the chunks combine
+    * with greatest over the (cos_e6, −eid) key, and a null best (all
+    * cells empty = empty eval suite) drops the row — the oracle's
+    * inner-join semantics, enforced instead of assumed. */
   private[graft] def semDecontamScore(corpus: DataFrame,
       evalAgg: DataFrame): DataFrame = {
+    val bests = (0 until SemDecontamChunks).map(c => expr(
+      s"""array_max(transform(ev$c, e -> named_struct(
+         |  'cos_e6', cast(floor(aggregate(zip_with(v, e.ev, (x, y) -> x * y),
+         |      cast(0 as double), (a, x) -> a + x)
+         |    / (nrm * e.enrm) * 1e6 + 0.5) as bigint),
+         |  'neg_eid', -e.eid)))""".stripMargin))
     corpus
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
       .crossJoin(broadcast(evalAgg))
-      .withColumn("best", expr(
-        s"""aggregate(evals,
-           |  named_struct('cos_e6', cast(-2000000 as bigint),
-           |               'eid', cast(-1 as bigint)),
-           |  (acc, e) -> if(
-           |    cast(floor(aggregate(zip_with(v, e.ev, (x, y) -> x * y),
-           |        cast(0 as double), (a, x) -> a + x)
-           |      / (nrm * e.enrm) * 1e6 + 0.5) as bigint) > acc.cos_e6,
-           |    named_struct(
-           |      'cos_e6',
-           |      cast(floor(aggregate(zip_with(v, e.ev, (x, y) -> x * y),
-           |          cast(0 as double), (a, x) -> a + x)
-           |        / (nrm * e.enrm) * 1e6 + 0.5) as bigint),
-           |      'eid', e.eid),
-           |    acc))""".stripMargin))
+      .withColumn("best", greatest(bests: _*))
+      .filter(col("best").isNotNull)
       .select(col("vec_id"),
-        col("best.eid").as("nearest_eval_id"),
+        (-col("best.neg_eid")).as("nearest_eval_id"),
         col("best.cos_e6").as("max_cos_e6"),
         (col("best.cos_e6") >= SemDecontamTauE6).as("contaminated"))
   }

@@ -96,7 +96,7 @@ def main():
                     done_g = True
                 else:
                     buf_g.append(ch); len_g += len(ch)
-            while not done_e and len_e < len_g or (not done_e and len_e == 0):
+            while not done_e and (len_e < len_g or len_e == 0):
                 ch = cur_e.fetch_df_chunk(16)
                 if len(ch) == 0:
                     done_e = True

@@ -160,6 +160,27 @@ object Curation {
     else s"greatest(0L, ($diff * 1000000 + 536870912) div 1073741824)"
   }
 
+  /** ⌊log2((b1·b2)/(a1·a2))·10⁶ + 0.5⌋ for positive BIGINTs, SIGNED —
+    * the q_dsir_weights log-ratio kernel via [[log2e30]], emitted in
+    * both engine spellings. The four log terms are SUMMED, never
+    * multiplied (log2(b1·b2) = log2 b1 + log2 b2), so no cross product
+    * of two corpus-sized counts can overflow a BIGINT; and because the
+    * difference can be negative (unlike [[lmBitsE6]]'s b ≥ a
+    * contract), the rounding division is pre-shifted by +64·2³⁰ —
+    * larger than any possible |diff| over 63-bit inputs — onto
+    * non-negative ground where Spark's `div`, DuckDB's `//` and
+    * mathematical floor all agree, then un-shifted by the exact
+    * 64·10⁶ the pre-shift adds. Truncation error: ≤ 4 LSBs of 2⁻³⁰
+    * (~4·10⁻³ of one e6 unit), identical in both engines. */
+  private[operators] def log2RatioSignedE6(b1: String, b2: String,
+      a1: String, a2: String, duck: Boolean): String = {
+    val diff = s"(${log2e30(b1, duck)} + ${log2e30(b2, duck)} " +
+      s"- ${log2e30(a1, duck)} - ${log2e30(a2, duck)})"
+    val num = s"(($diff + 68719476736) * 1000000 + 536870912)"
+    if (duck) s"(CAST($num // 1073741824 AS BIGINT) - 64000000)"
+    else s"(($num div 1073741824) - 64000000)"
+  }
+
   /** q_lm_quality: statistical language-model quality score — the
     * CCNet-style filter (Wenzek et al., "CCNet: Extracting High
     * Quality Monolingual Datasets from Web Crawl Data", LREC'20 §4.3
@@ -535,10 +556,15 @@ object Curation {
     * corpus-sized shuffle is the per-doc aggregate (the score subplan
     * re-executes for the count/threshold passes — a production run
     * would persist the per-doc scores, they're one row per document).
-    * Determinism: each token's log-ratio is floor-scaled to an e6
-    * integer BEFORE the per-doc sum (integer sums are
-    * partition-order-free), and the sum is reported un-divided so no
-    * negative integer-division semantics enter the compare. */
+    * Determinism: each token's log-ratio is an e6 INTEGER computed by
+    * the [[log2RatioSignedE6]] shift-and-square kernel ONCE PER
+    * BUCKET (8192 rows, the bits-per-vocab-type rule of q_lm_quality
+    * — never per corpus token) BEFORE the per-doc sum (integer sums
+    * are partition-order-free); no libm log2 anywhere in either
+    * engine's scoring path, so a 1-ulp transcendental disagreement
+    * can't flip a floor boundary data-dependently. The sum is
+    * reported un-divided so no negative integer-division semantics
+    * enter the compare. */
   def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
@@ -552,13 +578,13 @@ object Curation {
       .select(col("b"), coalesce(col("ct"), lit(0L)).as("ct"),
         coalesce(col("cr"), lit(0L)).as("cr"))
     val totals = model.agg(sum("ct").as("nt"), sum("cr").as("nr"))
+    val modelScored = model.crossJoin(broadcast(totals))
+      .withColumn("val_e6", expr(log2RatioSignedE6(
+        "ct + 1", s"nr + $DsirBuckets", "cr + 1", s"nt + $DsirBuckets",
+        duck = false)))
+      .select("b", "val_e6")
     val scores = toks.filter(!isEval(col("doc_id")))
-      .join(broadcast(model), Seq("b"))
-      .crossJoin(broadcast(totals))
-      .withColumn("val_e6", floor(
-        (log2((col("ct") + lit(1.0)) / (col("nt") + lit(DsirBuckets.toDouble)))
-          - log2((col("cr") + lit(1.0)) / (col("nr") + lit(DsirBuckets.toDouble))))
-          * 1e6 + 0.5).cast("long"))
+      .join(broadcast(modelScored), Seq("b"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tok"), sum("val_e6").as("logratio_e6"))
     // k from the pool's doc count (1 score row per pool doc — split(" ")
@@ -1304,9 +1330,11 @@ object Curation {
     * diverse prose (high H), read next to q_char_entropy (chars) and
     * q_lm_bigram (per-doc score): this is the corpus-level constant
     * those derive from. Exact: each distinct (lang, prev, cur) pair
-    * contributes count · ⌊−log₂(c_pair/c_prev)·10⁶+0.5⌋ — integer
-    * ratio through one double log₂ (the q_elasticity kernel), then
-    * exact integer sums in decimal(38,0).
+    * contributes count · ⌊log₂(c_prev/c_pair)·10⁶+0.5⌋ — the
+    * [[lmBitsE6]] integer shift-and-square log₂ (no libm
+    * transcendental in either engine; c_prev ≥ c_pair, so the
+    * kernel's non-negative contract holds) — then exact integer sums
+    * in decimal(38,0).
     *
     * Scale shape: two chained two-phase aggs on Zipf-bounded keys
     * ((lang, prev, cur) then (lang, prev)) joined on the prev key, a
@@ -1325,8 +1353,7 @@ object Curation {
     val cp = cb.groupBy("lang", "prev").agg(sum("cpc").as("cprev"))
     cb.join(cp, Seq("lang", "prev"))
       .select(col("lang"), col("cpc"),
-        floor(-log2(col("cpc").cast("double") / col("cprev")) * 1e6 + 0.5)
-          .cast("long").as("b"))
+        expr(lmBitsE6("cprev", "cpc", duck = false)).as("b"))
       .groupBy("lang")
       .agg(sum("cpc").as("n_pairs"), count(lit(1)).as("n_distinct"),
         expr("cast(sum(cast(cpc as decimal(38,0)) * b) div sum(cpc) as bigint)")
@@ -2307,9 +2334,10 @@ object Curation {
          |    AS token_share_e6
          |FROM picks p JOIN cum ON cum.source = p.source AND cum.v = p.v
          |ORDER BY p.source, decile""".stripMargin,
-    // same lateral pair expansion; per-pair floored -log2 ratio
+    // same lateral pair expansion; per-pair integer log2 ratio via the
+    // shared shift-and-square kernel (lmBitsE6 — no libm log2)
     "q_bigram_entropy" ->
-      """WITH d AS (
+      s"""WITH d AS (
         |  SELECT lang, string_split(text, ' ') AS arr FROM documents),
         |pairs AS (
         |  SELECT lang, arr[i - 1] AS prev, arr[i] AS cur
@@ -2320,8 +2348,7 @@ object Curation {
         |  FROM cb GROUP BY lang, prev),
         |term AS (
         |  SELECT cb.lang, cb.cpc,
-        |    CAST(floor(-log2(CAST(cb.cpc AS DOUBLE) / cp.cprev) * 1e6 + 0.5)
-        |      AS BIGINT) AS b
+        |    ${lmBitsE6("cp.cprev", "cb.cpc", duck = true)} AS b
         |  FROM cb JOIN cp ON cp.lang = cb.lang AND cp.prev = cb.prev)
         |SELECT lang, CAST(SUM(cpc) AS BIGINT) AS n_pairs,
         |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
@@ -2496,12 +2523,14 @@ object Curation {
          |  FROM tg FULL OUTER JOIN rw ON tg.b = rw.b),
          |tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt,
          |  CAST(SUM(cr) AS BIGINT) AS nr FROM model),
+         |mv AS MATERIALIZED (
+         |  SELECT m.b,
+         |    ${log2RatioSignedE6("m.ct + 1", s"tot.nr + $DsirBuckets",
+              "m.cr + 1", s"tot.nt + $DsirBuckets", duck = true)} AS val_e6
+         |  FROM model m CROSS JOIN tot),
          |v AS (
-         |  SELECT x.doc_id,
-         |    CAST(floor((log2((m.ct + 1.0) / (tot.nt + $DsirBuckets.0))
-         |      - log2((m.cr + 1.0) / (tot.nr + $DsirBuckets.0))) * 1e6 + 0.5)
-         |      AS BIGINT) AS val_e6
-         |  FROM t x JOIN model m USING (b) CROSS JOIN tot
+         |  SELECT x.doc_id, mv.val_e6
+         |  FROM t x JOIN mv USING (b)
          |  WHERE x.doc_id % $EvalMod <> $EvalRem),
          |s AS (
          |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,

@@ -944,10 +944,12 @@ object TextAnalysis {
   /** q_doc_keywords: per-document top-[[KeywordK]] TF-IDF keywords —
     * the per-doc salient-term tags a corpus browser or weak labeler
     * reads (q_tfidf_topk ranks feature BUCKETS corpus-wide; this ranks
-    * TERMS per document). idf = log2((N+1)/(df+1)), floored to an e6
-    * integer once per term so score_e6 = tf · idf_e6 is exact integer
-    * arithmetic and the per-doc ranking (score desc, token asc) is
-    * bit-stable in both engines.
+    * TERMS per document). idf = ⌊log2((N+1)/(df+1))·10⁶+0.5⌋ via the
+    * integer shift-and-square kernel (Curation.lmBitsE6 — no libm
+    * log2 in either engine), computed once per term so
+    * score_e6 = tf · idf_e6 is exact integer arithmetic and the
+    * per-doc ranking (score desc, token asc) is bit-stable in both
+    * engines.
     *
     * Scale shape: tf is a two-phase groupBy on (doc, token); df a
     * second on token; they meet on a token-keyed postings equi-join
@@ -959,15 +961,19 @@ object TextAnalysis {
     val tf = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val nd = tf.agg(count_distinct(col("doc_id")).as("n_docs"))
+    // IDF once per vocab TYPE (the q_lm_quality bits-per-type rule) on
+    // the integer shift-and-square log2 kernel — no libm log2 in
+    // either engine's scoring path (df ≤ n_docs, so lmBitsE6's
+    // non-negative b ≥ a contract holds)
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nd))
+      .withColumn("idf_e6", expr(graft.operators.Curation.lmBitsE6(
+        "n_docs + 1", "df + 1", duck = false)))
+      .select("tok", "df", "idf_e6")
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score_e6").desc, col("tok").asc)
     tf.join(dfreq, "tok")
-      .crossJoin(broadcast(nd))
-      .withColumn("idf_e6", floor(
-        log2((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0)))
-          * 1e6 + 0.5).cast("long"))
       .withColumn("score_e6", col("tf") * col("idf_e6"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= KeywordK)
@@ -2013,13 +2019,16 @@ object TextAnalysis {
          |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
          |        FROM documents)
          |  GROUP BY doc_id, tok),
-         |dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
          |nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tf),
+         |dfreq AS MATERIALIZED (
+         |  SELECT tok, df,
+         |    ${graft.operators.Curation.lmBitsE6("n.n_docs + 1", "df + 1",
+              duck = true)} AS idf_e6
+         |  FROM (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok)
+         |  CROSS JOIN nd n),
          |scored AS (
-         |  SELECT t.doc_id, t.tok, t.tf, f.df,
-         |    t.tf * CAST(floor(log2((n.n_docs + 1.0) / (f.df + 1.0)) * 1e6 + 0.5)
-         |      AS BIGINT) AS score_e6
-         |  FROM tf t JOIN dfreq f USING (tok) CROSS JOIN nd n),
+         |  SELECT t.doc_id, t.tok, t.tf, f.df, t.tf * f.idf_e6 AS score_e6
+         |  FROM tf t JOIN dfreq f USING (tok)),
          |ranked AS (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
          |    ORDER BY score_e6 DESC, tok ASC) AS rank

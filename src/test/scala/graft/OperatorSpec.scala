@@ -10,6 +10,30 @@ class OperatorSpec extends SparkSpec {
 
   private def run(name: String) = SparkEntry.queries(name)(spark, sf)
 
+  /** Local mirror of Curation.log2e30's shift-and-square integer log2
+    * (e·2³⁰ + 30 truncated fraction bits) — the specs that check
+    * log-ratio queries must reproduce the ENGINE kernel bit-for-bit,
+    * not a libm approximation of it. */
+  private def log2e30(n: Long): Long = {
+    val e = 63 - java.lang.Long.numberOfLeadingZeros(n)
+    var acc = (if (e >= 30) n >> (e - 30) else n << (30 - e)) << 30
+    var i = 0
+    while (i < 30) {
+      val m = acc >> 30
+      val mm = (m * m) >> 30
+      val f2 = (acc & 1073741823L) * 2
+      acc = if (mm >= 2147483648L) ((mm >> 1) << 30) + f2 + 1
+            else (mm << 30) + f2
+      i += 1
+    }
+    (e.toLong << 30) + (acc & 1073741823L)
+  }
+
+  /** Local mirror of Curation.lmBitsE6: ⌊log2(b/a)·10⁶+0.5⌋, b ≥ a. */
+  private def lmBitsE6(b: Long, a: Long): Long =
+    math.max(0L, ((log2e30(b) - log2e30(a)) * 1000000L + 536870912L)
+      / 1073741824L)
+
   test("every registered query returns rows at sf0.001") {
     val skipSlow = Set("q_gbt_train_eval", "q_model_zoo", "q_gbt_validation") // covered below
     SparkEntry.queries.keys.filterNot(skipSlow).foreach { name =>
@@ -2242,9 +2266,7 @@ class OperatorSpec extends SparkSpec {
         case _ =>
       }
       rs.foreach { r =>
-        val idf = math.floor(
-          (math.log((nDocs + 1.0) / (r.getLong(4) + 1.0)) / math.log(2.0))
-            * 1e6 + 0.5).toLong
+        val idf = lmBitsE6(nDocs + 1, r.getLong(4) + 1)
         assert(r.getLong(5) == r.getLong(3) * idf, s"doc $id score arithmetic")
       }
     }
@@ -4064,9 +4086,7 @@ class OperatorSpec extends SparkSpec {
     byLang.foreach { case (l, ps) =>
       val n = ps.map(_._2).sum
       val wsum = ps.map { case ((_, p, _), c) =>
-        val b = math.floor(-(math.log(c.toDouble / prevCnt((l, p))) /
-          math.log(2.0)) * 1e6 + 0.5).toLong
-        BigInt(c) * b
+        BigInt(c) * lmBitsE6(prevCnt((l, p)), c)
       }.sum
       assert(got(l) == ((n, ps.size.toLong, (wsum / n).toLong)), s"lang $l")
     }

@@ -255,11 +255,43 @@ object Similarity {
       col("nrm").as("na"))
     val b = emb.select(col("vec_id").as("id_b"), col("v").as("vb"),
       col("nrm").as("nb"))
-    forestPairs(spark, dir, planes, tables)
-      .join(a, Seq("id_a")).join(b, Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos_raw"))
+    // Cosine is IEEE-COMMUTATIVE under orientation swap (per-index
+    // products commute, the fold walks the same index order, the
+    // norm product commutes), so each undirected pair is scored ONCE
+    // in canonical orientation — half the vector-attached volume —
+    // and the 24-byte scored rows mirror afterwards. The r12 sf3
+    // probe's RAM cliff lived exactly here: both 64-dim vectors
+    // attached to every DIRECTED pair (~80 GB at 70.5M pairs) spilled
+    // local[32] regardless of partition count.
+    val half = slicedScore(
+      forestPairsCanonical(spark, dir, planes, tables).localCheckpoint(),
+      a, b,
+      dot(col("va"), col("vb")) / (col("na") * col("nb")), "cos_raw")
+      .localCheckpoint() // consumed by both the rows and their mirror
+    half.union(half.select(col("id_b").as("id_a"), col("id_a").as("id_b"),
+      col("cos_raw")))
   }
+
+  /** Scoring slices for the vector-attachment joins: each slice
+    * shuffles ~1/slices of the pairs-with-vectors frame, so peak
+    * memory per join stage is bounded by slice width, not candidate
+    * volume — the knnTopSql topc0..7 capacity treatment applied to
+    * the ENGINE side. Slicing partitions rows, never changes them:
+    * every downstream consumer sees the identical pair set. */
+  private val ForestScoreSlices = 8
+
+  /** Attach vectors and score candidate id pairs in
+    * [[ForestScoreSlices]] id_a-hash slices. `pairs` must already be
+    * materialized (localCheckpoint) — the slices re-read it, and an
+    * unmaterialized candidate join would re-run per slice. */
+  private def slicedScore(pairs: DataFrame, a: DataFrame, b: DataFrame,
+      score: Column, name: String): DataFrame =
+    (0 until ForestScoreSlices).map { s =>
+      pairs.filter(
+          pmod(xxhash64(col("id_a")), lit(ForestScoreSlices.toLong)) === s)
+        .join(a, Seq("id_a")).join(b, Seq("id_b"))
+        .select(col("id_a"), col("id_b"), score.as(name))
+    }.reduce(_ union _)
 
   /** Deduped forest candidate PAIRS, ids only — every node probes its
     * own bucket plus the `planes` one-flip buckets per table (the
@@ -272,6 +304,18 @@ object Similarity {
     * `planes = 0` (the registered default) resolves to the
     * occupancy-derived [[occupancyPlanes]] count for THIS corpus. */
   private def forestPairs(spark: SparkSession, dir: String,
+      planes: Int = 0, tables: Int = LshTables): DataFrame = {
+    val canon = forestPairsCanonical(spark, dir, planes, tables)
+      .localCheckpoint() // consumed by both orientations
+    canon.union(canon.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+  }
+
+  /** The candidate build proper, deduped in CANONICAL orientation
+    * (id_a < id_b): the probe collision is symmetric, so folding both
+    * directions onto the sorted key before dropDuplicates halves the
+    * dedup shuffle and its state — the symmetric view is recovered by
+    * a 16-byte mirror projection wherever a consumer needs it. */
+  private def forestPairsCanonical(spark: SparkSession, dir: String,
       planes: Int = 0, tables: Int = LshTables): DataFrame = {
     val p = if (planes > 0) planes else forestPlanes(spark, dir)
     val emb = Tables.widened(Tables.embeddings(spark, dir))
@@ -287,7 +331,8 @@ object Similarity {
           col("bucket").as("b2")),
         col("ta") === col("t2") && col("probe") === col("b2") &&
           col("id_a") =!= col("id_b"))
-      .select(col("id_a"), col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
       .dropDuplicates("id_a", "id_b")
   }
 
@@ -1919,10 +1964,11 @@ object Similarity {
       col("nrm2").as("na2"))
     val b = emb.select(col("vec_id").as("id_b"), col("v").as("vb"),
       col("nrm2").as("nb2"))
-    val scored = forestPairs(spark, dir)
-      .join(a, Seq("id_a")).join(b, Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (col("na2") - lit(2.0) * dot(col("va"), col("vb")) + col("nb2")).as("d2"))
+    // DIRECTED sliced scoring (no canonical mirror here: the
+    // a−2·dot+b expression tree is orientation-SENSITIVE in IEEE —
+    // the oracle computes each direction's tree, so must we)
+    val scored = slicedScore(forestPairs(spark, dir), a, b,
+      col("na2") - lit(2.0) * dot(col("va"), col("vb")) + col("nb2"), "d2")
     intrinsicDimFinish(spark, dir, scored)
   }
 

@@ -247,7 +247,8 @@ object Similarity {
     * same pinned-fold IEEE tree as [[allPairsScored]], restricted to
     * pairs colliding in the forest. */
   private def forestScored(spark: SparkSession, dir: String,
-      planes: Int = 0, tables: Int = LshTables): DataFrame = {
+      planes: Int = 0, tables: Int = LshTables,
+      radius: Int = 1): DataFrame = {
     val emb = Tables.widened(Tables.embeddings(spark, dir))
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
@@ -255,21 +256,48 @@ object Similarity {
       col("nrm").as("na"))
     val b = emb.select(col("vec_id").as("id_b"), col("v").as("vb"),
       col("nrm").as("nb"))
-    // Cosine is IEEE-COMMUTATIVE under orientation swap (per-index
-    // products commute, the fold walks the same index order, the
-    // norm product commutes), so each undirected pair is scored ONCE
-    // in canonical orientation — half the vector-attached volume —
-    // and the 24-byte scored rows mirror afterwards. The r12 sf3
-    // probe's RAM cliff lived exactly here: both 64-dim vectors
-    // attached to every DIRECTED pair (~80 GB at 70.5M pairs) spilled
-    // local[32] regardless of partition count.
-    val half = slicedScore(
-      forestPairsCanonical(spark, dir, planes, tables).localCheckpoint(),
-      a, b,
-      dot(col("va"), col("vb")) / (col("na") * col("nb")), "cos_raw")
-      .localCheckpoint() // consumed by both the rows and their mirror
-    half.union(half.select(col("id_b").as("id_a"), col("id_a").as("id_b"),
-      col("cos_raw")))
+    val cos = dot(col("va"), col("vb")) / (col("na") * col("nb"))
+    if (!forestLarge(spark, dir, planes, tables, radius))
+      // small corpus: one direct symmetric join — the slice/mirror
+      // machinery below costs more in per-branch job overhead than
+      // the whole frame costs to score
+      forestPairs(spark, dir, planes, tables, radius)
+        .join(a, Seq("id_a")).join(b, Seq("id_b"))
+        .select(col("id_a"), col("id_b"), cos.as("cos_raw"))
+    else {
+      // Cosine is IEEE-COMMUTATIVE under orientation swap (per-index
+      // products commute, the fold walks the same index order, the
+      // norm product commutes), so each undirected pair is scored
+      // ONCE in canonical orientation — half the vector-attached
+      // volume — and the 24-byte scored rows mirror afterwards. The
+      // r12 sf3 probe's RAM cliff lived exactly here: both 64-dim
+      // vectors attached to every DIRECTED pair (~80 GB at 70.5M
+      // pairs) spilled local[32] regardless of partition count.
+      val half = slicedScore(
+        forestPairsCanonical(spark, dir, planes, tables, radius)
+          .localCheckpoint(),
+        a, b, cos, "cos_raw")
+        .localCheckpoint() // consumed by both the rows and their mirror
+      half.union(half.select(col("id_b").as("id_a"), col("id_a").as("id_b"),
+        col("cos_raw")))
+    }
+  }
+
+  /** Pair-volume gate between the direct and the sliced/canonical
+    * scoring paths: expected DIRECTED candidates ≈ n·(planes+1)·L·occ
+    * (the scaladoc volume formula at the (occ/2, occ] ceiling) —
+    * derived from the same parquet-metadata count the planes dial
+    * reads, so the gate costs no extra scan. The 8M cut sits a decade
+    * under the measured sf3 cliff (70.5M directed pairs) and a decade
+    * over the sandbox bench scale (1.2M at sf0.1): crossing it the
+    * wrong way costs seconds of slice overhead, never correctness —
+    * both paths produce the identical row set. */
+  private def forestLarge(spark: SparkSession, dir: String,
+      planes: Int, tables: Int, radius: Int = 1): Boolean = {
+    val n = Tables.embeddings(spark, dir).count()
+    val p = if (planes > 0) planes else occupancyPlanes(n)
+    val fan = if (radius >= 1) p + 1 else 1
+    n.toDouble * fan * tables * ForestTargetOccupancy > 8e6
   }
 
   /** Scoring slices for the vector-attachment joins: each slice
@@ -277,21 +305,35 @@ object Similarity {
     * memory per join stage is bounded by slice width, not candidate
     * volume — the knnTopSql topc0..7 capacity treatment applied to
     * the ENGINE side. Slicing partitions rows, never changes them:
-    * every downstream consumer sees the identical pair set. */
-  private val ForestScoreSlices = 8
+    * every downstream consumer sees the identical pair set. The
+    * count is ADAPTIVE (one row per [[ForestScoreSliceRows]], capped
+    * at [[ForestScoreSlicesMax]]): at sandbox scale a sliced plan
+    * pays 3-6 s of per-branch job overhead for frames a single join
+    * absorbs trivially, while at the sf3 probe's 70M pairs the
+    * unsliced frame was the measured RAM cliff — so small corpora
+    * score in one branch and the slicing engages exactly when the
+    * frame could hurt. */
+  private val ForestScoreSlicesMax = 8
+  private val ForestScoreSliceRows = 4000000L
 
-  /** Attach vectors and score candidate id pairs in
-    * [[ForestScoreSlices]] id_a-hash slices. `pairs` must already be
-    * materialized (localCheckpoint) — the slices re-read it, and an
-    * unmaterialized candidate join would re-run per slice. */
+  /** Attach vectors and score candidate id pairs in adaptive
+    * id_a-hash slices. `pairs` must already be materialized
+    * (localCheckpoint) — the slice count comes from a count() over it,
+    * the slices re-read it, and an unmaterialized candidate join
+    * would re-run per slice. */
   private def slicedScore(pairs: DataFrame, a: DataFrame, b: DataFrame,
-      score: Column, name: String): DataFrame =
-    (0 until ForestScoreSlices).map { s =>
-      pairs.filter(
-          pmod(xxhash64(col("id_a")), lit(ForestScoreSlices.toLong)) === s)
+      score: Column, name: String): DataFrame = {
+    val n = pairs.count()
+    val slices = math.min(ForestScoreSlicesMax.toLong,
+      math.max(1L, (n + ForestScoreSliceRows - 1) / ForestScoreSliceRows)).toInt
+    (0 until slices).map { s =>
+      (if (slices == 1) pairs
+       else pairs.filter(
+         pmod(xxhash64(col("id_a")), lit(slices.toLong)) === s))
         .join(a, Seq("id_a")).join(b, Seq("id_b"))
         .select(col("id_a"), col("id_b"), score.as(name))
     }.reduce(_ union _)
+  }
 
   /** Deduped forest candidate PAIRS, ids only — every node probes its
     * own bucket plus the `planes` one-flip buckets per table (the
@@ -304,36 +346,47 @@ object Similarity {
     * `planes = 0` (the registered default) resolves to the
     * occupancy-derived [[occupancyPlanes]] count for THIS corpus. */
   private def forestPairs(spark: SparkSession, dir: String,
-      planes: Int = 0, tables: Int = LshTables): DataFrame = {
-    val canon = forestPairsCanonical(spark, dir, planes, tables)
-      .localCheckpoint() // consumed by both orientations
-    canon.union(canon.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-  }
+      planes: Int = 0, tables: Int = LshTables,
+      radius: Int = 1): DataFrame =
+    forestProbeJoin(spark, dir, planes, tables, radius)
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
 
-  /** The candidate build proper, deduped in CANONICAL orientation
+  /** The candidate build deduped in CANONICAL orientation
     * (id_a < id_b): the probe collision is symmetric, so folding both
     * directions onto the sorted key before dropDuplicates halves the
     * dedup shuffle and its state — the symmetric view is recovered by
-    * a 16-byte mirror projection wherever a consumer needs it. */
+    * a 16-byte mirror projection wherever a consumer needs it (the
+    * LARGE-corpus scoring path; small corpora keep the direct
+    * [[forestPairs]] dedup). */
   private def forestPairsCanonical(spark: SparkSession, dir: String,
-      planes: Int = 0, tables: Int = LshTables): DataFrame = {
+      planes: Int = 0, tables: Int = LshTables,
+      radius: Int = 1): DataFrame =
+    forestProbeJoin(spark, dir, planes, tables, radius)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+
+  /** The raw (undeduped, directed) probe-collision join both dedup
+    * flavors read. */
+  private def forestProbeJoin(spark: SparkSession, dir: String,
+      planes: Int = 0, tables: Int = LshTables,
+      radius: Int = 1): DataFrame = {
     val p = if (planes > 0) planes else forestPlanes(spark, dir)
     val emb = Tables.widened(Tables.embeddings(spark, dir))
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val index = forestBuckets(emb, p, tables)
     val probes = index
       .withColumn("probe", explode(array(col("bucket") +:
-        (0 until p).map(pp =>
-          col("bucket").bitwiseXOR(lit(1L << pp))): _*)))
+        (if (radius >= 1) (0 until p).map(pp =>
+          col("bucket").bitwiseXOR(lit(1L << pp)))
+         else Seq.empty[Column]): _*)))
       .select(col("vec_id").as("id_a"), col("t").as("ta"), col("probe"))
     probes.join(
         index.select(col("vec_id").as("id_b"), col("t").as("t2"),
           col("bucket").as("b2")),
         col("ta") === col("t2") && col("probe") === col("b2") &&
           col("id_a") =!= col("id_b"))
-      .select(least(col("id_a"), col("id_b")).as("id_a"),
-        greatest(col("id_a"), col("id_b")).as("id_b"))
-      .dropDuplicates("id_a", "id_b")
   }
 
   /** Per-node deduped forest candidate volume ×1000 — the occupancy
@@ -360,6 +413,15 @@ object Similarity {
     * scores. */
   def lofApprox(spark: SparkSession, dir: String): DataFrame =
     lofFrom(directedTopK(forestScored(spark, dir), KnnK))
+
+  /** The radius-0 measurement hook ApproxSubstrateSpec reads: the
+    * same LOF tail over exact-bucket-only forest candidates (no
+    * one-flip multiprobe) — the documented ~14x candidate-volume
+    * lever whose agreement cost must stay MEASURED, not assumed,
+    * before any default flip. */
+  private[graft] def lofApproxRadius0(spark: SparkSession,
+      dir: String): DataFrame =
+    lofFrom(directedTopK(forestScored(spark, dir, radius = 0), KnnK))
 
   /** q_knn_components: SEMANTIC CLUSTERS — connected components over
     * the mutual-kNN graph ([[knnGraph]]'s edge set), one row per
@@ -1964,11 +2026,24 @@ object Similarity {
       col("nrm2").as("na2"))
     val b = emb.select(col("vec_id").as("id_b"), col("v").as("vb"),
       col("nrm2").as("nb2"))
-    // DIRECTED sliced scoring (no canonical mirror here: the
-    // a−2·dot+b expression tree is orientation-SENSITIVE in IEEE —
-    // the oracle computes each direction's tree, so must we)
-    val scored = slicedScore(forestPairs(spark, dir), a, b,
-      col("na2") - lit(2.0) * dot(col("va"), col("vb")) + col("nb2"), "d2")
+    // DIRECTED scoring in both branches (no canonical mirror here:
+    // the a−2·dot+b expression tree is orientation-SENSITIVE in IEEE
+    // — the oracle computes each direction's tree, so must we); the
+    // large branch still slices and mirrors the 16-byte ID pairs off
+    // the canonical checkpoint so the dedup state is halved
+    val d2c = col("na2") - lit(2.0) * dot(col("va"), col("vb")) + col("nb2")
+    val scored =
+      if (!forestLarge(spark, dir, 0, LshTables))
+        forestPairs(spark, dir)
+          .join(a, Seq("id_a")).join(b, Seq("id_b"))
+          .select(col("id_a"), col("id_b"), d2c.as("d2"))
+      else {
+        val canon = forestPairsCanonical(spark, dir).localCheckpoint()
+        slicedScore(
+          canon.union(canon.select(col("id_b").as("id_a"),
+            col("id_a").as("id_b"))),
+          a, b, d2c, "d2")
+      }
     intrinsicDimFinish(spark, dir, scored)
   }
 

@@ -1071,10 +1071,9 @@ object Similarity {
     * transform, no extra shuffle); every distance folds in pinned index
     * order so assignments are bit-identical in DuckDB.
     *
-    * `quantizer = "kmeans"` keeps the in-line trained variant (KMeans
-    * coarse quantizer, 5 Lloyd iterations, seed 42) — spec-covered but
-    * rows-only, since distributed double sums in Lloyd means are not
-    * bit-reproducible in SQL. */
+    * `quantizer = "kmeans"` routes to [[annIvfKmeans]] — the
+    * integer-exact Lloyd-trained codebook, registered and
+    * hash-oracled in its own right as q_ann_ivf_kmeans. */
   /** Fixed codebook: the `cells` corpus vectors ranked first by
     * md5(vec_id) — a deterministic pseudo-random sample (bounded
     * collect: cells × dims doubles). Shared by the IVF and SemDeDup
@@ -1091,7 +1090,7 @@ object Similarity {
 
   def annIvfCosine(spark: SparkSession, dir: String, cells: Int = IvfCells,
       nprobe: Int = IvfNprobe, quantizer: String = "seeded"): DataFrame = {
-    if (quantizer == "kmeans") return annIvfKmeans(spark, dir, cells, nprobe)
+    if (quantizer == "kmeans") return annIvfKmeans(spark, dir, nprobe)
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm2", dot(col("v"), col("v")))
@@ -1126,49 +1125,59 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** The in-line KMeans-trained IVF variant (see [[annIvfCosine]]). */
-  private[graft] def annIvfKmeans(spark: SparkSession, dir: String, cells: Int,
-      nprobe: Int): DataFrame = {
-    import org.apache.spark.ml.functions.array_to_vector
-    val emb = Tables.embeddings(spark, dir)
+  /** q_ann_ivf_kmeans: IVF top-k with the TRAINED coarse quantizer —
+    * the complete "train the codebook, then search it" pipeline
+    * (q_kmeans is the train half, q_ann_ivf_cosine the search shape;
+    * this row runs both ends on ONE shared [[lloyd]] kernel).
+    * ROUTING IS ENTIRELY INTEGER: corpus cells come from Lloyd's
+    * final-round argmin over e6 vectors and query probes rank the
+    * trained centroids by the same integer d² (ties cell asc) — no
+    * float comparison anywhere in routing; only in-cell scoring
+    * computes the exact double cosine (the q_ann_ivf_cosine IEEE
+    * tree). That integer discipline is what makes the TRAINED path
+    * hash-oracleable — it replaces the earlier Spark-ML KMeans
+    * variant whose distributed double centroid means were not
+    * bit-reproducible in SQL (the tree's last rows-only exception
+    * class outside model training).
+    *
+    * Scale shape: the codebook is a ≤[[KmCells]]-row broadcast at
+    * every stage (train rounds and probes both crossJoin(broadcast));
+    * assignment/probing are map-side + a per-vector rank window; the
+    * candidate join is the same (cell) equi-join as annIvfCosine —
+    * shuffle ∝ probed candidates, never |corpus|². */
+  private[graft] def annIvfKmeans(spark: SparkSession, dir: String,
+      nprobe: Int = IvfNprobe): DataFrame = {
+    val embd = Tables.widened(Tables.embeddings(spark, dir))
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-      .withColumn("features", array_to_vector(col("v")))
-      .cache()
-    try {
-      val km = new org.apache.spark.ml.clustering.KMeans()
-        .setK(cells).setMaxIter(5).setSeed(42L)
-        .fit(emb)
-      val assigned = km.transform(emb)
-        .select(col("vec_id"), col("v"), col("nrm"), col("prediction").as("cell"))
-      // query → its nprobe nearest centroids (tiny cross join: |Q| × cells)
-      val centers = km.clusterCenters.zipWithIndex.map { case (c, i) =>
-        (i, c.toArray)
-      }.toSeq
-      val centersDf = spark.createDataFrame(centers).toDF("cell_p", "cv")
-      val q = assigned.filter(isQuery(col("vec_id")))
-        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
-      val wProbe = Window.partitionBy("query_id").orderBy(col("dist").asc, col("cell_p").asc)
-      val probes = q.crossJoin(broadcast(centersDf))
-        .withColumn("dist",
-          dot(col("qv"), col("qv")) - lit(2.0) * dot(col("qv"), col("cv"))
-            + dot(col("cv"), col("cv")))
-        .withColumn("pr", row_number().over(wProbe))
-        .filter(col("pr") <= nprobe)
-        .select(col("query_id"), col("qv"), col("qn"), col("cell_p"))
-      val scored = assigned.join(broadcast(probes),
-          col("cell") === col("cell_p") && col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos_raw"))
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("cos_raw").desc, col("neighbor_id").asc)
-      scored
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= K)
-        .select(col("query_id"), col("neighbor_id"),
-          (floor(col("cos_raw") * 1e6 + 0.5) / 1e6).as("cosine"), col("rank"))
-        .orderBy("query_id", "rank")
-    } finally emb.unpersist()
+    val ve = e6Vectors(spark, dir)
+    val (_, assign, cents) = lloyd(ve)
+    val corpus = embd.join(assign.select("vec_id", "cell"), Seq("vec_id"))
+    val d2q = expr(
+      "aggregate(zip_with(ve, ce, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("d2").asc, col("cell_p").asc)
+    val probes = ve.filter(isQuery(col("vec_id")))
+      .crossJoin(broadcast(cents.withColumnRenamed("cell", "cell_p")))
+      .withColumn("d2", d2q)
+      .select(col("vec_id").as("query_id"), col("cell_p"), col("d2"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("cell_p"))
+    val q = embd.select(col("vec_id").as("query_id"), col("v").as("qv"),
+      col("nrm").as("qn"))
+    val scored = corpus.join(broadcast(probes.join(q, Seq("query_id"))),
+        col("cell") === col("cell_p") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos_raw"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_raw").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("neighbor_id"),
+        (floor(col("cos_raw") * 1e6 + 0.5) / 1e6).as("cosine"), col("rank"))
+      .orderBy("query_id", "rank")
   }
 
   /** q_embed_quantize: per-vector symmetric int8 quantization — the
@@ -2298,12 +2307,26 @@ object Similarity {
     * Lloyd; per-round frames localCheckpoint (the q_pagerank loop
     * discipline). Cells that lose all members drop naturally — in
     * both engines. */
-  def kmeans(spark: SparkSession, dir: String): DataFrame = {
-    val ve = Tables.widened(Tables.embeddings(spark, dir))
+  def kmeans(spark: SparkSession, dir: String): DataFrame =
+    lloyd(e6Vectors(spark, dir))._1.orderBy("round", "cell")
+
+  /** The e6-quantized vector scan the Lloyd trainer and its IVF
+    * search consumer share (the q_cluster_profile convention). */
+  private def e6Vectors(spark: SparkSession, dir: String): DataFrame =
+    Tables.widened(Tables.embeddings(spark, dir))
       .select(col("vec_id"), expr(
         "transform(cast(embedding as array<double>), x -> cast(floor(x * 1e6 + 0.5) as bigint))")
         .as("ve"))
       .localCheckpoint() // re-assigned every round
+
+  /** [[KmRounds]] integer-exact Lloyd rounds from the md5-seeded
+    * anchors — returns (per-round stats, final-round assignment
+    * (vec_id, cell, ve, d2), final centroid table (cell, ce)). ONE
+    * kernel for q_kmeans (which outputs the convergence curve) and
+    * q_ann_ivf_kmeans (which searches with the trained codebook), so
+    * the quantizer a search deploys is exactly the one the
+    * convergence report certified. */
+  private def lloyd(ve: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val anchorW = Window.orderBy(expr("md5(cast(vec_id as string))"),
       col("vec_id"))
     var cents = ve
@@ -2315,10 +2338,11 @@ object Similarity {
     val d2 = expr(
       "aggregate(zip_with(ve, ce, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
     var out: DataFrame = null
+    var assign: DataFrame = null
     for (r <- 1 to KmRounds) {
       val w = Window.partitionBy("vec_id")
         .orderBy(col("d2").asc, col("cell").asc)
-      val assign = ve.crossJoin(broadcast(cents))
+      assign = ve.crossJoin(broadcast(cents))
         .withColumn("d2", d2)
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") === 1)
@@ -2343,7 +2367,7 @@ object Similarity {
           .localCheckpoint()
       }
     }
-    out.orderBy("round", "cell")
+    (out, assign, cents)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2380,6 +2404,7 @@ object Similarity {
     "q_ann_lsh_cosine" -> (annLshCosine(_, _)),
     "q_ann_recall" -> (annRecall(_, _)),
     "q_ann_ivf_cosine" -> (annIvfCosine(_, _)),
+    "q_ann_ivf_kmeans" -> (annIvfKmeans(_, _)),
     "q_ann_ivfpq" -> (annIvfPq(_, _)),
     "q_dedup_embedding" -> (dedupEmbedding(_, _)),
     "q_embed_quantize" -> (embedQuantize(_, _)),
@@ -2879,14 +2904,20 @@ object Similarity {
        |ORDER BY query_id, pick_order""".stripMargin
   }
 
-  /** The q_kmeans oracle: the same e6 vectors, md5-ordered anchor
-    * seeds, and [[KmRounds]] unrolled assign/recompute rounds with the
-    * identical integer d² and (d2, cell) argmin. */
-  private val kmeansOracleSql: String = {
-    def d2Sql(x: String, c: String): String =
-      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-        s"[($x.v[i] - $c.ce[i]) * ($x.v[i] - $c.ce[i]) for i in range(1, len($x.v) + 1)]), " +
-        "(acc, x2) -> acc + x2)"
+  /** Integer d² between an e6 vector table alias and a centroid
+    * alias — the oracle spelling of the Lloyd zip_with fold. */
+  private def kmD2Sql(x: String, c: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"[($x.v[i] - $c.ce[i]) * ($x.v[i] - $c.ce[i]) for i in range(1, len($x.v) + 1)]), " +
+      "(acc, x2) -> acc + x2)"
+
+  /** Shared CTE chain of the Lloyd trainer (ve, c1, a1..aR / s1..sR /
+    * c2..cR) — composed by the q_kmeans oracle (which reads the s$r
+    * stats) and the q_ann_ivf_kmeans oracle (which reads the final
+    * a$KmRounds assignment and c$KmRounds codebook; the unreferenced
+    * s$r CTEs prune away under DuckDB's default inlining). */
+  private val kmeansRoundsSql: String = {
+    def d2Sql(x: String, c: String): String = kmD2Sql(x, c)
     val rounds = (1 to KmRounds).map { r =>
       val assign =
         s"""a$r AS (
@@ -2916,10 +2947,7 @@ object Similarity {
         else ""
       assign + recompute
     }.mkString(",\n")
-    val branches = (1 to KmRounds)
-      .map(r => s"SELECT round, cell, n_members, mean_d2 FROM s$r")
-      .mkString("\nUNION ALL ")
-    s"""WITH ve AS (
+    s"""ve AS (
        |  SELECT vec_id,
        |    [CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT) for x in embedding] AS v
        |  FROM embeddings),
@@ -2929,13 +2957,70 @@ object Similarity {
        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
        |    FROM ve)
        |  WHERE rk <= $KmCells),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  /** The q_kmeans oracle: the same e6 vectors, md5-ordered anchor
+    * seeds, and [[KmRounds]] unrolled assign/recompute rounds with the
+    * identical integer d² and (d2, cell) argmin. */
+  private val kmeansOracleSql: String = {
+    val branches = (1 to KmRounds)
+      .map(r => s"SELECT round, cell, n_members, mean_d2 FROM s$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH $kmeansRoundsSql
        |$branches
        |ORDER BY round, cell""".stripMargin
   }
 
+  /** The q_ann_ivf_kmeans oracle: the SAME unrolled Lloyd chain, then
+    * the q_ann_ivf_cosine probe/score/rank tail against the trained
+    * a$KmRounds assignment and c$KmRounds codebook — integer d²
+    * routing, double cosine scoring, identical tie orders. */
+  private val annIvfKmeansOracleSql: String =
+    s"""WITH $kmeansRoundsSql,
+       |embq AS (
+       |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+       |  FROM embeddings),
+       |nrmq AS MATERIALIZED (
+       |  SELECT vec_id, v,
+       |    sqrt(list_reduce([v[i] * v[i] for i in range(1, len(v) + 1)], (a, b) -> a + b)) AS nrm
+       |  FROM embq),
+       |corpus AS MATERIALIZED (
+       |  SELECT n.vec_id, n.v, n.nrm, a.cell
+       |  FROM nrmq n JOIN a$KmRounds a ON a.vec_id = n.vec_id),
+       |qd AS (
+       |  SELECT ve.vec_id AS query_id, c.cell, ${kmD2Sql("ve", "c")} AS d2
+       |  FROM ve, c$KmRounds c WHERE ve.vec_id % 50 = 0),
+       |probe AS (
+       |  SELECT query_id, cell,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY d2 ASC, cell ASC) AS pr
+       |  FROM qd
+       |  QUALIFY pr <= $IvfNprobe),
+       |idpairs AS (
+       |  SELECT p.query_id, c.vec_id AS neighbor_id
+       |  FROM probe p
+       |  JOIN (SELECT vec_id, cell FROM corpus) c
+       |    ON c.cell = p.cell AND c.vec_id <> p.query_id),
+       |scored AS (
+       |  SELECT pr.query_id, pr.neighbor_id,
+       |    list_reduce([q.v[i] * c.v[i] for i in range(1, len(q.v) + 1)], (a, b) -> a + b)
+       |      / (q.nrm * c.nrm) AS cos_raw
+       |  FROM idpairs pr
+       |  JOIN corpus q ON q.vec_id = pr.query_id
+       |  JOIN corpus c ON c.vec_id = pr.neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos_raw,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, floor(cos_raw * 1e6 + 0.5) / 1e6 AS cosine, rank
+       |FROM ranked WHERE rank <= $K
+       |ORDER BY query_id, rank""".stripMargin
+
   private val baseOracleSql: Map[String, String] = Map(
     "q_kmeans" -> kmeansOracleSql,
+    "q_ann_ivf_kmeans" -> annIvfKmeansOracleSql,
     // the q_ann_cosine ranked top-K, label relevance via two key
     // joins, the same first-relevant rank pick and truncating mean
     "q_mrr" ->

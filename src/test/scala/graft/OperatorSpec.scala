@@ -770,13 +770,65 @@ class OperatorSpec extends SparkSpec {
     assert(rows(1L) == 1, "diverse doc must be kept")
   }
 
-  test("ivf kmeans-trained quantizer variant still searches") {
-    // the registered q_ann_ivf_cosine runs the seeded fixed codebook
-    // (SQL-oracled); the in-line KMeans-trained variant stays covered here
-    val df = graft.operators.Similarity.annIvfCosine(spark, sf, quantizer = "kmeans")
-    val rows = df.collect()
-    assert(rows.nonEmpty)
-    assert(rows.forall(_.getAs[Int]("rank") <= 5))
+  test("ivf kmeans-trained search matches a local Lloyd + probe recompute") {
+    // Full mirror of the trained-quantizer pipeline: KmRounds(=3)
+    // integer Lloyd rounds (so >= 2 centroid recomputes are genuinely
+    // exercised), integer-d2 probe routing, double-cosine in-cell
+    // scoring — the q_ann_ivf_kmeans row end to end.
+    val km = graft.operators.Similarity
+    val rounds = km.KmRounds; val cells = km.KmCells
+    assert(rounds >= 3, "spec contract: >= 2 Lloyd recomputes")
+    val embs = graft.sources.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    val ve = embs.map { case (id, v) =>
+      (id, v.map(x => math.floor(x * 1e6 + 0.5).toLong))
+    }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // md5-seeded anchors, then Lloyd with truncating integer means
+    var cents: Seq[(Long, Array[Long])] = ve
+      .sortBy { case (id, _) => (md5hex(id.toString), id) }.take(cells)
+      .zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }.toSeq
+    var assign: Map[Long, Long] = Map.empty
+    for (r <- 1 to rounds) {
+      assign = ve.map { case (id, v) =>
+        id -> cents.map { case (c, ce) => (d2(v, ce), c) }.min._2
+      }.toMap
+      if (r < rounds)
+        cents = assign.groupBy(_._2).toSeq.map { case (c, members) =>
+          val vs = members.keys.toSeq.map(id => ve.find(_._1 == id).get._2)
+          (c, Array.tabulate(vs.head.length)(i => vs.map(_(i)).sum / vs.size))
+        }.sortBy(_._1)
+    }
+    // probe + in-cell exact cosine search
+    def dotl(a: Array[Double], b: Array[Double]): Double = {
+      var (s, i) = (0.0, 0); while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def nrm(a: Array[Double]): Double = math.sqrt(dotl(a, a))
+    val nprobe = 4
+    val want = ve.filter(_._1 % 50 == 0).flatMap { case (qid, qv) =>
+      val probed = cents.map { case (c, ce) => (d2(qv, ce), c) }
+        .sorted.take(nprobe).map(_._2).toSet
+      val qd = embs.find(_._1 == qid).get._2
+      embs.filter { case (id, _) => id != qid && probed(assign(id)) }
+        .map { case (id, v) =>
+          (qid, id, dotl(qd, v) / (nrm(qd) * nrm(v)))
+        }
+        .sortBy { case (_, id, c) => (-c, id) }.take(5).zipWithIndex
+        .map { case ((q, id, c), i) =>
+          (q, id, math.floor(c * 1e6 + 0.5) / 1e6, i + 1)
+        }
+    }.toSeq.sortBy(r => (r._1, r._4))
+    val got = run("q_ann_ivf_kmeans").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq
+    assert(want.nonEmpty)
+    assert(got == want)
   }
 
   test("ann cosine returns at most k ranked neighbors per query") {

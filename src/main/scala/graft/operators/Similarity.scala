@@ -31,7 +31,7 @@ object Similarity {
     * the corpus) dominates the cost, probing only scales the small
     * query-side scoring. The classic IVF dial, set where the recall
     * gain is free. */
-  private val IvfNprobe = 4
+  private[graft] val IvfNprobe = 4
   /** Query subset: every 50th vector. */
   private def isQuery(id: Column): Column = id % 50 === 0
 
@@ -1147,32 +1147,72 @@ object Similarity {
     * shuffle ∝ probed candidates, never |corpus|². */
   private[graft] def annIvfKmeans(spark: SparkSession, dir: String,
       nprobe: Int = IvfNprobe): DataFrame = {
+    val (corpus, cents) = ivfKmeansIndex(spark, dir)
+    ivfTopKFinish(ivfKmeansCandidates(
+      Tables.widened(Tables.embeddings(spark, dir))
+        .filter(isQuery(col("vec_id"))).select("vec_id", "embedding"),
+      corpus, ivfCentsAgg(cents), nprobe))
+  }
+
+  /** The trained IVF index, built batch-side: (assigned corpus
+    * (vec_id, v, nrm, cell), trained centroid table (cell, ce)) —
+    * shared by the batch search and q_stream_ann's at-ingest lookups
+    * (the load-model-then-map contract: train once, broadcast, score
+    * arrivals forever). */
+  private[graft] def ivfKmeansIndex(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
     val embd = Tables.widened(Tables.embeddings(spark, dir))
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-    val ve = e6Vectors(spark, dir)
-    val (_, assign, cents) = lloyd(ve)
-    val corpus = embd.join(assign.select("vec_id", "cell"), Seq("vec_id"))
-    val d2q = expr(
-      "aggregate(zip_with(ve, ce, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
-    val wProbe = Window.partitionBy("query_id")
-      .orderBy(col("d2").asc, col("cell_p").asc)
-    val probes = ve.filter(isQuery(col("vec_id")))
-      .crossJoin(broadcast(cents.withColumnRenamed("cell", "cell_p")))
-      .withColumn("d2", d2q)
-      .select(col("vec_id").as("query_id"), col("cell_p"), col("d2"))
-      .withColumn("pr", row_number().over(wProbe))
-      .filter(col("pr") <= nprobe)
-      .select(col("query_id"), col("cell_p"))
-    val q = embd.select(col("vec_id").as("query_id"), col("v").as("qv"),
-      col("nrm").as("qn"))
-    val scored = corpus.join(broadcast(probes.join(q, Seq("query_id"))),
+    val (_, assign, cents) = lloyd(e6Vectors(spark, dir))
+    (embd.join(assign.select("vec_id", "cell"), Seq("vec_id")), cents)
+  }
+
+  /** The ≤[[KmCells]]-row trained codebook folded into ONE broadcast
+    * row (cell-sorted struct array) so probe selection is a pure
+    * map-side array expression — no window, no shuffle: the property
+    * that lets the SAME selection run inside a stateless stream. */
+  private[graft] def ivfCentsAgg(cents: DataFrame): DataFrame =
+    cents.select(struct(col("cell"), col("ce")).as("s"))
+      .agg(sort_array(collect_list("s")).as("cents"))
+
+  /** Map-side candidate scorer over any `(vec_id, embedding)` query
+    * frame — ONE shared kernel for the batch q_ann_ivf_kmeans and the
+    * q_stream_ann ingest scorer, so the two cannot disagree and share
+    * one oracle. Per query: e6-quantize, integer d² to each broadcast
+    * centroid, take the `nprobe` (d2, cell)-smallest cells (an
+    * array_sort slice — identical selection to a rank window, zero
+    * shuffle), then the (cell) equi-join against the assigned corpus
+    * and the exact double cosine. Each (query, neighbor) candidate
+    * row is complete the moment the query arrives. */
+  private[graft] def ivfKmeansCandidates(queries: DataFrame,
+      corpus: DataFrame, centsAgg: DataFrame, nprobe: Int): DataFrame = {
+    val probes = queries
+      .select(col("vec_id").as("query_id"),
+        asDouble(col("embedding")).as("qv"),
+        expr("transform(cast(embedding as array<double>), x -> cast(floor(x * 1e6 + 0.5) as bigint))")
+          .as("qe"))
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
+      .crossJoin(broadcast(centsAgg))
+      .withColumn("cell_p", explode(expr(
+        s"""transform(slice(array_sort(transform(cents,
+           |  c -> named_struct(
+           |    'd2', aggregate(zip_with(qe, c.ce, (a, b) -> (a - b) * (a - b)),
+           |      0L, (acc, x) -> acc + x),
+           |    'cell', c.cell))), 1, $nprobe), p -> p.cell)""".stripMargin)))
+      .select(col("query_id"), col("qv"), col("qn"), col("cell_p"))
+    corpus.join(probes,
         col("cell") === col("cell_p") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos_raw"))
+  }
+
+  /** The per-query top-[[K]] rank-and-present tail shared by the
+    * batch search and the stream's batch-side finish. */
+  private[graft] def ivfTopKFinish(cands: DataFrame): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_raw").desc, col("neighbor_id").asc)
-    scored
+    cands
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
       .select(col("query_id"), col("neighbor_id"),

@@ -872,6 +872,35 @@ object StreamingQueries {
       docs.agg(count(lit(1)).as("n_total")))
   }
 
+  /** q_stream_ann — ANN lookups AT INGEST on the trained IVF
+    * codebook: the quantizer trains once batch-side
+    * ([[graft.operators.Similarity.ivfKmeansIndex]] — q_kmeans's
+    * integer-exact Lloyd, the load-model-then-map contract of
+    * q_stream_pipe / q_stream_sem_decontam), its ≤8-row codebook
+    * broadcasts as ONE struct-array row, and every ARRIVING query
+    * vector probes its nprobe nearest cells map-side (an array_sort
+    * slice over the broadcast — zero streaming shuffle, zero state in
+    * the scorer) then meets the static assigned corpus in a
+    * stream-static (cell) equi-join. Candidate rows are complete the
+    * moment the query arrives — a pure keyed upsert into the durable
+    * [[TableSink]] (state ∝ candidates of arrived queries) — and the
+    * per-query top-K ranks batch-side via the SHARED
+    * [[graft.operators.Similarity.ivfTopKFinish]]. ONE
+    * [[graft.operators.Similarity.ivfKmeansCandidates]] kernel for
+    * batch and stream, so the two cannot disagree and q_ann_ivf_kmeans's
+    * oracle applies verbatim. This is the production retrieval shape:
+    * index built offline, lookups served as vectors land. */
+  def streamAnn(spark: SparkSession, dir: String): DataFrame = {
+    val sim = graft.operators.Similarity
+    val (corpus, cents) = sim.ivfKmeansIndex(spark, dir)
+    val cands = sim.ivfKmeansCandidates(
+      tableStream(spark, dir, "embeddings")
+        .filter(col("vec_id") % 50 === 0).select("vec_id", "embedding"),
+      corpus, sim.ivfCentsAgg(cents), sim.IvfNprobe)
+    sim.ivfTopKFinish(TableSink.upsert(spark, cands,
+      Seq("query_id", "neighbor_id"), "annivf", dir))
+  }
+
   /** q_stream_quality — the Gopher quality gate AT INGEST: every
     * arriving document is scored by the published rule battery
     * (q_gopher_rules' [[graft.operators.Curation.gopherFlags]] kernel,
@@ -1333,6 +1362,7 @@ object StreamingQueries {
     "q_stream_silhouette" -> stateful(streamSilhouette),
     "q_stream_sem_decontam" -> (streamSemDecontam(_, _)), // stateless scorer
     "q_stream_lexicon" -> stateful(streamLexicon),
+    "q_stream_ann" -> stateful(streamAnn),
     "q_stream_hll" -> stateful(streamHll),
     "q_stream_kmv" -> stateful(streamKmv),
     "q_stream_bloom" -> stateful(streamBloom),
@@ -1396,6 +1426,10 @@ object StreamingQueries {
     "q_stream_silhouette" -> graft.operators.Similarity.oracleSql("q_silhouette"),
     "q_stream_sem_decontam" -> graft.operators.Similarity.oracleSql("q_sem_decontam"),
     "q_stream_lexicon" -> graft.operators.Curation.oracleSql("q_lexicon_flags"),
+    // the batch trained-IVF oracle VERBATIM — ivfKmeansCandidates +
+    // ivfTopKFinish are shared, so the at-ingest lookups must rank
+    // identically
+    "q_stream_ann" -> graft.operators.Similarity.oracleSql("q_ann_ivf_kmeans"),
     // the batch transition-matrix oracle VERBATIM — transFinish is
     // shared, so the converged step counts must yield the batch matrix
     "q_stream_transitions" -> graft.operators.Analytics.oracleSql("q_transitions"),

@@ -653,6 +653,16 @@ class StreamingSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("streaming ann lookups equal the batch trained-IVF search row for row") {
+    // one trained Lloyd codebook, one shared candidate kernel, one
+    // shared top-K finish over the keyed upsert view: the at-ingest
+    // lookups and the batch search cannot disagree
+    val batch = SparkEntry.queries("q_ann_ivf_kmeans")(spark, sf).collect().map(_.toSeq).toSet
+    val stream = SparkEntry.queries("q_stream_ann")(spark, sf).collect().map(_.toSeq).toSet
+    assert(stream.nonEmpty)
+    assert(stream == batch)
+  }
+
   test("embed-drift census converges when the two halves arrive in different triggers") {
     // the additive-census contract: stage the even-vec_id half and the
     // odd half as separate files, force one trigger per file — every

@@ -160,25 +160,82 @@ object Curation {
     else s"greatest(0L, ($diff * 1000000 + 536870912) div 1073741824)"
   }
 
-  /** ⌊log2((b1·b2)/(a1·a2))·10⁶ + 0.5⌋ for positive BIGINTs, SIGNED —
-    * the q_dsir_weights log-ratio kernel via [[log2e30]], emitted in
-    * both engine spellings. The four log terms are SUMMED, never
-    * multiplied (log2(b1·b2) = log2 b1 + log2 b2), so no cross product
-    * of two corpus-sized counts can overflow a BIGINT; and because the
-    * difference can be negative (unlike [[lmBitsE6]]'s b ≥ a
-    * contract), the rounding division is pre-shifted by +64·2³⁰ —
-    * larger than any possible |diff| over 63-bit inputs — onto
-    * non-negative ground where Spark's `div`, DuckDB's `//` and
+  /** ⌊log2(Πbs / Πas)·10⁶ + 0.5⌋ for positive BIGINTs, SIGNED — the
+    * general log-ratio kernel via [[log2e30]], emitted in both engine
+    * spellings. The log terms are SUMMED, never multiplied
+    * (log2(Πb) = Σ log2 b), so no cross product of corpus-sized
+    * counts can overflow a BIGINT; and because the difference can be
+    * negative (unlike [[lmBitsE6]]'s b ≥ a contract), the rounding
+    * division is pre-shifted by +64·max(|bs|,|as|)·2³⁰ — each
+    * [[log2e30]] term is < 63·2³⁰ over 63-bit inputs, so |diff| is
+    * strictly below the shift for ANY positive-BIGINT arguments —
+    * onto non-negative ground where Spark's `div`, DuckDB's `//` and
     * mathematical floor all agree, then un-shifted by the exact
-    * 64·10⁶ the pre-shift adds. Truncation error: ≤ 4 LSBs of 2⁻³⁰
-    * (~4·10⁻³ of one e6 unit), identical in both engines. */
+    * shift·10⁶/2³⁰ the pre-shift adds. Overflow headroom: worst case
+    * (|diff| + shift)·10⁶ ≤ 2·shift·10⁶ ≈ 1.4e17·max-arity < 2⁶³ for
+    * up to 32 terms per side. Truncation error: ≤ (|bs|+|as|) LSBs of
+    * 2⁻³⁰ (~10⁻³ of one e6 unit per term), identical in both
+    * engines. */
+  private[operators] def log2RatioSignedE6(bs: Seq[String], as: Seq[String],
+      duck: Boolean): String = {
+    val diff = (bs.map(b => s"+ ${log2e30(b, duck)}") ++
+      as.map(a => s"- ${log2e30(a, duck)}")).mkString("(0 ", " ", ")")
+    val shiftUnits = 64L * math.max(bs.size, as.size)
+    val shift = shiftUnits * 1073741824L
+    val unshift = shiftUnits * 1000000L
+    val num = s"(($diff + ${shift}) * 1000000 + 536870912)"
+    if (duck) s"(CAST($num // 1073741824 AS BIGINT) - $unshift)"
+    else s"(($num div 1073741824) - $unshift)"
+  }
+
+  /** The two-up/two-down spelling used by q_dsir_weights —
+    * ⌊log2((b1·b2)/(a1·a2))·10⁶ + 0.5⌋, see the Seq overload. */
   private[operators] def log2RatioSignedE6(b1: String, b2: String,
-      a1: String, a2: String, duck: Boolean): String = {
-    val diff = s"(${log2e30(b1, duck)} + ${log2e30(b2, duck)} " +
-      s"- ${log2e30(a1, duck)} - ${log2e30(a2, duck)})"
-    val num = s"(($diff + 68719476736) * 1000000 + 536870912)"
-    if (duck) s"(CAST($num // 1073741824 AS BIGINT) - 64000000)"
-    else s"(($num div 1073741824) - 64000000)"
+      a1: String, a2: String, duck: Boolean): String =
+    log2RatioSignedE6(Seq(b1, b2), Seq(a1, a2), duck)
+
+  /** ⌊(wn/wd)·log2(Πbs/Πas)·10⁹ + 0.5⌋ for positive BIGINTs with
+    * wn ≤ wd, SIGNED — the p·log2(ratio) kernel of the divergence
+    * rows (q_kl_sources / q_stream_kl), via [[log2e30]] with the
+    * final rational rounding in 128-bit integer arithmetic
+    * (decimal(38,0) in Spark, HUGEINT in DuckDB). Exact
+    * floor((wn·d·10⁹ + wd·2²⁹)/(wd·2³⁰)) with d the signed e30
+    * log-sum; the numerator is pre-shifted by wd·2³⁰·shift (shift =
+    * 64·max(|bs|,|as|)·10⁹) onto non-negative ground — |d| <
+    * 64·max(|bs|,|as|)·2³⁰ and wn ≤ wd guarantee positivity — so
+    * truncating and flooring division agree in both engines, then
+    * un-shifted exactly. Headroom: wd·2³⁰·shift ≈ 1.4e34 at
+    * wd = 10¹⁴ (a 100 TB per-source token count) — inside 38
+    * digits / HUGEINT. */
+  private[operators] def weightedLog2E9(wn: String, wd: String,
+      bs: Seq[String], as: Seq[String], duck: Boolean): String = {
+    val d = (bs.map(b => s"+ ${log2e30(b, duck)}") ++
+      as.map(a => s"- ${log2e30(a, duck)}")).mkString("(0 ", " ", ")")
+    val shiftE9 = 64L * math.max(bs.size, as.size) * 1000000000L
+    if (duck)
+      s"CAST((CAST(($wn) AS HUGEINT) * $d * 1000000000 + CAST(($wd) AS HUGEINT) * 536870912 + CAST(($wd) AS HUGEINT) * 1073741824 * $shiftE9) // (CAST(($wd) AS HUGEINT) * 1073741824) - $shiftE9 AS BIGINT)"
+    else
+      s"cast(((cast(($wn) as decimal(38,0)) * $d * 1000000000 + cast(($wd) as decimal(38,0)) * 536870912 + cast(($wd) as decimal(38,0)) * 1073741824 * $shiftE9) div (cast(($wd) as decimal(38,0)) * 1073741824)) - $shiftE9 as bigint)"
+  }
+
+  /** ⌊(n/nn)·log2(nn/n)·10⁶ + 0.5⌋ for integers 1 ≤ n ≤ nn — the
+    * per-symbol Shannon entropy contribution p·log2(1/p) of a symbol
+    * with count n out of nn, via [[log2e30]] with the final rational
+    * rounding done in 128-bit integer arithmetic (decimal(38,0) in
+    * Spark, HUGEINT in DuckDB — the q_holt_forecast wide-integer
+    * pattern), so no libm log2 and no double product anywhere.
+    * Exact floor((n·d·10⁶ + nn·2²⁹) / (nn·2³⁰)) with
+    * d = log2e30(nn) − log2e30(n) ≥ 0; all factors non-negative, so
+    * truncating and flooring division agree. Headroom:
+    * n·d·10⁶ ≤ n·63·2³⁰·10⁶ ≈ 6.8e22 at n = 10⁶ — far inside 38
+    * digits. */
+  private[operators] def entropyTermE6(n: String, nn: String,
+      duck: Boolean): String = {
+    val d = s"(${log2e30(nn, duck)} - ${log2e30(n, duck)})"
+    if (duck)
+      s"CAST((CAST(($n) AS HUGEINT) * $d * 1000000 + CAST(($nn) AS HUGEINT) * 536870912) // (CAST(($nn) AS HUGEINT) * 1073741824) AS BIGINT)"
+    else
+      s"cast((cast(($n) as decimal(38,0)) * $d * 1000000 + cast(($nn) as decimal(38,0)) * 536870912) div (cast(($nn) as decimal(38,0)) * 1073741824) as bigint)"
   }
 
   /** q_lm_quality: statistical language-model quality score — the
@@ -1897,21 +1954,31 @@ object Curation {
       .select(col("source"), col("ns"),
         coalesce(col("c"), lit(0L)).as("c"),
         coalesce(col("ca"), lit(0L)).as("ca"), col("na"))
-      .withColumn("pd", expr(
-        s"cast(c + 1 as double) / cast(ns + $DsirBuckets as double)"))
-      .withColumn("qd", expr(
-        s"cast(ca + 1 as double) / cast(na + $DsirBuckets as double)"))
-      .withColumn("kl_e9", expr(
-        "cast(floor(1000000000.0d * (pd * log2(pd / qd)) + 0.5d) as bigint)"))
-      .withColumn("hs_e9", expr(
-        "cast(floor(1000000000.0d * (-(pd) * log2(pd)) + 0.5d) as bigint)"))
-      .withColumn("hc_e9", expr(
-        "cast(floor(1000000000.0d * (-(pd) * log2(qd)) + 0.5d) as bigint)"))
+      // pd·log2(pd/qd) with pd = (c+1)/(ns+B), qd = (ca+1)/(na+B) —
+      // ratios of exact integers, so every term routes through the
+      // shift-and-square integer kernel (no libm log2 in either
+      // engine; Spark's log2 is ln/ln, DuckDB's is libm log2 — the
+      // composed-vs-direct pair is exactly the 1-ulp class that flips
+      // floor boundaries data-dependently)
+      .withColumn("kl_e9", expr(weightedLog2E9(
+        "c + 1", s"ns + $DsirBuckets",
+        Seq("c + 1", s"na + $DsirBuckets"),
+        Seq(s"ns + $DsirBuckets", "ca + 1"), duck = false)))
+      .withColumn("hs_e9", expr(weightedLog2E9(
+        "c + 1", s"ns + $DsirBuckets",
+        Seq(s"ns + $DsirBuckets"), Seq("c + 1"), duck = false)))
+      .withColumn("hc_e9", expr(weightedLog2E9(
+        "c + 1", s"ns + $DsirBuckets",
+        Seq(s"na + $DsirBuckets"), Seq("ca + 1"), duck = false)))
       .groupBy("source")
       .agg(max("ns").as("n_tok"), sum("kl_e9").as("kl9"),
         sum("hs_e9").as("hs9"), sum("hc_e9").as("hc9"))
       .select(col("source"), col("n_tok"),
-        expr("cast(kl9 div 1000 as bigint)").as("kl_e6"),
+        // kl9 is ≥ 0 up to per-term quantization (< 1 e9-unit each);
+        // pre-shift the e9→e6 floor onto non-negative ground so a
+        // quantization-negative total can't hit the div-vs-// parity
+        expr("cast((kl9 + 1000000000000000000) div 1000" +
+          " - 1000000000000000 as bigint)").as("kl_e6"),
         expr("cast(hs9 div 1000 as bigint)").as("h_self_e6"),
         expr("cast(hc9 div 1000 as bigint)").as("h_cross_e6"))
       .orderBy("source")
@@ -2491,8 +2558,15 @@ object Curation {
          |    (SELECT UNNEST(generate_series(0, ${DsirBuckets - 1})) AS b) g),
          |terms AS (
          |  SELECT source, ns,
-         |    CAST(c + 1 AS DOUBLE) / CAST(ns + $DsirBuckets AS DOUBLE) AS pd,
-         |    CAST(ca + 1 AS DOUBLE) / CAST(na + $DsirBuckets AS DOUBLE) AS qd
+         |    ${weightedLog2E9("c + 1", s"ns + $DsirBuckets",
+              Seq("c + 1", s"na + $DsirBuckets"),
+              Seq(s"ns + $DsirBuckets", "ca + 1"), duck = true)} AS kl_e9,
+         |    ${weightedLog2E9("c + 1", s"ns + $DsirBuckets",
+              Seq(s"ns + $DsirBuckets"), Seq("c + 1"),
+              duck = true)} AS hs_e9,
+         |    ${weightedLog2E9("c + 1", s"ns + $DsirBuckets",
+              Seq(s"na + $DsirBuckets"), Seq("ca + 1"),
+              duck = true)} AS hc_e9
          |  FROM (
          |    SELECT a.source, a.ns, COALESCE(cs.c, 0) AS c,
          |      COALESCE(m.ca, 0) AS ca, na
@@ -2501,12 +2575,10 @@ object Curation {
          |    LEFT JOIN mix m ON m.b = a.b
          |    CROSS JOIN n_all))
          |SELECT source, CAST(MAX(ns) AS BIGINT) AS n_tok,
-         |  CAST(CAST(SUM(CAST(floor(1000000000.0 * (pd * log2(pd / qd)) + 0.5)
-         |    AS BIGINT)) AS BIGINT) // 1000 AS BIGINT) AS kl_e6,
-         |  CAST(CAST(SUM(CAST(floor(1000000000.0 * (-(pd) * log2(pd)) + 0.5)
-         |    AS BIGINT)) AS BIGINT) // 1000 AS BIGINT) AS h_self_e6,
-         |  CAST(CAST(SUM(CAST(floor(1000000000.0 * (-(pd) * log2(qd)) + 0.5)
-         |    AS BIGINT)) AS BIGINT) // 1000 AS BIGINT) AS h_cross_e6
+         |  CAST((CAST(SUM(kl_e9) AS BIGINT) + 1000000000000000000) // 1000
+         |    - 1000000000000000 AS BIGINT) AS kl_e6,
+         |  CAST(CAST(SUM(hs_e9) AS BIGINT) // 1000 AS BIGINT) AS h_self_e6,
+         |  CAST(CAST(SUM(hc_e9) AS BIGINT) // 1000 AS BIGINT) AS h_cross_e6
          |FROM terms GROUP BY source ORDER BY source""".stripMargin,
     "q_dsir_weights" ->
       s"""WITH t AS (

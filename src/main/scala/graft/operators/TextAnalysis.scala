@@ -994,8 +994,11 @@ object TextAnalysis {
     * base64/binary junk. H = Σ_c (n_c/N)·log2(N/n_c) over the per-doc
     * character histogram.
     *
-    * Determinism (the q_lm_quality rule): each histogram term floors
-    * to an e6 INTEGER before the per-doc sum, so no cross-row double
+    * Determinism (the q_lm_quality rule): each histogram term is an
+    * e6 INTEGER from the shift-and-square kernel
+    * (Curation.entropyTermE6 — no libm log2 in either engine, so a
+    * 1-ulp transcendental disagreement can't flip a floor boundary
+    * data-dependently) before the per-doc sum, so no cross-row double
     * accumulation can go partition-order nondeterministic; the
     * corpus is ASCII so Spark's UTF-16 code-unit split and DuckDB's
     * codepoint split see identical characters.
@@ -1014,9 +1017,8 @@ object TextAnalysis {
     val byDoc = Window.partitionBy("doc_id")
     hist
       .withColumn("nn", sum("n").over(byDoc))
-      .withColumn("term_e6", floor(
-        col("n") * log2(col("nn").cast("double") / col("n")) / col("nn")
-          * 1e6 + 0.5).cast("long"))
+      .withColumn("term_e6",
+        expr(graft.operators.Curation.entropyTermE6("n", "nn", duck = false)))
       .groupBy("doc_id")
       .agg(max("nn").as("n_chars"),
         count(lit(1)).as("n_distinct"),
@@ -1110,8 +1112,11 @@ object TextAnalysis {
     * the two unigram counts by their natural keys (w1, w2 equi-joins —
     * the unigram table is dictionary-sized, broadcast at sandbox scale,
     * plain shuffle join when a 100 TB vocabulary outgrows broadcast);
-    * corpus totals are a 1-row cross join. One log₂ per surviving pair,
-    * floor-scaled to e6 (house float rule); the ≥ [[PmiMinPair]]
+    * corpus totals are a 1-row cross join. One SIGNED integer
+    * log-ratio per surviving pair (Curation.log2RatioSignedE6, three
+    * log terms per side — no libm log2 in either engine, so the
+    * ranked e6 floor can't flip on a 1-ulp transcendental
+    * disagreement); the ≥ [[PmiMinPair]]
     * support floor is standard (PMI of hapax pairs is noise) and keeps
     * the ranked result ∝ genuinely frequent pairs. Top-K is
     * TakeOrderedAndProject, never a global sort. */
@@ -1133,11 +1138,11 @@ object TextAnalysis {
       .join(unigrams.withColumnRenamed("w", "w1").withColumnRenamed("c1", "c1a"), Seq("w1"))
       .join(unigrams.withColumnRenamed("w", "w2").withColumnRenamed("c1", "c1b"), Seq("w2"))
       .crossJoin(broadcast(totals))
-      .withColumn("pmi_e6", floor(
-        log2(col("c2").cast("double") * col("t1").cast("double") *
-            col("t1").cast("double") /
-          (col("t2").cast("double") * col("c1a").cast("double") *
-            col("c1b").cast("double"))) * 1e6 + 0.5).cast("long"))
+      // signed integer log-ratio, three log terms per side (the
+      // q_dsir_weights kernel generalized) — no libm log2 in either
+      // engine's scoring path
+      .withColumn("pmi_e6", expr(graft.operators.Curation.log2RatioSignedE6(
+        Seq("c2", "t1", "t1"), Seq("t2", "c1a", "c1b"), duck = false)))
       .select(col("bg"), col("c2"), col("c1a"), col("c1b"), col("pmi_e6"))
       .orderBy(col("pmi_e6").desc, col("bg").asc)
       .limit(PmiTopK)
@@ -2045,15 +2050,18 @@ object TextAnalysis {
          |terms AS (
          |  SELECT doc_id, ch, n,
          |    CAST(SUM(n) OVER (PARTITION BY doc_id) AS BIGINT) AS nn
-         |  FROM hist)
+         |  FROM hist),
+         |te AS (
+         |  SELECT doc_id, nn,
+         |    ${graft.operators.Curation.entropyTermE6("n", "nn", duck = true)}
+         |      AS term_e6
+         |  FROM terms)
          |SELECT doc_id,
          |  MAX(nn) AS n_chars,
          |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
-         |  CAST(SUM(CAST(floor(n * log2(CAST(nn AS DOUBLE) / n) / nn * 1e6 + 0.5)
-         |    AS BIGINT)) AS BIGINT) AS ent_e6,
-         |  CAST(SUM(CAST(floor(n * log2(CAST(nn AS DOUBLE) / n) / nn * 1e6 + 0.5)
-         |    AS BIGINT)) AS BIGINT) < $EntropyAlarmE6 AS low_entropy
-         |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+         |  CAST(SUM(term_e6) AS BIGINT) AS ent_e6,
+         |  CAST(SUM(term_e6) AS BIGINT) < $EntropyAlarmE6 AS low_entropy
+         |FROM te GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Same value-histogram cumsum; bin(v) = (cum_lt · B) div n + 1.
     "q_quantile_bins" ->
       s"""WITH h AS (
@@ -2290,10 +2298,9 @@ object TextAnalysis {
          |  SELECT (SELECT CAST(SUM(c1) AS BIGINT) FROM uni) AS t1,
          |         (SELECT CAST(SUM(c2) AS BIGINT) FROM bi) AS t2)
          |SELECT bg, c2, a.c1 AS c1a, b.c1 AS c1b,
-         |  CAST(floor(log2(CAST(c2 AS DOUBLE) * CAST(t1 AS DOUBLE)
-         |      * CAST(t1 AS DOUBLE)
-         |    / (CAST(t2 AS DOUBLE) * CAST(a.c1 AS DOUBLE)
-         |      * CAST(b.c1 AS DOUBLE))) * 1e6 + 0.5) AS BIGINT) AS pmi_e6
+         |  ${graft.operators.Curation.log2RatioSignedE6(
+              Seq("c2", "t1", "t1"), Seq("t2", "a.c1", "b.c1"),
+              duck = true)} AS pmi_e6
          |FROM bi
          |JOIN uni a ON a.w1 = string_split(bg, ' ')[1]
          |JOIN uni b ON b.w1 = string_split(bg, ' ')[2]

@@ -2266,9 +2266,26 @@ class OperatorSpec extends SparkSpec {
       val hist = text.groupBy(identity).map(_._2.length.toLong)
       assert(n == text.length, s"doc $id n_chars")
       assert(dist == hist.size, s"doc $id n_distinct")
+      // exact local replay of the shift-and-square integer kernel
+      // (Curation.entropyTermE6): e·2^30 + 30 squaring-round fraction
+      // bits, then the 128-bit rational rounding — bit-for-bit, no
+      // float slack needed
+      def log2e30(x: Long): Long = {
+        val e = 63 - java.lang.Long.numberOfLeadingZeros(x)
+        var acc = (if (e >= 30) x >> (e - 30) else x << (30 - e)) << 30
+        for (_ <- 1 to 30) {
+          val m = acc >> 30
+          val mm = (m * m) >> 30
+          val f2 = (acc & 1073741823L) * 2
+          acc = if (mm >= 2147483648L) ((mm >> 1) << 30) + f2 + 1
+                else (mm << 30) + f2
+        }
+        (e.toLong << 30) + (acc & 1073741823L)
+      }
       val expected = hist.map { c =>
-        math.floor(
-          c * (math.log(n.toDouble / c) / math.log(2.0)) / n * 1e6 + 0.5).toLong
+        val d = BigInt(log2e30(n) - log2e30(c))
+        ((BigInt(c) * d * 1000000 + BigInt(n) * 536870912L) /
+          (BigInt(n) * 1073741824L)).toLong
       }.sum
       assert(ent == expected, s"doc $id entropy $ent != $expected")
       assert(r.getBoolean(4) == (ent < graft.operators.TextAnalysis.EntropyAlarmE6))

@@ -297,8 +297,18 @@ object Similarity {
     val n = Tables.embeddings(spark, dir).count()
     val p = if (planes > 0) planes else occupancyPlanes(n)
     val fan = if (radius >= 1) p + 1 else 1
-    n.toDouble * fan * tables * ForestTargetOccupancy > 8e6
+    n.toDouble * fan * tables * ForestTargetOccupancy > ForestSliceThreshold
   }
+
+  /** [[forestLarge]]'s expected-directed-pairs cut between the direct
+    * and the sliced/canonical scoring plans. Mutable and
+    * `private[graft]` ONLY so the suite can force the large path at
+    * sandbox scale and assert its row set equals the direct plan's
+    * (ForestSlicePathSpec) — production code never writes it. The 8M
+    * default sits a decade under the measured sf3 RAM cliff (70.5M
+    * directed pairs) and a decade over the sandbox bench scale
+    * (1.2M at sf0.1). */
+  @volatile private[graft] var ForestSliceThreshold: Double = 8e6
 
   /** Scoring slices for the vector-attachment joins: each slice
     * shuffles ~1/slices of the pairs-with-vectors frame, so peak
@@ -1073,7 +1083,12 @@ object Similarity {
     *
     * `quantizer = "kmeans"` routes to [[annIvfKmeans]] — the
     * integer-exact Lloyd-trained codebook, registered and
-    * hash-oracled in its own right as q_ann_ivf_kmeans. */
+    * hash-oracled in its own right as q_ann_ivf_kmeans. On that route
+    * the codebook size is FIXED by the Lloyd kernel's [[KmCells]]
+    * (shared with q_kmeans); `cells` applies only to the seeded
+    * codebook, and an explicit non-default `cells` with
+    * quantizer=kmeans is rejected with IllegalArgumentException
+    * rather than silently ignored. */
   /** Fixed codebook: the `cells` corpus vectors ranked first by
     * md5(vec_id) — a deterministic pseudo-random sample (bounded
     * collect: cells × dims doubles). Shared by the IVF and SemDeDup
@@ -1090,7 +1105,16 @@ object Similarity {
 
   def annIvfCosine(spark: SparkSession, dir: String, cells: Int = IvfCells,
       nprobe: Int = IvfNprobe, quantizer: String = "seeded"): DataFrame = {
-    if (quantizer == "kmeans") return annIvfKmeans(spark, dir, nprobe)
+    if (quantizer == "kmeans") {
+      // the trained quantizer's codebook size is fixed by the Lloyd
+      // kernel's KmCells (shared with q_kmeans); honoring an arbitrary
+      // `cells` here would silently hand back a different codebook
+      // than requested — reject loudly instead (r13 ADVICE)
+      require(cells == IvfCells || cells == KmCells,
+        s"quantizer=kmeans trains a fixed $KmCells-cell codebook " +
+          s"(KmCells); cells=$cells cannot be honored on this route")
+      return annIvfKmeans(spark, dir, nprobe)
+    }
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm2", dot(col("v"), col("v")))
@@ -1516,21 +1540,41 @@ object Similarity {
     * the global winner is chunk-assignment-independent). */
   private[graft] val SemDecontamChunks = 8
 
+  /** Eval-suite size ceiling for [[semDecontamEvalAgg]] — the
+    * broadcast CONTRACT, not a tuning dial: the chunk fan distributes
+    * the suite across buffers/fields but total broadcast volume is
+    * still ∝ |eval|. 2¹⁸ 64-dim doubles ≈ 140 MB serialized — inside
+    * every executor's broadcast comfort zone and far above any real
+    * benchmark suite (MMLU+GSM8K+HumanEval+BBH ≈ 2·10⁴ items). */
+  private[graft] val SemDecontamEvalMax = 262144L
+
   /** The ONE-row eval-suite aggregate, CHUNKED into
     * [[SemDecontamChunks]] id-hashed struct-array cells ev0..ev7
     * (id, vector, norm; id-sorted within each cell for a stable
     * broadcast payload) — loaded batch-side and broadcast into both
     * the batch query and the q_stream_sem_decontam scorer. One row,
     * but no single aggregation buffer or serialized field carries
-    * more than ~1/chunks of the suite. */
+    * more than ~1/chunks of the suite. The suite must be benchmark-
+    * sized: at most [[SemDecontamEvalMax]] vectors (a real eval suite
+    * is a fixed constant; the synthetic generator's |emb|/50 scaling
+    * is a sandbox artifact) — a larger suite fails LOUDLY here, at
+    * plan-build time, instead of OOMing an executor mid-broadcast;
+    * the remedy is sharding the suite across several passes or
+    * routing through the forest candidate path. */
   private[graft] def semDecontamEvalAgg(emb: DataFrame): DataFrame = {
+    val ev = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val nEval = ev.count() // eval-side scan only — cheap next to the
+                           // |corpus|·|eval| scoring it guards
+    require(nEval <= SemDecontamEvalMax,
+      s"semantic-decontam eval suite has $nEval vectors, over the " +
+        s"$SemDecontamEvalMax broadcast ceiling (SemDecontamEvalMax); " +
+        "shard the suite across passes or use the forest candidate path")
     val cells = (0 until SemDecontamChunks).map(c =>
       sort_array(collect_list(when(
         pmod(xxhash64(col("vec_id")), lit(SemDecontamChunks.toLong)) === c,
         col("s")))).as(s"ev$c"))
-    emb.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    ev.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
       .select(col("vec_id"), struct(col("vec_id").as("eid"),
         col("v").as("ev"), col("nrm").as("enrm")).as("s"))
       .agg(cells.head, cells.tail: _*)

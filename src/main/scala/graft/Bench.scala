@@ -39,7 +39,14 @@ object Bench {
     val loadStart = loadavg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val spark = Sessions.local(cpus, "graft-bench")
+    // SPARK_GRAFT_RECYCLE=N restarts the SparkSession every N queries —
+    // OFF by default here (restart cost would smear into cold timings
+    // and break round-over-round comparability at sandbox scale), ON
+    // for heavy-SF batteries where accumulated localCheckpoint blocks
+    // wedge a long session (the r13 sf3 finding; graft.Verify defaults
+    // it to 40).
+    val recycleEvery = sys.env.getOrElse("SPARK_GRAFT_RECYCLE", "0").toInt
+    var spark = Sessions.local(cpus, "graft-bench")
     spark.sparkContext.setLogLevel("WARN")
     // warm up the session (parquet footers, codegen compiler, shuffle
     // machinery) so the first timed query doesn't absorb JVM init.
@@ -77,7 +84,24 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, ok)
     }
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    var sinceRecycle = 0
     val results = named.map { case (name, fn) =>
+      // hygiene BETWEEN queries, never between a query's own runs:
+      // drop the previous query's localCheckpoint blocks (untimed —
+      // they are its private intermediates, not shared state), and
+      // recycle the session on the configured cadence
+      try {
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        spark.catalog.clearCache()
+      } catch { case _: Throwable => () }
+      if (recycleEvery > 0 && sinceRecycle >= recycleEvery) {
+        spark.stop()
+        spark = Sessions.local(cpus, "graft-bench")
+        spark.sparkContext.setLogLevel("WARN")
+        sinceRecycle = 0
+      }
+      sinceRecycle += 1
       val (cold, ok) = timeOne(name, fn)
       // warm figure = best of the reruns; a rerun that fails must not
       // pass its time-to-failure off as a stable timing — fall back to

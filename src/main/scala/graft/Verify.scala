@@ -12,9 +12,21 @@ object Verify {
     val unknown = only -- SparkEntry.queries.keySet
     require(unknown.isEmpty, s"unknown query name(s): ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
-    val spark = Sessions.local(cpus, "graft-verify")
+    // Long batteries accumulate localCheckpoint blocks across queries
+    // (each query's checkpoints are correct for its own latency, but a
+    // 300-query session hoards them until the store wedges — the r13
+    // sf3 finding: query 14 of a heavy 15-query run stalled on
+    // checkpoint writes a fresh JVM absorbed in minutes). Two-level
+    // hygiene: drop persisted blocks after EVERY query, and recycle
+    // the whole SparkSession every SPARK_GRAFT_RECYCLE queries
+    // (default 40; 0 disables) so executor/driver heaps, shuffle
+    // dirs, and the block manager restart from zero ~8 times per
+    // full battery at a cost of ~1-2 s each.
+    val recycleEvery = sys.env.getOrElse("SPARK_GRAFT_RECYCLE", "40").toInt
+    var spark = Sessions.local(cpus, "graft-verify")
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var sinceRecycle = 0
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -22,6 +34,19 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+      // release this query's localCheckpoint blocks + cached plans
+      try {
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        spark.catalog.clearCache()
+      } catch { case _: Throwable => () }
+      sinceRecycle += 1
+      if (recycleEvery > 0 && sinceRecycle >= recycleEvery) {
+        spark.stop()
+        spark = Sessions.local(cpus, "graft-verify")
+        spark.sparkContext.setLogLevel("WARN")
+        sinceRecycle = 0
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -132,6 +132,72 @@ def main():
                     return False
             nrows += len(g)
 
+    def compare_chunked(name, got_path, oracle_sql, t_start, n_big):
+        """Ids-first hash-sliced compare for results too large even to
+        ORDER BY once (q_auto_match at sf3: ~800M rows needs >68 GB of
+        sort spill). The oracle is materialized ONCE to parquet with a
+        plain COPY (streaming, no global sort), then both sides are
+        compared in hash(non-float cols) % K slices — each slice sorts
+        ~CHECK_CHUNK_ROWS rows, bounding sort memory by slice width
+        instead of result size. Float columns never enter the slicing
+        hash (a sub-atol bit diff must not route the two sides' row to
+        different slices); they are compared within the slice at the
+        usual atol."""
+        got_rel = f"SELECT * FROM '{got_path}'"
+        probe = con.sql(got_rel + " LIMIT 0").df()
+        cols = sorted(probe.columns)
+        hash_cols = [c for c in cols if probe[c].dtype.kind != "f"]
+        if not hash_cols:  # nothing stable to slice on
+            return compare_streamed(name, got_path, oracle_sql, t_start)
+        exp_path = f"{spill}/{name}_exp.parquet"
+        con.execute(f"COPY ({oracle_sql}) TO '{exp_path}' (FORMAT PARQUET)")
+        n_exp = con.execute(
+            f"SELECT COUNT(*) FROM '{exp_path}'").fetchone()[0]
+        if n_exp != n_big:
+            print(f"FAIL {name}: rows {n_big} != {n_exp}")
+            os.unlink(exp_path)
+            return False
+        per = int(os.environ.get("CHECK_CHUNK_ROWS", "8000000"))
+        k_slices = max(1, (n_big + per - 1) // per)
+        def okey(c):
+            return f"round({c}, 6)" if probe[c].dtype.kind == "f" else c
+        sel = ", ".join(cols)
+        order = ", ".join(okey(c) for c in cols)
+        pred_cols = ", ".join(hash_cols)
+        nrows = 0
+        try:
+            for k in range(k_slices):
+                pred = f"hash({pred_cols}) % {k_slices} = {k}"
+                g = con.sql(f"SELECT {sel} FROM '{got_path}' "
+                            f"WHERE {pred} ORDER BY {order}").df()
+                e = con.sql(f"SELECT {sel} FROM '{exp_path}' "
+                            f"WHERE {pred} ORDER BY {order}").df()
+                if len(g) != len(e):
+                    print(f"FAIL {name}: slice {k}/{k_slices} rows "
+                          f"{len(g)} != {len(e)}")
+                    return False
+                for c in cols:
+                    gv, ev = g[c].values, e[c].values
+                    if np.issubdtype(g[c].dtype, np.floating):
+                        neq = ~(np.isclose(gv.astype(float), ev.astype(float),
+                                           rtol=0, atol=1e-9)
+                                | (pd.isna(gv) & pd.isna(ev)))
+                    else:
+                        neq = np.array(
+                            [str(a) != str(b) for a, b in zip(gv, ev)])
+                    if neq.any():
+                        i = int(np.argmax(neq))
+                        print(f"FAIL {name}: col {c} differs in slice {k} "
+                              f"at row {i}: got={gv[i]!r} exp={ev[i]!r}")
+                        return False
+                nrows += len(g)
+            print(f"PASS {name}: {nrows} rows (chunked x{k_slices}, "
+                  f"{time.time() - t_start:.1f}s)", flush=True)
+            return True
+        finally:
+            try: os.unlink(exp_path)
+            except OSError: pass
+
     for name in results:
         if only and name not in only:
             continue
@@ -139,6 +205,13 @@ def main():
         if name in oracle:
             n_big = con.execute(
                 f"SELECT COUNT(*) FROM '{outdir}/{name}/*.parquet'").fetchone()[0]
+            if n_big > 150_000_000 or (n_big > 20_000_000 and
+                                       os.environ.get("CHECK_CHUNKED")):
+                ok = compare_chunked(name, f"{outdir}/{name}/*.parquet",
+                                     oracle[name], t_start, n_big)
+                if ok: npass += 1
+                else: nfail += 1
+                continue
             if n_big > 20_000_000:
                 ok = compare_streamed(name, f"{outdir}/{name}/*.parquet",
                                       oracle[name], t_start)

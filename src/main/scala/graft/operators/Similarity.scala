@@ -310,6 +310,40 @@ object Similarity {
     * (1.2M at sf0.1). */
   @volatile private[graft] var ForestSliceThreshold: Double = 8e6
 
+  /** Measured (directed candidates, build wall s, score wall s) for
+    * THIS corpus — the graft.ForestCost harness probe behind the r13
+    * verdict's exponent-methodology item: the candidate BUILD
+    * (probe join + canonical dedup) times separately from the
+    * vector-attach SCORING stage, so scale-rung comparisons can state
+    * the scoring exponent against measured CANDIDATES, not rows — the
+    * ceil-log₂ occupancy sawtooth moves candidate volume ×5 between
+    * rungs by construction, and only cost-per-candidate flatness is
+    * the engine's claim. Uses the same plan pieces as the registered
+    * queries (forestPairsCanonical → slicedScore with the canonical
+    * mirror), so the number measured IS the production stage. */
+  private[graft] def forestScoreCost(spark: SparkSession,
+      dir: String): (Long, Double, Double) = {
+    val emb = Tables.widened(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val a = emb.select(col("vec_id").as("id_a"), col("v").as("va"),
+      col("nrm").as("na"))
+    val b = emb.select(col("vec_id").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    val cos = dot(col("va"), col("vb")) / (col("na") * col("nb"))
+    val t0 = System.nanoTime()
+    val pairs = forestPairsCanonical(spark, dir).localCheckpoint()
+    val nCanon = pairs.count()
+    val t1 = System.nanoTime()
+    val half = slicedScore(pairs, a, b, cos, "cos_raw")
+    val scored = half.union(half.select(col("id_b").as("id_a"),
+      col("id_a").as("id_b"), col("cos_raw")))
+    val nDirected = scored.count()
+    val t2 = System.nanoTime()
+    pairs.unpersist(blocking = false)
+    (nDirected, (t1 - t0) / 1e9, (t2 - t1) / 1e9)
+  }
+
   /** Scoring slices for the vector-attachment joins: each slice
     * shuffles ~1/slices of the pairs-with-vectors frame, so peak
     * memory per join stage is bounded by slice width, not candidate

@@ -121,3 +121,113 @@ object HeavyHitters {
       HeavyHitters(org.apache.spark.sql.graft.ColumnBridge.expression(c), capacity, k)
         .toAggregateExpression())
 }
+
+/** Bounded top-k edge state: the k best (score, id) pairs under
+  * (score DESC, id ASC), kept sorted best-first. O(k) memory per
+  * group regardless of group size — the partial-aggregation
+  * replacement for a row_number window's full per-partition sort. */
+final class TopEdgesState(val k: Int) {
+  val buf: mutable.ArrayBuffer[(Double, Long)] = mutable.ArrayBuffer.empty
+
+  /** Total order matching Spark's SQL sort on (score DESC, id ASC):
+    * NaN sorts as the LARGEST double (java.lang.Double.compare) and
+    * -0.0 normalizes to 0.0 (Spark's NormalizeFloatingNumbers — a
+    * raw Double.compare would order -0.0 < 0.0 and could flip a
+    * boundary edge the window formulation kept). Returns < 0 when
+    * (s1,i1) ranks strictly better. */
+  @inline private def cmp(s1: Double, i1: Long, s2: Double, i2: Long): Int = {
+    val a = if (s1 == 0.0d) 0.0d else s1
+    val b = if (s2 == 0.0d) 0.0d else s2
+    val c = java.lang.Double.compare(b, a) // DESC
+    if (c != 0) c else java.lang.Long.compare(i1, i2)
+  }
+
+  def add(s: Double, id: Long): Unit = {
+    if (buf.size == k &&
+        cmp(s, id, buf.last._1, buf.last._2) >= 0) return
+    var i = buf.size
+    while (i > 0 && cmp(s, id, buf(i - 1)._1, buf(i - 1)._2) < 0) i -= 1
+    buf.insert(i, (s, id))
+    if (buf.size > k) buf.remove(buf.size - 1)
+  }
+
+  def mergeIn(other: TopEdgesState): Unit =
+    other.buf.foreach { case (s, id) => add(s, id) }
+}
+
+/** `top_edges(id, score, k)` — per-group top-k neighbors by
+  * (score DESC, id ASC) as a native TypedImperativeAggregate: map-side
+  * partial aggregation keeps O(k) state per group, so the |group|·k
+  * result never pays the row_number window's full sort-and-shuffle of
+  * every scored candidate row. Returns array<struct<id,s>> best-first
+  * (array index + 1 = the window's rank, identical tie order). */
+case class TopEdges(
+    idChild: Expression,
+    scoreChild: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopEdgesState] {
+
+  override def children: Seq[Expression] = Seq(idChild, scoreChild)
+  override def nullable: Boolean = false
+  override def dataType: DataType = TopEdges.resultType
+
+  override def createAggregationBuffer(): TopEdgesState = new TopEdgesState(k)
+
+  override def update(buf: TopEdgesState, row: InternalRow): TopEdgesState = {
+    val id = idChild.eval(row)
+    val s = scoreChild.eval(row)
+    if (id != null && s != null)
+      buf.add(s.asInstanceOf[Double], id.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: TopEdgesState, other: TopEdgesState): TopEdgesState = {
+    buf.mergeIn(other); buf
+  }
+
+  override def eval(buf: TopEdgesState): Any =
+    new GenericArrayData(
+      buf.buf.map { case (s, id) => InternalRow(id, s) }.toArray[Any])
+
+  override def serialize(buf: TopEdgesState): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.k)
+    out.writeInt(buf.buf.size)
+    buf.buf.foreach { case (s, id) => out.writeDouble(s); out.writeLong(id) }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopEdgesState = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val st = new TopEdgesState(in.readInt())
+    val n = in.readInt()
+    (0 until n).foreach { _ =>
+      val s = in.readDouble(); val id = in.readLong()
+      st.buf.append((s, id)) // serialized in sorted order
+    }
+    st
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): TopEdges =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopEdges =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): TopEdges =
+    copy(idChild = cs(0), scoreChild = cs(1))
+}
+
+object TopEdges {
+  val resultType: DataType = ArrayType(StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("s", DoubleType, nullable = false))), containsNull = false)
+
+  def topEdges(id: Column, score: Column, k: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      TopEdges(
+        org.apache.spark.sql.graft.ColumnBridge.expression(id),
+        org.apache.spark.sql.graft.ColumnBridge.expression(score), k)
+        .toAggregateExpression())
+}

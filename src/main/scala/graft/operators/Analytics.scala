@@ -2095,15 +2095,34 @@ object Analytics {
     * with the catalog). The shape ALS would replace only when
     * latent-factor generalization is needed. */
   def copurchase(spark: SparkSession, dir: String): DataFrame = {
-    val bp = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val freq = bp.groupBy("l_partkey").agg(count(lit(1)).as("n_solo"))
-    val pairs = bp.as("a").join(bp.as("b"), Seq("l_orderkey"))
-      .filter(col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+    // per-order part sets collect ONCE (collect_set dedups map-side);
+    // the ≤ basket² canonical pair fan-out expands inside a per-row
+    // array expression — vs the previous distinct → self-join →
+    // pair-agg chain this drops two exchanges and the join while
+    // producing the identical (order, pair) occurrence multiset
+    val sets = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy("l_orderkey")
+      .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+      .localCheckpoint() // two readers: part frequencies + pair counts
+    val freq = sets.select(explode(col("ps")).as("l_partkey"))
+      .groupBy("l_partkey").agg(count(lit(1)).as("n_solo"))
+    val pairs = sets.filter(size(col("ps")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps) - i - 1), y ->
+          |    struct(x AS part_a, y AS part_b))))"""
+          .stripMargin.replace('\n', ' '))).as("e"))
+      .groupBy(col("e.part_a").as("part_a"), col("e.part_b").as("part_b"))
       .agg(count(lit(1)).as("n_ab"))
-    val sym = pairs.unionByName(pairs.select(
-      col("part_b").as("part_a"), col("part_a").as("part_b"), col("n_ab")))
+    // map-side mirror (2 rows per canonical pair) — a union of two
+    // reads of the pair aggregate would run its final agg twice
+    val sym = pairs.select(explode(array(
+        struct(col("part_a"), col("part_b"), col("n_ab")),
+        struct(col("part_b").as("part_a"), col("part_a").as("part_b"),
+          col("n_ab")))).as("e"))
+      .select(col("e.part_a").as("part_a"), col("e.part_b").as("part_b"),
+        col("e.n_ab").as("n_ab"))
     val w = Window.partitionBy("part_a")
       .orderBy(col("cos2_e6").desc, col("n_ab").desc, col("part_b").asc)
     sym
@@ -2833,11 +2852,17 @@ object Analytics {
     * pair(s).
     *
     * Scale shape: the series collapses to one point per (part, day)
-    * FIRST (two-phase agg), so the pairwise expansion is per-part
-    * over its distinct price days — lines-per-part is a catalog
-    * constant in a TPC-H-shaped corpus (fan-out ≈ days²/2 per part,
-    * never corpus²); the median window partitions on l_partkey
-    * (catalog cardinality — parallelism grows with the catalog). */
+    * FIRST (two-phase agg), then each part's whole median computes
+    * INSIDE one projection over its collected (day, cents) series —
+    * the pairwise expansion (fan-out ≈ days²/2 per part, never
+    * corpus²) lives in a per-row array expression bounded by the
+    * calendar axis (a catalog constant), so the plan is two
+    * aggregations and zero joins/windows: no pair row ever shuffles
+    * and the series shuffle is ∝ distinct (part, day) points. The
+    * median rank math is unchanged from the windowed formulation —
+    * rank by (slope, d1, d2), middle rank(s), truncating-div average
+    * — and slopes alone sort identically for the selected VALUES
+    * (tie-broken ranks permute only equal slopes). */
   def theilSen(spark: SparkSession, dir: String): DataFrame = {
     val pts = Tables.lineitem(spark, dir)
       .select(col("l_partkey"),
@@ -2846,28 +2871,24 @@ object Analytics {
         floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
       .groupBy("l_partkey", "day")
       .agg(min("cents").as("cents")) // pinned per-day representative
-    val days = pts.groupBy("l_partkey").agg(count(lit(1)).as("n_days"))
-      .filter(col("n_days") >= TheilSenMinDays)
-    val p = pts.join(days.select("l_partkey"), Seq("l_partkey"))
-    val pairs = p.as("a").join(p.as("b"), Seq("l_partkey"))
-      .filter(col("a.day") < col("b.day"))
+    pts.groupBy("l_partkey")
+      // day is unique per part, so the struct sort orders by day
+      .agg(array_sort(collect_list(struct(col("day"), col("cents"))))
+        .as("ds"))
+      .filter(size(col("ds")) >= TheilSenMinDays)
+      .withColumn("slopes", expr(
+        """array_sort(flatten(transform(ds, (a, i) ->
+          |  transform(slice(ds, i + 2, size(ds) - i - 1), b ->
+          |    ((b.cents - a.cents) * 1000000) div (b.day - a.day)))))"""
+          .stripMargin.replace('\n', ' ')))
       .select(col("l_partkey"),
-        col("a.day").as("d1"), col("b.day").as("d2"),
-        col("a.cents").as("c1"), col("b.cents").as("c2"))
-      .withColumn("slope_e6", expr("((c2 - c1) * 1000000) div (d2 - d1)"))
-    val w = Window.partitionBy("l_partkey")
-      .orderBy(col("slope_e6").asc, col("d1").asc, col("d2").asc)
-    pairs
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n_pairs",
-        count(lit(1)).over(Window.partitionBy("l_partkey")))
-      .filter(col("rn") === expr("(n_pairs + 1) div 2") ||
-        col("rn") === expr("(n_pairs + 2) div 2"))
-      .groupBy("l_partkey", "n_pairs")
-      .agg(expr("sum(slope_e6) div count(1)").as("ts_slope_e6"))
-      .join(days, Seq("l_partkey"))
-      .select(col("l_partkey"), col("n_days"),
-        col("n_pairs").cast("long").as("n_pairs"), col("ts_slope_e6"))
+        size(col("ds")).cast("long").as("n_days"),
+        size(col("slopes")).cast("long").as("n_pairs"),
+        // middle rank(s): odd n → (2s) div 2 = s exactly; even n →
+        // (s1+s2) div 2, the windowed sum-div-count semantics verbatim
+        expr("""(element_at(slopes, cast((size(slopes) + 1) div 2 as int))
+          | + element_at(slopes, cast((size(slopes) + 2) div 2 as int)))
+          | div 2""".stripMargin.replace('\n', ' ')).as("ts_slope_e6"))
       .orderBy("l_partkey")
   }
 
@@ -5526,19 +5547,35 @@ object Analytics {
     * train ownership; the verdict is two 1-row aggregates broadcast
     * together. Ranks share q_copurchase's pinned total order. */
   def recsEval(spark: SparkSession, dir: String): DataFrame = {
-    val bp = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-      .localCheckpoint() // train neighbors + test pairs share it
+    // per-order part sets collect ONCE (the q_copurchase shape): the
+    // distinct → self-join → pair-agg chain becomes one agg + map-side
+    // canonical expansion; train/test split filters the SETS frame
+    val sets = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy("l_orderkey")
+      .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+      .localCheckpoint() // train neighbors + ownership + test share it
     val ords = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_custkey"))
-    val bpT = bp.filter(col("l_orderkey") % 2 === 0)
-    val freq = bpT.groupBy("l_partkey").agg(count(lit(1)).as("n_solo"))
-    val pairs = bpT.as("a").join(bpT.as("b"), Seq("l_orderkey"))
-      .filter(col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+    val setsT = sets.filter(col("l_orderkey") % 2 === 0)
+    val freq = setsT.select(explode(col("ps")).as("l_partkey"))
+      .groupBy("l_partkey").agg(count(lit(1)).as("n_solo"))
+    val pairs = setsT.filter(size(col("ps")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps) - i - 1), y ->
+          |    struct(x AS part_a, y AS part_b))))"""
+          .stripMargin.replace('\n', ' '))).as("e"))
+      .groupBy(col("e.part_a").as("part_a"), col("e.part_b").as("part_b"))
       .agg(count(lit(1)).as("n_ab"))
-    val sym = pairs.unionByName(pairs.select(
-      col("part_b").as("part_a"), col("part_a").as("part_b"), col("n_ab")))
+    // map-side mirror (2 rows per canonical pair) — a union of two
+    // reads of the pair aggregate would run its final agg twice
+    val sym = pairs.select(explode(array(
+        struct(col("part_a"), col("part_b"), col("n_ab")),
+        struct(col("part_b").as("part_a"), col("part_a").as("part_b"),
+          col("n_ab")))).as("e"))
+      .select(col("e.part_a").as("part_a"), col("e.part_b").as("part_b"),
+        col("e.n_ab").as("n_ab"))
     val wNb = Window.partitionBy("part_a")
       .orderBy(col("cos2_e6").desc, col("n_ab").desc, col("part_b").asc)
     val nbrs = sym
@@ -5553,7 +5590,9 @@ object Analytics {
       .withColumn("rnk", row_number().over(wNb))
       .filter(col("rnk") <= 3)
       .select("part_a", "part_b", "cos2_e6")
-    val ownedT = ords.join(bpT, col("o_orderkey") === col("l_orderkey"))
+    val ownedT = ords.join(
+        setsT.select(col("l_orderkey"), explode(col("ps")).as("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey"), col("l_partkey").as("part")).distinct()
       .localCheckpoint() // votes + exclusion + test anti-join share it
     val cand = ownedT.join(nbrs, col("part") === col("part_a"))
@@ -5568,7 +5607,8 @@ object Analytics {
       .filter(col("rnk") <= 3)
       .select(col("o_custkey"), col("part_b").as("part"))
     val testPairs = ords.filter(col("o_orderkey") % 2 === 1)
-      .join(bp.filter(col("l_orderkey") % 2 === 1),
+      .join(sets.filter(col("l_orderkey") % 2 === 1)
+          .select(col("l_orderkey"), explode(col("ps")).as("l_partkey")),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey"), col("l_partkey").as("part")).distinct()
       .join(ownedT, Seq("o_custkey", "part"), "left_anti")

@@ -38,15 +38,35 @@ object Graph {
     * rounds as nested CTEs — recursion-free, so it runs on any engine
     * that bans aggregates in recursive terms. */
   /** Directed co-order edge set (both directions) — shared by
-    * [[pagerank]] and [[degreeDist]]. */
+    * [[pagerank]] and [[degreeDist]].
+    *
+    * Shape: per-order part sets collect in ONE two-phase agg
+    * (collect_set dedups map-side), the ≤ lines-per-order² pair
+    * fan-out expands INSIDE a per-row array expression in CANONICAL
+    * orientation (src < dst), the corpus-wide dedup runs on that
+    * halved volume, and the directed view mirrors afterwards — vs the
+    * previous distinct → self-join → full-volume distinct (4
+    * exchanges + a join) this is 2 exchanges and half the dedup
+    * state, with the identical edge SET out. */
   private def coOrderEdges(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    pairs.as("a")
-      .join(pairs.as("b"), "l_orderkey")
-      .filter(col("a.l_partkey") =!= col("b.l_partkey"))
-      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+    val canon = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy("l_orderkey")
+      .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+      .filter(size(col("ps")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps) - i - 1), y ->
+          |    struct(x AS src, y AS dst))))"""
+          .stripMargin.replace('\n', ' '))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
+    // map-side mirror (2 rows per canonical edge) — a union of two
+    // reads of the distinct would run its final aggregate twice
+    canon.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
   }
 
   /** q_degree_dist: the log₂-binned degree distribution of the
@@ -164,7 +184,10 @@ object Graph {
       .select(col("src").as("node"), lit(0L).as("dist"))
     var reach = seeds.localCheckpoint()
     (1 to BfsRounds).foreach { k =>
-      reach = reach.join(edges, reach("node") === edges("src"))
+      // build side = the node-sized frontier (see kcore's note on the
+      // checkpointed edge list's unreliable size estimate)
+      reach = reach.hint("shuffle_hash")
+        .join(edges, reach("node") === edges("src"))
         .select(col("dst").as("node"), lit(k.toLong).as("dist"))
         .union(reach)
         .groupBy("node").agg(min("dist").as("dist"))
@@ -266,9 +289,13 @@ object Graph {
   def assortativity(spark: SparkSession, dir: String): DataFrame = {
     val edges = coOrderEdges(spark, dir)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    // build side = the node-sized degree table (see kcore's note on
+    // the edge list's unreliable size estimate)
     val stats = edges
-      .join(deg.select(col("src"), col("deg").as("dx")), "src")
-      .join(deg.select(col("src").as("dst"), col("deg").as("dy")), "dst")
+      .join(deg.select(col("src"), col("deg").as("dx"))
+        .hint("shuffle_hash"), "src")
+      .join(deg.select(col("src").as("dst"), col("deg").as("dy"))
+        .hint("shuffle_hash"), "dst")
       .agg(count(lit(1)).as("m"),
         sum("dx").as("sx"), sum("dy").as("sy"),
         sum(expr("cast(dx as decimal(38,0)) * dy")).as("sxy"),
@@ -348,11 +375,18 @@ object Graph {
     var r = 1
     var drained = false
     while (r <= KcoreRounds && !drained) {
+      // shuffle_hash with the node-sized alive set as build side — a
+      // DELIBERATE strategy (guide §3.1): the checkpointed edge list's
+      // size estimate is unreliable (LogicalRDD inherits the original
+      // plan's estimate), and an estimate-driven planner here chose to
+      // BROADCAST the edge set every round (measured 4.5 s/round at
+      // sf0.1 vs 2.2 s with SHJ); alive is ∝ nodes and hash-builds per
+      // partition, spill-safe at any scale
       alive = edges
-        .join(alive.select(col("frac"), col("k"), col("node").as("src")),
-          "src")
-        .join(alive.select(col("frac"), col("node").as("dst")),
-          Seq("frac", "dst"))
+        .join(alive.select(col("frac"), col("k"), col("node").as("src"))
+          .hint("shuffle_hash"), "src")
+        .join(alive.select(col("frac"), col("node").as("dst"))
+          .hint("shuffle_hash"), Seq("frac", "dst"))
         .groupBy("frac", "k", "src").agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") >= col("k"))
         .select(col("frac"), col("k"), col("src").as("node"))
@@ -453,7 +487,9 @@ object Graph {
     (1 to LpaRounds).foreach { _ =>
       val w = Window.partitionBy("dst")
         .orderBy(col("cnt").desc, col("label").asc)
-      lab = edges.join(lab, edges("src") === lab("node"))
+      // build side = the node-sized label table (see kcore's note on
+      // the checkpointed edge list's unreliable size estimate)
+      lab = edges.join(lab.hint("shuffle_hash"), edges("src") === lab("node"))
         .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") === 1)

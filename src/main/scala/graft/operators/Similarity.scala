@@ -190,14 +190,23 @@ object Similarity {
     * candidate-fed ([[knnGraphApprox]]) graph builds: per-node top-k
     * by cosine, directed halves met in an equi-join on the edge key. */
   /** Per-node directed top-k by cosine (|nodes|·k rows, checkpointed
-    * — the neighbor-list substrate mutualEdges and [[lof]] read). */
-  private def directedTopK(scored: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy("id_a")
-      .orderBy(col("cos_raw").desc, col("id_b").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    * — the neighbor-list substrate mutualEdges and [[lof]] read).
+    * Shape: the bounded [[graft.functions.TopEdges]] aggregate keeps
+    * O(k) state per node with MAP-SIDE partial aggregation, so the
+    * full scored-candidate volume (all-pairs for the exact family,
+    * forest candidates for the approx one) is cut to |nodes|·k before
+    * it ever shuffles — where the previous row_number window sorted
+    * and shuffled every scored row. Identical rank semantics:
+    * (cos_raw DESC, id_b ASC), array position + 1 = rank. */
+  private def directedTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("id_a")
+      .agg(graft.functions.TopEdges
+        .topEdges(col("id_b"), col("cos_raw"), k).as("tops"))
+      .select(col("id_a"), posexplode(col("tops")))
+      .select(col("id_a"), col("col.id").as("id_b"),
+        col("col.s").as("cos_raw"),
+        (col("pos") + 1).cast("int").as("rank"))
       .localCheckpoint()
-  }
 
   private def mutualEdges(scored: DataFrame, k: Int): DataFrame = {
     // consumed by both directions of the mutual join

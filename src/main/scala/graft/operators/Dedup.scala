@@ -592,7 +592,9 @@ object Dedup {
     * two-phase count on (docA, docB, diag). Runs shorter than
     * [[SubstrMinRun]] are noise and dropped. */
   def substrDup(spark: SparkSession, dir: String): DataFrame = {
-    val grams = Tables.documents(spark, dir)
+    // widened: per-position md5 over every word window — the winnowFp
+    // note applies (single-row-group scan serializes the map phase)
+    val grams = Tables.widened(Tables.documents(spark, dir))
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= SubstrK)
       .select(col("doc_id"), posexplode(transform(
@@ -662,7 +664,10 @@ object Dedup {
     * wins, ties resolve to the larger position via the inverted
     * (2²⁰ − i) low field — both engines compute the identical long. */
   def winnowFp(spark: SparkSession, dir: String): DataFrame = {
-    val census = Tables.documents(spark, dir)
+    // widened: the per-position md5 array is the heaviest map in the
+    // dedup family, and a single-row-group scan serializes it on one
+    // task (measured 3.3 s → 0.6 s for the gram pass at sf0.1)
+    val census = Tables.widened(Tables.documents(spark, dir))
       .filter(length(col("text")) >= WinnowK + WinnowW - 1)
       // packed gram-hash array built ONCE per doc (each position is
       // hashed exactly once; windows then slice the array)

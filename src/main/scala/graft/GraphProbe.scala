@@ -1,65 +1,62 @@
 package graft
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types.DecimalType
 import graft.sources.Tables
+import graft.operators.Similarity
 
 object GraphProbe {
   def main(args: Array[String]): Unit = {
     val dir = "/root/testdata/sf0.1"
     val spark = Sessions.local(32, "probe")
     spark.sparkContext.setLogLevel("ERROR")
-    Tables.documents(spark, dir).limit(1).count()
+    Tables.embeddings(spark, dir).limit(1).count()
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f
       println(f"PROBE $label ${(System.nanoTime()-t0)/1e9}%.2f s"); r
     }
-    val WinnowK=16; val WinnowW=8; val WinnowPosMod=1L<<20
+    val edges0 = time("edges") {
+      val e = Similarity.knnGraphApprox(spark, dir).select("id_a", "id_b").localCheckpoint()
+      println("PROBE edge rows=" + e.count()); e
+    }
     for (rep <- 1 to 2) {
-      // census: per-doc gram hash array + window minima + distinct
-      val census = time(s"census$rep") {
-        val c = Tables.documents(spark, dir)
-          .filter(length(col("text")) >= WinnowK + WinnowW - 1)
-          .select(col("doc_id"), expr(
-            s"transform(sequence(1, length(text) - ${WinnowK - 1}), i -> cast(conv(substr(md5(substring(text, i, $WinnowK)), 1, 10), 16, 10) as bigint) * $WinnowPosMod + ($WinnowPosMod - i))").as("arr"))
-          .select(col("doc_id"), explode(expr(
-            s"array_distinct(transform(sequence(1, size(arr) - ${WinnowW - 1}), j -> array_min(slice(arr, j, $WinnowW)) div $WinnowPosMod))")).as("fp"))
-          .distinct()
-          .localCheckpoint()
-        c.count(); c
+      // instrumented componentLabels copy
+      val pairs = edges0
+      val edges = pairs
+        .unionAll(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+        .toDF("src", "dst").persist()
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id"))
+        .localCheckpoint()
+      var prevSum = BigDecimal(-1)
+      var converged = false
+      var i = 0
+      while (!converged && i < 30) {
+        time(s"cc$rep-round$i") {
+          val nbrMin = edges
+            .join(labels.select(col("id").as("dst"), col("label").as("nl")), Seq("dst"))
+            .groupBy(col("src").as("id"))
+            .agg(min("nl").as("nmin"))
+          val stepped = labels
+            .join(nbrMin, Seq("id"), "left")
+            .select(col("id"),
+              least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+          labels = stepped.as("s")
+            .join(stepped.select(col("id").as("label"), col("label").as("ll")).as("p"),
+              Seq("label"), "left")
+            .select(col("id"),
+              least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
+            .localCheckpoint(false)
+          val curSum = BigDecimal(
+            labels.agg(coalesce(sum(col("label").cast(DecimalType(38, 0))),
+              lit(0).cast(DecimalType(38, 0)))).head().getDecimal(0))
+          converged = curSum == prevSum
+          prevSum = curSum
+          i += 1
+        }
       }
-      // gram-hash only (no window mins): isolates md5 cost
-      time(s"md5only$rep") {
-        Tables.documents(spark, dir)
-          .filter(length(col("text")) >= WinnowK + WinnowW - 1)
-          .select(col("doc_id"), expr(
-            s"aggregate(transform(sequence(1, length(text) - ${WinnowK - 1}), i -> cast(conv(substr(md5(substring(text, i, $WinnowK)), 1, 10), 16, 10) as bigint) * $WinnowPosMod + ($WinnowPosMod - i)), cast(0 as bigint), (a, x) -> a ^ x)").as("s"))
-          .agg(count(col("s"))).head()
-      }
-      // widened variant
-      time(s"md5widened$rep") {
-        Tables.widened(Tables.documents(spark, dir))
-          .filter(length(col("text")) >= WinnowK + WinnowW - 1)
-          .select(col("doc_id"), expr(
-            s"aggregate(transform(sequence(1, length(text) - ${WinnowK - 1}), i -> cast(conv(substr(md5(substring(text, i, $WinnowK)), 1, 10), 16, 10) as bigint) * $WinnowPosMod + ($WinnowPosMod - i)), cast(0 as bigint), (a, x) -> a ^ x)").as("s"))
-          .agg(count(col("s"))).head()
-      }
-      val counts = census.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val pairs = time(s"pairs$rep") {
-        val p = census.groupBy("fp")
-          .agg(graft.functions.CappedSortedIds.cappedSortedIds(col("doc_id"), 32).as("ids"))
-          .filter(size(col("ids")) > 1)
-          .select(explode(flatten(transform(col("ids"), (x, i) =>
-            transform(slice(col("ids"), i + lit(2), size(col("ids")) - i - 1),
-              y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
-          .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-          .agg(count(lit(1)).as("n_shared"))
-          .filter(col("n_shared") >= 4)
-        p.count(); p
-      }
-      time(s"tail$rep") {
-        pairs.join(counts.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a")
-          .join(counts.select(col("doc_id").as("id_b"), col("n").as("n_b")), "id_b")
-          .count()
-      }
+      edges.unpersist()
+      prevSum = BigDecimal(-1); converged = false; i = 0
     }
     spark.stop()
   }

@@ -1209,7 +1209,12 @@ object Analytics {
     * map-side-combinable into a single 65-column row — the shuffle is
     * one partial row per partition; the finish runs on 8 rows. */
   def amsF2(spark: SparkSession, dir: String): DataFrame =
-    amsFinish(spark, dir, amsCensus(Tables.lineitem(spark, dir)))
+    // widened on the projected key column: the md5+conv per row runs
+    // in the scan stage, which the single-row-group sandbox layout
+    // serializes to one task (winnowFp's note); the stream sibling
+    // keeps the raw source (widened forces a batch conversion)
+    amsFinish(spark, dir, amsCensus(
+      Tables.widened(Tables.lineitem(spark, dir).select("l_partkey"))))
 
   /** R/S window sizes for [[hurst]] — powers of two, evenly spaced in
     * ln, so the 3-point OLS slope collapses to

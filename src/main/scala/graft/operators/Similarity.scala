@@ -266,11 +266,19 @@ object Similarity {
     val b = emb.select(col("vec_id").as("id_b"), col("v").as("vb"),
       col("nrm").as("nb"))
     val cos = dot(col("va"), col("vb")) / (col("na") * col("nb"))
-    if (!forestLarge(spark, dir, planes, tables, radius))
+    // ONE parquet-metadata count feeds both the planes dial and the
+    // size gate (each used to count independently — two scheduled
+    // jobs per substrate call doing identical work)
+    val n = Tables.embeddings(spark, dir).count()
+    val p = if (planes > 0) planes else occupancyPlanes(n)
+    val fan = if (radius >= 1) p + 1 else 1
+    val large =
+      n.toDouble * fan * tables * ForestTargetOccupancy > ForestSliceThreshold
+    if (!large)
       // small corpus: one direct symmetric join — the slice/mirror
       // machinery below costs more in per-branch job overhead than
       // the whole frame costs to score
-      forestPairs(spark, dir, planes, tables, radius)
+      forestPairs(spark, dir, p, tables, radius)
         .join(a, Seq("id_a")).join(b, Seq("id_b"))
         .select(col("id_a"), col("id_b"), cos.as("cos_raw"))
     else {
@@ -283,7 +291,7 @@ object Similarity {
       // vectors attached to every DIRECTED pair (~80 GB at 70.5M
       // pairs) spilled local[32] regardless of partition count.
       val half = slicedScore(
-        forestPairsCanonical(spark, dir, planes, tables, radius)
+        forestPairsCanonical(spark, dir, p, tables, radius)
           .localCheckpoint(),
         a, b, cos, "cos_raw")
         .localCheckpoint() // consumed by both the rows and their mirror
@@ -292,25 +300,14 @@ object Similarity {
     }
   }
 
-  /** Pair-volume gate between the direct and the sliced/canonical
-    * scoring paths: expected DIRECTED candidates ≈ n·(planes+1)·L·occ
-    * (the scaladoc volume formula at the (occ/2, occ] ceiling) —
-    * derived from the same parquet-metadata count the planes dial
-    * reads, so the gate costs no extra scan. The 8M cut sits a decade
-    * under the measured sf3 cliff (70.5M directed pairs) and a decade
-    * over the sandbox bench scale (1.2M at sf0.1): crossing it the
-    * wrong way costs seconds of slice overhead, never correctness —
-    * both paths produce the identical row set. */
-  private def forestLarge(spark: SparkSession, dir: String,
-      planes: Int, tables: Int, radius: Int = 1): Boolean = {
-    val n = Tables.embeddings(spark, dir).count()
-    val p = if (planes > 0) planes else occupancyPlanes(n)
-    val fan = if (radius >= 1) p + 1 else 1
-    n.toDouble * fan * tables * ForestTargetOccupancy > ForestSliceThreshold
-  }
-
-  /** [[forestLarge]]'s expected-directed-pairs cut between the direct
-    * and the sliced/canonical scoring plans. Mutable and
+  /** The expected-directed-pairs cut between the direct and the
+    * sliced/canonical scoring plans: expected DIRECTED candidates ≈
+    * n·(planes+1)·L·occ (the scaladoc volume formula at the
+    * (occ/2, occ] ceiling), derived from the same parquet-metadata
+    * count the planes dial reads — gate and dial now share ONE count
+    * per substrate call. Crossing the cut the wrong way costs seconds
+    * of slice overhead, never correctness — both paths produce the
+    * identical row set. Mutable and
     * `private[graft]` ONLY so the suite can force the large path at
     * sandbox scale and assert its row set equals the direct plan's
     * (ForestSlicePathSpec) — production code never writes it. The 8M
@@ -2168,13 +2165,19 @@ object Similarity {
     // large branch still slices and mirrors the 16-byte ID pairs off
     // the canonical checkpoint so the dedup state is halved
     val d2c = col("na2") - lit(2.0) * dot(col("va"), col("vb")) + col("nb2")
+    // one metadata count feeds both the planes dial and the size gate
+    // (the forestScored discipline)
+    val n = Tables.embeddings(spark, dir).count()
+    val p = occupancyPlanes(n)
+    val large = n.toDouble * (p + 1) * LshTables * ForestTargetOccupancy >
+      ForestSliceThreshold
     val scored =
-      if (!forestLarge(spark, dir, 0, LshTables))
-        forestPairs(spark, dir)
+      if (!large)
+        forestPairs(spark, dir, p)
           .join(a, Seq("id_a")).join(b, Seq("id_b"))
           .select(col("id_a"), col("id_b"), d2c.as("d2"))
       else {
-        val canon = forestPairsCanonical(spark, dir).localCheckpoint()
+        val canon = forestPairsCanonical(spark, dir, p).localCheckpoint()
         slicedScore(
           canon.union(canon.select(col("id_b").as("id_a"),
             col("id_a").as("id_b"))),

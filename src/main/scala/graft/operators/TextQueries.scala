@@ -290,7 +290,11 @@ object TextQueries {
       when(col("l_orderkey") % 4 === 0,
         concat(lit("#sec"), (col("l_orderkey") % 9).cast("string")))
         .otherwise(lit("")))
-    Tables.lineitem(spark, dir)
+    // widened on the three projected key columns: the synthesis +
+    // canonicalization string work is per-row heavy and the
+    // single-row-group sandbox scan would run it on one task
+    Tables.widened(Tables.lineitem(spark, dir)
+        .select("l_suppkey", "l_orderkey", "l_partkey"))
       .select(url.as("url"))
       .withColumn("base",
         regexp_replace(lower(substring_index(col("url"), "?", 1)), ":443", ""))

@@ -2667,10 +2667,14 @@ object Analytics {
     * in-task), ONE two-phase agg on the 64-key replicate axis, and a
     * 64-row rank window. */
   def bootstrapCi(spark: SparkSession, dir: String): DataFrame =
-    bootFinish(bootCensus(Tables.events(spark, dir)
+    // widened on the two projected columns: the ×65 replicate explode
+    // computes one md5 per (event, replicate) in the scan stage, which
+    // the single-row-group sandbox layout serializes to one task (the
+    // winnowFp note); the stream sibling keeps its raw source
+    bootFinish(bootCensus(Tables.widened(Tables.events(spark, dir)
       .filter(col("event_type") === "purchase")
       .select(col("event_id"),
-        floor(col("value") * 100 + 0.5).cast("long").as("cents"))))
+        floor(col("value") * 100 + 0.5).cast("long").as("cents")))))
 
   /** The replicate census over any (event_id, cents) frame — one row
     * per replicate with (Σw, Σw·cents), ADDITIVE across micro-batches

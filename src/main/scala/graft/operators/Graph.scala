@@ -146,10 +146,19 @@ object Graph {
       .select(col("src").as("z"), col("deg").as("deg_z"))
     val hopIn = edges.select(col("src").as("part_a"), col("dst").as("z"))
     val hopOut = edges.select(col("src").as("z"), col("dst").as("part_b"))
-    hopIn.join(thru, "z").join(hopOut, "z")
+    // deliberate shuffle_hash everywhere (kcore's note: the
+    // checkpointed edge list's size estimate is unreliable, and the
+    // estimate-driven plan here broadcast BOTH edge projections AND
+    // the anti-join's full edge list — a 2.4M-row HashedRelation
+    // built three times at sf0.1, and a driver hazard at scale);
+    // builds: node-sized thru, then per-partition slices of the edge
+    // projections, keyed by z / (part_a, part_b)
+    hopIn.join(thru.hint("merge"), "z")
+      .join(hopOut.hint("merge"), "z")
       .filter(col("part_a") < col("part_b"))
       // edges hold both directions, so one-sided anti-join suffices
-      .join(edges.select(col("src").as("part_a"), col("dst").as("part_b")),
+      .join(edges.select(col("src").as("part_a"), col("dst").as("part_b"))
+          .hint("merge"),
         Seq("part_a", "part_b"), "left_anti")
       .groupBy("part_a", "part_b")
       .agg(count(lit(1)).as("n_common"),

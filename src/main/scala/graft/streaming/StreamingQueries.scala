@@ -420,11 +420,17 @@ object StreamingQueries {
     * bootFinish — the live dashboard reads a mean WITH its interval,
     * not a bare point; reuses the batch oracle verbatim. */
   def streamBoot(spark: SparkSession, dir: String): DataFrame = {
+    // repartition the two projected columns before the ×65 replicate
+    // explode — the stream-side analog of the batch query's widened
+    // scan (one md5 per (event, replicate) is the heavy map, and a
+    // single-file micro-batch otherwise runs it on one task); a
+    // cheap shuffle of two narrow columns at any scale
     val census = graft.operators.Analytics.bootCensus(
       eventsStream(spark, dir)
         .filter(col("event_type") === "purchase")
         .select(col("event_id"),
-          floor(col("value") * 100 + 0.5).cast("long").as("cents")))
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        .repartition(spark.sparkContext.defaultParallelism))
     graft.operators.Analytics.bootFinish(
       TableSink.upsert(spark, census, Seq("r"), "boot", dir)
         .select(col("r"), col("sw"),
@@ -590,10 +596,14 @@ object StreamingQueries {
     * SHARED amsFinish — the optimizer's self-join-size statistic that
     * never goes stale and never grows; batch oracle verbatim. */
   def streamAms(spark: SparkSession, dir: String): DataFrame =
+    // repartition the projected key before the per-row md5+conv census
+    // (the q_stream_boot note: a single-file micro-batch otherwise
+    // runs the hash map on one task; one narrow column shuffles)
     graft.operators.Analytics.amsFinish(spark, dir,
       TableSink.upsert(spark,
         graft.operators.Analytics.amsCensus(
-          tableStream(spark, dir, "lineitem")),
+          tableStream(spark, dir, "lineitem").select("l_partkey")
+            .repartition(spark.sparkContext.defaultParallelism)),
         Seq("k"), "ams", dir))
 
   /** q_stream_hurst — the long-memory diagnostic AT INGEST: the
@@ -847,9 +857,12 @@ object StreamingQueries {
   def streamSemDecontam(spark: SparkSession, dir: String): DataFrame = {
     val evalAgg = graft.operators.Similarity.semDecontamEvalAgg(
       graft.sources.Tables.embeddings(spark, dir))
+    // repartition arrivals before the per-row eval-chunk scoring
+    // (the q_stream_boot note: heavy map, single-file micro-batch)
     val scored = graft.operators.Similarity.semDecontamScore(
       tableStream(spark, dir, "embeddings")
-        .filter(col("vec_id") % 50 =!= 0), evalAgg)
+        .filter(col("vec_id") % 50 =!= 0)
+        .repartition(spark.sparkContext.defaultParallelism), evalAgg)
     runToMemory(spark, scored, OutputMode.Append()).orderBy("vec_id")
   }
 

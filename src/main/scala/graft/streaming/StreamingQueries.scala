@@ -115,7 +115,12 @@ object StreamingQueries {
     import spark.implicits._
     import graft.ml.ModelMap
     val bcModels = spark.sparkContext.broadcast(ModelMap.ensure(spark, dir))
-    val pages = ModelMap.syntheticPages(eventsStream(spark, dir))
+    // repartition the narrow event rows before page synthesis — the
+    // heaviest per-row map in the streaming family (html synthesis +
+    // candidate extraction + per-candidate featurize/GBT margin) would
+    // otherwise run on a single-file micro-batch's one task
+    val pages = ModelMap.syntheticPages(eventsStream(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism))
     val scored = pages
       .select(col("event_id"), col("user_id"), col("domain"),
         length(col("html")).as("page_len"),

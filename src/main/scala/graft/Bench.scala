@@ -166,6 +166,17 @@ object Bench {
         }
       }
     }
+    // One compact line PER QUERY (r14 verdict item 2: the giant map
+    // line above overflows the driver's fixed-size stdout tail, so the
+    // per-query comparison was judged blind). Additions only — the map
+    // line, total_summary and the sidecar are unchanged; a line-level
+    // consumer can stream-parse these without holding the map line.
+    results.foreach { case (name, cold, warm, full, ok, fullOk) =>
+      if (ok) {
+        val fullPart = if (fullOk) s""","full":$full""" else ""
+        println(s"""{"metric":"query","name":"$name","cold":$cold,"warm":$warm$fullPart}""")
+      } else println(s"""{"metric":"query","name":"$name","err":1}""")
+    }
     // The per-query line above grows with the suite (185+ queries × 3
     // metrics) and any fixed-size tail capture of this process's stdout
     // will truncate its head, losing the totals. Emit the totals AGAIN as

@@ -5,9 +5,16 @@ import org.apache.spark.sql.types.DecimalType
 import graft.sources.Tables
 import graft.operators.Similarity
 
+/** Dev probe: per-round timing of the componentLabels CC loop over the
+  * forest-fed mutual graph. The loop body below is an instrumented COPY
+  * of Dedup.componentLabels (keep the two in sync when the real loop
+  * changes). Data dir comes from arg 0 / SPARK_GRAFT_SF_DIR like the
+  * other probe mains. */
 object GraphProbe {
   def main(args: Array[String]): Unit = {
-    val dir = "/root/testdata/sf0.1"
+    val dir = args.headOption
+      .orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
+      .getOrElse("/root/testdata/sf0.1")
     val spark = Sessions.local(32, "probe")
     spark.sparkContext.setLogLevel("ERROR")
     Tables.embeddings(spark, dir).limit(1).count()

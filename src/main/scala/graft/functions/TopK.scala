@@ -131,10 +131,13 @@ final class TopEdgesState(val k: Int) {
 
   /** Total order matching Spark's SQL sort on (score DESC, id ASC):
     * NaN sorts as the LARGEST double (java.lang.Double.compare) and
-    * -0.0 normalizes to 0.0 (Spark's NormalizeFloatingNumbers — a
-    * raw Double.compare would order -0.0 < 0.0 and could flip a
-    * boundary edge the window formulation kept). Returns < 0 when
-    * (s1,i1) ranks strictly better. */
+    * -0.0 is treated equal to 0.0 with the tie broken by id. Note:
+    * Spark's SortOrder itself (NormalizeFloatingNumbers applies to
+    * grouping/join/window-PARTITION keys, not ORDER BY keys) would
+    * order +0.0 strictly before -0.0 under DESC — a divergence
+    * confined to ±0.0 score ties, unobservable on real cosine data
+    * and ACCEPTED (hash-verified green across all consumers).
+    * Returns < 0 when (s1,i1) ranks strictly better. */
   @inline private def cmp(s1: Double, i1: Long, s2: Double, i2: Long): Int = {
     val a = if (s1 == 0.0d) 0.0d else s1
     val b = if (s2 == 0.0d) 0.0d else s2
@@ -172,6 +175,17 @@ case class TopEdges(
   override def children: Seq[Expression] = Seq(idChild, scoreChild)
   override def nullable: Boolean = false
   override def dataType: DataType = TopEdges.resultType
+
+  // update() casts with asInstanceOf, so misuse must fail at ANALYSIS
+  // time, not as a mid-task ClassCastException (r14 advice)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (idChild.dataType == LongType && scoreChild.dataType == DoubleType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"top_edges expects (bigint id, double score), got " +
+          s"(${idChild.dataType.simpleString}, ${scoreChild.dataType.simpleString})")
+  }
 
   override def createAggregationBuffer(): TopEdgesState = new TopEdgesState(k)
 

@@ -146,13 +146,15 @@ object Graph {
       .select(col("src").as("z"), col("deg").as("deg_z"))
     val hopIn = edges.select(col("src").as("part_a"), col("dst").as("z"))
     val hopOut = edges.select(col("src").as("z"), col("dst").as("part_b"))
-    // deliberate shuffle_hash everywhere (kcore's note: the
+    // deliberate sort-merge on all three joins (kcore's note: the
     // checkpointed edge list's size estimate is unreliable, and the
     // estimate-driven plan here broadcast BOTH edge projections AND
     // the anti-join's full edge list — a 2.4M-row HashedRelation
-    // built three times at sf0.1, and a driver hazard at scale);
-    // builds: node-sized thru, then per-partition slices of the edge
-    // projections, keyed by z / (part_a, part_b)
+    // built three times at sf0.1, and a driver hazard at scale).
+    // shuffle_hash was measured 0.2-0.3 s BEHIND merge on this shape
+    // (r14: both sides here are edge-sized, so there is no small
+    // build side for SHJ to exploit); merge spills gracefully at any
+    // scale, which is the property this plan pin is buying.
     hopIn.join(thru.hint("merge"), "z")
       .join(hopOut.hint("merge"), "z")
       .filter(col("part_a") < col("part_b"))
